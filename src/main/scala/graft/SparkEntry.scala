@@ -1,13 +1,713 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
+import graft.meta.ParquetInfo
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the beyond-reference pipeline operators), with a DuckDB
+ * oracle in `oracleSql` for everything ANSI-SQL-expressible.
+ *
+ * Determinism rules (the driver hash-compares results):
+ *  - every query ends in a total ORDER BY (unique tie-break key)
+ *  - double aggregates are `round`ed; ordering happens on the rounded
+ *    value plus a unique key, so sub-ulp engine differences cannot
+ *    reorder or change membership
+ *  - counts are cast to BIGINT on both sides
+ */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads via the
+    * nanosAsLong legacy conf → LongType epoch-nanos.  The oracle mirrors
+    * with duckdb `epoch_ns`. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** lineitem has no unique key in the synthetic data (duplicate
+    * (l_orderkey, l_linenumber) pairs exist), so deterministic output
+    * ordering must sort on ALL emitted columns. */
+  private val liAll = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------ core I/O ops
+    // S1: plain parquet scan (vectorized, schema from footer)
+    "io_scan" -> ((s, dir) =>
+      t(s, dir, "lineitem").orderBy(liAll.map(col): _*)),
+
+    // S2: glob scan
+    "io_glob_scan" -> ((s, dir) =>
+      CopyFrom.raw(s, s"$dir/lineitem*.parquet")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // P1: column-list projection
+    "io_projection" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")),
+
+    // P3: COPY FROM ... WHERE (predicate pushed into the scan by Catalyst)
+    "io_filter" -> ((s, dir) =>
+      CopyFrom.raw(s, s"$dir/lineitem.parquet",
+          CopyFromOptions(where = Some(
+            "l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.03")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_shipdate")),
+
+    // P4: per-column cast-on-read against a coercible target schema
+    "io_cast" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", LongType),      // int32 → int64 widen
+        StructField("l_shipdate", DateType),        // timestamp → date
+        StructField("l_returnflag", StringType)))
+      CopyFrom(s, s"$dir/lineitem.parquet", target)
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+    }),
+
+    // P5: match-by-position column binding
+    "io_match_position" -> ((s, dir) => {
+      val target = StructType((1 to 11).map { i =>
+        val dt = i match {
+          case 4 => IntegerType
+          case 5 | 6 | 7 | 8 => DoubleType
+          case 9 | 10 => StringType
+          case 11 => TimestampNTZType
+          case _ => LongType
+        }
+        StructField(s"c$i", dt)
+      })
+      CopyFrom(s, s"$dir/lineitem.parquet", target,
+          CopyFromOptions(matchBy = MatchBy.Position))
+        .orderBy((1 to 11).map(i => col(s"c$i")): _*)
+    }),
+
+    // S3+S1: full write/read round-trip through CopyTo/CopyFrom
+    "io_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_rt_" +
+        new java.io.File(dir).getName
+      CopyTo(src, uri, CopyToOptions(
+        compression = Some("zstd"), compressionLevel = Some(3)))
+      CopyFrom(s, uri, src.schema).orderBy(liAll.map(col): _*)
+    }),
+
+    // S4: byte-targeted file splitting, read back via glob
+    "io_split" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_split_" +
+        new java.io.File(dir).getName
+      CopyTo(src, uri, CopyToOptions(
+        fileSizeBytes = Some(CopyToOptions.MinFileSizeBytes)))
+      CopyFrom.raw(s, uri)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    // ------------------------------------------- M1-M6 metadata functions
+    // (not expressible as portable ANSI SQL → rows-only driver check)
+    "meta_schema" -> ((s, dir) =>
+      ParquetInfo.schema(s, s"$dir/lineitem.parquet")),
+    "meta_metadata" -> ((s, dir) =>
+      ParquetInfo.metadata(s, s"$dir/lineitem.parquet")),
+    "meta_file_metadata" -> ((s, dir) =>
+      ParquetInfo.fileMetadata(s, s"$dir/lineitem.parquet")),
+    "meta_kv_metadata" -> ((s, dir) =>
+      ParquetInfo.kvMetadata(s, s"$dir/lineitem.parquet")),
+    "meta_column_stats" -> ((s, dir) =>
+      ParquetInfo.columnStats(s, s"$dir/lineitem.parquet")),
+    "meta_list" -> ((s, dir) =>
+      ParquetInfo.list(s, s"$dir/*.parquet")),
+
+    // ------------------------------------- relational surface (Catalyst)
+    // TPC-H Q1 shape: scan + filter + hash agg
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: 3-way join + agg + top-k (small dims broadcast)
+    "q3_join_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-30").cast(TimestampNTZType))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-30").cast(TimestampNTZType))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join through region→nation→customer→orders→li
+    "q5_star_join" -> ((s, dir) => {
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // window: per-customer top-3 orders by price
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // window: running sum (frame with total order; quantities are
+    // integral so the running double sum is exact on both engines)
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
+
+    // window: lag across event streams per user
+    "q_events_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta", round(col("value") - col("prev_value"), 2))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value"), col("delta"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // sort + limit (top-k on raw file values — exact)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // set operations
+    "q_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      c.intersect(su).withColumn("tag", lit("both"))
+        .unionAll(c.except(su).withColumn("tag", lit("customer_only")))
+        .unionAll(su.except(c).withColumn("tag", lit("supplier_only")))
+        .select("tag", "k")
+        .orderBy("tag", "k")
+    }),
+
+    // grouping sets / rollup
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // distinct aggregation
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+      val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+      semi.unionAll(anti).select("tag", "n").orderBy("tag")
+    }),
+
+    // scalar string/math function surface
+    "q_scalar_string" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_pre"),
+          length(col("p_name")).cast("long").as("name_len"),
+          (col("p_size") % 7).cast("long").as("size_mod"),
+          round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    // scalar date function surface
+    "q_scalar_date" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .orderBy("o_orderkey")),
+
+    // CASE bucketing + agg
+    "q_case_bucket" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket")),
+
+    // time-bucketed aggregation over the event stream (batch)
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("hour_idx", expr("ts DIV 3600000000000"))
+        .groupBy("hour_idx", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour_idx", "event_type")),
+
+    // conditional (pivot-style) aggregation per user
+    "q_events_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0))
+            .cast("long").as("n_view"),
+          sum(when(col("event_type") === "error", 1).otherwise(0))
+            .cast("long").as("n_error"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("purchase_value"))
+        .orderBy("user_id")),
+
+    // Structured Streaming: same hourly agg driven through readStream →
+    // memory sink (complete mode), proving the streaming plumbing
+    "stream_events_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // streaming file sources need a directory: stage the events file
+      // into one via CopyTo (same bytes, Spark-written layout)
+      val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
+        new java.io.File(dir).getName
+      CopyTo(events(s, dir), stageDir)
+      val qn = s"graft_stream_${System.nanoTime()}"
+      val q = s.readStream.schema(schema).parquet(stageDir)
+        .withColumn("hour_idx", expr("ts DIV 3600000000000"))
+        .groupBy("hour_idx", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy("hour_idx", "event_type")
+    }),
+
+    // ------------------------------------------- pipeline ops: dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashParams(shingleSize = 3, numHashes = 128, bands = 32,
+            jaccardThreshold = 0.7))
+        .orderBy("a", "b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 2, maxHamming = 3)
+        .orderBy("a", "b")),
+
+    // exact token-set Jaccard within source blocks (SQL-expressible)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", threshold = 0.95)
+        .orderBy("block", "a", "b")),
+
+    // exact embedding near-dup pairs (brute force — the oracle-checkable
+    // baseline; the LSH variant below is the 100 TB path)
+    "dedup_embedding" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, tables = 8, bitsPerTable = 8)
+        .orderBy("a", "b")),
+
+    // --------------------------------------- pipeline ops: similarity
+    "sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          tables = 8, bitsPerTable = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ------------------------------------ pipeline ops: text analysis
+    "text_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).cast("long")
+            .as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "avg_token_len",
+          "stopword_ratio", "digit_ratio")
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = TextAnalysis.langScores(col("text")).foldLeft(d) {
+        case (acc, (lang, c)) => acc.withColumn(s"s_$lang", c)
+      }
+      scored.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "s_zh", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ------------------------------------- pipeline ops: multimodal
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(s, t(s, dir, "documents"), "doc_id", "text",
+          sampleEvery = 2)
+        .orderBy("doc_id"))
+  )
+
+  // =====================================================================
+  /** DuckDB oracles.  Metadata functions, LSH/minhash/simhash (Spark-hash
+    * dependent) and fingerprint (xxhash64) are not ANSI-expressible →
+    * omitted (driver does rows-only checks there). */
+  def oracleSql: Map[String, String] = Map(
+    "io_scan" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
+
+    "io_glob_scan" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "io_projection" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderdate FROM orders " +
+        "ORDER BY o_orderkey"),
+
+    "io_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate " +
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_discount > 0.03 ORDER BY l_orderkey, l_linenumber, " +
+        "l_quantity, l_discount, l_shipdate"),
+
+    "io_cast" ->
+      ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "CAST(l_shipdate AS DATE) AS l_shipdate, l_returnflag " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_shipdate, " +
+        "l_returnflag"),
+
+    "io_match_position" ->
+      ("SELECT l_orderkey AS c1, l_partkey AS c2, l_suppkey AS c3, " +
+        "l_linenumber AS c4, l_quantity AS c5, l_extendedprice AS c6, " +
+        "l_discount AS c7, l_tax AS c8, l_returnflag AS c9, " +
+        "l_linestatus AS c10, l_shipdate AS c11 FROM lineitem " +
+        "ORDER BY c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11"),
+
+    "io_roundtrip" ->
+      ("SELECT * FROM lineitem WHERE l_returnflag = 'R' " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"),
+
+    "io_split" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders"),
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "round(avg(l_quantity), 4) AS avg_qty, " +
+        "round(avg(l_extendedprice), 4) AS avg_price, " +
+        "round(avg(l_discount), 4) AS avg_disc, " +
+        "CAST(count(*) AS BIGINT) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q3_join_topk" ->
+      ("SELECT l_orderkey, o_orderdate, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q5_star_join" ->
+      ("SELECT n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name " +
+        "ORDER BY revenue DESC, n_name"),
+
+    "q_window_rank" ->
+      ("SELECT * FROM (SELECT o_custkey, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk, " +
+        "o_orderkey, o_totalprice FROM orders) WHERE rnk <= 3 " +
+        "ORDER BY o_custkey, rnk"),
+
+    "q_window_running" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "round(sum(l_quantity) OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty " +
+        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty"),
+
+    "q_events_lag" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, " +
+        "round(value - lag(value, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id), 2) AS delta " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "q_topk" ->
+      ("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+
+    "q_setops" ->
+      ("WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer), " +
+        "s AS (SELECT DISTINCT s_nationkey AS k FROM supplier) " +
+        "SELECT 'both' AS tag, k FROM (SELECT k FROM c INTERSECT SELECT k FROM s) " +
+        "UNION ALL SELECT 'customer_only', k FROM (SELECT k FROM c EXCEPT SELECT k FROM s) " +
+        "UNION ALL SELECT 'supplier_only', k FROM (SELECT k FROM s EXCEPT SELECT k FROM c) " +
+        "ORDER BY tag, k"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q_distinct" ->
+      ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_semi_anti" ->
+      ("SELECT 'with_orders' AS tag, CAST(count(*) AS BIGINT) AS n FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "UNION ALL " +
+        "SELECT 'no_orders' AS tag, CAST(count(*) AS BIGINT) AS n FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY tag"),
+
+    "q_scalar_string" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_u, " +
+        "substr(p_name, 1, 8) AS name_pre, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len, " +
+        "CAST(p_size % 7 AS BIGINT) AS size_mod, " +
+        "round(abs(p_retailprice - 1000.0), 2) AS price_dist, " +
+        "p_brand || '#' || p_type AS brand_type " +
+        "FROM part ORDER BY p_partkey"),
+
+    "q_scalar_date" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(day(o_orderdate) AS BIGINT) AS d, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_case_bucket" ->
+      ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY bucket"),
+
+    "q_events_hourly" ->
+      ("SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type"),
+
+    "q_events_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, " +
+        "round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "stream_events_hourly" ->
+      ("SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type"),
+
+    "dedup_exact" ->
+      ("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, n_chars FROM documents " +
+        "GROUP BY text, n_chars ORDER BY doc_id"),
+
+    "dedup_ngram_jaccard" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS tk FROM documents) " +
+        "SELECT a.source AS block, a.doc_id AS a, b.doc_id AS b, " +
+        "round(len(list_intersect(a.tk, b.tk)) * 1.0 / " +
+        "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard " +
+        "FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / " +
+        "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95 " +
+        "ORDER BY block, a, b"),
+
+    "dedup_embedding" ->
+      ("SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 4) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4 " +
+        "ORDER BY a, b"),
+
+    "sim_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS c, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "CAST(qv AS DOUBLE[])) DESC, vec_id) AS rn " +
+        "FROM embeddings, q WHERE vec_id <> query_id) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, " +
+        "round(c, 4) AS cosine FROM s WHERE rn <= 10 ORDER BY query_id, rank"),
+
+    "text_tokens" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(list_filter(string_split_regex(lower(text), " +
+        "'[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_distinct " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_quality" ->
+      ("WITH m AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, " +
+        "CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "round(CASE WHEN len(tk) > 0 THEN " +
+        "CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) " +
+        "ELSE 0.0 END, 4) AS avg_token_len, " +
+        "round(CASE WHEN len(tk) > 0 THEN " +
+        "CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / len(tk) " +
+        "ELSE 0.0 END, 4) AS stopword_ratio, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1), 4) AS digit_ratio " +
+        "FROM m ORDER BY doc_id"),
+
+    "text_langid" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), sc AS (SELECT doc_id, " +
+        "CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','it'))) AS BIGINT) AS s_en, " +
+        "CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','las','una','por'))) AS BIGINT) AS s_es, " +
+        "CAST(len(list_filter(tk, x -> x IN ('le','les','des','une','est','dans','pour','que'))) AS BIGINT) AS s_fr, " +
+        "CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist','mit'))) AS BIGINT) AS s_de, " +
+        "CAST(len(list_filter(tk, x -> x IN ('的','是','了','在','我','有'))) AS BIGINT) AS s_zh " +
+        "FROM m) " +
+        "SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, " +
+        "CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' " +
+        "WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' " +
+        "WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' " +
+        "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' " +
+        "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' " +
+        "ELSE 'zh' END AS lang_pred " +
+        "FROM sc ORDER BY doc_id"),
+
+    "mm_decode_meta" ->
+      ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(strlen(text) % 640 + 16 AS BIGINT) AS width, " +
+        "CAST((strlen(text) * 7) % 480 + 16 AS BIGINT) AS height, " +
+        "CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames, " +
+        "CAST((strlen(text) % 24 + 1 + 1) // 2 AS BIGINT) AS n_sampled " +
+        "FROM documents ORDER BY doc_id")
+  )
 }

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the scale-sensitive inner loops of the
+ * dedup / similarity operators.  These are single-pass, allocation-light
+ * per-row kernels — the alternative (k separate `transform`/`array_min`
+ * expressions for a k-permutation MinHash) materializes k intermediate
+ * arrays per row.  Registered in the session function registry by
+ * [[GraftFunctions.register]] and used through `call_function`, so they
+ * stay inside Catalyst plans (pushdown, AQE, etc. unaffected).
+ */
+object GraftFunctions {
+
+  /** Deterministic 64-bit mixer (public-domain splitmix64 constants). */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bits",
+      exprs => HyperplaneBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long]), "scala_udf")
+  }
+
+  import org.apache.spark.sql.functions.lit
+  /** k-permutation MinHash signature of an array<long> of element hashes. */
+  def minhash(hashes: Column, k: Int, seed: Long): Column =
+    call_function("graft_minhash", hashes, lit(k), lit(seed))
+  /** 64-bit SimHash of an array<long> of token hashes. */
+  def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
+  /** Cosine similarity of two array<float> vectors (double accumulation). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  /** Signs of dot products with `nbits` seeded random hyperplanes, packed
+    * into a long — the random-hyperplane LSH bucket id. */
+  def hyperplaneBits(vec: Column, nbits: Int, seed: Long): Column =
+    call_function("graft_hyperplane_bits", vec, lit(nbits), lit(seed))
+}
+
+/**
+ * MinHash signature: for each of k seeded universal-hash permutations
+ * `h_i(x) = (a_i * x + b_i) & Long.MaxValue`, the minimum over the input
+ * element hashes.  One pass over the input per row; O(k) state.
+ */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val (as, bs) = {
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = GraftFunctions.mix64(seed + 2L * i) | 1L // odd multiplier
+      b(i) = GraftFunctions.mix64(seed + 2L * i + 1)
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * h + bs(i)) & Long.MaxValue
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * 64-bit SimHash over an array<long> of token hashes: per bit position,
+ * +1 when set / -1 when clear, fingerprint bit = (count > 0).
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * Cosine similarity of two float vectors with double accumulation in
+ * array order (deterministic; matches a sequential oracle).  Returns null
+ * on length mismatch or zero norms.
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/**
+ * Random-hyperplane LSH: sign bit of the dot product with `nbits` seeded
+ * Gaussian-ish hyperplanes, packed into a long.  Hyperplane components are
+ * derived from splitmix64 → uniform in [-1, 1), which preserves the
+ * locality property (only direction matters).
+ */
+case class HyperplaneBits(child: Expression, nbits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var bits = 0L
+    var b = 0
+    while (b < nbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = GraftFunctions.mix64(seed + b.toLong * 1000003L + i)
+        // map to [-1, 1)
+        val comp = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        dot += v.getFloat(i) * comp
+        i += 1
+      }
+      if (dot >= 0) bits |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,0 +1,46 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Parquet source, re-expressing the reference's
+ * `COPY tbl FROM 'uri' [WITH (...)] [WHERE ...]` path
+ * (reference `src/arrow_parquet/parquet_reader.rs:66-244`,
+ * `src/parquet_copy_hook/copy_from.rs:106-183`) Spark-first:
+ *
+ *  - glob patterns (`*`, `**`) are native to Spark's file index
+ *    (reference expands them by hand, `parquet_reader.rs:98-126`)
+ *  - schema validation + per-column cast planning is [[SchemaCompat]]
+ *    (reference `schema_parser.rs:505-680`)
+ *  - the WHERE predicate goes through Catalyst, which pushes it into the
+ *    parquet scan (row-group/page pruning); the reference applies it
+ *    post-decode in the Postgres executor — strictly worse at scale
+ *  - match_by name/position is a projection, not a decode-time binding
+ *
+ * Returns a DataFrame: at 100 TB the "insert into table" step is a
+ * `writeTo(...).append()` the caller composes; materializing is not this
+ * operator's job.
+ */
+object CopyFrom {
+
+  def apply(
+      spark: SparkSession,
+      uri: String,
+      target: StructType,
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
+    val raw = spark.read.parquet(uri)
+    val bindings = SchemaCompat.validate(raw.schema, target, options.matchBy)
+    val bound = SchemaCompat.castProjection(raw, bindings, options.matchBy)
+    options.where.map(bound.filter).getOrElse(bound)
+  }
+
+  /** Read with no target schema: pure scan (schema from file footer). */
+  def raw(
+      spark: SparkSession,
+      uri: String,
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
+    val df = spark.read.parquet(uri)
+    options.where.map(df.filter).getOrElse(df)
+  }
+}

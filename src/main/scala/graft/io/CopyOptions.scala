@@ -1,0 +1,164 @@
+package graft.io
+
+/**
+ * Option surface for [[CopyTo]] / [[CopyFrom]], mirroring the validated
+ * option set of the reference's COPY hook (see reference
+ * `src/parquet_copy_hook/copy_utils.rs:37-219` for the allow-lists and
+ * `copy_utils.rs:684-733` for `file_size_bytes` parsing).
+ *
+ * Defaults follow the reference's operational constants
+ * (`src/arrow_parquet/parquet_writer.rs:37-38`,
+ * `src/arrow_parquet/compression.rs:10-11`,
+ * `src/arrow_parquet/parquet_version.rs:7-10`).
+ */
+sealed trait MatchBy
+object MatchBy {
+  /** Bind file columns to target columns by ordinal position
+    * (reference `src/arrow_parquet/match_by.rs:3-20`). */
+  case object Position extends MatchBy
+  /** Bind file columns to target columns by name (default). */
+  case object Name extends MatchBy
+
+  def parse(s: String): MatchBy = s.toLowerCase match {
+    case "position" => Position
+    case "name"     => Name
+    case other =>
+      throw new IllegalArgumentException(
+        s"match_by must be 'name' or 'position', got '$other'")
+  }
+}
+
+object Compression {
+  /** Codecs the reference supports (`compression.rs:60-133`). */
+  val supported: Set[String] =
+    Set("uncompressed", "snappy", "gzip", "brotli", "lz4", "lz4_raw", "zstd")
+
+  /** Codec inferred from the uri extension, like the reference's
+    * `PgParquetCompression::try_from_uri` (`compression.rs:135-155`). */
+  def fromExtension(uri: String): Option[String] = {
+    val lower = uri.toLowerCase
+    if (lower.endsWith(".parquet.gz")) Some("gzip")
+    else if (lower.endsWith(".parquet.br")) Some("brotli")
+    else if (lower.endsWith(".parquet.zst")) Some("zstd")
+    else if (lower.endsWith(".parquet.lz4")) Some("lz4")
+    else if (lower.endsWith(".parquet")) Some("snappy")
+    else None
+  }
+
+  /** Valid compression-level ranges (`compression.rs:31-58`). */
+  def validateLevel(codec: String, level: Int): Unit = {
+    val ok = codec match {
+      case "gzip"   => level >= 0 && level <= 10
+      case "zstd"   => level >= 1 && level <= 22
+      case "brotli" => level >= 0 && level <= 11
+      case _ =>
+        throw new IllegalArgumentException(
+          s"compression level is not supported for codec '$codec'")
+    }
+    if (!ok) throw new IllegalArgumentException(
+      s"compression level $level out of range for codec '$codec'")
+  }
+}
+
+/**
+ * Options for writing Parquet, equivalent to the reference's
+ * `COPY ... TO 'uri' (FORMAT parquet, ...)` option list.
+ *
+ * @param compression       codec name, or None → inferred from uri
+ *                          extension, default snappy
+ * @param compressionLevel  codec level (gzip 0-10 default 6, zstd 1-22
+ *                          default 1, brotli 0-11 default 1)
+ * @param rowGroupSize      max rows per row group (default 122880,
+ *                          reference `parquet_writer.rs:37`)
+ * @param rowGroupSizeBytes max bytes per row group (default rows*1024)
+ * @param fileSizeBytes     if set, roll output into multiple
+ *                          `data_{N}.parquet` part files of roughly this
+ *                          many bytes (min 1 MiB, `copy_utils.rs:727-730`)
+ * @param parquetVersion    "v1" (default) or "v2"
+ * @param fieldIds          "none" (default), "auto" (sequential depth-first
+ *                          ids), or an explicit JSON mapping, mirroring
+ *                          reference `field_ids.rs:6-177`
+ */
+final case class CopyToOptions(
+    compression: Option[String] = None,
+    compressionLevel: Option[Int] = None,
+    rowGroupSize: Long = CopyToOptions.DefaultRowGroupSize,
+    rowGroupSizeBytes: Option[Long] = None,
+    fileSizeBytes: Option[Long] = None,
+    parquetVersion: String = "v1",
+    fieldIds: String = "none",
+    kvMetadata: Map[String, String] = Map.empty) {
+
+  def validated: CopyToOptions = {
+    compression.foreach { c =>
+      if (!Compression.supported(c.toLowerCase))
+        throw new IllegalArgumentException(s"unsupported compression '$c'")
+    }
+    compressionLevel.foreach { l =>
+      Compression.validateLevel(
+        compression.getOrElse(
+          throw new IllegalArgumentException(
+            "compression_level requires compression")).toLowerCase, l)
+    }
+    if (rowGroupSize <= 0)
+      throw new IllegalArgumentException("row_group_size must be > 0")
+    rowGroupSizeBytes.foreach { b =>
+      if (b <= 0)
+        throw new IllegalArgumentException("row_group_size_bytes must be > 0")
+    }
+    fileSizeBytes.foreach { b =>
+      if (b < CopyToOptions.MinFileSizeBytes)
+        throw new IllegalArgumentException(
+          "file_size_bytes must be at least 1MB")
+    }
+    if (parquetVersion != "v1" && parquetVersion != "v2")
+      throw new IllegalArgumentException(
+        s"parquet_version must be 'v1' or 'v2', got '$parquetVersion'")
+    this
+  }
+
+  def effectiveCompression(uri: String): String =
+    compression.map(_.toLowerCase)
+      .orElse(Compression.fromExtension(uri))
+      .getOrElse("snappy")
+
+  def effectiveRowGroupBytes: Long =
+    rowGroupSizeBytes.getOrElse(rowGroupSize * 1024L)
+}
+
+object CopyToOptions {
+  /** Reference default: `parquet_writer.rs:37`. */
+  val DefaultRowGroupSize: Long = 122880L
+  /** Reference minimum for `file_size_bytes`: `copy_utils.rs:727-730`. */
+  val MinFileSizeBytes: Long = 1024L * 1024L
+  val default: CopyToOptions = CopyToOptions()
+
+  /** Parse `file_size_bytes` values with KB/MB/GB suffixes
+    * (`copy_utils.rs:684-733`). */
+  def parseFileSize(s: String): Long = {
+    val t = s.trim.toUpperCase
+    val (num, mult) =
+      if (t.endsWith("GB")) (t.dropRight(2), 1024L * 1024 * 1024)
+      else if (t.endsWith("MB")) (t.dropRight(2), 1024L * 1024)
+      else if (t.endsWith("KB")) (t.dropRight(2), 1024L)
+      else (t, 1L)
+    val v = num.trim.toLong * mult
+    if (v < MinFileSizeBytes)
+      throw new IllegalArgumentException("file_size_bytes must be at least 1MB")
+    v
+  }
+}
+
+/**
+ * Options for reading Parquet into a target schema, equivalent to
+ * `COPY tbl FROM 'uri' WITH (...)`.
+ */
+final case class CopyFromOptions(
+    matchBy: MatchBy = MatchBy.Name,
+    /** Optional row filter applied after scan, like
+      * `COPY ... FROM ... WHERE` (reference `copy_from.rs:138-142`).
+      * Catalyst pushes it into the parquet scan where possible — unlike
+      * the reference, which filters post-decode. */
+    where: Option[String] = None)
+
+object CopyFromOptions { val default: CopyFromOptions = CopyFromOptions() }

@@ -1,0 +1,126 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Strict schema match / coercion validation, re-expressing the reference's
+ * `ensure_file_schema_match_tupledesc_schema`
+ * (reference `src/arrow_parquet/schema_parser.rs:505-680`):
+ *
+ *  - position mode: column counts must match exactly
+ *    (`schema_parser.rs:513-522`)
+ *  - name mode: every target column must exist in the file
+ *  - a file column with a different type is accepted only when the types
+ *    are coercible (`is_coercible`, `schema_parser.rs:589-665`), in which
+ *    case an explicit cast is recorded
+ *  - struct coercion matches fields BY NAME, not position
+ *    (`schema_parser.rs:596-624`); Spark's native struct cast is
+ *    positional, so we rebuild structs field-wise
+ *
+ * The actual cast projection is built by [[castProjection]]; failed casts
+ * surface as errors when the session runs in ANSI mode, mirroring the
+ * reference's `CastOptions{safe:false}` (`parquet_reader.rs:150-158`).
+ */
+object SchemaCompat {
+
+  final case class SchemaMismatch(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Can a value of `from` be coerced to `to`?  Mirror of the reference's
+    * `is_coercible` matrix: arrow `can_cast_types` AND a PG coercion path.
+    * We keep the intersection that is meaningful for Spark types. */
+  def isCoercible(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    // numeric widenings / narrowings (PG has explicit casts both ways)
+    case (_: NumericType, _: NumericType) => true
+    case (_: NumericType, StringType) | (StringType, _: NumericType) => true
+    case (StringType, BooleanType) | (BooleanType, StringType) => true
+    case (DateType, TimestampType | TimestampNTZType) => true
+    case (TimestampType | TimestampNTZType, DateType) => true
+    case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => true
+    case (StringType, DateType | TimestampType | TimestampNTZType) => true
+    case (DateType | TimestampType | TimestampNTZType, StringType) => true
+    case (BinaryType, StringType) | (StringType, BinaryType) => true
+    case (ArrayType(f, _), ArrayType(t, _)) => isCoercible(f, t)
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+      isCoercible(fk, tk) && isCoercible(fv, tv)
+    case (StructType(ff), StructType(tf)) =>
+      // struct coercion requires matching field NAMES (schema_parser.rs:596-624)
+      ff.length == tf.length &&
+        tf.forall(t => ff.exists(f =>
+          f.name == t.name && isCoercible(f.dataType, t.dataType)))
+    case _ => false
+  }
+
+  /**
+   * Validate `fileSchema` against `target` under the given match mode and
+   * return the per-target-column source binding (source column name for
+   * name mode / ordinal for position mode).  Errors mirror the reference's
+   * messages where meaningful.
+   */
+  def validate(
+      fileSchema: StructType,
+      target: StructType,
+      matchBy: MatchBy): Seq[(StructField, StructField)] = matchBy match {
+    case MatchBy.Position =>
+      if (fileSchema.length != target.length)
+        throw SchemaMismatch(
+          s"column count mismatch between table and parquet file. " +
+            s"table has ${target.length} columns, file has ${fileSchema.length}")
+      fileSchema.fields.toSeq.zip(target.fields.toSeq).map { case (f, t) =>
+        checkCoercible(f, t); (f, t)
+      }
+    case MatchBy.Name =>
+      target.fields.toSeq.map { t =>
+        val f = fileSchema.fields.find(_.name == t.name).getOrElse(
+          throw SchemaMismatch(
+            s"column \"${t.name}\" is not found in parquet file"))
+        checkCoercible(f, t); (f, t)
+      }
+  }
+
+  private def checkCoercible(f: StructField, t: StructField): Unit =
+    if (!isCoercible(f.dataType, t.dataType))
+      throw SchemaMismatch(
+        s"type mismatch for column \"${t.name}\". Expected type is " +
+          s"${t.dataType.sql}, but file contains ${f.dataType.sql}")
+
+  /**
+   * Build the cast projection for a validated binding.  Structs are
+   * rebuilt field-by-NAME (Spark's `Column.cast` on structs is positional,
+   * the reference requires name matching — `schema_parser.rs:596-624`).
+   */
+  def castProjection(
+      df: DataFrame,
+      bindings: Seq[(StructField, StructField)],
+      matchBy: MatchBy): DataFrame = {
+    val cols = bindings.zipWithIndex.map { case ((f, t), i) =>
+      val src = matchBy match {
+        case MatchBy.Position => col(df.columns(i))
+        case MatchBy.Name     => col(f.name)
+      }
+      castByName(src, f.dataType, t.dataType).as(t.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Cast that recurses through structs by field name. */
+  def castByName(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (a, b) if a == b => c
+      case (StructType(ff), StructType(tf)) =>
+        struct(tf.toSeq.map { t =>
+          val f = ff.find(_.name == t.name).get
+          castByName(c.getField(t.name), f.dataType, t.dataType).as(t.name)
+        }: _*)
+      case (ArrayType(f, _), ArrayType(t, _)) if f != t =>
+        transform(c, x => castByName(x, f, t))
+      case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+        map_from_arrays(
+          transform(map_keys(c), k => castByName(k, fk, tk)),
+          transform(map_values(c), v => castByName(v, fv, tv)))
+      case _ => c.cast(to)
+    }
+}

@@ -1,0 +1,302 @@
+package graft.meta
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Parquet metadata inspection — the reference's `parquet.*` SQL
+ * table-functions (reference `sql/pg_parquet.sql:19-106`,
+ * `src/parquet_udfs/{schema,metadata,stats,list}.rs`) as plain functions
+ * returning DataFrames.
+ *
+ * Footers are small and fetched driver-side (one ranged read per file),
+ * exactly mirroring the reference's eager materialization
+ * (`parquet_udfs/metadata.rs:51-131`). No executor work — correct at any
+ * data scale because footer count, not data size, is the cost.
+ *
+ * All functions accept glob patterns (`*`, `**`) like the reference
+ * (`parquet_reader.rs:98-126`).
+ */
+object ParquetInfo {
+
+  // ---------------------------------------------------------------- list
+  /** `parquet.list(pattern)` → (uri, size), reference
+    * `src/parquet_udfs/list.rs:16-96`. Prefix pruning before the glob is
+    * what `FileSystem.globStatus` already does. */
+  def list(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = resolve(spark, pattern).map { case (p, len) =>
+      Row(p.toString, len)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("uri", StringType, nullable = false),
+        StructField("size", LongType, nullable = false))))
+  }
+
+  // -------------------------------------------------------------- schema
+  /** `parquet.schema(uri)` — one row per thrift schema element, walked
+    * depth-first like the reference (`parquet_udfs/schema.rs:15-166`). */
+  def schema(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = withFooters(spark, pattern) { (uri, footer) =>
+      val msg = footer.getFileMetaData.getSchema
+      val buf = Seq.newBuilder[Row]
+      def walk(t: Type, depth: Int): Unit = {
+        t match {
+          case p: PrimitiveType =>
+            val lt = Option(p.getLogicalTypeAnnotation).map(_.toString).orNull
+            val (prec, scale) = p.getLogicalTypeAnnotation match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                (java.lang.Integer.valueOf(d.getPrecision),
+                 java.lang.Integer.valueOf(d.getScale))
+              case _ => (null, null)
+            }
+            buf += Row(uri, p.getName, p.getPrimitiveTypeName.name(),
+              p.getRepetition.name(), null, lt, prec, scale,
+              fieldId(p), java.lang.Integer.valueOf(p.getTypeLength))
+          case g: GroupType =>
+            val lt = Option(g.getLogicalTypeAnnotation).map(_.toString).orNull
+            buf += Row(uri, g.getName,
+              null, if (depth == 0) null else g.getRepetition.name(),
+              java.lang.Integer.valueOf(g.getFieldCount), lt, null, null,
+              fieldId(g), null)
+            g.getFields.asScala.foreach(walk(_, depth + 1))
+        }
+      }
+      walk(msg, 0)
+      buf.result()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("uri", StringType),
+        StructField("name", StringType),
+        StructField("type_name", StringType),
+        StructField("repetition", StringType),
+        StructField("num_children", IntegerType),
+        StructField("logical_type", StringType),
+        StructField("precision", IntegerType),
+        StructField("scale", IntegerType),
+        StructField("field_id", IntegerType),
+        StructField("type_length", IntegerType))))
+  }
+
+  private def fieldId(t: Type): java.lang.Integer =
+    Option(t.getId).map(i => java.lang.Integer.valueOf(i.intValue())).orNull
+
+  // ------------------------------------------------------------ metadata
+  /** `parquet.metadata(uri)` — one row per (row group × column chunk),
+    * reference `parquet_udfs/metadata.rs:14-132`. */
+  def metadata(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = withFooters(spark, pattern) { (uri, footer) =>
+      footer.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (blk, rg) =>
+        blk.getColumns.asScala.toSeq.map { cc =>
+          val st = cc.getStatistics
+          val render = renderer(cc)
+          Row(
+            uri,
+            java.lang.Long.valueOf(rg.toLong),
+            java.lang.Long.valueOf(blk.getRowCount),
+            java.lang.Long.valueOf(blk.getTotalByteSize),
+            cc.getPath.toDotString,
+            cc.getPrimitiveType.getPrimitiveTypeName.name(),
+            java.lang.Long.valueOf(cc.getValueCount),
+            java.lang.Long.valueOf(cc.getTotalUncompressedSize),
+            java.lang.Long.valueOf(cc.getTotalSize),
+            java.lang.Long.valueOf(cc.getFirstDataPageOffset),
+            cc.getCodec.name(),
+            cc.getEncodings.asScala.map(_.name()).toSeq.sorted.mkString(","),
+            if (st == null || !st.isNumNullsSet) null
+            else java.lang.Long.valueOf(st.getNumNulls),
+            if (st == null || !st.hasNonNullValue) null
+            else render(st.genericGetMin),
+            if (st == null || !st.hasNonNullValue) null
+            else render(st.genericGetMax))
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("uri", StringType),
+        StructField("row_group_id", LongType),
+        StructField("row_group_num_rows", LongType),
+        StructField("row_group_bytes", LongType),
+        StructField("column_path", StringType),
+        StructField("physical_type", StringType),
+        StructField("num_values", LongType),
+        StructField("total_uncompressed_size", LongType),
+        StructField("total_compressed_size", LongType),
+        StructField("data_page_offset", LongType),
+        StructField("compression", StringType),
+        StructField("encodings", StringType),
+        StructField("null_count", LongType),
+        StructField("stats_min", StringType),
+        StructField("stats_max", StringType))))
+  }
+
+  // ------------------------------------------------------- file_metadata
+  /** `parquet.file_metadata(uri)`, reference
+    * `parquet_udfs/metadata.rs:134-174`. */
+  def fileMetadata(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = withFooters(spark, pattern) { (uri, footer) =>
+      val fm = footer.getFileMetaData
+      Seq(Row(uri, fm.getCreatedBy,
+        java.lang.Long.valueOf(
+          footer.getBlocks.asScala.map(_.getRowCount).sum),
+        java.lang.Long.valueOf(footer.getBlocks.size.toLong),
+        "1"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("uri", StringType),
+        StructField("created_by", StringType),
+        StructField("num_rows", LongType),
+        StructField("num_row_groups", LongType),
+        StructField("format_version", StringType))))
+  }
+
+  // --------------------------------------------------------- kv_metadata
+  /** `parquet.kv_metadata(uri)`, reference
+    * `parquet_udfs/metadata.rs:176-215`. */
+  def kvMetadata(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = withFooters(spark, pattern) { (uri, footer) =>
+      footer.getFileMetaData.getKeyValueMetaData.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => Row(uri, k, v) }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("uri", StringType),
+        StructField("key", StringType),
+        StructField("value", StringType))))
+  }
+
+  // -------------------------------------------------------- column_stats
+  /**
+   * `parquet.column_stats(uri)` — per-leaf-column stats aggregated across
+   * row groups (and, beyond the reference, across matched files): min of
+   * mins / max of maxes with typed comparison, summed null counts.
+   * Reference `src/parquet_udfs/stats.rs:29-165,386-484`.
+   */
+  def columnStats(spark: SparkSession, pattern: String): DataFrame = {
+    final case class Acc(
+        var min: Any, var max: Any,
+        var nulls: Long, var nullsSet: Boolean, var render: Any => String)
+    val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
+    withFooters(spark, pattern) { (_, footer) =>
+      footer.getBlocks.asScala.foreach { blk =>
+        blk.getColumns.asScala.foreach { cc =>
+          val key = cc.getPath.toDotString
+          val acc = accs.getOrElseUpdate(key,
+            Acc(null, null, 0L, false, renderer(cc)))
+          val st = cc.getStatistics
+          if (st != null) {
+            if (st.isNumNullsSet) { acc.nulls += st.getNumNulls; acc.nullsSet = true }
+            if (st.hasNonNullValue) {
+              val mn: Any = st.genericGetMin
+              val mx: Any = st.genericGetMax
+              if (acc.min == null || compareStat(mn, acc.min) < 0) acc.min = mn
+              if (acc.max == null || compareStat(mx, acc.max) > 0) acc.max = mx
+            }
+          }
+        }
+      }
+      Nil
+    }
+    val rows = accs.toSeq.map { case (colName, a) =>
+      Row(colName,
+        if (a.min == null) null else a.render(a.min),
+        if (a.max == null) null else a.render(a.max),
+        if (a.nullsSet) java.lang.Long.valueOf(a.nulls) else null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType),
+        StructField("min_value", StringType),
+        StructField("max_value", StringType),
+        StructField("null_count", LongType))))
+  }
+
+  private def compareStat(a: Any, b: Any): Int =
+    (a, b) match {
+      case (x: org.apache.parquet.io.api.Binary,
+            y: org.apache.parquet.io.api.Binary) => x.compareTo(y)
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+
+  /** Typed rendering of a stat value per logical type — the PG-style
+    * formatting of reference `stats.rs:168-384`. */
+  private def renderer(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Any => String = {
+    val prim = cc.getPrimitiveType
+    val logical = prim.getLogicalTypeAnnotation
+    (v: Any) => (v, logical) match {
+      case (b: org.apache.parquet.io.api.Binary,
+            _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        b.toStringUsingUTF8
+      case (b: org.apache.parquet.io.api.Binary, _) =>
+        b.getBytes.map("%02x".format(_)).mkString
+      case (i: java.lang.Integer,
+            _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        java.time.LocalDate.ofEpochDay(i.longValue()).toString
+      case (l: java.lang.Long,
+            ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        val micros = ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => l * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue()
+          case LogicalTypeAnnotation.TimeUnit.NANOS  => l / 1000L
+        }
+        java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+          .toString
+      case (n: java.lang.Number,
+            d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        java.math.BigDecimal.valueOf(n.longValue(), d.getScale).toPlainString
+      case (other, _) => String.valueOf(other)
+    }
+  }
+
+  // ------------------------------------------------------------ plumbing
+  /** Expand a (possibly glob) uri to concrete files with sizes. */
+  private def resolve(
+      spark: SparkSession, pattern: String): Seq[(Path, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = Seq.newBuilder[(Path, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            buf += ((f.getPath, f.getLen))
+        }
+        buf.result()
+      } else Seq((st.getPath, st.getLen))
+    }
+    files.sortBy(_._1.toString)
+  }
+
+  private def withFooters[T](spark: SparkSession, pattern: String)(
+      f: (String, ParquetMetadata) => Seq[T]): Seq[T] = {
+    val conf = spark.sessionState.newHadoopConf()
+    resolve(spark, pattern).flatMap { case (path, _) =>
+      val in = HadoopInputFile.fromPath(path, conf)
+      val reader = ParquetFileReader.open(in)
+      try f(path.toString, reader.getFooter)
+      finally reader.close()
+    }
+  }
+}

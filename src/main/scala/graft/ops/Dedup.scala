@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Deduplication operators for training-data pipelines.  Four families:
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard — each a declarative
+ * DataFrame transform whose shuffles are keyed so they scale:
+ *
+ *  - exact: one hash-partitioned aggregation on the key (map-side partial
+ *    aggregation collapses duplicates before the shuffle)
+ *  - MinHash LSH: candidate generation is a self-join on (band, band-hash)
+ *    buckets — shuffle volume is O(docs × bands), never O(docs²); bucket
+ *    size is capped to keep a single hot bucket (boilerplate text) from
+ *    producing a quadratic blow-up on one task
+ *  - SimHash: 64-bit fingerprints, candidates via banded fingerprint
+ *    pieces, verified by Hamming distance (`bit_count(a ^ b)`)
+ *  - n-gram Jaccard: exact set similarity for a candidate pair set
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep, per distinct value of `keyCols`, the row with the
+   * smallest `idCol` (deterministic winner — `dropDuplicates` keeps an
+   * arbitrary row, which cannot be oracle-checked or reproduced).
+   */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  final case class MinHashParams(
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L,
+      /** LSH buckets larger than this are dropped from candidate
+        * generation (boilerplate guard: a bucket of m docs yields m²
+        * pairs on one task). */
+      maxBucketSize: Int = 500,
+      jaccardThreshold: Double = 0.5)
+
+  /** doc → (id, minhash signature). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+      GraftFunctions.minhash(
+        TextAnalysis.shingleHashes(col(textCol), p.shingleSize),
+        p.numHashes, p.seed).as("sig"))
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: (a, b, est_jaccard) with a < b for
+   * every pair sharing at least one LSH band bucket and whose estimated
+   * Jaccard (signature agreement rate) clears the threshold.
+   */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val rowsPerBand = p.numHashes / p.bands
+    val sigs = minhashSignatures(df, idCol, textCol, p)
+
+    // explode signatures into (band, bucket-hash, doc)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
+        b => xxhash64(concat_ws("_", lit("band"), b,
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    // boilerplate guard: cap bucket size
+    val bucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= p.maxBucketSize && col("n") > 1)
+    val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
+
+    val a = pruned.select(col("band"), col("bucket"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bucket"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b")
+      .dropDuplicates("a", "b")
+
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / p.numHashes)
+      .filter(col("est_jaccard") >= p.jaccardThreshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /**
+   * SimHash near-duplicate pairs: 64-bit fingerprints banded into 4
+   * 16-bit pieces (any pair within Hamming distance 3 shares at least one
+   * exact piece — pigeonhole), verified with `bit_count(a ^ b)`.
+   */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("doc_id"),
+      GraftFunctions.simhash(
+        TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("fp"))
+
+    val pieces = fps.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "piece")
+      .withColumnRenamed("col", "piece_val")
+
+    val a = pieces.select(col("piece"), col("piece_val"),
+      col("doc_id").as("a"), col("fp").as("fp_a"))
+    val b = pieces.select(col("piece"), col("piece_val"),
+      col("doc_id").as("b"), col("fp").as("fp_b"))
+    a.join(b, Seq("piece", "piece_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact token-set Jaccard similarity for all pairs within `blockCol`
+   * blocks (blocking keeps the pair count O(Σ blockᵢ²) instead of
+   * O(n²) — at 100 TB the block column is a cheap partitioner like
+   * source/domain/LSH bucket).
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    val l = toks.select(col("block"), col("id").as("a"), col("toks").as("toks_a"))
+    val r = toks.select(col("block"), col("id").as("b"), col("toks").as("toks_b"))
+    l.join(r, Seq("block"))
+      .filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni",
+        size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "a", "b", "jaccard")
+  }
+
+  /**
+   * Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
+   * from multi-table random-hyperplane LSH, verified exactly.  Shuffle is
+   * O(docs × tables); per-bucket pair blow-up capped like MinHash.
+   */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, bitsPerTable: Int = 12,
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    require(tables * bitsPerTable <= 64, "tables*bitsPerTable must fit in 64")
+    GraftFunctions.register(df.sparkSession)
+    // one pass computes all tables' hyperplane sign bits; each table then
+    // reads its own bit-slice of the packed long
+    val mask = (1L << bitsPerTable) - 1
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        GraftFunctions.hyperplaneBits(
+          col(vecCol), tables * bitsPerTable, seed).as("allbits"))
+      .select(col("id"), col("vec"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => call_function("shiftright", col("allbits"), t * bitsPerTable)
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+
+    val sizes = bucketed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucketSize && col("n") > 1)
+    val pruned = bucketed.join(sizes, Seq("tbl", "bucket"))
+
+    val a = pruned.select(col("tbl"), col("bucket"),
+      col("id").as("a"), col("vec").as("vec_a"))
+    val b = pruned.select(col("tbl"), col("bucket"),
+      col("id").as("b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("cosine",
+        round(GraftFunctions.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads travel as opaque
+ * `binary` columns next to typed metadata, and per-record decode /
+ * feature-extraction runs as a partition-local batch transform
+ * (`mapPartitions` over a typed Dataset — the Scala analogue of
+ * `mapInPandas`: one iterator per partition, library handles loaded once
+ * per partition, no per-row UDF dispatch).
+ *
+ * The actual media decode is STUBBED (`FakeDecoder`) — codec libraries
+ * are not available in this environment — but everything Spark-side is
+ * real and load-bearing: the binary column shape, the typed record
+ * schema, the partition-batched execution, and the metadata extraction
+ * contract.  Swapping `FakeDecoder.decode` for a real JNI/javacpp decoder
+ * changes nothing else.
+ */
+object Multimodal {
+
+  /** A record carrying an opaque media payload. */
+  final case class MediaRecord(doc_id: Long, blob: Array[Byte])
+
+  /** Decoded media metadata (what a real image/video probe would emit). */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      n_frames: Long, n_sampled: Long)
+
+  /**
+   * STUB decoder: deterministic metadata derived arithmetically from the
+   * payload length.  A real implementation would parse the container
+   * header (PNG IHDR / MP4 moov / WAV fmt) here; the deterministic fake
+   * keeps the pipeline testable end-to-end, including against a SQL
+   * oracle.
+   */
+  object FakeDecoder {
+    def decode(blob: Array[Byte]): (Long, Long, Long) = {
+      val n = blob.length.toLong
+      val width = n % 640 + 16
+      val height = (n * 7) % 480 + 16
+      val frames = n % 24 + 1
+      (width, height, frames)
+    }
+  }
+
+  /** Attach a binary payload column (here: utf-8 bytes of a text column —
+    * stand-in for real media bytes loaded from an object store). */
+  def withBlob(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("blob", col(srcCol).cast("binary"))
+
+  /**
+   * Decode + frame-sample pass: partition-batched, one decoder instance
+   * per partition.  `sampleEvery` keeps one of every N frames — the
+   * standard video-to-training-frames reduction.
+   */
+  def decodeMeta(
+      records: Dataset[MediaRecord], sampleEvery: Int = 2): Dataset[MediaMeta] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      // real decoders initialize per-partition state here (codec handles)
+      it.map { r =>
+        val (w, h, frames) = FakeDecoder.decode(r.blob)
+        val sampled = (frames + sampleEvery - 1) / sampleEvery
+        MediaMeta(r.doc_id, r.blob.length.toLong, w, h, frames, sampled)
+      }
+    }
+  }
+
+  /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
+  def extractMeta(
+      spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,
+      sampleEvery: Int = 2): DataFrame = {
+    import spark.implicits._
+    val records = withBlob(df.select(col(idCol).as("doc_id"), col(srcCol)), srcCol)
+      .select(col("doc_id"), col("blob")).as[MediaRecord]
+    decodeMeta(records, sampleEvery).toDF()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]]: exact cosine top-k.  The query side is
+ *    broadcast (queries ≪ corpus), so the corpus is scanned exactly once
+ *    with no shuffle of the corpus itself; per-partition the ranking is a
+ *    bounded window.  This is the correct baseline up to ~thousands of
+ *    queries × any corpus size.
+ *  - [[lshTopK]]: random-hyperplane LSH bucketing (the scale path) — the
+ *    corpus is hashed once into `tables` bucket ids; a query only meets
+ *    corpus rows sharing a bucket in at least one table, giving sublinear
+ *    candidate counts at billion-row scale at some recall cost.
+ */
+object Similarity {
+
+  /** Exact top-k by cosine: one row per (query id, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(
+        queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: candidates share a hyperplane-sign bucket with
+   * the query in ≥1 of `tables` tables; candidates are reranked exactly.
+   * Recall < 1 by construction; increase `tables` / decrease
+   * `bitsPerTable` to trade cost for recall.
+   */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, tables: Int = 4, bitsPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    require(tables * bitsPerTable <= 64, "tables*bitsPerTable must fit in 64")
+    GraftFunctions.register(corpus.sparkSession)
+    val mask = (1L << bitsPerTable) - 1
+    def bucketize(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+          GraftFunctions.hyperplaneBits(
+            col(vec), tables * bitsPerTable, seed).as("allbits"))
+        .select(col(id), col(vec),
+          posexplode(transform(sequence(lit(0), lit(tables - 1)),
+            t => call_function("shiftright", col("allbits"), t * bitsPerTable)
+              .bitwiseAND(lit(mask)))))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
+
+    val c = bucketize(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      "neighbor_id", "__v")
+    val q = bucketize(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q")),
+      "query_id", "__q")
+
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

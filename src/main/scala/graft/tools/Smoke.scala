@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostics main — not part of the public surface. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    println("== events ns timestamp ==")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); val ev = spark.read.parquet(s"$dir/events.parquet")
+      ev.printSchema()
+      ev.show(2, false)
+    } catch { case e: Throwable => println("EVENTS FAIL: " + e.getMessage.take(300)) }
+
+    println("== lineitem schema ==")
+    spark.read.parquet(s"$dir/lineitem.parquet").printSchema()
+
+    println("== custom exprs ==")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(
+        graft.ops.TextAnalysis.shingleHashes(col("text"), 3), 16, 42L).as("sig"),
+      graft.functions.GraftFunctions.simhash(
+        graft.ops.TextAnalysis.shingleHashes(col("text"), 2)).as("fp"))
+      .show(3, false)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.printSchema()
+    emb.select(graft.functions.GraftFunctions.cosine(col("embedding"), col("embedding")).as("self"),
+      graft.functions.GraftFunctions.hyperplaneBits(col("embedding"), 12, 42L).as("bits"))
+      .show(3, false)
+
+    println("== metadata fns ==")
+    graft.meta.ParquetInfo.fileMetadata(spark, s"$dir/lineitem.parquet").show(false)
+    graft.meta.ParquetInfo.columnStats(spark, s"$dir/lineitem.parquet").show(false)
+    graft.meta.ParquetInfo.schema(spark, s"$dir/embeddings.parquet").show(false)
+    graft.meta.ParquetInfo.list(spark, s"$dir/*.parquet").show(false)
+
+    println("== copy roundtrip ==")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val res = graft.io.CopyTo(li, "/tmp/graft_smoke/li.parquet",
+      graft.io.CopyToOptions(compression = Some("zstd")))
+    println(res)
+    val back = graft.io.CopyFrom(spark, "/tmp/graft_smoke/li.parquet", li.schema)
+    println("roundtrip rows: " + back.count() + " vs " + li.count())
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local oracle-parity harness (builder-side only, mimics the driver's
+DuckDB compare).  Usage:
+
+    python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+the sfDir tables, sorts columns by name, and compares cell-by-cell.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return [cols[i] for i in order], out
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) < 1e-12 * max(1.0, abs(a), abs(b))
+    # datetime naive/aware normalization
+    try:
+        if hasattr(a, "isoformat") and hasattr(b, "isoformat"):
+            return a.replace(tzinfo=None) == b.replace(tzinfo=None)
+    except Exception:
+        pass
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.query(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = list(spark_rel.columns)
+            s_rows = spark_rel.fetchall()
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        try:
+            o_rel = con.query(sql)
+            o_cols = list(o_rel.columns)
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        sc, sr = canon(s_rows, s_cols)
+        oc, orr = canon(o_rows, o_cols)
+        if sc != oc:
+            results[name] = f"SCHEMA-MISMATCH spark={sc} oracle={oc}"
+            continue
+        if len(sr) != len(orr):
+            results[name] = f"ROWCOUNT spark={len(sr)} oracle={len(orr)}"
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(sr, orr)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if not cell_eq(x, y):
+                    bad = f"ROW {i} col {sc[j]}: spark={x!r} oracle={y!r}"
+                    break
+            if bad:
+                break
+        results[name] = bad or f"OK ({len(sr)} rows)"
+    width = max(len(n) for n in results) if results else 1
+    n_ok = 0
+    for name, res in sorted(results.items()):
+        print(f"{name:<{width}}  {res}")
+        n_ok += res.startswith("OK")
+    print(f"\n{n_ok}/{len(results)} oracle-checked queries match")
+
+
+if __name__ == "__main__":
+    main()
