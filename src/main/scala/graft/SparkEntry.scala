@@ -340,10 +340,12 @@ object SparkEntry {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       // streaming file sources need a directory: stage the events file
-      // into one via CopyTo (same bytes, Spark-written layout)
+      // into one via CopyTo (same bytes, Spark-written layout); content is
+      // deterministic, so reuse an existing staging from this boot
       val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
         new java.io.File(dir).getName
-      CopyTo(events(s, dir), stageDir)
+      if (!new java.io.File(s"$stageDir/_SUCCESS").exists())
+        CopyTo(events(s, dir), stageDir)
       val qn = s"graft_stream_${System.nanoTime()}"
       val q = s.readStream.schema(schema).parquet(stageDir)
         .withColumn("hour_idx", expr("ts DIV 3600000000000"))
@@ -381,18 +383,10 @@ object SparkEntry {
 
     // exact embedding near-dup pairs (brute force — the oracle-checkable
     // baseline; the LSH variant below is the 100 TB path)
-    "dedup_embedding" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosine(col("va"), col("vb")))
-        .filter(col("cos") >= 0.4)
-        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
-        .orderBy("a", "b")
-    }),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy("a", "b")),
 
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",

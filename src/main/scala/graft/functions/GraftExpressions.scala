@@ -40,6 +40,13 @@ object GraftFunctions {
       exprs => HyperplaneBits(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Long]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_band_hashes",
+      exprs => BandHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   import org.apache.spark.sql.functions.lit
@@ -54,6 +61,113 @@ object GraftFunctions {
     * into a long — the random-hyperplane LSH bucket id. */
   def hyperplaneBits(vec: Column, nbits: Int, seed: Long): Column =
     call_function("graft_hyperplane_bits", vec, lit(nbits), lit(seed))
+  /** Per-band bucket hashes of a MinHash signature: one mixed 64-bit hash
+    * per consecutive `rowsPerBand` slice. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("graft_band_hashes", sig, lit(bands), lit(rowsPerBand))
+  /** Distinct 64-bit hashes of word n-gram shingles, computed in one pass
+    * (tokenize + roll + dedupe) — see [[ShingleHashes]]. */
+  def shingleHashes64(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+}
+
+/**
+ * One-pass shingle hasher: lower-cases, tokenizes on non-alphanumeric
+ * runs, hashes each token (FNV-1a over UTF-8 bytes, splitmix-finalized),
+ * rolls each n consecutive token hashes into one shingle hash, and
+ * dedupes.  Semantically mirrors
+ * `array_distinct(transform(shingles(text,n), xxhash64))` but as a single
+ * interpreted kernel — no intermediate token/shingle string arrays, and
+ * none of the multi-kilobyte generated-code classes whose Janino
+ * compilation dominates first-query latency for the dedup pipeline.
+ */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    // tokenize + hash tokens
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c0 = Character.toLowerCase(s.charAt(i))
+      val isTok = (c0 >= 'a' && c0 <= 'z') || (c0 >= '0' && c0 <= '9')
+      if (isTok) {
+        h = (h ^ c0.toLong) * 0x100000001b3L // FNV-1a step
+        inTok = true
+      } else if (inTok) {
+        tokenHashes += GraftFunctions.mix64(h)
+        h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += GraftFunctions.mix64(h)
+    // roll n-grams + dedupe
+    val m = tokenHashes.length
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m == 0) {
+      // keep parity with shingles(): empty text yields one empty shingle
+      out.add(GraftFunctions.mix64(0L))
+    } else if (m < n) {
+      var g = 0L
+      var k = 0
+      while (k < m) { g = GraftFunctions.mix64(g ^ tokenHashes(k)); k += 1 }
+      out.add(g)
+    } else {
+      var start = 0
+      while (start + n <= m) {
+        var g = 0L
+        var k = 0
+        while (k < n) { g = GraftFunctions.mix64(g ^ tokenHashes(start + k)); k += 1 }
+        out.add(g)
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * LSH band buckets from a MinHash signature in one pass: band i's bucket
+ * is a splitmix64 chain over its `rowsPerBand` signature slots.  Replaces
+ * `bands` separate slice/concat/hash expression trees (whose generated
+ * code dominates first-query latency) with one tight loop.
+ */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = GraftFunctions.mix64(0x9e3779b9L + b)
+      var i = 0
+      while (i < rowsPerBand) {
+        h = GraftFunctions.mix64(h ^ sig.getLong(b * rowsPerBand + i))
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /**

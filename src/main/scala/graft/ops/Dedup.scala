@@ -53,7 +53,7 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
       GraftFunctions.minhash(
-        TextAnalysis.shingleHashes(col(textCol), p.shingleSize),
+        GraftFunctions.shingleHashes64(col(textCol), p.shingleSize),
         p.numHashes, p.seed).as("sig"))
   }
 
@@ -67,13 +67,16 @@ object Dedup {
       p: MinHashParams = MinHashParams()): DataFrame = {
     require(p.numHashes % p.bands == 0, "bands must divide numHashes")
     val rowsPerBand = p.numHashes / p.bands
+    // signatures are the expensive narrow stage — persist so the band
+    // explode, bucket-size guard, and the final signature joins all reuse
+    // one computation instead of re-tokenizing/minhashing per branch
     val sigs = minhashSignatures(df, idCol, textCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // explode signatures into (band, bucket-hash, doc)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
-        b => xxhash64(concat_ws("_", lit("band"), b,
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+    // explode into (band, bucket-hash, doc) WITHOUT carrying the 128-long
+    // signature — candidate shuffles stay (long, long, long) rows
+    val banded = sigs.select(col("doc_id"),
+      posexplode(GraftFunctions.bandHashes(col("sig"), p.bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -83,16 +86,18 @@ object Dedup {
       .filter(col("n") <= p.maxBucketSize && col("n") > 1)
     val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
 
-    val a = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("b"), col("sig").as("sig_b"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sig_a", "sig_b")
+      .select("a", "b")
       .dropDuplicates("a", "b")
 
-    cand.withColumn("est_jaccard",
+    // attach signatures only to the deduplicated candidate pairs
+    val sigA = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    cand.join(sigA, "a").join(sigB, "b")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / p.numHashes)
       .filter(col("est_jaccard") >= p.jaccardThreshold)
@@ -108,9 +113,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, maxHamming: Int = 3): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // fingerprints are the expensive stage — persist for reuse across the
+    // piece explode and both join sides
     val fps = df.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash(
-        TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("fp"))
+        GraftFunctions.shingleHashes64(col(textCol), shingleSize)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pieces = fps.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -145,6 +153,12 @@ object Dedup {
     val r = toks.select(col("block"), col("id").as("b"), col("toks").as("toks_b"))
     l.join(r, Seq("block"))
       .filter(col("a") < col("b"))
+      // size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max —
+      // pairs whose set sizes differ too much cannot clear the threshold,
+      // so skip the expensive intersection for them.  Same division
+      // expression as the final predicate, so no boundary drift.
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
+        / greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("uni",
         size(col("toks_a")) + size(col("toks_b")) - col("inter"))

@@ -43,6 +43,51 @@ object Similarity {
   }
 
   /**
+   * Exact all-pairs cosine above a threshold, for corpora that fit in an
+   * executor broadcast (the oracle-checkable baseline; use
+   * [[graft.ops.Dedup.embeddingNearDupPairs]] for the LSH scale path).
+   * The O(n²/2) inner loop runs as a tight JVM kernel over a broadcast
+   * array — per-pair Catalyst expression dispatch costs ~µs/pair, this
+   * costs ~ns/pair.  Work is striped round-robin across tasks so early
+   * partitions don't get the longer rows of the triangle.
+   */
+  def bruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, slices: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val withNorm = rows.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      (id, v, math.sqrt(s))
+    }
+    val bc = spark.sparkContext.broadcast(withNorm)
+    val n = withNorm.length
+    val p = math.max(1, math.min(slices, n))
+    spark.sparkContext.parallelize(0 until p, p).flatMap { part =>
+      val arr = bc.value
+      (part until n by p).iterator.flatMap { i =>
+        val (ida, va, na) = arr(i)
+        (i + 1 until n).iterator.flatMap { j =>
+          val (idb, vb, nb) = arr(j)
+          var dot = 0.0; var k = 0
+          while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+          if (na == 0.0 || nb == 0.0) None
+          else {
+            val cos = dot / (na * nb)
+            if (cos >= threshold)
+              Some((ida, idb, java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
+            else None
+          }
+        }
+      }
+    }.toDF("a", "b", "cos")
+  }
+
+  /**
    * LSH-bucketed ANN top-k: candidates share a hyperplane-sign bucket with
    * the query in ≥1 of `tables` tables; candidates are reranked exactly.
    * Recall < 1 by construction; increase `tables` / decrease

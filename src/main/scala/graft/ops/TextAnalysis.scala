@@ -22,13 +22,15 @@ object TextAnalysis {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** Word n-gram shingles: n consecutive tokens joined by one space. */
+  /** Word n-gram shingles: n consecutive tokens joined by one space.
+    * Documents shorter than n tokens yield one shingle with all tokens
+    * (slice past the end truncates, so the single sequence element 1
+    * covers that case without a `when` branch). */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(transform(
-        sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    transform(
+      sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ts, i, lit(n))))
   }
 
   /** 64-bit hashes of distinct shingles — the input to MinHash/SimHash. */

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a single SparkEntry query: runMain graft.tools.Time1 <name> [sfDir] */
+object Time1 {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm the JVM/session on a trivial job first
+    spark.range(1000000).count()
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      println(f"RUN$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
