@@ -156,7 +156,10 @@ object Dedup {
       // size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max —
       // pairs whose set sizes differ too much cannot clear the threshold,
       // so skip the expensive intersection for them.  Same division
-      // expression as the final predicate, so no boundary drift.
+      // expression as the final predicate, so no boundary drift.  Pairs of
+      // empty token sets are excluded (0/0 jaccard is undefined, and ANSI
+      // mode would raise on the division).
+      .filter(greatest(size(col("toks_a")), size(col("toks_b"))) > 0)
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
         / greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: every SparkEntry query runs at sf0.001 and the
+  * oracle map stays aligned with the query map. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  // queries whose result can legitimately be empty at sf0.001 (LSH
+  // candidate generation on the tiny corpus)
+  private val mayBeEmpty = Set("dedup_embedding_lsh")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, TestSpark.sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,190 @@
+package graft.io
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.meta.ParquetInfo
+
+/** Type round-trips through CopyTo/CopyFrom, patterned after the
+  * reference's TestTable harness
+  * (reference `src/pgrx_tests/copy_type_roundtrip.rs`,
+  * `src/pgrx_tests/common.rs:70-243`): write literals, read back with the
+  * same target schema, compare ordered rows. */
+class CopyRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def roundtrip(name: String, schema: StructType, rows: Seq[Row],
+      opts: CopyToOptions = CopyToOptions.default): Seq[Row] = {
+    val uri = TestSpark.tmpDir(s"rt_$name")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    CopyTo(df, uri, opts)
+    CopyFrom(spark, uri, schema).collect().toSeq
+  }
+
+  test("integer types with bounds and nulls") {
+    val schema = StructType(Seq(
+      StructField("s", ShortType), StructField("i", IntegerType),
+      StructField("l", LongType)))
+    val rows = Seq(
+      Row(Short.MinValue, Int.MinValue, Long.MinValue),
+      Row(Short.MaxValue, Int.MaxValue, Long.MaxValue),
+      Row(null, null, null))
+    assert(roundtrip("ints", schema, rows).toSet == rows.toSet)
+  }
+
+  test("floats with NaN and infinities") {
+    val schema = StructType(Seq(
+      StructField("f", FloatType), StructField("d", DoubleType)))
+    val rows = Seq(
+      Row(Float.NaN, Double.NaN),
+      Row(Float.PositiveInfinity, Double.NegativeInfinity),
+      Row(1.5f, -2.25), Row(null, null))
+    val got = roundtrip("floats", schema, rows)
+    assert(got.count(r => r.get(0) != null &&
+      java.lang.Float.isNaN(r.getFloat(0))) == 1)
+    assert(got.exists(r => r.get(1) != null &&
+      r.getDouble(1).isNegInfinity))
+    assert(got.size == 4)
+  }
+
+  test("strings incl. empty and unicode, binary, bool") {
+    val schema = StructType(Seq(
+      StructField("t", StringType), StructField("b", BinaryType),
+      StructField("o", BooleanType)))
+    val rows = Seq(
+      Row("", Array[Byte](), true),
+      Row("héllo wörld — 中文", Array[Byte](0, 1, -1), false),
+      Row(null, null, null))
+    val got = roundtrip("strings", schema, rows)
+    assert(got.size == 3)
+    assert(got.exists(r => r.getAs[String]("t") == "héllo wörld — 中文"))
+  }
+
+  test("date / timestamp / timestamp_ntz") {
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("ntz", TimestampNTZType)))
+    val rows = Seq(
+      Row(Date.valueOf("1969-12-31"), Timestamp.valueOf("2001-02-03 04:05:06.789"),
+        java.time.LocalDateTime.parse("2001-02-03T04:05:06.789")),
+      Row(null, null, null))
+    assert(roundtrip("times", schema, rows).size == 2)
+  }
+
+  test("decimal precision/scale preserved") {
+    val schema = StructType(Seq(StructField("n", DecimalType(38, 9))))
+    val rows = Seq(
+      Row(new java.math.BigDecimal("12345678901234567890123456789.123456789")),
+      Row(new java.math.BigDecimal("-0.000000001")), Row(null))
+    val got = roundtrip("decimal", schema, rows)
+    assert(got.flatMap(r => Option(r.getDecimal(0))).map(_.toPlainString).toSet ==
+      Set("12345678901234567890123456789.123456789", "-1E-9").map(
+        s => new java.math.BigDecimal(s).toPlainString))
+  }
+
+  test("arrays, structs, maps round-trip (nested)") {
+    val inner = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val schema = StructType(Seq(
+      StructField("arr", ArrayType(LongType)),
+      StructField("st", inner),
+      StructField("m", MapType(StringType, LongType))))
+    val rows = Seq(
+      Row(Seq(1L, 2L, 3L), Row(7, "x"), Map("a" -> 1L, "b" -> 2L)),
+      Row(Seq.empty[Long], Row(null, null), Map.empty[String, Long]),
+      Row(null, null, null))
+    val got = roundtrip("nested", schema, rows)
+    assert(got.size == 3)
+    assert(got.exists(r => Option(r.getAs[Map[String, Long]]("m"))
+      .exists(_ == Map("a" -> 1L, "b" -> 2L))))
+  }
+
+  test("compression codecs write readable files; extension infers codec") {
+    val df = spark.range(1000).toDF("v")
+    for (codec <- Seq("snappy", "gzip", "zstd", "lz4", "uncompressed")) {
+      val uri = TestSpark.tmpDir(s"codec_$codec")
+      CopyTo(df, uri, CopyToOptions(compression = Some(codec)))
+      assert(spark.read.parquet(uri).count() == 1000)
+    }
+    assert(Compression.fromExtension("x.parquet.gz").contains("gzip"))
+    assert(Compression.fromExtension("x.parquet.zst").contains("zstd"))
+    assert(Compression.fromExtension("x.parquet").contains("snappy"))
+    assert(Compression.fromExtension("x.csv").isEmpty)
+  }
+
+  test("row-group byte sizing produces multiple row groups") {
+    val uri = TestSpark.tmpDir("rowgroups")
+    val df = spark.range(200000).select(col("id"),
+      concat_ws("_", lit("padding"), col("id")).as("pad"))
+    CopyTo(df.repartition(1), uri,
+      CopyToOptions(rowGroupSizeBytes = Some(64 * 1024)))
+    val rgs = ParquetInfo.fileMetadata(spark, s"$uri/*.parquet")
+      .agg(sum("num_row_groups")).head().getLong(0)
+    assert(rgs > 1, s"expected multiple row groups, got $rgs")
+  }
+
+  test("file_size_bytes splits output into multiple files") {
+    val uri = TestSpark.tmpDir("split")
+    // ~8MB of data with a 1MB target → several part files
+    val df = spark.range(300000).select(col("id"),
+      sha2(col("id").cast("string"), 256).as("pad"))
+    val res = CopyTo(df, uri,
+      CopyToOptions(fileSizeBytes = Some(CopyToOptions.MinFileSizeBytes)))
+    assert(res.files.size > 1, s"expected >1 part file, got ${res.files}")
+    assert(spark.read.parquet(uri).count() == 300000)
+  }
+
+  test("auto field ids are written depth-first") {
+    val uri = TestSpark.tmpDir("fieldids")
+    val inner = StructType(Seq(StructField("x", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Row(2L))), 1),
+      StructType(Seq(StructField("a", LongType), StructField("nested", inner))))
+    CopyTo(df, uri, CopyToOptions(fieldIds = "auto"))
+    val ids = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .select("name", "field_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(ids("a").contains(0))
+    assert(ids("nested").contains(1))
+    assert(ids("x").contains(2))
+  }
+
+  test("duplicate explicit field ids are rejected") {
+    val df = spark.range(1).select(col("id").as("a"), col("id").as("b"))
+    val e = intercept[IllegalArgumentException] {
+      CopyTo(df, TestSpark.tmpDir("dupids"),
+        CopyToOptions(fieldIds = """{"a": 1, "b": 1}"""))
+    }
+    assert(e.getMessage.contains("duplicate field id"))
+  }
+
+  test("match-by-position renames columns ordinally") {
+    val uri = TestSpark.tmpDir("pos")
+    CopyTo(spark.range(5).select(col("id").as("orig")), uri)
+    val target = StructType(Seq(StructField("renamed", LongType)))
+    val got = CopyFrom(spark, uri, target,
+      CopyFromOptions(matchBy = MatchBy.Position))
+    assert(got.columns.toSeq == Seq("renamed"))
+    assert(got.count() == 5)
+  }
+
+  test("where predicate filters on read") {
+    val uri = TestSpark.tmpDir("where")
+    CopyTo(spark.range(100).toDF("v"), uri)
+    val got = CopyFrom.raw(spark, uri, CopyFromOptions(where = Some("v < 10")))
+    assert(got.count() == 10)
+  }
+
+  test("file size option parser honors units and the 1MB minimum") {
+    assert(CopyToOptions.parseFileSize("2MB") == 2L * 1024 * 1024)
+    assert(CopyToOptions.parseFileSize("1GB") == 1024L * 1024 * 1024)
+    intercept[IllegalArgumentException] { CopyToOptions.parseFileSize("512KB") }
+  }
+}

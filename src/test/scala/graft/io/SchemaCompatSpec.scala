@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coercion-matrix tests, patterned after the reference's
+  * copy_from_coerce suite (reference `src/pgrx_tests/copy_from_coerce.rs`). */
+class SchemaCompatSpec extends AnyFunSuite {
+
+  test("identical types are coercible") {
+    assert(SchemaCompat.isCoercible(LongType, LongType))
+    assert(SchemaCompat.isCoercible(StringType, StringType))
+  }
+
+  test("numeric widenings and narrowings are coercible both ways") {
+    assert(SchemaCompat.isCoercible(ShortType, LongType))
+    assert(SchemaCompat.isCoercible(LongType, ShortType))
+    assert(SchemaCompat.isCoercible(IntegerType, DoubleType))
+    assert(SchemaCompat.isCoercible(DoubleType, DecimalType(38, 9)))
+  }
+
+  test("timestamp/date/string coercions") {
+    assert(SchemaCompat.isCoercible(TimestampNTZType, DateType))
+    assert(SchemaCompat.isCoercible(DateType, TimestampType))
+    assert(SchemaCompat.isCoercible(StringType, TimestampNTZType))
+    assert(SchemaCompat.isCoercible(TimestampType, StringType))
+  }
+
+  test("incompatible pairs are rejected") {
+    assert(!SchemaCompat.isCoercible(TimestampNTZType, BooleanType))
+    assert(!SchemaCompat.isCoercible(BinaryType, LongType))
+    assert(!SchemaCompat.isCoercible(ArrayType(LongType), LongType))
+  }
+
+  test("array element coercion recurses") {
+    assert(SchemaCompat.isCoercible(ArrayType(IntegerType), ArrayType(LongType)))
+    assert(!SchemaCompat.isCoercible(ArrayType(BinaryType), ArrayType(LongType)))
+  }
+
+  test("struct coercion requires matching field names, not positions") {
+    val file = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val okTarget = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType)))
+    val badTarget = StructType(Seq(
+      StructField("a", IntegerType), StructField("c", StringType)))
+    assert(SchemaCompat.isCoercible(file, okTarget))
+    assert(!SchemaCompat.isCoercible(file, badTarget))
+  }
+
+  test("name-mode validation errors on missing column") {
+    val file = StructType(Seq(StructField("x", LongType)))
+    val target = StructType(Seq(StructField("y", LongType)))
+    val e = intercept[SchemaCompat.SchemaMismatch] {
+      SchemaCompat.validate(file, target, MatchBy.Name)
+    }
+    assert(e.getMessage.contains("\"y\" is not found"))
+  }
+
+  test("position-mode validation errors on column-count mismatch") {
+    val file = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    val target = StructType(Seq(StructField("a", LongType)))
+    val e = intercept[SchemaCompat.SchemaMismatch] {
+      SchemaCompat.validate(file, target, MatchBy.Position)
+    }
+    assert(e.getMessage.contains("column count mismatch"))
+  }
+
+  test("type mismatch error names the column and both types") {
+    val file = StructType(Seq(StructField("x", TimestampNTZType)))
+    val target = StructType(Seq(StructField("x", BooleanType)))
+    val e = intercept[SchemaCompat.SchemaMismatch] {
+      SchemaCompat.validate(file, target, MatchBy.Name)
+    }
+    assert(e.getMessage.contains("\"x\""))
+    assert(e.getMessage.contains("BOOLEAN"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.meta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Golden-output tests for the metadata functions against the sf0.001
+  * fixtures, patterned after the reference's udfs suite
+  * (reference `src/pgrx_tests/udfs.rs`). */
+class ParquetInfoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val li = s"${TestSpark.sfDir}/lineitem.parquet"
+
+  test("file_metadata reports rows and row groups") {
+    val r = ParquetInfo.fileMetadata(spark, li).head()
+    assert(r.getAs[Long]("num_rows") == 6000L)
+    assert(r.getAs[Long]("num_row_groups") >= 1L)
+    assert(r.getAs[String]("created_by") != null)
+  }
+
+  test("schema walks every column") {
+    val names = ParquetInfo.schema(spark, li)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(Set("schema", "l_orderkey", "l_shipdate", "l_returnflag")
+      .subsetOf(names))
+    val shipdate = ParquetInfo.schema(spark, li)
+      .filter(col("name") === "l_shipdate").head()
+    assert(shipdate.getAs[String]("type_name") == "INT64")
+    assert(shipdate.getAs[String]("logical_type").contains("TIMESTAMP"))
+  }
+
+  test("metadata exposes per-chunk sizes and stats") {
+    val m = ParquetInfo.metadata(spark, li)
+    assert(m.count() == 11) // one row group x 11 columns
+    val ok = m.filter(col("column_path") === "l_orderkey").head()
+    assert(ok.getAs[Long]("num_values") == 6000L)
+    assert(ok.getAs[String]("stats_min") == "0")
+    assert(ok.getAs[String]("stats_max") == "1499")
+    assert(ok.getAs[Long]("total_compressed_size") > 0L)
+  }
+
+  test("column_stats aggregates across row groups with typed rendering") {
+    val stats = ParquetInfo.columnStats(spark, li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("l_orderkey").getAs[String]("min_value") == "0")
+    assert(stats("l_orderkey").getAs[String]("max_value") == "1499")
+    assert(stats("l_returnflag").getAs[String]("min_value") == "A")
+    assert(stats("l_returnflag").getAs[String]("max_value") == "R")
+    assert(stats("l_shipdate").getAs[String]("min_value")
+      .startsWith("1995-01-02"))
+    assert(stats("l_orderkey").getAs[Long]("null_count") == 0L)
+  }
+
+  test("column_stats merges min/max across multiple files") {
+    val uri = TestSpark.tmpDir("stats_multi")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("v").write.mode("overwrite").parquet(s"$uri/a")
+    Seq(-5L, 10L).toDF("v").write.mode("overwrite").parquet(s"$uri/b")
+    val r = ParquetInfo.columnStats(spark, s"$uri/*/*.parquet").head()
+    assert(r.getAs[String]("min_value") == "-5")
+    assert(r.getAs[String]("max_value") == "10")
+  }
+
+  test("list expands globs with sizes and prunes non-matches") {
+    val files = ParquetInfo.list(spark, s"${TestSpark.sfDir}/*.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.length == 10)
+    assert(files.forall(_._2 > 0))
+    assert(files.exists(_._1.endsWith("lineitem.parquet")))
+    assert(ParquetInfo.list(spark, "/tmp/no_such_dir_xyz/*.parquet").count() == 0)
+  }
+
+  test("kv_metadata surfaces writer key-value pairs") {
+    // pyarrow-written fixtures carry ARROW:schema kv metadata
+    val kv = ParquetInfo.kvMetadata(spark, li).collect()
+    assert(kv.nonEmpty)
+    assert(kv.exists(_.getString(1) == "ARROW:schema"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.GraftFunctions
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "s0"),   // exact dup
+    (2L, "the quick brown fox leaps over the lazy dog", "s0"),   // near dup
+    (3L, "completely different content about spark engines", "s0"),
+    (4L, "el perro grande de la casa que ladra", "s1"),
+    (5L, "", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps the smallest id per key, deterministically") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L, 5L)) // doc 1 deduped into 0
+  }
+
+  test("minhash pairs find exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        Dedup.MinHashParams(shingleSize = 2, jaccardThreshold = 0.4))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))      // identical
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("identical docs have identical minhash signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; others far") {
+    GraftFunctions.register(spark)
+    val fps = docs.select(col("doc_id"), GraftFunctions.simhash(
+        GraftFunctions.shingleHashes64(col("text"), 2)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) == 0)
+    assert(ham(fps(0L), fps(2L)) < ham(fps(0L), fps(3L)))
+  }
+
+  test("token-set jaccard is exact") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // docs 0 and 2 share 7 of 9 distinct tokens → 7/10... compute: sets
+    // {the,quick,brown,fox,jumps,over,lazy,dog} vs {..leaps..}: inter 7,
+    // union 9 → 0.7778
+    assert(math.abs(pairs((0L, 2L)) - 0.7778) < 1e-9)
+  }
+
+  test("cosine expression matches a hand-computed value") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
+    val got = df.head().getDouble(0)
+    assert(math.abs(got - 8.0 / math.sqrt(5.0 * 13.0)) < 1e-12)
+  }
+
+  test("brute-force top-k returns true nearest neighbors in rank order") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("brute-force pairs agree with the expression path") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lsh ann recalls the exact duplicate vector") {
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val withDup = base :+ (99L, base(7)._2.clone())
+    val df = withDup.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df.filter(col("vec_id") === 99),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        tables = 4, bitsPerTable = 8)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.headOption.map(_._2).contains(7L)) // identical vec found first
+  }
+
+  test("langid picks marker-bearing languages with fixed tie-break") {
+    val d = Seq(
+      (0L, "the cat and the dog sat on the mat"),
+      (1L, "el perro de la casa que ladra a los gatos"),
+      (2L, "xyz qqq zzz")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+    assert(out(2L) == "und")
+  }
+
+  test("token counts and shingles") {
+    val one = Seq((0L, "One, two. THREE three!")).toDF("id", "text")
+    val r = one.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("d"),
+      TextAnalysis.shingles(col("text"), 2).as("sh")).head()
+    assert(r.getAs[Int]("n") == 4)
+    assert(r.getAs[Int]("d") == 3)
+    assert(r.getSeq[String](2).toList ==
+      List("one two", "two three", "three three"))
+  }
+
+  test("fingerprint is order-sensitive and normalization-insensitive") {
+    val d = Seq(
+      (0L, "alpha beta gamma"), (1L, "Alpha,  BETA gamma!"),
+      (2L, "gamma beta alpha")).toDF("id", "text")
+    val fp = d.select(col("id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))   // same tokens after normalization
+    assert(fp(0L) != fp(2L))   // different order
+  }
+
+  test("multimodal decode emits deterministic metadata from the payload") {
+    val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val r = Multimodal.extractMeta(spark, d, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bytes") == 10L)
+    assert(r.getAs[Long]("width") == 10 % 640 + 16)
+    assert(r.getAs[Long]("height") == (10 * 7) % 480 + 16)
+    assert(r.getAs[Long]("n_frames") == 10 % 24 + 1)
+    assert(r.getAs[Long]("n_sampled") == (10 % 24 + 1 + 1) / 2)
+  }
+
+  test("quality metrics flag stopword-free and digit-heavy text") {
+    val d = Seq(
+      (0L, "the cat is on the mat"),
+      (1L, "1234 5678 9999")).toDF("doc_id", "text")
+    val byId = TextAnalysis.qualityMetrics(d, "text")
+      .select("doc_id", "stopword_ratio", "digit_ratio").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byId(0L)._1 > 0.3)
+    assert(byId(0L)._2 == 0.0)
+    assert(byId(1L)._1 == 0.0)
+    assert(byId(1L)._2 > 0.8)
+  }
+}
