@@ -125,6 +125,35 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("total"))
     }),
 
+    // Hive-partitioned write + partition-pruned read: reads with a
+    // partition predicate only open the matching directories
+    "io_partitioned" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        new java.io.File(dir).getName
+      CopyTo(src, uri, CopyToOptions(partitionBy = Seq("o_year")))
+      CopyFrom.raw(s, uri)
+        .filter(col("o_year") >= 1996 && col("o_year") <= 1998)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_year")
+    }),
+
+    // custom footer kv metadata (geo-style) written post-hoc, read back
+    "io_kv_write" -> ((s, dir) => {
+      val src = t(s, dir, "region")
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_kv_" +
+        new java.io.File(dir).getName
+      CopyTo(src, uri, CopyToOptions(kvMetadata = Map(
+        "geo" -> """{"version":"1.1.0","primary_column":"geometry","columns":{}}""",
+        "graft.engine" -> "pg_parquetspark")))
+      ParquetInfo.kvMetadata(s, s"$uri/*.parquet")
+        .filter(col("key").isin("geo", "graft.engine"))
+        .select("key", "value")
+        .orderBy("key")
+    }),
+
     // ------------------------------------------- M1-M6 metadata functions
     // (not expressible as portable ANSI SQL → rows-only driver check)
     "meta_schema" -> ((s, dir) =>
@@ -490,6 +519,12 @@ object SparkEntry {
     "io_split" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "round(sum(o_totalprice), 2) AS total FROM orders"),
+
+    "io_partitioned" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998 " +
+        "GROUP BY 1 ORDER BY o_year"),
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -87,7 +87,11 @@ final case class CopyToOptions(
     fileSizeBytes: Option[Long] = None,
     parquetVersion: String = "v1",
     fieldIds: String = "none",
-    kvMetadata: Map[String, String] = Map.empty) {
+    /** Custom footer key/value metadata (e.g. a GeoParquet `geo` document)
+      * — applied post-write via [[graft.meta.KvMetadata]]. */
+    kvMetadata: Map[String, String] = Map.empty,
+    /** Hive-style partition columns for the output layout. */
+    partitionBy: Seq[String] = Nil) {
 
   def validated: CopyToOptions = {
     compression.foreach { c =>

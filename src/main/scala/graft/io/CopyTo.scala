@@ -40,62 +40,39 @@ object CopyTo {
     val spark = df.sparkSession
     val codec = opts.effectiveCompression(uri)
 
-    val writer = df.write
-      .mode("overwrite")
+    val dfWithIds = opts.fieldIds match {
+      case "auto" => FieldIds.withAutoFieldIds(df)
+      case "none" => df
+      case json   => FieldIds.withExplicitFieldIds(df, json)
+    }
+
+    var w = dfWithIds.write.mode("overwrite")
       .option("compression", codec)
       // row-group sizing: parquet-hadoop flushes a row group at
       // parquet.block.size bytes; reference flushes at
       // rows >= row_group_size OR bytes >= row_group_size_bytes
       // (parquet_writer.rs:124-130). Bytes is the scalable knob.
       .option("parquet.block.size", opts.effectiveRowGroupBytes.toString)
-      .option("parquet.page.write-checksum.enabled", "false")
       .option("parquet.writer.version",
         if (opts.parquetVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
-
-    val withLevel = opts.compressionLevel match {
-      case Some(l) if codec == "zstd" =>
-        writer.option("parquet.compression.codec.zstd.level", l.toString)
-      case Some(l) if codec == "gzip" =>
-        writer.option("compression.level", l.toString)
-      case _ => writer
+    opts.compressionLevel.foreach { l =>
+      if (codec == "zstd")
+        w = w.option("parquet.compression.codec.zstd.level", l.toString)
     }
-
-    val withFieldIds =
-      if (opts.fieldIds == "none") withLevel
-      else withLevel.option("spark.sql.parquet.fieldId.write.enabled", "true")
-
-    val withSplit = opts.fileSizeBytes match {
-      case Some(bytes) =>
-        val rowsPerFile = estimateRowsPerFile(df, bytes, codec)
-        withFieldIds.option("maxRecordsPerFile", rowsPerFile.toString)
-      case None => withFieldIds
+    if (opts.fieldIds != "none")
+      w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
+    opts.fileSizeBytes.foreach { bytes =>
+      w = w.option("maxRecordsPerFile",
+        estimateRowsPerFile(dfWithIds, bytes, codec).toString)
     }
+    // hive-style partitioned layout: the 100 TB organization primitive —
+    // downstream reads with partition-column predicates scan only the
+    // matching directories (partition pruning)
+    if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
+    w.parquet(uri)
 
-    val dfWithIds = opts.fieldIds match {
-      case "auto" => FieldIds.withAutoFieldIds(df)
-      case "none" => df
-      case json   => FieldIds.withExplicitFieldIds(df, json)
-    }
-    // re-apply writer chain to the (possibly) re-schema'd frame
-    val finalWriter = {
-      var w = dfWithIds.write.mode("overwrite")
-        .option("compression", codec)
-        .option("parquet.block.size", opts.effectiveRowGroupBytes.toString)
-        .option("parquet.writer.version",
-          if (opts.parquetVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
-      opts.compressionLevel.foreach { l =>
-        if (codec == "zstd")
-          w = w.option("parquet.compression.codec.zstd.level", l.toString)
-      }
-      if (opts.fieldIds != "none")
-        w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
-      opts.fileSizeBytes.foreach { bytes =>
-        w = w.option("maxRecordsPerFile",
-          estimateRowsPerFile(dfWithIds, bytes, codec).toString)
-      }
-      w
-    }
-    finalWriter.parquet(uri)
+    if (opts.kvMetadata.nonEmpty)
+      graft.meta.KvMetadata.add(spark, uri, opts.kvMetadata)
 
     val (files, bytes) = listDataFiles(spark, uri)
     WriteResult(uri, files, bytes)

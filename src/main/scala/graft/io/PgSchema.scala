@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.spark.sql.types._
+
+/**
+ * PG-semantics schema construction: the type-mapping and numeric
+ * normalization rules from the reference's schema builder
+ * (reference `src/arrow_parquet/schema_parser.rs:339-425` and
+ * `src/type_compat/pg_arrow_type_conversions.rs:252-346`).
+ */
+object PgSchema {
+
+  /** Reference defaults for unbounded `numeric`
+    * (`pg_arrow_type_conversions.rs:296-300`). */
+  val DefaultUnboundedPrecision = 38
+  val DefaultUnboundedScale = 9
+  /** Max decimal precision representable as Decimal128
+    * (`pg_arrow_type_conversions.rs:302-306`): larger falls back to text. */
+  val MaxDecimalPrecision = 38
+
+  /**
+   * Normalize a PG `numeric(P,S)` to a Spark type following the
+   * reference's rules (`pg_arrow_type_conversions.rs:302-346`):
+   *
+   *  - no typmod (unbounded) → Decimal(38, 9), with runtime range errors
+   *    left to ANSI overflow checks
+   *  - P > 38 → StringType (text fallback; Decimal128 can't hold it)
+   *  - negative scale → digits shift left of the decimal point:
+   *    P' = P + |S|, S' = 0
+   *  - scale > precision → P' = S (PG allows e.g. numeric(2,5))
+   */
+  def numericType(precision: Option[Int], scale: Option[Int]): DataType =
+    (precision, scale) match {
+      case (None, _) =>
+        DecimalType(DefaultUnboundedPrecision, DefaultUnboundedScale)
+      case (Some(p), sOpt) =>
+        val s = sOpt.getOrElse(0)
+        val (np, ns) =
+          if (s < 0) (p + math.abs(s), 0)
+          else if (s > p) (s, s)
+          else (p, s)
+        if (np > MaxDecimalPrecision) StringType else DecimalType(np, ns)
+    }
+
+  /**
+   * PG type name → Spark type, the write-side mapping of SURVEY §1.3
+   * (reference `schema_parser.rs:339-425`).  Types with no Spark analogue
+   * follow the reference's text fallback
+   * (`src/type_compat/fallback_to_text.rs:89-159`).
+   */
+  def sparkTypeFor(pgType: String): DataType = {
+    val base = pgType.toLowerCase.trim
+    val (name, args) = base.indexOf('(') match {
+      case -1 => (base, Nil)
+      case i => (base.substring(0, i).trim,
+        base.substring(i + 1, base.length - 1).split(",").toList
+          .map(_.trim.toInt))
+    }
+    if (name.endsWith("[]")) return ArrayType(sparkTypeFor(name.dropRight(2)))
+    name match {
+      case "bool" | "boolean" => BooleanType
+      case "smallint" | "int2" => ShortType
+      case "int" | "int4" | "integer" => IntegerType
+      case "bigint" | "int8" => LongType
+      case "real" | "float4" => FloatType
+      case "double precision" | "float8" => DoubleType
+      // no unsigned type: document widening like the reference's UInt32
+      case "oid" => LongType
+      case "text" | "varchar" | "bpchar" | "name" | "char" | "\"char\"" =>
+        StringType
+      case "numeric" | "decimal" => args match {
+        case p :: s :: Nil => numericType(Some(p), Some(s))
+        case p :: Nil => numericType(Some(p), Some(0))
+        case _ => numericType(None, None)
+      }
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      // no Spark time type: int64 microseconds (parquet TIME_MICROS)
+      case "time" | "timetz" => LongType
+      case "uuid" => StringType       // canonical text form
+      case "json" | "jsonb" => StringType
+      case "bytea" => BinaryType
+      case "geometry" => BinaryType   // WKB + `geo` kv metadata (KvMetadata)
+      // enum, interval, bit, varbit, inet, cidr, … → text fallback
+      case _ => StringType
+    }
+  }
+}

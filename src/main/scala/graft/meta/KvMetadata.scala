@@ -1,0 +1,72 @@
+package graft.meta
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Custom key/value footer metadata writing — the piece Spark's Parquet
+ * writer has no hook for.  The reference attaches e.g. the GeoParquet
+ * `geo` document this way (reference
+ * `src/arrow_parquet/parquet_writer.rs:100-107`, geo JSON construction
+ * `src/type_compat/geometry.rs:38-130`).
+ *
+ * Implementation: per file, open a new footer-compatible writer and
+ * `appendFile` the existing row groups — a byte-level column-chunk copy,
+ * no re-encode/re-compress — then close with the merged key/value map.
+ * Cost is one sequential read+write of the file, no executor involvement
+ * needed for footers; for large multi-file datasets call [[addToFile]]
+ * from a distributed `foreach` over the file list.
+ */
+object KvMetadata {
+
+  /** Add (merge) key/value metadata into every parquet part file under
+    * `uri` (a file or a directory written by [[graft.io.CopyTo]]). */
+  def add(spark: SparkSession, uri: String, kv: Map[String, String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+        }
+        buf.result()
+      } else Seq(p)
+    files.foreach(f => addToFile(conf, f, kv))
+  }
+
+  /** Rewrite one file's footer with extra key/value pairs (row groups are
+    * byte-copied, not re-encoded). */
+  def addToFile(conf: Configuration, file: Path, kv: Map[String, String]): Unit = {
+    val in = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(in)
+    val (schema, existingKv) =
+      try {
+        val fm = reader.getFooter.getFileMetaData
+        (fm.getSchema, fm.getKeyValueMetaData.asScala.toMap)
+      } finally reader.close()
+
+    val tmp = new Path(file.getParent, s".${file.getName}.kvtmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024 /* rowGroupSize hint (unused for appends) */,
+      8 * 1024 * 1024 /* maxPaddingSize */)
+    writer.start()
+    writer.appendFile(in)
+    writer.end((existingKv ++ kv).asJava)
+
+    val fs = file.getFileSystem(conf)
+    fs.delete(file, false)
+    fs.rename(tmp, file)
+    ()
+  }
+}

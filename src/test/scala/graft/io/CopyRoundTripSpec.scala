@@ -182,6 +182,34 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(got.count() == 10)
   }
 
+  test("kv metadata is written into footers and survives a round-trip") {
+    val uri = TestSpark.tmpDir("kv")
+    CopyTo(spark.range(100).toDF("v"), uri, CopyToOptions(kvMetadata = Map(
+      "geo" -> """{"version":"1.1.0"}""", "custom.key" -> "custom value")))
+    val kv = ParquetInfo.kvMetadata(spark, s"$uri/*.parquet")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(kv.get("geo").contains("""{"version":"1.1.0"}"""))
+    assert(kv.get("custom.key").contains("custom value"))
+    // data still readable after the footer rewrite
+    assert(spark.read.parquet(uri).count() == 100)
+  }
+
+  test("partitioned write creates hive layout and prunes on read") {
+    val uri = TestSpark.tmpDir("hive")
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("v", "part")
+    CopyTo(df, uri, CopyToOptions(partitionBy = Seq("part")))
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$uri/part=a")))
+    val pruned = CopyFrom.raw(spark, uri).filter(col("part") === "a")
+    assert(pruned.count() == 2)
+    // the physical scan must only touch the part=a directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator).mkString
+    assert(!scanned.contains("part=b"))
+  }
+
   test("file size option parser honors units and the 1MB minimum") {
     assert(CopyToOptions.parseFileSize("2MB") == 2L * 1024 * 1024)
     assert(CopyToOptions.parseFileSize("1GB") == 1024L * 1024 * 1024)

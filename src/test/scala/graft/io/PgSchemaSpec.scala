@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Numeric normalization + PG type mapping rules
+  * (reference `src/type_compat/pg_arrow_type_conversions.rs:252-346`,
+  * `src/arrow_parquet/schema_parser.rs:339-425`). */
+class PgSchemaSpec extends AnyFunSuite {
+
+  test("unbounded numeric defaults to Decimal(38,9)") {
+    assert(PgSchema.numericType(None, None) == DecimalType(38, 9))
+  }
+
+  test("precision above 38 falls back to text") {
+    assert(PgSchema.numericType(Some(39), Some(2)) == StringType)
+    assert(PgSchema.numericType(Some(38), Some(2)) == DecimalType(38, 2))
+  }
+
+  test("negative scale shifts digits into precision") {
+    assert(PgSchema.numericType(Some(5), Some(-3)) == DecimalType(8, 0))
+  }
+
+  test("scale larger than precision widens precision to scale") {
+    assert(PgSchema.numericType(Some(2), Some(5)) == DecimalType(5, 5))
+  }
+
+  test("negative-scale overflow past 38 falls back to text") {
+    assert(PgSchema.numericType(Some(37), Some(-5)) == StringType)
+  }
+
+  test("core scalar mappings") {
+    assert(PgSchema.sparkTypeFor("bool") == BooleanType)
+    assert(PgSchema.sparkTypeFor("int2") == ShortType)
+    assert(PgSchema.sparkTypeFor("int4") == IntegerType)
+    assert(PgSchema.sparkTypeFor("bigint") == LongType)
+    assert(PgSchema.sparkTypeFor("float4") == FloatType)
+    assert(PgSchema.sparkTypeFor("double precision") == DoubleType)
+    assert(PgSchema.sparkTypeFor("text") == StringType)
+    assert(PgSchema.sparkTypeFor("bytea") == BinaryType)
+    assert(PgSchema.sparkTypeFor("date") == DateType)
+    assert(PgSchema.sparkTypeFor("timestamp") == TimestampNTZType)
+    assert(PgSchema.sparkTypeFor("timestamptz") == TimestampType)
+    assert(PgSchema.sparkTypeFor("numeric(10,2)") == DecimalType(10, 2))
+  }
+
+  test("unmapped types fall back to text like the reference") {
+    assert(PgSchema.sparkTypeFor("interval") == StringType)
+    assert(PgSchema.sparkTypeFor("inet") == StringType)
+    assert(PgSchema.sparkTypeFor("bit") == StringType)
+  }
+
+  test("array types recurse") {
+    assert(PgSchema.sparkTypeFor("int4[]") == ArrayType(IntegerType))
+    assert(PgSchema.sparkTypeFor("text[]") == ArrayType(StringType))
+  }
+
+  test("oid widens to long (no unsigned 32-bit type)") {
+    assert(PgSchema.sparkTypeFor("oid") == LongType)
+  }
+
+  test("time types encode as int64 microseconds") {
+    assert(PgSchema.sparkTypeFor("time") == LongType)
+    assert(PgSchema.sparkTypeFor("timetz") == LongType)
+  }
+}
