@@ -1,0 +1,136 @@
+package graft.cli
+
+import java.io.{InputStream, OutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions}
+
+/**
+ * stdin/stdout and program-pipe copy parity (reference
+ * `src/parquet_copy_hook/copy_from_stdin.rs:32-191`,
+ * `copy_to_stdout.rs:14-83`, `copy_from_program.rs`, `copy_to_program.rs`):
+ * byte streams are spooled through a temp file, then the normal
+ * CopyTo/CopyFrom path runs — exactly the reference's strategy
+ * (`uri_utils.rs:82-112`), minus the Postgres wire protocol (a Spark
+ * library's "client" is the process's own stdio).
+ *
+ * Streams imply a single Parquet file, so the write side coalesces to
+ * one part — inherently single-writer, like the reference's one-backend
+ * COPY.  For distributed output use [[graft.io.CopyTo]] with a directory
+ * uri instead.
+ */
+object PipeCopy {
+
+  private def tempFile(): Path = {
+    val p = Files.createTempFile("graft_pipe_", ".parquet")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** Spool a parquet byte stream to a temp file and open it. */
+  def copyFromStream(
+      spark: SparkSession, in: InputStream,
+      target: Option[StructType] = None,
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
+    val tmp = tempFile()
+    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    target match {
+      case Some(schema) => CopyFrom(spark, tmp.toString, schema, options)
+      case None => CopyFrom.raw(spark, tmp.toString, options)
+    }
+  }
+
+  /** Write `df` as ONE parquet file and stream its bytes to `out`. */
+  def copyToStream(
+      df: DataFrame, out: OutputStream,
+      options: CopyToOptions = CopyToOptions.default): Long = {
+    val dir = Files.createTempDirectory("graft_pipe_out_")
+    val res = CopyTo(df.coalesce(1), dir.toString, options)
+    require(res.files.size == 1,
+      s"stream output expects a single part file, got ${res.files.size}")
+    val part = Paths.get(new java.net.URI(res.files.head).getPath)
+    val n = Files.copy(part, out)
+    out.flush()
+    n
+  }
+
+  /** `COPY ... FROM PROGRAM 'cmd'`: run the command, capture its stdout
+    * as parquet bytes. */
+  def copyFromProgram(
+      spark: SparkSession, cmd: Seq[String],
+      target: Option[StructType] = None): DataFrame = {
+    val tmp = tempFile()
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectOutput(tmp.toFile)
+      .redirectErrorStream(false)
+    val proc = pb.start()
+    val code = proc.waitFor()
+    require(code == 0, s"program ${cmd.mkString(" ")} exited with $code")
+    target match {
+      case Some(schema) => CopyFrom(spark, tmp.toString, schema)
+      case None => CopyFrom.raw(spark, tmp.toString)
+    }
+  }
+
+  /** `COPY ... TO PROGRAM 'cmd'`: pipe the single-file parquet bytes into
+    * the command's stdin. */
+  def copyToProgram(
+      df: DataFrame, cmd: Seq[String],
+      options: CopyToOptions = CopyToOptions.default): Int = {
+    val tmp = tempFile()
+    val dir = Files.createTempDirectory("graft_pipe_prog_")
+    val res = CopyTo(df.coalesce(1), dir.toString, options)
+    val part = Paths.get(new java.net.URI(res.files.head).getPath)
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectInput(part.toFile)
+      .redirectOutput(tmp.toFile)
+    val proc = pb.start()
+    proc.waitFor()
+  }
+}
+
+/**
+ * Thin CLI over [[PipeCopy]]:
+ *
+ *   graft.cli.Main copy-to   <sql> <uri|->  [compression]
+ *   graft.cli.Main copy-from <uri|->  <table-or-temp-view>
+ *
+ * `-` means stdout / stdin.  Registered tables come from parquet paths
+ * passed as `name=path` pairs after the positional args.
+ */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "copy-to" :: sql :: uri :: rest =>
+        rest.filter(_.contains("=")).foreach { kv =>
+          val Array(n, p) = kv.split("=", 2)
+          spark.read.parquet(p).createOrReplaceTempView(n)
+        }
+        val codec = rest.find(!_.contains("=")).map(c =>
+          CopyToOptions(compression = Some(c))).getOrElse(CopyToOptions.default)
+        val df = spark.sql(sql)
+        if (uri == "-") PipeCopy.copyToStream(df, System.out, codec)
+        else CopyTo(df, uri, codec)
+      case "copy-from" :: uri :: view :: rest =>
+        val df = if (uri == "-") PipeCopy.copyFromStream(spark, System.in)
+          else CopyFrom.raw(spark, uri)
+        df.createOrReplaceTempView(view)
+        System.err.println(s"loaded ${df.count()} rows into temp view $view")
+      case other =>
+        System.err.println(
+          "usage: copy-to <sql> <uri|-> [codec] [name=path ...] | " +
+            "copy-from <uri|-> <view>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for plan-quality review:
+  * runMain graft.tools.Explain [query ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("io_filter", "q1_agg", "q3_join_topk", "q5_star_join",
+        "io_projection", "dedup_exact", "q_window_rank")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => println("EXPLAIN FAIL: " + e.getMessage) }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,47 @@
+package graft.cli
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Stream/pipe copy parity (reference `src/pgrx_tests/copy_stdin_out.rs`,
+  * `copy_program.rs`). */
+class PipeCopySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stdout → stdin round-trip through byte streams") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val out = new ByteArrayOutputStream()
+    val n = PipeCopy.copyToStream(df, out)
+    assert(n > 0 && n == out.size())
+    val back = PipeCopy.copyFromStream(spark,
+      new ByteArrayInputStream(out.toByteArray))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("program pipe: copy to `cat` and read its output back") {
+    val df = Seq((10L, 1.5), (20L, 2.5)).toDF("k", "v")
+    val dir = TestSpark.tmpDir("prog_out")
+    val sink = s"$dir/out.parquet"
+    new java.io.File(dir).mkdirs()
+    // COPY TO PROGRAM: stream parquet bytes into a shell that writes them
+    val code = PipeCopy.copyToProgram(df,
+      Seq("/bin/sh", "-c", s"cat > $sink"))
+    assert(code == 0)
+    // COPY FROM PROGRAM: read them back via cat
+    val back = PipeCopy.copyFromProgram(spark, Seq("cat", sink))
+    assert(back.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((10L, 1.5), (20L, 2.5)))
+  }
+
+  test("failing program surfaces its exit code") {
+    val e = intercept[IllegalArgumentException] {
+      PipeCopy.copyFromProgram(spark, Seq("/bin/sh", "-c", "exit 3"))
+    }
+    assert(e.getMessage.contains("exited with 3"))
+  }
+}
