@@ -345,6 +345,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("hour_idx", "event_type")),
 
+    // JSON column querying (the reference stores json/jsonb as text +
+    // metadata; querying is from_json/get_json_object — P8/§1.3)
+    "q_json" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type")),
+
+    // sessionization (gaps-and-islands): a new session starts after a
+    // 6-hour silence; the batch analogue of stateful stream sessionization
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_ts", lag("ts_us", 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > 21600000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n"),
+          min("ts_us").as("sess_start"), max("ts_us").as("sess_end"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // conditional (pivot-style) aggregation per user
     "q_events_pivot" -> ((s, dir) =>
       events(s, dir)
@@ -637,6 +666,23 @@ object SparkEntry {
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type, " +
         "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type"),
+
+    "q_json" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events), " +
+        "m AS (SELECT user_id, ts_us, event_id, CASE WHEN " +
+        "lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL " +
+        "OR ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 21600000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "s AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM m) " +
+        "SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, " +
+        "min(ts_us) AS sess_start, max(ts_us) AS sess_end " +
+        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
 
     "q_events_pivot" ->
       ("SELECT user_id, " +

@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Co-located (bucketed) joins — the repeated-join layout for 100 TB
+ * fact tables: both sides pre-hashed into the same bucket count on the
+ * join key, so the join runs with NO shuffle exchange on either side.
+ */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    val lineitem = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("g_orders_b")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("g_lineitem_b")
+
+    val joined = spark.table("g_lineitem_b")
+      .join(spark.table("g_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum("l_quantity").as("qty"))
+
+    // AQE can hide the join inside an adaptive plan; disable broadcast so
+    // the bucket layout (not a broadcast) is what avoids the shuffle
+    val noBroadcast = joined.sparkSession.conf
+    val prev = noBroadcast.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    noBroadcast.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"expected a sort-merge join:\n$plan")
+      // the tree prints top-down, so everything from the join onward is
+      // the join and its inputs — which must be exchange-free (the only
+      // legal exchange, for the aggregation, sits above the join)
+      val joinSection = plan.substring(joinAt)
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle its inputs:\n$plan")
+      // and it still computes the right answer
+      val total = joined.agg(sum("qty")).head().getDouble(0)
+      val expected = lineitem.join(orders,
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity")).head().getDouble(0)
+      assert(total == expected)
+    } finally noBroadcast.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
