@@ -33,6 +33,18 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
   }
 
+  /** Streaming file sources need a directory: stage the events file into
+    * one via CopyTo (as LongType nanos, the same values the oracle's
+    * `epoch_ns` sees).  Content is deterministic, so an existing staging
+    * is reused. */
+  private def stagedEventsDir(s: SparkSession, dir: String): String = {
+    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
+      new java.io.File(dir).getName
+    if (!new java.io.File(s"$stageDir/_SUCCESS").exists())
+      CopyTo(events(s, dir), stageDir)
+    stageDir
+  }
+
   /** lineitem has no unique key in the synthetic data (duplicate
     * (l_orderkey, l_linenumber) pairs exist), so deterministic output
     * ordering must sort on ALL emitted columns. */
@@ -392,18 +404,11 @@ object SparkEntry {
     // Structured Streaming: same hourly agg driven through readStream →
     // memory sink (complete mode), proving the streaming plumbing
     "stream_events_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      // streaming file sources need a directory: stage the events file
-      // into one via CopyTo (same bytes, Spark-written layout); content is
-      // deterministic, so reuse an existing staging from this boot
-      val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
-        new java.io.File(dir).getName
-      if (!new java.io.File(s"$stageDir/_SUCCESS").exists())
-        CopyTo(events(s, dir), stageDir)
+      val stageDir = stagedEventsDir(s, dir)
       val qn = s"graft_stream_${System.nanoTime()}"
       val q = s.readStream.schema(schema).parquet(stageDir)
         .withColumn("hour_idx", expr("ts DIV 3600000000000"))
@@ -415,6 +420,11 @@ object SparkEntry {
       q.stop()
       s.table(qn).orderBy("hour_idx", "event_type")
     }),
+
+    // stateful streaming: per-user running totals via mapGroupsWithState
+    "stream_user_stats" -> ((s, dir) =>
+      graft.streaming.StatefulOps.userStats(s, stagedEventsDir(s, dir))
+        .orderBy("user_id")),
 
     // ------------------------------------------- pipeline ops: dedup
     "dedup_exact" -> ((s, dir) =>
@@ -696,6 +706,11 @@ object SparkEntry {
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type, " +
         "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type"),
+
+    "stream_user_stats" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(sum(value), 2) AS total_value FROM events " +
+        "GROUP BY user_id ORDER BY user_id"),
 
     "dedup_exact" ->
       ("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, n_chars FROM documents " +

@@ -91,7 +91,11 @@ final case class CopyToOptions(
       * — applied post-write via [[graft.meta.KvMetadata]]. */
     kvMetadata: Map[String, String] = Map.empty,
     /** Hive-style partition columns for the output layout. */
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil,
+    /** Cluster (range-partition + sort) the output by these columns so
+      * per-file and per-row-group min/max statistics become selective —
+      * the stat-based skipping enabler for scans with range predicates. */
+    clusterBy: Seq[String] = Nil) {
 
   def validated: CopyToOptions = {
     compression.foreach { c =>

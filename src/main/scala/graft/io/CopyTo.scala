@@ -40,10 +40,25 @@ object CopyTo {
     val spark = df.sparkSession
     val codec = opts.effectiveCompression(uri)
 
+    // clustering: range-partition then sort so each output file (and row
+    // group) covers a narrow slice of the cluster key — min/max stats
+    // then prune most files for range predicates.  The upstream partition
+    // count is kept (an explicit count also stops AQE from coalescing a
+    // small write into one unclustered file).
+    val clustered =
+      if (opts.clusterBy.isEmpty) df
+      else {
+        val n = math.max(1, df.rdd.getNumPartitions)
+        df.repartitionByRange(n,
+            opts.clusterBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            opts.clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      }
+
     val dfWithIds = opts.fieldIds match {
-      case "auto" => FieldIds.withAutoFieldIds(df)
-      case "none" => df
-      case json   => FieldIds.withExplicitFieldIds(df, json)
+      case "auto" => FieldIds.withAutoFieldIds(clustered)
+      case "none" => clustered
+      case json   => FieldIds.withExplicitFieldIds(clustered, json)
     }
 
     var w = dfWithIds.write.mode("overwrite")

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew mitigation for hot join keys.  AQE's skew-join splitting handles
+ * most cases at runtime; explicit salting remains the tool when one key
+ * dominates so heavily that even split partitions overflow a task, or
+ * when AQE is unavailable (streaming joins, RDD boundaries).
+ *
+ * Mechanics: the large (skewed) side gets a salt in [0, salts) appended
+ * to its key; the smaller side is exploded `salts`× so every (key, salt)
+ * combination exists.  Join output is identical to the unsalted join;
+ * the hot key's rows now spread over `salts` tasks at the cost of
+ * duplicating the other side `salts`×.
+ */
+object Skew {
+
+  /**
+   * Equi-join `big` (skewed) with `small`, salting the hot keys.
+   * The salt is derived from a hash of the big side's whole row so it is
+   * deterministic; any per-row value spreads equally well.
+   */
+  def saltedEquiJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salts)))
+    val explodedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedBig.join(explodedSmall,
+        saltedBig(bigKey) === explodedSmall(smallKey) &&
+          saltedBig("__salt") === explodedSmall("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

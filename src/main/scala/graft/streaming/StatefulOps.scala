@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Stateful Structured Streaming: per-key running aggregates via
+ * `mapGroupsWithState` — the building block for streaming sessionization
+ * / dedup / counters that `groupBy().agg()` can't express.  State lives
+ * in the state store (checkpointed, partitioned by key), so the pattern
+ * scales to arbitrarily many keys.
+ */
+object StatefulOps {
+
+  final case class Event(
+      event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserState(n: Long, total: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  private def updateUser(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[UserState]): UserStats = {
+    var st = state.getOption.getOrElse(UserState(0L, 0.0))
+    events.foreach(e => st = UserState(st.n + 1, st.total + e.value))
+    state.update(st)
+    UserStats(userId,
+      st.n,
+      java.math.BigDecimal.valueOf(st.total)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  /** Run the stateful per-user aggregation over a staged parquet dir and
+    * return the final (update-mode) stats table. */
+  def userStats(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val qn = s"graft_stateful_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).parquet(stageDir)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateUser)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+  }
+}

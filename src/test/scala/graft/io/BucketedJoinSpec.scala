@@ -19,6 +19,13 @@ class BucketedJoinSpec extends AnyFunSuite {
 
     spark.sql("DROP TABLE IF EXISTS g_orders_b")
     spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    // a previously aborted run can leave the managed location behind
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("g_orders_b", "g_lineitem_b").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     orders.write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("g_orders_b")

@@ -210,6 +210,35 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(!scanned.contains("part=b"))
   }
 
+  test("clusterBy yields narrow per-file min/max ranges for stat skipping") {
+    import org.apache.spark.sql.Row
+    val uri = TestSpark.tmpDir("clustered")
+    val df = spark.range(100000).select(
+      pmod(col("id") * 2654435761L, lit(100000)).as("key"),
+      col("id").as("v"))
+    // this dataset is tiny, so stop AQE from coalescing the range
+    // partitions into a single file
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+    try CopyTo(df.repartition(8), uri, CopyToOptions(clusterBy = Seq("key")))
+    finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+    val ranges = ParquetInfo.metadata(spark, s"$uri/*.parquet")
+      .filter(col("column_path") === "key")
+      .select("uri", "stats_min", "stats_max").collect()
+      .map(r => (r.getString(1).toLong, r.getString(2).toLong))
+    assert(ranges.length > 1)
+    // every file/row-group spans a narrow slice, not the full key domain
+    val maxSpan = ranges.map { case (lo, hi) => hi - lo }.max
+    assert(maxSpan < 100000 / 2, s"clustered spans too wide: $ranges")
+    // and the slices are essentially disjoint (sorted by min, each next
+    // min is at or after the previous max)
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(loB >= hiA)
+      case _ =>
+    }
+  }
+
   test("file size option parser honors units and the 1MB minimum") {
     assert(CopyToOptions.parseFileSize("2MB") == 2L * 1024 * 1024)
     assert(CopyToOptions.parseFileSize("1GB") == 1024L * 1024 * 1024)

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the unsalted join's result on skewed data") {
+    // 10k rows of one hot key + a tail, joined to a small dim
+    val big = ((1 to 10000).map(i => (1L, s"hot_$i")) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, s"tail_$i")))
+      .toDF("k", "payload")
+    val small = (1L to 10L).map(k => (k, s"dim_$k")).toDF("dk", "dim")
+
+    val plain = big.join(small, big("k") === small("dk")).count()
+    val salted = Skew.saltedEquiJoin(big, small, "k", "dk", salts = 8).count()
+    assert(salted == plain)
+
+    // row-level equality, not just counts
+    val a = Skew.saltedEquiJoin(big, small, "k", "dk", salts = 8)
+      .select("k", "payload", "dim").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val b = big.join(small, big("k") === small("dk"))
+      .select("k", "payload", "dim").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("outer salted join preserves unmatched rows") {
+    val big = Seq((1L, "a"), (99L, "no-match")).toDF("k", "payload")
+    val small = Seq((1L, "dim")).toDF("dk", "dim")
+    val out = Skew.saltedEquiJoin(big, small, "k", "dk", 4, "left_outer")
+      .select("k", "dim").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("dim"))
+    assert(out(99L).isEmpty)
+  }
+}
