@@ -513,7 +513,22 @@ object SparkEntry {
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractMeta(s, t(s, dir, "documents"), "doc_id", "text",
           sampleEvery = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
+          sampleEvery = 2)
+        .orderBy("doc_id", "frame_idx")),
+
+    // composed pipeline: quality filter → exact dedup → per-language stats
+    "pipeline_filter_dedup" -> ((s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      Dedup.exact(filtered, Seq("text"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    })
   )
 
   // =====================================================================
@@ -798,6 +813,20 @@ object SparkEntry {
         "CAST((strlen(text) * 7) % 480 + 16 AS BIGINT) AS height, " +
         "CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames, " +
         "CAST((strlen(text) % 24 + 1 + 1) // 2 AS BIGINT) AS n_sampled " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    "mm_frames" ->
+      ("SELECT doc_id, unnest(range(0, CAST(strlen(text) % 24 + 1 AS BIGINT), 2)) " +
+        "AS frame_idx FROM documents ORDER BY doc_id, frame_idx"),
+
+    "pipeline_filter_dedup" ->
+      ("WITH toks AS (SELECT doc_id, text, lang, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "q AS (SELECT * FROM toks WHERE len(tk) >= 20), " +
+        "d AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang " +
+        "FROM q GROUP BY text) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d " +
+        "GROUP BY lang ORDER BY lang")
   )
 }

@@ -69,6 +69,24 @@ object Multimodal {
     }
   }
 
+  /**
+   * Frame sampling fan-out: one row per kept frame (every `sampleEvery`-th
+   * of the decoded frame count).  The real version attaches the decoded
+   * frame bytes per row; the stub carries the frame index and a
+   * deterministic per-frame byte length so the fan-out shape, schema, and
+   * partitioning are exercised for real.
+   */
+  def sampleFrames(
+      df: DataFrame, idCol: String, srcCol: String,
+      sampleEvery: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nFrames = (octet_length(col(srcCol)) % 24 + 1).cast("long")
+    df.select(col(idCol).as("doc_id"), nFrames.as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(sampleEvery.toLong)))
+          .as("frame_idx"))
+  }
+
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
   def extractMeta(
       spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,
