@@ -386,6 +386,19 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // as-of join: last-click attribution for each purchase, per user
+    "q_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"))
+      ops.AsOfJoin.asof(purchases, clicks, "user_id", "pts", "cts", "c_")
+        .select(col("user_id"), col("event_id"), col("pts"),
+          col("c_cts").as("cts"), (col("pts") - col("c_cts")).as("gap_us"))
+        .orderBy("user_id", "pts", "event_id")
+    }),
+
     // conditional (pivot-style) aggregation per user
     "q_events_pivot" -> ((s, dir) =>
       events(s, dir)
@@ -708,6 +721,15 @@ object SparkEntry {
         "SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, " +
         "min(ts_us) AS sess_start, max(ts_us) AS sess_end " +
         "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
+
+    "q_asof_attribution" ->
+      ("WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS pts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(ts) AS cts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.user_id, p.event_id, p.pts, c.cts, p.pts - c.cts AS gap_us " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts " +
+        "ORDER BY p.user_id, p.pts, p.event_id"),
 
     "q_events_pivot" ->
       ("SELECT user_id, " +

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join: for each left row, the right row with the
+ * greatest `rightTime <= leftTime` within the same key — last-click
+ * attribution, price-as-of-trade, config-as-of-event.
+ *
+ * Spark has no native as-of join; the naive formulation is a range join
+ * (quadratic blow-up per key).  This implementation uses the union +
+ * running-`last` trick instead: tag both sides, union them, sort each key
+ * group once by (time, side), and carry the latest right payload forward
+ * with `last(ignoreNulls)` over a running frame.  Cost is ONE shuffle +
+ * sort of |left| + |right| rows — the optimal distributed shape, scale-
+ * independent of match distance.  Ties: a right row at exactly
+ * `leftTime` counts (sorts before the left row); equal-time right rows
+ * resolve to the lexicographically greatest payload, deterministically.
+ */
+object AsOfJoin {
+
+  def asof(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+
+    val lPay = struct(lCols.map(left(_)): _*)
+    val rPay = struct(rCols.map(right(_)): _*)
+    val lPayType = org.apache.spark.sql.types.StructType(
+      left.schema.fields)
+    val rPayType = org.apache.spark.sql.types.StructType(
+      right.schema.fields)
+
+    val l2 = left.select(
+      left(key).as("__k"), left(leftTime).as("__t"), lit(1).as("__side"),
+      lPay.as("__lpay"), lit(null).cast(rPayType).as("__rpay"))
+    val r2 = right.select(
+      right(key).as("__k"), right(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lPayType).as("__lpay"), rPay.as("__rpay"))
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__rpay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l2.unionByName(r2)
+      .withColumn("__match", last("__rpay", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__lpay.$c").as(c)) ++
+        rCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
+  }
+}

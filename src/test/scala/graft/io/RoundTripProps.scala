@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.TestSpark
+
+/** Property-based round-trip: arbitrary row sets survive CopyTo →
+  * CopyFrom bit-exactly (a step beyond the reference's literal-based
+  * tests). */
+class RoundTripProps extends Properties("parquet-roundtrip") {
+
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("l", LongType), StructField("s", StringType),
+    StructField("d", DoubleType), StructField("b", BooleanType),
+    StructField("arr", ArrayType(IntegerType))))
+
+  private val genRow: Gen[Row] = for {
+    l <- Gen.oneOf(Gen.long, Gen.const(Long.MinValue), Gen.const(Long.MaxValue))
+    s <- Gen.oneOf(Gen.alphaNumStr, Gen.const(""), Gen.const("héllo 中文 🎉"),
+      Gen.const(null: String))
+    d <- Gen.oneOf(Gen.double, Gen.const(Double.NaN),
+      Gen.const(Double.PositiveInfinity), Gen.const(0.0), Gen.const(-0.0))
+    b <- Gen.oneOf(true, false)
+    arr <- Gen.oneOf(
+      Gen.listOfN(3, Gen.chooseNum(Int.MinValue, Int.MaxValue)),
+      Gen.const(List.empty[Int]), Gen.const(null: List[Int]))
+  } yield Row(l, s, d, b, arr)
+
+  private def key(r: Row): String = {
+    // NaN-safe, -0.0-preserving canonical form
+    (0 until r.length).map { i =>
+      val v = r.get(i)
+      if (v == null) "∅"
+      else v match {
+        case d: Double => java.lang.Double.doubleToLongBits(d).toString
+        case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+        case other => other.toString
+      }
+    }.mkString("|")
+  }
+
+  property("write-read preserves every row") =
+    Prop.forAllNoShrink(Gen.listOfN(30, genRow)) { rows =>
+      val uri = TestSpark.tmpDir(s"prop_${Thread.currentThread().getId}")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      CopyTo(df, uri)
+      val back = CopyFrom(spark, uri, schema).collect().toSeq
+      val want = rows.map(key).sorted
+      val got = back.map(key).sorted
+      Prop(got == want) :| s"mismatch:\nwant=$want\ngot =$got"
+    }
+}

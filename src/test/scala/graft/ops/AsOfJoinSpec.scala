@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof picks the greatest right time at or before each left time") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 90L, 1.0), (1L, 100L, 2.0), (1L, 200L, 3.0),
+      (2L, 60L, 9.0)).toDF("k", "t", "px")
+
+    val out = AsOfJoin.asof(trades, quotes, "k", "t", "t", "q_")
+      .select("trade", "q_t", "q_px")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+
+    assert(out("t1") == (Some(100L), Some(2.0)))  // equal time counts
+    assert(out("t2") == (Some(200L), Some(3.0)))  // latest before 205
+    assert(out("t3") == (None, None))             // no quote <= 50 for k=2
+  }
+
+  test("asof result equals a brute-force range join") {
+    val n = 500
+    val left = (0 until n).map(i => (i % 7L, (i * 37 % 1000).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (0 until n).map(i => (i % 7L, (i * 53 % 1000).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+
+    val fast = AsOfJoin.asof(left, right, "k", "lt", "rt", "r_")
+      .select("k", "lt", "lid", "r_rt")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+
+    // brute force: max rt <= lt per left row (compare times only — the
+    // chosen row among equal-time quotes is tie-broken differently)
+    val brute = left.join(right, Seq("k"), "left_outer")
+      .filter(col("rt").isNull || col("rt") <= col("lt"))
+      .groupBy("k", "lt", "lid")
+      .agg(max("rt").as("r_rt"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    // rows with no match at all are absent from the filtered brute join —
+    // re-add them as None
+    val bruteAll = {
+      val matched = brute.map(t => (t._1, t._2, t._3))
+      val all = left.as[(Long, Long, Long)].collect().toSet
+      brute ++ all.filterNot(matched.contains).map(t => (t._1, t._2, t._3, None))
+    }
+    assert(fast == bruteAll)
+  }
+}
