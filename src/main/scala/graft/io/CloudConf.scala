@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Object-store auth configuration, mapping the reference's environment
+ * matrix (reference `src/object_store/aws.rs:26-166`,
+ * `azure.rs:23-254`, `gcs.rs:13-69`, README.md:277-364) onto the Hadoop
+ * connector configs Spark uses (`s3a://`, `abfs://`, `gs://`).
+ *
+ * The reference builds per-(scheme,bucket) store handles cached until
+ * credential expiry (`object_store_cache.rs:25-129`); with Hadoop
+ * connectors both concerns are built in: `FileSystem.CACHE` keys handles
+ * per (scheme, authority, ugi), and the AWS default provider chain
+ * refreshes STS tokens.  What remains is the env-var → conf translation
+ * below, applied once per session.
+ */
+object CloudConf {
+
+  /** Translate reference-recognized environment variables into Hadoop
+    * conf settings.  Pure (takes the env as a map) for testability. */
+  def hadoopSettings(env: Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+
+    // ---- AWS / S3 (reference aws.rs: config file + env + STS tokens)
+    env.get("AWS_ACCESS_KEY_ID").foreach(b += "fs.s3a.access.key" -> _)
+    env.get("AWS_SECRET_ACCESS_KEY").foreach(b += "fs.s3a.secret.key" -> _)
+    env.get("AWS_SESSION_TOKEN").foreach { t =>
+      b += "fs.s3a.session.token" -> t
+      b += "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    }
+    env.get("AWS_REGION").foreach(b += "fs.s3a.endpoint.region" -> _)
+    env.get("AWS_ENDPOINT_URL").foreach { ep =>
+      b += "fs.s3a.endpoint" -> ep
+      // custom endpoints (MinIO et al) are path-style
+      b += "fs.s3a.path.style.access" -> "true"
+    }
+    if (env.get("AWS_ALLOW_HTTP").exists(_.equalsIgnoreCase("true")))
+      b += "fs.s3a.connection.ssl.enabled" -> "false"
+
+    // ---- Azure Blob / ADLS (reference azure.rs: account key, SAS,
+    // connection string, client secret)
+    val account = env.get("AZURE_STORAGE_ACCOUNT")
+    account.foreach { acct =>
+      env.get("AZURE_STORAGE_KEY").foreach { key =>
+        b += s"fs.azure.account.key.$acct.dfs.core.windows.net" -> key
+        b += s"fs.azure.account.key.$acct.blob.core.windows.net" -> key
+      }
+      env.get("AZURE_STORAGE_SAS_TOKEN").foreach { sas =>
+        b += s"fs.azure.account.auth.type.$acct.dfs.core.windows.net" -> "SAS"
+        b += s"fs.azure.sas.fixed.token.$acct.dfs.core.windows.net" -> sas
+      }
+    }
+    env.get("AZURE_STORAGE_CONNECTION_STRING").foreach { cs =>
+      val parts = cs.split(";").flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      for {
+        acct <- parts.get("AccountName")
+        key <- parts.get("AccountKey")
+      } {
+        b += s"fs.azure.account.key.$acct.dfs.core.windows.net" -> key
+        b += s"fs.azure.account.key.$acct.blob.core.windows.net" -> key
+      }
+    }
+
+    // ---- GCS (reference gcs.rs: service-account key file)
+    env.get("GOOGLE_APPLICATION_CREDENTIALS").foreach { f =>
+      b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
+      b += "fs.gs.auth.service.account.json.keyfile" -> f
+    }
+    env.get("GOOGLE_SERVICE_ACCOUNT_KEY").foreach { _ =>
+      b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
+    }
+    b.result()
+  }
+
+  /** Apply the env-derived settings to a session's Hadoop configuration. */
+  def applyTo(
+      spark: SparkSession,
+      env: Map[String, String] = sys.env): Unit = {
+    val conf: Configuration = spark.sparkContext.hadoopConfiguration
+    hadoopSettings(env).foreach { case (k, v) => conf.set(k, v) }
+  }
+}

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drive CloudConf against a live session: apply a fake env and read the
+  * resulting Hadoop configuration back. */
+object CloudProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.io.CloudConf.applyTo(spark, Map(
+      "AWS_ACCESS_KEY_ID" -> "AK", "AWS_SECRET_ACCESS_KEY" -> "SK",
+      "AWS_SESSION_TOKEN" -> "TOK",
+      "AWS_ENDPOINT_URL" -> "http://localhost:9000",
+      "AWS_ALLOW_HTTP" -> "true"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq("fs.s3a.access.key", "fs.s3a.session.token",
+      "fs.s3a.aws.credentials.provider", "fs.s3a.endpoint",
+      "fs.s3a.path.style.access", "fs.s3a.connection.ssl.enabled")
+      .foreach(k => println(s"CLOUDCONF $k=${hc.get(k)}"))
+    // and a read attempt actually consults the configured endpoint
+    try spark.read.parquet("s3a://no-such-bucket/x.parquet").count()
+    catch { case e: Throwable =>
+      println("CLOUDCONF s3a read error (expected, no server): " +
+        e.getMessage.linesIterator.next().take(160)) }
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CloudConfSpec extends AnyFunSuite {
+
+  test("aws static keys map to s3a settings") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AWS_ACCESS_KEY_ID" -> "AK", "AWS_SECRET_ACCESS_KEY" -> "SK",
+      "AWS_REGION" -> "eu-west-1"))
+    assert(m("fs.s3a.access.key") == "AK")
+    assert(m("fs.s3a.secret.key") == "SK")
+    assert(m("fs.s3a.endpoint.region") == "eu-west-1")
+    assert(!m.contains("fs.s3a.session.token"))
+  }
+
+  test("sts session token switches the credentials provider") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AWS_ACCESS_KEY_ID" -> "AK", "AWS_SECRET_ACCESS_KEY" -> "SK",
+      "AWS_SESSION_TOKEN" -> "TOK"))
+    assert(m("fs.s3a.session.token") == "TOK")
+    assert(m("fs.s3a.aws.credentials.provider").contains("Temporary"))
+  }
+
+  test("custom endpoint implies path-style access; AWS_ALLOW_HTTP disables TLS") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AWS_ENDPOINT_URL" -> "http://localhost:9000",
+      "AWS_ALLOW_HTTP" -> "true"))
+    assert(m("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(m("fs.s3a.path.style.access") == "true")
+    assert(m("fs.s3a.connection.ssl.enabled") == "false")
+  }
+
+  test("azure account key and SAS token map per-account") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_ACCOUNT" -> "acct1", "AZURE_STORAGE_KEY" -> "KEY=="))
+    assert(m("fs.azure.account.key.acct1.dfs.core.windows.net") == "KEY==")
+    val s = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_ACCOUNT" -> "acct1", "AZURE_STORAGE_SAS_TOKEN" -> "sv=x"))
+    assert(s("fs.azure.account.auth.type.acct1.dfs.core.windows.net") == "SAS")
+    assert(s("fs.azure.sas.fixed.token.acct1.dfs.core.windows.net") == "sv=x")
+  }
+
+  test("azure connection string is parsed for account and key") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_CONNECTION_STRING" ->
+        "DefaultEndpointsProtocol=https;AccountName=a2;AccountKey=K2==;EndpointSuffix=core.windows.net"))
+    assert(m("fs.azure.account.key.a2.dfs.core.windows.net") == "K2==")
+  }
+
+  test("gcs service-account keyfile maps to gs auth settings") {
+    val m = CloudConf.hadoopSettings(Map(
+      "GOOGLE_APPLICATION_CREDENTIALS" -> "/tmp/sa.json"))
+    assert(m("fs.gs.auth.service.account.json.keyfile") == "/tmp/sa.json")
+    assert(m("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+  }
+
+  test("empty env maps to no settings") {
+    assert(CloudConf.hadoopSettings(Map.empty).isEmpty)
+  }
+}
