@@ -305,6 +305,18 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // custom mergeable sketch aggregate (KMV distinct estimate) next to
+    // the exact count — deterministic, so rows-only checks stay stable
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.functions.KmvSketch.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch
+            .kmvDistinct(col("l_partkey"), 512).as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")

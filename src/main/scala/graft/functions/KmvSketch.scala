@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/**
+ * KMV (k-minimum-values) distinct-count sketch as a native aggregate:
+ * keep the k smallest 64-bit hashes of the input; estimate
+ * |distinct| ≈ (k-1) · 2⁶⁴ / kth-minimum.  Fully mergeable (union of two
+ * sketches = k smallest of the concatenation), so it behaves correctly
+ * under Spark's partial/final aggregation — the map side sends k longs
+ * per group instead of the value set, the classic sketch bargain.
+ *
+ * Deterministic: the sketch is a pure function of the SET of input
+ * values (order-independent), so estimates are stable across runs and
+ * partitionings.  `approx_count_distinct` (HLL++) is the built-in
+ * alternative; KMV is here as the extensible template for custom
+ * sketches (theta, quantile, …) with an exposed mergeable state.
+ */
+case class KmvDistinctSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_kmv_distinct"
+
+  @transient private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // unsigned ordering via flip of the sign bit
+      val h = hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
+      add(buf, h)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    buf.add(h)
+    if (buf.size > k) { buf.pollLast(); () }
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size
+    if (n < k) n.toLong // fewer than k distinct hashes seen → exact
+    else {
+      // stored values are sign-flipped so signed order == unsigned order;
+      // map the kth minimum back to its position in [0, 2⁶⁴)
+      val frac = (buf.last().toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+      math.round((k - 1) / frac)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvDistinctSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvDistinctSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+object KmvSketch {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_distinct",
+      exprs => KmvDistinctSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+
+  /** Approximate distinct count of `c` with a k-minimum-values sketch. */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    call_function("graft_kmv_distinct", c, lit(k))
+}

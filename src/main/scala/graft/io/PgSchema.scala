@@ -86,4 +86,21 @@ object PgSchema {
       case _ => StringType
     }
   }
+
+  /** `time`/`timetz` encoding: microseconds since midnight in an int64
+    * (parquet TIME_MICROS), `timetz` normalized to UTC first — mirror of
+    * reference `pg_arrow_type_conversions.rs:118-176`. */
+  def timeToMicros(t: java.time.LocalTime): Long =
+    t.toNanoOfDay / 1000L
+
+  def microsToTime(us: Long): java.time.LocalTime =
+    java.time.LocalTime.ofNanoOfDay(us * 1000L)
+
+  /** `timetz` → UTC micros-of-day: shift by the offset, wrap at 24h. */
+  def timetzToUtcMicros(t: java.time.OffsetTime): Long = {
+    val dayUs = 24L * 3600 * 1000000
+    val us = t.toLocalTime.toNanoOfDay / 1000L -
+      t.getOffset.getTotalSeconds * 1000000L
+    ((us % dayUs) + dayUs) % dayUs
+  }
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KmvSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("exact below k, approximate within 10% above k") {
+    KmvSketch.register(spark)
+    val small = spark.range(100).select((col("id") % 50).as("v"))
+    val exactSmall = small.select(KmvSketch.kmvDistinct(col("v"), 256))
+      .head().getLong(0)
+    assert(exactSmall == 50L)
+
+    val big = spark.range(200000).select((col("id") % 10000).as("v"))
+    val est = big.select(KmvSketch.kmvDistinct(col("v"), 256))
+      .head().getLong(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10,
+      s"estimate $est too far from 10000")
+  }
+
+  test("estimate is partitioning-invariant (mergeable set semantics)") {
+    KmvSketch.register(spark)
+    val data = spark.range(50000).select((col("id") * 2654435761L % 7000).as("v"))
+    val one = data.coalesce(1)
+      .select(KmvSketch.kmvDistinct(col("v"), 128)).head().getLong(0)
+    val many = data.repartition(16)
+      .select(KmvSketch.kmvDistinct(col("v"), 128)).head().getLong(0)
+    assert(one == many)
+  }
+
+  test("works in grouped aggregation") {
+    KmvSketch.register(spark)
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(KmvSketch.kmvDistinct(col("l_partkey"), 512).as("approx"),
+        countDistinct("l_partkey").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e.toDouble) / e < 0.15, s"group ${r.getString(0)}: $a vs $e")
+    }
+  }
+}

@@ -106,6 +106,64 @@ class CopyRoundTripSpec extends AnyFunSuite {
       .exists(_ == Map("a" -> 1L, "b" -> 2L))))
   }
 
+  test("deep nested composite round-trips (product_example fixture)") {
+    // FIXTURES.md §2: product(id, name, items: array<product_item>)
+    val productItem = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("price", FloatType)))
+    val product = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("items", ArrayType(productItem))))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("product", product),
+      StructField("products", ArrayType(product)),
+      StructField("created_at", TimestampNTZType)))
+    val p1 = Row(1, "widget", Seq(Row(10, "bolt", 0.5f), Row(11, "nut", 0.25f)))
+    val rows = Seq(
+      Row(1, p1, Seq(p1, Row(2, "empty", Seq())),
+        java.time.LocalDateTime.parse("2020-01-01T00:00:00")),
+      Row(2, Row(3, null, null), null, null),
+      Row(3, null, Seq(), null))
+    val got = roundtrip("deep", schema, rows)
+    assert(got.size == 3)
+    val r1 = got.find(_.getInt(0) == 1).get
+    assert(r1.getStruct(1).getSeq[Row](2).map(_.getString(1)) ==
+      Seq("bolt", "nut"))
+    assert(r1.getSeq[Row](2).length == 2)
+  }
+
+  test("numeric beyond precision 38 round-trips via text fallback") {
+    // PgSchema maps numeric(P>38) to StringType; the values survive as
+    // exact decimal strings (reference pg_arrow_type_conversions.rs:302-306)
+    assert(PgSchema.sparkTypeFor("numeric(45,10)") == StringType)
+    val schema = StructType(Seq(StructField("n", StringType)))
+    val vals = Seq(
+      "123456789012345678901234567890123456789012345.0123456789",
+      "-0.00000000000000000000000000000000000000000001",
+      null)
+    val got = roundtrip("bignum", schema, vals.map(Row(_)))
+    assert(got.map(_.getString(0)).toSet == vals.toSet)
+  }
+
+  test("time-of-day encodes as int64 micros and round-trips") {
+    import java.time.{LocalTime, OffsetTime, ZoneOffset}
+    val t = LocalTime.parse("13:45:30.123456")
+    assert(PgSchema.microsToTime(PgSchema.timeToMicros(t)) == t)
+    // timetz: 13:45:30+02:00 == 11:45:30 UTC
+    val tz = OffsetTime.of(t, ZoneOffset.ofHours(2))
+    assert(PgSchema.timetzToUtcMicros(tz) ==
+      PgSchema.timeToMicros(LocalTime.parse("11:45:30.123456")))
+    // wrap-around below midnight UTC
+    val early = OffsetTime.of(LocalTime.parse("01:00:00"), ZoneOffset.ofHours(3))
+    assert(PgSchema.timetzToUtcMicros(early) ==
+      PgSchema.timeToMicros(LocalTime.parse("22:00:00")))
+    // storage round-trip through the int64-µs column
+    val schema = StructType(Seq(StructField("t_us", LongType)))
+    val rows = Seq(Row(PgSchema.timeToMicros(t)), Row(0L), Row(null))
+    assert(roundtrip("timeofday", schema, rows).size == 3)
+  }
+
   test("compression codecs write readable files; extension infers codec") {
     val df = spark.range(1000).toDF("v")
     for (codec <- Seq("snappy", "gzip", "zstd", "lz4", "uncompressed")) {
