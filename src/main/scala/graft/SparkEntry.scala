@@ -328,6 +328,18 @@ object SparkEntry {
       semi.unionAll(anti).select("tag", "n").orderBy("tag")
     }),
 
+    // correlated scalar subquery (Catalyst decorrelates into a join)
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+               (SELECT round(max(o_totalprice), 2) FROM g_orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM g_customer
+        ORDER BY c_custkey""")
+    }),
+
     // scalar string/math function surface
     "q_scalar_string" -> ((s, dir) =>
       t(s, dir, "part")
@@ -689,6 +701,12 @@ object SparkEntry {
         "SELECT 'no_orders' AS tag, CAST(count(*) AS BIGINT) AS n FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
         "ORDER BY tag"),
+
+    "q_scalar_subquery" ->
+      ("SELECT c_custkey, c_acctbal, " +
+        "(SELECT round(max(o_totalprice), 2) FROM orders " +
+        "WHERE o_custkey = c_custkey) AS max_order " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_scalar_string" ->
       ("SELECT p_partkey, upper(p_brand) AS brand_u, " +

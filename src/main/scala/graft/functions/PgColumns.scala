@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Column helpers for PG-typed values whose Spark carrier type loses the
+ * original form (SURVEY §1.3): UUID text ⇄ 16-byte binary (the reference
+ * writes FixedSizeBinary(16) with an Arrow UUID extension —
+ * `schema_parser.rs:360-365`), and JSON text validation.  Pure built-in
+ * compositions: fully codegen'd, no UDFs.
+ */
+object PgColumns {
+
+  /** Canonical uuid string → 16 raw bytes. */
+  def uuidToBin(c: Column): Column =
+    unhex(regexp_replace(lower(c), "-", ""))
+
+  /** 16 raw bytes → canonical lower-case uuid string. */
+  def binToUuid(c: Column): Column = {
+    val h = lower(hex(c))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** True when the string parses as a JSON object/array/value (mirrors
+    * the reference's jsonb validation on ingest). */
+  def isValidJson(c: Column): Column =
+    get_json_object(c, "$").isNotNull ||
+      from_json(c, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)).isNotNull
+}

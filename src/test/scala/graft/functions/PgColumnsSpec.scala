@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PgColumnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("uuid text round-trips through 16-byte binary") {
+    val uuids = Seq(
+      "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11",
+      "00000000-0000-0000-0000-000000000000",
+      "FFFFFFFF-FFFF-FFFF-FFFF-FFFFFFFFFFFF")
+    val df = uuids.toDF("u")
+      .withColumn("bin", PgColumns.uuidToBin(col("u")))
+      .withColumn("back", PgColumns.binToUuid(col("bin")))
+    val rows = df.select("u", "bin", "back").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("bin").length == 16)
+      assert(r.getString(2) == r.getString(0).toLowerCase)
+    }
+  }
+
+  test("uuid binary survives a parquet round-trip") {
+    val uuids = Seq("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    val uri = TestSpark.tmpDir("uuidbin")
+    graft.io.CopyTo(
+      uuids.toDF("u").select(PgColumns.uuidToBin(col("u")).as("ub")), uri)
+    val back = spark.read.parquet(uri)
+      .select(PgColumns.binToUuid(col("ub"))).head().getString(0)
+    assert(back == uuids.head)
+  }
+
+  test("json validity check") {
+    val df = Seq("""{"a": 1}""", """[1,2,3]""", "not json", "")
+      .toDF("j").withColumn("ok", PgColumns.isValidJson(col("j")))
+    val m = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(m("""{"a": 1}"""))
+    assert(m("""[1,2,3]"""))
+    assert(!m("not json"))
+    assert(!m(""))
+  }
+}
