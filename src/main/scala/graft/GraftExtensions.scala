@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * SparkSessionExtensions entry point: makes every graft function —
+ * the custom kernels (minhash/simhash/cosine/hyperplane/band/shingle
+ * hashing) and the KMV sketch aggregate — available in any session,
+ * including plain `spark.sql(...)`, via
+ *
+ *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+ * or
+ *   --conf spark.sql.extensions=graft.GraftExtensions
+ *
+ * (the injected functions are also registered lazily by the operator
+ * objects themselves, so library-API users need no setup at all).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+    def info(name: String): ExpressionInfo =
+      new ExpressionInfo("graft", name)
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash"),
+      exprs => functions.MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash"),
+      exprs => functions.SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine"),
+      exprs => functions.CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bits"),
+      info("graft_hyperplane_bits"),
+      exprs => functions.HyperplaneBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long])))
+    ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
+      info("graft_band_hashes"),
+      exprs => functions.BandHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes"),
+      exprs => functions.ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct"),
+      exprs => functions.KmvDistinctSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+  }
+}

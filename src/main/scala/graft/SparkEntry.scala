@@ -506,6 +506,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = ops.IvfIndex.train(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      ops.IvfIndex.search(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", model,
+          k = 10, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+import graft.functions.GraftFunctions
+
+/**
+ * IVF (inverted-file) approximate nearest neighbor index: k-means coarse
+ * quantization of the corpus, then queries probe only the `nprobe`
+ * nearest centroid cells.  Compared with hyperplane LSH, IVF adapts its
+ * cells to the data distribution, which wins on corpora with weak global
+ * neighbor structure (measured here: recall@10 0.25 LSH → much higher
+ * with 8 cells / 3 probes on the same embeddings).
+ *
+ * Scale shape: centroids are tiny (k × dim floats) and live on the
+ * driver/broadcast; assignment is one narrow pass over the corpus (at
+ * 100 TB you persist it partitioned by cell via
+ * `CopyToOptions.partitionBy("ivf_cell")`, making each probe a partition-
+ * pruned scan); search touches only `nprobe / k` of the data.
+ */
+object IvfIndex {
+
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Nearest-centroid id by cosine, as a single-pass expression.  The
+    * centroid matrix rides along as a foldable literal second child, so
+    * the expression needs no non-public Column constructors. */
+  private[ops] case class NearestCentroid(
+      child: Expression, centroidsExpr: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_ivf_cell"
+
+    @transient private lazy val centroids: Array[Array[Float]] = {
+      val outer = centroidsExpr.eval().asInstanceOf[ArrayData]
+      (0 until outer.numElements()).map { i =>
+        outer.getArray(i).toFloatArray()
+      }.toArray
+    }
+    @transient private lazy val norms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var best = 0
+      var bestSim = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var dot = 0.0; var nv = 0.0
+        var i = 0
+        while (i < dim && i < cent.length) {
+          val x = v.getFloat(i).toDouble
+          dot += x * cent(i); nv += x * x
+          i += 1
+        }
+        val sim =
+          if (nv == 0.0 || norms(c) == 0.0) Double.MinValue
+          else dot / (math.sqrt(nv) * norms(c))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def registerCellFn(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cell",
+      exprs => NearestCentroid(exprs.head, exprs(1)), "scala_udf")
+
+  private def nearestCell(df: DataFrame, vec: String, model: IvfModel): Column = {
+    registerCellFn(df.sparkSession)
+    call_function("graft_ivf_cell", df(vec), typedLit(model.centroids))
+  }
+
+  /**
+   * Deterministic Lloyd's k-means (cosine): init from the k lowest-id
+   * corpus vectors, fixed iteration count, centroids recomputed as
+   * per-cell elementwise means.  One Spark job per iteration; centroid
+   * state stays on the driver (k × dim floats).
+   */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(k).collect().map(_._2)
+
+    var it = 0
+    while (it < iters) {
+      val model = IvfModel(centroids)
+      val assigned = assign(df, idCol, vecCol, model)
+      val means = assigned
+        .select(col("ivf_cell"), posexplode(col(vecCol)))
+        .groupBy("ivf_cell", "pos")
+        .agg(avg("col").as("m"))
+        .as[(Int, Int, Double)]
+        .collect()
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_._2).max + 1
+            val m = new Array[Float](dim)
+            rows.foreach { case (_, pos, v) => m(pos) = v.toFloat }
+            m
+          case None => old // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    IvfModel(centroids)
+  }
+
+  /** Corpus → corpus + `ivf_cell` column (the partitioning key). */
+  def assign(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel): DataFrame =
+    df.withColumn("ivf_cell", nearestCell(df, vecCol, model))
+
+  /**
+   * ANN top-k: each query probes its `nprobe` nearest cells; candidates
+   * from those cells are exactly reranked by cosine.
+   */
+  def search(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: IvfModel, k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val assigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      "neighbor_id", "__v", model)
+
+    // per-query probed cells, computed driver-side over the tiny model
+    import spark.implicits._
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val probes = qRows.flatMap { case (qid, qv) =>
+      val nq = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      model.centroids.zipWithIndex.map { case (cent, c) =>
+        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        val dot = qv.zip(cent).map { case (a, b) => a.toDouble * b }.sum
+        val sim = if (nq == 0 || nc == 0) Double.MinValue else dot / (nq * nc)
+        (qid, c, sim)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(nprobe)
+        .map { case (id, c, _) => (id, qv, c) }
+    }.toSeq
+    val probeDf = spark.createDataFrame(probes)
+      .toDF("query_id", "__q", "ivf_cell")
+
+    val cand = assigned.join(broadcast(probeDf), Seq("ivf_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

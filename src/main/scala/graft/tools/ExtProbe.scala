@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drive GraftExtensions through a real session boot: the functions must
+  * be callable from plain SQL with no library-side registration. */
+object ExtProbe {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val cos = s.sql(
+      "SELECT graft_cosine(array(1.0F, 2.0F), array(2.0F, 3.0F)) AS c")
+      .head().getDouble(0)
+    println(s"EXTPROBE cosine=$cos expected=${8.0 / math.sqrt(65.0)}")
+    val sh = s.sql(
+      "SELECT size(graft_shingle_hashes('one two three four', 2)) AS n")
+      .head().getInt(0)
+    println(s"EXTPROBE shingles=$sh expected=3")
+    val kmv = s.sql("SELECT graft_kmv_distinct(id, 64) FROM range(40)")
+      .head().getLong(0)
+    println(s"EXTPROBE kmv=$kmv expected=40")
+    val mh = s.sql(
+      "SELECT size(graft_minhash(graft_shingle_hashes('a b c d e', 2), 16, 42L)) AS n")
+      .head().getInt(0)
+    println(s"EXTPROBE minhash_len=$mh expected=16")
+    s.stop()
+  }
+}

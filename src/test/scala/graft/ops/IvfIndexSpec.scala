@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ivf search finds an exact duplicate vector at rank 1") {
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val withDup = base :+ (99L, base(13)._2.clone())
+    val df = withDup.toDF("vec_id", "embedding")
+    val model = IvfIndex.train(df, "vec_id", "embedding", k = 4, iters = 3)
+    val out = IvfIndex.search(df, df.filter(col("vec_id") === 99),
+        "vec_id", "embedding", "vec_id", "embedding", model, k = 3, nprobe = 2)
+      .orderBy("rank")
+      .select("rank", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.head == (1L, 13L))
+  }
+
+  test("ivf recall beats hyperplane LSH on the sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 4)
+    val approx = IvfIndex.search(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", model, k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivf recall@10 = $recall%.3f (lsh was ~0.25)")
+    assert(recall > 0.4, s"ivf recall@10 = $recall")
+  }
+
+  test("assignment covers all rows and respects the centroid count") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cells = IvfIndex.assign(emb, "vec_id", "embedding", model)
+      .groupBy("ivf_cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == emb.count())
+    assert(cells.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+  }
+}
