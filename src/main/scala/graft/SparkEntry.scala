@@ -246,11 +246,15 @@ object SparkEntry {
     }),
 
     // window: running sum (frame with total order; quantities are
-    // integral so the running double sum is exact on both engines)
+    // integral so the running double sum is exact on both engines).
+    // The window order includes l_quantity: duplicate
+    // (shipdate, orderkey, linenumber) rows exist, and without it the
+    // intermediate running values depend on which tied row a parallel
+    // window operator processes first (observed flaky in DuckDB).
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
@@ -361,6 +365,16 @@ object SparkEntry {
           dayofmonth(col("o_orderdate")).cast("long").as("d"),
           quarter(col("o_orderdate")).cast("long").as("q"))
         .orderBy("o_orderkey")),
+
+    // exact interpolated percentiles (sort-based aggregate)
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+        .orderBy("l_returnflag")),
 
     // CASE bucketing + agg
     "q_case_bucket" -> ((s, dir) =>
@@ -671,7 +685,7 @@ object SparkEntry {
     "q_window_running" ->
       ("SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "round(sum(l_quantity) OVER (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty"),
 
@@ -733,6 +747,13 @@ object SparkEntry {
         "CAST(day(o_orderdate) AS BIGINT) AS d, " +
         "CAST(quarter(o_orderdate) AS BIGINT) AS q " +
         "FROM orders ORDER BY o_orderkey"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, " +
+        "round(quantile_cont(l_quantity, 0.25), 4) AS q25 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_case_bucket" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
