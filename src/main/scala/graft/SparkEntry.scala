@@ -477,6 +477,13 @@ object SparkEntry {
       graft.streaming.StatefulOps.userStats(s, stagedEventsDir(s, dir))
         .orderBy("user_id")),
 
+    // stateful streaming sessionization via flatMapGroupsWithState —
+    // same oracle as the batch q_sessionize
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StatefulOps.sessionize(s, stagedEventsDir(s, dir),
+          gapMicros = 21600000000L)
+        .orderBy("user_id", "sess_id")),
+
     // ------------------------------------------- pipeline ops: dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
@@ -809,6 +816,18 @@ object SparkEntry {
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "round(sum(value), 2) AS total_value FROM events " +
         "GROUP BY user_id ORDER BY user_id"),
+
+    "stream_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events), " +
+        "m AS (SELECT user_id, ts_us, event_id, CASE WHEN " +
+        "lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL " +
+        "OR ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 21600000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "s AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM m) " +
+        "SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, " +
+        "min(ts_us) AS sess_start, max(ts_us) AS sess_end " +
+        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
 
     "dedup_exact" ->
       ("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, n_chars FROM documents " +

@@ -32,6 +32,63 @@ object StatefulOps {
         .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
   }
 
+  // ------------------------------------------------------ sessionization
+  final case class SessionRow(
+      user_id: Long, sess_id: Long, n: Long, sess_start: Long, sess_end: Long)
+
+  /**
+   * Streaming sessionization via flatMapGroupsWithState: events of a user
+   * are split into sessions at silences longer than `gapMicros`.  Within
+   * a micro-batch the group's events arrive unordered — they are sorted
+   * by (time, id) before folding, so with a single AvailableNow batch the
+   * output equals the batch gaps-and-islands computation exactly (the
+   * driver checks it against the same SQL oracle as `q_sessionize`).
+   * Across batches the carried state is the last session's tail.
+   */
+  final case class SessState(
+      sessId: Long, n: Long, start: Long, lastTs: Long)
+
+  def sessionize(
+      spark: SparkSession, stageDir: String,
+      gapMicros: Long): DataFrame = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+
+    def fn(userId: Long, events: Iterator[Event],
+        state: GroupState[SessState]): Iterator[SessionRow] = {
+      val sorted = events.toArray.sortBy(e => (e.ts / 1000, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        val ts = e.ts / 1000
+        if (st == null) st = SessState(1L, 1L, ts, ts)
+        else if (ts - st.lastTs > gapMicros) {
+          out += SessionRow(userId, st.sessId, st.n, st.start, st.lastTs)
+          st = SessState(st.sessId + 1, 1L, ts, ts)
+        } else st = st.copy(n = st.n + 1, lastTs = ts)
+      }
+      if (st != null) {
+        // emit the open tail session too (complete for a one-batch run)
+        out += SessionRow(userId, st.sessId, st.n, st.start, st.lastTs)
+        state.update(st)
+      }
+      out.iterator
+    }
+
+    val qn = s"graft_sessionize_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).parquet(stageDir)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+  }
+
   /** Run the stateful per-user aggregation over a staged parquet dir and
     * return the final (update-mode) stats table. */
   def userStats(spark: SparkSession, stageDir: String): DataFrame = {
