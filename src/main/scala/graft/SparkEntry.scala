@@ -190,10 +190,12 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          // revenue/charge sums in EXACT decimal: fp sums of >2dp products
+          // can land on a rounding boundary where engines' round() on
+          // doubles disagree (observed in q7) and partial-agg order shifts
+          // the ulps — decimal arithmetic removes both hazards
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("sum_disc_price"),
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
@@ -210,8 +212,7 @@ object SparkEntry {
       li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -228,9 +229,39 @@ object SparkEntry {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // GROUP BY ... HAVING (post-aggregation filter)
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n_orders") >= 5)
+        .orderBy("o_custkey")),
+
+    // TPC-H Q7 shape: supplier-nation × customer-nation revenue per year
+    "q7_nation_flow" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val nat2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(nat2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
     // window: per-customer top-3 orders by price
@@ -652,8 +683,8 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
         "round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS sum_charge, " +
         "round(avg(l_quantity), 4) AS avg_qty, " +
         "round(avg(l_extendedprice), 4) AS avg_price, " +
         "round(avg(l_discount), 4) AS avg_disc, " +
@@ -663,7 +694,7 @@ object SparkEntry {
 
     "q3_join_topk" ->
       ("SELECT l_orderkey, o_orderdate, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -674,13 +705,30 @@ object SparkEntry {
 
     "q5_star_join" ->
       ("SELECT n_name, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
         "FROM region JOIN nation ON n_regionkey = r_regionkey " +
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name " +
         "ORDER BY revenue DESC, n_name"),
+
+    "q_having" ->
+      ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey"),
+
+    "q7_nation_flow" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name <> n2.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
 
     "q_window_rank" ->
       ("SELECT * FROM (SELECT o_custkey, " +
