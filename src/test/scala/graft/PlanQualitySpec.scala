@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape guards: the properties that make these queries scale are
+ * visible in the physical plan — pin them so a refactor can't silently
+ * regress pushdown, pruning, broadcast choice, or top-k strategy.
+ */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("io_filter pushes its predicates into the parquet scan") {
+    val p = plan("io_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(l_shipdate"))
+    assert(p.contains("GreaterThan(l_discount"))
+  }
+
+  test("io_filter prunes columns to the projected set") {
+    val p = plan("io_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_partkey"))
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q1 aggregates partially before its shuffle") {
+    val p = plan("q1_agg")
+    // partial + final HashAggregate pair around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("PushedFilters:"))
+  }
+
+  test("q3 broadcasts both dimension sides") {
+    val p = plan("q3_join_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected 2 broadcast joins:\n$p")
+  }
+
+  test("q_topk uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 star join keeps lineitem unshuffled before aggregation") {
+    val p = plan("q5_star_join")
+    // all four joins should be broadcast at this scale — the probe side
+    // (lineitem) streams straight into the partial aggregation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+}
