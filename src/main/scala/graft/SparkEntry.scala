@@ -233,6 +233,13 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ordered string aggregation (deterministic via sorted collect)
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))
+        .orderBy("n_regionkey")),
+
     // GROUP BY ... HAVING (post-aggregation filter)
     "q_having" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -712,6 +719,10 @@ object SparkEntry {
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name " +
         "ORDER BY revenue DESC, n_name"),
+
+    "q_string_agg" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
 
     "q_having" ->
       ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
