@@ -338,6 +338,14 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CUBE grouping sets (all key combinations)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // distinct aggregation
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -777,6 +785,11 @@ object SparkEntry {
         "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
         "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
 
     "q_distinct" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
