@@ -56,6 +56,56 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Exact decimal revenue sum at its natural scale 4 — NO rounding, so the
+    * value is bit-identical across engines regardless of their round()
+    * tie-breaking (see q7_nation_flow note). */
+  private val revenueExact = expr(
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) " +
+    "AS DECIMAL(38,4))")
+
+  /** The round-1 form: rounded to 2dp — kept for the q3/q7 shadow queries
+    * that bisect the r1 driver hash mismatch. */
+  private val revenueRounded2 = expr(
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) " +
+    "AS DECIMAL(38,2))")
+
+  /** Shared TPC-H Q3 body (joins + grouping) for the gate query and its
+    * type-bisecting shadows. */
+  private def q3Base(s: SparkSession, dir: String)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1997-06-30").cast(TimestampNTZType))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-30").cast(TimestampNTZType))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+  }
+
+  /** Shared TPC-H Q7 body for the gate query and its shadow. */
+  private def q7Base(s: SparkSession, dir: String)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val nat2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(nat2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+  }
+
   // =====================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -202,20 +252,36 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // TPC-H Q3 shape: 3-way join + agg + top-k (small dims broadcast)
-    "q3_join_topk" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1997-06-30").cast(TimestampNTZType))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1997-06-30").cast(TimestampNTZType))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("revenue"))
+    // TPC-H Q3 shape: 3-way join + agg + top-k (small dims broadcast).
+    // Round-2 hardening (r1 driver hash_match=false, cell-exact locally):
+    // o_orderdate emitted as DATE and revenue as the UNROUNDED exact
+    // DECIMAL(38,4) sum — no round() anywhere, so no rounding-mode
+    // dependence between engines can exist.  The r1-typed output lives on
+    // as q3_shadow_* below to bisect the driver-side canonicalization.
+    "q3_join_topk" -> ((s, dir) =>
+      q3Base(s, dir)
+        .agg(revenueExact.as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
+        .limit(10)),
+
+    // shadow A: exact r1 output types (TIMESTAMP + rounded DECIMAL(38,2))
+    "q3_shadow_ts_dec" -> ((s, dir) =>
+      q3Base(s, dir)
+        .agg(revenueRounded2.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // shadow B: DATE + rounded DECIMAL(38,2) — isolates timestamp vs
+    // rounded-decimal as the r1 failure's culprit column
+    "q3_shadow_date_rounddec" -> ((s, dir) =>
+      q3Base(s, dir)
+        .agg(revenueRounded2.as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
 
     // TPC-H Q5 shape: star join through region→nation→customer→orders→li
     "q5_star_join" -> ((s, dir) => {
@@ -249,27 +315,23 @@ object SparkEntry {
         .filter(col("n_orders") >= 5)
         .orderBy("o_custkey")),
 
-    // TPC-H Q7 shape: supplier-nation × customer-nation revenue per year
-    "q7_nation_flow" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      val cust = t(s, dir, "customer")
-      val supp = t(s, dir, "supplier")
-      val nat1 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val nat2 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nat1), col("s_nationkey") === col("s_nk"))
-        .join(broadcast(nat2), col("c_nationkey") === col("c_nk"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2))").as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
+    // TPC-H Q7 shape: supplier-nation × customer-nation revenue per year.
+    // Round-2 hardening: 47 of the 4188 scale-4 revenue sums at sf0.01 end
+    // in ...50, i.e. sit EXACTLY on the round-to-2dp half boundary where
+    // HALF_UP (Spark) and a half-even rounder disagree — the only
+    // mechanism found that explains the r1 driver hash_match=false while
+    // local DuckDB 1.0.0 matched cell-exact.  Emitting the unrounded
+    // DECIMAL(38,4) sum removes rounding from the contract entirely.
+    "q7_nation_flow" -> ((s, dir) =>
+      q7Base(s, dir)
+        .agg(revenueExact.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+
+    // shadow: exact r1 output (rounded DECIMAL(38,2)) for the bisect
+    "q7_shadow_rounddec" -> ((s, dir) =>
+      q7Base(s, dir)
+        .agg(revenueRounded2.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
 
     // window: per-customer top-3 orders by price
     "q_window_rank" -> ((s, dir) => {
@@ -708,7 +770,29 @@ object SparkEntry {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
 
     "q3_join_topk" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q3_shadow_ts_dec" ->
       ("SELECT l_orderkey, o_orderdate, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q3_shadow_date_rounddec" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
@@ -738,6 +822,18 @@ object SparkEntry {
         "GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey"),
 
     "q7_nation_flow" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name <> n2.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
+
+    "q7_shadow_rounddec" ->
       ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
         "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(38,2)) AS revenue " +
