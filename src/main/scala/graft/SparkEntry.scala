@@ -217,19 +217,31 @@ object SparkEntry {
     }),
 
     // ------------------------------------------- M1-M6 metadata functions
-    // (not expressible as portable ANSI SQL → rows-only driver check)
+    // Output columns/rendering match DuckDB's parquet introspection
+    // functions, so each is hash-checked against a real oracle (the
+    // `__SFDIR__` placeholder is substituted by Verify at run time).
     "meta_schema" -> ((s, dir) =>
-      ParquetInfo.schema(s, s"$dir/lineitem.parquet")),
+      ParquetInfo.schema(s, s"$dir/lineitem.parquet")
+        .unionAll(ParquetInfo.schema(s, s"$dir/embeddings.parquet"))
+        .unionAll(ParquetInfo.schema(s, s"$dir/events.parquet"))
+        .unionAll(ParquetInfo.schema(s, s"$dir/orders.parquet"))
+        .orderBy("uri", "name")),
     "meta_metadata" -> ((s, dir) =>
-      ParquetInfo.metadata(s, s"$dir/lineitem.parquet")),
+      ParquetInfo.metadata(s, s"$dir/lineitem.parquet")
+        .orderBy("uri", "row_group_id", "column_id")),
     "meta_file_metadata" -> ((s, dir) =>
-      ParquetInfo.fileMetadata(s, s"$dir/lineitem.parquet")),
+      ParquetInfo.fileMetadata(s, s"$dir/lineitem.parquet")
+        .unionAll(ParquetInfo.fileMetadata(s, s"$dir/orders.parquet"))
+        .unionAll(ParquetInfo.fileMetadata(s, s"$dir/events.parquet"))
+        .orderBy("uri")),
     "meta_kv_metadata" -> ((s, dir) =>
-      ParquetInfo.kvMetadata(s, s"$dir/lineitem.parquet")),
+      ParquetInfo.kvMetadata(s, s"$dir/lineitem.parquet")
+        .orderBy("uri", "key")),
     "meta_column_stats" -> ((s, dir) =>
-      ParquetInfo.columnStats(s, s"$dir/lineitem.parquet")),
+      ParquetInfo.columnStats(s, s"$dir/lineitem.parquet")
+        .orderBy("column_name")),
     "meta_list" -> ((s, dir) =>
-      ParquetInfo.list(s, s"$dir/*.parquet")),
+      ParquetInfo.list(s, s"$dir/*.parquet").orderBy("uri")),
 
     // ------------------------------------- relational surface (Catalyst)
     // TPC-H Q1 shape: scan + filter + hash agg
@@ -708,10 +720,68 @@ object SparkEntry {
   )
 
   // =====================================================================
-  /** DuckDB oracles.  Metadata functions, LSH/minhash/simhash (Spark-hash
-    * dependent) and fingerprint (xxhash64) are not ANSI-expressible →
-    * omitted (driver does rows-only checks there). */
+  /** DuckDB oracles.  LSH/minhash/simhash (Spark-hash dependent) and
+    * fingerprint (xxhash64) are not ANSI-expressible → omitted (driver
+    * does rows-only checks there).  Metadata functions are checked against
+    * DuckDB's own parquet introspection; `__SFDIR__` is replaced with the
+    * absolute scale-factor directory by Verify when it dumps
+    * oracle_sql.json. */
+  private val schemaCols = "name, type, type_length, repetition_type, " +
+    "num_children, converted_type, scale, precision, field_id, logical_type"
+
   def oracleSql: Map[String, String] = Map(
+    "meta_schema" ->
+      (s"SELECT file_name AS uri, $schemaCols " +
+        "FROM parquet_schema('__SFDIR__/lineitem.parquet') " +
+        s"UNION ALL SELECT file_name AS uri, $schemaCols " +
+        "FROM parquet_schema('__SFDIR__/embeddings.parquet') " +
+        s"UNION ALL SELECT file_name AS uri, $schemaCols " +
+        "FROM parquet_schema('__SFDIR__/events.parquet') " +
+        s"UNION ALL SELECT file_name AS uri, $schemaCols " +
+        "FROM parquet_schema('__SFDIR__/orders.parquet') " +
+        "ORDER BY uri, name"),
+
+    "meta_metadata" ->
+      ("SELECT file_name AS uri, row_group_id, row_group_num_rows, " +
+        "row_group_num_columns, row_group_bytes, column_id, num_values, " +
+        "path_in_schema, type, stats_min_value, stats_max_value, " +
+        "stats_null_count, stats_distinct_count, compression, " +
+        "array_to_string(list_sort(string_split(encodings, ', ')), ', ') AS encodings, " +
+        "dictionary_page_offset, data_page_offset, total_compressed_size, " +
+        "total_uncompressed_size " +
+        "FROM parquet_metadata('__SFDIR__/lineitem.parquet') " +
+        "ORDER BY uri, row_group_id, column_id"),
+
+    "meta_file_metadata" ->
+      ("SELECT file_name AS uri, created_by, num_rows, num_row_groups, " +
+        "format_version FROM parquet_file_metadata('__SFDIR__/lineitem.parquet') " +
+        "UNION ALL SELECT file_name AS uri, created_by, num_rows, " +
+        "num_row_groups, format_version " +
+        "FROM parquet_file_metadata('__SFDIR__/orders.parquet') " +
+        "UNION ALL SELECT file_name AS uri, created_by, num_rows, " +
+        "num_row_groups, format_version " +
+        "FROM parquet_file_metadata('__SFDIR__/events.parquet') " +
+        "ORDER BY uri"),
+
+    "meta_kv_metadata" ->
+      ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +
+        "FROM parquet_kv_metadata('__SFDIR__/lineitem.parquet') " +
+        "ORDER BY uri, key"),
+
+    // single-row-group fixture: the per-file aggregation is the identity,
+    // so DuckDB's per-chunk stats are directly comparable (multi-group
+    // aggregation is covered by ParquetInfoSpec)
+    "meta_column_stats" ->
+      ("SELECT path_in_schema AS column_name, stats_min_value AS min_value, " +
+        "stats_max_value AS max_value, stats_null_count AS null_count, " +
+        "stats_distinct_count AS distinct_count " +
+        "FROM parquet_metadata('__SFDIR__/lineitem.parquet') " +
+        "ORDER BY column_name"),
+
+    "meta_list" ->
+      ("SELECT filename AS uri, size FROM read_blob('__SFDIR__/*.parquet') " +
+        "ORDER BY uri"),
+
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
 

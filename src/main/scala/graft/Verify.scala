@@ -45,8 +45,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // metadata oracles name concrete files: resolve the placeholder to the
+    // absolute sf dir so DuckDB's file_name matches the Spark-side uri
+    val sfAbs = new java.io.File(sfDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.meta
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.metadata.ParquetMetadata
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
  * table-functions (reference `sql/pg_parquet.sql:19-106`,
  * `src/parquet_udfs/{schema,metadata,stats,list}.rs`) as plain functions
  * returning DataFrames.
+ *
+ * Output columns and value rendering deliberately match DuckDB's
+ * `parquet_schema()` / `parquet_metadata()` / `parquet_file_metadata()` /
+ * `parquet_kv_metadata()` so every function is independently
+ * oracle-checkable, the same way the reference pins its output in
+ * `src/pgrx_tests/udfs.rs:8-1088`.
  *
  * Footers are small and fetched driver-side (one ranged read per file),
  * exactly mirroring the reference's eager materialization
@@ -32,7 +38,7 @@ object ParquetInfo {
     * what `FileSystem.globStatus` already does. */
   def list(spark: SparkSession, pattern: String): DataFrame = {
     val rows = resolve(spark, pattern).map { case (p, len) =>
-      Row(p.toString, len)
+      Row(uriString(p), len)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -43,30 +49,37 @@ object ParquetInfo {
 
   // -------------------------------------------------------------- schema
   /** `parquet.schema(uri)` — one row per thrift schema element, walked
-    * depth-first like the reference (`parquet_udfs/schema.rs:15-166`). */
+    * depth-first like the reference (`parquet_udfs/schema.rs:15-166`).
+    * Columns and renderings match DuckDB `parquet_schema()`. */
   def schema(spark: SparkSession, pattern: String): DataFrame = {
-    val rows = withFooters(spark, pattern) { (uri, footer) =>
+    val rows = withFooters(spark, pattern) { (uri, footer, _) =>
       val msg = footer.getFileMetaData.getSchema
       val buf = Seq.newBuilder[Row]
       def walk(t: Type, depth: Int): Unit = {
         t match {
           case p: PrimitiveType =>
-            val lt = Option(p.getLogicalTypeAnnotation).map(_.toString).orNull
             val (prec, scale) = p.getLogicalTypeAnnotation match {
               case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-                (java.lang.Integer.valueOf(d.getPrecision),
-                 java.lang.Integer.valueOf(d.getScale))
+                (java.lang.Long.valueOf(d.getPrecision.toLong),
+                 java.lang.Long.valueOf(d.getScale.toLong))
               case _ => (null, null)
             }
-            buf += Row(uri, p.getName, p.getPrimitiveTypeName.name(),
-              p.getRepetition.name(), null, lt, prec, scale,
-              fieldId(p), java.lang.Integer.valueOf(p.getTypeLength))
+            val tlen =
+              if (p.getPrimitiveTypeName ==
+                  PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+                String.valueOf(p.getTypeLength)
+              else null
+            buf += Row(uri, p.getName, physicalName(p.getPrimitiveTypeName), tlen,
+              p.getRepetition.name(), null, convertedType(p), scale, prec,
+              fieldId(p), logicalTypeString(p.getLogicalTypeAnnotation))
           case g: GroupType =>
-            val lt = Option(g.getLogicalTypeAnnotation).map(_.toString).orNull
-            buf += Row(uri, g.getName,
-              null, if (depth == 0) null else g.getRepetition.name(),
-              java.lang.Integer.valueOf(g.getFieldCount), lt, null, null,
-              fieldId(g), null)
+            // the root MessageType reports REPEATED in parquet-mr; the
+            // thrift element (and DuckDB) say REQUIRED
+            val rep = if (depth == 0) "REQUIRED" else g.getRepetition.name()
+            buf += Row(uri, g.getName, null, null, rep,
+              java.lang.Long.valueOf(g.getFieldCount.toLong),
+              convertedType(g), null, null, fieldId(g),
+              logicalTypeString(g.getLogicalTypeAnnotation))
             g.getFields.asScala.foreach(walk(_, depth + 1))
         }
       }
@@ -78,47 +91,104 @@ object ParquetInfo {
       StructType(Seq(
         StructField("uri", StringType),
         StructField("name", StringType),
-        StructField("type_name", StringType),
-        StructField("repetition", StringType),
-        StructField("num_children", IntegerType),
-        StructField("logical_type", StringType),
-        StructField("precision", IntegerType),
-        StructField("scale", IntegerType),
-        StructField("field_id", IntegerType),
-        StructField("type_length", IntegerType))))
+        StructField("type", StringType),
+        StructField("type_length", StringType),
+        StructField("repetition_type", StringType),
+        StructField("num_children", LongType),
+        StructField("converted_type", StringType),
+        StructField("scale", LongType),
+        StructField("precision", LongType),
+        StructField("field_id", LongType),
+        StructField("logical_type", StringType))))
   }
 
-  private def fieldId(t: Type): java.lang.Integer =
-    Option(t.getId).map(i => java.lang.Integer.valueOf(i.intValue())).orNull
+  /** Thrift spelling of the physical type (parquet-mr says BINARY where
+    * the format — and DuckDB — say BYTE_ARRAY). */
+  private def physicalName(p: PrimitiveType.PrimitiveTypeName): String =
+    if (p == PrimitiveType.PrimitiveTypeName.BINARY) "BYTE_ARRAY" else p.name()
+
+  private def fieldId(t: Type): java.lang.Long =
+    Option(t.getId).map(i => java.lang.Long.valueOf(i.intValue().toLong)).orNull
+
+  /** Thrift ConvertedType name (legacy annotation), e.g. UTF8, LIST,
+    * TIMESTAMP_MILLIS — None for types only expressible as logical types
+    * (e.g. nanosecond timestamps). */
+  private def convertedType(t: Type): String = {
+    @annotation.nowarn("cat=deprecation")
+    val ot = t.getOriginalType
+    if (ot == null) null else ot.name()
+  }
+
+  /** DuckDB-style rendering of the thrift LogicalType struct, e.g.
+    * `StringType()`, `TimestampType(isAdjustedToUTC=0,
+    * unit=TimeUnit(MILLIS=MilliSeconds(), MICROS=<null>, NANOS=<null>))`. */
+  private def logicalTypeString(lt: LogicalTypeAnnotation): String = {
+    import LogicalTypeAnnotation._
+    def b(v: Boolean) = if (v) "1" else "0"
+    def unit(u: TimeUnit): String = {
+      val m = if (u == TimeUnit.MILLIS) "MilliSeconds()" else "<null>"
+      val mi = if (u == TimeUnit.MICROS) "MicroSeconds()" else "<null>"
+      val n = if (u == TimeUnit.NANOS) "NanoSeconds()" else "<null>"
+      s"TimeUnit(MILLIS=$m, MICROS=$mi, NANOS=$n)"
+    }
+    lt match {
+      case null => null
+      case _: StringLogicalTypeAnnotation => "StringType()"
+      case _: ListLogicalTypeAnnotation => "ListType()"
+      case _: MapLogicalTypeAnnotation => "MapType()"
+      case _: EnumLogicalTypeAnnotation => "EnumType()"
+      case _: DateLogicalTypeAnnotation => "DateType()"
+      case _: JsonLogicalTypeAnnotation => "JsonType()"
+      case _: BsonLogicalTypeAnnotation => "BsonType()"
+      case _: UUIDLogicalTypeAnnotation => "UUIDType()"
+      case d: DecimalLogicalTypeAnnotation =>
+        s"DecimalType(scale=${d.getScale}, precision=${d.getPrecision})"
+      case i: IntLogicalTypeAnnotation =>
+        s"IntType(bitWidth=${i.getBitWidth}, isSigned=${b(i.isSigned)})"
+      case t: TimeLogicalTypeAnnotation =>
+        s"TimeType(isAdjustedToUTC=${b(t.isAdjustedToUTC)}, unit=${unit(t.getUnit)})"
+      case ts: TimestampLogicalTypeAnnotation =>
+        s"TimestampType(isAdjustedToUTC=${b(ts.isAdjustedToUTC)}, unit=${unit(ts.getUnit)})"
+      case other => other.toString
+    }
+  }
 
   // ------------------------------------------------------------ metadata
   /** `parquet.metadata(uri)` — one row per (row group × column chunk),
-    * reference `parquet_udfs/metadata.rs:14-132`. */
+    * reference `parquet_udfs/metadata.rs:14-132`; columns and stat
+    * rendering match DuckDB `parquet_metadata()` (encodings are emitted
+    * sorted — canonicalize the oracle side the same way). */
   def metadata(spark: SparkSession, pattern: String): DataFrame = {
-    val rows = withFooters(spark, pattern) { (uri, footer) =>
+    val rows = withFooters(spark, pattern) { (uri, footer, extras) =>
       footer.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (blk, rg) =>
-        blk.getColumns.asScala.toSeq.map { cc =>
+        blk.getColumns.asScala.toSeq.zipWithIndex.map { case (cc, ci) =>
           val st = cc.getStatistics
           val render = renderer(cc)
+          val dictOff = cc.getDictionaryPageOffset
           Row(
             uri,
             java.lang.Long.valueOf(rg.toLong),
             java.lang.Long.valueOf(blk.getRowCount),
+            java.lang.Long.valueOf(blk.getColumns.size.toLong),
             java.lang.Long.valueOf(blk.getTotalByteSize),
-            cc.getPath.toDotString,
-            cc.getPrimitiveType.getPrimitiveTypeName.name(),
+            java.lang.Long.valueOf(ci.toLong),
             java.lang.Long.valueOf(cc.getValueCount),
-            java.lang.Long.valueOf(cc.getTotalUncompressedSize),
-            java.lang.Long.valueOf(cc.getTotalSize),
-            java.lang.Long.valueOf(cc.getFirstDataPageOffset),
-            cc.getCodec.name(),
-            cc.getEncodings.asScala.map(_.name()).toSeq.sorted.mkString(","),
-            if (st == null || !st.isNumNullsSet) null
-            else java.lang.Long.valueOf(st.getNumNulls),
+            cc.getPath.toDotString,
+            physicalName(cc.getPrimitiveType.getPrimitiveTypeName),
             if (st == null || !st.hasNonNullValue) null
             else render(st.genericGetMin),
             if (st == null || !st.hasNonNullValue) null
-            else render(st.genericGetMax))
+            else render(st.genericGetMax),
+            if (st == null || !st.isNumNullsSet) null
+            else java.lang.Long.valueOf(st.getNumNulls),
+            extras.distinct.get((rg, cc.getPath.toDotString))
+              .map(java.lang.Long.valueOf).orNull,
+            cc.getCodec.name(),
+            cc.getEncodings.asScala.map(_.name()).toSeq.sorted.mkString(", "),
+            if (dictOff > 0L) java.lang.Long.valueOf(dictOff) else null,
+            java.lang.Long.valueOf(cc.getFirstDataPageOffset),
+            java.lang.Long.valueOf(cc.getTotalSize),
+            java.lang.Long.valueOf(cc.getTotalUncompressedSize))
         }
       }
     }
@@ -128,31 +198,36 @@ object ParquetInfo {
         StructField("uri", StringType),
         StructField("row_group_id", LongType),
         StructField("row_group_num_rows", LongType),
+        StructField("row_group_num_columns", LongType),
         StructField("row_group_bytes", LongType),
-        StructField("column_path", StringType),
-        StructField("physical_type", StringType),
+        StructField("column_id", LongType),
         StructField("num_values", LongType),
-        StructField("total_uncompressed_size", LongType),
-        StructField("total_compressed_size", LongType),
-        StructField("data_page_offset", LongType),
+        StructField("path_in_schema", StringType),
+        StructField("type", StringType),
+        StructField("stats_min_value", StringType),
+        StructField("stats_max_value", StringType),
+        StructField("stats_null_count", LongType),
+        StructField("stats_distinct_count", LongType),
         StructField("compression", StringType),
         StructField("encodings", StringType),
-        StructField("null_count", LongType),
-        StructField("stats_min", StringType),
-        StructField("stats_max", StringType))))
+        StructField("dictionary_page_offset", LongType),
+        StructField("data_page_offset", LongType),
+        StructField("total_compressed_size", LongType),
+        StructField("total_uncompressed_size", LongType))))
   }
 
   // ------------------------------------------------------- file_metadata
   /** `parquet.file_metadata(uri)`, reference
-    * `parquet_udfs/metadata.rs:134-174`. */
+    * `parquet_udfs/metadata.rs:134-174`.  `format_version` is the thrift
+    * footer's version field (`metadata.rs:163`), not a constant. */
   def fileMetadata(spark: SparkSession, pattern: String): DataFrame = {
-    val rows = withFooters(spark, pattern) { (uri, footer) =>
+    val rows = withFooters(spark, pattern) { (uri, footer, extras) =>
       val fm = footer.getFileMetaData
       Seq(Row(uri, fm.getCreatedBy,
         java.lang.Long.valueOf(
           footer.getBlocks.asScala.map(_.getRowCount).sum),
         java.lang.Long.valueOf(footer.getBlocks.size.toLong),
-        "1"))
+        java.lang.Long.valueOf(extras.version.toLong)))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -161,14 +236,14 @@ object ParquetInfo {
         StructField("created_by", StringType),
         StructField("num_rows", LongType),
         StructField("num_row_groups", LongType),
-        StructField("format_version", StringType))))
+        StructField("format_version", LongType))))
   }
 
   // --------------------------------------------------------- kv_metadata
   /** `parquet.kv_metadata(uri)`, reference
     * `parquet_udfs/metadata.rs:176-215`. */
   def kvMetadata(spark: SparkSession, pattern: String): DataFrame = {
-    val rows = withFooters(spark, pattern) { (uri, footer) =>
+    val rows = withFooters(spark, pattern) { (uri, footer, _) =>
       footer.getFileMetaData.getKeyValueMetaData.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => Row(uri, k, v) }
     }
@@ -184,20 +259,24 @@ object ParquetInfo {
   /**
    * `parquet.column_stats(uri)` — per-leaf-column stats aggregated across
    * row groups (and, beyond the reference, across matched files): min of
-   * mins / max of maxes with typed comparison, summed null counts.
-   * Reference `src/parquet_udfs/stats.rs:29-165,386-484`.
+   * mins / max of maxes with typed comparison, summed null counts, summed
+   * distinct counts when every chunk carries one (reference
+   * `src/parquet_udfs/stats.rs:29-165,386-484`; distinct summing
+   * `stats.rs:80-108`).
    */
   def columnStats(spark: SparkSession, pattern: String): DataFrame = {
     final case class Acc(
         var min: Any, var max: Any,
-        var nulls: Long, var nullsSet: Boolean, var render: Any => String)
+        var nulls: Long, var nullsSet: Boolean,
+        var distinct: Long, var distinctSet: Boolean,
+        var render: Any => String)
     val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
-    withFooters(spark, pattern) { (_, footer) =>
-      footer.getBlocks.asScala.foreach { blk =>
+    withFooters(spark, pattern) { (_, footer, extras) =>
+      footer.getBlocks.asScala.zipWithIndex.foreach { case (blk, rg) =>
         blk.getColumns.asScala.foreach { cc =>
           val key = cc.getPath.toDotString
           val acc = accs.getOrElseUpdate(key,
-            Acc(null, null, 0L, false, renderer(cc)))
+            Acc(null, null, 0L, false, 0L, true, renderer(cc)))
           val st = cc.getStatistics
           if (st != null) {
             if (st.isNumNullsSet) { acc.nulls += st.getNumNulls; acc.nullsSet = true }
@@ -208,6 +287,12 @@ object ParquetInfo {
               if (acc.max == null || compareStat(mx, acc.max) > 0) acc.max = mx
             }
           }
+          // distinct_count only survives if EVERY chunk of the column has
+          // it (a sum over a subset would under-report), like stats.rs:96
+          extras.distinct.get((rg, key)) match {
+            case Some(d) => acc.distinct += d
+            case None => acc.distinctSet = false
+          }
         }
       }
       Nil
@@ -216,7 +301,8 @@ object ParquetInfo {
       Row(colName,
         if (a.min == null) null else a.render(a.min),
         if (a.max == null) null else a.render(a.max),
-        if (a.nullsSet) java.lang.Long.valueOf(a.nulls) else null)
+        if (a.nullsSet) java.lang.Long.valueOf(a.nulls) else null,
+        if (a.distinctSet) java.lang.Long.valueOf(a.distinct) else null)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -224,7 +310,8 @@ object ParquetInfo {
         StructField("column_name", StringType),
         StructField("min_value", StringType),
         StructField("max_value", StringType),
-        StructField("null_count", LongType))))
+        StructField("null_count", LongType),
+        StructField("distinct_count", LongType))))
   }
 
   private def compareStat(a: Any, b: Any): Int =
@@ -234,8 +321,9 @@ object ParquetInfo {
       case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
     }
 
-  /** Typed rendering of a stat value per logical type — the PG-style
-    * formatting of reference `stats.rs:168-384`. */
+  /** Typed rendering of a stat value per logical type — PG-style
+    * formatting like reference `stats.rs:168-384`, matching DuckDB's
+    * stat rendering so results are oracle-checkable. */
   private def renderer(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
       : Any => String = {
@@ -245,6 +333,13 @@ object ParquetInfo {
       case (b: org.apache.parquet.io.api.Binary,
             _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
         b.toStringUsingUTF8
+      case (b: org.apache.parquet.io.api.Binary,
+            _: LogicalTypeAnnotation.UUIDLogicalTypeAnnotation) =>
+        uuidString(b.getBytes)
+      case (b: org.apache.parquet.io.api.Binary,
+            d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        new java.math.BigDecimal(
+          new java.math.BigInteger(b.getBytes), d.getScale).toPlainString
       case (b: org.apache.parquet.io.api.Binary, _) =>
         b.getBytes.map("%02x".format(_)).mkString
       case (i: java.lang.Integer,
@@ -257,8 +352,7 @@ object ParquetInfo {
           case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue()
           case LogicalTypeAnnotation.TimeUnit.NANOS  => l / 1000L
         }
-        java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
-          .toString
+        timestampString(micros)
       case (n: java.lang.Number,
             d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
         java.math.BigDecimal.valueOf(n.longValue(), d.getScale).toPlainString
@@ -266,7 +360,69 @@ object ParquetInfo {
     }
   }
 
+  /** `yyyy-MM-dd HH:mm:ss[.ffffff]` with the micro fraction trimmed of
+    * trailing zeros and omitted when zero — DuckDB's timestamp text. */
+  private def timestampString(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  private def uuidString(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
   // ------------------------------------------------------------ plumbing
+  /** Fields parquet-mr's object model hides but the thrift footer has:
+    * the format version and per-chunk distinct counts. */
+  private final case class ThriftExtras(
+      version: Int, distinct: Map[(Int, String), Long])
+
+  /** One ranged read of the raw thrift footer (reference reads the same
+    * struct through parquet-rs, `parquet_udfs/metadata.rs:163`). */
+  private def readThriftExtras(
+      conf: org.apache.hadoop.conf.Configuration, path: Path): ThriftExtras = {
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val tail = new Array[Byte](8)
+      in.seek(len - 8); in.readFully(tail)
+      require(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1',
+        s"$path is not a parquet file (bad magic)")
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      val buf = new Array[Byte](footerLen)
+      in.seek(len - 8 - footerLen); in.readFully(buf)
+      val fmd = org.apache.parquet.format.Util.readFileMetaData(
+        new java.io.ByteArrayInputStream(buf))
+      val distinct = Map.newBuilder[(Int, String), Long]
+      fmd.getRow_groups.asScala.zipWithIndex.foreach { case (rg, i) =>
+        rg.getColumns.asScala.foreach { col =>
+          val md = col.getMeta_data
+          if (md != null && md.isSetStatistics &&
+              md.getStatistics.isSetDistinct_count)
+            distinct += ((i, md.getPath_in_schema.asScala.mkString(".")) ->
+              md.getStatistics.getDistinct_count)
+        }
+      }
+      ThriftExtras(fmd.getVersion, distinct.result())
+    } finally in.close()
+  }
+
+  /** Render file: URIs as plain paths (matching DuckDB's file_name). */
+  private def uriString(p: Path): String = {
+    val u = p.toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
+  }
+
   /** Expand a (possibly glob) uri to concrete files with sizes. */
   private def resolve(
       spark: SparkSession, pattern: String): Seq[(Path, Long)] = {
@@ -290,12 +446,12 @@ object ParquetInfo {
   }
 
   private def withFooters[T](spark: SparkSession, pattern: String)(
-      f: (String, ParquetMetadata) => Seq[T]): Seq[T] = {
+      f: (String, ParquetMetadata, ThriftExtras) => Seq[T]): Seq[T] = {
     val conf = spark.sessionState.newHadoopConf()
     resolve(spark, pattern).flatMap { case (path, _) =>
       val in = HadoopInputFile.fromPath(path, conf)
       val reader = ParquetFileReader.open(in)
-      try f(path.toString, reader.getFooter)
+      try f(uriString(path), reader.getFooter, readThriftExtras(conf, path))
       finally reader.close()
     }
   }

@@ -209,9 +209,9 @@ class CopyRoundTripSpec extends AnyFunSuite {
     val ids = ParquetInfo.schema(spark, s"$uri/*.parquet")
       .select("name", "field_id").collect()
       .map(r => r.getString(0) -> Option(r.get(1))).toMap
-    assert(ids("a").contains(0))
-    assert(ids("nested").contains(1))
-    assert(ids("x").contains(2))
+    assert(ids("a").contains(0L))
+    assert(ids("nested").contains(1L))
+    assert(ids("x").contains(2L))
   }
 
   test("duplicate explicit field ids are rejected") {
@@ -281,8 +281,8 @@ class CopyRoundTripSpec extends AnyFunSuite {
     try CopyTo(df.repartition(8), uri, CopyToOptions(clusterBy = Seq("key")))
     finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
     val ranges = ParquetInfo.metadata(spark, s"$uri/*.parquet")
-      .filter(col("column_path") === "key")
-      .select("uri", "stats_min", "stats_max").collect()
+      .filter(col("path_in_schema") === "key")
+      .select("uri", "stats_min_value", "stats_max_value").collect()
       .map(r => (r.getString(1).toLong, r.getString(2).toLong))
     assert(ranges.length > 1)
     // every file/row-group spans a narrow slice, not the full key domain

@@ -26,18 +26,29 @@ class ParquetInfoSpec extends AnyFunSuite {
       .subsetOf(names))
     val shipdate = ParquetInfo.schema(spark, li)
       .filter(col("name") === "l_shipdate").head()
-    assert(shipdate.getAs[String]("type_name") == "INT64")
-    assert(shipdate.getAs[String]("logical_type").contains("TIMESTAMP"))
+    assert(shipdate.getAs[String]("type") == "INT64")
+    assert(shipdate.getAs[String]("logical_type").contains("TimestampType"))
   }
 
   test("metadata exposes per-chunk sizes and stats") {
     val m = ParquetInfo.metadata(spark, li)
     assert(m.count() == 11) // one row group x 11 columns
-    val ok = m.filter(col("column_path") === "l_orderkey").head()
+    val ok = m.filter(col("path_in_schema") === "l_orderkey").head()
     assert(ok.getAs[Long]("num_values") == 6000L)
-    assert(ok.getAs[String]("stats_min") == "0")
-    assert(ok.getAs[String]("stats_max") == "1499")
+    assert(ok.getAs[String]("stats_min_value") == "0")
+    assert(ok.getAs[String]("stats_max_value") == "1499")
     assert(ok.getAs[Long]("total_compressed_size") > 0L)
+  }
+
+  test("file_metadata reports the thrift footer format_version") {
+    // the pyarrow-written fixtures are format v2
+    val r = ParquetInfo.fileMetadata(spark, li).head()
+    assert(r.getAs[Long]("format_version") == 2L)
+    // a Spark-written v1 file reports 1
+    val uri = TestSpark.tmpDir("fmtver")
+    spark.range(10).write.mode("overwrite").parquet(uri)
+    val v = ParquetInfo.fileMetadata(spark, s"$uri/*.parquet").head()
+    assert(v.getAs[Long]("format_version") == 1L)
   }
 
   test("column_stats aggregates across row groups with typed rendering") {
