@@ -636,7 +636,7 @@ object SparkEntry {
 
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.4, tables = 8, bitsPerTable = 8)
+          "embedding", threshold = 0.4, tables = 8, bitsPerTable = 6)
         .orderBy("a", "b")),
 
     // --------------------------------------- pipeline ops: similarity
@@ -661,7 +661,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 10,
-          tables = 8, bitsPerTable = 8)
+          tables = 8, bitsPerTable = 6)
         .orderBy("query_id", "rank")
     }),
 

@@ -302,8 +302,11 @@ case class HyperplaneBits(child: Expression, nbits: Int, seed: Long)
       var i = 0
       while (i < dim) {
         val h = GraftFunctions.mix64(seed + b.toLong * 1000003L + i)
-        // map to [-1, 1)
-        val comp = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        // 53 uniform bits → [0,1) → map to zero-mean [-1, 1).  (A /2^52
+        // divisor here once skewed components into [-1,3), collapsing
+        // bucket diversity: every hyperplane pointed into the positive
+        // orthant.)
+        val comp = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
         dot += v.getFloat(i) * comp
         i += 1
       }

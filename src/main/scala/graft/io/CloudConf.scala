@@ -74,10 +74,39 @@ object CloudConf {
       b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
       b += "fs.gs.auth.service.account.json.keyfile" -> f
     }
-    env.get("GOOGLE_SERVICE_ACCOUNT_KEY").foreach { _ =>
+    // The reference treats this var as INLINE key JSON (gcs.rs:34-41);
+    // the Hadoop connector only reads key material from a file, so spill
+    // the content to a private temp file and point the conf at it.
+    env.get("GOOGLE_SERVICE_ACCOUNT_KEY").foreach { json =>
       b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
+      b += "fs.gs.auth.service.account.json.keyfile" ->
+        materializeKey(json).toString
     }
     b.result()
+  }
+
+  /** Write inline service-account key JSON to an owner-only temp file
+    * (content-addressed so repeated calls reuse one file). */
+  private[io] def materializeKey(json: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gcs_key_$digest.json")
+    if (!Files.exists(p)) {
+      val tmp = Files.createTempFile(
+        p.getParent, "graft_gcs_key_", ".json.tmp",
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rw-------")))
+      Files.write(tmp, json.getBytes("UTF-8"))
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
+        Files.deleteIfExists(tmp)
+      }
+    }
+    p
   }
 
   /** Apply the env-derived settings to a session's Hadoop configuration. */

@@ -71,8 +71,32 @@ object CopyTo {
       .option("parquet.writer.version",
         if (opts.parquetVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
     opts.compressionLevel.foreach { l =>
-      if (codec == "zstd")
-        w = w.option("parquet.compression.codec.zstd.level", l.toString)
+      codec match {
+        case "zstd" =>
+          w = w.option("parquet.compression.codec.zstd.level", l.toString)
+        case "gzip" =>
+          // parquet-hadoop's gzip path is Hadoop's zlib codec, whose level
+          // comes from this enum-valued conf (reference maps gzip 0-10,
+          // copy_utils.rs; zlib tops out at 9)
+          val name = math.min(l, 9) match {
+            case 0 => "NO_COMPRESSION"
+            case 1 => "BEST_SPEED"
+            case 2 => "TWO"
+            case 3 => "THREE"
+            case 4 => "FOUR"
+            case 5 => "FIVE"
+            case 6 => "SIX"
+            case 7 => "SEVEN"
+            case 8 => "EIGHT"
+            case _ => "BEST_COMPRESSION"
+          }
+          w = w.option("zlib.compress.level", name)
+        case other =>
+          // brotli levels would need a codec this classpath doesn't ship;
+          // fail loudly rather than silently writing at the default level
+          throw new IllegalArgumentException(
+            s"compression_level is not supported for codec '$other'")
+      }
     }
     if (opts.fieldIds != "none")
       w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -170,7 +194,7 @@ object FieldIds {
       case other => other
     }
     val newSchema = assign(df.schema).asInstanceOf[StructType]
-    df.sparkSession.createDataFrame(df.rdd, newSchema)
+    withSchema(df, newSchema)
   }
 
   /** Explicit mapping: flat JSON object {"col": id, "nested.field": id}. */
@@ -194,7 +218,20 @@ object FieldIds {
       }
     }
     val newSchema = StructType(df.schema.fields.map(assign("", _)))
-    df.sparkSession.createDataFrame(df.rdd, newSchema)
+    withSchema(df, newSchema)
+  }
+
+  /** Attach the re-metadata'd schema as a zero-cost projection — NO RDD
+    * detour (an `df.rdd` round-trip would de-columnarize every write that
+    * uses field ids).  Nested ids ride inside the column's dataType (an
+    * identity cast carries the annotated type); top-level ids ride in the
+    * alias metadata. */
+  private def withSchema(df: DataFrame, newSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = newSchema.fields.map { f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name, f.metadata)
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   private def parseFlatJson(json: String): Map[String, Long] = {

@@ -40,7 +40,32 @@ object KvMetadata {
         }
         buf.result()
       } else Seq(p)
-    files.foreach(f => addToFile(conf, f, kv))
+    // Footer rewrite is O(file bytes) per file: run it WHERE the data is.
+    // A driver-side loop over a large write would pull every byte through
+    // one machine; a distributed foreach keeps the rewrite O(bytes/executor).
+    if (files.sizeIs <= 2) files.foreach(f => addToFile(conf, f, kv))
+    else {
+      val serConf = new SerializableHadoopConf(conf)
+      val paths = files.map(_.toString)
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size, 64))
+        .foreach(s => addToFile(serConf.value, new Path(s), kv))
+    }
+  }
+
+  /** Minimal serializable Hadoop-conf carrier (avoids depending on Spark's
+    * unstable internal wrapper). */
+  private class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
   }
 
   /** Rewrite one file's footer with extra key/value pairs (row groups are

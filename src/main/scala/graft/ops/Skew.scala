@@ -27,6 +27,12 @@ object Skew {
       bigKey: String, smallKey: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit unmatched small-side rows once per salt
+    // (the small side is exploded salts×) — only shapes where unmatched
+    // small-side rows are dropped are correct under salting
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salts)))
     val explodedSmall = small

@@ -58,4 +58,17 @@ class CloudConfSpec extends AnyFunSuite {
   test("empty env maps to no settings") {
     assert(CloudConf.hadoopSettings(Map.empty).isEmpty)
   }
+
+  test("inline gcs key json is materialized to a keyfile") {
+    val json = """{"type":"service_account","client_email":"x@y"}"""
+    val m = CloudConf.hadoopSettings(Map("GOOGLE_SERVICE_ACCOUNT_KEY" -> json))
+    assert(m("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+    val keyfile = m("fs.gs.auth.service.account.json.keyfile")
+    val p = java.nio.file.Paths.get(keyfile)
+    assert(java.nio.file.Files.exists(p), s"keyfile $keyfile not written")
+    assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == json)
+    // repeated calls reuse the same content-addressed file
+    assert(CloudConf.hadoopSettings(Map("GOOGLE_SERVICE_ACCOUNT_KEY" -> json))(
+      "fs.gs.auth.service.account.json.keyfile") == keyfile)
+  }
 }

@@ -214,6 +214,52 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(ids("x").contains(2L))
   }
 
+  test("field-id assignment is a metadata-only projection (no RDD detour)") {
+    val inner = StructType(Seq(StructField("x", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Row(2L))), 1),
+      StructType(Seq(StructField("a", LongType), StructField("nested", inner))))
+    val withIds = FieldIds.withAutoFieldIds(spark.range(10).toDF("a")
+      .select(col("a"), struct(col("a").as("x")).as("nested")))
+    val plan = withIds.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"field-id assignment fell back to an RDD scan:\n$plan")
+    // ids still land in the written footer
+    val uri = TestSpark.tmpDir("fieldids_proj")
+    CopyTo(withIds, uri, CopyToOptions(fieldIds = "auto"))
+    val ids = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .select("name", "field_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(ids("a").contains(0L) && ids("nested").contains(1L)
+      && ids("x").contains(2L))
+  }
+
+  test("gzip compression level is honored (higher level, smaller file)") {
+    val df = spark.range(200000).select(col("id"),
+      concat_ws("_", lit("x"), (col("id") % 997).cast("string")).as("pad"))
+    val lo = TestSpark.tmpDir("gzip_lo")
+    val hi = TestSpark.tmpDir("gzip_hi")
+    CopyTo(df.repartition(1), lo, CopyToOptions(
+      compression = Some("gzip"), compressionLevel = Some(1)))
+    CopyTo(df.repartition(1), hi, CopyToOptions(
+      compression = Some("gzip"), compressionLevel = Some(9)))
+    val loBytes = CopyTo.listDataFiles(spark, lo)._2
+    val hiBytes = CopyTo.listDataFiles(spark, hi)._2
+    assert(hiBytes < loBytes,
+      s"gzip level ignored: level9=$hiBytes >= level1=$loBytes")
+  }
+
+  test("kv metadata reaches every part file of a multi-file write") {
+    val uri = TestSpark.tmpDir("kv_multi")
+    CopyTo(spark.range(3000).toDF("v").repartition(4), uri,
+      CopyToOptions(kvMetadata = Map("graft.tag" -> "multi")))
+    val kv = ParquetInfo.kvMetadata(spark, s"$uri/*.parquet")
+      .filter(col("key") === "graft.tag").collect()
+    assert(kv.length == 4, s"expected 4 tagged footers, got ${kv.length}")
+    assert(kv.forall(_.getString(2) == "multi"))
+    assert(spark.read.parquet(uri).count() == 3000)
+  }
+
   test("duplicate explicit field ids are rejected") {
     val df = spark.range(1).select(col("id").as("a"), col("id").as("b"))
     val e = intercept[IllegalArgumentException] {

@@ -112,13 +112,15 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshTopK(emb, queries,
         "vec_id", "embedding", "vec_id", "embedding", k = 10,
-        tables = 8, bitsPerTable = 8)
+        tables = 8, bitsPerTable = 6)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // these embeddings have weak neighbor structure (top cosines ~0.5),
-    // the worst case for hyperplane LSH — just pin that recall is
-    // meaningfully better than random (200 candidates of 500)
-    assert(recall > 0.15, s"recall@10 = $recall")
+    // the worst case for hyperplane LSH.  With zero-mean hyperplanes
+    // (the r1 bias inflated recall via degenerate giant buckets) the
+    // honest recall lever is fewer bits per table: 6 bits × 8 tables
+    // probes ~12% of the corpus for ~0.3-0.4 recall here.
+    assert(recall > 0.2, s"recall@10 = $recall")
     info(f"lsh recall@10 = $recall%.3f over ${exact.size} exact pairs")
   }
 

@@ -30,6 +30,17 @@ class SkewSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("right/full outer joins are rejected (salting would duplicate rows)") {
+    val big = Seq((1L, "a")).toDF("k", "payload")
+    val small = Seq((1L, "dim")).toDF("dk", "dim")
+    for (jt <- Seq("right_outer", "full_outer", "full")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedEquiJoin(big, small, "k", "dk", 4, jt)
+      }
+      assert(e.getMessage.contains("inner/left"))
+    }
+  }
+
   test("outer salted join preserves unmatched rows") {
     val big = Seq((1L, "a"), (99L, "no-match")).toDF("k", "payload")
     val small = Seq((1L, "dim")).toDF("dk", "dim")
