@@ -140,26 +140,29 @@ object Dedup {
 
   /**
    * Exact token-set Jaccard similarity for all pairs within `blockCol`
-   * blocks (blocking keeps the pair count O(Σ blockᵢ²) instead of
-   * O(n²) — at 100 TB the block column is a cheap partitioner like
-   * source/domain/LSH bucket).
+   * blocks, with PREFIX-FILTERED candidate generation (Chaudhuri/Bayardo
+   * prefix filtering): each doc's tokens are ordered rarest-first by
+   * per-block document frequency; a pair can reach Jaccard ≥ t only if it
+   * shares a token among each side's first `|T| - ceil(t·|T|) + 1` tokens.
+   * Candidates therefore form only on (block, rare-token) inverted-index
+   * buckets — never the block-cartesian O(blockᵢ²) a plain `join(block)`
+   * would materialize on a hot block — and are verified exactly, so the
+   * output is identical to the naive all-pairs computation.
    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = ngramCandidates(toks, threshold)
     val l = toks.select(col("block"), col("id").as("a"), col("toks").as("toks_a"))
     val r = toks.select(col("block"), col("id").as("b"), col("toks").as("toks_b"))
-    l.join(r, Seq("block"))
-      .filter(col("a") < col("b"))
-      // size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max —
-      // pairs whose set sizes differ too much cannot clear the threshold,
-      // so skip the expensive intersection for them.  Same division
-      // expression as the final predicate, so no boundary drift.  Pairs of
-      // empty token sets are excluded (0/0 jaccard is undefined, and ANSI
-      // mode would raise on the division).
-      .filter(greatest(size(col("toks_a")), size(col("toks_b"))) > 0)
+    cand.join(l, Seq("block", "a")).join(r, Seq("block", "b"))
+      // size-ratio prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — skip
+      // the intersection for pairs that cannot clear the threshold.
+      // Empty token sets never form candidates (no tokens to share), so
+      // the ANSI 0/0 division hazard is structurally gone.
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
         / greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
@@ -169,6 +172,33 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= threshold)
       .select("block", "a", "b", "jaccard")
+  }
+
+  /** Candidate (block, a, b) pairs sharing a prefix token — exposed for
+    * tests to bound candidate counts on hot blocks.  `toks` must have
+    * columns (block, id, toks). */
+  private[ops] def ngramCandidates(
+      toks: DataFrame, threshold: Double): DataFrame = {
+    val exploded = toks.select(col("block"), col("id"),
+      size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+    // per-block document frequency orders tokens rarest-first; any total
+    // order shared by a pair works, and rare-first minimizes bucket sizes
+    val tokDf = exploded.groupBy("block", "tok")
+      .agg(count(lit(1)).as("tok_df"))
+    val w = Window.partitionBy("block", "id").orderBy("tok_df", "tok")
+    val prefixes = exploded.join(tokDf, Seq("block", "tok"))
+      .withColumn("rk", row_number().over(w))
+      // prefix length |T| - ceil(t·|T|) + 1: the ceil(t·|T|) common tokens
+      // a qualifying pair needs cannot all hide in the ceil(t·|T|) - 1
+      // suffix positions, so at least one lands in the prefix
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("block"), col("tok"), col("id"))
+    prefixes.select(col("block"), col("tok"), col("id").as("a"))
+      .join(prefixes.select(col("block"), col("tok"), col("id").as("b")),
+        Seq("block", "tok"))
+      .filter(col("a") < col("b"))
+      .select("block", "a", "b")
+      .dropDuplicates("block", "a", "b")
   }
 
   /**

@@ -43,48 +43,42 @@ object Similarity {
   }
 
   /**
-   * Exact all-pairs cosine above a threshold, for corpora that fit in an
-   * executor broadcast (the oracle-checkable baseline; use
-   * [[graft.ops.Dedup.embeddingNearDupPairs]] for the LSH scale path).
-   * The O(n²/2) inner loop runs as a tight JVM kernel over a broadcast
-   * array — per-pair Catalyst expression dispatch costs ~µs/pair, this
-   * costs ~ns/pair.  Work is striped round-robin across tasks so early
-   * partitions don't get the longer rows of the triangle.
+   * Exact all-pairs cosine above a threshold — fully distributed (the
+   * oracle-checkable baseline; use
+   * [[graft.ops.Dedup.embeddingNearDupPairs]] for the sub-quadratic LSH
+   * scale path).  All-pairs is inherently O(n²) compute, but nothing may
+   * bottleneck on the driver: rows are hashed into `blocks` id-blocks and
+   * every unordered block pair (i ≤ j) becomes one join group, so the
+   * n²/2 candidate stream is produced by a shuffled equi-join and filtered
+   * executor-side, never collected.  Shuffle volume is O(n·blocks/2)
+   * vectors; per-task memory stays O(n/blocks) vectors.
    */
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, slices: Int = 64): DataFrame = {
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val withNorm = rows.map { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      (id, v, math.sqrt(s))
-    }
-    val bc = spark.sparkContext.broadcast(withNorm)
-    val n = withNorm.length
-    val p = math.max(1, math.min(slices, n))
-    spark.sparkContext.parallelize(0 until p, p).flatMap { part =>
-      val arr = bc.value
-      (part until n by p).iterator.flatMap { i =>
-        val (ida, va, na) = arr(i)
-        (i + 1 until n).iterator.flatMap { j =>
-          val (idb, vb, nb) = arr(j)
-          var dot = 0.0; var k = 0
-          while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-          if (na == 0.0 || nb == 0.0) None
-          else {
-            val cos = dot / (na * nb)
-            if (cos >= threshold)
-              Some((ida, idb, java.math.BigDecimal.valueOf(cos)
-                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
-            else None
-          }
-        }
-      }
-    }.toDF("a", "b", "cos")
+    GraftFunctions.register(spark)
+    val l = df.select(col(idCol).cast("long").as("ida"), col(vecCol).as("va"))
+      .withColumn("bi", pmod(xxhash64(col("ida")), lit(blocks.toLong)))
+    val r = df.select(col(idCol).cast("long").as("idb"), col(vecCol).as("vb"))
+      .withColumn("bj", pmod(xxhash64(col("idb")), lit(blocks.toLong)))
+    val blockPairs = (for {
+      i <- 0 until blocks; j <- i until blocks
+    } yield (i.toLong, j.toLong)).toDF("bi", "bj")
+    l.join(broadcast(blockPairs), Seq("bi"))
+      .join(r, Seq("bj"))
+      // same-block pairs appear in both orientations — keep one; cross-
+      // block pairs appear once (only (bi ≤ bj) exists)
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .withColumn("c", GraftFunctions.cosine(col("va"), col("vb")))
+      // zero-norm vectors yield NaN (Spark orders NaN above every double,
+      // so it would pass >=) — drop them like the reference kernel did
+      .filter(!isnan(col("c")) && col("c") >= threshold)
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"),
+        round(col("c"), 4).as("cos"))
   }
 
   /**

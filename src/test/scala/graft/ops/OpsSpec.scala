@@ -62,6 +62,48 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(pairs((0L, 2L)) - 0.7778) < 1e-9)
   }
 
+  test("prefix filtering bounds candidates on a hot block") {
+    // one block of 200 pairwise-dissimilar docs that all share one common
+    // token: a block-cartesian join would materialize 200*199/2 = 19900
+    // candidate pairs; rare-first prefixes keep the shared hot token out
+    // of every prefix, so candidates stay near zero
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"common u${i}a u${i}b u${i}c u${i}d u${i}e", "blk"))
+      .toDF("doc_id", "text", "source")
+    val toks = docs.select(col("source").as("block"), col("doc_id").as("id"),
+      array_distinct(graft.ops.TextAnalysis.tokens(col("text"))).as("toks"))
+    val nCand = Dedup.ngramCandidates(toks, 0.8).count()
+    assert(nCand < 400, s"hot block exploded: $nCand candidate pairs")
+    // and the full operator returns no pairs (none clear the threshold)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.8)
+      .count() == 0)
+  }
+
+  test("prefix filtering loses no qualifying pair vs naive all-pairs") {
+    // randomized-ish corpus with heavy overlap: verify exactness of the
+    // prefix-filtered operator against a naive cartesian computation
+    val docs = (0 until 60).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      val extra = Seq.tabulate(i % 4)(j => s"x${(i + j) % 7}")
+      (i.toLong, (base.drop(i % 3) ++ extra).mkString(" "), s"b${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.6)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // naive reference: block-cartesian + exact jaccard
+    val toks = docs.select(col("source").as("block"), col("doc_id").as("id"),
+      array_distinct(graft.ops.TextAnalysis.tokens(col("text"))).as("toks"))
+    val l = toks.select(col("block"), col("id").as("a"), col("toks").as("ta"))
+    val r = toks.select(col("block"), col("id").as("b"), col("toks").as("tb"))
+    val naive = l.join(r, Seq("block")).filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == naive, s"prefix filter diverged: missing=${naive -- got} " +
+      s"extra=${got -- naive}")
+  }
+
   test("cosine expression matches a hand-computed value") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f)))
