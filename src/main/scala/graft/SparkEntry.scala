@@ -71,6 +71,26 @@ object SparkEntry {
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) " +
     "AS DECIMAL(38,2))")
 
+  /** Deterministic UUID fixture written once per JVM tmpdir as
+    * FIXED_LEN_BYTE_ARRAY(16) + UUID logical type (content is fixed, so
+    * an existing write is reused; scale-factor independent). */
+  private def uuidFixtureDir(s: SparkSession): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      import s.implicits._
+      val uuids = Seq(
+        (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff"),
+        (1L, "00000000-0000-0000-0000-000000000001"),
+        (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"),
+        (3L, "ffffffff-ffff-ffff-ffff-ffffffffffff"),
+        (4L, "123e4567-e89b-12d3-a456-426614174000"))
+      val df = uuids.toDF("id", "u").repartition(1)
+        .select(col("id"), graft.functions.PgColumns.uuidToBin(col("u")).as("u"))
+      io.UuidParquet.write(df, dir, Set("u"))
+    }
+    dir
+  }
+
   /** Shared TPC-H Q3 body (joins + grouping) for the gate query and its
     * type-bisecting shadows. */
   private def q3Base(s: SparkSession, dir: String)
@@ -242,6 +262,21 @@ object SparkEntry {
         .orderBy("column_name")),
     "meta_list" -> ((s, dir) =>
       ParquetInfo.list(s, s"$dir/*.parquet").orderBy("uri")),
+
+    // UUID fidelity (P6/§1.3): fixed-len-binary(16) + UUID logical type on
+    // disk, canonical text back out — DuckDB natively reads the annotated
+    // column as a UUID, making the round-trip oracle-checkable
+    "io_uuid_roundtrip" -> ((s, _) => {
+      val fx = uuidFixtureDir(s)
+      io.UuidParquet.read(s, fx, StructType(Seq(
+          StructField("id", LongType), StructField("u", BinaryType))))
+        .select(col("id"), graft.functions.PgColumns.binToUuid(col("u")).as("u"))
+        .orderBy("id")
+    }),
+
+    "meta_uuid_schema" -> ((s, _) =>
+      ParquetInfo.schema(s, s"${uuidFixtureDir(s)}/*.parquet")
+        .orderBy("uri", "name")),
 
     // ------------------------------------- relational surface (Catalyst)
     // TPC-H Q1 shape: scan + filter + hash agg
@@ -781,6 +816,16 @@ object SparkEntry {
     "meta_list" ->
       ("SELECT filename AS uri, size FROM read_blob('__SFDIR__/*.parquet') " +
         "ORDER BY uri"),
+
+    "io_uuid_roundtrip" ->
+      ("SELECT id, CAST(u AS VARCHAR) AS u " +
+        "FROM read_parquet('__TMPDIR__/graft_uuid_fixture/*.parquet') " +
+        "ORDER BY id"),
+
+    "meta_uuid_schema" ->
+      (s"SELECT file_name AS uri, $schemaCols " +
+        "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture/*.parquet') " +
+        "ORDER BY uri, name"),
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -48,8 +48,10 @@ object Verify {
     // metadata oracles name concrete files: resolve the placeholder to the
     // absolute sf dir so DuckDB's file_name matches the Spark-side uri
     val sfAbs = new java.io.File(sfDir).getAbsolutePath
+    val tmpAbs = System.getProperty("java.io.tmpdir")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(
+        v.replace("__SFDIR__", sfAbs).replace("__TMPDIR__", tmpAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,145 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * UUID-faithful parquet writing: Spark's own writer stores 16-byte uuids
+ * as plain `BYTE_ARRAY`, losing the type; the reference writes
+ * `FIXED_LEN_BYTE_ARRAY(16)` with the parquet UUID logical type
+ * (reference `src/arrow_parquet/schema_parser.rs:360-365`).  This writer
+ * produces exactly that physical form.
+ *
+ * Scale shape: one parquet-mr writer per partition, running WHERE the
+ * partition is (`foreachPartition`) — no driver funnel, one output file
+ * per partition like Spark's native committer.  The schema is rebuilt
+ * from a serializable descriptor inside the task, so nothing
+ * non-serializable crosses the wire.
+ *
+ * Only flat schemas of long/int/double/float/boolean/string/binary
+ * columns are supported — this is the uuid-fidelity path, not a general
+ * writer (use [[CopyTo]] for everything else).
+ */
+object UuidParquet {
+
+  /** Write `df` under `uri` (one file per partition); every column named
+    * in `uuidCols` must be 16-byte `BinaryType` (see
+    * [[graft.functions.PgColumns.uuidToBin]]) and is written as
+    * FIXED_LEN_BYTE_ARRAY(16) + UUID. */
+  def write(df: DataFrame, uri: String, uuidCols: Set[String]): Unit = {
+    val fields: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
+      val kind = (f.dataType, uuidCols.contains(f.name)) match {
+        case (BinaryType, true) => "uuid"
+        case (BinaryType, false) => "binary"
+        case (LongType, _) => "long"
+        case (IntegerType, _) => "int"
+        case (DoubleType, _) => "double"
+        case (FloatType, _) => "float"
+        case (BooleanType, _) => "boolean"
+        case (StringType, _) => "string"
+        case (dt, _) => throw new IllegalArgumentException(
+          s"UuidParquet supports flat primitive schemas; column " +
+            s"'${f.name}' has unsupported type ${dt.simpleString}")
+      }
+      (f.name, kind)
+    }
+    require(uuidCols.subsetOf(fields.map(_._1).toSet),
+      s"uuid columns ${uuidCols -- fields.map(_._1)} not in schema")
+
+    // clean target dir driver-side, then write one file per partition
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = new Path(uri)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val taskConf = new Configuration()
+        val schema = buildSchema(fields)
+        val part = org.apache.spark.TaskContext.get().partitionId()
+        val file = new Path(dir, f"part-$part%05d.parquet")
+        val writer = ExampleParquetWriter
+          .builder(HadoopOutputFile.fromPath(file, taskConf))
+          .withType(schema)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .build()
+        try rows.foreach { row => writer.write(toGroup(schema, fields, row)) }
+        finally writer.close()
+      }
+    }
+    // deterministic single _SUCCESS marker like the native committer
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    ()
+  }
+
+  /** Read a UUID-annotated file back.  Spark's schema inference rejects
+    * the UUID logical type outright ([PARQUET_TYPE_ILLEGAL]), so the read
+    * supplies an explicit schema typing uuid columns as 16-byte binary —
+    * the vectorized FLBA→binary path then applies;
+    * [[graft.functions.PgColumns.binToUuid]] restores canonical text. */
+  def read(
+      spark: org.apache.spark.sql.SparkSession, uri: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(uri)
+
+  private def buildSchema(fields: Seq[(String, String)]): MessageType = {
+    val b = Types.buildMessage()
+    fields.foreach { case (name, kind) =>
+      val t: Type = kind match {
+        case "uuid" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            .length(16).as(LogicalTypeAnnotation.uuidType()).named(name)
+        case "binary" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BINARY).named(name)
+        case "long" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(name)
+        case "int" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32).named(name)
+        case "double" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(name)
+        case "float" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.FLOAT).named(name)
+        case "boolean" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BOOLEAN).named(name)
+        case "string" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(name)
+      }
+      b.addField(t)
+    }
+    b.named("spark_schema")
+  }
+
+  private def toGroup(
+      schema: MessageType, fields: Seq[(String, String)], row: Row)
+      : SimpleGroup = {
+    val g = new SimpleGroup(schema)
+    fields.zipWithIndex.foreach { case ((name, kind), i) =>
+      if (!row.isNullAt(i)) kind match {
+        case "uuid" =>
+          val bytes = row.getAs[Array[Byte]](i)
+          require(bytes.length == 16,
+            s"uuid column '$name' must hold 16 bytes, got ${bytes.length}")
+          g.add(name, Binary.fromConstantByteArray(bytes))
+        case "binary" =>
+          g.add(name, Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
+        case "long" => g.add(name, row.getLong(i))
+        case "int" => g.add(name, row.getInt(i))
+        case "double" => g.add(name, row.getDouble(i))
+        case "float" => g.add(name, row.getFloat(i))
+        case "boolean" => g.add(name, row.getBoolean(i))
+        case "string" => g.add(name, row.getString(i))
+      }
+    }
+    g
+  }
+}

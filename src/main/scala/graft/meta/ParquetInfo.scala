@@ -52,7 +52,7 @@ object ParquetInfo {
     * depth-first like the reference (`parquet_udfs/schema.rs:15-166`).
     * Columns and renderings match DuckDB `parquet_schema()`. */
   def schema(spark: SparkSession, pattern: String): DataFrame = {
-    val rows = withFooters(spark, pattern) { (uri, footer, _) =>
+    val rows = withFooters(spark, pattern) { (uri, footer, extras) =>
       val msg = footer.getFileMetaData.getSchema
       val buf = Seq.newBuilder[Row]
       def walk(t: Type, depth: Int): Unit = {
@@ -73,9 +73,12 @@ object ParquetInfo {
               p.getRepetition.name(), null, convertedType(p), scale, prec,
               fieldId(p), logicalTypeString(p.getLogicalTypeAnnotation))
           case g: GroupType =>
-            // the root MessageType reports REPEATED in parquet-mr; the
-            // thrift element (and DuckDB) say REQUIRED
-            val rep = if (depth == 0) "REQUIRED" else g.getRepetition.name()
+            // parquet-mr's MessageType reports REPEATED for the root; the
+            // thrift element carries what the writer actually set (arrow:
+            // REQUIRED, parquet-mr: unset)
+            val rep =
+              if (depth == 0) extras.rootRepetition.orNull
+              else g.getRepetition.name()
             buf += Row(uri, g.getName, null, null, rep,
               java.lang.Long.valueOf(g.getFieldCount.toLong),
               convertedType(g), null, null, fieldId(g),
@@ -383,7 +386,8 @@ object ParquetInfo {
   /** Fields parquet-mr's object model hides but the thrift footer has:
     * the format version and per-chunk distinct counts. */
   private final case class ThriftExtras(
-      version: Int, distinct: Map[(Int, String), Long])
+      version: Int, distinct: Map[(Int, String), Long],
+      rootRepetition: Option[String])
 
   /** One ranged read of the raw thrift footer (reference reads the same
     * struct through parquet-rs, `parquet_udfs/metadata.rs:163`). */
@@ -413,7 +417,12 @@ object ParquetInfo {
               md.getStatistics.getDistinct_count)
         }
       }
-      ThriftExtras(fmd.getVersion, distinct.result())
+      // parquet-mr leaves the root element's repetition unset while arrow
+      // writes REQUIRED — the object model can't tell them apart, the
+      // thrift can (and DuckDB renders the difference)
+      val rootRep = fmd.getSchema.asScala.headOption
+        .filter(_.isSetRepetition_type).map(_.getRepetition_type.name())
+      ThriftExtras(fmd.getVersion, distinct.result(), rootRep)
     } finally in.close()
   }
 

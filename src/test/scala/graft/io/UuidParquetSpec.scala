@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.PgColumns
+import graft.meta.ParquetInfo
+
+/** UUID fidelity: FIXED_LEN_BYTE_ARRAY(16) + UUID logical type on disk
+  * (reference `schema_parser.rs:360-365`, golden asserts
+  * `pgrx_tests/udfs.rs`). */
+class UuidParquetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val uuids = Seq(
+    (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff"),
+    (1L, "00000000-0000-0000-0000-000000000001"),
+    (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"))
+
+  private def writeFixture(uri: String): Unit = {
+    val df = uuids.toDF("id", "u")
+      .select(col("id"), PgColumns.uuidToBin(col("u")).as("u"))
+    UuidParquet.write(df, uri, Set("u"))
+  }
+
+  test("uuid columns land as FIXED_LEN_BYTE_ARRAY(16) + UUID logical type") {
+    val uri = TestSpark.tmpDir("uuid_schema")
+    writeFixture(uri)
+    val row = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .filter(col("name") === "u").head()
+    assert(row.getAs[String]("type") == "FIXED_LEN_BYTE_ARRAY")
+    assert(row.getAs[String]("type_length") == "16")
+    assert(row.getAs[String]("logical_type") == "UUIDType()")
+  }
+
+  test("uuid round-trips through the fixed-len binary form") {
+    val uri = TestSpark.tmpDir("uuid_rt")
+    writeFixture(uri)
+    import org.apache.spark.sql.types._
+    val back = UuidParquet.read(spark, uri, StructType(Seq(
+        StructField("id", LongType), StructField("u", BinaryType))))
+      .select(col("id"), PgColumns.binToUuid(col("u")).as("u"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == uuids)
+  }
+
+  test("column stats render uuid min/max canonically") {
+    val uri = TestSpark.tmpDir("uuid_stats")
+    writeFixture(uri)
+    val stats = ParquetInfo.columnStats(spark, s"$uri/*.parquet")
+      .filter(col("column_name") === "u").head()
+    assert(stats.getAs[String]("min_value")
+      == "00000000-0000-0000-0000-000000000001")
+  }
+
+  test("non-16-byte uuid input is rejected") {
+    val df = Seq((0L, Array[Byte](1, 2, 3))).toDF("id", "u")
+    val e = intercept[org.apache.spark.SparkException] {
+      UuidParquet.write(df, TestSpark.tmpDir("uuid_bad"), Set("u"))
+    }
+    assert(e.getMessage.contains("16 bytes")
+      || Option(e.getCause).exists(_.getMessage.contains("16 bytes")))
+  }
+}
