@@ -91,6 +91,27 @@ object SparkEntry {
     dir
   }
 
+  /** Deterministic geometry fixture: WKB points/linestring/polygon written
+    * once with a generated GeoParquet `geo` footer document. */
+  private def geoFixtureDir(s: SparkSession): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geo_fixture"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      import s.implicits._
+      geo.Wkb.register(s)
+      val df = Seq((0L, "point"), (1L, "line"), (2L, "poly"))
+        .toDF("id", "kind").repartition(1)
+        .select(col("id"),
+          when(col("kind") === "point", expr("graft_wkb_point(1.0D, 2.0D)"))
+            .when(col("kind") === "line", expr(
+              "graft_wkb_linestring(array(0.0D, 0.0D, 4.0D, 5.0D))"))
+            .otherwise(expr("graft_wkb_polygon(array(" +
+              "0.0D, 0.0D, 2.0D, 0.0D, 2.0D, 3.0D, 0.0D, 0.0D))"))
+            .as("geom"))
+      geo.Geo.writeGeoParquet(df, dir, Seq("geom"))
+    }
+    dir
+  }
+
   /** Shared TPC-H Q3 body (joins + grouping) for the gate query and its
     * type-bisecting shadows. */
   private def q3Base(s: SparkSession, dir: String)
@@ -277,6 +298,14 @@ object SparkEntry {
     "meta_uuid_schema" -> ((s, _) =>
       ParquetInfo.schema(s, s"${uuidFixtureDir(s)}/*.parquet")
         .orderBy("uri", "name")),
+
+    // P9: geometry WKB + generated GeoParquet `geo` footer document —
+    // DuckDB independently reads the footer back, verifying the document
+    // really landed in the file
+    "geo_write_kv" -> ((s, _) =>
+      ParquetInfo.kvMetadata(s, s"${geoFixtureDir(s)}/*.parquet")
+        .filter(col("key") === "geo")
+        .orderBy("uri", "key")),
 
     // ------------------------------------- relational surface (Catalyst)
     // TPC-H Q1 shape: scan + filter + hash agg
@@ -826,6 +855,11 @@ object SparkEntry {
       (s"SELECT file_name AS uri, $schemaCols " +
         "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture/*.parquet') " +
         "ORDER BY uri, name"),
+
+    "geo_write_kv" ->
+      ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +
+        "FROM parquet_kv_metadata('__TMPDIR__/graft_geo_fixture/*.parquet') " +
+        "WHERE decode(key) = 'geo' ORDER BY uri, key"),
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -1,0 +1,63 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.io.{CopyTo, CopyToOptions}
+
+/**
+ * GeoParquet metadata generation + geometry-aware writing, mirroring the
+ * reference's geo document (reference `src/type_compat/geometry.rs:87-160`
+ * builds `{"version":"1.1.0","primary_column":..., "columns":{col:
+ * {"encoding":"WKB","geometry_types":[...]}}}` from column typmods and
+ * attaches it as the `geo` footer key,
+ * `src/arrow_parquet/parquet_writer.rs:100-107`).
+ *
+ * Spark has no geometry typmod, so `geometry_types` (and, beyond the
+ * reference, the GeoParquet `bbox`) are computed from the data in ONE
+ * distributed aggregate over the geometry columns — no per-row driver
+ * work, no second full materialization of the dataset.
+ */
+object Geo {
+
+  /** The reference's geo document for `geomCols` (first column is
+    * primary), with observed geometry types and bbox per column. */
+  def geoMetadataJson(df: DataFrame, geomCols: Seq[String]): String = {
+    require(geomCols.nonEmpty, "at least one geometry column required")
+    Wkb.register(df.sparkSession)
+    val aggs: Seq[Column] = geomCols.flatMap { c =>
+      Seq(
+        sort_array(collect_set(Wkb.geometryType(col(c)))).as(s"__types_$c"),
+        min(element_at(Wkb.bbox(col(c)), 1)).as(s"__xmin_$c"),
+        min(element_at(Wkb.bbox(col(c)), 2)).as(s"__ymin_$c"),
+        max(element_at(Wkb.bbox(col(c)), 3)).as(s"__xmax_$c"),
+        max(element_at(Wkb.bbox(col(c)), 4)).as(s"__ymax_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val columns = geomCols.map { c =>
+      val types = row.getAs[scala.collection.Seq[String]](s"__types_$c")
+        .map(t => s""""$t"""").mkString(",")
+      val bbox =
+        if (row.isNullAt(row.fieldIndex(s"__xmin_$c"))) ""
+        else {
+          val vals = Seq("xmin", "ymin", "xmax", "ymax")
+            .map(k => row.getAs[Double](s"__${k}_$c"))
+          s""","bbox":[${vals.mkString(",")}]"""
+        }
+      s""""$c":{"encoding":"WKB","geometry_types":[$types]$bbox}"""
+    }
+    s"""{"version":"1.1.0","primary_column":"${geomCols.head}",""" +
+      s""""columns":{${columns.mkString(",")}}}"""
+  }
+
+  /** CopyTo with the generated `geo` document merged into the footer
+    * key/value metadata (caller-supplied `kvMetadata` keys win on clash,
+    * except `geo` which this generates). */
+  def writeGeoParquet(
+      df: DataFrame, uri: String, geomCols: Seq[String],
+      options: CopyToOptions = CopyToOptions.default): CopyTo.WriteResult = {
+    val geoDoc = geoMetadataJson(df, geomCols)
+    CopyTo(df, uri, options.copy(
+      kvMetadata = options.kvMetadata + ("geo" -> geoDoc)))
+  }
+}

@@ -1,0 +1,198 @@
+package graft.geo
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * WKB (well-known binary) geometry codec, re-expressing the reference's
+ * geometry⇄WKB bridge (reference `src/type_compat/geometry.rs:243-312`
+ * delegates to PostGIS `ST_AsBinary`/`ST_GeomFromWKB`; here the codec is
+ * native Catalyst expressions so geometry stays a `binary` column inside
+ * ordinary Spark plans).
+ *
+ * Supported: 2-D Point / LineString / Polygon builders, and a parser for
+ * type-name + bounding box over Point, LineString, Polygon, MultiPoint,
+ * MultiLineString, MultiPolygon, GeometryCollection (both endiannesses,
+ * EWKB SRID flag tolerated and skipped).
+ */
+private[geo] object WkbCodec {
+
+  val TypeNames = Map(1 -> "Point", 2 -> "LineString", 3 -> "Polygon",
+    4 -> "MultiPoint", 5 -> "MultiLineString", 6 -> "MultiPolygon",
+    7 -> "GeometryCollection")
+
+  /** (typeCode, buffer positioned after the header, hasSrid skipped). */
+  private def readHeader(bb: ByteBuffer): Int = {
+    val littleEndian = bb.get() == 1
+    bb.order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val raw = bb.getInt
+    val sridFlag = (raw & 0x20000000) != 0 // EWKB
+    val code = (raw & 0x0fffffff) % 1000   // mask flags, ISO Z/M offsets
+    if (sridFlag) bb.getInt                // skip SRID
+    code
+  }
+
+  def typeName(bytes: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(bytes)
+    TypeNames.getOrElse(readHeader(bb), "Unknown")
+  }
+
+  /** Accumulate [xmin, ymin, xmax, ymax] over all coordinates. */
+  def bbox(bytes: Array[Byte]): Array[Double] = {
+    val acc = Array(Double.MaxValue, Double.MaxValue,
+      Double.MinValue, Double.MinValue)
+    walk(ByteBuffer.wrap(bytes), acc)
+    if (acc(0) > acc(2)) null else acc
+  }
+
+  private def point(bb: ByteBuffer, acc: Array[Double]): Unit = {
+    val x = bb.getDouble; val y = bb.getDouble
+    if (x < acc(0)) acc(0) = x
+    if (y < acc(1)) acc(1) = y
+    if (x > acc(2)) acc(2) = x
+    if (y > acc(3)) acc(3) = y
+  }
+
+  private def ring(bb: ByteBuffer, acc: Array[Double]): Unit = {
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { point(bb, acc); i += 1 }
+  }
+
+  private def walk(bb: ByteBuffer, acc: Array[Double]): Unit = {
+    readHeader(bb) match {
+      case 1 => point(bb, acc)
+      case 2 => ring(bb, acc)
+      case 3 =>
+        val rings = bb.getInt
+        var i = 0
+        while (i < rings) { ring(bb, acc); i += 1 }
+      case 4 | 5 | 6 | 7 =>
+        val parts = bb.getInt
+        var i = 0
+        while (i < parts) { walk(bb, acc); i += 1 } // each part re-reads a header
+      case other =>
+        throw new IllegalArgumentException(s"unsupported WKB type code $other")
+    }
+  }
+
+  def encodePoint(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    bb.array()
+  }
+
+  /** coords = flat [x1, y1, x2, y2, ...]. */
+  def encodeLineString(coords: Array[Double]): Array[Byte] = {
+    require(coords.length % 2 == 0 && coords.length >= 4,
+      s"linestring needs >= 2 (x,y) pairs, got ${coords.length} doubles")
+    val n = coords.length / 2
+    val bb = ByteBuffer.allocate(9 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(2).putInt(n)
+    coords.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** Single-ring polygon; the ring must be closed (first == last pair). */
+  def encodePolygon(coords: Array[Double]): Array[Byte] = {
+    require(coords.length % 2 == 0 && coords.length >= 8,
+      s"polygon ring needs >= 4 (x,y) pairs, got ${coords.length} doubles")
+    require(coords(0) == coords(coords.length - 2) &&
+      coords(1) == coords(coords.length - 1), "polygon ring must be closed")
+    val n = coords.length / 2
+    val bb = ByteBuffer.allocate(13 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(3).putInt(1).putInt(n)
+    coords.foreach(bb.putDouble)
+    bb.array()
+  }
+}
+
+/** WKB point from (x, y). */
+case class WkbPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wkb_point"
+  override def nullSafeEval(x: Any, y: Any): Any =
+    WkbCodec.encodePoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** WKB linestring from a flat array<double> of [x1,y1,x2,y2,...]. */
+case class WkbLineString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wkb_linestring"
+  override def nullSafeEval(input: Any): Any =
+    WkbCodec.encodeLineString(input.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** WKB single-ring polygon from a flat closed array<double>. */
+case class WkbPolygon(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wkb_polygon"
+  override def nullSafeEval(input: Any): Any =
+    WkbCodec.encodePolygon(input.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Geometry type name of a WKB blob ("Point", "LineString", ...). */
+case class WkbGeometryType(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wkb_type"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(WkbCodec.typeName(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [xmin, ymin, xmax, ymax] of a WKB blob (null for empty geometries). */
+case class WkbBbox(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_wkb_bbox"
+  override def nullSafeEval(input: Any): Any = {
+    val b = WkbCodec.bbox(input.asInstanceOf[Array[Byte]])
+    if (b == null) null else new GenericArrayData(b)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Column-level API + session registration for the WKB expressions. */
+object Wkb {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_wkb_point",
+      exprs => WkbPoint(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wkb_linestring",
+      exprs => WkbLineString(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wkb_polygon",
+      exprs => WkbPolygon(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wkb_type",
+      exprs => WkbGeometryType(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wkb_bbox",
+      exprs => WkbBbox(exprs.head), "scala_udf")
+  }
+
+  def point(x: Column, y: Column): Column =
+    call_function("graft_wkb_point", x, y)
+  def lineString(flatCoords: Column): Column =
+    call_function("graft_wkb_linestring", flatCoords)
+  def polygon(flatClosedRing: Column): Column =
+    call_function("graft_wkb_polygon", flatClosedRing)
+  def geometryType(wkb: Column): Column = call_function("graft_wkb_type", wkb)
+  def bbox(wkb: Column): Column = call_function("graft_wkb_bbox", wkb)
+}

@@ -1,0 +1,84 @@
+package graft.geo
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.meta.ParquetInfo
+
+/** WKB codec + GeoParquet geo-document generation, patterned after the
+  * reference's golden tests (reference
+  * `src/pgrx_tests/copy_type_roundtrip.rs:1072-1120`). */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  test("wkb point encodes the canonical little-endian form") {
+    Wkb.register(spark)
+    val b = Seq((1.0, 2.0)).toDF("x", "y")
+      .select(Wkb.point(col("x"), col("y")).as("g"))
+      .head().getAs[Array[Byte]]("g")
+    // 01 (LE) 01000000 (Point) x=1.0 y=2.0
+    assert(hex(b) ==
+      "0101000000000000000000f03f0000000000000040")
+  }
+
+  test("type name and bbox round-trip through point/linestring/polygon") {
+    Wkb.register(spark)
+    val df = Seq(
+      (0L, "point"), (1L, "line"), (2L, "poly")).toDF("id", "kind")
+      .select(col("id"), when(col("kind") === "point",
+          Wkb.point(lit(1.0), lit(2.0)))
+        .when(col("kind") === "line",
+          Wkb.lineString(array(lit(0.0), lit(0.0), lit(4.0), lit(5.0))))
+        .otherwise(Wkb.polygon(array(
+          lit(0.0), lit(0.0), lit(2.0), lit(0.0), lit(2.0), lit(3.0),
+          lit(0.0), lit(0.0)))).as("g"))
+    val got = df.select(col("id"), Wkb.geometryType(col("g")).as("t"),
+        Wkb.bbox(col("g")).as("b"))
+      .as[(Long, String, Seq[Double])].collect().sortBy(_._1)
+    assert(got(0) == ((0L, "Point", Seq(1.0, 2.0, 1.0, 2.0))))
+    assert(got(1) == ((1L, "LineString", Seq(0.0, 0.0, 4.0, 5.0))))
+    assert(got(2) == ((2L, "Polygon", Seq(0.0, 0.0, 2.0, 3.0))))
+  }
+
+  test("bbox handles big-endian and multi-geometries") {
+    // hand-built big-endian WKB MultiPoint of (1,2) and (-3,7)
+    val bb = java.nio.ByteBuffer.allocate(9 + 2 * 21)
+    bb.put(0.toByte).putInt(4).putInt(2)
+    bb.put(0.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    bb.put(0.toByte).putInt(1).putDouble(-3.0).putDouble(7.0)
+    assert(WkbCodec.typeName(bb.array()) == "MultiPoint")
+    assert(WkbCodec.bbox(bb.array()).toSeq == Seq(-3.0, 2.0, 1.0, 7.0))
+  }
+
+  test("geo metadata json mirrors the reference document shape") {
+    Wkb.register(spark)
+    val df = Seq((0L, 1.0, 2.0), (1L, -1.0, 5.0)).toDF("id", "x", "y")
+      .select(col("id"), Wkb.point(col("x"), col("y")).as("geom"))
+    val json = Geo.geoMetadataJson(df, Seq("geom"))
+    assert(json ==
+      """{"version":"1.1.0","primary_column":"geom",""" +
+      """"columns":{"geom":{"encoding":"WKB","geometry_types":["Point"],""" +
+      """"bbox":[-1.0,2.0,1.0,5.0]}}}""")
+  }
+
+  test("writeGeoParquet lands the geo document in every footer") {
+    Wkb.register(spark)
+    val uri = TestSpark.tmpDir("geo_write")
+    val df = Seq((0L, 1.0, 2.0), (1L, 3.0, 4.0)).toDF("id", "x", "y")
+      .select(col("id"), Wkb.point(col("x"), col("y")).as("geom"))
+    Geo.writeGeoParquet(df, uri, Seq("geom"))
+    val kv = ParquetInfo.kvMetadata(spark, s"$uri/*.parquet")
+      .filter(col("key") === "geo").collect()
+    assert(kv.nonEmpty)
+    assert(kv.head.getString(2).contains(""""primary_column":"geom""""))
+    // data still readable, geometry column intact
+    val back = spark.read.parquet(uri)
+    Wkb.register(spark)
+    assert(back.select(Wkb.geometryType(col("geom"))).distinct()
+      .as[String].collect().toSeq == Seq("Point"))
+  }
+}
