@@ -109,11 +109,15 @@ object CloudConf {
     p
   }
 
-  /** Apply the env-derived settings to a session's Hadoop configuration. */
+  /** Apply the env-derived settings to a session's Hadoop configuration.
+    * Also binds the http(s) schemes (the reference reads https:// URIs
+    * with no configuration, `src/object_store/http.rs:11-38`). */
   def applyTo(
       spark: SparkSession,
       env: Map[String, String] = sys.env): Unit = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
-    hadoopSettings(env).foreach { case (k, v) => conf.set(k, v) }
+    (hadoopSettings(env) ++ HttpFs.settings).foreach {
+      case (k, v) => conf.set(k, v)
+    }
   }
 }

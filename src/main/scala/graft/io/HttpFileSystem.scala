@@ -1,0 +1,157 @@
+package graft.io
+
+import java.io.{FileNotFoundException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, FSInputStream, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/**
+ * Read-only Hadoop FileSystem over http(s), mirroring the reference's
+ * plain-HTTP object store (reference `src/object_store/http.rs:11-38`):
+ * any `http(s)://host/path.parquet` URI becomes scannable by Spark and by
+ * the [[graft.meta.ParquetInfo]] footer functions.
+ *
+ * Reads are ranged: `seek` is lazy and the connection opens with a
+ * `Range: bytes=pos-` header, so a parquet footer+column-chunk access
+ * pattern costs a handful of ranged GETs, not repeated full downloads.
+ * Servers that ignore Range (respond 200) are handled by skipping.
+ *
+ * Register with [[HttpFs.register]] (sets `fs.http.impl`/`fs.https.impl`).
+ * Mutations (create/delete/rename) are unsupported: the reference's write
+ * path needs a PUT-capable store; Spark's committer additionally needs
+ * rename, which plain HTTP cannot provide.
+ */
+class HttpFileSystem extends FileSystem {
+  private var fsUri: URI = _
+
+  override def getScheme: String = "http"
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+  }
+
+  override def getUri: URI = fsUri
+
+  private def toUrl(f: Path): URL = f.toUri match {
+    case u if u.getScheme != null => u.toURL
+    case u => new URI(fsUri.getScheme, fsUri.getAuthority,
+      u.getPath, u.getQuery, u.getFragment).toURL
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+    new FSDataInputStream(new HttpInputStream(toUrl(f)))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val conn = toUrl(f).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("HEAD")
+    try {
+      val code = conn.getResponseCode
+      if (code == 404) throw new FileNotFoundException(f.toString)
+      if (code >= 400)
+        throw new java.io.IOException(s"HEAD $f failed with HTTP $code")
+      val len = conn.getContentLengthLong
+      val modified = conn.getLastModified
+      new FileStatus(len, false, 1, 32L * 1024 * 1024, modified,
+        makeQualified(f))
+    } finally conn.disconnect()
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    Array(getFileStatus(f))
+
+  override def getWorkingDirectory: Path = new Path(fsUri)
+  override def setWorkingDirectory(dir: Path): Unit = ()
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable)
+      : FSDataOutputStream =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+  override def append(
+      f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+}
+
+/** https twin (Hadoop binds one impl class per scheme). */
+class HttpsFileSystem extends HttpFileSystem {
+  override def getScheme: String = "https"
+}
+
+/** Lazy ranged-GET input stream: seek records the position; the next read
+  * opens (or reuses) a connection at that offset. */
+private[io] class HttpInputStream(url: URL) extends FSInputStream {
+  private var pos = 0L
+  private var in: InputStream = _
+  private var streamPos = -1L
+
+  private def ensure(): InputStream = {
+    if (in == null || streamPos != pos) {
+      if (in != null) { in.close(); in = null }
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+      val code = conn.getResponseCode
+      if (code == 404) throw new FileNotFoundException(url.toString)
+      if (code >= 400)
+        throw new java.io.IOException(s"GET $url failed with HTTP $code")
+      in = conn.getInputStream
+      // 200 from a Range-ignoring server: stream starts at 0 — skip up
+      if (pos > 0 && code == 200) {
+        var toSkip = pos
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) throw new java.io.IOException(
+            s"server ignored Range and stream ended before offset $pos")
+          toSkip -= skipped
+        }
+      }
+      streamPos = pos
+    }
+    in
+  }
+
+  override def seek(p: Long): Unit = { pos = p }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(): Int = {
+    val b = ensure().read()
+    if (b >= 0) { pos += 1; streamPos += 1 }
+    b
+  }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    val n = ensure().read(buf, off, len)
+    if (n > 0) { pos += n; streamPos += n }
+    n
+  }
+
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null }
+    streamPos = -1L
+  }
+}
+
+/** Registration hook: point Hadoop's http/https schemes at the read-only
+  * filesystem above. */
+object HttpFs {
+  def settings: Map[String, String] = Map(
+    "fs.http.impl" -> classOf[HttpFileSystem].getName,
+    "fs.https.impl" -> classOf[HttpsFileSystem].getName,
+    "fs.http.impl.disable.cache" -> "false",
+    "fs.https.impl.disable.cache" -> "false")
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    settings.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+}

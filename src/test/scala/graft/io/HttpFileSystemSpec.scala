@@ -1,0 +1,99 @@
+package graft.io
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** http(s) source: a local Range-capable HTTP server serves the sf0.001
+  * fixtures; Spark scans them through the custom filesystem (no network
+  * egress — everything stays on localhost). */
+class HttpFileSystemSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Serves files under sfDir, honoring single-range requests. */
+  private def withServer[T](honorRange: Boolean)(f: Int => T): T = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val file = Paths.get(TestSpark.sfDir, ex.getRequestURI.getPath)
+        if (!Files.exists(file)) {
+          ex.sendResponseHeaders(404, -1); ex.close(); return
+        }
+        val bytes = Files.readAllBytes(file)
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.add("Content-Length", bytes.length.toString)
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+          return
+        }
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+          .filter(_ => honorRange)
+        range match {
+          case Some(r) =>
+            val Array(lo, hi) = (r.stripPrefix("bytes=") + "-").split("-", -1)
+              .take(2)
+            val start = lo.toLong
+            val end = if (hi.isEmpty) bytes.length - 1L else hi.toLong
+            val slice = java.util.Arrays.copyOfRange(
+              bytes, start.toInt, end.toInt + 1)
+            ex.getResponseHeaders.add("Content-Range",
+              s"bytes $start-$end/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length)
+            ex.getResponseBody.write(slice)
+          case None =>
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("spark scans parquet over http with ranged reads") {
+    HttpFs.register(spark)
+    withServer(honorRange = true) { port =>
+      val df = spark.read.parquet(s"http://127.0.0.1:$port/nation.parquet")
+      assert(df.count() == 25)
+      assert(df.filter(col("n_regionkey") === 0).count() > 0)
+    }
+  }
+
+  test("footer metadata functions work over http") {
+    HttpFs.register(spark)
+    withServer(honorRange = true) { port =>
+      val fm = graft.meta.ParquetInfo
+        .fileMetadata(spark, s"http://127.0.0.1:$port/region.parquet").head()
+      assert(fm.getAs[Long]("num_rows") == 5L)
+      assert(fm.getAs[String]("uri").startsWith("http://"))
+    }
+  }
+
+  test("range-ignoring servers fall back to skip") {
+    HttpFs.register(spark)
+    withServer(honorRange = false) { port =>
+      val df = spark.read.parquet(s"http://127.0.0.1:$port/region.parquet")
+      assert(df.count() == 5)
+    }
+  }
+
+  test("writes over http are rejected as read-only") {
+    HttpFs.register(spark)
+    withServer(honorRange = true) { port =>
+      val e = intercept[Exception] {
+        spark.range(3).write.mode("overwrite")
+          .parquet(s"http://127.0.0.1:$port/out.parquet")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[UnsupportedOperationException]))
+    }
+  }
+}
