@@ -13,18 +13,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // toRdd.count() materializes every output row (a plain count() lets
       // Catalyst prune the query down to a row count)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // first run pays Janino/JIT codegen cold-start (measured 5-10× the
+      // steady state); report the second, warm run so rounds compare real
+      // execution cost instead of compiler noise
+      val cold = once()
+      val warm = once()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -656,6 +656,36 @@ object SparkEntry {
       s.table(qn).orderBy("hour_idx", "event_type")
     }),
 
+    // Structured Streaming with a FILE sink (append mode): the production
+    // shape — a stateless streaming ETL writing parquet from executors,
+    // nothing collected to the driver (the memory-sink variants above are
+    // contract demos of stateful operators).  Output dir is rebuilt per
+    // run so appends stay deterministic.
+    "stream_filter_sink" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_" +
+        new java.io.File(dir).getName
+      val outDir = s"$base/out"; val ckDir = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val q = s.readStream.schema(schema).parquet(stageDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), round(col("value"), 2).as("value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir).orderBy("event_id")
+    }),
+
     // stateful streaming: per-user running totals via mapGroupsWithState
     "stream_user_stats" -> ((s, dir) =>
       graft.streaming.StatefulOps.userStats(s, stagedEventsDir(s, dir))
@@ -1128,6 +1158,11 @@ object SparkEntry {
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type, " +
         "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type"),
+
+    "stream_filter_sink" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "round(value, 2) AS value FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
 
     "stream_user_stats" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
