@@ -71,22 +71,25 @@ object SparkEntry {
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) " +
     "AS DECIMAL(38,2))")
 
-  /** Deterministic UUID fixture written once per JVM tmpdir as
-    * FIXED_LEN_BYTE_ARRAY(16) + UUID logical type (content is fixed, so
-    * an existing write is reused; scale-factor independent). */
+  /** Deterministic annotated-type fixture written once per JVM tmpdir:
+    * uuid as FIXED_LEN_BYTE_ARRAY(16)+UUID, time-of-day as
+    * INT64+TIME(MICROS) (content is fixed, so an existing write is
+    * reused; scale-factor independent). */
   private def uuidFixtureDir(s: SparkSession): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       import s.implicits._
-      val uuids = Seq(
-        (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff"),
-        (1L, "00000000-0000-0000-0000-000000000001"),
-        (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"),
-        (3L, "ffffffff-ffff-ffff-ffff-ffffffffffff"),
-        (4L, "123e4567-e89b-12d3-a456-426614174000"))
-      val df = uuids.toDF("id", "u").repartition(1)
-        .select(col("id"), graft.functions.PgColumns.uuidToBin(col("u")).as("u"))
-      io.UuidParquet.write(df, dir, Set("u"))
+      val rows = Seq(
+        (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff", 0L),
+        (1L, "00000000-0000-0000-0000-000000000001", 45296789000L),
+        (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", 86399999999L),
+        (3L, "ffffffff-ffff-ffff-ffff-ffffffffffff", 3600000000L),
+        (4L, "123e4567-e89b-12d3-a456-426614174000", 12345000000L))
+      val df = rows.toDF("id", "u", "t").repartition(1)
+        .select(col("id"),
+          graft.functions.PgColumns.uuidToBin(col("u")).as("u"), col("t"))
+      io.AnnotatedParquet.write(df, dir, uuidCols = Set("u"),
+        timeCols = Set("t"))
     }
     dir
   }
@@ -289,7 +292,7 @@ object SparkEntry {
     // column as a UUID, making the round-trip oracle-checkable
     "io_uuid_roundtrip" -> ((s, _) => {
       val fx = uuidFixtureDir(s)
-      io.UuidParquet.read(s, fx, StructType(Seq(
+      io.AnnotatedParquet.read(s, fx, StructType(Seq(
           StructField("id", LongType), StructField("u", BinaryType))))
         .select(col("id"), graft.functions.PgColumns.binToUuid(col("u")).as("u"))
         .orderBy("id")

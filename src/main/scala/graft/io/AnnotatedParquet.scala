@@ -12,11 +12,15 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /**
- * UUID-faithful parquet writing: Spark's own writer stores 16-byte uuids
- * as plain `BYTE_ARRAY`, losing the type; the reference writes
- * `FIXED_LEN_BYTE_ARRAY(16)` with the parquet UUID logical type
- * (reference `src/arrow_parquet/schema_parser.rs:360-365`).  This writer
- * produces exactly that physical form.
+ * Logical-type-faithful parquet writing for the annotations Spark's own
+ * writer cannot produce:
+ *
+ *  - uuid columns → `FIXED_LEN_BYTE_ARRAY(16)` + UUID logical type
+ *    (reference `src/arrow_parquet/schema_parser.rs:360-365`; Spark would
+ *    store plain `BYTE_ARRAY`)
+ *  - time columns → `INT64` + TIME(MICROS, isAdjustedToUTC=false)
+ *    (reference `schema_parser.rs:393-406`; Spark 4.1's TimeType exists
+ *    but `DataSourceUtils.verifySchema` rejects it for file sinks)
  *
  * Scale shape: one parquet-mr writer per partition, running WHERE the
  * partition is (`foreachPartition`) — no driver funnel, one output file
@@ -25,34 +29,43 @@ import org.apache.spark.sql.types._
  * non-serializable crosses the wire.
  *
  * Only flat schemas of long/int/double/float/boolean/string/binary
- * columns are supported — this is the uuid-fidelity path, not a general
+ * columns are supported — this is the type-fidelity path, not a general
  * writer (use [[CopyTo]] for everything else).
  */
-object UuidParquet {
+object AnnotatedParquet {
 
-  /** Write `df` under `uri` (one file per partition); every column named
-    * in `uuidCols` must be 16-byte `BinaryType` (see
-    * [[graft.functions.PgColumns.uuidToBin]]) and is written as
-    * FIXED_LEN_BYTE_ARRAY(16) + UUID. */
-  def write(df: DataFrame, uri: String, uuidCols: Set[String]): Unit = {
+  /** Write `df` under `uri` (one file per partition).  Columns named in
+    * `uuidCols` must be 16-byte `BinaryType` (see
+    * [[graft.functions.PgColumns.uuidToBin]]); columns named in
+    * `timeCols` must be `LongType` microseconds-of-day (see
+    * [[PgSchema.timeToMicros]]). */
+  def write(
+      df: DataFrame, uri: String,
+      uuidCols: Set[String] = Set.empty,
+      timeCols: Set[String] = Set.empty): Unit = {
     val fields: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
-      val kind = (f.dataType, uuidCols.contains(f.name)) match {
-        case (BinaryType, true) => "uuid"
-        case (BinaryType, false) => "binary"
-        case (LongType, _) => "long"
-        case (IntegerType, _) => "int"
-        case (DoubleType, _) => "double"
-        case (FloatType, _) => "float"
-        case (BooleanType, _) => "boolean"
-        case (StringType, _) => "string"
-        case (dt, _) => throw new IllegalArgumentException(
-          s"UuidParquet supports flat primitive schemas; column " +
+      val kind = (f.dataType, uuidCols.contains(f.name),
+          timeCols.contains(f.name)) match {
+        case (BinaryType, true, _) => "uuid"
+        case (LongType, _, true) => "time"
+        case (BinaryType, _, _) => "binary"
+        case (LongType, _, _) => "long"
+        case (IntegerType, _, _) => "int"
+        case (DoubleType, _, _) => "double"
+        case (FloatType, _, _) => "float"
+        case (BooleanType, _, _) => "boolean"
+        case (StringType, _, _) => "string"
+        case (dt, _, _) => throw new IllegalArgumentException(
+          s"AnnotatedParquet supports flat primitive schemas; column " +
             s"'${f.name}' has unsupported type ${dt.simpleString}")
       }
       (f.name, kind)
     }
-    require(uuidCols.subsetOf(fields.map(_._1).toSet),
-      s"uuid columns ${uuidCols -- fields.map(_._1)} not in schema")
+    val names = fields.map(_._1).toSet
+    require(uuidCols.subsetOf(names),
+      s"uuid columns ${uuidCols -- names} not in schema")
+    require(timeCols.subsetOf(names),
+      s"time columns ${timeCols -- names} not in schema")
 
     // clean target dir driver-side, then write one file per partition
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -81,11 +94,12 @@ object UuidParquet {
     ()
   }
 
-  /** Read a UUID-annotated file back.  Spark's schema inference rejects
-    * the UUID logical type outright ([PARQUET_TYPE_ILLEGAL]), so the read
-    * supplies an explicit schema typing uuid columns as 16-byte binary —
-    * the vectorized FLBA→binary path then applies;
-    * [[graft.functions.PgColumns.binToUuid]] restores canonical text. */
+  /** Read an annotated file back.  Spark's schema inference rejects the
+    * UUID logical type outright ([PARQUET_TYPE_ILLEGAL]), so the read
+    * supplies an explicit schema typing uuid columns as 16-byte binary and
+    * time columns as long micros — the physical FLBA/INT64 paths then
+    * apply; [[graft.functions.PgColumns.binToUuid]] /
+    * [[PgSchema.microsToTime]] restore the logical values. */
   def read(
       spark: org.apache.spark.sql.SparkSession, uri: String,
       schema: StructType): DataFrame =
@@ -98,6 +112,10 @@ object UuidParquet {
         case "uuid" =>
           Types.optional(PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
             .length(16).as(LogicalTypeAnnotation.uuidType()).named(name)
+        case "time" =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timeType(
+              false, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
         case "binary" =>
           Types.optional(PrimitiveType.PrimitiveTypeName.BINARY).named(name)
         case "long" =>
@@ -132,7 +150,7 @@ object UuidParquet {
           g.add(name, Binary.fromConstantByteArray(bytes))
         case "binary" =>
           g.add(name, Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
-        case "long" => g.add(name, row.getLong(i))
+        case "time" | "long" => g.add(name, row.getLong(i))
         case "int" => g.add(name, row.getInt(i))
         case "double" => g.add(name, row.getDouble(i))
         case "float" => g.add(name, row.getFloat(i))

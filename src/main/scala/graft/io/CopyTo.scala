@@ -61,13 +61,22 @@ object CopyTo {
       case json   => FieldIds.withExplicitFieldIds(clustered, json)
     }
 
+    // row-group sizing: parquet-hadoop flushes a row group at
+    // parquet.block.size bytes; the reference flushes at
+    // rows >= row_group_size OR bytes >= row_group_size_bytes
+    // (parquet_writer.rs:124-130).  Bytes is the scalable knob; an
+    // explicitly-set ROW cap is honored approximately by shrinking the
+    // byte threshold to sampled bytes/row × rows (groups never exceed the
+    // cap by more than the writer's size-check stride).
+    val rowGroupBytes =
+      if (opts.rowGroupSize != CopyToOptions.DefaultRowGroupSize) {
+        val perRow = sampleBytesPerRow(dfWithIds, codec)
+        math.min(opts.effectiveRowGroupBytes,
+          math.max(1L, (perRow * opts.rowGroupSize).toLong))
+      } else opts.effectiveRowGroupBytes
     var w = dfWithIds.write.mode("overwrite")
       .option("compression", codec)
-      // row-group sizing: parquet-hadoop flushes a row group at
-      // parquet.block.size bytes; reference flushes at
-      // rows >= row_group_size OR bytes >= row_group_size_bytes
-      // (parquet_writer.rs:124-130). Bytes is the scalable knob.
-      .option("parquet.block.size", opts.effectiveRowGroupBytes.toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
       .option("parquet.writer.version",
         if (opts.parquetVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
     opts.compressionLevel.foreach { l =>
@@ -126,21 +135,28 @@ object CopyTo {
    */
   private def estimateRowsPerFile(
       df: DataFrame, targetBytes: Long, codec: String): Long = {
+    val perRow = sampleBytesPerRow(df, codec)
+    if (perRow == 0.0) Long.MaxValue
+    else math.max(1L, (targetBytes / perRow).toLong)
+  }
+
+  /** Observed compressed bytes/row from a small prefix write (0.0 for an
+    * empty input). */
+  private def sampleBytesPerRow(df: DataFrame, codec: String): Double = {
     val spark = df.sparkSession
     val sampleDir =
       s"${System.getProperty("java.io.tmpdir")}/graft_sample_${System.nanoTime()}"
     val sampleRows = 4096L
     val sample = df.limit(sampleRows.toInt).cache()
     val n = sample.count()
-    if (n == 0) return Long.MaxValue
+    if (n == 0) { sample.unpersist(); return 0.0 }
     sample.write.mode("overwrite").option("compression", codec)
       .parquet(sampleDir)
     sample.unpersist()
     val (_, sampleBytes) = listDataFiles(spark, sampleDir)
     deleteDir(spark, sampleDir)
     // parquet has fixed footer overhead; guard against divide-by-zero
-    val bytesPerRow = math.max(1.0, sampleBytes.toDouble / n - 600.0 / n)
-    math.max(1L, (targetBytes / bytesPerRow).toLong)
+    math.max(1.0, sampleBytes.toDouble / n - 600.0 / n)
   }
 
   def listDataFiles(spark: SparkSession, uri: String): (Seq[String], Long) = {

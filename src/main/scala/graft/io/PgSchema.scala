@@ -44,19 +44,24 @@ object PgSchema {
 
   /**
    * PG type name → Spark type, the write-side mapping of SURVEY §1.3
-   * (reference `schema_parser.rs:339-425`).  Types with no Spark analogue
-   * follow the reference's text fallback
+   * (reference `schema_parser.rs:339-425`).  Composite types recurse to
+   * `StructType` and the `crunchy_map` extension type to `MapType`
+   * (reference `schema_parser.rs:191-337`); without a PG catalog to look
+   * attribute lists up in, composites are declared inline as
+   * `row(name type, ...)` and maps as `map(keytype, valtype)` /
+   * `crunchy_map(keytype, valtype)`.  Types with no Spark analogue follow
+   * the reference's text fallback
    * (`src/type_compat/fallback_to_text.rs:89-159`).
    */
   def sparkTypeFor(pgType: String): DataType = {
     val base = pgType.toLowerCase.trim
-    val (name, args) = base.indexOf('(') match {
-      case -1 => (base, Nil)
-      case i => (base.substring(0, i).trim,
-        base.substring(i + 1, base.length - 1).split(",").toList
-          .map(_.trim.toInt))
+    if (base.endsWith("[]")) return ArrayType(sparkTypeFor(base.dropRight(2)))
+    val (name, argStr) = base.indexOf('(') match {
+      case -1 => (base, None)
+      case i =>
+        require(base.endsWith(")"), s"unbalanced type arguments in '$pgType'")
+        (base.substring(0, i).trim, Some(base.substring(i + 1, base.length - 1)))
     }
-    if (name.endsWith("[]")) return ArrayType(sparkTypeFor(name.dropRight(2)))
     name match {
       case "bool" | "boolean" => BooleanType
       case "smallint" | "int2" => ShortType
@@ -68,23 +73,60 @@ object PgSchema {
       case "oid" => LongType
       case "text" | "varchar" | "bpchar" | "name" | "char" | "\"char\"" =>
         StringType
-      case "numeric" | "decimal" => args match {
-        case p :: s :: Nil => numericType(Some(p), Some(s))
-        case p :: Nil => numericType(Some(p), Some(0))
-        case _ => numericType(None, None)
-      }
+      case "numeric" | "decimal" =>
+        argStr.map(_.split(",").toList.map(_.trim.toInt)) match {
+          case Some(p :: s :: Nil) => numericType(Some(p), Some(s))
+          case Some(p :: Nil) => numericType(Some(p), Some(0))
+          case _ => numericType(None, None)
+        }
+      // composite → Struct, like the reference's tupledesc recursion
+      case "row" | "composite" =>
+        val fields = splitTopLevel(argStr.getOrElse(""))
+        require(fields.nonEmpty, s"composite type '$pgType' needs fields")
+        StructType(fields.map { decl =>
+          val d = decl.trim
+          val cut = d.indexOf(' ')
+          require(cut > 0, s"composite field '$decl' needs 'name type'")
+          StructField(d.substring(0, cut), sparkTypeFor(d.substring(cut + 1)))
+        })
+      // crunchy_map extension → Map (reference schema_parser.rs:264-337)
+      case "map" | "crunchy_map" =>
+        splitTopLevel(argStr.getOrElse("")) match {
+          case Seq(k, v) => MapType(sparkTypeFor(k), sparkTypeFor(v))
+          case other => throw new IllegalArgumentException(
+            s"map type '$pgType' needs exactly (keytype, valtype), " +
+              s"got ${other.size} arguments")
+        }
       case "date" => DateType
       case "timestamp" => TimestampNTZType
       case "timestamptz" => TimestampType
-      // no Spark time type: int64 microseconds (parquet TIME_MICROS)
+      // Spark 4.1's TimeType cannot be written to parquet yet
+      // (UNSUPPORTED_TIME_TYPE): carry int64 micros-of-day; the
+      // TIME(MICROS) annotation lands via AnnotatedParquet.timeCols
       case "time" | "timetz" => LongType
       case "uuid" => StringType       // canonical text form
       case "json" | "jsonb" => StringType
       case "bytea" => BinaryType
-      case "geometry" => BinaryType   // WKB + `geo` kv metadata (KvMetadata)
+      case "geometry" => BinaryType   // WKB + `geo` kv metadata (graft.geo)
       // enum, interval, bit, varbit, inet, cidr, … → text fallback
       case _ => StringType
     }
+  }
+
+  /** Split on commas at paren depth 0 (`row(a int, b map(int, text))`
+    * must not split inside the nested argument lists). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** `time`/`timetz` encoding: microseconds since midnight in an int64

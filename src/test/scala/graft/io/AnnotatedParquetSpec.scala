@@ -1,16 +1,17 @@
 package graft.io
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.functions.PgColumns
 import graft.meta.ParquetInfo
 
-/** UUID fidelity: FIXED_LEN_BYTE_ARRAY(16) + UUID logical type on disk
-  * (reference `schema_parser.rs:360-365`, golden asserts
-  * `pgrx_tests/udfs.rs`). */
-class UuidParquetSpec extends AnyFunSuite {
+/** Logical-type fidelity: FIXED_LEN_BYTE_ARRAY(16)+UUID and
+  * INT64+TIME(MICROS) on disk (reference `schema_parser.rs:360-406`,
+  * golden asserts `pgrx_tests/udfs.rs`). */
+class AnnotatedParquetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -22,7 +23,7 @@ class UuidParquetSpec extends AnyFunSuite {
   private def writeFixture(uri: String): Unit = {
     val df = uuids.toDF("id", "u")
       .select(col("id"), PgColumns.uuidToBin(col("u")).as("u"))
-    UuidParquet.write(df, uri, Set("u"))
+    AnnotatedParquet.write(df, uri, uuidCols = Set("u"))
   }
 
   test("uuid columns land as FIXED_LEN_BYTE_ARRAY(16) + UUID logical type") {
@@ -38,8 +39,7 @@ class UuidParquetSpec extends AnyFunSuite {
   test("uuid round-trips through the fixed-len binary form") {
     val uri = TestSpark.tmpDir("uuid_rt")
     writeFixture(uri)
-    import org.apache.spark.sql.types._
-    val back = UuidParquet.read(spark, uri, StructType(Seq(
+    val back = AnnotatedParquet.read(spark, uri, StructType(Seq(
         StructField("id", LongType), StructField("u", BinaryType))))
       .select(col("id"), PgColumns.binToUuid(col("u")).as("u"))
       .as[(Long, String)].collect().sortBy(_._1).toSeq
@@ -58,9 +58,29 @@ class UuidParquetSpec extends AnyFunSuite {
   test("non-16-byte uuid input is rejected") {
     val df = Seq((0L, Array[Byte](1, 2, 3))).toDF("id", "u")
     val e = intercept[org.apache.spark.SparkException] {
-      UuidParquet.write(df, TestSpark.tmpDir("uuid_bad"), Set("u"))
+      AnnotatedParquet.write(df, TestSpark.tmpDir("uuid_bad"),
+        uuidCols = Set("u"))
     }
     assert(e.getMessage.contains("16 bytes")
       || Option(e.getCause).exists(_.getMessage.contains("16 bytes")))
+  }
+
+  test("time columns land as INT64 + TIME(MICROS) and round-trip") {
+    val uri = TestSpark.tmpDir("time_annot")
+    // 12:34:56.789 and midnight, as micros-of-day
+    val times = Seq((0L, 0L), (1L, 45296789000L))
+    AnnotatedParquet.write(times.toDF("id", "t"), uri, timeCols = Set("t"))
+    val row = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .filter(col("name") === "t").head()
+    assert(row.getAs[String]("type") == "INT64")
+    assert(row.getAs[String]("converted_type") == "TIME_MICROS")
+    assert(row.getAs[String]("logical_type") ==
+      "TimeType(isAdjustedToUTC=0, unit=TimeUnit(MILLIS=<null>, " +
+        "MICROS=MicroSeconds(), NANOS=<null>))")
+    val back = AnnotatedParquet.read(spark, uri, StructType(Seq(
+        StructField("id", LongType), StructField("t", LongType))))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(back == times)
+    assert(PgSchema.microsToTime(back(1)._2).toString == "12:34:56.789")
   }
 }

@@ -188,6 +188,20 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(rgs > 1, s"expected multiple row groups, got $rgs")
   }
 
+  test("row_group_size row cap bounds rows per row group") {
+    val uri = TestSpark.tmpDir("rowcap")
+    val df = spark.range(200000).select(col("id"),
+      concat_ws("_", lit("padding"), col("id")).as("pad"))
+    CopyTo(df.repartition(1), uri, CopyToOptions(rowGroupSize = 50000))
+    val groups = ParquetInfo.metadata(spark, s"$uri/*.parquet")
+      .filter(col("path_in_schema") === "id")
+      .select("row_group_num_rows").collect().map(_.getLong(0))
+    assert(groups.length >= 3, s"expected >=3 row groups, got ${groups.toSeq}")
+    // approximate cap: sampled bytes/row steers the byte threshold, and
+    // the writer's size check has a stride — allow 30% overshoot
+    assert(groups.max <= 65000, s"row cap exceeded: ${groups.toSeq}")
+  }
+
   test("file_size_bytes splits output into multiple files") {
     val uri = TestSpark.tmpDir("split")
     // ~8MB of data with a 1MB target → several part files

@@ -63,4 +63,32 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(PgSchema.sparkTypeFor("time") == LongType)
     assert(PgSchema.sparkTypeFor("timetz") == LongType)
   }
+
+  test("composite types recurse to structs (reference schema_parser.rs:191)") {
+    assert(PgSchema.sparkTypeFor("row(id int8, name text)") ==
+      StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType))))
+    // nested composite + array field + parameterized numeric
+    assert(PgSchema.sparkTypeFor(
+        "row(p row(x float8, tags text[]), salary numeric(15,6))") ==
+      StructType(Seq(
+        StructField("p", StructType(Seq(
+          StructField("x", DoubleType),
+          StructField("tags", ArrayType(StringType))))),
+        StructField("salary", DecimalType(15, 6)))))
+    // arrays OF composites
+    assert(PgSchema.sparkTypeFor("row(a int)[]") ==
+      ArrayType(StructType(Seq(StructField("a", IntegerType)))))
+  }
+
+  test("crunchy_map maps to MapType (reference schema_parser.rs:264)") {
+    assert(PgSchema.sparkTypeFor("crunchy_map(int4, text)") ==
+      MapType(IntegerType, StringType))
+    assert(PgSchema.sparkTypeFor("map(text, row(a int, b date))") ==
+      MapType(StringType, StructType(Seq(
+        StructField("a", IntegerType), StructField("b", DateType)))))
+    intercept[IllegalArgumentException] {
+      PgSchema.sparkTypeFor("map(int)")
+    }
+  }
 }
