@@ -134,6 +134,12 @@ object IvfIndex {
       model: IvfModel): DataFrame =
     df.withColumn("ivf_cell", nearestCell(df, vecCol, model))
 
+  /** Probe-cell computation collects the QUERY set to the driver (the
+    * corpus never moves) — sized for interactive query batches, and
+    * guarded so a mistaken corpus-as-queries call fails loudly instead of
+    * silently materializing it on the driver. */
+  val MaxQueryBatch = 100000
+
   /**
    * ANN top-k: each query probes its `nprobe` nearest cells; candidates
    * from those cells are exactly reranked by cosine.
@@ -150,6 +156,11 @@ object IvfIndex {
 
     // per-query probed cells, computed driver-side over the tiny model
     import spark.implicits._
+    val nQueries = queries.count()
+    require(nQueries <= MaxQueryBatch,
+      s"IvfIndex.search collects the query batch to the driver; got " +
+        s"$nQueries queries (max $MaxQueryBatch). Split the batch, or use " +
+        "Dedup.embeddingNearDupPairs for corpus-vs-corpus workloads.")
     val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
     val probes = qRows.flatMap { case (qid, qv) =>

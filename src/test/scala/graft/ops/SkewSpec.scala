@@ -30,6 +30,39 @@ class SkewSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true in plan)") {
+    // the complement of manual salting: pin that Spark's adaptive skew
+    // handling actually engages on a hot key, so saltedEquiJoin stays the
+    // fallback for AQE-less shapes rather than the default
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      val big = spark.range(60000).select(
+        when(col("id") % 10 === 0, 1L).otherwise(col("id")).as("k"),
+        concat_ws("_", lit(pad), col("id")).as("payload"))
+      val other = spark.range(2000).select(col("id").as("k2"),
+        concat_ws("_", lit("dim"), col("id")).as("dim"))
+      val joined = big.join(other, col("k") === col("k2"))
+      joined.collect() // drive THIS queryExecution so AQE finalizes it
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split did not engage:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("right/full outer joins are rejected (salting would duplicate rows)") {
     val big = Seq((1L, "a")).toDF("k", "payload")
     val small = Seq((1L, "dim")).toDF("dk", "dim")
