@@ -508,6 +508,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // mergeable DDSketch quantiles next to the exact percentile: the
+    // sketch ships O(log-range/α) counters per group instead of buffering
+    // values — the billion-row path; deterministic (order-independent
+    // merges), so the rows-only driver check stays stable
+    "q_quantile_sketch" -> ((s, dir) => {
+      graft.functions.QuantileSketch.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(graft.functions.QuantileSketch
+            .ddQuantile(col("l_extendedprice"), 0.5, 0.01), 4).as("dd_p50"),
+          round(graft.functions.QuantileSketch
+            .ddQuantile(col("l_extendedprice"), 0.95, 0.01), 4).as("dd_p95"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
+        .orderBy("l_returnflag")
+    }),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")

@@ -1,0 +1,189 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Mutable log-bucketed histogram state: bucket index → count, with
+  * dedicated zero / negative-side maps (DDSketch's store layout). */
+final class DdState {
+  val pos = new java.util.TreeMap[Integer, java.lang.Long]()
+  val neg = new java.util.TreeMap[Integer, java.lang.Long]()
+  var zeros: Long = 0L
+  var total: Long = 0L
+}
+
+/**
+ * Quantile sketch as a native mergeable aggregate, DDSketch-style
+ * (Masson/Rim/Lee, VLDB'19 — public algorithm): values land in
+ * logarithmic buckets `i = ceil(log_γ(x))` with `γ = (1+α)/(1-α)`, so any
+ * reported quantile is within relative error α of a true value.  The
+ * state is a bucket→count map: merging is count addition —
+ * order-independent and partitioning-independent, hence deterministic
+ * under Spark's partial/final aggregation (a GK/t-digest style summary is
+ * NOT: its merges are order-sensitive, which would make the driver's
+ * hash checks flaky).
+ *
+ * Complements the exact `percentile` (which buffers per-group values —
+ * fine at thousands per group, not at billions): the sketch ships
+ * O(log-range / α) counters per group regardless of row count.
+ */
+case class DdQuantileSketch(
+    child: Expression,
+    q: Double,
+    alpha: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdState] {
+
+  require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+  require(alpha > 0.0 && alpha < 1.0,
+    s"relative accuracy must be in (0,1), got $alpha")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_dd_quantile"
+
+  private val gamma = (1.0 + alpha) / (1.0 - alpha)
+  private val logGamma = math.log(gamma)
+
+  private def bucketOf(x: Double): Int =
+    math.ceil(math.log(x) / logGamma).toInt
+
+  /** Midpoint estimate of a bucket: 2γ^i/(γ+1), within α of any member. */
+  private def valueOf(i: Int): Double =
+    2.0 * math.pow(gamma, i) / (gamma + 1.0)
+
+  override def createAggregationBuffer(): DdState = new DdState
+
+  override def update(buf: DdState, input: InternalRow): DdState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }
+      if (!x.isNaN) {
+        if (x == 0.0) buf.zeros += 1
+        else if (x > 0.0) bump(buf.pos, bucketOf(x))
+        else bump(buf.neg, bucketOf(-x))
+        buf.total += 1
+      }
+    }
+    buf
+  }
+
+  private def bump(m: java.util.TreeMap[Integer, java.lang.Long], i: Int): Unit = {
+    val prev = m.get(i)
+    m.put(i, if (prev == null) 1L else prev + 1L)
+    ()
+  }
+
+  override def merge(buf: DdState, other: DdState): DdState = {
+    var it = other.pos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prev = buf.pos.get(e.getKey)
+      buf.pos.put(e.getKey, if (prev == null) e.getValue else prev + e.getValue)
+    }
+    it = other.neg.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prev = buf.neg.get(e.getKey)
+      buf.neg.put(e.getKey, if (prev == null) e.getValue else prev + e.getValue)
+    }
+    buf.zeros += other.zeros
+    buf.total += other.total
+    buf
+  }
+
+  override def eval(buf: DdState): Any = {
+    if (buf.total == 0) return null
+    // rank walk: negative buckets from most-negative up, then zeros, then
+    // positive buckets ascending
+    val targetRank = math.max(1L, math.ceil(q * buf.total).toLong)
+    var seen = 0L
+    val negIt = buf.neg.descendingMap().entrySet().iterator()
+    while (negIt.hasNext) {
+      val e = negIt.next()
+      seen += e.getValue
+      if (seen >= targetRank) return -valueOf(e.getKey)
+    }
+    seen += buf.zeros
+    if (seen >= targetRank) return 0.0
+    val posIt = buf.pos.entrySet().iterator()
+    while (posIt.hasNext) {
+      val e = posIt.next()
+      seen += e.getValue
+      if (seen >= targetRank) return valueOf(e.getKey)
+    }
+    valueOf(buf.pos.lastKey()) // q == 1 fencepost
+  }
+
+  override def serialize(buf: DdState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(
+      8 + 8 + 4 + 12 * buf.pos.size + 4 + 12 * buf.neg.size)
+    bb.putLong(buf.zeros).putLong(buf.total)
+    bb.putInt(buf.pos.size)
+    var it = buf.pos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putInt(e.getKey).putLong(e.getValue)
+    }
+    bb.putInt(buf.neg.size)
+    it = buf.neg.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putInt(e.getKey).putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DdState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new DdState
+    s.zeros = bb.getLong
+    s.total = bb.getLong
+    var n = bb.getInt
+    var i = 0
+    while (i < n) { s.pos.put(bb.getInt, bb.getLong); i += 1 }
+    n = bb.getInt
+    i = 0
+    while (i < n) { s.neg.put(bb.getInt, bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DdQuantileSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DdQuantileSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+object QuantileSketch {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dd_quantile",
+      exprs => DdQuantileSketch(exprs.head,
+        exprs(1).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case de: org.apache.spark.sql.types.Decimal => de.toDouble
+          case n: java.lang.Number => n.doubleValue()
+        },
+        exprs(2).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case de: org.apache.spark.sql.types.Decimal => de.toDouble
+          case n: java.lang.Number => n.doubleValue()
+        }).toAggregateExpression(),
+      "scala_udf")
+
+  /** Approximate `q`-quantile of `c` within relative error `alpha`. */
+  def ddQuantile(c: Column, q: Double, alpha: Double = 0.01): Column =
+    call_function("graft_dd_quantile", c, lit(q), lit(alpha))
+}

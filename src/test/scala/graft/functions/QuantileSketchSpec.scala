@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QuantileSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dd quantile is within the declared relative error of exact") {
+    QuantileSketch.register(spark)
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val got = li.groupBy("l_returnflag")
+      .agg(QuantileSketch.ddQuantile(col("l_extendedprice"), 0.5, 0.01).as("p50"),
+        QuantileSketch.ddQuantile(col("l_extendedprice"), 0.95, 0.01).as("p95"),
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // the sketch guarantees alpha=1% relative error vs SOME value at
+      // that rank; allow 2% vs the interpolated exact percentile
+      assert(math.abs(r.getAs[Double]("p50") - r.getAs[Double]("e50"))
+        <= 0.02 * r.getAs[Double]("e50"), r.toString)
+      assert(math.abs(r.getAs[Double]("p95") - r.getAs[Double]("e95"))
+        <= 0.02 * r.getAs[Double]("e95"), r.toString)
+    }
+  }
+
+  test("sketch is deterministic across partitionings (mergeable state)") {
+    QuantileSketch.register(spark)
+    val base = spark.range(100000).select(
+      (col("id") % 997).cast("double").as("v"))
+    def run(parts: Int): Double =
+      base.repartition(parts)
+        .agg(QuantileSketch.ddQuantile(col("v"), 0.9, 0.005))
+        .head().getDouble(0)
+    val results = Seq(run(1), run(7), run(32))
+    assert(results.distinct.size == 1,
+      s"partitioning changed the sketch result: $results")
+  }
+
+  test("zeros, negatives, and nulls are handled") {
+    QuantileSketch.register(spark)
+    val df = Seq[java.lang.Double](-100.0, -1.0, 0.0, 0.0, 1.0, 100.0, null)
+      .toDF("v")
+    val med = df.agg(QuantileSketch.ddQuantile(col("v"), 0.5, 0.01))
+      .head().getDouble(0)
+    assert(med == 0.0, s"median of symmetric set with zeros should be 0, got $med")
+    val lo = df.agg(QuantileSketch.ddQuantile(col("v"), 0.01, 0.01))
+      .head().getDouble(0)
+    assert(math.abs(lo + 100.0) <= 1.5, s"p01 should be ~-100, got $lo")
+    assert(df.filter(col("v").isNull)
+      .agg(QuantileSketch.ddQuantile(col("v"), 0.5, 0.01)).head().isNullAt(0))
+  }
+}
