@@ -1,0 +1,9 @@
+package graft.tools
+object CountQ {
+  def main(a: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracled=${o.size} rows_only=${(q -- o).toSeq.sorted.mkString(",")}")
+    println(s"oracle_without_query=${(o -- q).mkString(",")}")
+  }
+}
