@@ -54,4 +54,30 @@ class PlanQualitySpec extends AnyFunSuite {
     // (lineitem) streams straight into the partial aggregation
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
   }
+
+  test("ngram jaccard candidates come from equi-joins, never a cartesian") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      s"block-cartesian crept back into the jaccard plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the jaccard plan:\n$p")
+  }
+
+  test("embedding all-pairs broadcasts the block-pair table only") {
+    val p = plan("dedup_embedding")
+    // the 528-row block-pair table is the only broadcast; vectors travel
+    // through a shuffled equi-join, never a driver collect
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Scan ExistingRDD"),
+      s"driver-side collect reappeared in embedding all-pairs:\n$p")
+  }
+
+  test("quantile sketch aggregates partially before its shuffle") {
+    val p = plan("q_quantile_sketch")
+    // TypedImperativeAggregate with partial merge: ObjectHashAggregate
+    // (or SortAggregate fallback) must appear in partial+final pairs
+    val aggs = "ObjectHashAggregate|SortAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final object aggregates:\n$p")
+  }
 }
