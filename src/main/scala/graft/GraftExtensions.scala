@@ -1,56 +1,39 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /**
- * SparkSessionExtensions entry point: makes every graft function —
- * the custom kernels (minhash/simhash/cosine/hyperplane/band/shingle
- * hashing) and the KMV sketch aggregate — available in any session,
- * including plain `spark.sql(...)`, via
+ * Session-extensions entry point: makes every graft function available to
+ * pure-SQL sessions, the idiomatic library packaging for a Spark engine —
  *
- *   SparkSession.builder().withExtensions(new GraftExtensions) ...
- * or
- *   --conf spark.sql.extensions=graft.GraftExtensions
+ * {{{
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ *   spark.sql("SELECT graft_wkb_point(1.0D, 2.0D)")
+ * }}}
  *
- * (the injected functions are also registered lazily by the operator
- * objects themselves, so library-API users need no setup at all).
+ * (The reference installs its surface as a Postgres extension,
+ * `pg_parquet.control` + `sql/pg_parquet.sql`; `spark.sql.extensions` is
+ * the Spark-native equivalent.)  Programmatic users can keep calling the
+ * per-object `register(spark)` helpers instead — both routes share one
+ * builder table.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.allBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
 
-    def info(name: String): ExpressionInfo =
-      new ExpressionInfo("graft", name)
-
-    ext.injectFunction((FunctionIdentifier("graft_minhash"),
-      info("graft_minhash"),
-      exprs => functions.MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Long])))
-    ext.injectFunction((FunctionIdentifier("graft_simhash"),
-      info("graft_simhash"),
-      exprs => functions.SimHash64(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      info("graft_cosine"),
-      exprs => functions.CosineSimilarity(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bits"),
-      info("graft_hyperplane_bits"),
-      exprs => functions.HyperplaneBits(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Long])))
-    ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
-      info("graft_band_hashes"),
-      exprs => functions.BandHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])))
-    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
-      info("graft_shingle_hashes"),
-      exprs => functions.ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
-    ext.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
-      info("graft_kmv_distinct"),
-      exprs => functions.KmvDistinctSketch(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
-  }
+object GraftExtensions {
+  private[graft] def allBuilders
+      : Seq[(String, Seq[Expression] => Expression)] =
+    functions.GraftFunctions.builders ++
+      geo.Wkb.builders ++
+      functions.KmvSketch.builders ++
+      functions.QuantileSketch.builders
 }

@@ -26,27 +26,36 @@ object GraftFunctions {
     z ^ (z >>> 31)
   }
 
+  /** Name → expression builder, shared by per-session [[register]] and
+    * the [[graft.GraftExtensions]] SQL-extension injection. */
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> { exprs =>
+      MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long])
+    },
+    "graft_simhash" -> { exprs => SimHash64(exprs.head) },
+    "graft_cosine" -> { exprs => CosineSimilarity(exprs.head, exprs(1)) },
+    "graft_hyperplane_bits" -> { exprs =>
+      HyperplaneBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long])
+    },
+    "graft_band_hashes" -> { exprs =>
+      BandHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])
+    },
+    "graft_shingle_hashes" -> { exprs =>
+      ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    })
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Long]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hyperplane_bits",
-      exprs => HyperplaneBits(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Long]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_band_hashes",
-      exprs => BandHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   import org.apache.spark.sql.functions.lit

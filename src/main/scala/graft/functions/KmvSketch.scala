@@ -104,12 +104,18 @@ case class KmvDistinctSketch(
 }
 
 object KmvSketch {
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_kmv_distinct" -> { exprs =>
+      KmvDistinctSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+    })
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_kmv_distinct",
-      exprs => KmvDistinctSketch(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
-      "scala_udf")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 
   /** Approximate distinct count of `c` with a k-minimum-values sketch. */
   def kmvDistinct(c: Column, k: Int = 256): Column =

@@ -167,21 +167,24 @@ case class DdQuantileSketch(
 }
 
 object QuantileSketch {
+  private def asDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d.doubleValue()
+    case de: org.apache.spark.sql.types.Decimal => de.toDouble
+    case n: java.lang.Number => n.doubleValue()
+  }
+
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dd_quantile" -> { exprs =>
+      DdQuantileSketch(exprs.head, asDouble(exprs(1).eval()),
+        asDouble(exprs(2).eval())).toAggregateExpression()
+    })
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dd_quantile",
-      exprs => DdQuantileSketch(exprs.head,
-        exprs(1).eval() match {
-          case d: java.lang.Double => d.doubleValue()
-          case de: org.apache.spark.sql.types.Decimal => de.toDouble
-          case n: java.lang.Number => n.doubleValue()
-        },
-        exprs(2).eval() match {
-          case d: java.lang.Double => d.doubleValue()
-          case de: org.apache.spark.sql.types.Decimal => de.toDouble
-          case n: java.lang.Number => n.doubleValue()
-        }).toAggregateExpression(),
-      "scala_udf")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 
   /** Approximate `q`-quantile of `c` within relative error `alpha`. */
   def ddQuantile(c: Column, q: Double, alpha: Double = 0.01): Column =

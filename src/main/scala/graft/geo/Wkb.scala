@@ -173,18 +173,21 @@ case class WkbBbox(child: Expression)
 
 /** Column-level API + session registration for the WKB expressions. */
 object Wkb {
+  /** Name → expression builder, shared by per-session [[register]] and
+    * the [[graft.GraftExtensions]] SQL-extension injection. */
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_wkb_point" -> { exprs => WkbPoint(exprs.head, exprs(1)) },
+    "graft_wkb_linestring" -> { exprs => WkbLineString(exprs.head) },
+    "graft_wkb_polygon" -> { exprs => WkbPolygon(exprs.head) },
+    "graft_wkb_type" -> { exprs => WkbGeometryType(exprs.head) },
+    "graft_wkb_bbox" -> { exprs => WkbBbox(exprs.head) })
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_wkb_point",
-      exprs => WkbPoint(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_wkb_linestring",
-      exprs => WkbLineString(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_wkb_polygon",
-      exprs => WkbPolygon(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_wkb_type",
-      exprs => WkbGeometryType(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_wkb_bbox",
-      exprs => WkbBbox(exprs.head), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   def point(x: Column, y: Column): Column =

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions packaging: a session built with
+  * GraftExtensions can reach every graft function from pure SQL. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session built with the extensions resolves graft functions in SQL") {
+    // force TestSpark's context up first, then build a SEPARATE session
+    // (same SparkContext) with the extensions injected
+    TestSpark.spark.sparkContext
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val wkb = s.sql("SELECT graft_wkb_point(1.0D, 2.0D) AS g")
+        .head().getAs[Array[Byte]]("g")
+      assert(wkb.length == 21)
+      val cos = s.sql(
+        "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val kmv = s.sql(
+        "SELECT graft_kmv_distinct(x, 64) FROM (SELECT explode(sequence(1, 40)) AS x)")
+        .head().getLong(0)
+      assert(kmv == 40L) // below k → exact
+      val q = s.sql(
+        "SELECT graft_dd_quantile(CAST(x AS DOUBLE), 0.5D, 0.01D) " +
+          "FROM (SELECT explode(sequence(1, 101)) AS x)")
+        .head().getDouble(0)
+      assert(math.abs(q - 51.0) <= 1.5, s"median of 1..101 ~ 51, got $q")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
