@@ -246,7 +246,8 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
-    // custom footer kv metadata (geo-style) written post-hoc, read back
+    // custom footer kv metadata (geo-style) written post-hoc, read back —
+    // DuckDB independently reads the rewritten footer for the oracle
     "io_kv_write" -> ((s, dir) => {
       val src = t(s, dir, "region")
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_kv_" +
@@ -910,6 +911,11 @@ object SparkEntry {
       ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +
         "FROM parquet_kv_metadata('__TMPDIR__/graft_geo_fixture/*.parquet') " +
         "WHERE decode(key) = 'geo' ORDER BY uri, key"),
+
+    "io_kv_write" ->
+      ("SELECT decode(key) AS key, decode(value) AS value " +
+        "FROM parquet_kv_metadata('__TMPDIR__/graft_kv___SFNAME__/*.parquet') " +
+        "WHERE decode(key) IN ('geo', 'graft.engine') ORDER BY key"),
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -49,9 +49,11 @@ object Verify {
     // absolute sf dir so DuckDB's file_name matches the Spark-side uri
     val sfAbs = new java.io.File(sfDir).getAbsolutePath
     val tmpAbs = System.getProperty("java.io.tmpdir")
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(
-        v.replace("__SFDIR__", sfAbs).replace("__TMPDIR__", tmpAbs))}" }
+        v.replace("__SFDIR__", sfAbs).replace("__TMPDIR__", tmpAbs)
+          .replace("__SFNAME__", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
