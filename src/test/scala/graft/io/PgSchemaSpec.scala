@@ -64,6 +64,23 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(PgSchema.sparkTypeFor("timetz") == LongType)
   }
 
+  test("interval/enum text fallback round-trips through parquet") {
+    // the reference serializes unmapped types via their PG text form
+    // (fallback_to_text.rs) — mirror: store text, cast on the way out
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    assert(PgSchema.sparkTypeFor("interval") == StringType)
+    assert(PgSchema.sparkTypeFor("mood_enum") == StringType)
+    val uri = graft.TestSpark.tmpDir("ivl_fallback")
+    Seq((0L, "1-2", "happy"), (1L, "0-11", "sad"))
+      .toDF("id", "ivl", "mood").write.mode("overwrite").parquet(uri)
+    val back = spark.read.parquet(uri)
+      .selectExpr("id", "CAST(ivl AS INTERVAL YEAR TO MONTH) AS ym", "mood")
+      .orderBy("id").collect()
+    assert(back(0).getAs[java.time.Period](1) == java.time.Period.of(1, 2, 0))
+    assert(back(1).getString(2) == "sad")
+  }
+
   test("composite types recurse to structs (reference schema_parser.rs:191)") {
     assert(PgSchema.sparkTypeFor("row(id int8, name text)") ==
       StructType(Seq(StructField("id", LongType),
