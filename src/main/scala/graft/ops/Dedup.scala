@@ -27,12 +27,22 @@ object Dedup {
    * Exact dedup: keep, per distinct value of `keyCols`, the row with the
    * smallest `idCol` (deterministic winner — `dropDuplicates` keeps an
    * arbitrary row, which cannot be oracle-checked or reproduced).
+   *
+   * Shape: `min_by` aggregation, NOT a window.  A window shuffles every
+   * duplicate row to one reducer per key (a billion-copy boilerplate
+   * document hot-spots a single task); hash aggregation collapses
+   * duplicates map-side, so the shuffle carries one candidate row per
+   * (partition × key) and hot keys cost nothing extra.
    */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    val winner = min_by(
+      struct(others.map(col): _*), col(idCol)).as("__w")
+    val agg = df.groupBy(keyCols.map(col): _*).agg(winner)
+    // restore the original column order
+    df.columns.toSeq.foldLeft(agg) { (acc, c) =>
+      if (keyCols.contains(c)) acc else acc.withColumn(c, col(s"__w.$c"))
+    }.select(df.columns.toSeq.map(col): _*)
   }
 
   final case class MinHashParams(
