@@ -14,6 +14,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# --strict: exact type+repr cell equality (no float tolerance, no tz
+# normalization) — surfaces latent diffs a hash-based driver compare
+# would catch but the tolerant compare masks.
+STRICT = False
+
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -26,6 +31,8 @@ def canon(rows, cols):
 def cell_eq(a, b):
     if a is None and b is None:
         return True
+    if STRICT:
+        return type(a) is type(b) and repr(a) == repr(b)
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
@@ -42,8 +49,11 @@ def cell_eq(a, b):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
