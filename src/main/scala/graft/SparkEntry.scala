@@ -488,6 +488,47 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // explicit GROUPING SETS + grouping() marker functions
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // correlated LATERAL subquery (decorrelated by Catalyst into a join)
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, t.n_orders, t.best
+        FROM g_customer,
+        LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                        round(max(o_totalprice), 2) AS best
+                 FROM g_orders WHERE o_custkey = c_custkey) t
+        WHERE t.n_orders > 0
+        ORDER BY c_custkey""")
+    }),
+
+    // RANGE-frame window: value-based frame over the sort key
+    "q_range_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS near_sum
+        FROM g_orders
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
     // distinct aggregation
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1091,6 +1132,29 @@ object SparkEntry {
       ("SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, " +
+        "CAST(grouping(l_linestatus) AS BIGINT) AS g_ls, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), " +
+        "(l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, " +
+        "l_linestatus ASC NULLS FIRST"),
+
+    "q_lateral" ->
+      ("SELECT c_custkey, t.n_orders, t.best FROM customer, " +
+        "LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(max(o_totalprice), 2) AS best " +
+        "FROM orders WHERE o_custkey = c_custkey) t " +
+        "WHERE t.n_orders > 0 ORDER BY c_custkey"),
+
+    "q_range_window" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) " +
+        "AS near_sum FROM orders ORDER BY o_custkey, o_orderkey"),
 
     "q_distinct" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
