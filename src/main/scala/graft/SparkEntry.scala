@@ -550,6 +550,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // theta-style sketch set algebra: per-group sketch STATES union into a
+    // global distinct estimate without rescanning — the warehouse pattern
+    // for distinct counts over arbitrary segment combinations
+    "q_kmv_setops" -> ((s, dir) => {
+      graft.functions.KmvSketch.register(s)
+      val li = t(s, dir, "lineitem")
+      val states = li.groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch.kmvState(col("l_partkey"), 512).as("st"))
+      val unioned = states.agg(graft.functions.KmvSketch
+        .kmvEstimate(graft.functions.KmvSketch.kmvUnion(col("st")))
+        .as("est_union_parts"))
+      val exact = li.agg(countDistinct("l_partkey").as("exact_union_parts"))
+      unioned.crossJoin(exact)
+    }),
+
     // mergeable DDSketch quantiles next to the exact percentile: the
     // sketch ships O(log-range/α) counters per group instead of buffering
     // values — the billion-row path; deterministic (order-independent
@@ -746,6 +761,41 @@ object SparkEntry {
       q.processAllAvailable()
       q.stop()
       s.read.parquet(outDir).orderBy("event_id")
+    }),
+
+    // stream-stream INTERVAL join with watermarks on both sides: last-hour
+    // click context for each purchase.  Watermarks bound join state at
+    // scale; with one availableNow pass every match emits, so the result
+    // equals the batch interval join and is fully oracle-checkable.
+    "stream_interval_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedEventsDir(s, dir)
+      val src = s.readStream.schema(schema).parquet(stageDir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("etime", timestamp_micros(col("ts_us")))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("etime").as("p_time"), col("ts_us").as("pts"))
+        .withWatermark("p_time", "1 hour")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("etime").as("c_time"), col("ts_us").as("cts"))
+        .withWatermark("c_time", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+          col("c_time") <= col("p_time"))
+      val qn = s"graft_sij_${System.nanoTime()}"
+      val q = joined
+        .select(col("user_id"), col("p_id"), col("c_id"), col("pts"), col("cts"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy("user_id", "p_id", "c_id", "pts", "cts")
     }),
 
     // stateful streaming: per-user running totals via mapGroupsWithState
@@ -1253,6 +1303,15 @@ object SparkEntry {
       ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         "round(value, 2) AS value FROM events " +
         "WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "stream_interval_join" ->
+      ("SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, " +
+        "epoch_us(p.ts) AS pts, epoch_us(c.ts) AS cts " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(p.ts) " +
+        "ORDER BY p.user_id, p_id, c_id, pts, cts"),
 
     "stream_user_stats" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +

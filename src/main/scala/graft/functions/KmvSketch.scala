@@ -103,13 +103,209 @@ case class KmvDistinctSketch(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
+/** Shared (de)serialization + estimation for KMV sketch STATES — the
+  * composable form: `kmvState` builds per-group sketches, `kmvUnion`
+  * merges already-built sketches (theta-sketch-style set algebra: the
+  * distinct count of a union without rescanning the data), and
+  * `kmvEstimate` turns any state into a count. */
+private[functions] object KmvState {
+  /** bytes = Int k | Int n | n sign-flipped hash longs (ascending). */
+  def serialize(k: Int, buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * buf.size)
+    bb.putInt(k).putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): (Int, Array[Long]) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val n = bb.getInt
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = bb.getLong; i += 1 }
+    (k, hs)
+  }
+
+  def estimate(k: Int, buf: java.util.TreeSet[java.lang.Long]): Long = {
+    val n = buf.size
+    if (n < k) n.toLong
+    else {
+      val frac = (buf.last().toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+      math.round((k - 1) / frac)
+    }
+  }
+}
+
+/** Per-group KMV sketch STATE (binary, mergeable downstream). */
+case class KmvStateSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_kmv_state"
+
+  @transient private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
+      buf.add(h)
+      if (buf.size > k) { buf.pollLast(); () }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buf.add(it.next())
+      if (buf.size > k) { buf.pollLast(); () }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvState.serialize(k, buf)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvState.serialize(k, buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val (_, hs) = KmvState.deserialize(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    hs.foreach(s.add(_))
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvStateSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvStateSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+/** Union of KMV states (aggregate over a binary state column) → state. */
+case class KmvUnionSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_kmv_union"
+
+  // k travels inside each state; the union keeps the smallest seen so the
+  // result never claims more precision than its weakest input
+  private var unionK: Int = Int.MaxValue
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (k, hs) = KmvState.deserialize(v.asInstanceOf[Array[Byte]])
+      unionK = math.min(unionK, k)
+      hs.foreach { h =>
+        buf.add(h)
+        if (buf.size > unionK) { buf.pollLast(); () }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buf.add(it.next())
+      if (unionK != Int.MaxValue && buf.size > unionK) { buf.pollLast(); () }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val k = if (unionK == Int.MaxValue) math.max(1, buf.size) else unionK
+    // re-trim in case merge() saw states before update() learned k
+    while (buf.size > k) buf.pollLast()
+    KmvState.serialize(k, buf)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvState.serialize(
+      if (unionK == Int.MaxValue) Int.MaxValue else unionK, buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val (k, hs) = KmvState.deserialize(bytes)
+    unionK = math.min(unionK, k)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    hs.foreach(s.add(_))
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvUnionSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvUnionSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+/** Scalar: KMV state → distinct-count estimate. */
+case class KmvEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_kmv_estimate"
+  override def nullSafeEval(input: Any): Any = {
+    val (k, hs) = KmvState.deserialize(input.asInstanceOf[Array[Byte]])
+    val s = new java.util.TreeSet[java.lang.Long]()
+    hs.foreach(s.add(_))
+    // degenerate k (empty union that never saw a state) → exact count path
+    val effK = if (k == Int.MaxValue || k <= 0) s.size + 1 else k
+    java.lang.Long.valueOf(KmvState.estimate(effK, s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object KmvSketch {
   private[graft] val builders
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_kmv_distinct" -> { exprs =>
       KmvDistinctSketch(exprs.head,
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
-    })
+    },
+    "graft_kmv_state" -> { exprs =>
+      KmvStateSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+    },
+    "graft_kmv_union" -> { exprs =>
+      KmvUnionSketch(exprs.head).toAggregateExpression()
+    },
+    "graft_kmv_estimate" -> { exprs => KmvEstimate(exprs.head) })
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
@@ -120,4 +316,16 @@ object KmvSketch {
   /** Approximate distinct count of `c` with a k-minimum-values sketch. */
   def kmvDistinct(c: Column, k: Int = 256): Column =
     call_function("graft_kmv_distinct", c, lit(k))
+
+  /** Mergeable sketch STATE of `c` (binary; feed into [[kmvUnion]]). */
+  def kmvState(c: Column, k: Int = 256): Column =
+    call_function("graft_kmv_state", c, lit(k))
+
+  /** Union of sketch states (aggregate) → state. */
+  def kmvUnion(state: Column): Column =
+    call_function("graft_kmv_union", state)
+
+  /** State → distinct-count estimate. */
+  def kmvEstimate(state: Column): Column =
+    call_function("graft_kmv_estimate", state)
 }

@@ -44,4 +44,45 @@ class KmvSketchSpec extends AnyFunSuite {
       assert(math.abs(a - e.toDouble) / e < 0.15, s"group ${r.getString(0)}: $a vs $e")
     }
   }
+
+  test("sketch states union without rescanning (theta-style set algebra)") {
+    KmvSketch.register(spark)
+    // two disjoint halves: union estimate ~ sum; overlapping: ~ max
+    val a = spark.range(0, 5000).select(col("id").as("v"))
+    val b = spark.range(5000, 10000).select(col("id").as("v"))
+    val states = a.agg(KmvSketch.kmvState(col("v"), 512).as("st"))
+      .unionAll(b.agg(KmvSketch.kmvState(col("v"), 512).as("st")))
+    val unionEst = states
+      .agg(KmvSketch.kmvEstimate(KmvSketch.kmvUnion(col("st"))))
+      .head().getLong(0)
+    assert(math.abs(unionEst - 10000.0) / 10000.0 < 0.10,
+      s"disjoint union estimate $unionEst too far from 10000")
+
+    // self-union is a no-op ALGEBRAICALLY: identical to the direct sketch
+    // (statistical error is shared, so compare estimates exactly)
+    val overlapping = a.agg(KmvSketch.kmvState(col("v"), 512).as("st"))
+      .unionAll(a.agg(KmvSketch.kmvState(col("v"), 512).as("st")))
+    val sameEst = overlapping
+      .agg(KmvSketch.kmvEstimate(KmvSketch.kmvUnion(col("st"))))
+      .head().getLong(0)
+    val direct = a.select(KmvSketch.kmvDistinct(col("v"), 512))
+      .head().getLong(0)
+    assert(sameEst == direct,
+      s"self-union $sameEst != direct sketch estimate $direct")
+  }
+
+  test("union of states equals the sketch of the concatenated data") {
+    KmvSketch.register(spark)
+    val data = spark.range(30000)
+      .select((col("id") * 2654435761L % 9000).as("v"),
+        (col("id") % 3).as("g"))
+    val direct = data.select(KmvSketch.kmvDistinct(col("v"), 256))
+      .head().getLong(0)
+    val viaUnion = data.groupBy("g")
+      .agg(KmvSketch.kmvState(col("v"), 256).as("st"))
+      .agg(KmvSketch.kmvEstimate(KmvSketch.kmvUnion(col("st"))))
+      .head().getLong(0)
+    assert(direct == viaUnion,
+      s"union-of-states $viaUnion != direct sketch $direct")
+  }
 }
