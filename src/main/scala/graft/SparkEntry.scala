@@ -582,6 +582,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // co-located bucketed join: both fact tables pre-hashed into the same
+    // bucket count on the join key — the repeated-join layout where the
+    // join runs with NO shuffle of either side (pinned in
+    // BucketedJoinSpec); values oracle-checked against the plain join
+    "q_bucketed_join" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val (tblO, tblL) = (s"g_b_orders_$tag", s"g_b_lineitem_$tag")
+      if (!s.catalog.tableExists(tblL)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+        Seq(tblO, tblL).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, tbl), true)
+        }
+        t(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(tblO)
+        t(s, dir, "lineitem").write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tblL)
+      }
+      s.table(tblL)
+        .join(s.table(tblO), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1211,6 +1238,12 @@ object SparkEntry {
         "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, " +
         "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_bucketed_join" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
     "q_semi_anti" ->
       ("SELECT 'with_orders' AS tag, CAST(count(*) AS BIGINT) AS n FROM customer " +
