@@ -816,10 +816,17 @@ object SparkEntry {
           col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
           col("c_time") <= col("p_time"))
       val qn = s"graft_sij_${System.nanoTime()}"
-      val q = joined
-        .select(col("user_id"), col("p_id"), col("c_id"), col("pts"), col("cts"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
+      // each shuffle partition carries TWO join state stores with
+      // checkpoint I/O — a handful of partitions is the right cost shape
+      // for this data volume (restored after the run)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try joined
+          .select(col("user_id"), col("p_id"), col("c_id"), col("pts"), col("cts"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.processAllAvailable()
       q.stop()
       s.table(qn).orderBy("user_id", "p_id", "c_id", "pts", "cts")
