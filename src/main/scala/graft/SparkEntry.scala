@@ -901,7 +901,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 10,
-          tables = 8, bitsPerTable = 6)
+          tables = 8, bitsPerTable = 6, multiProbe = true)
         .orderBy("query_id", "rank")
     }),
 

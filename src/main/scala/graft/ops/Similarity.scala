@@ -86,12 +86,19 @@ object Similarity {
    * the query in ≥1 of `tables` tables; candidates are reranked exactly.
    * Recall < 1 by construction; increase `tables` / decrease
    * `bitsPerTable` to trade cost for recall.
+   *
+   * `multiProbe = true` additionally probes, per table, every bucket at
+   * Hamming distance 1 from the query's bucket (the borderline-sign
+   * buckets a near neighbor most likely fell into).  Only the QUERY side
+   * fans out (`bitsPerTable + 1` buckets per table); the corpus is still
+   * hashed exactly once — the standard recall/cost lever when re-hashing
+   * a petabyte corpus with more tables is the expensive side.
    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, tables: Int = 4, bitsPerTable: Int = 12,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     require(tables * bitsPerTable <= 64, "tables*bitsPerTable must fit in 64")
     GraftFunctions.register(corpus.sparkSession)
     val mask = (1L << bitsPerTable) - 1
@@ -109,9 +116,19 @@ object Similarity {
     val c = bucketize(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
       "neighbor_id", "__v")
-    val q = bucketize(
+    val qBase = bucketize(
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q")),
       "query_id", "__q")
+    val q =
+      if (!multiProbe) qBase
+      else {
+        // probe the exact bucket plus every single-bit flip of it
+        val flips = lit(0L) +:
+          (0 until bitsPerTable).map(b => lit(1L << b))
+        qBase.select(col("query_id"), col("__q"), col("tbl"),
+            explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
+              .as("bucket"))
+      }
 
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -164,6 +164,17 @@ class OpsSpec extends AnyFunSuite {
     // probes ~12% of the corpus for ~0.3-0.4 recall here.
     assert(recall > 0.2, s"recall@10 = $recall")
     info(f"lsh recall@10 = $recall%.3f over ${exact.size} exact pairs")
+    // multi-probe (query-side 1-bit-flip fan-out) must raise recall at the
+    // same corpus hashing cost
+    val probed = Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        tables = 8, bitsPerTable = 6, multiProbe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val probedRecall = (exact & probed).size.toDouble / exact.size
+    info(f"multi-probe recall@10 = $probedRecall%.3f")
+    assert(probedRecall > recall,
+      s"multi-probe ($probedRecall) should beat single-probe ($recall)")
+    assert(probedRecall > 0.4, s"multi-probe recall@10 = $probedRecall")
   }
 
   test("langid picks marker-bearing languages with fixed tie-break") {
