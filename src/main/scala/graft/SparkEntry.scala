@@ -74,9 +74,11 @@ object SparkEntry {
   /** Deterministic annotated-type fixture written once per JVM tmpdir:
     * uuid as FIXED_LEN_BYTE_ARRAY(16)+UUID, time-of-day as
     * INT64+TIME(MICROS) (content is fixed, so an existing write is
-    * reused; scale-factor independent). */
+    * reused; scale-factor independent).  The dir name carries a version —
+    * bump it whenever the fixture's schema/content changes, or a stale
+    * reused write would silently poison the oracle. */
   private def uuidFixtureDir(s: SparkSession): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture_v2"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       import s.implicits._
       val rows = Seq(
@@ -97,7 +99,7 @@ object SparkEntry {
   /** Deterministic geometry fixture: WKB points/linestring/polygon written
     * once with a generated GeoParquet `geo` footer document. */
   private def geoFixtureDir(s: SparkSession): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geo_fixture"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geo_fixture_v1"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       import s.implicits._
       geo.Wkb.register(s)
@@ -1024,17 +1026,17 @@ object SparkEntry {
 
     "io_uuid_roundtrip" ->
       ("SELECT id, CAST(u AS VARCHAR) AS u " +
-        "FROM read_parquet('__TMPDIR__/graft_uuid_fixture/*.parquet') " +
+        "FROM read_parquet('__TMPDIR__/graft_uuid_fixture_v2/*.parquet') " +
         "ORDER BY id"),
 
     "meta_uuid_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +
-        "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture/*.parquet') " +
+        "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture_v2/*.parquet') " +
         "ORDER BY uri, name"),
 
     "geo_write_kv" ->
       ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +
-        "FROM parquet_kv_metadata('__TMPDIR__/graft_geo_fixture/*.parquet') " +
+        "FROM parquet_kv_metadata('__TMPDIR__/graft_geo_fixture_v1/*.parquet') " +
         "WHERE decode(key) = 'geo' ORDER BY uri, key"),
 
     "io_kv_write" ->
