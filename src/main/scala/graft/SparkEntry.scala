@@ -933,6 +933,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"),
+          TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"))
+        .orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1451,6 +1458,22 @@ object SparkEntry {
         "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' " +
         "ELSE 'zh' END AS lang_pred " +
         "FROM sc ORDER BY doc_id"),
+
+    "text_repetition" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, " +
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), " +
+        "i -> array_to_string(tk[i:i+2], ' ')) " +
+        "ELSE [array_to_string(tk, ' ')] END AS g3, " +
+        "CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), " +
+        "i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE [array_to_string(tk, ' ')] END AS g2 FROM m) " +
+        "SELECT doc_id, " +
+        "round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) AS rep3, " +
+        "round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) AS rep2 " +
+        "FROM g ORDER BY doc_id"),
 
     "mm_decode_meta" ->
       ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +

@@ -37,6 +37,16 @@ object TextAnalysis {
   def shingleHashes(text: Column, n: Int): Column =
     transform(array_distinct(shingles(text, n)), s => xxhash64(s))
 
+  /** Fraction of repeated word n-grams, `1 - |distinct|/|all|` — near 1
+    * for boilerplate/keyword-stuffed text, near 0 for natural prose; a
+    * standard pre-training quality filter signal.  Documents shorter than
+    * n tokens score 0 (their single truncated shingle is trivially
+    * distinct). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val g = shingles(text, n)
+    round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4)
+  }
+
   // ----------------------------------------------------------- quality
   /** Stopword list used by quality scoring and language ID (English). */
   val EnglishStopwords: Seq[String] =

@@ -177,6 +177,20 @@ class OpsSpec extends AnyFunSuite {
     assert(probedRecall > 0.4, s"multi-probe recall@10 = $probedRecall")
   }
 
+  test("repetition ratio separates boilerplate from prose") {
+    val df = Seq(
+      (0L, "buy now " * 50),                      // pure repetition
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // all-unique prose
+      (2L, "a b"))                                 // shorter than n
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) > 0.95, s"boilerplate scored ${got(0L)}")
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.0)
+  }
+
   test("langid picks marker-bearing languages with fixed tie-break") {
     val d = Seq(
       (0L, "the cat and the dog sat on the mat"),
