@@ -869,6 +869,15 @@ object SparkEntry {
           "source", threshold = 0.95)
         .orderBy("block", "a", "b")),
 
+    // connected components over the exact-jaccard pair graph: the dedup
+    // endgame (transitively-linked docs collapse to one cluster keyed by
+    // its smallest doc id); oracle = recursive transitive closure
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "source", threshold = 0.95)
+      Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
+    }),
+
     // exact embedding near-dup pairs (brute force — the oracle-checkable
     // baseline; the LSH variant below is the 100 TB path)
     "dedup_embedding" -> ((s, dir) =>
@@ -1394,6 +1403,20 @@ object SparkEntry {
         "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / " +
         "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95 " +
         "ORDER BY block, a, b"),
+
+    "dedup_components" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, source, " +
+        "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS tk FROM documents), " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b " +
+        "FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / " +
+        "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95), " +
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) " +
+        "SELECT u AS id, CAST(least(u, min(v)) AS BIGINT) AS component " +
+        "FROM reach GROUP BY u ORDER BY id"),
 
     "dedup_embedding" ->
       ("SELECT a.vec_id AS a, b.vec_id AS b, " +

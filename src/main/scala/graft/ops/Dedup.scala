@@ -212,6 +212,59 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected near-duplicate pair list —
+   * the dedup endgame: transitively-linked docs form one cluster, keep
+   * `min(id)` per cluster.  Min-label propagation WITH pointer doubling:
+   * each round a node takes the smallest of {its label, its neighbors'
+   * labels, its label's label} — the label-of-label hop halves chain
+   * distances, so convergence is O(log diameter) rounds, each of which is
+   * two equi-joins + a keyed min (the Hash-to-Min scheme; plain one-hop
+   * propagation would need O(diameter) full shuffles on chain graphs).
+   * Deterministic: min-labels are order-independent.
+   *
+   * Returns (id, component) for every id appearing in `pairs`, where
+   * component is the smallest id in its cluster.
+   */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("label").as("nlabel"))
+        .withColumnRenamed("u", "id")
+      // pointer doubling: my label's own label
+      val parent = labels.select(
+        col("id").as("pid"), col("label").as("plabel"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(parent, labels("label") === parent("pid"), "left")
+        .select(col("id"), least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("plabel"), col("label"))).as("label"))
+        // cut the iterative lineage — without this every round's plan
+        // contains all previous rounds
+        .localCheckpoint()
+      converged = updated.as("n")
+        .join(labels.withColumnRenamed("label", "old").as("o"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /**
    * Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
    * from multi-table random-hyperplane LSH, verified exactly.  Shuffle is
    * O(docs × tables); per-bucket pair blow-up capped like MinHash.

@@ -177,6 +177,19 @@ class OpsSpec extends AnyFunSuite {
     assert(probedRecall > 0.4, s"multi-probe recall@10 = $probedRecall")
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    // chain 1-2-3 plus isolated pair (7,9): two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // long chain exercises multi-round propagation
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val ccChain = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(ccChain.length == 41 && ccChain.forall(_._2 == 0L))
+  }
+
   test("repetition ratio separates boilerplate from prose") {
     val df = Seq(
       (0L, "buy now " * 50),                      // pure repetition
