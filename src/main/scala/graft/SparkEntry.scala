@@ -942,12 +942,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "text_repetition" -> ((s, dir) =>
+    "text_repetition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"),
           TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -49,6 +49,9 @@ object GraftFunctions {
     },
     "graft_shingle_hashes" -> { exprs =>
       ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    },
+    "graft_ngram_repetition" -> { exprs =>
+      NgramRepetition(exprs.head, exprs(1).eval().asInstanceOf[Int])
     })
 
   def register(spark: SparkSession): Unit = {
@@ -78,6 +81,10 @@ object GraftFunctions {
     * (tokenize + roll + dedupe) — see [[ShingleHashes]]. */
   def shingleHashes64(text: Column, n: Int): Column =
     call_function("graft_shingle_hashes", text, lit(n))
+  /** `1 - |distinct n-grams| / |n-grams|` in one pass — see
+    * [[NgramRepetition]]. */
+  def ngramRepetition(text: Column, n: Int): Column =
+    call_function("graft_ngram_repetition", text, lit(n))
 }
 
 /**
@@ -141,6 +148,60 @@ case class ShingleHashes(child: Expression, n: Int)
     var j = 0
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * One-pass n-gram repetition ratio: `1 - |distinct n-grams|/|n-grams|`.
+ * Semantically mirrors the Column composition
+ * `1 - size(array_distinct(shingles(text, n))) / size(shingles(text, n))`
+ * but the composed form evaluates the shingle pipeline once per
+ * occurrence (higher-order functions don't participate in codegen
+ * subexpression elimination), materializing multi-kilobyte string arrays
+ * repeatedly.  Tokenization matches `TextAnalysis.tokens` exactly:
+ * full-string lowercase, split on non-[a-z0-9] runs; distinctness is via
+ * chained 64-bit token hashes (collision odds ~n²/2⁶⁵, irrelevant).
+ */
+case class NgramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ngram_repetition"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok) {
+        h = (h ^ c.toLong) * 0x100000001b3L
+        inTok = true
+      } else if (inTok) {
+        tokenHashes += GraftFunctions.mix64(h)
+        h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += GraftFunctions.mix64(h)
+    val m = tokenHashes.length
+    if (m < n + 1) return java.lang.Double.valueOf(0.0) // ≤1 gram
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val total = m - n + 1
+    var start = 0
+    while (start + n <= m) {
+      var g = 0L
+      var k = 0
+      while (k < n) { g = GraftFunctions.mix64(g ^ tokenHashes(start + k)); k += 1 }
+      seen.add(g)
+      start += 1
+    }
+    java.lang.Double.valueOf(1.0 - seen.size.toDouble / total)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

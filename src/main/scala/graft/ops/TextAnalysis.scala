@@ -41,11 +41,11 @@ object TextAnalysis {
     * for boilerplate/keyword-stuffed text, near 0 for natural prose; a
     * standard pre-training quality filter signal.  Documents shorter than
     * n tokens score 0 (their single truncated shingle is trivially
-    * distinct). */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val g = shingles(text, n)
-    round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4)
-  }
+    * distinct).  Single-pass kernel — the equivalent Column composition
+    * evaluates the shingle pipeline once per reference
+    * ([[graft.functions.NgramRepetition]]). */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    round(graft.functions.GraftFunctions.ngramRepetition(text, n), 4)
 
   // ----------------------------------------------------------- quality
   /** Stopword list used by quality scoring and language ID (English). */

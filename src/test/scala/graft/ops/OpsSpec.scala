@@ -191,6 +191,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("repetition ratio separates boilerplate from prose") {
+    GraftFunctions.register(spark)
     val df = Seq(
       (0L, "buy now " * 50),                      // pure repetition
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // all-unique prose
