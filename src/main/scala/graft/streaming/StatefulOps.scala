@@ -40,17 +40,31 @@ object StatefulOps {
    * Streaming sessionization via flatMapGroupsWithState: events of a user
    * are split into sessions at silences longer than `gapMicros`.  Within
    * a micro-batch the group's events arrive unordered — they are sorted
-   * by (time, id) before folding, so with a single AvailableNow batch the
-   * output equals the batch gaps-and-islands computation exactly (the
-   * driver checks it against the same SQL oracle as `q_sessionize`).
-   * Across batches the carried state is the last session's tail.
+   * by (time, id) before folding.
+   *
+   * Multi-batch contract (VERDICT r2 #4): every batch that touches a user
+   * re-emits that user's OPEN tail session alongside any sessions it
+   * closed.  A session's row only ever grows monotonically (n and
+   * sess_end increase, sess_start is fixed), so the raw sink output is
+   * reconciled last-write-wins by `(user_id, sess_id) → max`, making the
+   * N-batch output exactly equal to the single-batch gaps-and-islands
+   * computation (same SQL oracle as `q_sessionize`).  Requirement: each
+   * user's events must arrive time-ordered ACROSS batches (intra-batch
+   * disorder is fine) — the usual source contract for a sessionizer with
+   * no lateness handling; a later-batch event older than the carried tail
+   * would be folded into the wrong session.
+   *
+   * Sink: parquet file sink + checkpoint (the production shape — rows
+   * flow executor→files, nothing through the driver); the returned frame
+   * is the reconciled read-back of the sink directory.
    */
   final case class SessState(
       sessId: Long, n: Long, start: Long, lastTs: Long)
 
   def sessionize(
       spark: SparkSession, stageDir: String,
-      gapMicros: Long): DataFrame = {
+      gapMicros: Long,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
@@ -68,25 +82,40 @@ object StatefulOps {
         } else st = st.copy(n = st.n + 1, lastTs = ts)
       }
       if (st != null) {
-        // emit the open tail session too (complete for a one-batch run)
+        // emit the open tail too — superseded rows are reconciled away
         out += SessionRow(userId, st.sessId, st.n, st.start, st.lastTs)
         state.update(st)
       }
       out.iterator
     }
 
-    val qn = s"graft_sessionize_${System.nanoTime()}"
-    val q = spark.readStream.schema(schema).parquet(stageDir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sess_sink_" +
+      new java.io.File(stageDir).getName
+    val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(stageDir)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
-      .writeStream.format("memory").queryName(qn)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
       .outputMode(OutputMode.Append())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(qn)
+    // last-write-wins reconciliation: per (user_id, sess_id) the final
+    // (largest) emission is the session's true extent
+    spark.read.parquet(outDir)
+      .groupBy("user_id", "sess_id")
+      .agg(max("n").as("n"), min("sess_start").as("sess_start"),
+        max("sess_end").as("sess_end"))
+      .select("user_id", "sess_id", "n", "sess_start", "sess_end")
   }
 
   /** Run the stateful per-user aggregation over a staged parquet dir and
