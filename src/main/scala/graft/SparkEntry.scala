@@ -86,20 +86,24 @@ object SparkEntry {
     * bump it whenever the fixture's schema/content changes, or a stale
     * reused write would silently poison the oracle. */
   private def uuidFixtureDir(s: SparkSession): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture_v2"
+    // v3: added json column `j` + the ARROW:schema extension footer
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_uuid_fixture_v3"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       import s.implicits._
       val rows = Seq(
-        (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff", 0L),
-        (1L, "00000000-0000-0000-0000-000000000001", 45296789000L),
-        (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", 86399999999L),
-        (3L, "ffffffff-ffff-ffff-ffff-ffffffffffff", 3600000000L),
-        (4L, "123e4567-e89b-12d3-a456-426614174000", 12345000000L))
-      val df = rows.toDF("id", "u", "t").repartition(1)
+        (0L, "6f9619ff-8b86-d011-b42d-00c04fc964ff", 0L, """{"a":1}"""),
+        (1L, "00000000-0000-0000-0000-000000000001", 45296789000L,
+          """{"b":[1,2]}"""),
+        (2L, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", 86399999999L, "null"),
+        (3L, "ffffffff-ffff-ffff-ffff-ffffffffffff", 3600000000L,
+          """{"c":{"d":"e"}}"""),
+        (4L, "123e4567-e89b-12d3-a456-426614174000", 12345000000L, "[]"))
+      val df = rows.toDF("id", "u", "t", "j").repartition(1)
         .select(col("id"),
-          graft.functions.PgColumns.uuidToBin(col("u")).as("u"), col("t"))
+          graft.functions.PgColumns.uuidToBin(col("u")).as("u"), col("t"),
+          col("j"))
       io.AnnotatedParquet.write(df, dir, uuidCols = Set("u"),
-        timeCols = Set("t"))
+        timeCols = Set("t"), jsonCols = Set("j"))
     }
     dir
   }
@@ -312,6 +316,16 @@ object SparkEntry {
     "meta_uuid_schema" -> ((s, _) =>
       ParquetInfo.schema(s, s"${uuidFixtureDir(s)}/*.parquet")
         .orderBy("uri", "name")),
+
+    // Arrow extension metadata (reference schema_parser.rs:365,410): the
+    // annotated writer's ARROW:schema footer key — DuckDB reads the same
+    // footer back, proving the extension-bearing schema actually landed
+    // (field-level arrow.uuid/arrow.json assertions live in
+    // AnnotatedParquetSpec, which deserializes the IPC payload)
+    "meta_arrow_ext" -> ((s, _) =>
+      ParquetInfo.kvMetadata(s, s"${uuidFixtureDir(s)}/*.parquet")
+        .filter(col("key") === "ARROW:schema")
+        .orderBy("uri", "key")),
 
     // P9: geometry WKB + generated GeoParquet `geo` footer document —
     // DuckDB independently reads the footer back, verifying the document
@@ -1058,13 +1072,18 @@ object SparkEntry {
 
     "io_uuid_roundtrip" ->
       ("SELECT id, CAST(u AS VARCHAR) AS u " +
-        "FROM read_parquet('__TMPDIR__/graft_uuid_fixture_v2/*.parquet') " +
+        "FROM read_parquet('__TMPDIR__/graft_uuid_fixture_v3/*.parquet') " +
         "ORDER BY id"),
 
     "meta_uuid_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +
-        "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture_v2/*.parquet') " +
+        "FROM parquet_schema('__TMPDIR__/graft_uuid_fixture_v3/*.parquet') " +
         "ORDER BY uri, name"),
+
+    "meta_arrow_ext" ->
+      ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +
+        "FROM parquet_kv_metadata('__TMPDIR__/graft_uuid_fixture_v3/*.parquet') " +
+        "WHERE decode(key) = 'ARROW:schema' ORDER BY uri, key"),
 
     "geo_write_kv" ->
       ("SELECT file_name AS uri, decode(key) AS key, decode(value) AS value " +

@@ -38,24 +38,34 @@ object AnnotatedParquet {
     * `uuidCols` must be 16-byte `BinaryType` (see
     * [[graft.functions.PgColumns.uuidToBin]]); columns named in
     * `timeCols` must be `LongType` microseconds-of-day (see
-    * [[PgSchema.timeToMicros]]). */
+    * [[PgSchema.timeToMicros]]); columns named in `jsonCols` must be
+    * `StringType` holding JSON text.
+    *
+    * Besides the parquet logical types, the footer carries the standard
+    * `ARROW:schema` key (base64 IPC-encapsulated Arrow schema) in which
+    * uuid/json fields bear `ARROW:extension:name` = `arrow.uuid` /
+    * `arrow.json` field metadata — what Arrow-native readers use to
+    * restore extension types (reference
+    * `src/arrow_parquet/schema_parser.rs:360-365,410`). */
   def write(
       df: DataFrame, uri: String,
       uuidCols: Set[String] = Set.empty,
-      timeCols: Set[String] = Set.empty): Unit = {
+      timeCols: Set[String] = Set.empty,
+      jsonCols: Set[String] = Set.empty): Unit = {
     val fields: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
       val kind = (f.dataType, uuidCols.contains(f.name),
-          timeCols.contains(f.name)) match {
-        case (BinaryType, true, _) => "uuid"
-        case (LongType, _, true) => "time"
-        case (BinaryType, _, _) => "binary"
-        case (LongType, _, _) => "long"
-        case (IntegerType, _, _) => "int"
-        case (DoubleType, _, _) => "double"
-        case (FloatType, _, _) => "float"
-        case (BooleanType, _, _) => "boolean"
-        case (StringType, _, _) => "string"
-        case (dt, _, _) => throw new IllegalArgumentException(
+          timeCols.contains(f.name), jsonCols.contains(f.name)) match {
+        case (BinaryType, true, _, _) => "uuid"
+        case (LongType, _, true, _) => "time"
+        case (StringType, _, _, true) => "json"
+        case (BinaryType, _, _, _) => "binary"
+        case (LongType, _, _, _) => "long"
+        case (IntegerType, _, _, _) => "int"
+        case (DoubleType, _, _, _) => "double"
+        case (FloatType, _, _, _) => "float"
+        case (BooleanType, _, _, _) => "boolean"
+        case (StringType, _, _, _) => "string"
+        case (dt, _, _, _) => throw new IllegalArgumentException(
           s"AnnotatedParquet supports flat primitive schemas; column " +
             s"'${f.name}' has unsupported type ${dt.simpleString}")
       }
@@ -66,6 +76,9 @@ object AnnotatedParquet {
       s"uuid columns ${uuidCols -- names} not in schema")
     require(timeCols.subsetOf(names),
       s"time columns ${timeCols -- names} not in schema")
+    require(jsonCols.subsetOf(names),
+      s"json columns ${jsonCols -- names} not in schema")
+    val arrowB64 = arrowSchemaB64(fields)
 
     // clean target dir driver-side, then write one file per partition
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -83,6 +96,8 @@ object AnnotatedParquet {
         val writer = ExampleParquetWriter
           .builder(HadoopOutputFile.fromPath(file, taskConf))
           .withType(schema)
+          .withExtraMetaData(
+            java.util.Collections.singletonMap("ARROW:schema", arrowB64))
           .withCompressionCodec(CompressionCodecName.SNAPPY)
           .build()
         try rows.foreach { row => writer.write(toGroup(schema, fields, row)) }
@@ -104,6 +119,48 @@ object AnnotatedParquet {
       spark: org.apache.spark.sql.SparkSession, uri: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(uri)
+
+  /** The `ARROW:schema` footer value: the Arrow schema mirroring `fields`
+    * (uuid → FixedSizeBinary(16) + `arrow.uuid` extension, json → Utf8 +
+    * `arrow.json`, time → Time64(µs)), serialized as an IPC-encapsulated
+    * message and base64-encoded — the cross-implementation convention
+    * (arrow-rs/pyarrow/arrow-java) for Arrow-typed parquet footers. */
+  private[io] def arrowSchemaB64(fields: Seq[(String, String)]): String = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+    import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
+    import scala.jdk.CollectionConverters._
+    def field(name: String, t: ArrowType, ext: Option[String]): Field = {
+      val md: Map[String, String] = ext match {
+        case Some(e) => Map("ARROW:extension:name" -> e,
+          "ARROW:extension:metadata" -> "")
+        case None => Map.empty
+      }
+      new Field(name, new FieldType(true, t, null, md.asJava), null)
+    }
+    val af: Seq[Field] = fields.map {
+      case (n, "uuid") =>
+        field(n, new ArrowType.FixedSizeBinary(16), Some("arrow.uuid"))
+      case (n, "json") => field(n, ArrowType.Utf8.INSTANCE, Some("arrow.json"))
+      case (n, "time") =>
+        field(n, new ArrowType.Time(ATimeUnit.MICROSECOND, 64), None)
+      case (n, "binary") => field(n, ArrowType.Binary.INSTANCE, None)
+      case (n, "long") => field(n, new ArrowType.Int(64, true), None)
+      case (n, "int") => field(n, new ArrowType.Int(32, true), None)
+      case (n, "double") =>
+        field(n, new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE), None)
+      case (n, "float") =>
+        field(n, new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), None)
+      case (n, "boolean") => field(n, ArrowType.Bool.INSTANCE, None)
+      case (n, "string") => field(n, ArrowType.Utf8.INSTANCE, None)
+      case (n, k) => throw new IllegalStateException(s"unmapped kind $k for $n")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ch = new org.apache.arrow.vector.ipc.WriteChannel(
+      java.nio.channels.Channels.newChannel(out))
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      ch, new ArrowSchema(af.asJava))
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
 
   private def buildSchema(fields: Seq[(String, String)]): MessageType = {
     val b = Types.buildMessage()
@@ -128,7 +185,7 @@ object AnnotatedParquet {
           Types.optional(PrimitiveType.PrimitiveTypeName.FLOAT).named(name)
         case "boolean" =>
           Types.optional(PrimitiveType.PrimitiveTypeName.BOOLEAN).named(name)
-        case "string" =>
+        case "string" | "json" =>
           Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(name)
       }
@@ -155,7 +212,7 @@ object AnnotatedParquet {
         case "double" => g.add(name, row.getDouble(i))
         case "float" => g.add(name, row.getFloat(i))
         case "boolean" => g.add(name, row.getBoolean(i))
-        case "string" => g.add(name, row.getString(i))
+        case "string" | "json" => g.add(name, row.getString(i))
       }
     }
     g

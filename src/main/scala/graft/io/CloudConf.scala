@@ -19,20 +19,30 @@ import org.apache.spark.sql.SparkSession
 object CloudConf {
 
   /** Translate reference-recognized environment variables into Hadoop
-    * conf settings.  Pure (takes the env as a map) for testability. */
-  def hadoopSettings(env: Map[String, String]): Map[String, String] = {
+    * conf settings.  Pure (takes the env as a map, and an injectable
+    * file reader for the AWS config-file fallback) for testability. */
+  def hadoopSettings(
+      env: Map[String, String],
+      readFile: String => Option[String] = defaultFileReader)
+      : Map[String, String] = {
     val b = Map.newBuilder[String, String]
 
-    // ---- AWS / S3 (reference aws.rs: config file + env + STS tokens)
-    env.get("AWS_ACCESS_KEY_ID").foreach(b += "fs.s3a.access.key" -> _)
-    env.get("AWS_SECRET_ACCESS_KEY").foreach(b += "fs.s3a.secret.key" -> _)
-    env.get("AWS_SESSION_TOKEN").foreach { t =>
+    // ---- AWS / S3 (reference aws.rs:125-166 — the SDK default chain:
+    // env vars first, ~/.aws/{credentials,config} profiles as fallback)
+    val awsFiles = awsFileSettings(env, readFile)
+    def aws(envKey: String, fileKey: String): Option[String] =
+      env.get(envKey).orElse(awsFiles.get(fileKey))
+    aws("AWS_ACCESS_KEY_ID", "aws_access_key_id")
+      .foreach(b += "fs.s3a.access.key" -> _)
+    aws("AWS_SECRET_ACCESS_KEY", "aws_secret_access_key")
+      .foreach(b += "fs.s3a.secret.key" -> _)
+    aws("AWS_SESSION_TOKEN", "aws_session_token").foreach { t =>
       b += "fs.s3a.session.token" -> t
       b += "fs.s3a.aws.credentials.provider" ->
         "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
     }
-    env.get("AWS_REGION").foreach(b += "fs.s3a.endpoint.region" -> _)
-    env.get("AWS_ENDPOINT_URL").foreach { ep =>
+    aws("AWS_REGION", "region").foreach(b += "fs.s3a.endpoint.region" -> _)
+    aws("AWS_ENDPOINT_URL", "endpoint_url").foreach { ep =>
       b += "fs.s3a.endpoint" -> ep
       // custom endpoints (MinIO et al) are path-style
       b += "fs.s3a.path.style.access" -> "true"
@@ -51,6 +61,39 @@ object CloudConf {
       env.get("AZURE_STORAGE_SAS_TOKEN").foreach { sas =>
         b += s"fs.azure.account.auth.type.$acct.dfs.core.windows.net" -> "SAS"
         b += s"fs.azure.sas.fixed.token.$acct.dfs.core.windows.net" -> sas
+      }
+      // Service-principal (client-secret) auth, reference azure.rs:196-213:
+      // the AZURE_TENANT_ID / AZURE_CLIENT_ID / AZURE_CLIENT_SECRET trio
+      // maps to the ABFS OAuth2 client-credentials provider.
+      for {
+        tenant <- env.get("AZURE_TENANT_ID")
+        client <- env.get("AZURE_CLIENT_ID")
+        secret <- env.get("AZURE_CLIENT_SECRET")
+      } {
+        val sfx = s"$acct.dfs.core.windows.net"
+        b += s"fs.azure.account.auth.type.$sfx" -> "OAuth"
+        b += s"fs.azure.account.oauth.provider.type.$sfx" ->
+          "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider"
+        b += s"fs.azure.account.oauth2.client.id.$sfx" -> client
+        b += s"fs.azure.account.oauth2.client.secret.$sfx" -> secret
+        b += s"fs.azure.account.oauth2.client.endpoint.$sfx" ->
+          s"https://login.microsoftonline.com/$tenant/oauth2/token"
+      }
+      // Workload-identity (federated token file), reference azure.rs:205:
+      // kubernetes-style OIDC token exchange — no client secret involved.
+      for {
+        tenant <- env.get("AZURE_TENANT_ID")
+        client <- env.get("AZURE_CLIENT_ID")
+        tokenFile <- env.get("AZURE_FEDERATED_TOKEN_FILE")
+        if !env.contains("AZURE_CLIENT_SECRET")
+      } {
+        val sfx = s"$acct.dfs.core.windows.net"
+        b += s"fs.azure.account.auth.type.$sfx" -> "OAuth"
+        b += s"fs.azure.account.oauth.provider.type.$sfx" ->
+          "org.apache.hadoop.fs.azurebfs.oauth2.WorkloadIdentityTokenProvider"
+        b += s"fs.azure.account.oauth2.client.id.$sfx" -> client
+        b += s"fs.azure.account.oauth2.msi.tenant.$sfx" -> tenant
+        b += s"fs.azure.account.oauth2.token.file.$sfx" -> tokenFile
       }
     }
     env.get("AZURE_STORAGE_CONNECTION_STRING").foreach { cs =>
@@ -83,6 +126,59 @@ object CloudConf {
         materializeKey(json).toString
     }
     b.result()
+  }
+
+  /** AWS config-file fallback (reference aws.rs:125-166 loads the SDK
+    * default chain, which reads `~/.aws/credentials` and `~/.aws/config`
+    * when env vars are absent).  Returns the selected profile's keys
+    * (`aws_access_key_id`, `aws_secret_access_key`, `aws_session_token`,
+    * `region`, `endpoint_url`), credentials file winning over config
+    * file.  Profile selection honours AWS_PROFILE / AWS_DEFAULT_PROFILE;
+    * file locations honour AWS_SHARED_CREDENTIALS_FILE / AWS_CONFIG_FILE. */
+  private[io] def awsFileSettings(
+      env: Map[String, String],
+      readFile: String => Option[String]): Map[String, String] = {
+    val home = env.getOrElse("HOME", System.getProperty("user.home", ""))
+    val profile = env.get("AWS_PROFILE")
+      .orElse(env.get("AWS_DEFAULT_PROFILE")).getOrElse("default")
+    val credPath = env.getOrElse("AWS_SHARED_CREDENTIALS_FILE",
+      s"$home/.aws/credentials")
+    val confPath = env.getOrElse("AWS_CONFIG_FILE", s"$home/.aws/config")
+    // config file prefixes non-default sections with "profile ";
+    // credentials file does not
+    val fromConf = readFile(confPath).map(parseIniSection(_,
+      if (profile == "default") "default" else s"profile $profile"))
+      .getOrElse(Map.empty)
+    val fromCred = readFile(credPath).map(parseIniSection(_, profile))
+      .getOrElse(Map.empty)
+    fromConf ++ fromCred
+  }
+
+  /** Minimal INI parse: the named section's `key = value` pairs with
+    * `#`/`;` comment lines ignored, keys lower-cased. */
+  private[io] def parseIniSection(
+      content: String, section: String): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    var in = false
+    content.linesIterator.map(_.trim).foreach { line =>
+      if (line.startsWith("[") && line.endsWith("]"))
+        in = line.substring(1, line.length - 1).trim
+          .equalsIgnoreCase(section)
+      else if (in && line.nonEmpty && !line.startsWith("#") &&
+          !line.startsWith(";"))
+        line.split("=", 2) match {
+          case Array(k, v) => b += k.trim.toLowerCase -> v.trim
+          case _ => // bare keys / sub-properties: ignored
+        }
+    }
+    b.result()
+  }
+
+  private def defaultFileReader(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile && f.canRead)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    else None
   }
 
   /** Write inline service-account key JSON to an owner-only temp file

@@ -119,6 +119,16 @@ object CopyTo {
     if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
     w.parquet(uri)
 
+    // feedback pass bounding the split error (the prefix sample can
+    // misestimate when row widths are skewed): if any produced file
+    // overshoots file_size_bytes by >25%, re-derive rows/file from the
+    // OBSERVED output bytes/row and re-split by reading the materialized
+    // files back — one cheap columnar pass, never a re-run of the
+    // upstream plan (the count is footer-only)
+    opts.fileSizeBytes.foreach { target =>
+      resplitIfNeeded(spark, uri, target, codec, opts, rowGroupBytes)
+    }
+
     if (opts.kvMetadata.nonEmpty)
       graft.meta.KvMetadata.add(spark, uri, opts.kvMetadata)
 
@@ -138,6 +148,57 @@ object CopyTo {
     val perRow = sampleBytesPerRow(df, codec)
     if (perRow == 0.0) Long.MaxValue
     else math.max(1L, (targetBytes / perRow).toLong)
+  }
+
+  /** Second-pass splitter (reference rolls at exact bytes,
+    * `copy_to_split_dest_receiver.rs:105-117`; we bound the sampling
+    * estimate's error instead): triggered only when a data file exceeds
+    * `target` by >25%.  Rows/file is re-derived from the actual
+    * compressed bytes/row of the written output, the files are rewritten
+    * with the corrected cap into a sibling dir, and the dirs are swapped. */
+  private def resplitIfNeeded(
+      spark: SparkSession, uri: String, target: Long, codec: String,
+      opts: CopyToOptions, rowGroupBytes: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L; var maxBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        totalBytes += st.getLen
+        maxBytes = math.max(maxBytes, st.getLen)
+      }
+    }
+    if (maxBytes <= target + target / 4 || totalBytes == 0) return
+    val back = spark.read.parquet(uri)
+    val rows = back.count() // parquet footers only — no data scan
+    if (rows == 0) return
+    val perRow = totalBytes.toDouble / rows
+    // 5% headroom: round row groups + footer overhead land files under,
+    // not over, the requested byte cap
+    val rowsPerFile = math.max(1L, (target / perRow * 0.95).toLong)
+    val withIds = opts.fieldIds match {
+      case "auto" => FieldIds.withAutoFieldIds(back)
+      case "none" => back
+      case json   => FieldIds.withExplicitFieldIds(back, json)
+    }
+    val tmp = new Path(uri + "_resplit_tmp")
+    var w = withIds.write.mode("overwrite")
+      .option("compression", codec)
+      .option("parquet.block.size", math.min(rowGroupBytes, target).toString)
+      .option("parquet.writer.version",
+        if (opts.parquetVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
+      .option("maxRecordsPerFile", rowsPerFile.toString)
+    if (opts.fieldIds != "none")
+      w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
+    if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
+    w.parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"resplit rename $tmp -> $p failed")
+    ()
   }
 
   /** Observed compressed bytes/row from a small prefix write (0.0 for an

@@ -37,6 +37,10 @@ object SchemaCompat {
     case (_: NumericType, _: NumericType) => true
     case (_: NumericType, StringType) | (StringType, _: NumericType) => true
     case (StringType, BooleanType) | (BooleanType, StringType) => true
+    // PG's only bool↔integral explicit cast pair is bool↔int4
+    // (reference can_pg_coerce_types, schema_parser.rs:668-680): int8/int2
+    // → bool has NO pg cast path, so only IntegerType qualifies
+    case (IntegerType, BooleanType) | (BooleanType, IntegerType) => true
     case (DateType, TimestampType | TimestampNTZType) => true
     case (TimestampType | TimestampNTZType, DateType) => true
     case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => true
@@ -47,10 +51,13 @@ object SchemaCompat {
     case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
       isCoercible(fk, tk) && isCoercible(fv, tv)
     case (StructType(ff), StructType(tf)) =>
-      // struct coercion requires matching field NAMES (schema_parser.rs:596-624)
+      // struct coercion zips fields POSITIONALLY and requires the names to
+      // match at each position (schema_parser.rs:596-624) — {b,a} does NOT
+      // coerce to {a,b} even though the name sets are equal
+      // (pgrx_tests/copy_from_coerce.rs:783-814)
       ff.length == tf.length &&
-        tf.forall(t => ff.exists(f =>
-          f.name == t.name && isCoercible(f.dataType, t.dataType)))
+        ff.zip(tf).forall { case (f, t) =>
+          f.name == t.name && isCoercible(f.dataType, t.dataType) }
     case _ => false
   }
 
@@ -84,8 +91,9 @@ object SchemaCompat {
   private def checkCoercible(f: StructField, t: StructField): Unit =
     if (!isCoercible(f.dataType, t.dataType))
       throw SchemaMismatch(
-        s"type mismatch for column \"${t.name}\". Expected type is " +
-          s"${t.dataType.sql}, but file contains ${f.dataType.sql}")
+        s"type mismatch for column \"${t.name}\" between table and parquet " +
+          s"file. Expected type is ${t.dataType.sql}, but file contains " +
+          s"${f.dataType.sql}")
 
   /**
    * Build the cast projection for a validated binding.  Structs are

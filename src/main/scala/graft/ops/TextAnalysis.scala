@@ -98,7 +98,26 @@ object TextAnalysis {
   }
 
   /** Predicted language: argmax over [[langScores]], ties resolved by
-    * list order (en > es > fr > de > zh), 'und' when all scores are 0. */
+    * list order (en > es > fr > de > zh), 'und' when all scores are 0.
+    *
+    * Contract and limits (this is a closed-class-marker heuristic, NOT a
+    * trained model — no fastText/CLD parity is claimed):
+    *  - coverage is exactly [[LangMarkers]]'s five languages; any other
+    *    language returns 'und' or, worse, whichever covered language
+    *    shares surface forms with it (e.g. Dutch "de"/"is" scores as
+    *    de/en markers);
+    *  - short documents often contain no closed-class marker at all and
+    *    come back 'und' — scores are absolute hit counts, so a one-word
+    *    text can never beat a tie among zero scores;
+    *  - mixed-language documents resolve to whichever language
+    *    contributes more marker TOKENS (length-biased: the longer span
+    *    wins regardless of proportion);
+    *  - markers match whole lowercase [[tokens]] only — "The" matches,
+    *    "theater" does not; CJK text only scores because the tokenizer
+    *    splits han runs into single-char tokens.
+    * At 100 TB this evaluates as a codegen'd filter/size over the token
+    * array (no UDF); swap in a real model via mapInPandas if fidelity
+    * matters more than throughput. */
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val maxScore = greatest(scores.map(_._2): _*)

@@ -65,6 +65,29 @@ class AnnotatedParquetSpec extends AnyFunSuite {
       || Option(e.getCause).exists(_.getMessage.contains("16 bytes")))
   }
 
+  test("ARROW:schema footer carries arrow.uuid/arrow.json extension fields") {
+    val uri = TestSpark.tmpDir("arrow_ext")
+    val df = uuids.toDF("id", "u")
+      .select(col("id"), PgColumns.uuidToBin(col("u")).as("u"),
+        lit("""{"k":1}""").as("j"))
+    AnnotatedParquet.write(df, uri, uuidCols = Set("u"), jsonCols = Set("j"))
+    val kv = ParquetInfo.kvMetadata(spark, s"$uri/*.parquet")
+      .filter(col("key") === "ARROW:schema").head()
+    val ipc = java.util.Base64.getDecoder.decode(kv.getAs[String]("value"))
+    // independent decode through Arrow Java's IPC reader
+    val schema = org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(ipc))))
+    def ext(name: String): String =
+      schema.findField(name).getMetadata.get("ARROW:extension:name")
+    assert(ext("u") == "arrow.uuid")
+    assert(ext("j") == "arrow.json")
+    assert(schema.findField("u").getType
+      .isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.FixedSizeBinary])
+    assert(schema.findField("id").getMetadata.isEmpty)
+  }
+
   test("time columns land as INT64 + TIME(MICROS) and round-trip") {
     val uri = TestSpark.tmpDir("time_annot")
     // 12:34:56.789 and midnight, as micros-of-day

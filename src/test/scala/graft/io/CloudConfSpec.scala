@@ -59,6 +59,94 @@ class CloudConfSpec extends AnyFunSuite {
     assert(CloudConf.hadoopSettings(Map.empty).isEmpty)
   }
 
+  test("azure service-principal trio maps to ABFS OAuth client-credentials") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_ACCOUNT" -> "acct1",
+      "AZURE_TENANT_ID" -> "tid", "AZURE_CLIENT_ID" -> "cid",
+      "AZURE_CLIENT_SECRET" -> "sec"))
+    val sfx = "acct1.dfs.core.windows.net"
+    assert(m(s"fs.azure.account.auth.type.$sfx") == "OAuth")
+    assert(m(s"fs.azure.account.oauth.provider.type.$sfx")
+      .endsWith("ClientCredsTokenProvider"))
+    assert(m(s"fs.azure.account.oauth2.client.id.$sfx") == "cid")
+    assert(m(s"fs.azure.account.oauth2.client.secret.$sfx") == "sec")
+    assert(m(s"fs.azure.account.oauth2.client.endpoint.$sfx") ==
+      "https://login.microsoftonline.com/tid/oauth2/token")
+  }
+
+  test("azure federated token file maps to workload identity (no secret)") {
+    val m = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_ACCOUNT" -> "acct1",
+      "AZURE_TENANT_ID" -> "tid", "AZURE_CLIENT_ID" -> "cid",
+      "AZURE_FEDERATED_TOKEN_FILE" -> "/var/run/secrets/token"))
+    val sfx = "acct1.dfs.core.windows.net"
+    assert(m(s"fs.azure.account.auth.type.$sfx") == "OAuth")
+    assert(m(s"fs.azure.account.oauth.provider.type.$sfx")
+      .endsWith("WorkloadIdentityTokenProvider"))
+    assert(m(s"fs.azure.account.oauth2.token.file.$sfx") ==
+      "/var/run/secrets/token")
+    assert(m(s"fs.azure.account.oauth2.msi.tenant.$sfx") == "tid")
+  }
+
+  private val credsIni =
+    """# comment
+      |[default]
+      |aws_access_key_id = FILEAK
+      |aws_secret_access_key = FILESK
+      |
+      |[prod]
+      |aws_access_key_id = PRODAK
+      |aws_secret_access_key = PRODSK
+      |aws_session_token = PRODTOK
+      |""".stripMargin
+  private val configIni =
+    """[default]
+      |region = us-east-1
+      |[profile prod]
+      |region = eu-central-1
+      |endpoint_url = http://minio:9000
+      |""".stripMargin
+  private def reader(paths: Map[String, String])(p: String): Option[String] =
+    paths.get(p)
+
+  test("aws credentials fall back to ~/.aws files (default profile)") {
+    val m = CloudConf.hadoopSettings(Map("HOME" -> "/h"),
+      reader(Map("/h/.aws/credentials" -> credsIni,
+        "/h/.aws/config" -> configIni)))
+    assert(m("fs.s3a.access.key") == "FILEAK")
+    assert(m("fs.s3a.secret.key") == "FILESK")
+    assert(m("fs.s3a.endpoint.region") == "us-east-1")
+    assert(!m.contains("fs.s3a.session.token"))
+  }
+
+  test("AWS_PROFILE selects the named profile; config file adds region/endpoint") {
+    val m = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AWS_PROFILE" -> "prod"),
+      reader(Map("/h/.aws/credentials" -> credsIni,
+        "/h/.aws/config" -> configIni)))
+    assert(m("fs.s3a.access.key") == "PRODAK")
+    assert(m("fs.s3a.session.token") == "PRODTOK")
+    assert(m("fs.s3a.endpoint.region") == "eu-central-1")
+    assert(m("fs.s3a.endpoint") == "http://minio:9000")
+    assert(m("fs.s3a.path.style.access") == "true")
+  }
+
+  test("env vars win over aws config files") {
+    val m = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AWS_ACCESS_KEY_ID" -> "ENVAK",
+        "AWS_SECRET_ACCESS_KEY" -> "ENVSK"),
+      reader(Map("/h/.aws/credentials" -> credsIni)))
+    assert(m("fs.s3a.access.key") == "ENVAK")
+    assert(m("fs.s3a.secret.key") == "ENVSK")
+  }
+
+  test("AWS_SHARED_CREDENTIALS_FILE overrides the credentials path") {
+    val m = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AWS_SHARED_CREDENTIALS_FILE" -> "/elsewhere/creds"),
+      reader(Map("/elsewhere/creds" -> credsIni)))
+    assert(m("fs.s3a.access.key") == "FILEAK")
+  }
+
   test("inline gcs key json is materialized to a keyfile") {
     val json = """{"type":"service_account","client_email":"x@y"}"""
     val m = CloudConf.hadoopSettings(Map("GOOGLE_SERVICE_ACCOUNT_KEY" -> json))

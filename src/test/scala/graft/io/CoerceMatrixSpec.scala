@@ -1,0 +1,103 @@
+package graft.io
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import SchemaCompat.isCoercible
+
+/** Error parity with the reference's coercion matrix: each case ports a
+  * `pgrx_tests/copy_from_coerce.rs` scenario (cited per test), asserting
+  * the same accept/reject decision and — for the rejections driven
+  * through validate() — the same error-message shape the reference's
+  * `should_panic(expected = ...)` pins. */
+class CoerceMatrixSpec extends AnyFunSuite {
+
+  private def struct(fs: (String, DataType)*): StructType =
+    StructType(fs.map { case (n, t) => StructField(n, t) })
+
+  // ---- accepted coercions (copy_from_coerce.rs:611-707 and friends)
+
+  test("struct {a:int16,b:int16} coerces to {a:int,b:bigint} (rs:611)") {
+    assert(isCoercible(
+      struct("a" -> ShortType, "b" -> ShortType),
+      struct("a" -> IntegerType, "b" -> LongType)))
+  }
+
+  test("list of struct coerces element-wise (rs:648)") {
+    assert(isCoercible(
+      ArrayType(struct("a" -> ShortType, "b" -> ShortType)),
+      ArrayType(struct("a" -> IntegerType, "b" -> LongType))))
+  }
+
+  test("map entries coerce key/value-wise") {
+    assert(isCoercible(
+      MapType(StringType, ShortType), MapType(StringType, LongType)))
+    assert(!isCoercible(
+      MapType(StringType, BinaryType), MapType(StringType, LongType)))
+  }
+
+  test("bool <-> int4 is PG's only bool/integral cast pair (rs:668-680)") {
+    assert(isCoercible(IntegerType, BooleanType))
+    assert(isCoercible(BooleanType, IntegerType))
+    assert(!isCoercible(LongType, BooleanType))
+    assert(!isCoercible(ShortType, BooleanType))
+    assert(!isCoercible(BooleanType, LongType))
+  }
+
+  // ---- rejected coercions, message parity via validate()
+
+  private def mismatchMsg(file: StructType, target: StructType): String =
+    intercept[SchemaCompat.SchemaMismatch] {
+      SchemaCompat.validate(file, target, MatchBy.Position)
+    }.getMessage
+
+  test("float8 -> date is not coercible (rs:1079 custom_cast_fail)") {
+    assert(!isCoercible(DoubleType, DateType))
+    val msg = mismatchMsg(
+      struct("x" -> DoubleType), struct("x" -> DateType))
+    assert(msg.contains(
+      "type mismatch for column \"x\" between table and parquet file"))
+  }
+
+  test("struct with fewer fields is rejected (rs:757 less_field)") {
+    val msg = mismatchMsg(
+      struct("x" -> struct("a" -> ShortType)),
+      struct("x" -> struct("a" -> IntegerType, "b" -> LongType)))
+    assert(msg.contains(
+      "type mismatch for column \"x\" between table and parquet file"))
+  }
+
+  test("struct with reordered field names is rejected (rs:783)") {
+    val msg = mismatchMsg(
+      struct("x" -> struct("b" -> ShortType, "a" -> ShortType)),
+      struct("x" -> struct("a" -> IntegerType, "b" -> LongType)))
+    assert(msg.contains(
+      "type mismatch for column \"x\" between table and parquet file"))
+  }
+
+  test("struct field with uncastable type is rejected (rs:816 bool->date)") {
+    assert(!isCoercible(
+      struct("a" -> ShortType, "b" -> BooleanType),
+      struct("a" -> IntegerType, "b" -> DateType)))
+  }
+
+  test("list of non-coercible struct is rejected (rs:709)") {
+    assert(!isCoercible(
+      ArrayType(struct("a" -> ShortType)),
+      ArrayType(struct("a" -> IntegerType, "b" -> LongType))))
+  }
+
+  test("missing column by name carries the reference wording (rs:1065)") {
+    val msg = intercept[SchemaCompat.SchemaMismatch] {
+      SchemaCompat.validate(struct("id" -> IntegerType),
+        struct("id" -> IntegerType, "name" -> StringType), MatchBy.Name)
+    }.getMessage
+    assert(msg.contains("column \"name\" is not found in parquet file"))
+  }
+
+  test("column count mismatch carries the reference wording (rs:1052)") {
+    val msg = mismatchMsg(
+      struct("x" -> LongType, "y" -> LongType), struct("a" -> LongType))
+    assert(msg.contains("column count mismatch between table and parquet file"))
+  }
+}

@@ -213,6 +213,27 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(spark.read.parquet(uri).count() == 300000)
   }
 
+  test("file_size_bytes error is bounded under skewed row widths") {
+    val uri = TestSpark.tmpDir("split_skew")
+    // the 4096-row sample prefix sees only narrow rows (~40B) while 75%
+    // of the data is ~2KB wide — the naive estimate overshoots by ~50×,
+    // so the feedback resplit pass must engage
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") < 5000, lit("x"))
+        .otherwise(concat_ws("", (0 until 64).map(i =>
+          sha2(concat(col("id").cast("string"), lit(i)), 256)): _*))
+        .as("pad"))
+    val target = CopyToOptions.MinFileSizeBytes
+    val res = CopyTo(df.repartition(1).sortWithinPartitions("id"), uri,
+      CopyToOptions(fileSizeBytes = Some(target)))
+    val sizes = res.files.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length())
+    assert(res.files.size > 1, s"expected >1 part file, got ${res.files}")
+    assert(sizes.max <= target * 2,
+      s"file exceeds 2x target ($target): ${sizes.sorted.reverse.take(3)}")
+    assert(spark.read.parquet(uri).count() == 20000)
+  }
+
   test("auto field ids are written depth-first") {
     val uri = TestSpark.tmpDir("fieldids")
     val inner = StructType(Seq(StructField("x", LongType)))

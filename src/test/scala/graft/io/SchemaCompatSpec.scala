@@ -37,14 +37,19 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(!SchemaCompat.isCoercible(ArrayType(BinaryType), ArrayType(LongType)))
   }
 
-  test("struct coercion requires matching field names, not positions") {
+  test("struct coercion requires name equality at each position") {
     val file = StructType(Seq(
       StructField("a", IntegerType), StructField("b", StringType)))
     val okTarget = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val reordered = StructType(Seq(
       StructField("b", StringType), StructField("a", LongType)))
     val badTarget = StructType(Seq(
       StructField("a", IntegerType), StructField("c", StringType)))
     assert(SchemaCompat.isCoercible(file, okTarget))
+    // the reference zips positionally: a reordered target does NOT match
+    // (pgrx_tests/copy_from_coerce.rs:783-814)
+    assert(!SchemaCompat.isCoercible(file, reordered))
     assert(!SchemaCompat.isCoercible(file, badTarget))
   }
 

@@ -217,6 +217,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == "und")
   }
 
+  test("langId adversarial cases follow the documented heuristic contract") {
+    import TextAnalysis.langId
+    val d = Seq(
+      // short text with no closed-class marker → und, not a guess
+      (0L, "quarterly revenue dashboard"),
+      // uncovered language sharing surface forms: Dutch "de" is a Spanish
+      // AND German marker — misattribution is the documented failure mode
+      (1L, "de kat zit op de mat"),
+      // mixed document: the longer span contributes more marker tokens
+      // and wins regardless of proportion
+      (2L, "the cat is in the house and it is warm el perro de la casa"),
+      // marker must match a whole token: "theater thester" ≠ "the"
+      (3L, "theater thester theatrical"),
+      // zero-score tie → 'und' (never an arbitrary language)
+      (4L, ""))
+      .toDF("id", "text")
+    val out = d.select(col("id"), langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "und")
+    assert(out(1L) != "nl") // heuristic CANNOT answer Dutch; it's uncovered
+    assert(Set("es", "de").contains(out(1L)))
+    assert(out(2L) == "en")
+    assert(out(3L) == "und")
+    assert(out(4L) == "und")
+  }
+
   test("token counts and shingles") {
     val one = Seq((0L, "One, two. THREE three!")).toDF("id", "text")
     val r = one.select(
