@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
 import graft.meta.ParquetInfo
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -1004,7 +1004,40 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
-    })
+    }),
+
+    // deterministic train/val/test assignment: per-row multiplicative
+    // hash bucketing (order-independent, re-run-stable; the engine-
+    // portable Knuth hash keeps the oracle exact — at open scale use
+    // pmod(xxhash64(id), 1000) instead, see TrainPrep scaladoc)
+    "pipeline_split_sample" -> ((s, dir) =>
+      TrainPrep.assignSplits(t(s, dir, "documents"),
+          bucket = expr("(doc_id * 2654435761) % 1000"),
+          thresholds = Seq("test" -> 10, "val" -> 60))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")),
+
+    // contiguous sequence packing into 512-token context windows per
+    // source (one window shuffle; running sum is integer-exact, so the
+    // pack layout is engine-portable)
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      TrainPrep.packSequences(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          tokenCol = col("n_tokens"), windowTokens = 512,
+          partitionCols = Seq("source"), orderCols = Seq("doc_id"))
+        .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")),
+
+    // streaming exact dedup at ingest (flatMapGroupsWithState → parquet
+    // file sink): first-occurrence extraction per (user, event_type) with
+    // suppressed-duplicate counts, min-id winner like the batch Dedup
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.StatefulOps.streamingDedup(s, stagedEventsDir(s, dir))
+        .orderBy("user_id", "event_type"))
   )
 
   // =====================================================================
@@ -1542,6 +1575,34 @@ object SparkEntry {
         "d AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang " +
         "FROM q GROUP BY text) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d " +
-        "GROUP BY lang ORDER BY lang")
+        "GROUP BY lang ORDER BY lang"),
+
+    "pipeline_split_sample" ->
+      ("WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN bucket < 10 THEN 'test' " +
+        "WHEN bucket < 60 THEN 'val' ELSE 'train' END AS split FROM b) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM s GROUP BY split ORDER BY split"),
+
+    "pipeline_pack_sequences" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "runs AS (SELECT doc_id, source, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+        "AS start_sum FROM toks) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "CAST(floor(start_sum / 512) AS BIGINT) AS pack_id, " +
+        "start_sum % 512 AS pack_offset " +
+        "FROM runs ORDER BY doc_id"),
+
+    "stream_dedup" ->
+      ("SELECT user_id, event_type, min(event_id) AS min_event_id, " +
+        "min(epoch_us(ts)) AS first_ts_us, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY user_id, event_type " +
+        "ORDER BY user_id, event_type")
   )
 }

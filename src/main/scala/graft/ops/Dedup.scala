@@ -224,14 +224,30 @@ object Dedup {
    *
    * Returns (id, component) for every id appearing in `pairs`, where
    * component is the smallest id in its cluster.
+   *
+   * Adaptive: when the (deduped, undirected) edge list fits the
+   * `smallGraphEdges` bound and ids are integral, the graph is collected
+   * and solved with driver-side union-find — identical output, none of
+   * the per-round shuffle/checkpoint overhead that dominates small
+   * inputs.  Above the bound (the 100 TB path: billions of near-dup
+   * pairs) the distributed pointer-doubling loop runs.
    */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallGraphEdges: Long = 5000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val integralIds = Seq(pairs.schema(aCol).dataType,
+        pairs.schema(bCol).dataType)
+      .forall(t => t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && edges.count() <= smallGraphEdges) {
+      val out = smallGraphComponents(edges)
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -262,6 +278,41 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     edges.unpersist()
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Driver-side union-find for bounded graphs: path-halving find, union
+    * by attaching to the root first seen, then a min-id sweep so each
+    * component's label is its smallest member — exactly the distributed
+    * loop's fixpoint. */
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+    }
+    val rows = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
+    val outType = edges.schema("u").dataType
+    spark.createDataset(rows).toDF("id", "component")
+      .select(col("id").cast(outType).as("id"),
+        col("component").cast(outType).as("component"))
   }
 
   /**

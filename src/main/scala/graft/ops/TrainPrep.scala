@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data preparation operators: deterministic split assignment and
+ * sequence packing.  Neither exists in the reference (it stops at COPY);
+ * both are core steps of an LLM data pipeline between dedup/filtering and
+ * the trainer, and both are pure narrow/window transformations — no
+ * driver state, no extra shuffles beyond the declared partitioning.
+ */
+object TrainPrep {
+
+  /**
+   * Deterministic train/val/test assignment: `bucket` (an integer column
+   * in [0, buckets)) is thresholded into named splits.  The bucket column
+   * is taken as input so callers choose the hash:
+   *
+   *  - at scale, `pmod(xxhash64(col), buckets)` — stable across runs,
+   *    engines and repartitioning, any id type, no overflow;
+   *  - when cross-engine SQL parity is needed (the driver oracle), a
+   *    multiplicative Knuth hash `(id * 2654435761) % buckets` — exact in
+   *    any engine's BIGINT for ids < 2^31.
+   *
+   * Assignment is per-ROW and independent of data order — adding or
+   * removing documents never reshuffles other documents' splits (the
+   * property random_split lacks).
+   */
+  def assignSplits(
+      df: DataFrame, bucket: Column,
+      thresholds: Seq[(String, Int)], buckets: Int = 1000): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.map(_._2) == thresholds.map(_._2).sorted,
+      "thresholds must be ascending (split_name, upper_bound) pairs")
+    require(thresholds.last._2 <= buckets, "last threshold exceeds bucket count")
+    val b = bucket.cast("long")
+    val split = thresholds.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (name, upper)) => acc.when(b < upper, lit(name))
+    }.otherwise(lit("train"))
+    df.withColumn("bucket", b).withColumn("split", split)
+  }
+
+  /**
+   * Contiguous sequence packing: documents are laid out in `orderCol`
+   * order within each `partitionCol` group and cut into fixed-size
+   * context windows of `windowTokens`; each document gets the pack it
+   * STARTS in (`pack_id`) and its token offset inside that pack
+   * (`pack_offset`).  This is the streaming-friendly packing used by
+   * most LLM data loaders (documents may straddle a boundary; the loader
+   * splits or pads at read time) — not optimal bin packing, which would
+   * need a sequential pass.
+   *
+   * Scale shape: one window function = one shuffle on `partitionCol`;
+   * within a partition the running sum is a single ordered pass.  A
+   * single giant partition key serializes — pre-shard such sources
+   * (e.g. by adding a date column to `partitionCol`).
+   */
+  def packSequences(
+      df: DataFrame, tokenCol: Column, windowTokens: Int,
+      partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val endSum = sum(tokenCol.cast("long")).over(w)
+    val startSum = endSum - tokenCol.cast("long")
+    // floor of a double division — bit-identical to the SQL-window oracle
+    // form; exact while per-partition token totals stay < 2^53
+    df.withColumn("pack_id", floor(startSum / windowTokens).cast("long"))
+      .withColumn("pack_offset", startSum % windowTokens)
+  }
+}

@@ -118,6 +118,65 @@ object StatefulOps {
       .select("user_id", "sess_id", "n", "sess_start", "sess_end")
   }
 
+  // ------------------------------------------------------ streaming dedup
+  final case class DedupRow(
+      user_id: Long, event_type: String, min_event_id: Long,
+      first_ts_us: Long, n: Long)
+  final case class DedupState(minId: Long, minTs: Long, n: Long)
+
+  /**
+   * Streaming exact dedup at ingest: per `(user_id, event_type)` key the
+   * state tracks the winning (min) event id, the earliest timestamp and
+   * the count of suppressed duplicates — the min-id winner convention of
+   * the batch [[graft.ops.Dedup.exact]], which makes the result
+   * deterministic whatever order partitions deliver events in.  Each
+   * batch that touches a key re-emits the key's current state
+   * (Append + parquet file sink); all tracked quantities are monotone
+   * (min ids/ts only decrease, n only grows), so the last-write-wins
+   * reconciliation `min/min/max` returns exactly the batch answer after
+   * any number of micro-batches.  State is O(distinct keys) — bound it
+   * in production with event-time timeouts when the key domain is open.
+   */
+  def streamingDedup(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+
+    def fn(key: (Long, String), events: Iterator[Event],
+        state: GroupState[DedupState]): Iterator[DedupRow] = {
+      var st = state.getOption.getOrElse(
+        DedupState(Long.MaxValue, Long.MaxValue, 0L))
+      events.foreach { e =>
+        st = DedupState(math.min(st.minId, e.event_id),
+          math.min(st.minTs, e.ts / 1000), st.n + 1)
+      }
+      state.update(st)
+      Iterator.single(DedupRow(key._1, key._2, st.minId, st.minTs, st.n))
+    }
+
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sink_" +
+      new java.io.File(stageDir).getName
+    val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val q = spark.readStream.schema(schema).parquet(stageDir)
+      .as[Event]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .groupBy("user_id", "event_type")
+      .agg(min("min_event_id").as("min_event_id"),
+        min("first_ts_us").as("first_ts_us"), max("n").as("n"))
+      .select("user_id", "event_type", "min_event_id", "first_ts_us", "n")
+  }
+
   /** Run the stateful per-user aggregation over a staged parquet dir and
     * return the final (update-mode) stats table. */
   def userStats(spark: SparkSession, stageDir: String): DataFrame = {

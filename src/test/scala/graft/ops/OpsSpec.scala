@@ -183,11 +183,18 @@ class OpsSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(pairs, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
-    // long chain exercises multi-round propagation
+    // long chain exercises multi-round propagation; smallGraphEdges=0
+    // forces the DISTRIBUTED pointer-doubling path
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val ccChain = Dedup.connectedComponents(chain, "a", "b")
+    val ccChain = Dedup.connectedComponents(chain, "a", "b",
+        smallGraphEdges = 0L)
       .as[(Long, Long)].collect()
     assert(ccChain.length == 41 && ccChain.forall(_._2 == 0L))
+    // adaptive fast path (driver union-find) agrees with the distributed
+    // loop on the same graph
+    val ccFast = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(ccFast.sortBy(_._1).toSeq == ccChain.sortBy(_._1).toSeq)
   }
 
   test("repetition ratio separates boilerplate from prose") {

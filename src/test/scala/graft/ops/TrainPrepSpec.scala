@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TrainPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("assignSplits is per-row deterministic and order-independent") {
+    val df = spark.range(1000).toDF("id")
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.assignSplits(d, expr("(id * 2654435761) % 1000"),
+          Seq("test" -> 10, "val" -> 60))
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val a = splits(df)
+    // shuffled/partitioned differently → identical assignment
+    val b = splits(df.repartition(7, col("id")).orderBy(col("id").desc))
+    assert(a == b)
+    // removing rows never reassigns the survivors (stability vs
+    // randomSplit)
+    val c = splits(df.filter(col("id") % 3 === 0))
+    assert(c.forall { case (id, s) => a(id) == s })
+    val byName = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("val") > byName("test"))
+  }
+
+  test("assignSplits rejects unsorted thresholds") {
+    intercept[IllegalArgumentException] {
+      TrainPrep.assignSplits(spark.range(1).toDF("id"), col("id"),
+        Seq("a" -> 60, "b" -> 10))
+    }
+  }
+
+  test("packSequences lays out contiguous windows per partition key") {
+    val docs = Seq(
+      ("s1", 0L, 300L), ("s1", 1L, 300L), ("s1", 2L, 200L), ("s1", 3L, 100L),
+      ("s2", 10L, 600L), ("s2", 11L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = TrainPrep.packSequences(docs, col("n_tokens"), 512,
+        Seq("source"), Seq("doc_id"))
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // s1 running starts: 0, 300, 600, 800 → packs 0,0,1,1
+    assert(out(0L) == (0L, 0L))
+    assert(out(1L) == (0L, 300L))
+    assert(out(2L) == (1L, 600L % 512))
+    assert(out(3L) == (1L, 800L % 512))
+    // s2 is an independent layout: starts 0, 600
+    assert(out(10L) == (0L, 0L))
+    assert(out(11L) == (1L, 88L))
+  }
+}
