@@ -63,11 +63,14 @@ object TrainPrep {
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val endSum = sum(tokenCol.cast("long")).over(w)
-    val startSum = endSum - tokenCol.cast("long")
-    // floor of a double division — bit-identical to the SQL-window oracle
-    // form; exact while per-partition token totals stay < 2^53
-    df.withColumn("pack_id", floor(startSum / windowTokens).cast("long"))
-      .withColumn("pack_offset", startSum % windowTokens)
+    // materialize the running sum ONCE (two derived withColumns would
+    // plan two Window nodes recomputing it); floor of a double division
+    // is bit-identical to the SQL-window oracle form and exact while
+    // per-partition token totals stay < 2^53
+    df.withColumn("_start_sum",
+        sum(tokenCol.cast("long")).over(w) - tokenCol.cast("long"))
+      .withColumn("pack_id", floor(col("_start_sum") / windowTokens).cast("long"))
+      .withColumn("pack_offset", col("_start_sum") % windowTokens)
+      .drop("_start_sum")
   }
 }

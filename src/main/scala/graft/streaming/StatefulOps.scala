@@ -20,18 +20,6 @@ object StatefulOps {
   final case class UserState(n: Long, total: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
-  private def updateUser(
-      userId: Long, events: Iterator[Event],
-      state: GroupState[UserState]): UserStats = {
-    var st = state.getOption.getOrElse(UserState(0L, 0.0))
-    events.foreach(e => st = UserState(st.n + 1, st.total + e.value))
-    state.update(st)
-    UserStats(userId,
-      st.n,
-      java.math.BigDecimal.valueOf(st.total)
-        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
-  }
-
   // ------------------------------------------------------ sessionization
   final case class SessionRow(
       user_id: Long, sess_id: Long, n: Long, sess_start: Long, sess_end: Long)
@@ -177,21 +165,49 @@ object StatefulOps {
       .select("user_id", "event_type", "min_event_id", "first_ts_us", "n")
   }
 
-  /** Run the stateful per-user aggregation over a staged parquet dir and
-    * return the final (update-mode) stats table. */
+  /** Stateful per-user running aggregation through a parquet FILE sink:
+    * each batch that touches a user re-emits the user's current stats
+    * row (Append mode); `n_events` strictly increases per touched batch,
+    * so `max_by(…, n_events)` reconciliation selects each user's final
+    * emission — byte-identical to the old update-mode memory-sink
+    * result, with nothing collected through the driver. */
   def userStats(spark: SparkSession, stageDir: String): DataFrame = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
-    val qn = s"graft_stateful_${System.nanoTime()}"
+
+    // self-contained closure (a reference to the object's updateUser
+    // would capture the non-serializable StatefulOps$ outer)
+    def fn(userId: Long, events: Iterator[Event],
+        state: GroupState[UserState]): Iterator[UserStats] = {
+      var st = state.getOption.getOrElse(UserState(0L, 0.0))
+      events.foreach(e => st = UserState(st.n + 1, st.total + e.value))
+      state.update(st)
+      Iterator.single(UserStats(userId, st.n,
+        java.math.BigDecimal.valueOf(st.total)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()))
+    }
+
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ustats_sink_" +
+      new java.io.File(stageDir).getName
+    val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val q = spark.readStream.schema(schema).parquet(stageDir)
       .as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateUser)
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(OutputMode.Update())
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(qn)
+    spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"))
+      .select("user_id", "n_events", "total_value")
   }
 }

@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan dump for plan-quality audits (`runMain
+  * graft.tools.ExplainNew [query ...]`). */
+object ExplainNew {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("pipeline_pack_sequences", "pipeline_split_sample")
+    qs.foreach { q =>
+      println(s"==== $q")
+      graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
+        .explain("formatted")
+    }
+    s.stop()
+  }
+}
