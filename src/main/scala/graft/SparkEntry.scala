@@ -1006,6 +1006,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // end-to-end near-dedup: jaccard candidate pairs → connected
+    // components → keep each cluster's min-id representative (plus every
+    // unpaired doc) — the full removal pipeline a training-data user
+    // actually runs, checked against a recursive-CTE oracle
+    "pipeline_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        threshold = 0.95)
+      val comp = Dedup.connectedComponents(pairs, "a", "b")
+      // no broadcast hint: the component map is tiny here but grows with
+      // the dup population at scale — AQE picks broadcast when it fits
+      docs.join(comp, docs("doc_id") === comp("id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("component").isNull ||
+            col("component") === col("doc_id"), 1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // deterministic train/val/test assignment: per-row multiplicative
     // hash bucketing (order-independent, re-run-stable; the engine-
     // portable Knuth hash keeps the oracle exact — at open scale use
@@ -1018,6 +1037,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+
+    // domain-mixture plan: token inventory per source + the epoch
+    // multiplier realizing a target sampling mix (src0 30%, src1 20%,
+    // uniform remainder) over a corpus-sized token budget
+    "pipeline_mixture_plan" -> ((s, dir) => {
+      val rest = 0.5 / 18
+      val weights = Map("src0" -> 0.3, "src1" -> 0.2) ++
+        (2 until 20).map(i => s"src$i" -> rest)
+      TrainPrep.mixturePlan(
+          t(s, dir, "documents"),
+          "source", TextAnalysis.tokenCount(col("text")), weights)
+        .select("source", "n_docs", "n_tokens", "weight", "epochs")
+        .orderBy("source")
+    }),
 
     // contiguous sequence packing into 512-token context windows per
     // source (one window shuffle; running sum is integer-exact, so the
@@ -1577,6 +1610,25 @@ object SparkEntry {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d " +
         "GROUP BY lang ORDER BY lang"),
 
+    "pipeline_near_dedup" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, source, " +
+        "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS tk FROM documents), " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b " +
+        "FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / " +
+        "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95), " +
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+        "comp AS (SELECT u AS id, least(u, min(v)) AS component " +
+        "FROM reach GROUP BY u) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(*) FILTER (WHERE c.component IS NULL " +
+        "OR c.component = d.doc_id) AS BIGINT) AS n_kept " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id " +
+        "GROUP BY d.source ORDER BY d.source"),
+
     "pipeline_split_sample" ->
       ("WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket " +
         "FROM documents), " +
@@ -1585,6 +1637,20 @@ object SparkEntry {
         "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM s GROUP BY split ORDER BY split"),
+
+    "pipeline_mixture_plan" ->
+      ("WITH toks AS (SELECT source, " +
+        "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tok FROM documents), " +
+        "d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN source = 'src0' THEN CAST(0.3 AS DOUBLE) " +
+        "WHEN source = 'src1' THEN CAST(0.2 AS DOUBLE) " +
+        "ELSE CAST(0.5 AS DOUBLE) / 18 END AS weight " +
+        "FROM toks GROUP BY source) " +
+        "SELECT source, n_docs, n_tokens, weight, " +
+        "weight * CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) / n_tokens " +
+        "AS epochs FROM d ORDER BY source"),
 
     "pipeline_pack_sequences" ->
       ("WITH toks AS (SELECT doc_id, source, " +

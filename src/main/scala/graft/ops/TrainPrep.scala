@@ -41,6 +41,40 @@ object TrainPrep {
   }
 
   /**
+   * Domain-mixture planning: given target sampling weights per domain
+   * (source), compute each domain's token inventory and the epoch
+   * multiplier that realizes the target mix over a token budget equal to
+   * the corpus size — `epochs = weight × total_tokens / domain_tokens`
+   * (>1 ⇒ the domain is repeated, <1 ⇒ subsampled; pair with
+   * [[assignSplits]]-style hash bucketing to pick the subsample).  The
+   * global total is attached with a single post-aggregation window over
+   * the per-domain frame (rows = #domains, so the empty-frame window is
+   * a broadcast-scale shuffle regardless of corpus size).
+   */
+  def mixturePlan(
+      df: DataFrame, domainCol: String, tokenCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty, "weights must not be empty")
+    val w = weights.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (dom, wt)) => acc.when(col(domainCol) === dom, lit(wt))
+    }.otherwise(lit(0.0))
+    val perDomain = df.groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCol.cast("long")).as("n_tokens"))
+      .withColumn("weight", w)
+    // epochs left UNROUNDED: all inputs are integer-exact or constants,
+    // so the double is bit-deterministic — rounding would only introduce
+    // the engine round()-on-.xx5 divergence hazard (docs/NOTES.md)
+    perDomain
+      .withColumn("_total", sum("n_tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("epochs",
+        col("weight") * col("_total") / col("n_tokens"))
+      .drop("_total")
+  }
+
+  /**
    * Contiguous sequence packing: documents are laid out in `orderCol`
    * order within each `partitionCol` group and cut into fixed-size
    * context windows of `windowTokens`; each document gets the pack it
