@@ -34,6 +34,28 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences invariants hold on random inputs (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val toks = Seq.fill(60)(1L + rnd.nextInt(600))
+      val docs = toks.zipWithIndex
+        .map { case (n, i) => (s"s${i % 3}", i.toLong, n) }
+        .toDF("source", "doc_id", "n_tokens")
+      val out = TrainPrep.packSequences(docs, col("n_tokens"), 512,
+          Seq("source"), Seq("doc_id"))
+        .select("source", "doc_id", "n_tokens", "pack_id", "pack_offset")
+        .as[(String, Long, Long, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var running = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n, packId, off) =>
+          assert(packId == running / 512 && off == running % 512)
+          running += n
+        }
+      }
+      assert(out.forall(r => r._5 >= 0 && r._5 < 512))
+    }
+  }
+
   test("packSequences lays out contiguous windows per partition key") {
     val docs = Seq(
       ("s1", 0L, 300L), ("s1", 1L, 300L), ("s1", 2L, 200L), ("s1", 3L, 100L),

@@ -16,6 +16,45 @@ class StatefulOpsSpec extends AnyFunSuite {
   private def ev(id: Long, us: Long, user: Long): Event =
     Event(id, us * 1000L, user, "click", 0.0, "")
 
+  test("watermarked tumbling window in APPEND mode emits only closed windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stageDir = TestSpark.tmpDir("wm_append_stage_v1")
+    // minute-windowed counts; batch 2's late-hour data closes batch 1's
+    // windows via watermark advance, the stream's final window stays open
+    val file1 = Seq(ev(1, 0L, 1), ev(2, 30_000_000L, 1),
+      ev(3, 65_000_000L, 1))                       // windows [0,60s) [60,120)
+    val file2 = Seq(ev(4, 600_000_000L, 1))        // [600,660) — advances wm
+    spark.createDataset(file1).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(stageDir)
+    val first = new java.io.File(stageDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    spark.createDataset(file2).repartition(1)
+      .write.mode(SaveMode.Append).parquet(stageDir)
+    new java.io.File(stageDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(
+        if (first(f.getName)) 60000000L else 120000000L)))
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val qn = s"graft_wm_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .withColumn("etime", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("etime", "10 seconds")
+      .groupBy(window(col("etime"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("ws"), col("n"))
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(qn).as[(Long, Long)].collect().toMap
+    // [0,60) n=2 and [60,120) n=1 closed once the watermark passed; the
+    // final [600,660) window is open and therefore withheld under append
+    assert(rows === Map(0L -> 2L, 60L -> 1L))
+  }
+
   test("sessionize is exact across micro-batches (two-file stage)") {
     import spark.implicits._
     val stageDir = TestSpark.tmpDir("sess_multibatch_stage_v1")
