@@ -16,10 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - compression / level / row-group sizing map to Spark + parquet-hadoop
  *    options instead of a hand-rolled Arrow writer
  *  - `file_size_bytes` splitting (reference
- *    `copy_to_split_dest_receiver.rs:47-205`) is approximated with
- *    `maxRecordsPerFile` derived from the source's observed bytes/row —
- *    Spark's writer rolls per-task, which at cluster scale is the only
- *    sane place to roll anyway (a single global byte counter like the
+ *    `copy_to_split_dest_receiver.rs:47-205`): the write lands
+ *    task-naturally with row groups capped at the target, then an
+ *    observed-size feedback pass re-splits any file overshooting the
+ *    target by >25% using the real compressed bytes/row — Spark's
+ *    writer rolls per-task, which at cluster scale is the only sane
+ *    place to roll anyway (a single global byte counter like the
  *    reference's would serialize the write).
  *
  * Scale note: this writes through Spark's committer, so it parallelizes
@@ -109,9 +111,15 @@ object CopyTo {
     }
     if (opts.fieldIds != "none")
       w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
+    // file_size_bytes: cap row groups at the target so the writer's own
+    // flushing can't straddle it, write task-naturally, then let the
+    // observed-size feedback pass below split any oversized file.  (An
+    // r2-style prefix-sample pre-estimate executed the upstream plan
+    // twice; observing the real output costs one cheap file-level pass
+    // only when a file actually overshoots.)
     opts.fileSizeBytes.foreach { bytes =>
-      w = w.option("maxRecordsPerFile",
-        estimateRowsPerFile(dfWithIds, bytes, codec).toString)
+      w = w.option("parquet.block.size",
+        math.min(rowGroupBytes, bytes).toString)
     }
     // hive-style partitioned layout: the 100 TB organization primitive —
     // downstream reads with partition-column predicates scan only the
@@ -119,9 +127,8 @@ object CopyTo {
     if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
     w.parquet(uri)
 
-    // feedback pass bounding the split error (the prefix sample can
-    // misestimate when row widths are skewed): if any produced file
-    // overshoots file_size_bytes by >25%, re-derive rows/file from the
+    // feedback pass bounding the split error: if any produced file
+    // overshoots file_size_bytes by >25%, derive rows/file from the
     // OBSERVED output bytes/row and re-split by reading the materialized
     // files back — one cheap columnar pass, never a re-run of the
     // upstream plan (the count is footer-only)
@@ -134,20 +141,6 @@ object CopyTo {
 
     val (files, bytes) = listDataFiles(spark, uri)
     WriteResult(uri, files, bytes)
-  }
-
-  /**
-   * Estimate rows per output file for `file_size_bytes` splitting.
-   * The reference tracks exact bytes written and rolls at the threshold
-   * (`copy_to_split_dest_receiver.rs:105-117`); an exact global byte count
-   * doesn't distribute, so we sample: write a small prefix, measure
-   * compressed bytes/row, and derive maxRecordsPerFile.
-   */
-  private def estimateRowsPerFile(
-      df: DataFrame, targetBytes: Long, codec: String): Long = {
-    val perRow = sampleBytesPerRow(df, codec)
-    if (perRow == 0.0) Long.MaxValue
-    else math.max(1L, (targetBytes / perRow).toLong)
   }
 
   /** Second-pass splitter (reference rolls at exact bytes,
