@@ -80,4 +80,23 @@ class PlanQualitySpec extends AnyFunSuite {
     val aggs = "ObjectHashAggregate|SortAggregate".r.findAllIn(p).size
     assert(aggs >= 2, s"expected partial+final object aggregates:\n$p")
   }
+
+  test("sequence packing plans exactly one Window over one shuffle") {
+    val p = plan("pipeline_pack_sequences")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"expected a single Window node:\n$p")
+    // one exchange for the window partitioning + one for the output sort
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"expected at most 2 exchanges:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan should prune to doc_id/text/source: $readSchema")
+  }
+
+  test("split assignment reads only the id column") {
+    val p = plan("pipeline_split_sample")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"scan should prune to doc_id only: $readSchema")
+  }
 }
