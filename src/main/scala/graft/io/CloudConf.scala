@@ -117,6 +117,12 @@ object CloudConf {
       b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
       b += "fs.gs.auth.service.account.json.keyfile" -> f
     }
+    // reference-specific alternative keyfile location (gcs.rs:64-66,
+    // README.md:361)
+    env.get("GOOGLE_SERVICE_ACCOUNT_PATH").foreach { f =>
+      b += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
+      b += "fs.gs.auth.service.account.json.keyfile" -> f
+    }
     // The reference treats this var as INLINE key JSON (gcs.rs:34-41);
     // the Hadoop connector only reads key material from a file, so spill
     // the content to a private temp file and point the conf at it.

@@ -53,6 +53,10 @@ class CloudConfSpec extends AnyFunSuite {
       "GOOGLE_APPLICATION_CREDENTIALS" -> "/tmp/sa.json"))
     assert(m("fs.gs.auth.service.account.json.keyfile") == "/tmp/sa.json")
     assert(m("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+    // reference-specific alternative path var (gcs.rs:64-66)
+    val p = CloudConf.hadoopSettings(Map(
+      "GOOGLE_SERVICE_ACCOUNT_PATH" -> "/etc/sa2.json"))
+    assert(p("fs.gs.auth.service.account.json.keyfile") == "/etc/sa2.json")
   }
 
   test("empty env maps to no settings") {
