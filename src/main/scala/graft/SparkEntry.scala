@@ -979,6 +979,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary stats: top-25 tokens by document frequency —
+    // the tokenizer-training / vocab-coverage primitive.  explode →
+    // hash agg (map-side partial) → TakeOrdered: one shuffle on token
+    "text_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1536,6 +1547,13 @@ object SparkEntry {
         "CAST(len(list_distinct(list_filter(string_split_regex(lower(text), " +
         "'[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_distinct " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_vocab" ->
+      ("WITH toks AS (SELECT list_filter(string_split_regex(lower(text), " +
+        "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), " +
+        "t AS (SELECT unnest(tk) AS token FROM toks) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM t " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 25"),
 
     "text_quality" ->
       ("WITH m AS (SELECT doc_id, text, " +
