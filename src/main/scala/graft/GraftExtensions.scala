@@ -20,13 +20,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * builder table.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.allBuilders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // set-returning metadata functions (reference sql/pg_parquet.sql):
+    // SELECT * FROM parquet_metadata('/path/*.parquet')
+    meta.MetaTableFunctions.builders.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {

@@ -416,22 +416,11 @@ object SparkEntry {
         .agg(revenueExactX10k.as("revenue_x10k"))
         .orderBy("supp_nation", "cust_nation", "l_year")),
 
-    // bisect shadow (VERDICT r2 #1a): group keys only — red here would mean
-    // the strings/year columns carry a second mismatch mechanism
-    "q7_shadow_keys_only" -> ((s, dir) =>
-      q7Base(s, dir)
-        .agg(count(lit(1)).as("_n"))
-        .select("supp_nation", "cust_nation", "l_year")
-        .orderBy("supp_nation", "cust_nation", "l_year")),
-
-    // bisect shadow (VERDICT r2 #1b): the exact DECIMAL(38,4) sum cast to
-    // VARCHAR on both sides (scale-padded "1234.5000" in both engines) —
-    // green here proves the VALUES agree and isolates the r2 red to
-    // decimal *representation* in the driver's canonicalization
-    "q7_shadow_rev_varchar" -> ((s, dir) =>
-      q7Base(s, dir)
-        .agg(revenueExact.cast("string").as("revenue_str"))
-        .orderBy("supp_nation", "cust_nation", "l_year")),
+    // (the r2/r3 bisect shadows q7_shadow_keys_only / q7_shadow_rev_varchar
+    // are retired: both ran green in CORRECTNESS_r03, completing the proof
+    // recorded in docs/NOTES.md "round-3 root cause" — keys and exact
+    // values agree across engines; only scale-trailing-zero DECIMAL repr
+    // diverged, and the gate contract is integral now)
 
     // window: per-customer top-3 orders by price
     "q_window_rank" -> ((s, dir) => {
@@ -640,6 +629,40 @@ object SparkEntry {
       semi.unionAll(anti).select("tag", "n").orderBy("tag")
     }),
 
+    // FULL OUTER join: per-nation customer counts vs high-balance
+    // supplier counts — nations missing a side surface through coalesce.
+    // Both sides pre-aggregate to nation grain BEFORE the join (25 rows
+    // joined, not 150k×10k), the 100 TB-safe order of operations.
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_rich_supp"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // correlated EXISTS / NOT EXISTS through the SQL parser (Catalyst
+    // rewrites them to left-semi / left-anti joins — same physical plan
+    // family as q_semi_anti, exercised from the SQL surface)
+    "q_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice < 50000)
+        ORDER BY c_custkey""")
+    }),
+
     // correlated scalar subquery (Catalyst decorrelates into a join)
     "q_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("g_customer")
@@ -769,14 +792,21 @@ object SparkEntry {
         StructField("value", DoubleType), StructField("props", StringType)))
       val stageDir = stagedEventsDir(s, dir)
       val qn = s"graft_stream_${System.nanoTime()}"
-      val q = s.readStream.schema(schema).parquet(stageDir)
-        .withColumn("hour_idx", expr("ts DIV 3600000000000"))
-        .groupBy("hour_idx", "event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      // the streaming agg keeps one state store per shuffle partition;
+      // pin a handful for this volume (restored after the run completes,
+      // never racing first-batch planning — VERDICT r2 #3)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema).parquet(stageDir)
+          .withColumn("hour_idx", expr("ts DIV 3600000000000"))
+          .groupBy("hour_idx", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qn).orderBy("hour_idx", "event_type")
     }),
 
@@ -996,6 +1026,23 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // PII redaction: the corpus text is deterministically augmented with
+    // synthetic email/IP/phone tokens (the testdata corpus contains no
+    // natural digits), then scrubbed by the codegen'd regexp chain —
+    // the oracle applies the identical augmentation + patterns, so the
+    // scrubbed strings must match byte-for-byte across engines
+    "text_pii_scrub" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".17 call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      aug.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------- pipeline ops: multimodal
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractMeta(s, t(s, dir, "documents"), "doc_id", "text",
@@ -1048,6 +1095,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+
+    // benchmark decontamination: training docs sharing any word 8-gram
+    // with the eval holdout (doc_id % 7 — synthetic benchmark stand-in).
+    // The distinct eval-gram set is broadcast, so the corpus side is
+    // screened map-side with no corpus-gram shuffle (the 100 TB shape:
+    // eval sets are tiny, corpora are not)
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainPrep.contamination(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
 
     // domain-mixture plan: token inventory per source + the epoch
     // multiplier realizing a target sampling mix (src0 30%, src1 20%,
@@ -1271,29 +1332,6 @@ object SparkEntry {
         "WHERE n1.n_name <> n2.n_name " +
         "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
 
-    "q7_shadow_keys_only" ->
-      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
-        "CAST(year(l_shipdate) AS BIGINT) AS l_year " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
-        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
-        "WHERE n1.n_name <> n2.n_name " +
-        "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
-
-    "q7_shadow_rev_varchar" ->
-      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
-        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
-        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue_str " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
-        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
-        "WHERE n1.n_name <> n2.n_name " +
-        "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
-
     "q_window_rank" ->
       ("SELECT * FROM (SELECT o_custkey, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey " +
@@ -1378,6 +1416,25 @@ object SparkEntry {
         "SELECT 'no_orders' AS tag, CAST(count(*) AS BIGINT) AS n FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
         "ORDER BY tag"),
+
+    "q_full_outer" ->
+      ("SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey, " +
+        "coalesce(n_cust, 0) AS n_cust, " +
+        "coalesce(n_rich_supp, 0) AS n_rich_supp " +
+        "FROM (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust " +
+        "FROM customer GROUP BY 1) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey, " +
+        "CAST(count(*) AS BIGINT) AS n_rich_supp FROM supplier " +
+        "WHERE s_acctbal > 5000 GROUP BY 1) s " +
+        "ON c.c_nationkey = s.s_nationkey ORDER BY nationkey"),
+
+    "q_exists" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000) " +
+        "ORDER BY c_custkey"),
 
     "q_scalar_subquery" ->
       ("SELECT c_custkey, c_acctbal, " +
@@ -1555,6 +1612,21 @@ object SparkEntry {
         "SELECT token, CAST(count(*) AS BIGINT) AS n FROM t " +
         "GROUP BY token ORDER BY n DESC, token LIMIT 25"),
 
+    // identical deterministic augmentation + regex chain as the Spark
+    // side (patterns are in the Java∩RE2 common subset; 'g' = replace all
+    // occurrences, Spark's regexp_replace default)
+    "text_pii_scrub" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.17 call +1-555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
+        "FROM aug ORDER BY doc_id"),
+
     "text_quality" ->
       ("WITH m AS (SELECT doc_id, text, " +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
@@ -1656,6 +1728,19 @@ object SparkEntry {
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM s GROUP BY split ORDER BY split"),
 
+    "pipeline_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "grams0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i " +
+        "FROM toks WHERE len(w) >= 8), " +
+        "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g " +
+        "FROM grams0), " +
+        "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0) " +
+        "SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared " +
+        "FROM grams g JOIN ev ON g.g = ev.g WHERE doc_id % 7 <> 0 " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
     "pipeline_mixture_plan" ->
       ("WITH toks AS (SELECT source, " +
         "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
@@ -1674,10 +1759,12 @@ object SparkEntry {
       ("WITH toks AS (SELECT doc_id, source, " +
         "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
         "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        // DuckDB's windowed sum(BIGINT) yields HUGEINT; cast back so
+        // pack_offset/pack_id canonicalize as BIGINT like the Spark side
         "runs AS (SELECT doc_id, source, n_tokens, " +
-        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
-        "AS start_sum FROM toks) " +
+        "AS BIGINT) AS start_sum FROM toks) " +
         "SELECT doc_id, source, n_tokens, " +
         "CAST(floor(start_sum / 512) AS BIGINT) AS pack_id, " +
         "start_sum % 512 AS pack_offset " +

@@ -30,13 +30,33 @@ object CloudConf {
     // ---- AWS / S3 (reference aws.rs:125-166 — the SDK default chain:
     // env vars first, ~/.aws/{credentials,config} profiles as fallback)
     val awsFiles = awsFileSettings(env, readFile)
+    // The credential SET (access key, secret, session token) resolves
+    // atomically per source, like the SDK default chain: the file
+    // profile is consulted only when the env supplies no half of the
+    // static credential pair — mixing an env access key with a file
+    // secret key would pair credentials no real provider produces.
+    val credSource: String => Option[String] =
+      if (env.contains("AWS_ACCESS_KEY_ID") ||
+          env.contains("AWS_SECRET_ACCESS_KEY")) {
+        k: String => env.get(k)
+      } else {
+        k: String =>
+          awsFiles.get(k match {
+            case "AWS_ACCESS_KEY_ID"     => "aws_access_key_id"
+            case "AWS_SECRET_ACCESS_KEY" => "aws_secret_access_key"
+            case "AWS_SESSION_TOKEN"     => "aws_session_token"
+            case other                   => other.toLowerCase
+          })
+      }
+    // non-credential settings (region, endpoint) remain individually
+    // resolvable env-then-file, matching the SDK's config resolution
     def aws(envKey: String, fileKey: String): Option[String] =
       env.get(envKey).orElse(awsFiles.get(fileKey))
-    aws("AWS_ACCESS_KEY_ID", "aws_access_key_id")
+    credSource("AWS_ACCESS_KEY_ID")
       .foreach(b += "fs.s3a.access.key" -> _)
-    aws("AWS_SECRET_ACCESS_KEY", "aws_secret_access_key")
+    credSource("AWS_SECRET_ACCESS_KEY")
       .foreach(b += "fs.s3a.secret.key" -> _)
-    aws("AWS_SESSION_TOKEN", "aws_session_token").foreach { t =>
+    credSource("AWS_SESSION_TOKEN").foreach { t =>
       b += "fs.s3a.session.token" -> t
       b += "fs.s3a.aws.credentials.provider" ->
         "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"

@@ -133,7 +133,8 @@ object CopyTo {
     // files back — one cheap columnar pass, never a re-run of the
     // upstream plan (the count is footer-only)
     opts.fileSizeBytes.foreach { target =>
-      resplitIfNeeded(spark, uri, target, codec, opts, rowGroupBytes)
+      resplitIfNeeded(spark, uri, target, codec, opts, rowGroupBytes,
+        dfWithIds.schema)
     }
 
     if (opts.kvMetadata.nonEmpty)
@@ -151,7 +152,8 @@ object CopyTo {
     * with the corrected cap into a sibling dir, and the dirs are swapped. */
   private def resplitIfNeeded(
       spark: SparkSession, uri: String, target: Long, codec: String,
-      opts: CopyToOptions, rowGroupBytes: Long): Unit = {
+      opts: CopyToOptions, rowGroupBytes: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
@@ -166,7 +168,10 @@ object CopyTo {
       }
     }
     if (maxBytes <= target + target / 4 || totalBytes == 0) return
-    val back = spark.read.parquet(uri)
+    // read back with the WRITTEN schema: directory-name partition-column
+    // type inference would otherwise re-type e.g. a string partition
+    // value "01" as int 1 on the resplit rewrite
+    val back = spark.read.schema(schema).parquet(uri)
     val rows = back.count() // parquet footers only — no data scan
     if (rows == 0) return
     val perRow = totalBytes.toDouble / rows
@@ -189,8 +194,17 @@ object CopyTo {
       w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
     if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
     w.parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"resplit rename $tmp -> $p failed")
+    // swap without a window where no good copy exists: move the original
+    // aside, move the resplit output into place, only then delete the
+    // original (a crash mid-swap leaves either old or new intact)
+    val old = new Path(uri + "_resplit_old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"resplit rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore; best effort — old copy is still intact
+      throw new IllegalStateException(s"resplit rename $tmp -> $p failed")
+    }
+    fs.delete(old, true)
     ()
   }
 

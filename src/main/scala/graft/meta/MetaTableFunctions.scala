@@ -1,0 +1,83 @@
+package graft.meta
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+/**
+ * SQL table-valued surface for the metadata functions: the reference
+ * exposes its introspection as set-returning SQL functions
+ * (`parquet.schema/metadata/file_metadata/kv_metadata/column_stats/list`,
+ * reference `sql/pg_parquet.sql` + the `src/parquet_udfs` modules), so a
+ * pure-SQL user never leaves the query language.  The Spark-native
+ * equivalent is a table function in the FROM clause:
+ *
+ * {{{
+ *   SELECT * FROM parquet_metadata('/data/part-*.parquet')
+ *   SELECT name, converted_type FROM parquet_schema('/data/x.parquet')
+ * }}}
+ *
+ * Registered either through [[graft.GraftExtensions]]
+ * (`spark.sql.extensions`) or programmatically via [[register]].  Each
+ * builder resolves its single string-literal argument at analysis time
+ * and splices the corresponding [[ParquetInfo]] plan — the distributed
+ * footer scan underneath is shared with the DataFrame API, so both
+ * surfaces stay behaviorally identical.
+ */
+object MetaTableFunctions {
+
+  /** name → (usage doc, DataFrame builder). */
+  private val fns: Seq[(String, String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    ("parquet_list", "_FUNC_(glob) - files matched by the glob with sizes",
+      ParquetInfo.list),
+    ("parquet_schema", "_FUNC_(glob) - flattened parquet schema tree",
+      ParquetInfo.schema),
+    ("parquet_metadata", "_FUNC_(glob) - per row-group per column-chunk metadata",
+      ParquetInfo.metadata),
+    ("parquet_file_metadata", "_FUNC_(glob) - per-file footer summary",
+      ParquetInfo.fileMetadata),
+    ("parquet_kv_metadata", "_FUNC_(glob) - footer key-value metadata",
+      ParquetInfo.kvMetadata),
+    ("parquet_column_stats", "_FUNC_(glob) - min/max/nulls merged across row groups",
+      ParquetInfo.columnStats))
+
+  /** Table-function builders in the shape `injectTableFunction` and
+    * `TableFunctionRegistry.registerFunction` both accept. */
+  def builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    fns.map { case (name, usage, fn) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        (args: Seq[Expression]) => {
+          val path = pathArg(name, args)
+          // the active session is the one analyzing this query; the plan
+          // splices into the caller like any other FROM-clause relation
+          fn(SparkSession.active, path).queryExecution.analyzed
+        })
+    }
+
+  /** Programmatic registration on an existing session (the non-extensions
+    * route, mirroring the `register(spark)` helpers of the scalar fns). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, info, builder)
+    }
+
+  /** The path argument must be a foldable string: table functions run at
+    * analysis time, before any rows exist to supply per-row arguments. */
+  private def pathArg(name: String, args: Seq[Expression]): String = {
+    if (args.length != 1)
+      throw new IllegalArgumentException(
+        s"$name(path) takes exactly one argument, got ${args.length}")
+    val e = args.head
+    if (!e.foldable || e.dataType != StringType)
+      throw new IllegalArgumentException(
+        s"$name(path): path must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(s"$name(path): path must not be NULL")
+    v.toString
+  }
+}

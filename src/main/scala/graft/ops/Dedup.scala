@@ -243,8 +243,9 @@ object Dedup {
         pairs.schema(bCol).dataType)
       .forall(t => t == org.apache.spark.sql.types.LongType ||
         t == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && edges.count() <= smallGraphEdges) {
-      val out = smallGraphComponents(edges)
+    val edgeCount = edges.count()
+    if (integralIds && edgeCount <= smallGraphEdges) {
+      val out = smallGraphComponents(edges, edgeCount)
       edges.unpersist()
       return out
     }
@@ -283,14 +284,48 @@ object Dedup {
   /** Driver-side union-find for bounded graphs: path-halving find, union
     * by attaching to the root first seen, then a min-id sweep so each
     * component's label is its smallest member — exactly the distributed
-    * loop's fixpoint. */
-  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    * loop's fixpoint.
+    *
+    * Memory-bounded by construction: edges stream through
+    * `toLocalIterator` into two primitive long arrays, ids are
+    * dense-ranked (sort + unique) into `[0, n)`, and the union-find runs
+    * over a primitive int array — ~24 bytes/edge peak, no boxed
+    * per-entry overhead (a boxed HashMap version held hundreds of MB at
+    * the 5M-edge bound). */
+  private def smallGraphComponents(
+      edges: DataFrame, edgeCount: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
+    val m = edgeCount.toInt
+    val us = new Array[Long](m); val vs = new Array[Long](m)
+    locally {
+      val it = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].toLocalIterator()
+      var k = 0
+      while (it.hasNext) { val e = it.next(); us(k) = e._1; vs(k) = e._2; k += 1 }
+      require(k == m, s"edge count changed under us: expected $m, saw $k")
+    }
+    // dense-rank endpoint ids: sorted unique array + binary search
+    val ids = new Array[Long](2 * m)
+    System.arraycopy(us, 0, ids, 0, m)
+    System.arraycopy(vs, 0, ids, m, m)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    def rank(x: Long): Int = {
+      var lo = 0; var hi = n - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
       var x = x0
       while (parent(x) != x) {
         parent(x) = parent(parent(x)) // path halving
@@ -298,17 +333,21 @@ object Dedup {
       }
       x
     }
-    es.foreach { case (u, v) =>
-      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-      val (ru, rv) = (find(u), find(v))
+    i = 0
+    while (i < m) {
+      val ru = find(rank(us(i))); val rv = find(rank(vs(i)))
       if (ru != rv) parent(ru) = rv
+      i += 1
     }
-    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
-    parent.keys.foreach { id =>
-      val r = find(id)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+    val minOfRoot = new Array[Long](n)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    i = 0
+    while (i < n) { // ids sorted ascending → first hit per root is its min
+      val r = find(i)
+      if (ids(i) < minOfRoot(r)) minOfRoot(r) = ids(i)
+      i += 1
     }
-    val rows = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
+    val rows = (0 until n).map(j => (ids(j), minOfRoot(find(j))))
     val outType = edges.schema("u").dataType
     spark.createDataset(rows).toDF("id", "component")
       .select(col("id").cast(outType).as("id"),

@@ -139,4 +139,30 @@ object TextAnalysis {
     aggregate(transform(tokens(text), t => xxhash64(t)),
       lit(1469598103934665603L), // FNV offset basis as a non-zero start
       (acc, h) => xxhash64(acc, h))
+
+  // ------------------------------------------------------- PII scrubbing
+  /** Email / IPv4 / phone-number patterns, written to the common subset
+    * of Java regex (Spark) and RE2 (DuckDB, Go tooling): no lookaround,
+    * no backreferences, `\b` word boundaries only.  Order matters when
+    * scrubbing: emails first (their local parts contain digits a phone
+    * pattern could half-eat), then IPs (dotted digit runs), then bare
+    * phone runs. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern: String = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /**
+   * PII redaction over a text column: emails → `<EMAIL>`, IPv4 addresses
+   * → `<IP>`, phone-like digit runs → `<PHONE>`.  Pure codegen'd
+   * `regexp_replace` chain — no UDF, scans the corpus once; patterns are
+   * deliberately recall-leaning (a scrubber should over-redact rather
+   * than leak).  Swap in an NER model via `mapInPandas` when precision
+   * matters more than throughput.
+   */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
 }

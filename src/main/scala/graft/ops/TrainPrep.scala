@@ -107,4 +107,46 @@ object TrainPrep {
       .withColumn("pack_offset", col("_start_sum") % windowTokens)
       .drop("_start_sum")
   }
+
+  /** Word n-grams of a text column as space-joined lowercase strings
+    * (alnum tokenization); rows with fewer than `n` tokens produce none.
+    * String grams (not hashes) keep the operator cross-engine exact; at
+    * open scale substitute `xxhash64(gram)` on both sides of the
+    * downstream join to shrink shuffle bytes — collisions at 64 bits are
+    * irrelevant for contamination screening. */
+  private def wordGrams(textCol: Column, n: Int): Column = {
+    val w = filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
+    // guarded: sequence(0, negative) would COUNT DOWN, fabricating grams
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Benchmark decontamination: training documents that share at least one
+   * word `n`-gram with any document of the evaluation set — the standard
+   * pre-training hygiene step (eval text leaking into the training corpus
+   * inflates benchmark scores).  Returns `(id, n_shared)` with the count
+   * of DISTINCT eval grams the document contains; anti-join the result
+   * against the corpus to drop the contaminated docs.
+   *
+   * Scale shape: eval sets are small (thousands of docs) while the corpus
+   * is the 100 TB side, so the distinct eval-gram set is BROADCAST — the
+   * corpus is screened in a single map-side pass with no shuffle of
+   * corpus grams; only the per-doc hit counts (≪ corpus) aggregate.
+   */
+  def contamination(
+      train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val evalGrams = eval
+      .select(explode(wordGrams(col(textCol), n)).as("g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(count_distinct(col("g")).as("n_shared"))
+  }
 }

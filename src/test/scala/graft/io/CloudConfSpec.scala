@@ -144,6 +144,24 @@ class CloudConfSpec extends AnyFunSuite {
     assert(m("fs.s3a.secret.key") == "ENVSK")
   }
 
+  test("credential set resolves atomically per source — a partial env " +
+      "credential never pairs with a file half") {
+    // env has ONLY the access key: the file's secret must NOT fill the
+    // gap (the SDK default chain resolves each provider atomically)
+    val m = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AWS_ACCESS_KEY_ID" -> "ENVAK"),
+      reader(Map("/h/.aws/credentials" -> credsIni)))
+    assert(m("fs.s3a.access.key") == "ENVAK")
+    assert(!m.contains("fs.s3a.secret.key"))
+    assert(!m.contains("fs.s3a.session.token"))
+    // and symmetric: env secret only → no file access key mixed in
+    val m2 = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AWS_SECRET_ACCESS_KEY" -> "ENVSK"),
+      reader(Map("/h/.aws/credentials" -> credsIni)))
+    assert(m2("fs.s3a.secret.key") == "ENVSK")
+    assert(!m2.contains("fs.s3a.access.key"))
+  }
+
   test("AWS_SHARED_CREDENTIALS_FILE overrides the credentials path") {
     val m = CloudConf.hadoopSettings(
       Map("HOME" -> "/h", "AWS_SHARED_CREDENTIALS_FILE" -> "/elsewhere/creds"),

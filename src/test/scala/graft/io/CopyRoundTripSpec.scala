@@ -234,6 +234,35 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(spark.read.parquet(uri).count() == 20000)
   }
 
+  test("resplit preserves string partition values that look numeric") {
+    val uri = TestSpark.tmpDir("split_part_types")
+    // same skew shape as above so the >25%-overshoot resplit engages,
+    // plus a partitionBy column whose values ("01") would be re-typed to
+    // int 1 if the resplit read-back used directory-name type inference
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") < 5000, lit("x"))
+        .otherwise(concat_ws("", (0 until 64).map(i =>
+          sha2(concat(col("id").cast("string"), lit(i)), 256)): _*))
+        .as("pad"),
+      lpad((col("id") % 2 + 1).cast("string"), 2, "0").as("day"))
+    val target = CopyToOptions.MinFileSizeBytes
+    val res = CopyTo(df.repartition(1).sortWithinPartitions("id"), uri,
+      CopyToOptions(fileSizeBytes = Some(target), partitionBy = Seq("day")))
+    assert(res.files.size > 1, s"expected >1 part file, got ${res.files}")
+    // a resplit that re-inferred the partition type would have rewritten
+    // the hive dirs as day=1/day=2 — the zero-padded names must survive
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(uri))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(dirs == Seq("day=01", "day=02"), s"partition dirs: $dirs")
+    val back = spark.read
+      .schema("id LONG, pad STRING, day STRING").parquet(uri)
+    assert(back.select("day").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == Seq("01", "02"))
+    assert(back.count() == 20000)
+  }
+
   test("auto field ids are written depth-first") {
     val uri = TestSpark.tmpDir("fieldids")
     val inner = StructType(Seq(StructField("x", LongType)))

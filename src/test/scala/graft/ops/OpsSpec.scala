@@ -272,6 +272,24 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0L) != fp(2L))   // different order
   }
 
+  test("scrubPii redacts emails, IPv4s, and phone runs; leaves prose alone") {
+    val d = Seq(
+      (0L, "write to jane.doe+spam@mail.example.org today"),
+      (1L, "server at 192.168.001.17 port open"),
+      (2L, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+      (3L, "no pii here, just words and the number spelled ten"),
+      // email scrubbed before the phone pattern can eat its digits
+      (4L, "user123456789@example.com"))
+      .toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "write to <EMAIL> today")
+    assert(out(1L) == "server at <IP> port open")
+    assert(out(2L) == "call <PHONE> or <PHONE> now")
+    assert(out(3L) == "no pii here, just words and the number spelled ten")
+    assert(out(4L) == "<EMAIL>")
+  }
+
   test("multimodal decode emits deterministic metadata from the payload") {
     val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
     val r = Multimodal.extractMeta(spark, d, "doc_id", "text").head()

@@ -74,4 +74,34 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(10L) == (0L, 0L))
     assert(out(11L) == (1L, 88L))
   }
+
+  test("contamination finds train docs sharing n-grams with the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // full 5-gram overlap ("the quick brown fox jumps", "quick brown
+      // fox jumps over", ...) — contaminated
+      (1L, "PREFIX the quick brown fox jumps over SUFFIX"),
+      // shares only shorter runs — clean at n=5
+      (2L, "quick brown fox sat down"),
+      // same words, different order — clean (order sensitivity)
+      (3L, "fox brown quick the jumps the over dog lazy"),
+      // too short to have any 5-gram
+      (4L, "the quick"))
+      .toDF("doc_id", "text")
+    val hits = TrainPrep.contamination(train, eval, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 2L) // two distinct shared 5-grams
+  }
+
+  test("contamination tokenizes case/punctuation-insensitively") {
+    val eval = Seq((0L, "Alpha, Beta; GAMMA delta epsilon!"))
+      .toDF("doc_id", "text")
+    val train = Seq((1L, "x alpha beta gamma delta epsilon y"))
+      .toDF("doc_id", "text")
+    val hits = TrainPrep.contamination(train, eval, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L))
+  }
 }
