@@ -1,0 +1,80 @@
+package graft.meta
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The SQL table-valued surface must stay behaviorally identical to the
+  * DataFrame API it wraps (reference exposes these as set-returning SQL
+  * functions in `sql/pg_parquet.sql`). */
+class MetaTableFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    MetaTableFunctions.register(s)
+    s
+  }
+  private val li = s"${TestSpark.sfDir}/lineitem.parquet"
+
+  test("parquet_file_metadata in FROM matches the DataFrame API") {
+    val sql = spark.sql(s"SELECT * FROM parquet_file_metadata('$li')")
+      .collect().toSeq
+    val api = ParquetInfo.fileMetadata(spark, li).collect().toSeq
+    assert(sql == api)
+  }
+
+  test("table functions compose with projection, filter, and joins") {
+    val r = spark.sql(
+      s"""SELECT s.name, s.type, c.null_count
+         |FROM parquet_schema('$li') s
+         |JOIN parquet_column_stats('$li') c ON s.name = c.column_name
+         |WHERE s.name = 'l_orderkey'""".stripMargin).head()
+    assert(r.getString(0) == "l_orderkey")
+    assert(r.getString(1) == "INT64")
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("every metadata function resolves from SQL") {
+    for (fn <- Seq("parquet_list", "parquet_schema", "parquet_metadata",
+        "parquet_file_metadata", "parquet_kv_metadata",
+        "parquet_column_stats")) {
+      // kv_metadata may legitimately be empty; the rest must have rows
+      val n = spark.sql(s"SELECT count(*) FROM $fn('$li')").head().getLong(0)
+      if (fn != "parquet_kv_metadata") assert(n > 0, s"$fn returned 0 rows")
+    }
+  }
+
+  test("globs expand like the DataFrame surface") {
+    val glob = s"${TestSpark.sfDir}/*.parquet"
+    val sqlFiles = spark.sql(
+      s"SELECT uri FROM parquet_list('$glob') ORDER BY uri")
+      .collect().map(_.getString(0)).toSeq
+    val apiFiles = ParquetInfo.list(spark, glob)
+      .orderBy("uri").collect().map(_.getString(0)).toSeq
+    assert(sqlFiles == apiFiles && sqlFiles.size >= 10)
+  }
+
+  test("non-literal and wrong-arity arguments are rejected at analysis") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM parquet_schema('/a', '/b')").collect())
+    assert(e1.getMessage.contains("exactly one argument"))
+    // a non-foldable argument (column reference) cannot name a file
+    val e2 = intercept[Exception](
+      spark.sql(
+        s"SELECT * FROM lateral parquet_schema(x) tf, (SELECT '$li' x)")
+        .collect())
+    assert(e2.isInstanceOf[AnalysisException] ||
+      e2.getMessage.contains("string literal"))
+  }
+
+  test("extensions-based registration exposes the same functions") {
+    // GraftExtensions.apply wires builders through injectTableFunction;
+    // assert the builder list covers all six functions without spinning
+    // up a second SparkSession (session-extension injection is applied
+    // at session build time)
+    assert(MetaTableFunctions.builders.map(_._1.funcName).toSet == Set(
+      "parquet_list", "parquet_schema", "parquet_metadata",
+      "parquet_file_metadata", "parquet_kv_metadata",
+      "parquet_column_stats"))
+  }
+}
