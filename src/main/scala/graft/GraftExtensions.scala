@@ -39,5 +39,6 @@ object GraftExtensions {
     functions.GraftFunctions.builders ++
       geo.Wkb.builders ++
       functions.KmvSketch.builders ++
-      functions.QuantileSketch.builders
+      functions.QuantileSketch.builders ++
+      functions.FreqSketch.builders
 }

@@ -538,6 +538,56 @@ object SparkEntry {
         ORDER BY o_custkey, o_orderkey""")
     }),
 
+    // window distribution functions: quartile assignment within a nation
+    // plus percent_rank/cume_dist.  Emitted UNROUNDED: both are single
+    // IEEE divisions of small integers ((rank-1)/(n-1), n_le/n), not
+    // order-dependent float aggregates, so the bits agree across engines
+    // (round() would INTRODUCE a half-even/half-up divergence risk).
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("nationkey", "c_custkey")
+    }),
+
+    // value-navigation window functions over an explicit full frame:
+    // first/last order key and the second order per customer (NULL for
+    // single-order customers in both engines)
+    "q_first_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_key"),
+          last("o_orderkey").over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // wide→long unpivot via the stack generator (the reference gets this
+    // from PG's relational surface; DuckDB spells it UNPIVOT — the oracle
+    // uses the portable UNION ALL form).  Money goes out as integral
+    // cents (NOTES: never emit DECIMAL in a driver contract).
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_custs"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("price_cents"))
+        .select(col("o_orderpriority"), expr(
+          "stack(3, 'n_orders', n_orders, 'n_custs', n_custs, " +
+            "'price_cents', price_cents) AS (metric, value)"))
+        .orderBy("o_orderpriority", "metric")),
+
     // distinct aggregation
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -589,6 +639,33 @@ object SparkEntry {
             .ddQuantile(col("l_extendedprice"), 0.95, 0.01), 4).as("dd_p95"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
         .orderBy("l_returnflag")
+    }),
+
+    // heavy hitters, the deterministic two-pass contract: a Misra–Gries
+    // sketch (mergeable, ≤64 counters/partition, no false negatives
+    // above n/65) generates candidates map-side; an exact recount of the
+    // ≤64 broadcast candidates yields keys at ≥10% support with exact
+    // counts.  Skew is injected deterministically (half the events
+    // collapse onto three hot keys; the per-user tail's cardinality
+    // scales with SF) because the synthetic data is uniform.
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.functions.FreqSketch.register(s)
+      val keyed = events(s, dir).select(
+        when(pmod(col("event_id"), lit(2)) === 0,
+          concat(lit("hot_"), pmod(col("event_id"), lit(3)).cast("string")))
+          .otherwise(concat(lit("user_"), col("user_id").cast("string")))
+          .as("key"))
+      val cands = keyed
+        .agg(graft.functions.FreqSketch.freqItems(col("key"), 64).as("fi"))
+        .select(explode(col("fi")).as("f"))
+        .select(col("f.item").as("key"))
+      val total = keyed.agg(count(lit(1)).as("n_total"))
+      keyed.join(broadcast(cands), "key")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") >= col("n_total") / 10)
+        .select(col("key"), col("n"))
+        .orderBy("key")
     }),
 
     // co-located bucketed join: both fact tables pre-hashed into the same
@@ -1396,6 +1473,45 @@ object SparkEntry {
         "round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) " +
         "AS near_sum FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    "q_ntile" ->
+      ("SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+        "FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
+        "ORDER BY nationkey, c_custkey"),
+
+    "q_first_last" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "first_value(o_orderkey) OVER w AS first_key, " +
+        "last_value(o_orderkey) OVER w AS last_key, " +
+        "nth_value(o_orderkey, 2) OVER w AS second_key " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
+
+    "q_unpivot" ->
+      ("WITH w AS (SELECT o_orderpriority, " +
+        "CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS price_cents FROM orders GROUP BY 1) " +
+        "SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w " +
+        "UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM w " +
+        "UNION ALL SELECT o_orderpriority, 'price_cents', price_cents FROM w " +
+        "ORDER BY o_orderpriority, metric"),
+
+    "q_heavy_hitters" ->
+      ("WITH keyed AS (SELECT CASE WHEN event_id % 2 = 0 " +
+        "THEN 'hot_' || CAST(event_id % 3 AS VARCHAR) " +
+        "ELSE 'user_' || CAST(user_id AS VARCHAR) END AS key FROM events), " +
+        "tot AS (SELECT count(*) AS n_total FROM keyed) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n FROM keyed, tot " +
+        "GROUP BY key, n_total HAVING count(*) >= n_total / 10 " +
+        "ORDER BY key"),
 
     "q_distinct" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Misra–Gries frequent-items ("heavy hitters") sketch as a native
+ * mergeable aggregate: at most `k` counters; every item with true
+ * frequency > n/(k+1) is GUARANTEED present in the result (no false
+ * negatives), and each reported count is a lower bound within n/(k+1)
+ * of the truth.  Merging follows Agarwal et al., "Mergeable Summaries"
+ * (PODS 2012): sum counters, then subtract the (k+1)-th largest count
+ * from all and drop the non-positive — the error bound is preserved
+ * under Spark's partial/final aggregation tree, so the map side ships k
+ * counters per group instead of the value set.
+ *
+ * The retained ITEM SET beyond the guarantee and the residual counts
+ * depend on encounter order, so the raw sketch is candidate generation,
+ * not an answer: follow with an exact recount of the ≤ k candidates
+ * (broadcast semi-join — a second corpus pass that shuffles only
+ * candidate keys).  That two-pass shape is the deterministic,
+ * oracle-checkable contract (`SparkEntry.q_heavy_hitters`), and the
+ * right one at 100 TB — pass 1 is map-side-only per partition, pass 2
+ * aggregates a key set bounded by k, never by corpus cardinality.
+ */
+case class FreqItemsSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
+
+  require(k >= 1, "freq_items: k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("lb", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_freq_items"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
+
+  override def update(
+      buf: java.util.HashMap[String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      val cur = buf.get(item)
+      if (cur != null) buf.put(item, cur + 1L)
+      else if (buf.size < k) buf.put(item, 1L)
+      else {
+        // classic MG decrement-all: amortized O(1) — each full sweep
+        // cancels k+1 units of previously-added count
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[String, java.lang.Long],
+      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey,
+        if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count from every counter; at most
+      // k counters can exceed it, so the trimmed size is within bound
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (k + 1)) // (k+1)-th largest
+      val es = buf.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= sub) es.remove()
+        else e.setValue(e.getValue - sub)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    // deterministic rendering of a non-deterministic state: order by
+    // (count desc, item asc) — consumers treat it as a candidate set
+    val arr = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1
+    }
+    val sorted = arr.sortBy { case (item, c) => (-c, item) }
+    val rows: Array[Any] = sorted.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c): Any
+    }
+    new GenericArrayData(rows): ArrayData
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    var bytes = 4
+    val pre = new java.util.ArrayList[(Array[Byte], Long)](buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(StandardCharsets.UTF_8)
+      pre.add((b, e.getValue))
+      bytes += 4 + b.length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(pre.size)
+    pre.forEach { case (b, c) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      m.put(new String(b, StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+object FreqSketch {
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_freq_items" -> { exprs =>
+      FreqItemsSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+    })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  /** Misra–Gries candidate heavy hitters of `c` (string column):
+    * `array<struct<item, lb>>`, every item with frequency > n/(k+1)
+    * guaranteed present, ordered by (lb desc, item). */
+  def freqItems(c: Column, k: Int = 64): Column =
+    call_function("graft_freq_items", c, lit(k))
+}

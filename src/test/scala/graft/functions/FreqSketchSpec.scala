@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FreqSketchSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    FreqSketch.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def sketchOf(items: Seq[String], k: Int, parts: Int = 8)
+      : Map[String, Long] =
+    items.toDF("x").repartition(parts)
+      .agg(FreqSketch.freqItems(col("x"), k).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select("f.item", "f.lb").as[(String, Long)].collect().toMap
+
+  test("exact when distinct items fit in k counters") {
+    val items = Seq.fill(10)("a") ++ Seq.fill(7)("b") ++ Seq.fill(3)("c")
+    val m = sketchOf(scala.util.Random.shuffle(items), k = 8)
+    assert(m == Map("a" -> 10L, "b" -> 7L, "c" -> 3L))
+  }
+
+  test("no false negatives above n/(k+1) and counts are lower bounds") {
+    // 3 hot items at 1000 each + 500 singleton tail; n = 3500, k = 16
+    // → every item with freq > 3500/17 ≈ 206 must be present
+    val hot = (0 until 3).flatMap(i => Seq.fill(1000)(s"hot$i"))
+    val tail = (0 until 500).map(i => s"t$i")
+    val items = scala.util.Random.shuffle(hot ++ tail)
+    val m = sketchOf(items, k = 16, parts = 13)
+    for (i <- 0 until 3) {
+      assert(m.contains(s"hot$i"), s"hot$i missing — MG guarantee violated")
+      assert(m(s"hot$i") <= 1000L, "reported count exceeds the truth")
+      assert(m(s"hot$i") >= 1000L - 3500L / 17, "lower bound worse than n/(k+1)")
+    }
+    assert(m.size <= 16)
+  }
+
+  test("merge honors the counter bound under many partitions") {
+    val items = (0 until 2000).map(i => s"v${i % 200}")
+    val m = sketchOf(items, k = 8, parts = 32)
+    assert(m.size <= 8)
+  }
+
+  test("result array is ordered by (lb desc, item asc)") {
+    val items = Seq.fill(5)("z") ++ Seq.fill(5)("a") ++ Seq.fill(2)("m")
+    val rows = items.toDF("x")
+      .agg(FreqSketch.freqItems(col("x"), 8).as("fi"))
+      .select(explode(col("fi")).as("f")).select("f.item", "f.lb")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 5L), ("m", 2L), ("z", 5L))
+      .sortBy { case (i, c) => (-c, i) })
+  }
+
+  test("nulls are ignored and k=1 degenerates to majority-candidate") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("x"), Row(null), Row("x"), Row("y"), Row("x"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.StringType))))
+    val m = df.agg(FreqSketch.freqItems(col("x"), 1).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select("f.item", "f.lb").as[(String, Long)].collect().toMap
+    // the strict-majority element (3 of 4 non-null) must survive k=1
+    assert(m.keySet == Set("x"))
+  }
+}
