@@ -45,6 +45,18 @@ object SparkEntry {
     stageDir
   }
 
+  /** Events staged with every row TWICE — input for the streaming
+    * dedup-within-watermark demo (the duplicate arrives in-watermark). */
+  private def stagedDupEventsDir(s: SparkSession, dir: String): String = {
+    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dup_" +
+      new java.io.File(dir).getName
+    if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+      val ev = events(s, dir)
+      CopyTo(ev.unionAll(ev), stageDir)
+    }
+    stageDir
+  }
+
   /** lineitem has no unique key in the synthetic data (duplicate
     * (l_orderkey, l_linenumber) pairs exist), so deterministic output
     * ordering must sort on ALL emitted columns. */
@@ -1219,7 +1231,49 @@ object SparkEntry {
     // suppressed-duplicate counts, min-id winner like the batch Dedup
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.StatefulOps.streamingDedup(s, stagedEventsDir(s, dir))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // streaming dedup via the BUILT-IN dropDuplicatesWithinWatermark:
+    // unlike the custom-state variant above (state = all keys ever seen),
+    // the watermark EVICTS per-key state once event time passes it — the
+    // operator that survives an unbounded key domain.  Stage carries
+    // every event twice; the parquet-sink output must equal the original
+    // set.  At cluster scale the state store shards by key hash across
+    // executors; here the partition pin keeps checkpoint I/O sane.
+    "stream_dedup_watermark" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedDupEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ddw_sink_" +
+        new java.io.File(dir).getName
+      val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema).parquet(stageDir)
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ets", "1 minute")
+          .dropDuplicatesWithinWatermark("event_id")
+          .drop("ets")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"))
+        .orderBy("event_type")
+    })
   )
 
   // =====================================================================
@@ -1890,6 +1944,12 @@ object SparkEntry {
       ("SELECT user_id, event_type, min(event_id) AS min_event_id, " +
         "min(epoch_us(ts)) AS first_ts_us, CAST(count(*) AS BIGINT) AS n " +
         "FROM events GROUP BY user_id, event_type " +
-        "ORDER BY user_id, event_type")
+        "ORDER BY user_id, event_type"),
+
+    // the doubled stage deduped by event_id must equal the original set
+    "stream_dedup_watermark" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }
