@@ -1199,6 +1199,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sliding-window chunking (32-token windows, stride 24): the
+    // RAG/embedding indexing step; narrow end-to-end — tokenize, per-row
+    // window arithmetic, bounded explode; no shuffle at any corpus size
+    "pipeline_chunk" -> ((s, dir) =>
+      TrainPrep.chunk(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id")),
+
     // domain-mixture plan: token inventory per source + the epoch
     // multiplier realizing a target sampling mix (src0 30%, src1 20%,
     // uniform remainder) over a corpus-sized token budget
@@ -1910,6 +1918,22 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared " +
         "FROM grams g JOIN ev ON g.g = ev.g WHERE doc_id % 7 <> 0 " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // DuckDB list slicing w[a:b] is 1-based inclusive; clamp the end so
+    // the tail chunk matches Spark's slice(w, start, len) truncation
+    "pipeline_chunk" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "c AS (SELECT doc_id, w, " +
+        "unnest(range(0, ((len(w) - 1) // 24) + 1)) AS chunk_id " +
+        "FROM toks WHERE len(w) > 0) " +
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(len(w[chunk_id * 24 + 1 : " +
+        "least(chunk_id * 24 + 32, len(w))]) AS BIGINT) AS n_tokens, " +
+        "w[chunk_id * 24 + 1] AS first_tok, " +
+        "w[least(chunk_id * 24 + 32, len(w))] AS last_tok " +
+        "FROM c ORDER BY doc_id, chunk_id"),
 
     "pipeline_mixture_plan" ->
       ("WITH toks AS (SELECT source, " +

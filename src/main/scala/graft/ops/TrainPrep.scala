@@ -108,6 +108,44 @@ object TrainPrep {
       .drop("_start_sum")
   }
 
+  /**
+   * Sliding-window document chunking: split each document's token stream
+   * into windows of `chunkTokens` advancing by `strideTokens`
+   * (`chunkTokens - strideTokens` tokens of overlap carry context across
+   * chunk boundaries — the standard embedding/RAG indexing shape).  Emits
+   * one row per (doc, chunk): `chunk_id`, the chunk's token count, and
+   * its first/last token.  Empty documents emit nothing; every non-empty
+   * document emits at least one chunk; every token appears in ≥1 chunk.
+   *
+   * Purely narrow (tokenize → per-row window arithmetic → explode): no
+   * shuffle at any corpus size, and the explode fan-out is bounded by
+   * len/stride per document.
+   */
+  def chunk(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 32, strideTokens: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 &&
+      strideTokens <= chunkTokens,
+      "need 1 <= strideTokens <= chunkTokens")
+    val w = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => t =!= lit(""))
+    df.select(col(idCol), w.as("_w"))
+      .filter(size(col("_w")) > 0)
+      // chunk starts: 0, stride, 2·stride, … while start < len
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(0L),
+          ((size(col("_w")) - 1) / strideTokens).cast("long")))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_w"),
+          (col("chunk_id") * strideTokens + 1).cast("int"),
+          lit(chunkTokens)).as("_c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        element_at(col("_c"), 1).as("first_tok"),
+        element_at(col("_c"), -1).as("last_tok"))
+  }
+
   /** Word n-grams of a text column as space-joined lowercase strings
     * (alnum tokenization); rows with fewer than `n` tokens produce none.
     * String grams (not hashes) keep the operator cross-engine exact; at

@@ -104,4 +104,30 @@ class TrainPrepSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(hits == Map(1L -> 1L))
   }
+
+  test("chunk covers every token with bounded overlap") {
+    // 10 tokens, chunk 4, stride 3 -> starts 0,3,6,9
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TrainPrep.chunk(df, "text", "doc_id", 4, 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "first_tok", "last_tok")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, "a", "d"), (1L, 4L, "d", "g"),
+      (2L, 4L, "g", "j"), (3L, 1L, "j", "j")))
+  }
+
+  test("chunk edge cases: short doc, exact multiple, empty doc") {
+    val df = Seq(
+      (1L, "only two"),          // shorter than one chunk
+      (2L, "a b c d e f"),       // len == 2 x stride (3), chunk 3
+      (3L, ""),                  // empty: no rows
+      (4L, ", ; .")              // tokenizes to empty: no rows
+    ).toDF("doc_id", "text")
+    val out = TrainPrep.chunk(df, "text", "doc_id", 3, 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 2L), (2L, 0L, 3L), (2L, 1L, 3L)))
+  }
 }
