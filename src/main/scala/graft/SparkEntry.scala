@@ -45,6 +45,25 @@ object SparkEntry {
     stageDir
   }
 
+  /** Events staged plus one sentinel event 2 hours past the corpus
+    * maximum: advances the append-mode watermark beyond every real
+    * window so all of them close and emit (the sentinel's own window
+    * stays open and is filtered out of the contract). */
+  private def stagedSentinelEventsDir(s: SparkSession, dir: String): String = {
+    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_wm_" +
+      new java.io.File(dir).getName
+    if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+      import s.implicits._
+      val ev = events(s, dir)
+      val maxTs = ev.agg(max("ts")).head().getLong(0)
+      val sentinel = Seq((-1L, maxTs + 7200L * 1000000000L, -1L,
+        "_sentinel", 0.0, "")).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      CopyTo(ev.unionAll(sentinel), stageDir)
+    }
+    stageDir
+  }
+
   /** Events staged with every row TWICE — input for the streaming
     * dedup-within-watermark demo (the duplicate arrives in-watermark). */
   private def stagedDupEventsDir(s: SparkSession, dir: String): String = {
@@ -872,15 +891,25 @@ object SparkEntry {
             .otherwise(0.0)), 2).as("purchase_value"))
         .orderBy("user_id")),
 
-    // Structured Streaming: same hourly agg driven through readStream →
-    // memory sink (complete mode), proving the streaming plumbing
+    // Structured Streaming: the hourly agg as a WATERMARKED APPEND-mode
+    // query into a parquet file sink — the production shape (bounded
+    // state: closed windows are evicted and emitted exactly once from
+    // executors; nothing collected through the driver).  A sentinel
+    // event staged 2h past the corpus maximum advances the watermark
+    // beyond every real window so the batch total equals the streaming
+    // total (the append-mode contract is pinned in StatefulOpsSpec).
     "stream_events_hourly" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stageDir = stagedEventsDir(s, dir)
-      val qn = s"graft_stream_${System.nanoTime()}"
+      val stageDir = stagedSentinelEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_hourly_sink_" +
+        new java.io.File(dir).getName
+      val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       // the streaming agg keeps one state store per shuffle partition;
       // pin a handful for this volume (restored after the run completes,
       // never racing first-batch planning — VERDICT r2 #3)
@@ -888,15 +917,22 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = s.readStream.schema(schema).parquet(stageDir)
-          .withColumn("hour_idx", expr("ts DIV 3600000000000"))
-          .groupBy("hour_idx", "event_type")
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ets", "1 second")
+          .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .select((col("w.start").cast("long") / 3600).cast("long")
+            .as("hour_idx"), col("event_type"), col("n"), col("total_value"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append")
           .start()
         q.processAllAvailable()
         q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(qn).orderBy("hour_idx", "event_type")
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy("hour_idx", "event_type")
     }),
 
     // Structured Streaming with a FILE sink (append mode): the production
