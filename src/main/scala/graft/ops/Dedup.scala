@@ -299,7 +299,11 @@ object Dedup {
     val m = edgeCount.toInt
     val us = new Array[Long](m); val vs = new Array[Long](m)
     locally {
+      // coalesce(1): toLocalIterator schedules one job per partition —
+      // for a bounded edge list, one task streaming all rows beats 32
+      // scheduler round-trips (and memory stays bounded either way)
       val it = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .coalesce(1)
         .as[(Long, Long)].toLocalIterator()
       var k = 0
       while (it.hasNext) { val e = it.next(); us(k) = e._1; vs(k) = e._2; k += 1 }

@@ -99,4 +99,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
       s"scan should prune to doc_id only: $readSchema")
   }
+
+  test("heavy-hitter recount broadcasts candidates and the total") {
+    val p = plan("q_heavy_hitters")
+    // the exact-recount pass joins the corpus against the <=k candidate
+    // set and the 1-row total via broadcast: the corpus side must never
+    // shuffle by key for either
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"candidate screen must be a broadcast hash join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the 1-row total must broadcast:\n$p")
+    // the sketch aggregate itself runs partial->final (ObjectHashAggregate
+    // supports partial aggregation for TypedImperativeAggregate)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("chunking plans no shuffle at all") {
+    val p = plan("pipeline_chunk")
+    // narrow end-to-end up to the final presentation ORDER BY: exactly
+    // one Exchange (the rangepartitioning for orderBy), none before it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("Exchange")) >= 1 &&
+      p.contains("rangepartitioning") && !p.contains("hashpartitioning"),
+      s"expected only the presentation sort exchange:\n$exchanges")
+  }
 }
