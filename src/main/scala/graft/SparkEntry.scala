@@ -45,18 +45,20 @@ object SparkEntry {
     stageDir
   }
 
-  /** Events staged plus one sentinel event 2 hours past the corpus
+  /** Events staged plus one sentinel event 10 hours past the corpus
     * maximum: advances the append-mode watermark beyond every real
-    * window so all of them close and emit (the sentinel's own window
-    * stays open and is filtered out of the contract). */
+    * window — including 6h-gap SESSION windows, whose end is last event
+    * + gap — so all of them close and emit (the sentinel's own window
+    * stays open and is filtered out of the contract).  Dir name carries
+    * a version: bump it whenever the sentinel offset changes. */
   private def stagedSentinelEventsDir(s: SparkSession, dir: String): String = {
-    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_wm_" +
+    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_wm_v2_" +
       new java.io.File(dir).getName
     if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
       import s.implicits._
       val ev = events(s, dir)
       val maxTs = ev.agg(max("ts")).head().getLong(0)
-      val sentinel = Seq((-1L, maxTs + 7200L * 1000000000L, -1L,
+      val sentinel = Seq((-1L, maxTs + 36000L * 1000000000L, -1L,
         "_sentinel", 0.0, "")).toDF(
         "event_id", "ts", "user_id", "event_type", "value", "props")
       CopyTo(ev.unionAll(sentinel), stageDir)
@@ -1317,6 +1319,52 @@ object SparkEntry {
           min("event_id").as("min_event_id"),
           max("event_id").as("max_event_id"))
         .orderBy("event_type")
+    }),
+
+    // sessionization via the BUILT-IN session_window (merging event-time
+    // session state, watermark-evicted) — same 6h-gap contract as the
+    // batch q_sessionize and the custom-state stream_sessionize, showing
+    // the built-in beats custom state when semantics allow.  Sessions
+    // close at last-event+gap, so the sentinel sits 10h out; the ordinal
+    // sess_id is assigned on batch read-back (sessions are disjoint per
+    // user, so rank by start time reproduces the islands numbering).
+    "stream_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedSentinelEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sessw_sink_" +
+        new java.io.File(dir).getName
+      val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema).parquet(stageDir)
+          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ets", timestamp_micros(col("ts_us")))
+          .withWatermark("ets", "1 second")
+          .groupBy(session_window(col("ets"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            min("ts_us").as("sess_start"), max("ts_us").as("sess_end"))
+          .select("user_id", "n", "sess_start", "sess_end")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val byStart = Window.partitionBy("user_id").orderBy("sess_start")
+      s.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .withColumn("sess_id", row_number().over(byStart).cast("long"))
+        .select("user_id", "sess_id", "n", "sess_start", "sess_end")
+        .orderBy("user_id", "sess_id")
     })
   )
 
@@ -2010,6 +2058,20 @@ object SparkEntry {
     "stream_dedup_watermark" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // built-in session windows must reproduce the batch gaps-and-islands
+    // sessions exactly (same 6h gap as q_sessionize)
+    "stream_session_window" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events), " +
+        "m AS (SELECT user_id, ts_us, event_id, CASE WHEN " +
+        "lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL " +
+        "OR ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 21600000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "s AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM m) " +
+        "SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, " +
+        "min(ts_us) AS sess_start, max(ts_us) AS sess_end " +
+        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id")
   )
 }
