@@ -1170,6 +1170,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization: the corpus (pure ASCII) is augmented
+    // with a decomposed accent sequence (e + U+0301) so the normalizer
+    // has real work; the composed result and codepoint lengths must
+    // match DuckDB's nfc_normalize byte-for-byte
+    "text_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("text"))
+      aug.select(col("doc_id"),
+          graft.functions.GraftFunctions.normalize(col("text")).as("norm"),
+          length(col("text")).as("len_raw"),
+          length(graft.functions.GraftFunctions.normalize(col("text")))
+            .as("len_norm"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------- pipeline ops: multimodal
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractMeta(s, t(s, dir, "documents"), "doc_id", "text",
@@ -1887,6 +1903,16 @@ object SparkEntry {
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
         "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
         "'\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
+        "FROM aug ORDER BY doc_id"),
+
+    // identical decomposed augmentation via chr(): 769 = COMBINING ACUTE,
+    // 776 = COMBINING DIAERESIS; both engines count codepoints in length()
+    "text_normalize" ->
+      ("WITH aug AS (SELECT doc_id, text || ' cafe' || chr(769) || " +
+        "' nai' || chr(776) || 've' AS text FROM documents) " +
+        "SELECT doc_id, nfc_normalize(text) AS norm, " +
+        "CAST(length(text) AS INTEGER) AS len_raw, " +
+        "CAST(length(nfc_normalize(text)) AS INTEGER) AS len_norm " +
         "FROM aug ORDER BY doc_id"),
 
     "text_quality" ->

@@ -52,6 +52,9 @@ object GraftFunctions {
     },
     "graft_ngram_repetition" -> { exprs =>
       NgramRepetition(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    },
+    "graft_normalize" -> { exprs =>
+      NormalizeString(exprs.head, exprs(1).eval().toString)
     })
 
   def register(spark: SparkSession): Unit = {
@@ -85,6 +88,9 @@ object GraftFunctions {
     * [[NgramRepetition]]. */
   def ngramRepetition(text: Column, n: Int): Column =
     call_function("graft_ngram_repetition", text, lit(n))
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — see [[NormalizeString]]. */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize", text, lit(form))
 }
 
 /**
@@ -385,6 +391,30 @@ case class HyperplaneBits(child: Expression, nbits: Int, seed: Long)
     }
     java.lang.Long.valueOf(bits)
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * Unicode normalization of a string column via `java.text.Normalizer`
+ * (form: NFC, NFD, NFKC, NFKD).  Corpus hygiene step: visually identical
+ * text with different codepoint sequences (composed vs decomposed
+ * accents, compatibility ligatures) hashes differently, splitting dedup
+ * groups and token counts until normalized.  CodegenFallback: the JDK
+ * normalizer is a table-driven native-speed pass; per-row dispatch cost
+ * is irrelevant next to it.
+ */
+case class NormalizeString(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString, f))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

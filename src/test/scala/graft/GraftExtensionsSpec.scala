@@ -35,6 +35,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "FROM (SELECT explode(sequence(1, 101)) AS x)")
         .head().getDouble(0)
       assert(math.abs(q - 51.0) <= 1.5, s"median of 1..101 ~ 51, got $q")
+      // NFC composes e + U+0301 into é (one codepoint); NFKC folds the
+      // ﬁ ligature (U+FB01) that NFC leaves alone
+      val norm = s.sql(
+        "SELECT graft_normalize('café', 'NFC') AS c, " +
+          "length(graft_normalize('café', 'NFC')) AS l, " +
+          "graft_normalize('ﬁne', 'NFKC') AS k").head()
+      assert(norm.getString(0) == "café" && norm.getInt(1) == 4)
+      assert(norm.getString(2) == "fine")
+      val hh = s.sql(
+        "SELECT graft_freq_items(x, 2) FROM (SELECT explode(array(" +
+          "'a','a','a','b','c')) AS x)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.exists(r => r.getString(0) == "a"),
+        "majority item must survive k=2")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
