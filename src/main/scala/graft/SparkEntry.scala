@@ -1261,6 +1261,17 @@ object SparkEntry {
           chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // domain balancing: at most 30 docs per source, survivors chosen by
+    // a deterministic Knuth-hash priority (injective below the prime, so
+    // ranks never tie) — stable across runs/partitionings/engines
+    "pipeline_domain_cap" -> ((s, dir) =>
+      TrainPrep.capPerGroup(t(s, dir, "documents"), col("source"),
+          pmod(col("doc_id") * 2654435761L, lit(1000000007L)), cap = 30)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("sum_kept"), min("doc_id").as("min_kept"))
+        .orderBy("source")),
+
     // domain-mixture plan: token inventory per source + the epoch
     // multiplier realizing a target sampling mix (src0 30%, src1 20%,
     // uniform remainder) over a corpus-sized token budget
@@ -2028,6 +2039,14 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared " +
         "FROM grams g JOIN ev ON g.g = ev.g WHERE doc_id % 7 <> 0 " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    "pipeline_domain_cap" ->
+      ("WITH r AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY (doc_id * 2654435761) % 1000000007) " +
+        "AS rk FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_kept, min(doc_id) AS min_kept " +
+        "FROM r WHERE rk <= 30 GROUP BY source ORDER BY source"),
 
     // DuckDB list slicing w[a:b] is 1-based inclusive; clamp the end so
     // the tail chunk matches Spark's slice(w, start, len) truncation

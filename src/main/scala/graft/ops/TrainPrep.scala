@@ -162,6 +162,30 @@ object TrainPrep {
   }
 
   /**
+   * Per-group cap with deterministic priority: keep at most `cap` rows
+   * per `group` (web-corpus domain balancing — a handful of giant
+   * domains otherwise dominate the token budget).  Which rows survive is
+   * decided by `priority` (ascending), NOT arrival order, so the result
+   * is stable across runs, partitionings, and engines — pass a
+   * quality-score column, or a deterministic per-row hash for an
+   * unbiased cap.
+   *
+   * One hash shuffle by group + a window rank; at scale this is the
+   * same shape as any per-key top-k.  For extreme single-domain skew,
+   * pre-aggregate a per-group count first and only shuffle groups over
+   * the cap (the under-cap majority passes through map-side).
+   */
+  def capPerGroup(
+      df: DataFrame, group: Column, priority: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(priority)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
+  /**
    * Benchmark decontamination: training documents that share at least one
    * word `n`-gram with any document of the evaluation set — the standard
    * pre-training hygiene step (eval text leaking into the training corpus

@@ -130,4 +130,17 @@ class TrainPrepSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 0L, 2L), (2L, 0L, 3L), (2L, 1L, 3L)))
   }
+
+  test("capPerGroup keeps at most cap rows, chosen by priority not order") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 4).as("grp"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.capPerGroup(d, col("grp"), col("id") * 37 % 101, cap = 5)
+        .select("grp", "id").as[(Long, Long)].collect().toSet
+    val a = run(df)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    // survivors are a pure function of priority — partitioning/order moot
+    val b = run(df.repartition(13).orderBy(col("id").desc))
+    assert(a == b)
+  }
 }
