@@ -1261,6 +1261,15 @@ object SparkEntry {
           chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // duplicated-span coverage: fraction of each doc's 8-gram spans that
+    // appear in ≥1 other doc — the substring-dedup signal (catches
+    // shared boilerplate that near-dup detection misses).  Docs with no
+    // 8-gram emit nothing; ratio 0 means fully unique text.
+    "pipeline_dup_spans" -> ((s, dir) =>
+      TrainPrep.dupSpanCoverage(t(s, dir, "documents"), "text", "doc_id",
+          n = 8)
+        .orderBy("doc_id")),
+
     // domain balancing: at most 30 docs per source, survivors chosen by
     // a deterministic Knuth-hash priority (injective below the prime, so
     // ranks never tie) — stable across runs/partitionings/engines
@@ -2038,6 +2047,23 @@ object SparkEntry {
         "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0) " +
         "SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared " +
         "FROM grams g JOIN ev ON g.g = ev.g WHERE doc_id % 7 <> 0 " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    "pipeline_dup_spans" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "grams0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i " +
+        "FROM toks WHERE len(w) >= 8), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g " +
+        "FROM grams0), " +
+        "byg AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with " +
+        "FROM grams GROUP BY g) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) * 10000 " +
+        "// count(*) AS BIGINT) AS dup_bp " +
+        "FROM grams JOIN byg USING (g) " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
     "pipeline_domain_cap" ->

@@ -186,6 +186,40 @@ object TrainPrep {
   }
 
   /**
+   * Duplicated-span coverage: for each document, the fraction of its
+   * word `n`-gram spans that also occur in at least one OTHER document —
+   * the signal behind substring-level dedup (Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better"): a doc
+   * can be 40% boilerplate shared with thousands of pages without being
+   * a near-duplicate of any single one.  Filter on `dup_ratio` or feed
+   * high-coverage docs to span excision.
+   *
+   * Shape: distinct (doc, gram) pairs → per-gram distinct-doc count →
+   * join back → per-doc ratio.  The gram shuffle is the honest cost at
+   * corpus scale; shrink it by hashing grams to 64-bit (`xxhash64`) on
+   * both sides — string grams are kept here for cross-engine oracle
+   * exactness.  Count aggregation is map-side partial either way.
+   */
+  def dupSpanCoverage(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val grams = df
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+      .distinct()
+    val byGram = grams.groupBy("g")
+      .agg(count(lit(1)).as("_docs_with"))
+    grams.join(byGram, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_docs_with") > 1, 1L).otherwise(0L)).as("n_dup"))
+      // basis points via integer floor division: representation-exact in
+      // any engine (a rounded double ratio hits half-even/half-up
+      // divergence exactly when n_grams is a power of two)
+      .withColumn("dup_bp",
+        expr("n_dup * 10000 DIV n_grams"))
+  }
+
+  /**
    * Benchmark decontamination: training documents that share at least one
    * word `n`-gram with any document of the evaluation set — the standard
    * pre-training hygiene step (eval text leaking into the training corpus
