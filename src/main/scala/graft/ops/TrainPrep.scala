@@ -170,10 +170,12 @@ object TrainPrep {
    * quality-score column, or a deterministic per-row hash for an
    * unbiased cap.
    *
-   * One hash shuffle by group + a window rank; at scale this is the
-   * same shape as any per-key top-k.  For extreme single-domain skew,
-   * pre-aggregate a per-group count first and only shuffle groups over
-   * the cap (the under-cap majority passes through map-side).
+   * One hash shuffle by group + a window rank — and Catalyst inserts
+   * `WindowGroupLimit` on BOTH sides of the exchange (rank-limit
+   * pushdown, pinned by the driver plan audit): each map task locally
+   * keeps its top-`cap` per group before shuffling, so a giant domain
+   * ships ~cap×tasks rows, not its full size.  The residual skew of
+   * pathological single-domain inputs is the same as any per-key top-k.
    */
   def capPerGroup(
       df: DataFrame, group: Column, priority: Column, cap: Int): DataFrame = {

@@ -124,4 +124,13 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("rangepartitioning") && !p.contains("hashpartitioning"),
       s"expected only the presentation sort exchange:\n$exchanges")
   }
+
+  test("domain cap pushes the rank limit to both sides of the shuffle") {
+    val p = plan("pipeline_domain_cap")
+    // WindowGroupLimit appears before AND after the exchange: each map
+    // task locally keeps its top-cap rows per group, so a giant domain
+    // ships ~cap x tasks rows instead of its full size
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected map-side + reduce-side WindowGroupLimit:\n$p")
+  }
 }
