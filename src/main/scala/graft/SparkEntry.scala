@@ -1308,6 +1308,84 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
         .orderBy("doc_id")),
 
+    // deterministic global shuffle into 8 trainer shards: shard + read
+    // position are a pure function of doc_id (Knuth hash mod a prime —
+    // injective here, so shard_pos never depends on partition order);
+    // one shuffle by shard, per-shard sort, no global sort
+    "pipeline_shard_shuffle" -> ((s, dir) =>
+      TrainPrep.shardShuffle(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          hash = pmod(col("doc_id") * 2654435761L, lit(1000000007L)),
+          nShards = 8)
+        .select("doc_id", "source", "shard", "shard_pos")
+        .orderBy("doc_id")),
+
+    // Gopher-style hard quality filter: per-rule kill counts per source
+    // (all rule boundaries are integer comparisons — bit-portable, no
+    // rounded-ratio threshold flips)
+    "pipeline_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFlags(t(s, dir, "documents"), "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("too_short"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("bad_avg_len"), 1L).otherwise(0L)).as("n_avg_len"),
+          sum(when(col("low_stopword"), 1L).otherwise(0L)).as("n_stop"),
+          sum(when(col("digit_heavy"), 1L).otherwise(0L)).as("n_digit"))
+        .orderBy("source")),
+
+    // incremental snapshot ingest: the doc_id%3==0 half is the standing
+    // corpus, the rest arrives as a new batch; key = 24-token normalized
+    // prefix fingerprint (catches shared-boilerplate "new" docs exact
+    // text equality misses).  Map-side batch collapse + shuffle anti
+    // join — the per-load cost never rescans the corpus
+    "pipeline_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 1, 24)).as("k")
+      val keyed = docs.select(col("doc_id"), col("source"), key)
+      Dedup.incrementalExact(
+          keyed.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          keyed.filter(pmod(col("doc_id"), lit(3)) === 0),
+          Seq("k"), "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // duplicated-span EXCISION: rewrite documents with cross-document
+    // 8-gram boilerplate spans cut out (substring-level dedup — the
+    // completion of pipeline_dup_spans' measurement); ordered reassembly
+    // via array_sort over (pos, tok), no collect order dependence
+    "pipeline_span_excision" -> ((s, dir) =>
+      TrainPrep.spanExcision(t(s, dir, "documents"), "text", "doc_id", n = 8)
+        .orderBy("doc_id")),
+
+    // recursive CTE through the SQL parser (Spark 4 WITH RECURSIVE →
+    // UnionLoop): walk each region's nation chain (edges = lead() over
+    // nationkey) accumulating depth — the iterative surface dedup
+    // clustering uses, exercised from SQL on both engines
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      s.sql("""
+        WITH RECURSIVE walk(region_key, nation_key, depth) AS (
+          SELECT n_regionkey, min(n_nationkey), 0
+          FROM g_nation GROUP BY n_regionkey
+          UNION ALL
+          SELECT w.region_key, e.v, w.depth + 1
+          FROM walk w
+          JOIN (SELECT n_regionkey AS r, n_nationkey AS u,
+                       lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                               ORDER BY n_nationkey) AS v
+                FROM g_nation) e
+            ON e.r = w.region_key AND e.u = w.nation_key
+          WHERE e.v IS NOT NULL
+        )
+        SELECT CAST(region_key AS BIGINT) AS region_key,
+               CAST(nation_key AS BIGINT) AS nation_key,
+               CAST(depth AS BIGINT) AS depth
+        FROM walk ORDER BY region_key, nation_key""")
+    }),
+
     // streaming exact dedup at ingest (flatMapGroupsWithState → parquet
     // file sink): first-occurrence extraction per (user, event_type) with
     // suppressed-duplicate counts, min-id winner like the batch Dedup
@@ -2118,6 +2196,97 @@ object SparkEntry {
         "CAST(floor(start_sum / 512) AS BIGINT) AS pack_id, " +
         "start_sum % 512 AS pack_offset " +
         "FROM runs ORDER BY doc_id"),
+
+    "pipeline_shard_shuffle" ->
+      ("WITH h AS (SELECT doc_id, source, " +
+        "(doc_id * 2654435761) % 1000000007 AS hh FROM documents) " +
+        "SELECT doc_id, source, CAST(hh % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh) " +
+        "AS BIGINT) AS shard_pos " +
+        "FROM h ORDER BY doc_id"),
+
+    "pipeline_quality_filter" ->
+      ("WITH m AS (SELECT source, " +
+        "CAST(length(text) AS BIGINT) AS chars, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) " +
+        "AS BIGINT) AS digits, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS tk FROM documents), " +
+        "f AS (SELECT source, CAST(len(tk) AS BIGINT) AS n, " +
+        "CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) " +
+        "AS BIGINT) AS sum_len, " +
+        "CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of'," +
+        "'to','in','is','it','that'))) AS BIGINT) AS stop_hits, " +
+        "digits, chars FROM m), " +
+        "g AS (SELECT source, n < 15 AS too_short, n > 5000 AS too_long, " +
+        "n > 0 AND (sum_len < 2 * n OR sum_len > 12 * n) AS bad_avg_len, " +
+        "stop_hits < 2 AS low_stopword, " +
+        "digits * 10 > chars * 2 AS digit_heavy FROM f) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN NOT too_short AND NOT too_long AND NOT bad_avg_len " +
+        "AND NOT low_stopword AND NOT digit_heavy THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+        "CAST(sum(CASE WHEN bad_avg_len THEN 1 ELSE 0 END) AS BIGINT) AS n_avg_len, " +
+        "CAST(sum(CASE WHEN low_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, " +
+        "CAST(sum(CASE WHEN digit_heavy THEN 1 ELSE 0 END) AS BIGINT) AS n_digit " +
+        "FROM g GROUP BY source ORDER BY source"),
+
+    "pipeline_incremental_dedup" ->
+      ("WITH keyed AS (SELECT doc_id, source, array_to_string(" +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')[1:24], ' ') AS k FROM documents), " +
+        "reps AS (SELECT k, min(doc_id) AS doc_id FROM keyed " +
+        "WHERE doc_id % 3 <> 0 GROUP BY k), " +
+        "seen AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 3 = 0) " +
+        "SELECT r.doc_id, kd.source FROM reps r " +
+        "JOIN keyed kd ON kd.doc_id = r.doc_id " +
+        "WHERE r.k NOT IN (SELECT k FROM seen) " +
+        "ORDER BY r.doc_id"),
+
+    // positions are 1-based here (0-based on the Spark side) — they are
+    // internal to each engine and never emitted
+    "pipeline_span_excision" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "t AS (SELECT doc_id, w FROM toks WHERE len(w) > 0), " +
+        "g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i " +
+        "FROM t WHERE len(w) >= 8), " +
+        "grams AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g " +
+        "FROM g0), " +
+        "dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS d " +
+        "FROM grams GROUP BY g) WHERE d > 1), " +
+        "cov AS (SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS p " +
+        "FROM grams WHERE g IN (SELECT g FROM dup)), " +
+        "pe AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(range(1, len(w) + 1)) AS p FROM t), " +
+        "keep AS (SELECT pe.doc_id, pe.p, pe.tok FROM pe " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cov " +
+        "WHERE cov.doc_id = pe.doc_id AND cov.p = pe.p)), " +
+        "o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY p) AS clean_text " +
+        "FROM keep GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed, " +
+        "coalesce(clean_text, '') AS clean_text " +
+        "FROM t LEFT JOIN o USING (doc_id) ORDER BY t.doc_id"),
+
+    "q_recursive_cte" ->
+      ("WITH RECURSIVE walk(region_key, nation_key, depth) AS (" +
+        "SELECT n_regionkey, min(n_nationkey), 0 " +
+        "FROM nation GROUP BY n_regionkey " +
+        "UNION ALL " +
+        "SELECT w.region_key, e.v, w.depth + 1 FROM walk w " +
+        "JOIN (SELECT n_regionkey AS r, n_nationkey AS u, " +
+        "lead(n_nationkey) OVER (PARTITION BY n_regionkey " +
+        "ORDER BY n_nationkey) AS v FROM nation) e " +
+        "ON e.r = w.region_key AND e.u = w.nation_key " +
+        "WHERE e.v IS NOT NULL) " +
+        "SELECT CAST(region_key AS BIGINT) AS region_key, " +
+        "CAST(nation_key AS BIGINT) AS nation_key, " +
+        "CAST(depth AS BIGINT) AS depth " +
+        "FROM walk ORDER BY region_key, nation_key"),
 
     "stream_dedup" ->
       ("SELECT user_id, event_type, min(event_id) AS min_event_id, " +

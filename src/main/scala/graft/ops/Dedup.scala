@@ -45,6 +45,28 @@ object Dedup {
     }.select(df.columns.toSeq.map(col): _*)
   }
 
+  /**
+   * Incremental exact dedup for snapshot ingestion: from a new `batch`,
+   * keep one representative per distinct `keyCols` value (min `idCol`,
+   * via [[exact]]), then drop representatives whose key already exists
+   * in `seen` — the running corpus.  Appending the result to the corpus
+   * preserves the invariant "one row per key" across any number of
+   * incremental loads, without ever re-deduplicating the corpus itself.
+   *
+   * Scale shape: the batch side collapses duplicates map-side (hash
+   * aggregation), and the membership check is a left-ANTI hash join on
+   * the key.  `seen` should be projected to its key column only — or a
+   * 64-bit `xxhash64(key)` on both sides to shrink shuffle bytes (a
+   * collision drops a colliding novel doc: the safe direction for
+   * dedup).  No broadcast: `seen` grows with the corpus, so the anti
+   * join must stay a shuffle join; AQE will still pick broadcast for
+   * genuinely small corpora.
+   */
+  def incrementalExact(batch: DataFrame, seen: DataFrame,
+      keyCols: Seq[String], idCol: String): DataFrame =
+    exact(batch, keyCols, idCol)
+      .join(seen.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
   final case class MinHashParams(
       shingleSize: Int = 3,
       numHashes: Int = 128,

@@ -78,6 +78,49 @@ object TextAnalysis {
           .cast("double") / greatest(length(t), lit(1)), 4))
   }
 
+  /**
+   * Gopher/C4-style hard document filter, exposed as per-rule boolean
+   * flags plus the combined `kept` verdict (keep the flags: a corpus
+   * report needs WHY documents died, and re-running the filter with one
+   * rule relaxed should not need a second corpus pass).  Rules are the
+   * portable core of Rae et al. 2021 (Gopher, §A1.1):
+   *
+   *   - `too_short`    fewer than `minTokens` tokens
+   *   - `too_long`     more than `maxTokens` tokens
+   *   - `bad_avg_len`  mean token length outside [2, 12] chars
+   *   - `low_stopword` fewer than 2 stopword hits
+   *   - `digit_heavy`  more than 20% digit characters
+   *
+   * Every rule is an INTEGER comparison — ratio thresholds are
+   * cross-multiplied (`sum_len < 2·n`, `10·digits > 2·chars`) so flag
+   * boundaries are exact in any engine; a rounded-double ratio would
+   * flip on representation exactly at the threshold (docs/NOTES.md,
+   * round-3 root cause).  Narrow and codegen'd end-to-end: one pass over
+   * the corpus, no shuffle, stacks into the scan's WholeStageCodegen.
+   */
+  def qualityFlags(df: DataFrame, textCol: String,
+      minTokens: Int = 15, maxTokens: Int = 5000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val stopHits =
+      size(filter(toks, w => w.isin(EnglishStopwords: _*))).cast("long")
+    val digits =
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val chars = length(t).cast("long")
+    df.withColumn("n_tokens", n)
+      .withColumn("too_short", n < minTokens)
+      .withColumn("too_long", n > maxTokens)
+      .withColumn("bad_avg_len",
+        n > 0 && (sumLen < lit(2L) * n || sumLen > lit(12L) * n))
+      .withColumn("low_stopword", stopHits < 2)
+      .withColumn("digit_heavy", digits * 10 > chars * 2)
+      .withColumn("kept",
+        !col("too_short") && !col("too_long") && !col("bad_avg_len") &&
+        !col("low_stopword") && !col("digit_heavy"))
+  }
+
   // ------------------------------------------------------------ langid
   /** Marker stopwords per language — the classic n-gram-free heuristic:
     * score = #tokens in the language's closed-class word list, predict

@@ -162,6 +162,39 @@ object TrainPrep {
   }
 
   /**
+   * Deterministic global shuffle into trainer shards: every row gets a
+   * `shard` in [0, nShards) and a dense 1-based `shard_pos` — its read
+   * position within the shard.  This is the final layout step before
+   * writing training data: a trainer reading shard files in `shard_pos`
+   * order sees a reproducible pseudo-random document order, and the
+   * layout is a pure function of row identity — re-runs, repartitions
+   * and engine swaps reproduce it bit-for-bit (`ORDER BY rand()` gives
+   * none of that).
+   *
+   * `hash` drives BOTH the shard assignment (mod) and the intra-shard
+   * order, so pass an injective deterministic hash: `pmod(xxhash64(id),
+   * p)` at open scale, or the Knuth multiplicative hash mod a large
+   * prime when cross-engine SQL parity matters (the driver oracle).
+   * Ties in `hash` would make `shard_pos` partition-order-dependent —
+   * keep it injective over the id domain.
+   *
+   * Scale shape: ONE hash shuffle on `shard` (each of the nShards
+   * reducers sorts corpus/nShards rows for its row_number), same cost
+   * as any sorted write — no global sort, no driver state.  Size
+   * nShards to the read/write parallelism you want; thousands of shards
+   * keep per-reducer sorts in memory at 100 TB.
+   */
+  def shardShuffle(df: DataFrame, hash: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"))
+    df.withColumn("_h", hash.cast("long"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
+  /**
    * Per-group cap with deterministic priority: keep at most `cap` rows
    * per `group` (web-corpus domain balancing — a handful of giant
    * domains otherwise dominate the token budget).  Which rows survive is
@@ -219,6 +252,62 @@ object TrainPrep {
       // divergence exactly when n_grams is a power of two)
       .withColumn("dup_bp",
         expr("n_dup * 10000 DIV n_grams"))
+  }
+
+  /**
+   * Duplicated-span EXCISION: rewrite each document with every token
+   * that lies inside a cross-document duplicated `n`-gram span removed —
+   * substring-level dedup (Lee et al. 2022): where [[dupSpanCoverage]]
+   * only measures boilerplate, this cuts it out while keeping the
+   * document's unique text.  A span is duplicated when its n-gram occurs
+   * in at least one OTHER document (within-doc repetition is left alone —
+   * that is a quality signal, not shared boilerplate).  Returns
+   * `(id, n_tokens, n_removed, clean_text)`; fully-boilerplate documents
+   * come back with empty `clean_text` (filter on `n_removed < n_tokens`
+   * to drop them).
+   *
+   * Shape: positioned grams → per-gram distinct-doc counts → duplicated
+   * starts → covered positions (explode of n offsets, distinct) →
+   * anti-join against the posexploded token stream → ordered
+   * reassembly per doc (`array_sort` over (pos, tok) structs — exact,
+   * no collect_list order dependence).  The gram shuffle dominates and
+   * is the same honest cost as [[dupSpanCoverage]]; hash grams to
+   * 64-bit on both sides at open scale.  Reassembly shuffles only the
+   * SURVIVING tokens, and per-doc state is bounded by document length.
+   */
+  def spanExcision(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val toks = df
+      .select(col(idCol), graft.ops.TextAnalysis.tokens(col(textCol)).as("_w"))
+      .filter(size(col("_w")) > 0)
+    // (id, start, gram) for every n-gram start (0-based starts)
+    val grams = toks.filter(size(col("_w")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_w")) - n),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("g")))).as("_e"))
+      .select(col(idCol), col("_e.i").as("i"), col("_e.g").as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(count_distinct(col(idCol)).as("_d"))
+      .filter(col("_d") > 1)
+      .select("g")
+    val covered = grams.join(dupGrams, "g")
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("_w")).as(Seq("p", "tok")))
+      .join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    toks.select(col(idCol), size(col("_w")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /**

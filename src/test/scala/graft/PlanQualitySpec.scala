@@ -133,4 +133,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"expected map-side + reduce-side WindowGroupLimit:\n$p")
   }
+
+  test("shard shuffle plans one hash exchange, no global sort") {
+    val p = plan("pipeline_shard_shuffle")
+    // one hash repartition on shard for the window; the only other
+    // exchange is the driver-contract ORDER BY's range partitioning
+    // (each Exchange detail block prints one "Arguments: ...partitioning")
+    assert("Arguments: hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Arguments: rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("quality filter is a single aggregation over the scan (no row blowup)") {
+    val p = plan("pipeline_quality_filter")
+    // flags are per-row expressions: exactly one agg shuffle (by
+    // source), nothing else — no join, no explode, no extra exchange
+    assert("Arguments: hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    assert("Arguments: rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Generate"), p)             // no explode
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -312,4 +312,42 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(1L)._1 == 0.0)
     assert(byId(1L)._2 > 0.8)
   }
+
+  test("qualityFlags kills documents for the right rule, keeps good prose") {
+    val good = "the cat sat on a mat and it was happy that the sun is out " +
+      "in the warm garden of an old house"            // 23 tokens, clean
+    val d = Seq(
+      (0L, good),
+      (1L, "the cat"),                                 // too_short
+      (2L, "a b c d e f g h i j k l m n o p q r s t the of the of"),
+                                                       // avg len < 2
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron"),                    // no stopwords
+      (4L, "the 111 of 222 to 333 in 444 is 555 it 666 that 777 and 888 " +
+        "a 999 an 000"))                               // digit_heavy
+      .toDF("doc_id", "text")
+    val flags = TextAnalysis.qualityFlags(d, "text")
+      .select("doc_id", "kept", "too_short", "bad_avg_len", "low_stopword",
+        "digit_heavy")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(flags(0L) == ((true, false, false, false, false)))
+    assert(!flags(1L)._1 && flags(1L)._2)
+    assert(!flags(2L)._1 && flags(2L)._3)
+    assert(!flags(3L)._1 && flags(3L)._4)
+    assert(!flags(4L)._1 && flags(4L)._5)
+  }
+
+  test("incrementalExact returns only novel batch representatives") {
+    val seen = Seq((10L, "k1"), (11L, "k2")).toDF("doc_id", "k")
+    val batch = Seq(
+      (20L, "k2"),   // key already in corpus → dropped
+      (21L, "k3"), (22L, "k3"),  // batch-internal dup → min id wins
+      (23L, "k4"))
+      .toDF("doc_id", "k")
+    val out = Dedup.incrementalExact(batch, seen, Seq("k"), "doc_id")
+      .select("doc_id", "k").as[(Long, String)].collect().toSet
+    assert(out == Set((21L, "k3"), (23L, "k4")))
+  }
 }

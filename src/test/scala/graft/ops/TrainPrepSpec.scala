@@ -131,6 +131,61 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out == Seq((1L, 0L, 2L), (2L, 0L, 3L), (2L, 1L, 3L)))
   }
 
+  test("spanExcision cuts shared spans, keeps unique text and short docs") {
+    val docs = Seq(
+      (1L, "alpha beta the quick brown fox jumps over lazy dog gamma"),
+      (2L, "one two three the quick brown fox jumps over lazy dog"),
+      (3L, "totally unrelated words here"))          // < 8 tokens: untouched
+      .toDF("doc_id", "text")
+    val out = TrainPrep.spanExcision(docs, "text", "doc_id", n = 8)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // docs 1+2 share exactly one 8-gram span; each loses those 8 tokens
+    assert(out(1L) == ((11L, 8L, "alpha beta gamma")))
+    assert(out(2L) == ((11L, 8L, "one two three")))
+    assert(out(3L) == ((4L, 0L, "totally unrelated words here")))
+  }
+
+  test("spanExcision leaves within-doc repetition alone, empties full dups") {
+    val docs = Seq(
+      // same 8-gram twice WITHIN one doc, nowhere else → kept whole
+      (1L, "a b c d e f g h x a b c d e f g h"),
+      // two fully identical docs → everything excised
+      (2L, "p q r s t u v w"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = TrainPrep.spanExcision(docs, "text", "doc_id", n = 8)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 0L)
+    assert(out(2L) == ((8L, "")) && out(3L) == ((8L, "")))
+  }
+
+  test("shardShuffle covers every row once with dense per-shard positions") {
+    val df = spark.range(500).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.shardShuffle(d,
+          expr("(id * 2654435761) % 1000000007"), nShards = 8)
+        .select("id", "shard", "shard_pos")
+        .as[(Long, Long, Long)].collect().toSeq
+    val a = run(df)
+    // every input row appears exactly once, in a shard in [0, 8)
+    assert(a.map(_._1).sorted == (0L until 500L))
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // per shard, positions are dense 1..n (a trainer can seek by pos)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size))
+    }
+    // layout is a pure function of id — partitioning and order moot
+    val b = run(df.repartition(13).orderBy(col("id").desc))
+    assert(a.toSet == b.toSet)
+    // shard is the declared hash mod, not arrival-dependent
+    assert(a.forall { case (id, shard, _) =>
+      shard == (id * 2654435761L) % 1000000007L % 8 })
+  }
+
   test("capPerGroup keeps at most cap rows, chosen by priority not order") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 4).as("grp"))
