@@ -1352,6 +1352,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the full corpus build, end-to-end: quality filter → boilerplate
+    // drop (>50% duplicated spans) → prefix-fingerprint dedup → domain
+    // cap → split assignment → shard shuffle → per-(split, shard)
+    // inventory.  Every stage is the already-oracle-checked operator;
+    // this query proves they COMPOSE — the pipeline a user actually
+    // ships, with deterministic output at any partitioning
+    "pipeline_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextAnalysis.qualityFlags(docs, "text")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val boiler = TrainPrep.dupSpanCoverage(kept, "text", "doc_id", n = 8)
+        .filter(col("dup_bp") >= 5000).select("doc_id")
+      val clean = kept.join(boiler, Seq("doc_id"), "left_anti")
+      val keyed = clean.withColumn("k",
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 24)))
+      val deduped = Dedup.exact(keyed, Seq("k"), "doc_id")
+      val prio = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+      val capped = TrainPrep.capPerGroup(deduped, col("source"), prio, cap = 30)
+      val split = TrainPrep.assignSplits(capped,
+        expr("(doc_id * 2654435761) % 1000"),
+        Seq("test" -> 10, "val" -> 60))
+      TrainPrep.shardShuffle(split, prio, nShards = 8)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split", "shard")
+    }),
+
     // duplicated-span EXCISION: rewrite documents with cross-document
     // 8-gram boilerplate spans cut out (substring-level dedup — the
     // completion of pipeline_dup_spans' measurement); ordered reassembly
@@ -2243,6 +2273,52 @@ object SparkEntry {
         "JOIN keyed kd ON kd.doc_id = r.doc_id " +
         "WHERE r.k NOT IN (SELECT k FROM seen) " +
         "ORDER BY r.doc_id"),
+
+    "pipeline_corpus_build" ->
+      ("WITH toks AS (SELECT doc_id, source, text, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "f AS (SELECT doc_id, source, text, w, " +
+        "CAST(len(w) AS BIGINT) AS n, " +
+        "CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) " +
+        "AS BIGINT) AS sum_len, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of'," +
+        "'to','in','is','it','that'))) AS BIGINT) AS stop_hits, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) " +
+        "AS BIGINT) AS digits, CAST(length(text) AS BIGINT) AS chars " +
+        "FROM toks), " +
+        "kept AS (SELECT doc_id, source, w FROM f WHERE n >= 15 " +
+        "AND n <= 5000 AND NOT (n > 0 AND (sum_len < 2 * n OR " +
+        "sum_len > 12 * n)) AND stop_hits >= 2 " +
+        "AND digits * 10 <= chars * 2), " +
+        "g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i " +
+        "FROM kept WHERE len(w) >= 8), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') " +
+        "AS g FROM g0), " +
+        "byg AS (SELECT g, CAST(count(*) AS BIGINT) AS docs_with " +
+        "FROM grams GROUP BY g), " +
+        "boiler AS (SELECT doc_id FROM (SELECT doc_id, count(*) AS n_grams, " +
+        "sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS n_dup " +
+        "FROM grams JOIN byg USING (g) GROUP BY doc_id) " +
+        "WHERE n_dup * 10000 // n_grams >= 5000), " +
+        "clean AS (SELECT doc_id, source, w, " +
+        "array_to_string(w[1:24], ' ') AS k FROM kept " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM boiler)), " +
+        "reps AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY k), " +
+        "dd AS (SELECT c.* FROM clean c JOIN reps r ON c.doc_id = r.doc_id), " +
+        "capped AS (SELECT * FROM (SELECT dd.*, row_number() OVER " +
+        "(PARTITION BY source ORDER BY (doc_id * 2654435761) % 1000000007) " +
+        "AS rk FROM dd) WHERE rk <= 30), " +
+        "sh AS (SELECT doc_id, source, w, " +
+        "CASE WHEN (doc_id * 2654435761) % 1000 < 10 THEN 'test' " +
+        "WHEN (doc_id * 2654435761) % 1000 < 60 THEN 'val' " +
+        "ELSE 'train' END AS split, " +
+        "(doc_id * 2654435761) % 1000000007 % 8 AS shard FROM capped) " +
+        "SELECT split, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM sh GROUP BY split, shard ORDER BY split, shard"),
 
     // positions are 1-based here (0-based on the Spark side) — they are
     // internal to each engine and never emitted
