@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // set-returning metadata functions (reference sql/pg_parquet.sql):
     // SELECT * FROM parquet_metadata('/path/*.parquet')
     meta.MetaTableFunctions.builders.foreach(ext.injectTableFunction)
+    // COPY statement routing (reference ProcessUtility hook,
+    // src/parquet_copy_hook/hook.rs:133-194): COPY ... TO/FROM 'uri'
+    // handled by graft, everything else delegated to Spark's parser
+    ext.injectParser((_, delegate) => new sql.GraftSqlParser(delegate))
   }
 }
 

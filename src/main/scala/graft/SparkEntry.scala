@@ -308,6 +308,21 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // G1: SQL statement routing — COPY through the parser surface
+    // (reference hook.rs:133-194); the read-back against the DuckDB
+    // oracle on the source table proves the statement round-trip
+    "sql_copy" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcopy_" +
+        new java.io.File(dir).getName
+      t(s, dir, "orders").createOrReplaceTempView("orders_sqlcopy")
+      graft.sql.GraftSql.exec(s,
+        "COPY (SELECT o_orderkey, o_custkey, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, " +
+          "o_orderstatus FROM orders_sqlcopy WHERE o_custkey % 10 = 0) " +
+          s"TO '$uri' (FORMAT PARQUET, COMPRESSION zstd)")
+      s.read.parquet(uri).orderBy("o_orderkey")
+    }),
+
     // ------------------------------------------- M1-M6 metadata functions
     // Output columns/rendering match DuckDB's parquet introspection
     // functions, so each is hash-checked against a real oracle (the
@@ -1643,6 +1658,12 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total " +
         "FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998 " +
         "GROUP BY 1 ORDER BY o_year"),
+
+    "sql_copy" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, " +
+        "o_orderstatus FROM orders WHERE o_custkey % 10 = 0 " +
+        "ORDER BY o_orderkey"),
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +

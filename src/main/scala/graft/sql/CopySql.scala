@@ -1,0 +1,372 @@
+package graft.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
+
+/**
+ * SQL statement surface for COPY — the reference's actual user interface
+ * (`COPY (query) TO 'uri' (FORMAT parquet, ...)` routed by its
+ * ProcessUtility hook, reference `src/parquet_copy_hook/hook.rs:133-194`,
+ * statement recognition `src/parquet_copy_hook/copy_utils.rs:430-515`).
+ * The Spark-native analogue of a utility hook is a parser extension: a
+ * [[GraftSqlParser]] delegates every statement to Spark's own parser
+ * except `COPY ...`, which it parses here into a `LeafRunnableCommand`
+ * executing the existing [[graft.io.CopyTo]]/[[graft.io.CopyFrom]]
+ * machinery — one implementation behind both the SQL and the
+ * programmatic surface.
+ *
+ * Supported grammar (mirroring the reference's forms and per-direction
+ * option allow-lists, `copy_utils.rs:37-219`):
+ *
+ * {{{
+ *   COPY ( <query> ) TO '<uri>' [WITH] ( option [value] [, ...] )
+ *   COPY <table> [(col, ...)] TO '<uri>' [WITH] ( ... )
+ *   COPY <table> [(col, ...)] FROM '<uri>' [WITH] ( ... ) [WHERE <pred>]
+ * }}}
+ *
+ * TO options: `format parquet`, `compression`, `compression_level`,
+ * `row_group_size`, `row_group_size_bytes`, `file_size_bytes` (number or
+ * `'10MB'`), `parquet_version v1|v2`, `field_ids none|auto|'<json>'`,
+ * `partition_by 'a,b'`, `cluster_by 'a,b'`.  FROM options: `format
+ * parquet`, `match_by name|position`.  Unknown options error, like the
+ * reference's validation (`copy_utils.rs:37-219`).
+ *
+ * Both commands return a single `num_rows` row — the Spark rendering of
+ * Postgres's `COPY n` command tag.  Statements are recognized purely by
+ * the leading COPY keyword (Spark SQL has no COPY statement of its own,
+ * so the delegation is unambiguous).
+ */
+object CopySql {
+
+  /** Parse `sqlText` as a COPY statement, or None if it isn't one.
+    * Malformed COPY statements throw (they cannot be anything else). */
+  def parse(sqlText: String): Option[CopyStatement] = {
+    val c = new Cursor(sqlText)
+    if (!c.tryKeyword("COPY")) return None
+    val stmt =
+      if (c.peekIs('(')) {
+        val query = c.parenBlock()
+        c.expectKeyword("TO")
+        val uri = c.stringLit()
+        val opts = parseOptionList(c)
+        c.expectEnd()
+        CopyToCommand(Some(query), None, Nil, uri, toOptions(opts))
+      } else {
+        val table = c.ident()
+        val cols = if (c.peekIs('(')) splitIdents(c.parenBlock()) else Nil
+        if (c.tryKeyword("TO")) {
+          val uri = c.stringLit()
+          val opts = parseOptionList(c)
+          c.expectEnd()
+          CopyToCommand(None, Some(table), cols, uri, toOptions(opts))
+        } else {
+          c.expectKeyword("FROM")
+          val uri = c.stringLit()
+          val opts = parseOptionList(c)
+          val where =
+            if (c.tryKeyword("WHERE")) Some(c.rest()).filter(_.nonEmpty)
+            else { c.expectEnd(); None }
+          CopyFromCommand(table, cols, uri, fromOptions(opts), where)
+        }
+      }
+    Some(stmt)
+  }
+
+  // ---- option mapping (reference allow-lists, copy_utils.rs:37-219) ----
+
+  private def parseOptionList(c: Cursor): Seq[(String, Option[String])] = {
+    c.tryKeyword("WITH") // WITH is optional noise, as in Postgres
+    if (!c.peekIs('(')) return Nil
+    val inner = c.parenBlock()
+    val oc = new Cursor(inner)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    var first = true
+    while (!oc.atEnd) {
+      if (!first) oc.expectChar(',')
+      first = false
+      val key = oc.ident().toLowerCase(Locale.ROOT)
+      val value =
+        if (oc.atEnd || oc.peekIs(',')) None
+        else if (oc.peekIs('\'')) Some(oc.stringLit())
+        else Some(oc.ident())
+      out += ((key, value))
+    }
+    out.toSeq
+  }
+
+  private def requireValue(k: String, v: Option[String]): String =
+    v.getOrElse(throw new IllegalArgumentException(
+      s"COPY option '$k' requires a value"))
+
+  private def checkFormat(v: Option[String]): Unit = {
+    val f = requireValue("format", v).toLowerCase(Locale.ROOT)
+    if (f != "parquet")
+      throw new IllegalArgumentException(
+        s"COPY format '$f' is not supported; only parquet is")
+  }
+
+  private def toOptions(opts: Seq[(String, Option[String])]): CopyToOptions =
+    opts.foldLeft(CopyToOptions.default) { case (acc, (k, v)) =>
+      k match {
+        case "format"            => checkFormat(v); acc
+        case "compression"       => acc.copy(compression = Some(requireValue(k, v)))
+        case "compression_level" => acc.copy(compressionLevel = Some(requireValue(k, v).toInt))
+        case "row_group_size"    => acc.copy(rowGroupSize = requireValue(k, v).toLong)
+        case "row_group_size_bytes" =>
+          acc.copy(rowGroupSizeBytes = Some(requireValue(k, v).toLong))
+        case "file_size_bytes" =>
+          acc.copy(fileSizeBytes = Some(CopyToOptions.parseFileSize(requireValue(k, v))))
+        case "parquet_version" =>
+          acc.copy(parquetVersion = requireValue(k, v).toLowerCase(Locale.ROOT))
+        case "field_ids"    => acc.copy(fieldIds = requireValue(k, v))
+        case "partition_by" => acc.copy(partitionBy = splitIdents(requireValue(k, v)))
+        case "cluster_by"   => acc.copy(clusterBy = splitIdents(requireValue(k, v)))
+        case other => throw new IllegalArgumentException(
+          s"option '$other' is not supported for COPY TO")
+      }
+    }.validated
+
+  private def fromOptions(opts: Seq[(String, Option[String])]): CopyFromOptions =
+    opts.foldLeft(CopyFromOptions.default) { case (acc, (k, v)) =>
+      k match {
+        case "format"   => checkFormat(v); acc
+        case "match_by" => acc.copy(matchBy = MatchBy.parse(requireValue(k, v)))
+        case other => throw new IllegalArgumentException(
+          s"option '$other' is not supported for COPY FROM")
+      }
+    }
+
+  private def splitIdents(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Sum of footer row counts over the written files — exact and
+    * footer-only (no data read), the `COPY n` command tag. */
+  private[sql] def writtenRows(spark: SparkSession, files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+}
+
+/** A parsed COPY statement; running it performs the copy and returns the
+  * affected row count (Postgres's `COPY n`). */
+sealed trait CopyStatement extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_rows", LongType, nullable = false)())
+}
+
+/** `COPY (query)|table TO 'uri' (...)` → [[graft.io.CopyTo]]. */
+final case class CopyToCommand(
+    query: Option[String], table: Option[String], columns: Seq[String],
+    uri: String, options: CopyToOptions) extends CopyStatement {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = query match {
+      case Some(q) => spark.sql(q)
+      case None =>
+        val t = spark.table(table.get)
+        if (columns.isEmpty) t else t.select(columns.map(col): _*)
+    }
+    val res = CopyTo(src, uri, options)
+    Seq(Row(CopySql.writtenRows(spark, res.files)))
+  }
+}
+
+/** `COPY table [(cols)] FROM 'uri' (...) [WHERE pred]` →
+  * [[graft.io.CopyFrom]] with the table's schema as the coercion target,
+  * appended into the table; unlisted columns are filled with NULLs, like
+  * Postgres COPY with a column list. */
+final case class CopyFromCommand(
+    table: String, columns: Seq[String], uri: String,
+    options: CopyFromOptions, where: Option[String]) extends CopyStatement {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val full = spark.table(table).schema
+    val target =
+      if (columns.isEmpty) full
+      else {
+        val missing = columns.filterNot(full.fieldNames.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"column(s) ${missing.mkString(", ")} do not exist in $table")
+        StructType(columns.map(full(_)))
+      }
+    val read = CopyFrom(spark, uri, target,
+      options.copy(where = where.orElse(options.where)))
+    val expanded = full.fields.toIndexedSeq.map { f =>
+      if (target.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val ins = read.select(expanded: _*)
+    // count() here is footer-arithmetic when the WHERE pushed down fully;
+    // the insert below is the only full execution of the scan
+    val n = ins.count()
+    ins.write.mode("append").insertInto(table)
+    Seq(Row(n))
+  }
+}
+
+/** Minimal hand-rolled scanner for the COPY statement head.  The inner
+  * query / WHERE predicate are NOT parsed here — they are passed intact
+  * to Spark's own parser at run time, so the full SQL language is
+  * available inside them (exactly the reference's division of labor:
+  * the hook routes, the host executor understands the query). */
+private final class Cursor(s: String) {
+  private var i = 0
+
+  private def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+  def atEnd: Boolean = { ws(); i >= s.length || s.charAt(i) == ';' }
+  def peekIs(ch: Char): Boolean = { ws(); i < s.length && s.charAt(i) == ch }
+
+  def expectEnd(): Unit =
+    if (!atEnd) fail(s"unexpected trailing input: '${s.substring(i).trim}'")
+
+  def expectChar(ch: Char): Unit = {
+    ws()
+    if (i >= s.length || s.charAt(i) != ch) fail(s"expected '$ch'")
+    i += 1
+  }
+
+  /** Case-insensitive word-boundary keyword match; consumes on match. */
+  def tryKeyword(k: String): Boolean = {
+    ws()
+    val end = i + k.length
+    if (end > s.length || !s.regionMatches(true, i, k, 0, k.length)) return false
+    if (end < s.length && (s.charAt(end).isLetterOrDigit || s.charAt(end) == '_'))
+      return false
+    i = end
+    true
+  }
+
+  def expectKeyword(k: String): Unit =
+    if (!tryKeyword(k)) fail(s"expected $k")
+
+  /** Identifier token: plain (letters/digits/_/$/.) or backtick-quoted
+    * parts joined by dots (`db`.`tbl`). */
+  def ident(): String = {
+    ws()
+    if (i >= s.length) fail("expected identifier")
+    val sb = new StringBuilder
+    var more = true
+    while (more) {
+      if (i < s.length && s.charAt(i) == '`') {
+        i += 1
+        val start = i
+        while (i < s.length && s.charAt(i) != '`') i += 1
+        if (i >= s.length) fail("unterminated backtick identifier")
+        sb.append(s.substring(start, i))
+        i += 1
+      } else {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+            "_$".indexOf(s.charAt(i)) >= 0)) i += 1
+        if (i == start) fail(s"expected identifier at '${s.substring(start).take(20)}'")
+        sb.append(s.substring(start, i))
+      }
+      if (i < s.length && s.charAt(i) == '.') { sb.append('.'); i += 1 }
+      else more = false
+    }
+    sb.toString
+  }
+
+  /** Single-quoted string literal with '' escapes. */
+  def stringLit(): String = {
+    ws()
+    if (i >= s.length || s.charAt(i) != '\'') fail("expected string literal")
+    i += 1
+    val sb = new StringBuilder
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+        else { i += 1; return sb.toString }
+      } else { sb.append(ch); i += 1 }
+    }
+    fail("unterminated string literal")
+  }
+
+  /** From an opening '(' to its matching ')', quote-aware; returns the
+    * inner text. */
+  def parenBlock(): String = {
+    expectChar('(')
+    val start = i
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val q = s.charAt(i); i += 1
+          while (i < s.length && s.charAt(i) != q) i += 1
+          if (i >= s.length) fail("unterminated quote inside parentheses")
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    if (depth != 0) fail("unbalanced parentheses")
+    s.substring(start, i - 1).trim
+  }
+
+  /** Remaining text (for the WHERE predicate), trailing ';' stripped. */
+  def rest(): String = {
+    ws()
+    val r = s.substring(i).trim
+    i = s.length
+    if (r.endsWith(";")) r.dropRight(1).trim else r
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"COPY syntax error at position $i: $msg")
+}
+
+/** Parser extension: COPY statements are handled by [[CopySql]], all
+  * other SQL delegates untouched.  Installed by [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`). */
+class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    CopySql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+}
+
+/** Programmatic entry for sessions built without the parser extension:
+  * `GraftSql.exec(spark, "COPY ...")` runs COPY statements and falls back
+  * to `spark.sql` for everything else — same parse, same commands. */
+object GraftSql {
+  def exec(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    CopySql.parse(sqlText) match {
+      case Some(cmd) =>
+        val schema = StructType(cmd.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        val rows = new java.util.ArrayList[Row]()
+        cmd.run(spark).foreach(rows.add)
+        spark.createDataFrame(rows, schema)
+      case None => spark.sql(sqlText)
+    }
+}

@@ -1,0 +1,145 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.meta.ParquetInfo
+
+/** SQL COPY statement surface (reference hook.rs routing +
+  * copy_utils.rs option validation), through both the programmatic
+  * `GraftSql.exec` route and a parser-extension session. */
+class CopySqlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def freshDir(name: String): String = {
+    val d = TestSpark.tmpDir(s"copysql_$name")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    d
+  }
+
+  test("COPY (query) TO writes parquet and returns the row count") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_cs")
+    val out = freshDir("q_to")
+    val n = GraftSql.exec(spark,
+      s"COPY (SELECT n_nationkey, n_name FROM nation_cs WHERE n_nationkey < 10) " +
+        s"TO '$out' (FORMAT PARQUET, COMPRESSION gzip, COMPRESSION_LEVEL 9)")
+      .head().getLong(0)
+    assert(n == 10)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10 && back.columns.toSeq == Seq("n_nationkey", "n_name"))
+    // codec really applied
+    val codecs = ParquetInfo.metadata(spark, s"$out/*.parquet")
+      .select("compression").distinct().collect().map(_.getString(0)).toSet
+    assert(codecs == Set("GZIP"))
+  }
+
+  test("COPY table (cols) TO projects the column list") {
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_cs")
+    val out = freshDir("t_to")
+    val n = GraftSql.exec(spark,
+      s"COPY region_cs (r_name) TO '$out'").head().getLong(0)
+    assert(n == 5)
+    assert(spark.read.parquet(out).columns.toSeq == Seq("r_name"))
+  }
+
+  test("COPY table FROM appends with coercion target and WHERE filter") {
+    val out = freshDir("from_src")
+    GraftSql.exec(spark,
+      s"COPY (SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM parquet.`$sf/nation.parquet`) TO '$out'")
+    spark.sql("DROP TABLE IF EXISTS copysql_target")
+    // BIGINT target over an int32 file exercises the widening coercion
+    spark.sql(
+      "CREATE TABLE copysql_target (n_nationkey BIGINT, n_name STRING, " +
+        "n_regionkey BIGINT) USING parquet")
+    try {
+      val n = GraftSql.exec(spark,
+        s"COPY copysql_target FROM '$out' WITH (FORMAT PARQUET, MATCH_BY name) " +
+          "WHERE n_regionkey = 0").head().getLong(0)
+      val expected = spark.read.parquet(s"$sf/nation.parquet")
+        .filter("n_regionkey = 0").count()
+      assert(n == expected && n > 0)
+      assert(spark.table("copysql_target").count() == expected)
+      // column-list form: unlisted columns land as NULL
+      val n2 = GraftSql.exec(spark,
+        s"COPY copysql_target (n_nationkey, n_name) FROM '$out' WHERE n_nationkey = 3")
+        .head().getLong(0)
+      assert(n2 == 1)
+      val r = spark.table("copysql_target").filter("n_regionkey IS NULL")
+      assert(r.count() == 1 && r.head().getAs[Long]("n_nationkey") == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS copysql_target")
+  }
+
+  test("option validation: unknown option, bad format, bad match_by all error") {
+    val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      "COPY (SELECT 1) TO '/tmp/x' (NOT_AN_OPTION 3)"))
+    assert(e1.getMessage.contains("not supported for COPY TO"))
+    val e2 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      "COPY (SELECT 1) TO '/tmp/x' (FORMAT csv)"))
+    assert(e2.getMessage.contains("only parquet"))
+    val e3 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      "COPY t FROM '/tmp/x' (MATCH_BY sideways)"))
+    assert(e3.getMessage.contains("match_by"))
+    val e4 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      "COPY (SELECT 1) TO '/tmp/x' (FILE_SIZE_BYTES '1KB')"))
+    assert(e4.getMessage.contains("at least 1MB"))
+  }
+
+  test("parser handles nested parens/quotes in the inner query") {
+    val out = freshDir("nested")
+    val n = GraftSql.exec(spark,
+      s"COPY (SELECT upper(concat('a(', ')b')) AS s, (1 + (2 * 3)) AS v) " +
+        s"TO '$out';").head().getLong(0)
+    assert(n == 1)
+    val row = spark.read.parquet(out).head()
+    assert(row.getString(0) == "A()B" && row.getInt(1) == 7)
+  }
+
+  test("file_size_bytes splits through the SQL surface") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_cs")
+    val out = freshDir("split")
+    GraftSql.exec(spark,
+      s"COPY (SELECT * FROM li_cs) TO '$out' (FILE_SIZE_BYTES '1MB', COMPRESSION uncompressed)")
+    val files = ParquetInfo.list(spark, s"$out/*.parquet").count()
+    assert(files >= 1)
+  }
+
+  test("a parser-extension session routes COPY and still parses normal SQL") {
+    TestSpark.spark.sparkContext // ensure shared context exists
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_ext")
+      val out = freshDir("ext")
+      val n = s.sql(s"COPY (SELECT r_regionkey FROM region_ext) TO '$out'")
+        .head().getLong(0)
+      assert(n == 5)
+      // non-COPY statements flow through the delegate untouched
+      assert(s.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+      // and the table functions from the same extensions instance resolve
+      assert(s.sql(s"SELECT count(*) FROM parquet_file_metadata('$out/*.parquet')")
+        .head().getLong(0) >= 1)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("non-COPY text is not intercepted") {
+    assert(CopySql.parse("SELECT 'COPY this' AS s").isEmpty)
+    assert(CopySql.parse("  copyist FROM x").isEmpty)
+    assert(CopySql.parse("copy (select 1) to '/tmp/y'").isDefined)
+  }
+}
