@@ -44,5 +44,6 @@ object GraftExtensions {
       geo.Wkb.builders ++
       functions.KmvSketch.builders ++
       functions.QuantileSketch.builders ++
-      functions.FreqSketch.builders
+      functions.FreqSketch.builders ++
+      functions.BloomSketch.builders
 }

@@ -1367,6 +1367,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the bloom-prefiltered variant of incremental dedup: same contract,
+    // same oracle — the bloom has no false negatives, so prefilter +
+    // exact confirm of the positives is EXACT; at corpus scale the
+    // filter state is built once per snapshot and reused across batches
+    "pipeline_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 1, 24)).as("k")
+      val keyed = docs.select(col("doc_id"), col("source"), key)
+      Dedup.incrementalExactBloom(
+          keyed.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          keyed.filter(pmod(col("doc_id"), lit(3)) === 0),
+          Seq("k"), "doc_id", expectedSeen = 4096, fpp = 0.01)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // the full corpus build, end-to-end: quality filter → boilerplate
     // drop (>50% duplicated spans) → prefix-fingerprint dedup → domain
     // cap → split assignment → shard shuffle → per-(split, shard)
@@ -2284,6 +2301,20 @@ object SparkEntry {
         "FROM g GROUP BY source ORDER BY source"),
 
     "pipeline_incremental_dedup" ->
+      ("WITH keyed AS (SELECT doc_id, source, array_to_string(" +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')[1:24], ' ') AS k FROM documents), " +
+        "reps AS (SELECT k, min(doc_id) AS doc_id FROM keyed " +
+        "WHERE doc_id % 3 <> 0 GROUP BY k), " +
+        "seen AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 3 = 0) " +
+        "SELECT r.doc_id, kd.source FROM reps r " +
+        "JOIN keyed kd ON kd.doc_id = r.doc_id " +
+        "WHERE r.k NOT IN (SELECT k FROM seen) " +
+        "ORDER BY r.doc_id"),
+
+    // identical contract to pipeline_incremental_dedup: the bloom is an
+    // accelerator, not an approximation
+    "pipeline_bloom_dedup" ->
       ("WITH keyed AS (SELECT doc_id, source, array_to_string(" +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
         "x -> x <> '')[1:24], ' ') AS k FROM documents), " +

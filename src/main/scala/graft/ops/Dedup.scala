@@ -66,6 +66,52 @@ object Dedup {
       keyCols: Seq[String], idCol: String): DataFrame =
     exact(batch, keyCols, idCol)
       .join(seen.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      // using-column joins surface the keys first; restore batch order
+      .select(batch.columns.toSeq.map(col): _*)
+
+  /**
+   * [[incrementalExact]] accelerated by a corpus Bloom filter
+   * ([[graft.functions.BloomSketch]]), result IDENTICAL (the filter has
+   * no false negatives, so prefilter + exact confirmation of the
+   * positives is exact):
+   *
+   *  1. one corpus scan builds a mergeable bloom state over the key
+   *     (~1.2 GB per 10⁹ keys at 1% fpp) — in production this state is
+   *     SAVED as a binary cell and reused across batches, so the corpus
+   *     is scanned once per snapshot, not once per batch;
+   *  2. the collapsed batch probes the broadcast state per row — rows
+   *     the filter rules out (the overwhelming majority of a mostly-novel
+   *     batch) skip the join entirely;
+   *  3. only may-contain candidates (true dups + fpp·|batch| false
+   *     positives) enter the exact anti join.
+   *
+   * At 100 TB the anti join's batch side shrinks from |batch| to the
+   * candidate set; pair with a corpus bucketed by key (see
+   * `q_bucketed_join`) and the confirm join is also shuffle-free on the
+   * corpus side.
+   */
+  def incrementalExactBloom(batch: DataFrame, seen: DataFrame,
+      keyCols: Seq[String], idCol: String,
+      expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    graft.functions.BloomSketch.register(batch.sparkSession)
+    val key = struct(keyCols.map(col): _*)
+    val bloom = seen
+      .agg(graft.functions.BloomSketch.bloomAgg(key, expectedSeen, fpp)
+        .as("__bloom"))
+    val collapsed = exact(batch, keyCols, idCol)
+      .crossJoin(broadcast(bloom))
+      .withColumn("__maybe_seen",
+        graft.functions.BloomSketch.bloomContains(col("__bloom"), key))
+      .drop("__bloom")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = collapsed.filter(!col("__maybe_seen"))
+      .drop("__maybe_seen")
+    val confirmedNew = collapsed.filter(col("__maybe_seen"))
+      .drop("__maybe_seen")
+      .join(seen.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+      .select(batch.columns.toSeq.map(col): _*)
+  }
 
   final case class MinHashParams(
       shingleSize: Int = 3,

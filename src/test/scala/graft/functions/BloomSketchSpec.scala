@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BloomSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("no false negatives: every inserted key probes true") {
+    BloomSketch.register(spark)
+    val df = (1 to 2000).map(i => s"key_$i").toDF("k")
+    df.createOrReplaceTempView("bloom_in")
+    val state = spark.sql(
+      "SELECT graft_bloom_agg(k, 2000, 0.01) AS b FROM bloom_in")
+      .head().getAs[Array[Byte]]("b")
+    spark.sql("SELECT 1").createOrReplaceTempView("dual_bloom")
+    val missed = df
+      .crossJoin(spark.createDataset(Seq(state)).toDF("b"))
+      .filter("NOT graft_bloom_contains(b, k)")
+      .count()
+    assert(missed == 0, "a bloom filter must never miss an inserted key")
+  }
+
+  test("false-positive rate is near the built fpp") {
+    BloomSketch.register(spark)
+    (1 to 10000).map(i => s"in_$i").toDF("k")
+      .createOrReplaceTempView("bloom_fp_in")
+    val state = spark.sql(
+      "SELECT graft_bloom_agg(k, 10000, 0.01) AS b FROM bloom_fp_in")
+      .head().getAs[Array[Byte]]("b")
+    val probes = (1 to 10000).map(i => s"out_$i").toDF("k")
+    val fp = probes
+      .crossJoin(spark.createDataset(Seq(state)).toDF("b"))
+      .filter("graft_bloom_contains(b, k)")
+      .count()
+    assert(fp <= 300, s"fpp built at 1% but measured ${fp / 10000.0}")
+    assert(fp >= 1, "a 1% filter over 10k novel probes statistically fires")
+  }
+
+  test("state is partitioning-independent and union equals one-shot build") {
+    BloomSketch.register(spark)
+    val df = (1 to 5000).map(i => s"v$i").toDF("k")
+    def stateOf(parts: Int): Array[Byte] =
+      df.repartition(parts)
+        .agg(BloomSketch.bloomAgg($"k", 5000, 0.01).as("b"))
+        .head().getAs[Array[Byte]]("b")
+    assert(java.util.Arrays.equals(stateOf(1), stateOf(7)),
+      "bit-OR merge must make the state partition-count-independent")
+    // half + half unioned == whole
+    val whole = stateOf(3)
+    val halves = df.withColumn("g",
+        org.apache.spark.sql.functions.expr("CAST(substring(k, 2) AS INT) % 2"))
+      .groupBy("g").agg(BloomSketch.bloomAgg($"k", 5000, 0.01).as("b"))
+    val unioned = halves.agg(BloomSketch.bloomUnion($"b").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(java.util.Arrays.equals(whole, unioned))
+  }
+
+  test("union rejects differently-sized states") {
+    BloomSketch.register(spark)
+    val a = Seq("x").toDF("k").agg(BloomSketch.bloomAgg($"k", 100, 0.01).as("b"))
+    val b = Seq("y").toDF("k").agg(BloomSketch.bloomAgg($"k", 100000, 0.01).as("b"))
+    val e = intercept[Exception] {
+      a.unionByName(b).agg(BloomSketch.bloomUnion($"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("incrementalExactBloom output equals incrementalExact exactly") {
+    import graft.ops.Dedup
+    val batch = Seq(
+      (10L, "a", "dup"), (11L, "b", "dup"), (12L, "c", "novel1"),
+      (13L, "d", "novel2"), (14L, "e", "seenkey"), (15L, "f", "novel2"))
+      .toDF("doc_id", "source", "k")
+    val seen = Seq((1L, "z", "seenkey"), (2L, "z", "other"))
+      .toDF("doc_id", "source", "k")
+    val exact = Dedup.incrementalExact(batch, seen, Seq("k"), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.incrementalExactBloom(batch, seen, Seq("k"), "doc_id",
+        expectedSeen = 64, fpp = 0.01)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    // 10/11 share key "dup" (10 wins), 13/15 share "novel2" (13 wins),
+    // 14's key is already in the corpus
+    assert(bloom.map(_.getLong(0)) == Seq(10L, 12L, 13L))
+  }
+
+  test("bloom functions resolve through the extensions builder table") {
+    assert(graft.GraftExtensions.allBuilders.map(_._1)
+      .count(_.startsWith("graft_bloom")) == 3)
+  }
+}
