@@ -826,10 +826,15 @@ object SparkEntry {
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
+        // one array-argument percentile shares a single per-group value
+        // buffer for both price quantiles (vs one buffer per call)
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("pp"),
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pp"), 1), 4).as("p50"),
+          round(element_at(col("pp"), 2), 4).as("p95"),
+          col("q25"))
         .orderBy("l_returnflag")),
 
     // CASE bucketing + agg
