@@ -1372,6 +1372,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic stratified sampling: per-source keep fractions
+    // decided by hash threshold — reproducible under any partitioning,
+    // which seeded Bernoulli sampling (sampleBy) is not
+    "pipeline_stratified_sample" -> ((s, dir) =>
+      TrainPrep.stratifiedSample(t(s, dir, "documents"),
+          col("source"), expr("(doc_id * 2654435761) % 10000"),
+          Map("src0" -> 0.2, "src1" -> 0.6), defaultFraction = 0.9)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // the bloom-prefiltered variant of incremental dedup: same contract,
     // same oracle — the bloom has no false negatives, so prefilter +
     // exact confirm of the positives is EXACT; at corpus scale the
@@ -2316,6 +2326,12 @@ object SparkEntry {
         "JOIN keyed kd ON kd.doc_id = r.doc_id " +
         "WHERE r.k NOT IN (SELECT k FROM seen) " +
         "ORDER BY r.doc_id"),
+
+    "pipeline_stratified_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE (doc_id * 2654435761) % 10000 < " +
+        "CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 6000 " +
+        "ELSE 9000 END ORDER BY doc_id"),
 
     // identical contract to pipeline_incremental_dedup: the bloom is an
     // accelerator, not an approximation

@@ -311,6 +311,37 @@ object TrainPrep {
   }
 
   /**
+   * Deterministic stratified sampling: keep each row with its stratum's
+   * target fraction, decided by thresholding `hash` (an integer column)
+   * into `buckets` — row kept iff `hash % buckets < fraction × buckets`.
+   * Unlike `DataFrame.stat.sampleBy` (seeded Bernoulli on `rand`, whose
+   * draw sequence depends on partitioning), the decision is a pure
+   * function of row identity: re-runs, repartitions, engine swaps, and
+   * incremental corpus additions never change which existing rows are
+   * kept — the property that makes downsampling auditable and resumable
+   * at corpus scale.  Pass `pmod(xxhash64(id), buckets)` at open scale,
+   * or a Knuth multiplicative hash when cross-engine SQL parity matters.
+   *
+   * Purely narrow (per-row predicate, no shuffle).  Fractions are
+   * quantized to 1/buckets — size `buckets` to the precision needed.
+   * Strata absent from `fractions` default to `defaultFraction`
+   * (1.0 = keep).
+   */
+  def stratifiedSample(
+      df: DataFrame, stratum: Column, hash: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      buckets: Int = 10000): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0, 1]"))
+    val threshold = fractions.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, f)) =>
+        acc.when(stratum === s, lit(math.round(f * buckets)))
+    }.otherwise(lit(math.round(defaultFraction * buckets)))
+    df.filter(pmod(hash.cast("long"), lit(buckets.toLong)) < threshold)
+  }
+
+  /**
    * Benchmark decontamination: training documents that share at least one
    * word `n`-gram with any document of the evaluation set — the standard
    * pre-training hygiene step (eval text leaking into the training corpus

@@ -27,6 +27,42 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(byName("train") > byName("val") && byName("val") > byName("test"))
   }
 
+  test("stratifiedSample keeps per-stratum fractions, stable under repartition") {
+    val df = spark.range(10000)
+      .withColumn("s", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.stratifiedSample(d, col("s"),
+          expr("(id * 2654435761) % 10000"),
+          Map("even" -> 0.1, "odd" -> 0.5))
+        .select("id").as[Long].collect().toSet
+    val a = run(df)
+    assert(run(df.repartition(13).orderBy(col("id").desc)) == a,
+      "sample must be a pure function of row identity")
+    // fractions realized within hash-quantization noise
+    val even = a.count(_ % 2 == 0) / 5000.0
+    val odd = a.count(_ % 2 == 1) / 5000.0
+    assert(math.abs(even - 0.1) < 0.03, s"even kept at $even, wanted ~0.1")
+    assert(math.abs(odd - 0.5) < 0.03, s"odd kept at $odd, wanted ~0.5")
+    // subsetting the corpus never changes surviving rows' fate
+    val sub = run(df.filter(col("id") < 5000))
+    assert(sub == a.filter(_ < 5000))
+    // unknown strata fall back to defaultFraction = keep
+    val kept = TrainPrep.stratifiedSample(
+      Seq((1L, "x")).toDF("id", "s"), col("s"), lit(9999L), Map("y" -> 0.0))
+    assert(kept.count() == 1)
+    val dropped = TrainPrep.stratifiedSample(
+      Seq((1L, "x")).toDF("id", "s"), col("s"), lit(9999L),
+      Map("y" -> 1.0), defaultFraction = 0.0)
+    assert(dropped.count() == 0)
+  }
+
+  test("stratifiedSample rejects fractions outside [0, 1]") {
+    intercept[IllegalArgumentException] {
+      TrainPrep.stratifiedSample(Seq((1L, "x")).toDF("id", "s"),
+        col("s"), col("id"), Map("x" -> 1.5))
+    }
+  }
+
   test("assignSplits rejects unsorted thresholds") {
     intercept[IllegalArgumentException] {
       TrainPrep.assignSplits(spark.range(1).toDF("id"), col("id"),
