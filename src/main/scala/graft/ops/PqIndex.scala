@@ -1,0 +1,389 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/**
+ * Product quantization (PQ) for embedding columns — the memory side of
+ * ANN at corpus scale (Jégou et al. 2011, "Product Quantization for
+ * Nearest Neighbor Search"):
+ *
+ *  - the d-dim vector is split into `m` subvectors; each subspace gets
+ *    its own `k`-centroid codebook (deterministic Lloyd's, trained in
+ *    ONE Spark job per iteration across all subspaces);
+ *  - a corpus vector is stored as `m` small centroid ids — e.g. d=32
+ *    floats (128 B) → 8 codes (8 B): 16× compression, which is what
+ *    lets a 10¹⁰-vector corpus's index live in cluster memory;
+ *  - search is asymmetric distance computation (ADC): per query, an
+ *    `m × k` table of subspace dot products is precomputed ONCE, then
+ *    each corpus vector scores in O(m) table lookups instead of O(d)
+ *    float multiplies — and reads only the 8-byte code, never the
+ *    vector.
+ *
+ * Scores approximate cosine(query, reconstructed-vector); like
+ * [[IvfIndex]]/LSH this trades recall for cost, with the codebook size
+ * (`k`) and subspace count (`m`) as the dials.  Compose with
+ * [[IvfIndex]] for IVF-PQ: cell assignment prunes candidates, codes
+ * score the survivors — the standard billion-scale layout.
+ *
+ * Determinism: codebooks initialize from the k lowest-id subvectors and
+ * iterate a fixed count; encoding and ADC scoring are pure per-row
+ * functions; ties rank by neighbor id.
+ */
+object PqIndex {
+
+  /** codebooks(m)(c) = centroid vector of cell c in subspace m. */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+
+    /** Squared L2 norm of every centroid, flattened [m*k]: the
+      * reconstructed-vector norm is assembled from these at score time. */
+    def centroidNormSq: Array[Double] = {
+      val out = new Array[Double](m * k)
+      var mi = 0
+      while (mi < m) {
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          codebooks(mi)(c).foreach(x => s += x.toDouble * x)
+          out(mi * k + c) = s
+          c += 1
+        }
+        mi += 1
+      }
+      out
+    }
+  }
+
+  /** vec → array<int> of per-subspace nearest-centroid ids (L2), one
+    * pass over the vector with the codebooks riding as a literal. */
+  private[ops] case class PqEncode(child: Expression, codebooksExpr: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(child, codebooksExpr)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_pq_encode"
+
+    @transient private lazy val cbs: Array[Array[Array[Float]]] = {
+      val mArr = codebooksExpr.eval().asInstanceOf[ArrayData]
+      (0 until mArr.numElements()).map { mi =>
+        val kArr = mArr.getArray(mi)
+        (0 until kArr.numElements()).map(c =>
+          kArr.getArray(c).toFloatArray()).toArray
+      }.toArray
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val vec = v.asInstanceOf[ArrayData]
+      val m = cbs.length
+      val dsub = cbs.head.head.length
+      val codes = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        val base = mi * dsub
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(mi).length) {
+          val cent = cbs(mi)(c)
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub && base + i < vec.numElements()) {
+            val diff = vec.getFloat(base + i).toDouble - cent(i)
+            d2 += diff * diff
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0), codebooksExpr = c(1))
+  }
+
+  /** ADC score: `table` is the query's flattened [m*k] array of
+    * `dot(q_sub, centroid)/|q|`; `cnorm` the model's centroid norm²
+    * literal.  score = Σ table[m,code] / sqrt(Σ cnorm[m,code]) —
+    * cosine(q, x̂) in O(m) lookups. */
+  private[ops] case class PqAdcScore(
+      code: Expression, table: Expression, cnormExpr: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(code, table, cnormExpr)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_adc"
+
+    @transient private lazy val cnorm: Array[Double] =
+      cnormExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val cd = code.eval(input)
+      val tb = table.eval(input)
+      if (cd == null || tb == null) return null
+      val codes = cd.asInstanceOf[ArrayData]
+      val t = tb.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      val k = cnorm.length / m
+      var dot = 0.0
+      var nx = 0.0
+      var mi = 0
+      while (mi < m) {
+        val idx = mi * k + codes.getInt(mi)
+        dot += t.getDouble(idx)
+        nx += cnorm(idx)
+        mi += 1
+      }
+      if (nx == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / math.sqrt(nx))
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(code = c(0), table = c(1), cnormExpr = c(2))
+  }
+
+  private def registerFns(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode", exprs => PqEncode(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc",
+      exprs => PqAdcScore(exprs.head, exprs(1), exprs(2)), "scala_udf")
+  }
+
+  /**
+   * Deterministic per-subspace Lloyd's k-means (L2 on subvectors).  All
+   * `m` subspaces train together: subvectors are exploded to
+   * (id, subspace, subvec) rows once, each iteration is one assignment
+   * + one aggregation job over that frame, and centroid state
+   * (m × k × dsub floats) stays on the driver.
+   */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 5): PqModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(m >= 1 && k >= 2, "need m >= 1 subspaces and k >= 2 centroids")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val dsub = dim / m
+
+    val subRows = df.select(col(idCol).cast("long").as("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"i -> slice($vecCol, i * $dsub + 1, $dsub))"))
+          .as(Seq("__m", "__sub")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // init: per subspace, the subvectors of the k lowest ids
+    var codebooks: Array[Array[Array[Float]]] = subRows
+      .filter(col("__id").isin(
+        df.select(col(idCol).cast("long")).orderBy(col(idCol))
+          .limit(k).as[Long].collect().map(Long.box): _*))
+      .select(col("__m"), col("__id"), col("__sub"))
+      .as[(Int, Long, Array[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+
+    registerFns(spark)
+    var it = 0
+    while (it < iters) {
+      // one assignment + one aggregation job covers every subspace: the
+      // literal carries all m codebooks and each exploded row picks its
+      // own via __m
+      val cbLit = typedLit(codebooks)
+      val means = subRows
+        .withColumn("__c", nearestSub(col("__sub"), col("__m"), cbLit))
+        .select(col("__m"), col("__c"), posexplode(col("__sub")).as(Seq("__p", "__x")))
+        .groupBy("__m", "__c", "__p")
+        // decimal sums are order-independent where double partial sums
+        // are not — keeps codebooks bit-identical across partitionings
+        .agg((sum(col("__x").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("double").as("__mean"))
+        .as[(Int, Int, Int, Double)]
+        .collect()
+      val byCell = means.groupBy(r => (r._1, r._2))
+      codebooks = codebooks.zipWithIndex.map { case (book, mi) =>
+        book.zipWithIndex.map { case (old, c) =>
+          byCell.get((mi, c)) match {
+            case Some(rows) =>
+              val v = new Array[Float](dsub)
+              rows.foreach { case (_, _, p, x) => v(p) = x.toFloat }
+              v
+            case None => old // empty cell keeps its centroid
+          }
+        }
+      }
+      it += 1
+    }
+    subRows.unpersist()
+    PqModel(codebooks)
+  }
+
+  /** Nearest centroid (L2) of codebook `mIdx` for a SUBvector — used in
+    * training where rows are already exploded per subspace. */
+  private[ops] case class NearestSub(
+      sub: Expression, mIdx: Expression, codebooksExpr: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(sub, mIdx, codebooksExpr)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_pq_nearest_sub"
+
+    @transient private lazy val cbs: Array[Array[Array[Float]]] = {
+      val mArr = codebooksExpr.eval().asInstanceOf[ArrayData]
+      (0 until mArr.numElements()).map { mi =>
+        val kArr = mArr.getArray(mi)
+        (0 until kArr.numElements()).map(c =>
+          kArr.getArray(c).toFloatArray()).toArray
+      }.toArray
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = sub.eval(input).asInstanceOf[ArrayData]
+      val mi = mIdx.eval(input).asInstanceOf[Int]
+      val book = cbs(mi)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < cent.length && i < v.numElements()) {
+          val diff = v.getFloat(i).toDouble - cent(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(sub = c(0), mIdx = c(1), codebooksExpr = c(2))
+  }
+
+  private def nearestSub(sub: Column, mIdx: Column, cbLit: Column): Column = {
+    // registered on demand per session
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_nearest_sub",
+      exprs => NearestSub(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    call_function("graft_pq_nearest_sub", sub, mIdx, cbLit)
+  }
+
+  /** Corpus → corpus + `pq_code` (array<int>, the compressed form: this
+    * column plus the id is all search reads). */
+  def encode(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    registerFns(df.sparkSession)
+    df.withColumn("pq_code",
+      call_function("graft_pq_encode", col(vecCol), typedLit(model.codebooks)))
+  }
+
+  /**
+   * ADC top-k over an encoded corpus: queries (bounded batch, like
+   * [[IvfIndex.search]]) precompute their [m×k] dot-product tables
+   * driver-side, broadcast them, and every corpus CODE scores in O(m)
+   * lookups — the corpus vectors themselves are never read.
+   */
+  /**
+   * ADC + exact rerank: shortlist `rerank` candidates per query by ADC
+   * (reading only codes), then score just the shortlist with true
+   * vectors — the standard two-stage layout.  The exact stage touches
+   * `rerank × queries` vectors regardless of corpus size, so recall is
+   * bounded only by shortlist coverage while the corpus-wide pass stays
+   * code-only.  `vecCol` names the true-vector column on
+   * `encodedCorpus`.
+   */
+  def searchReranked(
+      encodedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: PqModel, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    val spark = encodedCorpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val shortlist = search(encodedCorpus, queries, idCol,
+        qIdCol, qVecCol, model, rerank)
+      .select("query_id", "neighbor_id")
+    val withVecs = shortlist
+      .join(encodedCorpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("__q"))), Seq("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    withVecs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  def search(
+      encodedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String,
+      model: PqModel, k: Int): DataFrame = {
+    val spark = encodedCorpus.sparkSession
+    import spark.implicits._
+    registerFns(spark)
+    val nQueries = queries.count()
+    require(nQueries <= IvfIndex.MaxQueryBatch,
+      s"PqIndex.search collects the query batch to the driver; got " +
+        s"$nQueries queries (max ${IvfIndex.MaxQueryBatch})")
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val mm = model.m; val kk = model.k; val dsub = model.dsub
+    val tables = qRows.toSeq.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val t = new Array[Double](mm * kk)
+      var mi = 0
+      while (mi < mm) {
+        var c = 0
+        while (c < kk) {
+          val cent = model.codebooks(mi)(c)
+          var dot = 0.0
+          var i = 0
+          while (i < dsub && mi * dsub + i < qv.length) {
+            dot += qv(mi * dsub + i).toDouble * cent(i)
+            i += 1
+          }
+          t(mi * kk + c) = if (qn == 0.0) 0.0 else dot / qn
+          c += 1
+        }
+        mi += 1
+      }
+      (qid, t)
+    }
+    val tableDf = spark.createDataFrame(tables).toDF("query_id", "__t")
+    val scored = encodedCorpus
+      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .crossJoin(broadcast(tableDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cosine", call_function("graft_pq_adc",
+        col("pq_code"), col("__t"), typedLit(model.centroidNormSq)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("adc_cosine"), 4).as("adc_cosine"))
+  }
+}

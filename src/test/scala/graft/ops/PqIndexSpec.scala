@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("train/encode: codes are valid, deterministic, partition-independent") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    assert(model.m == 4 && model.k == 8)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(model.dsub == dim / 4)
+    val codes = PqIndex.encode(emb, "embedding", model)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // re-train on a repartitioned frame → identical codebooks and codes
+    val model2 = PqIndex.train(emb.repartition(7), "vec_id", "embedding",
+      m = 4, k = 8, iters = 3)
+    assert(model.codebooks.flatten.flatten.toSeq ==
+      model2.codebooks.flatten.flatten.toSeq,
+      "training must be partitioning-independent")
+  }
+
+  test("ADC search approximates exact cosine top-k (recall vs brute force)") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 4)
+    val coded = PqIndex.encode(emb, "embedding", model)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val approx = PqIndex.search(coded, queries, "vec_id",
+      "vec_id", "embedding", model, k)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+    val a = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val e = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = e.map { case (q, truth) =>
+      a.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / e.size
+    info(f"PQ ADC recall@$k = $recall%.2f (m=16, k=32)")
+    assert(recall >= 0.5, f"ADC recall collapsed: $recall%.2f")
+    // two-stage: ADC shortlist of 80, exact rerank — recall bounded only
+    // by shortlist coverage
+    val reranked = PqIndex.searchReranked(coded, queries, "vec_id",
+      "embedding", "vec_id", "embedding", model, k, rerank = 80)
+    val r = reranked.select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall2 = e.map { case (q, truth) =>
+      r.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / e.size
+    info(f"PQ ADC+rerank recall@$k = $recall2%.2f (shortlist 80)")
+    assert(recall2 >= 0.8, f"reranked recall too low: $recall2%.2f")
+    assert(recall2 >= recall, "rerank must not hurt recall")
+    // compression is the point: m ints vs dim floats
+    assert(model.m < emb.select(size(col("embedding"))).head().getInt(0))
+  }
+
+  test("ADC scores are the table-reconstruction cosine (spot check)") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val coded = PqIndex.encode(emb, "embedding", model)
+    val queries = emb.filter(col("vec_id") === 0)
+    val out = PqIndex.search(coded, queries, "vec_id",
+      "vec_id", "embedding", model, 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).toSeq == (1L to 5L),
+      "ranks must be dense 1..k")
+    // reconstruct the top neighbor by hand and compare the score
+    val qv = queries.select("embedding").head()
+      .getSeq[Float](0).toArray
+    val top = out.head
+    val code = coded.filter(col("vec_id") === top.getLong(2))
+      .select("pq_code").head().getSeq[Int](0)
+    val recon = code.zipWithIndex.flatMap { case (c, mi) =>
+      model.codebooks(mi)(c)
+    }.toArray
+    val dot = qv.zip(recon).map { case (a, b) => a.toDouble * b }.sum
+    val expected = dot / (math.sqrt(qv.map(x => x.toDouble * x).sum) *
+      math.sqrt(recon.map(x => x.toDouble * x).sum))
+    assert(math.abs(top.getDouble(3) - expected) < 1e-3,
+      s"ADC ${top.getDouble(3)} vs reconstruction $expected")
+  }
+}
