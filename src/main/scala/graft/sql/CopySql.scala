@@ -55,29 +55,37 @@ object CopySql {
       if (c.peekIs('(')) {
         val query = c.parenBlock()
         c.expectKeyword("TO")
-        val uri = c.stringLit()
-        val opts = parseOptionList(c)
-        c.expectEnd()
-        CopyToCommand(Some(query), None, Nil, uri, toOptions(opts))
+        parseToTail(c, Some(query), None, Nil)
       } else {
         val table = c.ident()
         val cols = if (c.peekIs('(')) splitIdents(c.parenBlock()) else Nil
-        if (c.tryKeyword("TO")) {
-          val uri = c.stringLit()
-          val opts = parseOptionList(c)
-          c.expectEnd()
-          CopyToCommand(None, Some(table), cols, uri, toOptions(opts))
-        } else {
+        if (c.tryKeyword("TO")) parseToTail(c, None, Some(table), cols)
+        else {
           c.expectKeyword("FROM")
-          val uri = c.stringLit()
+          val source: PipeSource =
+            if (c.tryKeyword("STDIN")) PipeSource.Stdin
+            else if (c.tryKeyword("PROGRAM")) PipeSource.Prog(c.stringLit())
+            else PipeSource.Uri(c.stringLit())
           val opts = parseOptionList(c)
           val where =
             if (c.tryKeyword("WHERE")) Some(c.rest()).filter(_.nonEmpty)
             else { c.expectEnd(); None }
-          CopyFromCommand(table, cols, uri, fromOptions(opts), where)
+          CopyFromCommand(table, cols, source, fromOptions(opts), where)
         }
       }
     Some(stmt)
+  }
+
+  private def parseToTail(
+      c: Cursor, query: Option[String], table: Option[String],
+      cols: Seq[String]): CopyStatement = {
+    val dest: PipeDest =
+      if (c.tryKeyword("STDOUT")) PipeDest.Stdout
+      else if (c.tryKeyword("PROGRAM")) PipeDest.Prog(c.stringLit())
+      else PipeDest.Uri(c.stringLit())
+    val opts = parseOptionList(c)
+    c.expectEnd()
+    CopyToCommand(query, table, cols, dest, toOptions(opts))
   }
 
   // ---- option mapping (reference allow-lists, copy_utils.rs:37-219) ----
@@ -160,6 +168,24 @@ object CopySql {
   }
 }
 
+/** Where a COPY TO sends its bytes (reference `copy_to_stdout.rs`,
+  * `copy_to_program.rs` for the non-uri forms). */
+sealed trait PipeDest
+object PipeDest {
+  final case class Uri(uri: String) extends PipeDest
+  case object Stdout extends PipeDest
+  final case class Prog(cmd: String) extends PipeDest
+}
+
+/** Where a COPY FROM reads its bytes (reference `copy_from_stdin.rs`,
+  * `copy_from_program.rs`). */
+sealed trait PipeSource
+object PipeSource {
+  final case class Uri(uri: String) extends PipeSource
+  case object Stdin extends PipeSource
+  final case class Prog(cmd: String) extends PipeSource
+}
+
 /** A parsed COPY statement; running it performs the copy and returns the
   * affected row count (Postgres's `COPY n`). */
 sealed trait CopyStatement extends LeafRunnableCommand {
@@ -167,10 +193,11 @@ sealed trait CopyStatement extends LeafRunnableCommand {
     Seq(AttributeReference("num_rows", LongType, nullable = false)())
 }
 
-/** `COPY (query)|table TO 'uri' (...)` → [[graft.io.CopyTo]]. */
+/** `COPY (query)|table TO 'uri'|STDOUT|PROGRAM 'cmd' (...)` →
+  * [[graft.io.CopyTo]] / [[graft.cli.PipeCopy]]. */
 final case class CopyToCommand(
     query: Option[String], table: Option[String], columns: Seq[String],
-    uri: String, options: CopyToOptions) extends CopyStatement {
+    dest: PipeDest, options: CopyToOptions) extends CopyStatement {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = query match {
       case Some(q) => spark.sql(q)
@@ -178,17 +205,33 @@ final case class CopyToCommand(
         val t = spark.table(table.get)
         if (columns.isEmpty) t else t.select(columns.map(col): _*)
     }
-    val res = CopyTo(src, uri, options)
-    Seq(Row(CopySql.writtenRows(spark, res.files)))
+    val n = dest match {
+      case PipeDest.Uri(uri) =>
+        val res = CopyTo(src, uri, options)
+        CopySql.writtenRows(spark, res.files)
+      case PipeDest.Stdout =>
+        // pipes are inherently single-writer; the count is known upfront
+        val n = src.count()
+        graft.cli.PipeCopy.copyToStream(src, System.out, options)
+        n
+      case PipeDest.Prog(cmd) =>
+        val n = src.count()
+        val code = graft.cli.PipeCopy.copyToProgram(
+          src, Seq("/bin/sh", "-c", cmd), options)
+        if (code != 0)
+          throw new IllegalStateException(s"COPY TO PROGRAM exited with $code")
+        n
+    }
+    Seq(Row(n))
   }
 }
 
-/** `COPY table [(cols)] FROM 'uri' (...) [WHERE pred]` →
-  * [[graft.io.CopyFrom]] with the table's schema as the coercion target,
-  * appended into the table; unlisted columns are filled with NULLs, like
-  * Postgres COPY with a column list. */
+/** `COPY table [(cols)] FROM 'uri'|STDIN|PROGRAM 'cmd' (...) [WHERE]` →
+  * [[graft.io.CopyFrom]] / [[graft.cli.PipeCopy]] with the table's schema
+  * as the coercion target, appended into the table; unlisted columns are
+  * filled with NULLs, like Postgres COPY with a column list. */
 final case class CopyFromCommand(
-    table: String, columns: Seq[String], uri: String,
+    table: String, columns: Seq[String], source: PipeSource,
     options: CopyFromOptions, where: Option[String]) extends CopyStatement {
   override def run(spark: SparkSession): Seq[Row] = {
     val full = spark.table(table).schema
@@ -201,8 +244,16 @@ final case class CopyFromCommand(
             s"column(s) ${missing.mkString(", ")} do not exist in $table")
         StructType(columns.map(full(_)))
       }
-    val read = CopyFrom(spark, uri, target,
-      options.copy(where = where.orElse(options.where)))
+    val opts = options.copy(where = where.orElse(options.where))
+    val read = source match {
+      case PipeSource.Uri(uri) => CopyFrom(spark, uri, target, opts)
+      case PipeSource.Stdin =>
+        graft.cli.PipeCopy.copyFromStream(spark, System.in, Some(target), opts)
+      case PipeSource.Prog(cmd) =>
+        val df = graft.cli.PipeCopy.copyFromProgram(
+          spark, Seq("/bin/sh", "-c", cmd), Some(target))
+        opts.where.map(df.filter).getOrElse(df)
+    }
     val expanded = full.fields.toIndexedSeq.map { f =>
       if (target.fieldNames.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

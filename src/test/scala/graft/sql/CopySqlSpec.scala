@@ -137,6 +137,43 @@ class CopySqlSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY TO PROGRAM and FROM PROGRAM round-trip through a shell pipe") {
+    val spool = java.nio.file.Files.createTempFile("graft_copysql_prog_", ".parquet")
+    spool.toFile.deleteOnExit()
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_pp")
+    val n = GraftSql.exec(spark,
+      s"COPY (SELECT r_regionkey, r_name FROM region_pp) " +
+        s"TO PROGRAM 'cat > $spool' (COMPRESSION uncompressed)")
+      .head().getLong(0)
+    assert(n == 5 && java.nio.file.Files.size(spool) > 0)
+    spark.sql("DROP TABLE IF EXISTS copysql_prog_target")
+    spark.sql("CREATE TABLE copysql_prog_target " +
+      "(r_regionkey BIGINT, r_name STRING) USING parquet")
+    try {
+      val m = GraftSql.exec(spark,
+        s"COPY copysql_prog_target FROM PROGRAM 'cat $spool' " +
+          "WHERE r_regionkey >= 2").head().getLong(0)
+      assert(m == 3)
+      assert(spark.table("copysql_prog_target").count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS copysql_prog_target")
+  }
+
+  test("COPY TO STDOUT streams single-file parquet bytes") {
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_so")
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.out
+    System.setOut(new java.io.PrintStream(buf, true))
+    val n = try GraftSql.exec(spark,
+      "COPY (SELECT r_regionkey FROM region_so) TO STDOUT").head().getLong(0)
+    finally System.setOut(prev)
+    assert(n == 5)
+    val bytes = buf.toByteArray
+    assert(bytes.length > 8 &&
+      new String(bytes.take(4), "US-ASCII") == "PAR1" &&
+      new String(bytes.takeRight(4), "US-ASCII") == "PAR1",
+      "stdout must carry a complete parquet file")
+  }
+
   test("non-COPY text is not intercepted") {
     assert(CopySql.parse("SELECT 'COPY this' AS s").isEmpty)
     assert(CopySql.parse("  copyist FROM x").isEmpty)
