@@ -1039,6 +1039,59 @@ object SparkEntry {
       s.table(qn).orderBy("user_id", "p_id", "c_id", "pts", "cts")
     }),
 
+    // stream-stream LEFT OUTER interval join: every purchase emits, with
+    // NULL click columns when no click preceded it within the hour.
+    // Outer emission requires the watermark to pass a purchase's join
+    // window, so both branches keep the staged sentinel (10h past corpus
+    // max) flowing through their watermark node before filtering it out —
+    // all real purchases close and the result equals the batch LEFT JOIN
+    "stream_outer_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedSentinelEventsDir(s, dir)
+      val src = s.readStream.schema(schema).parquet(stageDir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("etime", timestamp_micros(col("ts_us")))
+      // the sentinel rides INSIDE both join inputs all the way through:
+      // a type filter placed after withWatermark gets pushed below the
+      // EventTimeWatermark node by the optimizer (it doesn't reference
+      // the watermark column), which would silently strip the sentinel
+      // before it advances the watermark — so it is removed from the
+      // BATCH read-back instead, where pushdown can't reach the stream
+      val purchases = src
+        .filter(col("event_type").isin("purchase", "_sentinel"))
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("etime").as("p_time"), col("ts_us").as("pts"))
+        .withWatermark("p_time", "1 hour")
+      val clicks = src
+        .filter(col("event_type").isin("click", "_sentinel"))
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("etime").as("c_time"), col("ts_us").as("cts"))
+        .withWatermark("c_time", "1 hour")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+          col("c_time") <= col("p_time"),
+        "left_outer")
+      val qn = s"graft_soj_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined
+          .select(col("user_id"), col("p_id"), col("c_id"), col("pts"), col("cts"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // sentinel "purchase" rows (id -1) drop here, in the batch result
+      s.table(qn).filter(col("p_id") =!= -1L)
+        .orderBy(col("user_id"), col("p_id"),
+          col("c_id").asc_nulls_first, col("pts"), col("cts").asc_nulls_first)
+    }),
+
     // stateful streaming: per-user running totals via mapGroupsWithState
     "stream_user_stats" -> ((s, dir) =>
       graft.streaming.StatefulOps.userStats(s, stagedEventsDir(s, dir))
@@ -2002,6 +2055,16 @@ object SparkEntry {
         "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 " +
         "AND epoch_us(p.ts) " +
         "ORDER BY p.user_id, p_id, c_id, pts, cts"),
+
+    "stream_outer_join" ->
+      ("SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, " +
+        "epoch_us(p.ts) AS pts, epoch_us(c.ts) AS cts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(p.ts) " +
+        "ORDER BY p.user_id, p_id, c_id NULLS FIRST, pts, cts NULLS FIRST"),
 
     "stream_user_stats" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
