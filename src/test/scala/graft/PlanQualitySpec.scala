@@ -153,4 +153,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p)             // no explode
     assert(!p.contains("Join"), p)
   }
+
+  test("stratified sampling is a pure per-row filter (no shuffle, no join)") {
+    val p = plan("pipeline_stratified_sample")
+    // only the presentation ORDER BY exchanges; the sample itself is
+    // narrow, so it composes into any pipeline without a stage break
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("Arguments: rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("bloom dedup broadcasts the filter state; only one shuffled anti join") {
+    val p = plan("pipeline_bloom_dedup")
+    // the 1-row bloom state reaches every batch row via broadcast (a
+    // nested-loop over ONE build row), and the exact confirm is the only
+    // shuffled join in the plan — the definitely-new branch never joins
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("SortMergeJoin .*LeftAnti|ShuffledHashJoin .*LeftAnti".r
+      .findAllIn(p).size <= 2, p) // one per filter branch at most
+    assert(p.contains("graft_bloom_contains"), p)
+  }
+
+  test("sql COPY FROM pushes its WHERE into the parquet scan") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_plan_sqlcopy"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("nation_pq")
+    graft.sql.GraftSql.exec(spark,
+      s"COPY (SELECT n_nationkey, n_regionkey FROM nation_pq) TO '$out'")
+    val read = graft.io.CopyFrom.raw(spark, out,
+      graft.io.CopyFromOptions(where = Some("n_regionkey = 2")))
+    val p = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(n_regionkey,2)"),
+      s"COPY FROM WHERE must reach the scan:\n$p")
+  }
 }
