@@ -337,6 +337,90 @@ object PqIndex {
         col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /**
+   * IVF-PQ: [[IvfIndex]] cell pruning composed with ADC code scoring —
+   * the standard billion-scale ANN layout.  The index is
+   * `(id, ivf_cell, pq_code)`: at open scale persist it
+   * `partitionBy("ivf_cell")` so a probe is a partition-pruned scan of
+   * `nprobe/k_cells` of the data, each candidate scoring in O(m) code
+   * lookups; the exact rerank then touches only `rerank × queries` true
+   * vectors.  Cost per query ≈ (corpus/k_cells)·nprobe ADC lookups —
+   * independent of vector dimension — vs the corpus-wide O(d) multiplies
+   * of brute force.
+   */
+  def searchIvfPq(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      ivfModel: IvfIndex.IvfModel, pqModel: PqModel,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    registerFns(spark)
+    // the compressed index: one narrow pass builds (id, cell, code, vec)
+    val indexed = PqIndex.encode(
+      IvfIndex.assign(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), "neighbor_id", "__v", ivfModel),
+      "__v", pqModel)
+
+    val nQueries = queries.count()
+    require(nQueries <= IvfIndex.MaxQueryBatch,
+      s"searchIvfPq collects the query batch to the driver; got $nQueries")
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val mm = pqModel.m; val kk = pqModel.k; val dsub = pqModel.dsub
+    // per query: nprobe nearest cells (cosine to centroids) + ADC table
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val cells = ivfModel.centroids.zipWithIndex.map { case (cent, c) =>
+        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        val dot = qv.zip(cent).map { case (a, b) => a.toDouble * b }.sum
+        (c, if (qn == 0 || nc == 0) Double.MinValue else dot / (qn * nc))
+      }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+      val t = new Array[Double](mm * kk)
+      var mi = 0
+      while (mi < mm) {
+        var c = 0
+        while (c < kk) {
+          val cent = pqModel.codebooks(mi)(c)
+          var dot = 0.0
+          var i = 0
+          while (i < dsub && mi * dsub + i < qv.length) {
+            dot += qv(mi * dsub + i).toDouble * cent(i)
+            i += 1
+          }
+          t(mi * kk + c) = if (qn == 0.0) 0.0 else dot / qn
+          c += 1
+        }
+        mi += 1
+      }
+      cells.map(cell => (qid, cell, t))
+    }
+    val probeDf = spark.createDataFrame(probes)
+      .toDF("query_id", "ivf_cell", "__t")
+    val shortlist = indexed
+      .join(broadcast(probeDf), Seq("ivf_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cosine", call_function("graft_pq_adc",
+        col("pq_code"), col("__t"), typedLit(pqModel.centroidNormSq)))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    val cand = shortlist.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("__v"))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("__q"))), Seq("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   def search(
       encodedCorpus: DataFrame, queries: DataFrame,
       idCol: String, qIdCol: String, qVecCol: String,

@@ -88,6 +88,33 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(bloom.map(_.getLong(0)) == Seq(10L, 12L, 13L))
   }
 
+  test("bloom state round-trips through parquet (cross-batch reuse)") {
+    BloomSketch.register(spark)
+    val dir = graft.TestSpark.tmpDir("bloom_state")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // snapshot N builds its filter once and persists the binary cell
+    (1 to 1000).map(i => s"corpus_$i").toDF("k")
+      .agg(BloomSketch.bloomAgg($"k", 1000, 0.01).as("b"))
+      .write.parquet(dir)
+    // a later batch loads the state instead of rescanning the corpus
+    val loaded = spark.read.parquet(dir)
+    val hits = (1 to 1000).map(i => s"corpus_$i").toDF("k")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(loaded))
+      .filter("graft_bloom_contains(b, k)").count()
+    assert(hits == 1000, "persisted state must keep every inserted key")
+    // and two snapshot states union into one corpus-wide filter
+    val s2 = (1001 to 2000).map(i => s"corpus_$i").toDF("k")
+      .agg(BloomSketch.bloomAgg($"k", 1000, 0.01).as("b"))
+    val all = loaded.unionByName(s2)
+      .agg(BloomSketch.bloomUnion($"b").as("b"))
+    val hits2 = (1 to 2000).map(i => s"corpus_$i").toDF("k")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(all))
+      .filter("graft_bloom_contains(b, k)").count()
+    assert(hits2 == 2000)
+  }
+
   test("bloom functions resolve through the extensions builder table") {
     assert(graft.GraftExtensions.allBuilders.map(_._1)
       .count(_.startsWith("graft_bloom")) == 3)

@@ -64,6 +64,31 @@ class PqIndexSpec extends AnyFunSuite {
     assert(model.m < emb.select(size(col("embedding"))).head().getInt(0))
   }
 
+  test("IVF-PQ prunes to probed cells and still recalls through rerank") {
+    val ivf = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val pq = PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val out = PqIndex.searchIvfPq(emb, queries, "vec_id", "embedding",
+      "vec_id", "embedding", ivf, pq, k, nprobe = 4, rerank = 60)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+    val a = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val e = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = e.map { case (q, truth) =>
+      a.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / e.size
+    info(f"IVF-PQ recall@$k = $recall%.2f (8 cells, nprobe 4, rerank 60)")
+    assert(recall >= 0.6, f"IVF-PQ recall collapsed: $recall%.2f")
+    // every query produces k dense ranks
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == k))
+  }
+
   test("ADC scores are the table-reconstruction cosine (spot check)") {
     val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 3)
     val coded = PqIndex.encode(emb, "embedding", model)
