@@ -109,7 +109,11 @@ object IvfIndex {
       val means = assigned
         .select(col("ivf_cell"), posexplode(col(vecCol)))
         .groupBy("ivf_cell", "pos")
-        .agg(avg("col").as("m"))
+        // decimal sums are order-independent where double partial sums
+        // are not — keeps centroids bit-identical across partitionings
+        // (same hardening as PqIndex.train)
+        .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("double").as("m"))
         .as[(Int, Int, Double)]
         .collect()
       val byCell = means.groupBy(_._1)

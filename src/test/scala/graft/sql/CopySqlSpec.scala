@@ -174,6 +174,72 @@ class CopySqlSpec extends AnyFunSuite {
       "stdout must carry a complete parquet file")
   }
 
+  test("parser round-trips 300 randomized statements (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    def ident(): String = {
+      val base = "t" + rnd.alphanumeric.filter(_.isLetterOrDigit).take(6).mkString
+      if (rnd.nextBoolean()) base else s"`$base`"
+    }
+    def uri(): String =
+      s"/tmp/p${rnd.nextInt(1000)}/${if (rnd.nextBoolean()) "it''s" else "x"}.parquet"
+    (1 to 300).foreach { i =>
+      val tbl = ident()
+      val cols = if (rnd.nextBoolean()) Nil else Seq("a", "b_2", "c")
+      val colSql = if (cols.isEmpty) "" else cols.mkString(" (", ", ", ")")
+      val u = uri()
+      val uriSql = "'" + u.replace("'", "''") + "'"
+      val isTo = rnd.nextBoolean()
+      val opts = (Seq(
+        Some("FORMAT parquet").filter(_ => rnd.nextBoolean()),
+        Some("MATCH_BY name").filter(_ => rnd.nextBoolean())) ++ (
+        if (isTo) Seq(
+          Some("COMPRESSION zstd").filter(_ => rnd.nextBoolean()),
+          Some("ROW_GROUP_SIZE 1000").filter(_ => rnd.nextBoolean()))
+        else Nil)).flatten
+        .filter(o => isTo != o.startsWith("MATCH_BY")) // per-direction lists
+      val optSql =
+        if (opts.isEmpty) ""
+        else (if (rnd.nextBoolean()) " WITH (" else " (") + opts.mkString(", ") + ")"
+      val ws = if (rnd.nextBoolean()) "  " else " "
+      if (isTo) {
+        val sql = s"COPY$ws$tbl$colSql${ws}TO$ws$uriSql$optSql${if (rnd.nextBoolean()) ";" else ""}"
+        val cmd = CopySql.parse(sql)
+          .getOrElse(fail(s"[$i] did not parse: $sql"))
+          .asInstanceOf[CopyToCommand]
+        assert(cmd.table.contains(tbl.replace("`", "")), sql)
+        assert(cmd.columns == cols, sql)
+        assert(cmd.dest == PipeDest.Uri(u), sql)
+      } else {
+        val where = if (rnd.nextBoolean()) " WHERE x = 'y (, z'" else ""
+        val sql = s"COPY $tbl$colSql FROM $uriSql$optSql$where"
+        val cmd = CopySql.parse(sql)
+          .getOrElse(fail(s"[$i] did not parse: $sql"))
+          .asInstanceOf[CopyFromCommand]
+        assert(cmd.table == tbl.replace("`", ""), sql)
+        assert(cmd.source == PipeSource.Uri(u), sql)
+        assert(cmd.where.isDefined == where.nonEmpty, sql)
+      }
+    }
+  }
+
+  test("malformed COPY statements fail loudly, never fall through") {
+    Seq(
+      "COPY",
+      "COPY t",
+      "COPY t TO",
+      "COPY t TO unquoted",
+      "COPY (SELECT 1 TO '/tmp/x'",       // unbalanced paren
+      "COPY t TO '/tmp/x' (COMPRESSION)", // dangling option needing a value
+      "COPY t TO '/tmp/x' extra_garbage",
+      "COPY t FROM '/tmp/x' (MATCH_BY)").foreach { sql =>
+      intercept[IllegalArgumentException] {
+        // parse may throw; commands with a value-less option throw at
+        // option mapping — either way it must not delegate or pass
+        CopySql.parse(sql)
+      }
+    }
+  }
+
   test("non-COPY text is not intercepted") {
     assert(CopySql.parse("SELECT 'COPY this' AS s").isEmpty)
     assert(CopySql.parse("  copyist FROM x").isEmpty)
