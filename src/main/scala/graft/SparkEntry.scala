@@ -1455,6 +1455,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mixture REALIZATION: epochs from the plan become actual replicas —
+    // floor(e) copies + a hash-thresholded fractional copy per doc
+    "pipeline_mixture_realize" -> ((s, dir) =>
+      TrainPrep.realizeMixture(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", col("n_chars"),
+          Map("src0" -> 0.15, "src1" -> 0.02, "src2" -> 0.005),
+          expr("(doc_id * 2654435761) % 10000"))
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
     // deterministic stratified sampling: per-source keep fractions
     // decided by hash threshold — reproducible under any partitioning,
     // which seeded Bernoulli sampling (sampleBy) is not
@@ -2419,6 +2430,22 @@ object SparkEntry {
         "JOIN keyed kd ON kd.doc_id = r.doc_id " +
         "WHERE r.k NOT IN (SELECT k FROM seen) " +
         "ORDER BY r.doc_id"),
+
+    // doubles forced on the oracle side (DuckDB would otherwise do
+    // DECIMAL×HUGEINT math); trunc() matches Spark's cast-to-long
+    // truncation (DuckDB's double→BIGINT cast rounds)
+    "pipeline_mixture_realize" ->
+      ("WITH dom AS (SELECT source, sum(n_chars) AS dt FROM documents GROUP BY source), " +
+        "tot AS (SELECT sum(n_chars) AS t FROM documents), " +
+        "plan AS (SELECT source, CAST(CASE source WHEN 'src0' THEN 0.15 " +
+        "WHEN 'src1' THEN 0.02 WHEN 'src2' THEN 0.005 ELSE 0.0 END AS DOUBLE) " +
+        "* CAST(t AS DOUBLE) / CAST(dt AS DOUBLE) AS e FROM dom, tot), " +
+        "r AS (SELECT d.doc_id, d.source, CAST(floor(p.e) AS BIGINT) + " +
+        "(CASE WHEN (d.doc_id * 2654435761) % 10000 < " +
+        "CAST(trunc((p.e - floor(p.e)) * 10000) AS BIGINT) THEN 1 ELSE 0 END) AS n " +
+        "FROM documents d JOIN plan p USING (source)) " +
+        "SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy " +
+        "FROM r WHERE n >= 1 ORDER BY doc_id, copy"),
 
     "pipeline_stratified_sample" ->
       ("SELECT doc_id, source FROM documents " +

@@ -75,6 +75,40 @@ object TrainPrep {
   }
 
   /**
+   * Realize a domain mixture: given [[mixturePlan]]'s epoch multiplier
+   * `e`, emit each document `floor(e)` times plus one more with probability
+   * `frac(e)` decided by hash threshold — the deterministic resampling
+   * step that turns a mixture PLAN into an actual training corpus
+   * (domains with e > 1 repeat, e < 1 subsample, weight 0 drop).
+   * Output adds `copy` (0-based replica index) — (row, copy) is unique,
+   * so downstream shuffles/packing treat replicas as distinct docs.
+   *
+   * Deterministic: the fractional keep is a pure function of row
+   * identity (same contract as [[stratifiedSample]]); the integral part
+   * is per-row arithmetic.  Narrow end-to-end — the per-domain plan
+   * (a handful of rows) broadcasts, replicas come from an explode whose
+   * fan-out is the epoch multiplier.
+   */
+  def realizeMixture(
+      df: DataFrame, domainCol: String, tokenCol: Column,
+      weights: Map[String, Double], hash: Column,
+      buckets: Int = 10000): DataFrame = {
+    val plan = broadcast(
+      mixturePlan(df, domainCol, tokenCol, weights)
+        .select(col(domainCol), col("epochs")))
+    df.join(plan, domainCol)
+      .withColumn("_floor", floor(col("epochs")).cast("long"))
+      .withColumn("_keep_frac",
+        (pmod(hash.cast("long"), lit(buckets.toLong)) <
+          ((col("epochs") - col("_floor")) * buckets).cast("long"))
+          .cast("long"))
+      .withColumn("_n", col("_floor") + col("_keep_frac"))
+      .filter(col("_n") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("epochs", "_floor", "_keep_frac", "_n")
+  }
+
+  /**
    * Contiguous sequence packing: documents are laid out in `orderCol`
    * order within each `partitionCol` group and cut into fixed-size
    * context windows of `windowTokens`; each document gets the pack it

@@ -56,6 +56,31 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(dropped.count() == 0)
   }
 
+  test("realizeMixture emits floor(e)+fractional replicas, deterministically") {
+    val df = spark.range(1000)
+      .withColumn("dom", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("tok", lit(10L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.realizeMixture(d, "dom", col("tok"),
+          Map("a" -> 1.25, "b" -> 0.1), expr("(id * 2654435761) % 10000"))
+        .select("id", "copy").as[(Long, Long)].collect().toSet
+    val out = run(df)
+    assert(run(df.repartition(11).orderBy(col("id").desc)) == out)
+    // domain a: e = 1.25 * 10000 / 5000 = 2.5 → every a-doc 2 or 3 times
+    val aCounts = out.toSeq.filter(_._1 % 2 == 0).groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    assert(aCounts.values.forall(n => n == 2 || n == 3))
+    val aAvg = aCounts.values.sum / 500.0
+    assert(math.abs(aAvg - 2.5) < 0.15, s"a replicated at $aAvg, wanted ~2.5")
+    // domain b: e = 0.1 * 10000 / 5000 = 0.2 → ~20% kept once
+    val bIds = out.toSeq.filter(_._1 % 2 == 1)
+    assert(bIds.groupBy(_._1).forall(_._2.size == 1))
+    assert(math.abs(bIds.size / 500.0 - 0.2) < 0.05)
+    // copy indices are dense from 0
+    assert(out.toSeq.groupBy(_._1).values.forall(c =>
+      c.map(_._2).sorted == (0L until c.size).toSeq))
+  }
+
   test("stratifiedSample rejects fractions outside [0, 1]") {
     intercept[IllegalArgumentException] {
       TrainPrep.stratifiedSample(Seq((1L, "x")).toDF("id", "s"),
