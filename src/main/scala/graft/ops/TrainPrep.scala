@@ -265,15 +265,22 @@ object TrainPrep {
    *
    * Shape: distinct (doc, gram) pairs → per-gram distinct-doc count →
    * join back → per-doc ratio.  The gram shuffle is the honest cost at
-   * corpus scale; shrink it by hashing grams to 64-bit (`xxhash64`) on
-   * both sides — string grams are kept here for cross-engine oracle
-   * exactness.  Count aggregation is map-side partial either way.
+   * corpus scale; `hashGrams = true` shrinks it by replacing the
+   * ~n-word string keys with 64-bit `xxhash64` on both sides (a
+   * collision merges two grams — odds ~(grams²)/2⁶⁵, irrelevant for a
+   * quality signal; the driver queries keep string grams so the SQL
+   * oracle stays exactly reproducible).  Count aggregation is map-side
+   * partial either way.
    */
   def dupSpanCoverage(
-      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "n must be positive")
+    val gramKey =
+      if (hashGrams) xxhash64(col("__g_str")) else col("__g_str")
     val grams = df
-      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g_str"))
+      .select(col(idCol), gramKey.as("g"))
       .distinct()
     val byGram = grams.groupBy("g")
       .agg(count(lit(1)).as("_docs_with"))
@@ -310,18 +317,21 @@ object TrainPrep {
    * SURVIVING tokens, and per-doc state is bounded by document length.
    */
   def spanExcision(
-      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "n must be positive")
     val toks = df
       .select(col(idCol), graft.ops.TextAnalysis.tokens(col(textCol)).as("_w"))
       .filter(size(col("_w")) > 0)
-    // (id, start, gram) for every n-gram start (0-based starts)
+    // (id, start, gram) for every n-gram start (0-based starts);
+    // hashGrams swaps the string key for xxhash64 (see dupSpanCoverage)
+    val gramKey = if (hashGrams) xxhash64(col("_e.g")) else col("_e.g")
     val grams = toks.filter(size(col("_w")) >= n)
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("_w")) - n),
         i => struct(i.as("i"),
           concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("g")))).as("_e"))
-      .select(col(idCol), col("_e.i").as("i"), col("_e.g").as("g"))
+      .select(col(idCol), col("_e.i").as("i"), gramKey.as("g"))
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col(idCol)).as("_d"))
       .filter(col("_d") > 1)
@@ -390,13 +400,17 @@ object TrainPrep {
    */
   def contamination(
       train: DataFrame, eval: DataFrame,
-      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+      textCol: String, idCol: String, n: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "n must be positive")
+    def key(c: Column): Column = if (hashGrams) xxhash64(c) else c
     val evalGrams = eval
-      .select(explode(wordGrams(col(textCol), n)).as("g"))
+      .select(explode(wordGrams(col(textCol), n)).as("__g_str"))
+      .select(key(col("__g_str")).as("g"))
       .distinct()
     train
-      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g_str"))
+      .select(col(idCol), key(col("__g_str")).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy(idCol)
       .agg(count_distinct(col("g")).as("n_shared"))

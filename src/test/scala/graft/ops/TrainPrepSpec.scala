@@ -81,6 +81,27 @@ class TrainPrepSpec extends AnyFunSuite {
       c.map(_._2).sorted == (0L until c.size).toSeq))
   }
 
+  test("hashed-gram scale path matches string grams on every span operator") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TrainPrep.dupSpanCoverage(docs, "text", "doc_id", n = 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = TrainPrep.dupSpanCoverage(docs, "text", "doc_id", n = 8,
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    assert(a == b, "hashed coverage must equal string-gram coverage")
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val c = TrainPrep.contamination(train, evalSet, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val d = TrainPrep.contamination(train, evalSet, "text", "doc_id",
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    assert(c == d, "hashed contamination must equal string-gram contamination")
+    val e = TrainPrep.spanExcision(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val f = TrainPrep.spanExcision(docs, "text", "doc_id", hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(e == f, "hashed excision must equal string-gram excision")
+  }
+
   test("stratifiedSample rejects fractions outside [0, 1]") {
     intercept[IllegalArgumentException] {
       TrainPrep.stratifiedSample(Seq((1L, "x")).toDF("id", "s"),
