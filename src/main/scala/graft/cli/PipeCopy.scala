@@ -61,7 +61,8 @@ object PipeCopy {
     * as parquet bytes. */
   def copyFromProgram(
       spark: SparkSession, cmd: Seq[String],
-      target: Option[StructType] = None): DataFrame = {
+      target: Option[StructType] = None,
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
     val tmp = tempFile()
     val pb = new ProcessBuilder(cmd: _*)
       .redirectOutput(tmp.toFile)
@@ -70,8 +71,8 @@ object PipeCopy {
     val code = proc.waitFor()
     require(code == 0, s"program ${cmd.mkString(" ")} exited with $code")
     target match {
-      case Some(schema) => CopyFrom(spark, tmp.toString, schema)
-      case None => CopyFrom.raw(spark, tmp.toString)
+      case Some(schema) => CopyFrom(spark, tmp.toString, schema, options)
+      case None => CopyFrom.raw(spark, tmp.toString, options)
     }
   }
 

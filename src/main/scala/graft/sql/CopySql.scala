@@ -250,9 +250,8 @@ final case class CopyFromCommand(
       case PipeSource.Stdin =>
         graft.cli.PipeCopy.copyFromStream(spark, System.in, Some(target), opts)
       case PipeSource.Prog(cmd) =>
-        val df = graft.cli.PipeCopy.copyFromProgram(
-          spark, Seq("/bin/sh", "-c", cmd), Some(target))
-        opts.where.map(df.filter).getOrElse(df)
+        graft.cli.PipeCopy.copyFromProgram(
+          spark, Seq("/bin/sh", "-c", cmd), Some(target), opts)
     }
     val expanded = full.fields.toIndexedSeq.map { f =>
       if (target.fieldNames.contains(f.name)) col(f.name)
