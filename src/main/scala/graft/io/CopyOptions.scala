@@ -95,7 +95,12 @@ final case class CopyToOptions(
     /** Cluster (range-partition + sort) the output by these columns so
       * per-file and per-row-group min/max statistics become selective —
       * the stat-based skipping enabler for scans with range predicates. */
-    clusterBy: Seq[String] = Nil) {
+    clusterBy: Seq[String] = Nil,
+    /** Write a parquet bloom filter for each named column
+      * (`parquet.bloom.filter.enabled#col`): point-lookup (`col = x`)
+      * scans skip row groups whose filter rules the value out — the
+      * equality-predicate complement of [[clusterBy]]'s range skipping. */
+    bloomFilterColumns: Seq[String] = Nil) {
 
   def validated: CopyToOptions = {
     compression.foreach { c =>

@@ -111,6 +111,12 @@ object CopyTo {
     }
     if (opts.fieldIds != "none")
       w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
+    // per-column parquet bloom filters: scan-time point-lookup skipping
+    // (a row group whose bloom rules out `col = x` is never decoded) —
+    // the file-level complement of the query-level BloomSketch
+    opts.bloomFilterColumns.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     // file_size_bytes: cap row groups at the target so the writer's own
     // flushing can't straddle it, write task-naturally, then let the
     // observed-size feedback pass below split any oversized file.  (An

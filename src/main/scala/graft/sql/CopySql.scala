@@ -35,7 +35,7 @@ import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
  * TO options: `format parquet`, `compression`, `compression_level`,
  * `row_group_size`, `row_group_size_bytes`, `file_size_bytes` (number or
  * `'10MB'`), `parquet_version v1|v2`, `field_ids none|auto|'<json>'`,
- * `partition_by 'a,b'`, `cluster_by 'a,b'`.  FROM options: `format
+ * `partition_by 'a,b'`, `cluster_by 'a,b'`, `bloom_filter_columns 'a,b'`.  FROM options: `format
  * parquet`, `match_by name|position`.  Unknown options error, like the
  * reference's validation (`copy_utils.rs:37-219`).
  *
@@ -137,6 +137,8 @@ object CopySql {
         case "field_ids"    => acc.copy(fieldIds = requireValue(k, v))
         case "partition_by" => acc.copy(partitionBy = splitIdents(requireValue(k, v)))
         case "cluster_by"   => acc.copy(clusterBy = splitIdents(requireValue(k, v)))
+        case "bloom_filter_columns" =>
+          acc.copy(bloomFilterColumns = splitIdents(requireValue(k, v)))
         case other => throw new IllegalArgumentException(
           s"option '$other' is not supported for COPY TO")
       }

@@ -412,4 +412,37 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(CopyToOptions.parseFileSize("1GB") == 1024L * 1024 * 1024)
     intercept[IllegalArgumentException] { CopyToOptions.parseFileSize("512KB") }
   }
+
+  test("bloomFilterColumns writes a parquet bloom for exactly the named columns") {
+    import scala.jdk.CollectionConverters._
+    val uri = TestSpark.tmpDir("rt_bloomcol")
+    // the column must overflow the dictionary-page limit: parquet-mr
+    // (correctly) skips the bloom when every page stays dictionary
+    // encoded — the dictionary already answers membership exactly.
+    // 60k sha-256 strings ≈ 3.8 MB of distinct values > the 1 MB limit.
+    val src = spark.range(60000).select(col("id"),
+      sha2(concat(lit("x"), col("id").cast("string")), 256).as("s"))
+      .coalesce(1)
+    val res = CopyTo(src, uri,
+      CopyToOptions(bloomFilterColumns = Seq("s")))
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(res.files.head), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val bfr = reader.getBloomFilterDataReader(block)
+      val sCol = cols.find(_.getPath.toDotString == "s").get
+      val idCol = cols.find(_.getPath.toDotString == "id").get
+      val bloom = bfr.readBloomFilter(sCol)
+      assert(bloom != null, "requested column must carry a bloom filter")
+      assert(bfr.readBloomFilter(idCol) == null,
+        "unrequested column must not pay for a bloom filter")
+      // a value present in the data must probe positive
+      val present = src.select("s").head().getString(0)
+      assert(bloom.findHash(bloom.hash(
+        org.apache.parquet.io.api.Binary.fromString(present))))
+    } finally reader.close()
+  }
 }
