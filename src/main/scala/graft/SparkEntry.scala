@@ -1301,6 +1301,14 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
 
     // composed pipeline: quality filter → exact dedup → per-language stats
+    // audio modality: fixed-window/hop fan-out over stub-probed clip
+    // durations (spectrogram/ASR batching shape) — narrow, no shuffle
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(
+          Multimodal.withBlob(t(s, dir, "documents"), "text"),
+          "doc_id", "blob", windowMs = 1000, hopMs = 500)
+        .orderBy("doc_id", "window_idx")),
+
     "pipeline_filter_dedup" -> ((s, dir) => {
       val filtered = t(s, dir, "documents")
         .filter(TextAnalysis.tokenCount(col("text")) >= 20)
@@ -2262,6 +2270,19 @@ object SparkEntry {
     "mm_frames" ->
       ("SELECT doc_id, unnest(range(0, CAST(strlen(text) % 24 + 1 AS BIGINT), 2)) " +
         "AS frame_idx FROM documents ORDER BY doc_id, frame_idx"),
+
+    // duration stub = octet_length*16 % 30000 + window; idx bound is
+    // ceil((dur-window)/hop) via (dur-window+hop-1)//hop, filtered to
+    // start < dur — identical integer arithmetic on both engines
+    "mm_audio_windows" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(strlen(text) AS BIGINT) * 16 % 30000 + 1000 AS dur FROM documents), " +
+        "w AS (SELECT doc_id, dur, " +
+        "unnest(range(0, (dur - 1000 + 499) // 500 + 1)) AS window_idx FROM d) " +
+        "SELECT doc_id, window_idx, window_idx * 500 AS start_ms, " +
+        "least(window_idx * 500 + 1000, dur) AS end_ms " +
+        "FROM w WHERE window_idx * 500 < dur " +
+        "ORDER BY doc_id, window_idx"),
 
     "pipeline_filter_dedup" ->
       ("WITH toks AS (SELECT doc_id, text, lang, " +

@@ -87,6 +87,36 @@ object Multimodal {
           .as("frame_idx"))
   }
 
+  /**
+   * Audio windowing fan-out: fixed-length windows advancing by `hopMs`
+   * over each clip's duration — the standard spectrogram/ASR batching
+   * shape (window − hop ms of overlap carries context across windows).
+   * Emits `(doc_id, window_idx, start_ms, end_ms)`; every clip emits at
+   * least one window, the last window is truncated at the clip end, and
+   * every millisecond of audio is covered by ≥1 window.  The duration
+   * probe is the deterministic stub (octet length at a nominal byte
+   * rate) — a real decoder reads the WAV/MP4 header instead; the
+   * fan-out arithmetic, schema, and narrow no-shuffle shape are real.
+   */
+  def audioWindows(
+      df: DataFrame, idCol: String, srcCol: String,
+      windowMs: Int = 1000, hopMs: Int = 500): DataFrame = {
+    require(windowMs >= 1 && hopMs >= 1 && hopMs <= windowMs,
+      "need 1 <= hopMs <= windowMs")
+    // stub probe: ~16 bytes/ms nominal rate, min one window
+    val durMs = (octet_length(col(srcCol)).cast("long") * 16 % 30000L +
+      lit(windowMs.toLong)).as("_dur")
+    df.select(col(idCol).as("doc_id"), durMs)
+      .select(col("doc_id"), col("_dur"),
+        explode(sequence(lit(0L),
+          ((col("_dur") - windowMs + hopMs - 1) / hopMs).cast("long"),
+          lit(1L))).as("window_idx"))
+      .filter(col("window_idx") * hopMs < col("_dur"))
+      .select(col("doc_id"), col("window_idx"),
+        (col("window_idx") * hopMs).as("start_ms"),
+        least(col("window_idx") * hopMs + windowMs, col("_dur")).as("end_ms"))
+  }
+
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
   def extractMeta(
       spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,

@@ -102,6 +102,32 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(e == f, "hashed excision must equal string-gram excision")
   }
 
+  test("audioWindows covers every clip with bounded overlap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.audioWindows(
+        Multimodal.withBlob(docs, "text"), "doc_id", "blob",
+        windowMs = 1000, hopMs = 500)
+      .collect().toSeq.groupBy(_.getLong(0))
+    assert(out.size == docs.count(), "every clip emits at least one window")
+    out.values.foreach { ws =>
+      val sorted = ws.sortBy(_.getLong(1))
+      // dense indices from 0, hop-spaced starts, truncated final end
+      assert(sorted.map(_.getLong(1)) == (0L until sorted.size))
+      sorted.foreach { r =>
+        assert(r.getLong(2) == r.getLong(1) * 500)
+        assert(r.getLong(3) > r.getLong(2) &&
+          r.getLong(3) <= r.getLong(2) + 1000)
+      }
+      // coverage: consecutive windows overlap or abut (window >= hop)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b.getLong(2) <= a.getLong(3))
+        case _ =>
+      }
+      // the clip end is reached
+      assert(sorted.last.getLong(3) > sorted.last.getLong(2))
+    }
+  }
+
   test("stratifiedSample rejects fractions outside [0, 1]") {
     intercept[IllegalArgumentException] {
       TrainPrep.stratifiedSample(Seq((1L, "x")).toDF("id", "s"),
