@@ -987,6 +987,39 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy("event_id")
     }),
 
+    // stream-STATIC enrichment join: each purchase event picks up its
+    // customer's nation from a static dimension — the stateless
+    // streaming join class (no watermark, no state store; the dim is
+    // broadcast into every micro-batch), distinct from the stateful
+    // stream-stream joins below
+    "stream_static_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_" +
+        new java.io.File(dir).getName
+      val outDir = s"$base/out"; val ckDir = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val dim = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation")))
+      val q = s.readStream.schema(schema).parquet(stageDir)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("nation"),
+          round(col("value"), 2).as("value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir).orderBy("event_id")
+    }),
+
     // stream-stream INTERVAL join with watermarks on both sides: last-hour
     // click context for each purchase.  Watermarks bound join state at
     // scale; with one availableNow pass every match emits, so the result
@@ -2089,6 +2122,12 @@ object SparkEntry {
         "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 " +
         "AND epoch_us(p.ts) " +
         "ORDER BY p.user_id, p_id, c_id, pts, cts"),
+
+    "stream_static_join" ->
+      ("SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, " +
+        "round(e.value, 2) AS value FROM events e " +
+        "JOIN customer c ON e.user_id = c.c_custkey " +
+        "WHERE e.event_type = 'purchase' ORDER BY e.event_id"),
 
     "stream_outer_join" ->
       ("SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, " +

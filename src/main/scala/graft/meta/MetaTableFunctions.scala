@@ -41,7 +41,9 @@ object MetaTableFunctions {
     ("parquet_kv_metadata", "_FUNC_(glob) - footer key-value metadata",
       ParquetInfo.kvMetadata),
     ("parquet_column_stats", "_FUNC_(glob) - min/max/nulls merged across row groups",
-      ParquetInfo.columnStats))
+      ParquetInfo.columnStats),
+    ("parquet_bloom_filters", "_FUNC_(glob) - per column-chunk bloom filter presence",
+      ParquetInfo.bloomFilters))
 
   /** Table-function builders in the shape `injectTableFunction` and
     * `TableFunctionRegistry.registerFunction` both accept. */

@@ -454,6 +454,35 @@ object ParquetInfo {
     files.sortBy(_._1.toString)
   }
 
+  /** Per-column-chunk bloom-filter presence — introspection companion to
+    * `CopyToOptions.bloomFilterColumns` (beyond the reference's M-surface;
+    * DuckDB 1.0 does not expose these footer fields either).  One row per
+    * (row group × column): whether a bloom filter was written, and its
+    * footer offset/length when present. */
+  def bloomFilters(spark: SparkSession, pattern: String): DataFrame = {
+    val rows = withFooters(spark, pattern) { (uri, footer, _) =>
+      footer.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (blk, rg) =>
+        blk.getColumns.asScala.toSeq.map { cc =>
+          val off = cc.getBloomFilterOffset
+          Row(uri, rg.toLong, cc.getPath.toDotString, off >= 0,
+            if (off >= 0) java.lang.Long.valueOf(off) else null,
+            if (off >= 0 && cc.getBloomFilterLength >= 0)
+              java.lang.Long.valueOf(cc.getBloomFilterLength.toLong)
+            else null)
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("file_name", StringType, nullable = false),
+        StructField("row_group_id", LongType, nullable = false),
+        StructField("path_in_schema", StringType, nullable = false),
+        StructField("has_bloom_filter", BooleanType, nullable = false),
+        StructField("bloom_filter_offset", LongType, nullable = true),
+        StructField("bloom_filter_length", LongType, nullable = true))))
+  }
+
   private def withFooters[T](spark: SparkSession, pattern: String)(
       f: (String, ParquetMetadata, ThriftExtras) => Seq[T]): Seq[T] = {
     val conf = spark.sessionState.newHadoopConf()

@@ -444,5 +444,16 @@ class CopyRoundTripSpec extends AnyFunSuite {
       assert(bloom.findHash(bloom.hash(
         org.apache.parquet.io.api.Binary.fromString(present))))
     } finally reader.close()
+    // introspection surface agrees, via both the API and SQL routes
+    val meta = graft.meta.ParquetInfo.bloomFilters(spark, s"$uri/*.parquet")
+      .collect().map(r => r.getString(2) -> r.getBoolean(3)).toMap
+    assert(meta == Map("s" -> true, "id" -> false))
+    graft.meta.MetaTableFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT path_in_schema, bloom_filter_offset FROM " +
+        s"parquet_bloom_filters('$uri/*.parquet') WHERE has_bloom_filter")
+      .collect()
+    assert(viaSql.length == 1 && viaSql.head.getString(0) == "s" &&
+      viaSql.head.getLong(1) > 0)
   }
 }
