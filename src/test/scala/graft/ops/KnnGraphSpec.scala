@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+  test("NN-Descent converges toward the exact kNN graph") {
+    val k = 10
+    // exact graph: corpus vs itself through the broadcast brute force
+    val exact = asMap(Similarity.bruteForceTopK(emb, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+      .withColumnRenamed("query_id", "id"))
+    def recallAt(iters: Int): Double = {
+      val g = asMap(KnnGraph.build(emb, "vec_id", "embedding", k, iters))
+      exact.map { case (id, truth) =>
+        g.getOrElse(id, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+    }
+    val r0 = recallAt(0)
+    val r4 = recallAt(4)
+    val r10 = recallAt(10)
+    info(f"kNN-graph recall@$k: init $r0%.2f -> 4 rounds $r4%.2f -> 10 rounds $r10%.2f")
+    assert(r4 > r0 + 0.15, "refinement must improve the graph substantially")
+    assert(r10 > r4, "more rounds must keep improving")
+    assert(r10 >= 0.75, f"converged recall too low: $r10%.2f")
+  }
+
+  test("graph is deterministic across partitionings, ranks dense, no self-edges") {
+    val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
+      .orderBy("id", "rank").collect().toSeq
+    val b = KnnGraph.build(emb.repartition(7), "vec_id", "embedding", 5, 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(a == b, "graph must be a pure function of the vector set")
+    assert(a.forall(r => r.getLong(0) != r.getLong(2)), "no self-edges")
+    a.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted == (1L to rows.size))
+    }
+  }
+}
