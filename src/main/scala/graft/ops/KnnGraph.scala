@@ -104,4 +104,73 @@ object KnnGraph {
     graph.select(col("a").as("id"), col("rank").cast("long").as("rank"),
       col("b").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /**
+   * Graph-ANN serving: beam search over a built k-NN graph (the flat
+   * analogue of HNSW's layer-0 walk).  Each query starts from
+   * deterministic seed nodes, then each hop expands the current beam's
+   * graph neighbors, scores them exactly against the query (queries
+   * broadcast — the corpus never moves), and keeps the best `beam`
+   * visited nodes.  Per hop the work is one keyed join against the
+   * graph + a bounded window — queries×beam×k candidate rows, corpus
+   * touched only through its edge list.
+   *
+   * Deterministic: fixed seeds (lowest hashed-order nodes), fixed hop
+   * count, exact scoring, ties by candidate id.
+   */
+  def search(
+      graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int = 10, beam: Int = 30, hops: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1,
+      "need k >= 1, beam >= k, hops >= 1")
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val vecs = corpus.select(col(idCol).cast("long").as("cand"),
+        col(vecCol).as("__cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).as("__qv")))
+    val edges = graph.select(col("id").as("cand"),
+      col("neighbor_id").as("next"))
+
+    def score(cands: DataFrame): DataFrame =
+      cands.join(vecs, "cand").join(qs, "query_id")
+        .withColumn("cosine", GraftFunctions.cosine(col("__cv"), col("__qv")))
+        .select("query_id", "cand", "cosine")
+
+    def keepBeam(state: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand"))
+      state.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= beam).drop("__r")
+    }
+
+    // seeds: the `beam` lowest hashed-order corpus nodes, same for every
+    // query (entry points need no per-query logic; the walk specializes)
+    val seeds = vecs.select(col("cand"))
+      .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
+    var state = keepBeam(score(
+        qs.select("query_id").crossJoin(seeds)))
+      .localCheckpoint()
+    var hop = 0
+    while (hop < hops) {
+      val expanded = state.select(col("query_id"), col("cand"))
+        .join(edges, "cand")
+        .select(col("query_id"), col("next").as("cand"))
+        .distinct()
+      state = keepBeam(score(expanded).unionAll(state)
+          .groupBy("query_id", "cand").agg(max("cosine").as("cosine")))
+        .localCheckpoint()
+      hop += 1
+    }
+    vecs.unpersist()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand"))
+    state.filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
 }

@@ -36,6 +36,27 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(r10 >= 0.75, f"converged recall too low: $r10%.2f")
   }
 
+  test("beam search over the graph recalls the exact neighbors") {
+    val k = 10
+    val graph = KnnGraph.build(emb, "vec_id", "embedding", k, iters = 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = KnnGraph.search(graph, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k, beam = 40, hops = 4)
+    val exact = asMap(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+      .withColumnRenamed("query_id", "id"))
+    val got = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / exact.size
+    info(f"graph beam-search recall@$k = $recall%.2f (beam 40, 4 hops)")
+    assert(recall >= 0.6, f"beam search recall too low: $recall%.2f")
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == k), "dense top-k per query")
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
