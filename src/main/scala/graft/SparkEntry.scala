@@ -1181,6 +1181,14 @@ object SparkEntry {
           "embedding", threshold = 0.4, tables = 8, bitsPerTable = 6)
         .orderBy("a", "b")),
 
+    // SemDeDup: k-means cells restrict the quadratic pair step (Σ|cell|²
+    // work — `clusters` is the web-scale lever), survivor = least
+    // centroid-similar member per duplicate group (diversity keep policy)
+    "dedup_semantic" -> ((s, dir) =>
+      ops.SemDedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", clusters = 8, threshold = 0.45, iters = 3)
+        .orderBy("id")),
+
     // --------------------------------------- pipeline ops: similarity
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1362,6 +1370,26 @@ object SparkEntry {
           Multimodal.withBlob(t(s, dir, "documents"), "text"),
           "doc_id", "blob", windowMs = 1000, hopMs = 500)
         .orderBy("doc_id", "window_idx")),
+
+    // perceptual near-dup over media payloads: dHash (decode stubbed as
+    // stripe-means, bit comparisons real) + banded Hamming pigeonhole.
+    // The corpus is each long document's payload plus an edited copy
+    // (last 4 bytes replaced, id offset +1e6) — the detection target is
+    // original↔edit pairs, which land within a few flipped bits while
+    // unrelated payloads sit near Hamming 32
+    "mm_phash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") >= 288)
+      val base = Multimodal.withBlob(docs, "text")
+        .select(col("doc_id"), col("blob"))
+      val edited = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 4),
+          lit("EDIT")).as("text"))
+      val editedBlobs = Multimodal.withBlob(edited, "text")
+        .select(col("doc_id"), col("blob"))
+      Multimodal.phashPairs(base.unionAll(editedBlobs), "doc_id", "blob",
+          maxHamming = 3)
+        .orderBy("a", "b")
+    }),
 
     "pipeline_filter_dedup" -> ((s, dir) => {
       val filtered = t(s, dir, "documents")

@@ -55,7 +55,8 @@ object GraftFunctions {
     },
     "graft_normalize" -> { exprs =>
       NormalizeString(exprs.head, exprs(1).eval().toString)
-    })
+    },
+    "graft_dhash" -> { exprs => DHash64(exprs.head) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -91,6 +92,8 @@ object GraftFunctions {
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) — see [[NormalizeString]]. */
   def normalize(text: Column, form: String = "NFC"): Column =
     call_function("graft_normalize", text, lit(form))
+  /** 64-bit difference-hash of a binary payload — see [[DHash64]]. */
+  def dhash(blob: Column): Column = call_function("graft_dhash", blob)
 }
 
 /**
@@ -405,6 +408,67 @@ case class HyperplaneBits(child: Expression, nbits: Int, seed: Long)
  * normalizer is a table-driven native-speed pass; per-row dispatch cost
  * is irrelevant next to it.
  */
+/**
+ * 64-bit difference hash (dHash) of a binary media payload — the
+ * classic perceptual image fingerprint (resize to 9×8 grayscale, bit =
+ * left pixel < right pixel).  The DECODE+RESIZE stage is the declared
+ * stub (codec libraries are unavailable here — see
+ * [[graft.ops.Multimodal.FakeDecoder]]): instead of decoding pixels, the
+ * payload is cut into 72 contiguous byte stripes and each "pixel" is the
+ * stripe's mean byte value.  That preserves exactly the property that
+ * makes dHash a NEAR-duplicate hash rather than an exact one: a local
+ * edit to the payload perturbs only the stripes it touches, flipping few
+ * of the 64 comparison bits, so edited copies stay within a small
+ * Hamming distance.  Swapping the stripe-mean for a real
+ * decode-to-grayscale changes nothing downstream.
+ *
+ * Payloads shorter than 72 bytes index bytes modulo the length; the
+ * empty payload hashes to 0.
+ */
+case class DHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    val cells = 72 // 9 columns × 8 rows; bit = cell c vs cell c+1 per row
+    val gray = new Array[Double](cells)
+    if (n >= cells) {
+      var c = 0
+      while (c < cells) {
+        // stripe [n*c/72, n*(c+1)/72) — contiguous, covers every byte
+        val from = (n.toLong * c / cells).toInt
+        val to = (n.toLong * (c + 1) / cells).toInt
+        var s = 0L
+        var i = from
+        while (i < to) { s += (bytes(i) & 0xFF); i += 1 }
+        gray(c) = s.toDouble / (to - from)
+        c += 1
+      }
+    } else {
+      var c = 0
+      while (c < cells) { gray(c) = (bytes(c % n) & 0xFF).toDouble; c += 1 }
+    }
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (gray(r * 9 + c) < gray(r * 9 + c + 1)) fp |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class NormalizeString(child: Expression, form: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType

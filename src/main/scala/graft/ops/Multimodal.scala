@@ -117,6 +117,43 @@ object Multimodal {
         least(col("window_idx") * hopMs + windowMs, col("_dur")).as("end_ms"))
   }
 
+  /**
+   * Perceptual-hash near-duplicate pairs over media payloads: dHash each
+   * blob ([[graft.functions.DHash64]] — decode/resize stubbed as
+   * stripe-means, comparison bits real), then find all pairs within
+   * `maxHamming` via the same 4×16-bit banding pigeonhole as
+   * [[Dedup.simhashPairs]] (any pair at Hamming ≤ 3 agrees exactly on at
+   * least one 16-bit piece).  Candidates form only on shared pieces —
+   * never an all-pairs blow-up — and are verified with `bit_count`.
+   *
+   * Output: (a, b, hamming), a < b.  The scale shape is the SimHash one:
+   * hash once (narrow), explode ×4, self-join on (piece, value).
+   */
+  def phashPairs(
+      df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.dhash(col(blobCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pieces = fps.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("fp"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "piece")
+      .withColumnRenamed("col", "piece_val")
+    val a = pieces.select(col("piece"), col("piece_val"),
+      col("doc_id").as("a"), col("fp").as("fp_a"))
+    val b = pieces.select(col("piece"), col("piece_val"),
+      col("doc_id").as("b"), col("fp").as("fp_b"))
+    a.join(b, Seq("piece", "piece_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
   def extractMeta(
       spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+ * "SemDeDup: Data-efficient learning at web-scale through semantic
+ * deduplication"): k-means-cluster the embedding space, then call two
+ * documents duplicates only when they land in the SAME cluster and their
+ * cosine similarity exceeds the threshold.  Within each duplicate group
+ * the survivor is the example LEAST similar to its cluster centroid
+ * (the paper's diversity-preserving keep policy), ties broken by id.
+ *
+ * This complements the existing near-dup family
+ * ([[Similarity.bruteForcePairs]] exact-all-pairs,
+ * [[Dedup.embeddingNearDupPairs]] LSH): where those treat the corpus as
+ * one flat space, SemDeDup's cluster restriction is what makes the
+ * quadratic pair step tractable at web scale — pairs are generated
+ * per-cell, so candidate volume is Σ|cell|² ≈ n²/k, and `clusters`
+ * scales with the corpus (the paper uses k ≈ n/10⁴ on LAION).  Each
+ * cell's pair generation is an equi-join on the cell id — fully
+ * distributed, never driver-side.
+ *
+ * Determinism: centroids come from [[IvfIndex.train]] (lowest-id init,
+ * fixed iterations, order-independent decimal means), so the whole
+ * labeling is a pure function of the input rows at any partitioning.
+ */
+object SemDedup {
+
+  /**
+   * Annotates every input row with its cluster, duplicate-group label,
+   * centroid similarity, and the keep decision.
+   *
+   * Output columns: `id`, `cell` (cluster), `centroid_sim` (rounded 4dp),
+   * `group` (duplicate-group label = smallest member id; own id when the
+   * row has no duplicate), `keep` (boolean).
+   */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      clusters: Int = 8, threshold: Double = 0.85,
+      iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+
+    val model = IvfIndex.train(df, idCol, vecCol, clusters, iters)
+    val assigned = IvfIndex
+      .assign(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
+        "id", "__v", model)
+
+    // similarity of each row to its own centroid — the keep-policy key.
+    // The centroid table is k rows; broadcast it.
+    val centroidsDf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("ivf_cell", "__cent")
+    val withSim = assigned
+      .join(broadcast(centroidsDf), Seq("ivf_cell"))
+      .withColumn("centroid_sim",
+        round(GraftFunctions.cosine(col("__v"), col("__cent")), 4))
+      .select(col("id"), col("ivf_cell"), col("__v"), col("centroid_sim"))
+      // pair generation + component labeling + survivor pick all reuse
+      // this; one materialization instead of three upstream recomputes
+      // (localCheckpoint also cuts the lineage so the final plan stays
+      // small, and its blocks free with the reference)
+      .localCheckpoint()
+
+    // within-cell duplicate pairs: equi-join on the cell id, upper
+    // triangle only, exact cosine filter.  NaN guard as in
+    // Similarity.bruteForcePairs (zero-norm vectors).
+    val l = withSim.select(col("ivf_cell"), col("id").as("a"), col("__v").as("va"))
+    val r = withSim.select(col("ivf_cell"), col("id").as("b"), col("__v").as("vb"))
+    val pairs = l.join(r, Seq("ivf_cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("c", GraftFunctions.cosine(col("va"), col("vb")))
+      .filter(!isnan(col("c")) && col("c") >= threshold)
+      .select(col("a"), col("b"))
+
+    // duplicate groups = connected components of the pair graph (pairs
+    // never cross cells, so components are within-cell by construction)
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .select(col("id"), col("component").as("group"))
+
+    // survivor per group: least similar to the centroid, ties by id
+    val labeled = withSim
+      .join(comps, Seq("id"), "left")
+      .withColumn("group", coalesce(col("group"), col("id")))
+    val winners = labeled.groupBy("group")
+      .agg(min_by(col("id"),
+        struct(col("centroid_sim"), col("id"))).as("__winner"))
+    val out = labeled.join(winners, Seq("group"))
+      .select(col("id"), col("ivf_cell").as("cell"), col("centroid_sim"),
+        col("group"), (col("id") === col("__winner")).as("keep"))
+    out
+  }
+}

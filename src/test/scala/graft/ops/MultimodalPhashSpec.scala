@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.GraftFunctions
+
+class MultimodalPhashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hashOf(bytes: Array[Byte]): Long = {
+    GraftFunctions.register(spark)
+    Seq(Tuple1(bytes)).toDF("blob")
+      .select(GraftFunctions.dhash(col("blob"))).as[Long].head()
+  }
+
+  test("dhash is deterministic and length-insensitive to content scale") {
+    val payload = Array.tabulate[Byte](5000)(i => ((i * 31 + 7) % 251).toByte)
+    assert(hashOf(payload) == hashOf(payload.clone()))
+    assert(hashOf(Array.emptyByteArray) == 0L)
+    // shorter than 72 bytes: modulo sampling, still deterministic
+    val small = Array.tabulate[Byte](10)(i => (i * 17).toByte)
+    assert(hashOf(small) == hashOf(small.clone()))
+  }
+
+  test("a local edit flips few bits; an unrelated payload flips many") {
+    val base = Array.tabulate[Byte](8000)(i => ((i * 131) % 253).toByte)
+    val edited = base.clone()
+    // corrupt one 300-byte region (~3 of 72 stripes)
+    var i = 4000
+    while (i < 4300) { edited(i) = (~edited(i)).toByte; i += 1 }
+    val other = Array.tabulate[Byte](8000)(i => ((i * i + 7) % 241).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hb = hashOf(base)
+    assert(ham(hb, hashOf(edited)) <= 6)
+    assert(ham(hb, hashOf(other)) > 10)
+  }
+
+  test("phashPairs equals brute-force hamming filter (pigeonhole exact)") {
+    GraftFunctions.register(spark)
+    // payload family: shared base with per-doc local edits of varying size
+    val base = Array.tabulate[Byte](4096)(i => ((i * 37 + 11) % 250).toByte)
+    val docs = (0 until 40).map { d =>
+      val b = base.clone()
+      var i = (d * 97) % 3000
+      val end = math.min(b.length, i + d * 25)
+      while (i < end) { b(i) = (b(i) + d + 1).toByte; i += 1 }
+      (d.toLong, b)
+    }
+    val df = docs.toDF("doc_id", "blob")
+    val got = Multimodal.phashPairs(df, "doc_id", "blob", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val hs = df.select(col("doc_id"),
+      GraftFunctions.dhash(col("blob")).as("fp")).as[(Long, Long)].collect()
+    val want = (for {
+      x <- hs; y <- hs if x._1 < y._1
+      if java.lang.Long.bitCount(x._2 ^ y._2) <= 3
+    } yield (x._1, y._1)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the family construction must yield near-dups
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("partition: every row labeled once, exactly one survivor per group") {
+    val out = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      clusters = 4, threshold = 0.9, iters = 3).cache()
+    val n = emb.count()
+    assert(out.count() == n)
+    assert(out.select("id").distinct().count() == n)
+    val perGroup = out.groupBy("group")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"))
+      .filter(col("kept") =!= 1).count()
+    assert(perGroup == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("keep policy: survivor is least centroid-similar, ties by id") {
+    val out = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      clusters = 4, threshold = 0.9, iters = 3)
+      .select("id", "group", "centroid_sim", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byGroup = out.groupBy(_._2)
+    byGroup.foreach { case (_, rows) =>
+      val winner = rows.minBy(r => (r._3, r._1))
+      rows.foreach { r => assert(r._4 == (r._1 == winner._1)) }
+    }
+  }
+
+  test("duplicates share a group only within a cluster and above threshold") {
+    val t = 0.9
+    val out = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      clusters = 4, threshold = t, iters = 3).cache()
+    // same group implies same cell
+    val crossCell = out.as("x").join(out.as("y"),
+        $"x.group" === $"y.group" && $"x.cell" =!= $"y.cell").count()
+    assert(crossCell == 0)
+    // every multi-member group contains at least one pair above threshold
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = emb.select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val members = out.filter(col("group") =!= col("id"))
+      .select("id", "group").join(vecs, "id")
+    val anchors = out.filter(col("group") === col("id"))
+      .select(col("id").as("gid")).join(
+        vecs.select(col("id").as("gid"), col("embedding").as("ga")), "gid")
+    val sims = members.join(anchors, col("group") === col("gid"))
+      .withColumn("c", graft.functions.GraftFunctions.cosine(
+        col("embedding"), col("ga")))
+    // group label = min id member; every other member is connected to the
+    // group through SOME chain of >=t pairs, not necessarily directly to
+    // the anchor — so only sanity-check that sims are high-ish
+    assert(sims.filter(col("c") < 0.5).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("deterministic across partitioning") {
+    val a = SemDedup.semanticDedup(emb.repartition(13), "vec_id", "embedding",
+      clusters = 4, threshold = 0.9, iters = 3)
+      .orderBy("id").collect().toSeq
+    val b = SemDedup.semanticDedup(emb.repartition(2), "vec_id", "embedding",
+      clusters = 4, threshold = 0.9, iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("threshold=1.01 keeps everything (no pairs possible)") {
+    val out = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      clusters = 4, threshold = 1.01, iters = 2)
+    assert(out.filter(!col("keep")).count() == 0)
+    assert(out.filter(col("group") =!= col("id")).count() == 0)
+  }
+}
