@@ -308,6 +308,23 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // schema evolution: two table generations with different column sets
+    // scanned under one union-by-name merged schema (distributed footer
+    // merge; columns a generation lacks are null-filled) — DuckDB's
+    // read_parquet(union_by_name=true) is the independent oracle
+    "io_merge_schema" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
+        new java.io.File(dir).getName
+      CopyTo(ord.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select("o_orderkey", "o_custkey"), s"$base/gen1")
+      CopyTo(ord.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        s"$base/gen2")
+      CopyFrom.mergedSchema(s, Seq(s"$base/gen1", s"$base/gen2"))
+        .orderBy("o_orderkey")
+    }),
+
     // G1: SQL statement routing — COPY through the parser surface
     // (reference hook.rs:133-194); the read-back against the DuckDB
     // oracle on the source table proves the statement round-trip
@@ -1830,6 +1847,11 @@ object SparkEntry {
       ("SELECT decode(key) AS key, decode(value) AS value " +
         "FROM parquet_kv_metadata('__TMPDIR__/graft_kv___SFNAME__/*.parquet') " +
         "WHERE decode(key) IN ('geo', 'graft.engine') ORDER BY key"),
+
+    "io_merge_schema" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority " +
+        "FROM read_parquet('__TMPDIR__/graft_evolve___SFNAME__/gen*/*.parquet', " +
+        "union_by_name=true) ORDER BY o_orderkey"),
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -43,4 +43,61 @@ object CopyFrom {
     val df = spark.read.parquet(uri)
     options.where.map(df.filter).getOrElse(df)
   }
+
+  /**
+   * Schema-evolution scan: reads table generations whose schemas differ
+   * (columns added/dropped, numerics widened over a table's lifetime)
+   * under one union-by-name schema, with columns a generation lacks
+   * null-filled and int32→int64 / float32→float64 widened — the
+   * semantics of DuckDB's `read_parquet(..., union_by_name=true)`,
+   * which the oracle uses.  (The reference reads one file per COPY and
+   * has no multi-schema story; Spark's built-in `mergeSchema` refuses
+   * the widening cases, so the merge is computed here and each
+   * generation gets a cast/null-fill projection before a `unionByName`.)
+   *
+   * Scale shape: one footer read per GENERATION uri on the driver (a
+   * handful — generations, not files; each uri's own file listing and
+   * footer work stays distributed), and filters push through the Union
+   * into every per-generation scan.  Incompatible redefinitions of a
+   * column (e.g. string→double) fail loudly at plan time.
+   */
+  def mergedSchema(
+      spark: SparkSession,
+      uris: Seq[String],
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    require(uris.nonEmpty, "mergedSchema needs at least one uri")
+    val gens = uris.map(u => u -> spark.read.parquet(u))
+
+    def widen(a: DataType, b: DataType, name: String): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (ShortType | ByteType, IntegerType) |
+           (IntegerType, ShortType | ByteType) => IntegerType
+      case (ShortType | ByteType, LongType) |
+           (LongType, ShortType | ByteType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"cannot merge column '$name': incompatible types $a vs $b")
+    }
+
+    // union-by-name target schema, first-seen column order
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    gens.foreach { case (_, df) =>
+      df.schema.fields.foreach { f =>
+        merged(f.name) = merged.get(f.name)
+          .map(widen(_, f.dataType, f.name)).getOrElse(f.dataType)
+      }
+    }
+
+    val unioned = gens.map { case (_, df) =>
+      val have = df.schema.fieldNames.toSet
+      df.select(merged.toSeq.map { case (name, dt) =>
+        if (have(name)) col(name).cast(dt).as(name)
+        else lit(null).cast(dt).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+    options.where.map(unioned.filter).getOrElse(unioned)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MergeSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("union-by-name merge: added column null-filled, dropped column kept") {
+    val dir = TestSpark.tmpDir("evolve_basic")
+    val g1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val g2 = Seq((3L, 10.5, "HIGH"), (4L, 20.0, "LOW"))
+      .toDF("id", "price", "prio")
+    g1.write.mode("overwrite").parquet(s"$dir/gen1")
+    g2.write.mode("overwrite").parquet(s"$dir/gen2")
+
+    val out = CopyFrom.mergedSchema(spark, Seq(s"$dir/gen1", s"$dir/gen2"))
+    assert(out.columns.toSet == Set("id", "name", "price", "prio"))
+    val rows = out.orderBy("id")
+      .select("id", "name", "price", "prio")
+      .as[(Long, Option[String], Option[Double], Option[String])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, Some("a"), None, None),
+      (2L, Some("b"), None, None),
+      (3L, None, Some(10.5), Some("HIGH")),
+      (4L, None, Some(20.0), Some("LOW"))))
+  }
+
+  test("where predicate still pushes through the merged scan") {
+    val dir = TestSpark.tmpDir("evolve_where")
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite")
+      .parquet(s"$dir/gen1")
+    Seq((5L, 9.0)).toDF("id", "price").write.mode("overwrite")
+      .parquet(s"$dir/gen2")
+    val out = CopyFrom.mergedSchema(spark, Seq(s"$dir/gen1", s"$dir/gen2"),
+      CopyFromOptions(where = Some("id > 1")))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("numeric widening int->long merges to long") {
+    val dir = TestSpark.tmpDir("evolve_widen")
+    Seq((1, "x")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen1")
+    Seq((2L, "y")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen2")
+    val out = CopyFrom.mergedSchema(spark, Seq(s"$dir/gen1", s"$dir/gen2"))
+    assert(out.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("incompatible column redefinition fails loudly") {
+    val dir = TestSpark.tmpDir("evolve_conflict")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen1")
+    Seq((2L, 3.5)).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen2")
+    val ex = intercept[Exception] {
+      CopyFrom.mergedSchema(spark, Seq(s"$dir/gen1", s"$dir/gen2")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("merge") ||
+      ex.getMessage.toLowerCase.contains("incompatible"))
+  }
+}
