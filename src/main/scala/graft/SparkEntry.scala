@@ -325,6 +325,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // table maintenance: a deliberately fragmented write (50-row files)
+    // compacted to target-size files with Spark's own scan-planning
+    // bin-packing (narrow, shuffle-free), then read back — the oracle
+    // checks the compacted directory against the source table
+    "io_compact" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        new java.io.File(dir).getName
+      t(s, dir, "orders").write.mode("overwrite")
+        .option("maxRecordsPerFile", "50").parquet(uri)
+      val res = CopyTo.compact(s, uri, targetBytes = 1L << 20)
+      require(res.files.nonEmpty, "compaction produced no files")
+      s.read.parquet(uri).orderBy("o_orderkey")
+    }),
+
     // G1: SQL statement routing — COPY through the parser surface
     // (reference hook.rs:133-194); the read-back against the DuckDB
     // oracle on the source table proves the statement round-trip
@@ -1852,6 +1866,11 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority " +
         "FROM read_parquet('__TMPDIR__/graft_evolve___SFNAME__/gen*/*.parquet', " +
         "union_by_name=true) ORDER BY o_orderkey"),
+
+    // oracle is the SOURCE table: a hash match proves the fragmented
+    // write + compaction rewrite preserved every row and value exactly
+    "io_compact" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

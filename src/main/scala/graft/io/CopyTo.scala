@@ -200,18 +200,93 @@ object CopyTo {
       w = w.option("spark.sql.parquet.fieldId.write.enabled", "true")
     if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
     w.parquet(tmp.toString)
-    // swap without a window where no good copy exists: move the original
-    // aside, move the resplit output into place, only then delete the
-    // original (a crash mid-swap leaves either old or new intact)
-    val old = new Path(uri + "_resplit_old")
+    swapInPlace(fs, tmp, p)
+  }
+
+  /** Replace `dest` with `tmp` without a window where no good copy
+    * exists: move the original aside, move the replacement into place,
+    * only then delete the original (a crash mid-swap leaves either old
+    * or new intact). */
+  private def swapInPlace(
+      fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    val old = new Path(dest.toString + "_swap_old")
     fs.delete(old, true)
-    require(fs.rename(p, old), s"resplit rename $p -> $old failed")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // restore; best effort — old copy is still intact
-      throw new IllegalStateException(s"resplit rename $tmp -> $p failed")
+    require(fs.rename(dest, old), s"swap rename $dest -> $old failed")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(old, dest) // restore; best effort — old copy is intact
+      throw new IllegalStateException(s"swap rename $tmp -> $dest failed")
     }
     fs.delete(old, true)
     ()
+  }
+
+  /**
+   * Small-file compaction — the table-maintenance operator every
+   * long-lived 100 TB dataset needs (streaming sinks, frequent small
+   * appends, and over-parallel writes all accrete files whose per-file
+   * open/footer/list cost eventually dominates scans).  Rewrites the
+   * directory so each output file is ~`targetBytes`, preserving data,
+   * schema, and hive-partition layout exactly.
+   *
+   * Spark-first shape: the bin-packing IS Spark's own scan planning —
+   * with `spark.sql.files.maxPartitionBytes = targetBytes` (and the
+   * standard 4 MiB open-cost padding per file), `FilePartition` packing
+   * groups small files into ~targetBytes splits, each task writes one
+   * output file, and no shuffle ever happens: a pure narrow
+   * read→write at full cluster parallelism.  The swap into place is
+   * crash-safe ([[swapInPlace]]).
+   *
+   * No-op (returns the current listing) when the directory already has
+   * no more files than the data needs at the target size.
+   */
+  def compact(
+      spark: SparkSession, uri: String, targetBytes: Long,
+      compression: String = "snappy"): WriteResult = {
+    require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
+    val (files, totalBytes) = listDataFiles(spark, uri)
+    val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (files.size <= needed) return WriteResult(uri, files, totalBytes)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+
+    // partition-column values must survive byte-exactly: disable
+    // directory-name type inference so "01" stays "01" (same hazard the
+    // resplit read-back guards against), and re-partitionBy the inferred
+    // partition columns (the ones absent from the physical file schema)
+    val sqlConf = spark.conf
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    // all three packing knobs matter: maxPartitionBytes is the bin size,
+    // openCostInBytes pads every file (at its 4 MiB default no two
+    // sub-4MiB files ever share a bin), and minPartitionNum re-splits
+    // bins back up to default parallelism (the opposite of compaction)
+    val packKeys = Map(
+      "spark.sql.files.maxPartitionBytes" -> targetBytes.toString,
+      "spark.sql.files.openCostInBytes" ->
+        math.max(4096L, targetBytes / 64).toString,
+      "spark.sql.files.minPartitionNum" -> "1")
+    val saved = (packKeys.keys.toSeq :+ inferKey)
+      .map(k => k -> sqlConf.getOption(k)).toMap
+    val tmp = new Path(uri + "_compact_tmp")
+    try {
+      sqlConf.set(inferKey, "false")
+      packKeys.foreach { case (k, v) => sqlConf.set(k, v) }
+      val back = spark.read.parquet(uri)
+      val physical = spark.read.parquet(files.head).schema.fieldNames.toSet
+      val partCols = back.schema.fieldNames.filterNot(physical.contains)
+      var w = back.write.mode("overwrite").option("compression", compression)
+      if (partCols.nonEmpty) w = w.partitionBy(partCols.toIndexedSeq: _*)
+      w.parquet(tmp.toString)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => sqlConf.set(k, v)
+        case (k, None)    => sqlConf.unset(k)
+      }
+    }
+    swapInPlace(fs, tmp, p)
+    val (newFiles, newBytes) = listDataFiles(spark, uri)
+    WriteResult(uri, newFiles, newBytes)
   }
 
   /** Observed compressed bytes/row from a small prefix write (0.0 for an

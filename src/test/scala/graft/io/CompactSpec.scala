@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CompactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compaction shrinks file count and preserves data exactly") {
+    val dir = TestSpark.tmpDir("compact_basic")
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    li.write.mode("overwrite").option("maxRecordsPerFile", "200")
+      .parquet(dir)
+    val (before, bytes) = CopyTo.listDataFiles(spark, dir)
+    assert(before.size > 10)
+
+    val res = CopyTo.compact(spark, dir, targetBytes = 1L << 20)
+    assert(res.files.size < before.size)
+    assert(res.files.size == 1) // all of sf0.001 fits one 1 MiB bin
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.schema == li.schema)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    assert(bytes > 0)
+  }
+
+  test("hive-partitioned layout and string partition values survive") {
+    val dir = TestSpark.tmpDir("compact_part")
+    val df = (1 to 400).map(i => (i.toLong, f"${i % 3}%02d", s"v$i"))
+      .toDF("id", "bucket", "payload")
+    df.write.mode("overwrite").option("maxRecordsPerFile", "20")
+      .partitionBy("bucket").parquet(dir)
+    val (before, _) = CopyTo.listDataFiles(spark, dir)
+    assert(before.size > 10)
+
+    CopyTo.compact(spark, dir, targetBytes = 1L << 20)
+    val (after, _) = CopyTo.listDataFiles(spark, dir)
+    assert(after.size < before.size)
+    // partition dirs preserved with leading zeros intact
+    val parts = after.map(f => new Path(f).getParent.getName).distinct.sorted
+    assert(parts == Seq("bucket=00", "bucket=01", "bucket=02"))
+    // read back with directory-name type inference off, else the test's
+    // own read re-types "01" as int 1 and hides what compaction preserved
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val back = try {
+      spark.conf.set(inferKey, "false")
+      spark.read.parquet(dir)
+        .select("id", "bucket", "payload")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    } finally spark.conf.set(inferKey, "true")
+    assert(back == df.as[(Long, String, String)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("already-compact directory is a no-op") {
+    val dir = TestSpark.tmpDir("compact_noop")
+    spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val (before, _) = CopyTo.listDataFiles(spark, dir)
+    val res = CopyTo.compact(spark, dir, targetBytes = 1L << 20)
+    assert(res.files == before)
+  }
+
+  test("session confs are restored after compaction") {
+    val dir = TestSpark.tmpDir("compact_conf")
+    spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .write.mode("overwrite").option("maxRecordsPerFile", "300").parquet(dir)
+    val packBefore = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val inferBefore = spark.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    CopyTo.compact(spark, dir, targetBytes = 1L << 20)
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == packBefore)
+    assert(spark.conf.get(
+      "spark.sql.sources.partitionColumnTypeInference.enabled",
+      "true") == inferBefore)
+  }
+}
