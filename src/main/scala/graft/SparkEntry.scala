@@ -325,6 +325,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // multi-column Morton (z-order) clustering key: exact equi-width
+    // integer binning + bit interleave — the layout that makes min/max
+    // stats prune on EVERY clustered column; the DuckDB oracle
+    // recomputes the curve bit-for-bit
+    "io_zorder" -> ((s, dir) =>
+      io.ZOrder.withZValue(
+          t(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .orderBy("z_value", "l_partkey", "l_suppkey")),
+
     // table maintenance: a deliberately fragmented write (50-row files)
     // compacted to target-size files with Spark's own scan-planning
     // bin-packing (narrow, shuffle-free), then read back — the oracle
@@ -1871,6 +1881,18 @@ object SparkEntry {
     // write + compaction rewrite preserved every row and value exactly
     "io_compact" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "io_zorder" ->
+      ("WITH s AS (SELECT min(l_partkey) mnp, max(l_partkey) mxp, " +
+        "min(l_suppkey) mns, max(l_suppkey) mxs FROM lineitem), " +
+        "b AS (SELECT l_partkey, l_suppkey, " +
+        "((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bp, " +
+        "((l_suppkey - mns) * 256) // (mxs - mns + 1) AS bs " +
+        "FROM lineitem, s) " +
+        "SELECT l_partkey, l_suppkey, " +
+        "CAST(list_sum([(((bp >> x) & 1) << (2*x + 1)) + " +
+        "(((bs >> x) & 1) << (2*x)) for x in range(8)]) AS BIGINT) " +
+        "AS z_value FROM b ORDER BY z_value, l_partkey, l_suppkey"),
 
     "io_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Z-order (Morton-curve) multi-column clustering: bucket each cluster
+ * column into `2^bits` equi-width bins, interleave the bucket bits into
+ * one `z_value`, and lay the data out sorted by it.  Files (and row
+ * groups) then cover small axis-aligned RECTANGLES of the key space, so
+ * min/max stats prune scans for predicates on ANY clustered column —
+ * where a plain sort/`clusterBy` only prunes its leading column.
+ * (Same layout idea as Delta Lake's OPTIMIZE ZORDER BY / the classic
+ * Morton-order literature.)
+ *
+ * Binning is exact integer arithmetic over the column's (min, max) —
+ * `(v - min) * 2^bits DIV (range + 1)` — computed in one distributed
+ * aggregate; no sampling, no interpolation, so the same rows always get
+ * the same z-value at any partitioning (and a SQL oracle can reproduce
+ * it bit-for-bit).  Equi-width is skew-sensitive; for heavily skewed
+ * columns substitute quantile boundaries for the bins — the interleave
+ * and layout stages are unchanged.
+ *
+ * Scale shape: one min/max aggregate + one range shuffle on `z_value`
+ * (the same shuffle any clustered write pays); everything else is
+ * narrow, codegen'd bit arithmetic.
+ */
+object ZOrder {
+
+  /** Max `bits` so `cols.size * bits` fits a long z-value. */
+  private def checkBits(nCols: Int, bits: Int): Unit = {
+    require(nCols >= 1, "need at least one z-order column")
+    require(bits >= 1 && nCols * bits <= 62,
+      s"need 1 <= bits and cols*bits <= 62 (got $nCols cols × $bits bits)")
+  }
+
+  /**
+   * Appends `z_value` computed from `cols` (integral types; nulls land
+   * in bucket 0).  One aggregate job to find each column's (min, max);
+   * the z-value itself is a pure narrow projection.
+   */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    checkBits(cols.size, bits)
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType,
+        s"z-order column '$c' must be integral, got $dt (bucket floats " +
+          "by casting or quantile-binning upstream)")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"__mn_$c"),
+        max(col(c).cast("long")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = 1L << bits
+
+    val bucketCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getLong(2 * i); val mx = row.getLong(2 * i + 1)
+      val range = mx - mn + 1
+      require(range > 0 && range <= Long.MaxValue / buckets,
+        s"z-order column '$c' range $range too wide for $bits-bit binning")
+      // (v - min) * 2^bits DIV (mx - mn + 1): integer division keeps the
+      // result exact and always in [0, 2^bits) with no clamp
+      call_function("div",
+        (coalesce(col(c).cast("long"), lit(mn)) - mn) * buckets, lit(range))
+    }
+
+    // interleave: bit b of bucket i lands at z bit (b * nCols + i), with
+    // column 0 taking the MOST significant lane of each group
+    val n = cols.size
+    val terms = for {
+      b <- 0 until bits
+      i <- 0 until n
+    } yield shiftright(bucketCols(i), b).bitwiseAND(lit(1L)) *
+      lit(1L << (b * n + (n - 1 - i)))
+    df.withColumn("z_value", terms.reduce(_ + _))
+  }
+
+  /**
+   * Z-ordered clustered write: compute `z_value` over `cols` and write
+   * via [[CopyTo]] with `clusterBy("z_value")` (range shuffle + in-file
+   * sort), keeping `z_value` in the file for layout introspection.
+   */
+  def write(
+      df: DataFrame, uri: String, cols: Seq[String], bits: Int = 8,
+      options: CopyToOptions = CopyToOptions.default): CopyTo.WriteResult =
+    CopyTo(withZValue(df, cols, bits), uri,
+      options.copy(clusterBy = Seq("z_value")))
+}

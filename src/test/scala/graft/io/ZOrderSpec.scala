@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("z_value matches a reference Morton interleave") {
+    val df = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val got = ZOrder.withZValue(df, Seq("x", "y"), bits = 4)
+      .select("x", "y", "z_value").as[(Long, Long, Long)]
+      .collect().map { case (x, y, z) => (x, y) -> z }.toMap
+    def ref(x: Long, y: Long): Long = {
+      // min=0, max=15, range=16: bucket = v*16/16 = v
+      var z = 0L
+      for (b <- 0 until 4) {
+        z |= ((x >> b) & 1L) << (2 * b + 1) // col 0 = high lane
+        z |= ((y >> b) & 1L) << (2 * b)
+      }
+      z
+    }
+    for { x <- 0L until 16L; y <- 0L until 16L }
+      assert(got((x, y)) == ref(x, y), s"($x,$y)")
+    // the curve visits every cell exactly once
+    assert(got.values.toSet.size == 256 && got.values.min == 0L &&
+      got.values.max == 255L)
+  }
+
+  test("nulls land in bucket 0; non-integral columns are rejected") {
+    val df = Seq((Some(5L), 1L), (None, 2L)).toDF("a", "b")
+    val z = ZOrder.withZValue(df, Seq("a"), bits = 2)
+      .filter(col("a").isNull).select("z_value").as[Long].head()
+    assert(z == 0L)
+    val bad = Seq((1.5, 2L)).toDF("f", "g")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.withZValue(bad, Seq("f"))
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
+  test("z-ordered layout bounds per-file spans on BOTH columns") {
+    val dir = TestSpark.tmpDir("zorder_layout")
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .repartition(8) // >= 8 upstream partitions -> 8 clustered files
+    ZOrder.write(li, dir, Seq("l_partkey", "l_suppkey"), bits = 8)
+
+    val (files, _) = CopyTo.listDataFiles(spark, dir)
+    assert(files.size > 3)
+    def spans(paths: Seq[String], c: String): Seq[Long] = paths.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    val global = li.agg(
+      max("l_partkey").cast("long"), min("l_partkey").cast("long"),
+      max("l_suppkey").cast("long"), min("l_suppkey").cast("long")).head()
+    val partRange = (global.getLong(0) - global.getLong(1)).toDouble
+    val suppRange = (global.getLong(2) - global.getLong(3)).toDouble
+
+    // every file must cover a PROPER sub-rectangle on average: mean span
+    // well under the global range for both columns simultaneously (a
+    // single-column sort gives ~full range on the other column)
+    val partSpans = spans(files, "l_partkey").map(_.toDouble)
+    val suppSpans = spans(files, "l_suppkey").map(_.toDouble)
+    assert(partSpans.sum / partSpans.size < 0.7 * partRange,
+      s"partkey spans $partSpans vs range $partRange")
+    assert(suppSpans.sum / suppSpans.size < 0.7 * suppRange,
+      s"suppkey spans $suppSpans vs range $suppRange")
+  }
+}
