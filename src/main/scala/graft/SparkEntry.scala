@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy, MergeInto}
 import graft.meta.ParquetInfo
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
@@ -335,17 +335,40 @@ object SparkEntry {
           Seq("l_partkey", "l_suppkey"), bits = 8)
         .orderBy("z_value", "l_partkey", "l_suppkey")),
 
-    // table maintenance: a deliberately fragmented write (50-row files)
-    // compacted to target-size files with Spark's own scan-planning
-    // bin-packing (narrow, shuffle-free), then read back — the oracle
-    // checks the compacted directory against the source table
+    // table maintenance: a deliberately fragmented write (100 small
+    // files at any sf) compacted to target-size files with Spark's own
+    // scan-planning bin-packing (narrow, shuffle-free), then read back —
+    // the oracle checks the compacted directory against the source table
     "io_compact" -> ((s, dir) => {
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
         new java.io.File(dir).getName
-      t(s, dir, "orders").write.mode("overwrite")
-        .option("maxRecordsPerFile", "50").parquet(uri)
+      t(s, dir, "orders").repartition(100).write.mode("overwrite")
+        .parquet(uri)
       val res = CopyTo.compact(s, uri, targetBytes = 1L << 20)
       require(res.files.nonEmpty, "compaction produced no files")
+      s.read.parquet(uri).orderBy("o_orderkey")
+    }),
+
+    // keyed MERGE (upsert/insert/delete) rewriting only matched files:
+    // update every %100==3 order, delete %100==7, insert key-shifted
+    // copies of %100==9 — the oracle recomputes the merged table from
+    // the source relationally
+    "io_merge_into" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+        new java.io.File(dir).getName
+      val ord = t(s, dir, "orders")
+      ord.repartitionByRange(10, col("o_orderkey"))
+        .write.mode("overwrite").parquet(uri)
+      val ups = ord.filter(pmod(col("o_orderkey"), lit(100)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("__del", lit(false))
+      val dels = ord.filter(pmod(col("o_orderkey"), lit(100)) === 7)
+        .withColumn("__del", lit(true))
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(100)) === 9)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("__del", lit(false))
+      MergeInto(s, uri, ups.unionByName(dels).unionByName(ins),
+        Seq("o_orderkey"), deleteCol = Some("__del"))
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
@@ -1881,6 +1904,19 @@ object SparkEntry {
     // write + compaction rewrite preserved every row and value exactly
     "io_compact" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "io_merge_into" ->
+      ("WITH merged AS (" +
+        "SELECT * FROM orders WHERE o_orderkey % 100 NOT IN (3, 7) " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 3 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 9) " +
+        "SELECT * FROM merged ORDER BY o_orderkey"),
 
     "io_zorder" ->
       ("WITH s AS (SELECT min(l_partkey) mnp, max(l_partkey) mxp, " +

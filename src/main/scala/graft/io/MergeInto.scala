@@ -1,0 +1,114 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyed MERGE (upsert + delete) into a parquet directory that rewrites
+ * ONLY the files containing matched keys — the partial-rewrite pattern
+ * that makes point updates affordable on a 100 TB table (a full rewrite
+ * of the table per merge batch is the thing this operator exists to
+ * avoid; files with no matched key are never read past their footer,
+ * never decoded, never rewritten).
+ *
+ * Semantics (classic upsert):
+ *  - an update row whose key exists in the target REPLACES that row
+ *  - an update row whose key is absent is INSERTED
+ *  - an update row with `deleteCol = true` DELETES the target row
+ *    (absent-key deletes are no-ops)
+ * `updates` must carry at most one row per key (enforced — ambiguous
+ * multi-row merges are refused rather than resolved arbitrarily).
+ *
+ * Shape: one semi-join of the target's key+file projection against the
+ * (broadcastable) update keys finds the touched files; survivors of
+ * those files anti-join the update keys and union the incoming rows
+ * into replacement files.  The swap deletes the touched files and moves
+ * the replacements in; like any file-level commit without a manifest
+ * log there is a non-transactional window — a production deployment
+ * layers a commit protocol (manifest/_SUCCESS swap) on top, which is
+ * orthogonal to the merge computation itself.
+ *
+ * Hive-partitioned targets are refused (rewriting across partition
+ * directories needs partition-aware placement; compose with
+ * [[CopyTo]]'s partitionBy per partition instead).
+ */
+object MergeInto {
+
+  final case class MergeResult(
+      uri: String, rewrittenFiles: Int, untouchedFiles: Int,
+      finalRows: Long)
+
+  def apply(
+      spark: SparkSession, uri: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String] = None): MergeResult = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    require(files.nonEmpty, s"merge target $uri has no data files")
+
+    val target = spark.read.parquet(uri)
+    val physical = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val partCols = target.schema.fieldNames.filterNot(physical.contains)
+    require(partCols.isEmpty,
+      s"merge target is hive-partitioned on ${partCols.mkString(",")} — " +
+        "not supported; merge per partition directory instead")
+
+    val dataCols = target.schema.fieldNames.toSeq
+    val keyDf = updates.select(keyCols.map(col): _*)
+    require(keyDf.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "updates carry multiple rows for the same key")
+
+    // which files contain a matched key: key+file projection only — the
+    // parquet scan reads just the key columns for this pass
+    val withFile = target.withColumn("__file", input_file_name())
+    val touched = withFile
+      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val upserts = deleteCol match {
+      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+        .select(dataCols.map(col): _*)
+      case None => updates.select(dataCols.map(col): _*)
+    }
+
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+
+    if (touched.isEmpty) {
+      // no key matched any file → every non-delete update is an insert;
+      // nothing to rewrite, just add new files
+      upserts.write.parquet(tmp.toString)
+    } else {
+      // survivors of touched files (all update keys removed) + incoming
+      val touchedDf = spark.read
+        .schema(target.schema).parquet(touched.toSeq: _*)
+      val survivors = touchedDf.join(keyDf.hint("broadcast"),
+        keyCols, "left_anti")
+      survivors.unionByName(upserts).write.parquet(tmp.toString)
+    }
+    // deletes with absent keys are no-ops by construction (they only
+    // remove rows via the anti-join above); nothing else to do
+
+    // swap: remove replaced files, move replacements in under unique names
+    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val moved = fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    moved.zipWithIndex.foreach { case (st, i) =>
+      require(fs.rename(st.getPath,
+        new Path(p, s"part-merge-$stamp-$i.parquet")),
+        s"merge move ${st.getPath} failed")
+    }
+    fs.delete(tmp, true)
+
+    val finalRows = spark.read.parquet(uri).count()
+    MergeResult(uri, touched.size, files.size - touched.size, finalRows)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MergeIntoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeTarget(dir: String, n: Int, filesHint: Int): Unit =
+    (1 to n).map(i => (i.toLong, s"v$i", i * 10L)).toDF("k", "name", "amt")
+      .repartition(filesHint).write.mode("overwrite").parquet(dir)
+
+  test("upsert + insert + delete semantics") {
+    val dir = TestSpark.tmpDir("merge_sem")
+    writeTarget(dir, 100, 4)
+    val updates = Seq(
+      (5L, "V5", 999L, false),   // update
+      (42L, "V42", 888L, false), // update
+      (101L, "NEW", 1L, false),  // insert
+      (7L, "", 0L, true),        // delete
+      (500L, "", 0L, true))      // delete of absent key: no-op
+      .toDF("k", "name", "amt", "is_delete")
+
+    val res = MergeInto(spark, dir, updates, Seq("k"),
+      deleteCol = Some("is_delete"))
+    assert(res.finalRows == 100L) // 100 - 1 delete + 1 insert
+
+    val back = spark.read.parquet(dir).as[(Long, String, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(back(5L) == (("V5", 999L)))
+    assert(back(42L) == (("V42", 888L)))
+    assert(back(101L) == (("NEW", 1L)))
+    assert(!back.contains(7L))
+    assert(back(6L) == (("v6", 60L))) // untouched row intact
+  }
+
+  test("only files containing matched keys are rewritten") {
+    val dir = TestSpark.tmpDir("merge_partial")
+    // range-partitioned write → each file covers a narrow key range
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def listing(): Map[String, Long] =
+      CopyTo.listDataFiles(spark, dir)._1
+        .map(f => f -> fs.getFileStatus(new Path(new java.net.URI(f)))
+          .getModificationTime).toMap
+    val before = listing()
+
+    // keys 1..5 live in one range file
+    val updates = (1 to 5).map(i => (i.toLong, s"U$i")).toDF("k", "name")
+    val res = MergeInto(spark, dir, updates, Seq("k"))
+    assert(res.rewrittenFiles >= 1 && res.rewrittenFiles <= 2,
+      s"expected 1-2 rewritten, got ${res.rewrittenFiles}")
+    assert(res.untouchedFiles >= 8)
+
+    val after = listing()
+    // untouched files survive byte-identical (same path, same mtime)
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size == res.untouchedFiles)
+    survivors.foreach { f => assert(before(f) == after(f)) }
+
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert((1 to 5).forall(i => back(i.toLong) == s"U$i"))
+    assert(back(999L) == "v999")
+    assert(back.size == 1000)
+  }
+
+  test("pure insert touches nothing") {
+    val dir = TestSpark.tmpDir("merge_insert")
+    writeTarget(dir, 50, 3)
+    val res = MergeInto(spark, dir,
+      Seq((1000L, "X", 1L)).toDF("k", "name", "amt"), Seq("k"))
+    assert(res.rewrittenFiles == 0 && res.finalRows == 51L)
+  }
+
+  test("ambiguous multi-row update keys are refused") {
+    val dir = TestSpark.tmpDir("merge_dup")
+    writeTarget(dir, 10, 1)
+    val dup = Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "name", "amt")
+    val ex = intercept[IllegalArgumentException] {
+      MergeInto(spark, dir, dup, Seq("k"))
+    }
+    assert(ex.getMessage.contains("multiple rows"))
+  }
+
+  test("hive-partitioned target is refused") {
+    val dir = TestSpark.tmpDir("merge_hive")
+    Seq((1L, "a", "p1")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      MergeInto(spark, dir, Seq((1L, "b", "p1")).toDF("k", "v", "part"),
+        Seq("k"))
+    }
+    assert(ex.getMessage.contains("partitioned"))
+  }
+}
