@@ -1382,6 +1382,27 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // BPE subword tokenizer: the learned merge table (pure function of
+    // the corpus — ties break lexicographically, so this is exactly
+    // reproducible) and the per-document encoding derived from it
+    "text_bpe_vocab" -> ((s, dir) => {
+      val model = ops.Bpe.train(t(s, dir, "documents"), "text",
+        numMerges = 40)
+      import s.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right").orderBy("rank")
+    }),
+
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = ops.Bpe.train(docs, "text", numMerges = 40)
+      ops.Bpe.encode(docs, "text", model)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: the corpus text is deterministically augmented with
     // synthetic email/IP/phone tokens (the testdata corpus contains no
     // natural digits), then scrubbed by the codegen'd regexp chain —

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding tokenizer (Sennrich et al. 2016, "Neural Machine
+ * Translation of Rare Words with Subword Units") — the tokenization
+ * used (in spirit) by every modern LM pipeline, here as a first-class
+ * corpus operator: train a merge table on a corpus column, then encode
+ * documents into subword tokens with it.
+ *
+ * Scale design: training NEVER iterates over the corpus.  One
+ * distributed pass builds the WORD-FREQUENCY table (distinct words ×
+ * counts — bounded by vocabulary, not corpus bytes; the standard BPE
+ * formulation), and every merge round then runs over that table only.
+ * Like [[Dedup.connectedComponents]], the loop is adaptive: a word
+ * table under `smallVocabWords` distinct words is collected and solved
+ * driver-side (numMerges rounds of in-memory pair counting — exact,
+ * deterministic); a larger one runs the same rounds distributively
+ * (explode pairs → sum freq → argmax, `localCheckpoint` lineage cuts).
+ * Both paths produce the identical merge table: ties on pair frequency
+ * break lexicographically, so the result is a pure function of the
+ * corpus.
+ *
+ * Encoding is embarrassingly parallel: the merge table broadcasts (it
+ * is `numMerges` rows) and each document encodes independently.
+ */
+object Bpe {
+
+  /** End-of-word sentinel: distinguishes "er" in "higher</w>" from "er"
+    * mid-word, as in the original paper.  Must be non-empty and outside
+    * the split alphabet, or merged symbols would collide with plain
+    * characters. */
+  val EndOfWord = "</w>"
+
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    /** Greedy merge application to one word's symbol sequence. */
+    def encodeWord(word: String): Seq[String] = {
+      var syms = (word.map(_.toString) :+ EndOfWord).toVector
+      merges.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+  }
+
+  private val TokenSplit = "[^a-z0-9]+"
+
+  /** Corpus → (word, freq) table: the only corpus-wide pass. */
+  private def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), TokenSplit)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /**
+   * Train `numMerges` BPE merges on the text column.  Deterministic:
+   * argmax ties break on (freq desc, left asc, right asc).
+   */
+  def train(
+      df: DataFrame, textCol: String, numMerges: Int,
+      smallVocabWords: Long = 1000000L): BpeModel = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val wf = wordFreq(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nWords = wf.count()
+    val model =
+      if (nWords <= smallVocabWords) trainLocal(wf, numMerges)
+      else trainDistributed(df.sparkSession, wf, numMerges)
+    wf.unpersist()
+    model
+  }
+
+  /** Driver-side rounds over the collected word table — exact BPE. */
+  private def trainLocal(wf: DataFrame, numMerges: Int): BpeModel = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    var words: Array[(Vector[String], Long)] = wf.as[(String, Long)]
+      .collect()
+      .map { case (w, f) => ((w.map(_.toString) :+ EndOfWord).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += best
+        val (a, b) = best
+        words = words.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+        }
+      }
+      m += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Distributed rounds: same argmax over an exploded pair count; the
+    * word table stays an executor-side DataFrame throughout. */
+  private def trainDistributed(
+      spark: SparkSession, wf: DataFrame, numMerges: Int): BpeModel = {
+    import spark.implicits._
+    // symbols as an array column; merges applied per round via a small
+    // rewrite of the array (zip-fold expressed with transform/filter)
+    var words = wf.select(
+      concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
+      col("freq")).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val pairCounts = words
+        .select(posexplode(slice(col("syms"), lit(1),
+          greatest(size(col("syms")) - 1, lit(0)))), col("freq"),
+          col("syms"))
+        .select(col("col").as("a"),
+          element_at(col("syms"), col("pos") + 2).as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("f"))
+      val top = pairCounts.orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, _) = top.head
+        merges += ((a, b))
+        // rebuild each word's symbol array with (a,b) merged: done with
+        // a tiny scala lambda over the array via Dataset map — the word
+        // table is the bounded structure here, not the corpus
+        words = words.as[(Seq[String], Long)].map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, f)
+        }.toDF("syms", "freq").localCheckpoint()
+      }
+      m += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  /**
+   * Encode a text column into BPE tokens: adds `bpe_tokens`
+   * (array<string>) and `n_bpe_tokens`.  The merge table broadcasts
+   * inside the closure; each partition encodes independently.
+   */
+  def encode(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else text.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+        .flatMap(w => bc.value.encodeWord(w))
+    }
+    df.withColumn("bpe_tokens", enc(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+}

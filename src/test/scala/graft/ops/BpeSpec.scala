@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("textbook corpus learns the expected first merges") {
+    // classic BPE example: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val model = Bpe.train(corpus, "text", numMerges = 4)
+    // freq(e,s)=9 wins round 1; then (es,t)=9; then (est,</w>)=9;
+    // then (l,o)=7
+    assert(model.merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord), ("l", "o")))
+    assert(model.encodeWord("newest") ==
+      Seq("n", "e", "w", "est" + Bpe.EndOfWord))
+    assert(model.encodeWord("lowest") ==
+      Seq("lo", "w", "est" + Bpe.EndOfWord))
+  }
+
+  test("local and distributed training agree exactly") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val local = Bpe.train(docs, "text", numMerges = 12)
+    val dist = Bpe.train(docs, "text", numMerges = 12,
+      smallVocabWords = 0L) // force the distributed path
+    assert(local.merges == dist.merges)
+  }
+
+  test("training is deterministic across partitioning") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val a = Bpe.train(docs.repartition(7), "text", numMerges = 10)
+    val b = Bpe.train(docs.repartition(2), "text", numMerges = 10)
+    assert(a.merges == b.merges)
+  }
+
+  test("encode output reassembles to the original words") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet").limit(50)
+    val model = Bpe.train(docs, "text", numMerges = 20)
+    val out = Bpe.encode(docs, "text", model)
+      .select(col("text"), col("bpe_tokens"))
+      .as[(String, Seq[String])].collect()
+    out.foreach { case (text, toks) =>
+      val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val rebuilt = toks.mkString("")
+        .split(java.util.regex.Pattern.quote(Bpe.EndOfWord))
+        .filter(_.nonEmpty)
+      assert(rebuilt.toSeq == words.toSeq)
+    }
+    // merges actually fired: fewer BPE tokens than characters
+    val chars = out.map(_._1.count(_.isLetterOrDigit)).sum
+    val toks = out.map(_._2.size).sum
+    assert(toks < chars)
+  }
+}
