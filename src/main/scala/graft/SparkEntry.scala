@@ -349,6 +349,12 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // ANALYZE: exact table-level column stats (nulls/distinct/min/max)
+    // in one aggregate pass — DuckDB recomputes them relationally
+    "meta_analyze" -> ((s, dir) =>
+      io.Maintenance.analyze(s, s"$dir/orders.parquet",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // keyed MERGE (upsert/insert/delete) rewriting only matched files:
     // update every %100==3 order, delete %100==7, insert key-shifted
     // copies of %100==9 — the oracle recomputes the merged table from
@@ -1925,6 +1931,25 @@ object SparkEntry {
     // write + compaction rewrite preserved every row and value exactly
     "io_compact" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "meta_analyze" ->
+      ("SELECT * FROM (" +
+        "SELECT 'o_custkey' AS column_name, " +
+        "count(*) - count(o_custkey) AS n_nulls, " +
+        "count(DISTINCT o_custkey) AS n_distinct, " +
+        "CAST(min(o_custkey) AS VARCHAR) AS min_repr, " +
+        "CAST(max(o_custkey) AS VARCHAR) AS max_repr FROM orders " +
+        "UNION ALL SELECT 'o_orderkey', count(*) - count(o_orderkey), " +
+        "count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR), " +
+        "CAST(max(o_orderkey) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderpriority', " +
+        "count(*) - count(o_orderpriority), " +
+        "count(DISTINCT o_orderpriority), min(o_orderpriority), " +
+        "max(o_orderpriority) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', " +
+        "count(*) - count(o_orderstatus), " +
+        "count(DISTINCT o_orderstatus), min(o_orderstatus), " +
+        "max(o_orderstatus) FROM orders) ORDER BY column_name"),
 
     "io_merge_into" ->
       ("WITH merged AS (" +

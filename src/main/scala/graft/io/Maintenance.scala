@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-maintenance companions to [[CopyTo.compact]] and [[MergeInto]]:
+ *
+ *  - [[vacuum]]: removes the crash leftovers the in-place operators can
+ *    strand (`*_compact_tmp`, `*_merge_tmp`, `*_resplit_tmp`,
+ *    `*_swap_old` sibling dirs, hidden temp files inside the table dir).
+ *    Every in-place rewrite is crash-safe about the DATA (old or new
+ *    copy survives), but an interrupted run can leave a stale sibling
+ *    dir behind — on a 100 TB table that is real money.
+ *
+ *  - [[analyze]]: exact per-column statistics (null count, distinct
+ *    count, min/max) in ONE distributed aggregate pass over the table,
+ *    optionally published into the parquet footers' key-value metadata
+ *    (`graft.stats`) so downstream planners/readers get table-level
+ *    stats without a scan — the ANALYZE command of a warehouse, the
+ *    reference's `parquet.column_stats` being the per-file analogue.
+ */
+object Maintenance {
+
+  private val TmpSuffixes =
+    Seq("_compact_tmp", "_merge_tmp", "_resplit_tmp", "_swap_old")
+
+  /** Paths removed. */
+  def vacuum(spark: SparkSession, uri: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+    val removed = Seq.newBuilder[String]
+    TmpSuffixes.foreach { suf =>
+      val t = new Path(uri + suf)
+      if (fs.exists(t)) { fs.delete(t, true); removed += t.toString }
+    }
+    if (fs.exists(p)) {
+      // hidden temp files inside the dir (writer scratch), but never the
+      // commit markers
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith(".") && n != "." && n != "..") ||
+            n.endsWith(".crc")) {
+          fs.delete(st.getPath, true)
+          removed += st.getPath.toString
+        }
+      }
+    }
+    removed.result()
+  }
+
+  /**
+   * Exact stats for `cols` (atomic types): one row per column with
+   * `column_name, n_nulls, n_distinct, min_repr, max_repr` (min/max
+   * rendered as strings so heterogeneous columns share one table).
+   * A single aggregate job computes every column's stats together.
+   * With `publish = true` the stats additionally land in the footers'
+   * kv metadata under `graft.stats` as a JSON document.
+   */
+  def analyze(
+      spark: SparkSession, uri: String, cols: Seq[String],
+      publish: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val df = spark.read.parquet(uri)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(4 * i), row.getLong(4 * i + 1),
+        row.getString(4 * i + 2), row.getString(4 * i + 3))
+    }.toDF("column_name", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+    if (publish) {
+      val json = out.orderBy("column_name").collect().map { r =>
+        s""""${r.getString(0)}":{"n_nulls":${r.getLong(1)},""" +
+          s""""n_distinct":${r.getLong(2)},""" +
+          s""""min":${quote(r.getString(3))},""" +
+          s""""max":${quote(r.getString(4))}}"""
+      }.mkString("{", ",", "}")
+      graft.meta.KvMetadata.add(spark, uri, Map("graft.stats" -> json))
+    }
+    out.orderBy("column_name")
+  }
+
+  private def quote(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vacuum removes stranded tmp dirs and hidden files, keeps data") {
+    val dir = TestSpark.tmpDir("vacuum_basic")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // strand the leftovers each in-place operator could leave
+    fs.mkdirs(new Path(dir + "_compact_tmp"))
+    fs.mkdirs(new Path(dir + "_merge_tmp"))
+    fs.mkdirs(new Path(dir + "_swap_old"))
+    fs.create(new Path(dir, ".scratch")).close()
+
+    val removed = Maintenance.vacuum(spark, dir)
+    assert(removed.size == 4)
+    assert(!fs.exists(new Path(dir + "_compact_tmp")))
+    assert(!fs.exists(new Path(dir + "_merge_tmp")))
+    assert(!fs.exists(new Path(dir + "_swap_old")))
+    assert(!fs.exists(new Path(dir, ".scratch")))
+    // data intact, _SUCCESS kept
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+  }
+
+  test("vacuum on a clean directory removes nothing") {
+    val dir = TestSpark.tmpDir("vacuum_clean")
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    assert(Maintenance.vacuum(spark, dir).isEmpty)
+  }
+
+  test("analyze computes exact per-column stats in one pass") {
+    val dir = TestSpark.tmpDir("analyze_basic")
+    Seq((1L, Some("x")), (2L, Some("y")), (2L, None), (5L, Some("x")))
+      .toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val stats = Maintenance.analyze(spark, dir, Seq("k", "v"))
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    assert(stats == Seq(
+      ("k", 0L, 3L, "1", "5"),
+      ("v", 1L, 2L, "x", "y")))
+  }
+
+  test("analyze publish writes graft.stats into the footer kv metadata") {
+    val dir = TestSpark.tmpDir("analyze_publish")
+    spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")
+      .write.mode("overwrite").parquet(dir)
+    Maintenance.analyze(spark, dir, Seq("r_regionkey", "r_name"),
+      publish = true)
+    val kv = graft.meta.ParquetInfo.kvMetadata(spark, s"$dir/*.parquet")
+      .filter(col("key") === "graft.stats")
+      .select("value").as[String].collect()
+    assert(kv.nonEmpty)
+    assert(kv.head.contains("\"r_regionkey\"") &&
+      kv.head.contains("\"n_distinct\":5"))
+  }
+}

@@ -73,4 +73,37 @@ class ZOrderSpec extends AnyFunSuite {
     assert(suppSpans.sum / suppSpans.size < 0.7 * suppRange,
       s"suppkey spans $suppSpans vs range $suppRange")
   }
+
+  test("z-order layout skips row groups at scan time on the SECOND column") {
+    // runtime proof, not just a stats argument: the scan's numOutputRows
+    // (rows surviving parquet row-group pruning + pushed filters) must be
+    // far lower on a z-ordered layout than on a layout sorted only by the
+    // first column, for a narrow predicate on the SECOND column
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val zDir = TestSpark.tmpDir("zorder_skip_z")
+    val linDir = TestSpark.tmpDir("zorder_skip_lin")
+    ZOrder.write(li.repartition(4), zDir, Seq("l_partkey", "l_suppkey"),
+      bits = 8,
+      options = CopyToOptions(rowGroupSize = 512))
+    CopyTo(li.repartition(4), linDir,
+      CopyToOptions(clusterBy = Seq("l_partkey"), rowGroupSize = 512))
+
+    def scannedRows(dir: String, c: String, lo: Int, hi: Int): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col(c) >= lo && col(c) <= hi)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val total = li.count()
+    // narrow suppkey slice (suppkey spans 0..9 at this sf): z-order must
+    // scan well under the full table; the partkey-sorted layout has no
+    // suppkey locality -> scans ~all
+    val zRows = scannedRows(zDir, "l_suppkey", 2, 3)
+    val linRows = scannedRows(linDir, "l_suppkey", 2, 3)
+    assert(zRows < total / 2, s"z-order scanned $zRows of $total")
+    assert(zRows < linRows,
+      s"z-order scanned $zRows, linear scanned $linRows")
+  }
 }
