@@ -378,6 +378,18 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // DELETE WHERE with partial rewrite: only files containing a
+    // matching row are rewritten — the retention/TTL pattern
+    "io_delete_where" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_delete_" +
+        new java.io.File(dir).getName
+      t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+        .write.mode("overwrite").parquet(uri)
+      MergeInto.deleteWhere(s, uri,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0")
+      s.read.parquet(uri).orderBy("o_orderkey")
+    }),
+
     // G1: SQL statement routing — COPY through the parser surface
     // (reference hook.rs:133-194); the read-back against the DuckDB
     // oracle on the source table proves the statement round-trip
@@ -1950,6 +1962,11 @@ object SparkEntry {
         "count(*) - count(o_orderstatus), " +
         "count(DISTINCT o_orderstatus), min(o_orderstatus), " +
         "max(o_orderstatus) FROM orders) ORDER BY column_name"),
+
+    "io_delete_where" ->
+      ("SELECT * FROM orders " +
+        "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
+        "ORDER BY o_orderkey"),
 
     "io_merge_into" ->
       ("WITH merged AS (" +

@@ -111,4 +111,50 @@ object MergeInto {
     val finalRows = spark.read.parquet(uri).count()
     MergeResult(uri, touched.size, files.size - touched.size, finalRows)
   }
+
+  /**
+   * `DELETE FROM <uri> WHERE <predicate>` with the same partial-rewrite
+   * shape as merge: only files that CONTAIN a matching row are
+   * rewritten (with the matching rows dropped); every other file is
+   * untouched.  The match scan benefits from predicate pushdown —
+   * a file whose row-group stats exclude the predicate is never
+   * decoded.  SQL DELETE semantics: rows where the predicate is NULL
+   * are kept.
+   */
+  def deleteWhere(
+      spark: SparkSession, uri: String, predicate: String): MergeResult = {
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    require(files.nonEmpty, s"delete target $uri has no data files")
+    val target = spark.read.parquet(uri)
+    val pred = expr(predicate)
+
+    val touched = target.withColumn("__file", input_file_name())
+      .filter(pred).select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty)
+      return MergeResult(uri, 0, files.size, target.count())
+
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(uri)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+    spark.read.schema(target.schema).parquet(touched.toSeq: _*)
+      .filter(!coalesce(pred, lit(false)))
+      .write.parquet(tmp.toString)
+
+    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.zipWithIndex.foreach { case (st, i) =>
+      require(fs.rename(st.getPath,
+        new Path(p, s"part-delete-$stamp-$i.parquet")),
+        s"delete move ${st.getPath} failed")
+    }
+    fs.delete(tmp, true)
+    val finalRows = spark.read.parquet(uri).count()
+    MergeResult(uri, touched.size, files.size - touched.size, finalRows)
+  }
 }

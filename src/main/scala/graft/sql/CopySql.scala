@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StructType}
 
-import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, Maintenance, MatchBy}
 
 /**
  * SQL statement surface for COPY — the reference's actual user interface
@@ -46,10 +46,39 @@ import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy}
  */
 object CopySql {
 
-  /** Parse `sqlText` as a COPY statement, or None if it isn't one.
-    * Malformed COPY statements throw (they cannot be anything else). */
-  def parse(sqlText: String): Option[CopyStatement] = {
+  /** Parse `sqlText` as a COPY or maintenance statement, or None if it
+    * isn't one.  Malformed statements of ours throw (they cannot be
+    * anything else); `ANALYZE`/`VACUUM` not followed by a quoted uri
+    * delegate to Spark (e.g. Spark's own `ANALYZE TABLE`). */
+  def parse(sqlText: String): Option[LeafRunnableCommand] = {
     val c = new Cursor(sqlText)
+    if (c.tryKeyword("VACUUM")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit(); c.expectEnd()
+      return Some(VacuumCommand(uri))
+    }
+    if (c.tryKeyword("ANALYZE")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val cols = if (c.peekIs('(')) splitIdents(c.parenBlock()) else Nil
+      if (cols.isEmpty) throw new IllegalArgumentException(
+        "ANALYZE '<uri>' requires a column list: ANALYZE '<uri>' (col, ...)")
+      val publish = c.tryKeyword("PUBLISH")
+      c.expectEnd()
+      return Some(AnalyzeCommand(uri, cols, publish))
+    }
+    if (c.tryKeyword("COMPACT")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val opts = parseOptionList(c)
+      c.expectEnd()
+      val target = opts.foldLeft(128L * 1024 * 1024) {
+        case (_, ("target_bytes", v)) => requireValue("target_bytes", v).toLong
+        case (_, (other, _)) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for COMPACT")
+      }
+      return Some(CompactCommand(uri, target))
+    }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
       if (c.peekIs('(')) {
@@ -193,6 +222,43 @@ object PipeSource {
 sealed trait CopyStatement extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_rows", LongType, nullable = false)())
+}
+
+/** `VACUUM '<uri>'` → [[graft.io.Maintenance.vacuum]]; returns the
+  * number of removed leftover paths. */
+final case class VacuumCommand(uri: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_removed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Maintenance.vacuum(spark, uri).size.toLong))
+}
+
+/** `ANALYZE '<uri>' (col, ...) [PUBLISH]` →
+  * [[graft.io.Maintenance.analyze]]; returns the stats table. */
+final case class AnalyzeCommand(
+    uri: String, cols: Seq[String], publish: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column_name",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_nulls", LongType, nullable = false)(),
+    AttributeReference("n_distinct", LongType, nullable = false)(),
+    AttributeReference("min_repr",
+      org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("max_repr",
+      org.apache.spark.sql.types.StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Maintenance.analyze(spark, uri, cols, publish).collect().toSeq
+}
+
+/** `COMPACT '<uri>' [(target_bytes N)]` → [[graft.io.CopyTo.compact]];
+  * returns the data file count after compaction. */
+final case class CompactCommand(uri: String, targetBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CopyTo.compact(spark, uri, targetBytes).files.size.toLong))
 }
 
 /** `COPY (query)|table TO 'uri'|STDOUT|PROGRAM 'cmd' (...)` →

@@ -89,6 +89,32 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("multiple rows"))
   }
 
+  test("deleteWhere drops matching rows, rewrites only matching files") {
+    val dir = TestSpark.tmpDir("merge_delete")
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val res = MergeInto.deleteWhere(spark, dir, "k <= 50")
+    assert(res.finalRows == 950L)
+    assert(res.rewrittenFiles <= 2 && res.untouchedFiles >= 8)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(back.forall(_._1 > 50))
+    assert(back.length == 950)
+  }
+
+  test("deleteWhere keeps null-predicate rows and no-ops on no match") {
+    val dir = TestSpark.tmpDir("merge_delete_null")
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("k", "score").write.mode("overwrite").parquet(dir)
+    // score > 10 is NULL for k=2 -> kept (SQL DELETE semantics)
+    val res = MergeInto.deleteWhere(spark, dir, "score > 10")
+    assert(res.finalRows == 2L)
+    assert(spark.read.parquet(dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    val noop = MergeInto.deleteWhere(spark, dir, "score > 1000")
+    assert(noop.rewrittenFiles == 0 && noop.finalRows == 2L)
+  }
+
   test("hive-partitioned target is refused") {
     val dir = TestSpark.tmpDir("merge_hive")
     Seq((1L, "a", "p1")).toDF("k", "v", "part")

@@ -1,0 +1,70 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SQL statement surface for the maintenance operators (VACUUM /
+  * ANALYZE '<uri>' / COMPACT), alongside CopySqlSpec's COPY coverage. */
+class MaintenanceSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("VACUUM removes stranded tmp dirs via SQL") {
+    val dir = TestSpark.tmpDir("sql_vacuum")
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir + "_merge_tmp"))
+    val out = GraftSql.exec(spark, s"VACUUM '$dir'")
+      .as[Long].head()
+    assert(out == 1L)
+    assert(!fs.exists(new Path(dir + "_merge_tmp")))
+  }
+
+  test("ANALYZE '<uri>' returns the stats table and PUBLISH lands in kv") {
+    val dir = TestSpark.tmpDir("sql_analyze")
+    Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val rows = GraftSql.exec(spark, s"ANALYZE '$dir' (k, v) PUBLISH")
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    assert(rows == Seq(("k", 0L, 2L, "1", "2"), ("v", 0L, 2L, "x", "y")))
+    val kv = graft.meta.ParquetInfo.kvMetadata(spark, s"$dir/*.parquet")
+      .filter(col("key") === "graft.stats").count()
+    assert(kv > 0)
+  }
+
+  test("COMPACT shrinks the file count via SQL") {
+    val dir = TestSpark.tmpDir("sql_compact")
+    spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val n = GraftSql.exec(spark,
+      s"COMPACT '$dir' (target_bytes '1048576')").as[Long].head()
+    assert(n < 20L)
+  }
+
+  test("ANALYZE TABLE and bare VACUUM delegate to Spark's parser") {
+    // ANALYZE TABLE is Spark's own statement — must not be intercepted
+    spark.range(5).write.mode("overwrite")
+      .saveAsTable("maintenance_delegate_t")
+    GraftSql.exec(spark,
+      "ANALYZE TABLE maintenance_delegate_t COMPUTE STATISTICS").collect()
+    // bare VACUUM (no uri literal) is not ours either: Spark rejects it
+    intercept[Exception] {
+      GraftSql.exec(spark, "VACUUM maintenance_delegate_t").collect()
+    }
+    spark.sql("DROP TABLE maintenance_delegate_t")
+  }
+
+  test("malformed maintenance statements fail loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "ANALYZE '/tmp/x'") // missing column list
+    }
+    assert(ex.getMessage.contains("column list"))
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "COMPACT '/tmp/x' (nope 1)")
+    }
+    assert(ex2.getMessage.contains("not supported for COMPACT"))
+  }
+}
