@@ -1074,6 +1074,49 @@ object SparkEntry {
     // streaming join class (no watermark, no state store; the dim is
     // broadcast into every micro-batch), distinct from the stateful
     // stream-stream joins below
+    // streaming CDC apply: each micro-batch of keyed changes lands via
+    // MergeInto (foreachBatch — the Structured Streaming upsert-sink
+    // idiom; parquet file sinks are append-only, so merge IS the sink).
+    // The staged change batches touch disjoint key sets, so the final
+    // table is independent of batch order and fully oracle-checkable:
+    // bump c_acctbal for %50==1, delete %50==7
+    "stream_cdc_apply" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/table"; val updDir = s"$base/updates"
+      val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.repartitionByRange(8, col("c_custkey"))
+        .write.parquet(tgt)
+      cust.filter(pmod(col("c_custkey"), lit(50)) === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+        .withColumn("__del", lit(false))
+        .coalesce(1).write.parquet(s"$updDir/b1")
+      cust.filter(pmod(col("c_custkey"), lit(50)) === 7)
+        .withColumn("__del", lit(true))
+        .coalesce(1).write.parquet(s"$updDir/b2")
+      val schema = StructType(cust.schema.fields :+
+        StructField("__del", BooleanType))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$updDir/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            MergeInto(s, tgt, batch, Seq("c_custkey"),
+              deleteCol = Some("__del"))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(tgt).orderBy("c_custkey")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -2333,6 +2376,12 @@ object SparkEntry {
         "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 " +
         "AND epoch_us(p.ts) " +
         "ORDER BY p.user_id, p_id, c_id, pts, cts"),
+
+    "stream_cdc_apply" ->
+      ("SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_custkey % 50 = 1 THEN c_acctbal + 10.0 " +
+        "ELSE c_acctbal END AS c_acctbal, c_mktsegment " +
+        "FROM customer WHERE c_custkey % 50 <> 7 ORDER BY c_custkey"),
 
     "stream_static_join" ->
       ("SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, " +

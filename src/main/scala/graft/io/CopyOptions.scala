@@ -100,9 +100,17 @@ final case class CopyToOptions(
       * (`parquet.bloom.filter.enabled#col`): point-lookup (`col = x`)
       * scans skip row groups whose filter rules the value out — the
       * equality-predicate complement of [[clusterBy]]'s range skipping. */
-    bloomFilterColumns: Seq[String] = Nil) {
+    bloomFilterColumns: Seq[String] = Nil,
+    /** Z-order (Morton) cluster the output by these columns: a computed
+      * `z_value` column is appended and the layout range-clusters on it,
+      * so min/max stats prune on EVERY listed column, not just a leading
+      * one — see [[ZOrder]].  Mutually exclusive with [[clusterBy]]. */
+    zOrderBy: Seq[String] = Nil) {
 
   def validated: CopyToOptions = {
+    if (zOrderBy.nonEmpty && clusterBy.nonEmpty)
+      throw new IllegalArgumentException(
+        "zorder_by and cluster_by are mutually exclusive")
     compression.foreach { c =>
       if (!Compression.supported(c.toLowerCase))
         throw new IllegalArgumentException(s"unsupported compression '$c'")

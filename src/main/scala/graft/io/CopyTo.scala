@@ -38,8 +38,14 @@ object CopyTo {
       df: DataFrame,
       uri: String,
       options: CopyToOptions = CopyToOptions.default): WriteResult = {
-    val opts = options.validated
+    val opts0 = options.validated
     val spark = df.sparkSession
+    // z-order: materialize the Morton key, then cluster on it like any
+    // clusterBy column (ZOrder.write is sugar for exactly this path)
+    val (df0, opts) =
+      if (opts0.zOrderBy.isEmpty) (df, opts0)
+      else (ZOrder.withZValue(df, opts0.zOrderBy),
+        opts0.copy(clusterBy = Seq("z_value"), zOrderBy = Nil))
     val codec = opts.effectiveCompression(uri)
 
     // clustering: range-partition then sort so each output file (and row
@@ -48,10 +54,10 @@ object CopyTo {
     // count is kept (an explicit count also stops AQE from coalescing a
     // small write into one unclustered file).
     val clustered =
-      if (opts.clusterBy.isEmpty) df
+      if (opts.clusterBy.isEmpty) df0
       else {
-        val n = math.max(1, df.rdd.getNumPartitions)
-        df.repartitionByRange(n,
+        val n = math.max(1, df0.rdd.getNumPartitions)
+        df0.repartitionByRange(n,
             opts.clusterBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(
             opts.clusterBy.map(org.apache.spark.sql.functions.col): _*)

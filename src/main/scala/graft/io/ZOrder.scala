@@ -86,5 +86,5 @@ object ZOrder {
       df: DataFrame, uri: String, cols: Seq[String], bits: Int = 8,
       options: CopyToOptions = CopyToOptions.default): CopyTo.WriteResult =
     CopyTo(withZValue(df, cols, bits), uri,
-      options.copy(clusterBy = Seq("z_value")))
+      options.copy(clusterBy = Seq("z_value"), zOrderBy = Nil))
 }

@@ -166,6 +166,7 @@ object CopySql {
         case "field_ids"    => acc.copy(fieldIds = requireValue(k, v))
         case "partition_by" => acc.copy(partitionBy = splitIdents(requireValue(k, v)))
         case "cluster_by"   => acc.copy(clusterBy = splitIdents(requireValue(k, v)))
+        case "zorder_by" => acc.copy(zOrderBy = splitIdents(requireValue(k, v)))
         case "bloom_filter_columns" =>
           acc.copy(bloomFilterColumns = splitIdents(requireValue(k, v)))
         case other => throw new IllegalArgumentException(

@@ -44,6 +44,29 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(n < 20L)
   }
 
+  test("COPY TO with zorder_by lays the file out on the Morton key") {
+    val dir = TestSpark.tmpDir("sql_zorder")
+    spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .createOrReplaceTempView("li_zorder_src")
+    GraftSql.exec(spark,
+      s"COPY li_zorder_src TO '$dir' (zorder_by 'l_partkey,l_suppkey')")
+      .collect()
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("z_value"))
+    // the layout is sorted by z_value within each file
+    val zs = spark.read.parquet(
+        graft.io.CopyTo.listDataFiles(spark, dir)._1.head)
+      .select("z_value").as[Long].collect()
+    assert(zs.sameElements(zs.sorted))
+    // zorder_by + cluster_by together are refused
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"COPY li_zorder_src TO '$dir' " +
+        "(zorder_by 'l_partkey', cluster_by 'l_suppkey')")
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
+
   test("ANALYZE TABLE and bare VACUUM delegate to Spark's parser") {
     // ANALYZE TABLE is Spark's own statement — must not be intercepted
     spark.range(5).write.mode("overwrite")
