@@ -390,6 +390,30 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // snapshot manifests: a merge lands as an MVCC commit; the pinned
+    // v1 read (time travel) must still equal the ORIGINAL table while
+    // the latest equals the merged one — both checked in one query
+    "io_time_travel" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ord = t(s, dir, "orders")
+      ord.repartitionByRange(10, col("o_orderkey")).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      val ups = ord.filter(pmod(col("o_orderkey"), lit(100)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("__del", lit(false))
+      val dels = ord.filter(pmod(col("o_orderkey"), lit(100)) === 7)
+        .withColumn("__del", lit(true))
+      io.Snapshots.mergeCommit(s, uri, ups.unionByName(dels),
+        Seq("o_orderkey"), deleteCol = Some("__del"))
+      io.Snapshots.read(s, uri, 1).withColumn("snap", lit(1L))
+        .unionByName(io.Snapshots.read(s, uri).withColumn("snap", lit(2L)))
+        .orderBy("snap", "o_orderkey")
+    }),
+
     // G1: SQL statement routing — COPY through the parser surface
     // (reference hook.rs:133-194); the read-back against the DuckDB
     // oracle on the source table proves the statement round-trip
@@ -2010,6 +2034,16 @@ object SparkEntry {
       ("SELECT * FROM orders " +
         "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
         "ORDER BY o_orderkey"),
+
+    "io_time_travel" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snap FROM orders " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 1.0 " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderdate, " +
+        "o_orderpriority, CAST(2 AS BIGINT) AS snap " +
+        "FROM orders WHERE o_orderkey % 100 <> 7 " +
+        "ORDER BY snap, o_orderkey"),
 
     "io_merge_into" ->
       ("WITH merged AS (" +

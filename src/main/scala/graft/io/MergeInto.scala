@@ -79,17 +79,21 @@ object MergeInto {
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
 
+    // replacements coalesce to the touched-file count: a rewrite of k
+    // files yields ~k files, not shuffle-partition-many (small-file
+    // accretion otherwise compounds per merge)
     if (touched.isEmpty) {
       // no key matched any file → every non-delete update is an insert;
       // nothing to rewrite, just add new files
-      upserts.write.parquet(tmp.toString)
+      upserts.coalesce(1).write.parquet(tmp.toString)
     } else {
       // survivors of touched files (all update keys removed) + incoming
       val touchedDf = spark.read
         .schema(target.schema).parquet(touched.toSeq: _*)
       val survivors = touchedDf.join(keyDf.hint("broadcast"),
         keyCols, "left_anti")
-      survivors.unionByName(upserts).write.parquet(tmp.toString)
+      survivors.unionByName(upserts).coalesce(math.max(1, touched.size))
+        .write.parquet(tmp.toString)
     }
     // deletes with absent keys are no-ops by construction (they only
     // remove rows via the anti-join above); nothing else to do
@@ -141,6 +145,7 @@ object MergeInto {
     fs.delete(tmp, true)
     spark.read.schema(target.schema).parquet(touched.toSeq: _*)
       .filter(!coalesce(pred, lit(false)))
+      .coalesce(math.max(1, touched.size))
       .write.parquet(tmp.toString)
 
     touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }

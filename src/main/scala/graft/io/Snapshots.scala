@@ -1,0 +1,205 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Snapshot manifests: MVCC commits for the file-rewriting operators.
+ *
+ * [[MergeInto]]/[[CopyTo.compact]] swap files in place, which is
+ * crash-safe for the DATA but leaves a window where a concurrent reader
+ * lists a half-swapped directory.  A snapshot table closes that window
+ * the way every table format does (Delta/Iceberg's core idea, reduced
+ * to its essence): the directory's live file set is named by a manifest
+ * under `<uri>/_graft_manifests/` (an underscore dir — Spark's file
+ * listing ignores it), every writer lands NEW files under fresh names
+ * and then publishes a new manifest via atomic rename, and readers pin
+ * whatever manifest version they started with.  Superseded files stay
+ * on disk until [[expire]] reclaims them, which is also what makes
+ * time travel ([[read]] with an explicit version) free.
+ *
+ * Scale notes: a manifest is one small file per commit (file NAMES, not
+ * data); reads are `spark.read.parquet(files…)` — fully distributed,
+ * partition-pruned and pushdown-eligible like any scan; the commit
+ * itself is one rename.  Concurrent WRITERS are last-rename-wins — a
+ * lost-update-safe commit protocol (manifest CAS) layers on top the
+ * same way it does in real table formats, orthogonal to everything
+ * here.
+ *
+ * IMPORTANT: once a directory is snapshot-managed, plain
+ * `spark.read.parquet(dir)` sees live AND superseded files — always go
+ * through [[read]].
+ */
+object Snapshots {
+
+  private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
+  private def manifestPath(uri: String, v: Int) =
+    new Path(manifestDir(uri), f"v$v%06d.manifest")
+
+  /** Start versioning: v1 = the directory's current data files.
+    * Refuses if manifests already exist. */
+  def init(spark: SparkSession, uri: String): Int = {
+    val fs = fsOf(spark, uri)
+    require(!fs.exists(manifestDir(uri)),
+      s"$uri is already snapshot-managed")
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    require(files.nonEmpty, s"$uri has no data files")
+    writeManifest(spark, uri, 1, files.map(relName(uri, _)))
+    1
+  }
+
+  def latestVersion(spark: SparkSession, uri: String): Int = {
+    val fs = fsOf(spark, uri)
+    val md = manifestDir(uri)
+    require(fs.exists(md), s"$uri is not snapshot-managed (run init)")
+    val vs = fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+    require(vs.nonEmpty, s"$uri has no manifest versions")
+    vs.max
+  }
+
+  /** Read a pinned snapshot (`version <= 0` → latest). */
+  def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    val names = readManifest(spark, uri, v)
+    spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+  }
+
+  /**
+   * Keyed MERGE as a snapshot commit (same semantics and partial-rewrite
+   * shape as [[MergeInto.apply]]): replacement files land under fresh
+   * names, the new manifest drops the touched files and adds the
+   * replacements, and the touched files STAY on disk for older readers.
+   * Returns the committed version.
+   */
+  def mergeCommit(
+      spark: SparkSession, uri: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
+    val v = latestVersion(spark, uri)
+    val names = readManifest(spark, uri, v)
+    val files = names.map(n => s"$uri/$n")
+    val target = spark.read.parquet(files: _*)
+    val dataCols = target.schema.fieldNames.toSeq
+    val keyDf = updates.select(keyCols.map(col): _*)
+    require(keyDf.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "updates carry multiple rows for the same key")
+
+    val touched = target.withColumn("__file", input_file_name())
+      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(f => relName(uri, f.getString(0))).toSet
+
+    val upserts = deleteCol match {
+      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+        .select(dataCols.map(col): _*)
+      case None => updates.select(dataCols.map(col): _*)
+    }
+
+    val fs = fsOf(spark, uri)
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+    // replacements coalesce to the touched-file count: a rewrite of k
+    // files yields ~k files, not shuffle-partition-many (small-file
+    // accretion otherwise compounds per commit)
+    if (touched.isEmpty) upserts.coalesce(1).write.parquet(tmp.toString)
+    else {
+      val touchedDf = spark.read.schema(target.schema)
+        .parquet(touched.toSeq.map(n => s"$uri/$n"): _*)
+      touchedDf.join(keyDf.hint("broadcast"), keyCols, "left_anti")
+        .unionByName(upserts).coalesce(math.max(1, touched.size))
+        .write.parquet(tmp.toString)
+    }
+    val newV = v + 1
+    val moved = fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.zipWithIndex.map { case (st, i) =>
+      val name = f"part-v$newV%06d-$i%05d.parquet"
+      require(fs.rename(st.getPath, new Path(uri, name)),
+        s"commit move ${st.getPath} failed")
+      name
+    }
+    fs.delete(tmp, true)
+    writeManifest(spark, uri, newV,
+      names.filterNot(touched.contains) ++ moved)
+    newV
+  }
+
+  /** Drop manifests older than the last `keepVersions` and delete data
+    * files no surviving manifest references.  Returns removed paths. */
+  def expire(
+      spark: SparkSession, uri: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, uri)
+    val latest = latestVersion(spark, uri)
+    val cutoff = latest - keepVersions + 1
+    val keep = (cutoff to latest)
+      .flatMap(v => readManifest(spark, uri, v)).toSet
+    val removed = Seq.newBuilder[String]
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    files.foreach { f =>
+      val p = new Path(new java.net.URI(f))
+      val n = relName(uri, f)
+      // listDataFiles filters by FILE name only — manifests live under
+      // the _graft_manifests dir but their own names aren't underscored
+      val inManifestDir = p.getParent != null &&
+        p.getParent.getName == "_graft_manifests"
+      if (!inManifestDir && !keep.contains(n)) {
+        fs.delete(p, false)
+        removed += f
+      }
+    }
+    (1 until cutoff).foreach { v =>
+      val p = manifestPath(uri, v)
+      if (fs.exists(p)) { fs.delete(p, false); removed += p.toString }
+    }
+    removed.result()
+  }
+
+  // ---- manifest encoding: "graft-manifest v1" header + one relative
+  // file name per line, committed by atomic rename ----
+
+  private def writeManifest(
+      spark: SparkSession, uri: String, v: Int, names: Seq[String]): Unit = {
+    val fs = fsOf(spark, uri)
+    fs.mkdirs(manifestDir(uri))
+    val tmp = new Path(manifestDir(uri), s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (("graft-manifest v1" +: names.sorted).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(uri, v)),
+      s"manifest commit v$v failed (concurrent writer?)")
+  }
+
+  private def readManifest(
+      spark: SparkSession, uri: String, v: Int): Seq[String] = {
+    val fs = fsOf(spark, uri)
+    val p = manifestPath(uri, v)
+    require(fs.exists(p), s"$uri has no manifest version $v")
+    val in = fs.open(p)
+    val content = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-manifest v1"),
+      s"unrecognized manifest header in $p")
+    lines.tail
+  }
+
+  private def relName(uri: String, file: String): String = {
+    val name = new Path(new java.net.URI(file)).getName
+    name
+  }
+
+  private def fsOf(spark: SparkSession, uri: String) =
+    new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+}

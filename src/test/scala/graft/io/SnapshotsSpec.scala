@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String, n: Int = 100): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(4, col("k"))
+      .write.parquet(dir)
+    dir
+  }
+
+  test("merge commit: latest sees the merge, pinned v1 time-travels") {
+    val dir = freshTable("snap_basic")
+    assert(Snapshots.init(spark, dir) == 1)
+
+    val updates = Seq((5L, "V5", false), (101L, "NEW", false),
+      (7L, "", true)).toDF("k", "name", "__del")
+    val v2 = Snapshots.mergeCommit(spark, dir, updates, Seq("k"),
+      deleteCol = Some("__del"))
+    assert(v2 == 2)
+
+    val latest = Snapshots.read(spark, dir).as[(Long, String)]
+      .collect().toMap
+    assert(latest(5L) == "V5" && latest(101L) == "NEW" &&
+      !latest.contains(7L) && latest.size == 100)
+
+    // old version still fully readable — superseded files were NOT
+    // deleted by the commit
+    val v1 = Snapshots.read(spark, dir, 1).as[(Long, String)]
+      .collect().toMap
+    assert(v1(5L) == "v5" && v1.contains(7L) && !v1.contains(101L) &&
+      v1.size == 100)
+  }
+
+  test("partial rewrite: untouched files are shared between versions") {
+    val dir = freshTable("snap_partial", n = 1000)
+    Snapshots.init(spark, dir)
+    // keys 1..5 live in one range file of the four
+    Snapshots.mergeCommit(spark, dir,
+      (1 to 5).map(i => (i.toLong, s"U$i")).toDF("k", "name"), Seq("k"))
+    val v1Files = { // manifest contents via read-plan inputs
+      Snapshots.read(spark, dir, 1).inputFiles.toSet
+    }
+    val v2Files = Snapshots.read(spark, dir, 2).inputFiles.toSet
+    val shared = v1Files.intersect(v2Files)
+    assert(shared.size == 3, s"expected 3 shared files, got ${shared.size}")
+    assert(v2Files.size == 4)
+  }
+
+  test("expire reclaims superseded files and old manifests; latest intact") {
+    val dir = freshTable("snap_expire")
+    Snapshots.init(spark, dir)
+    Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "X")).toDF("k", "name"), Seq("k"))
+    val before = CopyTo.listDataFiles(spark, dir)._1.size
+    val removed = Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(removed.nonEmpty)
+    val after = CopyTo.listDataFiles(spark, dir)._1.size
+    assert(after < before)
+    // latest still reads fine; v1 is gone
+    assert(Snapshots.read(spark, dir).count() == 100)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, 1).count()
+    }
+  }
+
+  test("init refuses a managed dir; read refuses an unmanaged one") {
+    val dir = freshTable("snap_guard", n = 10)
+    Snapshots.init(spark, dir)
+    intercept[IllegalArgumentException] { Snapshots.init(spark, dir) }
+    val plain = freshTable("snap_unmanaged", n = 10)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, plain) }
+  }
+}

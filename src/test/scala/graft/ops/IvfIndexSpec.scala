@@ -6,6 +6,32 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class IvfIndexSpec extends AnyFunSuite {
+
+  test("persisted cell-partitioned corpus serves probes partition-pruned") {
+    // the documented 100 TB serving path: assign cells once, persist
+    // partitionBy(ivf_cell), and every probe becomes a partition-pruned
+    // scan — pin that the scan's PartitionFilters actually carry the
+    // cell predicate (only nprobe/k of the corpus is listed or read)
+    val spark = graft.TestSpark.spark
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = graft.TestSpark.tmpDir("ivf_partitioned")
+    IvfIndex.assign(emb, "vec_id", "embedding", model)
+      .write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(dir)
+
+    val probe = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("ivf_cell").isin(0, 2))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.partitionFilters.nonEmpty,
+      "cell predicate must prune partitions, not filter rows")
+    val cells = probe.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 2)) && cells.nonEmpty)
+  }
+
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
