@@ -130,6 +130,57 @@ object Snapshots {
     newV
   }
 
+  /**
+   * Compaction as an MVCC commit: bin-pack the CURRENT snapshot's files
+   * into ~`targetBytes` outputs (same narrow, shuffle-free scan-planning
+   * pack as [[CopyTo.compact]]) and publish them as a new version.
+   * Readers pinned to older versions keep their file set; nothing is
+   * deleted until [[expire]].  No-op (returns the current version) when
+   * the snapshot is already compact.
+   */
+  def compactCommit(
+      spark: SparkSession, uri: String, targetBytes: Long): Int = {
+    require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
+    val v = latestVersion(spark, uri)
+    val names = readManifest(spark, uri, v)
+    val files = names.map(n => s"$uri/$n")
+    val fs = fsOf(spark, uri)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (names.size <= needed) return v
+
+    val sqlConf = spark.conf
+    val packKeys = Map(
+      "spark.sql.files.maxPartitionBytes" -> targetBytes.toString,
+      "spark.sql.files.openCostInBytes" ->
+        math.max(4096L, targetBytes / 64).toString,
+      "spark.sql.files.minPartitionNum" -> "1")
+    val saved = packKeys.keys.map(k => k -> sqlConf.getOption(k)).toMap
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+    try {
+      packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
+      spark.read.parquet(files: _*).write.parquet(tmp.toString)
+    } finally saved.foreach {
+      case (k, Some(kv)) => sqlConf.set(k, kv)
+      case (k, None)     => sqlConf.unset(k)
+    }
+    val newV = v + 1
+    val moved = fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.zipWithIndex.map { case (st, i) =>
+      val name = f"part-v$newV%06d-$i%05d.parquet"
+      require(fs.rename(st.getPath, new Path(uri, name)),
+        s"commit move ${st.getPath} failed")
+      name
+    }
+    fs.delete(tmp, true)
+    writeManifest(spark, uri, newV, moved.toSeq)
+    newV
+  }
+
   /** Drop manifests older than the last `keepVersions` and delete data
     * files no surviving manifest references.  Returns removed paths. */
   def expire(

@@ -66,15 +66,56 @@ object ZOrder {
         (coalesce(col(c).cast("long"), lit(mn)) - mn) * buckets, lit(range))
     }
 
-    // interleave: bit b of bucket i lands at z bit (b * nCols + i), with
-    // column 0 taking the MOST significant lane of each group
-    val n = cols.size
+    df.withColumn("z_value", interleave(bucketCols, bits))
+  }
+
+  /** Morton interleave: bit b of bucket i lands at z bit
+    * (b * nCols + lane), column 0 taking the MOST significant lane. */
+  private def interleave(bucketCols: Seq[Column], bits: Int): Column = {
+    val n = bucketCols.size
     val terms = for {
       b <- 0 until bits
       i <- 0 until n
     } yield shiftright(bucketCols(i), b).bitwiseAND(lit(1L)) *
       lit(1L << (b * n + (n - 1 - i)))
-    df.withColumn("z_value", terms.reduce(_ + _))
+    terms.reduce(_ + _)
+  }
+
+  /**
+   * Quantile-binned z-value — the skew-resistant variant: bucket
+   * boundaries are each column's exact `1/2^bits` quantiles (one
+   * distributed `percentile` aggregate), so a heavily skewed column
+   * still spreads its rows across all buckets where equi-width binning
+   * would collapse most of them into one.  Works on any numeric type
+   * (values are bucketed through their double image).  Bucketing is
+   * `count(boundaries <= v)` over a broadcast literal boundary array —
+   * O(2^bits) codegen'd comparisons per row per column; keep `bits`
+   * modest (the default 8 = 255 comparisons).  Deterministic: EXACT
+   * percentiles (approx sketches vary with partitioning), and ties
+   * collapse identically everywhere.  Exact percentile buffers values
+   * per partition — at extreme scale compute the boundaries on a
+   * deterministic hash-sample instead; only the boundary job changes.
+   */
+  def withZValueQuantile(
+      df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    checkBits(cols.size, bits)
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"z-order column '$c' must be numeric, got ${df.schema(c).dataType}")
+    }
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = cols.map { c =>
+      call_function("percentile", col(c).cast("double"),
+        typedlit(probs)).as(s"__q_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+      val bs = row.getSeq[Double](i)
+      size(filter(typedlit(bs),
+        b => b <= col(c).cast("double"))).cast("long")
+    }
+    df.withColumn("z_value", interleave(bucketCols, bits))
   }
 
   /**

@@ -75,6 +75,22 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact commit packs files into a new version; old pin intact") {
+    val dir = TestSpark.tmpDir("snap_compact")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartition(20).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val v2 = Snapshots.compactCommit(spark, dir, targetBytes = 1L << 20)
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).inputFiles.length == 1)
+    assert(Snapshots.read(spark, dir, 1).inputFiles.length == 20)
+    assert(Snapshots.read(spark, dir).count() == 2000)
+    // already compact → no-op, same version
+    assert(Snapshots.compactCommit(spark, dir, 1L << 20) == 2)
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)

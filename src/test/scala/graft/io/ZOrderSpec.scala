@@ -74,6 +74,29 @@ class ZOrderSpec extends AnyFunSuite {
       s"suppkey spans $suppSpans vs range $suppRange")
   }
 
+  test("quantile binning spreads a skewed column where equi-width collapses") {
+    // 95% of mass at one value + a long tail: equi-width puts ~all rows
+    // in bucket 0; quantile binning still uses many buckets
+    val skewed = ((1 to 9500).map(_ => 1L) ++
+      (1 to 500).map(i => (i * 1000L))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val eq = ZOrder.withZValue(skewed, Seq("v"), bits = 8)
+      .groupBy("z_value").count()
+    val qt = ZOrder.withZValueQuantile(skewed, Seq("v"), bits = 8)
+      .groupBy("z_value").count()
+    val eqTop = eq.orderBy(col("count").desc).select("count")
+      .as[Long].head()
+    val qtBuckets = qt.count()
+    assert(eqTop >= 9500L)     // equi-width collapsed
+    assert(qtBuckets >= 10L)   // quantile spread the tail
+    // determinism across partitioning (exact percentiles)
+    val a = ZOrder.withZValueQuantile(skewed.repartition(7), Seq("v"), 4)
+      .select("id", "z_value").as[(Long, Long)].collect().sortBy(_._1)
+    val b = ZOrder.withZValueQuantile(skewed.repartition(2), Seq("v"), 4)
+      .select("id", "z_value").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("z-order layout skips row groups at scan time on the SECOND column") {
     // runtime proof, not just a stats argument: the scan's numOutputRows
     // (rows surviving parquet row-group pruning + pushed filters) must be
