@@ -1346,6 +1346,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining for retrieval training: per query, the
+    // highest-cosine neighbors with a DIFFERENT label (the negatives a
+    // contrastive trainer most needs).  Exact ranking here (queries
+    // broadcast, corpus scanned once); at corpus scale swap the exact
+    // ranking for the ANN index (lshTopK/IvfIndex) — the label
+    // anti-filter and ranking stages are unchanged
+    "pipeline_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__q"),
+          col("label").as("q_label"))
+      val joined = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__v"), col("label").as("n_label"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id") &&
+          col("n_label") =!= col("q_label"))
+        .withColumn("cosine", graft.functions.GraftFunctions.cosine(
+          col("__v"), col("__q")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      joined.withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 5)
+        .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
     "sim_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = ops.IvfIndex.train(e, "vec_id", "embedding",
@@ -2488,6 +2517,20 @@ object SparkEntry {
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
         "CAST(b.embedding AS DOUBLE[])) >= 0.4 " +
         "ORDER BY a, b"),
+
+    "pipeline_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, " +
+        "label AS q_label FROM embeddings WHERE vec_id < 10), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS c, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "CAST(qv AS DOUBLE[])) DESC, vec_id) AS rn " +
+        "FROM embeddings e, q " +
+        "WHERE vec_id <> query_id AND e.label <> q.q_label) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS neg_rank, neighbor_id, " +
+        "round(c, 4) AS cosine FROM s WHERE rn <= 5 " +
+        "ORDER BY query_id, neg_rank"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +

@@ -130,6 +130,30 @@ object Snapshots {
     newV
   }
 
+  /** Append as an MVCC commit: `df` lands as fresh files and the new
+    * manifest gains them — no existing file is touched at all. */
+  def appendCommit(spark: SparkSession, uri: String, df: DataFrame): Int = {
+    val v = latestVersion(spark, uri)
+    val names = readManifest(spark, uri, v)
+    val fs = fsOf(spark, uri)
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+    df.write.parquet(tmp.toString)
+    val newV = v + 1
+    val moved = fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.zipWithIndex.map { case (st, i) =>
+      val name = f"part-v$newV%06d-$i%05d.parquet"
+      require(fs.rename(st.getPath, new Path(uri, name)),
+        s"commit move ${st.getPath} failed")
+      name
+    }
+    fs.delete(tmp, true)
+    writeManifest(spark, uri, newV, names ++ moved)
+    newV
+  }
+
   /**
    * Compaction as an MVCC commit: bin-pack the CURRENT snapshot's files
    * into ~`targetBytes` outputs (same narrow, shuffle-free scan-planning

@@ -91,6 +91,19 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.compactCommit(spark, dir, 1L << 20) == 2)
   }
 
+  test("append commit adds files without touching existing ones") {
+    val dir = freshTable("snap_append", n = 50)
+    Snapshots.init(spark, dir)
+    val v1Files = Snapshots.read(spark, dir, 1).inputFiles.toSet
+    val v2 = Snapshots.appendCommit(spark, dir,
+      Seq((1000L, "new1"), (1001L, "new2")).toDF("k", "name").coalesce(1))
+    assert(v2 == 2)
+    val v2Files = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files))
+    assert(Snapshots.read(spark, dir).count() == 52)
+    assert(Snapshots.read(spark, dir, 1).count() == 50)
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)
