@@ -1496,6 +1496,17 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // learned quality scorer: logistic regression over the heuristic
+    // signals, weak-labeled by the hard rule filter — deterministic
+    // full-batch GD (decimal gradient sums), smooth 0..1 ranking
+    "text_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = ops.QualityModel.train(docs, "text", iters = 10)
+      ops.QualityModel.score(docs, "text", model)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // BPE subword tokenizer: the learned merge table (pure function of
     // the corpus — ties break lexicographically, so this is exactly
     // reproducible) and the per-document encoding derived from it

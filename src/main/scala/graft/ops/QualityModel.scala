@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Learned document-quality scorer: a logistic regression over the
+ * heuristic text signals, trained distributively with weak supervision
+ * (the hard [[TextAnalysis.qualityFlags]] rule verdict as the label) —
+ * the standard corpus-curation pattern (CCNet/Gopher-style rules
+ * bootstrap a learned scorer, which then ranks documents on a smooth
+ * 0..1 scale instead of a binary keep/drop).
+ *
+ * Scale + determinism design, same discipline as [[IvfIndex.train]]:
+ *  - features are ONE narrow projection (reusing the codegen'd token
+ *    kernels), standardized by a single aggregate (decimal sums —
+ *    order-independent, so statistics are bit-identical at any
+ *    partitioning);
+ *  - training is full-batch gradient descent with a fixed iteration
+ *    count and zero init: one tiny aggregate job per iteration whose
+ *    gradient sums are ALSO decimal — the learned weights are a pure
+ *    function of the corpus;
+ *  - scoring is a narrow sigmoid projection with literal weights.
+ */
+object QualityModel {
+
+  final case class Model(
+      weights: Array[Double], bias: Double,
+      means: Array[Double], stds: Array[Double])
+
+  /** Feature columns (raw, unstandardized): log token count, mean word
+    * length, stopword ratio, digit ratio, 3-gram repetition. */
+  private def rawFeatures(textCol: String): Seq[(String, Column)] = {
+    val t = col(textCol)
+    val toks = TextAnalysis.tokens(t)
+    val n = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+      .cast("double")
+    val stop = size(filter(toks,
+      w => w.isin(TextAnalysis.EnglishStopwords: _*))).cast("double")
+    val digits = (length(t) -
+      length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val chars = greatest(length(t).cast("double"), lit(1.0))
+    Seq(
+      "f_log_tokens" -> log(n + 1.0),
+      "f_mean_word_len" -> (sumLen / greatest(n, lit(1.0))),
+      "f_stopword_ratio" -> (stop / greatest(n, lit(1.0))),
+      "f_digit_ratio" -> (digits / chars),
+      "f_repetition" -> graft.functions.GraftFunctions
+        .ngramRepetition(t, 3))
+  }
+
+  private val Dec = "decimal(28,12)"
+
+  /**
+   * Train on `df(textCol)` with the rule verdict as weak label.
+   * Returns the model; `iters` fixed-step full-batch GD rounds.
+   */
+  def train(
+      df: DataFrame, textCol: String, iters: Int = 15,
+      lr: Double = 0.5): Model = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val feats = rawFeatures(textCol)
+    val names = feats.map(_._1)
+    val labeled0 = TextAnalysis.qualityFlags(df, textCol)
+      .withColumn("__y", col("kept").cast("double"))
+    val labeled = feats.foldLeft(labeled0) { case (acc, (nm, c)) =>
+      acc.withColumn(nm, c)
+    }.select((names.map(col) :+ col("__y")): _*)
+      .localCheckpoint() // features compute once, not once per GD round
+
+    // standardization statistics: decimal sums -> order-independent
+    val statAggs = names.flatMap { nm =>
+      Seq(sum(col(nm).cast(Dec)).as(s"__s_$nm"),
+        sum((col(nm) * col(nm)).cast(Dec)).as(s"__ss_$nm"))
+    } :+ count(lit(1)).as("__n")
+    val r = labeled.agg(statAggs.head, statAggs.tail: _*).head()
+    val nRows = r.getLong(2 * names.size).toDouble
+    val means = names.indices.map { i =>
+      r.getDecimal(2 * i).doubleValue() / nRows
+    }.toArray
+    val stds = names.indices.map { i =>
+      val ex2 = r.getDecimal(2 * i + 1).doubleValue() / nRows
+      math.max(1e-9, math.sqrt(math.max(0.0, ex2 - means(i) * means(i))))
+    }.toArray
+
+    def zCols: Seq[Column] = names.zipWithIndex.map { case (nm, i) =>
+      (col(nm) - means(i)) / stds(i)
+    }
+
+    var w = Array.fill(names.size)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val margin = zCols.zip(w).map { case (zc, wi) => zc * wi }
+        .reduce(_ + _) + b
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val err = p - col("__y")
+      val gradAggs = zCols.zipWithIndex.map { case (zc, i) =>
+        sum((err * zc).cast(Dec)).as(s"__g_$i")
+      } :+ sum(err.cast(Dec)).as("__gb")
+      val g = labeled.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = w.indices.map { i =>
+        w(i) - lr * g.getDecimal(i).doubleValue() / nRows
+      }.toArray
+      b = b - lr * g.getDecimal(names.size).doubleValue() / nRows
+      it += 1
+    }
+    Model(w, b, means, stds)
+  }
+
+  /** Appends `quality_score` (sigmoid, rounded 4dp) — narrow, no jobs. */
+  def score(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val feats = rawFeatures(textCol)
+    val margin = feats.zipWithIndex.map { case ((_, c), i) =>
+      ((c - model.means(i)) / model.stds(i)) * model.weights(i)
+    }.reduce(_ + _) + model.bias
+    df.withColumn("quality_score",
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 4))
+  }
+}

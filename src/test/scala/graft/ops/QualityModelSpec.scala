@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QualityModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  test("learned scores separate rule-kept from rule-dropped documents") {
+    val model = QualityModel.train(docs, "text", iters = 15)
+    val scored = QualityModel.score(
+      TextAnalysis.qualityFlags(docs, "text"), "text", model)
+    val m = scored.groupBy("kept")
+      .agg(avg("quality_score").as("s"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(m(true) > m(false) + 0.2,
+      s"kept mean ${m(true)} vs dropped mean ${m(false)}")
+    // scores are probabilities
+    val bad = scored.filter(col("quality_score") < 0 ||
+      col("quality_score") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("training reduces log-loss and agrees with the weak labels") {
+    def logLoss(iters: Int): Double = {
+      val model = QualityModel.train(docs, "text", iters = iters)
+      val scored = QualityModel.score(
+        TextAnalysis.qualityFlags(docs, "text"), "text", model)
+      val eps = 1e-6
+      val p = least(greatest(col("quality_score"), lit(eps)), lit(1 - eps))
+      val y = col("kept").cast("double")
+      scored.agg(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
+        .head().getDouble(0)
+    }
+    val l1 = logLoss(1)
+    val l15 = logLoss(15)
+    assert(l15 < l1, s"log-loss $l1 -> $l15 should decrease")
+
+    val model = QualityModel.train(docs, "text", iters = 15)
+    val scored = QualityModel.score(
+      TextAnalysis.qualityFlags(docs, "text"), "text", model)
+    val acc = scored
+      .filter((col("quality_score") >= 0.5) === col("kept"))
+      .count().toDouble / scored.count()
+    assert(acc > 0.85, s"15-iteration agreement with weak labels is $acc")
+  }
+
+  test("weights are deterministic across partitioning") {
+    val a = QualityModel.train(docs.repartition(7), "text", iters = 8)
+    val b = QualityModel.train(docs.repartition(2), "text", iters = 8)
+    assert(a.weights.sameElements(b.weights) && a.bias == b.bias)
+    assert(a.means.sameElements(b.means) && a.stds.sameElements(b.stds))
+  }
+}
