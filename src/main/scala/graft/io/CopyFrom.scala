@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -99,5 +100,59 @@ object CopyFrom {
       }: _*)
     }.reduce(_.unionByName(_))
     options.where.map(unioned.filter).getOrElse(unioned)
+  }
+
+  /**
+   * Field-id-resolved scan — the RENAME half of schema evolution (the
+   * Iceberg column-resolution rule): columns bind by the parquet
+   * `field_id` written via [[FieldIds]], not by name, so a file written
+   * when the column was called `amount` still serves a table that has
+   * since renamed it `total`.  `target` carries the desired names with
+   * `parquet.field.id` metadata on each field; a file column with a
+   * matching id binds regardless of its stored name, and an id absent
+   * from the file reads as null (add-column evolution).
+   *
+   * Resolution is explicit: the file footer's (field id → stored name)
+   * mapping drives a rename/cast projection over a plain scan — no
+   * session-conf games (Spark's own `fieldId.read.enabled` flag is read
+   * at EXECUTION time, which a lazily-consumed DataFrame can't pin),
+   * and pushdown/pruning work through the projection unchanged.  One
+   * footer read on the driver; all files under `uri` must share the
+   * id mapping (per-generation mappings compose via [[mergedSchema]]
+   * over per-generation `byFieldIds` reads).
+   */
+  def byFieldIds(
+      spark: SparkSession,
+      uri: String,
+      target: StructType,
+      options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val idKey = "parquet.field.id"
+    target.fields.foreach { f =>
+      require(f.metadata.contains(idKey),
+        s"byFieldIds: column '${f.name}' has no $idKey metadata")
+    }
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    require(files.nonEmpty, s"byFieldIds: no data files under $uri")
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(new java.net.URI(files.head)), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fileFields =
+      try reader.getFooter.getFileMetaData.getSchema.getFields
+      finally reader.close()
+    val idToName = scala.collection.mutable.Map[Long, String]()
+    fileFields.forEach { t =>
+      if (t.getId != null) idToName(t.getId.intValue().toLong) = t.getName
+    }
+    val raw = spark.read.parquet(uri)
+    val bound = raw.select(target.fields.toIndexedSeq.map { f =>
+      val id = f.metadata.getLong(idKey)
+      idToName.get(id) match {
+        case Some(stored) => col(s"`$stored`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name) // added column
+      }
+    }: _*)
+    options.where.map(bound.filter).getOrElse(bound)
   }
 }

@@ -67,16 +67,30 @@ object SemDedup {
       // small, and its blocks free with the reference)
       .localCheckpoint()
 
-    // within-cell duplicate pairs: equi-join on the cell id, upper
-    // triangle only, exact cosine filter.  NaN guard as in
-    // Similarity.bruteForcePairs (zero-norm vectors).
-    val l = withSim.select(col("ivf_cell"), col("id").as("a"), col("__v").as("va"))
-    val r = withSim.select(col("ivf_cell"), col("id").as("b"), col("__v").as("vb"))
-    val pairs = l.join(r, Seq("ivf_cell"))
-      .filter(col("a") < col("b"))
+    // within-cell duplicate pairs, sub-blocked like
+    // Similarity.bruteForcePairs: rows hash into `blocks` sub-blocks and
+    // every unordered block pair becomes one join group keyed by
+    // (cell, block pair) — a hot cell spreads across blocks·(blocks+1)/2
+    // tasks instead of serializing into one |cell|² task.  Exact cosine
+    // filter with the NaN (zero-norm) guard.
+    val blocks = 16
+    val bp = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i.toLong, j.toLong)).toDF("bi", "bj")
+    val l = withSim.select(col("ivf_cell"), col("id").as("a"),
+        col("__v").as("va"))
+      .withColumn("bi", pmod(xxhash64(col("a")), lit(blocks.toLong)))
+    val r = withSim.select(col("ivf_cell"), col("id").as("b"),
+        col("__v").as("vb"))
+      .withColumn("bj", pmod(xxhash64(col("b")), lit(blocks.toLong)))
+    val pairs = l.join(broadcast(bp), Seq("bi"))
+      .join(r, Seq("ivf_cell", "bj"))
+      // same-block pairs appear in both orientations — keep one;
+      // cross-block pairs appear once (only bi <= bj exists)
+      .filter(col("bi") =!= col("bj") || col("a") < col("b"))
       .withColumn("c", GraftFunctions.cosine(col("va"), col("vb")))
       .filter(!isnan(col("c")) && col("c") >= threshold)
-      .select(col("a"), col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
 
     // duplicate groups = connected components of the pair graph (pairs
     // never cross cells, so components are within-cell by construction)

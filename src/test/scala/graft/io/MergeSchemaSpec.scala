@@ -52,6 +52,56 @@ class MergeSchemaSpec extends AnyFunSuite {
       Seq(1L, 2L))
   }
 
+  test("byFieldIds resolves renamed columns through parquet field ids") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("evolve_fieldid")
+    // write with explicit ids under the ORIGINAL names
+    val src = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount")
+    CopyTo(src, dir, CopyToOptions(fieldIds = """{"k": 1, "amount": 2}"""))
+
+    // the table has since renamed amount -> total and added note (id 3)
+    def withId(n: String, dt: DataType, id: Long) =
+      StructField(n, dt, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    val target = StructType(Seq(
+      withId("k", LongType, 1),
+      withId("total", DoubleType, 2),
+      withId("note", StringType, 3)))
+
+    val out = CopyFrom.byFieldIds(spark, dir, target)
+    assert(out.columns.toSeq == Seq("k", "total", "note"))
+    val rows = out.orderBy("k")
+      .as[(Long, Option[Double], Option[String])].collect().toSeq
+    assert(rows == Seq((1L, Some(10.0), None), (2L, Some(20.0), None)))
+
+    // a target column without id metadata is refused
+    val bad = StructType(Seq(StructField("k", LongType)))
+    val ex = intercept[IllegalArgumentException] {
+      CopyFrom.byFieldIds(spark, dir, bad)
+    }
+    assert(ex.getMessage.contains("parquet.field.id"))
+  }
+
+  test("byFieldIds pushes filters through the rename projection") {
+    val dir = TestSpark.tmpDir("evolve_fieldid_push")
+    CopyTo((1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "amount"),
+      dir, CopyToOptions(fieldIds = """{"k": 1, "amount": 2}"""))
+    import org.apache.spark.sql.types._
+    def withId(n: String, dt: DataType, id: Long) =
+      StructField(n, dt, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    val target = StructType(Seq(
+      withId("k", LongType, 1), withId("total", DoubleType, 2)))
+    val df = CopyFrom.byFieldIds(spark, dir, target,
+      CopyFromOptions(where = Some("total > 100")))
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate must reach the scan as a pushed filter on the
+    // STORED column name
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(amount"), plan.take(2000))
+    assert(df.count() == 50)
+  }
+
   test("incompatible column redefinition fails loudly") {
     val dir = TestSpark.tmpDir("evolve_conflict")
     Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen1")
