@@ -132,22 +132,38 @@ object MergeInto {
     val target = spark.read.parquet(uri)
     val pred = expr(predicate)
 
-    val touched = target.withColumn("__file", input_file_name())
-      .filter(pred).select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty)
+    // per-file matching-row counts from the match scan; a file whose
+    // EVERY row matches (footer row count = match count) is dropped
+    // whole with no rewrite — retention deletes of entire time ranges
+    // become pure file deletes, which is what makes TTL free at scale
+    val matchCounts = target.withColumn("__file", input_file_name())
+      .filter(pred).groupBy("__file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchCounts.isEmpty)
       return MergeResult(uri, 0, files.size, target.count())
 
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
+    val (dropWhole, rewrite) = matchCounts.keys.toSeq.partition { f =>
+      matchCounts(f) == footerRowCount(conf, f)
+    }
+    val touched = rewrite.toSet
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    spark.read.schema(target.schema).parquet(touched.toSeq: _*)
-      .filter(!coalesce(pred, lit(false)))
-      .coalesce(math.max(1, touched.size))
-      .write.parquet(tmp.toString)
-
+    if (touched.nonEmpty) {
+      spark.read.schema(target.schema).parquet(touched.toSeq: _*)
+        .filter(!coalesce(pred, lit(false)))
+        .coalesce(math.max(1, touched.size))
+        .write.parquet(tmp.toString)
+    }
+    dropWhole.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    if (touched.isEmpty) {
+      fs.delete(tmp, true)
+      val finalRows = spark.read.parquet(uri).count()
+      return MergeResult(uri, dropWhole.size, files.size - dropWhole.size,
+        finalRows)
+    }
     touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     fs.listStatus(tmp).filter { st =>
@@ -160,6 +176,16 @@ object MergeInto {
     }
     fs.delete(tmp, true)
     val finalRows = spark.read.parquet(uri).count()
-    MergeResult(uri, touched.size, files.size - touched.size, finalRows)
+    val affected = touched.size + dropWhole.size
+    MergeResult(uri, affected, files.size - affected, finalRows)
+  }
+
+  /** Exact row count from the file footer — no data read. */
+  private def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration, file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(new java.net.URI(file)), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 }

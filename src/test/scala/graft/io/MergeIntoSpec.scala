@@ -102,6 +102,24 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(back.length == 950)
   }
 
+  test("deleteWhere drops fully-matching files whole, without a rewrite") {
+    val dir = TestSpark.tmpDir("merge_delete_whole")
+    // 10 range files over k 1..1000: k <= 300 covers the first three
+    // files ENTIRELY (plus part of the fourth)
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val before = CopyTo.listDataFiles(spark, dir)._1.toSet
+    val res = MergeInto.deleteWhere(spark, dir, "k <= 300")
+    assert(res.finalRows == 700L)
+    val after = CopyTo.listDataFiles(spark, dir)._1.toSet
+    // whole-matching files vanished; at most ONE replacement file was
+    // written (the single partially-matching range file)
+    val newFiles = after -- before
+    assert(newFiles.size <= 1, s"new files: $newFiles")
+    assert(spark.read.parquet(dir).agg(min("k")).head().getLong(0) == 301L)
+  }
+
   test("deleteWhere keeps null-predicate rows and no-ops on no match") {
     val dir = TestSpark.tmpDir("merge_delete_null")
     Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
