@@ -1063,6 +1063,52 @@ object SparkEntry {
         .orderBy("hour_idx", "event_type")
     }),
 
+    // custom mergeable sketch INSIDE streaming state: the DDSketch
+    // TypedImperativeAggregate runs in a watermarked windowed streaming
+    // aggregation (its buffer serializes into the state store, partials
+    // merge across micro-batches) — order-independent merge makes the
+    // estimates deterministic however the stream is micro-batched
+    "stream_quantile_sketch" -> ((s, dir) => {
+      graft.functions.QuantileSketch.register(s)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = stagedSentinelEventsDir(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_qsketch_sink_" +
+        new java.io.File(dir).getName
+      val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema).parquet(stageDir)
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ets", "1 second")
+          .groupBy(window(col("ets"), "6 hours").as("w"), col("event_type"))
+          .agg(
+            round(graft.functions.QuantileSketch
+              .ddQuantile(col("value"), 0.5, 0.01), 4).as("p50"),
+            round(graft.functions.QuantileSketch
+              .ddQuantile(col("value"), 0.95, 0.01), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .select((col("w.start").cast("long") / 21600).cast("long")
+            .as("win_idx"), col("event_type"), col("p50"), col("p95"),
+            col("n"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy("win_idx", "event_type")
+    }),
+
     // Structured Streaming with a FILE sink (append mode): the production
     // shape — a stateless streaming ETL writing parquet from executors,
     // nothing collected to the driver (the memory-sink variants above are
