@@ -1627,6 +1627,14 @@ object SparkEntry {
           "doc_id", "blob", windowMs = 1000, hopMs = 500)
         .orderBy("doc_id", "window_idx")),
 
+    // keyframe selection: per-frame perceptual hash, windowed Hamming
+    // against the previous frame, keep frame 0 + above-threshold cuts
+    "mm_keyframes" -> ((s, dir) =>
+      Multimodal.keyFrames(
+          Multimodal.withBlob(t(s, dir, "documents"), "text"),
+          "doc_id", "blob", sampleEvery = 2, minHamming = 20)
+        .orderBy("doc_id", "frame_idx")),
+
     // perceptual near-dup over media payloads: dHash (decode stubbed as
     // stripe-means, bit comparisons real) + banded Hamming pigeonhole.
     // The corpus is each long document's payload plus an edited copy

@@ -154,6 +154,55 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Keyframe selection (scene-change detection): per sampled frame,
+   * compute a perceptual dHash and keep the frames whose Hamming
+   * distance to the PREVIOUS frame exceeds `minHamming` (plus frame 0)
+   * — the standard shot-boundary reduction that turns hours of video
+   * into a handful of training frames.  The per-frame "decode" is the
+   * declared stub (the payload rotated by the frame index stands in for
+   * the decoded frame bytes — a real decoder hands actual frame pixels
+   * to the same dHash); the fan-out, hash, windowed lag comparison, and
+   * filter are the real distributed shape: narrow explode → codegen'd
+   * hash → one bounded per-document window, no shuffle beyond it.
+   *
+   * Output: (doc_id, frame_idx, frame_hash, hamming_prev) for kept
+   * frames; `hamming_prev` is null on frame 0.
+   */
+  def keyFrames(
+      df: DataFrame, idCol: String, srcCol: String,
+      sampleEvery: Int = 2, minHamming: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nFrames = (octet_length(col(srcCol)) % 24 + 1).cast("long")
+    val frames = df.select(col(idCol).as("doc_id"), col(srcCol).as("__b"),
+        nFrames.as("n_frames"))
+      .select(col("doc_id"), col("__b"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(sampleEvery.toLong))).as("frame_idx"))
+    // stub frame decode: rotate the payload by a per-frame offset — a
+    // small drift per frame (gradual motion: consecutive hashes nearly
+    // equal) plus a large jump every 5th frame (a scene cut: hashes
+    // diverge).  A real decoder replaces this rotation with the actual
+    // frame pixels; everything downstream is unchanged.
+    val len = octet_length(col("__b"))
+    val rot = ((col("frame_idx") * 3 +
+      (col("frame_idx") / 5).cast("long") * 997) % greatest(len, lit(1)))
+      .cast("int") + 1
+    val frameBytes = concat(
+      col("__b").substr(rot, len), col("__b").substr(lit(1), rot - 1))
+    val hashed = frames.withColumn("frame_hash",
+      graft.functions.GraftFunctions.dhash(frameBytes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    hashed
+      .withColumn("hamming_prev",
+        bit_count(col("frame_hash").bitwiseXOR(
+          lag(col("frame_hash"), 1).over(w))))
+      .filter(col("hamming_prev").isNull ||
+        col("hamming_prev") > minHamming)
+      .select("doc_id", "frame_idx", "frame_hash", "hamming_prev")
+  }
+
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
   def extractMeta(
       spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,

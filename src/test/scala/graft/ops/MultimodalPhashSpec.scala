@@ -38,6 +38,33 @@ class MultimodalPhashSpec extends AnyFunSuite {
     assert(ham(hb, hashOf(other)) > 10)
   }
 
+  test("keyFrames keeps frame 0 and only above-threshold transitions") {
+    GraftFunctions.register(spark)
+    // smooth low-frequency payload (like real image rows): adjacent
+    // stripe means differ robustly, so the stub's small per-frame drift
+    // flips ~0 bits while its every-5th-frame cut flips dozens — white
+    // noise would make every comparison a near-tie instead
+    val payload = Array.tabulate[Byte](4000)(i =>
+      (128 + 100 * math.sin(i / 300.0)).toInt.toByte)
+    val df = Seq((7L, payload)).toDF("doc_id", "blob")
+    val all = Multimodal.keyFrames(df, "doc_id", "blob",
+      sampleEvery = 1, minHamming = -1) // threshold -1 keeps every frame
+      .orderBy("frame_idx")
+      .select("frame_idx", "hamming_prev")
+      .as[(Long, Option[Int])].collect()
+    assert(all.head == ((0L, None))) // frame 0 always kept
+    assert(all.length == payload.length % 24 + 1)
+    val kept = Multimodal.keyFrames(df, "doc_id", "blob",
+      sampleEvery = 1, minHamming = 8)
+      .select("frame_idx", "hamming_prev")
+      .as[(Long, Option[Int])].collect()
+    // every kept non-first frame genuinely exceeded the threshold
+    kept.filter(_._1 != 0L).foreach { case (_, h) => assert(h.exists(_ > 8)) }
+    assert(kept.length < all.length) // within-scene drift was smooth
+    // the stub cuts land every 5th frame — at least one was detected
+    assert(kept.exists(k => k._1 != 0L && k._1 % 5 == 0))
+  }
+
   test("phashPairs equals brute-force hamming filter (pigeonhole exact)") {
     GraftFunctions.register(spark)
     // payload family: shared base with per-doc local edits of varying size
