@@ -1542,6 +1542,17 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // weighted sampling without replacement (Efraimidis-Spirakis):
+    // 10 docs per source with inclusion odds proportional to length —
+    // the sample-by-quality-score curation step, deterministic per seed
+    "pipeline_weighted_sample" -> ((s, dir) =>
+      ops.TrainPrep.weightedSample(
+          t(s, dir, "documents")
+            .withColumn("w", col("n_chars").cast("double")),
+          "doc_id", "w", k = 10, stratumCol = Some("source"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // learned quality scorer: logistic regression over the heuristic
     // signals, weak-labeled by the hard rule filter — deterministic
     // full-batch GD (decimal gradient sums), smooth 0..1 ranking

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -383,6 +384,43 @@ object TrainPrep {
         acc.when(stratum === s, lit(math.round(f * buckets)))
     }.otherwise(lit(math.round(defaultFraction * buckets)))
     df.filter(pmod(hash.cast("long"), lit(buckets.toLong)) < threshold)
+  }
+
+  /**
+   * Deterministic WEIGHTED sampling without replacement (Efraimidis &
+   * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+   * row gets the sort key `ln(u) / w` with `u` a hash-derived uniform
+   * in (0,1) and `w = weightCol`; the `k` LARGEST keys per stratum are
+   * an exact weighted sample — inclusion probability scales with
+   * weight, which is how you sample a corpus proportional to a learned
+   * quality score instead of uniformly.
+   *
+   * Deterministic: `u` derives from `xxhash64(id, seed)`, so the
+   * sample is a pure function of (row identity, seed) at any
+   * partitioning.  Scale shape: one bounded per-stratum window (the
+   * same top-k shape as every ranked query here), no global sort; at a
+   * single giant stratum swap the window for the standard two-phase
+   * per-partition-reservoir + merge — the sort key is unchanged.
+   */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      stratumCol: Option[String] = None, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // u in (0,1): 53 uniform mantissa bits from the row hash; the +1 in
+    // the numerator keeps u > 0 so ln(u) is finite
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53))
+      .cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val w0 = stratumCol match {
+      case Some(sc) => Window.partitionBy(col(sc))
+      case None     => Window.partitionBy()
+    }
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", key)
+      .withColumn("__es_rank",
+        row_number().over(w0.orderBy(col("__es_key").desc, col(idCol))))
+      .filter(col("__es_rank") <= k)
+      .drop("__es_key", "__es_rank")
   }
 
   /**

@@ -306,4 +306,41 @@ class TrainPrepSpec extends AnyFunSuite {
     val b = run(df.repartition(13).orderBy(col("id").desc))
     assert(a == b)
   }
+
+  test("weighted sample: exact k per stratum, deterministic, weight-biased") {
+    import spark.implicits._
+    val df = (0 until 400).map { i =>
+      (i.toLong, if (i % 2 == 0) 20.0 else 1.0, s"s${i % 4}")
+    }.toDF("id", "w", "stratum")
+
+    val out = TrainPrep.weightedSample(df, "id", "w", k = 10,
+      stratumCol = Some("stratum"))
+    val perStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.toSet == Set(10L) && perStratum.size == 4)
+
+    // deterministic at any partitioning
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = TrainPrep.weightedSample(df.repartition(13), "id", "w", 10,
+      Some("stratum")).select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+
+    // inclusion tracks weight: over many seeds, 20x-weighted rows are
+    // picked far more often than 1x rows (single mixed-weight
+    // population — per-stratum quotas would mask the bias)
+    var heavy = 0L; var light = 0L
+    (1L to 30L).foreach { s =>
+      val ids = TrainPrep.weightedSample(df, "id", "w", 40,
+        stratumCol = None, seed = s).select("id").as[Long].collect()
+      heavy += ids.count(_ % 2 == 0); light += ids.count(_ % 2 == 1)
+    }
+    assert(heavy > light * 3, s"heavy=$heavy light=$light")
+
+    // k >= stratum size keeps everything; nonpositive weights dropped
+    val tiny = Seq((1L, 5.0, "x"), (2L, 0.0, "x"), (3L, -1.0, "x"))
+      .toDF("id", "w", "stratum")
+    val kept = TrainPrep.weightedSample(tiny, "id", "w", 10, Some("stratum"))
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
 }
