@@ -57,7 +57,38 @@ object MetaTableFunctions {
           // splices into the caller like any other FROM-clause relation
           fn(SparkSession.active, path).queryExecution.analyzed
         })
-    }
+    } :+ snapshotBuilder
+
+  /** `SELECT * FROM parquet_snapshot('<uri>'[, version])` — SQL time
+    * travel over a [[graft.io.Snapshots]]-managed directory (omitted
+    * version = latest).  Same analysis-time splice as the metadata
+    * functions: the pinned file list becomes an ordinary parquet scan. */
+  private def snapshotBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_snapshot"),
+      new ExpressionInfo("graft", null, "parquet_snapshot",
+        "_FUNC_(uri[, version]) - pinned snapshot read (time travel)", ""),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 2)
+          throw new IllegalArgumentException(
+            "parquet_snapshot(uri[, version]) takes 1 or 2 arguments, " +
+              s"got ${args.length}")
+        val path = pathArg("parquet_snapshot", args.take(1))
+        val version = args.lift(1).map { e =>
+          val integral = Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType)
+          if (!e.foldable || !integral.contains(e.dataType))
+            throw new IllegalArgumentException(
+              s"parquet_snapshot: version must be an integer literal, " +
+                s"got ${e.sql}")
+          e.eval().toString.toInt
+        }.getOrElse(-1)
+        graft.io.Snapshots.read(SparkSession.active, path, version)
+          .queryExecution.analyzed
+      })
 
   /** Programmatic registration on an existing session (the non-extensions
     * route, mirroring the `register(spark)` helpers of the scalar fns). */

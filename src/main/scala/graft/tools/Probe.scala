@@ -61,6 +61,49 @@ object Probe {
     probe("ext-inference") {
       graft.io.Compression.fromExtension("/x/y/data.parquet.zst")
     }
+
+    // ---- maintenance / table-layer error paths ----
+    val tmp = System.getProperty("java.io.tmpdir")
+    probe("compact-target-too-small") {
+      graft.io.CopyTo.compact(spark, s"$dir/lineitem.parquet", 1000L)
+    }
+    probe("merge-ambiguous-keys") {
+      import spark.implicits._
+      val t = s"$tmp/graft_probe_merge"
+      Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(t)
+      graft.io.MergeInto(spark, t,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k"))
+    }
+    probe("merge-hive-partitioned-refused") {
+      import spark.implicits._
+      val t = s"$tmp/graft_probe_hive"
+      Seq((1L, "a", "p")).toDF("k", "v", "part")
+        .write.mode("overwrite").partitionBy("part").parquet(t)
+      graft.io.MergeInto(spark, t,
+        Seq((1L, "b", "p")).toDF("k", "v", "part"), Seq("k"))
+    }
+    probe("snapshot-read-unmanaged") {
+      graft.io.Snapshots.read(spark, s"$dir/lineitem.parquet").count()
+    }
+    probe("snapshot-double-init") {
+      import spark.implicits._
+      val t = s"$tmp/graft_probe_snap"
+      new java.io.File(t).listFiles() // ignore
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(t), true)
+      Seq((1L, "a")).toDF("k", "v").write.parquet(t)
+      graft.io.Snapshots.init(spark, t)
+      graft.io.Snapshots.init(spark, t)
+    }
+    probe("zorder-non-integral") {
+      import spark.implicits._
+      graft.io.ZOrder.withZValue(
+        Seq((1.5, 2L)).toDF("f", "g"), Seq("f"))
+    }
+    probe("analyze-no-columns") {
+      graft.io.Maintenance.analyze(spark, s"$dir/region.parquet", Nil)
+    }
     spark.stop()
   }
 }

@@ -104,6 +104,25 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, 1).count() == 50)
   }
 
+  test("SQL time travel via parquet_snapshot table function") {
+    val dir = freshTable("snap_sql", n = 30)
+    Snapshots.init(spark, dir)
+    Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "X")).toDF("k", "name"), Seq("k"))
+    graft.meta.MetaTableFunctions.register(spark)
+    val latest = spark.sql(
+      s"SELECT name FROM parquet_snapshot('$dir') WHERE k = 1")
+      .as[String].head()
+    val pinned = spark.sql(
+      s"SELECT name FROM parquet_snapshot('$dir', 1) WHERE k = 1")
+      .as[String].head()
+    assert(latest == "X" && pinned == "v1")
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM parquet_snapshot('$dir', 1, 2)")
+    }
+    assert(ex.getMessage.contains("1 or 2 arguments"))
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)
