@@ -249,6 +249,7 @@ object CopyTo {
       spark: SparkSession, uri: String, targetBytes: Long,
       compression: String = "snappy"): WriteResult = {
     require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
+    MergeInto.requireUnmanaged(spark, uri, "compactCommit")
     val (files, totalBytes) = listDataFiles(spark, uri)
     val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     if (files.size <= needed) return WriteResult(uri, files, totalBytes)
@@ -324,7 +325,13 @@ object CopyTo {
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      // skip hidden files AND files inside hidden/underscore DIRS (a
+      // Snapshots manifest's own name is not underscored — only its
+      // _graft_manifests parent is)
+      val parent = st.getPath.getParent
+      val hiddenParent = parent != null &&
+        (parent.getName.startsWith("_") || parent.getName.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith(".") && !hiddenParent)
         buf += ((st.getPath.toString, st.getLen))
     }
     val all = buf.result()

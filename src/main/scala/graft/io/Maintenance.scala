@@ -74,7 +74,9 @@ object Maintenance {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import spark.implicits._
     val out = cols.zipWithIndex.map { case (c, i) =>
-      (c, row.getLong(4 * i), row.getLong(4 * i + 1),
+      // an empty table aggregates sum() to NULL — report zeros, not NPE
+      val nNulls = if (row.isNullAt(4 * i)) 0L else row.getLong(4 * i)
+      (c, nNulls, row.getLong(4 * i + 1),
         row.getString(4 * i + 2), row.getString(4 * i + 3))
     }.toDF("column_name", "n_nulls", "n_distinct", "min_repr", "max_repr")
 

@@ -39,10 +39,22 @@ object MergeInto {
       uri: String, rewrittenFiles: Int, untouchedFiles: Int,
       finalRows: Long)
 
+  /** In-place ops must not touch a snapshot-managed dir: they'd edit
+    * files that live manifests still reference.  Use the Snapshots
+    * commit variants there. */
+  private[io] def requireUnmanaged(
+      spark: SparkSession, uri: String, op: String): Unit = {
+    val p = new Path(uri, "_graft_manifests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"$uri is snapshot-managed — use Snapshots.${op} instead")
+  }
+
   def apply(
       spark: SparkSession, uri: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    requireUnmanaged(spark, uri, "mergeCommit")
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     require(files.nonEmpty, s"merge target $uri has no data files")
 
@@ -112,7 +124,7 @@ object MergeInto {
     }
     fs.delete(tmp, true)
 
-    val finalRows = spark.read.parquet(uri).count()
+    val finalRows = footerRows(spark, uri)
     MergeResult(uri, touched.size, files.size - touched.size, finalRows)
   }
 
@@ -127,9 +139,18 @@ object MergeInto {
    */
   def deleteWhere(
       spark: SparkSession, uri: String, predicate: String): MergeResult = {
+    requireUnmanaged(spark, uri, "mergeCommit (with a delete column)")
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     require(files.nonEmpty, s"delete target $uri has no data files")
     val target = spark.read.parquet(uri)
+    // same guard as apply: the leaf-file rewrite would null-fill a hive
+    // partition column (the predicate then evaluates NULL → rows KEPT)
+    // and land replacements in the table root — silent corruption
+    val physicalDel = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val partColsDel = target.schema.fieldNames.filterNot(physicalDel.contains)
+    require(partColsDel.isEmpty,
+      s"delete target is hive-partitioned on ${partColsDel.mkString(",")} — " +
+        "not supported; delete per partition directory instead")
     val pred = expr(predicate)
 
     // per-file matching-row counts from the match scan; a file whose
@@ -160,7 +181,7 @@ object MergeInto {
     dropWhole.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
     if (touched.isEmpty) {
       fs.delete(tmp, true)
-      val finalRows = spark.read.parquet(uri).count()
+      val finalRows = footerRows(spark, uri)
       return MergeResult(uri, dropWhole.size, files.size - dropWhole.size,
         finalRows)
     }
@@ -175,9 +196,17 @@ object MergeInto {
         s"delete move ${st.getPath} failed")
     }
     fs.delete(tmp, true)
-    val finalRows = spark.read.parquet(uri).count()
+    val finalRows = footerRows(spark, uri)
     val affected = touched.size + dropWhole.size
     MergeResult(uri, affected, files.size - affected, finalRows)
+  }
+
+  /** Exact table row count from footers only — O(files), no data read
+    * (the result statistic must not cost a 100 TB scan per merge). */
+  private def footerRows(spark: SparkSession, uri: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    CopyTo.listDataFiles(spark, uri)._1.iterator
+      .map(footerRowCount(conf, _)).sum
   }
 
   /** Exact row count from the file footer — no data read. */

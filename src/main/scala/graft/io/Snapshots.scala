@@ -35,6 +35,25 @@ import org.apache.spark.sql.functions._
  */
 object Snapshots {
 
+  /** Move tmp's data files into the table dir under version-stamped
+    * names; returns the new names.  Shared publish step of every
+    * commit. */
+  private def publishTmp(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, uri: String,
+      newV: Int): Seq[String] = {
+    val moved = fs.listStatus(tmp).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.zipWithIndex.map { case (st, i) =>
+      val name = f"part-v$newV%06d-$i%05d.parquet"
+      require(fs.rename(st.getPath, new Path(uri, name)),
+        s"commit move ${st.getPath} failed")
+      name
+    }
+    fs.delete(tmp, true)
+    moved.toSeq
+  }
+
   private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
   private def manifestPath(uri: String, v: Int) =
     new Path(manifestDir(uri), f"v$v%06d.manifest")
@@ -47,6 +66,17 @@ object Snapshots {
       s"$uri is already snapshot-managed")
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     require(files.nonEmpty, s"$uri has no data files")
+    // manifests hold bare file NAMES: every data file must sit directly
+    // under uri (a hive-partitioned/nested layout would flatten to
+    // dangling — or colliding — manifest entries)
+    val rootPath = new Path(uri).toUri.getPath
+    val nested = files.filter { f =>
+      val parent = new Path(new java.net.URI(f)).getParent.toUri.getPath
+      parent != rootPath
+    }
+    require(nested.isEmpty,
+      s"$uri has data files in subdirectories (${nested.take(2).mkString(", ")}…) — " +
+        "snapshot-manage flat directories only (one per partition)")
     writeManifest(spark, uri, 1, files.map(relName(uri, _)))
     1
   }
@@ -115,16 +145,7 @@ object Snapshots {
         .write.parquet(tmp.toString)
     }
     val newV = v + 1
-    val moved = fs.listStatus(tmp).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.zipWithIndex.map { case (st, i) =>
-      val name = f"part-v$newV%06d-$i%05d.parquet"
-      require(fs.rename(st.getPath, new Path(uri, name)),
-        s"commit move ${st.getPath} failed")
-      name
-    }
-    fs.delete(tmp, true)
+    val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
       names.filterNot(touched.contains) ++ moved)
     newV
@@ -140,16 +161,7 @@ object Snapshots {
     fs.delete(tmp, true)
     df.write.parquet(tmp.toString)
     val newV = v + 1
-    val moved = fs.listStatus(tmp).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.zipWithIndex.map { case (st, i) =>
-      val name = f"part-v$newV%06d-$i%05d.parquet"
-      require(fs.rename(st.getPath, new Path(uri, name)),
-        s"commit move ${st.getPath} failed")
-      name
-    }
-    fs.delete(tmp, true)
+    val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV, names ++ moved)
     newV
   }
@@ -191,16 +203,7 @@ object Snapshots {
       case (k, None)     => sqlConf.unset(k)
     }
     val newV = v + 1
-    val moved = fs.listStatus(tmp).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.zipWithIndex.map { case (st, i) =>
-      val name = f"part-v$newV%06d-$i%05d.parquet"
-      require(fs.rename(st.getPath, new Path(uri, name)),
-        s"commit move ${st.getPath} failed")
-      name
-    }
-    fs.delete(tmp, true)
+    val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV, moved.toSeq)
     newV
   }
@@ -212,7 +215,8 @@ object Snapshots {
     require(keepVersions >= 1, "must keep at least the latest version")
     val fs = fsOf(spark, uri)
     val latest = latestVersion(spark, uri)
-    val cutoff = latest - keepVersions + 1
+    // keepVersions may exceed the table's age — keep everything then
+    val cutoff = math.max(1, latest - keepVersions + 1)
     val keep = (cutoff to latest)
       .flatMap(v => readManifest(spark, uri, v)).toSet
     val removed = Seq.newBuilder[String]

@@ -55,6 +55,10 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = 1L << bits
 
+    // empty input (or an entirely-null column) has no min/max: every
+    // row — there may be none — lands in bucket 0
+    if (cols.indices.exists(i => row.isNullAt(2 * i)))
+      return df.withColumn("z_value", lit(0L))
     val bucketCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
       val mn = row.getLong(2 * i); val mx = row.getLong(2 * i + 1)
       val range = mx - mn + 1

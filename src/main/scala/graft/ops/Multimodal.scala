@@ -133,9 +133,14 @@ object Multimodal {
       df: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // localCheckpoint (not persist): fingerprints compute once for the
+    // explode + both join sides, and the blocks free with the reference
+    // (a persist here would pin cache for the session's lifetime — the
+    // function returns before any consumer runs, so there is no
+    // unpersist point)
     val fps = df.select(col(idCol).as("doc_id"),
       graft.functions.GraftFunctions.dhash(col(blobCol)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val pieces = fps.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("fp"), i * 16)

@@ -49,6 +49,16 @@ class MaintenanceSpec extends AnyFunSuite {
       ("v", 1L, 2L, "x", "y")))
   }
 
+  test("analyze on an empty table reports zeros, not an NPE") {
+    val dir = TestSpark.tmpDir("analyze_empty")
+    Seq((1L, "x")).toDF("k", "v").filter(col("k") < 0)
+      .write.mode("overwrite").parquet(dir)
+    val stats = Maintenance.analyze(spark, dir, Seq("k", "v"))
+      .as[(String, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(stats == Seq(("k", 0L, 0L, None, None), ("v", 0L, 0L, None, None)))
+  }
+
   test("analyze publish writes graft.stats into the footer kv metadata") {
     val dir = TestSpark.tmpDir("analyze_publish")
     spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")

@@ -133,6 +133,16 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(noop.rewrittenFiles == 0 && noop.finalRows == 2L)
   }
 
+  test("deleteWhere refuses a hive-partitioned target (would corrupt)") {
+    val dir = TestSpark.tmpDir("merge_delete_hive")
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      MergeInto.deleteWhere(spark, dir, "part = 'p1'")
+    }
+    assert(ex.getMessage.contains("partitioned"))
+  }
+
   test("hive-partitioned target is refused") {
     val dir = TestSpark.tmpDir("merge_hive")
     Seq((1L, "a", "p1")).toDF("k", "v", "part")

@@ -123,6 +123,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("1 or 2 arguments"))
   }
 
+  test("review fixes: expire clamps, init refuses nested, in-place ops refuse managed") {
+    val dir = freshTable("snap_review", n = 20)
+    Snapshots.init(spark, dir)
+    // keepVersions beyond the table's age keeps everything (was a crash)
+    assert(Snapshots.expire(spark, dir, keepVersions = 5).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 20)
+
+    // in-place operators refuse the managed dir
+    val exM = intercept[IllegalArgumentException] {
+      MergeInto(spark, dir, Seq((1L, "x")).toDF("k", "name"), Seq("k"))
+    }
+    assert(exM.getMessage.contains("snapshot-managed"))
+    val exD = intercept[IllegalArgumentException] {
+      MergeInto.deleteWhere(spark, dir, "k = 1")
+    }
+    assert(exD.getMessage.contains("snapshot-managed"))
+    val exC = intercept[IllegalArgumentException] {
+      CopyTo.compact(spark, dir, 1L << 20)
+    }
+    assert(exC.getMessage.contains("snapshot-managed"))
+
+    // manifests are invisible to listDataFiles (merge probe safety)
+    val (files, _) = CopyTo.listDataFiles(spark, dir)
+    assert(files.forall(_.endsWith(".parquet")))
+
+    // nested/partitioned layout refused at init (manifest names flatten)
+    val pdir = TestSpark.tmpDir("snap_review_part")
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(pdir)
+    val exN = intercept[IllegalArgumentException] {
+      Snapshots.init(spark, pdir)
+    }
+    assert(exN.getMessage.contains("subdirectories"))
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)

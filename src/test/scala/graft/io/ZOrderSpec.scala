@@ -31,6 +31,15 @@ class ZOrderSpec extends AnyFunSuite {
       got.values.max == 255L)
   }
 
+  test("empty input and all-null columns yield z_value 0, not an NPE") {
+    val empty = Seq((1L, 2L)).toDF("a", "b").filter(col("a") < 0)
+    assert(ZOrder.withZValue(empty, Seq("a", "b")).count() == 0)
+    val allNull = Seq((Option.empty[Long], 1L), (None, 2L)).toDF("a", "b")
+    val z = ZOrder.withZValue(allNull, Seq("a"))
+      .select("z_value").as[Long].collect().toSeq
+    assert(z == Seq(0L, 0L))
+  }
+
   test("nulls land in bucket 0; non-integral columns are rejected") {
     val df = Seq((Some(5L), 1L), (None, 2L)).toDF("a", "b")
     val z = ZOrder.withZValue(df, Seq("a"), bits = 2)
