@@ -65,50 +65,17 @@ object MergeInto {
       s"merge target is hive-partitioned on ${partCols.mkString(",")} — " +
         "not supported; merge per partition directory instead")
 
-    val dataCols = target.schema.fieldNames.toSeq
-    val keyDf = updates.select(keyCols.map(col): _*)
-    require(keyDf.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      "updates carry multiple rows for the same key")
-
-    // which files contain a matched key: key+file projection only — the
-    // parquet scan reads just the key columns for this pass
-    val withFile = target.withColumn("__file", input_file_name())
-    val touched = withFile
-      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
-
-    val upserts = deleteCol match {
-      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
-        .select(dataCols.map(col): _*)
-      case None => updates.select(dataCols.map(col): _*)
-    }
+    val (touched, replacement) =
+      replacementPlan(spark, target, updates, keyCols, deleteCol)
 
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-
-    // replacements coalesce to the touched-file count: a rewrite of k
-    // files yields ~k files, not shuffle-partition-many (small-file
-    // accretion otherwise compounds per merge)
-    if (touched.isEmpty) {
-      // no key matched any file → every non-delete update is an insert;
-      // nothing to rewrite, just add new files
-      upserts.coalesce(1).write.parquet(tmp.toString)
-    } else {
-      // survivors of touched files (all update keys removed) + incoming
-      val touchedDf = spark.read
-        .schema(target.schema).parquet(touched.toSeq: _*)
-      val survivors = touchedDf.join(keyDf.hint("broadcast"),
-        keyCols, "left_anti")
-      survivors.unionByName(upserts).coalesce(math.max(1, touched.size))
-        .write.parquet(tmp.toString)
-    }
+    replacement.write.parquet(tmp.toString)
     // deletes with absent keys are no-ops by construction (they only
-    // remove rows via the anti-join above); nothing else to do
+    // remove rows via the plan's anti-join); nothing else to do
 
     // swap: remove replaced files, move replacements in under unique names
     touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
@@ -126,6 +93,48 @@ object MergeInto {
 
     val finalRows = footerRows(spark, uri)
     MergeResult(uri, touched.size, files.size - touched.size, finalRows)
+  }
+
+  /**
+   * Shared merge computation, used by the in-place [[apply]] and by
+   * [[Snapshots.mergeCommit]] (which publishes the result as a version
+   * instead of swapping files): validates key uniqueness, finds the
+   * touched files (key+file semi-join — the scan reads only the key
+   * columns), and builds the replacement DataFrame (touched-file
+   * survivors ∪ non-delete updates, coalesced to the touched-file
+   * count so a rewrite of k files yields ~k files, not
+   * shuffle-partition-many).  Returns (absolute touched paths,
+   * replacement plan — just the inserts when nothing matched).
+   */
+  private[io] def replacementPlan(
+      spark: SparkSession, target: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String])
+      : (Set[String], DataFrame) = {
+    val dataCols = target.schema.fieldNames.toSeq
+    val keyDf = updates.select(keyCols.map(col): _*)
+    require(keyDf.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "updates carry multiple rows for the same key")
+
+    val touched = target.withColumn("__file", input_file_name())
+      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val upserts = deleteCol match {
+      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+        .select(dataCols.map(col): _*)
+      case None => updates.select(dataCols.map(col): _*)
+    }
+    val replacement =
+      if (touched.isEmpty) upserts.coalesce(1)
+      else {
+        val touchedDf = spark.read.schema(target.schema)
+          .parquet(touched.toSeq: _*)
+        touchedDf.join(keyDf.hint("broadcast"), keyCols, "left_anti")
+          .unionByName(upserts).coalesce(math.max(1, touched.size))
+      }
+    (touched, replacement)
   }
 
   /**

@@ -113,37 +113,16 @@ object Snapshots {
     val names = readManifest(spark, uri, v)
     val files = names.map(n => s"$uri/$n")
     val target = spark.read.parquet(files: _*)
-    val dataCols = target.schema.fieldNames.toSeq
-    val keyDf = updates.select(keyCols.map(col): _*)
-    require(keyDf.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      "updates carry multiple rows for the same key")
 
-    val touched = target.withColumn("__file", input_file_name())
-      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(f => relName(uri, f.getString(0))).toSet
-
-    val upserts = deleteCol match {
-      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
-        .select(dataCols.map(col): _*)
-      case None => updates.select(dataCols.map(col): _*)
-    }
+    // same plan as the in-place MergeInto — only the publish differs
+    val (touchedAbs, replacement) = MergeInto.replacementPlan(
+      spark, target, updates, keyCols, deleteCol)
+    val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    // replacements coalesce to the touched-file count: a rewrite of k
-    // files yields ~k files, not shuffle-partition-many (small-file
-    // accretion otherwise compounds per commit)
-    if (touched.isEmpty) upserts.coalesce(1).write.parquet(tmp.toString)
-    else {
-      val touchedDf = spark.read.schema(target.schema)
-        .parquet(touched.toSeq.map(n => s"$uri/$n"): _*)
-      touchedDf.join(keyDf.hint("broadcast"), keyCols, "left_anti")
-        .unionByName(upserts).coalesce(math.max(1, touched.size))
-        .write.parquet(tmp.toString)
-    }
+    replacement.write.parquet(tmp.toString)
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
