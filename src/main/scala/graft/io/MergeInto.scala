@@ -160,33 +160,17 @@ object MergeInto {
     require(partColsDel.isEmpty,
       s"delete target is hive-partitioned on ${partColsDel.mkString(",")} — " +
         "not supported; delete per partition directory instead")
-    val pred = expr(predicate)
-
-    // per-file matching-row counts from the match scan; a file whose
-    // EVERY row matches (footer row count = match count) is dropped
-    // whole with no rewrite — retention deletes of entire time ranges
-    // become pure file deletes, which is what makes TTL free at scale
-    val matchCounts = target.withColumn("__file", input_file_name())
-      .filter(pred).groupBy("__file").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (matchCounts.isEmpty)
+    val (dropWhole, touched, replacement) =
+      deletePlan(spark, target, predicate)
+    if (dropWhole.isEmpty && touched.isEmpty)
       return MergeResult(uri, 0, files.size, target.count())
 
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
-    val (dropWhole, rewrite) = matchCounts.keys.toSeq.partition { f =>
-      matchCounts(f) == footerRowCount(conf, f)
-    }
-    val touched = rewrite.toSet
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    if (touched.nonEmpty) {
-      spark.read.schema(target.schema).parquet(touched.toSeq: _*)
-        .filter(!coalesce(pred, lit(false)))
-        .coalesce(math.max(1, touched.size))
-        .write.parquet(tmp.toString)
-    }
+    replacement.foreach(_.write.parquet(tmp.toString))
     dropWhole.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
     if (touched.isEmpty) {
       fs.delete(tmp, true)
@@ -208,6 +192,37 @@ object MergeInto {
     val finalRows = footerRows(spark, uri)
     val affected = touched.size + dropWhole.size
     MergeResult(uri, affected, files.size - affected, finalRows)
+  }
+
+  /**
+   * Shared delete computation, used by the in-place [[deleteWhere]] and
+   * by [[Snapshots.deleteWhereCommit]]: per-file matching-row counts
+   * from one predicate-pushdown scan; a file whose EVERY row matches
+   * (footer count = match count) is dropped WHOLE with no rewrite —
+   * retention deletes of entire time ranges become pure file drops —
+   * and only partially-matching files get a rewrite plan (SQL NULL-keep
+   * semantics, coalesced to the touched-file count).  Returns
+   * (whole-drop paths, touched paths, replacement plan if any).
+   */
+  private[io] def deletePlan(
+      spark: SparkSession, target: DataFrame, predicate: String)
+      : (Seq[String], Set[String], Option[DataFrame]) = {
+    val pred = expr(predicate)
+    val conf = spark.sessionState.newHadoopConf()
+    val matchCounts = target.withColumn("__file", input_file_name())
+      .filter(pred).groupBy("__file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchCounts.isEmpty) return (Nil, Set.empty, None)
+    val (dropWhole, rewrite) = matchCounts.keys.toSeq.partition { f =>
+      matchCounts(f) == footerRowCount(conf, f)
+    }
+    val touched = rewrite.toSet
+    val replacement =
+      if (touched.isEmpty) None
+      else Some(spark.read.schema(target.schema).parquet(touched.toSeq: _*)
+        .filter(!coalesce(pred, lit(false)))
+        .coalesce(math.max(1, touched.size)))
+    (dropWhole, touched, replacement)
   }
 
   /** Exact table row count from footers only — O(files), no data read

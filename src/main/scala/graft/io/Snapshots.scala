@@ -130,6 +130,39 @@ object Snapshots {
     newV
   }
 
+  /**
+   * DELETE WHERE as an MVCC commit (same plan as the in-place
+   * [[MergeInto.deleteWhere]], including the whole-file TTL fast path):
+   * fully-matching files simply leave the manifest — they stay on disk
+   * for pinned readers, making a retention delete a pure metadata
+   * commit — and partially-matching files are replaced by rewrites.
+   * Returns the committed version (the current one when nothing
+   * matched).
+   */
+  def deleteWhereCommit(
+      spark: SparkSession, uri: String, predicate: String): Int = {
+    val v = latestVersion(spark, uri)
+    val names = readManifest(spark, uri, v)
+    val target = spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+    val (dropWhole, touched, replacement) =
+      MergeInto.deletePlan(spark, target, predicate)
+    if (dropWhole.isEmpty && touched.isEmpty) return v
+
+    val fs = fsOf(spark, uri)
+    val newV = v + 1
+    val moved = replacement match {
+      case Some(r) =>
+        val tmp = new Path(uri + "_merge_tmp")
+        fs.delete(tmp, true)
+        r.write.parquet(tmp.toString)
+        publishTmp(fs, tmp, uri, newV)
+      case None => Nil
+    }
+    val gone = (dropWhole ++ touched).map(relName(uri, _)).toSet
+    writeManifest(spark, uri, newV, names.filterNot(gone.contains) ++ moved)
+    newV
+  }
+
   /** Append as an MVCC commit: `df` lands as fresh files and the new
     * manifest gains them — no existing file is touched at all. */
   def appendCommit(spark: SparkSession, uri: String, df: DataFrame): Int = {

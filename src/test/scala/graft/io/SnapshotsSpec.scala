@@ -91,6 +91,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.compactCommit(spark, dir, 1L << 20) == 2)
   }
 
+  test("deleteWhere commit: metadata-only for whole files, v1 intact") {
+    val dir = freshTable("snap_delete", n = 1000)
+    Snapshots.init(spark, dir)
+    val before = CopyTo.listDataFiles(spark, dir)._1.size
+    // k <= 250 covers the first range file entirely (of 4)
+    val v2 = Snapshots.deleteWhereCommit(spark, dir, "k <= 250")
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).agg(min("k")).head().getLong(0) == 251L)
+    assert(Snapshots.read(spark, dir, 1).count() == 1000) // time travel
+    // dropped-whole file still on disk (older readers) until expire
+    assert(CopyTo.listDataFiles(spark, dir)._1.size >= before)
+    // no-match delete is a no-op at the same version
+    assert(Snapshots.deleteWhereCommit(spark, dir, "k > 99999") == 2)
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(Snapshots.read(spark, dir).count() == 750)
+  }
+
   test("append commit adds files without touching existing ones") {
     val dir = freshTable("snap_append", n = 50)
     Snapshots.init(spark, dir)
