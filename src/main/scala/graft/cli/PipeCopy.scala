@@ -43,18 +43,47 @@ object PipeCopy {
     }
   }
 
-  /** Write `df` as ONE parquet file and stream its bytes to `out`. */
-  def copyToStream(
-      df: DataFrame, out: OutputStream,
-      options: CopyToOptions = CopyToOptions.default): Long = {
+  /** Spool `df` as ONE local parquet part file; the single write job is
+    * the only execution of the query. */
+  private def spoolOne(df: DataFrame, options: CopyToOptions): Path = {
     val dir = Files.createTempDirectory("graft_pipe_out_")
     val res = CopyTo(df.coalesce(1), dir.toString, options)
     require(res.files.size == 1,
       s"stream output expects a single part file, got ${res.files.size}")
-    val part = Paths.get(new java.net.URI(res.files.head).getPath)
+    Paths.get(new java.net.URI(res.files.head).getPath)
+  }
+
+  /** Exact row count of a spooled part from its footer — no data read,
+    * and crucially no SECOND execution of the source query (which could
+    * disagree for non-deterministic queries and doubles the scan). */
+  private def footerRows(part: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Write `df` as ONE parquet file and stream its bytes to `out`.
+    * Returns the BYTE count. */
+  def copyToStream(
+      df: DataFrame, out: OutputStream,
+      options: CopyToOptions = CopyToOptions.default): Long = {
+    val part = spoolOne(df, options)
     val n = Files.copy(part, out)
     out.flush()
     n
+  }
+
+  /** [[copyToStream]] returning the ROW count (from the spooled file's
+    * footer) — what `COPY ... TO STDOUT` reports. */
+  def copyToStreamRows(
+      df: DataFrame, out: OutputStream,
+      options: CopyToOptions = CopyToOptions.default): Long = {
+    val part = spoolOne(df, options)
+    Files.copy(part, out)
+    out.flush()
+    footerRows(part)
   }
 
   /** `COPY ... FROM PROGRAM 'cmd'`: run the command, capture its stdout
@@ -77,19 +106,24 @@ object PipeCopy {
   }
 
   /** `COPY ... TO PROGRAM 'cmd'`: pipe the single-file parquet bytes into
-    * the command's stdin. */
+    * the command's stdin.  Returns the exit code. */
   def copyToProgram(
       df: DataFrame, cmd: Seq[String],
-      options: CopyToOptions = CopyToOptions.default): Int = {
+      options: CopyToOptions = CopyToOptions.default): Int =
+    copyToProgramRows(df, cmd, options)._1
+
+  /** [[copyToProgram]] also returning the ROW count from the spooled
+    * file's footer — what `COPY ... TO PROGRAM` reports. */
+  def copyToProgramRows(
+      df: DataFrame, cmd: Seq[String],
+      options: CopyToOptions = CopyToOptions.default): (Int, Long) = {
     val tmp = tempFile()
-    val dir = Files.createTempDirectory("graft_pipe_prog_")
-    val res = CopyTo(df.coalesce(1), dir.toString, options)
-    val part = Paths.get(new java.net.URI(res.files.head).getPath)
+    val part = spoolOne(df, options)
     val pb = new ProcessBuilder(cmd: _*)
       .redirectInput(part.toFile)
       .redirectOutput(tmp.toFile)
     val proc = pb.start()
-    proc.waitFor()
+    (proc.waitFor(), footerRows(part))
   }
 }
 

@@ -320,18 +320,23 @@ object CopyTo {
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return (Nil, 0L)
+    val rootPath = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(p, true)
     val buf = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      // skip hidden files AND files inside hidden/underscore DIRS (a
+      // skip hidden files AND files under hidden/underscore DIRS (a
       // Snapshots manifest's own name is not underscored — only its
-      // _graft_manifests parent is)
-      val parent = st.getPath.getParent
-      val hiddenParent = parent != null &&
-        (parent.getName.startsWith("_") || parent.getName.startsWith("."))
-      if (!name.startsWith("_") && !name.startsWith(".") && !hiddenParent)
+      // _graft_manifests parent is).  The dir test applies only to
+      // directories STRICTLY BELOW the queried root: a table whose own
+      // dir name starts with `_` is still listable.
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(rootPath).stripPrefix("/")
+      val comps = rel.split("/")
+      val hiddenAncestor = comps.view.init
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith(".") && !hiddenAncestor)
         buf += ((st.getPath.toString, st.getLen))
     }
     val all = buf.result()

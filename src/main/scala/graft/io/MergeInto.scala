@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
  * Shape: one semi-join of the target's key+file projection against the
  * (broadcastable) update keys finds the touched files; survivors of
  * those files anti-join the update keys and union the incoming rows
- * into replacement files.  The swap deletes the touched files and moves
- * the replacements in; like any file-level commit without a manifest
- * log there is a non-transactional window — a production deployment
- * layers a commit protocol (manifest/_SUCCESS swap) on top, which is
- * orthogonal to the merge computation itself.
+ * into replacement files.  The swap moves the replacements in first and
+ * only then deletes the touched files; like any file-level commit
+ * without a manifest log there is a non-transactional window, but a
+ * crash inside it leaves duplicate rows (re-runnable), never row loss —
+ * a production deployment layers a commit protocol (manifest/_SUCCESS
+ * swap) on top, which is orthogonal to the merge computation itself.
  *
  * Hive-partitioned targets are refused (rewriting across partition
  * directories needs partition-aware placement; compose with
@@ -77,8 +78,11 @@ object MergeInto {
     // deletes with absent keys are no-ops by construction (they only
     // remove rows via the plan's anti-join); nothing else to do
 
-    // swap: remove replaced files, move replacements in under unique names
-    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    // swap: move replacements in under fresh unique names FIRST, then
+    // delete the replaced files.  A crash inside the window leaves
+    // readers seeing duplicate rows (recoverable — the matched files are
+    // still there to delete), never the sole copy of surviving rows
+    // stranded in a tmp dir that vacuum would reclaim.
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = fs.listStatus(tmp).filter { st =>
       val n = st.getPath.getName
@@ -89,6 +93,7 @@ object MergeInto {
         new Path(p, s"part-merge-$stamp-$i.parquet")),
         s"merge move ${st.getPath} failed")
     }
+    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
     fs.delete(tmp, true)
 
     val finalRows = footerRows(spark, uri)
@@ -171,23 +176,22 @@ object MergeInto {
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
     replacement.foreach(_.write.parquet(tmp.toString))
+    // same swap discipline as merge: replacements renamed in BEFORE any
+    // touched-file delete, so a crash leaves duplicates, not row loss
+    // (whole-drop files carry no surviving rows — order is free there)
+    if (touched.nonEmpty) {
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      fs.listStatus(tmp).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath,
+          new Path(p, s"part-delete-$stamp-$i.parquet")),
+          s"delete move ${st.getPath} failed")
+      }
+    }
     dropWhole.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
-    if (touched.isEmpty) {
-      fs.delete(tmp, true)
-      val finalRows = footerRows(spark, uri)
-      return MergeResult(uri, dropWhole.size, files.size - dropWhole.size,
-        finalRows)
-    }
     touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    fs.listStatus(tmp).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.zipWithIndex.foreach { case (st, i) =>
-      require(fs.rename(st.getPath,
-        new Path(p, s"part-delete-$stamp-$i.parquet")),
-        s"delete move ${st.getPath} failed")
-    }
     fs.delete(tmp, true)
     val finalRows = footerRows(spark, uri)
     val affected = touched.size + dropWhole.size

@@ -37,15 +37,19 @@ object Snapshots {
 
   /** Move tmp's data files into the table dir under version-stamped
     * names; returns the new names.  Shared publish step of every
-    * commit. */
+    * commit.  Names carry a per-commit random stamp so two writers
+    * racing to the same version NEVER collide on data-file names — the
+    * loser's files become unreferenced orphans that [[expire]] reclaims,
+    * instead of silently overwriting the winner's. */
   private def publishTmp(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, uri: String,
       newV: Int): Seq[String] = {
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = fs.listStatus(tmp).filter { st =>
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }.zipWithIndex.map { case (st, i) =>
-      val name = f"part-v$newV%06d-$i%05d.parquet"
+      val name = f"part-v$newV%06d-$stamp-$i%05d.parquet"
       require(fs.rename(st.getPath, new Path(uri, name)),
         s"commit move ${st.getPath} failed")
       name
@@ -96,7 +100,26 @@ object Snapshots {
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val names = readManifest(spark, uri, v)
-    spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+    if (names.nonEmpty) spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+    else {
+      // a DELETE WHERE matching every row publishes an empty manifest —
+      // that version must stay readable (empty result, real schema).
+      // The schema comes from the nearest surviving non-empty ancestor;
+      // v1 is never empty (init requires data files), so this only
+      // fails if expire already reclaimed every ancestor's files.
+      val fs = fsOf(spark, uri)
+      val prior = (v - 1 to 1 by -1).iterator
+        .filter(pv => fs.exists(manifestPath(uri, pv)))
+        .map(pv => readManifest(spark, uri, pv)
+          .map(n => s"$uri/$n").filter(f => fs.exists(new Path(f))))
+        .find(_.nonEmpty)
+      require(prior.isDefined,
+        s"$uri v$v is empty and no ancestor version still has data " +
+          "files to recover the schema from (expired?)")
+      val schema = spark.read.parquet(prior.get: _*).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /**
@@ -255,7 +278,7 @@ object Snapshots {
   // ---- manifest encoding: "graft-manifest v1" header + one relative
   // file name per line, committed by atomic rename ----
 
-  private def writeManifest(
+  private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int, names: Seq[String]): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
@@ -265,6 +288,20 @@ object Snapshots {
       (("graft-manifest v1" +: names.sorted).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // first-wins commit: a racing writer that published the same version
+    // number first KEEPS it — this writer fails cleanly, its manifest tmp
+    // is removed, and its (uniquely named) data files are orphans that
+    // expire() reclaims.  POSIX/HDFS rename overwrites an existing
+    // destination, so an explicit existence check is required; the
+    // residual check→rename window is what a real deployment closes with
+    // a conditional put / commit service (Delta's LogStore, Iceberg's
+    // catalog CAS) — same protocol, stronger primitive.
+    if (fs.exists(manifestPath(uri, v))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: $uri version $v was published by another " +
+          "writer; re-read the latest version and retry")
+    }
     require(fs.rename(tmp, manifestPath(uri, v)),
       s"manifest commit v$v failed (concurrent writer?)")
   }

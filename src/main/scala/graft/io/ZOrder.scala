@@ -114,6 +114,10 @@ object ZOrder {
         typedlit(probs)).as(s"__q_$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input or an all-null column aggregates percentile to null —
+    // no boundaries to bin against; constant z (same guard as withZValue)
+    if (cols.indices.exists(i => row.isNullAt(i)))
+      return df.withColumn("z_value", lit(0L))
     val bucketCols = cols.zipWithIndex.map { case (c, i) =>
       val bs = row.getSeq[Double](i)
       size(filter(typedlit(bs),

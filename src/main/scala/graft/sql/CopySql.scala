@@ -279,13 +279,10 @@ final case class CopyToCommand(
         val res = CopyTo(src, uri, options)
         CopySql.writtenRows(spark, res.files)
       case PipeDest.Stdout =>
-        // pipes are inherently single-writer; the count is known upfront
-        val n = src.count()
-        graft.cli.PipeCopy.copyToStream(src, System.out, options)
-        n
+        // one spool write is the only execution; count from its footer
+        graft.cli.PipeCopy.copyToStreamRows(src, System.out, options)
       case PipeDest.Prog(cmd) =>
-        val n = src.count()
-        val code = graft.cli.PipeCopy.copyToProgram(
+        val (code, n) = graft.cli.PipeCopy.copyToProgramRows(
           src, Seq("/bin/sh", "-c", cmd), options)
         if (code != 0)
           throw new IllegalStateException(s"COPY TO PROGRAM exited with $code")

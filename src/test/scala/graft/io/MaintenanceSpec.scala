@@ -32,6 +32,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(fs.exists(new Path(dir, "_SUCCESS")))
   }
 
+  test("listDataFiles sees a table whose own dir name starts with '_'") {
+    val base = TestSpark.tmpDir("underscore_base")
+    val dir = s"$base/_undertable"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val (files, bytes) = CopyTo.listDataFiles(spark, dir)
+    assert(files.nonEmpty && bytes > 0,
+      "hidden-dir filtering must exempt the queried root itself")
+    // hidden dirs STRICTLY BELOW the root are still filtered, at depth
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir, "_nested/deeper"))
+    val hidden = new Path(dir, "_nested/deeper/stray.parquet")
+    fs.create(hidden).close()
+    val (files2, _) = CopyTo.listDataFiles(spark, dir)
+    assert(files2 == files)
+  }
+
   test("vacuum on a clean directory removes nothing") {
     val dir = TestSpark.tmpDir("vacuum_clean")
     Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)

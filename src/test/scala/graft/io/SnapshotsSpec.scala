@@ -175,6 +175,63 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(exN.getMessage.contains("subdirectories"))
   }
 
+  test("delete-all commit stays readable: empty result, real schema") {
+    val dir = freshTable("snap_delete_all", n = 40)
+    Snapshots.init(spark, dir)
+    val v2 = Snapshots.deleteWhereCommit(spark, dir, "k >= 0") // every row
+    assert(v2 == 2)
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.count() == 0)
+    assert(latest.schema.fieldNames.toSeq == Seq("k", "name"))
+    // empty version still composes with normal query surface
+    assert(latest.filter(col("k") > 5).count() == 0)
+    // time travel to the pre-delete version is unaffected
+    assert(Snapshots.read(spark, dir, 1).count() == 40)
+    // and the table is writable again: append on top of the empty version
+    val v3 = Snapshots.appendCommit(spark, dir,
+      Seq((1L, "back")).toDF("k", "name").coalesce(1))
+    assert(v3 == 3 && Snapshots.read(spark, dir).count() == 1)
+  }
+
+  test("concurrent commit to the same version: first wins, loser fails cleanly") {
+    val dir = freshTable("snap_race", n = 60)
+    Snapshots.init(spark, dir)
+    // both writers read latest=1 and target v2; writer B lands first
+    val vB = Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "B")).toDF("k", "name"), Seq("k"))
+    assert(vB == 2)
+    // writer A computed newV=2 before B renamed its manifest in — its
+    // publish arrives after B's.  Drive A's publish step directly (the
+    // version raced over is the manifest, and mergeCommit's compute
+    // phase is identical either way): it must throw, not overwrite.
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest2 = new Path(dir, "_graft_manifests/v000002.manifest")
+    val contentBefore = {
+      val in = fs.open(manifest2)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val ex = intercept[IllegalStateException] {
+      Snapshots.writeManifest(spark, dir, 2, Seq("part-bogus.parquet"))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // winner's manifest is byte-identical — no corruption
+    val contentAfter = {
+      val in = fs.open(manifest2)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(contentAfter == contentBefore)
+    // no stray manifest tmp left behind
+    assert(!fs.listStatus(new Path(dir, "_graft_manifests"))
+      .exists(_.getPath.getName.endsWith(".tmp")))
+    // loser's data files (unique stamps) never collide with the
+    // winner's: v2 still reads exactly B's result
+    val latest = Snapshots.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(latest(1L) == "B" && latest.size == 60)
+    // expire reclaims anything no surviving manifest references
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(Snapshots.read(spark, dir).count() == 60)
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)

@@ -38,6 +38,12 @@ class ZOrderSpec extends AnyFunSuite {
     val z = ZOrder.withZValue(allNull, Seq("a"))
       .select("z_value").as[Long].collect().toSeq
     assert(z == Seq(0L, 0L))
+    // the quantile variant has the same degenerate cases: percentile
+    // aggregates to null — must yield constant z, not an NPE
+    assert(ZOrder.withZValueQuantile(empty, Seq("a", "b")).count() == 0)
+    val zq = ZOrder.withZValueQuantile(allNull, Seq("a"))
+      .select("z_value").as[Long].collect().toSeq
+    assert(zq == Seq(0L, 0L))
   }
 
   test("nulls land in bucket 0; non-integral columns are rejected") {
