@@ -23,8 +23,10 @@ import graft.functions.GraftFunctions
  *    NN-Descent cost, independent of corpus dimensionality;
  *  - per-node state is exactly k edges; `localCheckpoint` cuts the
  *    iterative lineage like [[Dedup.connectedComponents]];
- *  - no driver-side state at any n (the init ordering is a total-order
- *    window, same cost class as any sorted write).
+ *  - no driver-side state at any n, and no single-task stage: the init
+ *    ordering is a range-partitioned sort plus per-partition offsets
+ *    (`zipWithIndex`'s small count job) — a global `row_number` window
+ *    would serialize the whole corpus through one executor.
  *
  * Deterministic: hashed-ring init (ties impossible — order is
  * (xxhash64, id)), fixed iteration count, exact cosine scoring, ties
@@ -33,6 +35,20 @@ import graft.functions.GraftFunctions
  * exact graph.
  */
 object KnnGraph {
+
+  /** Eager materialization for iterative state, like `localCheckpoint`
+    * but rebuilt as a bare RDD scan: Spark's checkpoint preserves the
+    * origin plan's constraint set, which can reference PRE-checkpoint
+    * attributes, and a later Union over such a plan throws
+    * `key not found` while rewriting constraints across children.
+    * Rebuilding through createDataFrame drops the origin constraints,
+    * so the state composes safely with any downstream plan.  Cost: one
+    * row conversion over data the checkpoint materializes anyway. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cp = df.localCheckpoint()
+    spark.createDataFrame(cp.rdd, cp.schema)
+  }
 
   /**
    * Build the k-NN graph: one row per (id, rank ≤ k) with the neighbor
@@ -57,10 +73,9 @@ object KnnGraph {
     val n = nodes.count()
     require(n >= 2, "need at least two vectors")
 
-    // deterministic dense ring ids: total order over (hash, id)
-    val ringW = Window.orderBy(xxhash64(col("id")), col("id"))
-    val ring = nodes.select(col("id"),
-      (row_number().over(ringW) - 1).cast("long").as("rid"))
+    // deterministic dense ring ids: each node's global rank in the
+    // (hash, id) total order — computed scalably via ringIds below
+    val ring = ringIds(nodes.select(col("id")))
 
     // init: each node's candidates are its k ring successors — arbitrary
     // but deterministic; NN-Descent converges from any starting graph
@@ -82,7 +97,7 @@ object KnnGraph {
         .filter(col("rank") <= k)
     }
 
-    var graph = topK(edges.distinct()).localCheckpoint()
+    var graph = materialize(topK(edges.distinct()))
     var it = 0
     while (it < iters) {
       // undirected neighborhood, then neighbors-of-neighbors proposals
@@ -97,7 +112,7 @@ object KnnGraph {
       // (a reverse edge b→a is direct evidence that a→b may belong in
       // a's list — the paper's reverse-neighbor trick)
       val cand = proposals.unionAll(und).distinct()
-      graph = topK(cand).localCheckpoint()
+      graph = materialize(topK(cand))
       it += 1
     }
     nodes.unpersist()
@@ -118,6 +133,24 @@ object KnnGraph {
    * Deterministic: fixed seeds (lowest hashed-order nodes), fixed hop
    * count, exact scoring, ties by candidate id.
    */
+  /**
+   * Dense rank of every id in the (xxhash64(id), id) total order,
+   * WITHOUT a global window: `orderBy` range-partitions the sort across
+   * executors, and `zipWithIndex` adds partition-local positions to
+   * cumulative partition offsets (one tiny count job).  The rank is a
+   * pure function of the id SET — range boundaries only decide which
+   * executor computes which slice — so the result is identical to a
+   * global `row_number` at any partitioning, at sorted-write cost.
+   */
+  private[graft] def ringIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("id").cast("long").as("id"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .as[Long].rdd.zipWithIndex()
+      .toDF("id", "rid")
+  }
+
   def search(
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -150,18 +183,16 @@ object KnnGraph {
     // query (entry points need no per-query logic; the walk specializes)
     val seeds = vecs.select(col("cand"))
       .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
-    var state = keepBeam(score(
-        qs.select("query_id").crossJoin(seeds)))
-      .localCheckpoint()
+    var state = materialize(keepBeam(score(
+        qs.select("query_id").crossJoin(seeds))))
     var hop = 0
     while (hop < hops) {
       val expanded = state.select(col("query_id"), col("cand"))
         .join(edges, "cand")
         .select(col("query_id"), col("next").as("cand"))
         .distinct()
-      state = keepBeam(score(expanded).unionAll(state)
-          .groupBy("query_id", "cand").agg(max("cosine").as("cosine")))
-        .localCheckpoint()
+      state = materialize(keepBeam(score(expanded).unionAll(state)
+          .groupBy("query_id", "cand").agg(max("cosine").as("cosine"))))
       hop += 1
     }
     vecs.unpersist()

@@ -189,4 +189,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(n_regionkey,2)"),
       s"COPY FROM WHERE must reach the scan:\n$p")
   }
+
+  test("knn ring init has no global window / single-partition exchange") {
+    // an unpartitioned row_number window would serialize the whole
+    // corpus through ONE task before any NN-Descent round — the init
+    // must stay a range-partitioned sort + per-partition offsets
+    import org.apache.spark.sql.functions.col
+    val ids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"))
+    val ring = graft.ops.KnnGraph.ringIds(ids)
+    val p = ring.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"), s"ring init must not use a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"ring init must not collapse to one partition:\n$p")
+    // and the ranks really are the dense global (hash, id) order
+    val n = ring.count()
+    assert(ring.select("rid").distinct().count() == n)
+    assert(ring.agg(org.apache.spark.sql.functions.max("rid")).head().getLong(0)
+      == n - 1)
+  }
 }
