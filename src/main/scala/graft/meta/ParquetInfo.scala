@@ -22,15 +22,17 @@ import org.apache.spark.sql.types._
  * oracle-checkable, the same way the reference pins its output in
  * `src/pgrx_tests/udfs.rs:8-1088`.
  *
- * Footers are small and fetched driver-side (one ranged read per file),
- * exactly mirroring the reference's eager materialization
- * (`parquet_udfs/metadata.rs:51-131`). No executor work — correct at any
- * data scale because footer count, not data size, is the cost.
+ * Footers are small; for few files they are fetched driver-side (one
+ * ranged read per file), mirroring the reference's eager
+ * materialization (`parquet_udfs/metadata.rs:51-131`).  Above a
+ * file-count threshold the footer reads distribute across executors —
+ * the cost scales with FILE COUNT, not data size, and a 100k-file glob
+ * must not serialize through the driver (see [[withFooters]]).
  *
  * All functions accept glob patterns (`*`, `**`) like the reference
  * (`parquet_reader.rs:98-126`).
  */
-object ParquetInfo {
+object ParquetInfo extends Serializable {
 
   // ---------------------------------------------------------------- list
   /** `parquet.list(pattern)` → (uri, size), reference
@@ -268,13 +270,18 @@ object ParquetInfo {
    * `stats.rs:80-108`).
    */
   def columnStats(spark: SparkSession, pattern: String): DataFrame = {
-    final case class Acc(
-        var min: Any, var max: Any,
-        var nulls: Long, var nullsSet: Boolean,
-        var distinct: Long, var distinctSet: Boolean,
-        var render: Any => String)
-    val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
-    withFooters(spark, pattern) { (_, footer, extras) =>
+    // per-FILE partial aggregation is pure (runs executor-side when the
+    // file list is large — see withFooters); only the tiny cross-file
+    // merge (files × columns) happens on the driver.  Raw min/max ship
+    // alongside their rendered strings so the merge can compare with
+    // full type fidelity and keep the winning chunk's rendering.
+    val partials = withFooters(spark, pattern) { (_, footer, extras) =>
+      final case class Acc(
+          var min: Any, var max: Any,
+          var nulls: Long, var nullsSet: Boolean,
+          var distinct: Long, var distinctSet: Boolean,
+          var render: Any => String)
+      val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
       footer.getBlocks.asScala.zipWithIndex.foreach { case (blk, rg) =>
         blk.getColumns.asScala.foreach { cc =>
           val key = cc.getPath.toDotString
@@ -298,14 +305,35 @@ object ParquetInfo {
           }
         }
       }
-      Nil
+      accs.toSeq.map { case (k, a) =>
+        FileColumnStats(k, a.min,
+          if (a.min == null) null else a.render(a.min),
+          a.max, if (a.max == null) null else a.render(a.max),
+          a.nulls, a.nullsSet, a.distinct, a.distinctSet)
+      }
     }
-    val rows = accs.toSeq.map { case (colName, a) =>
-      Row(colName,
-        if (a.min == null) null else a.render(a.min),
-        if (a.max == null) null else a.render(a.max),
-        if (a.nullsSet) java.lang.Long.valueOf(a.nulls) else null,
-        if (a.distinctSet) java.lang.Long.valueOf(a.distinct) else null)
+    // cross-file merge, preserving first-seen column order (= file order)
+    final case class M(
+        var min: Any, var minStr: String, var max: Any, var maxStr: String,
+        var nulls: Long, var nullsSet: Boolean,
+        var distinct: Long, var distinctSet: Boolean)
+    val merged = scala.collection.mutable.LinkedHashMap[String, M]()
+    partials.foreach { p =>
+      val m = merged.getOrElseUpdate(p.column,
+        M(null, null, null, null, 0L, false, 0L, true))
+      if (p.rawMin != null && (m.min == null || compareStat(p.rawMin, m.min) < 0)) {
+        m.min = p.rawMin; m.minStr = p.minStr
+      }
+      if (p.rawMax != null && (m.max == null || compareStat(p.rawMax, m.max) > 0)) {
+        m.max = p.rawMax; m.maxStr = p.maxStr
+      }
+      if (p.nullsSet) { m.nulls += p.nulls; m.nullsSet = true }
+      if (p.distinctSet) m.distinct += p.distinct else m.distinctSet = false
+    }
+    val rows = merged.toSeq.map { case (colName, m) =>
+      Row(colName, m.minStr, m.maxStr,
+        if (m.nullsSet) java.lang.Long.valueOf(m.nulls) else null,
+        if (m.distinctSet) java.lang.Long.valueOf(m.distinct) else null)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -483,14 +511,46 @@ object ParquetInfo {
         StructField("bloom_filter_length", LongType, nullable = true))))
   }
 
-  private def withFooters[T](spark: SparkSession, pattern: String)(
+  /**
+   * Run `f` once per resolved file over its footer.  Few files: fetched
+   * on the driver (one ranged read each — lowest latency, and what the
+   * reference does, `parquet_udfs/metadata.rs:51-131`).  Above
+   * `spark.graft.meta.distributeThreshold` files (default 64) the file
+   * list is parallelized across executors instead — a glob over a
+   * 100k-file lake must not become 100k sequential driver reads.  `f`
+   * must be PURE per file (no driver-state mutation); result order is
+   * file order either way (parallelize + collect preserve it).
+   */
+  private def withFooters[T: scala.reflect.ClassTag](
+      spark: SparkSession, pattern: String)(
       f: (String, ParquetMetadata, ThriftExtras) => Seq[T]): Seq[T] = {
     val conf = spark.sessionState.newHadoopConf()
-    resolve(spark, pattern).flatMap { case (path, _) =>
-      val in = HadoopInputFile.fromPath(path, conf)
+    val files = resolve(spark, pattern)
+    def readOne(c: org.apache.hadoop.conf.Configuration)(path: Path): Seq[T] = {
+      val in = HadoopInputFile.fromPath(path, c)
       val reader = ParquetFileReader.open(in)
-      try f(uriString(path), reader.getFooter, readThriftExtras(conf, path))
+      try f(uriString(path), reader.getFooter, readThriftExtras(c, path))
       finally reader.close()
+    }
+    val threshold = spark.conf
+      .get("spark.graft.meta.distributeThreshold", "64").toInt
+    if (files.size <= threshold) {
+      files.flatMap { case (path, _) => readOne(conf)(path) }
+    } else {
+      val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+      val names = files.map(_._1.toString)
+      val parts = math.max(1,
+        math.min(names.size / 8, spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(names, parts)
+        .flatMap(s => readOne(ser.value)(new Path(s)))
+        .collect().toSeq
     }
   }
 }
+
+/** Per-file partial of [[ParquetInfo.columnStats]]: raw min/max for
+  * typed cross-file comparison plus their rendered form (rendering needs
+  * the footer's type context, which stays with the file). */
+private[meta] final case class FileColumnStats(
+    column: String, rawMin: Any, minStr: String, rawMax: Any, maxStr: String,
+    nulls: Long, nullsSet: Boolean, distinct: Long, distinctSet: Boolean)

@@ -1,0 +1,86 @@
+package graft.meta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * The metadata functions must produce IDENTICAL output whether footers
+ * are read serially on the driver (few files) or distributed across
+ * executors (many files) — and the many-file path must actually take
+ * the distributed branch (threshold forced low / high via
+ * `spark.graft.meta.distributeThreshold`).
+ */
+class MetaDistributedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ThresholdKey = "spark.graft.meta.distributeThreshold"
+
+  // 500 small files — the "glob over a lake" shape that must not become
+  // 500 sequential driver reads
+  private lazy val dir: String = {
+    val d = TestSpark.tmpDir("meta_distributed_500")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))) {
+      (1 to 500).map(i => (i.toLong, s"name_$i", i * 2.5))
+        .toDF("k", "name", "score")
+        .repartitionByRange(500, col("k"))
+        .write.mode("overwrite").parquet(d)
+    }
+    d
+  }
+
+  private def withThreshold[A](n: Int)(body: => A): A = {
+    val saved = spark.conf.getOption(ThresholdKey)
+    spark.conf.set(ThresholdKey, n.toString)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(ThresholdKey, v)
+      case None => spark.conf.unset(ThresholdKey)
+    }
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("distributed and driver-side footer reads agree on all functions") {
+    val pattern = s"$dir/*.parquet"
+    val fns: Seq[(String, () => DataFrame)] = Seq(
+      ("list", () => ParquetInfo.list(spark, pattern)),
+      ("schema", () => ParquetInfo.schema(spark, pattern)),
+      ("metadata", () => ParquetInfo.metadata(spark, pattern)),
+      ("fileMetadata", () => ParquetInfo.fileMetadata(spark, pattern)),
+      ("kvMetadata", () => ParquetInfo.kvMetadata(spark, pattern)),
+      ("columnStats", () => ParquetInfo.columnStats(spark, pattern)),
+      ("bloomFilters", () => ParquetInfo.bloomFilters(spark, pattern)))
+    fns.foreach { case (name, mk) =>
+      val serial = withThreshold(100000)(canon(mk()))
+      val dist = withThreshold(4)(canon(mk()))
+      assert(dist == serial, s"$name diverges between serial and distributed")
+      assert(serial.nonEmpty || name == "kvMetadata" || name == "bloomFilters",
+        s"$name unexpectedly empty")
+    }
+  }
+
+  test("columnStats over 500 files merges to the global min/max/nulls") {
+    withThreshold(4) {
+      val stats = ParquetInfo.columnStats(spark, s"$dir/*.parquet")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(stats("k").getString(1) == "1" && stats("k").getString(2) == "500")
+      assert(stats("name").getString(1) == "name_1" &&
+        stats("name").getString(2) == "name_99")
+      assert(stats("k").getLong(3) == 0L)
+    }
+  }
+
+  test("schema row count scales with file count (one walk per file)") {
+    withThreshold(4) {
+      // 4 schema elements per file (root + 3 leaves) × 500 files
+      assert(ParquetInfo.schema(spark, s"$dir/*.parquet").count() == 2000L)
+    }
+  }
+}
