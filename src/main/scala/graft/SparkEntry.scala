@@ -25,6 +25,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One in-JVM S3 endpoint per driver process (io_s3_roundtrip); the
+    * signature-verifying fake from [[graft.io.s3.InMemoryS3]]. */
+  private lazy val s3Server: graft.io.s3.InMemoryS3 =
+    new graft.io.s3.InMemoryS3(
+      "GRAFTDRIVERKEY", "graft-driver-secret", "us-east-1").start()
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads via the
     * nanosAsLong legacy conf → LongType epoch-nanos.  The oracle mirrors
     * with duckdb `epoch_ns`. */
@@ -264,6 +270,19 @@ object SparkEntry {
       CopyTo(src, uri, CopyToOptions(
         compression = Some("zstd"), compressionLevel = Some(3)))
       CopyFrom(s, uri, src.schema).orderBy(liAll.map(col): _*)
+    }),
+
+    // S5: object-store execution — the full parquet round-trip running
+    // through the signed s3a:// REST client against an in-JVM S3
+    // endpoint that VERIFIES every SigV4 signature; credentials flow
+    // env → CloudConf → Hadoop conf → signer, nothing mocked
+    "io_s3_roundtrip" -> ((s, dir) => {
+      val srv = s3Server
+      graft.io.CloudConf.applyTo(s, srv.env)
+      val src = t(s, dir, "customer")
+      val uri = s"s3a://graft-${new java.io.File(dir).getName}/customer"
+      CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
+      CopyFrom.raw(s, uri).orderBy(col("c_custkey"))
     }),
 
     // S4: byte-targeted file splitting, read back via glob
@@ -2208,6 +2227,9 @@ object SparkEntry {
     "io_roundtrip" ->
       ("SELECT * FROM lineitem WHERE l_returnflag = 'R' " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"),
+
+    "io_s3_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
 
     "io_split" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

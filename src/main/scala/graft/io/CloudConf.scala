@@ -61,6 +61,12 @@ object CloudConf {
       b += "fs.s3a.aws.credentials.provider" ->
         "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
     }
+    // session-credential expiry (as written by SSO / credential_process
+    // providers): recorded so the s3a layer re-derives credentials from
+    // the env/profile once it passes (reference
+    // `object_store_cache.rs:101-129` expires cached handles the same way)
+    env.get("AWS_CREDENTIAL_EXPIRATION")
+      .foreach(b += "fs.graft.s3.session.expiry" -> _)
     aws("AWS_REGION", "region").foreach(b += "fs.s3a.endpoint.region" -> _)
     aws("AWS_ENDPOINT_URL", "endpoint_url").foreach { ep =>
       b += "fs.s3a.endpoint" -> ep
@@ -233,12 +239,15 @@ object CloudConf {
 
   /** Apply the env-derived settings to a session's Hadoop configuration.
     * Also binds the http(s) schemes (the reference reads https:// URIs
-    * with no configuration, `src/object_store/http.rs:11-38`). */
+    * with no configuration, `src/object_store/http.rs:11-38`) and the
+    * `s3a://` scheme ([[graft.io.s3.GraftS3FileSystem]] — the built-in
+    * SigV4 REST client, used when no hadoop-aws connector is present). */
   def applyTo(
       spark: SparkSession,
       env: Map[String, String] = sys.env): Unit = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
-    (hadoopSettings(env) ++ HttpFs.settings).foreach {
+    (hadoopSettings(env) ++ HttpFs.settings ++
+        graft.io.s3.GraftS3.settings).foreach {
       case (k, v) => conf.set(k, v)
     }
   }

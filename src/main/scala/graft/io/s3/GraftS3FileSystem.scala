@@ -1,0 +1,570 @@
+package graft.io.s3
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, InputStream, IOException}
+import java.net.{HttpURLConnection, URI, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, FSInputStream, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import graft.io.CloudConf
+
+/**
+ * `s3a://` Hadoop FileSystem speaking the S3 REST protocol directly
+ * (SigV4-signed ranged GET / PUT / multipart / ListObjectsV2 / COPY /
+ * DELETE), so cloud-store parquet I/O executes end-to-end without the
+ * hadoop-aws connector on the classpath.  Mirrors the reference's store
+ * surface (reference `src/object_store/aws.rs:26-166` for the
+ * credential matrix, `object_store_cache.rs:25-129` for handle caching
+ * and credential-expiry refresh).
+ *
+ * Reads are lazy ranged GETs (a parquet footer + column-chunk access
+ * pattern costs a handful of requests, like [[graft.io.HttpFileSystem]]);
+ * writes buffer up to `fs.graft.s3.multipart.size` bytes and switch to
+ * multipart upload beyond it, so a task can stream arbitrarily large
+ * parts without local spill.  Directories are S3-style: implicit in key
+ * prefixes, with zero-byte `key/` markers written by mkdirs so empty
+ * directories survive (the committer protocol needs them).
+ *
+ * Credentials come from the `fs.s3a.*` conf that [[CloudConf]] derives
+ * from the environment; when the env supplies an expiry
+ * (`AWS_CREDENTIAL_EXPIRATION`, as written by SSO/process providers)
+ * the session credentials are RE-derived from the environment and
+ * `~/.aws` profiles once it passes — the reference's
+ * `object_store_cache.rs:101-129` expiry behavior, applied per request
+ * instead of per cached handle.
+ */
+class GraftS3FileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private[s3] var client: S3Client = _
+
+  override def getScheme: String = "s3a"
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = name.getAuthority
+    require(bucket != null && bucket.nonEmpty, s"no bucket in $name")
+    fsUri = URI.create(s"${name.getScheme}://$bucket")
+    client = S3Client.fromConf(conf)
+  }
+
+  override def getUri: URI = fsUri
+
+  /** Object key for a path ("" for the bucket root). */
+  private def keyOf(f: Path): String = {
+    val p = makeQualified(f).toUri.getPath
+    p.stripPrefix("/")
+  }
+
+  private def fileStatus(key: String, len: Long, mtime: Long): FileStatus =
+    new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime,
+      new Path(s"$fsUri/$key"))
+
+  private def dirStatus(key: String): FileStatus =
+    new FileStatus(0, true, 1, 0, 0,
+      new Path(if (key.isEmpty) fsUri.toString else s"$fsUri/$key"))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return dirStatus("")
+    client.head(bucket, key) match {
+      case Some((len, mtime)) => fileStatus(key, len, mtime)
+      case None =>
+        // prefix with content (or a dir marker) → directory
+        val l = client.listV2(bucket, key + "/", None, None, maxKeys = 1)
+        if (l.objects.nonEmpty || l.prefixes.nonEmpty ||
+            client.head(bucket, key + "/").isDefined) dirStatus(key)
+        else throw new FileNotFoundException(f.toString)
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    if (key.nonEmpty && client.head(bucket, key).isDefined)
+      return Array(getFileStatus(f))
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val out = Array.newBuilder[FileStatus]
+    var token: Option[String] = None
+    var seen = false
+    var continue = true
+    while (continue) {
+      val l = client.listV2(bucket, prefix, Some("/"), token)
+      seen |= l.objects.nonEmpty || l.prefixes.nonEmpty
+      l.objects.foreach { o =>
+        if (o.key != prefix) // skip the dir marker itself
+          out += fileStatus(o.key, o.size, o.mtime)
+      }
+      l.prefixes.foreach(p => out += dirStatus(p.stripSuffix("/")))
+      token = l.nextToken
+      continue = token.isDefined
+    }
+    if (!seen && key.nonEmpty && client.head(bucket, prefix).isEmpty)
+      throw new FileNotFoundException(f.toString)
+    out.result()
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val len = client.head(bucket, key) match {
+      case Some((l, _)) => l
+      case None => throw new FileNotFoundException(f.toString)
+    }
+    new FSDataInputStream(new S3InputStream(client, bucket, key, len))
+  }
+
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable)
+      : FSDataOutputStream = {
+    val key = keyOf(f)
+    if (!overwrite && client.head(bucket, key).isDefined)
+      throw new IOException(s"$f already exists")
+    new FSDataOutputStream(
+      new S3OutputStream(client, bucket, key,
+        getConf.getLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024)),
+      statistics)
+  }
+
+  override def append(
+      f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("S3 objects are immutable")
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return false
+    if (client.head(bucket, key).isDefined) {
+      client.delete(bucket, key); return true
+    }
+    val prefix = key + "/"
+    val keys = allKeys(prefix)
+    val marker = client.head(bucket, prefix).isDefined
+    if (keys.isEmpty && !marker) return false
+    if (!recursive && keys.exists(_ != prefix))
+      throw new IOException(s"$f is a non-empty directory")
+    keys.foreach(client.delete(bucket, _))
+    if (marker) client.delete(bucket, prefix)
+    true
+  }
+
+  /** Every key under a prefix (paginated, no delimiter). */
+  private def allKeys(prefix: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var continue = true
+    while (continue) {
+      val l = client.listV2(bucket, prefix, None, token)
+      l.objects.foreach(o => out += o.key)
+      token = l.nextToken
+      continue = token.isDefined
+    }
+    out.result()
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcKey = keyOf(src)
+    val st =
+      try getFileStatus(src)
+      catch { case _: FileNotFoundException => return false }
+    val dstExisting =
+      try Some(getFileStatus(dst))
+      catch { case _: FileNotFoundException => None }
+    val target = dstExisting match {
+      case Some(d) if d.isDirectory => new Path(dst, src.getName)
+      case Some(_) => return false // won't overwrite a file
+      case None => dst
+    }
+    val dstKey = keyOf(target)
+    if (st.isFile) {
+      client.copy(bucket, srcKey, dstKey)
+      client.delete(bucket, srcKey)
+    } else {
+      val prefix = srcKey + "/"
+      allKeys(prefix).foreach { k =>
+        client.copy(bucket, k, dstKey + "/" + k.stripPrefix(prefix))
+        client.delete(bucket, k)
+      }
+      if (client.head(bucket, prefix).isDefined) {
+        client.copy(bucket, prefix, dstKey + "/")
+        client.delete(bucket, prefix)
+      }
+    }
+    true
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return true
+    if (client.head(bucket, key).isDefined)
+      throw new IOException(s"$f exists as a file")
+    // zero-byte dir marker, so the empty dir is visible to getFileStatus
+    client.put(bucket, key + "/", Array.emptyByteArray)
+    true
+  }
+
+  override def getWorkingDirectory: Path = new Path(fsUri)
+  override def setWorkingDirectory(dir: Path): Unit = ()
+}
+
+/** Lazy ranged-GET stream (same shape as [[graft.io.HttpInputStream]],
+  * plus SigV4 signing per connection). */
+private[s3] class S3InputStream(
+    client: S3Client, bucket: String, key: String, len: Long)
+    extends FSInputStream {
+  private var pos = 0L
+  private var in: InputStream = _
+  private var streamPos = -1L
+
+  private def ensure(): InputStream = {
+    if (in == null || streamPos != pos) {
+      if (in != null) { in.close(); in = null }
+      in = client.getRange(bucket, key, pos)
+      streamPos = pos
+    }
+    in
+  }
+
+  override def seek(p: Long): Unit = { pos = p }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(): Int = {
+    if (pos >= len) return -1
+    val b = ensure().read()
+    if (b >= 0) { pos += 1; streamPos += 1 }
+    b
+  }
+
+  override def read(buf: Array[Byte], off: Int, length: Int): Int = {
+    if (pos >= len) return -1
+    val n = ensure().read(buf, off, length)
+    if (n > 0) { pos += n; streamPos += n }
+    n
+  }
+
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null }
+    streamPos = -1L
+  }
+}
+
+/** Buffering output stream: single PUT below the part size, multipart
+  * upload beyond it (parts flushed as the buffer fills — bounded memory
+  * for arbitrarily large objects). */
+private[s3] class S3OutputStream(
+    client: S3Client, bucket: String, key: String, partSize: Long)
+    extends java.io.OutputStream {
+  private val buf = new ByteArrayOutputStream()
+  private var uploadId: Option[String] = None
+  private var partNum = 1
+  private val etags = Seq.newBuilder[(Int, String)]
+  private var closed = false
+
+  override def write(b: Int): Unit = { buf.write(b); maybeFlushPart() }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    buf.write(b, off, len); maybeFlushPart()
+  }
+
+  private def maybeFlushPart(): Unit =
+    if (buf.size() >= partSize) {
+      val id = uploadId.getOrElse {
+        val i = client.initiateMultipart(bucket, key); uploadId = Some(i); i
+      }
+      etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+        buf.toByteArray)))
+      partNum += 1
+      buf.reset()
+    }
+
+  override def close(): Unit = {
+    if (closed) return
+    closed = true
+    uploadId match {
+      case None => client.put(bucket, key, buf.toByteArray)
+      case Some(id) =>
+        if (buf.size() > 0) {
+          etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+            buf.toByteArray)))
+        }
+        client.completeMultipart(bucket, key, id, etags.result())
+    }
+    buf.reset()
+  }
+}
+
+/** One listed object. */
+private[s3] final case class S3Object(key: String, size: Long, mtime: Long)
+private[s3] final case class S3Listing(
+    objects: Seq[S3Object], prefixes: Seq[String], nextToken: Option[String])
+
+/**
+ * Minimal signed S3 REST client (path-style addressing).  One instance
+ * per FileSystem; stateless apart from the refreshing credentials.
+ */
+private[s3] class S3Client(
+    endpoint: URI, region: String, creds: RefreshingCredentials) {
+
+  private def request(
+      method: String, path: String, query: Seq[(String, String)],
+      body: Array[Byte], extraHeaders: Map[String, String] = Map.empty)
+      : HttpURLConnection = {
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        if (v.isEmpty) S3Signer.uriEncode(k, false)
+        else s"${S3Signer.uriEncode(k, false)}=${S3Signer.uriEncode(v, false)}"
+      }.mkString("&")
+    val url = new URL(s"$endpoint$path$qs")
+    val hostHeader =
+      if (url.getPort > 0) s"${url.getHost}:${url.getPort}" else url.getHost
+    val payloadHash =
+      if (body == null || body.isEmpty) S3Signer.EmptyPayloadHash
+      else S3Signer.sha256Hex(body)
+    val (auth, headers) = S3Signer.sign(
+      method, path, query,
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v } +
+        ("host" -> hostHeader),
+      payloadHash, creds.get, region, S3Signer.amzDateNow())
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) =>
+      if (k != "host") conn.setRequestProperty(k, v)
+    }
+    conn.setRequestProperty("Authorization", auth)
+    if (body != null && body.nonEmpty ||
+        method == "PUT" || method == "POST") {
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      if (body != null && body.nonEmpty) out.write(body)
+      out.close()
+    }
+    conn
+  }
+
+  private def pathOf(bucket: String, key: String): String =
+    "/" + bucket + (if (key.isEmpty) "" else "/" + S3Signer.uriEncode(key, true))
+
+  private def drain(conn: HttpURLConnection): Array[Byte] = {
+    val in = if (conn.getResponseCode >= 400) conn.getErrorStream
+      else conn.getInputStream
+    if (in == null) return Array.emptyByteArray
+    try {
+      val out = new ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def expect2xx(conn: HttpURLConnection, what: String): Array[Byte] = {
+    val code = conn.getResponseCode
+    val bytes = drain(conn)
+    if (code < 200 || code >= 300)
+      throw new IOException(
+        s"$what failed: HTTP $code ${new String(bytes.take(512), UTF_8)}")
+    bytes
+  }
+
+  def head(bucket: String, key: String): Option[(Long, Long)] = {
+    if (key.isEmpty) return None
+    val conn = request("HEAD", pathOf(bucket, key), Nil, null)
+    try conn.getResponseCode match {
+      case 200 => Some((conn.getContentLengthLong, conn.getLastModified))
+      case 404 => None
+      case code => throw new IOException(s"HEAD $bucket/$key: HTTP $code")
+    } finally conn.disconnect()
+  }
+
+  def getRange(bucket: String, key: String, pos: Long): InputStream = {
+    val conn = request("GET", pathOf(bucket, key), Nil, null,
+      if (pos > 0) Map("range" -> s"bytes=$pos-") else Map.empty)
+    val code = conn.getResponseCode
+    if (code == 404) throw new FileNotFoundException(s"$bucket/$key")
+    if (code >= 300) {
+      val err = new String(drain(conn).take(512), UTF_8)
+      throw new IOException(s"GET $bucket/$key: HTTP $code $err")
+    }
+    conn.getInputStream
+  }
+
+  def listV2(
+      bucket: String, prefix: String, delimiter: Option[String],
+      token: Option[String], maxKeys: Int = 1000): S3Listing = {
+    val q = Seq("list-type" -> "2", "prefix" -> prefix,
+      "max-keys" -> maxKeys.toString) ++
+      delimiter.map("delimiter" -> _) ++
+      token.map("continuation-token" -> _)
+    val xml = expect2xx(
+      request("GET", s"/$bucket", q, null), s"LIST $bucket/$prefix")
+    parseListing(xml)
+  }
+
+  private def parseListing(xml: Array[Byte]): S3Listing = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml))
+    def texts(tag: String, el: org.w3c.dom.Element): Seq[String] = {
+      val nl = el.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item(_).getTextContent)
+    }
+    val root = doc.getDocumentElement
+    val contents = root.getElementsByTagName("Contents")
+    val objects = (0 until contents.getLength).map { i =>
+      val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+      val mtime = texts("LastModified", el).headOption
+        .map(s => java.time.Instant.parse(s).toEpochMilli).getOrElse(0L)
+      S3Object(texts("Key", el).head,
+        texts("Size", el).headOption.map(_.toLong).getOrElse(0L), mtime)
+    }
+    val cps = root.getElementsByTagName("CommonPrefixes")
+    val prefixes = (0 until cps.getLength).map { i =>
+      texts("Prefix", cps.item(i).asInstanceOf[org.w3c.dom.Element]).head
+    }
+    val truncated = {
+      val nl = root.getElementsByTagName("IsTruncated")
+      nl.getLength > 0 && nl.item(0).getTextContent == "true"
+    }
+    val next = {
+      val nl = root.getElementsByTagName("NextContinuationToken")
+      if (truncated && nl.getLength > 0) Some(nl.item(0).getTextContent)
+      else None
+    }
+    S3Listing(objects, prefixes, next)
+  }
+
+  def put(bucket: String, key: String, body: Array[Byte]): Unit = {
+    expect2xx(request("PUT", pathOf(bucket, key), Nil, body),
+      s"PUT $bucket/$key")
+    ()
+  }
+
+  def delete(bucket: String, key: String): Unit = {
+    val conn = request("DELETE", pathOf(bucket, key), Nil, null)
+    val code = conn.getResponseCode
+    drain(conn)
+    if (code != 204 && code != 200 && code != 404)
+      throw new IOException(s"DELETE $bucket/$key: HTTP $code")
+  }
+
+  def copy(bucket: String, srcKey: String, dstKey: String): Unit = {
+    expect2xx(request("PUT", pathOf(bucket, dstKey), Nil, null,
+      Map("x-amz-copy-source" ->
+        ("/" + bucket + "/" + S3Signer.uriEncode(srcKey, true)))),
+      s"COPY $bucket/$srcKey -> $dstKey")
+    ()
+  }
+
+  def initiateMultipart(bucket: String, key: String): String = {
+    val xml = expect2xx(
+      request("POST", pathOf(bucket, key), Seq("uploads" -> ""), null),
+      s"INITIATE $bucket/$key")
+    val s = new String(xml, UTF_8)
+    val m = "<UploadId>([^<]+)</UploadId>".r.findFirstMatchIn(s)
+    m.map(_.group(1)).getOrElse(
+      throw new IOException(s"no UploadId in initiate response: $s"))
+  }
+
+  def uploadPart(
+      bucket: String, key: String, uploadId: String, partNum: Int,
+      body: Array[Byte]): String = {
+    val conn = request("PUT", pathOf(bucket, key),
+      Seq("partNumber" -> partNum.toString, "uploadId" -> uploadId), body)
+    expect2xx(conn, s"UPLOAD PART $partNum $bucket/$key")
+    Option(conn.getHeaderField("ETag")).getOrElse(
+      throw new IOException("no ETag on part upload"))
+  }
+
+  def completeMultipart(
+      bucket: String, key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Unit = {
+    val xml = parts.sortBy(_._1).map { case (n, etag) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    expect2xx(request("POST", pathOf(bucket, key),
+      Seq("uploadId" -> uploadId), xml.getBytes(UTF_8)),
+      s"COMPLETE $bucket/$key")
+    ()
+  }
+}
+
+private[s3] object S3Client {
+  def fromConf(conf: Configuration): S3Client = {
+    val region = Option(conf.get("fs.s3a.endpoint.region"))
+      .getOrElse("us-east-1")
+    val ssl = conf.getBoolean("fs.s3a.connection.ssl.enabled", true)
+    val raw = Option(conf.get("fs.s3a.endpoint"))
+      .getOrElse(s"s3.$region.amazonaws.com")
+    val endpoint =
+      if (raw.contains("://")) URI.create(raw)
+      else URI.create(s"${if (ssl) "https" else "http"}://$raw")
+    new S3Client(endpoint, region, RefreshingCredentials.fromConf(conf))
+  }
+}
+
+/**
+ * Credential source with expiry-driven refresh, the reference's
+ * `object_store_cache.rs:101-129` behavior: static credentials never
+ * expire; when the environment declared an expiry
+ * (`AWS_CREDENTIAL_EXPIRATION` → `fs.graft.s3.session.expiry`), the
+ * credentials are re-derived from the environment + `~/.aws` files the
+ * first time they're used past it, picking up the rotated token.
+ */
+private[s3] class RefreshingCredentials(
+    initial: S3Signer.Credentials, initialExpiry: Option[Long],
+    reload: () => (S3Signer.Credentials, Option[Long]),
+    clock: () => Long = () => System.currentTimeMillis()) {
+  @volatile private var current: (S3Signer.Credentials, Option[Long]) =
+    (initial, initialExpiry)
+
+  def get: S3Signer.Credentials = {
+    val (c, exp) = current
+    if (exp.exists(_ <= clock())) {
+      val fresh = reload()
+      current = fresh
+      fresh._1
+    } else c
+  }
+}
+
+private[s3] object RefreshingCredentials {
+
+  def parseExpiry(s: String): Option[Long] =
+    if (s == null || s.isEmpty) None
+    else if (s.forall(_.isDigit)) Some(s.toLong)
+    else
+      try Some(java.time.Instant.parse(s).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+
+  private def fromSettings(
+      get: String => Option[String]): (S3Signer.Credentials, Option[Long]) = {
+    val creds = S3Signer.Credentials(
+      get("fs.s3a.access.key").getOrElse(""),
+      get("fs.s3a.secret.key").getOrElse(""),
+      get("fs.s3a.session.token"))
+    (creds, get("fs.graft.s3.session.expiry").flatMap(parseExpiry))
+  }
+
+  /** Initial credentials from the conf [[CloudConf]] populated; refresh
+    * re-derives from the live environment (env vars + `~/.aws`). */
+  def fromConf(conf: Configuration): RefreshingCredentials = {
+    val (c, e) = fromSettings(k => Option(conf.get(k)))
+    new RefreshingCredentials(c, e,
+      () => fromSettings(CloudConf.hadoopSettings(sys.env).get))
+  }
+}
+
+/** Registration hook, like [[graft.io.HttpFs]]: bind the s3a scheme. */
+object GraftS3 {
+  def settings: Map[String, String] = Map(
+    "fs.s3a.impl" -> classOf[GraftS3FileSystem].getName,
+    "fs.s3a.impl.disable.cache" -> "false")
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    settings.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+}

@@ -1,0 +1,172 @@
+package graft.io.s3
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.{CloudConf, CopyFrom, CopyFromOptions, CopyTo, CopyToOptions}
+
+/**
+ * End-to-end `s3a://` execution: Spark parquet I/O and the metadata
+ * functions running through [[GraftS3FileSystem]]'s signed REST client
+ * against an in-JVM S3 endpoint that VERIFIES every signature
+ * (reference parity: `src/pgrx_tests/object_store.rs:1-1224` runs the
+ * same matrix against MinIO).  Credentials flow env → [[CloudConf]] →
+ * Hadoop conf → SigV4 — no part of the path is mocked out.
+ */
+class S3RoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var s3: InMemoryS3 = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    s3 = new InMemoryS3("GRAFTKEY", "graft-secret-key", "us-east-1").start()
+    CloudConf.applyTo(spark, s3.env)
+  }
+
+  override def afterAll(): Unit = {
+    try s3.stop()
+    finally super.afterAll()
+  }
+
+  test("Spark writes and reads parquet through s3a://") {
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i", i * 1.5))
+      .toDF("k", "name", "score")
+    df.repartition(4).write.mode("overwrite")
+      .parquet("s3a://bucket/table")
+    val back = spark.read.parquet("s3a://bucket/table")
+    assert(back.count() == 1000)
+    assert(back.agg(sum("k")).head().getLong(0) == 500500L)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "name", "score"))
+    assert(s3.requestsServed > 0 && s3.requestsRejected == 0,
+      "every request must have carried a valid signature")
+  }
+
+  test("CopyTo / CopyFrom round-trip on s3a:// with options") {
+    val src = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    CopyTo(src, "s3a://bucket/copyto",
+      CopyToOptions(compression = Some("zstd")))
+    val back = CopyFrom.raw(spark, "s3a://bucket/copyto",
+      CopyFromOptions(where = Some("id <= 100")))
+    assert(back.count() == 100)
+  }
+
+  test("metadata functions read s3a:// footers (driver + distributed)") {
+    val meta = graft.meta.ParquetInfo.fileMetadata(
+      spark, "s3a://bucket/table/*.parquet")
+    assert(meta.count() == 4)
+    assert(meta.agg(sum("num_rows")).head().getLong(0) == 1000L)
+    // distributed footer path (threshold below the file count)
+    spark.conf.set("spark.graft.meta.distributeThreshold", "2")
+    try {
+      val dist = graft.meta.ParquetInfo.fileMetadata(
+        spark, "s3a://bucket/table/*.parquet")
+      assert(dist.collect().toSeq == meta.collect().toSeq)
+    } finally spark.conf.unset("spark.graft.meta.distributeThreshold")
+  }
+
+  test("filesystem contract: status, list, rename, delete, mkdirs") {
+    val fs = new Path("s3a://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new Path("s3a://bucket/contract/a/file1.bin")
+    val out = fs.create(f, true)
+    out.write("hello s3".getBytes("UTF-8"))
+    out.close()
+    assert(fs.getFileStatus(f).getLen == 8L)
+    assert(fs.getFileStatus(new Path("s3a://bucket/contract")).isDirectory)
+    assert(fs.listStatus(new Path("s3a://bucket/contract/a")).length == 1)
+    // ranged read
+    val in = fs.open(f)
+    in.seek(6)
+    val b = new Array[Byte](2)
+    assert(in.read(b, 0, 2) == 2 && new String(b, "UTF-8") == "s3")
+    in.close()
+    // rename file, then dir
+    assert(fs.rename(f, new Path("s3a://bucket/contract/a/file2.bin")))
+    assert(!fs.exists(f))
+    assert(fs.rename(new Path("s3a://bucket/contract/a"),
+      new Path("s3a://bucket/contract/b")))
+    assert(fs.exists(new Path("s3a://bucket/contract/b/file2.bin")))
+    // mkdirs marker makes an empty dir visible
+    assert(fs.mkdirs(new Path("s3a://bucket/contract/empty")))
+    assert(fs.getFileStatus(new Path("s3a://bucket/contract/empty")).isDirectory)
+    // delete
+    assert(fs.delete(new Path("s3a://bucket/contract"), true))
+    assert(!fs.exists(new Path("s3a://bucket/contract/b/file2.bin")))
+  }
+
+  test("multipart upload assembles large objects from bounded buffers") {
+    val fs = new Path("s3a://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getConf.setLong("fs.graft.s3.multipart.size", 64 * 1024)
+    val f = new Path("s3a://bucket/mp/big.bin")
+    val out = fs.create(f, true)
+    val chunk = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    (1 to 30).foreach(_ => out.write(chunk)) // 300 KB > 4 parts
+    out.close()
+    val st = fs.getFileStatus(f)
+    assert(st.getLen == 300000L)
+    val in = fs.open(f)
+    in.seek(299990)
+    val tail = new Array[Byte](10)
+    assert(in.read(tail, 0, 10) == 10)
+    assert(tail.toSeq == chunk.slice(9990, 10000).toSeq)
+    in.close()
+    fs.getConf.setLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024)
+  }
+
+  test("a wrong secret is rejected by signature verification") {
+    val badConf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    badConf.set("fs.s3a.secret.key", "wrong-secret")
+    badConf.set("fs.s3a.impl.disable.cache", "true")
+    val fs = new Path("s3a://bucket/").getFileSystem(badConf)
+    val before = s3.requestsRejected
+    val ex = intercept[Exception] {
+      fs.getFileStatus(new Path("s3a://bucket/table"))
+    }
+    assert(s3.requestsRejected > before,
+      s"server must reject the bad signature (got: ${ex.getMessage})")
+  }
+
+  test("expiring session credentials re-derive from the environment") {
+    // conf carries expired creds + expiry; the reload hook (same one the
+    // live FS uses — CloudConf over the env) must be consulted and win
+    var envNow = Map(
+      "AWS_ACCESS_KEY_ID" -> "ROTATED",
+      "AWS_SECRET_ACCESS_KEY" -> "ROTATED_SECRET",
+      "AWS_SESSION_TOKEN" -> "ROTATED_TOKEN")
+    val settings = CloudConf.hadoopSettings(
+      Map("AWS_ACCESS_KEY_ID" -> "OLD", "AWS_SECRET_ACCESS_KEY" -> "OLD_S",
+        "AWS_SESSION_TOKEN" -> "OLD_TOK",
+        "AWS_CREDENTIAL_EXPIRATION" -> "2020-01-01T00:00:00Z"))
+    assert(settings("fs.graft.s3.session.expiry") == "2020-01-01T00:00:00Z")
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    settings.foreach { case (k, v) => conf.set(k, v) }
+    val rc = {
+      val initialExpiry = RefreshingCredentials.parseExpiry(
+        conf.get("fs.graft.s3.session.expiry"))
+      new RefreshingCredentials(
+        S3Signer.Credentials(conf.get("fs.s3a.access.key"),
+          conf.get("fs.s3a.secret.key"),
+          Option(conf.get("fs.s3a.session.token"))),
+        initialExpiry,
+        () => {
+          val s = CloudConf.hadoopSettings(envNow)
+          (S3Signer.Credentials(s("fs.s3a.access.key"),
+            s("fs.s3a.secret.key"), s.get("fs.s3a.session.token")),
+            s.get("fs.graft.s3.session.expiry")
+              .flatMap(RefreshingCredentials.parseExpiry))
+        })
+    }
+    assert(rc.get.accessKey == "ROTATED" &&
+      rc.get.sessionToken.contains("ROTATED_TOKEN"))
+    envNow = envNow.updated("AWS_ACCESS_KEY_ID", "ROTATED_AGAIN")
+    assert(rc.get.accessKey == "ROTATED",
+      "no expiry on the fresh creds → no further reloads")
+  }
+}
