@@ -162,7 +162,7 @@ object AnnotatedParquet {
     java.util.Base64.getEncoder.encodeToString(out.toByteArray)
   }
 
-  private def buildSchema(fields: Seq[(String, String)]): MessageType = {
+  private[io] def buildSchema(fields: Seq[(String, String)]): MessageType = {
     val b = Types.buildMessage()
     fields.foreach { case (name, kind) =>
       val t: Type = kind match {
@@ -194,7 +194,7 @@ object AnnotatedParquet {
     b.named("spark_schema")
   }
 
-  private def toGroup(
+  private[io] def toGroup(
       schema: MessageType, fields: Seq[(String, String)], row: Row)
       : SimpleGroup = {
     val g = new SimpleGroup(schema)

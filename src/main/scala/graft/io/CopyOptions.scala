@@ -105,7 +105,15 @@ final case class CopyToOptions(
       * `z_value` column is appended and the layout range-clusters on it,
       * so min/max stats prune on EVERY listed column, not just a leading
       * one — see [[ZOrder]].  Mutually exclusive with [[clusterBy]]. */
-    zOrderBy: Seq[String] = Nil) {
+    zOrderBy: Seq[String] = Nil,
+    /** Opt-in byte-exact splitting: each task rolls to a fresh part file
+      * the moment the in-progress writer reaches `file_size_bytes`
+      * (reference `copy_to_split_dest_receiver.rs:105-117` rolls the
+      * same way), instead of the default estimate-then-resplit pass.
+      * Exact even under heavily skewed row widths; flat primitive
+      * schemas only (the rolling writer is the parquet-mr Group path —
+      * see [[ExactSplit]]). */
+    fileSizeExact: Boolean = false) {
 
   def validated: CopyToOptions = {
     if (zOrderBy.nonEmpty && clusterBy.nonEmpty)
@@ -135,6 +143,17 @@ final case class CopyToOptions(
     if (parquetVersion != "v1" && parquetVersion != "v2")
       throw new IllegalArgumentException(
         s"parquet_version must be 'v1' or 'v2', got '$parquetVersion'")
+    if (fileSizeExact) {
+      if (fileSizeBytes.isEmpty)
+        throw new IllegalArgumentException(
+          "file_size_exact requires file_size_bytes")
+      if (partitionBy.nonEmpty || fieldIds != "none" ||
+          bloomFilterColumns.nonEmpty)
+        throw new IllegalArgumentException(
+          "file_size_exact does not compose with partition_by / " +
+            "field_ids / bloom filters (the rolling writer is the flat " +
+            "parquet-mr path)")
+    }
     this
   }
 

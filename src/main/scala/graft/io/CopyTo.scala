@@ -82,6 +82,17 @@ object CopyTo {
         math.min(opts.effectiveRowGroupBytes,
           math.max(1L, (perRow * opts.rowGroupSize).toLong))
       } else opts.effectiveRowGroupBytes
+    // opt-in byte-exact splitting: per-task rolling writer instead of
+    // the estimate-then-resplit pass below (see ExactSplit)
+    if (opts.fileSizeExact) {
+      ExactSplit.write(dfWithIds, uri, opts.fileSizeBytes.get, codec,
+        opts.compressionLevel, rowGroupBytes)
+      if (opts.kvMetadata.nonEmpty)
+        graft.meta.KvMetadata.add(spark, uri, opts.kvMetadata)
+      val (files, bytes) = listDataFiles(spark, uri)
+      return WriteResult(uri, files, bytes)
+    }
+
     var w = dfWithIds.write.mode("overwrite")
       .option("compression", codec)
       .option("parquet.block.size", rowGroupBytes.toString)

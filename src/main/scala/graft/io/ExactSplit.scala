@@ -1,0 +1,110 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/**
+ * Byte-exact `file_size_bytes` splitting (reference
+ * `copy_to_split_dest_receiver.rs:105-117`): every task streams rows
+ * into a parquet-mr writer and ROLLS to a fresh part file the moment the
+ * writer's in-progress size reaches the target — no estimates, so
+ * heavily skewed row widths cannot blow a file past the target by more
+ * than one row group.  This is the reference's single-writer roll
+ * generalized to one independent roller per task: at cluster scale each
+ * task rolls its own stream, which keeps the write fully parallel where
+ * a single global byte counter would serialize it.
+ *
+ * The rolling writer is the parquet-mr Group path (shared with
+ * [[AnnotatedParquet]]), hence flat primitive schemas only — the option
+ * validation refuses the combinations that need the native writer.
+ */
+object ExactSplit {
+
+  private[io] def kindsOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.map { f =>
+      val kind = f.dataType match {
+        case BinaryType => "binary"
+        case LongType => "long"
+        case IntegerType => "int"
+        case DoubleType => "double"
+        case FloatType => "float"
+        case BooleanType => "boolean"
+        case StringType => "string"
+        case dt => throw new IllegalArgumentException(
+          "file_size_exact supports flat primitive schemas; column " +
+            s"'${f.name}' has unsupported type ${dt.simpleString}")
+      }
+      (f.name, kind)
+    }
+
+  private def codecOf(codec: String): CompressionCodecName = codec match {
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "zstd" => CompressionCodecName.ZSTD
+    case "gzip" => CompressionCodecName.GZIP
+    case "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case other => throw new IllegalArgumentException(
+      s"file_size_exact supports snappy/zstd/gzip/uncompressed, got '$other'")
+  }
+
+  /** Write `df` under `uri`, rolling each task's output at `target`
+    * bytes.  Returns nothing; [[CopyTo.listDataFiles]] observes the
+    * result like any other write. */
+  def write(
+      df: DataFrame, uri: String, target: Long, codec: String,
+      compressionLevel: Option[Int], rowGroupBytes: Long): Unit = {
+    val kinds = kindsOf(df.schema)
+    val codecName = codecOf(codec)
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(uri)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    // row groups capped well below the target so the in-progress size
+    // check (position + buffered) tracks the threshold tightly: the
+    // maximum overshoot is one row group flush
+    val rgBytes = math.max(64L * 1024, math.min(rowGroupBytes, target / 4))
+    val level = compressionLevel
+
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val taskConf = new Configuration()
+        level.foreach { l =>
+          if (codecName == CompressionCodecName.ZSTD)
+            taskConf.setInt("parquet.compression.codec.zstd.level", l)
+        }
+        val schema = AnnotatedParquet.buildSchema(kinds)
+        val part = org.apache.spark.TaskContext.get().partitionId()
+        var seq = 0
+        def open() = ExampleParquetWriter
+          .builder(HadoopOutputFile.fromPath(
+            new Path(dir, f"data_$part%05d_$seq%05d.parquet"), taskConf))
+          .withConf(taskConf)
+          .withType(schema)
+          .withCompressionCodec(codecName)
+          .withRowGroupSize(rgBytes)
+          .build()
+        var writer = open()
+        try {
+          rows.foreach { row =>
+            if (writer.getDataSize >= target) {
+              writer.close()
+              seq += 1
+              writer = open()
+            }
+            writer.write(
+              AnnotatedParquet.toGroup(schema, kinds, row): SimpleGroup)
+          }
+        } finally writer.close()
+      }
+    }
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    ()
+  }
+}

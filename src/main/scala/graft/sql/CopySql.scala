@@ -161,6 +161,9 @@ object CopySql {
           acc.copy(rowGroupSizeBytes = Some(requireValue(k, v).toLong))
         case "file_size_bytes" =>
           acc.copy(fileSizeBytes = Some(CopyToOptions.parseFileSize(requireValue(k, v))))
+        case "file_size_exact" =>
+          acc.copy(fileSizeExact =
+            v.forall(_.toLowerCase(Locale.ROOT) == "true"))
         case "parquet_version" =>
           acc.copy(parquetVersion = requireValue(k, v).toLowerCase(Locale.ROOT))
         case "field_ids"    => acc.copy(fieldIds = requireValue(k, v))

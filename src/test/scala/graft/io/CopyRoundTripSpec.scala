@@ -234,6 +234,57 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(spark.read.parquet(uri).count() == 20000)
   }
 
+  test("file_size_exact rolls at the byte threshold under extreme skew") {
+    val uri = TestSpark.tmpDir("split_exact")
+    // same adversarial shape that makes the estimate path overshoot 50×:
+    // narrow prefix, 2KB-wide tail.  The exact roller tracks the real
+    // writer size per row, so EVERY file must land within one row group
+    // of the target — no estimate involved.
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") < 5000, lit("x"))
+        .otherwise(concat_ws("", (0 until 64).map(i =>
+          sha2(concat(col("id").cast("string"), lit(i)), 256)): _*))
+        .as("pad"))
+    val target = CopyToOptions.MinFileSizeBytes
+    val res = CopyTo(df.repartition(1).sortWithinPartitions("id"), uri,
+      CopyToOptions(fileSizeBytes = Some(target), fileSizeExact = true))
+    val sizes = res.files.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length())
+    assert(res.files.size > 1, s"expected >1 part file, got ${res.files}")
+    // tolerance: one row-group flush past the in-progress check (the
+    // reference's own roll granularity, copy_to_split_dest_receiver.rs)
+    assert(sizes.max <= (target * 1.5).toLong,
+      s"file exceeds 1.5x target ($target): ${sizes.sorted.reverse.take(3)}")
+    // and files are not pathologically small either (except the tail)
+    assert(sizes.sorted.reverse.drop(1).dropRight(1)
+      .forall(_ >= target / 2),
+      s"mid files should approach the target: ${sizes.sorted}")
+    val back = spark.read.parquet(uri)
+    assert(back.count() == 20000)
+    assert(back.agg(sum("id")).head().getLong(0) == 199990000L)
+  }
+
+  test("file_size_exact option validation and SQL surface") {
+    intercept[IllegalArgumentException] {
+      CopyToOptions(fileSizeExact = true).validated
+    }
+    intercept[IllegalArgumentException] {
+      CopyToOptions(fileSizeExact = true,
+        fileSizeBytes = Some(CopyToOptions.MinFileSizeBytes),
+        partitionBy = Seq("day")).validated
+    }
+    val uri = TestSpark.tmpDir("split_exact_sql")
+    spark.range(200000).select(col("id"),
+        sha2(col("id").cast("string"), 256).as("pad"))
+      .createOrReplaceTempView("exact_src")
+    val n = graft.sql.GraftSql.exec(spark,
+      s"COPY (SELECT * FROM exact_src) TO '$uri' " +
+        "(file_size_bytes '1MB', file_size_exact true)")
+      .collect().head.getLong(0)
+    assert(n == 200000L)
+    assert(CopyTo.listDataFiles(spark, uri)._1.size > 1)
+  }
+
   test("resplit preserves string partition values that look numeric") {
     val uri = TestSpark.tmpDir("split_part_types")
     // same skew shape as above so the >25%-overshoot resplit engages,
