@@ -409,6 +409,50 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // TWO chained MERGE commits through snapshots: commit 2 updates rows
+    // commit 1 INSERTED, deletes rows commit 1 UPDATED, and inserts a
+    // fresh batch — the multi-commit batch evidence mirroring what the
+    // streaming CDC path (stream_cdc_apply) already proves
+    "io_merge_chain" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_mergechain_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ord = t(s, dir, "orders")
+      ord.repartitionByRange(10, col("o_orderkey")).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      val k = col("o_orderkey")
+      // commit 1: update %100==3 (+1), delete %100==7, insert %100==9
+      // under shifted keys
+      val ups1 = ord.filter(pmod(k, lit(100)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("__del", lit(false))
+      val dels1 = ord.filter(pmod(k, lit(100)) === 7)
+        .withColumn("__del", lit(true))
+      val ins1 = ord.filter(pmod(k, lit(100)) === 9)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("__del", lit(false))
+      io.Snapshots.mergeCommit(s, uri,
+        ups1.unionByName(dels1).unionByName(ins1),
+        Seq("o_orderkey"), deleteCol = Some("__del"))
+      // commit 2: update a third of commit 1's INSERTS (+2), delete a
+      // third of commit 1's UPDATES, insert %100==11 under higher keys
+      val ups2 = ord.filter(pmod(k, lit(100)) === 9 && pmod(k, lit(3)) === 0)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+        .withColumn("__del", lit(false))
+      val dels2 = ord.filter(pmod(k, lit(300)) === 3)
+        .withColumn("__del", lit(true))
+      val ins2 = ord.filter(pmod(k, lit(100)) === 11)
+        .withColumn("o_orderkey", k + 200000000L)
+        .withColumn("__del", lit(false))
+      io.Snapshots.mergeCommit(s, uri,
+        ups2.unionByName(dels2).unionByName(ins2),
+        Seq("o_orderkey"), deleteCol = Some("__del"))
+      io.Snapshots.read(s, uri).orderBy("o_orderkey")
+    }),
+
     // snapshot manifests: a merge lands as an MVCC commit; the pinned
     // v1 read (time travel) must still equal the ORIGINAL table while
     // the latest equals the merged one — both checked in one query
@@ -2158,6 +2202,24 @@ object SparkEntry {
       ("SELECT * FROM orders " +
         "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
         "ORDER BY o_orderkey"),
+
+    "io_merge_chain" ->
+      ("WITH final AS (" +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 1.0 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 100 <> 7 AND o_orderkey % 300 <> 3 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 2.0 " +
+        "ELSE o_totalprice END, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 9 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 11) " +
+        "SELECT * FROM final ORDER BY o_orderkey"),
 
     "io_time_travel" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snap FROM orders " +
