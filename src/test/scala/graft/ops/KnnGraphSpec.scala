@@ -57,6 +57,28 @@ class KnnGraphSpec extends AnyFunSuite {
       .forall(_.getLong(1) == k), "dense top-k per query")
   }
 
+  test("serving from a snapshot-persisted graph equals in-memory serving") {
+    val k = 5
+    val graph = KnnGraph.build(emb, "vec_id", "embedding", k, iters = 3)
+    val uri = graft.TestSpark.tmpDir("knn_persisted_index")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    graph.coalesce(2).write.parquet(uri)
+    graft.io.Snapshots.init(spark, uri)
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve(g: org.apache.spark.sql.DataFrame) =
+      KnnGraph.search(g, emb, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k, beam = 20, hops = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    val persisted = serve(graft.io.Snapshots.read(spark, uri))
+    val inMemory = serve(graph)
+    assert(persisted == inMemory,
+      "the persisted index must serve identical results")
+    assert(persisted.nonEmpty &&
+      persisted.groupBy(_.getLong(0)).forall(_._2.size == k))
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
