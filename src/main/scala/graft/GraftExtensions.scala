@@ -45,5 +45,6 @@ object GraftExtensions {
       functions.KmvSketch.builders ++
       functions.QuantileSketch.builders ++
       functions.FreqSketch.builders ++
-      functions.BloomSketch.builders
+      functions.BloomSketch.builders ++
+      functions.VectorMean.builders
 }

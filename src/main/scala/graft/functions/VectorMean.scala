@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Elementwise sums of a vector column as scale-10 fixed-point
+  * BigIntegers, plus the row count. */
+final class VecSumState {
+  var sums: Array[BigInteger] = null
+  var count: Long = 0L
+}
+
+/**
+ * Elementwise mean of an `array<float|double>` column as ONE mergeable
+ * aggregate — the k-means centroid update without the `posexplode`
+ * detour: exploding a dim-d vector multiplies the shuffle by d (at
+ * d=768 that is 768× the rows per Lloyd iteration), where this
+ * aggregate ships exactly one (d sums, count) buffer per group per
+ * partition.
+ *
+ * Sums are exact scale-10 fixed-point integers (each element rounded
+ * HALF_UP to 10 decimal places, then summed in BigInteger), so the
+ * merge is integer addition — order- and partitioning-independent,
+ * which keeps trained centroids (and everything downstream: cell
+ * assignments, PQ codes, recall numbers) bit-identical across cluster
+ * layouts, the same hardening the previous decimal-sum groupBy had.
+ */
+case class VectorDecimalMean(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumState] {
+
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_vector_mean"
+
+  private val elemType = child.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => et
+    case other => throw new IllegalArgumentException(
+      s"graft_vector_mean needs array<float|double>, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): VecSumState = new VecSumState
+
+  private def scaled(x: Double): BigInteger =
+    new JBigDecimal(x).setScale(10, RoundingMode.HALF_UP).unscaledValue()
+
+  override def update(buf: VecSumState, input: InternalRow): VecSumState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) {
+        buf.sums = Array.fill(n)(BigInteger.ZERO)
+      }
+      require(buf.sums.length == n,
+        s"vector_mean: inconsistent dims ${buf.sums.length} vs $n")
+      var i = 0
+      while (i < n) {
+        val x = elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case _ => arr.getDouble(i)
+        }
+        buf.sums(i) = buf.sums(i).add(scaled(x))
+        i += 1
+      }
+      buf.count += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecSumState, other: VecSumState): VecSumState = {
+    if (other.sums != null) {
+      if (buf.sums == null) {
+        buf.sums = other.sums.clone()
+        buf.count = other.count
+      } else {
+        require(buf.sums.length == other.sums.length,
+          "vector_mean: inconsistent dims across partials")
+        var i = 0
+        while (i < buf.sums.length) {
+          buf.sums(i) = buf.sums(i).add(other.sums(i))
+          i += 1
+        }
+        buf.count += other.count
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecSumState): Any = {
+    if (buf.sums == null || buf.count == 0L) return null
+    val cnt = JBigDecimal.valueOf(buf.count)
+    new GenericArrayData(buf.sums.map { s =>
+      new JBigDecimal(s, 10).divide(cnt, 20, RoundingMode.HALF_UP)
+        .doubleValue()
+    })
+  }
+
+  override def serialize(buf: VecSumState): Array[Byte] = {
+    if (buf.sums == null) return Array.emptyByteArray
+    val parts = buf.sums.map(_.toByteArray)
+    val bb = ByteBuffer.allocate(8 + 4 + parts.map(_.length + 4).sum)
+    bb.putLong(buf.count).putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumState = {
+    val s = new VecSumState
+    if (bytes.isEmpty) return s
+    val bb = ByteBuffer.wrap(bytes)
+    s.count = bb.getLong
+    val n = bb.getInt
+    s.sums = Array.tabulate(n) { _ =>
+      val len = bb.getInt
+      val p = new Array[Byte](len)
+      bb.get(p)
+      new BigInteger(p)
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorDecimalMean =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorDecimalMean =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+object VectorMean {
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_vector_mean" -> { exprs =>
+      VectorDecimalMean(exprs.head).toAggregateExpression()
+    })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  /** Elementwise exact-decimal mean of an array<float|double> column. */
+  def vectorMean(c: Column): Column = call_function("graft_vector_mean", c)
+}

@@ -102,28 +102,26 @@ object IvfIndex {
       .as[(Long, Array[Float])]
       .orderBy(col(idCol)).limit(k).collect().map(_._2)
 
+    graft.functions.VectorMean.register(spark)
     var it = 0
     while (it < iters) {
       val model = IvfModel(centroids)
       val assigned = assign(df, idCol, vecCol, model)
+      // one mergeable elementwise-mean aggregate per cell: exact
+      // fixed-point sums keep centroids bit-identical across
+      // partitionings (same hardening the previous decimal-sum groupBy
+      // had) WITHOUT posexplode's dim× row multiplication through the
+      // shuffle — per Lloyd iteration the shuffle now carries one
+      // (dim sums, count) buffer per cell per partition
       val means = assigned
-        .select(col("ivf_cell"), posexplode(col(vecCol)))
-        .groupBy("ivf_cell", "pos")
-        // decimal sums are order-independent where double partial sums
-        // are not — keeps centroids bit-identical across partitionings
-        // (same hardening as PqIndex.train)
-        .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .as[(Int, Int, Double)]
+        .groupBy("ivf_cell")
+        .agg(graft.functions.VectorMean.vectorMean(col(vecCol)).as("m"))
+        .as[(Int, Array[Double])]
         .collect()
-      val byCell = means.groupBy(_._1)
+      val byCell = means.toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         byCell.get(c) match {
-          case Some(rows) =>
-            val dim = rows.map(_._2).max + 1
-            val m = new Array[Float](dim)
-            rows.foreach { case (_, pos, v) => m(pos) = v.toFloat }
-            m
+          case Some(m) => m.map(_.toFloat)
           case None => old // empty cell keeps its centroid
         }
       }

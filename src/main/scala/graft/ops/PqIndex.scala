@@ -163,6 +163,7 @@ object PqIndex {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_adc",
       exprs => PqAdcScore(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    graft.functions.VectorMean.register(spark)
   }
 
   /**
@@ -206,24 +207,21 @@ object PqIndex {
       // literal carries all m codebooks and each exploded row picks its
       // own via __m
       val cbLit = typedLit(codebooks)
+      // one mergeable elementwise-mean aggregate per (subspace, code):
+      // exact fixed-point sums keep codebooks bit-identical across
+      // partitionings (same hardening as the previous decimal-sum
+      // groupBy) without posexplode's dsub× row multiplication
       val means = subRows
         .withColumn("__c", nearestSub(col("__sub"), col("__m"), cbLit))
-        .select(col("__m"), col("__c"), posexplode(col("__sub")).as(Seq("__p", "__x")))
-        .groupBy("__m", "__c", "__p")
-        // decimal sums are order-independent where double partial sums
-        // are not — keeps codebooks bit-identical across partitionings
-        .agg((sum(col("__x").cast("decimal(28,10)")) / count(lit(1)))
-          .cast("double").as("__mean"))
-        .as[(Int, Int, Int, Double)]
+        .groupBy("__m", "__c")
+        .agg(graft.functions.VectorMean.vectorMean(col("__sub")).as("__mean"))
+        .as[(Int, Int, Array[Double])]
         .collect()
-      val byCell = means.groupBy(r => (r._1, r._2))
+      val byCell = means.map(r => (r._1, r._2) -> r._3).toMap
       codebooks = codebooks.zipWithIndex.map { case (book, mi) =>
         book.zipWithIndex.map { case (old, c) =>
           byCell.get((mi, c)) match {
-            case Some(rows) =>
-              val v = new Array[Float](dsub)
-              rows.foreach { case (_, _, p, x) => v(p) = x.toFloat }
-              v
+            case Some(v) => v.map(_.toFloat)
             case None => old // empty cell keeps its centroid
           }
         }
