@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VectorMeanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mean(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
+    VectorMean.register(spark)
+    df.groupBy("g").agg(VectorMean.vectorMean(col("v")).as("m"))
+      .orderBy("g").as[(Int, Seq[Double])].collect().map(_._2).toSeq
+  }
+
+  test("elementwise mean matches hand computation; nulls skipped") {
+    val df = Seq(
+      (1, Some(Array(1.0f, 2.0f, 3.0f))),
+      (1, Some(Array(3.0f, 2.0f, 1.0f))),
+      (1, None),
+      (2, Some(Array(10.0f, 0.0f, -10.0f)))).toDF("g", "v")
+    assert(mean(df) == Seq(Seq(2.0, 2.0, 2.0), Seq(10.0, 0.0, -10.0)))
+  }
+
+  test("deterministic across partitionings (exact fixed-point merge)") {
+    // values chosen so DOUBLE partial sums would differ by ordering
+    val rows = (1 to 5000).map(i =>
+      (1, Array((1.0 / i).toFloat, (i * 1e-7).toFloat, 0.1f)))
+    val a = mean(rows.toDF("g", "v"))
+    val b = mean(rows.toDF("g", "v").repartition(17))
+    val c = mean(rows.reverse.toDF("g", "v").repartition(3))
+    assert(a == b && b == c, "means must not depend on partitioning/order")
+  }
+
+  test("inconsistent dims are refused; empty group yields null") {
+    val bad = Seq((1, Array(1.0f)), (1, Array(1.0f, 2.0f))).toDF("g", "v")
+    val ex = intercept[Exception] { mean(bad) }
+    assert(ex.getMessage.contains("inconsistent dims") ||
+      ex.getCause != null)
+    val allNull = Seq((1, Option.empty[Array[Float]])).toDF("g", "v")
+    VectorMean.register(spark)
+    val r = allNull.groupBy("g")
+      .agg(VectorMean.vectorMean(col("v")).as("m")).head()
+    assert(r.isNullAt(1))
+  }
+
+  test("double element type is supported; SQL route via extensions") {
+    val df = Seq((1, Array(1.5, 2.5)), (1, Array(2.5, 3.5))).toDF("g", "v")
+    assert(mean(df) == Seq(Seq(2.0, 3.0)))
+    df.createOrReplaceTempView("vm_src")
+    val viaSql = spark.sql(
+      "SELECT graft_vector_mean(v) FROM vm_src GROUP BY g")
+      .as[Seq[Double]].head()
+    assert(viaSql == Seq(2.0, 3.0))
+  }
+}
