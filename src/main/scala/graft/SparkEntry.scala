@@ -409,6 +409,26 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // manifest-level data skipping: a key-range read over a snapshot
+    // table consults the manifest's per-file min/max and scans ONLY the
+    // files that can match — the Delta/Iceberg stats-pruning pattern
+    // (on 100k files: one manifest read instead of 100k footer fetches)
+    "io_snapshot_skip" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskip_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      io.Snapshots.readWhere(s, uri,
+          "o_orderkey <= 6000 AND o_totalprice > 100000.0")
+        .orderBy("o_orderkey")
+    }),
+
     // TWO chained MERGE commits through snapshots: commit 2 updates rows
     // commit 1 INSERTED, deletes rows commit 1 UPDATED, and inserts a
     // fresh batch — the multi-commit batch evidence mirroring what the
@@ -2225,6 +2245,11 @@ object SparkEntry {
     "io_delete_where" ->
       ("SELECT * FROM orders " +
         "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
+        "ORDER BY o_orderkey"),
+
+    "io_snapshot_skip" ->
+      ("SELECT * FROM orders " +
+        "WHERE o_orderkey <= 6000 AND o_totalprice > 100000.0 " +
         "ORDER BY o_orderkey"),
 
     "io_merge_chain" ->

@@ -1,0 +1,200 @@
+package graft.io
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Per-file column statistics carried in snapshot manifests — the
+ * data-skipping layer every table format builds (Delta's stats-in-log,
+ * Iceberg's manifest metrics): a predicate read consults the MANIFEST's
+ * min/max per file and never opens — never even HEADs — a file whose
+ * range rules it out.  On a 100k-file table a selective key-range read
+ * goes from 100k footer fetches to one manifest read plus the matching
+ * files.
+ *
+ * Stats cover numeric columns only (integral + floating; logical
+ * date/time/decimal/string columns are left out — their parquet stat
+ * encodings need domain conversion, and a missing entry just means "no
+ * pruning for that column", never a wrong result).  Values are exact
+ * decimal strings, so the interval tests are exact — a file is skipped
+ * ONLY when no row can satisfy the conjunct.  Pruning is always an
+ * optimization: the full predicate is still applied to the scan.
+ *
+ * Stats format (one manifest line: `name\t<stats>`):
+ *   `v1;rows=<n>;<urlenc(col)>=<min>,<max>;...`
+ */
+object SnapshotStats extends Serializable {
+
+  /** Stats string for one file's footer, or None when nothing usable. */
+  def forFile(conf: Configuration, file: Path): Option[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return None
+      val rows = blocks.map(_.getRowCount).sum
+      // per column: merged [min,max] across row groups, dropped entirely
+      // if ANY chunk lacks stats (conservative)
+      val acc = scala.collection.mutable.LinkedHashMap[String, (JBigDecimal, JBigDecimal)]()
+      val dropped = scala.collection.mutable.Set[String]()
+      blocks.foreach { blk =>
+        blk.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!dropped(name)) {
+            numericBounds(cc) match {
+              case Some((mn, mx)) =>
+                acc.get(name) match {
+                  case Some((omn, omx)) =>
+                    acc(name) = (if (mn.compareTo(omn) < 0) mn else omn,
+                      if (mx.compareTo(omx) > 0) mx else omx)
+                  case None => acc(name) = (mn, mx)
+                }
+              case None =>
+                dropped += name
+                acc.remove(name)
+            }
+          }
+        }
+      }
+      val cols = acc.toSeq.map { case (n, (mn, mx)) =>
+        s"${enc(n)}=${mn.toPlainString},${mx.toPlainString}"
+      }
+      Some((s"v1;rows=$rows" +: cols).mkString(";"))
+    } finally reader.close()
+  }
+
+  /** Exact numeric [min,max] of a column chunk, for PLAIN integral and
+    * floating physical types with no logical annotation that changes the
+    * domain (dates, times, decimals, strings are excluded). */
+  private def numericBounds(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(JBigDecimal, JBigDecimal)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = cc.getStatistics
+    if (st == null || !st.hasNonNullValue) return None
+    val prim = cc.getPrimitiveType
+    val plain = prim.getLogicalTypeAnnotation == null ||
+      prim.getLogicalTypeAnnotation.isInstanceOf[
+        org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+    if (!plain) return None
+    prim.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        Some((new JBigDecimal(st.genericGetMin.toString),
+          new JBigDecimal(st.genericGetMax.toString)))
+      case FLOAT | DOUBLE =>
+        val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+        val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+        if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) None
+        else Some((new JBigDecimal(mn), new JBigDecimal(mx)))
+      case _ => None
+    }
+  }
+
+  private def enc(s: String): String =
+    graft.io.s3.S3Signer.uriEncode(s, keepSlash = false)
+
+  // ------------------------------------------------------------- pruning
+
+  /** Parsed per-file bounds: column → (min, max). */
+  private[io] def parseStats(stats: String)
+      : Map[String, (JBigDecimal, JBigDecimal)] = {
+    val parts = stats.split(";").toSeq
+    if (!parts.headOption.contains("v1")) return Map.empty
+    parts.drop(2).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => v.split(",", 2) match {
+          case Array(mn, mx) =>
+            try Some(graft.io.s3.S3Signer.decodePath(k) ->
+              ((new JBigDecimal(mn), new JBigDecimal(mx))))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** One extractable conjunct: column op literal. */
+  private[io] final case class Conjunct(
+      column: String, op: String, value: JBigDecimal)
+
+  /** Split a predicate into conjuncts and keep the `col <op> literal`
+    * comparisons (both orientations); everything else contributes no
+    * pruning.  Never throws — an unparseable predicate prunes nothing. */
+  private[io] def extractConjuncts(
+      spark: SparkSession, predicate: String): Seq[Conjunct] = {
+    def flatten(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    def num(l: Literal): Option[JBigDecimal] = l.value match {
+      case null => None
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+          _: java.lang.Short | _: java.lang.Byte | _: java.lang.Double |
+          _: java.lang.Float) => Some(new JBigDecimal(n.toString))
+      case d: org.apache.spark.sql.types.Decimal =>
+        Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    /** `col op lit` normalized; the flipped orientation mirrors the op. */
+    def comp(e: Expression): Option[Conjunct] = e match {
+      case GreaterThan(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">", v)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">=", v)
+      case LessThan(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<", v)
+      case LessThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<=", v)
+      case EqualTo(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "=", v)
+      case GreaterThan(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<", v)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<=", v)
+      case LessThan(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">", v)
+      case LessThanOrEqual(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">=", v)
+      case EqualTo(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "=", v)
+      case _ => None
+    }
+    try flatten(spark.sessionState.sqlParser.parseExpression(predicate))
+      .flatMap(comp)
+    catch { case _: Exception => Nil }
+  }
+
+  /** MAY this file match? — false only when some conjunct's interval
+    * test proves no row can satisfy it. */
+  private[io] def mayMatch(
+      stats: Option[String], conjuncts: Seq[Conjunct]): Boolean = {
+    if (conjuncts.isEmpty) return true
+    val bounds = stats.map(parseStats).getOrElse(Map.empty)
+    conjuncts.forall { c =>
+      bounds.get(c.column) match {
+        case None => true // no stats for the column → cannot prune
+        case Some((mn, mx)) => c.op match {
+          case ">"  => mx.compareTo(c.value) > 0
+          case ">=" => mx.compareTo(c.value) >= 0
+          case "<"  => mn.compareTo(c.value) < 0
+          case "<=" => mn.compareTo(c.value) <= 0
+          case "="  =>
+            mn.compareTo(c.value) <= 0 && mx.compareTo(c.value) >= 0
+        }
+      }
+    }
+  }
+}

@@ -33,7 +33,34 @@ import org.apache.spark.sql.functions._
  * `spark.read.parquet(dir)` sees live AND superseded files — always go
  * through [[read]].
  */
-object Snapshots {
+object Snapshots extends Serializable {
+
+  /** One manifest line: file name + optional data-skipping stats
+    * (see [[SnapshotStats]]). */
+  final case class ManifestEntry(name: String, stats: Option[String])
+
+  /** Stats-bearing entries for freshly committed files.  Footer reads
+    * are per NEW file only (prior files carry their stats forward in
+    * the manifest), driver-side for small commits and distributed above
+    * a threshold — an init over a 100k-file table must not serialize
+    * through the driver. */
+  private def entriesFor(
+      spark: SparkSession, uri: String, names: Seq[String])
+      : Seq[ManifestEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (names.size <= 64)
+      names.map(n => ManifestEntry(n,
+        SnapshotStats.forFile(conf, new Path(uri, n))))
+    else {
+      val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+      val u = uri
+      val parts = math.max(1, math.min(names.size / 8,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(names, parts)
+        .map(n => (n, SnapshotStats.forFile(ser.value, new Path(u, n))))
+        .collect().toSeq.map { case (n, s) => ManifestEntry(n, s) }
+    }
+  }
 
   /** Move tmp's data files into the table dir under version-stamped
     * names; returns the new names.  Shared publish step of every
@@ -81,7 +108,8 @@ object Snapshots {
     require(nested.isEmpty,
       s"$uri has data files in subdirectories (${nested.take(2).mkString(", ")}…) — " +
         "snapshot-manage flat directories only (one per partition)")
-    writeManifest(spark, uri, 1, files.map(relName(uri, _)))
+    writeManifest(spark, uri, 1,
+      entriesFor(spark, uri, files.map(relName(uri, _))))
     1
   }
 
@@ -123,6 +151,41 @@ object Snapshots {
   }
 
   /**
+   * Predicate read with MANIFEST-LEVEL data skipping: each file's
+   * min/max stats (recorded at commit, carried forward untouched-file
+   * stats and all — see [[SnapshotStats]]) are tested against the
+   * predicate's `col <op> literal` conjuncts, and files that provably
+   * cannot match never reach the scan — not even a footer fetch.  The
+   * FULL predicate is still applied to the surviving files, so pruning
+   * is purely an optimization; any conjunct the extractor cannot handle
+   * simply prunes nothing.
+   */
+  def readWhere(
+      spark: SparkSession, uri: String, predicate: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    val entries = readManifestEntries(spark, uri, v)
+    val kept = pruneEntries(spark, entries, predicate)
+    if (kept.isEmpty) {
+      val schema = read(spark, uri, v).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(kept.map(n => s"$uri/$n"): _*)
+        .filter(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** Names of the files that MAY match — the prune step of
+    * [[readWhere]], exposed for tests and file-count introspection. */
+  private[graft] def pruneEntries(
+      spark: SparkSession, entries: Seq[ManifestEntry],
+      predicate: String): Seq[String] = {
+    val conjuncts = SnapshotStats.extractConjuncts(spark, predicate)
+    entries.filter(e => SnapshotStats.mayMatch(e.stats, conjuncts))
+      .map(_.name)
+  }
+
+  /**
    * Keyed MERGE as a snapshot commit (same semantics and partial-rewrite
    * shape as [[MergeInto.apply]]): replacement files land under fresh
    * names, the new manifest drops the touched files and adds the
@@ -133,8 +196,8 @@ object Snapshots {
       spark: SparkSession, uri: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
     val v = latestVersion(spark, uri)
-    val names = readManifest(spark, uri, v)
-    val files = names.map(n => s"$uri/$n")
+    val entries = readManifestEntries(spark, uri, v)
+    val files = entries.map(e => s"$uri/${e.name}")
     val target = spark.read.parquet(files: _*)
 
     // same plan as the in-place MergeInto — only the publish differs
@@ -148,8 +211,10 @@ object Snapshots {
     replacement.write.parquet(tmp.toString)
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
+    // untouched files carry their stats forward — only NEW files read
     writeManifest(spark, uri, newV,
-      names.filterNot(touched.contains) ++ moved)
+      entries.filterNot(e => touched.contains(e.name)) ++
+        entriesFor(spark, uri, moved))
     newV
   }
 
@@ -165,8 +230,8 @@ object Snapshots {
   def deleteWhereCommit(
       spark: SparkSession, uri: String, predicate: String): Int = {
     val v = latestVersion(spark, uri)
-    val names = readManifest(spark, uri, v)
-    val target = spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+    val entries = readManifestEntries(spark, uri, v)
+    val target = spark.read.parquet(entries.map(e => s"$uri/${e.name}"): _*)
     val (dropWhole, touched, replacement) =
       MergeInto.deletePlan(spark, target, predicate)
     if (dropWhole.isEmpty && touched.isEmpty) return v
@@ -182,7 +247,9 @@ object Snapshots {
       case None => Nil
     }
     val gone = (dropWhole ++ touched).map(relName(uri, _)).toSet
-    writeManifest(spark, uri, newV, names.filterNot(gone.contains) ++ moved)
+    writeManifest(spark, uri, newV,
+      entries.filterNot(e => gone.contains(e.name)) ++
+        entriesFor(spark, uri, moved))
     newV
   }
 
@@ -190,14 +257,14 @@ object Snapshots {
     * manifest gains them — no existing file is touched at all. */
   def appendCommit(spark: SparkSession, uri: String, df: DataFrame): Int = {
     val v = latestVersion(spark, uri)
-    val names = readManifest(spark, uri, v)
+    val entries = readManifestEntries(spark, uri, v)
     val fs = fsOf(spark, uri)
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
     df.write.parquet(tmp.toString)
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
-    writeManifest(spark, uri, newV, names ++ moved)
+    writeManifest(spark, uri, newV, entries ++ entriesFor(spark, uri, moved))
     newV
   }
 
@@ -239,7 +306,7 @@ object Snapshots {
     }
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
-    writeManifest(spark, uri, newV, moved.toSeq)
+    writeManifest(spark, uri, newV, entriesFor(spark, uri, moved.toSeq))
     newV
   }
 
@@ -275,17 +342,25 @@ object Snapshots {
     removed.result()
   }
 
-  // ---- manifest encoding: "graft-manifest v1" header + one relative
-  // file name per line, committed by atomic rename ----
+  // ---- manifest encoding: "graft-manifest v2" header + one line per
+  // file (`name<TAB>stats`, stats optional — see [[SnapshotStats]]),
+  // committed by atomic rename.  v1 manifests (names only) still read.
 
   private[io] def writeManifest(
-      spark: SparkSession, uri: String, v: Int, names: Seq[String]): Unit = {
+      spark: SparkSession, uri: String, v: Int,
+      entries: Seq[ManifestEntry]): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
     val tmp = new Path(manifestDir(uri), s".v$v.tmp")
+    val lines = entries.sortBy(_.name).map { e =>
+      e.stats match {
+        case Some(s) => s"${e.name}\t$s"
+        case None => e.name
+      }
+    }
     val out = fs.create(tmp, true)
     try out.write(
-      (("graft-manifest v1" +: names.sorted).mkString("\n") + "\n")
+      (("graft-manifest v2" +: lines).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
@@ -307,7 +382,11 @@ object Snapshots {
   }
 
   private def readManifest(
-      spark: SparkSession, uri: String, v: Int): Seq[String] = {
+      spark: SparkSession, uri: String, v: Int): Seq[String] =
+    readManifestEntries(spark, uri, v).map(_.name)
+
+  private[io] def readManifestEntries(
+      spark: SparkSession, uri: String, v: Int): Seq[ManifestEntry] = {
     val fs = fsOf(spark, uri)
     val p = manifestPath(uri, v)
     require(fs.exists(p), s"$uri has no manifest version $v")
@@ -318,9 +397,15 @@ object Snapshots {
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains("graft-manifest v1"),
+    require(lines.headOption.exists(h =>
+      h == "graft-manifest v1" || h == "graft-manifest v2"),
       s"unrecognized manifest header in $p")
-    lines.tail
+    lines.tail.map { line =>
+      line.split("\t", 2) match {
+        case Array(n, s) => ManifestEntry(n, Some(s))
+        case Array(n) => ManifestEntry(n, None)
+      }
+    }
   }
 
   private def relName(uri: String, file: String): String = {

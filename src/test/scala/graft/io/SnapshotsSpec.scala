@@ -211,7 +211,8 @@ class SnapshotsSpec extends AnyFunSuite {
       try scala.io.Source.fromInputStream(in).mkString finally in.close()
     }
     val ex = intercept[IllegalStateException] {
-      Snapshots.writeManifest(spark, dir, 2, Seq("part-bogus.parquet"))
+      Snapshots.writeManifest(spark, dir, 2,
+        Seq(Snapshots.ManifestEntry("part-bogus.parquet", None)))
     }
     assert(ex.getMessage.contains("concurrent commit"))
     // winner's manifest is byte-identical — no corruption
@@ -230,6 +231,52 @@ class SnapshotsSpec extends AnyFunSuite {
     // expire reclaims anything no surviving manifest references
     Snapshots.expire(spark, dir, keepVersions = 1)
     assert(Snapshots.read(spark, dir).count() == 60)
+  }
+
+  test("manifest data skipping: pruned reads never touch excluded files") {
+    val dir = freshTable("snap_skip", n = 4000) // 4 range files on k
+    Snapshots.init(spark, dir)
+    val entries = Snapshots.readManifestEntries(spark, dir, 1)
+    assert(entries.size == 4 && entries.forall(_.stats.isDefined))
+    // k <= 500 lives entirely in the first range file
+    assert(Snapshots.pruneEntries(spark, entries, "k <= 500").size == 1)
+    val out = Snapshots.readWhere(spark, dir, "k <= 500")
+    assert(out.count() == 500)
+    assert(out.inputFiles.length == 1, "only the matching file is scanned")
+    // point lookup, provable no-match, and a non-prunable predicate
+    assert(Snapshots.readWhere(spark, dir, "k = 1").count() == 1)
+    assert(Snapshots.pruneEntries(spark, entries, "k > 999999").isEmpty)
+    assert(Snapshots.readWhere(spark, dir, "k > 999999").count() == 0)
+    assert(Snapshots.readWhere(spark, dir, "name = 'v7'").count() == 1)
+    // pruning equals the unpruned filter
+    assert(Snapshots.readWhere(spark, dir, "k > 1200 AND k <= 3100").count()
+      == Snapshots.read(spark, dir).filter("k > 1200 AND k <= 3100").count())
+    // stats carry FORWARD: a merge touching one file recomputes only the
+    // replacement's stats; the untouched files still prune
+    Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "X")).toDF("k", "name"), Seq("k"))
+    val e2 = Snapshots.readManifestEntries(spark, dir, 2)
+    assert(e2.forall(_.stats.isDefined))
+    assert(Snapshots.pruneEntries(spark, e2, "k >= 3500").size == 1)
+    assert(Snapshots.readWhere(spark, dir, "k >= 3500").count() == 501)
+  }
+
+  test("v1 manifests (names only) still read; pruning degrades to keep-all") {
+    val dir = freshTable("snap_v1_compat", n = 100)
+    Snapshots.init(spark, dir)
+    // rewrite the manifest in the old names-only format
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val mp = new Path(dir, "_graft_manifests/v000001.manifest")
+    val names = Snapshots.readManifestEntries(spark, dir, 1).map(_.name)
+    val out = fs.create(mp, true)
+    out.write((("graft-manifest v1" +: names).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.read(spark, dir).count() == 100)
+    val kept = Snapshots.pruneEntries(spark,
+      Snapshots.readManifestEntries(spark, dir, 1), "k <= 10")
+    assert(kept.size == names.size, "no stats → no pruning, never a loss")
+    assert(Snapshots.readWhere(spark, dir, "k <= 10").count() == 10)
   }
 
   test("init refuses a managed dir; read refuses an unmanaged one") {
