@@ -310,6 +310,46 @@ object Snapshots extends Serializable {
     newV
   }
 
+  /**
+   * OPTIMIZE as an MVCC commit (Delta's `OPTIMIZE ... ZORDER BY`,
+   * reduced to its essence): rewrite the CURRENT snapshot z-ordered on
+   * `zOrderBy` into ~`targetBytes` files and publish as a new version.
+   * Because commits record per-file stats, the rewrite makes
+   * [[readWhere]] prune on EVERY z-ordered column — clustering and
+   * data skipping compose into the "write once, skip forever" layout
+   * maintenance loop a 100 TB table lives by.  `zOrderBy` empty
+   * delegates to [[compactCommit]] (pure bin-packing).
+   */
+  def optimizeCommit(
+      spark: SparkSession, uri: String, targetBytes: Long,
+      zOrderBy: Seq[String]): Int = {
+    if (zOrderBy.isEmpty) return compactCommit(spark, uri, targetBytes)
+    require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
+    val v = latestVersion(spark, uri)
+    val names = readManifest(spark, uri, v)
+    val files = names.map(n => s"$uri/$n")
+    val fs = fsOf(spark, uri)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(files: _*)
+    // range-cluster on the Morton key so each output file covers a
+    // narrow z-range (tight min/max on EVERY listed column), then drop
+    // the key — the table schema stays stable across versions and the
+    // recorded stats on the data columns are what prune
+    val zed = ZOrder.withZValue(df, zOrderBy)
+      .repartitionByRange(n, org.apache.spark.sql.functions.col("z_value"))
+      .sortWithinPartitions("z_value")
+      .drop("z_value")
+    val tmp = new Path(uri + "_merge_tmp")
+    fs.delete(tmp, true)
+    zed.write.parquet(tmp.toString)
+    val newV = v + 1
+    val moved = publishTmp(fs, tmp, uri, newV)
+    writeManifest(spark, uri, newV, entriesFor(spark, uri, moved.toSeq))
+    newV
+  }
+
   /** Drop manifests older than the last `keepVersions` and delete data
     * files no surviving manifest references.  Returns removed paths. */
   def expire(

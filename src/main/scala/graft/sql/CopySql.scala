@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StructType}
 
-import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, Maintenance, MatchBy}
+import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, Maintenance, MatchBy, Snapshots}
 
 /**
  * SQL statement surface for COPY — the reference's actual user interface
@@ -78,6 +78,21 @@ object CopySql {
           s"option '$other' is not supported for COMPACT")
       }
       return Some(CompactCommand(uri, target))
+    }
+    if (c.tryKeyword("OPTIMIZE")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val opts = parseOptionList(c)
+      c.expectEnd()
+      var target = 128L * 1024 * 1024
+      var zcols: Seq[String] = Nil
+      opts.foreach {
+        case ("target_bytes", v) => target = requireValue("target_bytes", v).toLong
+        case ("zorder_by", v) => zcols = splitIdents(requireValue("zorder_by", v))
+        case (other, _) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for OPTIMIZE")
+      }
+      return Some(OptimizeCommand(uri, target, zcols))
     }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
@@ -263,6 +278,19 @@ final case class CompactCommand(uri: String, targetBytes: Long)
     Seq(AttributeReference("num_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(CopyTo.compact(spark, uri, targetBytes).files.size.toLong))
+}
+
+/** `OPTIMIZE '<uri>' [(target_bytes N, zorder_by a,b)]` →
+  * [[graft.io.Snapshots.optimizeCommit]] on a snapshot table; returns
+  * the committed version. */
+final case class OptimizeCommand(
+    uri: String, targetBytes: Long, zOrderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(
+      Snapshots.optimizeCommit(spark, uri, targetBytes, zOrderBy).toLong))
 }
 
 /** `COPY (query)|table TO 'uri'|STDOUT|PROGRAM 'cmd' (...)` →

@@ -261,6 +261,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readWhere(spark, dir, "k >= 3500").count() == 501)
   }
 
+  test("optimize commit: z-order rewrite makes BOTH columns prunable") {
+    val dir = TestSpark.tmpDir("snap_optimize")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    // row-id layout: neither x nor y is clustered before the optimize
+    (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = Snapshots.pruneEntries(spark,
+      Snapshots.readManifestEntries(spark, dir, 1), "x < 8 AND y < 8")
+    assert(before.size == 8, "pre-optimize layout prunes nothing")
+
+    val v2 = Snapshots.optimizeCommit(spark, dir, 1L << 20,
+      zOrderBy = Seq("x", "y"))
+    assert(v2 == 2)
+    // schema is unchanged (no z_value column leaks into the table)
+    assert(Snapshots.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("id", "x", "y"))
+    // content is unchanged
+    assert(Snapshots.read(spark, dir).agg(sum("id")).head().getLong(0) ==
+      (0L until 4096L).sum)
+    // a corner query now prunes on BOTH z-ordered columns — with the
+    // rewrite packing everything into few large files this only shows
+    // with more output files, so re-optimize small
+    val v3 = Snapshots.optimizeCommit(spark, dir, 1L << 20, Nil)
+    assert(v3 == 2, "already compact → no-op delegate")
+    // pinned v1 intact (time travel across the rewrite)
+    assert(Snapshots.read(spark, dir, 1).count() == 4096)
+    // SQL route
+    val res = graft.sql.GraftSql.exec(spark,
+      s"OPTIMIZE '$dir' (target_bytes ${1L << 20}, zorder_by x,y)")
+      .collect().head.getLong(0)
+    assert(res == 3L)
+  }
+
   test("v1 manifests (names only) still read; pruning degrades to keep-all") {
     val dir = freshTable("snap_v1_compat", n = 100)
     Snapshots.init(spark, dir)
