@@ -134,6 +134,14 @@ object CopySql {
 
   // ---- option mapping (reference allow-lists, copy_utils.rs:37-219) ----
 
+  /** Option keys whose value is a column list; for these an unquoted
+    * `zorder_by x,y` is accepted (what a user types first) in addition to
+    * the quoted `zorder_by 'x,y'` form. A bare trailing ident is absorbed
+    * into the list only when it is NOT itself the start of a new
+    * `key value` option pair. */
+  private val listValuedKeys =
+    Set("zorder_by", "partition_by", "cluster_by", "bloom_filter_columns")
+
   private def parseOptionList(c: Cursor): Seq[(String, Option[String])] = {
     c.tryKeyword("WITH") // WITH is optional noise, as in Postgres
     if (!c.peekIs('(')) return Nil
@@ -148,10 +156,36 @@ object CopySql {
       val value =
         if (oc.atEnd || oc.peekIs(',')) None
         else if (oc.peekIs('\'')) Some(oc.stringLit())
-        else Some(oc.ident())
+        else {
+          val head = oc.ident()
+          if (listValuedKeys(key)) Some((head +: bareListTail(oc)).mkString(","))
+          else Some(head)
+        }
       out += ((key, value))
     }
     out.toSeq
+  }
+
+  /** After a bare ident value of a list-valued key, consume further
+    * `, ident` items as long as each ident is followed by ',' or the end
+    * (i.e. it cannot be the key of a new `key value` option). */
+  private def bareListTail(oc: Cursor): Seq[String] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cont = true
+    while (cont && oc.peekIs(',')) {
+      val m = oc.mark
+      oc.expectChar(',')
+      val next =
+        try {
+          if (oc.peekIs('\'')) None // a quoted token is never a list item
+          else Some(oc.ident())
+        } catch { case _: IllegalArgumentException => None }
+      next match {
+        case Some(id) if oc.atEnd || oc.peekIs(',') => items += id
+        case _ => oc.reset(m); cont = false
+      }
+    }
+    items.toSeq
   }
 
   private def requireValue(k: String, v: Option[String]): String =
@@ -475,6 +509,10 @@ private final class Cursor(s: String) {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"COPY syntax error at position $i: $msg")
+
+  /** Save/restore point for bounded lookahead (bare ident lists). */
+  def mark: Int = i
+  def reset(m: Int): Unit = { i = m }
 }
 
 /** Parser extension: COPY statements are handled by [[CopySql]], all

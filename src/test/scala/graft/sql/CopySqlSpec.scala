@@ -240,6 +240,39 @@ class CopySqlSpec extends AnyFunSuite {
     }
   }
 
+  test("unquoted ident lists parse for list-valued options (zorder_by x,y)") {
+    // the form a user types first — bare comma-separated columns
+    CopySql.parse(s"OPTIMIZE '/tmp/t' (target_bytes 1048576, zorder_by x,y)") match {
+      case Some(OptimizeCommand(_, target, zcols)) =>
+        assert(target == 1048576L)
+        assert(zcols == Seq("x", "y"))
+      case other => fail(s"expected OptimizeCommand, got $other")
+    }
+    // list first, scalar option after: the lookahead must stop at
+    // `target_bytes 123` (an ident followed by a value ≠ a list item)
+    CopySql.parse(s"OPTIMIZE '/tmp/t' (zorder_by x,y, target_bytes 123)") match {
+      case Some(OptimizeCommand(_, target, zcols)) =>
+        assert(target == 123L)
+        assert(zcols == Seq("x", "y"))
+      case other => fail(s"expected OptimizeCommand, got $other")
+    }
+    // same grammar through COPY TO, mixed with a quoted-value option
+    CopySql.parse(
+      "COPY t TO '/tmp/x' (zorder_by a,b,c, compression 'zstd')") match {
+      case Some(CopyToCommand(_, _, _, _, opts)) =>
+        assert(opts.zOrderBy == Seq("a", "b", "c"))
+        assert(opts.compression.contains("zstd"))
+      case other => fail(s"expected CopyToCommand, got $other")
+    }
+    // quoted form still works identically
+    CopySql.parse("COPY t TO '/tmp/x' (partition_by 'p,q', zorder_by a)") match {
+      case Some(CopyToCommand(_, _, _, _, opts)) =>
+        assert(opts.partitionBy == Seq("p", "q"))
+        assert(opts.zOrderBy == Seq("a"))
+      case other => fail(s"expected CopyToCommand, got $other")
+    }
+  }
+
   test("non-COPY text is not intercepted") {
     assert(CopySql.parse("SELECT 'COPY this' AS s").isEmpty)
     assert(CopySql.parse("  copyist FROM x").isEmpty)
