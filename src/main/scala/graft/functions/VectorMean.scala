@@ -60,21 +60,38 @@ case class VectorDecimalMean(
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val n = arr.numElements()
-      if (buf.sums == null) {
-        buf.sums = Array.fill(n)(BigInteger.ZERO)
-      }
-      require(buf.sums.length == n,
-        s"vector_mean: inconsistent dims ${buf.sums.length} vs $n")
+      // a degenerate embedding (any NaN/Infinity element) is skipped whole:
+      // `new BigDecimal(NaN)` would abort the aggregation, and zeroing just
+      // the bad element would bias that dimension's mean — excluding the
+      // vector from the centroid update is the only consistent choice
+      var finite = true
       var i = 0
-      while (i < n) {
+      while (finite && i < n) {
         val x = elemType match {
           case FloatType => arr.getFloat(i).toDouble
           case _ => arr.getDouble(i)
         }
-        buf.sums(i) = buf.sums(i).add(scaled(x))
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+          finite = false
         i += 1
       }
-      buf.count += 1
+      if (finite) {
+        if (buf.sums == null) {
+          buf.sums = Array.fill(n)(BigInteger.ZERO)
+        }
+        require(buf.sums.length == n,
+          s"vector_mean: inconsistent dims ${buf.sums.length} vs $n")
+        i = 0
+        while (i < n) {
+          val x = elemType match {
+            case FloatType => arr.getFloat(i).toDouble
+            case _ => arr.getDouble(i)
+          }
+          buf.sums(i) = buf.sums(i).add(scaled(x))
+          i += 1
+        }
+        buf.count += 1
+      }
     }
     buf
   }

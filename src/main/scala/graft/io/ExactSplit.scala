@@ -71,26 +71,43 @@ object ExactSplit {
     // maximum overshoot is one row group flush
     val rgBytes = math.max(64L * 1024, math.min(rowGroupBytes, target / 4))
     val level = compressionLevel
+    // ship the session's Hadoop conf (fs.* credentials, endpoint and impl
+    // bindings) to the tasks — a bare `new Configuration()` would lose
+    // every configured filesystem
+    val ser = new org.apache.spark.util.SerializableConfiguration(conf)
 
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
-        val taskConf = new Configuration()
+        val taskConf = new Configuration(ser.value)
         level.foreach { l =>
           if (codecName == CompressionCodecName.ZSTD)
             taskConf.setInt("parquet.compression.codec.zstd.level", l)
         }
         val schema = AnnotatedParquet.buildSchema(kinds)
-        val part = org.apache.spark.TaskContext.get().partitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val part = tc.partitionId()
+        // globally unique across retries/speculative attempts, so two
+        // attempts of the same partition never share a temp file
+        val attempt = tc.taskAttemptId()
+        val taskFs = dir.getFileSystem(taskConf)
         var seq = 0
+        // task-attempt commit: stream into HIDDEN temp names (skipped by
+        // listDataFiles), promote to final names only after every row of
+        // the partition is written — a failed or superseded attempt leaves
+        // only invisible temps behind, never a partial data file
+        def tmpPath(s: Int) =
+          new Path(dir, f".data_$part%05d_$s%05d.$attempt.inprogress.parquet")
+        def finalPath(s: Int) =
+          new Path(dir, f"data_$part%05d_$s%05d.parquet")
         def open() = ExampleParquetWriter
-          .builder(HadoopOutputFile.fromPath(
-            new Path(dir, f"data_$part%05d_$seq%05d.parquet"), taskConf))
+          .builder(HadoopOutputFile.fromPath(tmpPath(seq), taskConf))
           .withConf(taskConf)
           .withType(schema)
           .withCompressionCodec(codecName)
           .withRowGroupSize(rgBytes)
           .build()
         var writer = open()
+        var committed = false
         try {
           rows.foreach { row =>
             if (writer.getDataSize >= target) {
@@ -101,7 +118,22 @@ object ExactSplit {
             writer.write(
               AnnotatedParquet.toGroup(schema, kinds, row): SimpleGroup)
           }
-        } finally writer.close()
+          writer.close()
+          (0 to seq).foreach { s =>
+            val f = finalPath(s)
+            // a duplicate successful attempt (speculation) overwrites —
+            // both attempts wrote identical content for this partition
+            if (taskFs.exists(f)) taskFs.delete(f, false)
+            if (!taskFs.rename(tmpPath(s), f))
+              throw new java.io.IOException(
+                s"failed to promote ${tmpPath(s)} to $f")
+          }
+          committed = true
+        } finally {
+          if (!committed) {
+            try writer.close() catch { case _: Throwable => () }
+          }
+        }
       }
     }
     fs.create(new Path(dir, "_SUCCESS"), true).close()

@@ -262,6 +262,9 @@ private[s3] class S3OutputStream(
   private var partNum = 1
   private val etags = Seq.newBuilder[(Int, String)]
   private var closed = false
+  // once any part upload fails, completing the multipart would commit a
+  // TRUNCATED object — close() must abort instead
+  private var failed = false
 
   override def write(b: Int): Unit = { buf.write(b); maybeFlushPart() }
   override def write(b: Array[Byte], off: Int, len: Int): Unit = {
@@ -270,26 +273,46 @@ private[s3] class S3OutputStream(
 
   private def maybeFlushPart(): Unit =
     if (buf.size() >= partSize) {
-      val id = uploadId.getOrElse {
-        val i = client.initiateMultipart(bucket, key); uploadId = Some(i); i
+      try {
+        val id = uploadId.getOrElse {
+          val i = client.initiateMultipart(bucket, key); uploadId = Some(i); i
+        }
+        etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+          buf.toByteArray)))
+        partNum += 1
+        buf.reset()
+      } catch {
+        case e: Throwable => failed = true; throw e
       }
-      etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
-        buf.toByteArray)))
-      partNum += 1
-      buf.reset()
     }
 
   override def close(): Unit = {
     if (closed) return
     closed = true
     uploadId match {
-      case None => client.put(bucket, key, buf.toByteArray)
+      case None =>
+        if (!failed) client.put(bucket, key, buf.toByteArray)
       case Some(id) =>
-        if (buf.size() > 0) {
-          etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
-            buf.toByteArray)))
+        if (failed) {
+          // a finally-close after an upstream failure: release the upload
+          // state rather than committing whatever parts made it through
+          try client.abortMultipart(bucket, key, id)
+          catch { case _: Throwable => () } // original failure wins
+        } else {
+          try {
+            if (buf.size() > 0) {
+              etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+                buf.toByteArray)))
+            }
+            client.completeMultipart(bucket, key, id, etags.result())
+          } catch {
+            case e: Throwable =>
+              failed = true
+              try client.abortMultipart(bucket, key, id)
+              catch { case _: Throwable => () }
+              throw e
+          }
         }
-        client.completeMultipart(bucket, key, id, etags.result())
     }
     buf.reset()
   }
@@ -487,6 +510,13 @@ private[s3] class S3Client(
     expect2xx(request("POST", pathOf(bucket, key),
       Seq("uploadId" -> uploadId), xml.getBytes(UTF_8)),
       s"COMPLETE $bucket/$key")
+    ()
+  }
+
+  def abortMultipart(bucket: String, key: String, uploadId: String): Unit = {
+    expect2xx(request("DELETE", pathOf(bucket, key),
+      Seq("uploadId" -> uploadId), null),
+      s"ABORT $bucket/$key")
     ()
   }
 }

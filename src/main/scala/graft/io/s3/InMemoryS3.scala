@@ -102,6 +102,8 @@ final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
       case "POST" if query.contains("uploads") => initiate(ex, full)
       case "POST" if query.contains("uploadId") =>
         complete(ex, full, query("uploadId"))
+      case "DELETE" if query.contains("uploadId") =>
+        abort(ex, query("uploadId"))
       case "DELETE" =>
         objects.remove(full); mtimes.remove(full); respond(ex, 204, Array.emptyByteArray)
       case _ => respond(ex, 400, errXml(s"unsupported $method $rawPath"))
@@ -177,6 +179,13 @@ final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
     respond(ex, 200, Array.emptyByteArray)
   }
 
+  private def abort(ex: HttpExchange, id: String): Unit = {
+    val parts = uploads.remove(id)
+    uploadKeys.remove(id)
+    if (parts == null) { respond(ex, 404, errXml("NoSuchUpload")); return }
+    respond(ex, 204, Array.emptyByteArray)
+  }
+
   private def complete(ex: HttpExchange, full: String, id: String): Unit = {
     val parts = uploads.remove(id)
     val key = uploadKeys.remove(id)
@@ -197,12 +206,16 @@ final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
     val delimiter = query.get("delimiter").filter(_.nonEmpty)
     val maxKeys = query.get("max-keys").map(_.toInt).getOrElse(1000)
     val startAfter = query.getOrElse("continuation-token", "")
+    // delimiter-group FIRST over everything matching the prefix, then
+    // page over the COMBINED (keys + common prefixes) sequence in lexical
+    // order, as real S3 does: max-keys counts both kinds, each common
+    // prefix appears on exactly one page, and the continuation token
+    // resumes strictly after the last returned entry of either kind
     val all = objects.keySet().asScala.toSeq
       .filter(_.startsWith(s"$bucket/"))
       .map(_.stripPrefix(s"$bucket/"))
       .filter(_.startsWith(prefix))
       .sorted
-      .dropWhile(k => startAfter.nonEmpty && k <= startAfter)
     val (files, prefixes) = delimiter match {
       case Some(d) =>
         val (withDelim, plain) = all.partition(
@@ -214,27 +227,31 @@ final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
         (plain, cps)
       case None => (all, Nil)
     }
-    val page = files.take(maxKeys)
-    val truncated = files.size > maxKeys
-    val nextToken = if (truncated) page.lastOption.getOrElse("") else ""
+    val entries =
+      (files.map(k => (k, false)) ++ prefixes.map(p => (p, true)))
+        .sortBy(_._1)
+        .dropWhile { case (name, _) => startAfter.nonEmpty && name <= startAfter }
+    val page = entries.take(maxKeys)
+    val truncated = entries.size > maxKeys
+    val nextToken = if (truncated) page.lastOption.map(_._1).getOrElse("") else ""
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
     sb.append("<ListBucketResult>")
     sb.append(s"<IsTruncated>$truncated</IsTruncated>")
     if (truncated)
       sb.append(s"<NextContinuationToken>${xmlEscape(nextToken)}</NextContinuationToken>")
-    page.foreach { k =>
-      val full = s"$bucket/$k"
-      val mtime = java.time.Instant
-        .ofEpochMilli(mtimes.getOrDefault(full, 0L)).toString
-      sb.append("<Contents>")
-        .append(s"<Key>${xmlEscape(k)}</Key>")
-        .append(s"<Size>${objects.get(full).length}</Size>")
-        .append(s"<LastModified>$mtime</LastModified>")
-        .append("</Contents>")
-    }
-    prefixes.foreach { p =>
-      sb.append(s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>")
+    page.foreach {
+      case (k, false) =>
+        val full = s"$bucket/$k"
+        val mtime = java.time.Instant
+          .ofEpochMilli(mtimes.getOrDefault(full, 0L)).toString
+        sb.append("<Contents>")
+          .append(s"<Key>${xmlEscape(k)}</Key>")
+          .append(s"<Size>${objects.get(full).length}</Size>")
+          .append(s"<LastModified>$mtime</LastModified>")
+          .append("</Contents>")
+      case (p, true) =>
+        sb.append(s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>")
     }
     sb.append("</ListBucketResult>")
     respond(ex, 200, sb.toString.getBytes(UTF_8))

@@ -46,6 +46,22 @@ class VectorMeanSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("degenerate vectors (NaN/Infinity elements) are skipped whole") {
+    val df = Seq(
+      (1, Array(1.0f, 2.0f)),
+      (1, Array(Float.NaN, 100.0f)),          // must not abort or bias
+      (1, Array(Float.PositiveInfinity, 0f)), // likewise
+      (1, Array(3.0f, 4.0f))).toDF("g", "v")
+    assert(mean(df) == Seq(Seq(2.0, 3.0)),
+      "non-finite vectors contribute neither sums nor count")
+    // a group with ONLY degenerate vectors behaves like an empty group
+    val onlyBad = Seq((1, Array(Double.NaN))).toDF("g", "v")
+    VectorMean.register(spark)
+    val r = onlyBad.groupBy("g")
+      .agg(VectorMean.vectorMean(col("v")).as("m")).head()
+    assert(r.isNullAt(1))
+  }
+
   test("double element type is supported; SQL route via extensions") {
     val df = Seq((1, Array(1.5, 2.5)), (1, Array(2.5, 3.5))).toDF("g", "v")
     assert(mean(df) == Seq(Seq(2.0, 3.0)))

@@ -119,6 +119,63 @@ class S3RoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.getConf.setLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024)
   }
 
+  test("listV2 pages over combined keys and common prefixes exactly once") {
+    val fs = new Path("s3a://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 7).foreach { i =>
+      val out = fs.create(new Path(f"s3a://bucket/page/f$i%02d.bin"), true)
+      out.write(Array[Byte](1)); out.close()
+    }
+    (1 to 5).foreach { i =>
+      val out = fs.create(new Path(f"s3a://bucket/page/d$i%02d/x.bin"), true)
+      out.write(Array[Byte](1)); out.close()
+    }
+    val client = S3Client.fromConf(fs.getConf)
+    // walk with a page size smaller than either kind alone: every page
+    // mixes keys and prefixes, so truncation must count BOTH
+    val all = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var pages = 0
+    var continue = true
+    while (continue) {
+      val l = client.listV2("bucket", "page/", Some("/"), token, maxKeys = 3)
+      assert(l.objects.size + l.prefixes.size <= 3,
+        "max-keys bounds keys + prefixes combined")
+      all ++= l.objects.map(_.key)
+      all ++= l.prefixes
+      pages += 1
+      token = l.nextToken
+      continue = token.isDefined
+      assert(pages < 20, "runaway pagination")
+    }
+    val res = all.result()
+    assert(res.size == res.distinct.size,
+      s"no entry may repeat across pages: $res")
+    assert(res.count(_.startsWith("page/f")) == 7)
+    assert(res.filter(_.startsWith("page/d")).sorted ==
+      (1 to 5).map(i => f"page/d$i%02d/"))
+    // the FS view over the same listing: 7 files + 5 dirs, no dupes
+    val statuses = fs.listStatus(new Path("s3a://bucket/page"))
+    assert(statuses.length == 12, statuses.map(_.getPath).mkString(","))
+  }
+
+  test("aborted multipart upload commits nothing and frees upload state") {
+    val fs = new Path("s3a://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val client = S3Client.fromConf(fs.getConf)
+    val id = client.initiateMultipart("bucket", "ab/victim.bin")
+    client.uploadPart("bucket", "ab/victim.bin", id, 1, Array[Byte](1, 2, 3))
+    client.abortMultipart("bucket", "ab/victim.bin", id)
+    // nothing committed, upload id gone
+    assert(client.head("bucket", "ab/victim.bin").isEmpty)
+    intercept[Exception] {
+      client.completeMultipart("bucket", "ab/victim.bin", id,
+        Seq(1 -> "\"part-1-3\""))
+    }
+    assert(client.head("bucket", "ab/victim.bin").isEmpty,
+      "complete after abort must not materialize the object")
+  }
+
   test("a wrong secret is rejected by signature verification") {
     val badConf = new org.apache.hadoop.conf.Configuration(
       spark.sessionState.newHadoopConf())
