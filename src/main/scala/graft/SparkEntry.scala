@@ -429,6 +429,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // TTL-shaped retention read over TYPED manifest stats: the table is
+    // date-range laid out and the DATE-literal predicate prunes whole
+    // files from the manifest alone (the single most common predicate
+    // shape on a retention-managed 100 TB table).  Timestamps are
+    // written as INT64 micros — Spark's INT96 default has no usable
+    // stats (prune counts pinned in SnapshotsSpec "typed manifest stats")
+    "io_snapshot_skip_date" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskipdate_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
+        s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try {
+          t(s, dir, "orders").withColumn("o_date", col("o_orderdate").cast("date"))
+            .repartitionByRange(10, col("o_date"))
+            .write.parquet(uri)
+        } finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+        io.Snapshots.init(s, uri)
+      }
+      io.Snapshots.readWhere(s, uri, "o_date < DATE '1996-07-01'")
+        .orderBy("o_orderkey")
+    }),
+
     // TWO chained MERGE commits through snapshots: commit 2 updates rows
     // commit 1 INSERTED, deletes rows commit 1 UPDATED, and inserts a
     // fresh batch — the multi-commit batch evidence mirroring what the
@@ -2250,6 +2276,11 @@ object SparkEntry {
     "io_snapshot_skip" ->
       ("SELECT * FROM orders " +
         "WHERE o_orderkey <= 6000 AND o_totalprice > 100000.0 " +
+        "ORDER BY o_orderkey"),
+
+    "io_snapshot_skip_date" ->
+      ("SELECT *, CAST(o_orderdate AS DATE) AS o_date FROM orders " +
+        "WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01' " +
         "ORDER BY o_orderkey"),
 
     "io_merge_chain" ->

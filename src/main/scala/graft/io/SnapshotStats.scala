@@ -1,6 +1,7 @@
 package graft.io
 
-import java.math.{BigDecimal => JBigDecimal}
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -19,18 +20,37 @@ import scala.jdk.CollectionConverters._
  * goes from 100k footer fetches to one manifest read plus the matching
  * files.
  *
- * Stats cover numeric columns only (integral + floating; logical
- * date/time/decimal/string columns are left out — their parquet stat
- * encodings need domain conversion, and a missing entry just means "no
- * pruning for that column", never a wrong result).  Values are exact
- * decimal strings, so the interval tests are exact — a file is skipped
- * ONLY when no row can satisfy the conjunct.  Pruning is always an
- * optimization: the full predicate is still applied to the scan.
+ * Two typed domains (reference typed stats merge parity:
+ * `parquet_udfs/stats.rs:386-484` merges min/max across exactly these
+ * logical types):
+ *  - NUMERIC — plain integral/floating, plus DATE (days), TIMESTAMP
+ *    (micros) and DECIMAL (unscaled×10^-scale), all compared as exact
+ *    decimals.  Date/timestamp predicate literals arrive from Catalyst
+ *    in the same day/micro domain, so the TTL-shaped retention predicate
+ *    (`event_date < DATE '...'`) prunes directly.
+ *  - STRING — UTF8 min/max compared byte-wise unsigned (parquet's UTF8
+ *    sort order); oversized bounds (>256 bytes) drop the column rather
+ *    than storing truncated — and therefore wrong — maxima.
+ * A column whose type fits neither domain records no entry, and a
+ * missing entry just means "no pruning for that column", never a wrong
+ * result.  Pruning is always an optimization: the full predicate is
+ * still applied to the scan.
  *
  * Stats format (one manifest line: `name\t<stats>`):
- *   `v1;rows=<n>;<urlenc(col)>=<min>,<max>;...`
+ *   `v2;rows=<n>;<urlenc(col)>=n:<min>,<max>;<urlenc(col)>=s:<urlenc(min)>,<urlenc(max)>;...`
+ * v1 lines (untagged numeric pairs) from older manifests still parse.
  */
 object SnapshotStats extends Serializable {
+
+  /** Max stored byte length for a string bound — beyond this the column
+    * is dropped (storing a truncated max would admit false skips). */
+  private val MaxStrBound = 256
+
+  private[io] sealed trait Bound
+  private[io] final case class NumBound(
+      min: JBigDecimal, max: JBigDecimal) extends Bound
+  private[io] final case class StrBound(
+      min: Array[Byte], max: Array[Byte]) extends Bound
 
   /** Stats string for one file's footer, or None when nothing usable. */
   def forFile(conf: Configuration, file: Path): Option[String] = {
@@ -43,19 +63,20 @@ object SnapshotStats extends Serializable {
       val rows = blocks.map(_.getRowCount).sum
       // per column: merged [min,max] across row groups, dropped entirely
       // if ANY chunk lacks stats (conservative)
-      val acc = scala.collection.mutable.LinkedHashMap[String, (JBigDecimal, JBigDecimal)]()
+      val acc = scala.collection.mutable.LinkedHashMap[String, Bound]()
       val dropped = scala.collection.mutable.Set[String]()
       blocks.foreach { blk =>
         blk.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           if (!dropped(name)) {
-            numericBounds(cc) match {
-              case Some((mn, mx)) =>
+            chunkBounds(cc) match {
+              case Some(b) =>
                 acc.get(name) match {
-                  case Some((omn, omx)) =>
-                    acc(name) = (if (mn.compareTo(omn) < 0) mn else omn,
-                      if (mx.compareTo(omx) > 0) mx else omx)
-                  case None => acc(name) = (mn, mx)
+                  case Some(prev) => mergeBounds(prev, b) match {
+                    case Some(m) => acc(name) = m
+                    case None => dropped += name; acc.remove(name)
+                  }
+                  case None => acc(name) = b
                 }
               case None =>
                 dropped += name
@@ -64,36 +85,103 @@ object SnapshotStats extends Serializable {
           }
         }
       }
-      val cols = acc.toSeq.map { case (n, (mn, mx)) =>
-        s"${enc(n)}=${mn.toPlainString},${mx.toPlainString}"
+      val cols = acc.toSeq.map {
+        case (n, NumBound(mn, mx)) =>
+          s"${enc(n)}=n:${mn.toPlainString},${mx.toPlainString}"
+        case (n, StrBound(mn, mx)) =>
+          s"${enc(n)}=s:${enc(new String(mn, UTF_8))},${enc(new String(mx, UTF_8))}"
       }
-      Some((s"v1;rows=$rows" +: cols).mkString(";"))
+      Some((s"v2;rows=$rows" +: cols).mkString(";"))
     } finally reader.close()
   }
 
-  /** Exact numeric [min,max] of a column chunk, for PLAIN integral and
-    * floating physical types with no logical annotation that changes the
-    * domain (dates, times, decimals, strings are excluded). */
-  private def numericBounds(
+  private def mergeBounds(a: Bound, b: Bound): Option[Bound] = (a, b) match {
+    case (NumBound(amn, amx), NumBound(bmn, bmx)) =>
+      Some(NumBound(if (bmn.compareTo(amn) < 0) bmn else amn,
+        if (bmx.compareTo(amx) > 0) bmx else amx))
+    case (StrBound(amn, amx), StrBound(bmn, bmx)) =>
+      Some(StrBound(if (bytesLt(bmn, amn)) bmn else amn,
+        if (bytesLt(amx, bmx)) bmx else amx))
+    case _ => None // domain flip across row groups: drop (cannot happen
+                   // for a well-formed file, but never risk a false skip)
+  }
+
+  /** Unsigned byte-wise less-than — parquet's UTF8 column order. */
+  private def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Typed [min,max] of a column chunk.  NUMERIC covers plain
+    * integral/floating plus DATE (days), TIMESTAMP (micros — MILLIS
+    * rescaled) and DECIMAL (unscaled → scaled exact decimal); STRING
+    * covers UTF8-annotated binary.  Everything else records nothing. */
+  private def chunkBounds(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
-      : Option[(JBigDecimal, JBigDecimal)] = {
+      : Option[Bound] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val st = cc.getStatistics
     if (st == null || !st.hasNonNullValue) return None
     val prim = cc.getPrimitiveType
-    val plain = prim.getLogicalTypeAnnotation == null ||
-      prim.getLogicalTypeAnnotation.isInstanceOf[
-        org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
-    if (!plain) return None
-    prim.getPrimitiveTypeName match {
-      case INT32 | INT64 =>
-        Some((new JBigDecimal(st.genericGetMin.toString),
-          new JBigDecimal(st.genericGetMax.toString)))
-      case FLOAT | DOUBLE =>
+    val ann = prim.getLogicalTypeAnnotation
+    def numOf(v: Any): JBigDecimal = new JBigDecimal(v.toString)
+    (prim.getPrimitiveTypeName, ann) match {
+      // plain (or int-annotated) integrals
+      case (INT32 | INT64, null | _: IntLogicalTypeAnnotation) =>
+        Some(NumBound(numOf(st.genericGetMin), numOf(st.genericGetMax)))
+      // DATE: int32 days since epoch — the predicate literal domain
+      case (INT32, _: DateLogicalTypeAnnotation) =>
+        Some(NumBound(numOf(st.genericGetMin), numOf(st.genericGetMax)))
+      // TIMESTAMP: normalized to micros (Catalyst's timestamp domain)
+      case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+        val scale = ts.getUnit match {
+          case TimeUnit.MILLIS => Some(1000L)
+          case TimeUnit.MICROS => Some(1L)
+          case _ => None // nanos would overflow the micros domain's exactness
+        }
+        scale.map { s =>
+          NumBound(
+            numOf(st.genericGetMin).multiply(JBigDecimal.valueOf(s)),
+            numOf(st.genericGetMax).multiply(JBigDecimal.valueOf(s)))
+        }
+      // DECIMAL over int32/int64/binary/FLBA: unscaled → exact decimal
+      case (INT32 | INT64, d: DecimalLogicalTypeAnnotation) =>
+        Some(NumBound(
+          new JBigDecimal(new BigInteger(st.genericGetMin.toString), d.getScale),
+          new JBigDecimal(new BigInteger(st.genericGetMax.toString), d.getScale)))
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalLogicalTypeAnnotation) =>
+        (st.genericGetMin, st.genericGetMax) match {
+          case (mn: org.apache.parquet.io.api.Binary,
+              mx: org.apache.parquet.io.api.Binary) =>
+            Some(NumBound(
+              new JBigDecimal(new BigInteger(mn.getBytes), d.getScale),
+              new JBigDecimal(new BigInteger(mx.getBytes), d.getScale)))
+          case _ => None
+        }
+      // UTF8 strings: byte-wise bounds, size-capped
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        (st.genericGetMin, st.genericGetMax) match {
+          case (mn: org.apache.parquet.io.api.Binary,
+              mx: org.apache.parquet.io.api.Binary) =>
+            val (mnB, mxB) = (mn.getBytes, mx.getBytes)
+            if (mnB.length > MaxStrBound || mxB.length > MaxStrBound) None
+            else Some(StrBound(mnB, mxB))
+          case _ => None
+        }
+      // plain floating point (NaN/Inf bounds unusable)
+      case (FLOAT | DOUBLE, null) =>
         val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
         val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
         if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) None
-        else Some((new JBigDecimal(mn), new JBigDecimal(mx)))
+        else Some(NumBound(new JBigDecimal(mn), new JBigDecimal(mx)))
       case _ => None
     }
   }
@@ -103,45 +191,70 @@ object SnapshotStats extends Serializable {
 
   // ------------------------------------------------------------- pruning
 
-  /** Parsed per-file bounds: column → (min, max). */
-  private[io] def parseStats(stats: String)
-      : Map[String, (JBigDecimal, JBigDecimal)] = {
+  /** Parsed per-file bounds: column → typed bound.  Accepts the v2
+    * tagged format and v1 untagged-numeric lines from older manifests. */
+  private[io] def parseStats(stats: String): Map[String, Bound] = {
     val parts = stats.split(";").toSeq
-    if (!parts.headOption.contains("v1")) return Map.empty
+    val v2 = parts.headOption.contains("v2")
+    if (!v2 && !parts.headOption.contains("v1")) return Map.empty
     parts.drop(2).flatMap { p =>
       p.split("=", 2) match {
-        case Array(k, v) => v.split(",", 2) match {
-          case Array(mn, mx) =>
-            try Some(graft.io.s3.S3Signer.decodePath(k) ->
-              ((new JBigDecimal(mn), new JBigDecimal(mx))))
-            catch { case _: NumberFormatException => None }
-          case _ => None
-        }
+        case Array(k, v) =>
+          val col = graft.io.s3.S3Signer.decodePath(k)
+          val (tag, body) =
+            if (v2 && v.length >= 2 && v.charAt(1) == ':')
+              (v.charAt(0), v.substring(2))
+            else ('n', v)
+          body.split(",", 2) match {
+            case Array(mn, mx) => tag match {
+              case 'n' =>
+                try Some(col -> NumBound(new JBigDecimal(mn), new JBigDecimal(mx)))
+                catch { case _: NumberFormatException => None }
+              case 's' =>
+                Some(col -> StrBound(
+                  graft.io.s3.S3Signer.decodePath(mn).getBytes(UTF_8),
+                  graft.io.s3.S3Signer.decodePath(mx).getBytes(UTF_8)))
+              case _ => None
+            }
+            case _ => None
+          }
         case _ => None
       }
     }.toMap
   }
 
+  private[io] sealed trait CValue
+  private[io] final case class NumV(v: JBigDecimal) extends CValue
+  private[io] final case class StrV(bytes: Array[Byte]) extends CValue
+
   /** One extractable conjunct: column op literal. */
   private[io] final case class Conjunct(
-      column: String, op: String, value: JBigDecimal)
+      column: String, op: String, value: CValue)
 
   /** Split a predicate into conjuncts and keep the `col <op> literal`
     * comparisons (both orientations); everything else contributes no
-    * pruning.  Never throws — an unparseable predicate prunes nothing. */
+    * pruning.  Date/timestamp literals come out in their Catalyst
+    * day/micro domain — matching the manifest's DATE/TIMESTAMP stats —
+    * and string literals in the byte-wise UTF8 domain.  Never throws —
+    * an unparseable predicate prunes nothing. */
   private[io] def extractConjuncts(
       spark: SparkSession, predicate: String): Seq[Conjunct] = {
     def flatten(e: Expression): Seq[Expression] = e match {
       case And(l, r) => flatten(l) ++ flatten(r)
       case other => Seq(other)
     }
-    def num(l: Literal): Option[JBigDecimal] = l.value match {
+    def lit(l: Literal): Option[CValue] = l.value match {
       case null => None
       case n @ (_: java.lang.Integer | _: java.lang.Long |
           _: java.lang.Short | _: java.lang.Byte | _: java.lang.Double |
-          _: java.lang.Float) => Some(new JBigDecimal(n.toString))
+          _: java.lang.Float) =>
+        // DateType's Int is days, TimestampType's Long is micros — both
+        // already in the manifest's numeric domain
+        Some(NumV(new JBigDecimal(n.toString)))
       case d: org.apache.spark.sql.types.Decimal =>
-        Some(d.toJavaBigDecimal)
+        Some(NumV(d.toJavaBigDecimal))
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        Some(StrV(s.getBytes))
       case _ => None
     }
     def attr(e: Expression): Option[String] = e match {
@@ -151,25 +264,25 @@ object SnapshotStats extends Serializable {
     /** `col op lit` normalized; the flipped orientation mirrors the op. */
     def comp(e: Expression): Option[Conjunct] = e match {
       case GreaterThan(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", v)
       case GreaterThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", v)
       case LessThan(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", v)
       case LessThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", v)
       case EqualTo(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", v)
       case GreaterThan(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", v)
       case GreaterThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "<=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", v)
       case LessThan(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", v)
       case LessThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, ">=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", v)
       case EqualTo(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield Conjunct(c, "=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", v)
       case _ => None
     }
     try flatten(spark.sessionState.sqlParser.parseExpression(predicate))
@@ -178,23 +291,35 @@ object SnapshotStats extends Serializable {
   }
 
   /** MAY this file match? — false only when some conjunct's interval
-    * test proves no row can satisfy it. */
+    * test proves no row can satisfy it.  A conjunct whose literal domain
+    * differs from the column's stats domain (e.g. a string literal
+    * compared against a date column) prunes nothing. */
   private[io] def mayMatch(
       stats: Option[String], conjuncts: Seq[Conjunct]): Boolean = {
     if (conjuncts.isEmpty) return true
     val bounds = stats.map(parseStats).getOrElse(Map.empty)
     conjuncts.forall { c =>
-      bounds.get(c.column) match {
-        case None => true // no stats for the column → cannot prune
-        case Some((mn, mx)) => c.op match {
-          case ">"  => mx.compareTo(c.value) > 0
-          case ">=" => mx.compareTo(c.value) >= 0
-          case "<"  => mn.compareTo(c.value) < 0
-          case "<=" => mn.compareTo(c.value) <= 0
-          case "="  =>
-            mn.compareTo(c.value) <= 0 && mx.compareTo(c.value) >= 0
-        }
+      (bounds.get(c.column), c.value) match {
+        case (Some(NumBound(mn, mx)), NumV(v)) =>
+          interval(c.op, mn.compareTo(v), mx.compareTo(v))
+        case (Some(StrBound(mn, mx)), StrV(v)) =>
+          interval(c.op, byteCmp(mn, v), byteCmp(mx, v))
+        case _ => true // no stats / domain mismatch → cannot prune
       }
     }
   }
+
+  /** Interval test given sign(min-v) and sign(max-v). */
+  private def interval(op: String, cmpMin: Int, cmpMax: Int): Boolean =
+    op match {
+      case ">"  => cmpMax > 0
+      case ">=" => cmpMax >= 0
+      case "<"  => cmpMin < 0
+      case "<=" => cmpMin <= 0
+      case "="  => cmpMin <= 0 && cmpMax >= 0
+      case _    => true
+    }
+
+  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int =
+    if (bytesLt(a, b)) -1 else if (bytesLt(b, a)) 1 else 0
 }

@@ -261,6 +261,66 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readWhere(spark, dir, "k >= 3500").count() == 501)
   }
 
+  test("typed manifest stats: date/timestamp/decimal/string predicates prune") {
+    val dir = TestSpark.tmpDir("snap_skip_typed")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    // 4 range files on event_date: 1000 days from 2019-01-01, with a
+    // timestamp, a DECIMAL(12,2) amount and a low-cardinality label.
+    // Timestamps as INT64 micros: Spark's INT96 default writes NO usable
+    // column stats, so a pruning-conscious table sets this (INT96 files
+    // still read fine — they just never prune on the timestamp).
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.sql(
+        """SELECT
+          |  date_add(DATE '2019-01-01', CAST(id AS INT)) AS event_date,
+          |  timestamp_micros(1546300800000000 + id * 86400000000) AS ts,
+          |  CAST(id * 1.07 AS DECIMAL(12,2)) AS amount,
+          |  CASE WHEN id < 250 THEN concat('alpha_', id)
+          |       WHEN id < 500 THEN concat('golf_', id)
+          |       WHEN id < 750 THEN concat('mike_', id)
+          |       ELSE concat('tango_', id) END AS label,
+          |  id
+          |FROM range(1000)""".stripMargin)
+        .repartitionByRange(4, col("event_date"))
+        .write.parquet(dir)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    Snapshots.init(spark, dir)
+    val entries = Snapshots.readManifestEntries(spark, dir, 1)
+    assert(entries.size == 4 && entries.forall(_.stats.isDefined))
+    // TTL-shaped retention predicate: only the first range file survives
+    val ttl = Snapshots.pruneEntries(spark, entries,
+      "event_date < DATE '2019-09-01'")
+    assert(ttl.size == 1, s"date pruning kept ${ttl.size} of 4")
+    val out = Snapshots.readWhere(spark, dir, "event_date < DATE '2019-09-01'")
+    assert(out.count() == 243)
+    assert(out.inputFiles.length == 1, "only the matching file is scanned")
+    // timestamp pruning (micros domain)
+    assert(Snapshots.pruneEntries(spark, entries,
+      "ts >= TIMESTAMP '2021-06-01 00:00:00'").size == 1)
+    // decimal pruning
+    assert(Snapshots.pruneEntries(spark, entries,
+      "amount <= 100.00").size == 1)
+    assert(Snapshots.readWhere(spark, dir, "amount <= 100.00").count()
+      == Snapshots.read(spark, dir).filter("amount <= 100.00").count())
+    // string pruning: the label prefixes range-align with the files
+    val alpha = Snapshots.pruneEntries(spark, entries, "label < 'b'")
+    assert(alpha.size == 1, s"string pruning kept ${alpha.size} of 4")
+    assert(Snapshots.readWhere(spark, dir, "label = 'tango_999'").count() == 1)
+    // provable no-match prunes everything
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date > DATE '2030-01-01'").isEmpty)
+    // domain mismatch (string literal vs date column) must not prune
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date < 'not-a-date'").size == 4)
+    // correctness: pruned read equals unpruned filter on a mixed predicate
+    val pred = "event_date >= DATE '2019-06-01' AND amount < 600.00"
+    assert(Snapshots.readWhere(spark, dir, pred).count()
+      == Snapshots.read(spark, dir).filter(pred).count())
+  }
+
   test("optimize commit: z-order rewrite makes BOTH columns prunable") {
     val dir = TestSpark.tmpDir("snap_optimize")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
