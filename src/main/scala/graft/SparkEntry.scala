@@ -455,6 +455,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Snapshot-managed HIVE-PARTITIONED table: init records k=v relative
+    // paths, a partition-predicate DELETE is a pure metadata commit
+    // (whole partition dirs leave the manifest, zero rewrites), and both
+    // versions time-travel with partition columns recovered via basePath
+    "io_snapshot_partitioned" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snappart_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartition(4)
+        .write.partitionBy("o_orderstatus").parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.deleteWhereCommit(s, uri, "o_orderstatus = 'F'")
+      val v1 = io.Snapshots.read(s, uri, 1).withColumn("snap", lit(1L))
+      val v2 = io.Snapshots.read(s, uri, 2).withColumn("snap", lit(2L))
+      v1.unionByName(v2).orderBy("snap", "o_orderkey")
+    }),
+
     // TWO chained MERGE commits through snapshots: commit 2 updates rows
     // commit 1 INSERTED, deletes rows commit 1 UPDATED, and inserts a
     // fresh batch — the multi-commit batch evidence mirroring what the
@@ -2282,6 +2301,13 @@ object SparkEntry {
       ("SELECT *, CAST(o_orderdate AS DATE) AS o_date FROM orders " +
         "WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01' " +
         "ORDER BY o_orderkey"),
+
+    "io_snapshot_partitioned" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snap FROM orders " +
+        "UNION ALL " +
+        "SELECT *, CAST(2 AS BIGINT) AS snap FROM orders " +
+        "WHERE o_orderstatus <> 'F' " +
+        "ORDER BY snap, o_orderkey"),
 
     "io_merge_chain" ->
       ("WITH final AS (" +

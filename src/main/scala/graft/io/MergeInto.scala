@@ -113,7 +113,8 @@ object MergeInto {
    */
   private[io] def replacementPlan(
       spark: SparkSession, target: DataFrame, updates: DataFrame,
-      keyCols: Seq[String], deleteCol: Option[String])
+      keyCols: Seq[String], deleteCol: Option[String],
+      basePath: Option[String] = None)
       : (Set[String], DataFrame) = {
     val dataCols = target.schema.fieldNames.toSeq
     val keyDf = updates.select(keyCols.map(col): _*)
@@ -134,8 +135,13 @@ object MergeInto {
     val replacement =
       if (touched.isEmpty) upserts.coalesce(1)
       else {
-        val touchedDf = spark.read.schema(target.schema)
-          .parquet(touched.toSeq: _*)
+        // basePath keeps hive partition columns resolvable from the
+        // touched files' paths (without it a partitioned table's
+        // partition columns would re-read as all-NULL and the rewrite
+        // would land in __HIVE_DEFAULT_PARTITION__)
+        val reader = spark.read.schema(target.schema)
+        val touchedDf = basePath.fold(reader)(bp =>
+          reader.option("basePath", bp)).parquet(touched.toSeq: _*)
         touchedDf.join(keyDf.hint("broadcast"), keyCols, "left_anti")
           .unionByName(upserts).coalesce(math.max(1, touched.size))
       }
@@ -209,7 +215,8 @@ object MergeInto {
    * (whole-drop paths, touched paths, replacement plan if any).
    */
   private[io] def deletePlan(
-      spark: SparkSession, target: DataFrame, predicate: String)
+      spark: SparkSession, target: DataFrame, predicate: String,
+      basePath: Option[String] = None)
       : (Seq[String], Set[String], Option[DataFrame]) = {
     val pred = expr(predicate)
     val conf = spark.sessionState.newHadoopConf()
@@ -223,9 +230,14 @@ object MergeInto {
     val touched = rewrite.toSet
     val replacement =
       if (touched.isEmpty) None
-      else Some(spark.read.schema(target.schema).parquet(touched.toSeq: _*)
-        .filter(!coalesce(pred, lit(false)))
-        .coalesce(math.max(1, touched.size)))
+      else {
+        // see replacementPlan: basePath keeps partition columns live
+        val reader = spark.read.schema(target.schema)
+        Some(basePath.fold(reader)(bp => reader.option("basePath", bp))
+          .parquet(touched.toSeq: _*)
+          .filter(!coalesce(pred, lit(false)))
+          .coalesce(math.max(1, touched.size)))
+      }
     (dropWhole, touched, replacement)
   }
 

@@ -290,24 +290,84 @@ object SnapshotStats extends Serializable {
     catch { case _: Exception => Nil }
   }
 
+  /** Point bounds for a file's hive partition-path values
+    * (`region=EU/event_date=2020-01-01/part-...`): each `k=v` segment
+    * yields min=max bounds in EVERY domain the value parses into —
+    * string always, numeric when it is a number, day-number when it is
+    * a `yyyy-MM-dd` date — so whichever domain the predicate literal
+    * uses, the comparison is available.  The null partition
+    * (`__HIVE_DEFAULT_PARTITION__`) records nothing (conservative). */
+  private[io] def partitionBounds(relPath: String): Map[String, Seq[Bound]] = {
+    val segs = relPath.split("/").dropRight(1)
+    segs.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = unescapePath(seg.substring(0, i))
+        val v = unescapePath(seg.substring(i + 1))
+        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        else {
+          val str = StrBound(v.getBytes(UTF_8), v.getBytes(UTF_8))
+          val num =
+            try { val d = new JBigDecimal(v); Some(NumBound(d, d)) }
+            catch { case _: NumberFormatException => None }
+          val day =
+            try {
+              val d = JBigDecimal.valueOf(java.time.LocalDate.parse(v).toEpochDay)
+              Some(NumBound(d, d))
+            } catch { case _: java.time.format.DateTimeParseException => None }
+          Some(k -> (Seq(str) ++ num ++ day))
+        }
+      }
+    }.toMap
+  }
+
+  /** Spark/Hive %xx partition-path unescaping. */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** MAY this file match? — false only when some conjunct's interval
     * test proves no row can satisfy it.  A conjunct whose literal domain
     * differs from the column's stats domain (e.g. a string literal
-    * compared against a date column) prunes nothing. */
+    * compared against a date column) prunes nothing.  `extra` carries
+    * partition-value point bounds (possibly several domain
+    * representations of the same value) — a disproof in ANY matching
+    * domain prunes the file. */
   private[io] def mayMatch(
-      stats: Option[String], conjuncts: Seq[Conjunct]): Boolean = {
+      stats: Option[String], conjuncts: Seq[Conjunct],
+      extra: Map[String, Seq[Bound]] = Map.empty): Boolean = {
     if (conjuncts.isEmpty) return true
     val bounds = stats.map(parseStats).getOrElse(Map.empty)
     conjuncts.forall { c =>
-      (bounds.get(c.column), c.value) match {
-        case (Some(NumBound(mn, mx)), NumV(v)) =>
-          interval(c.op, mn.compareTo(v), mx.compareTo(v))
-        case (Some(StrBound(mn, mx)), StrV(v)) =>
-          interval(c.op, byteCmp(mn, v), byteCmp(mx, v))
-        case _ => true // no stats / domain mismatch → cannot prune
-      }
+      val candidates = bounds.get(c.column).toSeq ++
+        extra.getOrElse(c.column, Nil)
+      !candidates.exists(b => disproves(b, c.op, c.value))
     }
   }
+
+  /** True when this bound PROVES the conjunct cannot hold; a domain
+    * mismatch proves nothing. */
+  private def disproves(b: Bound, op: String, v: CValue): Boolean =
+    (b, v) match {
+      case (NumBound(mn, mx), NumV(x)) =>
+        !interval(op, mn.compareTo(x), mx.compareTo(x))
+      case (StrBound(mn, mx), StrV(x)) =>
+        !interval(op, byteCmp(mn, x), byteCmp(mx, x))
+      case _ => false
+    }
 
   /** Interval test given sign(min-v) and sign(max-v). */
   private def interval(op: String, cmpMin: Int, cmpMax: Int): Boolean =

@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
  * on disk until [[expire]] reclaims them, which is also what makes
  * time travel ([[read]] with an explicit version) free.
  *
- * Scale notes: a manifest is one small file per commit (file NAMES, not
- * data); reads are `spark.read.parquet(files…)` — fully distributed,
- * partition-pruned and pushdown-eligible like any scan; the commit
- * itself is one rename.  Concurrent WRITERS are last-rename-wins — a
- * lost-update-safe commit protocol (manifest CAS) layers on top the
- * same way it does in real table formats, orthogonal to everything
- * here.
+ * Scale notes: a manifest is one small file per commit (table-relative
+ * file paths, not data); reads are `spark.read.parquet(files…)` — fully
+ * distributed, partition-pruned and pushdown-eligible like any scan;
+ * the commit itself is one rename.  Hive-partitioned layouts are
+ * supported: manifest entries keep their `k=v/...` path, reads recover
+ * partition columns via basePath, commits rewrite through partitionBy,
+ * and [[readWhere]] prunes on partition values before it even consults
+ * per-file stats.  Concurrent writers race first-wins on the manifest
+ * rename; [[retryCommit]] wraps any commit in the re-read-and-replay
+ * loop that turns the race into lost-update-safe serialization.
  *
  * IMPORTANT: once a directory is snapshot-managed, plain
  * `spark.read.parquet(dir)` sees live AND superseded files — always go
@@ -63,27 +66,67 @@ object Snapshots extends Serializable {
   }
 
   /** Move tmp's data files into the table dir under version-stamped
-    * names; returns the new names.  Shared publish step of every
-    * commit.  Names carry a per-commit random stamp so two writers
-    * racing to the same version NEVER collide on data-file names — the
-    * loser's files become unreferenced orphans that [[expire]] reclaims,
-    * instead of silently overwriting the winner's. */
+    * names; returns the new (table-relative) names.  Shared publish step
+    * of every commit.  Hive partition subdirectories under tmp are
+    * preserved relative to the table root, so a partitioned commit lands
+    * its files inside the right `k=v` dirs.  Names carry a per-commit
+    * random stamp so two writers racing to the same version NEVER
+    * collide on data-file names — the loser's files become unreferenced
+    * orphans that [[expire]] reclaims, instead of silently overwriting
+    * the winner's. */
   private def publishTmp(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, uri: String,
       newV: Int): Seq[String] = {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val moved = fs.listStatus(tmp).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.zipWithIndex.map { case (st, i) =>
-      val name = f"part-v$newV%06d-$stamp-$i%05d.parquet"
-      require(fs.rename(st.getPath, new Path(uri, name)),
-        s"commit move ${st.getPath} failed")
-      name
+    val tmpRoot = fs.makeQualified(tmp).toUri.getPath.stripSuffix("/")
+    val moved = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    var i = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(tmpRoot).stripPrefix("/")
+      val comps = rel.split("/")
+      val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) {
+        val name = f"part-v$newV%06d-$stamp-$i%05d.parquet"
+        val relName =
+          if (comps.length == 1) name
+          else (comps.init :+ name).mkString("/")
+        val dest = new Path(uri, relName)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest),
+          s"commit move ${st.getPath} failed")
+        moved += relName
+        i += 1
+      }
     }
     fs.delete(tmp, true)
-    moved.toSeq
+    moved.result()
   }
+
+  /** Partition columns of a managed table, recovered from its manifest
+    * entries' hive path segments (`region=EU/...`); Nil for flat. */
+  private def partitionColsOf(entries: Seq[ManifestEntry]): Seq[String] =
+    entries.headOption.toSeq.flatMap(_.name.split("/").init.toSeq.flatMap {
+      seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+    })
+
+  /** Write `df` under tmp, reproducing the table's hive layout when it
+    * is partitioned (partition columns come OFF the data and into the
+    * path, matching how the files are later read back with basePath). */
+  private def writeTmp(df: DataFrame, tmp: Path, partCols: Seq[String]): Unit =
+    if (partCols.isEmpty) df.write.parquet(tmp.toString)
+    else df.write.partitionBy(partCols: _*).parquet(tmp.toString)
+
+  /** Read a manifest's files as one DataFrame.  basePath makes Spark
+    * recover hive partition columns from the paths (harmless for flat
+    * layouts), so partitioned snapshots read with their full schema. */
+  private def readFiles(
+      spark: SparkSession, uri: String, names: Seq[String]): DataFrame =
+    spark.read.option("basePath", uri)
+      .parquet(names.map(n => s"$uri/$n"): _*)
 
   private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
   private def manifestPath(uri: String, v: Int) =
@@ -97,19 +140,17 @@ object Snapshots extends Serializable {
       s"$uri is already snapshot-managed")
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     require(files.nonEmpty, s"$uri has no data files")
-    // manifests hold bare file NAMES: every data file must sit directly
-    // under uri (a hive-partitioned/nested layout would flatten to
-    // dangling — or colliding — manifest entries)
-    val rootPath = new Path(uri).toUri.getPath
-    val nested = files.filter { f =>
-      val parent = new Path(new java.net.URI(f)).getParent.toUri.getPath
-      parent != rootPath
-    }
-    require(nested.isEmpty,
-      s"$uri has data files in subdirectories (${nested.take(2).mkString(", ")}…) — " +
-        "snapshot-manage flat directories only (one per partition)")
-    writeManifest(spark, uri, 1,
-      entriesFor(spark, uri, files.map(relName(uri, _))))
+    // manifests hold table-RELATIVE paths.  Flat and hive-partitioned
+    // layouts are supported; arbitrary nesting (a non-`k=v` subdir) is
+    // refused — it has no partition semantics and would silently change
+    // meaning under basePath reads
+    val rels = files.map(relName(uri, _))
+    val bad = rels.filter(_.split("/").init.exists(seg => !seg.contains('=')))
+    require(bad.isEmpty,
+      s"$uri has data files in non-hive subdirectories " +
+        s"(${bad.take(2).mkString(", ")}…) — snapshot-manage flat or " +
+        "hive-partitioned (k=v) layouts only")
+    writeManifest(spark, uri, 1, entriesFor(spark, uri, rels))
     1
   }
 
@@ -128,7 +169,7 @@ object Snapshots extends Serializable {
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val names = readManifest(spark, uri, v)
-    if (names.nonEmpty) spark.read.parquet(names.map(n => s"$uri/$n"): _*)
+    if (names.nonEmpty) readFiles(spark, uri, names)
     else {
       // a DELETE WHERE matching every row publishes an empty manifest —
       // that version must stay readable (empty result, real schema).
@@ -139,12 +180,12 @@ object Snapshots extends Serializable {
       val prior = (v - 1 to 1 by -1).iterator
         .filter(pv => fs.exists(manifestPath(uri, pv)))
         .map(pv => readManifest(spark, uri, pv)
-          .map(n => s"$uri/$n").filter(f => fs.exists(new Path(f))))
+          .filter(n => fs.exists(new Path(uri, n))))
         .find(_.nonEmpty)
       require(prior.isDefined,
         s"$uri v$v is empty and no ancestor version still has data " +
           "files to recover the schema from (expired?)")
-      val schema = spark.read.parquet(prior.get: _*).schema
+      val schema = readFiles(spark, uri, prior.get).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -171,17 +212,21 @@ object Snapshots extends Serializable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      spark.read.parquet(kept.map(n => s"$uri/$n"): _*)
+      readFiles(spark, uri, kept)
         .filter(org.apache.spark.sql.functions.expr(predicate))
   }
 
   /** Names of the files that MAY match — the prune step of
-    * [[readWhere]], exposed for tests and file-count introspection. */
+    * [[readWhere]], exposed for tests and file-count introspection.
+    * Hive partition values in each entry's path prune alongside the
+    * footer stats (partition-first in effect: the path test needs no
+    * stats parse). */
   private[graft] def pruneEntries(
       spark: SparkSession, entries: Seq[ManifestEntry],
       predicate: String): Seq[String] = {
     val conjuncts = SnapshotStats.extractConjuncts(spark, predicate)
-    entries.filter(e => SnapshotStats.mayMatch(e.stats, conjuncts))
+    entries.filter(e => SnapshotStats.mayMatch(e.stats, conjuncts,
+        SnapshotStats.partitionBounds(e.name)))
       .map(_.name)
   }
 
@@ -197,18 +242,17 @@ object Snapshots extends Serializable {
       keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val files = entries.map(e => s"$uri/${e.name}")
-    val target = spark.read.parquet(files: _*)
+    val target = readFiles(spark, uri, entries.map(_.name))
 
     // same plan as the in-place MergeInto — only the publish differs
     val (touchedAbs, replacement) = MergeInto.replacementPlan(
-      spark, target, updates, keyCols, deleteCol)
+      spark, target, updates, keyCols, deleteCol, basePath = Some(uri))
     val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    replacement.write.parquet(tmp.toString)
+    writeTmp(replacement, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     // untouched files carry their stats forward — only NEW files read
@@ -231,9 +275,9 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, predicate: String): Int = {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val target = spark.read.parquet(entries.map(e => s"$uri/${e.name}"): _*)
+    val target = readFiles(spark, uri, entries.map(_.name))
     val (dropWhole, touched, replacement) =
-      MergeInto.deletePlan(spark, target, predicate)
+      MergeInto.deletePlan(spark, target, predicate, basePath = Some(uri))
     if (dropWhole.isEmpty && touched.isEmpty) return v
 
     val fs = fsOf(spark, uri)
@@ -242,7 +286,7 @@ object Snapshots extends Serializable {
       case Some(r) =>
         val tmp = new Path(uri + "_merge_tmp")
         fs.delete(tmp, true)
-        r.write.parquet(tmp.toString)
+        writeTmp(r, tmp, partitionColsOf(entries))
         publishTmp(fs, tmp, uri, newV)
       case None => Nil
     }
@@ -261,7 +305,7 @@ object Snapshots extends Serializable {
     val fs = fsOf(spark, uri)
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    df.write.parquet(tmp.toString)
+    writeTmp(df, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV, entries ++ entriesFor(spark, uri, moved))
@@ -280,11 +324,11 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, targetBytes: Long): Int = {
     require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
     val v = latestVersion(spark, uri)
-    val names = readManifest(spark, uri, v)
-    val files = names.map(n => s"$uri/$n")
+    val entries = readManifestEntries(spark, uri, v)
+    val names = entries.map(_.name)
     val fs = fsOf(spark, uri)
-    val totalBytes = files.map(f =>
-      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val totalBytes = names.map(n =>
+      fs.getFileStatus(new Path(uri, n)).getLen).sum
     val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     if (names.size <= needed) return v
 
@@ -299,7 +343,7 @@ object Snapshots extends Serializable {
     fs.delete(tmp, true)
     try {
       packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
-      spark.read.parquet(files: _*).write.parquet(tmp.toString)
+      writeTmp(readFiles(spark, uri, names), tmp, partitionColsOf(entries))
     } finally saved.foreach {
       case (k, Some(kv)) => sqlConf.set(k, kv)
       case (k, None)     => sqlConf.unset(k)
@@ -326,13 +370,13 @@ object Snapshots extends Serializable {
     if (zOrderBy.isEmpty) return compactCommit(spark, uri, targetBytes)
     require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
     val v = latestVersion(spark, uri)
-    val names = readManifest(spark, uri, v)
-    val files = names.map(n => s"$uri/$n")
+    val entries = readManifestEntries(spark, uri, v)
+    val names = entries.map(_.name)
     val fs = fsOf(spark, uri)
-    val totalBytes = files.map(f =>
-      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val totalBytes = names.map(nm =>
+      fs.getFileStatus(new Path(uri, nm)).getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(files: _*)
+    val df = readFiles(spark, uri, names)
     // range-cluster on the Morton key so each output file covers a
     // narrow z-range (tight min/max on EVERY listed column), then drop
     // the key — the table schema stays stable across versions and the
@@ -343,7 +387,7 @@ object Snapshots extends Serializable {
       .drop("z_value")
     val tmp = new Path(uri + "_merge_tmp")
     fs.delete(tmp, true)
-    zed.write.parquet(tmp.toString)
+    writeTmp(zed, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV, entriesFor(spark, uri, moved.toSeq))
@@ -380,6 +424,33 @@ object Snapshots extends Serializable {
       if (fs.exists(p)) { fs.delete(p, false); removed += p.toString }
     }
     removed.result()
+  }
+
+  /**
+   * Run a commit with concurrent-writer retries: on a first-wins loss
+   * ([[writeManifest]]'s "concurrent commit" refusal) the body is simply
+   * replayed — every *Commit op re-reads the CURRENT latest version when
+   * it runs, so a replay is a fresh commit on top of the winner's
+   * result, which is exactly the optimistic-concurrency loop of real
+   * table formats (Delta's commit retry, Iceberg's CAS loop).  The
+   * loser's already-published data files are uniquely named orphans
+   * that [[expire]] reclaims.  `body` must be idempotent-by-derivation
+   * (derive its writes from the table, as all the *Commit ops do) — a
+   * body capturing a pre-read version would replay stale.
+   */
+  def retryCommit(maxAttempts: Int = 5)(body: => Int): Int = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") &&
+              attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- manifest encoding: "graft-manifest v2" header + one line per
@@ -448,9 +519,13 @@ object Snapshots extends Serializable {
     }
   }
 
+  /** Table-relative path of a data file (flat: the bare name;
+    * partitioned: `k=v/.../name`). */
   private def relName(uri: String, file: String): String = {
-    val name = new Path(new java.net.URI(file)).getName
-    name
+    val root = new Path(uri).toUri.getPath.stripSuffix("/")
+    val p = new Path(new java.net.URI(file)).toUri.getPath
+    if (p.startsWith(root + "/")) p.stripPrefix(root + "/")
+    else new Path(p).getName
   }
 
   private def fsOf(spark: SparkSession, uri: String) =

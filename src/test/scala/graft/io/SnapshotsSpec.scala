@@ -165,14 +165,17 @@ class SnapshotsSpec extends AnyFunSuite {
     val (files, _) = CopyTo.listDataFiles(spark, dir)
     assert(files.forall(_.endsWith(".parquet")))
 
-    // nested/partitioned layout refused at init (manifest names flatten)
-    val pdir = TestSpark.tmpDir("snap_review_part")
-    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "part")
-      .write.mode("overwrite").partitionBy("part").parquet(pdir)
+    // hive-partitioned layout is SUPPORTED at init; arbitrary (non-k=v)
+    // nesting is refused — it has no partition semantics
+    val ndir = TestSpark.tmpDir("snap_review_nested")
+    val nfs = new Path(ndir).getFileSystem(spark.sessionState.newHadoopConf())
+    nfs.delete(new Path(ndir), true)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$ndir/sub")
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$ndir/top")
     val exN = intercept[IllegalArgumentException] {
-      Snapshots.init(spark, pdir)
+      Snapshots.init(spark, ndir)
     }
-    assert(exN.getMessage.contains("subdirectories"))
+    assert(exN.getMessage.contains("non-hive subdirectories"))
   }
 
   test("delete-all commit stays readable: empty result, real schema") {
@@ -231,6 +234,104 @@ class SnapshotsSpec extends AnyFunSuite {
     // expire reclaims anything no surviving manifest references
     Snapshots.expire(spark, dir, keepVersions = 1)
     assert(Snapshots.read(spark, dir).count() == 60)
+  }
+
+  test("hive-partitioned snapshot: init, partition pruning, commits, travel") {
+    val dir = TestSpark.tmpDir("snap_hive")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    (1 to 300).map(i => (i.toLong, s"v$i", s"r${i % 3}", f"2020-0${i % 3 + 1}%d-15"))
+      .toDF("k", "name", "region", "day")
+      .withColumn("day", col("day").cast("date"))
+      .repartition(2)
+      .write.partitionBy("region", "day").parquet(dir)
+    assert(Snapshots.init(spark, dir) == 1)
+    val entries = Snapshots.readManifestEntries(spark, dir, 1)
+    // manifest entries are table-relative hive paths
+    assert(entries.forall(_.name.matches("region=r\\d/day=.+/.+\\.parquet")),
+      entries.map(_.name).take(3).mkString(","))
+    // full read recovers partition columns and every row
+    val full = Snapshots.read(spark, dir)
+    assert(full.count() == 300)
+    assert(full.schema.fieldNames.toSet ==
+      Set("k", "name", "region", "day"))
+    // partition-value pruning: string equality and DATE comparison prune
+    // from the manifest path alone (no footer consulted for the rest)
+    val eq = Snapshots.pruneEntries(spark, entries, "region = 'r1'")
+    assert(eq.nonEmpty && eq.forall(_.startsWith("region=r1/")),
+      s"string partition pruning kept: $eq")
+    val ttl = Snapshots.pruneEntries(spark, entries, "day < DATE '2020-02-01'")
+    assert(ttl.nonEmpty && ttl.forall(_.contains("day=2020-01-15")),
+      s"date partition pruning kept: $ttl")
+    // combined partition + stats pruning through readWhere
+    val r = Snapshots.readWhere(spark, dir, "region = 'r2' AND k <= 100")
+    assert(r.count() == (1 to 100).count(_ % 3 == 2))
+    assert(r.inputFiles.forall(_.contains("region=r2/")))
+    // merge commit rewrites WITHIN the hive layout; partition cols intact
+    val v2 = Snapshots.mergeCommit(spark, dir,
+      Seq((3L, "MERGED", "r0", java.sql.Date.valueOf("2020-01-15")))
+        .toDF("k", "name", "region", "day"), Seq("k"))
+    assert(v2 == 2)
+    val after = Snapshots.read(spark, dir)
+    assert(after.count() == 300)
+    assert(after.filter("k = 3").select("name").head().getString(0)
+      == "MERGED")
+    assert(after.filter("k = 3").select("region").head().getString(0) == "r0")
+    // replacement files landed under partition dirs, not at the root
+    assert(Snapshots.readManifestEntries(spark, dir, 2)
+      .forall(_.name.contains("/")), "v2 entries must stay partitioned")
+    // time travel: v1 still has the pre-merge row
+    assert(Snapshots.read(spark, dir, 1)
+      .filter("k = 3").select("name").head().getString(0) == "v3")
+    // append keeps the layout; delete prunes whole partitions as
+    // metadata; expire reclaims the superseded partition files
+    val v3 = Snapshots.appendCommit(spark, dir,
+      Seq((1000L, "new", "r9", java.sql.Date.valueOf("2021-01-01")))
+        .toDF("k", "name", "region", "day"))
+    assert(Snapshots.read(spark, dir, v3).count() == 301)
+    assert(Snapshots.readWhere(spark, dir, "region = 'r9'").count() == 1)
+    val v4 = Snapshots.deleteWhereCommit(spark, dir, "region = 'r0'")
+    assert(Snapshots.read(spark, dir, v4).filter("region = 'r0'").count() == 0)
+    assert(Snapshots.read(spark, dir, v4).count() == 201)
+    val removed = Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(removed.nonEmpty)
+    assert(Snapshots.read(spark, dir).count() == 201)
+  }
+
+  test("retryCommit: two-writer race serializes; both rows land") {
+    val dir = freshTable("snap_retry", n = 50)
+    Snapshots.init(spark, dir)
+    // force writer A to lose exactly once: its first attempt publishes
+    // the same version a faster writer B already took
+    var aAttempts = 0
+    val vA = Snapshots.retryCommit() {
+      aAttempts += 1
+      if (aAttempts == 1) {
+        // B sneaks in and wins v2 while A is mid-commit
+        Snapshots.mergeCommit(spark, dir,
+          Seq((1L, "B")).toDF("k", "name"), Seq("k"))
+        // A's own attempt now targets the version B took → first-wins loss
+        Snapshots.writeManifest(spark, dir, 2,
+          Seq(Snapshots.ManifestEntry("part-a-orphan.parquet", None)))
+        fail("A's first attempt must lose the rename race")
+      }
+      Snapshots.mergeCommit(spark, dir,
+        Seq((2L, "A")).toDF("k", "name"), Seq("k"))
+    }
+    assert(aAttempts == 2, "A must have retried exactly once")
+    assert(vA == 3, "A's replay lands on top of B's commit")
+    // BOTH writers' rows are in the final state
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.filter("k = 1").select("name").head().getString(0) == "B")
+    assert(latest.filter("k = 2").select("name").head().getString(0) == "A")
+    assert(latest.count() == 50)
+    // attempts cap: a body that always loses surfaces the failure
+    val ex = intercept[IllegalStateException] {
+      Snapshots.retryCommit(maxAttempts = 3) {
+        throw new IllegalStateException("concurrent commit: simulated")
+      }
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
   }
 
   test("manifest data skipping: pruned reads never touch excluded files") {
