@@ -31,6 +31,14 @@ object SparkEntry {
     new graft.io.s3.InMemoryS3(
       "GRAFTDRIVERKEY", "graft-driver-secret", "us-east-1").start()
 
+  /** One in-JVM Azure Blob endpoint per driver process
+    * (io_abfs_roundtrip); SharedKey-verifying fake from
+    * [[graft.io.azure.InMemoryAzureBlob]]. */
+  private lazy val azureServer: graft.io.azure.InMemoryAzureBlob =
+    new graft.io.azure.InMemoryAzureBlob("graftacct",
+      java.util.Base64.getEncoder.encodeToString(
+        "graft-driver-azure-key".getBytes("UTF-8"))).start()
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads via the
     * nanosAsLong legacy conf → LongType epoch-nanos.  The oracle mirrors
     * with duckdb `epoch_ns`. */
@@ -283,6 +291,20 @@ object SparkEntry {
       val uri = s"s3a://graft-${new java.io.File(dir).getName}/customer"
       CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
       CopyFrom.raw(s, uri).orderBy(col("c_custkey"))
+    }),
+
+    // S5 Azure leg: parquet round-trip through abfs:// — the built-in
+    // SharedKey REST client against an in-JVM endpoint that re-derives
+    // and verifies every request signature (reference azure.rs:23-254;
+    // its integration tests run the same matrix against Azurite)
+    "io_abfs_roundtrip" -> ((s, dir) => {
+      val srv = azureServer
+      graft.io.CloudConf.applyTo(s, srv.env)
+      val src = t(s, dir, "supplier")
+      val uri = "abfs://graft@graftacct.dfs.core.windows.net/" +
+        s"${new java.io.File(dir).getName}/supplier"
+      CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
+      CopyFrom.raw(s, uri).orderBy(col("s_suppkey"))
     }),
 
     // S4: byte-targeted file splitting, read back via glob
@@ -2398,6 +2420,9 @@ object SparkEntry {
 
     "io_s3_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "io_abfs_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
 
     "io_split" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -122,6 +122,10 @@ object CloudConf {
         b += s"fs.azure.account.oauth2.token.file.$sfx" -> tokenFile
       }
     }
+    // custom endpoint (Azurite / the in-JVM test endpoint) — routes the
+    // built-in abfs client, reference azure.rs AZURE_STORAGE_ENDPOINT
+    env.get("AZURE_STORAGE_ENDPOINT")
+      .foreach(b += "fs.graft.abfs.endpoint" -> _)
     env.get("AZURE_STORAGE_CONNECTION_STRING").foreach { cs =>
       val parts = cs.split(";").flatMap { kv =>
         kv.split("=", 2) match {
@@ -239,15 +243,18 @@ object CloudConf {
 
   /** Apply the env-derived settings to a session's Hadoop configuration.
     * Also binds the http(s) schemes (the reference reads https:// URIs
-    * with no configuration, `src/object_store/http.rs:11-38`) and the
+    * with no configuration, `src/object_store/http.rs:11-38`), the
     * `s3a://` scheme ([[graft.io.s3.GraftS3FileSystem]] — the built-in
-    * SigV4 REST client, used when no hadoop-aws connector is present). */
+    * SigV4 REST client, used when no hadoop-aws connector is present)
+    * and the `abfs(s)://` schemes ([[graft.io.azure.GraftAbfsFileSystem]]
+    * — the built-in SharedKey/SAS REST client). */
   def applyTo(
       spark: SparkSession,
       env: Map[String, String] = sys.env): Unit = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
     (hadoopSettings(env) ++ HttpFs.settings ++
-        graft.io.s3.GraftS3.settings).foreach {
+        graft.io.s3.GraftS3.settings ++
+        graft.io.azure.GraftAbfs.settings).foreach {
       case (k, v) => conf.set(k, v)
     }
   }

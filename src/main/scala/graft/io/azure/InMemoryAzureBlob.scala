@@ -1,0 +1,327 @@
+package graft.io.azure
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * In-JVM Azure-Blob-compatible endpoint (Azurite-style, reduced to the
+ * API surface [[GraftAbfsFileSystem]] uses): GET (with Range) / HEAD /
+ * Put Blob / Put Block / Put Block List / DELETE / Copy / List Blobs,
+ * backed by a ConcurrentHashMap.  The reference integration-tests its
+ * Azure layer against exactly this kind of local fake (reference
+ * `src/pgrx_tests/object_store.rs` runs against Azurite).
+ *
+ * Every SharedKey request's signature is RE-DERIVED server-side from
+ * the shared account key and compared — the round-trip proves the
+ * client's canonicalization and signing byte-for-byte.  SAS requests
+ * validate the token's signature (the reduced service-SAS form in
+ * [[AzureSigner.sasSignature]]) and its expiry.  Unsigned or
+ * wrongly-signed requests get 403.
+ */
+final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
+
+  private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
+  private val mtimes = new ConcurrentHashMap[String, Long]()
+  // uncommitted blocks: "container/key" -> (blockId -> bytes)
+  private val staged =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Array[Byte]]]()
+  @volatile private var rejected = 0L
+  @volatile private var served = 0L
+  private val seq = new AtomicLong(0)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-inmemory-azure")
+      t.setDaemon(true)
+      t
+    }))
+
+  /** Start from a short-lived daemon thread (see [[graft.io.s3.InMemoryS3]]:
+    * the JDK dispatcher inherits daemon status from its creator). */
+  def start(): InMemoryAzureBlob = {
+    val t = new Thread(() => server.start(), "graft-inmemory-azure-start")
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    this
+  }
+  def stop(): Unit = server.stop(0)
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port"
+  def requestsServed: Long = served
+  def requestsRejected: Long = rejected
+  def keys: Seq[String] = blobs.keySet().asScala.toSeq.sorted
+
+  /** env map that makes [[graft.io.CloudConf]] route abfs:// here. */
+  def env: Map[String, String] = Map(
+    "AZURE_STORAGE_ACCOUNT" -> account,
+    "AZURE_STORAGE_KEY" -> accountKeyBase64,
+    "AZURE_STORAGE_ENDPOINT" -> endpoint,
+    "AZURE_ALLOW_HTTP" -> "true")
+
+  // ------------------------------------------------------------- handler
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      served += 1
+      if (!authorized(ex)) {
+        rejected += 1
+        respond(ex, 403, errXml("AuthenticationFailed"))
+      } else route(ex)
+    } catch {
+      case e: Throwable => respond(ex, 500, errXml(e.toString))
+    } finally ex.close()
+
+  private def route(ex: HttpExchange): Unit = {
+    val rawPath = ex.getRequestURI.getRawPath
+    val decoded = graft.io.s3.S3Signer.decodePath(rawPath).stripPrefix("/")
+    val (container, key) = decoded.split("/", 2) match {
+      case Array(c, k) => (c, k)
+      case Array(c) => (c, "")
+    }
+    val query = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val full = s"$container/$key"
+    ex.getRequestMethod match {
+      case "GET" if query.get("comp").contains("list") =>
+        listBlobs(ex, container, query)
+      case "GET" => getBlob(ex, full)
+      case "HEAD" => headBlob(ex, full)
+      case "PUT" if query.get("comp").contains("block") =>
+        putBlock(ex, full, query)
+      case "PUT" if query.get("comp").contains("blocklist") =>
+        putBlockList(ex, full)
+      case "PUT" if ex.getRequestHeaders.containsKey("x-ms-copy-source") =>
+        copyBlob(ex, full)
+      case "PUT" => putBlob(ex, full)
+      case "DELETE" =>
+        if (blobs.remove(full) != null) { mtimes.remove(full); respond(ex, 202, Array.emptyByteArray) }
+        else respond(ex, 404, errXml("BlobNotFound"))
+      case m => respond(ex, 400, errXml(s"unsupported $m $rawPath"))
+    }
+  }
+
+  private def getBlob(ex: HttpExchange, full: String): Unit = {
+    val data = blobs.get(full)
+    if (data == null) { respond(ex, 404, errXml("BlobNotFound")); return }
+    Option(ex.getRequestHeaders.getFirst("Range")) match {
+      case Some(r) if r.startsWith("bytes=") =>
+        val spec = r.stripPrefix("bytes=")
+        val (from, to) = spec.split("-", 2) match {
+          case Array(f, "") => (f.toLong, data.length - 1L)
+          case Array(f, t) => (f.toLong, math.min(t.toLong, data.length - 1L))
+          case _ => (0L, data.length - 1L)
+        }
+        if (from >= data.length) { respond(ex, 416, errXml("InvalidRange")); return }
+        val slice = java.util.Arrays.copyOfRange(data, from.toInt, to.toInt + 1)
+        ex.getResponseHeaders.set("Content-Range",
+          s"bytes $from-$to/${data.length}")
+        respond(ex, 206, slice)
+      case _ => respond(ex, 200, data)
+    }
+  }
+
+  private def headBlob(ex: HttpExchange, full: String): Unit = {
+    val data = blobs.get(full)
+    if (data == null) { respondHead(ex, 404, 0); return }
+    ex.getResponseHeaders.set("Last-Modified",
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+        java.time.Instant.ofEpochMilli(mtimes.getOrDefault(full, 0L))
+          .atOffset(java.time.ZoneOffset.UTC)))
+    respondHead(ex, 200, data.length.toLong)
+  }
+
+  private def putBlob(ex: HttpExchange, full: String): Unit = {
+    val body = ex.getRequestBody.readAllBytes()
+    blobs.put(full, body)
+    mtimes.put(full, System.currentTimeMillis())
+    respond(ex, 201, Array.emptyByteArray)
+  }
+
+  private def putBlock(
+      ex: HttpExchange, full: String, query: Map[String, String]): Unit = {
+    val id = query.getOrElse("blockid", "")
+    if (id.isEmpty) { respond(ex, 400, errXml("MissingBlockId")); return }
+    val body = ex.getRequestBody.readAllBytes()
+    staged.computeIfAbsent(full,
+      _ => new ConcurrentHashMap[String, Array[Byte]]()).put(id, body)
+    respond(ex, 201, Array.emptyByteArray)
+  }
+
+  private def putBlockList(ex: HttpExchange, full: String): Unit = {
+    val xml = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val ids = "<Latest>([^<]+)</Latest>".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+    val parts = staged.remove(full)
+    if (parts == null && ids.nonEmpty) {
+      respond(ex, 400, errXml("InvalidBlockList")); return
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      val b = if (parts == null) null else parts.get(id)
+      if (b == null) { respond(ex, 400, errXml(s"InvalidBlockId: $id")); return }
+      out.write(b)
+    }
+    blobs.put(full, out.toByteArray)
+    mtimes.put(full, System.currentTimeMillis())
+    respond(ex, 201, Array.emptyByteArray)
+  }
+
+  private def copyBlob(ex: HttpExchange, full: String): Unit = {
+    val srcUrl = ex.getRequestHeaders.getFirst("x-ms-copy-source")
+    // source arrives as a full URL; the path holds /container/key
+    val srcPath = java.net.URI.create(srcUrl).getRawPath
+    val src = graft.io.s3.S3Signer.decodePath(srcPath).stripPrefix("/")
+    val data = blobs.get(src)
+    if (data == null) { respond(ex, 404, errXml(s"BlobNotFound: $src")); return }
+    blobs.put(full, data)
+    mtimes.put(full, System.currentTimeMillis())
+    ex.getResponseHeaders.set("x-ms-copy-status", "success")
+    respond(ex, 202, Array.emptyByteArray)
+  }
+
+  private def listBlobs(
+      ex: HttpExchange, container: String, query: Map[String, String]): Unit = {
+    val prefix = query.getOrElse("prefix", "")
+    val delimiter = query.get("delimiter").filter(_.nonEmpty)
+    val maxResults = query.get("maxresults").map(_.toInt).getOrElse(1000)
+    val marker = query.getOrElse("marker", "")
+    // group FIRST, then page over the combined (blobs + prefixes)
+    // sequence — same exactly-once pagination the S3 fake settled on
+    val all = blobs.keySet().asScala.toSeq
+      .filter(_.startsWith(s"$container/"))
+      .map(_.stripPrefix(s"$container/"))
+      .filter(_.startsWith(prefix))
+      .sorted
+    val (files, prefixes) = delimiter match {
+      case Some(d) =>
+        val (withDelim, plain) = all.partition(
+          _.drop(prefix.length).contains(d))
+        val cps = withDelim.map { k =>
+          val rest = k.drop(prefix.length)
+          prefix + rest.take(rest.indexOf(d) + d.length)
+        }.distinct
+        (plain, cps)
+      case None => (all, Nil)
+    }
+    val entries =
+      (files.map(k => (k, false)) ++ prefixes.map(p => (p, true)))
+        .sortBy(_._1)
+        .dropWhile { case (name, _) => marker.nonEmpty && name <= marker }
+    val page = entries.take(maxResults)
+    val truncated = entries.size > maxResults
+    val nextMarker = if (truncated) page.lastOption.map(_._1).getOrElse("") else ""
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>")
+    sb.append("<EnumerationResults>")
+    sb.append("<Blobs>")
+    page.foreach {
+      case (k, false) =>
+        val full = s"$container/$k"
+        val mtime = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+          .format(java.time.Instant
+            .ofEpochMilli(mtimes.getOrDefault(full, 0L))
+            .atOffset(java.time.ZoneOffset.UTC))
+        sb.append("<Blob>")
+          .append(s"<Name>${xmlEscape(k)}</Name>")
+          .append("<Properties>")
+          .append(s"<Content-Length>${blobs.get(full).length}</Content-Length>")
+          .append(s"<Last-Modified>$mtime</Last-Modified>")
+          .append("</Properties></Blob>")
+      case (p, true) =>
+        sb.append(s"<BlobPrefix><Name>${xmlEscape(p)}</Name></BlobPrefix>")
+    }
+    sb.append("</Blobs>")
+    if (truncated)
+      sb.append(s"<NextMarker>${xmlEscape(nextMarker)}</NextMarker>")
+    sb.append("</EnumerationResults>")
+    respond(ex, 200, sb.toString.getBytes(UTF_8))
+  }
+
+  // ------------------------------------------- SharedKey / SAS verification
+
+  /** SharedKey: recompute the signature from the raw request and the
+    * account key.  SAS: validate the token signature and expiry. */
+  private def authorized(ex: HttpExchange): Boolean = {
+    val query = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    if (query.contains("sig")) return sasValid(ex, query)
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(return false)
+    val m = "SharedKey ([^:]+):(.+)".r.findFirstMatchIn(auth)
+      .getOrElse(return false)
+    if (m.group(1) != account) return false
+    val theirSig = m.group(2)
+    // rebuild the exact header set the client signed: standard slots read
+    // from the received headers, x-ms-* headers verbatim
+    val headers = ex.getRequestHeaders.asScala.map { case (k, vs) =>
+      k.toLowerCase -> vs.asScala.headOption.getOrElse("")
+    }.toMap
+    val path = graft.io.s3.S3Signer.decodePath(ex.getRequestURI.getRawPath)
+    val sts = AzureSigner.stringToSign(
+      ex.getRequestMethod, headers, account, path, query.toSeq)
+    AzureSigner.signature(sts, accountKeyBase64) == theirSig
+  }
+
+  private def sasValid(ex: HttpExchange, query: Map[String, String]): Boolean = {
+    val container = graft.io.s3.S3Signer
+      .decodePath(ex.getRequestURI.getRawPath)
+      .stripPrefix("/").split("/", 2).head
+    (for {
+      sv <- query.get("sv")
+      se <- query.get("se")
+      sp <- query.get("sp")
+      sig <- query.get("sig")
+    } yield {
+      val expected = AzureSigner.sasSignature(
+        accountKeyBase64, account, container, sp, se, sv)
+      val writeOps = Set("PUT", "DELETE", "POST")
+      val permitted =
+        if (writeOps(ex.getRequestMethod)) sp.contains("w") || sp.contains("c")
+        else sp.contains("r") || sp.contains("l")
+      val unexpired =
+        try java.time.Instant.parse(se).isAfter(java.time.Instant.now())
+        catch { case _: Exception => false }
+      expected == sig && permitted && unexpired
+    }).getOrElse(false)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def parseQuery(raw: String): Map[String, String] =
+    raw.split("&").filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          graft.io.s3.S3Signer.decodePath(k) -> graft.io.s3.S3Signer.decodePath(v)
+        case Array(k) => graft.io.s3.S3Signer.decodePath(k) -> ""
+      }
+    }.toMap
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def errXml(code: String): Array[Byte] =
+    s"<Error><Code>${xmlEscape(code)}</Code></Error>".getBytes(UTF_8)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else ex.sendResponseHeaders(code, body.length.toLong)
+    if (body.nonEmpty) {
+      val out = ex.getResponseBody
+      out.write(body)
+      out.close()
+    }
+  }
+
+  private def respondHead(ex: HttpExchange, code: Int, len: Long): Unit = {
+    if (code == 200)
+      ex.getResponseHeaders.set("Content-Length", len.toString)
+    ex.sendResponseHeaders(code, -1)
+  }
+}

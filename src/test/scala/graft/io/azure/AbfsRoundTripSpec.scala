@@ -1,0 +1,180 @@
+package graft.io.azure
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.CloudConf
+
+/**
+ * End-to-end `abfs://` execution: Spark parquet I/O running through
+ * [[GraftAbfsFileSystem]]'s SharedKey-signed REST client against an
+ * in-JVM Azure Blob endpoint that VERIFIES every signature (reference
+ * parity: `src/pgrx_tests/object_store.rs` runs the same matrix against
+ * Azurite).  Credentials flow env → [[CloudConf]] → Hadoop conf →
+ * SharedKey — no part of the path is mocked out.
+ */
+class AbfsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val accountKey = java.util.Base64.getEncoder
+    .encodeToString("graft-azure-account-key".getBytes("UTF-8"))
+  private var az: InMemoryAzureBlob = _
+  private val host = "graftacct.dfs.core.windows.net"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    az = new InMemoryAzureBlob("graftacct", accountKey).start()
+    CloudConf.applyTo(spark, az.env)
+  }
+
+  override def afterAll(): Unit = {
+    try az.stop()
+    finally super.afterAll()
+  }
+
+  test("Spark writes and reads parquet through abfs://") {
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i", i * 1.5))
+      .toDF("k", "name", "score")
+    df.repartition(4).write.mode("overwrite")
+      .parquet(s"abfs://data@$host/table")
+    val back = spark.read.parquet(s"abfs://data@$host/table")
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+      == (1 to 1000).map(_.toLong).sum)
+    assert(az.requestsServed > 0)
+  }
+
+  test("filesystem contract: status, list, rename, delete, mkdirs") {
+    val fs = new Path(s"abfs://data@$host/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val base = new Path(s"abfs://data@$host/fsops")
+    fs.mkdirs(new Path(base, "emptydir"))
+    assert(fs.getFileStatus(new Path(base, "emptydir")).isDirectory)
+    val f = new Path(base, "a.bin")
+    val out = fs.create(f, true)
+    out.write(Array.tabulate[Byte](1000)(_.toByte))
+    out.close()
+    assert(fs.getFileStatus(f).getLen == 1000)
+    val statuses = fs.listStatus(base)
+    assert(statuses.length == 2)
+    // ranged read
+    val in = fs.open(f)
+    in.seek(500)
+    val buf = new Array[Byte](10)
+    assert(in.read(buf, 0, 10) == 10)
+    assert(buf(0) == 500.toByte.toByte)
+    in.close()
+    // rename then delete
+    val g = new Path(base, "b.bin")
+    assert(fs.rename(f, g))
+    assert(fs.getFileStatus(g).getLen == 1000)
+    intercept[java.io.FileNotFoundException] { fs.getFileStatus(f) }
+    assert(fs.delete(base, true))
+    intercept[java.io.FileNotFoundException] { fs.getFileStatus(g) }
+  }
+
+  test("block upload assembles large objects from bounded buffers") {
+    val fs = new Path(s"abfs://data@$host/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getConf.setLong("fs.graft.abfs.block.size", 64 * 1024)
+    val f = new Path(s"abfs://data@$host/blocks/big.bin")
+    val out = fs.create(f, true)
+    val chunk = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    (1 to 30).foreach(_ => out.write(chunk)) // 300 KB > 4 blocks
+    out.close()
+    assert(fs.getFileStatus(f).getLen == 300000L)
+    val in = fs.open(f)
+    in.seek(299990)
+    val tail = new Array[Byte](10)
+    assert(in.read(tail, 0, 10) == 10)
+    assert(tail.toSeq == chunk.slice(9990, 10000).toSeq)
+    in.close()
+    fs.getConf.setLong("fs.graft.abfs.block.size", 64L * 1024 * 1024)
+  }
+
+  test("list pages over combined blobs and prefixes exactly once") {
+    val fs = new Path(s"abfs://data@$host/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 7).foreach { i =>
+      val out = fs.create(new Path(s"abfs://data@$host/page/f$i.bin"), true)
+      out.write(1); out.close()
+    }
+    (1 to 5).foreach { i =>
+      val out = fs.create(new Path(s"abfs://data@$host/page/d$i/x.bin"), true)
+      out.write(1); out.close()
+    }
+    val client = new Path(s"abfs://data@$host/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .asInstanceOf[GraftAbfsFileSystem].client
+    val all = Seq.newBuilder[String]
+    var marker: Option[String] = None
+    var pages = 0
+    var continue = true
+    while (continue) {
+      val l = client.list("data", "page/", Some("/"), marker, maxResults = 3)
+      assert(l.blobs.size + l.prefixes.size <= 3)
+      all ++= l.blobs.map(_.key)
+      all ++= l.prefixes
+      pages += 1
+      marker = l.nextMarker
+      continue = marker.isDefined
+      assert(pages < 20, "runaway pagination")
+    }
+    val res = all.result()
+    assert(res.size == res.distinct.size, s"no repeats across pages: $res")
+    assert(res.count(_.startsWith("page/f")) == 7)
+    assert(res.count(_.startsWith("page/d")) == 5)
+  }
+
+  test("a wrong account key is rejected by signature verification") {
+    val badConf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    badConf.set(s"fs.azure.account.key.$host",
+      java.util.Base64.getEncoder.encodeToString("wrong".getBytes("UTF-8")))
+    badConf.set("fs.abfs.impl.disable.cache", "true")
+    val fs = new Path(s"abfs://data@$host/").getFileSystem(badConf)
+    val before = az.requestsRejected
+    intercept[Exception] {
+      fs.getFileStatus(new Path(s"abfs://data@$host/table"))
+    }
+    assert(az.requestsRejected > before,
+      "server must reject the bad signature")
+  }
+
+  test("SAS-token auth reads and writes within granted permissions") {
+    val sas = AzureSigner.sasToken(accountKey, "graftacct", "data",
+      permissions = "rwcl",
+      expiry = java.time.Instant.now().plusSeconds(3600).toString
+        .replaceAll("\\.\\d+Z$", "Z"),
+      version = "2021-08-06")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.unset(s"fs.azure.account.key.$host")
+    conf.set(s"fs.azure.sas.fixed.token.$host", sas)
+    conf.set("fs.abfs.impl.disable.cache", "true")
+    val fs = new Path(s"abfs://data@$host/").getFileSystem(conf)
+    val f = new Path(s"abfs://data@$host/sas/s.bin")
+    val out = fs.create(f, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(fs.getFileStatus(f).getLen == 3)
+    // read-only token cannot write
+    val roSas = AzureSigner.sasToken(accountKey, "graftacct", "data",
+      permissions = "rl",
+      expiry = java.time.Instant.now().plusSeconds(3600).toString
+        .replaceAll("\\.\\d+Z$", "Z"),
+      version = "2021-08-06")
+    val roConf = new org.apache.hadoop.conf.Configuration(conf)
+    roConf.set(s"fs.azure.sas.fixed.token.$host", roSas)
+    val roFs = new Path(s"abfs://data@$host/").getFileSystem(roConf)
+    assert(roFs.getFileStatus(f).getLen == 3, "read allowed")
+    val before = az.requestsRejected
+    intercept[Exception] {
+      val o = roFs.create(new Path(s"abfs://data@$host/sas/deny.bin"), true)
+      o.write(1); o.close()
+    }
+    assert(az.requestsRejected > before, "write denied for read-only SAS")
+  }
+}
