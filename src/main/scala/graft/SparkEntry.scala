@@ -39,6 +39,12 @@ object SparkEntry {
       java.util.Base64.getEncoder.encodeToString(
         "graft-driver-azure-key".getBytes("UTF-8"))).start()
 
+  /** One in-JVM GCS endpoint per driver process (io_gcs_roundtrip);
+    * JWT-grant-verifying fake from [[graft.io.gcs.InMemoryGcs]]. */
+  private lazy val gcsServer: graft.io.gcs.InMemoryGcs =
+    new graft.io.gcs.InMemoryGcs(
+      "graft-driver@graft-project.iam.gserviceaccount.com").start()
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads via the
     * nanosAsLong legacy conf → LongType epoch-nanos.  The oracle mirrors
     * with duckdb `epoch_ns`. */
@@ -305,6 +311,20 @@ object SparkEntry {
         s"${new java.io.File(dir).getName}/supplier"
       CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
       CopyFrom.raw(s, uri).orderBy(col("s_suppkey"))
+    }),
+
+    // S5 GCS leg: parquet round-trip through gs:// — the built-in OAuth
+    // bearer XML-API client whose token comes from a service-account JWT
+    // grant the in-JVM endpoint verifies (RS256 signature, issuer,
+    // audience, expiry) before honoring any storage request
+    // (reference gcs.rs:13-69; its tests run against fake-gcs-server)
+    "io_gcs_roundtrip" -> ((s, dir) => {
+      val srv = gcsServer
+      graft.io.CloudConf.applyTo(s, srv.env)
+      val src = t(s, dir, "part")
+      val uri = s"gs://graft-${new java.io.File(dir).getName}/part"
+      CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
+      CopyFrom.raw(s, uri).orderBy(col("p_partkey"))
     }),
 
     // S4: byte-targeted file splitting, read back via glob
@@ -2423,6 +2443,9 @@ object SparkEntry {
 
     "io_abfs_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "io_gcs_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
 
     "io_split" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -161,6 +161,11 @@ object CloudConf {
       b += "fs.gs.auth.service.account.json.keyfile" ->
         materializeKey(json).toString
     }
+    // emulator endpoint (fake-gcs-server convention, which the
+    // reference's own integration tests use) — routes the built-in
+    // gs:// client
+    env.get("STORAGE_EMULATOR_HOST")
+      .foreach(b += "fs.graft.gs.endpoint" -> _)
     b.result()
   }
 
@@ -254,7 +259,8 @@ object CloudConf {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
     (hadoopSettings(env) ++ HttpFs.settings ++
         graft.io.s3.GraftS3.settings ++
-        graft.io.azure.GraftAbfs.settings).foreach {
+        graft.io.azure.GraftAbfs.settings ++
+        graft.io.gcs.GraftGs.settings).foreach {
       case (k, v) => conf.set(k, v)
     }
   }
