@@ -1652,6 +1652,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HNSW-style layered serving: hash-assigned log-height layers, top
+    // layer seeds the beam with query-LOCAL entry points, upper layers
+    // pull it toward the neighborhood, layer 0 runs the full walk —
+    // the remaining ANN structure on top of the flat k-NN graph
+    "sim_knn_search_layered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+        k = 10, iters = 6, branching = 4, seedTarget = 128)
+      ops.KnnGraph.searchLayered(idx, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // persisted-index serving: the k-NN graph is built ONCE into a
     // snapshot table (how production amortizes the NN-Descent cost — the
     // 6-round build inside sim_knn_search is the worst number on the

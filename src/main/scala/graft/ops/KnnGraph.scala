@@ -157,6 +157,25 @@ object KnnGraph {
       k: Int = 10, beam: Int = 30, hops: Int = 4): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 1,
       "need k >= 1, beam >= k, hops >= 1")
+    // seeds: the `beam` lowest hashed-order corpus nodes, same for every
+    // query (entry points need no per-query logic; the walk specializes)
+    val seeds = corpus.select(col(idCol).cast("long").as("cand"))
+      .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
+    beamServe(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      k, beam, seeds, Seq((graph, hops)))
+  }
+
+  /** Shared beam-search loop: seed the per-query beam, then walk each
+    * (edge set, hop count) phase in order — one phase for flat serving,
+    * one per layer for [[searchLayered]].  Per hop the work is one keyed
+    * join against the phase's edge list + a bounded window (queries ×
+    * beam × k candidate rows); the corpus is touched only through its
+    * edge lists and the broadcast queries. */
+  private def beamServe(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, beam: Int, seeds: DataFrame,
+      phases: Seq[(DataFrame, Int)]): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val vecs = corpus.select(col(idCol).cast("long").as("cand"),
@@ -164,8 +183,6 @@ object KnnGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
       col(qVecCol).as("__qv")))
-    val edges = graph.select(col("id").as("cand"),
-      col("neighbor_id").as("next"))
 
     def score(cands: DataFrame): DataFrame =
       cands.join(vecs, "cand").join(qs, "query_id")
@@ -179,21 +196,21 @@ object KnnGraph {
         .filter(col("__r") <= beam).drop("__r")
     }
 
-    // seeds: the `beam` lowest hashed-order corpus nodes, same for every
-    // query (entry points need no per-query logic; the walk specializes)
-    val seeds = vecs.select(col("cand"))
-      .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
     var state = materialize(keepBeam(score(
         qs.select("query_id").crossJoin(seeds))))
-    var hop = 0
-    while (hop < hops) {
-      val expanded = state.select(col("query_id"), col("cand"))
-        .join(edges, "cand")
-        .select(col("query_id"), col("next").as("cand"))
-        .distinct()
-      state = materialize(keepBeam(score(expanded).unionAll(state)
-          .groupBy("query_id", "cand").agg(max("cosine").as("cosine"))))
-      hop += 1
+    phases.foreach { case (graph, hopCount) =>
+      val edges = graph.select(col("id").as("cand"),
+        col("neighbor_id").as("next"))
+      var hop = 0
+      while (hop < hopCount) {
+        val expanded = state.select(col("query_id"), col("cand"))
+          .join(edges, "cand")
+          .select(col("query_id"), col("next").as("cand"))
+          .distinct()
+        state = materialize(keepBeam(score(expanded).unionAll(state)
+            .groupBy("query_id", "cand").agg(max("cosine").as("cosine"))))
+        hop += 1
+      }
     }
     vecs.unpersist()
     val w = Window.partitionBy("query_id")
@@ -203,5 +220,80 @@ object KnnGraph {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ------------------------------------------------- HNSW-style layers
+
+  /** Layered k-NN index (Malkov & Yashunin 2016's structure, built
+    * batch-style): `levels(0)` is the full-corpus graph; `levels(ℓ)` is
+    * a k-NN graph over the ~n/branchingℓ nodes whose hash-derived level
+    * reaches ℓ.  Each level is an ordinary [[build]] output — plain
+    * DataFrames, so the whole index snapshots/persists like any table. */
+  final case class LayeredKnnGraph(levels: Seq[DataFrame], branching: Int)
+
+  /** A node's layer membership is a pure hash function (HNSW draws it
+    * from an exponential distribution; the hash gives the same decay
+    * deterministically): level(id) >= ℓ iff branchingℓ divides
+    * xxhash64(id). */
+  private def levelAtLeast(branching: Int, level: Int) =
+    pmod(xxhash64(col("id")), lit(math.pow(branching, level).toLong)) === 0L
+
+  /**
+   * Build the layered index.  The number of layers adapts to the corpus:
+   * the TOP layer is sized to ~`seedTarget` nodes (so serving's entry
+   * cross-join is queries × O(seedTarget) regardless of n), which gives
+   * L = floor(log_branching(n / seedTarget)) upper layers — the HNSW
+   * log-height, derived instead of configured.  Upper layers reuse
+   * [[build]] on their subset: at n/4, n/16, … nodes their cost
+   * vanishes against layer 0.
+   */
+  def buildLayered(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 6, branching: Int = 4,
+      seedTarget: Int = 128): LayeredKnnGraph = {
+    require(branching >= 2, "branching must be >= 2")
+    val nodes = df.select(col(idCol).cast("long").as("id"), col(vecCol))
+    val n = nodes.count()
+    val maxLevel = math.max(1,
+      (math.log(n.toDouble / math.max(1, seedTarget)) /
+        math.log(branching.toDouble)).floor.toInt)
+    val levels = (0 to maxLevel).flatMap { l =>
+      val sub = if (l == 0) nodes else nodes.filter(levelAtLeast(branching, l))
+      // a layer needs enough nodes for a k-graph to mean anything; the
+      // hash decay can undershoot on small corpora — stop there
+      val m = if (l == 0) n else sub.count()
+      if (m < math.max(2, k))
+        None
+      else
+        Some(build(sub, "id", vecCol, math.min(k, (m - 1).toInt), iters))
+    }
+    LayeredKnnGraph(levels, branching)
+  }
+
+  /**
+   * Layered serving: enter at the TOP layer (its whole node set seeds
+   * the beam — by construction ~seedTarget nodes), walk `upperHops`
+   * hop(s) per upper layer to pull the beam toward the query's
+   * neighborhood, then run the full `hops` walk on layer 0.  The upper
+   * layers replace [[search]]'s fixed global seeds with query-local
+   * ones — the closer entry is what lets layer 0 recall more with the
+   * same beam, exactly HNSW's descent argument.
+   */
+  def searchLayered(
+      index: LayeredKnnGraph, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int = 10, beam: Int = 30, hops: Int = 4,
+      upperHops: Int = 1): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1 && upperHops >= 1,
+      "need k >= 1, beam >= k, hops >= 1, upperHops >= 1")
+    require(index.levels.nonEmpty, "empty layered index")
+    // the top layer's node set IS the seed set (every node of a built
+    // level appears as `id` in its own top-k rows)
+    val seeds = index.levels.last.select(col("id").as("cand")).distinct()
+    val phases =
+      index.levels.drop(1).reverse.map(g => (g, upperHops)) :+
+        (index.levels.head, hops)
+    beamServe(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      k, beam, seeds, phases)
   }
 }

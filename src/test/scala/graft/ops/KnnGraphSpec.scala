@@ -57,6 +57,62 @@ class KnnGraphSpec extends AnyFunSuite {
       .forall(_.getLong(1) == k), "dense top-k per query")
   }
 
+  test("layered index: populations decay by ~branching; serving recalls") {
+    val k = 10
+    val idx = KnnGraph.buildLayered(emb, "vec_id", "embedding", k,
+      iters = 8, branching = 4, seedTarget = 128)
+    assert(idx.levels.size >= 2, "corpus must produce at least one upper layer")
+    // layer populations decay roughly by the branching factor
+    val sizes = idx.levels.map(_.select("id").distinct().count())
+    info(s"layer sizes: ${sizes.mkString(" -> ")}")
+    sizes.sliding(2).foreach { case Seq(lower, upper) =>
+      val ratio = lower.toDouble / upper
+      assert(ratio > 1.5 && ratio < 12.0,
+        s"expected ~4x decay between layers, got $sizes")
+    }
+    // serving: layered entry must match flat serving's recall at the
+    // same layer-0 budget (the upper layers only move the ENTRY closer)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = asMap(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+      .withColumnRenamed("query_id", "id"))
+    def recallOf(out: org.apache.spark.sql.DataFrame): Double = {
+      val got = out.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+    }
+    val layered = recallOf(KnnGraph.searchLayered(idx, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k, beam = 40, hops = 4))
+    val flat = recallOf(KnnGraph.search(idx.levels.head, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k, beam = 40, hops = 4))
+    info(f"recall@$k: layered $layered%.2f vs flat $flat%.2f (beam 40, 4 hops)")
+    assert(layered >= 0.6, f"layered serving recall too low: $layered%.2f")
+    assert(layered >= flat - 0.05,
+      f"query-local entry must not lose to fixed seeds: $layered%.2f vs $flat%.2f")
+    // dense top-k per query
+    val out = KnnGraph.searchLayered(idx, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k, beam = 40, hops = 4)
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == k))
+  }
+
+  test("layered serving is deterministic across partitionings") {
+    val k = 5
+    val idx = KnnGraph.buildLayered(emb, "vec_id", "embedding", k,
+      iters = 3, branching = 4, seedTarget = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      KnnGraph.searchLayered(idx, corpus, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k,
+          beam = 20, hops = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(run(emb) == run(emb.repartition(17)),
+      "results must not depend on corpus partitioning")
+  }
+
   test("serving from a snapshot-persisted graph equals in-memory serving") {
     val k = 5
     val graph = KnnGraph.build(emb, "vec_id", "embedding", k, iters = 3)
