@@ -227,9 +227,10 @@ object SnapshotStats extends Serializable {
   private[io] final case class NumV(v: JBigDecimal) extends CValue
   private[io] final case class StrV(bytes: Array[Byte]) extends CValue
 
-  /** One extractable conjunct: column op literal. */
+  /** One extractable conjunct: `column op literal`, or `column IN
+    * (literals)` with op "in" and one CValue per list element. */
   private[io] final case class Conjunct(
-      column: String, op: String, value: CValue)
+      column: String, op: String, values: Seq[CValue])
 
   /** Split a predicate into conjuncts and keep the `col <op> literal`
     * comparisons (both orientations); everything else contributes no
@@ -261,28 +262,36 @@ object SnapshotStats extends Serializable {
       case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
-    /** `col op lit` normalized; the flipped orientation mirrors the op. */
+    /** `col op lit` normalized; the flipped orientation mirrors the op;
+      * `col IN (lits)` keeps the whole list (BETWEEN needs no case — the
+      * parser desugars it into the two comparisons). */
     def comp(e: Expression): Option[Conjunct] = e match {
       case GreaterThan(a, l: Literal) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", Seq(v))
       case GreaterThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", Seq(v))
       case LessThan(a, l: Literal) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", Seq(v))
       case LessThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", Seq(v))
       case EqualTo(a, l: Literal) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", Seq(v))
       case GreaterThan(l: Literal, a) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<", Seq(v))
       case GreaterThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "<=", Seq(v))
       case LessThan(l: Literal, a) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">", Seq(v))
       case LessThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, ">=", Seq(v))
       case EqualTo(l: Literal, a) =>
-        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", v)
+        for (c <- attr(a); v <- lit(l)) yield Conjunct(c, "=", Seq(v))
+      case In(a, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => lit(l.asInstanceOf[Literal]))
+        if (vs.forall(_.isDefined))
+          attr(a).map(c => Conjunct(c, "in", vs.map(_.get)))
+        else None
       case _ => None
     }
     try flatten(spark.sessionState.sqlParser.parseExpression(predicate))
@@ -354,7 +363,11 @@ object SnapshotStats extends Serializable {
     conjuncts.forall { c =>
       val candidates = bounds.get(c.column).toSeq ++
         extra.getOrElse(c.column, Nil)
-      !candidates.exists(b => disproves(b, c.op, c.value))
+      if (c.op == "in")
+        // an IN matches if ANY listed value survives its equality test
+        c.values.exists(v => !candidates.exists(b => disproves(b, "=", v)))
+      else
+        !candidates.exists(b => disproves(b, c.op, c.values.head))
     }
   }
 

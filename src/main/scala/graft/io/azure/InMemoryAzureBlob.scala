@@ -23,6 +23,10 @@ import scala.jdk.CollectionConverters._
  * validate the token's signature (the reduced service-SAS form in
  * [[AzureSigner.sasSignature]]) and its expiry.  Unsigned or
  * wrongly-signed requests get 403.
+ *
+ * NOTE: a TEST FIXTURE in `src/main` only because the driver harness
+ * (`SparkEntry.queries("io_abfs_roundtrip")`) starts it in-process;
+ * nothing in the production surface references it.
  */
 final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
 

@@ -19,6 +19,10 @@ import scala.jdk.CollectionConverters._
  * endpoint minted.  The reference integration-tests its GCS layer
  * against exactly this kind of local fake (reference
  * `src/pgrx_tests/object_store.rs` runs against fake-gcs-server).
+ *
+ * NOTE: a TEST FIXTURE in `src/main` only because the driver harness
+ * (`SparkEntry.queries("io_gcs_roundtrip")`) starts it in-process;
+ * nothing in the production surface references it.
  */
 final class InMemoryGcs(clientEmail: String) {
 

@@ -21,6 +21,10 @@ import scala.jdk.CollectionConverters._
  * shared secret and compared — so the round-trip proves the client's
  * canonicalization and signing byte-for-byte, not just that a header was
  * present.  Unsigned or wrongly-signed requests get 403.
+ *
+ * NOTE: this is a TEST FIXTURE that lives in `src/main` only because the
+ * driver harness (`SparkEntry.queries("io_s3_roundtrip")`) starts it
+ * in-process; nothing in the production surface references it.
  */
 final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
 

@@ -263,6 +263,12 @@ class SnapshotsSpec extends AnyFunSuite {
     val ttl = Snapshots.pruneEntries(spark, entries, "day < DATE '2020-02-01'")
     assert(ttl.nonEmpty && ttl.forall(_.contains("day=2020-01-15")),
       s"date partition pruning kept: $ttl")
+    // IN-list over partition values
+    val inp = Snapshots.pruneEntries(spark, entries,
+      "region IN ('r0', 'r2')")
+    assert(inp.nonEmpty && inp.forall(n =>
+      n.startsWith("region=r0/") || n.startsWith("region=r2/")),
+      s"IN partition pruning kept: $inp")
     // combined partition + stats pruning through readWhere
     val r = Snapshots.readWhere(spark, dir, "region = 'r2' AND k <= 100")
     assert(r.count() == (1 to 100).count(_ % 3 == 2))
@@ -413,6 +419,13 @@ class SnapshotsSpec extends AnyFunSuite {
     // provable no-match prunes everything
     assert(Snapshots.pruneEntries(spark, entries,
       "event_date > DATE '2030-01-01'").isEmpty)
+    // IN-list pruning: dates from one file keep one; all-outside keeps none
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date IN (DATE '2019-02-01', DATE '2019-03-01')").size == 1)
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date IN (DATE '2030-01-01', DATE '2031-01-01')").isEmpty)
+    assert(Snapshots.readWhere(spark, dir,
+      "event_date IN (DATE '2019-02-01', DATE '2030-01-01')").count() == 1)
     // domain mismatch (string literal vs date column) must not prune
     assert(Snapshots.pruneEntries(spark, entries,
       "event_date < 'not-a-date'").size == 4)
