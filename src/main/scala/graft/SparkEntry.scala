@@ -599,6 +599,32 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // S6/S7 interop encoding: the PG binary COPY format (what the
+    // reference's stdin/stdout routes relay, reference
+    // copy_from_stdin.rs:32-191 / parquet_reader.rs:320-360) —
+    // write a query to a pg_binary file through SQL COPY, read it back
+    // through SQL COPY, and emit the landed table
+    "sql_copy_pg_binary" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pgbin_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_pgb")
+      graft.sql.GraftSql.exec(s,
+        "COPY (SELECT s_suppkey, s_name, s_nationkey, s_acctbal " +
+          "FROM supplier_pgb) " +
+          s"TO '$base/supplier.bin' (format pg_binary)")
+      s.sql("DROP TABLE IF EXISTS supplier_pgb_dst")
+      s.sql("CREATE TABLE supplier_pgb_dst (s_suppkey BIGINT, " +
+        "s_name STRING, s_nationkey INT, s_acctbal DOUBLE) " +
+        s"USING parquet LOCATION '$base/dst'")
+      graft.sql.GraftSql.exec(s,
+        s"COPY supplier_pgb_dst FROM '$base/supplier.bin' (format pg_binary)")
+      s.table("supplier_pgb_dst").orderBy("s_suppkey")
+    }),
+
     // ------------------------------------------- M1-M6 metadata functions
     // Output columns/rendering match DuckDB's parquet introspection
     // functions, so each is hash-checked against a real oracle (the
@@ -2476,6 +2502,10 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, " +
         "o_orderstatus FROM orders WHERE o_custkey % 10 = 0 " +
         "ORDER BY o_orderkey"),
+
+    "sql_copy_pg_binary" ->
+      ("SELECT s_suppkey, s_name, CAST(s_nationkey AS INT) AS s_nationkey, " +
+        "s_acctbal FROM supplier ORDER BY s_suppkey"),
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +

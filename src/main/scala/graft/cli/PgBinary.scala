@@ -1,0 +1,237 @@
+package graft.cli
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * PostgreSQL binary COPY codec (the public `COPY ... (FORMAT binary)`
+ * file format): 11-byte signature + flags + header extension, then one
+ * tuple per row — int16 field count, each field an int32 byte length
+ * (-1 for NULL) and the type's binary send representation — closed by
+ * an int16 -1 trailer.  This is the byte stream the reference emits and
+ * consumes on its stdin/stdout routes (reference
+ * `copy_from_stdin.rs:32-191` relays exactly these bytes;
+ * `parquet_reader.rs:320-360` frames tuples with the same 2-byte count
+ * + 4-byte lengths via each type's binary out-function), minus the wire
+ * envelope — a Spark library's "client" is the process's own stdio, so
+ * the FILE framing (what `psql \copy ... binary` and pg_dump produce)
+ * is the interop point.
+ *
+ * Supported Spark↔PG type pairs: short/int2, int/int4, long/int8,
+ * float/float4, double/float8, boolean/bool, string/text, binary/bytea,
+ * date/date (day offset rebased to the PG 2000-01-01 epoch),
+ * timestamp/timestamp (micros, same rebase), decimal/numeric (base-10⁴
+ * digit groups, sign/weight/dscale per the on-wire layout).
+ *
+ * Stream semantics match [[PipeCopy]]: one process-wide byte stream is
+ * inherently single-reader/single-writer, so rows pass through the
+ * driver (`toLocalIterator` out, batched row list in) — the same
+ * one-backend shape as the reference's COPY.
+ */
+object PgBinary {
+
+  private val Signature: Array[Byte] =
+    "PGCOPY\n".getBytes(UTF_8) ++ Array(0xff.toByte, '\r'.toByte, '\n'.toByte, 0x00.toByte)
+
+  /** Days from 1970-01-01 (unix/Spark) to 2000-01-01 (PG epoch). */
+  private val PgEpochDays = 10957
+  private val PgEpochMicros = 946684800000000L
+
+  // ------------------------------------------------------------- write
+
+  /** Stream `df` to `out` in PG binary COPY format; returns rows written. */
+  def write(df: DataFrame, out: OutputStream): Long = {
+    val os = new DataOutputStream(new java.io.BufferedOutputStream(out, 1 << 16))
+    val schema = df.schema
+    // validate up front: a mid-stream failure would leave a torn file
+    schema.fields.foreach(f => encoderFor(f.dataType))
+    os.write(Signature)
+    os.writeInt(0) // flags (no OIDs)
+    os.writeInt(0) // header extension length
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      os.writeShort(schema.length)
+      var i = 0
+      while (i < schema.length) {
+        if (row.isNullAt(i)) os.writeInt(-1)
+        else {
+          val bytes = encoderFor(schema(i).dataType)(row, i)
+          os.writeInt(bytes.length)
+          os.write(bytes)
+        }
+        i += 1
+      }
+      n += 1
+    }
+    os.writeShort(-1) // trailer
+    os.flush()
+    n
+  }
+
+  private def encoderFor(dt: DataType): (Row, Int) => Array[Byte] = dt match {
+    case ShortType => (r, i) =>
+      java.nio.ByteBuffer.allocate(2).putShort(r.getShort(i)).array()
+    case IntegerType => (r, i) =>
+      java.nio.ByteBuffer.allocate(4).putInt(r.getInt(i)).array()
+    case LongType => (r, i) =>
+      java.nio.ByteBuffer.allocate(8).putLong(r.getLong(i)).array()
+    case FloatType => (r, i) =>
+      java.nio.ByteBuffer.allocate(4).putFloat(r.getFloat(i)).array()
+    case DoubleType => (r, i) =>
+      java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(i)).array()
+    case BooleanType => (r, i) =>
+      Array(if (r.getBoolean(i)) 1.toByte else 0.toByte)
+    case StringType => (r, i) => r.getString(i).getBytes(UTF_8)
+    case BinaryType => (r, i) => r.getAs[Array[Byte]](i)
+    case DateType => (r, i) =>
+      java.nio.ByteBuffer.allocate(4)
+        .putInt(r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt
+          - PgEpochDays).array()
+    case TimestampType => (r, i) =>
+      val inst = r.getAs[java.sql.Timestamp](i).toInstant
+      val micros = Math.addExact(
+        Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L)
+      java.nio.ByteBuffer.allocate(8).putLong(micros - PgEpochMicros).array()
+    case _: DecimalType => (r, i) =>
+      encodeNumeric(r.getAs[java.math.BigDecimal](i))
+    case other => throw new IllegalArgumentException(
+      s"pg_binary does not support Spark type ${other.simpleString}")
+  }
+
+  /** PG `numeric` binary layout: ndigits/weight/sign/dscale int16s, then
+    * ndigits base-10000 digit groups, most significant first; `weight`
+    * is the units-relative position of the first group. */
+  private[cli] def encodeNumeric(bd0: JBigDecimal): Array[Byte] = {
+    val dscale = math.max(0, bd0.scale)
+    val bd = bd0.setScale(dscale)
+    val sign = if (bd.signum() < 0) 0x4000 else 0x0000
+    // digit string of |value| * 10^dscale, split into int/frac digits
+    val plain = bd.abs.unscaledValue.toString
+    val digits = if (bd.signum() == 0) "0" else plain
+    val intLen = math.max(0, digits.length - dscale)
+    val intPart = if (intLen == 0) "" else digits.substring(0, intLen)
+    val fracPart = ("0" * math.max(0, dscale - digits.length)) +
+      digits.substring(intLen)
+    val intPad = ("0" * ((4 - intPart.length % 4) % 4)) + intPart
+    val fracPad = fracPart + ("0" * ((4 - fracPart.length % 4) % 4))
+    val all = intPad + fracPad
+    var groups = all.grouped(4).map(_.toInt).toVector
+    var weight = intPad.length / 4 - 1
+    // normalize: strip leading and trailing zero groups (dscale keeps
+    // the displayed fraction; stripped trailing groups are implied)
+    while (groups.length > 1 && groups.head == 0) {
+      groups = groups.tail; weight -= 1
+    }
+    while (groups.length > 1 && groups.last == 0) groups = groups.init
+    if (groups == Vector(0)) { groups = Vector.empty; weight = 0 }
+    val bb = java.nio.ByteBuffer.allocate(8 + groups.length * 2)
+    bb.putShort(groups.length.toShort)
+    bb.putShort(weight.toShort)
+    bb.putShort(sign.toShort)
+    bb.putShort(dscale.toShort)
+    groups.foreach(g => bb.putShort(g.toShort))
+    bb.array()
+  }
+
+  // -------------------------------------------------------------- read
+
+  /** Parse a PG binary COPY stream into a DataFrame with `schema`
+    * (field order must match the stream's tuple layout, as in
+    * `COPY table FROM ... (FORMAT binary)`). */
+  def read(
+      spark: SparkSession, in: InputStream, schema: StructType): DataFrame = {
+    val is = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+    val sig = new Array[Byte](11)
+    is.readFully(sig)
+    require(java.util.Arrays.equals(sig, Signature),
+      "not a PG binary COPY stream (bad signature)")
+    val flags = is.readInt()
+    require((flags & 0xffff) == 0, s"unsupported PG COPY flags: $flags")
+    val extLen = is.readInt()
+    if (extLen > 0) is.skipBytes(extLen)
+    val decoders = schema.fields.map(f => decoderFor(f.dataType))
+    val rows = Vector.newBuilder[Row]
+    var done = false
+    while (!done) {
+      val natts =
+        try is.readShort()
+        catch { case _: EOFException => -1 } // missing trailer: accept EOF
+      if (natts == -1) done = true
+      else {
+        require(natts == schema.length,
+          s"tuple has $natts fields, schema expects ${schema.length}")
+        val values = new Array[Any](natts)
+        var i = 0
+        while (i < natts) {
+          val len = is.readInt()
+          if (len == -1) values(i) = null
+          else {
+            val bytes = new Array[Byte](len)
+            is.readFully(bytes)
+            values(i) = decoders(i)(bytes)
+          }
+          i += 1
+        }
+        rows += Row.fromSeq(values.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(rows.result().asJava, schema)
+  }
+
+  private def decoderFor(dt: DataType): Array[Byte] => Any = dt match {
+    case ShortType => b => java.nio.ByteBuffer.wrap(b).getShort
+    case IntegerType => b => java.nio.ByteBuffer.wrap(b).getInt
+    case LongType => b => java.nio.ByteBuffer.wrap(b).getLong
+    case FloatType => b => java.nio.ByteBuffer.wrap(b).getFloat
+    case DoubleType => b => java.nio.ByteBuffer.wrap(b).getDouble
+    case BooleanType => b => b(0) != 0
+    case StringType => b => new String(b, UTF_8)
+    case BinaryType => b => b
+    case DateType => b =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        java.nio.ByteBuffer.wrap(b).getInt.toLong + PgEpochDays))
+    case TimestampType => b =>
+      val micros = java.nio.ByteBuffer.wrap(b).getLong + PgEpochMicros
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L))
+    case dt: DecimalType => b => {
+      val d = decodeNumeric(b)
+      d.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)
+    }
+    case other => throw new IllegalArgumentException(
+      s"pg_binary does not support Spark type ${other.simpleString}")
+  }
+
+  private[cli] def decodeNumeric(b: Array[Byte]): JBigDecimal = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val ndigits = bb.getShort.toInt
+    val weight = bb.getShort.toInt
+    val sign = bb.getShort & 0xffff
+    val dscale = bb.getShort.toInt
+    require(sign == 0x0000 || sign == 0x4000,
+      f"unsupported numeric sign word 0x$sign%04x (NaN/Inf have no Spark decimal)")
+    var acc = BigInteger.ZERO
+    var i = 0
+    while (i < ndigits) {
+      acc = acc.multiply(BigInteger.valueOf(10000)).add(
+        BigInteger.valueOf(bb.getShort.toLong))
+      i += 1
+    }
+    // acc = digits as an integer; its true magnitude is acc × 10^(4·(weight−ndigits+1))
+    val exp = 4 * (weight - ndigits + 1)
+    var v = new JBigDecimal(acc)
+    if (exp >= 0) v = v.movePointRight(exp) else v = v.movePointLeft(-exp)
+    if (sign == 0x4000) v = v.negate()
+    v.setScale(dscale)
+  }
+}

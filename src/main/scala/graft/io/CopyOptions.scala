@@ -113,7 +113,11 @@ final case class CopyToOptions(
       * Exact even under heavily skewed row widths; flat primitive
       * schemas only (the rolling writer is the parquet-mr Group path —
       * see [[ExactSplit]]). */
-    fileSizeExact: Boolean = false) {
+    fileSizeExact: Boolean = false,
+    /** Output encoding: "parquet" (default) or "pg_binary" (the
+      * PostgreSQL binary COPY format, single-stream; parquet-specific
+      * options do not apply — see [[graft.cli.PgBinary]]). */
+    format: String = "parquet") {
 
   def validated: CopyToOptions = {
     if (zOrderBy.nonEmpty && clusterBy.nonEmpty)
@@ -154,6 +158,13 @@ final case class CopyToOptions(
             "field_ids / bloom filters (the rolling writer is the flat " +
             "parquet-mr path)")
     }
+    if (format == "pg_binary" &&
+        (compression.isDefined || fileSizeBytes.isDefined ||
+          partitionBy.nonEmpty || clusterBy.nonEmpty || zOrderBy.nonEmpty ||
+          bloomFilterColumns.nonEmpty || fieldIds != "none"))
+      throw new IllegalArgumentException(
+        "format pg_binary is a single-stream row encoding; parquet " +
+          "options (compression/splitting/layout/field_ids) do not apply")
     this
   }
 
@@ -199,6 +210,10 @@ final case class CopyFromOptions(
       * `COPY ... FROM ... WHERE` (reference `copy_from.rs:138-142`).
       * Catalyst pushes it into the parquet scan where possible — unlike
       * the reference, which filters post-decode. */
-    where: Option[String] = None)
+    where: Option[String] = None,
+    /** Input encoding: "parquet" (default) or "pg_binary" (the
+      * PostgreSQL binary COPY format — what the reference's stdin route
+      * relays; see [[graft.cli.PgBinary]]). */
+    format: String = "parquet")
 
 object CopyFromOptions { val default: CopyFromOptions = CopyFromOptions() }

@@ -192,17 +192,18 @@ object CopySql {
     v.getOrElse(throw new IllegalArgumentException(
       s"COPY option '$k' requires a value"))
 
-  private def checkFormat(v: Option[String]): Unit = {
+  private def checkFormat(v: Option[String]): String = {
     val f = requireValue("format", v).toLowerCase(Locale.ROOT)
-    if (f != "parquet")
+    if (f != "parquet" && f != "pg_binary" && f != "binary")
       throw new IllegalArgumentException(
-        s"COPY format '$f' is not supported; only parquet is")
+        s"COPY format '$f' is not supported; parquet or pg_binary")
+    if (f == "binary") "pg_binary" else f // PG's own spelling
   }
 
   private def toOptions(opts: Seq[(String, Option[String])]): CopyToOptions =
     opts.foldLeft(CopyToOptions.default) { case (acc, (k, v)) =>
       k match {
-        case "format"            => checkFormat(v); acc
+        case "format"            => acc.copy(format = checkFormat(v))
         case "compression"       => acc.copy(compression = Some(requireValue(k, v)))
         case "compression_level" => acc.copy(compressionLevel = Some(requireValue(k, v).toInt))
         case "row_group_size"    => acc.copy(rowGroupSize = requireValue(k, v).toLong)
@@ -229,7 +230,7 @@ object CopySql {
   private def fromOptions(opts: Seq[(String, Option[String])]): CopyFromOptions =
     opts.foldLeft(CopyFromOptions.default) { case (acc, (k, v)) =>
       k match {
-        case "format"   => checkFormat(v); acc
+        case "format"   => acc.copy(format = checkFormat(v))
         case "match_by" => acc.copy(matchBy = MatchBy.parse(requireValue(k, v)))
         case other => throw new IllegalArgumentException(
           s"option '$other' is not supported for COPY FROM")
@@ -339,20 +340,41 @@ final case class CopyToCommand(
         val t = spark.table(table.get)
         if (columns.isEmpty) t else t.select(columns.map(col): _*)
     }
-    val n = dest match {
-      case PipeDest.Uri(uri) =>
-        val res = CopyTo(src, uri, options)
-        CopySql.writtenRows(spark, res.files)
-      case PipeDest.Stdout =>
-        // one spool write is the only execution; count from its footer
-        graft.cli.PipeCopy.copyToStreamRows(src, System.out, options)
-      case PipeDest.Prog(cmd) =>
-        val (code, n) = graft.cli.PipeCopy.copyToProgramRows(
-          src, Seq("/bin/sh", "-c", cmd), options)
-        if (code != 0)
-          throw new IllegalStateException(s"COPY TO PROGRAM exited with $code")
-        n
-    }
+    val n =
+      if (options.format == "pg_binary") dest match {
+        // PG binary COPY rows stream through the driver — inherently
+        // single-writer, like every pipe route (see [[graft.cli.PgBinary]])
+        case PipeDest.Stdout => graft.cli.PgBinary.write(src, System.out)
+        case PipeDest.Uri(uri) =>
+          val p = new org.apache.hadoop.fs.Path(uri)
+          val out = p.getFileSystem(spark.sessionState.newHadoopConf())
+            .create(p, true)
+          try graft.cli.PgBinary.write(src, out) finally out.close()
+        case PipeDest.Prog(cmd) =>
+          val tmp = java.nio.file.Files.createTempFile("graft_pgb_", ".bin")
+          tmp.toFile.deleteOnExit()
+          val out = java.nio.file.Files.newOutputStream(tmp)
+          val rows = try graft.cli.PgBinary.write(src, out) finally out.close()
+          val proc = new ProcessBuilder("/bin/sh", "-c", cmd)
+            .redirectInput(tmp.toFile).start()
+          val code = proc.waitFor()
+          if (code != 0)
+            throw new IllegalStateException(s"COPY TO PROGRAM exited with $code")
+          rows
+      } else dest match {
+        case PipeDest.Uri(uri) =>
+          val res = CopyTo(src, uri, options)
+          CopySql.writtenRows(spark, res.files)
+        case PipeDest.Stdout =>
+          // one spool write is the only execution; count from its footer
+          graft.cli.PipeCopy.copyToStreamRows(src, System.out, options)
+        case PipeDest.Prog(cmd) =>
+          val (code, n) = graft.cli.PipeCopy.copyToProgramRows(
+            src, Seq("/bin/sh", "-c", cmd), options)
+          if (code != 0)
+            throw new IllegalStateException(s"COPY TO PROGRAM exited with $code")
+          n
+      }
     Seq(Row(n))
   }
 }
@@ -376,14 +398,36 @@ final case class CopyFromCommand(
         StructType(columns.map(full(_)))
       }
     val opts = options.copy(where = where.orElse(options.where))
-    val read = source match {
-      case PipeSource.Uri(uri) => CopyFrom(spark, uri, target, opts)
-      case PipeSource.Stdin =>
-        graft.cli.PipeCopy.copyFromStream(spark, System.in, Some(target), opts)
-      case PipeSource.Prog(cmd) =>
-        graft.cli.PipeCopy.copyFromProgram(
-          spark, Seq("/bin/sh", "-c", cmd), Some(target), opts)
-    }
+    val read =
+      if (opts.format == "pg_binary") {
+        val parsed = source match {
+          case PipeSource.Stdin =>
+            graft.cli.PgBinary.read(spark, System.in, target)
+          case PipeSource.Uri(uri) =>
+            val p = new org.apache.hadoop.fs.Path(uri)
+            val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+            try graft.cli.PgBinary.read(spark, in, target) finally in.close()
+          case PipeSource.Prog(cmd) =>
+            val tmp = java.nio.file.Files.createTempFile("graft_pgb_", ".bin")
+            tmp.toFile.deleteOnExit()
+            val proc = new ProcessBuilder("/bin/sh", "-c", cmd)
+              .redirectOutput(tmp.toFile).start()
+            val code = proc.waitFor()
+            if (code != 0)
+              throw new IllegalStateException(
+                s"COPY FROM PROGRAM exited with $code")
+            val in = java.nio.file.Files.newInputStream(tmp)
+            try graft.cli.PgBinary.read(spark, in, target) finally in.close()
+        }
+        opts.where.map(parsed.filter).getOrElse(parsed)
+      } else source match {
+        case PipeSource.Uri(uri) => CopyFrom(spark, uri, target, opts)
+        case PipeSource.Stdin =>
+          graft.cli.PipeCopy.copyFromStream(spark, System.in, Some(target), opts)
+        case PipeSource.Prog(cmd) =>
+          graft.cli.PipeCopy.copyFromProgram(
+            spark, Seq("/bin/sh", "-c", cmd), Some(target), opts)
+      }
     val expanded = full.fields.toIndexedSeq.map { f =>
       if (target.fieldNames.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

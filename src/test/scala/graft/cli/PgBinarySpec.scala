@@ -1,0 +1,174 @@
+package graft.cli
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PostgreSQL binary COPY codec: byte-layout pins (the public format's
+  * signature/framing), numeric wire vectors, full-type round-trips, and
+  * the SQL COPY surface. */
+class PgBinarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def roundTrip(schema: StructType, rows: Seq[Row]): Seq[Row] = {
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJavaList), schema)
+    val out = new ByteArrayOutputStream()
+    assert(PgBinary.write(df, out) == rows.size)
+    PgBinary.read(spark, new ByteArrayInputStream(out.toByteArray), schema)
+      .collect().toSeq
+  }
+
+  private implicit class SeqRowOps(s: Seq[Row]) {
+    def asJavaList: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row]()
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  test("stream framing is byte-exact: signature, flags, tuple, trailer") {
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val df = spark.createDataFrame(
+      Seq(Row(7, "hi"), Row(null, null)).asJavaList, schema)
+    val out = new ByteArrayOutputStream()
+    PgBinary.write(df, out)
+    val b = out.toByteArray
+    // 11-byte signature: "PGCOPY\n" FF "\r\n" NUL
+    assert(b.take(11).toSeq == ("PGCOPY\n".getBytes("UTF-8") ++
+      Array(0xff.toByte, '\r'.toByte, '\n'.toByte, 0x00.toByte)).toSeq)
+    val bb = java.nio.ByteBuffer.wrap(b, 11, b.length - 11)
+    assert(bb.getInt == 0) // flags
+    assert(bb.getInt == 0) // header extension length
+    assert(bb.getShort == 2) // natts of row 1
+    assert(bb.getInt == 4)   // int4 length
+    assert(bb.getInt == 7)   // value
+    assert(bb.getInt == 2)   // text length
+    val txt = new Array[Byte](2); bb.get(txt)
+    assert(new String(txt, "UTF-8") == "hi")
+    assert(bb.getShort == 2)  // natts of row 2
+    assert(bb.getInt == -1)   // null
+    assert(bb.getInt == -1)   // null
+    assert(bb.getShort == -1) // trailer
+    assert(!bb.hasRemaining)
+  }
+
+  test("numeric wire layout matches the documented base-10000 encoding") {
+    // 1234567890.0987654321: int groups [12,3456,7890] weight 2,
+    // frac groups [987,6543,2100], dscale 10, positive
+    val enc = PgBinary.encodeNumeric(new JBigDecimal("1234567890.0987654321"))
+    val bb = java.nio.ByteBuffer.wrap(enc)
+    assert(bb.getShort == 6)      // ndigits
+    assert(bb.getShort == 2)      // weight
+    assert(bb.getShort == 0x0000) // sign +
+    assert(bb.getShort == 10)     // dscale
+    assert(Seq.fill(6)(bb.getShort.toInt) == Seq(12, 3456, 7890, 987, 6543, 2100))
+    // decode inverts
+    assert(PgBinary.decodeNumeric(enc) ==
+      new JBigDecimal("1234567890.0987654321"))
+    // zero: no digits, positive, keeps scale
+    val zero = PgBinary.encodeNumeric(new JBigDecimal("0.00"))
+    val zb = java.nio.ByteBuffer.wrap(zero)
+    assert(zb.getShort == 0 && zb.getShort == 0 && zb.getShort == 0 &&
+      zb.getShort == 2)
+    assert(PgBinary.decodeNumeric(zero) == new JBigDecimal("0.00"))
+    // negative, sub-unit value: 10^-4 boundary → weight -1
+    val neg = PgBinary.encodeNumeric(new JBigDecimal("-0.5"))
+    val nb = java.nio.ByteBuffer.wrap(neg)
+    assert(nb.getShort == 1)      // one group: 5000
+    assert(nb.getShort == -1)     // weight
+    assert(nb.getShort == 0x4000) // sign -
+    assert(nb.getShort == 1)      // dscale
+    assert(nb.getShort == 5000)
+    assert(PgBinary.decodeNumeric(neg) == new JBigDecimal("-0.5"))
+    // group-boundary integer
+    assert(PgBinary.decodeNumeric(PgBinary.encodeNumeric(
+      new JBigDecimal("10000"))) == new JBigDecimal("10000"))
+    assert(PgBinary.decodeNumeric(PgBinary.encodeNumeric(
+      new JBigDecimal("0.0001"))) == new JBigDecimal("0.0001"))
+  }
+
+  test("every supported type round-trips, including NULLs") {
+    val schema = StructType(Seq(
+      StructField("i2", ShortType), StructField("i4", IntegerType),
+      StructField("i8", LongType), StructField("f4", FloatType),
+      StructField("f8", DoubleType), StructField("b", BooleanType),
+      StructField("t", StringType), StructField("by", BinaryType),
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("n", DecimalType(12, 4))))
+    val rows = Seq(
+      Row(1.toShort, 2, 3L, 1.5f, 2.5, true, "héllo", Array[Byte](1, 2),
+        java.sql.Date.valueOf("2023-06-15"),
+        java.sql.Timestamp.valueOf("2023-06-15 12:34:56.789"),
+        new JBigDecimal("1234.5678")),
+      Row(null, null, null, null, null, null, null, null, null, null, null),
+      Row((-7).toShort, -42, Long.MinValue + 1, -0.25f, 1e100, false, "",
+        Array.emptyByteArray,
+        java.sql.Date.valueOf("1969-12-31"), // pre-PG-epoch
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999"),
+        new JBigDecimal("-9999.0001")))
+    val back = roundTrip(schema, rows)
+    assert(back.size == rows.size)
+    rows.zip(back).foreach { case (exp, got) =>
+      (0 until schema.length).foreach { i =>
+        (exp.get(i), got.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.toSeq == b.toSeq)
+          case (a, b) => assert(a == b, s"field ${schema(i).name}")
+        }
+      }
+    }
+  }
+
+  test("SQL COPY TO/FROM with format pg_binary round-trips a table") {
+    val dir = TestSpark.tmpDir("pgb_sql")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val src = (1 to 100).map(i =>
+      (i.toLong, s"name_$i", i * 1.5, i % 3 == 0)).toDF("k", "nm", "v", "flag")
+    src.createOrReplaceTempView("pgb_src")
+    val file = s"$dir/out.bin"
+    val written = graft.sql.GraftSql.exec(spark,
+      s"COPY (SELECT * FROM pgb_src ORDER BY k) TO '$file' (format pg_binary)")
+      .collect().head.getLong(0)
+    assert(written == 100)
+    // the file starts with the PGCOPY signature
+    val head = new Array[Byte](6)
+    val in = fs.open(new org.apache.hadoop.fs.Path(file))
+    in.readFully(head); in.close()
+    assert(new String(head, "UTF-8") == "PGCOPY")
+    // read back through COPY FROM into an empty table of the same shape
+    spark.sql("DROP TABLE IF EXISTS pgb_dst")
+    spark.sql(
+      s"CREATE TABLE pgb_dst (k BIGINT, nm STRING, v DOUBLE, flag BOOLEAN) " +
+        s"USING parquet LOCATION '$dir/dst'")
+    val loaded = graft.sql.GraftSql.exec(spark,
+      s"COPY pgb_dst FROM '$file' (format pg_binary)")
+      .collect().head.getLong(0)
+    assert(loaded == 100)
+    val back = spark.table("pgb_dst").orderBy("k").collect().toSeq
+    assert(back == src.orderBy("k").collect().toSeq)
+    // WHERE composes with the binary source
+    spark.sql("DROP TABLE IF EXISTS pgb_dst2")
+    spark.sql(
+      s"CREATE TABLE pgb_dst2 (k BIGINT, nm STRING, v DOUBLE, flag BOOLEAN) " +
+        s"USING parquet LOCATION '$dir/dst2'")
+    val filtered = graft.sql.GraftSql.exec(spark,
+      s"COPY pgb_dst2 FROM '$file' (format pg_binary) WHERE k <= 10")
+      .collect().head.getLong(0)
+    assert(filtered == 10)
+    // parquet knobs are refused for the row encoding
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.exec(spark,
+        s"COPY (SELECT 1 AS x) TO '$file' (format pg_binary, compression 'zstd')")
+    }
+  }
+}

@@ -83,7 +83,7 @@ class CopySqlSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("not supported for COPY TO"))
     val e2 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       "COPY (SELECT 1) TO '/tmp/x' (FORMAT csv)"))
-    assert(e2.getMessage.contains("only parquet"))
+    assert(e2.getMessage.contains("parquet or pg_binary"))
     val e3 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       "COPY t FROM '/tmp/x' (MATCH_BY sideways)"))
     assert(e3.getMessage.contains("match_by"))
