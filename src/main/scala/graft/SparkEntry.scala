@@ -1383,6 +1383,50 @@ object SparkEntry {
       s.read.parquet(tgt).orderBy("c_custkey")
     }),
 
+    // streaming ingestion INTO the MVCC table layer: each micro-batch
+    // lands as a retryCommit-wrapped snapshot append, so concurrent
+    // maintenance (compaction, deletes) can interleave safely and every
+    // batch boundary is a time-travelable version — the streaming leg of
+    // what Delta/Iceberg sinks do, built from this repo's own pieces
+    "stream_snapshot_append" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamsnap_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/table"; val srcDir = s"$base/src"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      // v1: the low third; two micro-batch files append the rest
+      cust.filter(col("c_custkey") % 3 === 0)
+        .repartition(2).write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      cust.filter(col("c_custkey") % 3 === 1)
+        .coalesce(1).write.parquet(s"$srcDir/b1")
+      cust.filter(col("c_custkey") % 3 === 2)
+        .coalesce(1).write.parquet(s"$srcDir/b2")
+      val q = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            io.Snapshots.retryCommit() {
+              io.Snapshots.appendCommit(s, tgt, batch)
+            }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val latest = io.Snapshots.latestVersion(s, tgt)
+      // every micro-batch committed a version; v1 still time-travels
+      io.Snapshots.read(s, tgt)
+        .withColumn("n_versions", lit(latest.toLong))
+        .withColumn("v1_rows", lit(io.Snapshots.read(s, tgt, 1).count()))
+        .orderBy("c_custkey")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -2803,6 +2847,11 @@ object SparkEntry {
         "CASE WHEN c_custkey % 50 = 1 THEN c_acctbal + 10.0 " +
         "ELSE c_acctbal END AS c_acctbal, c_mktsegment " +
         "FROM customer WHERE c_custkey % 50 <> 7 ORDER BY c_custkey"),
+
+    "stream_snapshot_append" ->
+      ("SELECT *, CAST(3 AS BIGINT) AS n_versions, " +
+        "(SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) AS v1_rows " +
+        "FROM customer ORDER BY c_custkey"),
 
     "stream_static_join" ->
       ("SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, " +
