@@ -112,7 +112,10 @@ class GraftGsFileSystem extends FileSystem {
     val key = keyOf(f)
     if (!overwrite && client.head(bucket, key).isDefined)
       throw new IOException(s"$f already exists")
-    new FSDataOutputStream(new GcsOutputStream(client, bucket, key), statistics)
+    new FSDataOutputStream(
+      new GcsOutputStream(client, bucket, key,
+        getConf.getLong("fs.graft.gs.multipart.size", 64L * 1024 * 1024)),
+      statistics)
   }
 
   override def append(
@@ -234,24 +237,65 @@ private[gcs] class GcsInputStream(
   }
 }
 
-/** Whole-object buffering PUT.  The XML API's streaming alternatives
-  * (resumable sessions, S3-interop multipart) exist; a parquet part
-  * file comfortably fits task memory, so the simple form is used and a
-  * failed stream simply never PUTs — nothing partial becomes visible. */
+/** Buffering output stream: single PUT below the part size, the XML
+  * API's S3-interoperable multipart upload beyond it (parts flushed as
+  * the buffer fills — bounded memory for arbitrarily large objects).
+  * A failed stream aborts the upload instead of committing a truncated
+  * object — same protocol shape as [[graft.io.s3.S3OutputStream]]. */
 private[gcs] class GcsOutputStream(
-    client: GcsClient, bucket: String, key: String)
+    client: GcsClient, bucket: String, key: String, partSize: Long)
     extends java.io.OutputStream {
   private val buf = new ByteArrayOutputStream()
+  private var uploadId: Option[String] = None
+  private var partNum = 1
+  private val etags = Seq.newBuilder[(Int, String)]
   private var closed = false
+  private var failed = false
 
-  override def write(b: Int): Unit = buf.write(b)
-  override def write(b: Array[Byte], off: Int, len: Int): Unit =
-    buf.write(b, off, len)
+  override def write(b: Int): Unit = { buf.write(b); maybeFlushPart() }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    buf.write(b, off, len); maybeFlushPart()
+  }
+
+  private def maybeFlushPart(): Unit =
+    if (buf.size() >= partSize) {
+      try {
+        val id = uploadId.getOrElse {
+          val i = client.initiateMultipart(bucket, key); uploadId = Some(i); i
+        }
+        etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+          buf.toByteArray)))
+        partNum += 1
+        buf.reset()
+      } catch { case e: Throwable => failed = true; throw e }
+    }
 
   override def close(): Unit = {
     if (closed) return
     closed = true
-    client.put(bucket, key, buf.toByteArray)
+    uploadId match {
+      case None =>
+        if (!failed) client.put(bucket, key, buf.toByteArray)
+      case Some(id) =>
+        if (failed) {
+          try client.abortMultipart(bucket, key, id)
+          catch { case _: Throwable => () } // original failure wins
+        } else {
+          try {
+            if (buf.size() > 0) {
+              etags += ((partNum, client.uploadPart(bucket, key, id, partNum,
+                buf.toByteArray)))
+            }
+            client.completeMultipart(bucket, key, id, etags.result())
+          } catch {
+            case e: Throwable =>
+              failed = true
+              try client.abortMultipart(bucket, key, id)
+              catch { case _: Throwable => () }
+              throw e
+          }
+        }
+    }
     buf.reset()
   }
 }
@@ -450,6 +494,47 @@ private[gcs] class GcsClient(
     drain(conn)
     if (code != 200 && code != 204 && code != 404)
       throw new IOException(s"DELETE $bucket/$key: HTTP $code")
+  }
+
+  // S3-interoperable multipart upload (the XML API supports the same
+  // initiate/part/complete/abort verbs)
+
+  def initiateMultipart(bucket: String, key: String): String = {
+    val xml = expect2xx(
+      request("POST", pathOf(bucket, key), Seq("uploads" -> ""), null),
+      s"INITIATE $bucket/$key")
+    "<UploadId>([^<]+)</UploadId>".r
+      .findFirstMatchIn(new String(xml, UTF_8)).map(_.group(1))
+      .getOrElse(throw new IOException("no UploadId in initiate response"))
+  }
+
+  def uploadPart(
+      bucket: String, key: String, uploadId: String, partNum: Int,
+      body: Array[Byte]): String = {
+    val conn = request("PUT", pathOf(bucket, key),
+      Seq("partNumber" -> partNum.toString, "uploadId" -> uploadId), body)
+    expect2xx(conn, s"UPLOAD PART $partNum $bucket/$key")
+    Option(conn.getHeaderField("ETag")).getOrElse(
+      throw new IOException("no ETag on part upload"))
+  }
+
+  def completeMultipart(
+      bucket: String, key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Unit = {
+    val xml = parts.sortBy(_._1).map { case (n, etag) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    expect2xx(request("POST", pathOf(bucket, key),
+      Seq("uploadId" -> uploadId), xml.getBytes(UTF_8)),
+      s"COMPLETE $bucket/$key")
+    ()
+  }
+
+  def abortMultipart(bucket: String, key: String, uploadId: String): Unit = {
+    expect2xx(request("DELETE", pathOf(bucket, key),
+      Seq("uploadId" -> uploadId), null),
+      s"ABORT $bucket/$key")
+    ()
   }
 
   def copy(bucket: String, srcKey: String, dstKey: String): Unit = {

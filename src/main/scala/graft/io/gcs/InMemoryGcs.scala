@@ -37,6 +37,10 @@ final class InMemoryGcs(clientEmail: String) {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
   private val mtimes = new ConcurrentHashMap[String, Long]()
   private val tokens = new ConcurrentHashMap[String, Long]() // token -> exp ms
+  private val uploads =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Int, Array[Byte]]]()
+  private val uploadKeys = new ConcurrentHashMap[String, String]()
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var rejected = 0L
   @volatile private var served = 0L
   @volatile private var grants = 0L
@@ -162,15 +166,61 @@ final class InMemoryGcs(clientEmail: String) {
       case "GET" if key.isEmpty => listObjects(ex, bucket, query)
       case "GET" => getObject(ex, full)
       case "HEAD" => headObject(ex, full)
+      case "PUT" if query.contains("partNumber") => uploadPart(ex, query)
       case "PUT" if ex.getRequestHeaders.containsKey("x-goog-copy-source") =>
         copyObject(ex, full)
       case "PUT" => putObject(ex, full)
+      case "POST" if query.contains("uploads") => initiate(ex, full)
+      case "POST" if query.contains("uploadId") =>
+        complete(ex, full, query("uploadId"))
+      case "DELETE" if query.contains("uploadId") =>
+        abortUpload(ex, query("uploadId"))
       case "DELETE" =>
         if (objects.remove(full) != null) {
           mtimes.remove(full); respond(ex, 204, Array.emptyByteArray)
         } else respond(ex, 404, errXml("NoSuchKey"))
       case m => respond(ex, 400, errXml(s"unsupported $m $rawPath"))
     }
+  }
+
+  private def initiate(ex: HttpExchange, full: String): Unit = {
+    val id = s"gcs-upload-${uploadSeq.incrementAndGet()}"
+    uploads.put(id, new ConcurrentHashMap[Int, Array[Byte]]())
+    uploadKeys.put(id, full)
+    respond(ex, 200,
+      (s"<InitiateMultipartUploadResult><UploadId>$id</UploadId>" +
+        "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+  }
+
+  private def uploadPart(ex: HttpExchange, query: Map[String, String]): Unit = {
+    val id = query("uploadId")
+    val n = query("partNumber").toInt
+    val parts = uploads.get(id)
+    if (parts == null) { respond(ex, 404, errXml("NoSuchUpload")); return }
+    val body = ex.getRequestBody.readAllBytes()
+    parts.put(n, body)
+    ex.getResponseHeaders.set("ETag", s""""gcs-part-$n-${body.length}"""")
+    respond(ex, 200, Array.emptyByteArray)
+  }
+
+  private def complete(ex: HttpExchange, full: String, id: String): Unit = {
+    val parts = uploads.remove(id)
+    val key = uploadKeys.remove(id)
+    if (parts == null || key == null) {
+      respond(ex, 404, errXml("NoSuchUpload")); return
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    parts.asScala.toSeq.sortBy(_._1).foreach { case (_, b) => out.write(b) }
+    objects.put(key, out.toByteArray)
+    mtimes.put(key, System.currentTimeMillis())
+    respond(ex, 200, "<CompleteMultipartUploadResult/>".getBytes(UTF_8))
+  }
+
+  private def abortUpload(ex: HttpExchange, id: String): Unit = {
+    val parts = uploads.remove(id)
+    uploadKeys.remove(id)
+    if (parts == null) { respond(ex, 404, errXml("NoSuchUpload")); return }
+    respond(ex, 204, Array.emptyByteArray)
   }
 
   private def getObject(ex: HttpExchange, full: String): Unit = {

@@ -95,6 +95,17 @@ class AbfsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.getConf.setLong("fs.graft.abfs.block.size", 64L * 1024 * 1024)
   }
 
+  test("metadata functions read abfs:// footers") {
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"abfs://data@$host/meta")
+    val md = graft.meta.ParquetInfo.metadata(spark, s"abfs://data@$host/meta")
+    assert(md.count() >= 2)
+    val sch = graft.meta.ParquetInfo.schema(spark, s"abfs://data@$host/meta")
+    assert(sch.filter(org.apache.spark.sql.functions.col("name")
+      .isin("k", "name")).count() == 2)
+  }
+
   test("list pages over combined blobs and prefixes exactly once") {
     val fs = new Path(s"abfs://data@$host/")
       .getFileSystem(spark.sessionState.newHadoopConf())

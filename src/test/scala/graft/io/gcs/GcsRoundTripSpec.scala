@@ -71,6 +71,45 @@ class GcsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[java.io.FileNotFoundException] { fs.getFileStatus(g) }
   }
 
+  test("multipart upload assembles large objects; abort commits nothing") {
+    val fs = new Path("gs://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getConf.setLong("fs.graft.gs.multipart.size", 64 * 1024)
+    val f = new Path("gs://bucket/mp/big.bin")
+    val out = fs.create(f, true)
+    val chunk = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    (1 to 30).foreach(_ => out.write(chunk)) // 300 KB > 4 parts
+    out.close()
+    assert(fs.getFileStatus(f).getLen == 300000L)
+    val in = fs.open(f)
+    in.seek(299990)
+    val tail = new Array[Byte](10)
+    assert(in.read(tail, 0, 10) == 10)
+    assert(tail.toSeq == chunk.slice(9990, 10000).toSeq)
+    in.close()
+    fs.getConf.setLong("fs.graft.gs.multipart.size", 64L * 1024 * 1024)
+    // abort path: initiate + one part + abort leaves no object behind
+    val client = fs.asInstanceOf[GraftGsFileSystem].client
+    val id = client.initiateMultipart("bucket", "mp/victim.bin")
+    client.uploadPart("bucket", "mp/victim.bin", id, 1, Array[Byte](1, 2, 3))
+    client.abortMultipart("bucket", "mp/victim.bin", id)
+    assert(client.head("bucket", "mp/victim.bin").isEmpty)
+    intercept[Exception] {
+      client.completeMultipart("bucket", "mp/victim.bin", id,
+        Seq(1 -> "\"gcs-part-1-3\""))
+    }
+  }
+
+  test("metadata functions read gs:// footers") {
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+    df.coalesce(1).write.mode("overwrite").parquet("gs://bucket/meta")
+    val md = graft.meta.ParquetInfo.metadata(spark, "gs://bucket/meta")
+    assert(md.count() >= 2) // one row per column per row group
+    val sch = graft.meta.ParquetInfo.schema(spark, "gs://bucket/meta")
+    assert(sch.filter(org.apache.spark.sql.functions.col("name")
+      .isin("k", "name")).count() == 2)
+  }
+
   test("list pages over combined keys and prefixes exactly once") {
     val fs = new Path("gs://bucket/")
       .getFileSystem(spark.sessionState.newHadoopConf())
