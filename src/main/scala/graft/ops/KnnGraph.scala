@@ -264,8 +264,14 @@ object KnnGraph {
       val m = if (l == 0) n else sub.count()
       if (m < math.max(2, k))
         None
-      else
-        Some(build(sub, "id", vecCol, math.min(k, (m - 1).toInt), iters))
+      else {
+        // upper layers only STEER the entry beam — half the refinement
+        // rounds suffice there, and each round is a fixed number of
+        // Spark jobs whose scheduling overhead dominates on the small
+        // upper subsets
+        val levelIters = if (l == 0) iters else math.max(2, iters / 2)
+        Some(build(sub, "id", vecCol, math.min(k, (m - 1).toInt), levelIters))
+      }
     }
     LayeredKnnGraph(levels, branching)
   }

@@ -41,6 +41,16 @@ class CloudConfSpec extends AnyFunSuite {
     assert(s("fs.azure.sas.fixed.token.acct1.dfs.core.windows.net") == "sv=x")
   }
 
+  test("endpoint overrides route the built-in abfs and gs clients") {
+    val az = CloudConf.hadoopSettings(Map(
+      "AZURE_STORAGE_ACCOUNT" -> "acct1", "AZURE_STORAGE_KEY" -> "K==",
+      "AZURE_STORAGE_ENDPOINT" -> "http://127.0.0.1:9000"))
+    assert(az("fs.graft.abfs.endpoint") == "http://127.0.0.1:9000")
+    val gs = CloudConf.hadoopSettings(Map(
+      "STORAGE_EMULATOR_HOST" -> "http://127.0.0.1:9001"))
+    assert(gs("fs.graft.gs.endpoint") == "http://127.0.0.1:9001")
+  }
+
   test("azure connection string is parsed for account and key") {
     val m = CloudConf.hadoopSettings(Map(
       "AZURE_STORAGE_CONNECTION_STRING" ->
