@@ -36,6 +36,20 @@ object Maintenance {
       val t = new Path(uri + suf)
       if (fs.exists(t)) { fs.delete(t, true); removed += t.toString }
     }
+    // per-commit stamped strands (`<table>_merge_tmp_<stamp>` from a
+    // crashed Snapshots commit) live as SIBLINGS of the table dir
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      val tableName = p.getName
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n != tableName &&
+            TmpSuffixes.exists(suf => n.startsWith(tableName + suf))) {
+          fs.delete(st.getPath, true)
+          removed += st.getPath.toString
+        }
+      }
+    }
     if (fs.exists(p)) {
       // hidden temp files inside the dir (writer scratch), but never the
       // commit markers

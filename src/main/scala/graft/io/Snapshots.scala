@@ -128,6 +128,15 @@ object Snapshots extends Serializable {
     spark.read.option("basePath", uri)
       .parquet(names.map(n => s"$uri/$n"): _*)
 
+  /** Per-commit staging dir: UNIQUELY stamped so concurrent writers
+    * never clobber each other's in-flight files (a shared `_merge_tmp`
+    * would be deleted out from under a racing commit).  publishTmp
+    * removes it on success; a crashed commit's strand is swept by
+    * VACUUM's `*_merge_tmp*` match. */
+  private def commitTmp(uri: String): Path =
+    new Path(uri + "_merge_tmp_" +
+      java.util.UUID.randomUUID().toString.take(8))
+
   private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
   private def manifestPath(uri: String, v: Int) =
     new Path(manifestDir(uri), f"v$v%06d.manifest")
@@ -250,7 +259,7 @@ object Snapshots extends Serializable {
     val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)
-    val tmp = new Path(uri + "_merge_tmp")
+    val tmp = commitTmp(uri)
     fs.delete(tmp, true)
     writeTmp(replacement, tmp, partitionColsOf(entries))
     val newV = v + 1
@@ -284,7 +293,7 @@ object Snapshots extends Serializable {
     val newV = v + 1
     val moved = replacement match {
       case Some(r) =>
-        val tmp = new Path(uri + "_merge_tmp")
+        val tmp = commitTmp(uri)
         fs.delete(tmp, true)
         writeTmp(r, tmp, partitionColsOf(entries))
         publishTmp(fs, tmp, uri, newV)
@@ -303,7 +312,7 @@ object Snapshots extends Serializable {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
     val fs = fsOf(spark, uri)
-    val tmp = new Path(uri + "_merge_tmp")
+    val tmp = commitTmp(uri)
     fs.delete(tmp, true)
     writeTmp(df, tmp, partitionColsOf(entries))
     val newV = v + 1
@@ -339,7 +348,7 @@ object Snapshots extends Serializable {
         math.max(4096L, targetBytes / 64).toString,
       "spark.sql.files.minPartitionNum" -> "1")
     val saved = packKeys.keys.map(k => k -> sqlConf.getOption(k)).toMap
-    val tmp = new Path(uri + "_merge_tmp")
+    val tmp = commitTmp(uri)
     fs.delete(tmp, true)
     try {
       packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
@@ -385,7 +394,7 @@ object Snapshots extends Serializable {
       .repartitionByRange(n, org.apache.spark.sql.functions.col("z_value"))
       .sortWithinPartitions("z_value")
       .drop("z_value")
-    val tmp = new Path(uri + "_merge_tmp")
+    val tmp = commitTmp(uri)
     fs.delete(tmp, true)
     writeTmp(zed, tmp, partitionColsOf(entries))
     val newV = v + 1

@@ -340,6 +340,36 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("concurrent commit"))
   }
 
+  test("retryCommit under REAL thread concurrency: all appends land") {
+    val dir = freshTable("snap_threads", n = 30)
+    Snapshots.init(spark, dir)
+    // four threads race appendCommit through retryCommit concurrently;
+    // first-wins losses must replay until every batch is committed
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          Snapshots.retryCommit(maxAttempts = 20) {
+            Snapshots.appendCommit(spark, dir,
+              Seq((1000L + t, s"thread_$t")).toDF("k", "name"))
+          }
+          ()
+        } catch { case e: Throwable => errors.add(e) }
+      }, s"graft-race-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent commits failed: ${errors.peek()}")
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.count() == 34, "30 base rows + 4 concurrent appends")
+    assert((1 to 4).forall(t => latest.filter(s"k = ${1000 + t}").count() == 1))
+    // versions serialized: exactly init + 4 commits
+    assert(Snapshots.latestVersion(spark, dir) == 5)
+    // losers' orphan data files are reclaimable, readers unaffected
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(Snapshots.read(spark, dir).count() == 34)
+  }
+
   test("manifest data skipping: pruned reads never touch excluded files") {
     val dir = freshTable("snap_skip", n = 4000) // 4 range files on k
     Snapshots.init(spark, dir)
