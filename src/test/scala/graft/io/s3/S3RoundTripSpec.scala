@@ -119,6 +119,34 @@ class S3RoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.getConf.setLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024)
   }
 
+  test("snapshot tables compose with s3a://: init, merge, travel, skip") {
+    val uri = "s3a://bucket/snap/orders"
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+    df.repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.mode("overwrite").parquet(uri)
+    graft.io.Snapshots.init(spark, uri)
+    // stats recorded through the signed FS; manifest pruning works
+    val entries = graft.io.Snapshots.readManifestEntries(spark, uri, 1)
+    assert(entries.size == 4 && entries.forall(_.stats.isDefined))
+    assert(graft.io.Snapshots.pruneEntries(spark, entries, "k <= 50").size == 1)
+    // MVCC merge + time travel over the object store
+    val v2 = graft.io.Snapshots.mergeCommit(spark, uri,
+      Seq((1L, "MERGED")).toDF("k", "name"), Seq("k"))
+    assert(v2 == 2)
+    assert(graft.io.Snapshots.read(spark, uri)
+      .filter("k = 1").select("name").head().getString(0) == "MERGED")
+    assert(graft.io.Snapshots.read(spark, uri, 1)
+      .filter("k = 1").select("name").head().getString(0) == "v1")
+    // pruned read never opens excluded objects
+    val out = graft.io.Snapshots.readWhere(spark, uri, "k <= 50")
+    assert(out.count() == 50)
+    assert(out.inputFiles.length == 1)
+    // expire reclaims superseded objects through the signed DELETE path
+    val removed = graft.io.Snapshots.expire(spark, uri, keepVersions = 1)
+    assert(removed.nonEmpty)
+    assert(graft.io.Snapshots.read(spark, uri).count() == 400)
+  }
+
   test("listV2 pages over combined keys and common prefixes exactly once") {
     val fs = new Path("s3a://bucket/")
       .getFileSystem(spark.sessionState.newHadoopConf())
