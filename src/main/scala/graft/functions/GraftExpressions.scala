@@ -333,9 +333,15 @@ case class SimHash64(child: Expression)
  * Cosine similarity of two float vectors with double accumulation in
  * array order (deterministic; matches a sequential oracle).  Returns null
  * on length mismatch or zero norms.
+ *
+ * Generates code (it sits in the per-candidate scoring projection of
+ * EVERY similarity query — brute force, IVF/PQ rerank, kNN-graph and
+ * layered serving; a CodegenFallback here would knock the whole scoring
+ * stage out of whole-stage codegen).  The generated loop is the same
+ * arithmetic in the same order as the interpreted path.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -355,6 +361,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $a.getFloat($i);
+         |    final double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} =
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
