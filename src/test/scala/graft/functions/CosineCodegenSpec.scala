@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The cosine kernel must actually GENERATE code: with fallback
+  * disabled and factory mode CODEGEN_ONLY any generation failure
+  * throws, so this pins the doGenCode path (and its null semantics)
+  * rather than silently testing the interpreted one. */
+class CosineCodegenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine generates code; values and null semantics match") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      GraftFunctions.register(spark)
+      val df = Seq(
+        (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+        (Array(1.0f, 2.0f), Array(2.0f, 1.0f)),
+        (Array(0.0f, 0.0f), Array(1.0f, 1.0f)), // zero norm → null
+        (Array(1.0f), Array(1.0f, 2.0f)))       // length mismatch → null
+        .toDF("a", "b")
+      val out = df.select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
+        .collect()
+      assert(out(0).getDouble(0) == 1.0)
+      assert(math.abs(out(1).getDouble(0) - 0.8) < 1e-12)
+      assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+      // generated and interpreted paths agree bit-for-bit on real data
+      val emb = spark.read
+        .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+        .limit(50).select(col("vec_id"), col("embedding"))
+      val pairs = emb.as("x").crossJoin(emb.as("y"))
+        .select(GraftFunctions.cosine(
+          col("x.embedding"), col("y.embedding")).as("c"))
+      val generated = pairs.agg(sum(abs(col("c")))).head().getDouble(0)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = pairs.agg(sum(abs(col("c")))).head().getDouble(0)
+      assert(generated == interpreted,
+        "generated arithmetic must match the interpreted path exactly")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
