@@ -334,11 +334,12 @@ case class SimHash64(child: Expression)
  * array order (deterministic; matches a sequential oracle).  Returns null
  * on length mismatch or zero norms.
  *
- * Generates code (it sits in the per-candidate scoring projection of
- * EVERY similarity query — brute force, IVF/PQ rerank, kNN-graph and
- * layered serving; a CodegenFallback here would knock the whole scoring
- * stage out of whole-stage codegen).  The generated loop is the same
- * arithmetic in the same order as the interpreted path.
+ * Generates code: it sits in the per-candidate scoring projection of
+ * EVERY similarity query (brute force, IVF/PQ rerank, kNN-graph and
+ * layered serving), where CodegenFallback's per-row interpreted
+ * `eval` call plus Double boxing is pure overhead at queries×beam×k
+ * volume.  The generated loop is the same arithmetic in the same order
+ * as the interpreted path.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
