@@ -471,7 +471,11 @@ object Snapshots extends Serializable {
       entries: Seq[ManifestEntry]): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
-    val tmp = new Path(manifestDir(uri), s".v$v.tmp")
+    // writer-unique tmp: two racers targeting the same version must not
+    // share a staging path (on a checksummed FS one writer's overwrite
+    // deletes the other's in-flight .crc sidecar mid-write)
+    val tmp = new Path(manifestDir(uri),
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val lines = entries.sortBy(_.name).map { e =>
       e.stats match {
         case Some(s) => s"${e.name}\t$s"
