@@ -227,23 +227,30 @@ object SnapshotStats extends Serializable {
   private[io] final case class NumV(v: JBigDecimal) extends CValue
   private[io] final case class StrV(bytes: Array[Byte]) extends CValue
 
-  /** One extractable conjunct: `column op literal`, or `column IN
+  /** One extractable comparison: `column op literal`, or `column IN
     * (literals)` with op "in" and one CValue per list element. */
   private[io] final case class Conjunct(
       column: String, op: String, values: Seq[CValue])
 
-  /** Split a predicate into conjuncts and keep the `col <op> literal`
-    * comparisons (both orientations); everything else contributes no
-    * pruning.  Date/timestamp literals come out in their Catalyst
-    * day/micro domain — matching the manifest's DATE/TIMESTAMP stats —
-    * and string literals in the byte-wise UTF8 domain.  Never throws —
-    * an unparseable predicate prunes nothing. */
-  private[io] def extractConjuncts(
-      spark: SparkSession, predicate: String): Seq[Conjunct] = {
-    def flatten(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => flatten(l) ++ flatten(r)
-      case other => Seq(other)
-    }
+  /** Boolean structure of a predicate, reduced to what interval tests
+    * can decide: AND/OR over leaf comparisons, with everything else an
+    * always-may-match Unknown — so `date < X OR region = 'archived'`
+    * prunes a file when BOTH branches are disproven, and a NOT / UDF /
+    * subquery anywhere degrades only ITS branch, never the whole
+    * predicate. */
+  private[io] sealed trait Pred
+  private[io] final case class AndP(l: Pred, r: Pred) extends Pred
+  private[io] final case class OrP(l: Pred, r: Pred) extends Pred
+  private[io] final case class LeafP(c: Conjunct) extends Pred
+  private[io] case object UnknownP extends Pred
+
+  /** Parse a predicate into its prunable boolean structure.
+    * Date/timestamp literals come out in their Catalyst day/micro
+    * domain — matching the manifest's DATE/TIMESTAMP stats — and string
+    * literals in the byte-wise UTF8 domain.  Never throws — an
+    * unparseable predicate prunes nothing. */
+  private[io] def parsePredicate(
+      spark: SparkSession, predicate: String): Pred = {
     def lit(l: Literal): Option[CValue] = l.value match {
       case null => None
       case n @ (_: java.lang.Integer | _: java.lang.Long |
@@ -294,9 +301,13 @@ object SnapshotStats extends Serializable {
         else None
       case _ => None
     }
-    try flatten(spark.sessionState.sqlParser.parseExpression(predicate))
-      .flatMap(comp)
-    catch { case _: Exception => Nil }
+    def toPred(e: Expression): Pred = e match {
+      case And(l, r) => AndP(toPred(l), toPred(r))
+      case Or(l, r) => OrP(toPred(l), toPred(r))
+      case other => comp(other).map(LeafP.apply).getOrElse(UnknownP)
+    }
+    try toPred(spark.sessionState.sqlParser.parseExpression(predicate))
+    catch { case _: Exception => UnknownP }
   }
 
   /** Point bounds for a file's hive partition-path values
@@ -348,19 +359,19 @@ object SnapshotStats extends Serializable {
     sb.toString
   }
 
-  /** MAY this file match? — false only when some conjunct's interval
-    * test proves no row can satisfy it.  A conjunct whose literal domain
-    * differs from the column's stats domain (e.g. a string literal
-    * compared against a date column) prunes nothing.  `extra` carries
-    * partition-value point bounds (possibly several domain
-    * representations of the same value) — a disproof in ANY matching
-    * domain prunes the file. */
+  /** MAY this file match? — false only when the predicate's prunable
+    * structure proves no row can satisfy it: an AND fails when either
+    * side fails, an OR only when BOTH sides fail, Unknown never fails.
+    * A comparison whose literal domain differs from the column's stats
+    * domain (e.g. a string literal compared against a date column)
+    * prunes nothing.  `extra` carries partition-value point bounds
+    * (possibly several domain representations of the same value) — a
+    * disproof in ANY matching domain prunes the file. */
   private[io] def mayMatch(
-      stats: Option[String], conjuncts: Seq[Conjunct],
+      stats: Option[String], pred: Pred,
       extra: Map[String, Seq[Bound]] = Map.empty): Boolean = {
-    if (conjuncts.isEmpty) return true
-    val bounds = stats.map(parseStats).getOrElse(Map.empty)
-    conjuncts.forall { c =>
+    lazy val bounds = stats.map(parseStats).getOrElse(Map.empty)
+    def leafMay(c: Conjunct): Boolean = {
       val candidates = bounds.get(c.column).toSeq ++
         extra.getOrElse(c.column, Nil)
       if (c.op == "in")
@@ -369,6 +380,13 @@ object SnapshotStats extends Serializable {
       else
         !candidates.exists(b => disproves(b, c.op, c.values.head))
     }
+    def eval(p: Pred): Boolean = p match {
+      case AndP(l, r) => eval(l) && eval(r)
+      case OrP(l, r) => eval(l) || eval(r)
+      case LeafP(c) => leafMay(c)
+      case UnknownP => true
+    }
+    eval(pred)
   }
 
   /** True when this bound PROVES the conjunct cannot hold; a domain

@@ -233,8 +233,8 @@ object Snapshots extends Serializable {
   private[graft] def pruneEntries(
       spark: SparkSession, entries: Seq[ManifestEntry],
       predicate: String): Seq[String] = {
-    val conjuncts = SnapshotStats.extractConjuncts(spark, predicate)
-    entries.filter(e => SnapshotStats.mayMatch(e.stats, conjuncts,
+    val pred = SnapshotStats.parsePredicate(spark, predicate)
+    entries.filter(e => SnapshotStats.mayMatch(e.stats, pred,
         SnapshotStats.partitionBounds(e.name)))
       .map(_.name)
   }

@@ -463,6 +463,21 @@ class SnapshotsSpec extends AnyFunSuite {
     val pred = "event_date >= DATE '2019-06-01' AND amount < 600.00"
     assert(Snapshots.readWhere(spark, dir, pred).count()
       == Snapshots.read(spark, dir).filter(pred).count())
+    // OR structure: prune only when BOTH branches are disproven
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date < DATE '2019-03-01' OR event_date > DATE '2021-06-01'")
+      .size == 2, "two extreme ranges keep only the two edge files")
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date < DATE '2019-03-01' OR amount >= 0").size == 4,
+      "an always-possible OR branch keeps everything")
+    // an unparseable branch degrades only ITSELF, not the whole predicate
+    assert(Snapshots.pruneEntries(spark, entries,
+      "event_date < DATE '2019-03-01' AND length(label) > 0").size == 1,
+      "unknown conjunct must not disable the date conjunct")
+    val orPred =
+      "event_date < DATE '2019-03-01' OR event_date >= DATE '2021-08-01'"
+    assert(Snapshots.readWhere(spark, dir, orPred).count()
+      == Snapshots.read(spark, dir).filter(orPred).count())
   }
 
   test("optimize commit: z-order rewrite makes BOTH columns prunable") {
