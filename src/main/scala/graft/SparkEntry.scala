@@ -497,6 +497,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // `files` metadata view of the table layer (Delta DESCRIBE DETAIL /
+    // Iceberg `files` analogue): live manifest entries with footer row
+    // counts — metadata-only, no data file touched
+    "meta_snapshot_files" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskip_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      graft.meta.MetaTableFunctions.register(s)
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n_files, " +
+        "CAST(sum(row_count) AS BIGINT) AS total_rows " +
+        s"FROM parquet_snapshot_files('$uri')")
+    }),
+
     // Snapshot-managed HIVE-PARTITIONED table: init records k=v relative
     // paths, a partition-predicate DELETE is a pure metadata commit
     // (whole partition dirs leave the manifest, zero rewrites), and both
@@ -2427,6 +2447,10 @@ object SparkEntry {
       ("SELECT *, CAST(o_orderdate AS DATE) AS o_date FROM orders " +
         "WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01' " +
         "ORDER BY o_orderkey"),
+
+    "meta_snapshot_files" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_files, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders) AS total_rows"),
 
     "io_snapshot_partitioned" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snap FROM orders " +

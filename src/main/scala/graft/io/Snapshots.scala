@@ -435,6 +435,39 @@ object Snapshots extends Serializable {
     removed.result()
   }
 
+  /** Live-file introspection of a pinned snapshot: one row per manifest
+    * entry with its footer-derived row count and data-skipping stats —
+    * the `parquet.list`-style view of the TABLE layer (what Delta's
+    * `DESCRIBE DETAIL` / Iceberg's `files` metadata table expose).
+    * Metadata-only: nothing but the manifest is read. */
+  def filesDf(
+      spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    val entries = readManifestEntries(spark, uri, v)
+    val rows = entries.sortBy(_.name).map { e =>
+      val rowCount = e.stats.flatMap(s =>
+        "rows=(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
+      val statCols = e.stats.map(s =>
+        SnapshotStats.parseStats(s).size).getOrElse(0)
+      org.apache.spark.sql.Row(v.toLong, e.name, rowCount.orNull,
+        statCols, e.stats.orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("stats_columns",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("stats",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /**
    * Run a commit with concurrent-writer retries: on a first-wins loss
    * ([[writeManifest]]'s "concurrent commit" refusal) the body is simply

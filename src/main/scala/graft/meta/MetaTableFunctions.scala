@@ -57,7 +57,7 @@ object MetaTableFunctions {
           // splices into the caller like any other FROM-clause relation
           fn(SparkSession.active, path).queryExecution.analyzed
         })
-    } :+ snapshotBuilder
+    } :+ snapshotBuilder :+ snapshotFilesBuilder
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version])` — SQL time
     * travel over a [[graft.io.Snapshots]]-managed directory (omitted
@@ -87,6 +87,37 @@ object MetaTableFunctions {
           e.eval().toString.toInt
         }.getOrElse(-1)
         graft.io.Snapshots.read(SparkSession.active, path, version)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM parquet_snapshot_files('<uri>'[, version])` — live
+    * manifest entries of a pinned snapshot with row counts and
+    * data-skipping stats (the `files` metadata view of the table
+    * layer); metadata-only, no data files touched. */
+  private def snapshotFilesBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_snapshot_files"),
+      new ExpressionInfo("graft", null, "parquet_snapshot_files",
+        "_FUNC_(uri[, version]) - live files + stats of a snapshot", ""),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 2)
+          throw new IllegalArgumentException(
+            "parquet_snapshot_files(uri[, version]) takes 1 or 2 " +
+              s"arguments, got ${args.length}")
+        val path = pathArg("parquet_snapshot_files", args.take(1))
+        val version = args.lift(1).map { e =>
+          val integral = Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType)
+          if (!e.foldable || !integral.contains(e.dataType))
+            throw new IllegalArgumentException(
+              s"parquet_snapshot_files: version must be an integer " +
+                s"literal, got ${e.sql}")
+          e.eval().toString.toInt
+        }.getOrElse(-1)
+        graft.io.Snapshots.filesDf(SparkSession.active, path, version)
           .queryExecution.analyzed
       })
 

@@ -54,6 +54,36 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
     assert(sqlFiles == apiFiles && sqlFiles.size >= 10)
   }
 
+  test("parquet_snapshot_files exposes live manifest entries with stats") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("meta_snapfiles")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+      .write.parquet(dir)
+    graft.io.Snapshots.init(spark, dir)
+    graft.io.Snapshots.appendCommit(spark, dir,
+      Seq((1000L, "x")).toDF("k", "name"))
+    val latest = spark.sql(
+      s"SELECT * FROM parquet_snapshot_files('$dir')").collect()
+    assert(latest.length == 3, "2 init files + 1 appended")
+    assert(latest.forall(_.getLong(0) == 2L), "latest version is 2")
+    assert(latest.map(r =>
+      Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)).sum == 201)
+    assert(latest.forall(_.getInt(3) >= 1), "every file carries stats")
+    // pinned older version: only the two init files
+    val v1 = spark.sql(
+      s"SELECT file FROM parquet_snapshot_files('$dir', 1)").collect()
+    assert(v1.length == 2)
+    // metadata-only introspection composes with SQL
+    val big = spark.sql(
+      s"SELECT file FROM parquet_snapshot_files('$dir') " +
+        "WHERE row_count > 50 ORDER BY file").collect()
+    assert(big.length == 2)
+  }
+
   test("non-literal and wrong-arity arguments are rejected at analysis") {
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM parquet_schema('/a', '/b')").collect())
@@ -76,6 +106,6 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_list", "parquet_schema", "parquet_metadata",
       "parquet_file_metadata", "parquet_kv_metadata",
       "parquet_column_stats", "parquet_bloom_filters",
-      "parquet_snapshot"))
+      "parquet_snapshot", "parquet_snapshot_files"))
   }
 }
