@@ -497,6 +497,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // NULL-test pruning over manifests: a derived column is null only
+    // above a key threshold, and the table is key-range laid out — so
+    // IS NOT NULL drops every all-null file (and IS NULL every no-null
+    // file) from the manifest's per-file null counts alone, the way
+    // Delta/Iceberg skip on nullCount.  Pinned file-level in
+    // SnapshotsSpec "null-count stats"
+    "io_snapshot_skip_null" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskipnull_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders")
+          .withColumn("o_note",
+            when(col("o_orderkey") < 30000L, col("o_orderpriority")))
+          .repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      io.Snapshots.readWhere(s, uri, "o_note IS NOT NULL")
+        .select("o_orderkey", "o_note").orderBy("o_orderkey")
+    }),
+
     // `files` metadata view of the table layer (Delta DESCRIBE DETAIL /
     // Iceberg `files` analogue): live manifest entries with footer row
     // counts — metadata-only, no data file touched
@@ -2446,6 +2470,11 @@ object SparkEntry {
     "io_snapshot_skip_date" ->
       ("SELECT *, CAST(o_orderdate AS DATE) AS o_date FROM orders " +
         "WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01' " +
+        "ORDER BY o_orderkey"),
+
+    "io_snapshot_skip_null" ->
+      ("SELECT o_orderkey, o_orderpriority AS o_note FROM orders " +
+        "WHERE o_orderkey < 30000 " +
         "ORDER BY o_orderkey"),
 
     "meta_snapshot_files" ->

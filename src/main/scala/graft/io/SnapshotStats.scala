@@ -37,8 +37,10 @@ import scala.jdk.CollectionConverters._
  * still applied to the scan.
  *
  * Stats format (one manifest line: `name\t<stats>`):
- *   `v2;rows=<n>;<urlenc(col)>=n:<min>,<max>;<urlenc(col)>=s:<urlenc(min)>,<urlenc(max)>;...`
+ *   `v2;rows=<n>;<urlenc(col)>=n:<min>,<max>;<urlenc(col)>=s:<urlenc(min)>,<urlenc(max)>;<urlenc(col)>=u:<nullCount>;...`
  * v1 lines (untagged numeric pairs) from older manifests still parse.
+ * `u:` entries carry per-column null counts — `IS NULL` prunes a file
+ * whose count is 0, `IS NOT NULL` one whose count equals its row count.
  */
 object SnapshotStats extends Serializable {
 
@@ -62,9 +64,13 @@ object SnapshotStats extends Serializable {
       if (blocks.isEmpty) return None
       val rows = blocks.map(_.getRowCount).sum
       // per column: merged [min,max] across row groups, dropped entirely
-      // if ANY chunk lacks stats (conservative)
+      // if ANY chunk lacks stats (conservative).  Null counts accumulate
+      // independently of the bounds (an ALL-null column has no min/max
+      // but its null count is exactly what IS NOT NULL pruning needs).
       val acc = scala.collection.mutable.LinkedHashMap[String, Bound]()
       val dropped = scala.collection.mutable.Set[String]()
+      val nulls = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val nullsDropped = scala.collection.mutable.Set[String]()
       blocks.foreach { blk =>
         blk.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
@@ -83,6 +89,12 @@ object SnapshotStats extends Serializable {
                 acc.remove(name)
             }
           }
+          if (!nullsDropped(name)) {
+            val st = cc.getStatistics
+            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            else { nullsDropped += name; nulls.remove(name) }
+          }
         }
       }
       val cols = acc.toSeq.map {
@@ -91,7 +103,10 @@ object SnapshotStats extends Serializable {
         case (n, StrBound(mn, mx)) =>
           s"${enc(n)}=s:${enc(new String(mn, UTF_8))},${enc(new String(mx, UTF_8))}"
       }
-      Some((s"v2;rows=$rows" +: cols).mkString(";"))
+      // `u:` (null-count) entries ride the same line; readers that only
+      // know bounds skip them (single-value body fails the pair split)
+      val nullCols = nulls.toSeq.map { case (n, c) => s"${enc(n)}=u:$c" }
+      Some((s"v2;rows=$rows" +: (cols ++ nullCols)).mkString(";"))
     } finally reader.close()
   }
 
@@ -223,6 +238,29 @@ object SnapshotStats extends Serializable {
     }.toMap
   }
 
+  /** The file's row count from its stats line, when recorded. */
+  private[io] def parseRowCount(stats: String): Option[Long] =
+    stats.split(";").lift(1).flatMap { p =>
+      if (!p.startsWith("rows=")) None
+      else try Some(p.stripPrefix("rows=").toLong)
+      catch { case _: NumberFormatException => None }
+    }
+
+  /** Per-column null counts (`u:` entries) from a stats line. */
+  private[io] def parseNullCounts(stats: String): Map[String, Long] = {
+    val parts = stats.split(";").toSeq
+    if (!parts.headOption.contains("v2")) return Map.empty
+    parts.drop(2).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) if v.startsWith("u:") =>
+          try Some(graft.io.s3.S3Signer.decodePath(k) ->
+            v.stripPrefix("u:").toLong)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+  }
+
   private[io] sealed trait CValue
   private[io] final case class NumV(v: JBigDecimal) extends CValue
   private[io] final case class StrV(bytes: Array[Byte]) extends CValue
@@ -299,6 +337,9 @@ object SnapshotStats extends Serializable {
         if (vs.forall(_.isDefined))
           attr(a).map(c => Conjunct(c, "in", vs.map(_.get)))
         else None
+      // null tests prune on the manifest's per-column null counts
+      case IsNull(a) => attr(a).map(c => Conjunct(c, "isnull", Nil))
+      case IsNotNull(a) => attr(a).map(c => Conjunct(c, "notnull", Nil))
       case _ => None
     }
     def toPred(e: Expression): Pred = e match {
@@ -342,6 +383,19 @@ object SnapshotStats extends Serializable {
     }.toMap
   }
 
+  /** Null knowledge from a file's hive partition path: a real `k=v`
+    * value means the column is null in NO row of the file (false); the
+    * `__HIVE_DEFAULT_PARTITION__` dir means it is null in EVERY row
+    * (true).  Partition columns never appear in footer stats, so this
+    * is their only null-pruning source. */
+  private[io] def partitionNulls(relPath: String): Map[String, Boolean] =
+    relPath.split("/").dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(unescapePath(seg.substring(0, i)) ->
+        (seg.substring(i + 1) == "__HIVE_DEFAULT_PARTITION__"))
+    }.toMap
+
   /** Spark/Hive %xx partition-path unescaping. */
   private def unescapePath(s: String): String = {
     if (!s.contains('%')) return s
@@ -369,16 +423,33 @@ object SnapshotStats extends Serializable {
     * disproof in ANY matching domain prunes the file. */
   private[io] def mayMatch(
       stats: Option[String], pred: Pred,
-      extra: Map[String, Seq[Bound]] = Map.empty): Boolean = {
+      extra: Map[String, Seq[Bound]] = Map.empty,
+      partNull: Map[String, Boolean] = Map.empty): Boolean = {
     lazy val bounds = stats.map(parseStats).getOrElse(Map.empty)
-    def leafMay(c: Conjunct): Boolean = {
-      val candidates = bounds.get(c.column).toSeq ++
-        extra.getOrElse(c.column, Nil)
-      if (c.op == "in")
+    lazy val rowCount = stats.flatMap(parseRowCount)
+    lazy val nullCounts = stats.map(parseNullCounts).getOrElse(Map.empty)
+    def leafMay(c: Conjunct): Boolean = c.op match {
+      case "isnull" =>
+        // disproven when the file provably has NO null in the column
+        !(nullCounts.get(c.column).contains(0L) ||
+          partNull.get(c.column).contains(false))
+      case "notnull" =>
+        // disproven when EVERY row is null (count == rows, or the file
+        // sits in the null partition dir for that column)
+        val fileAllNull = (rowCount, nullCounts.get(c.column)) match {
+          case (Some(r), Some(n)) => n == r && r > 0
+          case _ => false
+        }
+        !(partNull.get(c.column).contains(true) || fileAllNull)
+      case "in" =>
+        val candidates = bounds.get(c.column).toSeq ++
+          extra.getOrElse(c.column, Nil)
         // an IN matches if ANY listed value survives its equality test
         c.values.exists(v => !candidates.exists(b => disproves(b, "=", v)))
-      else
-        !candidates.exists(b => disproves(b, c.op, c.values.head))
+      case op =>
+        val candidates = bounds.get(c.column).toSeq ++
+          extra.getOrElse(c.column, Nil)
+        !candidates.exists(b => disproves(b, op, c.values.head))
     }
     def eval(p: Pred): Boolean = p match {
       case AndP(l, r) => eval(l) && eval(r)

@@ -235,7 +235,8 @@ object Snapshots extends Serializable {
       predicate: String): Seq[String] = {
     val pred = SnapshotStats.parsePredicate(spark, predicate)
     entries.filter(e => SnapshotStats.mayMatch(e.stats, pred,
-        SnapshotStats.partitionBounds(e.name)))
+        SnapshotStats.partitionBounds(e.name),
+        SnapshotStats.partitionNulls(e.name)))
       .map(_.name)
   }
 

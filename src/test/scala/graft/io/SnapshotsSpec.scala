@@ -480,6 +480,67 @@ class SnapshotsSpec extends AnyFunSuite {
       == Snapshots.read(spark, dir).filter(orPred).count())
   }
 
+  test("null-count stats: IS NULL / IS NOT NULL prune on manifests") {
+    val dir = TestSpark.tmpDir("snap_skip_null")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    // 3 files by k-range: [1,100] note never null, (100,200] mixed,
+    // (200,300] note ALWAYS null
+    spark.sql(
+      """SELECT id + 1 AS k,
+        |  CASE WHEN id < 100 THEN concat('n', id)
+        |       WHEN id < 200 AND id % 2 = 0 THEN concat('m', id)
+        |       ELSE NULL END AS note
+        |FROM range(300)""".stripMargin)
+      .repartitionByRange(3, col("k"))
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val entries = Snapshots.readManifestEntries(spark, dir, 1)
+    assert(entries.size == 3 && entries.forall(_.stats.isDefined))
+    // the stats lines carry null counts for both columns
+    assert(entries.forall(e =>
+      SnapshotStats.parseNullCounts(e.stats.get).contains("note")))
+    // IS NULL skips the no-null file; IS NOT NULL skips the all-null one
+    assert(Snapshots.pruneEntries(spark, entries, "note IS NULL").size == 2)
+    assert(Snapshots.pruneEntries(spark, entries, "note IS NOT NULL").size == 2)
+    // k is never null: IS NULL on it prunes everything
+    assert(Snapshots.pruneEntries(spark, entries, "k IS NULL").isEmpty)
+    assert(Snapshots.readWhere(spark, dir, "k IS NULL").count() == 0)
+    // pruned reads equal unpruned filters
+    assert(Snapshots.readWhere(spark, dir, "note IS NULL").count() == 150)
+    val nn = Snapshots.readWhere(spark, dir, "note IS NOT NULL")
+    assert(nn.count() == 150)
+    assert(nn.inputFiles.length == 2, "all-null file is never scanned")
+    // composes with range conjuncts through the AND/OR structure
+    assert(Snapshots.pruneEntries(spark, entries,
+      "note IS NOT NULL AND k > 200").isEmpty,
+      "both sides disprove the only candidate file")
+    assert(Snapshots.pruneEntries(spark, entries,
+      "note IS NULL OR k <= 100").size == 3)
+
+    // hive null partition: __HIVE_DEFAULT_PARTITION__ prunes both ways
+    val pdir = TestSpark.tmpDir("snap_skip_null_part")
+    fs.delete(new Path(pdir), true)
+    spark.sql(
+      """SELECT id AS k,
+        |  CASE WHEN id % 3 = 0 THEN NULL
+        |       WHEN id % 3 = 1 THEN 'EU' ELSE 'US' END AS region
+        |FROM range(90)""".stripMargin)
+      .write.partitionBy("region").parquet(pdir)
+    Snapshots.init(spark, pdir)
+    val pe = Snapshots.readManifestEntries(spark, pdir, 1)
+    val isNull = Snapshots.pruneEntries(spark, pe, "region IS NULL")
+    assert(isNull.nonEmpty &&
+      isNull.forall(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      "IS NULL keeps only the null-partition files")
+    val notNull = Snapshots.pruneEntries(spark, pe, "region IS NOT NULL")
+    assert(notNull.nonEmpty &&
+      !notNull.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      "IS NOT NULL drops the null-partition files")
+    assert(Snapshots.readWhere(spark, pdir, "region IS NULL").count() == 30)
+    assert(Snapshots.readWhere(spark, pdir, "region IS NOT NULL").count() == 60)
+  }
+
   test("optimize commit: z-order rewrite makes BOTH columns prunable") {
     val dir = TestSpark.tmpDir("snap_optimize")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
