@@ -521,6 +521,31 @@ object SparkEntry {
         .select("o_orderkey", "o_note").orderBy("o_orderkey")
     }),
 
+    // incremental change-feed over snapshot versions: two appends land,
+    // a compaction rewrites the layout in between, and readChanges(1)
+    // returns exactly the appended rows — the downstream-pipeline
+    // consumption pattern (process only what arrived since version N;
+    // on 100 TB the feed scans just the new files).  Kind routing and
+    // rewrite refusal pinned in SnapshotsSpec "readChanges"
+    "io_snapshot_changes" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapchanges_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        val ord = t(s, dir, "orders")
+        val m = pmod(col("o_orderkey"), lit(10))
+        ord.filter(m < 6).repartitionByRange(6, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+        io.Snapshots.appendCommit(s, uri, ord.filter(m === 6).repartition(2))
+        io.Snapshots.compactCommit(s, uri, 64L << 20)
+        io.Snapshots.appendCommit(s, uri, ord.filter(m === 7).repartition(2))
+      }
+      io.Snapshots.readChanges(s, uri, 1).orderBy("o_orderkey")
+    }),
+
     // `files` metadata view of the table layer (Delta DESCRIBE DETAIL /
     // Iceberg `files` analogue): live manifest entries with footer row
     // counts — metadata-only, no data file touched
@@ -2475,6 +2500,10 @@ object SparkEntry {
     "io_snapshot_skip_null" ->
       ("SELECT o_orderkey, o_orderpriority AS o_note FROM orders " +
         "WHERE o_orderkey < 30000 " +
+        "ORDER BY o_orderkey"),
+
+    "io_snapshot_changes" ->
+      ("SELECT * FROM orders WHERE o_orderkey % 10 IN (6, 7) " +
         "ORDER BY o_orderkey"),
 
     "meta_snapshot_files" ->

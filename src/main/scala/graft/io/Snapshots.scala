@@ -159,7 +159,7 @@ object Snapshots extends Serializable {
       s"$uri has data files in non-hive subdirectories " +
         s"(${bad.take(2).mkString(", ")}…) — snapshot-manage flat or " +
         "hive-partitioned (k=v) layouts only")
-    writeManifest(spark, uri, 1, entriesFor(spark, uri, rels))
+    writeManifest(spark, uri, 1, entriesFor(spark, uri, rels), kind = "init")
     1
   }
 
@@ -268,7 +268,7 @@ object Snapshots extends Serializable {
     // untouched files carry their stats forward — only NEW files read
     writeManifest(spark, uri, newV,
       entries.filterNot(e => touched.contains(e.name)) ++
-        entriesFor(spark, uri, moved))
+        entriesFor(spark, uri, moved), kind = "merge")
     newV
   }
 
@@ -303,7 +303,7 @@ object Snapshots extends Serializable {
     val gone = (dropWhole ++ touched).map(relName(uri, _)).toSet
     writeManifest(spark, uri, newV,
       entries.filterNot(e => gone.contains(e.name)) ++
-        entriesFor(spark, uri, moved))
+        entriesFor(spark, uri, moved), kind = "delete")
     newV
   }
 
@@ -318,7 +318,8 @@ object Snapshots extends Serializable {
     writeTmp(df, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
-    writeManifest(spark, uri, newV, entries ++ entriesFor(spark, uri, moved))
+    writeManifest(spark, uri, newV,
+      entries ++ entriesFor(spark, uri, moved), kind = "append")
     newV
   }
 
@@ -360,7 +361,8 @@ object Snapshots extends Serializable {
     }
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
-    writeManifest(spark, uri, newV, entriesFor(spark, uri, moved.toSeq))
+    writeManifest(spark, uri, newV,
+      entriesFor(spark, uri, moved.toSeq), kind = "compact")
     newV
   }
 
@@ -400,8 +402,56 @@ object Snapshots extends Serializable {
     writeTmp(zed, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
-    writeManifest(spark, uri, newV, entriesFor(spark, uri, moved.toSeq))
+    writeManifest(spark, uri, newV,
+      entriesFor(spark, uri, moved.toSeq), kind = "optimize")
     newV
+  }
+
+  /**
+   * Incremental (change-feed) read: the rows ADDED between
+   * `fromVersion` (exclusive) and `toVersion` (inclusive, `<= 0` →
+   * latest) — the consumption pattern of a downstream pipeline that
+   * processed the table up to a version and wants only what arrived
+   * since, without re-scanning the table (on a 100 TB table the feed
+   * reads only the new files; everything else is manifest metadata).
+   *
+   * Commit kinds (recorded in each manifest header) decide what
+   * contributes: `append` commits contribute their new files;
+   * `compact`/`optimize` rewrite the SAME rows into a new layout and
+   * contribute nothing; a `merge`/`delete` commit in the range is
+   * REFUSED — a file-level feed cannot separate a rewritten file's
+   * changed rows from its carried-over ones (the same append-only
+   * restriction Iceberg's incremental scan documents).  Read full
+   * versions around rewrite commits instead.
+   */
+  def readChanges(
+      spark: SparkSession, uri: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion <= 0) latestVersion(spark, uri) else toVersion
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"readChanges needs 1 <= fromVersion <= toVersion " +
+        s"(got $fromVersion..$to)")
+    var prev = readManifest(spark, uri, fromVersion).toSet
+    val added = Seq.newBuilder[String]
+    (fromVersion + 1 to to).foreach { v =>
+      val (kind, entries) = readManifestFull(spark, uri, v)
+      val names = entries.map(_.name)
+      kind match {
+        case "append" => added ++= names.filterNot(prev)
+        case "compact" | "optimize" => // layout-only: same rows, new files
+        case other => throw new IllegalStateException(
+          s"$uri v$v is a '$other' commit — readChanges supports " +
+            "append-only ranges (compact/optimize commits are skipped); " +
+            "read full versions around rewrite commits")
+      }
+      prev = names.toSet
+    }
+    val files = added.result()
+    if (files.isEmpty) {
+      val schema = read(spark, uri, to).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(spark, uri, files)
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data
@@ -496,13 +546,14 @@ object Snapshots extends Serializable {
     throw new IllegalStateException("unreachable")
   }
 
-  // ---- manifest encoding: "graft-manifest v2" header + one line per
-  // file (`name<TAB>stats`, stats optional — see [[SnapshotStats]]),
-  // committed by atomic rename.  v1 manifests (names only) still read.
+  // ---- manifest encoding: "graft-manifest v3 kind=<commit-kind>"
+  // header + one line per file (`name<TAB>stats`, stats optional — see
+  // [[SnapshotStats]]), committed by atomic rename.  v1 (names only)
+  // and v2 (no commit kind) manifests still read.
 
   private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int,
-      entries: Seq[ManifestEntry]): Unit = {
+      entries: Seq[ManifestEntry], kind: String = "unknown"): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
     // writer-unique tmp: two racers targeting the same version must not
@@ -516,9 +567,11 @@ object Snapshots extends Serializable {
         case None => e.name
       }
     }
+    require(kind.nonEmpty && !kind.exists(c => c.isWhitespace || c == '\n'),
+      s"bad commit kind '$kind'")
     val out = fs.create(tmp, true)
     try out.write(
-      (("graft-manifest v2" +: lines).mkString("\n") + "\n")
+      ((s"graft-manifest v3 kind=$kind" +: lines).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
@@ -544,7 +597,18 @@ object Snapshots extends Serializable {
     readManifestEntries(spark, uri, v).map(_.name)
 
   private[io] def readManifestEntries(
-      spark: SparkSession, uri: String, v: Int): Seq[ManifestEntry] = {
+      spark: SparkSession, uri: String, v: Int): Seq[ManifestEntry] =
+    readManifestFull(spark, uri, v)._2
+
+  /** A version's commit kind (append/merge/delete/compact/optimize/
+    * init); "unknown" for pre-v3 manifests. */
+  private[io] def manifestKind(
+      spark: SparkSession, uri: String, v: Int): String =
+    readManifestFull(spark, uri, v)._1
+
+  private def readManifestFull(
+      spark: SparkSession, uri: String, v: Int)
+      : (String, Seq[ManifestEntry]) = {
     val fs = fsOf(spark, uri)
     val p = manifestPath(uri, v)
     require(fs.exists(p), s"$uri has no manifest version $v")
@@ -555,15 +619,20 @@ object Snapshots extends Serializable {
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.headOption.exists(h =>
-      h == "graft-manifest v1" || h == "graft-manifest v2"),
+    val header = lines.headOption.getOrElse("")
+    require(header == "graft-manifest v1" || header == "graft-manifest v2" ||
+      header.startsWith("graft-manifest v3"),
       s"unrecognized manifest header in $p")
-    lines.tail.map { line =>
+    val kind = header.split(" ").collectFirst {
+      case a if a.startsWith("kind=") => a.stripPrefix("kind=")
+    }.getOrElse("unknown")
+    val entries = lines.tail.map { line =>
       line.split("\t", 2) match {
         case Array(n, s) => ManifestEntry(n, Some(s))
         case Array(n) => ManifestEntry(n, None)
       }
     }
+    (kind, entries)
   }
 
   /** Table-relative path of a data file (flat: the bare name;

@@ -480,6 +480,58 @@ class SnapshotsSpec extends AnyFunSuite {
       == Snapshots.read(spark, dir).filter(orPred).count())
   }
 
+  test("readChanges: appended rows between versions; rewrites refused") {
+    val dir = freshTable("snap_changes") // 100 rows, 4 files → v1
+    Snapshots.init(spark, dir)
+    val batchA = (101L to 150L).map(i => (i, s"a$i")).toDF("k", "name")
+    val v2 = Snapshots.appendCommit(spark, dir, batchA)
+    val v3 = Snapshots.compactCommit(spark, dir, 1L << 20)
+    assert(v3 == v2 + 1, "tiny files must actually compact")
+    val batchB = (151L to 160L).map(i => (i, s"b$i")).toDF("k", "name")
+    val v4 = Snapshots.appendCommit(spark, dir, batchB)
+
+    // kinds are recorded per commit
+    assert(Snapshots.manifestKind(spark, dir, 1) == "init")
+    assert(Snapshots.manifestKind(spark, dir, v2) == "append")
+    assert(Snapshots.manifestKind(spark, dir, v3) == "compact")
+
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").as[Long].collect().toSet
+    // full range: both appends, nothing from the compaction
+    assert(keys(Snapshots.readChanges(spark, dir, 1)) ==
+      (101L to 160L).toSet)
+    // sub-ranges; the feed never re-reads pre-from rows
+    assert(keys(Snapshots.readChanges(spark, dir, 1, v2)) ==
+      (101L to 150L).toSet)
+    assert(keys(Snapshots.readChanges(spark, dir, v3)) ==
+      (151L to 160L).toSet)
+    // from == to → empty with the table's schema
+    val empty = Snapshots.readChanges(spark, dir, v4)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("k", "name"))
+    // the feed reads ONLY the appended files, not the table
+    val feed = Snapshots.readChanges(spark, dir, v3)
+    assert(feed.inputFiles.length == keys_fileCount(dir, v3, v4),
+      "feed scans exactly the files v4 added")
+
+    // a merge commit poisons ranges that cross it — and only those
+    Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "X")).toDF("k", "name"), Seq("k"))
+    val e = intercept[IllegalStateException] {
+      Snapshots.readChanges(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("'merge'"))
+    assert(keys(Snapshots.readChanges(spark, dir, 1, v4)) ==
+      (101L to 160L).toSet, "ranges before the merge still read")
+  }
+
+  private def keys_fileCount(dir: String, from: Int, to: Int): Int = {
+    val before = Snapshots.readManifestEntries(spark, dir, from)
+      .map(_.name).toSet
+    Snapshots.readManifestEntries(spark, dir, to)
+      .map(_.name).count(n => !before(n))
+  }
+
   test("null-count stats: IS NULL / IS NOT NULL prune on manifests") {
     val dir = TestSpark.tmpDir("snap_skip_null")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
