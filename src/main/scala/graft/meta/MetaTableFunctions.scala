@@ -57,7 +57,7 @@ object MetaTableFunctions {
           // splices into the caller like any other FROM-clause relation
           fn(SparkSession.active, path).queryExecution.analyzed
         })
-    } :+ snapshotBuilder :+ snapshotFilesBuilder
+    } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version])` — SQL time
     * travel over a [[graft.io.Snapshots]]-managed directory (omitted
@@ -120,6 +120,43 @@ object MetaTableFunctions {
         graft.io.Snapshots.filesDf(SparkSession.active, path, version)
           .queryExecution.analyzed
       })
+
+  /** `SELECT * FROM parquet_snapshot_changes('<uri>', from[, to])` —
+    * the change feed as SQL: rows appended between `from` (exclusive)
+    * and `to` (inclusive, omitted = latest); append-only ranges, same
+    * rules as [[graft.io.Snapshots.readChanges]]. */
+  private def snapshotChangesBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_snapshot_changes"),
+      new ExpressionInfo("graft", null, "parquet_snapshot_changes",
+        "_FUNC_(uri, from[, to]) - rows appended in the version range", ""),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            "parquet_snapshot_changes(uri, from[, to]) takes 2 or 3 " +
+              s"arguments, got ${args.length}")
+        val path = pathArg("parquet_snapshot_changes", args.take(1))
+        val from = intLitArg("parquet_snapshot_changes", "from", args(1))
+        val to = args.lift(2)
+          .map(intLitArg("parquet_snapshot_changes", "to", _))
+          .getOrElse(-1)
+        graft.io.Snapshots.readChanges(SparkSession.active, path, from, to)
+          .queryExecution.analyzed
+      })
+
+  /** An integer-literal argument (versions are analysis-time values —
+    * the feed's range must be known before any rows flow). */
+  private def intLitArg(fname: String, arg: String, e: Expression): Int = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    if (!e.foldable || !integral.contains(e.dataType))
+      throw new IllegalArgumentException(
+        s"$fname: $arg must be an integer literal, got ${e.sql}")
+    e.eval().toString.toInt
+  }
 
   /** Programmatic registration on an existing session (the non-extensions
     * route, mirroring the `register(spark)` helpers of the scalar fns). */

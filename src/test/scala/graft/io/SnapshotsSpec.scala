@@ -523,6 +523,20 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'merge'"))
     assert(keys(Snapshots.readChanges(spark, dir, 1, v4)) ==
       (101L to 160L).toSet, "ranges before the merge still read")
+
+    // SQL route: the feed as a FROM-clause table function
+    graft.meta.MetaTableFunctions.register(spark)
+    assert(keys(spark.sql(
+      s"SELECT * FROM parquet_snapshot_changes('$dir', 1, $v4)")) ==
+      (101L to 160L).toSet)
+    assert(keys(spark.sql(
+      s"SELECT * FROM parquet_snapshot_changes('$dir', $v3, $v4)")) ==
+      (151L to 160L).toSet)
+    val badArg = intercept[Exception] {
+      spark.sql(s"SELECT * FROM parquet_snapshot_changes('$dir', 'x')")
+        .collect()
+    }
+    assert(badArg.getMessage.contains("integer literal"))
   }
 
   private def keys_fileCount(dir: String, from: Int, to: Int): Int = {
