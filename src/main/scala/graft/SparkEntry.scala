@@ -161,6 +161,29 @@ object SparkEntry {
     dir
   }
 
+  /** Shared snapshot-version-chain fixture for the change-feed and
+    * history queries: orders `%10 < 6` as v1 (init), append `%10 == 6`
+    * (v2), compact (v3), append `%10 == 7` (v4).  Built once per sf and
+    * reused — both queries must see the SAME chain. */
+  private def snapChangesFixture(s: SparkSession, dir: String): String = {
+    val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapchanges_" +
+      new java.io.File(dir).getName
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ord = t(s, dir, "orders")
+      val m = pmod(col("o_orderkey"), lit(10))
+      ord.filter(m < 6).repartitionByRange(6, col("o_orderkey"))
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.appendCommit(s, uri, ord.filter(m === 6).repartition(2))
+      io.Snapshots.compactCommit(s, uri, 64L << 20)
+      io.Snapshots.appendCommit(s, uri, ord.filter(m === 7).repartition(2))
+    }
+    uri
+  }
+
   /** Deterministic geometry fixture: WKB points/linestring/polygon written
     * once with a generated GeoParquet `geo` footer document. */
   private def geoFixtureDir(s: SparkSession): String = {
@@ -527,23 +550,20 @@ object SparkEntry {
     // consumption pattern (process only what arrived since version N;
     // on 100 TB the feed scans just the new files).  Kind routing and
     // rewrite refusal pinned in SnapshotsSpec "readChanges"
-    "io_snapshot_changes" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapchanges_" +
-        new java.io.File(dir).getName
-      val fs = new org.apache.hadoop.fs.Path(uri)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
-        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
-        val ord = t(s, dir, "orders")
-        val m = pmod(col("o_orderkey"), lit(10))
-        ord.filter(m < 6).repartitionByRange(6, col("o_orderkey"))
-          .write.parquet(uri)
-        io.Snapshots.init(s, uri)
-        io.Snapshots.appendCommit(s, uri, ord.filter(m === 6).repartition(2))
-        io.Snapshots.compactCommit(s, uri, 64L << 20)
-        io.Snapshots.appendCommit(s, uri, ord.filter(m === 7).repartition(2))
-      }
-      io.Snapshots.readChanges(s, uri, 1).orderBy("o_orderkey")
+    "io_snapshot_changes" -> ((s, dir) =>
+      io.Snapshots.readChanges(s, snapChangesFixture(s, dir), 1)
+        .orderBy("o_orderkey")),
+
+    // commit-history introspection over the same fixture: one metadata
+    // row per version with its kind and row count (Delta DESCRIBE
+    // HISTORY / Iceberg `snapshots` analogue) — proves the version
+    // chain init→append→compact→append is recorded faithfully, incl.
+    // that the compaction preserved the exact row count
+    "meta_snapshot_history" -> ((s, dir) => {
+      val uri = snapChangesFixture(s, dir)
+      graft.meta.MetaTableFunctions.register(s)
+      s.sql("SELECT version, kind, row_count " +
+        s"FROM parquet_snapshot_history('$uri') ORDER BY version")
     }),
 
     // `files` metadata view of the table layer (Delta DESCRIBE DETAIL /
@@ -2505,6 +2525,18 @@ object SparkEntry {
     "io_snapshot_changes" ->
       ("SELECT * FROM orders WHERE o_orderkey % 10 IN (6, 7) " +
         "ORDER BY o_orderkey"),
+
+    "meta_snapshot_history" ->
+      ("SELECT CAST(1 AS BIGINT) AS version, 'init' AS kind, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey % 10 < 6) AS row_count " +
+        "UNION ALL SELECT 2, 'append', " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 10 <= 6) " +
+        "UNION ALL SELECT 3, 'compact', " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 10 <= 6) " +
+        "UNION ALL SELECT 4, 'append', " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 10 <= 7) " +
+        "ORDER BY version"),
 
     "meta_snapshot_files" ->
       ("SELECT CAST(10 AS BIGINT) AS n_files, " +

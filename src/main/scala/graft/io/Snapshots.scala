@@ -519,6 +519,42 @@ object Snapshots extends Serializable {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** Commit history of a managed table (Delta `DESCRIBE HISTORY` /
+    * Iceberg `snapshots` analogue): one row per version with its commit
+    * kind, live-file count and row count (summed from manifest stats;
+    * null when any entry lacks them).  Metadata-only — one small
+    * manifest read per version, and [[expire]] bounds how many
+    * versions exist. */
+  def historyDf(spark: SparkSession, uri: String): DataFrame = {
+    val latest = latestVersion(spark, uri)
+    val fs = fsOf(spark, uri)
+    val rows = (1 to latest).flatMap { v =>
+      if (!fs.exists(manifestPath(uri, v))) None // expired prefix
+      else {
+        val (kind, entries) = readManifestFull(spark, uri, v)
+        val counts = entries.map(_.stats.flatMap(SnapshotStats.parseRowCount))
+        val rowCount: Any =
+          if (entries.isEmpty) 0L // delete-all version: zero rows
+          else if (counts.forall(_.isDefined)) counts.flatten.sum
+          else null
+        Some(org.apache.spark.sql.Row(
+          v.toLong, kind, entries.size, rowCount))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /**
    * Run a commit with concurrent-writer retries: on a first-wins loss
    * ([[writeManifest]]'s "concurrent commit" refusal) the body is simply

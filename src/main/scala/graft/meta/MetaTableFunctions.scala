@@ -57,7 +57,8 @@ object MetaTableFunctions {
           // splices into the caller like any other FROM-clause relation
           fn(SparkSession.active, path).queryExecution.analyzed
         })
-    } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder
+    } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
+      snapshotHistoryBuilder
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version])` — SQL time
     * travel over a [[graft.io.Snapshots]]-managed directory (omitted
@@ -141,6 +142,21 @@ object MetaTableFunctions {
           .map(intLitArg("parquet_snapshot_changes", "to", _))
           .getOrElse(-1)
         graft.io.Snapshots.readChanges(SparkSession.active, path, from, to)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM parquet_snapshot_history('<uri>')` — one row per
+    * version with commit kind, file and row counts (Delta
+    * `DESCRIBE HISTORY` / Iceberg `snapshots` analogue);
+    * metadata-only. */
+  private def snapshotHistoryBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_snapshot_history"),
+      new ExpressionInfo("graft", null, "parquet_snapshot_history",
+        "_FUNC_(uri) - commit history of a snapshot table", ""),
+      (args: Seq[Expression]) => {
+        val path = pathArg("parquet_snapshot_history", args)
+        graft.io.Snapshots.historyDf(SparkSession.active, path)
           .queryExecution.analyzed
       })
 

@@ -537,6 +537,19 @@ class SnapshotsSpec extends AnyFunSuite {
         .collect()
     }
     assert(badArg.getMessage.contains("integer literal"))
+
+    // history view: the full version chain with kinds and row counts
+    val hist = spark.sql(
+      s"SELECT * FROM parquet_snapshot_history('$dir') ORDER BY version")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.get(3))).toSeq
+    assert(hist.map(h => (h._1, h._2)) == Seq((1L, "init"), (2L, "append"),
+      (3L, "compact"), (4L, "append"), (5L, "merge")))
+    assert(hist.find(_._1 == 2).get._4 == 150L)
+    assert(hist.find(_._1 == 3).get._4 == 150L,
+      "compaction preserves the row count")
+    assert(hist.find(_._1 == 5).get._4 == 160L,
+      "the merge updated one row, added none")
   }
 
   private def keys_fileCount(dir: String, from: Int, to: Int): Int = {
