@@ -106,6 +106,7 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_list", "parquet_schema", "parquet_metadata",
       "parquet_file_metadata", "parquet_kv_metadata",
       "parquet_column_stats", "parquet_bloom_filters",
-      "parquet_snapshot", "parquet_snapshot_files"))
+      "parquet_snapshot", "parquet_snapshot_files",
+      "parquet_snapshot_changes", "parquet_snapshot_history"))
   }
 }
