@@ -474,6 +474,33 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // merge-on-read DELETE via deletion vectors: two scattered deletes
+    // land as position sidecars + manifest commits — ZERO data files
+    // rewritten (the at-scale win: a point delete on a 100 TB table
+    // costs kilobytes, not gigabyte rewrites), reads anti-join the
+    // manifest-known deleted positions, and the second delete exercises
+    // the DV-merge path.  File-untouched + compaction-materialization
+    // pinned in DeletionVectorSpec
+    "io_delete_dv" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_deletedv_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      // reruns re-match only already-deleted rows → no-op, idempotent
+      io.Snapshots.deleteWhereCommit(s, uri,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0",
+        mergeOnRead = true)
+      io.Snapshots.deleteWhereCommit(s, uri, "o_custkey % 7 = 3",
+        mergeOnRead = true)
+      io.Snapshots.read(s, uri).orderBy("o_orderkey")
+    }),
+
     // manifest-level data skipping: a key-range read over a snapshot
     // table consults the manifest's per-file min/max and scans ONLY the
     // files that can match — the Delta/Iceberg stats-pruning pattern
@@ -2505,6 +2532,12 @@ object SparkEntry {
     "io_delete_where" ->
       ("SELECT * FROM orders " +
         "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
+        "ORDER BY o_orderkey"),
+
+    "io_delete_dv" ->
+      ("SELECT * FROM orders " +
+        "WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0) " +
+        "AND NOT (o_custkey % 7 = 3) " +
         "ORDER BY o_orderkey"),
 
     "io_snapshot_skip" ->

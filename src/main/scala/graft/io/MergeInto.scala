@@ -114,7 +114,8 @@ object MergeInto {
   private[io] def replacementPlan(
       spark: SparkSession, target: DataFrame, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String],
-      basePath: Option[String] = None)
+      basePath: Option[String] = None,
+      readTouched: Option[Seq[String] => DataFrame] = None)
       : (Set[String], DataFrame) = {
     val dataCols = target.schema.fieldNames.toSeq
     val keyDf = updates.select(keyCols.map(col): _*)
@@ -138,10 +139,15 @@ object MergeInto {
         // basePath keeps hive partition columns resolvable from the
         // touched files' paths (without it a partitioned table's
         // partition columns would re-read as all-NULL and the rewrite
-        // would land in __HIVE_DEFAULT_PARTITION__)
-        val reader = spark.read.schema(target.schema)
-        val touchedDf = basePath.fold(reader)(bp =>
-          reader.option("basePath", bp)).parquet(touched.toSeq: _*)
+        // would land in __HIVE_DEFAULT_PARTITION__).  Snapshot callers
+        // override the re-read so deletion vectors stay applied.
+        val touchedDf = readTouched match {
+          case Some(rd) => rd(touched.toSeq)
+          case None =>
+            val reader = spark.read.schema(target.schema)
+            basePath.fold(reader)(bp =>
+              reader.option("basePath", bp)).parquet(touched.toSeq: _*)
+        }
         touchedDf.join(keyDf.hint("broadcast"), keyCols, "left_anti")
           .unionByName(upserts).coalesce(math.max(1, touched.size))
       }
@@ -216,7 +222,9 @@ object MergeInto {
    */
   private[io] def deletePlan(
       spark: SparkSession, target: DataFrame, predicate: String,
-      basePath: Option[String] = None)
+      basePath: Option[String] = None,
+      readTouched: Option[Seq[String] => DataFrame] = None,
+      liveRowCount: Option[String => Long] = None)
       : (Seq[String], Set[String], Option[DataFrame]) = {
     val pred = expr(predicate)
     val conf = spark.sessionState.newHadoopConf()
@@ -224,17 +232,26 @@ object MergeInto {
       .filter(pred).groupBy("__file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matchCounts.isEmpty) return (Nil, Set.empty, None)
+    // whole-file detection compares against LIVE rows — snapshot
+    // callers override to net out deletion vectors
+    val rowsOf = liveRowCount.getOrElse(footerRowCount(conf, _: String))
     val (dropWhole, rewrite) = matchCounts.keys.toSeq.partition { f =>
-      matchCounts(f) == footerRowCount(conf, f)
+      matchCounts(f) == rowsOf(f)
     }
     val touched = rewrite.toSet
     val replacement =
       if (touched.isEmpty) None
       else {
-        // see replacementPlan: basePath keeps partition columns live
-        val reader = spark.read.schema(target.schema)
-        Some(basePath.fold(reader)(bp => reader.option("basePath", bp))
-          .parquet(touched.toSeq: _*)
+        // see replacementPlan: basePath keeps partition columns live,
+        // readTouched keeps deletion vectors applied
+        val touchedDf = readTouched match {
+          case Some(rd) => rd(touched.toSeq)
+          case None =>
+            val reader = spark.read.schema(target.schema)
+            basePath.fold(reader)(bp => reader.option("basePath", bp))
+              .parquet(touched.toSeq: _*)
+        }
+        Some(touchedDf
           .filter(!coalesce(pred, lit(false)))
           .coalesce(math.max(1, touched.size)))
       }

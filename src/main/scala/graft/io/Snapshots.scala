@@ -38,9 +38,25 @@ import org.apache.spark.sql.functions._
  */
 object Snapshots extends Serializable {
 
+  /** A data file's deletion vector: sidecar path (table-relative) and
+    * how many of the file's rows it deletes (see [[DeletionVectors]]). */
+  final case class DvRef(path: String, rows: Long)
+
   /** One manifest line: file name + optional data-skipping stats
-    * (see [[SnapshotStats]]). */
-  final case class ManifestEntry(name: String, stats: Option[String])
+    * (see [[SnapshotStats]]) + optional deletion vector. */
+  final case class ManifestEntry(
+      name: String, stats: Option[String], dv: Option[DvRef] = None) {
+    /** Rows the file contributes to its snapshot (footer count minus
+      * deleted), when stats carry a row count. */
+    def liveRows: Option[Long] =
+      stats.flatMap(SnapshotStats.parseRowCount)
+        .map(_ - dv.map(_.rows).getOrElse(0L))
+  }
+
+  /** Above this many deleted positions the DV anti-join shuffles
+    * instead of broadcasting (a table carrying more than ~2M live
+    * deletions should compact anyway — see [[compactCommit]]). */
+  private val BroadcastDvRows = 2L * 1000 * 1000
 
   /** Stats-bearing entries for freshly committed files.  Footer reads
     * are per NEW file only (prior files carry their stats forward in
@@ -123,10 +139,63 @@ object Snapshots extends Serializable {
   /** Read a manifest's files as one DataFrame.  basePath makes Spark
     * recover hive partition columns from the paths (harmless for flat
     * layouts), so partitioned snapshots read with their full schema. */
-  private def readFiles(
+  private def rawRead(
       spark: SparkSession, uri: String, names: Seq[String]): DataFrame =
     spark.read.option("basePath", uri)
       .parquet(names.map(n => s"$uri/$n"): _*)
+
+  /** DV-aware snapshot read: files without a deletion vector scan
+    * plainly; files WITH one scan with their parquet row positions
+    * (`_metadata.row_index`) and anti-join the deleted (file, position)
+    * set — broadcast below [[BroadcastDvRows]] total deletions, shuffle
+    * above.  The union is the live row set of the version.  Deleted
+    * position sets parse on executors (one task per DV file), never
+    * through the driver. */
+  private def readFiles(
+      spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
+      : DataFrame = {
+    val (dvd, plain) = entries.partition(_.dv.isDefined)
+    if (dvd.isEmpty) return rawRead(spark, uri, plain.map(_.name))
+    val raw = rawRead(spark, uri, dvd.map(_.name))
+    val dataCols = raw.columns.toSeq
+    val withPos = raw
+      .withColumn("__gdv_file", col("_metadata.file_path"))
+      .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val fs = fsOf(spark, uri)
+    val refs = dvd.map(e =>
+      fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+    val deleted = dvPositions(spark, uri, refs)
+    val totalDeleted = dvd.map(_.dv.get.rows).sum
+    val joined =
+      if (totalDeleted <= BroadcastDvRows)
+        withPos.join(broadcast(deleted), Seq("__gdv_file", "__gdv_pos"),
+          "left_anti")
+      else withPos.join(deleted, Seq("__gdv_file", "__gdv_pos"), "left_anti")
+    val live = joined.select(dataCols.map(col): _*)
+    if (plain.isEmpty) live
+    else rawRead(spark, uri, plain.map(_.name)).unionByName(live)
+  }
+
+  /** Deleted (qualified file path, position) rows, parsed from DV files
+    * on executors.  `refs` maps each file's QUALIFIED path (the exact
+    * string `_metadata.file_path` yields — both come from the same
+    * Hadoop Path rendering) to its DV. */
+  private def dvPositions(
+      spark: SparkSession, uri: String, refs: Seq[(String, DvRef)])
+      : DataFrame = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val u = uri
+    import spark.implicits._
+    val parts = math.max(1, math.min(refs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext
+      .parallelize(refs.map { case (f, d) => (f, d.path) }, parts)
+      .flatMap { case (f, rel) =>
+        DeletionVectors.readAll(ser.value, u, rel).iterator.map(p => (f, p))
+      }
+      .toDF("__gdv_file", "__gdv_pos")
+  }
 
   /** Per-commit staging dir: UNIQUELY stamped so concurrent writers
     * never clobber each other's in-flight files (a shared `_merge_tmp`
@@ -177,8 +246,8 @@ object Snapshots extends Serializable {
   /** Read a pinned snapshot (`version <= 0` → latest). */
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
-    val names = readManifest(spark, uri, v)
-    if (names.nonEmpty) readFiles(spark, uri, names)
+    val entries = readManifestEntries(spark, uri, v)
+    if (entries.nonEmpty) readFiles(spark, uri, entries)
     else {
       // a DELETE WHERE matching every row publishes an empty manifest —
       // that version must stay readable (empty result, real schema).
@@ -194,7 +263,7 @@ object Snapshots extends Serializable {
       require(prior.isDefined,
         s"$uri v$v is empty and no ancestor version still has data " +
           "files to recover the schema from (expired?)")
-      val schema = readFiles(spark, uri, prior.get).schema
+      val schema = rawRead(spark, uri, prior.get).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -215,13 +284,13 @@ object Snapshots extends Serializable {
       version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    val kept = pruneEntries(spark, entries, predicate)
+    val kept = pruneEntries(spark, entries, predicate).toSet
     if (kept.isEmpty) {
       val schema = read(spark, uri, v).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      readFiles(spark, uri, kept)
+      readFiles(spark, uri, entries.filter(e => kept(e.name)))
         .filter(org.apache.spark.sql.functions.expr(predicate))
   }
 
@@ -249,14 +318,20 @@ object Snapshots extends Serializable {
    */
   def mergeCommit(
       spark: SparkSession, uri: String, updates: DataFrame,
-      keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
+      keyCols: Seq[String], deleteCol: Option[String] = None,
+      mergeOnRead: Boolean = false): Int = {
+    if (mergeOnRead)
+      return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val target = readFiles(spark, uri, entries.map(_.name))
+    val target = readFiles(spark, uri, entries)
 
-    // same plan as the in-place MergeInto — only the publish differs
+    // same plan as the in-place MergeInto — only the publish differs.
+    // Touched files re-read through their DVs (a prior merge-on-read
+    // delete must not resurrect in the rewrite).
     val (touchedAbs, replacement) = MergeInto.replacementPlan(
-      spark, target, updates, keyCols, deleteCol, basePath = Some(uri))
+      spark, target, updates, keyCols, deleteCol, basePath = Some(uri),
+      readTouched = Some(dvAwareTouched(spark, uri, entries)))
     val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)
@@ -273,6 +348,54 @@ object Snapshots extends Serializable {
   }
 
   /**
+   * Merge-on-read MERGE: matched target rows are deleted by DELETION
+   * VECTOR (position sidecars — see [[DeletionVectors]]) and the
+   * surviving update rows land as fresh APPEND files, so no existing
+   * data file is rewritten at all.  On a 100 TB table this turns a
+   * point-update batch from k file rewrites into k tiny DV writes plus
+   * one small append — the Delta DV / Iceberg positional-delete trade:
+   * reads pay a manifest-known anti-join until [[compactCommit]] /
+   * [[optimizeCommit]] materializes the deletes away.
+   * Same semantics as the copy-on-write [[mergeCommit]].
+   */
+  private def mergeCommitMor(
+      spark: SparkSession, uri: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String]): Int = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val keyDf = updates.select(keyCols.map(col): _*)
+    require(keyDf.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "updates carry multiple rows for the same key")
+
+    // live rows that match an update key — every one of them is
+    // superseded (replaced or deleted), so every one gets a DV position
+    val matched = livePositions(spark, uri, entries)
+      .join(keyDf.hint("broadcast"), keyCols, "left_semi")
+      .select("__gdv_file", "__gdv_pos")
+    val newV = v + 1
+    val dvResults = writeDvFiles(spark, uri, entries, matched, newV)
+
+    val dataCols = read(spark, uri, v).schema.fieldNames.toSeq
+    val upserts = (deleteCol match {
+      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+      case None => updates
+    }).select(dataCols.map(col): _*)
+
+    val fs = fsOf(spark, uri)
+    val tmp = commitTmp(uri)
+    fs.delete(tmp, true)
+    writeTmp(upserts.coalesce(1), tmp, partitionColsOf(entries))
+    val moved = publishTmp(fs, tmp, uri, newV)
+    writeManifest(spark, uri, newV,
+      applyDvResults(spark, uri, entries, dvResults) ++
+        entriesFor(spark, uri, moved),
+      kind = "merge")
+    newV
+  }
+
+  /**
    * DELETE WHERE as an MVCC commit (same plan as the in-place
    * [[MergeInto.deleteWhere]], including the whole-file TTL fast path):
    * fully-matching files simply leave the manifest — they stay on disk
@@ -282,12 +405,24 @@ object Snapshots extends Serializable {
    * matched).
    */
   def deleteWhereCommit(
-      spark: SparkSession, uri: String, predicate: String): Int = {
+      spark: SparkSession, uri: String, predicate: String,
+      mergeOnRead: Boolean = false): Int = {
+    if (mergeOnRead) return deleteWhereCommitMor(spark, uri, predicate)
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val target = readFiles(spark, uri, entries.map(_.name))
+    val byRel = entries.map(e => e.name -> e).toMap
+    val target = readFiles(spark, uri, entries)
+    // whole-file detection must compare against LIVE rows (footer count
+    // minus any DV), and touched files re-read through their DVs
+    val liveOf: String => Long = f => {
+      val e = byRel(relName(uri, f))
+      e.liveRows.getOrElse(
+        physicalRows(spark, uri, e.name) - e.dv.map(_.rows).getOrElse(0L))
+    }
     val (dropWhole, touched, replacement) =
-      MergeInto.deletePlan(spark, target, predicate, basePath = Some(uri))
+      MergeInto.deletePlan(spark, target, predicate, basePath = Some(uri),
+        readTouched = Some(dvAwareTouched(spark, uri, entries)),
+        liveRowCount = Some(liveOf))
     if (dropWhole.isEmpty && touched.isEmpty) return v
 
     val fs = fsOf(spark, uri)
@@ -305,6 +440,142 @@ object Snapshots extends Serializable {
       entries.filterNot(e => gone.contains(e.name)) ++
         entriesFor(spark, uri, moved), kind = "delete")
     newV
+  }
+
+  /**
+   * Merge-on-read DELETE WHERE: matching rows are deleted by DELETION
+   * VECTOR instead of file rewrite.  Files the manifest stats prove
+   * can't match are never opened; files whose every live row matches
+   * leave the manifest (pure metadata, same as the copy-on-write TTL
+   * fast path); everything else gets a position sidecar.  The commit
+   * writes ONLY DV files and a manifest — zero data bytes move, which
+   * is the point at 100 TB: a scattered point delete costs kilobytes,
+   * not a rewrite of every touched gigabyte.  Reads pay the DV
+   * anti-join until a compaction materializes.  Same SQL NULL-keep
+   * semantics as the copy-on-write path.
+   */
+  private def deleteWhereCommitMor(
+      spark: SparkSession, uri: String, predicate: String): Int = {
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val kept = pruneEntries(spark, entries, predicate).toSet
+    val candidates = entries.filter(e => kept(e.name))
+    if (candidates.isEmpty) return v
+    val matched = livePositions(spark, uri, candidates)
+      .filter(expr(predicate))
+      .select("__gdv_file", "__gdv_pos")
+    val newV = v + 1
+    val dvResults = writeDvFiles(spark, uri, candidates, matched, newV)
+    if (dvResults.isEmpty) return v // nothing matched — no commit
+    writeManifest(spark, uri, newV,
+      applyDvResults(spark, uri, entries, dvResults), kind = "delete")
+    newV
+  }
+
+  /** Live rows of `entries` with their file identity and parquet row
+    * position attached (`__gdv_file`, `__gdv_pos`) — the scan both
+    * merge-on-read writers start from.  Existing DVs are applied, so
+    * positions already deleted never re-match. */
+  private def livePositions(
+      spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
+      : DataFrame = {
+    val raw = rawRead(spark, uri, entries.map(_.name))
+      .withColumn("__gdv_file", col("_metadata.file_path"))
+      .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) raw
+    else {
+      val fs = fsOf(spark, uri)
+      val refs = dvd.map(e =>
+        fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+      val deleted = dvPositions(spark, uri, refs)
+      if (dvd.map(_.dv.get.rows).sum <= BroadcastDvRows)
+        raw.join(broadcast(deleted), Seq("__gdv_file", "__gdv_pos"),
+          "left_anti")
+      else raw.join(deleted, Seq("__gdv_file", "__gdv_pos"), "left_anti")
+    }
+  }
+
+  /** Write one merged DV file per data file appearing in `matched`
+    * (a (`__gdv_file`, `__gdv_pos`) DataFrame), on executors — one task
+    * per file, positions never collected to the driver.  New positions
+    * union any existing DV (manifests are immutable, so a re-delete
+    * writes a NEW sidecar; the old one becomes an expire-reclaimed
+    * orphan).  Returns (qualified file path, DV rel path, TOTAL deleted
+    * rows) per file. */
+  private def writeDvFiles(
+      spark: SparkSession, uri: String, entries: Seq[ManifestEntry],
+      matched: DataFrame, newV: Int): Seq[(String, String, Long)] = {
+    val fs = fsOf(spark, uri)
+    val dvByQual = entries.flatMap(e => e.dv.map(d =>
+      fs.makeQualified(new Path(uri, e.name)).toString -> d.path)).toMap
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val u = uri
+    val dvB = spark.sparkContext.broadcast(dvByQual)
+    import spark.implicits._
+    matched.groupBy("__gdv_file")
+      .agg(sort_array(collect_list(col("__gdv_pos"))).as("__pos"))
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (file, pos) =>
+          val conf = ser.value
+          val existing = dvB.value.get(file)
+            .map(rel => DeletionVectors.readAll(conf, u, rel))
+            .getOrElse(Array.empty[Long])
+          val merged = DeletionVectors.merge(existing, pos.toArray)
+          val tag = java.security.MessageDigest.getInstance("SHA-1")
+            .digest(file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .take(6).map(b => f"$b%02x").mkString
+          val rel = DeletionVectors.relPath(newV, stamp, tag)
+          val p = new Path(u, rel)
+          DeletionVectors.write(p.getFileSystem(conf), p, merged)
+          (file, rel, merged.length.toLong)
+        }
+      }.collect().toSeq
+  }
+
+  /** Fold DV-write results into the manifest entry list: a file whose
+    * every row is now deleted LEAVES the manifest (its rows are gone;
+    * the just-written all-rows DV becomes an expire-reclaimed orphan),
+    * everything else carries its new DV reference.  Stats stay as-is —
+    * min/max remain valid (possibly loose) bounds over the live rows,
+    * so data skipping keeps working conservatively. */
+  private def applyDvResults(
+      spark: SparkSession, uri: String, entries: Seq[ManifestEntry],
+      results: Seq[(String, String, Long)]): Seq[ManifestEntry] = {
+    val fs = fsOf(spark, uri)
+    val byQual = results.map(r => r._1 -> r).toMap
+    entries.flatMap { e =>
+      byQual.get(fs.makeQualified(new Path(uri, e.name)).toString) match {
+        case None => Some(e)
+        case Some((_, dvRel, delRows)) =>
+          val total = e.stats.flatMap(SnapshotStats.parseRowCount)
+            .getOrElse(physicalRows(spark, uri, e.name))
+          if (delRows >= total) None
+          else Some(e.copy(dv = Some(DvRef(dvRel, delRows))))
+      }
+    }
+  }
+
+  /** Touched-file reader for the copy-on-write rewrite paths: re-reads
+    * by manifest entry so existing DVs apply (a rewrite must not
+    * resurrect rows a DV already deleted). */
+  private def dvAwareTouched(
+      spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
+      (files: Seq[String]): DataFrame = {
+    val byRel = entries.map(e => e.name -> e).toMap
+    readFiles(spark, uri, files.map(f => byRel(relName(uri, f))))
+  }
+
+  /** Footer row count of one data file — no data read. */
+  private def physicalRows(
+      spark: SparkSession, uri: String, name: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(uri, name), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Append as an MVCC commit: `df` lands as fresh files and the new
@@ -341,7 +612,9 @@ object Snapshots extends Serializable {
     val totalBytes = names.map(n =>
       fs.getFileStatus(new Path(uri, n)).getLen).sum
     val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    if (names.size <= needed) return v
+    // an already-compact table still compacts when DVs exist — the
+    // rewrite is what materializes merge-on-read deletes away
+    if (names.size <= needed && entries.forall(_.dv.isEmpty)) return v
 
     val sqlConf = spark.conf
     val packKeys = Map(
@@ -354,7 +627,7 @@ object Snapshots extends Serializable {
     fs.delete(tmp, true)
     try {
       packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
-      writeTmp(readFiles(spark, uri, names), tmp, partitionColsOf(entries))
+      writeTmp(readFiles(spark, uri, entries), tmp, partitionColsOf(entries))
     } finally saved.foreach {
       case (k, Some(kv)) => sqlConf.set(k, kv)
       case (k, None)     => sqlConf.unset(k)
@@ -388,7 +661,7 @@ object Snapshots extends Serializable {
     val totalBytes = names.map(nm =>
       fs.getFileStatus(new Path(uri, nm)).getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(spark, uri, names)
+    val df = readFiles(spark, uri, entries)
     // range-cluster on the Morton key so each output file covers a
     // narrow z-range (tight min/max on EVERY listed column), then drop
     // the key — the table schema stays stable across versions and the
@@ -451,7 +724,7 @@ object Snapshots extends Serializable {
       val schema = read(spark, uri, to).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, uri, files)
+    } else rawRead(spark, uri, files)
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data
@@ -483,6 +756,23 @@ object Snapshots extends Serializable {
       val p = manifestPath(uri, v)
       if (fs.exists(p)) { fs.delete(p, false); removed += p.toString }
     }
+    // DV sidecars live under an underscore dir listDataFiles skips —
+    // sweep the ones no surviving manifest references (superseded by a
+    // re-delete, orphaned by a losing racer, or fully-deleted files')
+    val dvDir = new Path(uri, DeletionVectors.Dir)
+    if (fs.exists(dvDir)) {
+      val keepDv = (cutoff to latest)
+        .filter(v => fs.exists(manifestPath(uri, v)))
+        .flatMap(v => readManifestEntries(spark, uri, v)
+          .flatMap(_.dv.map(_.path))).toSet
+      fs.listStatus(dvDir).foreach { st =>
+        val rel = s"${DeletionVectors.Dir}/${st.getPath.getName}"
+        if (!keepDv.contains(rel)) {
+          fs.delete(st.getPath, false)
+          removed += st.getPath.toString
+        }
+      }
+    }
     removed.result()
   }
 
@@ -496,12 +786,11 @@ object Snapshots extends Serializable {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
     val rows = entries.sortBy(_.name).map { e =>
-      val rowCount = e.stats.flatMap(s =>
-        "rows=(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
       val statCols = e.stats.map(s =>
         SnapshotStats.parseStats(s).size).getOrElse(0)
-      org.apache.spark.sql.Row(v.toLong, e.name, rowCount.orNull,
-        statCols, e.stats.orNull)
+      val deleted = e.dv.map(_.rows).getOrElse(0L)
+      org.apache.spark.sql.Row(v.toLong, e.name, e.liveRows.orNull,
+        deleted, statCols, e.stats.orNull)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("version",
@@ -510,6 +799,8 @@ object Snapshots extends Serializable {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("row_count",
         org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("deleted_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("stats_columns",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("stats",
@@ -532,7 +823,7 @@ object Snapshots extends Serializable {
       if (!fs.exists(manifestPath(uri, v))) None // expired prefix
       else {
         val (kind, entries) = readManifestFull(spark, uri, v)
-        val counts = entries.map(_.stats.flatMap(SnapshotStats.parseRowCount))
+        val counts = entries.map(_.liveRows)
         val rowCount: Any =
           if (entries.isEmpty) 0L // delete-all version: zero rows
           else if (counts.forall(_.isDefined)) counts.flatten.sum
@@ -582,10 +873,11 @@ object Snapshots extends Serializable {
     throw new IllegalStateException("unreachable")
   }
 
-  // ---- manifest encoding: "graft-manifest v3 kind=<commit-kind>"
-  // header + one line per file (`name<TAB>stats`, stats optional — see
-  // [[SnapshotStats]]), committed by atomic rename.  v1 (names only)
-  // and v2 (no commit kind) manifests still read.
+  // ---- manifest encoding: "graft-manifest v4 kind=<commit-kind>"
+  // header + one line per file (`name<TAB>stats[<TAB>dv=<rel>;rows=<n>]`,
+  // stats and dv optional — see [[SnapshotStats]]/[[DeletionVectors]]),
+  // committed by atomic rename.  v1 (names only), v2 (no commit kind)
+  // and v3 (no dv field) manifests still read.
 
   private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int,
@@ -598,16 +890,19 @@ object Snapshots extends Serializable {
     val tmp = new Path(manifestDir(uri),
       s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val lines = entries.sortBy(_.name).map { e =>
-      e.stats match {
-        case Some(s) => s"${e.name}\t$s"
-        case None => e.name
+      val dvField = e.dv.map(d => s"\tdv=${d.path};rows=${d.rows}")
+      (e.stats, dvField) match {
+        case (Some(s), Some(d)) => s"${e.name}\t$s$d"
+        case (Some(s), None) => s"${e.name}\t$s"
+        case (None, Some(d)) => s"${e.name}\t$d" // empty stats field
+        case (None, None) => e.name
       }
     }
     require(kind.nonEmpty && !kind.exists(c => c.isWhitespace || c == '\n'),
       s"bad commit kind '$kind'")
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"graft-manifest v3 kind=$kind" +: lines).mkString("\n") + "\n")
+      ((s"graft-manifest v4 kind=$kind" +: lines).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
@@ -657,16 +952,25 @@ object Snapshots extends Serializable {
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     val header = lines.headOption.getOrElse("")
     require(header == "graft-manifest v1" || header == "graft-manifest v2" ||
-      header.startsWith("graft-manifest v3"),
+      header.startsWith("graft-manifest v3") ||
+      header.startsWith("graft-manifest v4"),
       s"unrecognized manifest header in $p")
     val kind = header.split(" ").collectFirst {
       case a if a.startsWith("kind=") => a.stripPrefix("kind=")
     }.getOrElse("unknown")
     val entries = lines.tail.map { line =>
-      line.split("\t", 2) match {
-        case Array(n, s) => ManifestEntry(n, Some(s))
-        case Array(n) => ManifestEntry(n, None)
+      val fields = line.split("\t", -1)
+      val name = fields(0)
+      val (statsF, dvF) = fields.toSeq.tail.partition(!_.startsWith("dv="))
+      val stats = statsF.find(_.nonEmpty)
+      val dv = dvF.headOption.map { f =>
+        f.stripPrefix("dv=").split(";rows=", 2) match {
+          case Array(path, n) => DvRef(path, n.toLong)
+          case _ => throw new IllegalStateException(
+            s"bad dv field '$f' in $p")
+        }
       }
+      ManifestEntry(name, stats, dv)
     }
     (kind, entries)
   }

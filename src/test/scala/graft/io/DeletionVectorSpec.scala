@@ -1,0 +1,226 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Merge-on-read deletes: deletion-vector sidecars instead of file
+  * rewrites, materialized away by compaction. */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshTable(name: String, n: Int = 100): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = fsOf(dir)
+    fs.delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+      .repartitionByRange(4, col("k"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def dataFileState(dir: String): Map[String, Long] = {
+    val fs = fsOf(dir)
+    CopyTo.listDataFiles(spark, dir)._1.map { f =>
+      val p = new Path(new java.net.URI(f))
+      p.getName -> fs.getFileStatus(p).getModificationTime
+    }.toMap
+  }
+
+  test("dv codec: round-trip, merge, unsorted refusal") {
+    val dir = TestSpark.tmpDir("dv_codec")
+    val fs = fsOf(dir)
+    fs.mkdirs(new Path(dir))
+    val p = new Path(dir, "t.bin")
+    val pos = Array(0L, 1L, 2L, 90L, 1000000L)
+    DeletionVectors.write(fs, p, pos)
+    assert(DeletionVectors.read(fs, p).sameElements(pos))
+    // consecutive runs delta-encode to ~1 byte/row
+    val dense = (0L until 10000L).toArray
+    DeletionVectors.write(fs, p, dense)
+    assert(fs.getFileStatus(p).getLen < 11000)
+    assert(DeletionVectors.read(fs, p).sameElements(dense))
+    // merge unions and dedups either side
+    assert(DeletionVectors.merge(Array(1L, 5L), Array(2L, 5L, 9L))
+      .sameElements(Array(1L, 2L, 5L, 9L)))
+    intercept[IllegalArgumentException] {
+      DeletionVectors.write(fs, p, Array(3L, 2L))
+    }
+  }
+
+  test("merge-on-read delete: correct rows, ZERO data files touched") {
+    val dir = freshTable("dv_delete")
+    Snapshots.init(spark, dir)
+    val before = dataFileState(dir)
+
+    val v2 = Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3",
+      mergeOnRead = true)
+    assert(v2 == 2)
+
+    // every data file byte-identical: same names, same mtimes
+    assert(dataFileState(dir) == before)
+    // the deleted rows are gone from the live read, and ONLY those
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect()
+    assert(live.length == 90)
+    assert(live.forall { case (k, _) => k % 10 != 3 })
+    // time travel: v1 still sees all 100
+    assert(Snapshots.read(spark, dir, 1).count() == 100)
+    // sidecars exist under the underscore dir (invisible to plain scans)
+    val dvDir = new Path(dir, DeletionVectors.Dir)
+    assert(fsOf(dir).listStatus(dvDir).nonEmpty)
+  }
+
+  test("re-delete merges vectors; expire reclaims superseded sidecars") {
+    val dir = freshTable("dv_redelete")
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3", mergeOnRead = true)
+    val v3 = Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 7",
+      mergeOnRead = true)
+    assert(v3 == 3)
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect()
+    assert(live.length == 80)
+    assert(live.forall { case (k, _) => k % 10 != 3 && k % 10 != 7 })
+    // v2 sees only the first delete
+    assert(Snapshots.read(spark, dir, 2).count() == 90)
+
+    // deleting an already-deleted row is a no-op, not a double count
+    val v4 = Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3",
+      mergeOnRead = true)
+    assert(v4 == 3, "re-matching only deleted rows must not commit")
+
+    val fs = fsOf(dir)
+    val dvBefore = fs.listStatus(new Path(dir, DeletionVectors.Dir)).length
+    val removed = Snapshots.expire(spark, dir, keepVersions = 1)
+    val dvAfter = fs.listStatus(new Path(dir, DeletionVectors.Dir)).length
+    assert(dvAfter < dvBefore, s"expire kept all $dvBefore sidecars")
+    assert(removed.exists(_.contains(DeletionVectors.Dir)))
+    // latest still reads correctly after the sweep
+    assert(Snapshots.read(spark, dir).count() == 80)
+  }
+
+  test("whole-file and whole-table merge-on-read deletes are metadata-only") {
+    val dir = freshTable("dv_whole")
+    Snapshots.init(spark, dir)
+    val v2 = Snapshots.deleteWhereCommit(spark, dir, "k >= 1",
+      mergeOnRead = true)
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).count() == 0)
+    // all rows of every file matched → entries dropped, files intact
+    assert(CopyTo.listDataFiles(spark, dir)._1.size == 4)
+    assert(Snapshots.read(spark, dir, 1).count() == 100)
+  }
+
+  test("manifest stats prune merge-on-read candidates: untouched files get no DV") {
+    val dir = freshTable("dv_prune")
+    Snapshots.init(spark, dir)
+    // k-range layout → only the low file(s) can match k <= 10
+    Snapshots.deleteWhereCommit(spark, dir, "k <= 10 AND name != 'v5'",
+      mergeOnRead = true)
+    val entries = Snapshots.filesDf(spark, dir).collect()
+    val withDv = entries.filter(_.getAs[Long]("deleted_rows") > 0)
+    assert(withDv.length == 1,
+      s"expected exactly one DV'd file, got ${withDv.length}")
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect()
+    assert(live.length == 91 && live.exists(_._1 == 5L))
+  }
+
+  test("merge-on-read MERGE equals copy-on-write MERGE; no file rewrites") {
+    val updates = Seq((5L, "V5", false), (101L, "NEW", false),
+      (7L, "", true)).toDF("k", "name", "__del")
+
+    val cow = freshTable("dv_merge_cow")
+    Snapshots.init(spark, cow)
+    Snapshots.mergeCommit(spark, cow, updates, Seq("k"),
+      deleteCol = Some("__del"))
+
+    val mor = freshTable("dv_merge_mor")
+    Snapshots.init(spark, mor)
+    val before = dataFileState(mor)
+    Snapshots.mergeCommit(spark, mor, updates, Seq("k"),
+      deleteCol = Some("__del"), mergeOnRead = true)
+
+    val a = Snapshots.read(spark, cow).as[(Long, String)].collect().sorted
+    val b = Snapshots.read(spark, mor).as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+    // MoR: every pre-existing file untouched; exactly one append file new
+    val after = dataFileState(mor)
+    assert(before.forall { case (n, t) => after.get(n).contains(t) })
+    assert(after.size == before.size + 1)
+  }
+
+  test("compaction materializes deletion vectors away") {
+    val dir = freshTable("dv_compact")
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3", mergeOnRead = true)
+    val v3 = Snapshots.compactCommit(spark, dir, 1L << 20)
+    assert(v3 == 3, "compact must run even on a small table when DVs exist")
+    val files = Snapshots.filesDf(spark, dir).collect()
+    assert(files.forall(_.getAs[Long]("deleted_rows") == 0L))
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect()
+    assert(live.length == 90 && live.forall(_._1 % 10 != 3))
+    // once materialized (and old versions expired), the sidecars go
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    val dvDir = new Path(dir, DeletionVectors.Dir)
+    assert(!fsOf(dir).exists(dvDir) ||
+      fsOf(dir).listStatus(dvDir).isEmpty)
+  }
+
+  test("copy-on-write ops on a DV'd table do not resurrect deleted rows") {
+    val dir = freshTable("dv_cow_after")
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3", mergeOnRead = true)
+
+    // CoW merge touches the file holding k=4 (which also held k=3, 13, …)
+    Snapshots.mergeCommit(spark, dir, Seq((4L, "U4")).toDF("k", "name"),
+      Seq("k"))
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(live(4L) == "U4" && live.size == 90)
+    assert(!live.contains(3L) && !live.contains(13L))
+
+    // CoW delete on the same table: live-row accounting must hold
+    Snapshots.deleteWhereCommit(spark, dir, "k <= 50")
+    val after = Snapshots.read(spark, dir).as[(Long, String)].collect()
+    assert(after.length == 45, s"got ${after.length}")
+    assert(after.forall { case (k, _) => k > 50 && k % 10 != 3 })
+  }
+
+  test("history reports live row counts across DV commits") {
+    val dir = freshTable("dv_history")
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3", mergeOnRead = true)
+    val hist = Snapshots.historyDf(spark, dir).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[String]("kind"), r.getAs[Long]("row_count"))).toMap
+    assert(hist(1L) == ("init", 100L))
+    assert(hist(2L) == ("delete", 90L))
+  }
+
+  test("merge-on-read delete on a hive-partitioned snapshot") {
+    val dir = TestSpark.tmpDir("dv_part")
+    val fs = fsOf(dir)
+    fs.delete(new Path(dir), true)
+    (1 to 100).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "EU" else "US"))
+      .toDF("k", "name", "region")
+      .write.partitionBy("region").parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 4", mergeOnRead = true)
+    val live = Snapshots.read(spark, dir)
+      .as[(Long, String, String)].collect()
+    assert(live.length == 90)
+    assert(live.forall { case (k, _, r) =>
+      k % 10 != 4 && (if (k % 2 == 0) r == "EU" else r == "US") })
+    // partition-predicate MoR delete composes with the partition prune
+    Snapshots.deleteWhereCommit(spark, dir, "region = 'US' AND k < 10",
+      mergeOnRead = true)
+    val live2 = Snapshots.read(spark, dir).as[(Long, String, String)]
+      .collect()
+    assert(live2.length == 85)
+    assert(live2.forall { case (k, _, r) => !(r == "US" && k < 10) })
+  }
+}

@@ -72,7 +72,8 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
     assert(latest.forall(_.getLong(0) == 2L), "latest version is 2")
     assert(latest.map(r =>
       Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)).sum == 201)
-    assert(latest.forall(_.getInt(3) >= 1), "every file carries stats")
+    assert(latest.forall(_.getAs[Int]("stats_columns") >= 1),
+      "every file carries stats")
     // pinned older version: only the two init files
     val v1 = spark.sql(
       s"SELECT file FROM parquet_snapshot_files('$dir', 1)").collect()
