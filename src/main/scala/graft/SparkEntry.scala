@@ -1543,6 +1543,38 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // streaming FROM the MVCC table layer: the change-feed Source tails
+    // append commits as micro-batches (offsets ARE snapshot versions;
+    // each batch scans only its appended files — on 100 TB the trigger
+    // cost is one manifest-dir listing).  The downstream half of the
+    // Delta "stream from a table" loop; exactly-once + restart recovery
+    // pinned in SnapshotSourceSpec
+    "stream_snapshot_source" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snapsrc_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/table"; val out = s"$base/out"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .repartition(2).write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      val q = s.readStream.format("graft-snapshot")
+        .option("startingVersion", "1").load(tgt)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try {
+        // two appends land while the stream runs; each arrives once
+        io.Snapshots.appendCommit(s, tgt, cust.filter(col("c_custkey") % 3 === 1))
+        q.processAllAvailable()
+        io.Snapshots.appendCommit(s, tgt, cust.filter(col("c_custkey") % 3 === 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).orderBy("c_custkey")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -2999,6 +3031,10 @@ object SparkEntry {
       ("SELECT *, CAST(3 AS BIGINT) AS n_versions, " +
         "(SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) AS v1_rows " +
         "FROM customer ORDER BY c_custkey"),
+
+    "stream_snapshot_source" ->
+      ("SELECT * FROM customer WHERE c_custkey % 3 <> 0 " +
+        "ORDER BY c_custkey"),
 
     "stream_static_join" ->
       ("SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, " +

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.Snapshots
+
+/**
+ * Structured-streaming SOURCE over a snapshot table's change feed:
+ * `spark.readStream.format("graft-snapshot").load(uri)` tails the
+ * table's append commits, delivering each micro-batch exactly once —
+ * the downstream half of the Delta-style "stream from a table" loop
+ * (the upstream half, streaming INTO a snapshot table, is the
+ * `stream_snapshot_append` foreachBatch pattern).
+ *
+ * Offsets ARE snapshot versions: `getOffset` lists the manifest dir
+ * (one small listing, no data I/O), and a batch (fromV, toV] is
+ * [[Snapshots.readChanges]] — exactly the files appended in that
+ * version range, scanned distributed like any parquet read.  Restart
+ * recovery is free: the checkpointed offset is the last processed
+ * version.  Compact/optimize commits inside a range contribute nothing
+ * (same rows, new layout); a merge/delete commit FAILS the stream with
+ * readChanges' clear message, matching the append-only restriction
+ * Iceberg documents for incremental scans — resume past it with
+ * `startingVersion` after reprocessing.
+ *
+ * Options: `path` (the table URI; also settable via `.load(uri)`),
+ * `startingVersion` (default: the latest version at stream start, i.e.
+ * new appends only; pass an older version to replay history —
+ * version 1 replays every append since init).
+ *
+ * At 100 TB: a micro-batch touches only its appended files; everything
+ * else is one manifest-dir listing per trigger.
+ */
+class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def uriOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("uri")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot needs the table URI: .load(uri) or .option(\"path\", uri)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val uri = uriOf(parameters)
+    (shortName(),
+      schema.getOrElse(
+        Snapshots.read(sqlContext.sparkSession, uri).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val uri = uriOf(parameters)
+    val starting = parameters.get("startingVersion").map { s =>
+      val v = s.toInt
+      require(v >= 1, s"startingVersion must be >= 1 (got $v)")
+      v
+    }.getOrElse(Snapshots.latestVersion(spark, uri))
+    new SnapshotSource(spark, uri, starting,
+      schema.getOrElse(Snapshots.read(spark, uri).schema))
+  }
+}
+
+class SnapshotSource(
+    spark: SparkSession, uri: String, startingVersion: Int,
+    override val schema: StructType) extends Source {
+
+  private def versionOf(o: OffsetV1): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => LongOffset(s).offset.toInt
+    case other => throw new IllegalStateException(
+      s"unexpected offset type ${other.getClass.getName}")
+  }
+
+  /** The current table version.  Never below `startingVersion` so the
+    * very first offset forms an empty well-formed range. */
+  override def getOffset: Option[OffsetV1] =
+    Some(LongOffset(
+      math.max(Snapshots.latestVersion(spark, uri), startingVersion).toLong))
+
+  /** Rows appended in versions (start, end] — start is the checkpointed
+    * last-processed version (the stream's own `startingVersion` base
+    * for the first batch). */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val batch =
+      if (to <= from)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else Snapshots.readChanges(spark, uri, from, to)
+    StreamingShim.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotSource[$uri from v$startingVersion]"
+}

@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/**
+ * The one `private[sql]` bridge a DataSource-v1 streaming `Source`
+ * needs: `Source.getBatch` must return a DataFrame whose logical plan
+ * is flagged `isStreaming = true` (MicroBatchExecution asserts it), but
+ * that flag only exists on internal plan nodes.  Spark's own
+ * `FileStreamSource` builds its per-batch DataFrame exactly this way —
+ * a file-scan `LogicalRelation` with the streaming flag set — so this
+ * shim lives in an `org.apache.spark.sql` subpackage to reach the same
+ * constructors and does nothing else.
+ */
+object StreamingShim {
+
+  /** Re-tag a BATCH DataFrame (a parquet file scan, or the empty
+    * relation a no-change batch produces) as a STREAMING one without
+    * changing its plan — file-source pushdown and pruning survive. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    val plan = df.queryExecution.analyzed transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case rdd: LogicalRDD if !rdd.isStreaming =>
+        // second (implicit-style) arg list: session + origin stats/
+        // constraints — dropped, an empty batch carries neither
+        rdd.copy(isStreaming = true)(spark, None, None)
+    }
+    Dataset.ofRows(spark, plan)
+  }
+}
