@@ -391,7 +391,7 @@ object Snapshots extends Serializable {
     writeManifest(spark, uri, newV,
       applyDvResults(spark, uri, entries, dvResults) ++
         entriesFor(spark, uri, moved),
-      kind = "merge")
+      kind = "merge", mor = true)
     newV
   }
 
@@ -468,8 +468,111 @@ object Snapshots extends Serializable {
     val dvResults = writeDvFiles(spark, uri, candidates, matched, newV)
     if (dvResults.isEmpty) return v // nothing matched — no commit
     writeManifest(spark, uri, newV,
-      applyDvResults(spark, uri, entries, dvResults), kind = "delete")
+      applyDvResults(spark, uri, entries, dvResults), kind = "delete",
+      mor = true)
     newV
+  }
+
+  /**
+   * `UPDATE ... SET col = expr [, ...] WHERE predicate` as an MVCC
+   * commit — the remaining DML verb next to [[mergeCommit]] and
+   * [[deleteWhereCommit]].  `set` maps column names to SQL expressions;
+   * every expression is evaluated against the PRE-update row (standard
+   * SQL UPDATE semantics — `SET a = b, b = a` swaps).  Rows where the
+   * predicate is NULL are not updated.
+   *
+   * Copy-on-write (default): manifest stats prune files the predicate
+   * provably cannot match, one pushdown scan finds the files that DO
+   * contain a matching row, and only those are rewritten (matched rows
+   * through the SET projection, the file's other rows carried
+   * verbatim).  Merge-on-read: matched rows are deleted by DELETION
+   * VECTOR and their updated images land as fresh append files — zero
+   * existing data bytes move, the right trade for scattered point
+   * updates on a 100 TB table (see [[deleteWhereCommitMor]]).
+   *
+   * Partition columns cannot be SET (an update moving rows across
+   * partition directories is a delete+insert — express it as one).
+   * Returns the committed version (the current one when nothing
+   * matched).
+   */
+  def updateWhereCommit(
+      spark: SparkSession, uri: String, predicate: String,
+      set: Seq[(String, String)], mergeOnRead: Boolean = false): Int = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val partCols = partitionColsOf(entries)
+    val badPart = set.map(_._1).filter(partCols.contains)
+    require(badPart.isEmpty,
+      s"cannot SET partition column(s) ${badPart.mkString(", ")} — " +
+        "rows would change partition directory; delete and re-insert " +
+        "instead")
+    val dataCols = read(spark, uri, v).schema.fieldNames.toSeq
+    val missing = set.map(_._1).filterNot(dataCols.contains)
+    require(missing.isEmpty,
+      s"SET column(s) ${missing.mkString(", ")} do not exist " +
+        s"(table columns: ${dataCols.mkString(", ")})")
+    val setMap = set.toMap
+
+    val kept = pruneEntries(spark, entries, predicate).toSet
+    val candidates = entries.filter(e => kept(e.name))
+    if (candidates.isEmpty) return v
+    val pred = expr(predicate)
+
+    if (mergeOnRead) {
+      // matched rows: DV-delete their old positions, append their
+      // updated images — evaluated in ONE filtered scan used twice
+      val matched = livePositions(spark, uri, candidates).filter(pred)
+      val newV = v + 1
+      val dvResults = writeDvFiles(spark, uri, candidates,
+        matched.select("__gdv_file", "__gdv_pos"), newV)
+      if (dvResults.isEmpty) return v // nothing matched — no commit
+      val updated = matched.select(dataCols.map(c =>
+        setMap.get(c).map(e => expr(e).cast(
+          matched.schema(c).dataType).as(c)).getOrElse(col(c))): _*)
+      val fs = fsOf(spark, uri)
+      val tmp = commitTmp(uri)
+      fs.delete(tmp, true)
+      writeTmp(updated.coalesce(math.max(1, dvResults.size)), tmp, partCols)
+      val moved = publishTmp(fs, tmp, uri, newV)
+      writeManifest(spark, uri, newV,
+        applyDvResults(spark, uri, entries, dvResults) ++
+          entriesFor(spark, uri, moved),
+        kind = "update", mor = true)
+      newV
+    } else {
+      // copy-on-write: rewrite exactly the files containing a match
+      val touchedQual = livePositions(spark, uri, candidates).filter(pred)
+        .select("__gdv_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touchedQual.isEmpty) return v
+      val touched = touchedQual.map(relName(uri, _)).toSet
+      val byRel = entries.map(e => e.name -> e).toMap
+      val touchedDf =
+        readFiles(spark, uri, touched.toSeq.map(byRel(_)))
+      val schemaOf = touchedDf.schema
+      val rewritten = touchedDf.select(dataCols.map { c =>
+        setMap.get(c) match {
+          // when() evaluates every SET expression against the OLD row;
+          // a NULL predicate keeps the old value (otherwise branch)
+          case Some(e) => when(pred, expr(e).cast(schemaOf(c).dataType))
+            .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*).coalesce(math.max(1, touched.size))
+      val fs = fsOf(spark, uri)
+      val tmp = commitTmp(uri)
+      fs.delete(tmp, true)
+      writeTmp(rewritten, tmp, partCols)
+      val newV = v + 1
+      val moved = publishTmp(fs, tmp, uri, newV)
+      writeManifest(spark, uri, newV,
+        entries.filterNot(e => touched.contains(e.name)) ++
+          entriesFor(spark, uri, moved), kind = "update")
+      newV
+    }
   }
 
   /** Live rows of `entries` with their file identity and parquet row
@@ -707,15 +810,17 @@ object Snapshots extends Serializable {
     var prev = readManifest(spark, uri, fromVersion).toSet
     val added = Seq.newBuilder[String]
     (fromVersion + 1 to to).foreach { v =>
-      val (kind, entries) = readManifestFull(spark, uri, v)
-      val names = entries.map(_.name)
-      kind match {
+      val m = readManifestFull(spark, uri, v)
+      val names = m.entries.map(_.name)
+      m.kind match {
         case "append" => added ++= names.filterNot(prev)
         case "compact" | "optimize" => // layout-only: same rows, new files
         case other => throw new IllegalStateException(
           s"$uri v$v is a '$other' commit — readChanges supports " +
             "append-only ranges (compact/optimize commits are skipped); " +
-            "read full versions around rewrite commits")
+            "use readChangesRows for the row-level feed over " +
+            "merge-on-read commits, or read full versions around " +
+            "copy-on-write rewrites")
       }
       prev = names.toSet
     }
@@ -725,6 +830,147 @@ object Snapshots extends Serializable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else rawRead(spark, uri, files)
+  }
+
+  /**
+   * ROW-LEVEL change feed (CDC): every row inserted or deleted between
+   * `fromVersion` (exclusive) and `toVersion` (inclusive), tagged with
+   * `_change_type` (`insert` | `delete`) and `_commit_version`.  An
+   * UPDATE appears as its delete (pre-image) plus its insert
+   * (post-image) — the net-effect representation every CDC consumer
+   * composes.
+   *
+   * What makes this FREE at write time: a merge-on-read commit already
+   * records its exact row delta — new files ARE the inserts, and the
+   * deletes are the DV positions added since the previous version
+   * (computed by diffing sidecars on executors; fully-deleted files
+   * that left the manifest contribute their last live row set).  No
+   * CDC files are written at commit, no data is rewritten, and the
+   * feed reads only the delta's files — manifest metadata plus
+   * kilobyte sidecars on a 100 TB table.
+   *
+   * `append` commits contribute inserts; `compact`/`optimize` commits
+   * contribute nothing (same rows, new layout).  A COPY-ON-WRITE
+   * merge/delete/update commit in the range is refused: its rewritten
+   * files mix changed rows with carried ones, so a faithful row-level
+   * delta is not reconstructible from metadata — commit with
+   * `mergeOnRead = true` where a downstream feed matters (the same
+   * trade Delta's change-data-feed makes explicit by writing extra CDC
+   * files for copy-on-write operations).
+   */
+  def readChangesRows(
+      spark: SparkSession, uri: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion <= 0) latestVersion(spark, uri) else toVersion
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"readChangesRows needs 1 <= fromVersion <= toVersion " +
+        s"(got $fromVersion..$to)")
+    val fs = fsOf(spark, uri)
+    val dataCols = read(spark, uri, to).schema.fieldNames.toSeq
+    def tag(df: DataFrame, t: String, v: Int): DataFrame =
+      df.select(dataCols.map(col): _*)
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v.toLong))
+
+    var prev = readManifestEntries(spark, uri, fromVersion)
+    val pieces = Seq.newBuilder[DataFrame]
+    (fromVersion + 1 to to).foreach { v =>
+      val m = readManifestFull(spark, uri, v)
+      val prevByName = prev.map(e => e.name -> e).toMap
+      val curNames = m.entries.map(_.name).toSet
+      m.kind match {
+        case "compact" | "optimize" => // layout-only: no row change
+        case "append" =>
+          val added = m.entries.collect {
+            case e if !prevByName.contains(e.name) => e.name
+          }
+          if (added.nonEmpty)
+            pieces += tag(rawRead(spark, uri, added), "insert", v)
+        case k @ ("delete" | "merge" | "update") if m.mor =>
+          // inserts: the commit's fresh append files
+          val added = m.entries.collect {
+            case e if !prevByName.contains(e.name) => e.name
+          }
+          if (added.nonEmpty)
+            pieces += tag(rawRead(spark, uri, added), "insert", v)
+          // deletes, part 1: files whose every live row was deleted
+          // left the manifest — their previous live row set is the
+          // pre-image (previous DVs still apply through readFiles)
+          val dropped = prev.filterNot(e => curNames.contains(e.name))
+          if (dropped.nonEmpty)
+            pieces += tag(readFiles(spark, uri, dropped), "delete", v)
+          // deletes, part 2: surviving files whose DV grew — the delta
+          // positions (new sidecar minus old) name the deleted rows
+          val deltas = m.entries.flatMap { e =>
+            prevByName.get(e.name) match {
+              case Some(pe) if e.dv != pe.dv => Some((
+                fs.makeQualified(new Path(uri, e.name)).toString, e.name,
+                e.dv.map(_.path), pe.dv.map(_.path),
+                e.dv.map(_.rows).getOrElse(0L) -
+                  pe.dv.map(_.rows).getOrElse(0L)))
+              case _ => None
+            }
+          }
+          if (deltas.nonEmpty) {
+            val delPos = dvDeltaPositions(spark, uri,
+              deltas.map(d => (d._1, d._3, d._4)))
+            val raw = rawRead(spark, uri, deltas.map(_._2))
+              .withColumn("__gdv_file", col("_metadata.file_path"))
+              .withColumn("__gdv_pos", col("_metadata.row_index"))
+            val joined =
+              if (deltas.map(_._5).sum <= BroadcastDvRows)
+                raw.join(broadcast(delPos),
+                  Seq("__gdv_file", "__gdv_pos"), "left_semi")
+              else raw.join(delPos,
+                Seq("__gdv_file", "__gdv_pos"), "left_semi")
+            pieces += tag(joined, "delete", v)
+          }
+        case other => throw new IllegalStateException(
+          s"$uri v$v is a copy-on-write '$other' commit — the " +
+            "row-level feed requires merge-on-read commits " +
+            "(mergeOnRead = true), whose delta is fully recorded in " +
+            "deletion vectors and new files; read full versions " +
+            "around copy-on-write rewrites")
+      }
+      prev = m.entries
+    }
+    val parts = pieces.result()
+    if (parts.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(
+        read(spark, uri, to).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else parts.reduce(_.unionByName(_))
+  }
+
+  /** Deleted-position DELTAS per file: positions in the new DV sidecar
+    * but not the old one, parsed and diffed on executors (one task per
+    * file).  `refs` is (qualified file path, new DV rel path, old DV
+    * rel path — None for a first delete). */
+  private def dvDeltaPositions(
+      spark: SparkSession, uri: String,
+      refs: Seq[(String, Option[String], Option[String])]): DataFrame = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val u = uri
+    import spark.implicits._
+    val parts = math.max(1, math.min(refs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(refs, parts)
+      .flatMap { case (f, newRel, oldRel) =>
+        val conf = ser.value
+        val now = newRel.map(DeletionVectors.readAll(conf, u, _))
+          .getOrElse(Array.empty[Long])
+        val before = oldRel.map(DeletionVectors.readAll(conf, u, _))
+          .getOrElse(Array.empty[Long])
+        val old = before.toSet
+        now.iterator.filterNot(old).map(p => (f, p))
+      }
+      .toDF("__gdv_file", "__gdv_pos")
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data
@@ -810,6 +1056,20 @@ object Snapshots extends Serializable {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** Exact live row count of a pinned snapshot from METADATA alone:
+    * per-file manifest row counts minus deletion-vector rows.  A
+    * `SELECT count(*)` over a 100 TB snapshot table costs one manifest
+    * read — the aggregate-pushdown shortcut table formats exist for.
+    * Falls back to a footer read (still no data pages) for any entry
+    * that predates stats recording. */
+  def countRows(spark: SparkSession, uri: String, version: Int = -1): Long = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    readManifestEntries(spark, uri, v).map(e =>
+      e.liveRows.getOrElse(
+        physicalRows(spark, uri, e.name) -
+          e.dv.map(_.rows).getOrElse(0L))).sum
+  }
+
   /** Commit history of a managed table (Delta `DESCRIBE HISTORY` /
     * Iceberg `snapshots` analogue): one row per version with its commit
     * kind, live-file count and row count (summed from manifest stats;
@@ -822,7 +1082,7 @@ object Snapshots extends Serializable {
     val rows = (1 to latest).flatMap { v =>
       if (!fs.exists(manifestPath(uri, v))) None // expired prefix
       else {
-        val (kind, entries) = readManifestFull(spark, uri, v)
+        val Manifest(kind, _, entries) = readManifestFull(spark, uri, v)
         val counts = entries.map(_.liveRows)
         val rowCount: Any =
           if (entries.isEmpty) 0L // delete-all version: zero rows
@@ -873,15 +1133,20 @@ object Snapshots extends Serializable {
     throw new IllegalStateException("unreachable")
   }
 
-  // ---- manifest encoding: "graft-manifest v4 kind=<commit-kind>"
-  // header + one line per file (`name<TAB>stats[<TAB>dv=<rel>;rows=<n>]`,
-  // stats and dv optional — see [[SnapshotStats]]/[[DeletionVectors]]),
-  // committed by atomic rename.  v1 (names only), v2 (no commit kind)
-  // and v3 (no dv field) manifests still read.
+  // ---- manifest encoding: "graft-manifest v4 kind=<commit-kind>
+  // [mor=true]" header + one line per file
+  // (`name<TAB>stats[<TAB>dv=<rel>;rows=<n>]`, stats and dv optional —
+  // see [[SnapshotStats]]/[[DeletionVectors]]), committed by atomic
+  // rename.  v1 (names only), v2 (no commit kind) and v3 (no dv field)
+  // manifests still read.  `mor=true` marks a merge-on-read commit —
+  // one whose row-level delta is FULLY described by DV changes plus new
+  // files (no rewrite mixes carried rows into new files), which is what
+  // entitles [[readChangesRows]] to reconstruct it.
 
   private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int,
-      entries: Seq[ManifestEntry], kind: String = "unknown"): Unit = {
+      entries: Seq[ManifestEntry], kind: String = "unknown",
+      mor: Boolean = false): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
     // writer-unique tmp: two racers targeting the same version must not
@@ -900,10 +1165,11 @@ object Snapshots extends Serializable {
     }
     require(kind.nonEmpty && !kind.exists(c => c.isWhitespace || c == '\n'),
       s"bad commit kind '$kind'")
+    val morField = if (mor) " mor=true" else ""
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"graft-manifest v4 kind=$kind" +: lines).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+      ((s"graft-manifest v4 kind=$kind$morField" +: lines)
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
     // number first KEEPS it — this writer fails cleanly, its manifest tmp
@@ -929,17 +1195,22 @@ object Snapshots extends Serializable {
 
   private[io] def readManifestEntries(
       spark: SparkSession, uri: String, v: Int): Seq[ManifestEntry] =
-    readManifestFull(spark, uri, v)._2
+    readManifestFull(spark, uri, v).entries
 
-  /** A version's commit kind (append/merge/delete/compact/optimize/
-    * init); "unknown" for pre-v3 manifests. */
+  /** A version's commit kind (append/merge/delete/update/compact/
+    * optimize/init); "unknown" for pre-v3 manifests. */
   private[io] def manifestKind(
       spark: SparkSession, uri: String, v: Int): String =
-    readManifestFull(spark, uri, v)._1
+    readManifestFull(spark, uri, v).kind
 
-  private def readManifestFull(
-      spark: SparkSession, uri: String, v: Int)
-      : (String, Seq[ManifestEntry]) = {
+  /** One parsed manifest: commit kind, whether the commit was
+    * merge-on-read (row delta = DV changes + new files), and the live
+    * entry list. */
+  private[io] final case class Manifest(
+      kind: String, mor: Boolean, entries: Seq[ManifestEntry])
+
+  private[io] def readManifestFull(
+      spark: SparkSession, uri: String, v: Int): Manifest = {
     val fs = fsOf(spark, uri)
     val p = manifestPath(uri, v)
     require(fs.exists(p), s"$uri has no manifest version $v")
@@ -958,6 +1229,7 @@ object Snapshots extends Serializable {
     val kind = header.split(" ").collectFirst {
       case a if a.startsWith("kind=") => a.stripPrefix("kind=")
     }.getOrElse("unknown")
+    val mor = header.split(" ").contains("mor=true")
     val entries = lines.tail.map { line =>
       val fields = line.split("\t", -1)
       val name = fields(0)
@@ -972,7 +1244,7 @@ object Snapshots extends Serializable {
       }
       ManifestEntry(name, stats, dv)
     }
-    (kind, entries)
+    Manifest(kind, mor, entries)
   }
 
   /** Table-relative path of a data file (flat: the bare name;

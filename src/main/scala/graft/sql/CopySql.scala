@@ -94,6 +94,36 @@ object CopySql {
       }
       return Some(OptimizeCommand(uri, target, zcols))
     }
+    if (c.tryKeyword("UPDATE")) {
+      // only `UPDATE '<uri>' ...` — a quoted target — is ours; every
+      // other UPDATE spelling delegates to Spark's own parser
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val mor = parseMorOptions(c, "UPDATE")
+      c.expectKeyword("SET")
+      val sets = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var more = true
+      while (more) {
+        val colName = c.ident()
+        c.expectChar('=')
+        val e = c.exprUntil("WHERE")
+        if (e.isEmpty) throw new IllegalArgumentException(
+          s"UPDATE SET $colName = <expr> is missing its expression")
+        sets += ((colName, e))
+        if (c.peekIs(',')) c.expectChar(',') else more = false
+      }
+      val pred = if (c.tryKeyword("WHERE")) c.rest()
+                 else { c.expectEnd(); "true" }
+      return Some(UpdateCommand(uri, pred, sets.toSeq, mor))
+    }
+    if (c.tryKeyword("DELETE")) {
+      if (!c.tryKeyword("FROM") || !c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val mor = parseMorOptions(c, "DELETE")
+      val pred = if (c.tryKeyword("WHERE")) c.rest()
+                 else { c.expectEnd(); "true" }
+      return Some(DeleteWhereCommand(uri, pred, mor))
+    }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
       if (c.peekIs('(')) {
@@ -187,6 +217,16 @@ object CopySql {
     }
     items.toSeq
   }
+
+  /** The one option UPDATE/DELETE take: `WITH (merge_on_read [true])`
+    * selects the deletion-vector commit strategy. */
+  private def parseMorOptions(c: Cursor, stmt: String): Boolean =
+    parseOptionList(c).foldLeft(false) {
+      case (_, ("merge_on_read", v)) =>
+        v.forall(_.toLowerCase(Locale.ROOT) == "true")
+      case (_, (other, _)) => throw new IllegalArgumentException(
+        s"option '$other' is not supported for $stmt")
+    }
 
   private def requireValue(k: String, v: Option[String]): String =
     v.getOrElse(throw new IllegalArgumentException(
