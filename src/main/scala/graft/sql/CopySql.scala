@@ -368,6 +368,32 @@ final case class OptimizeCommand(
       Snapshots.optimizeCommit(spark, uri, targetBytes, zOrderBy).toLong))
 }
 
+/** `UPDATE '<uri>' [WITH (merge_on_read)] SET col = expr [, ...]
+  * [WHERE pred]` → [[graft.io.Snapshots.updateWhereCommit]] on a
+  * snapshot table; returns the committed version. */
+final case class UpdateCommand(
+    uri: String, predicate: String, set: Seq[(String, String)],
+    mergeOnRead: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.updateWhereCommit(
+      spark, uri, predicate, set, mergeOnRead).toLong))
+}
+
+/** `DELETE FROM '<uri>' [WITH (merge_on_read)] [WHERE pred]` →
+  * [[graft.io.Snapshots.deleteWhereCommit]] on a snapshot table;
+  * returns the committed version. */
+final case class DeleteWhereCommand(
+    uri: String, predicate: String, mergeOnRead: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.deleteWhereCommit(
+      spark, uri, predicate, mergeOnRead).toLong))
+}
+
 /** `COPY (query)|table TO 'uri'|STDOUT|PROGRAM 'cmd' (...)` →
   * [[graft.io.CopyTo]] / [[graft.cli.PipeCopy]]. */
 final case class CopyToCommand(
@@ -593,6 +619,45 @@ private final class Cursor(s: String) {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"COPY syntax error at position $i: $msg")
+
+  /** Expression text up to a top-level ',' or the stop keyword (neither
+    * consumed) or end of input — quote- and paren-aware, so commas inside
+    * function calls and string literals pass through.  Used for UPDATE's
+    * `SET col = expr, ...` list, whose expressions Spark's own parser
+    * understands at run time (same division of labor as WHERE). */
+  def exprUntil(stopKw: String): String = {
+    ws()
+    val start = i
+    var depth = 0
+    var done = false
+    while (!done && i < s.length && !(depth == 0 && s.charAt(i) == ';')) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < s.length && s.charAt(i) != q) i += 1
+          if (i >= s.length) fail("unterminated quote in expression")
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => done = true
+        case _ =>
+          if (depth == 0 && atKeyword(stopKw)) done = true
+          else i += 1
+      }
+    }
+    s.substring(start, i).trim
+  }
+
+  /** True when the cursor sits on `k` as a whole word (no consume). */
+  private def atKeyword(k: String): Boolean = {
+    val end = i + k.length
+    if (end > s.length || !s.regionMatches(true, i, k, 0, k.length)) return false
+    if (i > 0 && (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_'))
+      return false
+    if (end < s.length && (s.charAt(end).isLetterOrDigit || s.charAt(end) == '_'))
+      return false
+    true
+  }
 
   /** Save/restore point for bounded lookahead (bare ident lists). */
   def mark: Int = i

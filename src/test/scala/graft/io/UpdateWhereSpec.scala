@@ -1,0 +1,139 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** UPDATE ... SET ... WHERE as an MVCC commit — copy-on-write (touched
+  * files only) and merge-on-read (DV-delete old positions + append the
+  * updated images; zero existing data bytes move). */
+class UpdateWhereSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshTable(name: String, n: Int = 100): String = {
+    val dir = TestSpark.tmpDir(name)
+    fsOf(dir).delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+      .toDF("k", "amt", "name")
+      .repartitionByRange(4, col("k"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def dataFileState(dir: String): Map[String, Long] = {
+    val fs = fsOf(dir)
+    CopyTo.listDataFiles(spark, dir)._1.map { f =>
+      val p = new Path(new java.net.URI(f))
+      p.getName -> fs.getFileStatus(p).getModificationTime
+    }.toMap
+  }
+
+  test("copy-on-write update: matched rows updated, untouched files keep") {
+    val dir = freshTable("upd_cow")
+    Snapshots.init(spark, dir)
+    val before = dataFileState(dir)
+
+    // range layout over k (1..100 in 4 files): k <= 25 touches only the
+    // first file; the other three must survive byte-identical
+    val v2 = Snapshots.updateWhereCommit(spark, dir,
+      "k <= 25 AND k % 2 = 0", Seq("amt" -> "amt + 1000"))
+    assert(v2 == 2)
+
+    val after = dataFileState(dir)
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size >= 3,
+      s"expected >=3 carried files, got ${untouched.size}")
+    untouched.foreach(f => assert(before(f) == after(f)))
+
+    val live = Snapshots.read(spark, dir)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(live.length == 100)
+    live.foreach { case (k, amt, _) =>
+      val expected = if (k <= 25 && k % 2 == 0) k * 10 + 1000 else k * 10
+      assert(amt == expected, s"k=$k")
+    }
+    // time travel: v1 unchanged
+    assert(Snapshots.read(spark, dir, 1)
+      .filter(col("amt") >= 1000 + 10).count() == 0)
+  }
+
+  test("SET expressions see the PRE-update row: a = b, b = a swaps") {
+    val dir = freshTable("upd_swap")
+    Snapshots.init(spark, dir)
+    Snapshots.updateWhereCommit(spark, dir, "k = 7",
+      Seq("k" -> "amt", "amt" -> "k"))
+    val row = Snapshots.read(spark, dir).filter(col("amt") === 7)
+      .as[(Long, Long, String)].collect()
+    assert(row.toSeq == Seq((70L, 7L, "v7")))
+  }
+
+  test("NULL predicate keeps the row; no match commits nothing") {
+    val dir = TestSpark.tmpDir("upd_null")
+    fsOf(dir).delete(new Path(dir), true)
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("k", "amt").coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // amt > 15 is NULL for k=2 — that row must keep its old value
+    Snapshots.updateWhereCommit(spark, dir, "amt > 15",
+      Seq("k" -> "k + 100"))
+    val rows = Snapshots.read(spark, dir)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set((1L, Some(10L)), (2L, None), (103L, Some(30L))))
+    // nothing matches → same version back, no commit
+    val v = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.updateWhereCommit(spark, dir, "amt = -1",
+      Seq("k" -> "0")) == v)
+  }
+
+  test("merge-on-read update: ZERO existing data files touched") {
+    val dir = freshTable("upd_mor")
+    Snapshots.init(spark, dir)
+    val before = dataFileState(dir)
+
+    val v2 = Snapshots.updateWhereCommit(spark, dir, "k % 10 = 3",
+      Seq("name" -> "concat(name, '!')"), mergeOnRead = true)
+    assert(v2 == 2)
+
+    // every pre-existing file byte-identical; updated images appended
+    val after = dataFileState(dir)
+    before.foreach { case (f, mtime) => assert(after(f) == mtime, f) }
+    assert(after.size > before.size)
+
+    val live = Snapshots.read(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(live.length == 100)
+    live.foreach { case (k, _, name) =>
+      if (k % 10 == 3) assert(name == s"v$k!") else assert(name == s"v$k")
+    }
+    // v1 time travel unaffected
+    assert(Snapshots.read(spark, dir, 1)
+      .filter(col("name").endsWith("!")).count() == 0)
+  }
+
+  test("validation: partition column, unknown column, duplicate SET") {
+    val dir = TestSpark.tmpDir("upd_valid")
+    fsOf(dir).delete(new Path(dir), true)
+    (1 to 20).map(i => (i.toLong, i % 2, s"v$i")).toDF("k", "p", "name")
+      .write.partitionBy("p").parquet(dir)
+    Snapshots.init(spark, dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereCommit(spark, dir, "k = 1", Seq("p" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereCommit(spark, dir, "k = 1", Seq("nope" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereCommit(spark, dir, "k = 1",
+        Seq("name" -> "'a'", "name" -> "'b'"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereCommit(spark, dir, "k = 1", Nil)
+    }
+  }
+}
