@@ -45,21 +45,29 @@ object SparkEntry {
     new graft.io.gcs.InMemoryGcs(
       "graft-driver@graft-project.iam.gserviceaccount.com").start()
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads via the
-    * nanosAsLong legacy conf → LongType epoch-nanos.  The oracle mirrors
-    * with duckdb `epoch_ns`. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  /** `events.ts` is parquet `TIMESTAMP(MICROS, isAdjustedToUTC=false)`
+    * INT64; reading it through an explicit LongType field hands back the
+    * raw epoch-MICROS payload — timezone-independent, exactly the value
+    * duckdb's `epoch_us(ts)` computes.  Every downstream `ts` use in
+    * this file and [[graft.streaming.StatefulOps]] treats the column as
+    * microseconds. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
 
   /** Streaming file sources need a directory: stage the events file into
-    * one via CopyTo (as LongType nanos, the same values the oracle's
-    * `epoch_ns` sees).  Content is deterministic, so an existing staging
-    * is reused. */
+    * one via CopyTo (plain INT64 micros — same values the oracle's
+    * `epoch_us` sees).  The dir name embeds a fingerprint of the source
+    * file ([[graft.util.Staging]]), so regenerated testdata invalidates
+    * the stage instead of silently serving stale bytes. */
   private def stagedEventsDir(s: SparkSession, dir: String): String = {
-    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
-      new java.io.File(dir).getName
+    val stageDir = util.Staging.dirFor(
+      "graft_stream_src_" + new java.io.File(dir).getName,
+      s"$dir/events.parquet")
     if (!new java.io.File(s"$stageDir/_SUCCESS").exists())
       CopyTo(events(s, dir), stageDir)
     stageDir
@@ -70,15 +78,17 @@ object SparkEntry {
     * window — including 6h-gap SESSION windows, whose end is last event
     * + gap — so all of them close and emit (the sentinel's own window
     * stays open and is filtered out of the contract).  Dir name carries
-    * a version: bump it whenever the sentinel offset changes. */
+    * a version (bump when the sentinel offset changes) plus the source
+    * fingerprint (invalidates on testdata regeneration). */
   private def stagedSentinelEventsDir(s: SparkSession, dir: String): String = {
-    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_wm_v2_" +
-      new java.io.File(dir).getName
+    val stageDir = util.Staging.dirFor(
+      "graft_stream_wm_v3_" + new java.io.File(dir).getName,
+      s"$dir/events.parquet")
     if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
       import s.implicits._
       val ev = events(s, dir)
       val maxTs = ev.agg(max("ts")).head().getLong(0)
-      val sentinel = Seq((-1L, maxTs + 36000L * 1000000000L, -1L,
+      val sentinel = Seq((-1L, maxTs + 36000L * 1000000L, -1L,
         "_sentinel", 0.0, "")).toDF(
         "event_id", "ts", "user_id", "event_type", "value", "props")
       CopyTo(ev.unionAll(sentinel), stageDir)
@@ -89,8 +99,9 @@ object SparkEntry {
   /** Events staged with every row TWICE — input for the streaming
     * dedup-within-watermark demo (the duplicate arrives in-watermark). */
   private def stagedDupEventsDir(s: SparkSession, dir: String): String = {
-    val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dup_" +
-      new java.io.File(dir).getName
+    val stageDir = util.Staging.dirFor(
+      "graft_stream_dup_" + new java.io.File(dir).getName,
+      s"$dir/events.parquet")
     if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
       val ev = events(s, dir)
       CopyTo(ev.unionAll(ev), stageDir)
@@ -164,10 +175,12 @@ object SparkEntry {
   /** Shared snapshot-version-chain fixture for the change-feed and
     * history queries: orders `%10 < 6` as v1 (init), append `%10 == 6`
     * (v2), compact (v3), append `%10 == 7` (v4).  Built once per sf and
-    * reused — both queries must see the SAME chain. */
+    * reused — both queries must see the SAME chain.  Dir name embeds
+    * the orders source fingerprint: regenerated testdata → new chain. */
   private def snapChangesFixture(s: SparkSession, dir: String): String = {
-    val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapchanges_" +
-      new java.io.File(dir).getName
+    val uri = util.Staging.dirFor(
+      "graft_snapchanges_" + new java.io.File(dir).getName,
+      s"$dir/orders.parquet")
     val fs = new org.apache.hadoop.fs.Path(uri)
       .getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -922,7 +935,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, dir)
-        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("ts_us", col("ts"))
         .withColumn("prev_value", lag("value", 1).over(w))
         .withColumn("delta", round(col("value") - col("prev_value"), 2))
         .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -1269,7 +1282,7 @@ object SparkEntry {
     // time-bucketed aggregation over the event stream (batch)
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
-        .withColumn("hour_idx", expr("ts DIV 3600000000000"))
+        .withColumn("hour_idx", expr("ts DIV 3600000000"))
         .groupBy("hour_idx", "event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("hour_idx", "event_type")),
@@ -1289,7 +1302,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val byTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, dir)
-        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("ts_us", col("ts"))
         .withColumn("prev_ts", lag("ts_us", 1).over(byTime))
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
@@ -1305,7 +1318,7 @@ object SparkEntry {
 
     // as-of join: last-click attribution for each purchase, per user
     "q_asof_attribution" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = events(s, dir).withColumn("ts_us", col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us").as("pts"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -1357,7 +1370,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = s.readStream.schema(schema).parquet(stageDir)
-          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ets", timestamp_micros(col("ts")))
           .withWatermark("ets", "1 second")
           .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -1397,7 +1410,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = s.readStream.schema(schema).parquet(stageDir)
-          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ets", timestamp_micros(col("ts")))
           .withWatermark("ets", "1 second")
           .groupBy(window(col("ets"), "6 hours").as("w"), col("event_type"))
           .agg(
@@ -1441,7 +1454,7 @@ object SparkEntry {
       val q = s.readStream.schema(schema).parquet(stageDir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("ts_us"), round(col("value"), 2).as("value"))
+          col("ts").as("ts_us"), round(col("value"), 2).as("value"))
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckDir)
         .outputMode("append")
@@ -1614,7 +1627,7 @@ object SparkEntry {
         StructField("value", DoubleType), StructField("props", StringType)))
       val stageDir = stagedEventsDir(s, dir)
       val src = s.readStream.schema(schema).parquet(stageDir)
-        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("ts_us", col("ts"))
         .withColumn("etime", timestamp_micros(col("ts_us")))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"),
@@ -1668,7 +1681,7 @@ object SparkEntry {
         StructField("value", DoubleType), StructField("props", StringType)))
       val stageDir = stagedSentinelEventsDir(s, dir)
       val src = s.readStream.schema(schema).parquet(stageDir)
-        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("ts_us", col("ts"))
         .withColumn("etime", timestamp_micros(col("ts_us")))
       // the sentinel rides INSIDE both join inputs all the way through:
       // a type filter placed after withWatermark gets pushed below the
@@ -2378,7 +2391,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = s.readStream.schema(schema).parquet(stageDir)
-          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ets", timestamp_micros(col("ts")))
           .withWatermark("ets", "1 minute")
           .dropDuplicatesWithinWatermark("event_id")
           .drop("ets")
@@ -2421,7 +2434,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = s.readStream.schema(schema).parquet(stageDir)
-          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts_us", col("ts"))
           .withColumn("ets", timestamp_micros(col("ts_us")))
           .withWatermark("ets", "1 second")
           .groupBy(session_window(col("ets"), "6 hours"), col("user_id"))

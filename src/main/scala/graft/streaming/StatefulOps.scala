@@ -76,11 +76,11 @@ object StatefulOps {
 
     def fn(userId: Long, events: Iterator[Event],
         state: GroupState[SessState]): Iterator[SessionRow] = {
-      val sorted = events.toArray.sortBy(e => (e.ts / 1000, e.event_id))
+      val sorted = events.toArray.sortBy(e => (e.ts, e.event_id))
       val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
       var st = state.getOption.orNull
       sorted.foreach { e =>
-        val ts = e.ts / 1000
+        val ts = e.ts // epoch-micros (see SparkEntry.eventsSchema)
         if (st == null) st = SessState(1L, 1L, ts, ts)
         else if (ts - st.lastTs > gapMicros) {
           out += SessionRow(userId, st.sessId, st.n, st.start, st.lastTs)
@@ -156,7 +156,7 @@ object StatefulOps {
         DedupState(Long.MaxValue, Long.MaxValue, 0L))
       events.foreach { e =>
         st = DedupState(math.min(st.minId, e.event_id),
-          math.min(st.minTs, e.ts / 1000), st.n + 1)
+          math.min(st.minTs, e.ts), st.n + 1)
       }
       state.update(st)
       Iterator.single(DedupRow(key._1, key._2, st.minId, st.minTs, st.n))

@@ -15,9 +15,9 @@ object Smoke {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
 
-    println("== events ns timestamp ==")
+    println("== events us timestamp ==")
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
       ev.printSchema()
       ev.show(2, false)
     } catch { case e: Throwable => println("EVENTS FAIL: " + e.getMessage.take(300)) }

@@ -1,0 +1,47 @@
+package graft.util
+
+import java.io.File
+import java.security.MessageDigest
+
+/**
+ * Content fingerprints for staged `/tmp` fixtures.
+ *
+ * Fixtures staged once per JVM tmpdir and reused across runs must key
+ * their directory name on the SOURCE CONTENT, not on mere existence:
+ * when the driver regenerates `/root/testdata` between rounds, an
+ * existence-only `_SUCCESS` guard happily serves the previous round's
+ * bytes (observed: the events fixture silently kept nanosecond
+ * timestamps after the source moved to microseconds).  Embedding a
+ * fingerprint of the source files in the directory name makes a source
+ * change produce a NEW directory, so the stale stage is simply never
+ * looked at again.
+ *
+ * The fingerprint hashes each file's relative name, length and mtime —
+ * no data read, O(#files) stat calls — which is exactly the signal that
+ * changes when a source file is rewritten.
+ */
+object Staging {
+
+  /** Hex fingerprint (8 chars) of one or more files/directories. */
+  def fingerprint(paths: String*): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = paths.flatMap(p => walk(new File(p)))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(sig.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Staged-fixture directory name under the JVM tmpdir: `prefix` +
+    * source fingerprint.  Callers still guard on `_SUCCESS` existence
+    * WITHIN the returned dir — the fingerprint in the name is what
+    * invalidates the guard when the source changes. */
+  def dirFor(prefix: String, sourcePaths: String*): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      fingerprint(sourcePaths: _*)
+}

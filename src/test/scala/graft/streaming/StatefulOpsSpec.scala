@@ -14,7 +14,7 @@ class StatefulOpsSpec extends AnyFunSuite {
   import StatefulOps.Event
 
   private def ev(id: Long, us: Long, user: Long): Event =
-    Event(id, us * 1000L, user, "click", 0.0, "")
+    Event(id, us, user, "click", 0.0, "")
 
   test("watermarked tumbling window in APPEND mode emits only closed windows") {
     import org.apache.spark.sql.functions._
@@ -40,7 +40,7 @@ class StatefulOpsSpec extends AnyFunSuite {
     val qn = s"graft_wm_${System.nanoTime()}"
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      .withColumn("etime", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("etime", timestamp_micros(col("ts")))
       .withWatermark("etime", "10 seconds")
       .groupBy(window(col("etime"), "60 seconds").as("w"))
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,53 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The staged-fixture staleness guard: a fixture dir name must change
+  * whenever the SOURCE content changes, so an existence-only `_SUCCESS`
+  * guard can never serve stale bytes after the driver regenerates
+  * testdata (the r07 failure mode). */
+class StagingSpec extends AnyFunSuite {
+
+  test("fingerprint is stable for unchanged sources") {
+    val d = Files.createTempDirectory("graft_staging_spec").toFile
+    val f = new java.io.File(d, "a.parquet")
+    Files.write(f.toPath, "hello".getBytes)
+    assert(Staging.fingerprint(f.getPath) === Staging.fingerprint(f.getPath))
+    assert(Staging.dirFor("pfx", f.getPath) === Staging.dirFor("pfx", f.getPath))
+  }
+
+  test("fingerprint changes when a source file is rewritten") {
+    val d = Files.createTempDirectory("graft_staging_spec").toFile
+    val f = new java.io.File(d, "a.parquet")
+    Files.write(f.toPath, "hello".getBytes)
+    val fp1 = Staging.fingerprint(f.getPath)
+    // same length, different mtime — the regeneration signature
+    Files.write(f.toPath, "world".getBytes)
+    assert(f.setLastModified(f.lastModified() + 60000))
+    assert(Staging.fingerprint(f.getPath) !== fp1)
+    // different length too
+    Files.write(f.toPath, "longer content".getBytes)
+    assert(Staging.fingerprint(f.getPath) !== fp1)
+  }
+
+  test("fingerprint covers every file in a directory source") {
+    val d = Files.createTempDirectory("graft_staging_spec").toFile
+    Files.write(new java.io.File(d, "part-0.parquet").toPath, "aa".getBytes)
+    Files.write(new java.io.File(d, "part-1.parquet").toPath, "bb".getBytes)
+    val fp1 = Staging.fingerprint(d.getPath)
+    val extra = new java.io.File(d, "part-2.parquet")
+    Files.write(extra.toPath, "cc".getBytes)
+    assert(Staging.fingerprint(d.getPath) !== fp1)
+  }
+
+  test("dirFor embeds the fingerprint under the JVM tmpdir") {
+    val d = Files.createTempDirectory("graft_staging_spec").toFile
+    val f = new java.io.File(d, "a.parquet")
+    Files.write(f.toPath, "x".getBytes)
+    val dir = Staging.dirFor("graft_test_stage", f.getPath)
+    assert(dir.startsWith(System.getProperty("java.io.tmpdir")))
+    assert(dir.contains("graft_test_stage_"))
+    assert(dir.endsWith(Staging.fingerprint(f.getPath)))
+  }
+}
