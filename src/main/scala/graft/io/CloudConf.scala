@@ -102,8 +102,12 @@ object CloudConf {
           "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider"
         b += s"fs.azure.account.oauth2.client.id.$sfx" -> client
         b += s"fs.azure.account.oauth2.client.secret.$sfx" -> secret
+        // AZURE_AUTHORITY_HOST: the Azure SDK's sovereign-cloud /
+        // emulator override for login.microsoftonline.com
         b += s"fs.azure.account.oauth2.client.endpoint.$sfx" ->
-          s"https://login.microsoftonline.com/$tenant/oauth2/token"
+          (env.getOrElse("AZURE_AUTHORITY_HOST",
+            "https://login.microsoftonline.com").stripSuffix("/") +
+            s"/$tenant/oauth2/token")
       }
       // Workload-identity (federated token file), reference azure.rs:205:
       // kubernetes-style OIDC token exchange — no client secret involved.

@@ -40,6 +40,22 @@ object CopyTo {
       options: CopyToOptions = CopyToOptions.default): WriteResult = {
     val opts0 = options.validated
     val spark = df.sparkSession
+    // http(s) destination = ONE object PUT at the exact URL (the
+    // reference's http store writes whole objects, object_store/http.rs
+    // :11-38): spool a single parquet file locally with the same options,
+    // then stream it through the PUT-capable HttpFileSystem (requires the
+    // fs.graft.http.write.enable opt-in).  No directory, no committer.
+    Option(new org.apache.hadoop.fs.Path(uri).toUri.getScheme) match {
+      case Some(s) if s == "http" || s == "https" =>
+        val p = new org.apache.hadoop.fs.Path(uri)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        val bytes =
+          try graft.cli.PipeCopy.copyToStream(df, out, opts0)
+          finally out.close()
+        return WriteResult(uri, Seq(uri), bytes)
+      case _ =>
+    }
     // z-order: materialize the Morton key, then cluster on it like any
     // clusterBy column (ZOrder.write is sugar for exactly this path)
     val (df0, opts) =

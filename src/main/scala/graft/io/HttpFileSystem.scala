@@ -20,9 +20,15 @@ import org.apache.hadoop.util.Progressable
  * Servers that ignore Range (respond 200) are handled by skipping.
  *
  * Register with [[HttpFs.register]] (sets `fs.http.impl`/`fs.https.impl`).
- * Mutations (create/delete/rename) are unsupported: the reference's write
- * path needs a PUT-capable store; Spark's committer additionally needs
- * rename, which plain HTTP cannot provide.
+ *
+ * Writes (the reference reads AND writes via its http store, README.md:8)
+ * are an EXPLICIT OPT-IN: `fs.graft.http.write.enable=true` turns
+ * `create` into a streaming chunked PUT at the exact URL, `delete` into
+ * HTTP DELETE, and `rename` into GET+PUT+DELETE — enough for the
+ * single-object COPY TO path ([[CopyTo]] streams one spooled parquet
+ * file per http(s) destination; there is no directory listing, so
+ * Spark's multi-file committer is deliberately NOT supported).  Without
+ * the opt-in every mutation keeps the read-only refusal.
  */
 class HttpFileSystem extends FileSystem {
   private var fsUri: URI = _
@@ -34,6 +40,15 @@ class HttpFileSystem extends FileSystem {
     setConf(conf)
     fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
   }
+
+  private def writeEnabled: Boolean =
+    getConf.getBoolean("fs.graft.http.write.enable", false)
+
+  private def requireWrite(): Unit =
+    if (!writeEnabled)
+      throw new UnsupportedOperationException(
+        "http filesystem is read-only (set fs.graft.http.write.enable=true " +
+          "for PUT-capable endpoints)")
 
   override def getUri: URI = fsUri
 
@@ -66,20 +81,81 @@ class HttpFileSystem extends FileSystem {
 
   override def getWorkingDirectory: Path = new Path(fsUri)
   override def setWorkingDirectory(dir: Path): Unit = ()
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
-    throw new UnsupportedOperationException("http filesystem is read-only")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    requireWrite()
+    true // http paths are implicit; the PUT creates the object
+  }
   override def create(
       f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
       replication: Short, blockSize: Long, progress: Progressable)
-      : FSDataOutputStream =
-    throw new UnsupportedOperationException("http filesystem is read-only")
+      : FSDataOutputStream = {
+    requireWrite()
+    new FSDataOutputStream(new HttpPutOutputStream(toUrl(f)), statistics)
+  }
   override def append(
       f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("http filesystem is read-only")
-  override def rename(src: Path, dst: Path): Boolean =
-    throw new UnsupportedOperationException("http filesystem is read-only")
-  override def delete(f: Path, recursive: Boolean): Boolean =
-    throw new UnsupportedOperationException("http filesystem is read-only")
+    throw new UnsupportedOperationException(
+      "append is not supported over http")
+  override def rename(src: Path, dst: Path): Boolean = {
+    requireWrite()
+    // no server-side copy in plain http: GET(src) -> PUT(dst) ->
+    // DELETE(src), spooled through a local temp file so the GET and the
+    // PUT never overlap — a server that processes one exchange at a
+    // time would deadlock against a client holding both connections
+    val tmp = java.nio.file.Files.createTempFile("graft_http_mv_", ".tmp")
+    try {
+      val in = open(src, 64 * 1024)
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val out = create(dst, null, true, 64 * 1024, 1, 0L, null)
+      try java.nio.file.Files.copy(tmp, out) finally out.close()
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+    delete(src, false)
+    true
+  }
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    requireWrite()
+    val conn = toUrl(f).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("DELETE")
+    try conn.getResponseCode match {
+      case 404 => false
+      case code if code < 300 => true
+      case code =>
+        throw new java.io.IOException(s"DELETE $f failed with HTTP $code")
+    } finally conn.disconnect()
+  }
+}
+
+/** Streaming chunked PUT: bytes go straight to the connection (no
+  * whole-file buffering); close() completes the request and checks the
+  * response code — a failed PUT surfaces as an IOException, not a
+  * silently-missing object. */
+private[io] class HttpPutOutputStream(url: URL) extends java.io.OutputStream {
+  private val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+  conn.setRequestMethod("PUT")
+  conn.setDoOutput(true)
+  conn.setChunkedStreamingMode(64 * 1024)
+  conn.setRequestProperty("Content-Type", "application/octet-stream")
+  private val out = conn.getOutputStream
+  private var closed = false
+
+  override def write(b: Int): Unit = out.write(b)
+  override def write(b: Array[Byte], off: Int, len: Int): Unit =
+    out.write(b, off, len)
+  override def flush(): Unit = out.flush()
+
+  override def close(): Unit = {
+    if (closed) return
+    closed = true
+    out.close()
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    if (in != null) { while (in.read() >= 0) {}; in.close() }
+    conn.disconnect()
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(s"PUT $url failed with HTTP $code")
+  }
 }
 
 /** https twin (Hadoop binds one impl class per scheme). */

@@ -308,16 +308,68 @@ private[azure] final case class AzureBlob(key: String, size: Long, mtime: Long)
 private[azure] final case class AzureListing(
     blobs: Seq[AzureBlob], prefixes: Seq[String], nextMarker: Option[String])
 
+/** OAuth2 client-credentials grant parameters (service-principal auth,
+  * reference `azure.rs:196-213`): POST the client id/secret to the
+  * tenant's token endpoint, receive a bearer token for storage. */
+private[azure] final case class AzureOAuth(
+    tokenEndpoint: String, clientId: String, clientSecret: String)
+
 /**
  * Minimal Azure Blob REST client.  Auth is SharedKey (per-request
- * signature over the canonicalized request) or a SAS token appended to
- * every request's query string — exactly one of the two is configured.
+ * signature over the canonicalized request), a SAS token appended to
+ * every request's query string, or an OAuth2 client-credentials bearer
+ * token (minted lazily, cached until 60s before expiry — same flow
+ * shape as the gs:// JWT grant in [[graft.io.gcs.GraftGsFileSystem]]) —
+ * exactly one of the three is configured.
  */
 private[azure] class AzureBlobClient(
     endpoint: URI, account: String,
-    sharedKey: Option[String], sasToken: Option[String]) {
-  require(sharedKey.isDefined != sasToken.isDefined,
-    "configure exactly one of account key / SAS token")
+    sharedKey: Option[String], sasToken: Option[String],
+    oauth: Option[AzureOAuth] = None) {
+  require(Seq(sharedKey, sasToken, oauth).count(_.isDefined) == 1,
+    "configure exactly one of account key / SAS token / client credentials")
+
+  // ---- OAuth2 client-credentials bearer (reference azure.rs:196-213)
+  @volatile private var bearer: String = _
+  @volatile private var bearerExpiry = 0L
+
+  private def bearerToken(o: AzureOAuth): String = {
+    val t = bearer
+    if (t != null && System.currentTimeMillis() < bearerExpiry) t
+    else synchronized {
+      if (bearer != null && System.currentTimeMillis() < bearerExpiry) bearer
+      else mintBearer(o)
+    }
+  }
+
+  private def mintBearer(o: AzureOAuth): String = {
+    val form = "grant_type=client_credentials" +
+      s"&client_id=${S3Signer.uriEncode(o.clientId, false)}" +
+      s"&client_secret=${S3Signer.uriEncode(o.clientSecret, false)}" +
+      s"&resource=${S3Signer.uriEncode("https://storage.azure.com/", false)}"
+    val conn = new URL(o.tokenEndpoint).openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    os.write(form.getBytes(UTF_8)); os.close()
+    val in = if (conn.getResponseCode >= 400) conn.getErrorStream
+      else conn.getInputStream
+    val resp = if (in == null) "" else new String(in.readAllBytes(), UTF_8)
+    if (conn.getResponseCode != 200)
+      throw new IOException(s"client-credentials grant failed: " +
+        s"HTTP ${conn.getResponseCode} ${resp.take(300)}")
+    val tok = "\"access_token\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(resp).map(_.group(1)).getOrElse(throw new IOException(
+        s"no access_token in grant response: ${resp.take(300)}"))
+    // AAD v1 returns expires_in as a STRING of seconds
+    val ttl = "\"expires_in\"\\s*:\\s*\"?(\\d+)".r
+      .findFirstMatchIn(resp).map(_.group(1).toLong).getOrElse(3600L)
+    bearer = tok
+    bearerExpiry = System.currentTimeMillis() + math.max(ttl - 60, 1) * 1000
+    tok
+  }
 
   private def request(
       method: String, path: String, query: Seq[(String, String)],
@@ -350,6 +402,8 @@ private[azure] class AzureBlobClient(
         method, baseHeaders, path, fullQuery)
       conn.setRequestProperty("Authorization", auth)
     }
+    oauth.foreach(o =>
+      conn.setRequestProperty("Authorization", "Bearer " + bearerToken(o)))
     baseHeaders.foreach { case (k, v) =>
       if (k != "content-length") conn.setRequestProperty(k, v)
     }
@@ -515,11 +569,29 @@ private[azure] object AzureBlobClient {
       .getOrElse(s"https://$host")
     val key = Option(conf.get(s"fs.azure.account.key.$host"))
     val sas = Option(conf.get(s"fs.azure.sas.fixed.token.$host"))
-    require(key.isDefined || sas.isDefined,
-      s"no credentials for $host: set fs.azure.account.key.$host or " +
-        s"fs.azure.sas.fixed.token.$host (via the AZURE_STORAGE_* env)")
+    // service-principal OAuth, exactly as CloudConf writes it from the
+    // AZURE_TENANT_ID / AZURE_CLIENT_ID / AZURE_CLIENT_SECRET trio
+    val oauth =
+      if (Option(conf.get(s"fs.azure.account.auth.type.$host"))
+          .contains("OAuth"))
+        for {
+          id <- Option(conf.get(s"fs.azure.account.oauth2.client.id.$host"))
+          secret <- Option(
+            conf.get(s"fs.azure.account.oauth2.client.secret.$host"))
+          ep <- Option(
+            conf.get(s"fs.azure.account.oauth2.client.endpoint.$host"))
+        } yield AzureOAuth(ep, id, secret)
+      else None
+    require(key.isDefined || sas.isDefined || oauth.isDefined,
+      s"no credentials for $host: set fs.azure.account.key.$host, " +
+        s"fs.azure.sas.fixed.token.$host, or the oauth2 client trio " +
+        s"(via the AZURE_STORAGE_* / AZURE_CLIENT_* env)")
+    val useSas = sas.isDefined
+    val useOauth = !useSas && oauth.isDefined
     new AzureBlobClient(URI.create(endpoint), account,
-      if (sas.isDefined) None else key, sas)
+      if (useSas || useOauth) None else key,
+      if (useSas) sas else None,
+      if (useOauth) oauth else None)
   }
 }
 

@@ -28,13 +28,19 @@ import scala.jdk.CollectionConverters._
  * (`SparkEntry.queries("io_abfs_roundtrip")`) starts it in-process;
  * nothing in the production surface references it.
  */
-final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
+final class InMemoryAzureBlob(
+    account: String, accountKeyBase64: String,
+    oauthClientId: String = "graft-azure-client",
+    oauthClientSecret: String = "graft-azure-oauth-secret") {
 
   private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
   private val mtimes = new ConcurrentHashMap[String, Long]()
   // uncommitted blocks: "container/key" -> (blockId -> bytes)
   private val staged =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, Array[Byte]]]()
+  // bearer tokens issued by the client-credentials grant: token -> exp ms
+  private val tokens = new ConcurrentHashMap[String, Long]()
+  @volatile private var grants = 0L
   @volatile private var rejected = 0L
   @volatile private var served = 0L
   private val seq = new AtomicLong(0)
@@ -62,6 +68,7 @@ final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
   def endpoint: String = s"http://127.0.0.1:$port"
   def requestsServed: Long = served
   def requestsRejected: Long = rejected
+  def tokenGrants: Long = grants
   def keys: Seq[String] = blobs.keySet().asScala.toSeq.sorted
 
   /** env map that makes [[graft.io.CloudConf]] route abfs:// here. */
@@ -71,18 +78,66 @@ final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
     "AZURE_STORAGE_ENDPOINT" -> endpoint,
     "AZURE_ALLOW_HTTP" -> "true")
 
+  /** env map for the service-principal (client-secret OAuth) leg: no
+    * account key — CloudConf maps the tenant/client/secret trio to the
+    * OAuth conf keys and the authority host points the token grant at
+    * this endpoint.  `acct` defaults to the server's account but may
+    * name a different storage account (conf keys are per-host). */
+  def oauthEnv(acct: String = account): Map[String, String] = Map(
+    "AZURE_STORAGE_ACCOUNT" -> acct,
+    "AZURE_TENANT_ID" -> "graft-tenant",
+    "AZURE_CLIENT_ID" -> oauthClientId,
+    "AZURE_CLIENT_SECRET" -> oauthClientSecret,
+    "AZURE_AUTHORITY_HOST" -> endpoint,
+    "AZURE_STORAGE_ENDPOINT" -> endpoint,
+    "AZURE_ALLOW_HTTP" -> "true")
+
   // ------------------------------------------------------------- handler
 
   private def handle(ex: HttpExchange): Unit =
     try {
       served += 1
-      if (!authorized(ex)) {
+      if (ex.getRequestURI.getPath.endsWith("/oauth2/token"))
+        grantToken(ex) // the AAD token endpoint is itself unauthenticated
+      else if (!authorized(ex)) {
         rejected += 1
         respond(ex, 403, errXml("AuthenticationFailed"))
       } else route(ex)
     } catch {
       case e: Throwable => respond(ex, 500, errXml(e.toString))
     } finally ex.close()
+
+  /** AAD-v1-style client-credentials grant: verify the posted client
+    * id/secret against the configured service principal and mint a
+    * bearer token (expires_in as a string of seconds, like AAD v1). */
+  private def grantToken(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, errXml("MethodNotAllowed")); return
+    }
+    val form = parseQuery(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    def reject(why: String): Unit = {
+      rejected += 1
+      val body = s"""{"error":"invalid_client","error_description":"$why"}"""
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 401, body.getBytes(UTF_8))
+    }
+    if (!form.get("grant_type").contains("client_credentials")) {
+      reject("unsupported grant_type"); return
+    }
+    if (!form.get("client_id").contains(oauthClientId)) {
+      reject("unknown client_id"); return
+    }
+    if (!form.get("client_secret").contains(oauthClientSecret)) {
+      reject("bad client_secret"); return
+    }
+    grants += 1
+    val token = "graft-az-" + java.util.UUID.randomUUID().toString
+    tokens.put(token, System.currentTimeMillis() + 3600L * 1000)
+    val body =
+      s"""{"token_type":"Bearer","expires_in":"3600","access_token":"$token"}"""
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, 200, body.getBytes(UTF_8))
+  }
 
   private def route(ex: HttpExchange): Unit = {
     val rawPath = ex.getRequestURI.getRawPath
@@ -252,12 +307,18 @@ final class InMemoryAzureBlob(account: String, accountKeyBase64: String) {
   // ------------------------------------------- SharedKey / SAS verification
 
   /** SharedKey: recompute the signature from the raw request and the
-    * account key.  SAS: validate the token signature and expiry. */
+    * account key.  SAS: validate the token signature and expiry.
+    * Bearer: the token must have been issued by this server's grant
+    * endpoint and be unexpired. */
   private def authorized(ex: HttpExchange): Boolean = {
     val query = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     if (query.contains("sig")) return sasValid(ex, query)
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .getOrElse(return false)
+    if (auth.startsWith("Bearer ")) {
+      val exp = tokens.get(auth.stripPrefix("Bearer "))
+      return exp != null && exp > System.currentTimeMillis()
+    }
     val m = "SharedKey ([^:]+):(.+)".r.findFirstMatchIn(auth)
       .getOrElse(return false)
     if (m.group(1) != account) return false

@@ -35,23 +35,78 @@ object Bpe {
   val EndOfWord = "</w>"
 
   final case class BpeModel(merges: Seq[(String, String)]) {
-    /** Greedy merge application to one word's symbol sequence. */
+
+    /** `left → (right → merge rank)`: lower rank merges first.  Each
+      * symbol string has exactly ONE creating rule (a merged symbol is
+      * strictly longer than both parts), so once a rule and everything
+      * below its rank has applied, its pair can never re-form — the
+      * rank-priority loop below is therefore EXACTLY equivalent to
+      * replaying the full merge list in order, without the
+      * O(numMerges × wordLen) per-word replay (the r07 55s cliff). */
+    @transient private lazy val ranks
+        : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.computeIfAbsent(a, _ => new java.util.HashMap[String, Integer]())
+          .putIfAbsent(b, i)
+      }
+      m
+    }
+
+    /** Greedy merge application to one word's symbol sequence: repeatedly
+      * merge the lowest-rank adjacent pair present (all its occurrences,
+      * left to right) until no adjacent pair is a known merge. */
     def encodeWord(word: String): Seq[String] = {
       var syms = (word.map(_.toString) :+ EndOfWord).toVector
-      merges.foreach { case (a, b) =>
-        if (syms.length >= 2) {
+      var best = 0
+      while (best != Int.MaxValue && syms.length >= 2) {
+        best = Int.MaxValue
+        var a: String = null; var b: String = null
+        var i = 0
+        while (i + 1 < syms.length) {
+          val inner = ranks.get(syms(i))
+          if (inner != null) {
+            val r = inner.get(syms(i + 1))
+            if (r != null && r < best) { best = r; a = syms(i); b = syms(i + 1) }
+          }
+          i += 1
+        }
+        if (best != Int.MaxValue) {
           val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
           }
           syms = out.result()
         }
       }
       syms
     }
+
+    /** Executor-shared distinct-word memo: corpora are Zipfian, so most
+      * occurrences hit the cache and each DISTINCT word is encoded once
+      * per executor JVM.  Bounded — past the cap new words are encoded
+      * uncached (no eviction churn in the hot path). */
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+    def encodeWordCached(word: String): Seq[String] = {
+      val hit = cache.get(word)
+      if (hit != null) hit
+      else {
+        val res = encodeWord(word)
+        if (cache.size < BpeModel.CacheCap) cache.put(word, res)
+        res
+      }
+    }
+  }
+
+  object BpeModel {
+    /** Encode-cache entry cap per executor JVM (≈ tens of MB worst case,
+      * far below executor memory at any realistic vocabulary). */
+    val CacheCap: Int = 1 << 20
   }
 
   private val TokenSplit = "[^a-z0-9]+"
@@ -80,43 +135,84 @@ object Bpe {
     model
   }
 
-  /** Driver-side rounds over the collected word table — exact BPE. */
+  /** Driver-side rounds over the collected word table — exact BPE.
+    * Pair counts are built ONCE and maintained incrementally: each round
+    * touches only the words that actually contain the merged pair
+    * (subtract their old pair contributions, rewrite, add the new ones),
+    * instead of recounting every pair of every word per round — the
+    * recount was O(numMerges × Σ wordLen) driver-side and dominated the
+    * r07 text_bpe_encode regression.  Count evolution is identical to a
+    * full recount, so merges (argmax + tie-break) are unchanged. */
   private def trainLocal(wf: DataFrame, numMerges: Int): BpeModel = {
     val spark = wf.sparkSession
     import spark.implicits._
-    var words: Array[(Vector[String], Long)] = wf.as[(String, Long)]
-      .collect()
-      .map { case (w, f) => ((w.map(_.toString) :+ EndOfWord).toVector, f) }
+    val collected = wf.as[(String, Long)].collect()
+    val words: Array[Array[String]] = collected.map { case (w, _) =>
+      (w.map(_.toString) :+ EndOfWord).toArray }
+    val freqs: Array[Long] = collected.map(_._2)
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    def addPairs(syms: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+        i += 1
+      }
+    }
+    def subPairs(syms: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        val left = counts(k) - f
+        if (left == 0L) counts.remove(k) else counts(k) = left
+        i += 1
+      }
+    }
+    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
+      var i = 0
+      while (i + 1 < syms.length) {
+        if (syms(i) == a && syms(i + 1) == b) return true
+        i += 1
+      }
+      false
+    }
+    def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var wi = 0
+    while (wi < words.length) { addPairs(words(wi), freqs(wi)); wi += 1 }
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i + 1 < syms.length) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + f
-          i += 1
-        }
-      }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        val best = counts.iterator.reduceLeft { (x, y) =>
+          val cmp = java.lang.Long.compare(y._2, x._2) match {
+            case 0 =>
+              val c1 = x._1._1.compareTo(y._1._1)
+              if (c1 != 0) c1 else x._1._2.compareTo(y._1._2)
+            case c => c
+          }
+          if (cmp <= 0) x else y
+        }._1
         merges += best
         val (a, b) = best
-        words = words.map { case (syms, f) =>
-          if (syms.length < 2) (syms, f)
-          else {
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                out += (a + b); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), f)
+        var i = 0
+        while (i < words.length) {
+          if (containsPair(words(i), a, b)) {
+            subPairs(words(i), freqs(i))
+            words(i) = mergePair(words(i), a, b)
+            addPairs(words(i), freqs(i))
           }
+          i += 1
         }
       }
       m += 1
@@ -173,7 +269,9 @@ object Bpe {
   /**
    * Encode a text column into BPE tokens: adds `bpe_tokens`
    * (array<string>) and `n_bpe_tokens`.  The merge table broadcasts
-   * inside the closure; each partition encodes independently.
+   * inside the closure; each partition encodes independently, and the
+   * broadcast model's executor-shared memo means each DISTINCT word is
+   * rank-encoded once per executor, not once per occurrence.
    */
   def encode(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
     val spark = df.sparkSession
@@ -181,7 +279,7 @@ object Bpe {
     val enc = udf { text: String =>
       if (text == null) Seq.empty[String]
       else text.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
-        .flatMap(w => bc.value.encodeWord(w))
+        .flatMap(w => bc.value.encodeWordCached(w))
     }
     df.withColumn("bpe_tokens", enc(col(textCol)))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))

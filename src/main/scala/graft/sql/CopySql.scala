@@ -634,11 +634,20 @@ private final class Cursor(s: String) {
       s.charAt(i) match {
         case q @ ('\'' | '"' | '`') =>
           i += 1
-          while (i < s.length && s.charAt(i) != q) i += 1
+          while (i < s.length && s.charAt(i) != q) {
+            // Spark's lexer accepts backslash escapes inside '…'/"…"
+            // (backtick identifiers escape by doubling only)
+            if (q != '`' && s.charAt(i) == '\\' && i + 1 < s.length) i += 2
+            else i += 1
+          }
           if (i >= s.length) fail("unterminated quote in expression")
           i += 1
         case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
+        case ')' =>
+          // a stray top-level ')' would drive depth negative and swallow
+          // the rest of the statement — fail at the right position instead
+          if (depth == 0) fail("unbalanced ')' in expression")
+          depth -= 1; i += 1
         case ',' if depth == 0 => done = true
         case _ =>
           if (depth == 0 && atKeyword(stopKw)) done = true

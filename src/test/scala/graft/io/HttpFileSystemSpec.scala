@@ -96,4 +96,133 @@ class HttpFileSystemSpec extends AnyFunSuite {
       assert(chain(e).exists(_.isInstanceOf[UnsupportedOperationException]))
     }
   }
+
+  /** PUT/DELETE-capable in-memory object server (the reference's http
+    * store writes whole objects — http.rs:11-38). */
+  private def withRwServer[T](f: (Int, () => Set[String]) => T): T = {
+    val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        ex.getRequestMethod match {
+          case "PUT" =>
+            objects.put(path, ex.getRequestBody.readAllBytes())
+            ex.sendResponseHeaders(201, -1)
+          case "DELETE" =>
+            if (objects.remove(path) != null) ex.sendResponseHeaders(204, -1)
+            else ex.sendResponseHeaders(404, -1)
+          case m @ ("GET" | "HEAD") =>
+            val bytes = objects.get(path)
+            if (bytes == null) ex.sendResponseHeaders(404, -1)
+            else if (m == "HEAD") {
+              ex.getResponseHeaders.add("Content-Length", bytes.length.toString)
+              ex.sendResponseHeaders(200, -1)
+            } else Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) =>
+                val Array(lo, hi) = (r.stripPrefix("bytes=") + "-")
+                  .split("-", -1).take(2)
+                val start = lo.toLong.toInt
+                val end = if (hi.isEmpty) bytes.length - 1 else hi.toInt
+                val slice = java.util.Arrays.copyOfRange(bytes, start, end + 1)
+                ex.sendResponseHeaders(206, slice.length)
+                ex.getResponseBody.write(slice)
+              case None =>
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+            }
+          case _ => ex.sendResponseHeaders(405, -1)
+        }
+        ex.close()
+      }
+    })
+    // concurrent exchanges, like any real object server (the default
+    // serial executor would serialize a GET behind an in-flight PUT)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r, "graft-http-rw"); t.setDaemon(true); t }))
+    server.start()
+    try f(server.getAddress.getPort,
+      () => scala.jdk.CollectionConverters
+        .SetHasAsScala(objects.keySet()).asScala.toSet)
+    finally server.stop(0)
+  }
+
+  private def withHttpWrites[T](body: => T): T = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("fs.graft.http.write.enable", true)
+    try body finally hc.unset("fs.graft.http.write.enable")
+  }
+
+  test("COPY TO an http URL PUTs one parquet object that reads back") {
+    HttpFs.register(spark)
+    withRwServer { (port, keys) =>
+      withHttpWrites {
+        val url = s"http://127.0.0.1:$port/exports/nation5.parquet"
+        val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+          .filter(col("n_nationkey") < 5)
+        val res = CopyTo(df, url)
+        assert(res.files == Seq(url) && res.bytes > 0)
+        assert(keys() == Set("/exports/nation5.parquet"),
+          "exactly one object at the exact URL — no directory, no markers")
+        val back = spark.read.parquet(url)
+        assert(back.count() == 5)
+        assert(back.columns.contains("n_name"))
+      }
+    }
+  }
+
+  test("SQL COPY ... TO 'http://...' streams and reports the row count") {
+    HttpFs.register(spark)
+    withRwServer { (port, _) =>
+      withHttpWrites {
+        spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")
+          .createOrReplaceTempView("region_http")
+        val url = s"http://127.0.0.1:$port/sql/region.parquet"
+        val n = graft.sql.GraftSql.exec(spark,
+          s"COPY (SELECT r_regionkey, r_name FROM region_http) TO '$url'")
+          .head().getLong(0)
+        assert(n == 5)
+        assert(spark.read.parquet(url).count() == 5)
+      }
+    }
+  }
+
+  test("http delete and rename work under the write opt-in") {
+    HttpFs.register(spark)
+    withRwServer { (port, keys) =>
+      withHttpWrites {
+        val fs = new org.apache.hadoop.fs.Path(s"http://127.0.0.1:$port/")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val a = new org.apache.hadoop.fs.Path(s"http://127.0.0.1:$port/a.bin")
+        val b = new org.apache.hadoop.fs.Path(s"http://127.0.0.1:$port/b.bin")
+        val out = fs.create(a, true)
+        out.write(Array.tabulate[Byte](100000)(_.toByte)); out.close()
+        assert(fs.getFileStatus(a).getLen == 100000L)
+        assert(fs.rename(a, b))
+        assert(keys() == Set("/b.bin"))
+        assert(fs.getFileStatus(b).getLen == 100000L)
+        assert(fs.delete(b, false))
+        assert(keys().isEmpty)
+        assert(!fs.delete(b, false), "deleting a missing object returns false")
+      }
+    }
+  }
+
+  test("without the opt-in, PUT-capable servers still get refusals") {
+    HttpFs.register(spark)
+    withRwServer { (port, keys) =>
+      val fs = new org.apache.hadoop.fs.Path(s"http://127.0.0.1:$port/")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      intercept[UnsupportedOperationException] {
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"http://127.0.0.1:$port/deny.bin"), true)
+      }
+      intercept[UnsupportedOperationException] {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"http://127.0.0.1:$port/deny.bin"), false)
+      }
+      assert(keys().isEmpty)
+    }
+  }
 }

@@ -155,6 +155,23 @@ class AbfsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       "server must reject the bad signature")
   }
 
+  test("service-principal OAuth: env → CloudConf → bearer round-trip") {
+    // a distinct account name so the OAuth conf keys live on their own
+    // host and cannot mask the SharedKey tests above
+    val oauthHost = "graftoauth.dfs.core.windows.net"
+    CloudConf.applyTo(spark, az.oauthEnv("graftoauth"))
+    val grantsBefore = az.tokenGrants
+    val df = (1 to 300).map(i => (i.toLong, s"spn_$i")).toDF("k", "name")
+    df.repartition(2).write.mode("overwrite")
+      .parquet(s"abfs://data@$oauthHost/oauth_table")
+    val back = spark.read.parquet(s"abfs://data@$oauthHost/oauth_table")
+    assert(back.count() == 300)
+    assert(az.tokenGrants > grantsBefore, "the grant endpoint was exercised")
+    // the whole parquet round-trip rides ONE cached token per client
+    assert(az.tokenGrants <= grantsBefore + 2,
+      s"token must be cached, got ${az.tokenGrants - grantsBefore} grants")
+  }
+
   test("SAS-token auth reads and writes within granted permissions") {
     val sas = AzureSigner.sasToken(accountKey, "graftacct", "data",
       permissions = "rwcl",

@@ -90,4 +90,39 @@ class AzureSignerSpec extends AnyFunSuite {
     assert(params("sig") == AzureSigner.sasSignature(
       key, "acct", "cont", "rwl", "2030-01-01T00:00:00Z", "2021-08-06"))
   }
+
+  test("client-credentials token flow: grant, cache, bearer auth, rejects") {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      "oauth-acct-key".getBytes("UTF-8"))
+    val az = new InMemoryAzureBlob("oauthacct", key,
+      oauthClientId = "spn-id", oauthClientSecret = "spn-secret").start()
+    try {
+      val tokenEp = s"${az.endpoint}/graft-tenant/oauth2/token"
+      val client = new AzureBlobClient(
+        java.net.URI.create(az.endpoint), "oauthacct",
+        sharedKey = None, sasToken = None,
+        oauth = Some(AzureOAuth(tokenEp, "spn-id", "spn-secret")))
+      client.put("c", "tok/a.bin", Array[Byte](1, 2, 3))
+      assert(client.head("c", "tok/a.bin").map(_._1).contains(3L))
+      assert(client.list("c", "tok/", None, None).blobs.map(_.key)
+        == Seq("tok/a.bin"))
+      // several requests, ONE grant — the token is cached until expiry
+      assert(az.tokenGrants == 1L,
+        s"expected a single cached grant, got ${az.tokenGrants}")
+
+      // wrong secret: the grant itself is refused
+      val bad = new AzureBlobClient(
+        java.net.URI.create(az.endpoint), "oauthacct",
+        sharedKey = None, sasToken = None,
+        oauth = Some(AzureOAuth(tokenEp, "spn-id", "wrong")))
+      val e = intercept[java.io.IOException] { bad.head("c", "tok/a.bin") }
+      assert(e.getMessage.contains("grant failed"))
+
+      // a forged bearer token is rejected by the storage surface
+      val conn = new java.net.URL(s"${az.endpoint}/c/tok/a.bin")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Authorization", "Bearer forged-token")
+      assert(conn.getResponseCode == 403)
+    } finally az.stop()
+  }
 }

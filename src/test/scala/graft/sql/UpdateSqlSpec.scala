@@ -1,0 +1,153 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Snapshots
+
+/** The SQL surface of `UPDATE '<uri>' … SET … [WHERE …]` and
+  * `DELETE FROM '<uri>' …` — exercises the SET-list tokenizer
+  * (exprUntil/atKeyword): top-level commas vs commas inside calls and
+  * string literals, backslash escapes, WHERE as a whole word, unbalanced
+  * parens, merge_on_read, and the WHERE-less forms.  (UpdateWhereSpec
+  * covers the commit semantics; this spec covers the parse.) */
+class UpdateSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String, n: Int = 20): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+      .toDF("k", "amt", "name")
+      .repartitionByRange(2, col("k"))
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  test("multi-assignment SET list with commas inside calls and literals") {
+    val dir = freshTable("usql_multi")
+    val v = GraftSql.exec(spark,
+      s"UPDATE '$dir' SET amt = amt + 1, " +
+        "name = concat_ws(',', name, 'a,b') WHERE k <= 3")
+      .head().getLong(0)
+    assert(v == 2L)
+    val rows = Snapshots.read(spark, dir).filter(col("k") <= 3)
+      .orderBy("k").select("amt", "name")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((11L, "v1,a,b"), (21L, "v2,a,b"), (31L, "v3,a,b")))
+  }
+
+  test("backslash-escaped quote inside a SET string literal") {
+    val dir = freshTable("usql_escape")
+    GraftSql.exec(spark,
+      // the s-interpolator processes escapes even in triple quotes:
+      // \\' below reaches the parser as backslash-quote
+      s"""UPDATE '$dir' SET name = 'it\\'s', amt = 7 WHERE k = 1""")
+    val row = Snapshots.read(spark, dir).filter(col("k") === 1)
+      .select("name", "amt").as[(String, Long)].head()
+    assert(row == (("it's", 7L)))
+  }
+
+  test("WHERE-less UPDATE touches every row") {
+    val dir = freshTable("usql_nowhere", n = 5)
+    GraftSql.exec(spark, s"UPDATE '$dir' SET amt = 0")
+    assert(Snapshots.read(spark, dir).agg(sum("amt")).head().getLong(0) == 0L)
+  }
+
+  test("an identifier that merely STARTS with 'where' is not a stop") {
+    val dir = freshTable("usql_whereish")
+    // a column alias can't start mid-expression, so use a function whose
+    // text contains the keyword prefix: `named_struct('whereabouts', k)`
+    GraftSql.exec(spark,
+      s"UPDATE '$dir' SET name = cast(named_struct('whereabouts', k).whereabouts " +
+        "AS STRING) WHERE k = 2")
+    val nm = Snapshots.read(spark, dir).filter(col("k") === 2)
+      .select("name").as[String].head()
+    assert(nm == "2")
+  }
+
+  test("WITH (merge_on_read) parses and commits a DV update") {
+    val dir = freshTable("usql_mor")
+    val filesBefore = graft.io.CopyTo.listDataFiles(spark, dir)._1.toSet
+    GraftSql.exec(spark,
+      s"UPDATE '$dir' WITH (merge_on_read) SET amt = amt + 5 WHERE k = 4")
+    val amt = Snapshots.read(spark, dir).filter(col("k") === 4)
+      .select("amt").as[Long].head()
+    assert(amt == 45L)
+    // merge-on-read: the original data files all survive (DV + append)
+    val filesAfter = graft.io.CopyTo.listDataFiles(spark, dir)._1.toSet
+    assert(filesBefore.subsetOf(filesAfter))
+  }
+
+  test("DELETE FROM with and without WHERE, and with merge_on_read") {
+    val dir = freshTable("usql_del", n = 10)
+    GraftSql.exec(spark, s"DELETE FROM '$dir' WHERE k > 8")
+    assert(Snapshots.read(spark, dir).count() == 8L)
+    GraftSql.exec(spark, s"DELETE FROM '$dir' WITH (merge_on_read) WHERE k > 6")
+    assert(Snapshots.read(spark, dir).count() == 6L)
+    GraftSql.exec(spark, s"DELETE FROM '$dir'")
+    assert(Snapshots.read(spark, dir).count() == 0L)
+  }
+
+  test("stray top-level ')' in a SET expression fails at the parser") {
+    val dir = freshTable("usql_paren")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"UPDATE '$dir' SET amt = amt) + 1 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("unbalanced ')'"))
+  }
+
+  test("missing SET expression fails loudly") {
+    val dir = freshTable("usql_empty")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"UPDATE '$dir' SET amt = WHERE k = 1")
+    }
+    assert(e.getMessage.contains("missing its expression"))
+  }
+
+  test("UPDATE/DELETE on an unquoted target delegates to Spark's parser") {
+    // Spark's own parser rejects these over temp views — but the error
+    // must come from SPARK (proof of delegation), not from CopySql
+    spark.range(3).createOrReplaceTempView("usql_passthrough")
+    val e1 = intercept[Exception] {
+      GraftSql.exec(spark, "UPDATE usql_passthrough SET id = 1")
+    }
+    assert(!e1.getMessage.contains("COPY syntax error"))
+    val e2 = intercept[Exception] {
+      GraftSql.exec(spark, "DELETE FROM usql_passthrough WHERE id = 1")
+    }
+    assert(!e2.getMessage.contains("COPY syntax error"))
+  }
+
+  test("UPDATE through a parser-extension session (spark.sql route)") {
+    TestSpark.spark.sparkContext
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val dir = freshTable("usql_ext")
+      val v = s.sql(
+        s"UPDATE '$dir' SET amt = amt * 2, name = upper(name) WHERE k IN (1, 2)")
+        .head().getLong(0)
+      assert(v == 2L)
+      val rows = Snapshots.read(s, dir).filter(col("k") <= 2)
+        .orderBy("k").select("amt", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((20L, "V1"), (40L, "V2")))
+      assert(s.sql(s"DELETE FROM '$dir' WHERE k = 1").head().getLong(0) == 3L)
+      assert(Snapshots.read(s, dir).count() == 19L)
+    } finally {
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+}
