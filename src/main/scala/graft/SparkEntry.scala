@@ -45,6 +45,12 @@ object SparkEntry {
     new graft.io.gcs.InMemoryGcs(
       "graft-driver@graft-project.iam.gserviceaccount.com").start()
 
+  /** One in-JVM plain-HTTP object endpoint per driver process
+    * (io_http_roundtrip); PUT/DELETE-capable fake from
+    * [[graft.io.InMemoryHttpStore]]. */
+  private lazy val httpServer: graft.io.InMemoryHttpStore =
+    new graft.io.InMemoryHttpStore().start()
+
   /** `events.ts` is parquet `TIMESTAMP(MICROS, isAdjustedToUTC=false)`
     * INT64; reading it through an explicit LongType field hands back the
     * raw epoch-MICROS payload — timezone-independent, exactly the value
@@ -363,6 +369,36 @@ object SparkEntry {
       CopyFrom.raw(s, uri).orderBy(col("p_partkey"))
     }),
 
+    // S5 Azure OAuth leg: the same abfs round-trip under service-
+    // principal client-credentials auth (reference azure.rs:196-213) —
+    // the tenant token endpoint verifies the client id/secret, every
+    // storage request carries the granted bearer, forged tokens 403
+    "io_abfs_oauth_roundtrip" -> ((s, dir) => {
+      val srv = azureServer
+      graft.io.CloudConf.applyTo(s, srv.oauthEnv("graftoauth"))
+      val src = t(s, dir, "region")
+      val uri = "abfs://graft@graftoauth.dfs.core.windows.net/" +
+        s"${new java.io.File(dir).getName}/region"
+      CopyTo(src, uri, CopyToOptions(compression = Some("zstd")))
+      CopyFrom.raw(s, uri).orderBy(col("r_regionkey"))
+    }),
+
+    // S5 http leg: COPY TO an http URL PUTs ONE parquet object at the
+    // exact URL (reference http.rs:11-38 — "read and write … http(s)
+    // endpoints"); read back with ranged GETs.  Writes require the
+    // explicit fs.graft.http.write.enable opt-in, restored after.
+    "io_http_roundtrip" -> ((s, dir) => {
+      val srv = httpServer
+      graft.io.HttpFs.register(s)
+      val uri = s"${srv.endpoint}/graft_" +
+        s"${new java.io.File(dir).getName}/nation.parquet"
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.setBoolean("fs.graft.http.write.enable", true)
+      try CopyTo(t(s, dir, "nation"), uri)
+      finally hc.unset("fs.graft.http.write.enable")
+      CopyFrom.raw(s, uri).orderBy(col("n_nationkey"))
+    }),
+
     // S4: byte-targeted file splitting, read back via glob
     "io_split" -> ((s, dir) => {
       val src = t(s, dir, "orders")
@@ -485,6 +521,27 @@ object SparkEntry {
       MergeInto.deleteWhere(s, uri,
         "o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0")
       s.read.parquet(uri).orderBy("o_orderkey")
+    }),
+
+    // UPDATE ... SET ... WHERE through the FULL SQL route (parser
+    // extension tokenizes the multi-assignment SET list; copy-on-write
+    // commit rewrites only files containing a matching row —
+    // UpdateWhereSpec pins the untouched-files property and the
+    // merge-on-read variant)
+    "io_update_where" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_update_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      sql.GraftSql.exec(s,
+        s"UPDATE '$uri' SET o_custkey = o_custkey + 1000000, " +
+          "o_orderstatus = 'U' " +
+          "WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0")
+      io.Snapshots.read(s, uri).orderBy("o_orderkey")
     }),
 
     // merge-on-read DELETE via deletion vectors: two scattered deletes
@@ -1352,10 +1409,7 @@ object SparkEntry {
     // beyond every real window so the batch total equals the streaming
     // total (the append-mode contract is pinned in StatefulOpsSpec).
     "stream_events_hourly" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedSentinelEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_hourly_sink_" +
         new java.io.File(dir).getName
@@ -1395,10 +1449,7 @@ object SparkEntry {
     // estimates deterministic however the stream is micro-batched
     "stream_quantile_sketch" -> ((s, dir) => {
       graft.functions.QuantileSketch.register(s)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedSentinelEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_qsketch_sink_" +
         new java.io.File(dir).getName
@@ -1440,10 +1491,7 @@ object SparkEntry {
     // contract demos of stateful operators).  Output dir is rebuilt per
     // run so appends stay deterministic.
     "stream_filter_sink" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_" +
         new java.io.File(dir).getName
@@ -1589,10 +1637,7 @@ object SparkEntry {
     }),
 
     "stream_static_join" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_" +
         new java.io.File(dir).getName
@@ -1621,10 +1666,7 @@ object SparkEntry {
     // scale; with one availableNow pass every match emits, so the result
     // equals the batch interval join and is fully oracle-checkable.
     "stream_interval_join" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedEventsDir(s, dir)
       val src = s.readStream.schema(schema).parquet(stageDir)
         .withColumn("ts_us", col("ts"))
@@ -1675,10 +1717,7 @@ object SparkEntry {
     // max) flowing through their watermark node before filtering it out —
     // all real purchases close and the result equals the batch LEFT JOIN
     "stream_outer_join" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedSentinelEventsDir(s, dir)
       val src = s.readStream.schema(schema).parquet(stageDir)
         .withColumn("ts_us", col("ts"))
@@ -2376,10 +2415,7 @@ object SparkEntry {
     // set.  At cluster scale the state store shards by key hash across
     // executors; here the partition pin keeps checkpoint I/O sane.
     "stream_dedup_watermark" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedDupEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ddw_sink_" +
         new java.io.File(dir).getName
@@ -2419,10 +2455,7 @@ object SparkEntry {
     // user, so rank by start time reproduces the islands numbering).
     "stream_session_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = eventsSchema
       val stageDir = stagedSentinelEventsDir(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_sessw_sink_" +
         new java.io.File(dir).getName
@@ -2585,6 +2618,15 @@ object SparkEntry {
         "AND NOT (o_custkey % 7 = 3) " +
         "ORDER BY o_orderkey"),
 
+    "io_update_where" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0 " +
+        "THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0 " +
+        "THEN 'U' ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey"),
+
     "io_snapshot_skip" ->
       ("SELECT * FROM orders " +
         "WHERE o_orderkey <= 6000 AND o_totalprice > 100000.0 " +
@@ -2722,6 +2764,12 @@ object SparkEntry {
 
     "io_gcs_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "io_abfs_oauth_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "io_http_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "io_split" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -1,0 +1,88 @@
+package graft.io
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * In-JVM plain-HTTP object endpoint: GET (with Range) / HEAD / PUT /
+ * DELETE over a ConcurrentHashMap — the store shape the reference's
+ * http object store talks to (reference `src/object_store/http.rs:11-38`
+ * reads and writes whole objects at exact URLs).  Exchanges run on a
+ * small pool: a real object server is concurrent, and the COPY TO
+ * rename/probe pattern may hold more than one connection.
+ *
+ * NOTE: a TEST FIXTURE in `src/main` only because the driver harness
+ * (`SparkEntry.queries("io_http_roundtrip")`) starts it in-process;
+ * nothing in the production surface references it.
+ */
+final class InMemoryHttpStore {
+
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  @volatile private var served = 0L
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-inmemory-http")
+      t.setDaemon(true)
+      t
+    }))
+
+  def start(): InMemoryHttpStore = {
+    val t = new Thread(() => server.start(), "graft-inmemory-http-start")
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    this
+  }
+  def stop(): Unit = server.stop(0)
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port"
+  def requestsServed: Long = served
+  def keys: Seq[String] = objects.keySet().asScala.toSeq.sorted
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      served += 1
+      val path = ex.getRequestURI.getPath
+      ex.getRequestMethod match {
+        case "PUT" =>
+          objects.put(path, ex.getRequestBody.readAllBytes())
+          ex.sendResponseHeaders(201, -1)
+        case "DELETE" =>
+          if (objects.remove(path) != null) ex.sendResponseHeaders(204, -1)
+          else ex.sendResponseHeaders(404, -1)
+        case m @ ("GET" | "HEAD") =>
+          val bytes = objects.get(path)
+          if (bytes == null) ex.sendResponseHeaders(404, -1)
+          else if (m == "HEAD") {
+            ex.getResponseHeaders.add("Content-Length", bytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+          } else Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              val Array(lo, hi) = (r.stripPrefix("bytes=") + "-")
+                .split("-", -1).take(2)
+              val start = lo.toLong.toInt
+              val end =
+                if (hi.isEmpty) bytes.length - 1
+                else math.min(hi.toLong, bytes.length - 1L).toInt
+              val slice = java.util.Arrays.copyOfRange(bytes, start, end + 1)
+              ex.getResponseHeaders.add("Content-Range",
+                s"bytes $start-$end/${bytes.length}")
+              ex.sendResponseHeaders(206, slice.length)
+              ex.getResponseBody.write(slice)
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes)
+          }
+        case _ => ex.sendResponseHeaders(405, -1)
+      }
+    } catch {
+      case _: Throwable => try ex.sendResponseHeaders(500, -1) catch { case _: Throwable => }
+    } finally ex.close()
+}
