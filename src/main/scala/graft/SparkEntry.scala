@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.io.{CopyFrom, CopyFromOptions, CopyTo, CopyToOptions, MatchBy, MergeInto}
 import graft.meta.ParquetInfo
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TrainPrep}
+import graft.ops.{Dedup, Lexical, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -1798,6 +1798,16 @@ object SparkEntry {
     // connected components over the exact-jaccard pair graph: the dedup
     // endgame (transitively-linked docs collapse to one cluster keyed by
     // its smallest doc id); oracle = recursive transitive closure
+    // fuzzy record linkage: within-source pairs whose first-4-token keys
+    // are within 9 edits (length-banded candidates, thresholded DP verify)
+    "dedup_fuzzy_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fkey",
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)))
+      Dedup.fuzzyJoinPairs(docs, "doc_id", "fkey", "source", maxDist = 9)
+        .orderBy("block", "a", "b")
+    }),
+
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", "source", threshold = 0.95)
@@ -2019,6 +2029,45 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // BM25 top-20 for a 4-term query: lexical retrieval over the corpus
+    // (postings filtered map-side, df/N stats broadcast, heap top-k)
+    "text_bm25" -> ((s, dir) =>
+      Lexical.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge", "vector"), k = 20)),
+
+    // top-3 TF-IDF keywords per document (vocabulary-size df broadcast;
+    // integer/string output, float score orders only)
+    "text_keywords" -> ((s, dir) =>
+      Lexical.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "rank")),
+
+    // char-bigram LM quality score (CCNet-style perplexity filter);
+    // exact decimal log-prob sums so any partitioning hashes identically.
+    // Contract emits the 9-dp sum ×10⁹ as BIGINT — never DECIMAL in a
+    // driver-facing schema (trailing-zero repr divergence, NOTES round 3)
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("logprob") * lit(1000000000L)).cast("long").as("logprob_e9"))
+        .orderBy("doc_id")),
+
+    // hybrid retrieval: BM25 lexical ranks ⊕ embedding-cosine semantic
+    // ranks fused by reciprocal rank (1/(60+r) sums are exact IEEE
+    // divisions — bit-identical across engines, no tolerance needed)
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Lexical.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "merge", "vector"), k = 30)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val e = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 30)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Lexical.rrfFuse(Seq(lex, sem), "doc_id", "rank", kConst = 60, topK = 20)
+    }),
 
     // weighted sampling without replacement (Efraimidis-Spirakis):
     // 10 docs per source with inclusion odds proportional to length —
@@ -3224,6 +3273,103 @@ object SparkEntry {
         "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
         "'\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
         "FROM aug ORDER BY doc_id"),
+
+    // BM25 with the same formula; the float score is rounded to 4 dp on
+    // both sides and ordering is (rounded score, doc_id), so sub-ulp
+    // libm differences cannot change membership or order
+    "text_bm25" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "dls AS (SELECT doc_id, len(tk) AS dl, tk FROM toks), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) " +
+        "WHERE term IN ('spark','window','merge','vector') " +
+        "GROUP BY doc_id, dl, term), " +
+        "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
+        "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+
+    // TF-IDF rank: float score orders only (rounded to 6 dp, then
+    // tf DESC, term — so 2*ln(2) vs ln(4)-style coincidences are stable)
+    "text_keywords" ->
+      ("WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
+        "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents) " +
+        "GROUP BY doc_id, term), " +
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "rk AS (SELECT doc_id, term, tf, df_t, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "round(tf * ln(n_docs * 1.0 / df_t), 6) DESC, tf DESC, term) AS INTEGER) AS rank " +
+        "FROM tf JOIN dfs USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, rank, term, tf, df_t FROM rk WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank"),
+
+    // char-bigram LM: per-bigram ln(c/total) cast to DECIMAL(18,9) BEFORE
+    // summing — decimal addition is exact, so engine/partitioning-proof
+    "text_bigram_lm" ->
+      ("WITH norm AS (SELECT doc_id, " +
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, length(nt)), " +
+        "i -> substring(nt, CAST(i AS INTEGER), 2))) AS bg " +
+        "FROM norm WHERE length(nt) >= 2), " +
+        "model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg), " +
+        "tot AS (SELECT sum(c) AS n FROM model) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CAST(ln(c * 1.0 / n) AS DECIMAL(18,9))) * 1000000000 AS BIGINT) " +
+        "AS logprob_e9 FROM bg JOIN model USING (bg) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    // hybrid RRF: bm25 top-30 (same formula as text_bm25) ⊕ cosine
+    // top-30 for query vec 0 (same shape as sim_topk), fused by
+    // 1/(60+rank) — each addend one exact integer division
+    "sim_hybrid_rrf" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "dls AS (SELECT doc_id, len(tk) AS dl FROM toks), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM " +
+        "(SELECT doc_id, dl, tk FROM toks JOIN dls USING (doc_id))) " +
+        "WHERE term IN ('spark','window','merge','vector') " +
+        "GROUP BY doc_id, dl, term), " +
+        "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
+        "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls), " +
+        "bm AS (SELECT doc_id, " +
+        "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30), " +
+        "lex AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS rank_1 FROM bm), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "sem AS (SELECT neighbor_id AS doc_id, rn AS rank_2 FROM (" +
+        "SELECT vec_id AS neighbor_id, row_number() OVER (ORDER BY " +
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
+        "vec_id) AS rn FROM embeddings, q WHERE vec_id <> 0) WHERE rn <= 30) " +
+        "SELECT doc_id, rank_1, rank_2, " +
+        "round(coalesce(1.0 / (60 + rank_1), 0) + " +
+        "coalesce(1.0 / (60 + rank_2), 0), 9) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem USING (doc_id) " +
+        "ORDER BY rrf DESC, doc_id LIMIT 20"),
+
+    // naive all-pairs within-block edit-distance join — the banded Spark
+    // plan must return exactly this
+    "dedup_fuzzy_join" ->
+      ("WITH keys AS (SELECT doc_id, source, array_to_string(list_slice(" +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), " +
+        "1, 4), ' ') AS k FROM documents) " +
+        "SELECT a.source AS block, a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist " +
+        "FROM keys a JOIN keys b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE abs(length(a.k) - length(b.k)) <= 9 AND levenshtein(a.k, b.k) <= 9 " +
+        "ORDER BY block, a, b"),
 
     // identical decomposed augmentation via chr(): 769 = COMBINING ACUTE,
     // 776 = COMBINING DIAERESIS; both engines count codepoints in length()

@@ -217,6 +217,57 @@ object Dedup {
   }
 
   /**
+   * Fuzzy record linkage: pairs of rows within `blockCol` blocks whose
+   * `keyCol` strings are within `maxDist` Levenshtein edits — the
+   * classic near-duplicate-title / misspelled-entity matcher.
+   *
+   * Candidate generation is LENGTH-BANDED, not block-cartesian: edit
+   * distance ≤ d forces |len(a) − len(b)| ≤ d, so each key joins only
+   * its own length band (width d+1) and the next one — a pair with
+   * qualifying lengths always lands in the same or adjacent band, so
+   * banding loses nothing while a hot block never materializes its
+   * full O(block²) pair set.  Verification uses Spark's THRESHOLDED
+   * `levenshtein(l, r, d)` — the banded O(d·n) DP that abandons a pair
+   * as soon as the distance provably exceeds d, instead of the full
+   * O(n²) matrix (the per-pair CPU lever at corpus scale).
+   *
+   * Returns `(block, a, b, dist)` with a < b, exactly equal to the
+   * naive all-pairs result (the oracle computes it that way).
+   */
+  def fuzzyJoinPairs(
+      df: DataFrame, idCol: String, keyCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val bandW = maxDist + 1
+    val keyed = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        col(keyCol).as("k"))
+      .withColumn("len", length(col("k")))
+      .withColumn("band", col("len").divide(bandW).cast("long"))
+    // the left side probes its own band and the one above; a qualifying
+    // pair (|Δlen| ≤ d) always has its shorter key's band within one of
+    // the longer's, so with the shorter key as the probe the pair forms —
+    // ids are then normalized to a < b and re-deduped (same-band pairs
+    // meet in both orientations and at two probe bands)
+    val l = keyed.select(col("block"), col("id").as("id_l"), col("k").as("k_l"),
+        col("len").as("len_l"),
+        explode(array(col("band"), col("band") + 1)).as("band"))
+    val r = keyed.select(col("block"), col("id").as("id_r"), col("k").as("k_r"),
+      col("len").as("len_r"), col("band"))
+    l.join(r, Seq("block", "band"))
+      .filter(col("id_l") =!= col("id_r"))
+      .filter(abs(col("len_l") - col("len_r")) <= maxDist)
+      .select(col("block"),
+        least(col("id_l"), col("id_r")).as("a"),
+        greatest(col("id_l"), col("id_r")).as("b"),
+        when(col("id_l") < col("id_r"), col("k_l")).otherwise(col("k_r")).as("k_a"),
+        when(col("id_l") < col("id_r"), col("k_r")).otherwise(col("k_l")).as("k_b"))
+      .dropDuplicates("block", "a", "b")
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b"), maxDist))
+      .filter(col("dist") >= 0) // thresholded DP returns -1 above maxDist
+      .select(col("block"), col("a"), col("b"), col("dist").cast("long"))
+  }
+
+  /**
    * Exact token-set Jaccard similarity for all pairs within `blockCol`
    * blocks, with PREFIX-FILTERED candidate generation (Chaudhuri/Bayardo
    * prefix filtering): each doc's tokens are ordered rarest-first by

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical (keyword) retrieval and term statistics over a document
+ * corpus: BM25 search and per-document TF-IDF keyword extraction.
+ * Complements the embedding-based similarity operators
+ * ([[Similarity]] / [[IvfIndex]]): production corpus tooling needs
+ * BOTH lexical and semantic retrieval (hybrid search, keyword-based
+ * corpus slicing, duplicate-headline detection).
+ *
+ * Scale shape (the 100 TB story):
+ *  - the corpus side is touched exactly once, map-side: tokenize →
+ *    explode → filter to the query's terms (a tiny `isin` list) before
+ *    any shuffle, so the exploded volume that reaches an exchange is
+ *    O(matching postings), not O(corpus tokens);
+ *  - every statistics table joined back to the corpus (per-term
+ *    document frequencies, the global N/avgdl row) is at most
+ *    |query terms| rows — broadcast, never a shuffle of the big side;
+ *  - top-k is a single `orderBy.limit` (Spark's TakeOrderedAndProject:
+ *    per-partition heaps + driver merge of k×partitions rows, no
+ *    global sort).
+ *
+ * Determinism / oracle parity: scores are doubles and engines may
+ * differ in the last ulp (libm `ln`, summation order), so ORDERING is
+ * always on the score ROUNDED to a fixed scale with an id/term
+ * tie-break, and emitted score columns are rounded the same way.
+ * Integer statistics (tf, df, lengths) are exact.
+ */
+object Lexical {
+
+  /** `(id, term, tf)` term frequencies using the standard corpus
+    * tokenizer ([[TextAnalysis.tokens]]). One shuffle on (id, term)
+    * with map-side partial counts. */
+  def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * BM25 top-k retrieval for a bag-of-words query.
+   *
+   * score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+   *            tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * Returns `(id, n_hits, score)` for the k best documents, where
+   * `n_hits` is the number of distinct query terms present and `score`
+   * is rounded to 4 decimals (see class doc). Ties order by id.
+   *
+   * The reference engine has no retrieval operator — this is part of
+   * the beyond-reference pipeline surface (SURVEY §2.6).
+   */
+  def bm25Search(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, "k must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    val toks = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("dl"), col("__tk"))
+
+    // one corpus pass: postings for query terms only (filter BEFORE the
+    // groupBy shuffle — the exploded non-matching tokens never leave the map side)
+    val tf = toks
+      .select(col(idCol), col("dl"), explode(col("__tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // per-term document frequency: ≤ |terms| rows → broadcast
+    val dfStats = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+
+    // global corpus stats: exactly one row → broadcast cross join.
+    // avgdl = sum(dl)/N is exact-integer division in double, so it is
+    // bit-identical across engines.
+    val corpus = toks.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    val scored = tf
+      .join(broadcast(dfStats), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
+          (col("df_t") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+
+    scored
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__w")).as("__s"))
+      .select(col(idCol), col("n_hits"), round(col("__s"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Reciprocal-rank fusion of N ranked candidate lists (the standard
+   * hybrid-retrieval combiner: BM25 ranks ⊕ embedding-cosine ranks):
+   * score(id) = Σ_lists 1/(kConst + rank_list(id)), over the lists
+   * where the id appears.  Each input must have (`idCol`, `rankCol`).
+   *
+   * Returns `(id, rank_1..rank_n, rrf)` for the `topK` fused ids, with
+   * absent-from-list ranks null.  Determinism: each addend is a single
+   * IEEE division of exact integers (correctly rounded, identical in
+   * every engine) and the fused sum adds ≤ N such terms in a fixed
+   * expression order — bit-identical across engines, no rounding
+   * tolerance needed (still rounded to 9 dp as belt-and-braces).
+   *
+   * Scale shape: candidate lists are top-k outputs — tiny relative to
+   * the corpus — so the outer joins and final sort are over O(Σ kᵢ)
+   * rows regardless of corpus size.
+   */
+  def rrfFuse(
+      lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.size >= 2, "need at least two ranked lists to fuse")
+    val named = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol), col(rankCol).cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = named.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(kConst.toDouble) + col(s"rank_${i + 1}")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf", round(rrf, 9))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
+   * Top-`topK` TF-IDF keywords per document: rank terms by
+   * tf · ln(N/df) within each document. Returns
+   * `(id, rank, term, tf, df_t)` — integer/string columns only; the
+   * float score is used solely for ordering (rounded to 6 decimals,
+   * then tf desc, term asc — so mathematically-coincident scores from
+   * different (tf, df) pairs, e.g. 2·ln2 vs ln4, order identically in
+   * any engine).
+   *
+   * Scale shape: the df table is one row per distinct corpus term —
+   * vocabulary-sized, broadcast. Per-document ranking is a bounded
+   * window (partition = one document's distinct terms).
+   */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val tf = termFreqs(df, idCol, textCol)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6).desc,
+      col("tf").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df_t"))
+  }
+}

@@ -183,6 +183,45 @@ object TextAnalysis {
       lit(1469598103934665603L), // FNV offset basis as a non-zero start
       (acc, h) => xxhash64(acc, h))
 
+  // ------------------------------------------------- char-bigram LM score
+  /**
+   * Character-bigram language-model scoring — the CCNet-style perplexity
+   * quality filter: train bigram counts over the corpus itself, then
+   * score each document by the sum of its bigrams' log-probabilities
+   * (more-negative per-bigram average ⇒ more anomalous text).
+   *
+   * Returns `(id, n_bigrams, logprob)` for every document whose
+   * normalized text has ≥ 2 characters.  `logprob` is an EXACT
+   * `decimal(28,9)` sum of per-bigram `ln(count/total)` terms each cast
+   * to `decimal(18,9)` — decimal addition is associative, so the result
+   * is bit-identical at any partitioning or engine (a plain double sum
+   * would drift with aggregation order and break oracle parity).
+   *
+   * Scale shape: the model is one `groupBy(bigram)` over the corpus
+   * (alphabet² ≤ ~1.4k rows) — broadcast back, so scoring is a single
+   * map-side pass over the exploded bigrams with one final aggregation
+   * on the document id.  Nothing quadratic, nothing driver-side.
+   */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val bigrams = df
+      .select(col(idCol), norm.as("__nt"))
+      .filter(length(col("__nt")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), length(col("__nt")) - 1),
+          i => col("__nt").substr(i, lit(2)))).as("__bg"))
+    val model = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c"))
+    val total = model.agg(sum(col("__c")).as("__n"))
+    bigrams
+      .join(broadcast(model), "__bg")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        log(col("__c").cast("double") / col("__n").cast("double"))
+          .cast("decimal(18,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("logprob"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
   /** Email / IPv4 / phone-number patterns, written to the common subset
     * of Java regex (Spark) and RE2 (DuckDB, Go tooling): no lookaround,

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LexicalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark spark spark engine"),
+    (1L, "spark engine runs queries fast"),
+    (2L, "database engine stores tables"),
+    (3L, "cats and dogs and cats"),
+    (4L, "spark")) // shortest doc: high tf/dl ratio for 'spark'
+    .toDF("doc_id", "text")
+
+  test("bm25 ranks term-dense short docs first and skips non-matching docs") {
+    val out = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark"), k = 10).collect()
+    // docs 2 and 3 have no query term: absent
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
+    // tf=3 doc 0 wins; the one-word doc 4 (max tf/dl ratio) beats the
+    // long single-hit doc 1 (length normalization working)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 4L, 1L))
+    assert(out.forall(_.getLong(1) == 1L)) // one distinct query term each
+  }
+
+  test("bm25 n_hits counts distinct matched query terms") {
+    val out = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "engine"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 2L && out(1L) == 2L && out(2L) == 1L && out(4L) == 1L)
+  }
+
+  test("bm25 respects k with deterministic tie-break") {
+    val out = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "engine"), k = 2).collect()
+    assert(out.length == 2)
+  }
+
+  test("tfidf keywords rank rare terms above ubiquitous ones") {
+    val kw = Lexical.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val top3 = kw.filter(_._1 == 3L).sortBy(_._2).map(_._3).toSeq
+    // 'cats' (tf=2, df=1) outranks 'and' (tf=2, df=1): score tie broken
+    // by term asc => 'and' first... both unique to doc 3 with equal tf;
+    // the contract is deterministic ordering, pin it
+    assert(top3 == Seq("and", "cats"))
+    // 'spark' appears in 3 of 5 docs; for doc 0 its tf=3 still wins
+    val top0 = kw.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(top0.head == "spark")
+  }
+
+  test("tfidf keywords emits at most topK rows per doc, rank contiguous") {
+    val kw = Lexical.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect()
+    assert(kw.forall(r => r.getLong(1) <= 2 && r.getInt(2) <= 2))
+  }
+
+  test("rrf fusion rewards presence in both lists, ties break by id") {
+    val l1 = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val l2 = Seq((12L, 1L), (13L, 2L)).toDF("id", "rank")
+    val out = Lexical.rrfFuse(Seq(l1, l2), "id", "rank", kConst = 60, topK = 10)
+      .collect()
+    // 12 is in both lists: 1/63 + 1/61 beats any single-list score
+    assert(out.head.getLong(0) == 12L)
+    assert(out.map(_.getLong(0)).toSet == Set(10L, 11L, 12L, 13L))
+    // absent ranks are null, not zero
+    val r13 = out.find(_.getLong(0) == 13L).get
+    assert(r13.isNullAt(1) && r13.getLong(2) == 2L)
+  }
+
+  test("bm25 plan broadcasts the stats sides (no shuffle of corpus for df/N)") {
+    val plan = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark"), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -104,6 +104,65 @@ class OpsSpec extends AnyFunSuite {
       s"extra=${got -- naive}")
   }
 
+  test("fuzzy join finds within-block edit-distance pairs exactly") {
+    val recs = Seq(
+      (0L, "acme corporation", "b0"),
+      (1L, "acme corp", "b0"),        // dist 7 > 4: out
+      (2L, "acme corporatoin", "b0"), // transposition: dist 2
+      (3L, "acme corporation", "b0"), // exact: dist 0
+      (4L, "totally different", "b0"),
+      (5L, "acme corporation", "b1")) // other block: never pairs with b0
+      .toDF("id", "k", "blk")
+    val got = Dedup.fuzzyJoinPairs(recs, "id", "k", "blk", maxDist = 4)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 2L), (0L, 3L, 0L), (2L, 3L, 2L)))
+  }
+
+  test("length-banded candidates lose no qualifying pair vs naive all-pairs") {
+    // keys of varied length so pairs straddle band boundaries both ways
+    val recs = (0 until 80).map { i =>
+      (i.toLong, "k" * (1 + i % 17) + ("z" * (i % 3)), s"b${i % 2}")
+    }.toDF("id", "k", "blk")
+    val d = 5
+    val got = Dedup.fuzzyJoinPairs(recs, "id", "k", "blk", maxDist = d)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    val l = recs.select(col("blk"), col("id").as("a"), col("k").as("ka"))
+    val r = recs.select(col("blk"), col("id").as("b"), col("k").as("kb"))
+    val naive = l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == naive, s"banding diverged: missing=${naive -- got} " +
+      s"extra=${got -- naive}")
+  }
+
+  test("bigram LM scores rank anomalous text below corpus-typical text") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran on the mat"),
+      (2L, "the bat sat on the cat"),
+      (3L, "qqqq zzzz xxxx qzxq zxqz")) // alien bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScores(corpus, "doc_id", "text")
+      .withColumn("avg_lp",
+        col("logprob").cast("double") / col("n_bigrams"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(3L) < out(0L) && out(3L) < out(1L) && out(3L) < out(2L),
+      s"alien doc must score lowest: $out")
+    assert(out.size == 4)
+  }
+
+  test("bigram LM decimal sums are identical at any partitioning") {
+    val docs = TestSpark.spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val a = TextAnalysis.bigramLmScores(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bigramLmScores(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("cosine expression matches a hand-computed value") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f)))
