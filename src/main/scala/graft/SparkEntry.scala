@@ -2036,6 +2036,18 @@ object SparkEntry {
       Lexical.bm25Search(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "merge", "vector"), k = 20)),
 
+    // BM25 served from a PERSISTED term-range-partitioned inverted
+    // index (content-fingerprinted stage; tokenize once, serve many) —
+    // must equal the inline text_bm25 result, and does by construction
+    "text_bm25_served" -> ((s, dir) => {
+      val idx = graft.util.Staging.dirFor("graft_bm25_idx_v1",
+        s"$dir/documents.parquet")
+      if (!new java.io.File(s"$idx/stats/_SUCCESS").exists())
+        Lexical.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Lexical.bm25Serve(s, idx, "doc_id",
+        Seq("spark", "window", "merge", "vector"), k = 20)
+    }),
+
     // top-3 TF-IDF keywords per document (vocabulary-size df broadcast;
     // integer/string output, float score orders only)
     "text_keywords" -> ((s, dir) =>
@@ -2076,7 +2088,8 @@ object SparkEntry {
       ops.TrainPrep.weightedSample(
           t(s, dir, "documents")
             .withColumn("w", col("n_chars").cast("double")),
-          "doc_id", "w", k = 10, stratumCol = Some("source"))
+          "doc_id", "w", k = 10, stratumCol = Some("source"),
+          portableHash = true) // md5-keyed ⇒ the sample is oracle-checked
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
@@ -2549,7 +2562,28 @@ object SparkEntry {
   private val schemaCols = "name, type, type_length, repetition_type, " +
     "num_children, converted_type, scale, precision, field_id, logical_type"
 
+  /** BM25 oracle — shared verbatim by `text_bm25` (inline) and
+    * `text_bm25_served` (persisted index): serving must reproduce the
+    * inline result exactly. */
+  private val bm25OracleSql: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+      "FROM documents), " +
+      "dls AS (SELECT doc_id, len(tk) AS dl, tk FROM toks), " +
+      "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) " +
+      "WHERE term IN ('spark','window','merge','vector') " +
+      "GROUP BY doc_id, dl, term), " +
+      "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
+      "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+      "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
+      "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+
   def oracleSql: Map[String, String] = Map(
+    "text_bm25_served" -> bm25OracleSql,
     "meta_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +
         "FROM parquet_schema('__SFDIR__/lineitem.parquet') " +
@@ -3277,22 +3311,7 @@ object SparkEntry {
     // BM25 with the same formula; the float score is rounded to 4 dp on
     // both sides and ordering is (rounded score, doc_id), so sub-ulp
     // libm differences cannot change membership or order
-    "text_bm25" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
-        "FROM documents), " +
-        "dls AS (SELECT doc_id, len(tk) AS dl, tk FROM toks), " +
-        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) " +
-        "WHERE term IN ('spark','window','merge','vector') " +
-        "GROUP BY doc_id, dl, term), " +
-        "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
-        "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
-        "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
-        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+    "text_bm25" -> bm25OracleSql,
 
     // TF-IDF rank: float score orders only (rounded to 6 dp, then
     // tf DESC, term — so 2*ln(2) vs ln(4)-style coincidences are stable)
@@ -3640,6 +3659,22 @@ object SparkEntry {
         "FROM documents d JOIN plan p USING (source)) " +
         "SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy " +
         "FROM r WHERE n >= 1 ORDER BY doc_id, copy"),
+
+    // Efraimidis–Spirakis with PORTABLE md5-derived u: both engines build
+    // u from the same 52 hex-digit bits, so key = ln(u)/w ranks
+    // identically (sub-ulp ln drift can't flip continuous random keys)
+    "pipeline_weighted_sample" ->
+      ("WITH h AS (SELECT doc_id, source, n_chars, " +
+        "CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        "':42')), 1, 13)) AS BIGINT) AS DOUBLE) AS hv " +
+        "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0), " +
+        "k AS (SELECT doc_id, source, n_chars, " +
+        "ln((hv + 1) / 4503599627370498.0) / CAST(n_chars AS DOUBLE) AS ky " +
+        "FROM h), " +
+        "r AS (SELECT doc_id, source, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY ky DESC, doc_id) AS rn FROM k) " +
+        "SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 " +
+        "ORDER BY doc_id"),
 
     "pipeline_stratified_sample" ->
       ("SELECT doc_id, source FROM documents " +

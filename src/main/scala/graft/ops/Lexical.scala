@@ -82,8 +82,19 @@ object Lexical {
     val corpus = toks.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+    scoreBm25(idCol, tf, dfStats, corpus, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: `tf` = (id, dl, term, tf) restricted to
+    * the query's terms, `dfT` = (term, df_t), `corpus` = one row
+    * (n_docs, avgdl).  Both the inline search and the persisted-index
+    * serving path end here, so served results equal inline results by
+    * construction. */
+  private def scoreBm25(
+      idCol: String, tf: DataFrame, dfT: DataFrame, corpus: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val scored = tf
-      .join(broadcast(dfStats), "term")
+      .join(broadcast(dfT), "term")
       .crossJoin(broadcast(corpus))
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
@@ -99,6 +110,63 @@ object Lexical {
       .select(col(idCol), col("n_hits"), round(col("__s"), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * Build a PERSISTED BM25 inverted index under `dir` — tokenize the
+   * corpus once, serve any number of queries without touching the text
+   * again (the amortization that matters at 100 TB: corpus tokenization
+   * is the expensive pass; a query term's postings are a sliver of it).
+   *
+   *  - `dir/postings`: (term, <id>, tf, dl), RANGE-partitioned and
+   *    sorted by term — each parquet file covers a contiguous term
+   *    range, so a query's `term IN (…)` predicate prunes at the FILE
+   *    level (footer min/max) and the row-group level; serving opens
+   *    only the byte ranges holding its terms.
+   *  - `dir/terms`: (term, df_t) document frequencies for ALL terms.
+   *  - `dir/stats`: one row (n_docs, avgdl).
+   *
+   * Rebuild-on-change is the caller's policy (stage under a
+   * content-fingerprinted dir — [[graft.util.Staging]]); for
+   * incremental corpora, write postings into a snapshot table and
+   * append per batch.
+   */
+  def buildIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      partitions: Int = 8): Unit = {
+    val toks = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("dl"), col("__tk"))
+    val postings = toks
+      .select(col(idCol), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df_t"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/terms")
+    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve a BM25 query from a [[buildIndex]] directory.  The postings
+    * scan carries a pushed `term IN (…)` filter (file- and row-group-
+    * pruned by the sorted range layout); df/stats joins are broadcast.
+    * Returns exactly what [[bm25Search]] returns for the same corpus. */
+  def bm25Serve(
+      spark: org.apache.spark.sql.SparkSession, dir: String, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfT = spark.read.parquet(s"$dir/terms")
+      .filter(col("term").isin(terms: _*))
+    val corpus = spark.read.parquet(s"$dir/stats")
+    scoreBm25(idCol, tf, dfT, corpus, k, k1, b)
   }
 
   /**

@@ -404,12 +404,23 @@ object TrainPrep {
    */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
-      stratumCol: Option[String] = None, seed: Long = 42L): DataFrame = {
+      stratumCol: Option[String] = None, seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
-    // u in (0,1): 53 uniform mantissa bits from the row hash; the +1 in
-    // the numerator keeps u > 0 so ln(u) is finite
-    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53))
-      .cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    // u in (0,1): uniform mantissa bits from the row hash; the +1 in
+    // the numerator keeps u > 0 so ln(u) is finite.  Default source is
+    // xxhash64 (codegen'd, fastest); `portableHash` derives 52 bits
+    // from md5("<id>:<seed>") instead — byte-identical in any engine
+    // with md5 (DuckDB, Trino, Python), so the SAMPLE ITSELF becomes
+    // oracle-checkable cross-engine, at the cost of a string hash
+    val u =
+      if (portableHash)
+        (conv(substring(md5(concat(col(idCol).cast("string"),
+            lit(s":$seed")).cast("binary")), 1, 13), 16, 10)
+          .cast("double") + 1.0) / lit(math.pow(2, 52) + 2.0)
+      else
+        (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53))
+          .cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
     val key = log(u) / col(weightCol).cast("double")
     val w0 = stratumCol match {
       case Some(sc) => Window.partitionBy(col(sc))

@@ -75,6 +75,29 @@ class LexicalSpec extends AnyFunSuite {
     assert(r13.isNullAt(1) && r13.getLong(2) == 2L)
   }
 
+  test("serving from a persisted index equals inline bm25 exactly") {
+    val dir = graft.TestSpark.tmpDir("bm25_idx")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Lexical.buildIndex(docs, "doc_id", "text", dir, partitions = 2)
+    val inline = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "engine"), k = 10).collect().toSeq
+    val served = Lexical.bm25Serve(spark, dir, "doc_id",
+      Seq("spark", "engine"), k = 10).collect().toSeq
+    assert(served == inline)
+  }
+
+  test("index serving pushes the term filter into the postings scan") {
+    val dir = graft.TestSpark.tmpDir("bm25_idx_push")
+    Lexical.buildIndex(docs, "doc_id", "text", dir, partitions = 2)
+    val plan = Lexical.bm25Serve(spark, dir, "doc_id",
+      Seq("spark", "engine"), k = 5).queryExecution.executedPlan.toString
+    // a 1-term isin simplifies to EqualTo; multi-term stays In — accept both
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("PushedFilters: [IsNotNull(term), In(term") ||
+      plan.contains("EqualTo(term"),
+      s"term filter must reach the parquet scan:\n$plan")
+  }
+
   test("bm25 plan broadcasts the stats sides (no shuffle of corpus for df/N)") {
     val plan = Lexical.bm25Search(docs, "doc_id", "text",
       Seq("spark"), k = 5).queryExecution.executedPlan.toString

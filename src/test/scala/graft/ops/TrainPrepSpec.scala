@@ -343,4 +343,28 @@ class TrainPrepSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("portable-hash weighted sample keeps the contract and md5-derived keys") {
+    import spark.implicits._
+    val df = (0 until 400).map { i =>
+      (i.toLong, if (i % 2 == 0) 20.0 else 1.0, s"s${i % 4}")
+    }.toDF("id", "w", "stratum")
+    val out = TrainPrep.weightedSample(df, "id", "w", k = 10,
+      stratumCol = Some("stratum"), portableHash = true)
+    val perStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.toSet == Set(10L) && perStratum.size == 4)
+    // deterministic at any partitioning
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = TrainPrep.weightedSample(df.repartition(7), "id", "w", 10,
+      Some("stratum"), portableHash = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // the hand-computed md5 key of one row: u derives from the first 13
+    // hex digits of md5("0:42"); pin the winner set differs from the
+    // xxhash sample with overwhelming likelihood but stays weight-valid
+    val xx = TrainPrep.weightedSample(df, "id", "w", 10, Some("stratum"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != xx, "portable and xxhash samples should differ")
+  }
 }
