@@ -1204,6 +1204,24 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // salted skew join: half the events collapse onto 3 hot customer
+    // keys; Skew.saltedEquiJoin spreads each hot key over 8 tasks (the
+    // no-AQE lever for streaming/RDD joins).  The salted result must
+    // equal the plain join — the oracle IS the plain join
+    "q_skew_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        when(pmod(col("event_id"), lit(2)) === 0,
+          pmod(col("event_id"), lit(3)) + 1)
+          .otherwise(col("user_id")).as("uid"),
+        col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      ops.Skew.saltedEquiJoin(ev, dim, "uid", "c_custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("c_nationkey")
+    }),
+
     // co-located bucketed join: both fact tables pre-hashed into the same
     // bucket count on the join key — the repeated-join layout where the
     // join runs with NO shuffle of either side (pinned in
@@ -1808,6 +1826,23 @@ object SparkEntry {
         .orderBy("block", "a", "b")
     }),
 
+    // entity resolution: fuzzy edit-distance pairs → connected
+    // components → canonical entity id (min member) + entity size; the
+    // full record-linkage pipeline in one composition
+    "dedup_entity_resolution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .withColumn("fkey",
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)))
+      val pairs = Dedup.fuzzyJoinPairs(docs, "doc_id", "fkey", "source",
+        maxDist = 9)
+      Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("id"), col("component").as("entity"))
+        .withColumn("entity_size",
+          count(lit(1)).over(Window.partitionBy("entity")))
+        .orderBy("id")
+    }),
+
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", "source", threshold = 0.95)
@@ -2024,10 +2059,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(25)),
 
+    // md5-chained rolling fingerprint (portable variant) so the
+    // fingerprint VALUES are oracle-checked, not just their properties
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
+          TextAnalysis.portableFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // BM25 top-20 for a 4-term query: lexical retrieval over the corpus
@@ -3033,6 +3070,15 @@ object SparkEntry {
         "GROUP BY key, n_total HAVING count(*) >= n_total / 10 " +
         "ORDER BY key"),
 
+    // the PLAIN join: the salted plan must be output-equivalent
+    "q_skew_join" ->
+      ("WITH ev AS (SELECT CASE WHEN event_id % 2 = 0 " +
+        "THEN (event_id % 3) + 1 ELSE user_id END AS uid, value FROM events) " +
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 4) AS sum_value " +
+        "FROM ev JOIN customer ON uid = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
     "q_distinct" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
         "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, " +
@@ -3229,6 +3275,22 @@ object SparkEntry {
         "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95 " +
         "ORDER BY block, a, b"),
 
+    // recursive transitive closure over the naive fuzzy-pair graph
+    "dedup_entity_resolution" ->
+      ("WITH RECURSIVE keys AS (SELECT doc_id, source, array_to_string(" +
+        "list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> ''), 1, 4), ' ') AS k FROM documents), " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b " +
+        "FROM keys a JOIN keys b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE abs(length(a.k) - length(b.k)) <= 9 AND levenshtein(a.k, b.k) <= 9), " +
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+        "comp AS (SELECT u AS id, CAST(least(u, min(v)) AS BIGINT) AS entity " +
+        "FROM reach GROUP BY u) " +
+        "SELECT id, entity, CAST(count(*) OVER (PARTITION BY entity) AS BIGINT) " +
+        "AS entity_size FROM comp ORDER BY id"),
+
     "dedup_components" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, source, " +
         "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
@@ -3277,6 +3339,17 @@ object SparkEntry {
         "FROM embeddings, q WHERE vec_id <> query_id) " +
         "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, " +
         "round(c, 4) AS cosine FROM s WHERE rn <= 10 ORDER BY query_id, rank"),
+
+    // identical md5 chain: per-token md5 hex folded left-to-right with
+    // the first element as the seed (list_reduce's no-init contract)
+    "text_fingerprint" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents) " +
+        "SELECT doc_id, CASE WHEN len(tk) = 0 THEN md5('') " +
+        "ELSE list_reduce(list_transform(tk, t -> md5(t)), " +
+        "(acc, x) -> md5(acc || x)) END AS fp " +
+        "FROM toks ORDER BY doc_id"),
 
     "text_tokens" ->
       ("SELECT doc_id, " +

@@ -183,6 +183,22 @@ object TextAnalysis {
       lit(1469598103934665603L), // FNV offset basis as a non-zero start
       (acc, h) => xxhash64(acc, h))
 
+  /** [[fingerprint]] with an md5 chain instead of xxhash64 — slower
+    * (string hashing) but byte-identical in ANY engine with md5, so the
+    * fingerprint itself is oracle-checkable (DuckDB:
+    * `list_reduce(list_transform(tk, t -> md5(t)), (a, x) -> md5(a || x))`).
+    * Chain: fold the per-token md5 hex strings left-to-right, seeding
+    * with the first element (list_reduce's no-init contract); empty
+    * token lists fingerprint as md5(""). */
+  def portableFingerprint(text: Column): Column = {
+    val hashed = transform(tokens(text), t => md5(t.cast("binary")))
+    when(size(hashed) === 0, md5(lit("").cast("binary")))
+      .otherwise(aggregate(
+        slice(hashed, lit(2), greatest(size(hashed) - 1, lit(0))),
+        element_at(hashed, 1),
+        (acc, h) => md5(concat(acc, h).cast("binary"))))
+  }
+
   // ------------------------------------------------- char-bigram LM score
   /**
    * Character-bigram language-model scoring — the CCNet-style perplexity

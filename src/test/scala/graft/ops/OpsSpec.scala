@@ -349,6 +349,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == "<EMAIL>")
   }
 
+  test("portable fingerprint: order-sensitive, md5-chained, empty-safe") {
+    val d = Seq((0L, "alpha beta"), (1L, "beta alpha"), (2L, ""), (3L, "alpha"))
+      .toDF("id", "text")
+    val fp = d.select(col("id"),
+        TextAnalysis.portableFingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) != fp(1L))                    // order-sensitive
+    assert(fp(2L) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    // single token: fp = md5(token)
+    assert(fp(3L) == java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString)
+  }
+
   test("multimodal decode emits deterministic metadata from the payload") {
     val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
     val r = Multimodal.extractMeta(spark, d, "doc_id", "text").head()
