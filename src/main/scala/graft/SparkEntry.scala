@@ -3340,15 +3340,13 @@ object SparkEntry {
         "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, " +
         "round(c, 4) AS cosine FROM s WHERE rn <= 10 ORDER BY query_id, rank"),
 
-    // identical md5 chain: per-token md5 hex folded left-to-right with
-    // the first element as the seed (list_reduce's no-init contract)
+    // identical md5 of the space-joined token sequence (tokens contain
+    // no spaces, so the join is collision-unambiguous)
     "text_fingerprint" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
         "FROM documents) " +
-        "SELECT doc_id, CASE WHEN len(tk) = 0 THEN md5('') " +
-        "ELSE list_reduce(list_transform(tk, t -> md5(t)), " +
-        "(acc, x) -> md5(acc || x)) END AS fp " +
+        "SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp " +
         "FROM toks ORDER BY doc_id"),
 
     "text_tokens" ->
