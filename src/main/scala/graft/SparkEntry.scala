@@ -2411,6 +2411,45 @@ object SparkEntry {
     // deterministic stratified sampling: per-source keep fractions
     // decided by hash threshold — reproducible under any partitioning,
     // which seeded Bernoulli sampling (sampleBy) is not
+    // leakage-safe split: near-duplicate CLUSTERS (not documents) are
+    // the unit of train/valid/test assignment, so eval never contains a
+    // near-copy of a training doc; the split hash is the portable
+    // md5-derived uniform over the canonical entity id
+    "pipeline_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        threshold = 0.95)
+      val comp = Dedup.connectedComponents(pairs, "a", "b")
+      val entity = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("entity"))
+      val u = (conv(substring(md5(concat(col("entity").cast("string"),
+          lit(":split")).cast("binary")), 1, 13), 16, 10).cast("double") + 1.0) /
+        lit(math.pow(2, 52) + 2.0)
+      entity
+        .withColumn("split",
+          when(u < 0.8, lit("train")).when(u < 0.9, lit("valid"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
+    }),
+
+    // length-bucketed batching: group docs into fixed-size batches of
+    // similar token length (bucket = length rounded up to 32) so padding
+    // waste inside a batch is bounded by the bucket width
+    "pipeline_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val bucketed = d.withColumn("bucket",
+        (ceil(col("n_tokens").cast("double") / 32.0) * 32).cast("long"))
+      bucketed
+        .withColumn("batch_idx",
+          floor((row_number().over(Window.partitionBy("bucket")
+            .orderBy("doc_id")) - 1) / lit(8.0)).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_stratified_sample" -> ((s, dir) =>
       TrainPrep.stratifiedSample(t(s, dir, "documents"),
           col("source"), expr("(doc_id * 2654435761) % 10000"),
@@ -3730,6 +3769,42 @@ object SparkEntry {
         "FROM documents d JOIN plan p USING (source)) " +
         "SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy " +
         "FROM r WHERE n >= 1 ORDER BY doc_id, copy"),
+
+    // the same jaccard closure as dedup_components, then the identical
+    // md5-derived split uniform over the canonical entity id
+    "pipeline_leakage_safe_split" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, source, " +
+        "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS tk FROM documents), " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b " +
+        "FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / " +
+        "(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.95), " +
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+        "comp AS (SELECT u AS id, CAST(least(u, min(v)) AS BIGINT) AS component " +
+        "FROM reach GROUP BY u), " +
+        "ent AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS entity " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), " +
+        "sp AS (SELECT doc_id, entity, " +
+        "(CAST(CAST(concat('0x', substr(md5(concat(CAST(entity AS VARCHAR), " +
+        "':split')), 1, 13)) AS BIGINT) AS DOUBLE) + 1) / 4503599627370498.0 AS u " +
+        "FROM ent) " +
+        "SELECT doc_id, entity, CASE WHEN u < 0.8 THEN 'train' " +
+        "WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split " +
+        "FROM sp ORDER BY doc_id"),
+
+    // identical bucket (token length ceil 32) and batch (floor rank/8)
+    "pipeline_length_batches" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "b AS (SELECT doc_id, n_tokens, " +
+        "CAST(ceil(n_tokens / 32.0) * 32 AS BIGINT) AS bucket FROM d) " +
+        "SELECT doc_id, n_tokens, bucket, " +
+        "CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) " +
+        "/ 8.0) AS BIGINT) AS batch_idx FROM b ORDER BY doc_id"),
 
     // Efraimidis–Spirakis with PORTABLE md5-derived u: both engines build
     // u from the same 52 hex-digit bits, so key = ln(u)/w ranks

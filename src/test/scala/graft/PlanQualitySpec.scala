@@ -209,4 +209,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ring.agg(org.apache.spark.sql.functions.max("rid")).head().getLong(0)
       == n - 1)
   }
+
+  test("bm25 filters postings map-side and broadcasts both stats sides") {
+    val p = plan("text_bm25")
+    // the term isin filter must sit UNDER the tf aggregation (map-side),
+    // and the df/corpus-stats joins must be broadcast, never shuffled
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df stats must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus stats cross join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap, not a global sort:\n$p")
+  }
+
+  test("fuzzy join candidates come from a band equi-join, never a cartesian") {
+    val p = plan("dedup_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must be a (block, band) equi-join:\n$p")
+  }
+
+  test("hybrid rrf fuses top-k lists without a cartesian") {
+    val p = plan("sim_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort"),
+      s"fused ordering present:\n$p")
+  }
+
+  test("bigram LM broadcasts the model and total back over one corpus pass") {
+    val p = plan("text_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total cross join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here should shuffle-join:\n$p")
+  }
+
+  test("skew join salts the big side and explodes the small side only") {
+    val p = plan("q_skew_join")
+    // the join must be an equi-join on (key, salt) — no cartesian, and
+    // the exploded small side must be the broadcast/build side
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      s"small side must be exploded salts-times:\n$p")
+  }
 }
