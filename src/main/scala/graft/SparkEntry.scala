@@ -1135,12 +1135,15 @@ object SparkEntry {
 
     // custom mergeable sketch aggregate (KMV distinct estimate) next to
     // the exact count — deterministic, so rows-only checks stay stable
+    // portable KMV (md5 52-bit hashes + exact-integer estimator): the
+    // ESTIMATE itself is oracle-checked, not just its error bound
     "q_kmv_distinct" -> ((s, dir) => {
       graft.functions.KmvSketch.register(s)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(graft.functions.KmvSketch
-            .kmvDistinct(col("l_partkey"), 512).as("approx_parts"),
+            .kmvDistinct(col("l_partkey"), 512, portable = true)
+            .as("approx_parts"),
           countDistinct("l_partkey").as("exact_parts"))
         .orderBy("l_returnflag")
     }),
@@ -1152,7 +1155,8 @@ object SparkEntry {
       graft.functions.KmvSketch.register(s)
       val li = t(s, dir, "lineitem")
       val states = li.groupBy("l_returnflag")
-        .agg(graft.functions.KmvSketch.kmvState(col("l_partkey"), 512).as("st"))
+        .agg(graft.functions.KmvSketch
+          .kmvState(col("l_partkey"), 512, portable = true).as("st"))
       val unioned = states.agg(graft.functions.KmvSketch
         .kmvEstimate(graft.functions.KmvSketch.kmvUnion(col("st")))
         .as("est_union_parts"))
@@ -3108,6 +3112,39 @@ object SparkEntry {
         "SELECT key, CAST(count(*) AS BIGINT) AS n FROM keyed, tot " +
         "GROUP BY key, n_total HAVING count(*) >= n_total / 10 " +
         "ORDER BY key"),
+
+    // KMV replicated value-exactly: same md5 52-bit hashes, same
+    // k-smallest set (DISTINCT dedupes collisions identically), same
+    // floor-division estimator — the estimate matches to the last digit
+    "q_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT l_returnflag, " +
+        "CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv " +
+        "FROM lineitem), " +
+        "r AS (SELECT l_returnflag, hv, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag) AS nd FROM h), " +
+        "est AS (SELECT l_returnflag, CAST(CASE WHEN max(nd) < 512 THEN max(nd) " +
+        "ELSE (511 * 4503599627370496) // greatest(max(CASE WHEN rn = 512 THEN hv END), 1) " +
+        "END AS BIGINT) AS approx_parts FROM r GROUP BY l_returnflag), " +
+        "ex AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) " +
+        "AS exact_parts FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, approx_parts, exact_parts FROM est " +
+        "JOIN ex USING (l_returnflag) ORDER BY l_returnflag"),
+
+    // union of per-group k-smallest sets == k smallest of the global
+    // DISTINCT hash set (the KMV merge identity), so the union estimate
+    // is the same SQL shape without the group partition
+    "q_kmv_setops" ->
+      ("WITH h AS (SELECT DISTINCT " +
+        "CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv " +
+        "FROM lineitem), " +
+        "r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, " +
+        "count(*) OVER () AS nd FROM h) " +
+        "SELECT CAST(CASE WHEN max(nd) < 512 THEN max(nd) " +
+        "ELSE (511 * 4503599627370496) // greatest(max(CASE WHEN rn = 512 THEN hv END), 1) " +
+        "END AS BIGINT) AS est_union_parts, " +
+        "(SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) " +
+        "AS exact_union_parts FROM r"),
 
     // the PLAIN join: the salted plan must be output-equivalent
     "q_skew_join" ->

@@ -27,6 +27,7 @@ import org.apache.spark.sql.types._
 case class KmvDistinctSketch(
     child: Expression,
     k: Int,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -46,8 +47,11 @@ case class KmvDistinctSketch(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // unsigned ordering via flip of the sign bit
-      val h = hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
+      // unsigned ordering via flip of the sign bit (xx mode); portable
+      // hashes are 52-bit non-negative so natural order is correct
+      val h =
+        if (portable) KmvState.portableHash(v)
+        else hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
       add(buf, h)
     }
     buf
@@ -66,17 +70,8 @@ case class KmvDistinctSketch(
     if (buf.size > k) { buf.pollLast(); () }
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val n = buf.size
-    if (n < k) n.toLong // fewer than k distinct hashes seen → exact
-    else {
-      // stored values are sign-flipped so signed order == unsigned order;
-      // map the kth minimum back to its position in [0, 2⁶⁴)
-      val frac = (buf.last().toDouble - Long.MinValue.toDouble) /
-        math.pow(2.0, 64)
-      math.round((k - 1) / frac)
-    }
-  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvState.estimate(k, buf, portable)
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)
@@ -109,29 +104,55 @@ case class KmvDistinctSketch(
   * distinct count of a union without rescanning the data), and
   * `kmvEstimate` turns any state into a count. */
 private[functions] object KmvState {
-  /** bytes = Int k | Int n | n sign-flipped hash longs (ascending). */
-  def serialize(k: Int, buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  /** bytes = Int k (NEGATED when the state carries portable md5 hashes)
+    * | Int n | n hash longs (ascending). */
+  def serialize(
+      k: Int, buf: java.util.TreeSet[java.lang.Long],
+      portable: Boolean = false): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 8 * buf.size)
-    bb.putInt(k).putInt(buf.size)
+    bb.putInt(if (portable) -k else k).putInt(buf.size)
     val it = buf.iterator()
     while (it.hasNext) bb.putLong(it.next())
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): (Int, Array[Long]) = {
+  /** → (k, portable, hashes). */
+  def deserialize(bytes: Array[Byte]): (Int, Boolean, Array[Long]) = {
     val bb = ByteBuffer.wrap(bytes)
-    val k = bb.getInt
+    val rawK = bb.getInt
     val n = bb.getInt
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) { hs(i) = bb.getLong; i += 1 }
-    (k, hs)
+    (math.abs(rawK), rawK < 0, hs)
   }
 
-  def estimate(k: Int, buf: java.util.TreeSet[java.lang.Long]): Long = {
+  /** Cross-engine 52-bit hash: the first 13 hex digits of
+    * md5(value.toString) — reproducible anywhere md5 exists (DuckDB:
+    * `CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 13)) AS
+    * BIGINT)`).  Contract holds for integral/string values, whose
+    * string forms agree across engines. */
+  def portableHash(v: Any): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(v.toString.getBytes("UTF-8"))
+    // 52 bits = bytes 0..5 (48) plus the high nibble of byte 6
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(6) & 0xf0L) >> 4)
+  }
+
+  def estimate(
+      k: Int, buf: java.util.TreeSet[java.lang.Long],
+      portable: Boolean = false): Long = {
     val n = buf.size
     if (n < k) n.toLong
-    else {
+    else if (portable) {
+      // exact-integer arithmetic (floor division) so ANY engine that
+      // mirrors the hash computes the IDENTICAL estimate — no float
+      // rounding to disagree about
+      ((k - 1).toLong << 52) / math.max(buf.last(), 1L)
+    } else {
       val frac = (buf.last().toDouble - Long.MinValue.toDouble) /
         math.pow(2.0, 64)
       math.round((k - 1) / frac)
@@ -143,6 +164,7 @@ private[functions] object KmvState {
 case class KmvStateSketch(
     child: Expression,
     k: Int,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -162,7 +184,9 @@ case class KmvStateSketch(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
+      val h =
+        if (portable) KmvState.portableHash(v)
+        else hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue
       buf.add(h)
       if (buf.size > k) { buf.pollLast(); () }
     }
@@ -181,13 +205,13 @@ case class KmvStateSketch(
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    KmvState.serialize(k, buf)
+    KmvState.serialize(k, buf, portable)
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
-    KmvState.serialize(k, buf)
+    KmvState.serialize(k, buf, portable)
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val (_, hs) = KmvState.deserialize(bytes)
+    val (_, _, hs) = KmvState.deserialize(bytes)
     val s = new java.util.TreeSet[java.lang.Long]()
     hs.foreach(s.add(_))
     s
@@ -214,8 +238,10 @@ case class KmvUnionSketch(
   override def prettyName: String = "graft_kmv_union"
 
   // k travels inside each state; the union keeps the smallest seen so the
-  // result never claims more precision than its weakest input
+  // result never claims more precision than its weakest input.  The
+  // portable flag travels the same way and must agree across inputs.
   private var unionK: Int = Int.MaxValue
+  private var unionPortable: Boolean = false
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -225,7 +251,10 @@ case class KmvUnionSketch(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val (k, hs) = KmvState.deserialize(v.asInstanceOf[Array[Byte]])
+      val (k, portable, hs) = KmvState.deserialize(v.asInstanceOf[Array[Byte]])
+      require(unionK == Int.MaxValue || portable == unionPortable,
+        "cannot union portable and xxhash KMV states")
+      unionPortable = portable
       unionK = math.min(unionK, k)
       hs.foreach { h =>
         buf.add(h)
@@ -250,15 +279,16 @@ case class KmvUnionSketch(
     val k = if (unionK == Int.MaxValue) math.max(1, buf.size) else unionK
     // re-trim in case merge() saw states before update() learned k
     while (buf.size > k) buf.pollLast()
-    KmvState.serialize(k, buf)
+    KmvState.serialize(k, buf, unionPortable)
   }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
     KmvState.serialize(
-      if (unionK == Int.MaxValue) Int.MaxValue else unionK, buf)
+      if (unionK == Int.MaxValue) Int.MaxValue else unionK, buf, unionPortable)
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val (k, hs) = KmvState.deserialize(bytes)
+    val (k, portable, hs) = KmvState.deserialize(bytes)
+    unionPortable = portable
     unionK = math.min(unionK, k)
     val s = new java.util.TreeSet[java.lang.Long]()
     hs.foreach(s.add(_))
@@ -280,12 +310,12 @@ case class KmvEstimate(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_kmv_estimate"
   override def nullSafeEval(input: Any): Any = {
-    val (k, hs) = KmvState.deserialize(input.asInstanceOf[Array[Byte]])
+    val (k, portable, hs) = KmvState.deserialize(input.asInstanceOf[Array[Byte]])
     val s = new java.util.TreeSet[java.lang.Long]()
     hs.foreach(s.add(_))
     // degenerate k (empty union that never saw a state) → exact count path
     val effK = if (k == Int.MaxValue || k <= 0) s.size + 1 else k
-    java.lang.Long.valueOf(KmvState.estimate(effK, s))
+    java.lang.Long.valueOf(KmvState.estimate(effK, s, portable))
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -296,11 +326,15 @@ object KmvSketch {
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_kmv_distinct" -> { exprs =>
       KmvDistinctSketch(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+        exprs(1).eval().asInstanceOf[Int],
+        portable = exprs.length > 2 &&
+          exprs(2).eval().asInstanceOf[Boolean]).toAggregateExpression()
     },
     "graft_kmv_state" -> { exprs =>
       KmvStateSketch(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+        exprs(1).eval().asInstanceOf[Int],
+        portable = exprs.length > 2 &&
+          exprs(2).eval().asInstanceOf[Boolean]).toAggregateExpression()
     },
     "graft_kmv_union" -> { exprs =>
       KmvUnionSketch(exprs.head).toAggregateExpression()
@@ -313,13 +347,16 @@ object KmvSketch {
         .createOrReplaceTempFunction(name, b, "scala_udf")
     }
 
-  /** Approximate distinct count of `c` with a k-minimum-values sketch. */
-  def kmvDistinct(c: Column, k: Int = 256): Column =
-    call_function("graft_kmv_distinct", c, lit(k))
+  /** Approximate distinct count of `c` with a k-minimum-values sketch.
+    * `portable = true` hashes with md5 (52-bit) and uses exact-integer
+    * estimation, so any engine with md5 reproduces the IDENTICAL
+    * estimate (the oracle-checkable mode; integral/string values). */
+  def kmvDistinct(c: Column, k: Int = 256, portable: Boolean = false): Column =
+    call_function("graft_kmv_distinct", c, lit(k), lit(portable))
 
   /** Mergeable sketch STATE of `c` (binary; feed into [[kmvUnion]]). */
-  def kmvState(c: Column, k: Int = 256): Column =
-    call_function("graft_kmv_state", c, lit(k))
+  def kmvState(c: Column, k: Int = 256, portable: Boolean = false): Column =
+    call_function("graft_kmv_state", c, lit(k), lit(portable))
 
   /** Union of sketch states (aggregate) → state. */
   def kmvUnion(state: Column): Column =

@@ -85,4 +85,35 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(direct == viaUnion,
       s"union-of-states $viaUnion != direct sketch $direct")
   }
+
+  test("portable mode: within 10%, partitioning-invariant, union-composable") {
+    KmvSketch.register(spark)
+    val data = spark.range(30000)
+      .select((col("id") * 2654435761L % 9000).as("v"), (col("id") % 3).as("g"))
+    val est = data.select(KmvSketch.kmvDistinct(col("v"), 512, portable = true))
+      .head().getLong(0)
+    assert(math.abs(est - 9000.0) / 9000.0 < 0.1, s"portable est $est")
+    val rep = data.repartition(17)
+      .select(KmvSketch.kmvDistinct(col("v"), 512, portable = true))
+      .head().getLong(0)
+    assert(est == rep)
+    val viaUnion = data.groupBy("g")
+      .agg(KmvSketch.kmvState(col("v"), 512, portable = true).as("st"))
+      .agg(KmvSketch.kmvEstimate(KmvSketch.kmvUnion(col("st"))))
+      .head().getLong(0)
+    assert(est == viaUnion, s"portable union $viaUnion != direct $est")
+  }
+
+  test("portable and xxhash states refuse to union") {
+    KmvSketch.register(spark)
+    val data = spark.range(1000).select(col("id").as("v"), (col("id") % 2).as("g"))
+    val mixed = data.filter(col("g") === 0)
+      .agg(KmvSketch.kmvState(col("v"), 64, portable = true).as("st"))
+      .unionAll(data.filter(col("g") === 1)
+        .agg(KmvSketch.kmvState(col("v"), 64).as("st")))
+    val ex = intercept[Exception] {
+      mixed.agg(KmvSketch.kmvEstimate(KmvSketch.kmvUnion(col("st")))).head()
+    }
+    assert(ex.getMessage != null)
+  }
 }
