@@ -1626,6 +1626,46 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // streaming-maintained BM25 index: each micro-batch of ingested
+    // documents appends its postings to a snapshot table (an MVCC
+    // version per batch); serving derives df/N/avgdl from the postings
+    // and must equal the inline bm25 over the full corpus — continuous
+    // ingestion with a queryable index and no text re-tokenization
+    "stream_bm25_index" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streambm25_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/postings"; val srcDir = s"$base/src"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.parquet(s"$srcDir/b$i")
+      }
+      // schema-only initial table, then one append commit per batch
+      Lexical.postings(docs.limit(0), "doc_id", "text").write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            io.Snapshots.retryCommit() {
+              io.Snapshots.appendCommit(s, tgt,
+                Lexical.postings(batch, "doc_id", "text"))
+            }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      Lexical.bm25FromPostings(io.Snapshots.read(s, tgt), "doc_id",
+        Seq("spark", "window", "merge", "vector"), k = 20)
+    }),
+
     // streaming FROM the MVCC table layer: the change-feed Source tails
     // append commits as micro-batches (offsets ARE snapshot versions;
     // each batch scans only its appended files — on 100 TB the trigger
@@ -2664,6 +2704,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25_served" -> bm25OracleSql,
+    "stream_bm25_index" -> bm25OracleSql,
     "meta_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +
         "FROM parquet_schema('__SFDIR__/lineitem.parquet') " +

@@ -137,18 +137,45 @@ object Lexical {
     val toks = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("dl"), col("__tk"))
-    val postings = toks
-      .select(col(idCol), col("dl"), explode(col("__tk")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    postings
+    val post = postings(df, idCol, textCol)
+    post
       .repartitionByRange(partitions, col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$dir/postings")
-    postings.groupBy("term").agg(count(lit(1)).as("df_t"))
+    post.groupBy("term").agg(count(lit(1)).as("df_t"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/terms")
     toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The postings rows for a corpus (or a micro-batch of one):
+    * `(term, <id>, dl, tf)`.  Incremental indexing appends each
+    * batch's postings to a snapshot table — documents are the unit of
+    * ingestion, so batches never split a document and appends never
+    * rewrite earlier postings. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("dl"), col("__tk"))
+      .select(col(idCol), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 directly from a postings table (e.g. a snapshot table an
+    * ingestion stream appends to): df/N/avgdl are derived from the
+    * postings themselves, so no sidecar stats files are needed and the
+    * raw text is never re-tokenized.  Caveat: documents with ZERO
+    * tokens have no postings rows and drop out of N (irrelevant for
+    * any real corpus, noted for the contract). */
+  def bm25FromPostings(
+      post: DataFrame, idCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = post.filter(col("term").isin(terms: _*))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val corpus = post.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    scoreBm25(idCol, tf, dfT, corpus, k, k1, b)
   }
 
   /** Serve a BM25 query from a [[buildIndex]] directory.  The postings

@@ -98,6 +98,15 @@ class LexicalSpec extends AnyFunSuite {
       s"term filter must reach the parquet scan:\n$plan")
   }
 
+  test("bm25 from a postings table equals inline search") {
+    val post = Lexical.postings(docs, "doc_id", "text")
+    val fromPost = Lexical.bm25FromPostings(post, "doc_id",
+      Seq("spark", "engine"), k = 10).collect().toSeq
+    val inline = Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "engine"), k = 10).collect().toSeq
+    assert(fromPost == inline)
+  }
+
   test("bm25 plan broadcasts the stats sides (no shuffle of corpus for df/N)") {
     val plan = Lexical.bm25Search(docs, "doc_id", "text",
       Seq("spark"), k = 5).queryExecution.executedPlan.toString
