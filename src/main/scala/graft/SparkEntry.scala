@@ -2145,6 +2145,17 @@ object SparkEntry {
           (col("logprob") * lit(1000000000L)).cast("long").as("logprob_e9"))
         .orderBy("doc_id")),
 
+    // feature-hashed TF vectors (hashing trick): md5-derived bucket and
+    // sign, sparse output — the cross-engine-reproducible HashingTF
+    "text_hash_embed" -> ((s, dir) =>
+      Lexical.hashEmbed(t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")),
+
+    // PMI bigram collocations ≥5 occurrences, top-20 (phrase mining)
+    "text_pmi_bigrams" -> ((s, dir) =>
+      Lexical.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, topK = 20)),
+
     // hybrid retrieval: BM25 lexical ranks ⊕ embedding-cosine semantic
     // ranks fused by reciprocal rank (1/(60+r) sums are exact IEEE
     // divisions — bit-identical across engines, no tolerance needed)
@@ -3456,6 +3467,37 @@ object SparkEntry {
         "FROM embeddings, q WHERE vec_id <> query_id) " +
         "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, " +
         "round(c, 4) AS cosine FROM s WHERE rn <= 10 ORDER BY query_id, rank"),
+
+    // identical md5 bucket/sign arithmetic; integer-exact signed sums
+    "text_hash_embed" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(" +
+        "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents), " +
+        "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT) AS hv " +
+        "FROM tok) " +
+        "SELECT doc_id, hv % 64 AS bucket, " +
+        "sum((hv // 64) % 2 * 2 - 1) AS val FROM h " +
+        "GROUP BY doc_id, hv % 64 HAVING sum((hv // 64) % 2 * 2 - 1) <> 0 " +
+        "ORDER BY doc_id, bucket"),
+
+    // same PMI formula over adjacent-pair and unigram counts; ordering
+    // on the 6-dp-rounded score with the pair as tie-break
+    "text_pmi_bigrams" ->
+      ("WITH toks AS (SELECT list_filter(string_split_regex(lower(text), " +
+        "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), " +
+        "pr AS (SELECT unnest(list_transform(range(1, len(tk)), " +
+        "i -> struct_pack(x := tk[CAST(i AS INTEGER)], " +
+        "y := tk[CAST(i AS INTEGER) + 1]))) AS p FROM toks WHERE len(tk) >= 2), " +
+        "pc AS (SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS c_xy " +
+        "FROM pr GROUP BY p.x, p.y HAVING count(*) >= 5), " +
+        "uni AS (SELECT unnest(tk) AS w FROM toks), " +
+        "uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w), " +
+        "n AS (SELECT sum(c_w) AS n_tokens FROM uc) " +
+        "SELECT x, y, c_xy, " +
+        "round(ln((n_tokens * c_xy) / (ux.c_w * 1.0 * uy.c_w)), 4) AS pmi " +
+        "FROM pc JOIN uc ux ON pc.x = ux.w JOIN uc uy ON pc.y = uy.w " +
+        "CROSS JOIN n " +
+        "ORDER BY round(ln((n_tokens * c_xy) / (ux.c_w * 1.0 * uy.c_w)), 6) DESC, " +
+        "x, y LIMIT 20"),
 
     // identical md5 of the space-joined token sequence (tokens contain
     // no spaces, so the join is collision-unambiguous)

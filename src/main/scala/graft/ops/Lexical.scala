@@ -232,6 +232,71 @@ object Lexical {
   }
 
   /**
+   * Feature-hashed TF vectors (the "hashing trick"): each token maps to
+   * a bucket in [0, dim) with a ±1 sign, both derived from the portable
+   * md5 hash, and the document's vector entry is the signed count sum.
+   * Returns sparse `(id, bucket, val)` rows (zero entries absent) — the
+   * cheap fixed-width embedding used for classifier bootstrapping and
+   * LSH-free near-dup blocking; cross-engine reproducible (DuckDB
+   * mirrors the md5 arithmetic), unlike Spark ML's murmur-based
+   * `HashingTF`.
+   *
+   * Scale shape: one corpus pass, one shuffle on (id, bucket) with
+   * map-side partial sums.
+   */
+  def hashEmbed(
+      df: DataFrame, idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 2, "dim must be at least 2")
+    val h = conv(substring(md5(col("__t").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), pmod(h, lit(dim.toLong)).as("bucket"),
+        (pmod(h.divide(dim).cast("long"), lit(2L)) * 2 - 1).as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("val"))
+      .filter(col("val") =!= 0)
+  }
+
+  /**
+   * PMI bigram collocations: adjacent token pairs scored by pointwise
+   * mutual information ln(N·c_xy / (c_x·c_y)) against the unigram
+   * model, minimum pair support `minCount`.  The standard phrase-mining
+   * / collocation-extraction pass (word2vec phrases, quality-signal
+   * "glued words").  Ordering/oracle parity: rank on the 6-dp-rounded
+   * PMI with the pair string as tie-break; emitted score rounded to 4.
+   *
+   * Scale shape: pair and unigram counts are vocabulary-sized
+   * aggregations; the two unigram joins are broadcast at demo scale and
+   * become plain shuffled equi-joins on a 100 TB vocabulary — nothing
+   * quadratic either way.
+   */
+  def pmiBigrams(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Int, topK: Int): DataFrame = {
+    val tk = TextAnalysis.tokens(col(textCol))
+    val pairs = df
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("x"),
+          element_at(tk, i + 1).as("y")))).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"))
+    val pairCounts = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val n = uni.agg(sum(col("c_w")).as("n_tokens"))
+    val pmi = log(col("n_tokens") * col("c_xy") /
+      (col("c_x").cast("double") * col("c_y")))
+    pairCounts
+      .join(broadcast(uni.select(col("w").as("x"), col("c_w").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("c_w").as("c_y"))), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"), round(pmi, 4).as("pmi"))
+      .orderBy(round(pmi, 6).desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
+  /**
    * Top-`topK` TF-IDF keywords per document: rank terms by
    * tf · ln(N/df) within each document. Returns
    * `(id, rank, term, tf, df_t)` — integer/string columns only; the

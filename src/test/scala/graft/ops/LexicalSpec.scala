@@ -107,6 +107,28 @@ class LexicalSpec extends AnyFunSuite {
     assert(fromPost == inline)
   }
 
+  test("hash embed: dim-bounded buckets, signed counts, repeat tokens sum") {
+    val d = Seq((0L, "spark spark spark"), (1L, "spark")).toDF("doc_id", "text")
+    val out = Lexical.hashEmbed(d, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 16 })
+    // both docs hash 'spark' to the same bucket; doc 0's value is 3× doc 1's
+    val v0 = out.find(_._1 == 0L).get; val v1 = out.find(_._1 == 1L).get
+    assert(v0._2 == v1._2 && v0._3 == 3 * v1._3)
+    assert(math.abs(v1._3) == 1)
+  }
+
+  test("pmi ranks a glued pair above independent pairs") {
+    // 'foo bar' always adjacent (perfect collocation); 'the' is everywhere
+    val rows = (0 until 40).map(i => (i.toLong,
+      s"foo bar the w$i the w${i + 1} the w${i + 2}")).toDF("doc_id", "text")
+    val out = Lexical.pmiBigrams(rows, "doc_id", "text", minCount = 5, topK = 5)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head.getString(0) == "foo" && out.head.getString(1) == "bar",
+      s"glued pair must rank first: ${out.map(r => (r.getString(0), r.getString(1))).toSeq}")
+  }
+
   test("bm25 plan broadcasts the stats sides (no shuffle of corpus for df/N)") {
     val plan = Lexical.bm25Search(docs, "doc_id", "text",
       Seq("spark"), k = 5).queryExecution.executedPlan.toString
