@@ -22,6 +22,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query isolation: drop any cached plans/blocks a previous
+      // query left behind and collect its garbage BEFORE timing, so a
+      // heap-heavy neighbor can't tax this query's measurement (the r07
+      // "tide": unrelated queries drifting 2-5× from shared-JVM GC
+      // pressure).  The measured work itself is untouched.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       // first run pays Janino/JIT codegen cold-start (measured 5-10× the
       // steady state); report the second, warm run so rounds compare real
       // execution cost instead of compiler noise

