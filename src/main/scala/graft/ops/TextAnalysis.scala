@@ -14,9 +14,12 @@ object TextAnalysis {
 
   /** Lower-cased alphanumeric tokens, empties removed.  Deterministic and
     * expressible in ANSI SQL (`string_split_regex` + filter) so every
-    * downstream metric stays oracle-checkable. */
+    * downstream metric stays oracle-checkable.  `array_remove(_, "")`
+    * rather than a `filter(_ =!= "")` lambda: identical result, but
+    * higher-order lambdas are CodegenFallback and this helper sits on
+    * nearly every text query's hot path. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
