@@ -1840,14 +1840,18 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // portable variant: md5-based signatures so the LSH pair set AND
+    // estimated jaccards are oracle-checked, not just their properties
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
           Dedup.MinHashParams(shingleSize = 3, numHashes = 128, bands = 32,
             jaccardThreshold = 0.7))
         .orderBy("a", "b")),
 
+    // portable variant: md5-voted 60-bit fingerprints, oracle-checked
+    // pair set + hamming distances (pigeonhole banding unchanged)
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
           shingleSize = 2, maxHamming = 3)
         .orderBy("a", "b")),
 
@@ -3574,6 +3578,68 @@ object SparkEntry {
         "CAST(sum(CAST(ln(c * 1.0 / n) AS DECIMAL(18,9))) * 1000000000 AS BIGINT) " +
         "AS logprob_e9 FROM bg JOIN model USING (bg) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // full MinHash-LSH replicated: same md5 52-bit base hashes, same
+    // affine permutations (exact BIGINT arithmetic), same banded
+    // buckets (text keys), same agreements/128 estimate
+    "dedup_minhash" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(tk) - 2, 1) + 1), " +
+        "i -> array_to_string(list_slice(tk, CAST(i AS INTEGER), " +
+        "CAST(i AS INTEGER) + 2), ' ')))) AS s FROM toks), " +
+        "base AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(s), 1, 13)) AS BIGINT) AS h FROM sh), " +
+        "sig AS (SELECT doc_id, i, " +
+        "min(((2 * ((i * 2654435761) % 1024) + 1) * h + i * 40503 + 2654435769) " +
+        "% 4503599627370496) AS m " +
+        "FROM base CROSS JOIN (SELECT unnest(range(0, 128)) AS i) " +
+        "GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS band, " +
+        "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key " +
+        "FROM sig GROUP BY doc_id, i // 4), " +
+        "ok AS (SELECT band, key FROM bands GROUP BY band, key " +
+        "HAVING count(*) <= 500 AND count(*) > 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id JOIN ok ON ok.band = a.band AND ok.key = a.key), " +
+        "agree AS (SELECT c.a, c.b, " +
+        "sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS eq " +
+        "FROM cand c JOIN sig sa ON sa.doc_id = c.a " +
+        "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i " +
+        "GROUP BY c.a, c.b) " +
+        "SELECT a, b, round(eq / 128.0, 4) AS est_jaccard FROM agree " +
+        "WHERE eq / 128.0 >= 0.7 ORDER BY a, b"),
+
+    // portable simhash replicated: md5 60-bit shingle hashes, ±1 bit
+    // votes, 4×15-bit piece banding, bit_count hamming — all integer
+    "dedup_simhash" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(tk) - 1, 1) + 1), " +
+        "i -> array_to_string(list_slice(tk, CAST(i AS INTEGER), " +
+        "CAST(i AS INTEGER) + 1), ' ')))) AS s FROM toks), " +
+        "base AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        "votes AS (SELECT doc_id, b, " +
+        "sum(((h >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS sv " +
+        "FROM base CROSS JOIN (SELECT unnest(range(0, 60)) AS b) " +
+        "GROUP BY doc_id, b), " +
+        "fp AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN " +
+        "1::BIGINT << CAST(b AS INTEGER) ELSE 0 END) AS fp " +
+        "FROM votes GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, fp, k, " +
+        "(fp >> CAST(k * 15 AS INTEGER)) & 32767 AS piece " +
+        "FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k)) " +
+        "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming " +
+        "FROM banded a JOIN banded b ON a.k = b.k AND a.piece = b.piece " +
+        "AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3 ORDER BY a, b"),
 
     // hybrid RRF: bm25 top-30 (same formula as text_bm25) ⊕ cosine
     // top-30 for query vec 0 (same shape as sim_topk), fused by

@@ -183,6 +183,120 @@ object Dedup {
   }
 
   /**
+   * [[minhashPairs]] with PORTABLE hashing — every number any engine
+   * can reproduce, so the LSH pair set and estimated Jaccards are
+   * oracle-checkable cross-engine (the xxhash64 path stays the fast
+   * default):
+   *
+   *  - base hash: first 13 hex digits of md5(shingle) → 52-bit BIGINT;
+   *  - permutation i: (aᵢ·h + bᵢ) mod 2⁵², aᵢ = 2·((i·2654435761) mod
+   *    1024)+1 (odd multipliers are bijections mod a power of two),
+   *    bᵢ = i·40503 + 2654435769 — exact integer arithmetic, no
+   *    overflow (aᵢ·h + bᵢ < 2⁶³);
+   *  - band bucket key: the band's signature values joined as text
+   *    (no second hash to disagree about);
+   *  - est_jaccard = agreements/numHashes, exact when numHashes is a
+   *    power of two.
+   *
+   * Same shape as the fast path: capped (band, key) buckets, candidate
+   * equi-join, signature agreement verified on the deduplicated pairs.
+   */
+  def minhashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val rpb = p.numHashes / p.bands
+    val mod = 1L << 52
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.shingles(col(textCol), p.shingleSize))).as("__s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__s").cast("binary")), 1, 13), 16, 10)
+          .cast("long").as("__h"))
+    val sigL = sh
+      .select(col("doc_id"), col("__h"),
+        explode(sequence(lit(0), lit(p.numHashes - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        pmod((lit(2L) * pmod(col("i") * lit(2654435761L), lit(1024L)) + 1L)
+          * col("__h") + col("i") * lit(40503L) + lit(2654435769L),
+          lit(mod)).as("__ph"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("__ph")).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigL.withColumn("band", expr(s"i div $rpb"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m").cast("string")), ",").as("key"))
+    val bsize = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= p.maxBucketSize && col("n") > 1)
+    val pruned = bands.join(bsize, Seq("band", "key"))
+    val cand = pruned.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(pruned.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(sigL.select(col("doc_id").as("a"), col("i"), col("m").as("ma")),
+        Seq("a"))
+      .join(sigL.select(col("doc_id").as("b"), col("i"), col("m").as("mb")),
+        Seq("b", "i"))
+      .groupBy("a", "b")
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("__eq"))
+      .withColumn("est_jaccard",
+        col("__eq").cast("double") / p.numHashes)
+      .filter(col("est_jaccard") >= p.jaccardThreshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /**
+   * [[simhashPairs]] with PORTABLE hashing: 60-bit fingerprints whose
+   * per-bit votes come from md5 shingle hashes (15 hex digits → 60-bit
+   * BIGINT), banded into 4×15-bit pieces.  Pigeonhole is unchanged
+   * (hamming ≤ 3 ⇒ one of 4 pieces equal); every step — bit
+   * extraction, ±1 vote sums, piece masks, `bit_count(a ^ b)` — is
+   * exact integer arithmetic any engine reproduces, so the pair set
+   * and hamming distances are oracle-checkable.
+   */
+  def simhashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-piece banding guarantees recall only to hamming 3")
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.shingles(col(textCol), shingleSize))).as("__s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val fps = sh
+      .select(col("doc_id"), col("__h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .select(col("doc_id"), col("b"),
+        (expr("shiftright(__h, b) & 1") * 2 - 1).as("__vote"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("__vote")).as("__sv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__sv") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("fp"))
+    // pieces via a plain 4-row explode with codegen'd shifts
+    val banded = fps.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"), col("fp"), col("k"),
+        expr("shiftright(fp, CAST(k * 15 AS INT)) & 32767").as("piece"))
+    val a = banded.select(col("k"), col("piece"),
+      col("doc_id").as("a"), col("fp").as("fp_a"))
+    val b = banded.select(col("k"), col("piece"),
+      col("doc_id").as("b"), col("fp").as("fp_b"))
+    a.join(b, Seq("k", "piece"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * SimHash near-duplicate pairs: 64-bit fingerprints banded into 4
    * 16-bit pieces (any pair within Hamming distance 3 shares at least one
    * exact piece — pigeonhole), verified with `bit_count(a ^ b)`.

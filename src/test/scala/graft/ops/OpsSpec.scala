@@ -104,6 +104,25 @@ class OpsSpec extends AnyFunSuite {
       s"extra=${got -- naive}")
   }
 
+  test("portable minhash finds exact and near dups like the fast path") {
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+        Dedup.MinHashParams(shingleSize = 2, jaccardThreshold = 0.4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactDup = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exactDup.exists(_._3 == 1.0), s"exact dup must estimate 1.0: $exactDup")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L), "near dup 0-2 missing")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc paired")
+  }
+
+  test("portable simhash: identical docs at hamming 0, unrelated absent") {
+    val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text",
+        shingleSize = 2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0),
+      s"exact dup must be hamming 0: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("fuzzy join finds within-block edit-distance pairs exactly") {
     val recs = Seq(
       (0L, "acme corporation", "b0"),
