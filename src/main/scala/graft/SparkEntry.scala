@@ -1840,6 +1840,21 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // incremental NEAR-dedup: each ingest batch screened against the
+    // standing corpus via cross-only LSH band probes (corpus never
+    // self-joined); survivors = batch docs with no ≥0.5-jaccard match
+    "pipeline_incremental_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashNovelPortable(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          "doc_id", "text",
+          Dedup.MinHashParams(shingleSize = 3, numHashes = 128, bands = 32,
+            jaccardThreshold = 0.5))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // portable variant: md5-based signatures so the LSH pair set AND
     // estimated jaccards are oracle-checked, not just their properties
     "dedup_minhash" -> ((s, dir) =>
@@ -3578,6 +3593,39 @@ object SparkEntry {
         "CAST(sum(CAST(ln(c * 1.0 / n) AS DECIMAL(18,9))) * 1000000000 AS BIGINT) " +
         "AS logprob_e9 FROM bg JOIN model USING (bg) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // same portable signatures; candidates restricted to cross
+    // (batch ≥ 400 × corpus < 400) buckets, survivors anti-joined
+    "pipeline_incremental_near_dedup" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(tk) - 2, 1) + 1), " +
+        "i -> array_to_string(list_slice(tk, CAST(i AS INTEGER), " +
+        "CAST(i AS INTEGER) + 2), ' ')))) AS s FROM toks), " +
+        "base AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(s), 1, 13)) AS BIGINT) AS h FROM sh), " +
+        "sig AS (SELECT doc_id, i, " +
+        "min(((2 * ((i * 2654435761) % 1024) + 1) * h + i * 40503 + 2654435769) " +
+        "% 4503599627370496) AS m " +
+        "FROM base CROSS JOIN (SELECT unnest(range(0, 128)) AS i) " +
+        "GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS band, " +
+        "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key " +
+        "FROM sig GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS bdoc, b.doc_id AS cdoc " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+        "WHERE a.doc_id >= 400 AND b.doc_id < 400), " +
+        "matched AS (SELECT DISTINCT bdoc FROM (" +
+        "SELECT c.bdoc, c.cdoc FROM cand c " +
+        "JOIN sig sa ON sa.doc_id = c.bdoc " +
+        "JOIN sig sb ON sb.doc_id = c.cdoc AND sb.i = sa.i " +
+        "GROUP BY c.bdoc, c.cdoc " +
+        "HAVING sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 128.0 >= 0.5)) " +
+        "SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id >= 400 AND doc_id NOT IN (SELECT bdoc FROM matched) " +
+        "ORDER BY doc_id"),
 
     // full MinHash-LSH replicated: same md5 52-bit base hashes, same
     // affine permutations (exact BIGINT arithmetic), same banded

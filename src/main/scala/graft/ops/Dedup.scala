@@ -201,33 +201,43 @@ object Dedup {
    * Same shape as the fast path: capped (band, key) buckets, candidate
    * equi-join, signature agreement verified on the deduplicated pairs.
    */
-  def minhashPairsPortable(
+  /** Portable (md5-affine) long-format minhash signatures:
+    * `(doc_id, i, m)` for i < numHashes — see [[minhashPairsPortable]]
+    * for the arithmetic. */
+  private def portableSigLong(
       df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
-    val rpb = p.numHashes / p.bands
-    val mod = 1L << 52
-    val sh = df.select(col(idCol).as("doc_id"),
+      p: MinHashParams): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextAnalysis.shingles(col(textCol), p.shingleSize))).as("__s"))
       .select(col("doc_id"),
         conv(substring(md5(col("__s").cast("binary")), 1, 13), 16, 10)
           .cast("long").as("__h"))
-    val sigL = sh
       .select(col("doc_id"), col("__h"),
         explode(sequence(lit(0), lit(p.numHashes - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         pmod((lit(2L) * pmod(col("i") * lit(2654435761L), lit(1024L)) + 1L)
           * col("__h") + col("i") * lit(40503L) + lit(2654435769L),
-          lit(mod)).as("__ph"))
+          lit(1L << 52)).as("__ph"))
       .groupBy(col("doc_id"), col("i"))
       .agg(min(col("__ph")).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigL.withColumn("band", expr(s"i div $rpb"))
+
+  /** `(doc_id, band, key)` text band-bucket keys from long signatures. */
+  private def portableBandKeys(sigL: DataFrame, rpb: Int): DataFrame =
+    sigL.withColumn("band", expr(s"i div $rpb"))
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("m")))),
           x => x.getField("m").cast("string")), ",").as("key"))
+
+  def minhashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val rpb = p.numHashes / p.bands
+    val sigL = portableSigLong(df, idCol, textCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = portableBandKeys(sigL, rpb)
     val bsize = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= p.maxBucketSize && col("n") > 1)
     val pruned = bands.join(bsize, Seq("band", "key"))
@@ -248,6 +258,48 @@ object Dedup {
         col("__eq").cast("double") / p.numHashes)
       .filter(col("est_jaccard") >= p.jaccardThreshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /**
+   * Incremental NEAR-dedup: batch documents with no estimated-jaccard
+   * match ≥ threshold in the standing corpus — the production dedup
+   * shape (screen each ingest batch against everything already
+   * accepted; exact incremental dedup is [[incrementalExact]], this is
+   * its near-duplicate sibling).  Portable md5 signatures, so the
+   * surviving set is oracle-checkable.
+   *
+   * Scale shape: candidates form ONLY on cross (batch × corpus) band
+   * buckets — the corpus is never self-joined; at scale the corpus
+   * band table is precomputed once (persist/snapshot it) and each
+   * batch's bands probe it, so per-batch cost is O(batch × bands) join
+   * rows, independent of corpus size per probe.
+   */
+  def minhashNovelPortable(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val rpb = p.numHashes / p.bands
+    val bSig = portableSigLong(batch, idCol, textCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSig = portableSigLong(corpus, idCol, textCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = portableBandKeys(bSig, rpb)
+      .select(col("band"), col("key"), col("doc_id").as("__b"))
+      .join(portableBandKeys(cSig, rpb)
+        .select(col("band"), col("key"), col("doc_id").as("__c")),
+        Seq("band", "key"))
+      .select("__b", "__c")
+      .dropDuplicates("__b", "__c")
+    val matched = cand
+      .join(bSig.select(col("doc_id").as("__b"), col("i"), col("m").as("mb")),
+        Seq("__b"))
+      .join(cSig.select(col("doc_id").as("__c"), col("i"), col("m").as("mc")),
+        Seq("__c", "i"))
+      .groupBy("__b", "__c")
+      .agg(sum(when(col("mb") === col("mc"), 1L).otherwise(0L)).as("__eq"))
+      .filter(col("__eq").cast("double") / p.numHashes >= p.jaccardThreshold)
+      .select(col("__b").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
   }
 
   /**
