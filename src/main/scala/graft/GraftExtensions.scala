@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // src/parquet_copy_hook/hook.rs:133-194): COPY ... TO/FROM 'uri'
     // handled by graft, everything else delegated to Spark's parser
     ext.injectParser((_, delegate) => new sql.GraftSqlParser(delegate))
+    // optimizer rules: bounded edit-distance predicates run the banded
+    // thresholded DP instead of the full matrix
+    ext.injectOptimizerRule(_ => plans.ThresholdedDistanceRule)
   }
 }
 

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * Optimizer rule: rewrite bounded edit-distance predicates to Spark's
+ * THRESHOLDED `levenshtein`.
+ *
+ * `levenshtein(a, b) <= k` computes the FULL O(|a|·|b|) dynamic-
+ * programming matrix and then compares; the thresholded form
+ * `levenshtein(a, b, k)` runs the banded O(k·|a|) DP that abandons a
+ * pair as soon as the distance provably exceeds k, and returns −1
+ * above the bound — so the predicate is equivalent to
+ * `levenshtein(a, b, k) >= 0`.  On a fuzzy join over long keys this is
+ * the difference between quadratic and linear per-pair CPU; users
+ * writing the natural predicate get the banded plan without knowing
+ * the 3-arg form exists.
+ *
+ * Rewrites (k a non-negative integer literal; both argument orders):
+ *  - `lev(a,b) <= k`  →  `lev(a,b,k) >= 0`
+ *  - `lev(a,b) <  k`  →  `lev(a,b,k−1) >= 0`
+ *
+ * NULL semantics are preserved: NULL inputs make both forms NULL.
+ * `>`/`>=` bounds are NOT rewritten — their complement needs the true
+ * distance, which the thresholded DP does not produce.
+ */
+object ThresholdedDistanceRule extends Rule[LogicalPlan] {
+
+  private def bounded(l: Expression, r: Expression, k: Int): Expression =
+    GreaterThanOrEqual(
+      Levenshtein(l, r, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_COMPARISON)) {
+      case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+          if k >= 0 => bounded(l, r, k)
+      case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+          if k >= 1 => bounded(l, r, k - 1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+          if k >= 0 => bounded(l, r, k)
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+          if k >= 1 => bounded(l, r, k - 1)
+    }
+}

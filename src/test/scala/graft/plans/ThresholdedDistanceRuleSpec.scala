@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Levenshtein}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ThresholdedDistanceRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def thresholds(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val out = scala.collection.mutable.Buffer[Option[Int]]()
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case l: Levenshtein =>
+        out += l.threshold.map(_.eval().asInstanceOf[Int])
+      case _ =>
+    }))
+    out.toSeq
+  }
+
+  test("<= k and < k predicates rewrite to the banded thresholded DP") {
+    val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("abc", "abc"))
+      .toDF("l", "r")
+    val le = ThresholdedDistanceRule(
+      df.filter(levenshtein(col("l"), col("r")) <= 2).queryExecution.analyzed)
+    assert(thresholds(le) == Seq(Some(2)), s"expected threshold 2:\n$le")
+    val lt = ThresholdedDistanceRule(
+      df.filter(levenshtein(col("l"), col("r")) < 2).queryExecution.analyzed)
+    assert(thresholds(lt) == Seq(Some(1)), s"expected threshold 1:\n$lt")
+  }
+
+  test("lower bounds are NOT rewritten (complement needs the true distance)") {
+    val df = Seq(("abc", "abd")).toDF("l", "r")
+    val gt = ThresholdedDistanceRule(
+      df.filter(levenshtein(col("l"), col("r")) > 2).queryExecution.analyzed)
+    assert(thresholds(gt) == Seq(None), s"must stay unthresholded:\n$gt")
+    assert(gt.expressions.exists(_.exists(_.isInstanceOf[GreaterThan])))
+  }
+
+  test("an extensions session applies the rule and keeps results identical") {
+    TestSpark.spark.sparkContext
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      // non-literal left side so constant folding can't erase the filter
+      val df = s.sql(
+        "SELECT id FROM (SELECT id, concat('ab', CAST(id AS STRING)) AS l " +
+          "FROM range(5)) WHERE levenshtein(l, 'ab1x') <= 1")
+      assert(thresholds(df.queryExecution.optimizedPlan) == Seq(Some(1)),
+        s"rule must fire in the optimizer:\n${df.queryExecution.optimizedPlan}")
+      // only 'ab1' is within 1 edit of 'ab1x'
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
