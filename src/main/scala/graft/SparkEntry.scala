@@ -641,6 +641,35 @@ object SparkEntry {
         .select("o_orderkey", "o_note").orderBy("o_orderkey")
     }),
 
+    // Bloom-filter pruning over manifests: the table's keys INTERLEAVE
+    // across files (bucketed by o_orderkey % 16), so every file spans
+    // nearly the full key range and min/max stats cannot prune a point
+    // lookup — the per-file manifest blooms (Snapshots.setBloomFilter)
+    // drop every file not containing the key except a fpp-sized
+    // remainder (Delta's bloom index / parquet column blooms, lifted to
+    // the manifest so skipped files are never even opened).  File-level
+    // skip counts pinned in SnapshotBloomSpec
+    "io_snapshot_skip_bloom" -> ((s, dir) => {
+      val uri = util.Staging.dirFor(
+        "graft_snapbloom_v1_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders")
+          .withColumn("bucket", col("o_orderkey") % 16)
+          .repartitionByRange(16, col("bucket")).drop("bucket")
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+        io.Snapshots.setBloomFilter(s, uri,
+          Seq("o_orderkey", "o_orderpriority"))
+      }
+      io.Snapshots.readWhere(s, uri, "o_orderkey IN (1007, 1008)")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // incremental change-feed over snapshot versions: two appends land,
     // a compaction rewrites the layout in between, and readChanges(1)
     // returns exactly the appended rows — the downstream-pipeline
@@ -2876,6 +2905,11 @@ object SparkEntry {
         "WHERE o_orderkey < 30000 " +
         "ORDER BY o_orderkey"),
 
+    "io_snapshot_skip_bloom" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey IN (1007, 1008) " +
+        "ORDER BY o_orderkey"),
+
     "io_snapshot_changes" ->
       ("SELECT * FROM orders WHERE o_orderkey % 10 IN (6, 7) " +
         "ORDER BY o_orderkey"),
@@ -3293,6 +3327,33 @@ object SparkEntry {
         "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, " +
         "round(quantile_cont(l_quantity, 0.25), 4) AS q25 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // DDSketch is a DETERMINISTIC function of the value multiset (fixed
+    // γ log-buckets, rank walk) — so the sketch itself is expressible in
+    // SQL: bucket = ceil(ln(x)/ln γ), estimate = 2γ^i/(γ+1) at the
+    // target rank.  γ = 1.01/0.99 is computed by the same double ops in
+    // both engines; all prices are > 0 so only the positive store runs
+    "q_quantile_sketch" ->
+      ("WITH b AS (" +
+        "SELECT l_returnflag AS f, " +
+        "CAST(ceil(ln(l_extendedprice)/ln(1.01/0.99)) AS BIGINT) AS bi, " +
+        "count(*) AS c FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT f, bi, c, " +
+        "sum(c) OVER (PARTITION BY f ORDER BY bi) AS cum, " +
+        "sum(c) OVER (PARTITION BY f) AS total FROM b), " +
+        "sel AS (SELECT f, " +
+        "min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5*total) AS BIGINT)) " +
+        "THEN bi END) AS b50, " +
+        "min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95*total) AS BIGINT)) " +
+        "THEN bi END) AS b95 FROM r GROUP BY f), " +
+        "ex AS (SELECT l_returnflag AS f, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50 " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT sel.f AS l_returnflag, " +
+        "round(2*pow(1.01/0.99, b50)/(1.01/0.99 + 1), 4) AS dd_p50, " +
+        "round(2*pow(1.01/0.99, b95)/(1.01/0.99 + 1), 4) AS dd_p95, " +
+        "ex.exact_p50 " +
+        "FROM sel JOIN ex ON sel.f = ex.f ORDER BY l_returnflag"),
 
     "q_case_bucket" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
@@ -4190,6 +4251,29 @@ object SparkEntry {
         "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM m) " +
         "SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, " +
         "min(ts_us) AS sess_start, max(ts_us) AS sess_end " +
-        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id")
+        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
+
+    // DDSketch replicated in SQL (same construction as the
+    // q_quantile_sketch oracle) over the 6h tumbling windows the stream
+    // emits; values are all > 0 so only the positive store runs
+    "stream_quantile_sketch" ->
+      ("WITH e AS (SELECT epoch_us(ts) // 21600000000 AS win_idx, " +
+        "event_type, value FROM events), " +
+        "b AS (SELECT win_idx, event_type, " +
+        "CAST(ceil(ln(value)/ln(1.01/0.99)) AS BIGINT) AS bi, count(*) AS c " +
+        "FROM e GROUP BY 1, 2, 3), " +
+        "r AS (SELECT win_idx, event_type, bi, c, " +
+        "sum(c) OVER (PARTITION BY win_idx, event_type ORDER BY bi) AS cum, " +
+        "sum(c) OVER (PARTITION BY win_idx, event_type) AS total FROM b), " +
+        "sel AS (SELECT win_idx, event_type, " +
+        "min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5*total) AS BIGINT)) " +
+        "THEN bi END) AS b50, " +
+        "min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95*total) AS BIGINT)) " +
+        "THEN bi END) AS b95, " +
+        "CAST(max(total) AS BIGINT) AS n FROM r GROUP BY 1, 2) " +
+        "SELECT win_idx, event_type, " +
+        "round(2*pow(1.01/0.99, b50)/(1.01/0.99 + 1), 4) AS p50, " +
+        "round(2*pow(1.01/0.99, b95)/(1.01/0.99 + 1), 4) AS p95, n " +
+        "FROM sel ORDER BY win_idx, event_type")
   )
 }

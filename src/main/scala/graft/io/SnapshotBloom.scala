@@ -1,0 +1,258 @@
+package graft.io
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Per-file Bloom filters carried in snapshot manifests — the
+ * equality-lookup analogue of the min/max stats in [[SnapshotStats]]
+ * (Delta's bloom-filter index, Iceberg/parquet's column bloom filters,
+ * lifted to the MANIFEST so a point read never opens — never even
+ * HEADs — a file the filter rules out).
+ *
+ * Min/max pruning is powerless against the common "needle" layout: a
+ * key column whose values interleave across files (hash-distributed
+ * writes, multi-tenant appends) gives every file the same [global min,
+ * global max] range, so `key = X` keeps all 100k files.  A small
+ * per-file Bloom (default 2 KiB — 16384 bits) over the column's values
+ * prunes all files not containing X except a fpp-sized remainder: at
+ * 2k distinct values per file the false-positive rate is ~3%, so a
+ * 100k-file point lookup opens ~3k files instead of 100k, and the full
+ * predicate still runs on the survivors — pruning remains purely an
+ * optimization, never a correctness dependency (no false negatives:
+ * a file containing X always keeps its manifest entry).
+ *
+ * Portability contract: a value hashes by the MD5 of its CANONICAL
+ * byte form, chosen so the write side (raw parquet primitives) and the
+ * prune side (Catalyst predicate literals) agree across domains:
+ *  - integrals / DATE days / TIMESTAMP micros / DECIMAL → the exact
+ *    decimal string with trailing zeros stripped (`500`, not `5E+2` —
+ *    plain string form);
+ *  - strings → raw UTF-8 bytes.
+ * Double/float columns record no bloom (equality on floats is
+ * ill-defined across engines); nested columns record nothing.
+ *
+ * Manifest encoding: one `<urlenc(col)>=b:<k>:<b64url(bits)>` entry on
+ * the file's stats line.  Readers that predate blooms skip the entry
+ * (its body has no `,` so the min/max pair parse rejects it) — the
+ * format is forward-compatible by construction.
+ *
+ * Reference parity note: the reference exposes parquet bloom filters
+ * only implicitly via parquet-level row-group filtering; manifest-level
+ * blooms are a beyond-reference scale feature (the reference's
+ * `parquet_udfs/stats.rs` stats surface stops at min/max/null counts).
+ */
+object SnapshotBloom extends Serializable {
+
+  /** Default filter size per column per file: 2 KiB = 16384 bits
+    * (~3% fpp at 2k distinct values, k=5). */
+  val DefaultBytes = 2048
+
+  /** Fixed hash count — near-optimal across the 1-4 bits-per-item
+    * loads manifest blooms run at, and embedding it in the entry keeps
+    * the format self-describing anyway. */
+  val DefaultNumHashes = 5
+
+  /** Floor/cap guarding nonsense sizes (64 B .. 64 KiB per column). */
+  val MinBytes = 64
+  val MaxBytes = 64 * 1024
+
+  final case class Bloom(k: Int, words: Array[Long]) {
+    def mBits: Int = words.length * 64
+    def mightContain(key: Array[Byte]): Boolean = {
+      val (h1, h2) = hashPair(key)
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt
+        if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  final class Builder(val k: Int, numBytes: Int) {
+    private val words = new Array[Long](math.max(1, numBytes / 8))
+    private def mBits = words.length * 64
+    def add(key: Array[Byte]): Unit = {
+      val (h1, h2) = hashPair(key)
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    def result(): Bloom = Bloom(k, words)
+  }
+
+  /** MD5(key) → two independent 64-bit hashes for double hashing. */
+  private def hashPair(key: Array[Byte]): (Long, Long) = {
+    val d = MessageDigest.getInstance("MD5").digest(key)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    while (i < 16) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    (h1, h2)
+  }
+
+  /** Canonical bytes of a numeric value in the shared exact-decimal
+    * domain (integrals, DATE days, TIMESTAMP micros, DECIMAL). */
+  def canonNum(v: JBigDecimal): Array[Byte] = {
+    val s = v.stripTrailingZeros()
+    // stripTrailingZeros(0.00) keeps scale -2 → toPlainString is "0"
+    // either way; plain form never emits exponents
+    s.toPlainString.getBytes(UTF_8)
+  }
+
+  def canonLong(v: Long): Array[Byte] =
+    java.lang.Long.toString(v).getBytes(UTF_8)
+
+  // ------------------------------------------------------ encode/decode
+
+  private val B64E = Base64.getUrlEncoder.withoutPadding()
+  private val B64D = Base64.getUrlDecoder
+
+  /** Stats-line entry body (after the `b:` tag): `<k>:<b64url(bits)>`. */
+  def encode(b: Bloom): String = {
+    val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
+    b.words.foreach(bb.putLong)
+    s"${b.k}:${B64E.encodeToString(bb.array())}"
+  }
+
+  def decode(body: String): Option[Bloom] = {
+    val i = body.indexOf(':')
+    if (i <= 0) return None
+    try {
+      val k = body.substring(0, i).toInt
+      val bytes = B64D.decode(body.substring(i + 1))
+      if (k <= 0 || bytes.length < 8 || bytes.length % 8 != 0) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      var j = 0
+      while (j < words.length) { words(j) = bb.getLong; j += 1 }
+      Some(Bloom(k, words))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------ file scan
+
+  /**
+   * Build blooms for the requested top-level columns of one parquet
+   * file by a column-PROJECTED read (only the bloom columns' pages are
+   * fetched).  Returns col → encoded `b:`-entry body; columns that are
+   * missing, nested, or of an unsupported type record nothing.
+   * Runs wherever [[Snapshots]] stats collection runs — driver-side
+   * for small commits, one task per file for large ones.
+   */
+  def forFile(conf: Configuration, file: Path, cols: Seq[String],
+      numBytes: Int): Map[String, String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val schema = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // keep requested columns that exist as top-level primitives of a
+    // supported type
+    sealed trait Kind
+    case object IntegralK extends Kind
+    final case class TimestampK(toMicros: Long) extends Kind
+    final case class DecimalK(scale: Int) extends Kind
+    case object StringK extends Kind
+
+    def fieldOf(c: String): org.apache.parquet.schema.Type =
+      schema.getFields.asScala.find(_.getName == c).orNull
+    val picked: Seq[(String, Kind)] = cols.distinct.flatMap { c =>
+      val t = fieldOf(c)
+      if (t == null) None
+      else {
+        if (!t.isPrimitive) None
+        else {
+          val p = t.asPrimitiveType()
+          val ann = p.getLogicalTypeAnnotation
+          (p.getPrimitiveTypeName, ann) match {
+            case (INT32 | INT64, null | _: IntLogicalTypeAnnotation |
+                _: DateLogicalTypeAnnotation) => Some(c -> IntegralK)
+            case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+              ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(c -> TimestampK(1000L))
+                case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  Some(c -> TimestampK(1L))
+                case _ => None
+              }
+            case (INT32 | INT64, d: DecimalLogicalTypeAnnotation) =>
+              Some(c -> DecimalK(d.getScale))
+            case (BINARY | FIXED_LEN_BYTE_ARRAY,
+                d: DecimalLogicalTypeAnnotation) => Some(c -> DecimalK(d.getScale))
+            case (BINARY, _: StringLogicalTypeAnnotation) => Some(c -> StringK)
+            case _ => None
+          }
+        }
+      }
+    }
+    if (picked.isEmpty) return Map.empty
+
+    val bytes = math.max(MinBytes, math.min(MaxBytes, numBytes))
+    val builders = picked.map { case (c, _) =>
+      c -> new Builder(DefaultNumHashes, bytes)
+    }.toMap
+
+    // projected Group read: only the bloom columns' pages are decoded
+    val projFields: java.util.List[org.apache.parquet.schema.Type] =
+      picked.map(p => fieldOf(p._1)).asJava
+    val projection = new org.apache.parquet.schema.MessageType(
+      schema.getName, projFields)
+    val readConf = new Configuration(conf)
+    readConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), file)
+      .withConf(readConf)
+      .build()
+    // per-column extraction plan resolved once, not per row
+    val plan = picked.map { case (c, kind) =>
+      val idx = projection.getFieldIndex(c)
+      val prim = fieldOf(c).asPrimitiveType().getPrimitiveTypeName
+      (idx, kind, prim, builders(c))
+    }
+    try {
+      var g = reader.read()
+      while (g != null) {
+        plan.foreach { case (idx, kind, prim, builder) =>
+          if (g.getFieldRepetitionCount(idx) > 0) {
+            val key: Array[Byte] = kind match {
+              case IntegralK =>
+                if (prim == INT32) canonLong(g.getInteger(idx, 0).toLong)
+                else canonLong(g.getLong(idx, 0))
+              case TimestampK(scale) =>
+                canonLong(g.getLong(idx, 0) * scale)
+              case DecimalK(scale) =>
+                val unscaled = prim match {
+                  case INT32 => BigInteger.valueOf(g.getInteger(idx, 0).toLong)
+                  case INT64 => BigInteger.valueOf(g.getLong(idx, 0))
+                  case _ => new BigInteger(g.getBinary(idx, 0).getBytes)
+                }
+                canonNum(new JBigDecimal(unscaled, scale))
+              case StringK => g.getBinary(idx, 0).getBytes
+            }
+            builder.add(key)
+          }
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    builders.map { case (c, b) => c -> encode(b.result()) }
+  }
+}

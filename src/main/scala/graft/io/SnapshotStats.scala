@@ -246,6 +246,21 @@ object SnapshotStats extends Serializable {
       catch { case _: NumberFormatException => None }
     }
 
+  /** Per-column Bloom filters (`b:` entries) from a stats line — see
+    * [[SnapshotBloom]] for the format and hashing contract. */
+  private[io] def parseBlooms(stats: String): Map[String, SnapshotBloom.Bloom] = {
+    val parts = stats.split(";").toSeq
+    if (!parts.headOption.contains("v2")) return Map.empty
+    parts.drop(2).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) if v.startsWith("b:") =>
+          SnapshotBloom.decode(v.stripPrefix("b:")).map(b =>
+            graft.io.s3.S3Signer.decodePath(k) -> b)
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Per-column null counts (`u:` entries) from a stats line. */
   private[io] def parseNullCounts(stats: String): Map[String, Long] = {
     val parts = stats.split(";").toSeq
@@ -428,6 +443,17 @@ object SnapshotStats extends Serializable {
     lazy val bounds = stats.map(parseStats).getOrElse(Map.empty)
     lazy val rowCount = stats.flatMap(parseRowCount)
     lazy val nullCounts = stats.map(parseNullCounts).getOrElse(Map.empty)
+    lazy val blooms = stats.map(parseBlooms).getOrElse(Map.empty)
+    // an equality the file's Bloom filter disproves (no bloom for the
+    // column, or a domain we don't canonicalize, proves nothing)
+    def bloomDisproves(col: String, v: CValue): Boolean =
+      blooms.get(col).exists { bl =>
+        val key = v match {
+          case NumV(x) => SnapshotBloom.canonNum(x)
+          case StrV(bytes) => bytes
+        }
+        !bl.mightContain(key)
+      }
     def leafMay(c: Conjunct): Boolean = c.op match {
       case "isnull" =>
         // disproven when the file provably has NO null in the column
@@ -445,11 +471,14 @@ object SnapshotStats extends Serializable {
         val candidates = bounds.get(c.column).toSeq ++
           extra.getOrElse(c.column, Nil)
         // an IN matches if ANY listed value survives its equality test
-        c.values.exists(v => !candidates.exists(b => disproves(b, "=", v)))
+        // (interval AND bloom — either can disprove a value)
+        c.values.exists(v => !candidates.exists(b => disproves(b, "=", v)) &&
+          !bloomDisproves(c.column, v))
       case op =>
         val candidates = bounds.get(c.column).toSeq ++
           extra.getOrElse(c.column, Nil)
-        !candidates.exists(b => disproves(b, op, c.values.head))
+        !candidates.exists(b => disproves(b, op, c.values.head)) &&
+          (op != "=" || !bloomDisproves(c.column, c.values.head))
     }
     def eval(p: Pred): Boolean = p match {
       case AndP(l, r) => eval(l) && eval(r)

@@ -67,18 +67,38 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, names: Seq[String])
       : Seq[ManifestEntry] = {
     val conf = spark.sessionState.newHadoopConf()
+    val (bloomCols, bloomBytes) = bloomConfig(spark, uri)
+    def statsFor(c: org.apache.hadoop.conf.Configuration, n: String) =
+      SnapshotStats.forFile(c, new Path(uri, n)).map(s =>
+        withBloomEntries(c, uri, n, s, bloomCols, bloomBytes))
     if (names.size <= 64)
-      names.map(n => ManifestEntry(n,
-        SnapshotStats.forFile(conf, new Path(uri, n))))
+      names.map(n => ManifestEntry(n, statsFor(conf, n)))
     else {
       val ser = new org.apache.spark.util.SerializableConfiguration(conf)
       val u = uri
+      val (bc, bb) = (bloomCols, bloomBytes)
       val parts = math.max(1, math.min(names.size / 8,
         spark.sparkContext.defaultParallelism * 4))
       spark.sparkContext.parallelize(names, parts)
-        .map(n => (n, SnapshotStats.forFile(ser.value, new Path(u, n))))
+        .map(n => (n, SnapshotStats.forFile(ser.value, new Path(u, n)).map(s =>
+          withBloomEntries(ser.value, u, n, s, bc, bb))))
         .collect().toSeq.map { case (n, s) => ManifestEntry(n, s) }
     }
+  }
+
+  /** Append per-file Bloom entries (see [[SnapshotBloom]]) to a stats
+    * line for the table's configured bloom columns; a no-op when none
+    * are configured or the file yields no usable filters. */
+  private def withBloomEntries(
+      conf: org.apache.hadoop.conf.Configuration, uri: String, name: String,
+      stats: String, bloomCols: Seq[String], bloomBytes: Int): String = {
+    if (bloomCols.isEmpty) return stats
+    val blooms = SnapshotBloom.forFile(
+      conf, new Path(uri, name), bloomCols, bloomBytes)
+    if (blooms.isEmpty) stats
+    else stats + ";" + blooms.toSeq.sortBy(_._1).map { case (c, body) =>
+      s"${graft.io.s3.S3Signer.uriEncode(c, keepSlash = false)}=b:$body"
+    }.mkString(";")
   }
 
   /** Move tmp's data files into the table dir under version-stamped
@@ -209,6 +229,111 @@ object Snapshots extends Serializable {
   private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
   private def manifestPath(uri: String, v: Int) =
     new Path(manifestDir(uri), f"v$v%06d.manifest")
+
+  // ---- table properties: one tiny `key=value`-lines file beside the
+  // manifests.  Carries durable per-table config the commit path reads
+  // (today: bloom-filter columns).  Updates go tmp→rename; the brief
+  // delete→rename window only costs a reader the OPTIONAL config (a
+  // commit in the window just skips bloom building — conservative).
+  private def propsPath(uri: String) =
+    new Path(manifestDir(uri), "table.properties")
+
+  private[io] def readTableProps(
+      spark: SparkSession, uri: String): Map[String, String] = {
+    val fs = fsOf(spark, uri)
+    val p = propsPath(uri)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val content = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    content.split("\n").toSeq.filter(_.contains('=')).map { line =>
+      val i = line.indexOf('=')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  private[io] def writeTableProps(
+      spark: SparkSession, uri: String, props: Map[String, String]): Unit = {
+    val fs = fsOf(spark, uri)
+    fs.mkdirs(manifestDir(uri))
+    val tmp = new Path(manifestDir(uri),
+      s".props.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(propsPath(uri))) fs.delete(propsPath(uri), false)
+    require(fs.rename(tmp, propsPath(uri)),
+      s"table.properties update failed for $uri")
+  }
+
+  /** The table's configured bloom columns + filter size (empty/default
+    * when unset). */
+  private def bloomConfig(
+      spark: SparkSession, uri: String): (Seq[String], Int) = {
+    val props = readTableProps(spark, uri)
+    val cols = props.get("bloom.columns").toSeq.flatMap(_.split(",").toSeq)
+      .filter(_.nonEmpty)
+      .map(graft.io.s3.S3Signer.decodePath)
+    val bytes = props.get("bloom.bytes")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(SnapshotBloom.DefaultBytes)
+    (cols, bytes)
+  }
+
+  /**
+   * Configure per-file Bloom filters for `cols` and BACKFILL them over
+   * every live file of the latest version that lacks one — one
+   * column-projected read pass per file (distributed above the small-
+   * commit threshold), then a pure-metadata `stats` commit.  Every
+   * subsequent commit builds filters for its new files automatically;
+   * see [[SnapshotBloom]] for why equality reads on interleaved keys
+   * need this (min/max stats cannot prune them).
+   */
+  def setBloomFilter(
+      spark: SparkSession, uri: String, cols: Seq[String],
+      numBytes: Int = SnapshotBloom.DefaultBytes): Int = {
+    require(cols.nonEmpty, "bloom filter needs at least one column")
+    val v = latestVersion(spark, uri) // also asserts snapshot-managed
+    writeTableProps(spark, uri, readTableProps(spark, uri) ++ Map(
+      "bloom.columns" -> cols.map(
+        graft.io.s3.S3Signer.uriEncode(_, keepSlash = false)).mkString(","),
+      "bloom.bytes" -> numBytes.toString))
+    val entries = readManifestEntries(spark, uri, v)
+    val conf = spark.sessionState.newHadoopConf()
+    def backfill(c: org.apache.hadoop.conf.Configuration,
+        e: ManifestEntry): ManifestEntry = e.stats match {
+      case Some(s)
+          if cols.exists(col => !SnapshotStats.parseBlooms(s).contains(col)) =>
+        e.copy(stats = Some(withBloomEntries(c, uri, e.name,
+          stripBloomEntries(s), cols, numBytes)))
+      case _ => e
+    }
+    val updated =
+      if (entries.size <= 64) entries.map(e => backfill(conf, e))
+      else {
+        val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+        val parts = math.max(1, math.min(entries.size / 8,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(entries, parts)
+          .map(e => backfill(ser.value, e)).collect().toSeq
+      }
+    val newV = v + 1
+    writeManifest(spark, uri, newV, updated, kind = "stats")
+    newV
+  }
+
+  /** Drop existing `b:` entries from a stats line (a re-configure
+    * replaces rather than accumulates filters). */
+  private def stripBloomEntries(stats: String): String =
+    stats.split(";").filterNot(p =>
+      p.split("=", 2) match {
+        case Array(_, v) => v.startsWith("b:")
+        case _ => false
+      }).mkString(";")
 
   /** Start versioning: v1 = the directory's current data files.
     * Refuses if manifests already exist. */

@@ -67,6 +67,22 @@ object CopySql {
       c.expectEnd()
       return Some(AnalyzeCommand(uri, cols, publish))
     }
+    if (c.tryKeyword("BLOOM")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val cols = if (c.peekIs('(')) splitIdents(c.parenBlock()) else Nil
+      if (cols.isEmpty) throw new IllegalArgumentException(
+        "BLOOM '<uri>' requires a column list: BLOOM '<uri>' (col, ...)")
+      val opts = parseOptionList(c)
+      c.expectEnd()
+      var bytes = graft.io.SnapshotBloom.DefaultBytes
+      opts.foreach {
+        case ("bytes", v) => bytes = requireValue("bytes", v).toInt
+        case (other, _) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for BLOOM")
+      }
+      return Some(BloomCommand(uri, cols, bytes))
+    }
     if (c.tryKeyword("COMPACT")) {
       if (!c.peekIs('\'')) return None
       val uri = c.stringLit()
@@ -343,6 +359,18 @@ final case class AnalyzeCommand(
       org.apache.spark.sql.types.StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
     Maintenance.analyze(spark, uri, cols, publish).collect().toSeq
+}
+
+/** `BLOOM '<uri>' (col, ...) [(bytes N)]` →
+  * [[graft.io.Snapshots.setBloomFilter]]: configures per-file manifest
+  * Bloom filters for the columns and backfills them over the latest
+  * version's live files; returns the committed version. */
+final case class BloomCommand(uri: String, cols: Seq[String], bytes: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.setBloomFilter(spark, uri, cols, bytes).toLong))
 }
 
 /** `COMPACT '<uri>' [(target_bytes N)]` → [[graft.io.CopyTo.compact]];

@@ -1,0 +1,186 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Manifest-level Bloom filter pruning (see [[SnapshotBloom]]): the
+  * needle-lookup layout min/max stats cannot prune — interleaved keys
+  * giving every file the same global range — prunes on per-file blooms,
+  * with zero false negatives by construction. */
+class SnapshotBloomSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Table whose `k` values INTERLEAVE across files (k % 8 decides the
+    * file), so every file spans [1, n] and range stats prune nothing. */
+  private def interleavedTable(name: String, n: Int = 800): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, s"name-$i", i % 8))
+      .toDF("k", "name", "bucket")
+      .repartitionByRange(8, col("bucket"))
+      .select("k", "name")
+      .write.parquet(dir)
+    dir
+  }
+
+  private def entriesOf(dir: String) =
+    Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir))
+
+  test("bloom unit: no false negatives, decode inverts encode") {
+    val b = new SnapshotBloom.Builder(SnapshotBloom.DefaultNumHashes, 2048)
+    val keys = (1 to 1000).map(i => SnapshotBloom.canonLong(i * 37L))
+    keys.foreach(b.add)
+    val bloom = b.result()
+    assert(keys.forall(bloom.mightContain), "false negative")
+    val decoded = SnapshotBloom.decode(SnapshotBloom.encode(bloom))
+    assert(decoded.isDefined)
+    assert(keys.forall(decoded.get.mightContain))
+    // absent keys mostly excluded (fpp ~3% at this load; allow slack)
+    val misses = (1 to 1000).count(i =>
+      !bloom.mightContain(SnapshotBloom.canonLong(-i * 37L - 1)))
+    assert(misses > 900, s"only $misses/1000 absent keys excluded")
+  }
+
+  test("canonical forms: predicate literal domain matches write domain") {
+    import java.math.{BigDecimal => JBD}
+    assert(new String(SnapshotBloom.canonNum(new JBD("500.00"))) == "500")
+    assert(new String(SnapshotBloom.canonNum(new JBD("500"))) == "500")
+    assert(new String(SnapshotBloom.canonNum(new JBD("0.00"))) == "0")
+    assert(new String(SnapshotBloom.canonNum(new JBD("-3.1400"))) == "-3.14")
+    assert(new String(SnapshotBloom.canonLong(500L)) == "500")
+  }
+
+  test("backfill + equality prune: interleaved key, most files skipped") {
+    val dir = interleavedTable("bloom_prune")
+    Snapshots.init(spark, dir)
+    val nFiles = entriesOf(dir).size
+    assert(nFiles >= 6, s"fixture produced only $nFiles files")
+    // pre-bloom: a MID-RANGE point lookup (inside every file's
+    // [min,max]) keeps all files — range stats cannot prune it
+    assert(Snapshots.pruneEntries(
+      spark, entriesOf(dir), "k = 101").size == nFiles)
+
+    val v = Snapshots.setBloomFilter(spark, dir, Seq("k", "name"))
+    assert(v == 2)
+    assert(Snapshots.manifestKind(spark, dir, v) == "stats")
+
+    // k=101 lives in exactly one file; fpp may admit a stray extra
+    val kept = Snapshots.pruneEntries(spark, entriesOf(dir), "k = 101")
+    assert(kept.size <= 3, s"bloom kept ${kept.size}/$nFiles files")
+    assert(kept.nonEmpty)
+
+    // string column blooms prune too
+    val keptS = Snapshots.pruneEntries(
+      spark, entriesOf(dir), "name = 'name-101'")
+    assert(keptS.size <= 3, s"string bloom kept ${keptS.size}/$nFiles")
+
+    // readWhere over the pruned set still returns the right rows
+    val rows = Snapshots.readWhere(spark, dir, "k = 101")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((101L, "name-101")))
+  }
+
+  test("no false negatives across every key in the table") {
+    val dir = interleavedTable("bloom_nofn", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    val entries = entriesOf(dir)
+    // map each key to the file that actually contains it
+    val fileOf = Snapshots.read(spark, dir)
+      .select(col("k"), expr("regexp_extract(input_file_name(), '([^/]+)$', 1)")
+        .as("f")).as[(Long, String)].collect().toMap
+    (1 to 400).foreach { i =>
+      val kept = Snapshots.pruneEntries(spark, entries, s"k = $i").toSet
+      assert(kept.contains(fileOf(i.toLong)),
+        s"bloom pruned the file containing k=$i")
+    }
+  }
+
+  test("appends after configuration build blooms automatically") {
+    val dir = interleavedTable("bloom_append", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    Snapshots.appendCommit(spark, dir,
+      Seq((100001L, "new-1"), (100002L, "new-2")).toDF("k", "name"))
+    val entries = entriesOf(dir)
+    assert(entries.forall(e =>
+      SnapshotStats.parseBlooms(e.stats.get).contains("k")))
+    // the appended key prunes down to its own file (min/max would
+    // already exclude the originals here; the bloom covers the rest)
+    val kept = Snapshots.pruneEntries(spark, entries, "k = 100001")
+    assert(kept.size == 1)
+    // absent key in the appended range: bloom excludes the new file
+    val keptAbsent = Snapshots.pruneEntries(spark, entries, "k = 100003")
+    assert(keptAbsent.isEmpty, s"expected no files, kept $keptAbsent")
+  }
+
+  test("IN-list prunes to the union of its members' files") {
+    val dir = interleavedTable("bloom_in", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    val kept = Snapshots.pruneEntries(
+      spark, entriesOf(dir), "k IN (5, 6)")
+    // two keys → at most two true files + fpp slack
+    assert(kept.size <= 4, s"IN kept ${kept.size}/${entriesOf(dir).size}")
+    val rows = Snapshots.readWhere(spark, dir, "k IN (5, 6)")
+      .selectExpr("k").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(5L, 6L))
+  }
+
+  test("range predicates ignore blooms; unconfigured columns unaffected") {
+    val dir = interleavedTable("bloom_range", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    val entries = entriesOf(dir)
+    val nFiles = entries.size
+    // a range test must NOT consult the bloom (it only answers equality)
+    assert(Snapshots.pruneEntries(spark, entries, "k >= 1").size == nFiles)
+    // no bloom on `name` here — equality on it keeps everything
+    assert(Snapshots.pruneEntries(
+      spark, entries, "name = 'name-5'").size == nFiles)
+  }
+
+  test("stats line with bloom entries still parses for old readers") {
+    val dir = interleavedTable("bloom_compat", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    entriesOf(dir).foreach { e =>
+      val s = e.stats.get
+      // min/max, null counts and row counts survive alongside b: entries
+      assert(SnapshotStats.parseStats(s).contains("k"))
+      assert(SnapshotStats.parseRowCount(s).isDefined)
+      assert(SnapshotStats.parseBlooms(s).contains("k"))
+    }
+  }
+
+  test("reconfigure replaces filters instead of accumulating entries") {
+    val dir = interleavedTable("bloom_reconf", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    Snapshots.setBloomFilter(spark, dir, Seq("k", "name"))
+    entriesOf(dir).foreach { e =>
+      val nBloomEntries = e.stats.get.split(";").count(_.contains("=b:"))
+      assert(nBloomEntries == 2, s"got $nBloomEntries bloom entries")
+    }
+  }
+
+  test("compaction rebuilds blooms for the rewritten files") {
+    val dir = interleavedTable("bloom_compact", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    Snapshots.compactCommit(spark, dir, targetBytes = 512L * 1024 * 1024)
+    val entries = entriesOf(dir)
+    assert(entries.nonEmpty)
+    assert(entries.forall(e =>
+      SnapshotStats.parseBlooms(e.stats.get).contains("k")))
+    val rows = Snapshots.readWhere(spark, dir, "k = 5")
+      .selectExpr("name").as[String].collect()
+    assert(rows.toSeq == Seq("name-5"))
+  }
+}

@@ -35,6 +35,35 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(kv > 0)
   }
 
+  test("BLOOM configures manifest filters and prunes point lookups") {
+    val dir = TestSpark.tmpDir("sql_bloom")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    // interleaved keys: every file spans the full range — only the
+    // bloom can prune the equality below
+    (1 to 400).map(i => (i.toLong, i % 4)).toDF("k", "b")
+      .repartitionByRange(4, col("b")).select("k")
+      .write.parquet(dir)
+    graft.io.Snapshots.init(spark, dir)
+    val v = GraftSql.exec(spark, s"BLOOM '$dir' (k) (bytes '4096')")
+      .as[Long].head()
+    assert(v == 2L)
+    val total = graft.io.Snapshots.read(spark, dir).inputFiles.length
+    val kept = graft.io.Snapshots.readWhere(spark, dir, "k = 101")
+      .inputFiles.length
+    assert(kept < total, s"kept $kept/$total")
+    // unknown options refused
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"BLOOM '$dir' (k) (fpp '0.01')")
+    }
+    assert(ex.getMessage.contains("not supported for BLOOM"))
+    // missing column list refused
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"BLOOM '$dir'")
+    }
+    assert(ex2.getMessage.contains("column list"))
+  }
+
   test("COMPACT shrinks the file count via SQL") {
     val dir = TestSpark.tmpDir("sql_compact")
     spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
