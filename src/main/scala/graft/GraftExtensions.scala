@@ -46,6 +46,7 @@ object GraftExtensions {
     functions.GraftFunctions.builders ++
       geo.Wkb.builders ++
       functions.KmvSketch.builders ++
+      functions.HllSketch.builders ++
       functions.QuantileSketch.builders ++
       functions.FreqSketch.builders ++
       functions.BloomSketch.builders ++

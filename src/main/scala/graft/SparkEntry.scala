@@ -1177,6 +1177,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // HyperLogLog next to KMV: fixed 512-byte registers per group
+    // regardless of cardinality (the smaller state for pure distinct
+    // counts at 10⁹ scale), register-wise-max merges under partial
+    // aggregation.  portable=true hashes with md5 and keeps the
+    // harmonic-mean sum as an exact integer, so the DuckDB oracle
+    // replicates the estimate BIT-EXACTLY (HllSketchSpec pins the
+    // local=distributed and merge properties)
+    "q_hll_distinct" -> ((s, dir) => {
+      graft.functions.HllSketch.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.HllSketch
+            .hllDistinct(col("l_partkey"), 9, portable = true)
+            .as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // theta-style sketch set algebra: per-group sketch STATES union into a
     // global distinct estimate without rescanning — the warehouse pattern
     // for distinct counts over arbitrary segment combinations
@@ -3235,6 +3253,36 @@ object SparkEntry {
         "AS exact_parts FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, approx_parts, exact_parts FROM est " +
         "JOIN ex USING (l_returnflag) ORDER BY l_returnflag"),
+
+    // HLL replicated in SQL: register = top 9 bits of the 64-bit md5
+    // prefix, rank = leading zeros of the low 55 bits + 1 (integer-exact
+    // via the binary-string length), Σ 2^(-M_j) kept as the exact
+    // integer Σ 2^(50-M_j), then the α_m bias-corrected harmonic mean
+    // with linear counting below 2.5m — op-for-op the Spark estimator
+    "q_hll_distinct" ->
+      ("WITH h AS (SELECT l_returnflag AS f, " +
+        "CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 16)) AS UBIGINT) AS h " +
+        "FROM lineitem), " +
+        "reg AS (SELECT f, h // 36028797018963968 AS j, " +
+        "CAST(h % 36028797018963968 AS BIGINT) AS w FROM h), " +
+        "rk AS (SELECT f, j, CASE WHEN w = 0 THEN 56 " +
+        "ELSE 55 - length(printf('%b', w)) + 1 END AS r FROM reg), " +
+        "mx AS (SELECT f, j, least(50, max(r)) AS mj FROM rk GROUP BY 1, 2), " +
+        "agg AS (SELECT f, " +
+        "CAST(sum(CAST(pow(2e0, 50 - mj) AS BIGINT)) AS BIGINT) " +
+        "+ (512 - count(*)) * 1125899906842624 AS sigma, " +
+        "512 - count(*) AS zeros FROM mx GROUP BY f), " +
+        "est AS (SELECT f, " +
+        "(0.7213e0/(1e0 + 1.079e0/512)) * 512 * 512 * 1125899906842624e0 " +
+        "/ CAST(sigma AS DOUBLE) AS raw, zeros FROM agg), " +
+        "ex AS (SELECT l_returnflag AS f, " +
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT est.f AS l_returnflag, " +
+        "CAST(round(CASE WHEN raw <= 2.5e0 * 512 AND zeros > 0 " +
+        "THEN 512 * ln(CAST(512 AS DOUBLE) / zeros) ELSE raw END) AS BIGINT) " +
+        "AS approx_parts, ex.exact_parts " +
+        "FROM est JOIN ex ON est.f = ex.f ORDER BY l_returnflag"),
 
     // union of per-group k-smallest sets == k smallest of the global
     // DISTINCT hash set (the KMV merge identity), so the union estimate

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/**
+ * HyperLogLog distinct-count sketch as a native mergeable aggregate
+ * (Flajolet et al. 2007, public algorithm): hash each value to 64 bits,
+ * route it to one of m = 2^p registers by the top p bits, and keep per
+ * register the maximum "rank" (leading-zero count + 1) of the remaining
+ * 64-p bits.  The estimate is the bias-corrected harmonic mean
+ * α_m·m²/Σ 2^(-M_j), with linear counting below 2.5m.  Merging is
+ * register-wise max — order- and partitioning-independent, so the map
+ * side ships m bytes per group and the result is deterministic.
+ *
+ * Complements [[KmvDistinctSketch]]: KMV keeps k hash VALUES (exact set
+ * algebra via union/intersection on states), HLL keeps fixed m BYTES
+ * regardless of k — the smaller state for pure cardinality at scale
+ * (10⁹ distinct in 512 bytes at ~5% error, vs 8k bytes for KMV k=1024).
+ *
+ * Portability contract (`portable = true`): the 64-bit hash is the
+ * first 8 bytes of md5(value rendered as its decimal/plain string),
+ * ranks cap at 50, and Σ 2^(-M_j) is computed as the INTEGER
+ * Σ 2^(50-M_j) (exact, order-independent — a float sum would be
+ * order-sensitive in its last ulp) — so a SQL engine with md5 can
+ * replicate the estimate BIT-EXACTLY: see the q_hll_distinct oracle.
+ * The cap costs nothing in practice (rank > 50 needs ~2^50 distinct
+ * per register); the large-range 2^64 correction is omitted for the
+ * same reason.  Non-portable mode hashes with xxhash64 (codegen'd,
+ * no per-row md5 allocation) — same estimator, faster path.
+ */
+case class HllDistinctSketch(
+    child: Expression,
+    p: Int,
+    portable: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_hll_distinct"
+
+  private val m = 1 << p
+
+  @transient private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h =
+        if (portable) HllState.portableHash64(v)
+        else hasher.eval(input).asInstanceOf[Long]
+      val j = (h >>> (64 - p)).toInt
+      val w = h & ((1L << (64 - p)) - 1)
+      val rank = HllState.rankOf(w, 64 - p)
+      if (rank > buf(j)) buf(j) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = HllState.estimate(buf, p)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinctSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinctSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+private[functions] object HllState {
+
+  /** Rank cap keeping Σ 2^(50-M_j) an exact integer (m·2^50 ≤ 2^66 would
+    * overflow only beyond p=16, excluded by the precision bound). */
+  val RankCap = 50
+
+  /** First 8 bytes of md5(decimal/plain string of the value), big-endian
+    * — exactly DuckDB's `CAST(concat('0x', substr(md5(CAST(v AS
+    * VARCHAR)), 1, 16)) AS UBIGINT)`. */
+  def portableHash64(v: Any): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(v.toString.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Leading-zero rank of the low `bits` of the hash, capped. */
+  def rankOf(w: Long, bits: Int): Int = {
+    val r =
+      if (w == 0L) bits + 1
+      else bits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    math.min(r, RankCap)
+  }
+
+  private val Two50 = 1125899906842624.0 // 2^50, exact in double
+
+  /** Bias-corrected HLL estimate with linear counting below 2.5m.
+    * The arithmetic mirrors the SQL oracle expression OP FOR OP
+    * (left-associated multiplies, one final divide, ln on an exact
+    * double ratio) so both engines produce the same double. */
+  def estimate(regs: Array[Byte], p: Int): Long = {
+    val m = 1 << p
+    var sigma = 0L // Σ 2^(50 - M_j), exact
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sigma += 1L << (RankCap - regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m * Two50 / sigma.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+}
+
+object HllSketch {
+  private[graft] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_hll_distinct" -> { exprs =>
+      HllDistinctSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        portable = exprs.length > 2 &&
+          exprs(2).eval().asInstanceOf[Boolean]).toAggregateExpression()
+    })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  /** Mergeable HLL distinct estimate with 2^p byte registers.
+    * `portable = true` switches to the md5 hash + integer-Σ estimator a
+    * SQL oracle can replicate exactly (slower: one md5 per row). */
+  def hllDistinct(col: Column, p: Int = 9,
+      portable: Boolean = false): Column =
+    call_function("graft_hll_distinct", col, lit(p), lit(portable))
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HllSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("estimate within the m=512 error bound (~5%) at 10k distinct") {
+    HllSketch.register(spark)
+    val big = spark.range(200000).select((col("id") % 10000).as("v"))
+    val est = big.select(HllSketch.hllDistinct(col("v"), 9))
+      .head().getLong(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10,
+      s"estimate $est too far from 10000")
+  }
+
+  test("linear-counting regime: small cardinalities near-exact") {
+    HllSketch.register(spark)
+    val small = spark.range(1000).select((col("id") % 60).as("v"))
+    val est = small.select(HllSketch.hllDistinct(col("v"), 9))
+      .head().getLong(0)
+    assert(math.abs(est - 60.0) <= 3.0, s"linear-counting estimate $est vs 60")
+  }
+
+  test("estimate is partitioning-invariant (register-max merges)") {
+    HllSketch.register(spark)
+    val data = spark.range(50000)
+      .select((col("id") * 2654435761L % 7000).as("v"))
+    val one = data.coalesce(1)
+      .select(HllSketch.hllDistinct(col("v"), 9)).head().getLong(0)
+    val many = data.repartition(16)
+      .select(HllSketch.hllDistinct(col("v"), 9)).head().getLong(0)
+    assert(one == many)
+    // portable mode is partitioning-invariant too
+    val onep = data.coalesce(1)
+      .select(HllSketch.hllDistinct(col("v"), 9, portable = true))
+      .head().getLong(0)
+    val manyp = data.repartition(16)
+      .select(HllSketch.hllDistinct(col("v"), 9, portable = true))
+      .head().getLong(0)
+    assert(onep == manyp)
+  }
+
+  test("portable estimator matches a reference replica bit-exactly") {
+    HllSketch.register(spark)
+    import spark.implicits._
+    val n = 5000
+    val values = (1 to n).map(i => i.toLong * 7919L)
+    val est = values.toDF("v").repartition(8)
+      .select(HllSketch.hllDistinct(col("v"), 9, portable = true))
+      .head().getLong(0)
+    // independent replica of the contract: md5 prefix, 9/55 split,
+    // rank cap 50, exact integer sigma, alpha harmonic mean
+    val m = 512
+    val regs = new Array[Int](m)
+    values.foreach { v =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      val j = (h >>> 55).toInt
+      val w = h & ((1L << 55) - 1)
+      val r = math.min(
+        if (w == 0L) 56 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1,
+        50)
+      if (r > regs(j)) regs(j) = r
+    }
+    val sigma = regs.map(r => 1L << (50 - r)).sum
+    val zeros = regs.count(_ == 0)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m * 1125899906842624.0 / sigma.toDouble
+    val expected = math.round(
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw)
+    assert(est == expected, s"spark $est != replica $expected")
+  }
+
+  test("works in grouped aggregation over real data") {
+    HllSketch.register(spark)
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(HllSketch.hllDistinct(col("l_partkey"), 9).as("approx"),
+        countDistinct("l_partkey").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e.toDouble) / e < 0.15,
+        s"group ${r.getString(0)}: $a vs $e")
+    }
+  }
+}
