@@ -552,8 +552,9 @@ object SparkEntry {
     // the DV-merge path.  File-untouched + compaction-materialization
     // pinned in DeletionVectorSpec
     "io_delete_dv" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_deletedv_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_deletedv_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -576,8 +577,9 @@ object SparkEntry {
     // files that can match — the Delta/Iceberg stats-pruning pattern
     // (on 100k files: one manifest read instead of 100k footer fetches)
     "io_snapshot_skip" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskip_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_snapskip_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -598,8 +600,9 @@ object SparkEntry {
     // written as INT64 micros — Spark's INT96 default has no usable
     // stats (prune counts pinned in SnapshotsSpec "typed manifest stats")
     "io_snapshot_skip_date" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskipdate_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_snapskipdate_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -624,8 +627,9 @@ object SparkEntry {
     // Delta/Iceberg skip on nullCount.  Pinned file-level in
     // SnapshotsSpec "null-count stats"
     "io_snapshot_skip_null" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskipnull_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_snapskipnull_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -696,8 +700,9 @@ object SparkEntry {
     // Iceberg `files` analogue): live manifest entries with footer row
     // counts — metadata-only, no data file touched
     "meta_snapshot_files" -> ((s, dir) => {
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_snapskip_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_snapskip_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
@@ -2098,8 +2103,9 @@ object SparkEntry {
     // serve from the PERSISTED index; this entry's cost is serving-only
     "sim_knn_serve_persisted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_v1_" +
-        new java.io.File(dir).getName
+      val uri = util.Staging.dirFor(
+        "graft_knn_index_v1_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
