@@ -674,6 +674,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Iceberg-style HIDDEN partitioning: the table is laid out by
+    // bucket(8, o_custkey) — a derived dir the user never names — and
+    // the point lookup on the BASE column prunes to that bucket's files
+    // through the recorded transform (plain hive partitioning cannot
+    // bound the dir count on a high-cardinality key; bucket(N) can).
+    // Prune counts + no-false-prune sweep pinned in
+    // PartitionTransformsSpec
+    "io_snapshot_transform" -> ((s, dir) => {
+      val uri = util.Staging.dirFor(
+        "graft_snaptransform_v1_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        val ord = t(s, dir, "orders")
+        io.Snapshots.initTransformed(s, uri, ord,
+          Seq(io.PartitionTransforms.bucket(ord, 8, "o_custkey")))
+      }
+      io.Snapshots.readWhere(s, uri, "o_custkey = 101")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // incremental change-feed over snapshot versions: two appends land,
     // a compaction rewrites the layout in between, and readChanges(1)
     // returns exactly the appended rows — the downstream-pipeline
@@ -2933,6 +2957,10 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey IN (1007, 1008) " +
         "ORDER BY o_orderkey"),
+
+    "io_snapshot_transform" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = 101 ORDER BY o_orderkey"),
 
     "io_snapshot_changes" ->
       ("SELECT * FROM orders WHERE o_orderkey % 10 IN (6, 7) " +

@@ -1,0 +1,205 @@
+package graft.io
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/**
+ * Iceberg-style partition TRANSFORMS for snapshot tables ("hidden
+ * partitioning", Iceberg spec §Partitioning — public format): the table
+ * is laid out by a DERIVED value — `bucket(N, col)` or
+ * `truncate(W, col)` — and reads prune on predicates over the BASE
+ * column; the user never filters on (or even sees) the derived dir
+ * column.  This is what plain hive partitioning cannot do for
+ * high-cardinality keys: partitioning 10⁹ customer ids directly melts
+ * the filesystem (10⁹ dirs), while bucket(1024) gives a bounded layout
+ * where `o_custkey = X` reads 1/1024 of the files — complementary to
+ * the per-file manifest Blooms ([[SnapshotBloom]]), which prune within
+ * whatever layout exists but admit an fpp-sized remainder.
+ *
+ * Transforms:
+ *  - `bucket(n, c)` — dir `pb_c = pmod(xxhash64(c), n)`; prunes `c = v`
+ *    and `c IN (...)` (a file holds only rows whose bucket matches its
+ *    dir, so a literal hashing elsewhere cannot be present).
+ *  - `truncate(w, c)` on int/long — dir `pt_c = c - pmod(c, w)` (floor
+ *    to the w-grid, negatives included); prunes equalities AND ranges —
+ *    a file's rows lie in [t, t+w), an interval the existing stats
+ *    machinery tests.
+ *  - `truncate(len, c)` on string — dir `pt_c = substring(c, 1, len)`;
+ *    prunes equality/IN by prefix comparison.
+ *
+ * The spec persists in table.properties (`partition.transforms`), so
+ * appends auto-derive the dir columns and every future read prunes.
+ * Dir column names are `pb_`/`pt_`-prefixed (NOT underscore-prefixed:
+ * underscored path segments are invisible to data-file listings).
+ * Pruning is conservative: an unparseable literal or a type mismatch
+ * vetoes nothing, and surviving files still run the full predicate.
+ */
+object PartitionTransforms {
+
+  sealed trait Transform {
+    def baseCol: String
+    def dirCol: String
+    /** Derived column to partition by. */
+    def toColumn: Column
+    /** Serialized spec form. */
+    def spec: String
+  }
+
+  final case class Bucket(n: Int, baseCol: String, baseType: String)
+      extends Transform {
+    val dirCol = s"pb_$baseCol"
+    def toColumn: Column = pmod(xxhash64(col(baseCol)), lit(n))
+    def spec: String = s"bucket($n,${enc(baseCol)},$baseType)"
+  }
+
+  final case class TruncateInt(w: Long, baseCol: String, baseType: String)
+      extends Transform {
+    require(w > 0, "truncate width must be positive")
+    val dirCol = s"pt_$baseCol"
+    def toColumn: Column = col(baseCol) - pmod(col(baseCol), lit(w))
+    def spec: String = s"truncate($w,${enc(baseCol)},$baseType)"
+  }
+
+  final case class TruncateStr(len: Int, baseCol: String)
+      extends Transform {
+    require(len > 0, "truncate length must be positive")
+    val dirCol = s"pt_$baseCol"
+    def toColumn: Column = substring(col(baseCol), 1, len)
+    def spec: String = s"truncate($len,${enc(baseCol)},string)"
+  }
+
+  /** Build a transform against a DataFrame's schema (records the base
+    * column's type — the hash/arithmetic domain the prune side must
+    * reproduce). */
+  def bucket(df: DataFrame, n: Int, c: String): Bucket = {
+    require(n > 0, "bucket count must be positive")
+    Bucket(n, c, baseTypeOf(df, c))
+  }
+
+  def truncate(df: DataFrame, w: Long, c: String): Transform =
+    baseTypeOf(df, c) match {
+      case "string" => TruncateStr(w.toInt, c)
+      case t => TruncateInt(w, c, t)
+    }
+
+  private def baseTypeOf(df: DataFrame, c: String): String =
+    df.schema(c).dataType match {
+      case IntegerType => "int"
+      case LongType => "long"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"partition transform on $c: unsupported type $other " +
+          "(int, bigint and string columns only)")
+    }
+
+  /** Add the derived dir columns. */
+  def prepare(df: DataFrame, transforms: Seq[Transform]): DataFrame =
+    transforms.foldLeft(df)((d, t) => d.withColumn(t.dirCol, t.toColumn))
+
+  def dirCols(transforms: Seq[Transform]): Seq[String] =
+    transforms.map(_.dirCol)
+
+  // ------------------------------------------------------ (de)serialize
+
+  def format(transforms: Seq[Transform]): String =
+    transforms.map(_.spec).mkString(";")
+
+  def parse(spec: String): Seq[Transform] =
+    spec.split(";").toSeq.filter(_.nonEmpty).flatMap { s =>
+      val m = raw"(bucket|truncate)\((\d+),([^,]+),(\w+)\)".r
+      s match {
+        case m("bucket", n, c, t) => Some(Bucket(n.toInt, dec(c), t))
+        case m("truncate", w, c, "string") => Some(TruncateStr(w.toInt, dec(c)))
+        case m("truncate", w, c, t) => Some(TruncateInt(w.toLong, dec(c), t))
+        case _ => None
+      }
+    }
+
+  private def enc(s: String): String =
+    graft.io.s3.S3Signer.uriEncode(s, keepSlash = false)
+  private def dec(s: String): String =
+    graft.io.s3.S3Signer.decodePath(s)
+
+  // ------------------------------------------------------ prune side
+
+  /** xxhash64 of a literal in the column's exact type domain — the same
+    * bytes-and-seed hash `functions.xxhash64` computes on the column. */
+  private def hashLiteral(v: Long, baseType: String): Long = {
+    val lit = baseType match {
+      case "int" => Literal(v.toInt, IntegerType)
+      case _ => Literal(v, LongType)
+    }
+    XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+  }
+
+  /** Exact long from a predicate literal; None when fractional or out
+    * of range (then nothing is vetoed — conservative). */
+  private def exactLong(d: JBigDecimal): Option[Long] =
+    try Some(d.toBigIntegerExact.longValueExact())
+    catch { case _: ArithmeticException => None }
+
+  /**
+   * Per-file equality veto from the file's dir values: true when the
+   * transform PROVES `col = value` cannot hold in this file.  Plugs
+   * into [[SnapshotStats.mayMatch]] alongside the Bloom veto.
+   */
+  def eqVeto(transforms: Seq[Transform], dirVals: Map[String, String])
+      : (String, SnapshotStats.CValue) => Boolean = { (c, v) =>
+    transforms.exists {
+      case b: Bucket if b.baseCol == c =>
+        (dirVals.get(b.dirCol), v) match {
+          case (Some(dv), SnapshotStats.NumV(x)) =>
+            (for {
+              lit <- exactLong(x)
+              fileBucket <- dv.toLongOption
+            } yield java.lang.Math.floorMod(
+              hashLiteral(lit, b.baseType), b.n.toLong) != fileBucket)
+              .getOrElse(false)
+          case _ => false
+        }
+      case t: TruncateStr if t.baseCol == c =>
+        (dirVals.get(t.dirCol), v) match {
+          case (Some(prefix), SnapshotStats.StrV(bytes)) =>
+            // rows in this file all start with `prefix`; the literal's
+            // own truncation must match it (compare as UTF-8 strings —
+            // the same domain substring() produced the dir value in)
+            val s = new String(bytes, UTF_8)
+            truncStr(s, t.len) != prefix
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  private def truncStr(s: String, len: Int): String =
+    if (s.length <= len) s else s.substring(0, len)
+
+  /** Extra per-column interval bounds from truncate-int dirs: rows of a
+    * file with `pt_c = t` lie in [t, t+w-1] — the existing interval
+    * test prunes ranges AND equalities with it. */
+  def extraBounds(transforms: Seq[Transform], dirVals: Map[String, String])
+      : Map[String, Seq[SnapshotStats.Bound]] =
+    transforms.flatMap {
+      case t: TruncateInt =>
+        dirVals.get(t.dirCol).flatMap(_.toLongOption).map { lo =>
+          t.baseCol -> Seq(SnapshotStats.NumBound(
+            JBigDecimal.valueOf(lo),
+            JBigDecimal.valueOf(lo + t.w - 1)): SnapshotStats.Bound)
+        }
+      case _ => None
+    }.toMap
+
+  /** Raw `k=v` dir values of a manifest entry's relative path. */
+  def dirValues(relPath: String): Map[String, String] =
+    relPath.split("/").dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(SnapshotStats.unescapePath(seg.substring(0, i)) ->
+        SnapshotStats.unescapePath(seg.substring(i + 1)))
+    }.toMap
+}

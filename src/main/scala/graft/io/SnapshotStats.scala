@@ -412,7 +412,7 @@ object SnapshotStats extends Serializable {
     }.toMap
 
   /** Spark/Hive %xx partition-path unescaping. */
-  private def unescapePath(s: String): String = {
+  private[io] def unescapePath(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder
     var i = 0
@@ -439,15 +439,17 @@ object SnapshotStats extends Serializable {
   private[io] def mayMatch(
       stats: Option[String], pred: Pred,
       extra: Map[String, Seq[Bound]] = Map.empty,
-      partNull: Map[String, Boolean] = Map.empty): Boolean = {
+      partNull: Map[String, Boolean] = Map.empty,
+      eqVeto: (String, CValue) => Boolean = (_, _) => false): Boolean = {
     lazy val bounds = stats.map(parseStats).getOrElse(Map.empty)
     lazy val rowCount = stats.flatMap(parseRowCount)
     lazy val nullCounts = stats.map(parseNullCounts).getOrElse(Map.empty)
     lazy val blooms = stats.map(parseBlooms).getOrElse(Map.empty)
-    // an equality the file's Bloom filter disproves (no bloom for the
-    // column, or a domain we don't canonicalize, proves nothing)
+    // an equality the file's Bloom filter or a caller-supplied veto
+    // (partition transforms) disproves; no bloom / no veto proves
+    // nothing
     def bloomDisproves(col: String, v: CValue): Boolean =
-      blooms.get(col).exists { bl =>
+      eqVeto(col, v) || blooms.get(col).exists { bl =>
         val key = v match {
           case NumV(x) => SnapshotBloom.canonNum(x)
           case StrV(bytes) => bytes

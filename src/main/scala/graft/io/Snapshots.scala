@@ -335,6 +335,42 @@ object Snapshots extends Serializable {
         case _ => false
       }).mkString(";")
 
+  /** The table's partition-transform spec (empty when untransformed). */
+  private[io] def transformsOf(
+      spark: SparkSession, uri: String): Seq[PartitionTransforms.Transform] =
+    readTableProps(spark, uri).get("partition.transforms")
+      .map(PartitionTransforms.parse).getOrElse(Nil)
+
+  /**
+   * Create a snapshot table laid out by PARTITION TRANSFORMS
+   * ([[PartitionTransforms]] — Iceberg-style hidden partitioning):
+   * derives the `pb_`/`pt_` dir columns, writes hive-partitioned by
+   * them, inits versioning and records the spec in table.properties —
+   * so appends re-derive the layout and every read prunes base-column
+   * predicates through the transform without the user ever naming the
+   * dir column.  Returns version 1.
+   */
+  def initTransformed(
+      spark: SparkSession, uri: String, df: DataFrame,
+      transforms: Seq[PartitionTransforms.Transform]): Int = {
+    require(transforms.nonEmpty, "at least one transform required")
+    PartitionTransforms.prepare(df, transforms)
+      .write.partitionBy(PartitionTransforms.dirCols(transforms): _*)
+      .parquet(uri)
+    val v = init(spark, uri)
+    writeTableProps(spark, uri, readTableProps(spark, uri) +
+      ("partition.transforms" -> PartitionTransforms.format(transforms)))
+    v
+  }
+
+  /** Drop hidden transform dir columns from a user-facing read. */
+  private def dropHidden(
+      spark: SparkSession, uri: String, df: DataFrame): DataFrame = {
+    val hidden = transformsOf(spark, uri).map(_.dirCol)
+      .filter(df.columns.contains)
+    if (hidden.isEmpty) df else df.drop(hidden: _*)
+  }
+
   /** Start versioning: v1 = the directory's current data files.
     * Refuses if manifests already exist. */
   def init(spark: SparkSession, uri: String): Int = {
@@ -372,7 +408,7 @@ object Snapshots extends Serializable {
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    if (entries.nonEmpty) readFiles(spark, uri, entries)
+    if (entries.nonEmpty) dropHidden(spark, uri, readFiles(spark, uri, entries))
     else {
       // a DELETE WHERE matching every row publishes an empty manifest —
       // that version must stay readable (empty result, real schema).
@@ -388,7 +424,7 @@ object Snapshots extends Serializable {
       require(prior.isDefined,
         s"$uri v$v is empty and no ancestor version still has data " +
           "files to recover the schema from (expired?)")
-      val schema = rawRead(spark, uri, prior.get).schema
+      val schema = dropHidden(spark, uri, rawRead(spark, uri, prior.get)).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -409,13 +445,14 @@ object Snapshots extends Serializable {
       version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    val kept = pruneEntries(spark, entries, predicate).toSet
+    val kept =
+      pruneEntries(spark, entries, predicate, transformsOf(spark, uri)).toSet
     if (kept.isEmpty) {
       val schema = read(spark, uri, v).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      readFiles(spark, uri, entries.filter(e => kept(e.name)))
+      dropHidden(spark, uri, readFiles(spark, uri, entries.filter(e => kept(e.name))))
         .filter(org.apache.spark.sql.functions.expr(predicate))
   }
 
@@ -423,15 +460,23 @@ object Snapshots extends Serializable {
     * [[readWhere]], exposed for tests and file-count introspection.
     * Hive partition values in each entry's path prune alongside the
     * footer stats (partition-first in effect: the path test needs no
-    * stats parse). */
+    * stats parse); partition TRANSFORMS prune base-column equalities
+    * (bucket/truncate-string) and ranges (truncate-int intervals). */
   private[graft] def pruneEntries(
       spark: SparkSession, entries: Seq[ManifestEntry],
-      predicate: String): Seq[String] = {
+      predicate: String,
+      transforms: Seq[PartitionTransforms.Transform] = Nil): Seq[String] = {
     val pred = SnapshotStats.parsePredicate(spark, predicate)
-    entries.filter(e => SnapshotStats.mayMatch(e.stats, pred,
-        SnapshotStats.partitionBounds(e.name),
-        SnapshotStats.partitionNulls(e.name)))
-      .map(_.name)
+    entries.filter { e =>
+      val dirVals =
+        if (transforms.isEmpty) Map.empty[String, String]
+        else PartitionTransforms.dirValues(e.name)
+      SnapshotStats.mayMatch(e.stats, pred,
+        SnapshotStats.partitionBounds(e.name) ++
+          PartitionTransforms.extraBounds(transforms, dirVals),
+        SnapshotStats.partitionNulls(e.name),
+        PartitionTransforms.eqVeto(transforms, dirVals))
+    }.map(_.name)
   }
 
   /**
@@ -814,7 +859,14 @@ object Snapshots extends Serializable {
     val fs = fsOf(spark, uri)
     val tmp = commitTmp(uri)
     fs.delete(tmp, true)
-    writeTmp(df, tmp, partitionColsOf(entries))
+    // transform-partitioned table: re-derive the hidden dir columns so
+    // a plain append lands in the right layout
+    val transforms = transformsOf(spark, uri)
+      .filter(t => !df.columns.contains(t.dirCol))
+    val prepared =
+      if (transforms.isEmpty) df
+      else PartitionTransforms.prepare(df, transforms)
+    writeTmp(prepared, tmp, partitionColsOf(entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,

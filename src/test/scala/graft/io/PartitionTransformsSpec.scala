@@ -1,0 +1,145 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Iceberg-style hidden partitioning ([[PartitionTransforms]]): base-
+  * column predicates prune through bucket/truncate transforms, the dir
+  * columns stay invisible to reads, and appends re-derive the layout. */
+class PartitionTransformsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def entriesOf(dir: String) =
+    Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir))
+
+  test("spec round-trips through its string form") {
+    val df = Seq((1L, 1, "a")).toDF("l", "i", "s")
+    val ts = Seq(
+      PartitionTransforms.bucket(df, 16, "l"),
+      PartitionTransforms.truncate(df, 100, "i"),
+      PartitionTransforms.truncate(df, 3, "s"))
+    assert(PartitionTransforms.parse(PartitionTransforms.format(ts)) == ts)
+  }
+
+  test("bucket: equality on the base column prunes to one dir") {
+    val dir = fresh("pt_bucket")
+    val df = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "k")))
+    val entries = entriesOf(dir)
+    val nFiles = entries.size
+    assert(nFiles >= 8, s"expected >=8 files, got $nFiles")
+    val t = Snapshots.transformsOf(spark, dir)
+    // every key lands only in files of its own bucket dir...
+    (1 to 50).foreach { i =>
+      val kept = Snapshots.pruneEntries(spark, entries, s"k = $i", t)
+      assert(kept.nonEmpty && kept.size < nFiles,
+        s"k=$i kept ${kept.size}/$nFiles")
+      // ...and the read returns exactly the right row
+      val rows = Snapshots.readWhere(spark, dir, s"k = $i")
+        .as[(Long, String)].collect()
+      assert(rows.toSeq == Seq((i.toLong, s"v$i")))
+    }
+    // IN-list prunes to the union of its members' buckets
+    val keptIn = Snapshots.pruneEntries(spark, entries, "k IN (5, 6)", t)
+    assert(keptIn.size < nFiles)
+  }
+
+  test("hidden dir columns never appear in reads") {
+    val dir = fresh("pt_hidden")
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 4, "k")))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(Snapshots.readWhere(spark, dir, "k = 5").columns.toSeq ==
+      Seq("k", "v"))
+  }
+
+  test("truncate-int: RANGE predicates prune via the grid interval") {
+    val dir = fresh("pt_trunc_int")
+    val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("k", "x")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.truncate(df, 100, "k")))
+    val entries = entriesOf(dir)
+    val t = Snapshots.transformsOf(spark, dir)
+    val nFiles = entries.size
+    // k in [1,1000] over a 100-grid: k < 150 can only live in the
+    // t=0 and t=100 dirs
+    val kept = Snapshots.pruneEntries(spark, entries, "k < 150", t)
+    assert(kept.size < nFiles, s"kept ${kept.size}/$nFiles")
+    assert(Snapshots.readWhere(spark, dir, "k < 150").count() == 149)
+    // equality prunes to one grid cell
+    val keptEq = Snapshots.pruneEntries(spark, entries, "k = 555", t)
+    assert(keptEq.size < nFiles)
+    assert(Snapshots.readWhere(spark, dir, "k = 555").count() == 1)
+  }
+
+  test("truncate-string: prefix dirs prune equality") {
+    val dir = fresh("pt_trunc_str")
+    val df = (1 to 400)
+      .map(i => (i.toLong, s"user${i % 20}_rest$i")).toDF("k", "name")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.truncate(df, 5, "name")))
+    val entries = entriesOf(dir)
+    val t = Snapshots.transformsOf(spark, dir)
+    val kept = Snapshots.pruneEntries(
+      spark, entries, "name = 'user7_rest7'", t)
+    assert(kept.size < entries.size, s"kept ${kept.size}/${entries.size}")
+    val rows = Snapshots.readWhere(spark, dir, "name = 'user7_rest7'")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((7L, "user7_rest7")))
+  }
+
+  test("appends re-derive the hidden layout and stay prunable") {
+    val dir = fresh("pt_append")
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "k")))
+    Snapshots.appendCommit(spark, dir,
+      Seq((9001L, "new")).toDF("k", "v"))
+    val entries = entriesOf(dir)
+    val t = Snapshots.transformsOf(spark, dir)
+    // the appended file landed under a pb_k dir (prunable)
+    val kept = Snapshots.pruneEntries(spark, entries, "k = 9001", t)
+    assert(kept.size < entries.size)
+    val rows = Snapshots.readWhere(spark, dir, "k = 9001")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((9001L, "new")))
+  }
+
+  test("no false prunes: every key's file always survives") {
+    val dir = fresh("pt_nofp")
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df, Seq(
+      PartitionTransforms.bucket(df, 8, "k")))
+    (1 to 300).foreach { i =>
+      assert(Snapshots.readWhere(spark, dir, s"k = $i").count() == 1,
+        s"k=$i lost by transform pruning")
+    }
+  }
+
+  test("compaction keeps the transform layout readable and prunable") {
+    val dir = fresh("pt_compact")
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 4, "k")))
+    Snapshots.compactCommit(spark, dir, targetBytes = 512L * 1024 * 1024)
+    val rows = Snapshots.readWhere(spark, dir, "k = 123")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((123L, "v123")))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(Snapshots.read(spark, dir).count() == 500)
+  }
+}
