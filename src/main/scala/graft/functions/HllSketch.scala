@@ -102,8 +102,7 @@ private[functions] object HllState {
     * — exactly DuckDB's `CAST(concat('0x', substr(md5(CAST(v AS
     * VARCHAR)), 1, 16)) AS UBIGINT)`. */
   def portableHash64(v: Any): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(v.toString.getBytes("UTF-8"))
+    val d = graft.util.Md5.digest(v.toString.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -133,8 +133,7 @@ private[functions] object KmvState {
     * BIGINT)`).  Contract holds for integral/string values, whose
     * string forms agree across engines. */
   def portableHash(v: Any): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(v.toString.getBytes("UTF-8"))
+    val d = graft.util.Md5.digest(v.toString.getBytes("UTF-8"))
     // 52 bits = bytes 0..5 (48) plus the high nibble of byte 6
     var h = 0L
     var i = 0

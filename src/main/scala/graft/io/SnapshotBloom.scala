@@ -2,7 +2,6 @@ package graft.io
 
 import java.math.{BigDecimal => JBigDecimal, BigInteger}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
 import java.util.Base64
 
 import org.apache.hadoop.conf.Configuration
@@ -95,7 +94,7 @@ object SnapshotBloom extends Serializable {
 
   /** MD5(key) → two independent 64-bit hashes for double hashing. */
   private def hashPair(key: Array[Byte]): (Long, Long) = {
-    val d = MessageDigest.getInstance("MD5").digest(key)
+    val d = graft.util.Md5.digest(key)
     var h1 = 0L; var h2 = 0L
     var i = 0
     while (i < 8) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }

@@ -431,6 +431,24 @@ object Snapshots extends Serializable {
   }
 
   /**
+   * Timestamp-based time travel (Delta `TIMESTAMP AS OF` / Iceberg
+   * as-of-timestamp): read the LATEST version whose commit wall-clock
+   * (recorded in each manifest header) is <= `tsMillis`.  Versions
+   * predating timestamp recording are treated as arbitrarily old —
+   * still eligible.  Refuses when every surviving version is newer.
+   */
+  def readAsOf(spark: SparkSession, uri: String, tsMillis: Long): DataFrame = {
+    val fs = fsOf(spark, uri)
+    val latest = latestVersion(spark, uri)
+    val v = (latest to 1 by -1).iterator
+      .filter(pv => fs.exists(manifestPath(uri, pv)))
+      .find(pv => readManifestFull(spark, uri, pv).ts.forall(_ <= tsMillis))
+    require(v.isDefined,
+      s"$uri has no version committed at or before epoch-millis $tsMillis")
+    read(spark, uri, v.get)
+  }
+
+  /**
    * Predicate read with MANIFEST-LEVEL data skipping: each file's
    * min/max stats (recorded at commit, carried forward untouched-file
    * stats and all — see [[SnapshotStats]]) are tested against the
@@ -1259,14 +1277,14 @@ object Snapshots extends Serializable {
     val rows = (1 to latest).flatMap { v =>
       if (!fs.exists(manifestPath(uri, v))) None // expired prefix
       else {
-        val Manifest(kind, _, entries) = readManifestFull(spark, uri, v)
+        val Manifest(kind, _, cts, entries) = readManifestFull(spark, uri, v)
         val counts = entries.map(_.liveRows)
         val rowCount: Any =
           if (entries.isEmpty) 0L // delete-all version: zero rows
           else if (counts.forall(_.isDefined)) counts.flatten.sum
           else null
         Some(org.apache.spark.sql.Row(
-          v.toLong, kind, entries.size, rowCount))
+          v.toLong, kind, entries.size, rowCount, cts.orNull))
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1277,6 +1295,8 @@ object Snapshots extends Serializable {
       org.apache.spark.sql.types.StructField("n_files",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("commit_ts",
         org.apache.spark.sql.types.LongType, nullable = true)))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -1343,9 +1363,13 @@ object Snapshots extends Serializable {
     require(kind.nonEmpty && !kind.exists(c => c.isWhitespace || c == '\n'),
       s"bad commit kind '$kind'")
     val morField = if (mor) " mor=true" else ""
+    // commit wall-clock: what timestamp-based time travel resolves
+    // against (readAsOf); informational only — version order, not ts
+    // order, is the source of truth
+    val tsField = s" ts=${System.currentTimeMillis()}"
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"graft-manifest v4 kind=$kind$morField" +: lines)
+      ((s"graft-manifest v4 kind=$kind$morField$tsField" +: lines)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
@@ -1381,10 +1405,12 @@ object Snapshots extends Serializable {
     readManifestFull(spark, uri, v).kind
 
   /** One parsed manifest: commit kind, whether the commit was
-    * merge-on-read (row delta = DV changes + new files), and the live
-    * entry list. */
+    * merge-on-read (row delta = DV changes + new files), the commit
+    * wall-clock (epoch millis; absent in pre-round-8 manifests), and
+    * the live entry list. */
   private[io] final case class Manifest(
-      kind: String, mor: Boolean, entries: Seq[ManifestEntry])
+      kind: String, mor: Boolean, ts: Option[Long],
+      entries: Seq[ManifestEntry])
 
   private[io] def readManifestFull(
       spark: SparkSession, uri: String, v: Int): Manifest = {
@@ -1407,6 +1433,9 @@ object Snapshots extends Serializable {
       case a if a.startsWith("kind=") => a.stripPrefix("kind=")
     }.getOrElse("unknown")
     val mor = header.split(" ").contains("mor=true")
+    val ts = header.split(" ").collectFirst {
+      case a if a.startsWith("ts=") => a.stripPrefix("ts=")
+    }.flatMap(_.toLongOption)
     val entries = lines.tail.map { line =>
       val fields = line.split("\t", -1)
       val name = fields(0)
@@ -1421,7 +1450,7 @@ object Snapshots extends Serializable {
       }
       ManifestEntry(name, stats, dv)
     }
-    Manifest(kind, mor, entries)
+    Manifest(kind, mor, ts, entries)
   }
 
   /** Table-relative path of a data file (flat: the bare name;

@@ -60,35 +60,58 @@ object MetaTableFunctions {
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
       snapshotHistoryBuilder
 
-  /** `SELECT * FROM parquet_snapshot('<uri>'[, version])` — SQL time
-    * travel over a [[graft.io.Snapshots]]-managed directory (omitted
-    * version = latest).  Same analysis-time splice as the metadata
+  /** `SELECT * FROM parquet_snapshot('<uri>'[, version | timestamp])` —
+    * SQL time travel over a [[graft.io.Snapshots]]-managed directory:
+    * integer literal pins a VERSION, timestamp/date literal resolves
+    * the latest version committed at or before it (Delta `TIMESTAMP AS
+    * OF`), omitted = latest.  Same analysis-time splice as the metadata
     * functions: the pinned file list becomes an ordinary parquet scan. */
   private def snapshotBuilder
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("parquet_snapshot"),
       new ExpressionInfo("graft", null, "parquet_snapshot",
-        "_FUNC_(uri[, version]) - pinned snapshot read (time travel)", ""),
+        "_FUNC_(uri[, version | timestamp]) - pinned snapshot read " +
+          "(time travel)", ""),
       (args: Seq[Expression]) => {
         if (args.isEmpty || args.length > 2)
           throw new IllegalArgumentException(
-            "parquet_snapshot(uri[, version]) takes 1 or 2 arguments, " +
-              s"got ${args.length}")
+            "parquet_snapshot(uri[, version | timestamp]) takes 1 or 2 " +
+              s"arguments, got ${args.length}")
         val path = pathArg("parquet_snapshot", args.take(1))
-        val version = args.lift(1).map { e =>
-          val integral = Set[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.ByteType,
-            org.apache.spark.sql.types.ShortType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.LongType)
-          if (!e.foldable || !integral.contains(e.dataType))
-            throw new IllegalArgumentException(
-              s"parquet_snapshot: version must be an integer literal, " +
-                s"got ${e.sql}")
-          e.eval().toString.toInt
-        }.getOrElse(-1)
-        graft.io.Snapshots.read(SparkSession.active, path, version)
-          .queryExecution.analyzed
+        val spark = SparkSession.active
+        val df = args.lift(1) match {
+          case None => graft.io.Snapshots.read(spark, path)
+          case Some(e) =>
+            val integral = Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType)
+            val timelike = Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.TimestampType,
+              org.apache.spark.sql.types.TimestampNTZType,
+              org.apache.spark.sql.types.DateType)
+            if (!e.foldable)
+              throw new IllegalArgumentException(
+                "parquet_snapshot: version/timestamp must be a literal, " +
+                  s"got ${e.sql}")
+            if (integral.contains(e.dataType))
+              graft.io.Snapshots.read(spark, path, e.eval().toString.toInt)
+            else if (timelike.contains(e.dataType)) {
+              // Catalyst timestamp literals are epoch-micros, dates are
+              // epoch-days; commit timestamps are epoch-millis
+              val millis = e.dataType match {
+                case org.apache.spark.sql.types.DateType =>
+                  e.eval().toString.toLong * 86400000L
+                case _ => e.eval().toString.toLong / 1000L
+              }
+              graft.io.Snapshots.readAsOf(spark, path, millis)
+            } else
+              throw new IllegalArgumentException(
+                "parquet_snapshot: second argument must be an integer " +
+                  s"version or a timestamp/date literal, got ${e.sql}")
+        }
+        df.queryExecution.analyzed
       })
 
   /** `SELECT * FROM parquet_snapshot_files('<uri>'[, version])` — live

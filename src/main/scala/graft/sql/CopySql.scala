@@ -54,8 +54,17 @@ object CopySql {
     val c = new Cursor(sqlText)
     if (c.tryKeyword("VACUUM")) {
       if (!c.peekIs('\'')) return None
-      val uri = c.stringLit(); c.expectEnd()
-      return Some(VacuumCommand(uri))
+      val uri = c.stringLit()
+      val opts = parseOptionList(c)
+      c.expectEnd()
+      var keep = -1
+      opts.foreach {
+        case ("keep_versions", v) =>
+          keep = requireValue("keep_versions", v).toInt
+        case (other, _) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for VACUUM")
+      }
+      return Some(VacuumCommand(uri, keep))
     }
     if (c.tryKeyword("ANALYZE")) {
       if (!c.peekIs('\'')) return None
@@ -334,13 +343,22 @@ sealed trait CopyStatement extends LeafRunnableCommand {
     Seq(AttributeReference("num_rows", LongType, nullable = false)())
 }
 
-/** `VACUUM '<uri>'` → [[graft.io.Maintenance.vacuum]]; returns the
-  * number of removed leftover paths. */
-final case class VacuumCommand(uri: String) extends LeafRunnableCommand {
+/** `VACUUM '<uri>' [(keep_versions N)]` →
+  * [[graft.io.Maintenance.vacuum]] (stranded tmp dirs), plus — when
+  * `keep_versions` is given on a snapshot-managed table —
+  * [[graft.io.Snapshots.expire]] (drop manifests older than the last N
+  * versions and reclaim data files no surviving manifest references).
+  * Returns the total number of removed paths. */
+final case class VacuumCommand(uri: String, keepVersions: Int = -1)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_removed", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(Maintenance.vacuum(spark, uri).size.toLong))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val expired =
+      if (keepVersions > 0) Snapshots.expire(spark, uri, keepVersions).size
+      else 0
+    Seq(Row(expired.toLong + Maintenance.vacuum(spark, uri).size.toLong))
+  }
 }
 
 /** `ANALYZE '<uri>' (col, ...) [PUBLISH]` →

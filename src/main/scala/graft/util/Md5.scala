@@ -1,0 +1,16 @@
+package graft.util
+
+import java.security.MessageDigest
+
+/** Thread-local MD5 — the portable-hash kernels (KMV/HLL sketches,
+  * manifest Blooms) digest one small value per row/key, where a fresh
+  * `MessageDigest.getInstance` per call is measurable allocation + JCA
+  * lookup overhead.  `digest()` leaves the instance reset. */
+object Md5 {
+  private val local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  def digest(bytes: Array[Byte]): Array[Byte] = local.get().digest(bytes)
+}

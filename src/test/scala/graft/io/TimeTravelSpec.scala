@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Timestamp-based time travel (commit wall-clock in the manifest
+  * header) and SQL retention (`VACUUM (keep_versions N)`). */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  test("readAsOf resolves the latest version at or before the instant") {
+    val dir = fresh("tt_asof")
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.appendCommit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.appendCommit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+
+    assert(Snapshots.readAsOf(spark, dir, afterV1).count() == 1)
+    assert(Snapshots.readAsOf(spark, dir, afterV2).count() == 2)
+    assert(Snapshots.readAsOf(spark, dir,
+      System.currentTimeMillis()).count() == 3)
+    // an instant before every commit refuses
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, dir, afterV1 - 3600_000L)
+    }
+    assert(ex.getMessage.contains("no version committed at or before"))
+  }
+
+  test("history exposes commit_ts; SQL timestamp literal travels") {
+    val dir = fresh("tt_sql")
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.appendCommit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+
+    val hist = Snapshots.historyDf(spark, dir).collect()
+    assert(hist.length == 2)
+    assert(hist.forall(r => !r.isNullAt(r.fieldIndex("commit_ts"))))
+
+    graft.meta.MetaTableFunctions.register(spark)
+    // integer second arg still pins a version
+    assert(spark.sql(s"SELECT * FROM parquet_snapshot('$dir', 1)")
+      .count() == 1)
+    // timestamp literal resolves through commit_ts (UTC session tz)
+    val iso = java.time.Instant.ofEpochMilli(afterV1).toString
+      .replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT * FROM parquet_snapshot('$dir', TIMESTAMP '$iso')")
+      .count() == 1)
+    assert(spark.sql(
+      s"SELECT * FROM parquet_snapshot('$dir')").count() == 2)
+  }
+
+  test("VACUUM keep_versions expires old manifests and their files") {
+    val dir = fresh("tt_vacuum")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.compactCommit(spark, dir, 512L * 1024 * 1024) // v2 rewrite
+    Snapshots.appendCommit(spark, dir,
+      Seq((101L, "new")).toDF("k", "v")) // v3
+    assert(Snapshots.read(spark, dir, 1).count() == 100) // v1 readable
+
+    val removed = graft.sql.GraftSql
+      .exec(spark, s"VACUUM '$dir' (keep_versions '2')")
+      .as[Long].head()
+    assert(removed > 0)
+    // latest intact, old version gone
+    assert(Snapshots.read(spark, dir).count() == 101)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, 1).count()
+    }
+    // unknown option refused
+    val ex = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' (retain '2')")
+    }
+    assert(ex.getMessage.contains("not supported for VACUUM"))
+  }
+}
