@@ -674,6 +674,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // partial maintenance (Delta OPTIMIZE WHERE): only files the
+    // predicate may match are rewritten — date-scoped compaction on a
+    // retention-managed table touches one partition's worth of files,
+    // not 100 TB.  Carried-file identity + no-op pinned in
+    // PartialOptimizeSpec; this query proves content is invariant
+    "io_optimize_where" -> ((s, dir) => {
+      val uri = util.Staging.dirFor(
+        "graft_optwhere_v1_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+        io.Snapshots.compactCommit(s, uri, 512L * 1024 * 1024,
+          where = Some("o_orderkey <= 6000"))
+      }
+      io.Snapshots.read(s, uri)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // Iceberg-style HIDDEN partitioning: the table is laid out by
     // bucket(8, o_custkey) — a derived dir the user never names — and
     // the point lookup on the BASE column prunes to that bucket's files
@@ -2957,6 +2981,10 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey IN (1007, 1008) " +
         "ORDER BY o_orderkey"),
+
+    "io_optimize_where" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice"),
 
     "io_snapshot_transform" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

@@ -901,18 +901,32 @@ object Snapshots extends Serializable {
    * the snapshot is already compact.
    */
   def compactCommit(
-      spark: SparkSession, uri: String, targetBytes: Long): Int = {
+      spark: SparkSession, uri: String, targetBytes: Long,
+      where: Option[String] = None): Int = {
     require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val names = entries.map(_.name)
+    // partial compaction (Delta `OPTIMIZE WHERE`): only files that MAY
+    // match the predicate are rewritten — on a date-partitioned 100 TB
+    // table, compacting yesterday's small-file partition touches just
+    // it.  File granularity: a matching file's non-matching rows are
+    // rewritten too (content is unchanged — this is purely layout).
+    val (touched, carried) = where match {
+      case Some(pred) =>
+        val keep = pruneEntries(spark, entries, pred,
+          transformsOf(spark, uri)).toSet
+        entries.partition(e => keep(e.name))
+      case None => (entries, Seq.empty[ManifestEntry])
+    }
+    if (touched.isEmpty) return v
+    val names = touched.map(_.name)
     val fs = fsOf(spark, uri)
     val totalBytes = names.map(n =>
       fs.getFileStatus(new Path(uri, n)).getLen).sum
     val needed = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    // an already-compact table still compacts when DVs exist — the
+    // an already-compact subset still compacts when DVs exist — the
     // rewrite is what materializes merge-on-read deletes away
-    if (names.size <= needed && entries.forall(_.dv.isEmpty)) return v
+    if (names.size <= needed && touched.forall(_.dv.isEmpty)) return v
 
     val sqlConf = spark.conf
     val packKeys = Map(
@@ -925,7 +939,7 @@ object Snapshots extends Serializable {
     fs.delete(tmp, true)
     try {
       packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
-      writeTmp(readFiles(spark, uri, entries), tmp, partitionColsOf(entries))
+      writeTmp(readFiles(spark, uri, touched), tmp, partitionColsOf(entries))
     } finally saved.foreach {
       case (k, Some(kv)) => sqlConf.set(k, kv)
       case (k, None)     => sqlConf.unset(k)
@@ -933,7 +947,7 @@ object Snapshots extends Serializable {
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
-      entriesFor(spark, uri, moved.toSeq), kind = "compact")
+      carried ++ entriesFor(spark, uri, moved.toSeq), kind = "compact")
     newV
   }
 
@@ -949,17 +963,27 @@ object Snapshots extends Serializable {
    */
   def optimizeCommit(
       spark: SparkSession, uri: String, targetBytes: Long,
-      zOrderBy: Seq[String]): Int = {
-    if (zOrderBy.isEmpty) return compactCommit(spark, uri, targetBytes)
+      zOrderBy: Seq[String], where: Option[String] = None): Int = {
+    if (zOrderBy.isEmpty) return compactCommit(spark, uri, targetBytes, where)
     require(targetBytes >= (1L << 20), "targetBytes must be >= 1 MiB")
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val names = entries.map(_.name)
+    // partial z-order: only predicate-matching files are re-laid-out
+    // (same file-granularity contract as partial compaction)
+    val (touched, carried) = where match {
+      case Some(pred) =>
+        val keep = pruneEntries(spark, entries, pred,
+          transformsOf(spark, uri)).toSet
+        entries.partition(e => keep(e.name))
+      case None => (entries, Seq.empty[ManifestEntry])
+    }
+    if (touched.isEmpty) return v
+    val names = touched.map(_.name)
     val fs = fsOf(spark, uri)
     val totalBytes = names.map(nm =>
       fs.getFileStatus(new Path(uri, nm)).getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(spark, uri, entries)
+    val df = readFiles(spark, uri, touched)
     // range-cluster on the Morton key so each output file covers a
     // narrow z-range (tight min/max on EVERY listed column), then drop
     // the key — the table schema stays stable across versions and the
@@ -974,7 +998,7 @@ object Snapshots extends Serializable {
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
-      entriesFor(spark, uri, moved.toSeq), kind = "optimize")
+      carried ++ entriesFor(spark, uri, moved.toSeq), kind = "optimize")
     newV
   }
 

@@ -111,13 +111,15 @@ object CopySql {
       c.expectEnd()
       var target = 128L * 1024 * 1024
       var zcols: Seq[String] = Nil
+      var where: Option[String] = None
       opts.foreach {
         case ("target_bytes", v) => target = requireValue("target_bytes", v).toLong
         case ("zorder_by", v) => zcols = splitIdents(requireValue("zorder_by", v))
+        case ("where", v) => where = Some(requireValue("where", v))
         case (other, _) => throw new IllegalArgumentException(
           s"option '$other' is not supported for OPTIMIZE")
       }
-      return Some(OptimizeCommand(uri, target, zcols))
+      return Some(OptimizeCommand(uri, target, zcols, where))
     }
     if (c.tryKeyword("UPDATE")) {
       // only `UPDATE '<uri>' ...` — a quoted target — is ours; every
@@ -401,17 +403,19 @@ final case class CompactCommand(uri: String, targetBytes: Long)
     Seq(Row(CopyTo.compact(spark, uri, targetBytes).files.size.toLong))
 }
 
-/** `OPTIMIZE '<uri>' [(target_bytes N, zorder_by a,b)]` →
-  * [[graft.io.Snapshots.optimizeCommit]] on a snapshot table; returns
-  * the committed version. */
+/** `OPTIMIZE '<uri>' [(target_bytes N, zorder_by a,b, where 'pred')]` →
+  * [[graft.io.Snapshots.optimizeCommit]] on a snapshot table (`where`
+  * limits the rewrite to predicate-matching files — partial
+  * compaction/z-order); returns the committed version. */
 final case class OptimizeCommand(
-    uri: String, targetBytes: Long, zOrderBy: Seq[String])
+    uri: String, targetBytes: Long, zOrderBy: Seq[String],
+    where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(
-      Snapshots.optimizeCommit(spark, uri, targetBytes, zOrderBy).toLong))
+    Seq(Row(Snapshots.optimizeCommit(
+      spark, uri, targetBytes, zOrderBy, where).toLong))
 }
 
 /** `UPDATE '<uri>' [WITH (merge_on_read)] SET col = expr [, ...]

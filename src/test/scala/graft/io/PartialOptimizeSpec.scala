@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Partial compaction / z-order (`OPTIMIZE ... WHERE`): only
+  * predicate-matching files are rewritten, everything else is carried
+  * untouched — the Delta `OPTIMIZE WHERE` shape that makes maintenance
+  * on a 100 TB table touch one partition's worth of files. */
+class PartialOptimizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 10 range files on k plus a deliberately fragmented low range. */
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(10, col("k"))
+      .write.parquet(dir)
+    dir
+  }
+
+  test("where limits the rewrite to matching files; others carried") {
+    val dir = fresh("popt_basic")
+    Snapshots.init(spark, dir)
+    val before = Snapshots.read(spark, dir).inputFiles.toSet
+    val v2 = Snapshots.compactCommit(spark, dir, 512L * 1024 * 1024,
+      where = Some("k <= 300"))
+    assert(v2 == 2)
+    val after = Snapshots.read(spark, dir).inputFiles.toSet
+    val carried = before.intersect(after)
+    // the k>300 range files survived untouched; the low files merged
+    assert(carried.nonEmpty, "no files carried over")
+    assert(after.size < before.size,
+      s"expected fewer files, ${before.size} -> ${after.size}")
+    // content identical
+    assert(Snapshots.read(spark, dir).count() == 1000)
+    assert(Snapshots.read(spark, dir).agg(sum("k")).head().getLong(0) ==
+      (1 to 1000).map(_.toLong).sum)
+  }
+
+  test("predicate matching nothing is a no-op (version unchanged)") {
+    val dir = fresh("popt_noop")
+    Snapshots.init(spark, dir)
+    val v = Snapshots.compactCommit(spark, dir, 512L * 1024 * 1024,
+      where = Some("k > 999999"))
+    assert(v == 1)
+  }
+
+  test("partial z-order: matched files get the Morton layout") {
+    val dir = fresh("popt_zorder")
+    Snapshots.init(spark, dir)
+    val v2 = Snapshots.optimizeCommit(spark, dir, 512L * 1024 * 1024,
+      zOrderBy = Seq("k"), where = Some("k <= 300"))
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).count() == 1000)
+    assert(Snapshots.manifestKind(spark, dir, 2) == "optimize")
+  }
+
+  test("SQL OPTIMIZE with where routes the predicate") {
+    val dir = fresh("popt_sql")
+    Snapshots.init(spark, dir)
+    val before = Snapshots.read(spark, dir).inputFiles.toSet
+    val v = graft.sql.GraftSql.exec(spark,
+      s"OPTIMIZE '$dir' (where 'k <= 300')").as[Long].head()
+    assert(v == 2L)
+    val after = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(before.intersect(after).nonEmpty)
+    assert(Snapshots.read(spark, dir).count() == 1000)
+  }
+}

@@ -243,7 +243,7 @@ class CopySqlSpec extends AnyFunSuite {
   test("unquoted ident lists parse for list-valued options (zorder_by x,y)") {
     // the form a user types first — bare comma-separated columns
     CopySql.parse(s"OPTIMIZE '/tmp/t' (target_bytes 1048576, zorder_by x,y)") match {
-      case Some(OptimizeCommand(_, target, zcols)) =>
+      case Some(OptimizeCommand(_, target, zcols, _)) =>
         assert(target == 1048576L)
         assert(zcols == Seq("x", "y"))
       case other => fail(s"expected OptimizeCommand, got $other")
@@ -251,7 +251,7 @@ class CopySqlSpec extends AnyFunSuite {
     // list first, scalar option after: the lookahead must stop at
     // `target_bytes 123` (an ident followed by a value ≠ a list item)
     CopySql.parse(s"OPTIMIZE '/tmp/t' (zorder_by x,y, target_bytes 123)") match {
-      case Some(OptimizeCommand(_, target, zcols)) =>
+      case Some(OptimizeCommand(_, target, zcols, _)) =>
         assert(target == 123L)
         assert(zcols == Seq("x", "y"))
       case other => fail(s"expected OptimizeCommand, got $other")
