@@ -56,7 +56,15 @@ object GraftFunctions {
     "graft_normalize" -> { exprs =>
       NormalizeString(exprs.head, exprs(1).eval().toString)
     },
-    "graft_dhash" -> { exprs => DHash64(exprs.head) })
+    "graft_dhash" -> { exprs => DHash64(exprs.head) },
+    "graft_minhash_min_portable" -> { exprs =>
+      PortableMinhashMinAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+    },
+    "graft_simhash_fp_portable" -> { exprs =>
+      PortableSimhashFpAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
+    })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -94,6 +102,14 @@ object GraftFunctions {
     call_function("graft_normalize", text, lit(form))
   /** 64-bit difference-hash of a binary payload — see [[DHash64]]. */
   def dhash(blob: Column): Column = call_function("graft_dhash", blob)
+  /** k portable affine-permutation mins over md5 shingle hashes in ONE
+    * aggregate — value-identical to the SQL explode×k formulation at
+    * 1/k the shuffle rows (see [[PortableMinhashMinAgg]]). */
+  def minhashMinPortable(h: Column, k: Int): Column =
+    call_function("graft_minhash_min_portable", h, lit(k))
+  /** Portable SimHash fingerprint fold — see [[PortableSimhashFpAgg]]. */
+  def simhashFpPortable(h: Column, bits: Int): Column =
+    call_function("graft_simhash_fp_portable", h, lit(bits))
 }
 
 /**

@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Aggregate kernels for the PORTABLE (md5-based, cross-engine
+ * oracle-checkable) MinHash/SimHash paths in [[graft.ops.Dedup]].
+ *
+ * The SQL formulation of a k-permutation portable MinHash explodes each
+ * (doc, shingle-hash) row k times (k=128) before the per-permutation
+ * `min` — a 128× row blow-up through the shuffle.  These aggregates
+ * fold the k permutations INSIDE the aggregation buffer instead: one
+ * input row per shingle, k mins updated in a tight loop, partial
+ * buffers merging elementwise — identical VALUES to the exploded SQL
+ * (same affine permutations mod 2^52 / same vote signs), so the DuckDB
+ * oracles that replicate the formulas keep matching bit-for-bit, at
+ * 1/k of the shuffle volume.
+ */
+case class PortableMinhashMinAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numHashes > 0 && numHashes <= 4096, "numHashes out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_minhash_min_portable"
+
+  private val Mod = 1L << 52
+
+  /** Odd multipliers 2·(i·2654435761 mod 1024)+1 — the same affine
+    * family the SQL/oracle formula uses. */
+  @transient private lazy val mult: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      2L * java.lang.Math.floorMod(i.toLong * 2654435761L, 1024L) + 1L)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        // all terms non-negative and < 2^63: h < 2^52, mult ≤ 2047
+        val ph = (mult(i) * h + i.toLong * 40503L + 2654435769L) % Mod
+        if (ph < buf(i)) buf(i) = ph
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    var i = 0
+    while (i < numHashes) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PortableMinhashMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PortableMinhashMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+/**
+ * 60-bit portable SimHash fingerprint as one aggregate: per input
+ * shingle-hash, bit b votes +1 when set, -1 when clear; the
+ * fingerprint sets bit b iff its vote sum is > 0 — identical to the
+ * SQL per-(doc,b) `sum(vote)` + `shiftleft` reconstruction, minus the
+ * 60× explode.
+ */
+case class PortableSimhashFpAgg(
+    child: Expression,
+    bits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(bits > 0 && bits <= 63, "bits out of range")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_simhash_fp_portable"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        buf(b) += (((h >>> b) & 1L) * 2L) - 1L
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var b = 0
+    while (b < bits) { buf(b) += other(b); b += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (buf(b) > 0L) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * bits)
+    var b = 0
+    while (b < bits) { bb.putLong(buf(b)); b += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bits)
+    var b = 0
+    while (b < bits) { out(b) = bb.getLong; b += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PortableSimhashFpAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PortableSimhashFpAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}

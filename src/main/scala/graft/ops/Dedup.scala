@@ -206,21 +206,22 @@ object Dedup {
     * for the arithmetic. */
   private def portableSigLong(
       df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams): DataFrame =
+      p: MinHashParams): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // one input row per shingle; the k affine-permutation mins fold
+    // inside the aggregate buffer (value-identical to the explode×k
+    // SQL formulation the DuckDB oracle replicates, at 1/k the rows)
     df.select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextAnalysis.shingles(col(textCol), p.shingleSize))).as("__s"))
       .select(col("doc_id"),
         conv(substring(md5(col("__s").cast("binary")), 1, 13), 16, 10)
           .cast("long").as("__h"))
-      .select(col("doc_id"), col("__h"),
-        explode(sequence(lit(0), lit(p.numHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        pmod((lit(2L) * pmod(col("i") * lit(2654435761L), lit(1024L)) + 1L)
-          * col("__h") + col("i") * lit(40503L) + lit(2654435769L),
-          lit(1L << 52)).as("__ph"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("__ph")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(GraftFunctions.minhashMinPortable(col("__h"), p.numHashes)
+        .as("__sig"))
+      .select(col("doc_id"), posexplode(col("__sig")).as(Seq("i", "m")))
+  }
 
   /** `(doc_id, band, key)` text band-bucket keys from long signatures. */
   private def portableBandKeys(sigL: DataFrame, rpb: Int): DataFrame =
@@ -315,22 +316,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-piece banding guarantees recall only to hamming 3")
+    GraftFunctions.register(df.sparkSession)
     val sh = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextAnalysis.shingles(col(textCol), shingleSize))).as("__s"))
       .select(col("doc_id"),
         conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("__h"))
+    // per-bit ±1 votes fold inside one aggregate (value-identical to
+    // the explode×60 per-(doc,b) sum the oracle replicates)
     val fps = sh
-      .select(col("doc_id"), col("__h"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .select(col("doc_id"), col("b"),
-        (expr("shiftright(__h, b) & 1") * 2 - 1).as("__vote"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("__vote")).as("__sv"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("__sv") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("fp"))
+      .agg(GraftFunctions.simhashFpPortable(col("__h"), 60).as("fp"))
     // pieces via a plain 4-row explode with codegen'd shifts
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("k"))
