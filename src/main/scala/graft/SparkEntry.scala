@@ -511,6 +511,36 @@ object SparkEntry {
       s.read.parquet(uri).orderBy("o_orderkey")
     }),
 
+    // the same upsert triad through the SQL statement surface
+    // (MERGE INTO '<uri>' USING (query) ON key WITH (delete_col)) as a
+    // snapshot commit — reference G1 statement routing extended to the
+    // remaining DML verb
+    "sql_merge_into" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_sqlmerge_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      t(s, dir, "orders").createOrReplaceTempView("orders_sqlmerge")
+      val cols = "o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "o_orderpriority"
+      graft.sql.GraftSql.exec(s,
+        s"MERGE INTO '$uri' USING (" +
+          s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "o_totalprice + 1.0 AS o_totalprice, o_orderdate, " +
+          "o_orderpriority, false AS __del " +
+          "FROM orders_sqlmerge WHERE o_orderkey % 100 = 3 " +
+          s"UNION ALL SELECT o_orderkey, $cols, true AS __del " +
+          "FROM orders_sqlmerge WHERE o_orderkey % 100 = 7 " +
+          s"UNION ALL SELECT o_orderkey + 100000000, $cols, false AS __del " +
+          "FROM orders_sqlmerge WHERE o_orderkey % 100 = 9" +
+          ") ON o_orderkey WITH (delete_col '__del')")
+      io.Snapshots.read(s, uri).orderBy("o_orderkey")
+    }),
+
     // DELETE WHERE with partial rewrite: only files containing a
     // matching row are rewritten — the retention/TTL pattern
     "io_delete_where" -> ((s, dir) => {
@@ -3046,6 +3076,19 @@ object SparkEntry {
         "ORDER BY snap, o_orderkey"),
 
     "io_merge_into" ->
+      ("WITH merged AS (" +
+        "SELECT * FROM orders WHERE o_orderkey % 100 NOT IN (3, 7) " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 3 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 9) " +
+        "SELECT * FROM merged ORDER BY o_orderkey"),
+
+    "sql_merge_into" ->
       ("WITH merged AS (" +
         "SELECT * FROM orders WHERE o_orderkey % 100 NOT IN (3, 7) " +
         "UNION ALL " +

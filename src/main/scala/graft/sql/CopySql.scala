@@ -151,6 +151,33 @@ object CopySql {
                  else { c.expectEnd(); "true" }
       return Some(DeleteWhereCommand(uri, pred, mor))
     }
+    if (c.tryKeyword("MERGE")) {
+      // only `MERGE INTO '<uri>' ...` — a quoted target — is ours;
+      // Spark's own MERGE INTO <table> delegates untouched
+      if (!c.tryKeyword("INTO") || !c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      c.expectKeyword("USING")
+      val source: Either[String, String] =
+        if (c.peekIs('(')) Left(c.parenBlock())
+        else if (c.peekIs('\'')) Right(c.stringLit())
+        else throw new IllegalArgumentException(
+          "MERGE USING takes a (query) or a quoted source uri")
+      c.expectKeyword("ON")
+      val keys = scala.collection.mutable.ArrayBuffer(c.ident())
+      while (c.peekIs(',')) { c.expectChar(','); keys += c.ident() }
+      var mor = false
+      var deleteCol: Option[String] = None
+      parseOptionList(c).foreach {
+        case ("merge_on_read", v) =>
+          mor = v.forall(_.toLowerCase(Locale.ROOT) == "true")
+        case ("delete_col", v) =>
+          deleteCol = Some(requireValue("delete_col", v))
+        case (other, _) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for MERGE")
+      }
+      c.expectEnd()
+      return Some(MergeCommand(uri, source, keys.toSeq, deleteCol, mor))
+    }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
       if (c.peekIs('(')) {
@@ -442,6 +469,34 @@ final case class DeleteWhereCommand(
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.deleteWhereCommit(
       spark, uri, predicate, mergeOnRead).toLong))
+}
+
+/** `MERGE INTO '<uri>' USING (query)|'<src-uri>' ON k1 [, k2 ...]
+  * [WITH (merge_on_read, delete_col 'col')]` →
+  * [[graft.io.Snapshots.mergeCommit]] on a snapshot table: matched keys
+  * are replaced, unmatched source rows inserted, and rows whose
+  * `delete_col` is true deleted (the upsert triad the API exposes,
+  * now as a statement).  A quoted source reads snapshot-managed dirs
+  * through their manifest, plain dirs as parquet.  Returns the
+  * committed version. */
+final case class MergeCommand(
+    uri: String, source: Either[String, String], keyCols: Seq[String],
+    deleteCol: Option[String], mergeOnRead: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updates = source match {
+      case Left(q) => spark.sql(q)
+      case Right(u) =>
+        val mp = new org.apache.hadoop.fs.Path(u, "_graft_manifests")
+        val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(mp)) Snapshots.read(spark, u)
+        else spark.read.parquet(u)
+    }
+    Seq(Row(Snapshots.mergeCommit(
+      spark, uri, updates, keyCols, deleteCol, mergeOnRead).toLong))
+  }
 }
 
 /** `COPY (query)|table TO 'uri'|STDOUT|PROGRAM 'cmd' (...)` →

@@ -1,0 +1,106 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Snapshots
+
+/** The SQL surface of `MERGE INTO '<uri>' USING … ON … [WITH (…)]` —
+  * (query) and quoted-uri sources, multi-key ON lists, delete_col,
+  * merge_on_read, and delegation of Spark's own unquoted MERGE INTO.
+  * (MergeIntoSpec covers the commit semantics; this spec covers the
+  * parse and routing.) */
+class MergeSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String, n: Int = 10): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+      .toDF("k", "amt", "name")
+      .repartitionByRange(2, col("k"))
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  test("MERGE with a (query) source upserts: update matched, insert new") {
+    val dir = freshTable("msql_query")
+    val v = GraftSql.exec(spark,
+      s"MERGE INTO '$dir' USING " +
+        "(SELECT id * 2 AS k, CAST(999 AS BIGINT) AS amt, 'up' AS name " +
+        " FROM range(1, 7)) ON k").head().getLong(0)
+    assert(v == 2L)
+    val rows = Snapshots.read(spark, dir).orderBy("k")
+      .select("k", "amt", "name").as[(Long, Long, String)].collect().toSeq
+    // keys 2,4,6,8,10 updated; 12 inserted; odds untouched
+    assert(rows.size == 11)
+    assert(rows.filter(_._1 % 2 == 0).forall(r => r._2 == 999L && r._3 == "up"))
+    assert(rows.contains((12L, 999L, "up")))
+    assert(rows.contains((3L, 30L, "v3")))
+  }
+
+  test("MERGE with a quoted parquet source and a multi-key ON list") {
+    val dir = freshTable("msql_uri")
+    val src = TestSpark.tmpDir("msql_uri_src")
+    new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(src), true)
+    Seq((1L, 10L, "patched"), (99L, 0L, "new"))
+      .toDF("k", "amt", "name").write.parquet(src)
+    // (k, amt) both key — row 1 matches on (1,10), row 99 inserts
+    GraftSql.exec(spark, s"MERGE INTO '$dir' USING '$src' ON k, amt")
+    val got = Snapshots.read(spark, dir)
+      .filter(col("k").isin(1L, 99L)).orderBy("k")
+      .select("k", "name").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "patched"), (99L, "new")))
+  }
+
+  test("MERGE with a snapshot-managed quoted source reads the manifest") {
+    val dir = freshTable("msql_snapsrc")
+    val src = freshTable("msql_snapsrc_src", n = 3)
+    // supersede v1 in the SOURCE: only the updated rows must merge
+    Snapshots.updateWhereCommit(spark, src, "k = 2",
+      Seq(("name", "'from_v2'")), mergeOnRead = false)
+    GraftSql.exec(spark, s"MERGE INTO '$dir' USING '$src' ON k")
+    val got = Snapshots.read(spark, dir).filter(col("k") === 2)
+      .select("name").as[String].head()
+    assert(got == "from_v2")
+  }
+
+  test("delete_col removes matched keys; merge_on_read appends DVs only") {
+    val dir = freshTable("msql_delcol")
+    val before = Snapshots.latestVersion(spark, dir)
+    GraftSql.exec(spark,
+      s"MERGE INTO '$dir' USING " +
+        "(SELECT CAST(id AS BIGINT) AS k, CAST(0 AS BIGINT) AS amt, " +
+        " '' AS name, true AS is_del FROM range(1, 4)) ON k " +
+        "WITH (merge_on_read, delete_col 'is_del')")
+    val ks = Snapshots.read(spark, dir).select("k").as[Long].collect().sorted
+    assert(ks.toSeq == (4L to 10L))
+    // merge-on-read: no data file of the previous version was rewritten
+    val prev = Snapshots.read(spark, dir, before)
+    assert(prev.count() == 10L)
+  }
+
+  test("Spark's own MERGE INTO (unquoted target) delegates") {
+    assert(CopySql.parse("MERGE INTO t USING s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET *").isEmpty)
+    // and a bare MERGE keyword elsewhere is not intercepted either
+    assert(CopySql.parse("SELECT 'MERGE INTO x' AS s").isEmpty)
+  }
+
+  test("unknown MERGE options and malformed USING fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      CopySql.parse("MERGE INTO '/tmp/t' USING '/tmp/s' ON k WITH (nope 1)")
+    }
+    assert(e1.getMessage.contains("not supported for MERGE"))
+    val e2 = intercept[IllegalArgumentException] {
+      CopySql.parse("MERGE INTO '/tmp/t' USING bare_table ON k")
+    }
+    assert(e2.getMessage.contains("USING"))
+  }
+}
