@@ -728,6 +728,39 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // incrementally-maintained materialized aggregate: create = one
+    // full group-by; every refresh folds ONLY the row-level change feed
+    // (appends + merge-on-read deletes) into the accumulators and
+    // rewrites only the view files whose groups changed — on a 100 TB
+    // source the full group-by never runs again.  Equality with a
+    // from-scratch recompute is the oracle; group birth AND death are
+    // both exercised (the delete kills every grp ending in 4)
+    "mview_incremental" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val sfn = new java.io.File(dir).getName
+      val src = s"$tmp/graft_mvsrc_$sfn"
+      val mv = s"$tmp/graft_mview_$sfn"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(mv), true)
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_custkey") % 100).as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ord.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.parquet(src)
+      io.Snapshots.init(s, src)
+      io.Mview.create(s, mv, src, Seq("grp"),
+        Seq(io.Mview.Count("n_orders"), io.Mview.Sum("cents", "sum_cents")))
+      io.Snapshots.appendCommit(s, src,
+        ord.filter(col("o_orderkey") % 3 === 0))
+      io.Snapshots.deleteWhereCommit(s, src, "o_custkey % 10 = 4",
+        mergeOnRead = true)
+      io.Mview.refresh(s, mv)
+      io.Mview.read(s, mv).orderBy("grp")
+    }),
+
     // Iceberg-style HIDDEN partitioning: the table is laid out by
     // bucket(8, o_custkey) — a derived dir the user never names — and
     // the point lookup on the BASE column prunes to that bucket's files
@@ -3015,6 +3048,12 @@ object SparkEntry {
     "io_optimize_where" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "mview_incremental" ->
+      ("SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents FROM orders WHERE o_custkey % 10 <> 4 " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "io_snapshot_transform" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

@@ -1,0 +1,215 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained materialized aggregates over snapshot
+ * tables, driven by the row-level change feed
+ * ([[Snapshots.readChangesRows]]).
+ *
+ * A refresh reads ONLY the source's row delta since the last refresh
+ * (inserts +1, deletes -1), folds it into per-group accumulator
+ * deltas, and merges those into the view with the partial-rewrite
+ * merge ([[Snapshots.mergeCommit]] — only view files containing a
+ * changed group are rewritten).  On a 100 TB source with a daily 0.1%
+ * churn, a refresh touches ~0.1% of the source rows and a handful of
+ * view files; the full group-by never runs again after `create`.
+ *
+ * Supported aggregates are the self-maintainable ones — each must be
+ * reconstructible from a SIGNED row multiset: `count(*)`, `sum(col)`,
+ * `avg(col)` (kept as sum + non-null count).  min/max are not
+ * maintainable under deletes without re-reading the group and are
+ * refused at `create`.
+ *
+ * The view itself is a snapshot table (time-travelable, change-fed,
+ * compactable); its storage schema is the group columns plus typed
+ * accumulator columns, with [[read]] deriving the user-facing shape.
+ * Group keys must be non-null (the merge key join, like SQL `=`,
+ * never matches NULL) — coalesce nullable keys before grouping.
+ */
+object Mview {
+
+  sealed trait Agg { def alias: String }
+  /** `count(*) AS alias`. */
+  final case class Count(alias: String) extends Agg
+  /** `sum(column) AS alias` (null-skipping, like SQL). */
+  final case class Sum(column: String, alias: String) extends Agg
+  /** `avg(column) AS alias` — stored as double sum + non-null count. */
+  final case class Avg(column: String, alias: String) extends Agg
+
+  /** Hidden per-group row count: detects group death (count reaching
+    * zero deletes the view row) even when the user asked only for
+    * sums. */
+  private val N = "__mv_n"
+  private def avgSumCol(a: String) = s"__mv_${a}_s"
+  private def avgCntCol(a: String) = s"__mv_${a}_c"
+
+  private def enc(s: String) =
+    graft.io.s3.S3Signer.uriEncode(s, keepSlash = false)
+  private def dec(s: String) = graft.io.s3.S3Signer.decodePath(s)
+
+  private def validate(groupCols: Seq[String], aggs: Seq[Agg]): Unit = {
+    require(groupCols.nonEmpty, "materialized view needs group columns")
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    val aliases = aggs.map(_.alias)
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate aggregate aliases: ${aliases.mkString(",")}")
+    require(aliases.forall(a => !groupCols.contains(a)),
+      "an aggregate alias collides with a group column")
+    require(aliases.forall(a => !a.startsWith("__mv_")),
+      "aliases starting with __mv_ are reserved")
+  }
+
+  /** The signed accumulator-delta expressions for one agg: applied to
+    * rows carrying a `__sign` column (+1 insert / -1 delete; all +1 at
+    * create time). */
+  private def accExprs(a: Agg): Seq[(String, Column)] = a match {
+    case Count(alias) =>
+      Seq(alias -> sum(col("__sign")).cast("long"))
+    case Sum(c, alias) =>
+      // sum skips nulls; multiplying by the sign preserves that
+      Seq(alias -> sum(col(c) * col("__sign")))
+    case Avg(c, alias) => Seq(
+      avgSumCol(alias) ->
+        sum(col(c).cast("double") * col("__sign")).cast("double"),
+      avgCntCol(alias) ->
+        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
+          .cast("long"))
+  }
+
+  private def storageAggs(aggs: Seq[Agg]): Seq[(String, Column)] =
+    Seq(N -> sum(col("__sign")).cast("long")) ++ aggs.flatMap(accExprs)
+
+  private def requireNonNullKeys(df: DataFrame, groupCols: Seq[String],
+      what: String): Unit = {
+    val nullPred = groupCols.map(col(_).isNull).reduce(_ || _)
+    require(df.filter(nullPred).isEmpty,
+      s"$what carries NULL group keys — the view's merge key join " +
+        "(like SQL '=') never matches NULL; coalesce nullable group " +
+        "columns before creating the view")
+  }
+
+  /**
+   * Full-compute the view at the source's latest version and record the
+   * definition + source watermark in the view's table.properties.
+   * Returns the source version the view reflects.
+   */
+  def create(spark: SparkSession, mvUri: String, srcUri: String,
+      groupCols: Seq[String], aggs: Seq[Agg]): Int = {
+    validate(groupCols, aggs)
+    val srcV = Snapshots.latestVersion(spark, srcUri)
+    val src = Snapshots.read(spark, srcUri, srcV)
+      .withColumn("__sign", lit(1L))
+    requireNonNullKeys(src.select(groupCols.map(col): _*).distinct(),
+      groupCols, "the source")
+    val accs = storageAggs(aggs)
+    val full = src.groupBy(groupCols.map(col): _*)
+      .agg(accs.head._2.as(accs.head._1),
+        accs.tail.map { case (n, e) => e.as(n) }: _*)
+    val p = new Path(mvUri)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    full.write.parquet(mvUri)
+    Snapshots.init(spark, mvUri)
+    val props = Snapshots.readTableProps(spark, mvUri) ++ Map(
+      "mview.src" -> enc(srcUri),
+      "mview.group" -> groupCols.map(enc).mkString(","),
+      "mview.aggs" -> aggs.map {
+        case Count(a)  => s"count::${enc(a)}"
+        case Sum(c, a) => s"sum:${enc(c)}:${enc(a)}"
+        case Avg(c, a) => s"avg:${enc(c)}:${enc(a)}"
+      }.mkString(","),
+      "mview.src_version" -> srcV.toString)
+    Snapshots.writeTableProps(spark, mvUri, props)
+    srcV
+  }
+
+  private def definitionOf(spark: SparkSession, mvUri: String)
+      : (String, Seq[String], Seq[Agg], Int) = {
+    val props = Snapshots.readTableProps(spark, mvUri)
+    val src = props.getOrElse("mview.src",
+      throw new IllegalStateException(s"$mvUri is not a materialized view"))
+    val groups = props("mview.group").split(",").toSeq.map(dec)
+    val aggs = props("mview.aggs").split(",").toSeq.map { s =>
+      s.split(":", -1) match {
+        case Array("count", _, a) => Count(dec(a))
+        case Array("sum", c, a)   => Sum(dec(c), dec(a))
+        case Array("avg", c, a)   => Avg(dec(c), dec(a))
+        case other => throw new IllegalStateException(
+          s"unreadable mview agg spec '$s'")
+      }
+    }
+    (dec(src), groups, aggs, props("mview.src_version").toInt)
+  }
+
+  /**
+   * Catch the view up to the source's latest version by folding the
+   * row-level change feed into the accumulators.  Reads only the
+   * source's delta files and rewrites only the view files whose groups
+   * changed.  Source commits in the range must be change-feed-readable
+   * (appends, merge-on-read DML, layout commits) — the same contract
+   * as [[Snapshots.readChangesRows]].  Returns the source version now
+   * reflected (no-op when already current).
+   */
+  def refresh(spark: SparkSession, mvUri: String): Int = {
+    val (srcUri, groupCols, aggs, lastV) = definitionOf(spark, mvUri)
+    val curV = Snapshots.latestVersion(spark, srcUri)
+    if (curV == lastV) return lastV
+    val changes = Snapshots.readChangesRows(spark, srcUri, lastV, curV)
+      .withColumn("__sign",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val accs = storageAggs(aggs)
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(accs.head._2.as(accs.head._1),
+        accs.tail.map { case (n, e) => e.as(n) }: _*)
+      // a group whose delta nets out to nothing needs no view touch
+      .filter(accs.map { case (n, _) => col(n) =!= lit(0) }.reduce(_ || _))
+    requireNonNullKeys(delta.select(groupCols.map(col): _*),
+      groupCols, "the change delta")
+
+    val mv = Snapshots.read(spark, mvUri)
+    val accNames = accs.map(_._1)
+    // fold delta into current accumulators: absent view group = zeros.
+    // The delta side is the small one — broadcast it through the join
+    // and let mergeCommit's key semi-join bound the file rewrites.
+    val renamedMv = accNames.foldLeft(mv) { case (d, n) =>
+      d.withColumnRenamed(n, s"__old_$n")
+    }
+    val merged = broadcast(delta).join(renamedMv, groupCols, "left")
+      .select(groupCols.map(col) ++ accNames.map { n =>
+        // both sides need the zero default: the view may lack the group
+        // (new group), and a delta sum over all-NULL inputs is NULL
+        val zero = lit(0).cast(mv.schema(n).dataType)
+        (coalesce(col(s"__old_$n"), zero) + coalesce(col(n), zero))
+          .cast(mv.schema(n).dataType).as(n)
+      }: _*)
+      .withColumn("__mv_del", col(N) <= lit(0L))
+    Snapshots.mergeCommit(spark, mvUri, merged, groupCols,
+      deleteCol = Some("__mv_del"))
+    Snapshots.writeTableProps(spark, mvUri,
+      Snapshots.readTableProps(spark, mvUri) +
+        ("mview.src_version" -> curV.toString))
+    curV
+  }
+
+  /** The user-facing view: group columns plus one column per declared
+    * aggregate (avg derived from its sum/count pair; empty-count avg is
+    * NULL, like SQL). */
+  def read(spark: SparkSession, mvUri: String): DataFrame = {
+    val (_, groupCols, aggs, _) = definitionOf(spark, mvUri)
+    val df = Snapshots.read(spark, mvUri)
+    df.select(groupCols.map(col) ++ aggs.map {
+      case Count(a)  => col(a)
+      case Sum(_, a) => col(a)
+      case Avg(_, a) =>
+        when(col(avgCntCol(a)) === 0L, lit(null))
+          .otherwise(col(avgSumCol(a)) / col(avgCntCol(a))).as(a)
+    }: _*)
+  }
+
+  /** The source version the view currently reflects. */
+  def sourceVersion(spark: SparkSession, mvUri: String): Int =
+    definitionOf(spark, mvUri)._4
+}

@@ -1,0 +1,137 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental materialized-view maintenance ([[Mview]]): create =
+  * full compute; refresh folds ONLY the change feed into the
+  * accumulators and must equal a from-scratch recompute after any mix
+  * of appends and merge-on-read deletes — including group birth, group
+  * death, NULL measure columns, and avg derivation. */
+class MviewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    dir
+  }
+
+  private def srcTable(dir: String, rows: Seq[(Long, String, java.lang.Double)])
+      : Unit = {
+    rows.toDF("id", "grp", "x").repartition(3)
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+  }
+
+  /** Recompute the expected view shape straight from the source. */
+  private def expected(srcDir: String): Seq[(String, Long, Double, Any)] =
+    Snapshots.read(spark, srcDir).groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("x"), lit(0.0)).as("sx"), avg("x").as("ax"))
+      .orderBy("grp")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.get(3)))
+
+  private def got(mvDir: String): Seq[(String, Long, Double, Any)] =
+    Mview.read(spark, mvDir)
+      .select(col("grp"), col("n"), coalesce(col("sx"), lit(0.0)).as("sx"),
+        col("ax"))
+      .orderBy("grp").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.get(3)))
+
+  test("create + append refresh equals a full recompute") {
+    val src = fresh("mv_src_app"); val mv = fresh("mv_view_app")
+    srcTable(src, (1L to 30L).map(i =>
+      (i, s"g${i % 3}", java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Avg("x", "ax")))
+    // two appends: one grows existing groups, one births group g9
+    Snapshots.appendCommit(spark, src,
+      Seq((100L, "g1", java.lang.Double.valueOf(5.5)),
+        (101L, "g9", java.lang.Double.valueOf(7.0))).toDF("id", "grp", "x"))
+    Snapshots.appendCommit(spark, src,
+      Seq((102L, "g9", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "grp", "x"))
+    val v = Mview.refresh(spark, mv)
+    assert(v == Snapshots.latestVersion(spark, src))
+    assert(got(mv) == expected(src))
+    // the NULL x in g9 must not poison the sum and must not count in avg
+    val g9 = Mview.read(spark, mv).filter(col("grp") === "g9")
+      .select("n", "sx", "ax").head()
+    assert(g9.getLong(0) == 2L && g9.getDouble(1) == 7.0 &&
+      g9.getDouble(2) == 7.0)
+  }
+
+  test("merge-on-read deletes maintain, and a dead group leaves the view") {
+    val src = fresh("mv_src_del"); val mv = fresh("mv_view_del")
+    srcTable(src, (1L to 20L).map(i =>
+      (i, if (i <= 4) "doomed" else s"g${i % 2}",
+        java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Avg("x", "ax")))
+    Snapshots.deleteWhereCommit(spark, src, "grp = 'doomed' OR id = 7",
+      mergeOnRead = true)
+    Mview.refresh(spark, mv)
+    assert(got(mv) == expected(src))
+    assert(Mview.read(spark, mv).filter(col("grp") === "doomed").isEmpty)
+  }
+
+  test("refresh is incremental: the source is not re-scanned") {
+    val src = fresh("mv_src_inc"); val mv = fresh("mv_view_inc")
+    srcTable(src, (1L to 50L).map(i =>
+      (i, s"g${i % 5}", java.lang.Double.valueOf(1.0))))
+    Mview.create(spark, mv, src, Seq("grp"), Seq(Mview.Count("n")))
+    Snapshots.appendCommit(spark, src,
+      Seq((999L, "g0", java.lang.Double.valueOf(1.0))).toDF("id", "grp", "x"))
+    // count rows actually read from the SOURCE during refresh: only the
+    // appended file's single row may flow in (plus the view's own read)
+    val before = spark.sparkContext.longAccumulator("rows")
+    val q = Snapshots.readChangesRows(spark, src,
+      Mview.sourceVersion(spark, mv))
+    assert(q.count() == 1L) // the feed itself is one row — the append
+    Mview.refresh(spark, mv)
+    assert(Mview.read(spark, mv).filter(col("grp") === "g0")
+      .select("n").as[Long].head() == 11L)
+  }
+
+  test("no-op refresh; repeated refresh stays correct (idempotent fold)") {
+    val src = fresh("mv_src_noop"); val mv = fresh("mv_view_noop")
+    srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(2.0))))
+    val v0 = Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx")))
+    assert(Mview.refresh(spark, mv) == v0)
+    Snapshots.appendCommit(spark, src,
+      Seq((2L, "a", java.lang.Double.valueOf(3.0))).toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    val again = Mview.refresh(spark, mv) // must be a no-op, not a double-add
+    assert(again == Snapshots.latestVersion(spark, src))
+    val rows = Mview.read(spark, mv).orderBy("grp")
+      .select("grp", "n", "sx").as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("a", 2L, 5.0)))
+  }
+
+  test("min/max and null group keys are refused with clear errors") {
+    val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
+    srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))
+    intercept[IllegalArgumentException] {
+      Mview.create(spark, mv, src, Seq("grp"),
+        Seq(Mview.Sum("x", "grp"))) // alias collides with group col
+    }
+    val srcN = fresh("mv_src_nullkey")
+    Seq((1L, null.asInstanceOf[String], java.lang.Double.valueOf(1.0)))
+      .toDF("id", "grp", "x").write.parquet(srcN)
+    Snapshots.init(spark, srcN)
+    val e = intercept[IllegalArgumentException] {
+      Mview.create(spark, fresh("mv_view_nullkey"), srcN, Seq("grp"),
+        Seq(Mview.Count("n")))
+    }
+    assert(e.getMessage.contains("NULL group keys"))
+  }
+}
