@@ -728,6 +728,33 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // schema evolution as METADATA commits: rename + add without
+    // touching a data file — files written before the rename resolve
+    // through the former name, files predating the add null-fill, and
+    // the late append carries the new shape.  On a 100 TB table an
+    // ALTER is one manifest write, not a rewrite
+    "io_schema_evolution" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ord.filter(col("o_orderkey") % 2 === 1).repartition(4)
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE '$uri' RENAME COLUMN o_totalprice TO price_usd")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE '$uri' ADD COLUMN src STRING")
+      io.Snapshots.appendCommit(s, uri,
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .withColumnRenamed("o_totalprice", "price_usd")
+          .withColumn("src", lit("late")))
+      io.Snapshots.read(s, uri)
+        .orderBy("o_orderkey", "o_custkey", "price_usd")
+    }),
+
     // incrementally-maintained materialized aggregate: create = one
     // full group-by; every refresh folds ONLY the row-level change feed
     // (appends + merge-on-read deletes) into the accumulators and
@@ -3048,6 +3075,11 @@ object SparkEntry {
     "io_optimize_where" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_schema_evolution" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice AS price_usd, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'late' END AS src " +
+        "FROM orders ORDER BY o_orderkey, o_custkey, price_usd"),
 
     "mview_incremental" ->
       ("SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +

@@ -1,0 +1,225 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Schema evolution for snapshot tables — ADD / RENAME / DROP COLUMN as
+ * pure METADATA commits (Delta/Iceberg's core schema story, reduced to
+ * what parquet-by-name resolution can carry):
+ *
+ *  - data files are NEVER rewritten by an alter: each file keeps the
+ *    column names it was written with;
+ *  - the table's logical schema lives in a versioned schema file under
+ *    `_graft_manifests/` and every manifest header points at the
+ *    schema id it was committed under (`schema=N`), so TIME TRAVEL
+ *    reads each version with that version's own schema;
+ *  - reads resolve files against the logical schema: an added column
+ *    null-fills in files predating it, a renamed column COALESCES from
+ *    its former names (a file stores exactly one of them), a dropped
+ *    column disappears (but remains visible when time-traveling to
+ *    pre-drop versions);
+ *  - rewriting commits (compact/optimize/merge) NORMALIZE: their
+ *    output files carry the current names, so the coalesce surface
+ *    shrinks as the table ages.
+ *
+ * Name-resolution safety: a name that ever carried data under a
+ * different meaning (a dropped column, or a rename's former name) is
+ * POISONED — re-adding it would resurrect old file data into the new
+ * column.  Alters refuse such names; this is the name-mapping
+ * equivalent of Iceberg's never-reused field ids.
+ *
+ * Restrictions (refused with clear errors): altering hive partition
+ * columns, altering transform-partitioned tables (their physical
+ * layout pins base-column names), and type changes (parquet footers
+ * disagree across files and Spark's merged read cannot widen).
+ */
+object SchemaEvolution {
+
+  /** A table's logical schema at one point in its life:
+    * `renames` maps each current name to its former names
+    * (most-recent first), `dropped` holds every poisoned name. */
+  final case class SchemaDef(
+      schema: StructType,
+      renames: Map[String, Seq[String]],
+      dropped: Set[String]) {
+    def formerNames: Set[String] = renames.values.flatten.toSet
+    /** Names that may never be (re)introduced. */
+    def poisoned: Set[String] = dropped ++ formerNames
+  }
+
+  private def enc(s: String) =
+    graft.io.s3.S3Signer.uriEncode(s, keepSlash = false)
+  private def dec(s: String) = graft.io.s3.S3Signer.decodePath(s)
+
+  private def schemaPath(uri: String, id: Int): Path =
+    new Path(Snapshots.manifestDir(uri), f"s$id%04d.schema")
+
+  private[io] def writeDef(
+      spark: SparkSession, uri: String, id: Int, d: SchemaDef): Unit = {
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = Seq("graft-schema v1", s"schema=${d.schema.json}") ++
+      d.renames.toSeq.sortBy(_._1).map { case (n, olds) =>
+        s"rename=${enc(n)}:${olds.map(enc).mkString(",")}"
+      } ++
+      (if (d.dropped.isEmpty) Nil
+       else Seq(s"dropped=${d.dropped.toSeq.sorted.map(enc).mkString(",")}"))
+    val p = schemaPath(uri, id)
+    val out = fs.create(p, false) // ids are never rewritten
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[io] def readDef(
+      spark: SparkSession, uri: String, id: Int): SchemaDef = {
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = schemaPath(uri, id)
+    require(fs.exists(p), s"$uri has no schema file id $id")
+    val in = fs.open(p)
+    val content = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-schema v1"),
+      s"unrecognized schema file header in $p")
+    var schema: Option[StructType] = None
+    var renames = Map.empty[String, Seq[String]]
+    var dropped = Set.empty[String]
+    lines.tail.foreach { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"bad schema file line '$line' in $p")
+      (line.substring(0, i), line.substring(i + 1)) match {
+        case ("schema", j) =>
+          schema = Some(DataType.fromJson(j).asInstanceOf[StructType])
+        case ("rename", v) => v.split(":", 2) match {
+          case Array(n, olds) =>
+            renames += dec(n) -> olds.split(",").toSeq.map(dec)
+          case _ => throw new IllegalStateException(
+            s"bad rename line '$line' in $p")
+        }
+        case ("dropped", v) =>
+          dropped = v.split(",").toSeq.map(dec).toSet
+        case _ => // forward-compatible: unknown keys ignored
+      }
+    }
+    SchemaDef(schema.getOrElse(throw new IllegalStateException(
+      s"schema file $p has no schema line")), renames, dropped)
+  }
+
+  /** Project a raw (merged-footer) file read onto the logical schema:
+    * per field, coalesce the current name with any former names (a file
+    * carries exactly one of them, so coalesce is exact), null-fill
+    * fields no file carries yet, drop everything else.  `keep` columns
+    * pass through unchanged (row-position metadata in DV paths). */
+  private[io] def evolveKeeping(
+      df: DataFrame, d: SchemaDef, keep: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    val cols = d.schema.fields.toSeq.map { f =>
+      val candidates = (f.name +: d.renames.getOrElse(f.name, Nil))
+        .filter(have)
+      val e: Column = candidates match {
+        case Seq()    => lit(null).cast(f.dataType)
+        case Seq(one) => col(one).cast(f.dataType)
+        case many     => coalesce(many.map(col): _*).cast(f.dataType)
+      }
+      e.as(f.name)
+    } ++ keep.filter(have).map(col)
+    df.select(cols: _*)
+  }
+
+  private[io] def evolve(df: DataFrame, d: SchemaDef): DataFrame =
+    evolveKeeping(df, d, Nil)
+
+  /** The table's current logical schema definition, if any alter has
+    * ever run (None = the files' own schema is the schema). */
+  def currentDef(spark: SparkSession, uri: String): Option[SchemaDef] =
+    Snapshots.readTableProps(spark, uri).get("schema.current")
+      .flatMap(_.toIntOption).map(readDef(spark, uri, _))
+
+  /** `ALTER TABLE ADD COLUMN name type` — nullable by construction
+    * (every existing row reads NULL).  Returns the committed version. */
+  def addColumn(spark: SparkSession, uri: String, name: String,
+      dataType: DataType): Int =
+    alter(spark, uri, s"add column $name") { d =>
+      require(!d.schema.fieldNames.contains(name),
+        s"column '$name' already exists")
+      requireClean(d, name)
+      d.copy(schema = StructType(
+        d.schema.fields :+ StructField(name, dataType, nullable = true)))
+    }
+
+  /** `ALTER TABLE RENAME COLUMN from TO to` — metadata-only; files
+    * written before the rename resolve through the former name. */
+  def renameColumn(spark: SparkSession, uri: String, from: String,
+      to: String): Int =
+    alter(spark, uri, s"rename column $from to $to") { d =>
+      require(d.schema.fieldNames.contains(from),
+        s"column '$from' does not exist")
+      require(!d.schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      requireClean(d, to)
+      val chain = from +: d.renames.getOrElse(from, Nil)
+      d.copy(
+        schema = StructType(d.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        renames = (d.renames - from) + (to -> chain))
+    }
+
+  /** `ALTER TABLE DROP COLUMN name` — metadata-only; the data remains
+    * in the files (time travel to pre-drop versions still sees it) and
+    * the name is poisoned against re-use. */
+  def dropColumn(spark: SparkSession, uri: String, name: String): Int =
+    alter(spark, uri, s"drop column $name") { d =>
+      require(d.schema.fieldNames.contains(name),
+        s"column '$name' does not exist")
+      require(d.schema.size > 1, "cannot drop the last column")
+      d.copy(
+        schema = StructType(d.schema.fields.filterNot(_.name == name)),
+        renames = d.renames - name,
+        dropped = d.dropped + name ++ d.renames.getOrElse(name, Nil))
+    }
+
+  private def requireClean(d: SchemaDef, name: String): Unit =
+    require(!d.poisoned.contains(name),
+      s"column name '$name' was used by a dropped or renamed column — " +
+        "old data files still carry values under it, and re-introducing " +
+        "it would resurrect them; pick a fresh name (or compact the " +
+        "table's full history away first)")
+
+  private def alter(spark: SparkSession, uri: String, what: String)
+      (f: SchemaDef => SchemaDef): Int = Snapshots.retryCommit() {
+    val v = Snapshots.latestVersion(spark, uri)
+    require(Snapshots.transformsOf(spark, uri).isEmpty,
+      s"cannot $what: the table is transform-partitioned — its " +
+        "physical layout pins base-column names")
+    val props = Snapshots.readTableProps(spark, uri)
+    val curId = props.get("schema.current").flatMap(_.toIntOption)
+    val cur = curId.map(readDef(spark, uri, _)).getOrElse(
+      SchemaDef(Snapshots.read(spark, uri, v).schema, Map.empty, Set.empty))
+    val entries = Snapshots.readManifestEntries(spark, uri, v)
+    val partCols = Snapshots.partitionColsOf(entries).toSet
+    val next = f(cur)
+    val touchedPart = (cur.schema.fieldNames.toSet -- next.schema.fieldNames)
+      .union(next.schema.fieldNames.toSet -- cur.schema.fieldNames)
+      .intersect(partCols)
+    require(partCols.forall(p => next.schema.fieldNames.contains(p)),
+      s"cannot $what: ${touchedPart.mkString(",")} is a hive partition " +
+        "column — the directory layout pins its name")
+    val id = curId.getOrElse(0) + 1
+    writeDef(spark, uri, id, next)
+    Snapshots.writeTableProps(spark, uri,
+      Snapshots.readTableProps(spark, uri) +
+        ("schema.current" -> id.toString))
+    // metadata-only commit: same file entries, new schema pointer
+    Snapshots.writeManifest(spark, uri, v + 1, entries, kind = "schema",
+      schemaId = Some(id))
+    v + 1
+  }
+}

@@ -142,7 +142,7 @@ object Snapshots extends Serializable {
 
   /** Partition columns of a managed table, recovered from its manifest
     * entries' hive path segments (`region=EU/...`); Nil for flat. */
-  private def partitionColsOf(entries: Seq[ManifestEntry]): Seq[String] =
+  private[io] def partitionColsOf(entries: Seq[ManifestEntry]): Seq[String] =
     entries.headOption.toSeq.flatMap(_.name.split("/").init.toSeq.flatMap {
       seg =>
         val i = seg.indexOf('=')
@@ -160,9 +160,42 @@ object Snapshots extends Serializable {
     * recover hive partition columns from the paths (harmless for flat
     * layouts), so partitioned snapshots read with their full schema. */
   private def rawRead(
-      spark: SparkSession, uri: String, names: Seq[String]): DataFrame =
-    spark.read.option("basePath", uri)
-      .parquet(names.map(n => s"$uri/$n"): _*)
+      spark: SparkSession, uri: String, names: Seq[String]): DataFrame = {
+    // an evolved table's files legitimately disagree on columns (files
+    // predating an ADD lack it; files predating a RENAME carry the old
+    // name) — merge the footers so every column survives to the
+    // projection [[SchemaEvolution.evolve]] applies
+    val reader = spark.read.option("basePath", uri)
+    val r =
+      if (readTableProps(spark, uri).contains("schema.current"))
+        reader.option("mergeSchema", "true")
+      else reader
+    r.parquet(names.map(n => s"$uri/$n"): _*)
+  }
+
+  /** Apply version `v`'s schema (when it has one) to a raw file read:
+    * renamed columns coalesce from their former names, added columns
+    * null-fill in files predating them, dropped columns disappear. */
+  private def evolveFor(
+      spark: SparkSession, uri: String, v: Int, df: DataFrame): DataFrame =
+    readManifestFull(spark, uri, v).schemaId match {
+      case Some(id) =>
+        SchemaEvolution.evolve(df, SchemaEvolution.readDef(spark, uri, id))
+      case None => df
+    }
+
+  /** Apply the table's CURRENT schema (the one every new commit writes
+    * under) — the write-path twin of [[evolveFor]].  `keep` columns
+    * (e.g. row-position metadata) pass through the projection. */
+  private def evolveCur(
+      spark: SparkSession, uri: String, df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    readTableProps(spark, uri).get("schema.current")
+      .flatMap(_.toIntOption) match {
+      case Some(id) => SchemaEvolution.evolveKeeping(df,
+        SchemaEvolution.readDef(spark, uri, id), keep)
+      case None => df
+    }
 
   /** DV-aware snapshot read: files without a deletion vector scan
     * plainly; files WITH one scan with their parquet row positions
@@ -193,7 +226,12 @@ object Snapshots extends Serializable {
       else withPos.join(deleted, Seq("__gdv_file", "__gdv_pos"), "left_anti")
     val live = joined.select(dataCols.map(col): _*)
     if (plain.isEmpty) live
-    else rawRead(spark, uri, plain.map(_.name)).unionByName(live)
+    // allowMissingColumns: on an evolved table the DV'd and plain file
+    // subsets can disagree on column names (pre- vs post-rename files);
+    // null-filling here is exact because the evolution projection
+    // coalesces the name variants right after
+    else rawRead(spark, uri, plain.map(_.name))
+      .unionByName(live, allowMissingColumns = true)
   }
 
   /** Deleted (qualified file path, position) rows, parsed from DV files
@@ -226,7 +264,7 @@ object Snapshots extends Serializable {
     new Path(uri + "_merge_tmp_" +
       java.util.UUID.randomUUID().toString.take(8))
 
-  private def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
+  private[io] def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
   private def manifestPath(uri: String, v: Int) =
     new Path(manifestDir(uri), f"v$v%06d.manifest")
 
@@ -408,7 +446,9 @@ object Snapshots extends Serializable {
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    if (entries.nonEmpty) dropHidden(spark, uri, readFiles(spark, uri, entries))
+    if (entries.nonEmpty)
+      evolveFor(spark, uri, v,
+        dropHidden(spark, uri, readFiles(spark, uri, entries)))
     else {
       // a DELETE WHERE matching every row publishes an empty manifest —
       // that version must stay readable (empty result, real schema).
@@ -424,7 +464,8 @@ object Snapshots extends Serializable {
       require(prior.isDefined,
         s"$uri v$v is empty and no ancestor version still has data " +
           "files to recover the schema from (expired?)")
-      val schema = dropHidden(spark, uri, rawRead(spark, uri, prior.get)).schema
+      val schema = evolveFor(spark, uri, v,
+        dropHidden(spark, uri, rawRead(spark, uri, prior.get))).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -470,7 +511,8 @@ object Snapshots extends Serializable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      dropHidden(spark, uri, readFiles(spark, uri, entries.filter(e => kept(e.name))))
+      evolveFor(spark, uri, v, dropHidden(spark, uri,
+        readFiles(spark, uri, entries.filter(e => kept(e.name)))))
         .filter(org.apache.spark.sql.functions.expr(predicate))
   }
 
@@ -512,7 +554,7 @@ object Snapshots extends Serializable {
       return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val target = readFiles(spark, uri, entries)
+    val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
 
     // same plan as the in-place MergeInto — only the publish differs.
     // Touched files re-read through their DVs (a prior merge-on-read
@@ -599,7 +641,7 @@ object Snapshots extends Serializable {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
     val byRel = entries.map(e => e.name -> e).toMap
-    val target = readFiles(spark, uri, entries)
+    val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
     // whole-file detection must compare against LIVE rows (footer count
     // minus any DV), and touched files re-read through their DVs
     val liveOf: String => Long = f => {
@@ -738,8 +780,8 @@ object Snapshots extends Serializable {
       if (touchedQual.isEmpty) return v
       val touched = touchedQual.map(relName(uri, _)).toSet
       val byRel = entries.map(e => e.name -> e).toMap
-      val touchedDf =
-        readFiles(spark, uri, touched.toSeq.map(byRel(_)))
+      val touchedDf = evolveFor(spark, uri, v,
+        readFiles(spark, uri, touched.toSeq.map(byRel(_))))
       val schemaOf = touchedDf.schema
       val rewritten = touchedDf.select(dataCols.map { c =>
         setMap.get(c) match {
@@ -770,9 +812,11 @@ object Snapshots extends Serializable {
   private def livePositions(
       spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
       : DataFrame = {
-    val raw = rawRead(spark, uri, entries.map(_.name))
-      .withColumn("__gdv_file", col("_metadata.file_path"))
-      .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val raw = evolveCur(spark, uri,
+      rawRead(spark, uri, entries.map(_.name))
+        .withColumn("__gdv_file", col("_metadata.file_path"))
+        .withColumn("__gdv_pos", col("_metadata.row_index")),
+      keep = Seq("__gdv_file", "__gdv_pos"))
     val dvd = entries.filter(_.dv.isDefined)
     if (dvd.isEmpty) raw
     else {
@@ -857,7 +901,8 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
       (files: Seq[String]): DataFrame = {
     val byRel = entries.map(e => e.name -> e).toMap
-    readFiles(spark, uri, files.map(f => byRel(relName(uri, f))))
+    evolveCur(spark, uri,
+      readFiles(spark, uri, files.map(f => byRel(relName(uri, f)))))
   }
 
   /** Footer row count of one data file — no data read. */
@@ -939,7 +984,10 @@ object Snapshots extends Serializable {
     fs.delete(tmp, true)
     try {
       packKeys.foreach { case (k, kv) => sqlConf.set(k, kv) }
-      writeTmp(readFiles(spark, uri, touched), tmp, partitionColsOf(entries))
+      // evolved tables normalize on rewrite: the compacted files carry
+      // the CURRENT column names/set, shrinking the coalesce surface
+      writeTmp(evolveCur(spark, uri, readFiles(spark, uri, touched)),
+        tmp, partitionColsOf(entries))
     } finally saved.foreach {
       case (k, Some(kv)) => sqlConf.set(k, kv)
       case (k, None)     => sqlConf.unset(k)
@@ -983,7 +1031,7 @@ object Snapshots extends Serializable {
     val totalBytes = names.map(nm =>
       fs.getFileStatus(new Path(uri, nm)).getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(spark, uri, touched)
+    val df = evolveCur(spark, uri, readFiles(spark, uri, touched))
     // range-cluster on the Morton key so each output file covers a
     // narrow z-range (tight min/max on EVERY listed column), then drop
     // the key — the table schema stays stable across versions and the
@@ -1033,7 +1081,8 @@ object Snapshots extends Serializable {
       val names = m.entries.map(_.name)
       m.kind match {
         case "append" => added ++= names.filterNot(prev)
-        case "compact" | "optimize" => // layout-only: same rows, new files
+        // layout/metadata-only commits: same rows
+        case "compact" | "optimize" | "stats" | "schema" => ()
         case other => throw new IllegalStateException(
           s"$uri v$v is a '$other' commit — readChanges supports " +
             "append-only ranges (compact/optimize commits are skipped); " +
@@ -1048,7 +1097,7 @@ object Snapshots extends Serializable {
       val schema = read(spark, uri, to).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else rawRead(spark, uri, files)
+    } else evolveFor(spark, uri, to, rawRead(spark, uri, files))
   }
 
   /**
@@ -1087,7 +1136,7 @@ object Snapshots extends Serializable {
     val fs = fsOf(spark, uri)
     val dataCols = read(spark, uri, to).schema.fieldNames.toSeq
     def tag(df: DataFrame, t: String, v: Int): DataFrame =
-      df.select(dataCols.map(col): _*)
+      evolveFor(spark, uri, to, df).select(dataCols.map(col): _*)
         .withColumn("_change_type", lit(t))
         .withColumn("_commit_version", lit(v.toLong))
 
@@ -1098,7 +1147,8 @@ object Snapshots extends Serializable {
       val prevByName = prev.map(e => e.name -> e).toMap
       val curNames = m.entries.map(_.name).toSet
       m.kind match {
-        case "compact" | "optimize" => // layout-only: no row change
+        // layout/metadata-only commits: no row change
+        case "compact" | "optimize" | "stats" | "schema" => ()
         case "append" =>
           val added = m.entries.collect {
             case e if !prevByName.contains(e.name) => e.name
@@ -1301,7 +1351,7 @@ object Snapshots extends Serializable {
     val rows = (1 to latest).flatMap { v =>
       if (!fs.exists(manifestPath(uri, v))) None // expired prefix
       else {
-        val Manifest(kind, _, cts, entries) = readManifestFull(spark, uri, v)
+        val Manifest(kind, _, cts, _, entries) = readManifestFull(spark, uri, v)
         val counts = entries.map(_.liveRows)
         val rowCount: Any =
           if (entries.isEmpty) 0L // delete-all version: zero rows
@@ -1367,7 +1417,7 @@ object Snapshots extends Serializable {
   private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int,
       entries: Seq[ManifestEntry], kind: String = "unknown",
-      mor: Boolean = false): Unit = {
+      mor: Boolean = false, schemaId: Option[Int] = None): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
     // writer-unique tmp: two racers targeting the same version must not
@@ -1391,9 +1441,15 @@ object Snapshots extends Serializable {
     // against (readAsOf); informational only — version order, not ts
     // order, is the source of truth
     val tsField = s" ts=${System.currentTimeMillis()}"
+    // schema pointer: explicit on alter commits, carried forward from
+    // table.properties on every other commit so time travel reads each
+    // version with the schema it was committed under
+    val sid = schemaId.orElse(
+      readTableProps(spark, uri).get("schema.current").flatMap(_.toIntOption))
+    val schemaField = sid.map(i => s" schema=$i").getOrElse("")
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"graft-manifest v4 kind=$kind$morField$tsField" +: lines)
+      ((s"graft-manifest v4 kind=$kind$morField$tsField$schemaField" +: lines)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // first-wins commit: a racing writer that published the same version
@@ -1434,7 +1490,7 @@ object Snapshots extends Serializable {
     * the live entry list. */
   private[io] final case class Manifest(
       kind: String, mor: Boolean, ts: Option[Long],
-      entries: Seq[ManifestEntry])
+      schemaId: Option[Int], entries: Seq[ManifestEntry])
 
   private[io] def readManifestFull(
       spark: SparkSession, uri: String, v: Int): Manifest = {
@@ -1460,6 +1516,9 @@ object Snapshots extends Serializable {
     val ts = header.split(" ").collectFirst {
       case a if a.startsWith("ts=") => a.stripPrefix("ts=")
     }.flatMap(_.toLongOption)
+    val schemaId = header.split(" ").collectFirst {
+      case a if a.startsWith("schema=") => a.stripPrefix("schema=")
+    }.flatMap(_.toIntOption)
     val entries = lines.tail.map { line =>
       val fields = line.split("\t", -1)
       val name = fields(0)
@@ -1474,7 +1533,7 @@ object Snapshots extends Serializable {
       }
       ManifestEntry(name, stats, dv)
     }
-    Manifest(kind, mor, ts, entries)
+    Manifest(kind, mor, ts, schemaId, entries)
   }
 
   /** Table-relative path of a data file (flat: the bare name;

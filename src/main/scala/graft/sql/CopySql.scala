@@ -151,6 +151,37 @@ object CopySql {
                  else { c.expectEnd(); "true" }
       return Some(DeleteWhereCommand(uri, pred, mor))
     }
+    if (c.tryKeyword("ALTER")) {
+      // only `ALTER TABLE '<uri>' ...` — a quoted target — is ours;
+      // Spark's own ALTER TABLE <ident> delegates untouched
+      if (!c.tryKeyword("TABLE") || !c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      if (c.tryKeyword("ADD")) {
+        c.expectKeyword("COLUMN")
+        val name = c.ident()
+        val tpe = c.rest().trim
+        if (tpe.isEmpty) throw new IllegalArgumentException(
+          s"ADD COLUMN $name needs a data type")
+        return Some(AlterColumnCommand(uri, "add", name, Some(tpe)))
+      }
+      if (c.tryKeyword("RENAME")) {
+        c.expectKeyword("COLUMN")
+        val from = c.ident()
+        c.expectKeyword("TO")
+        val to = c.ident()
+        c.expectEnd()
+        return Some(AlterColumnCommand(uri, "rename", from, Some(to)))
+      }
+      if (c.tryKeyword("DROP")) {
+        c.expectKeyword("COLUMN")
+        val name = c.ident()
+        c.expectEnd()
+        return Some(AlterColumnCommand(uri, "drop", name, None))
+      }
+      throw new IllegalArgumentException(
+        "ALTER TABLE '<uri>' supports ADD COLUMN <name> <type>, " +
+          "RENAME COLUMN <a> TO <b>, DROP COLUMN <name>")
+    }
     if (c.tryKeyword("MERGE")) {
       // only `MERGE INTO '<uri>' ...` — a quoted target — is ours;
       // Spark's own MERGE INTO <table> delegates untouched
@@ -469,6 +500,26 @@ final case class DeleteWhereCommand(
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.deleteWhereCommit(
       spark, uri, predicate, mergeOnRead).toLong))
+}
+
+/** `ALTER TABLE '<uri>' ADD COLUMN n <type> | RENAME COLUMN a TO b |
+  * DROP COLUMN n` → [[graft.io.SchemaEvolution]] metadata commits on a
+  * snapshot table; returns the committed version. */
+final case class AlterColumnCommand(
+    uri: String, op: String, name: String, arg: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = op match {
+      case "add" => graft.io.SchemaEvolution.addColumn(spark, uri, name,
+        org.apache.spark.sql.types.DataType.fromDDL(arg.get))
+      case "rename" =>
+        graft.io.SchemaEvolution.renameColumn(spark, uri, name, arg.get)
+      case "drop" => graft.io.SchemaEvolution.dropColumn(spark, uri, name)
+    }
+    Seq(Row(v.toLong))
+  }
 }
 
 /** `MERGE INTO '<uri>' USING (query)|'<src-uri>' ON k1 [, k2 ...]

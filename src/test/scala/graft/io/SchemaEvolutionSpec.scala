@@ -1,0 +1,165 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Schema evolution as metadata commits ([[SchemaEvolution]]):
+  * add/rename/drop without rewriting a single data file, version-
+  * pinned schemas for time travel, name-poisoning, DML and the change
+  * feed over evolved layouts, and normalizing rewrites. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    dir
+  }
+
+  private def mkTable(dir: String, n: Int = 10): Unit = {
+    (1 to n).map(i => (i.toLong, s"v$i", i * 1.5))
+      .toDF("id", "name", "amt").repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+  }
+
+  test("add column: old files null-fill, new appends carry values") {
+    val dir = fresh("se_add"); mkTable(dir)
+    val v1 = Snapshots.latestVersion(spark, dir)
+    SchemaEvolution.addColumn(spark, dir, "tag", StringType)
+    Snapshots.appendCommit(spark, dir,
+      Seq((11L, "v11", 1.0, "fresh")).toDF("id", "name", "amt", "tag"))
+    val df = Snapshots.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "name", "amt", "tag"))
+    assert(df.filter(col("id") <= 10 && col("tag").isNull).count() == 10)
+    assert(df.filter(col("id") === 11 && col("tag") === "fresh").count() == 1)
+    // time travel to pre-add shows the old schema
+    assert(Snapshots.read(spark, dir, v1).columns.toSeq ==
+      Seq("id", "name", "amt"))
+  }
+
+  test("rename: old files resolve through the former name, no rewrite") {
+    val dir = fresh("se_ren"); mkTable(dir)
+    val filesBefore = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new Path(dir)).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSet
+    val v1 = Snapshots.latestVersion(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "name", "title")
+    // metadata-only: zero data files touched
+    val filesAfter = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new Path(dir)).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSet
+    assert(filesBefore == filesAfter)
+    Snapshots.appendCommit(spark, dir,
+      Seq((11L, "v11", 1.0)).toDF("id", "title", "amt"))
+    val df = Snapshots.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "title", "amt"))
+    assert(df.filter(col("title") === "v3").count() == 1) // from an OLD file
+    assert(df.filter(col("title") === "v11").count() == 1) // from the new
+    assert(df.filter(col("title").isNull).isEmpty)
+    // readWhere on the renamed column still finds old-file rows
+    assert(Snapshots.readWhere(spark, dir, "title = 'v5'").count() == 1)
+    // time travel shows the pre-rename name
+    assert(Snapshots.read(spark, dir, v1).columns.contains("name"))
+  }
+
+  test("drop: data invisible now, visible in time travel; name poisoned") {
+    val dir = fresh("se_drop"); mkTable(dir)
+    val v1 = Snapshots.latestVersion(spark, dir)
+    SchemaEvolution.dropColumn(spark, dir, "name")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "amt"))
+    assert(Snapshots.read(spark, dir, v1).columns.contains("name"))
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.addColumn(spark, dir, "name", StringType)
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // rename TO a former name is poisoned the same way
+    SchemaEvolution.renameColumn(spark, dir, "amt", "amount")
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.renameColumn(spark, dir, "amount", "amt")
+    }
+  }
+
+  test("compact normalizes: rewritten files carry the current names") {
+    val dir = fresh("se_norm"); mkTable(dir)
+    SchemaEvolution.renameColumn(spark, dir, "name", "title")
+    SchemaEvolution.addColumn(spark, dir, "tag", StringType)
+    Snapshots.compactCommit(spark, dir, 512L * 1024 * 1024)
+    val live = Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).map(_.name)
+    val raw = spark.read.parquet(live.map(n => s"$dir/$n"): _*)
+    assert(raw.columns.toSeq == Seq("id", "title", "amt", "tag"))
+    val df = Snapshots.read(spark, dir).orderBy("id")
+    assert(df.filter(col("title") === "v7").count() == 1)
+    assert(df.count() == 10)
+  }
+
+  test("COW merge and MoR delete work on evolved tables (renamed keys)") {
+    val dir = fresh("se_dml"); mkTable(dir)
+    SchemaEvolution.renameColumn(spark, dir, "name", "title")
+    // COW merge keyed on id, updating the RENAMED column
+    Snapshots.mergeCommit(spark, dir,
+      Seq((3L, "patched", 0.0)).toDF("id", "title", "amt"), Seq("id"))
+    assert(Snapshots.read(spark, dir).filter(col("id") === 3)
+      .select("title").as[String].head() == "patched")
+    // MoR delete whose predicate names the renamed column — must match
+    // rows in files that store it under the OLD name
+    Snapshots.deleteWhereCommit(spark, dir, "title = 'v5'",
+      mergeOnRead = true)
+    val left = Snapshots.read(spark, dir)
+    assert(left.filter(col("title") === "v5").isEmpty)
+    assert(left.count() == 9)
+  }
+
+  test("row-level change feed crosses schema commits in logical names") {
+    val dir = fresh("se_cdc"); mkTable(dir, n = 4)
+    val v1 = Snapshots.latestVersion(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "name", "title")
+    Snapshots.appendCommit(spark, dir,
+      Seq((5L, "v5", 5.0)).toDF("id", "title", "amt"))
+    Snapshots.deleteWhereCommit(spark, dir, "id = 1", mergeOnRead = true)
+    val feed = Snapshots.readChangesRows(spark, dir, v1)
+      .orderBy("_commit_version", "id")
+      .select("id", "title", "_change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(feed == Seq((5L, "v5", "insert"), (1L, "v1", "delete")))
+  }
+
+  test("SQL ALTER TABLE routes to the metadata commits; unquoted delegates") {
+    val dir = fresh("se_sql"); mkTable(dir)
+    graft.sql.GraftSql.exec(spark,
+      s"ALTER TABLE '$dir' RENAME COLUMN name TO title")
+    graft.sql.GraftSql.exec(spark, s"ALTER TABLE '$dir' ADD COLUMN tag STRING")
+    val v = graft.sql.GraftSql.exec(spark,
+      s"ALTER TABLE '$dir' DROP COLUMN amt").head().getLong(0)
+    assert(v == 4L) // init + three schema commits
+    assert(Snapshots.read(spark, dir).columns.toSeq ==
+      Seq("id", "title", "tag"))
+    // Spark's own ALTER TABLE (unquoted ident) is not intercepted
+    assert(graft.sql.CopySql.parse("ALTER TABLE t ADD COLUMN x INT").isEmpty)
+  }
+
+  test("partition-column and transform-table alters are refused") {
+    val dir = fresh("se_part")
+    (1 to 8).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+      .toDF("id", "part", "amt")
+      .write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.renameColumn(spark, dir, "part", "bucket")
+    }
+    assert(e.getMessage.contains("partition"))
+    // add/rename of NON-partition columns on a partitioned table is fine
+    SchemaEvolution.renameColumn(spark, dir, "amt", "amount")
+    assert(Snapshots.read(spark, dir).columns.contains("amount"))
+    assert(Snapshots.readWhere(spark, dir, "part = 'p1' AND amount > 4")
+      .count() == 2)
+  }
+}
