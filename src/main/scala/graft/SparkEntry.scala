@@ -1816,6 +1816,51 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // streaming-maintained materialized aggregate: each micro-batch
+    // appends to the source snapshot table AND folds the batch's change
+    // feed into the view — a continuously-current aggregate with no
+    // full recompute anywhere.  Equality with the full group-by over
+    // the final source is the oracle
+    "stream_mview" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streammv_" +
+        new java.io.File(dir).getName
+      val src = s"$base/src"; val mv = s"$base/mv"
+      val feed = s"$base/feed"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), (col("c_custkey") % 25).as("grp"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      cust.filter(col("c_custkey") % 3 === 0)
+        .repartition(2).write.parquet(src)
+      io.Snapshots.init(s, src)
+      io.Mview.create(s, mv, src, Seq("grp"),
+        Seq(io.Mview.Count("n_cust"), io.Mview.Sum("bal_cents", "sum_bal")))
+      cust.filter(col("c_custkey") % 3 === 1)
+        .coalesce(1).write.parquet(s"$feed/b1")
+      cust.filter(col("c_custkey") % 3 === 2)
+        .coalesce(1).write.parquet(s"$feed/b2")
+      val q = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$feed/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            io.Snapshots.retryCommit() {
+              io.Snapshots.appendCommit(s, src, batch)
+            }
+            io.Mview.refresh(s, mv)
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      io.Mview.read(s, mv).orderBy("grp")
+    }),
+
     // streaming-maintained BM25 index: each micro-batch of ingested
     // documents appends its postings to a snapshot table (an MVCC
     // version per batch); serving derives df/N/avgdl from the postings
@@ -3657,6 +3702,11 @@ object SparkEntry {
     "stream_snapshot_source" ->
       ("SELECT * FROM customer WHERE c_custkey % 3 <> 0 " +
         "ORDER BY c_custkey"),
+
+    "stream_mview" ->
+      ("SELECT c_custkey % 25 AS grp, count(*) AS n_cust, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_bal FROM customer GROUP BY 1 ORDER BY 1"),
 
     "stream_static_join" ->
       ("SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, " +

@@ -151,6 +151,49 @@ object CopySql {
                  else { c.expectEnd(); "true" }
       return Some(DeleteWhereCommand(uri, pred, mor))
     }
+    if (c.tryKeyword("CREATE")) {
+      // only `CREATE MATERIALIZED VIEW '<uri>' AS SELECT ...` is ours
+      if (!c.tryKeyword("MATERIALIZED")) return None
+      c.expectKeyword("VIEW")
+      if (!c.peekIs('\'')) return None
+      val mvUri = c.stringLit()
+      c.expectKeyword("AS")
+      c.expectKeyword("SELECT")
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      var more = true
+      while (more) {
+        val it = c.exprUntil("FROM") // stops at top-level ',' or FROM
+        if (it.isEmpty) throw new IllegalArgumentException(
+          "empty SELECT item in CREATE MATERIALIZED VIEW")
+        items += it
+        if (c.peekIs(',')) c.expectChar(',') else more = false
+      }
+      c.expectKeyword("FROM")
+      if (!c.peekIs('\'')) throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW needs a quoted snapshot-table source uri")
+      val srcUri = c.stringLit()
+      c.expectKeyword("GROUP")
+      c.expectKeyword("BY")
+      val groups = splitIdents(c.rest())
+      if (groups.isEmpty) throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW needs GROUP BY columns")
+      val (selGroups, aggs) = parseMviewItems(items.toSeq)
+      if (selGroups.sorted != groups.sorted)
+        throw new IllegalArgumentException(
+          s"SELECT's plain columns (${selGroups.mkString(",")}) must " +
+            s"match GROUP BY (${groups.mkString(",")})")
+      return Some(CreateMviewCommand(mvUri, srcUri, groups, aggs))
+    }
+    if (c.tryKeyword("REFRESH")) {
+      // only `REFRESH MATERIALIZED VIEW '<uri>'` is ours (Spark's own
+      // REFRESH TABLE/FUNCTION delegates)
+      if (!c.tryKeyword("MATERIALIZED")) return None
+      c.expectKeyword("VIEW")
+      if (!c.peekIs('\'')) return None
+      val mvUri = c.stringLit()
+      c.expectEnd()
+      return Some(RefreshMviewCommand(mvUri))
+    }
     if (c.tryKeyword("ALTER")) {
       // only `ALTER TABLE '<uri>' ...` — a quoted target — is ours;
       // Spark's own ALTER TABLE <ident> delegates untouched
@@ -305,6 +348,36 @@ object CopySql {
 
   /** The one option UPDATE/DELETE take: `WITH (merge_on_read [true])`
     * selects the deletion-vector commit strategy. */
+  private val MviewAggRe =
+    """(?i)^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg)\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+  private val MviewIdentRe = """^\w+$""".r
+
+  /** SELECT items of CREATE MATERIALIZED VIEW: plain idents (the group
+    * columns) and the self-maintainable aggregates `count(*) AS a`,
+    * `sum(col) AS a`, `avg(col) AS a` — the restriction is what makes
+    * incremental refresh from the change feed possible. */
+  private def parseMviewItems(items: Seq[String])
+      : (Seq[String], Seq[graft.io.Mview.Agg]) = {
+    val groups = Seq.newBuilder[String]
+    val aggs = Seq.newBuilder[graft.io.Mview.Agg]
+    items.foreach { raw =>
+      val it = raw.trim
+      it match {
+        case MviewIdentRe() => groups += it
+        case MviewAggRe(cnt, ca, fn, colName, a) =>
+          if (cnt != null) aggs += graft.io.Mview.Count(ca)
+          else if (fn.toLowerCase(Locale.ROOT) == "sum")
+            aggs += graft.io.Mview.Sum(colName, a)
+          else aggs += graft.io.Mview.Avg(colName, a)
+        case other => throw new IllegalArgumentException(
+          s"unsupported SELECT item '$other' — a materialized view " +
+            "takes plain group columns and count(*)/sum(col)/avg(col) " +
+            "with AS aliases (the incrementally-maintainable shapes)")
+      }
+    }
+    (groups.result(), aggs.result())
+  }
+
   private def parseMorOptions(c: Cursor, stmt: String): Boolean =
     parseOptionList(c).foldLeft(false) {
       case (_, ("merge_on_read", v)) =>
@@ -500,6 +573,31 @@ final case class DeleteWhereCommand(
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.deleteWhereCommit(
       spark, uri, predicate, mergeOnRead).toLong))
+}
+
+/** `CREATE MATERIALIZED VIEW '<mv-uri>' AS SELECT g, count(*) AS n,
+  * sum(x) AS sx FROM '<src-uri>' GROUP BY g` → [[graft.io.Mview.create]]
+  * (full compute once; REFRESH maintains incrementally).  Returns the
+  * source version the view reflects. */
+final case class CreateMviewCommand(
+    mvUri: String, srcUri: String, groupCols: Seq[String],
+    aggs: Seq[graft.io.Mview.Agg]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("src_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.io.Mview.create(
+      spark, mvUri, srcUri, groupCols, aggs).toLong))
+}
+
+/** `REFRESH MATERIALIZED VIEW '<mv-uri>'` → [[graft.io.Mview.refresh]]:
+  * folds the source's change feed into the view.  Returns the source
+  * version the view now reflects. */
+final case class RefreshMviewCommand(mvUri: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("src_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.io.Mview.refresh(spark, mvUri).toLong))
 }
 
 /** `ALTER TABLE '<uri>' ADD COLUMN n <type> | RENAME COLUMN a TO b |

@@ -117,6 +117,31 @@ class MviewSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 2L, 5.0)))
   }
 
+  test("SQL CREATE/REFRESH MATERIALIZED VIEW route; unquoted delegates") {
+    val src = fresh("mv_src_sql"); val mv = fresh("mv_view_sql")
+    srcTable(src, (1L to 20L).map(i =>
+      (i, s"g${i % 4}", java.lang.Double.valueOf(i.toDouble))))
+    graft.sql.GraftSql.exec(spark,
+      s"CREATE MATERIALIZED VIEW '$mv' AS SELECT grp, count(*) AS n, " +
+        s"sum(x) AS sx, avg(x) AS ax FROM '$src' GROUP BY grp")
+    Snapshots.appendCommit(spark, src,
+      Seq((99L, "g0", java.lang.Double.valueOf(100.0)))
+        .toDF("id", "grp", "x"))
+    val v = graft.sql.GraftSql.exec(spark,
+      s"REFRESH MATERIALIZED VIEW '$mv'").head().getLong(0)
+    assert(v == Snapshots.latestVersion(spark, src))
+    assert(got(mv) == expected(src))
+    // Spark's own CREATE/REFRESH forms delegate
+    assert(graft.sql.CopySql.parse("CREATE TABLE t (x INT)").isEmpty)
+    assert(graft.sql.CopySql.parse("REFRESH TABLE t").isEmpty)
+    // non-maintainable SELECT items fail loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.CopySql.parse(s"CREATE MATERIALIZED VIEW '/tmp/x' AS " +
+        s"SELECT grp, max(x) AS mx FROM '/tmp/y' GROUP BY grp")
+    }
+    assert(e.getMessage.contains("maintainable"))
+  }
+
   test("min/max and null group keys are refused with clear errors") {
     val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
     srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))
