@@ -728,6 +728,31 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // row-level change feed over COPY-ON-WRITE DML: with change-data
+    // capture on, an update commit records delete-pre + insert-post
+    // images and a delete commit its removed rows — the feed reads the
+    // recorded kilobyte delta, never a table diff.  (MoR commits derive
+    // their delta from DVs for free; CDC is what closes the COW gap)
+    "io_snapshot_cdf" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.enableChangeData(s, uri)
+      io.Snapshots.updateWhereCommit(s, uri, "o_orderkey % 100 = 3",
+        Seq(("cents", "cents + 100")))
+      io.Snapshots.deleteWhereCommit(s, uri, "o_orderkey % 100 = 7")
+      io.Snapshots.readChangesRows(s, uri, 1)
+        .orderBy("_commit_version", "_change_type", "o_orderkey",
+          "o_custkey", "cents")
+    }),
+
     // schema evolution as METADATA commits: rename + add without
     // touching a data file — files written before the rename resolve
     // through the former name, files predating the add null-fill, and
@@ -3120,6 +3145,20 @@ object SparkEntry {
     "io_optimize_where" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_snapshot_cdf" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_custkey, cents, 'delete' AS _change_type, " +
+        "CAST(2 AS BIGINT) AS _commit_version FROM base " +
+        "WHERE o_orderkey % 100 = 3 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, cents + 100, 'insert', " +
+        "2 FROM base WHERE o_orderkey % 100 = 3 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, cents, 'delete', " +
+        "3 FROM base WHERE o_orderkey % 100 = 7) " +
+        "ORDER BY _commit_version, _change_type, o_orderkey, o_custkey, " +
+        "cents"),
 
     "io_schema_evolution" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice AS price_usd, " +

@@ -565,6 +565,26 @@ object Snapshots extends Serializable {
     val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)
+    // change-data capture: pre-images are the matched rows of the
+    // TOUCHED files (matches live nowhere else by construction), post-
+    // images the surviving upserts — staged now, published only once
+    // the manifest rename proves this commit owns the version
+    val cdcTmp =
+      if (!cdcEnabled(spark, uri)) None
+      else {
+        val dataCols = target.columns.toSeq
+        val keyDf = updates.select(keyCols.map(col): _*)
+        val preSrc =
+          if (touchedAbs.isEmpty) target.limit(0)
+          else dvAwareTouched(spark, uri, entries)(touchedAbs.toSeq)
+        val pre = preSrc.join(keyDf.hint("broadcast"), keyCols, "left_semi")
+          .select(dataCols.map(col): _*)
+        val post = (deleteCol match {
+          case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+          case None => updates
+        }).select(dataCols.map(col): _*)
+        Some(stageCdc(spark, uri, Some(pre), Some(post)))
+      }
     val tmp = commitTmp(uri)
     fs.delete(tmp, true)
     writeTmp(replacement, tmp, partitionColsOf(entries))
@@ -574,6 +594,7 @@ object Snapshots extends Serializable {
     writeManifest(spark, uri, newV,
       entries.filterNot(e => touched.contains(e.name)) ++
         entriesFor(spark, uri, moved), kind = "merge")
+    cdcTmp.foreach(publishCdc(fs, uri, _, newV))
     newV
   }
 
@@ -656,6 +677,18 @@ object Snapshots extends Serializable {
     if (dropWhole.isEmpty && touched.isEmpty) return v
 
     val fs = fsOf(spark, uri)
+    // change-data capture: the deleted rows are exactly the predicate
+    // matches of the affected files (SQL NULL-keep semantics: a NULL
+    // predicate row is kept, so pre-images are pred === true)
+    val cdcTmp =
+      if (!cdcEnabled(spark, uri)) None
+      else {
+        val affected = (dropWhole ++ touched).toSeq
+        val pre = dvAwareTouched(spark, uri, entries)(affected)
+          .filter(expr(predicate))
+          .select(target.columns.toSeq.map(col): _*)
+        Some(stageCdc(spark, uri, Some(pre), None))
+      }
     val newV = v + 1
     val moved = replacement match {
       case Some(r) =>
@@ -669,6 +702,7 @@ object Snapshots extends Serializable {
     writeManifest(spark, uri, newV,
       entries.filterNot(e => gone.contains(e.name)) ++
         entriesFor(spark, uri, moved), kind = "delete")
+    cdcTmp.foreach(publishCdc(fs, uri, _, newV))
     newV
   }
 
@@ -793,6 +827,21 @@ object Snapshots extends Serializable {
         }
       }: _*).coalesce(math.max(1, touched.size))
       val fs = fsOf(spark, uri)
+      // change-data capture: pre-images = the matched rows as they
+      // were; post-images = the same rows through the SET projection
+      val cdcTmp =
+        if (!cdcEnabled(spark, uri)) None
+        else {
+          val matchedRows = touchedDf.filter(pred)
+          val post = matchedRows.select(dataCols.map { c =>
+            setMap.get(c) match {
+              case Some(e) => expr(e).cast(schemaOf(c).dataType).as(c)
+              case None => col(c)
+            }
+          }: _*)
+          Some(stageCdc(spark, uri,
+            Some(matchedRows.select(dataCols.map(col): _*)), Some(post)))
+        }
       val tmp = commitTmp(uri)
       fs.delete(tmp, true)
       writeTmp(rewritten, tmp, partCols)
@@ -801,6 +850,7 @@ object Snapshots extends Serializable {
       writeManifest(spark, uri, newV,
         entries.filterNot(e => touched.contains(e.name)) ++
           entriesFor(spark, uri, moved), kind = "update")
+      cdcTmp.foreach(publishCdc(fs, uri, _, newV))
       newV
     }
   }
@@ -1194,12 +1244,26 @@ object Snapshots extends Serializable {
                 Seq("__gdv_file", "__gdv_pos"), "left_semi")
             pieces += tag(joined, "delete", v)
           }
+        case k @ ("delete" | "merge" | "update")
+            if fs.exists(new Path(changesPath(uri, v), "_SUCCESS")) =>
+          // copy-on-write commit with RECORDED change data (cdc.cow):
+          // the staged pre/post images ARE the delta — read them
+          val cdcDf = spark.read.parquet(changesPath(uri, v).toString)
+          val evolved = readManifestFull(spark, uri, to).schemaId match {
+            case Some(id) => SchemaEvolution.evolveKeeping(cdcDf,
+              SchemaEvolution.readDef(spark, uri, id), Seq("_change_type"))
+            case None => cdcDf
+          }
+          pieces += evolved
+            .select((dataCols.map(col) :+ col("_change_type")): _*)
+            .withColumn("_commit_version", lit(v.toLong))
         case other => throw new IllegalStateException(
           s"$uri v$v is a copy-on-write '$other' commit — the " +
             "row-level feed requires merge-on-read commits " +
-            "(mergeOnRead = true), whose delta is fully recorded in " +
-            "deletion vectors and new files; read full versions " +
-            "around copy-on-write rewrites")
+            "(mergeOnRead = true, whose delta is fully recorded in " +
+            "deletion vectors and new files) or change-data capture " +
+            "(Snapshots.enableChangeData before the commit); read " +
+            "full versions around unrecorded copy-on-write rewrites")
       }
       prev = m.entries
     }
@@ -1244,6 +1308,56 @@ object Snapshots extends Serializable {
 
   /** Drop manifests older than the last `keepVersions` and delete data
     * files no surviving manifest references.  Returns removed paths. */
+  // ---- change-data files for COPY-ON-WRITE commits (Delta CDF's
+  // trade, reduced to its essence): a COW rewrite mixes changed rows
+  // with carried ones, so its row delta is unrecoverable from metadata
+  // — unless the commit RECORDS it.  With `cdc.cow` enabled, every COW
+  // merge/delete/update stages its pre-images (deletes) and
+  // post-images (inserts) as parquet under `_graft_changes/v<N>/`,
+  // published only after the manifest rename decides the commit owns
+  // version N.  The feed then reads the recorded delta — kilobytes to
+  // megabytes — instead of refusing.  The extra write costs one pass
+  // over the TOUCHED files' matched rows, never a table scan.
+  private[io] val ChangesDir = "_graft_changes"
+  private def changesPath(uri: String, v: Int) =
+    new Path(uri, s"$ChangesDir/v$v")
+
+  /** Opt this table into change-data capture for copy-on-write DML —
+    * after this, [[readChangesRows]] works across COW merge/delete/
+    * update commits too. */
+  def enableChangeData(spark: SparkSession, uri: String): Unit =
+    writeTableProps(spark, uri,
+      readTableProps(spark, uri) + ("cdc.cow" -> "true"))
+
+  private def cdcEnabled(spark: SparkSession, uri: String): Boolean =
+    readTableProps(spark, uri).get("cdc.cow").contains("true")
+
+  /** Stage a commit's row delta into a uniquely-stamped sibling dir
+    * (same `_merge_tmp` family VACUUM sweeps, so a losing racer's
+    * strand is reclaimed).  `pre` rows record as deletes, `post` rows
+    * as inserts. */
+  private def stageCdc(
+      spark: SparkSession, uri: String,
+      pre: Option[DataFrame], post: Option[DataFrame]): Path = {
+    val tmp = new Path(uri + "_merge_tmp_cdc_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val fs = fsOf(spark, uri)
+    fs.delete(tmp, true)
+    val parts = pre.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
+      post.map(_.withColumn("_change_type", lit("insert")))
+    parts.reduce(_.unionByName(_)).coalesce(1).write.parquet(tmp.toString)
+    tmp
+  }
+
+  private def publishCdc(
+      fs: org.apache.hadoop.fs.FileSystem, uri: String, tmp: Path,
+      v: Int): Unit = {
+    val dst = changesPath(uri, v)
+    fs.mkdirs(dst.getParent)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"change-data publish for v$v failed")
+  }
+
   def expire(
       spark: SparkSession, uri: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
@@ -1274,6 +1388,16 @@ object Snapshots extends Serializable {
     // DV sidecars live under an underscore dir listDataFiles skips —
     // sweep the ones no surviving manifest references (superseded by a
     // re-delete, orphaned by a losing racer, or fully-deleted files')
+    val chDir = new Path(uri, ChangesDir)
+    if (fs.exists(chDir)) {
+      fs.listStatus(chDir).foreach { st =>
+        val vn = st.getPath.getName.stripPrefix("v").toIntOption
+        if (vn.exists(_ < cutoff)) {
+          fs.delete(st.getPath, true)
+          removed += st.getPath.toString
+        }
+      }
+    }
     val dvDir = new Path(uri, DeletionVectors.Dir)
     if (fs.exists(dvDir)) {
       val keepDv = (cutoff to latest)

@@ -1,0 +1,116 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Change-data capture for COPY-ON-WRITE commits: with `cdc.cow`
+  * enabled, merge/delete/update record their pre/post images under
+  * `_graft_changes/v<N>/` and [[Snapshots.readChangesRows]] reads the
+  * recorded delta instead of refusing.  The feed must equal what the
+  * same operations produce through the merge-on-read path. */
+class ChangeDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String, n: Int = 20): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to n).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+      .toDF("k", "amt", "name")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.enableChangeData(spark, dir)
+    dir
+  }
+
+  private def feed(dir: String, from: Int): Seq[(Long, Long, String, String, Long)] =
+    Snapshots.readChangesRows(spark, dir, from)
+      .orderBy("_commit_version", "_change_type", "k")
+      .select("k", "amt", "name", "_change_type", "_commit_version")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+
+  test("COW merge records update as delete+insert, insert, and delete") {
+    val dir = fresh("cdc_merge")
+    Snapshots.mergeCommit(spark, dir,
+      Seq((3L, 999L, "up", false), (99L, 1L, "new", false),
+        (5L, 0L, "", true)).toDF("k", "amt", "name", "__del"),
+      Seq("k"), deleteCol = Some("__del"))
+    val f = feed(dir, 1)
+    assert(f == Seq(
+      (3L, 30L, "v3", "delete", 2L),   // update pre-image
+      (5L, 50L, "v5", "delete", 2L),   // delete pre-image
+      (3L, 999L, "up", "insert", 2L),  // update post-image
+      (99L, 1L, "new", "insert", 2L))) // plain insert
+  }
+
+  test("COW delete records exactly the removed rows; update pre+post") {
+    val dir = fresh("cdc_dml")
+    Snapshots.deleteWhereCommit(spark, dir, "k <= 2")
+    Snapshots.updateWhereCommit(spark, dir, "k = 4",
+      Seq(("amt", "amt + 5"), ("name", "'patched'")))
+    val f = feed(dir, 1)
+    assert(f == Seq(
+      (1L, 10L, "v1", "delete", 2L), (2L, 20L, "v2", "delete", 2L),
+      (4L, 40L, "v4", "delete", 3L), (4L, 45L, "patched", "insert", 3L)))
+  }
+
+  test("CDC feed equals the merge-on-read feed for the same operations") {
+    val a = fresh("cdc_eq_cow"); val b = fresh("cdc_eq_mor")
+    def run(dir: String, mor: Boolean): Unit = {
+      Snapshots.mergeCommit(spark, dir,
+        Seq((7L, 77L, "x", false), (21L, 1L, "y", false))
+          .toDF("k", "amt", "name", "__del"),
+        Seq("k"), deleteCol = Some("__del"), mergeOnRead = mor)
+      Snapshots.deleteWhereCommit(spark, dir, "k = 9", mergeOnRead = mor)
+    }
+    run(a, mor = false); run(b, mor = true)
+    assert(feed(a, 1) == feed(b, 1))
+    // and the tables agree too
+    assert(Snapshots.read(spark, a).orderBy("k").collect().toSeq ==
+      Snapshots.read(spark, b).orderBy("k").collect().toSeq)
+  }
+
+  test("unrecorded COW commits still refuse; expire sweeps change dirs") {
+    val dir = fresh("cdc_off", n = 6)
+    // disable AFTER init: commit without recording
+    Snapshots.writeTableProps(spark, dir,
+      Snapshots.readTableProps(spark, dir) - "cdc.cow")
+    Snapshots.deleteWhereCommit(spark, dir, "k = 1")
+    val e = intercept[IllegalStateException] {
+      Snapshots.readChangesRows(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("enableChangeData"))
+
+    val dir2 = fresh("cdc_expire", n = 6)
+    Snapshots.deleteWhereCommit(spark, dir2, "k = 1")
+    Snapshots.deleteWhereCommit(spark, dir2, "k = 2")
+    val fs = new Path(dir2).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(dir2, s"${Snapshots.ChangesDir}/v2")))
+    Snapshots.expire(spark, dir2, keepVersions = 1)
+    assert(!fs.exists(new Path(dir2, s"${Snapshots.ChangesDir}/v2")))
+    assert(fs.exists(new Path(dir2, s"${Snapshots.ChangesDir}/v3")))
+  }
+
+  test("materialized view refreshes off COW commits once CDC is on") {
+    val src = fresh("cdc_mv_src"); val mv = TestSpark.tmpDir("cdc_mv_view")
+    new Path(mv).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(mv), true)
+    Mview.create(spark, mv, src, Seq("name"),
+      Seq(Mview.Count("n"), Mview.Sum("amt", "sx")))
+    // COPY-ON-WRITE delete + merge — previously fatal for refresh
+    Snapshots.deleteWhereCommit(spark, src, "k <= 3")
+    Snapshots.mergeCommit(spark, src,
+      Seq((10L, 1L, "v10")).toDF("k", "amt", "name"), Seq("k"))
+    Mview.refresh(spark, mv)
+    val expected = Snapshots.read(spark, src).groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("amt").as("sx"))
+      .orderBy("name").as[(String, Long, Long)].collect().toSeq
+    val got = Mview.read(spark, mv).orderBy("name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}
