@@ -97,10 +97,15 @@ object Mview {
    * Returns the source version the view reflects.
    */
   def create(spark: SparkSession, mvUri: String, srcUri: String,
-      groupCols: Seq[String], aggs: Seq[Agg]): Int = {
+      groupCols: Seq[String], aggs: Seq[Agg],
+      where: Option[String] = None): Int = {
     validate(groupCols, aggs)
     val srcV = Snapshots.latestVersion(spark, srcUri)
-    val src = Snapshots.read(spark, srcUri, srcV)
+    // the filter applies IDENTICALLY to full compute and to change-feed
+    // deltas (a row's membership never depends on other rows), which is
+    // exactly what keeps a filtered view incrementally maintainable
+    val src = where.foldLeft(Snapshots.read(spark, srcUri, srcV))(
+        (d, p) => d.filter(expr(p)))
       .withColumn("__sign", lit(1L))
     requireNonNullKeys(src.select(groupCols.map(col): _*).distinct(),
       groupCols, "the source")
@@ -121,13 +126,14 @@ object Mview {
         case Sum(c, a) => s"sum:${enc(c)}:${enc(a)}"
         case Avg(c, a) => s"avg:${enc(c)}:${enc(a)}"
       }.mkString(","),
-      "mview.src_version" -> srcV.toString)
+      "mview.src_version" -> srcV.toString) ++
+      where.map(w => "mview.where" -> enc(w))
     Snapshots.writeTableProps(spark, mvUri, props)
     srcV
   }
 
   private def definitionOf(spark: SparkSession, mvUri: String)
-      : (String, Seq[String], Seq[Agg], Int) = {
+      : (String, Seq[String], Seq[Agg], Int, Option[String]) = {
     val props = Snapshots.readTableProps(spark, mvUri)
     val src = props.getOrElse("mview.src",
       throw new IllegalStateException(s"$mvUri is not a materialized view"))
@@ -141,7 +147,8 @@ object Mview {
           s"unreadable mview agg spec '$s'")
       }
     }
-    (dec(src), groups, aggs, props("mview.src_version").toInt)
+    (dec(src), groups, aggs, props("mview.src_version").toInt,
+      props.get("mview.where").map(dec))
   }
 
   /**
@@ -154,10 +161,12 @@ object Mview {
    * reflected (no-op when already current).
    */
   def refresh(spark: SparkSession, mvUri: String): Int = {
-    val (srcUri, groupCols, aggs, lastV) = definitionOf(spark, mvUri)
+    val (srcUri, groupCols, aggs, lastV, where) = definitionOf(spark, mvUri)
     val curV = Snapshots.latestVersion(spark, srcUri)
     if (curV == lastV) return lastV
-    val changes = Snapshots.readChangesRows(spark, srcUri, lastV, curV)
+    val changes = where.foldLeft(
+        Snapshots.readChangesRows(spark, srcUri, lastV, curV))(
+        (d, p) => d.filter(expr(p)))
       .withColumn("__sign",
         when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     val accs = storageAggs(aggs)
@@ -198,7 +207,7 @@ object Mview {
     * aggregate (avg derived from its sum/count pair; empty-count avg is
     * NULL, like SQL). */
   def read(spark: SparkSession, mvUri: String): DataFrame = {
-    val (_, groupCols, aggs, _) = definitionOf(spark, mvUri)
+    val (_, groupCols, aggs, _, _) = definitionOf(spark, mvUri)
     val df = Snapshots.read(spark, mvUri)
     df.select(groupCols.map(col) ++ aggs.map {
       case Count(a)  => col(a)

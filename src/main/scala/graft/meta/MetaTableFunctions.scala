@@ -43,7 +43,10 @@ object MetaTableFunctions {
     ("parquet_column_stats", "_FUNC_(glob) - min/max/nulls merged across row groups",
       ParquetInfo.columnStats),
     ("parquet_bloom_filters", "_FUNC_(glob) - per column-chunk bloom filter presence",
-      ParquetInfo.bloomFilters))
+      ParquetInfo.bloomFilters),
+    ("parquet_mview",
+      "_FUNC_(uri) - a materialized view's user-facing rows (avg derived)",
+      (s: SparkSession, path: String) => graft.io.Mview.read(s, path)))
 
   /** Table-function builders in the shape `injectTableFunction` and
     * `TableFunctionRegistry.registerFunction` both accept. */

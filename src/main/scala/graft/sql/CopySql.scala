@@ -172,6 +172,9 @@ object CopySql {
       if (!c.peekIs('\'')) throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW needs a quoted snapshot-table source uri")
       val srcUri = c.stringLit()
+      val where =
+        if (c.tryKeyword("WHERE")) Some(c.exprUntil("GROUP")).filter(_.nonEmpty)
+        else None
       c.expectKeyword("GROUP")
       c.expectKeyword("BY")
       val groups = splitIdents(c.rest())
@@ -182,7 +185,7 @@ object CopySql {
         throw new IllegalArgumentException(
           s"SELECT's plain columns (${selGroups.mkString(",")}) must " +
             s"match GROUP BY (${groups.mkString(",")})")
-      return Some(CreateMviewCommand(mvUri, srcUri, groups, aggs))
+      return Some(CreateMviewCommand(mvUri, srcUri, groups, aggs, where))
     }
     if (c.tryKeyword("REFRESH")) {
       // only `REFRESH MATERIALIZED VIEW '<uri>'` is ours (Spark's own
@@ -581,12 +584,13 @@ final case class DeleteWhereCommand(
   * source version the view reflects. */
 final case class CreateMviewCommand(
     mvUri: String, srcUri: String, groupCols: Seq[String],
-    aggs: Seq[graft.io.Mview.Agg]) extends LeafRunnableCommand {
+    aggs: Seq[graft.io.Mview.Agg], where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("src_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.io.Mview.create(
-      spark, mvUri, srcUri, groupCols, aggs).toLong))
+      spark, mvUri, srcUri, groupCols, aggs, where).toLong))
 }
 
 /** `REFRESH MATERIALIZED VIEW '<mv-uri>'` → [[graft.io.Mview.refresh]]:

@@ -142,6 +142,28 @@ class MviewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maintainable"))
   }
 
+  test("filtered view (WHERE) maintains only matching rows; parquet_mview") {
+    val src = fresh("mv_src_where"); val mv = fresh("mv_view_where")
+    srcTable(src, (1L to 20L).map(i =>
+      (i, s"g${i % 3}", java.lang.Double.valueOf(i.toDouble))))
+    graft.sql.GraftSql.exec(spark,
+      s"CREATE MATERIALIZED VIEW '$mv' AS SELECT grp, count(*) AS n, " +
+        s"sum(x) AS sx FROM '$src' WHERE x > 5 GROUP BY grp")
+    // one append inside the filter, one outside, one MoR delete inside
+    Snapshots.appendCommit(spark, src,
+      Seq((50L, "g0", java.lang.Double.valueOf(9.0)),
+        (51L, "g1", java.lang.Double.valueOf(2.0))).toDF("id", "grp", "x"))
+    Snapshots.deleteWhereCommit(spark, src, "id = 7", mergeOnRead = true)
+    graft.sql.GraftSql.exec(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    val exp = Snapshots.read(spark, src).filter(col("x") > 5)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .orderBy("grp").as[(String, Long, Double)].collect().toSeq
+    graft.meta.MetaTableFunctions.register(spark)
+    val viaFn = spark.sql(s"SELECT * FROM parquet_mview('$mv') ORDER BY grp")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(viaFn == exp)
+  }
+
   test("min/max and null group keys are refused with clear errors") {
     val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
     srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))

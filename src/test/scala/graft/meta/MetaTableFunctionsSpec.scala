@@ -106,7 +106,7 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
     assert(MetaTableFunctions.builders.map(_._1.funcName).toSet == Set(
       "parquet_list", "parquet_schema", "parquet_metadata",
       "parquet_file_metadata", "parquet_kv_metadata",
-      "parquet_column_stats", "parquet_bloom_filters",
+      "parquet_column_stats", "parquet_bloom_filters", "parquet_mview",
       "parquet_snapshot", "parquet_snapshot_files",
       "parquet_snapshot_changes", "parquet_snapshot_history"))
   }
