@@ -291,6 +291,25 @@ object SnapshotStats extends Serializable {
     * prunes a file when BOTH branches are disproven, and a NOT / UDF /
     * subquery anywhere degrades only ITS branch, never the whole
     * predicate. */
+  /** Rewrite a predicate so RENAMED columns keep pruning files written
+    * under their former names: each leaf on a renamed column becomes the
+    * AND of the same test over every name variant.  AND is the correct
+    * combinator — a file stores exactly ONE variant, the tests on the
+    * variants it lacks have no stats and return may-match, so the AND
+    * reduces to the test on the file's own name.  (OR would always be
+    * may-match and kill pruning.) */
+  private[io] def withNameVariants(
+      p: Pred, renames: Map[String, Seq[String]]): Pred = p match {
+    case AndP(l, r) =>
+      AndP(withNameVariants(l, renames), withNameVariants(r, renames))
+    case OrP(l, r) =>
+      OrP(withNameVariants(l, renames), withNameVariants(r, renames))
+    case LeafP(c) if renames.contains(c.column) =>
+      (c.column +: renames(c.column))
+        .map(n => LeafP(c.copy(column = n)): Pred).reduce(AndP(_, _))
+    case other => other
+  }
+
   private[io] sealed trait Pred
   private[io] final case class AndP(l: Pred, r: Pred) extends Pred
   private[io] final case class OrP(l: Pred, r: Pred) extends Pred

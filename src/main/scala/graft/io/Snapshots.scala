@@ -184,6 +184,16 @@ object Snapshots extends Serializable {
       case None => df
     }
 
+  /** Rename history of version `v`'s schema (empty when unevolved) —
+    * lets stats pruning keep working on files written under former
+    * column names. */
+  private def renamesFor(
+      spark: SparkSession, uri: String, v: Int): Map[String, Seq[String]] =
+    readManifestFull(spark, uri, v).schemaId match {
+      case Some(id) => SchemaEvolution.readDef(spark, uri, id).renames
+      case None => Map.empty
+    }
+
   /** Apply the table's CURRENT schema (the one every new commit writes
     * under) — the write-path twin of [[evolveFor]].  `keep` columns
     * (e.g. row-position metadata) pass through the projection. */
@@ -504,8 +514,8 @@ object Snapshots extends Serializable {
       version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    val kept =
-      pruneEntries(spark, entries, predicate, transformsOf(spark, uri)).toSet
+    val kept = pruneEntries(spark, entries, predicate,
+      transformsOf(spark, uri), renamesFor(spark, uri, v)).toSet
     if (kept.isEmpty) {
       val schema = read(spark, uri, v).schema
       spark.createDataFrame(
@@ -525,8 +535,10 @@ object Snapshots extends Serializable {
   private[graft] def pruneEntries(
       spark: SparkSession, entries: Seq[ManifestEntry],
       predicate: String,
-      transforms: Seq[PartitionTransforms.Transform] = Nil): Seq[String] = {
-    val pred = SnapshotStats.parsePredicate(spark, predicate)
+      transforms: Seq[PartitionTransforms.Transform] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): Seq[String] = {
+    val pred = SnapshotStats.withNameVariants(
+      SnapshotStats.parsePredicate(spark, predicate), renames)
     entries.filter { e =>
       val dirVals =
         if (transforms.isEmpty) Map.empty[String, String]
@@ -722,7 +734,8 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, predicate: String): Int = {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
-    val kept = pruneEntries(spark, entries, predicate).toSet
+    val kept = pruneEntries(spark, entries, predicate,
+      renames = renamesFor(spark, uri, v)).toSet
     val candidates = entries.filter(e => kept(e.name))
     if (candidates.isEmpty) return v
     val matched = livePositions(spark, uri, candidates)
@@ -780,7 +793,8 @@ object Snapshots extends Serializable {
         s"(table columns: ${dataCols.mkString(", ")})")
     val setMap = set.toMap
 
-    val kept = pruneEntries(spark, entries, predicate).toSet
+    val kept = pruneEntries(spark, entries, predicate,
+      renames = renamesFor(spark, uri, v)).toSet
     val candidates = entries.filter(e => kept(e.name))
     if (candidates.isEmpty) return v
     val pred = expr(predicate)
@@ -1009,7 +1023,7 @@ object Snapshots extends Serializable {
     val (touched, carried) = where match {
       case Some(pred) =>
         val keep = pruneEntries(spark, entries, pred,
-          transformsOf(spark, uri)).toSet
+          transformsOf(spark, uri), renamesFor(spark, uri, v)).toSet
         entries.partition(e => keep(e.name))
       case None => (entries, Seq.empty[ManifestEntry])
     }
@@ -1071,7 +1085,7 @@ object Snapshots extends Serializable {
     val (touched, carried) = where match {
       case Some(pred) =>
         val keep = pruneEntries(spark, entries, pred,
-          transformsOf(spark, uri)).toSet
+          transformsOf(spark, uri), renamesFor(spark, uri, v)).toSet
         entries.partition(e => keep(e.name))
       case None => (entries, Seq.empty[ManifestEntry])
     }

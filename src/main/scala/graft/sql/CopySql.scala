@@ -224,9 +224,16 @@ object CopySql {
         c.expectEnd()
         return Some(AlterColumnCommand(uri, "drop", name, None))
       }
+      if (c.tryKeyword("ENABLE")) {
+        c.expectKeyword("CHANGE")
+        c.expectKeyword("DATA")
+        c.expectEnd()
+        return Some(AlterColumnCommand(uri, "cdc", "", None))
+      }
       throw new IllegalArgumentException(
         "ALTER TABLE '<uri>' supports ADD COLUMN <name> <type>, " +
-          "RENAME COLUMN <a> TO <b>, DROP COLUMN <name>")
+          "RENAME COLUMN <a> TO <b>, DROP COLUMN <name>, " +
+          "ENABLE CHANGE DATA")
     }
     if (c.tryKeyword("MERGE")) {
       // only `MERGE INTO '<uri>' ...` — a quoted target — is ours;
@@ -619,6 +626,9 @@ final case class AlterColumnCommand(
       case "rename" =>
         graft.io.SchemaEvolution.renameColumn(spark, uri, name, arg.get)
       case "drop" => graft.io.SchemaEvolution.dropColumn(spark, uri, name)
+      case "cdc" =>
+        Snapshots.enableChangeData(spark, uri)
+        Snapshots.latestVersion(spark, uri)
     }
     Seq(Row(v.toLong))
   }

@@ -146,6 +146,34 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(graft.sql.CopySql.parse("ALTER TABLE t ADD COLUMN x INT").isEmpty)
   }
 
+  test("stats pruning keeps working on files written under former names") {
+    val dir = fresh("se_prune")
+    // four range-disjoint files on k, stats recorded at init
+    (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "k", "key")
+    val entries = Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir))
+    val v = Snapshots.latestVersion(spark, dir)
+    // the predicate names the NEW column; the files' stats carry the OLD
+    val kept = Snapshots.pruneEntries(spark, entries, "key <= 5",
+      renames = Map("key" -> Seq("k")))
+    assert(kept.size < entries.size)
+    // and the full read path agrees on values
+    assert(Snapshots.readWhere(spark, dir, "key <= 5").count() == 5)
+  }
+
+  test("SQL ENABLE CHANGE DATA turns on CDC for COW commits") {
+    val dir = fresh("se_cdcsql")
+    mkTable(dir, n = 6)
+    graft.sql.GraftSql.exec(spark, s"ALTER TABLE '$dir' ENABLE CHANGE DATA")
+    Snapshots.deleteWhereCommit(spark, dir, "id = 2")
+    val feed = Snapshots.readChangesRows(spark, dir, 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((2L, "delete")))
+  }
+
   test("partition-column and transform-table alters are refused") {
     val dir = fresh("se_part")
     (1 to 8).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
