@@ -728,6 +728,29 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // planning-time manifest pruning: the filter below reaches the
+    // snapshot's FileIndex through Catalyst's own pushdown — excluded
+    // files never join the scan, and the survivors run Spark's stock
+    // vectorized parquet reader.  Pruned-file counts pinned in
+    // SnapshotFileIndexSpec; this query proves value equality
+    "io_snapshot_pushdown" -> ((s, dir) => {
+      val uri = util.Staging.dirFor(
+        "graft_sfi_v1_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      io.Snapshots.readIndexed(s, uri)
+        .filter(col("o_orderkey") <= 3000 && col("o_custkey") % 5 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // row-level change feed over COPY-ON-WRITE DML: with change-data
     // capture on, an update commit records delete-pre + insert-post
     // images and a delete commit its removed rows — the feed reads the
@@ -3144,6 +3167,11 @@ object SparkEntry {
 
     "io_optimize_where" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_snapshot_pushdown" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey <= 3000 AND o_custkey % 5 = 1 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
 
     "io_snapshot_cdf" ->

@@ -323,6 +323,25 @@ object SnapshotStats extends Serializable {
     * unparseable predicate prunes nothing. */
   private[io] def parsePredicate(
       spark: SparkSession, predicate: String): Pred = {
+    try predOf(spark.sessionState.sqlParser.parseExpression(predicate), {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    })
+    catch { case _: Exception => UnknownP }
+  }
+
+  /** The same prunable structure from RESOLVED pushed-down filters (the
+    * planning-time route [[SnapshotFileIndex]] receives) — implicitly a
+    * conjunction, like every pushed-filter list. */
+  private[io] def fromResolved(filters: Seq[Expression]): Pred =
+    filters.map(f => predOf(f, {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        Some(a.name)
+      case _ => None
+    })).reduceOption(AndP(_, _)).getOrElse(UnknownP)
+
+  private def predOf(
+      root: Expression, attr: Expression => Option[String]): Pred = {
     def lit(l: Literal): Option[CValue] = l.value match {
       case null => None
       case n @ (_: java.lang.Integer | _: java.lang.Long |
@@ -335,10 +354,6 @@ object SnapshotStats extends Serializable {
         Some(NumV(d.toJavaBigDecimal))
       case s: org.apache.spark.unsafe.types.UTF8String =>
         Some(StrV(s.getBytes))
-      case _ => None
-    }
-    def attr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
     /** `col op lit` normalized; the flipped orientation mirrors the op;
@@ -381,8 +396,7 @@ object SnapshotStats extends Serializable {
       case Or(l, r) => OrP(toPred(l), toPred(r))
       case other => comp(other).map(LeafP.apply).getOrElse(UnknownP)
     }
-    try toPred(spark.sessionState.sqlParser.parseExpression(predicate))
-    catch { case _: Exception => UnknownP }
+    toPred(root)
   }
 
   /** Point bounds for a file's hive partition-path values

@@ -482,6 +482,30 @@ object Snapshots extends Serializable {
   }
 
   /**
+   * Snapshot read with PLANNING-TIME manifest pruning: the returned
+   * DataFrame's scan consults the manifest's per-file stats (min/max,
+   * null counts, Blooms) against whatever filters Catalyst pushes down
+   * — `readIndexed(u).filter($"k" === 5).join(...)` skips excluded
+   * files without the caller ever writing a predicate string, and the
+   * surviving files run through Spark's stock vectorized parquet scan.
+   * Falls back to [[read]] (feature-complete, eager) when the snapshot
+   * needs deletion vectors, hive/transform partitions, or schema
+   * evolution — result-identical either way, only the prune timing
+   * differs.
+   */
+  def readIndexed(
+      spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    val entries = readManifestEntries(spark, uri, v)
+    val plain = entries.nonEmpty &&
+      entries.forall(e => e.dv.isEmpty && !e.name.contains("/")) &&
+      readManifestFull(spark, uri, v).schemaId.isEmpty &&
+      transformsOf(spark, uri).isEmpty
+    if (!plain) read(spark, uri, version)
+    else SnapshotFileIndex.relation(spark, uri, entries)
+  }
+
+  /**
    * Timestamp-based time travel (Delta `TIMESTAMP AS OF` / Iceberg
    * as-of-timestamp): read the LATEST version whose commit wall-clock
    * (recorded in each manifest header) is <= `tsMillis`.  Versions

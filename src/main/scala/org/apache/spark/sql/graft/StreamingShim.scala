@@ -32,4 +32,12 @@ object StreamingShim {
     }
     Dataset.ofRows(spark, plan)
   }
+
+  /** Build a DataFrame from an internal logical plan — the second and
+    * last `private[sql]` door this shim opens (for the planning-time
+    * pruned snapshot relation, [[graft.io.SnapshotFileIndex]]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 }

@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planning-time manifest pruning ([[SnapshotFileIndex]] via
+  * [[Snapshots.readIndexed]]): Catalyst's own pushed filters must drive
+  * file skipping — measured on the executed scan's numFiles metric —
+  * with values identical to the eager read path, and automatic
+  * fallback whenever the snapshot needs the feature-complete path. */
+class SnapshotFileIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    dir
+  }
+
+  /** numFiles of the (single) parquet scan in an executed plan. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    scans.head.metrics("numFiles").value
+  }
+
+  test("a plain filter prunes manifest files at planning time") {
+    val dir = fresh("sfi_prune")
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val df = Snapshots.readIndexed(spark, dir).filter(col("k") <= 5)
+    assert(scannedFiles(df) == 1L) // 3 of 4 range-disjoint files skipped
+    assert(df.count() == 5)
+    // unfiltered reads everything
+    assert(scannedFiles(Snapshots.readIndexed(spark, dir)) == 4L)
+    // values identical to the eager path
+    assert(df.orderBy("k").collect().toSeq ==
+      Snapshots.readWhere(spark, dir, "k <= 5").orderBy("k")
+        .collect().toSeq)
+  }
+
+  test("pruning composes with joins and IN-lists through the optimizer") {
+    val dir = fresh("sfi_join")
+    (1 to 40).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val probe = Seq(2L, 3L).toDF("k")
+    // the IN-list below pushes into the scan; only the low file survives
+    val df = Snapshots.readIndexed(spark, dir)
+      .filter(col("k").isin(2L, 3L, 4L))
+    assert(scannedFiles(df) == 1L)
+    // a broadcast join over the indexed read keeps the pruned scan shape
+    val joined = Snapshots.readIndexed(spark, dir)
+      .filter(col("k") < 11).join(broadcast(probe), "k")
+    assert(joined.count() == 2L)
+  }
+
+  test("bloom-configured tables prune point lookups min/max cannot") {
+    val dir = fresh("sfi_bloom")
+    // interleave keys so every file's [min,max] covers the probe
+    (0 until 40).map(i => ((i % 4) * 1000L + i, s"v$i")).toDF("k", "s")
+      .repartition(4, col("k") % 4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k"))
+    val df = Snapshots.readIndexed(spark, dir).filter(col("k") === 2002L)
+    assert(scannedFiles(df) < 4L) // blooms beat overlapping min/max
+    assert(df.count() == 1)
+  }
+
+  test("DV'd, partitioned, and evolved snapshots fall back correctly") {
+    val dir = fresh("sfi_fallback")
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k = 3", mergeOnRead = true)
+    // DV present → feature-complete path, values still right
+    assert(Snapshots.readIndexed(spark, dir).count() == 19)
+    val dir2 = fresh("sfi_fallback_evo")
+    (1 to 8).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .write.parquet(dir2)
+    Snapshots.init(spark, dir2)
+    SchemaEvolution.renameColumn(spark, dir2, "s", "txt")
+    assert(Snapshots.readIndexed(spark, dir2).columns.contains("txt"))
+  }
+}
