@@ -83,7 +83,11 @@ object MetaTableFunctions {
         val path = pathArg("parquet_snapshot", args.take(1))
         val spark = SparkSession.active
         val df = args.lift(1) match {
-          case None => graft.io.Snapshots.read(spark, path)
+          // latest/pinned reads of plain snapshots go through the
+          // FileIndex route: SQL filters over the table function prune
+          // manifest files at planning time (readIndexed falls back to
+          // the feature-complete path whenever needed)
+          case None => graft.io.Snapshots.readIndexed(spark, path)
           case Some(e) =>
             val integral = Set[org.apache.spark.sql.types.DataType](
               org.apache.spark.sql.types.ByteType,
@@ -99,7 +103,8 @@ object MetaTableFunctions {
                 "parquet_snapshot: version/timestamp must be a literal, " +
                   s"got ${e.sql}")
             if (integral.contains(e.dataType))
-              graft.io.Snapshots.read(spark, path, e.eval().toString.toInt)
+              graft.io.Snapshots.readIndexed(
+                spark, path, e.eval().toString.toInt)
             else if (timelike.contains(e.dataType)) {
               // Catalyst timestamp literals are epoch-micros, dates are
               // epoch-days; commit timestamps are epoch-millis
