@@ -728,6 +728,29 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // table integrity doctor: a healthy snapshot's FSCK is empty of
+    // errors/warnings (corruption classes pinned in FsckSpec); the
+    // query runs it over a table with DML + DV history and appends a
+    // deterministic health row so the oracle has a value to pin
+    "io_fsck" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_fsck_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.deleteWhereCommit(s, uri, "o_orderkey % 10 = 1",
+        mergeOnRead = true)
+      import s.implicits._
+      graft.sql.GraftSql.exec(s, s"FSCK '$uri' (deep)")
+        .filter(col("severity") =!= "info")
+        .unionByName(Seq(("none", "healthy", "", ""))
+          .toDF("severity", "kind", "object", "detail"))
+        .orderBy("severity", "kind", "object")
+    }),
+
     // planning-time manifest pruning: the filter below reaches the
     // snapshot's FileIndex through Catalyst's own pushdown — excluded
     // files never join the scan, and the survivors run Spark's stock
@@ -3168,6 +3191,10 @@ object SparkEntry {
     "io_optimize_where" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_fsck" ->
+      ("SELECT 'none' AS severity, 'healthy' AS kind, '' AS object, " +
+        "'' AS detail"),
 
     "io_snapshot_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

@@ -1,0 +1,152 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/**
+ * Integrity doctor for snapshot tables: one row per finding, empty =
+ * healthy.  Verifies what the commit protocol promises — every live
+ * manifest parses, every referenced data file / deletion-vector
+ * sidecar / schema file exists, stats lines parse, and table
+ * properties resolve — and reports (as `info`) reclaimable debris:
+ * orphan data files no surviving manifest references and crashed-
+ * commit staging strands.  Metadata-only: no data file is opened
+ * unless `deep = true`, which additionally checks each live file's
+ * parquet footer row count against its manifest stats.
+ *
+ * Severities: `error` (reads of some version will fail or lie),
+ * `warn` (degraded — e.g. unparseable stats means pruning is lost but
+ * reads are correct), `info` (housekeeping debt for VACUUM/expire).
+ */
+object Fsck {
+
+  private val schema = StructType(Seq(
+    StructField("severity", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("object", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  def apply(spark: SparkSession, uri: String,
+      deep: Boolean = false): DataFrame = {
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    val issues = Seq.newBuilder[Row]
+    def add(sev: String, kind: String, obj: String, detail: String): Unit =
+      issues += Row(sev, kind, obj, detail)
+
+    val latest = Snapshots.latestVersion(spark, uri) // asserts managed
+    val liveNames = scala.collection.mutable.Set.empty[String]
+    val liveDvs = scala.collection.mutable.Set.empty[String]
+    val schemaIds = scala.collection.mutable.Set.empty[Int]
+
+    (1 to latest).foreach { v =>
+      val mp = new Path(uri, f"_graft_manifests/v$v%06d.manifest")
+      if (fs.exists(mp)) {
+        val m =
+          try Some(Snapshots.readManifestFull(spark, uri, v))
+          catch {
+            case e: Exception =>
+              add("error", "manifest_unreadable", s"v$v",
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+              None
+          }
+        m.foreach { mf =>
+          mf.schemaId.foreach(schemaIds += _)
+          mf.entries.foreach { e =>
+            liveNames += e.name
+            val fp = new Path(uri, e.name)
+            if (!fs.exists(fp))
+              add("error", "missing_data_file", e.name,
+                s"referenced by v$v but absent on disk")
+            else if (deep) {
+              (e.liveRows, e.dv) match {
+                case (Some(expected), dvRef) =>
+                  val footer = footerRows(spark, uri, e.name)
+                  val live = footer - dvRef.map(_.rows).getOrElse(0L)
+                  if (live != expected)
+                    add("error", "row_count_mismatch", e.name,
+                      s"v$v stats say $expected live rows, footer " +
+                        s"minus DV says $live")
+                case _ => // no stats to check against
+              }
+            }
+            if (e.stats.exists(s =>
+                SnapshotStats.parseRowCount(s).isEmpty &&
+                  SnapshotStats.parseStats(s).isEmpty))
+              add("warn", "stats_unparseable", e.name,
+                s"v$v carries a stats line that yields no bounds and " +
+                  "no row count — pruning disabled for this file")
+            e.dv.foreach { d =>
+              liveDvs += d.path
+              if (!fs.exists(new Path(uri, d.path)))
+                add("error", "missing_dv_sidecar", d.path,
+                  s"referenced by v$v entry ${e.name}")
+            }
+          }
+        }
+      }
+    }
+
+    schemaIds.foreach { id =>
+      try SchemaEvolution.readDef(spark, uri, id)
+      catch {
+        case e: Exception =>
+          add("error", "schema_file_unreadable", s"s$id",
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+
+    // table.properties sanity: a current-schema pointer must resolve
+    val props = Snapshots.readTableProps(spark, uri)
+    props.get("schema.current").foreach { sid =>
+      if (sid.toIntOption.isEmpty)
+        add("error", "bad_property", "schema.current",
+          s"not an integer: '$sid'")
+      else if (!schemaIds.contains(sid.toInt))
+        try SchemaEvolution.readDef(spark, uri, sid.toInt)
+        catch {
+          case _: Exception =>
+            add("error", "bad_property", "schema.current",
+              s"points at schema file s$sid which does not read")
+        }
+    }
+
+    // reclaimable debris (info): data files no surviving manifest names
+    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    files.foreach { f =>
+      val p = new Path(new java.net.URI(f))
+      val inManifestDir =
+        p.getParent != null && p.getParent.getName == "_graft_manifests"
+      val rel = relName(uri, f)
+      if (!inManifestDir && !liveNames.contains(rel))
+        add("info", "orphan_data_file", rel,
+          "referenced by no surviving manifest — expire reclaims it")
+    }
+    val parent = new Path(uri).getParent
+    if (parent != null && fs.exists(parent)) {
+      val tn = new Path(uri).getName
+      fs.listStatus(parent).map(_.getPath.getName)
+        .filter(n => n != tn && n.startsWith(tn + "_merge_tmp"))
+        .foreach(n => add("info", "crashed_commit_strand", n,
+          "staging dir of an uncommitted writer — VACUUM reclaims it"))
+    }
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(issues.result(), 1), schema)
+  }
+
+  private def relName(uri: String, file: String): String = {
+    val root = new Path(uri).toUri.getPath.stripSuffix("/")
+    val p = new Path(new java.net.URI(file)).toUri.getPath
+    if (p.startsWith(root + "/")) p.stripPrefix(root + "/")
+    else new Path(p).getName
+  }
+
+  private def footerRows(
+      spark: SparkSession, uri: String, name: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(uri, name), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

@@ -92,6 +92,20 @@ object CopySql {
       }
       return Some(BloomCommand(uri, cols, bytes))
     }
+    if (c.tryKeyword("FSCK")) {
+      if (!c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      val opts = parseOptionList(c)
+      c.expectEnd()
+      var deep = false
+      opts.foreach {
+        case ("deep", v) =>
+          deep = v.forall(_.toLowerCase(Locale.ROOT) == "true")
+        case (other, _) => throw new IllegalArgumentException(
+          s"option '$other' is not supported for FSCK")
+      }
+      return Some(FsckCommand(uri, deep))
+    }
     if (c.tryKeyword("COMPACT")) {
       if (!c.peekIs('\'')) return None
       val uri = c.stringLit()
@@ -609,6 +623,23 @@ final case class RefreshMviewCommand(mvUri: String)
     Seq(AttributeReference("src_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.io.Mview.refresh(spark, mvUri).toLong))
+}
+
+/** `FSCK '<uri>' [(deep)]` → [[graft.io.Fsck]]: one row per integrity
+  * finding (severity, kind, object, detail); empty = healthy. */
+final case class FsckCommand(uri: String, deep: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("severity", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("object", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("detail", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.io.Fsck(spark, uri, deep).collect().toSeq
 }
 
 /** `ALTER TABLE '<uri>' ADD COLUMN n <type> | RENAME COLUMN a TO b |

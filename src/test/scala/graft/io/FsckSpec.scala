@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Fsck]]: a healthy table reports nothing (even deep); each
+  * corruption class surfaces with the right severity; superseded files
+  * and crashed strands report as reclaimable info. */
+class FsckSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a healthy table is clean, deep included, through DML history") {
+    val dir = fresh("fsck_ok")
+    Snapshots.deleteWhereCommit(spark, dir, "k = 3", mergeOnRead = true)
+    Snapshots.mergeCommit(spark, dir,
+      Seq((5L, "patched")).toDF("k", "s"), Seq("k"))
+    SchemaEvolution.renameColumn(spark, dir, "s", "txt")
+    val report = Fsck(spark, dir, deep = true)
+    // superseded files from the merge rewrite are expected info-debt
+    assert(report.filter(col("severity") =!= "info").isEmpty)
+  }
+
+  test("a deleted data file reports as error") {
+    val dir = fresh("fsck_missing")
+    val victim = Snapshots.readManifestEntries(spark, dir, 1).head.name
+    fs(dir).delete(new Path(dir, victim), false)
+    val kinds = Fsck(spark, dir).filter(col("severity") === "error")
+      .select("kind").as[String].collect().toSet
+    assert(kinds == Set("missing_data_file"))
+  }
+
+  test("a deleted DV sidecar reports as error") {
+    val dir = fresh("fsck_dv")
+    Snapshots.deleteWhereCommit(spark, dir, "k = 2", mergeOnRead = true)
+    val dv = Snapshots.readManifestEntries(spark, dir, 2)
+      .flatMap(_.dv).head.path
+    fs(dir).delete(new Path(dir, dv), false)
+    assert(Fsck(spark, dir).filter(col("kind") === "missing_dv_sidecar")
+      .count() == 1)
+  }
+
+  test("a doctored footer is caught only by deep mode") {
+    val dir = fresh("fsck_deep")
+    // replace one live file with a same-name file holding FEWER rows
+    val victim = Snapshots.readManifestEntries(spark, dir, 1).head.name
+    val tmp = TestSpark.tmpDir("fsck_deep_repl")
+    fs(dir).delete(new Path(tmp), true)
+    Seq((999L, "x")).toDF("k", "s").coalesce(1).write.parquet(tmp)
+    val one = fs(dir).listStatus(new Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs(dir).delete(new Path(dir, victim), false)
+    fs(dir).rename(one, new Path(dir, victim))
+    assert(Fsck(spark, dir).filter(col("kind") === "row_count_mismatch")
+      .isEmpty)
+    assert(Fsck(spark, dir, deep = true)
+      .filter(col("kind") === "row_count_mismatch").count() == 1)
+  }
+
+  test("crashed-commit strands report as reclaimable info") {
+    val dir = fresh("fsck_strand")
+    fs(dir).mkdirs(new Path(dir + "_merge_tmp_deadbeef"))
+    val r = Fsck(spark, dir).filter(col("kind") === "crashed_commit_strand")
+    assert(r.count() == 1)
+    Maintenance.vacuum(spark, dir)
+    assert(Fsck(spark, dir).filter(col("kind") === "crashed_commit_strand")
+      .isEmpty)
+  }
+}
