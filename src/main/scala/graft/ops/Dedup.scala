@@ -324,10 +324,13 @@ object Dedup {
         conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("__h"))
     // per-bit ±1 votes fold inside one aggregate (value-identical to
-    // the explode×60 per-(doc,b) sum the oracle replicates)
+    // the explode×60 per-(doc,b) sum the oracle replicates); persisted —
+    // the shingle-md5 pass is the expensive stage and both self-join
+    // sides consume it
     val fps = sh
       .groupBy(col("doc_id"))
       .agg(GraftFunctions.simhashFpPortable(col("__h"), 60).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pieces via a plain 4-row explode with codegen'd shifts
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("k"))
