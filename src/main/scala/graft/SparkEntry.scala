@@ -728,6 +728,28 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // named snapshot tags (Iceberg ref-style): 'base' pins v1 forever —
+    // retention-protected (expire keeps tagged versions), readable by
+    // name from SQL long after version numbers stop meaning anything
+    // to anyone
+    "io_snapshot_tag" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_tag_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      ord.filter(col("o_orderkey") % 2 === 1).repartition(4)
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE '$uri' CREATE TAG base")
+      io.Snapshots.appendCommit(s, uri,
+        ord.filter(col("o_orderkey") % 2 === 0))
+      io.Snapshots.readTag(s, uri, "base")
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // table integrity doctor: a healthy snapshot's FSCK is empty of
     // errors/warnings (corruption classes pinned in FsckSpec); the
     // query runs it over a table with DML + DV history and appends a
@@ -3195,6 +3217,11 @@ object SparkEntry {
     "io_fsck" ->
       ("SELECT 'none' AS severity, 'healthy' AS kind, '' AS object, " +
         "'' AS detail"),
+
+    "io_snapshot_tag" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 2 = 1 " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice"),
 
     "io_snapshot_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

@@ -1346,6 +1346,50 @@ object Snapshots extends Serializable {
 
   /** Drop manifests older than the last `keepVersions` and delete data
     * files no surviving manifest references.  Returns removed paths. */
+  // ---- named refs (Iceberg-style TAGS): an immutable name for a
+  // version, stored in table.properties (`ref.tag.<name>=<version>`).
+  // Tags protect their version from retention: expire keeps a tagged
+  // version's manifest and files no matter the keepVersions cutoff —
+  // `release-2024q3` stays readable after the daily retention sweep.
+  private val TagPrefix = "ref.tag."
+
+  /** Name `version` (default: latest).  Tag names are immutable —
+    * re-tagging requires deleteTag first. */
+  def createTag(spark: SparkSession, uri: String, name: String,
+      version: Int = -1): Int = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    require(fsOf(spark, uri).exists(manifestPath(uri, v)),
+      s"$uri has no version $v to tag")
+    val props = readTableProps(spark, uri)
+    require(!props.contains(TagPrefix + name),
+      s"tag '$name' already exists (deleteTag first)")
+    writeTableProps(spark, uri, props + (TagPrefix + name -> v.toString))
+    v
+  }
+
+  def deleteTag(spark: SparkSession, uri: String, name: String): Unit = {
+    val props = readTableProps(spark, uri)
+    require(props.contains(TagPrefix + name), s"no tag '$name'")
+    writeTableProps(spark, uri, props - (TagPrefix + name))
+  }
+
+  /** name → version for every tag on the table. */
+  def tags(spark: SparkSession, uri: String): Map[String, Int] =
+    readTableProps(spark, uri).collect {
+      case (k, v) if k.startsWith(TagPrefix) && v.toIntOption.isDefined =>
+        k.stripPrefix(TagPrefix) -> v.toInt
+    }
+
+  /** Read the version a tag names. */
+  def readTag(spark: SparkSession, uri: String, name: String): DataFrame = {
+    val v = tags(spark, uri).getOrElse(name,
+      throw new IllegalArgumentException(s"$uri has no tag '$name'"))
+    readIndexed(spark, uri, v)
+  }
+
   // ---- change-data files for COPY-ON-WRITE commits (Delta CDF's
   // trade, reduced to its essence): a COW rewrite mixes changed rows
   // with carried ones, so its row delta is unrecoverable from metadata
@@ -1403,7 +1447,12 @@ object Snapshots extends Serializable {
     val latest = latestVersion(spark, uri)
     // keepVersions may exceed the table's age — keep everything then
     val cutoff = math.max(1, latest - keepVersions + 1)
-    val keep = (cutoff to latest)
+    // tagged versions are retention-protected: their manifests and
+    // files survive any cutoff until the tag is deleted
+    val tagged = tags(spark, uri).values.toSet
+    val keptVersions = (cutoff to latest).toSet ++ tagged
+    val keep = keptVersions.toSeq.sorted
+      .filter(v => fs.exists(manifestPath(uri, v)))
       .flatMap(v => readManifest(spark, uri, v)).toSet
     val removed = Seq.newBuilder[String]
     val (files, _) = CopyTo.listDataFiles(spark, uri)
@@ -1419,7 +1468,7 @@ object Snapshots extends Serializable {
         removed += f
       }
     }
-    (1 until cutoff).foreach { v =>
+    (1 until cutoff).filterNot(tagged).foreach { v =>
       val p = manifestPath(uri, v)
       if (fs.exists(p)) { fs.delete(p, false); removed += p.toString }
     }
@@ -1430,7 +1479,7 @@ object Snapshots extends Serializable {
     if (fs.exists(chDir)) {
       fs.listStatus(chDir).foreach { st =>
         val vn = st.getPath.getName.stripPrefix("v").toIntOption
-        if (vn.exists(_ < cutoff)) {
+        if (vn.exists(n => n < cutoff && !tagged(n))) {
           fs.delete(st.getPath, true)
           removed += st.getPath.toString
         }
@@ -1438,7 +1487,7 @@ object Snapshots extends Serializable {
     }
     val dvDir = new Path(uri, DeletionVectors.Dir)
     if (fs.exists(dvDir)) {
-      val keepDv = (cutoff to latest)
+      val keepDv = keptVersions.toSeq.sorted
         .filter(v => fs.exists(manifestPath(uri, v)))
         .flatMap(v => readManifestEntries(spark, uri, v)
           .flatMap(_.dv.map(_.path))).toSet

@@ -114,10 +114,17 @@ object MetaTableFunctions {
                 case _ => e.eval().toString.toLong / 1000L
               }
               graft.io.Snapshots.readAsOf(spark, path, millis)
-            } else
+            } else if (e.dataType == StringType)
+              // a string literal names a TAG (Iceberg ref-style)
+              graft.io.Snapshots.readTag(spark, path, e.eval() match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                case other => String.valueOf(other)
+              })
+            else
               throw new IllegalArgumentException(
                 "parquet_snapshot: second argument must be an integer " +
-                  s"version or a timestamp/date literal, got ${e.sql}")
+                  "version, a timestamp/date literal, or a tag-name " +
+                  s"string, got ${e.sql}")
         }
         df.queryExecution.analyzed
       })

@@ -233,6 +233,11 @@ object CopySql {
         return Some(AlterColumnCommand(uri, "rename", from, Some(to)))
       }
       if (c.tryKeyword("DROP")) {
+        if (c.tryKeyword("TAG")) {
+          val name = c.ident()
+          c.expectEnd()
+          return Some(AlterColumnCommand(uri, "untag", name, None))
+        }
         c.expectKeyword("COLUMN")
         val name = c.ident()
         c.expectEnd()
@@ -244,6 +249,21 @@ object CopySql {
         c.expectEnd()
         return Some(AlterColumnCommand(uri, "cdc", "", None))
       }
+      if (c.tryKeyword("CREATE")) {
+        c.expectKeyword("TAG")
+        val name = c.ident()
+        val version =
+          if (c.tryKeyword("AS")) {
+            c.expectKeyword("OF"); c.expectKeyword("VERSION")
+            val v = c.ident()
+            c.expectEnd()
+            v.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"AS OF VERSION needs an integer, got '$v'"))
+          } else { c.expectEnd(); -1 }
+        return Some(AlterColumnCommand(uri, "tag",
+          name, Some(version.toString)))
+      }
+
       throw new IllegalArgumentException(
         "ALTER TABLE '<uri>' supports ADD COLUMN <name> <type>, " +
           "RENAME COLUMN <a> TO <b>, DROP COLUMN <name>, " +
@@ -659,6 +679,11 @@ final case class AlterColumnCommand(
       case "drop" => graft.io.SchemaEvolution.dropColumn(spark, uri, name)
       case "cdc" =>
         Snapshots.enableChangeData(spark, uri)
+        Snapshots.latestVersion(spark, uri)
+      case "tag" =>
+        Snapshots.createTag(spark, uri, name, arg.get.toInt)
+      case "untag" =>
+        Snapshots.deleteTag(spark, uri, name)
         Snapshots.latestVersion(spark, uri)
     }
     Seq(Row(v.toLong))

@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Named snapshot tags: immutable version refs, SQL surfaces, and the
+  * retention guarantee — expire never reclaims a tagged version. */
+class TagSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  test("tag names a version; SQL tag read and ALTER surfaces agree") {
+    val dir = fresh("tag_basic")
+    Snapshots.appendCommit(spark, dir, Seq((11L, "x")).toDF("k", "s"))
+    graft.sql.GraftSql.exec(spark,
+      s"ALTER TABLE '$dir' CREATE TAG first AS OF VERSION 1")
+    Snapshots.createTag(spark, dir, "head")
+    assert(Snapshots.tags(spark, dir) == Map("first" -> 1, "head" -> 2))
+    assert(Snapshots.readTag(spark, dir, "first").count() == 10)
+    graft.meta.MetaTableFunctions.register(spark)
+    assert(spark.sql(s"SELECT * FROM parquet_snapshot('$dir', 'head')")
+      .count() == 11)
+    graft.sql.GraftSql.exec(spark, s"ALTER TABLE '$dir' DROP TAG head")
+    assert(Snapshots.tags(spark, dir) == Map("first" -> 1))
+    intercept[IllegalArgumentException] {
+      Snapshots.readTag(spark, dir, "head")
+    }
+  }
+
+  test("expire never reclaims a tagged version; untagged ones go") {
+    val dir = fresh("tag_retain")
+    Snapshots.deleteWhereCommit(spark, dir, "k = 1") // v2: COW rewrite
+    Snapshots.appendCommit(spark, dir, Seq((20L, "x")).toDF("k", "s")) // v3
+    Snapshots.createTag(spark, dir, "audit", version = 2)
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    // v1's exclusive files are reclaimed, v2 stays fully readable
+    assert(Snapshots.read(spark, dir, 2).count() == 9)
+    intercept[Exception] { Snapshots.read(spark, dir, 1).count() }
+    // dropping the tag releases it to the next sweep
+    Snapshots.deleteTag(spark, dir, "audit")
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(dir, "_graft_manifests/v000002.manifest")))
+    assert(Snapshots.read(spark, dir).count() == 10) // latest untouched
+  }
+
+  test("duplicate and malformed tag names are refused") {
+    val dir = fresh("tag_err")
+    Snapshots.createTag(spark, dir, "r1.0")
+    intercept[IllegalArgumentException] {
+      Snapshots.createTag(spark, dir, "r1.0")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.createTag(spark, dir, "bad name")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.createTag(spark, dir, "ghost", version = 99)
+    }
+  }
+}
