@@ -118,7 +118,7 @@ object Mview {
     fs.delete(p, true)
     full.write.parquet(mvUri)
     Snapshots.init(spark, mvUri)
-    val props = Snapshots.readTableProps(spark, mvUri) ++ Map(
+    Snapshots.updateTableProps(spark, mvUri)(_ ++ Map(
       "mview.src" -> enc(srcUri),
       "mview.group" -> groupCols.map(enc).mkString(","),
       "mview.aggs" -> aggs.map {
@@ -127,8 +127,7 @@ object Mview {
         case Avg(c, a) => s"avg:${enc(c)}:${enc(a)}"
       }.mkString(","),
       "mview.src_version" -> srcV.toString) ++
-      where.map(w => "mview.where" -> enc(w))
-    Snapshots.writeTableProps(spark, mvUri, props)
+      where.map(w => "mview.where" -> enc(w)))
     srcV
   }
 
@@ -197,9 +196,8 @@ object Mview {
       .withColumn("__mv_del", col(N) <= lit(0L))
     Snapshots.mergeCommit(spark, mvUri, merged, groupCols,
       deleteCol = Some("__mv_del"))
-    Snapshots.writeTableProps(spark, mvUri,
-      Snapshots.readTableProps(spark, mvUri) +
-        ("mview.src_version" -> curV.toString))
+    Snapshots.updateTableProps(spark, mvUri)(
+      _ + ("mview.src_version" -> curV.toString))
     curV
   }
 

@@ -69,7 +69,11 @@ object SchemaEvolution {
       (if (d.dropped.isEmpty) Nil
        else Seq(s"dropped=${d.dropped.toSeq.sorted.map(enc).mkString(",")}"))
     val p = schemaPath(uri, id)
-    val out = fs.create(p, false) // ids are never rewritten
+    // EXCLUSIVE create: concurrent alters must never share a
+    // provisional id (one would clobber the other's definition before
+    // either commits); the caller bumps the id and retries on
+    // collision.  A lost racer's file stays as an unreferenced orphan.
+    val out = fs.create(p, false)
     try out.write((lines.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -138,10 +142,15 @@ object SchemaEvolution {
     evolveKeeping(df, d, Nil)
 
   /** The table's current logical schema definition, if any alter has
-    * ever run (None = the files' own schema is the schema). */
-  def currentDef(spark: SparkSession, uri: String): Option[SchemaDef] =
-    Snapshots.readTableProps(spark, uri).get("schema.current")
-      .flatMap(_.toIntOption).map(readDef(spark, uri, _))
+    * ever run (None = the files' own schema is the schema).  The LATEST
+    * MANIFEST's schema pointer is the source of truth — table
+    * properties only hint the read path (a lost alter race may leave a
+    * stale property, never a stale manifest). */
+  def currentDef(spark: SparkSession, uri: String): Option[SchemaDef] = {
+    val v = Snapshots.latestVersion(spark, uri)
+    Snapshots.readManifestFull(spark, uri, v).schemaId
+      .map(readDef(spark, uri, _))
+  }
 
   /** `ALTER TABLE ADD COLUMN name type` — nullable by construction
     * (every existing row reads NULL).  Returns the committed version. */
@@ -194,16 +203,19 @@ object SchemaEvolution {
         "table's full history away first)")
 
   private def alter(spark: SparkSession, uri: String, what: String)
-      (f: SchemaDef => SchemaDef): Int = Snapshots.retryCommit() {
+      (f: SchemaDef => SchemaDef): Int = Snapshots.retryCommit(20) {
     val v = Snapshots.latestVersion(spark, uri)
     require(Snapshots.transformsOf(spark, uri).isEmpty,
       s"cannot $what: the table is transform-partitioned — its " +
         "physical layout pins base-column names")
-    val props = Snapshots.readTableProps(spark, uri)
-    val curId = props.get("schema.current").flatMap(_.toIntOption)
+    // the latest MANIFEST's pointer is the truth a replay must see —
+    // reading table properties here would show this alter's own
+    // half-applied state after a lost commit race
+    val m = Snapshots.readManifestFull(spark, uri, v)
+    val curId = m.schemaId
     val cur = curId.map(readDef(spark, uri, _)).getOrElse(
       SchemaDef(Snapshots.read(spark, uri, v).schema, Map.empty, Set.empty))
-    val entries = Snapshots.readManifestEntries(spark, uri, v)
+    val entries = m.entries
     val partCols = Snapshots.partitionColsOf(entries).toSet
     val next = f(cur)
     val touchedPart = (cur.schema.fieldNames.toSet -- next.schema.fieldNames)
@@ -212,12 +224,24 @@ object SchemaEvolution {
     require(partCols.forall(p => next.schema.fieldNames.contains(p)),
       s"cannot $what: ${touchedPart.mkString(",")} is a hive partition " +
         "column — the directory layout pins its name")
-    val id = curId.getOrElse(0) + 1
-    writeDef(spark, uri, id, next)
-    Snapshots.writeTableProps(spark, uri,
-      Snapshots.readTableProps(spark, uri) +
-        ("schema.current" -> id.toString))
-    // metadata-only commit: same file entries, new schema pointer
+    // claim a fresh schema id by exclusive file create — ids need not
+    // be dense, only unique and committed-by-exactly-one-manifest
+    var id = curId.getOrElse(0) + 1
+    var claimed = false
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    while (!claimed) {
+      if (fs.exists(schemaPath(uri, id))) id += 1
+      else {
+        try { writeDef(spark, uri, id, next); claimed = true }
+        catch { case _: java.io.IOException => id += 1 }
+      }
+    }
+    // props BEFORE the manifest: only a read-path hint (mergeSchema);
+    // schema identity travels in the manifest header below
+    Snapshots.updateTableProps(spark, uri)(
+      _ + ("schema.current" -> id.toString))
+    // metadata-only commit: same file entries, new schema pointer —
+    // THIS rename is the alter's serialization point
     Snapshots.writeManifest(spark, uri, v + 1, entries, kind = "schema",
       schemaId = Some(id))
     v + 1

@@ -200,8 +200,7 @@ object Snapshots extends Serializable {
   private def evolveCur(
       spark: SparkSession, uri: String, df: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
-    readTableProps(spark, uri).get("schema.current")
-      .flatMap(_.toIntOption) match {
+    readManifestFull(spark, uri, latestVersion(spark, uri)).schemaId match {
       case Some(id) => SchemaEvolution.evolveKeeping(df,
         SchemaEvolution.readDef(spark, uri, id), keep)
       case None => df
@@ -318,6 +317,24 @@ object Snapshots extends Serializable {
       s"table.properties update failed for $uri")
   }
 
+  /** Atomic read-modify-write of table.properties WITHIN this JVM: a
+    * per-table lock serializes concurrent property updates (tags,
+    * bloom config, schema pointers) so none is lost to a last-write-
+    * wins race.  Cross-JVM writers still last-win on the rename — the
+    * same residual window as the manifest commit, closed in a real
+    * deployment by a conditional put. */
+  private val propsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[io] def updateTableProps(spark: SparkSession, uri: String)(
+      f: Map[String, String] => Map[String, String]): Map[String, String] = {
+    val lock = propsLocks.computeIfAbsent(uri, _ => new Object)
+    lock.synchronized {
+      val next = f(readTableProps(spark, uri))
+      writeTableProps(spark, uri, next)
+      next
+    }
+  }
+
   /** The table's configured bloom columns + filter size (empty/default
     * when unset). */
   private def bloomConfig(
@@ -346,7 +363,7 @@ object Snapshots extends Serializable {
       numBytes: Int = SnapshotBloom.DefaultBytes): Int = {
     require(cols.nonEmpty, "bloom filter needs at least one column")
     val v = latestVersion(spark, uri) // also asserts snapshot-managed
-    writeTableProps(spark, uri, readTableProps(spark, uri) ++ Map(
+    updateTableProps(spark, uri)(_ ++ Map(
       "bloom.columns" -> cols.map(
         graft.io.s3.S3Signer.uriEncode(_, keepSlash = false)).mkString(","),
       "bloom.bytes" -> numBytes.toString))
@@ -1363,17 +1380,20 @@ object Snapshots extends Serializable {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     require(fsOf(spark, uri).exists(manifestPath(uri, v)),
       s"$uri has no version $v to tag")
-    val props = readTableProps(spark, uri)
-    require(!props.contains(TagPrefix + name),
-      s"tag '$name' already exists (deleteTag first)")
-    writeTableProps(spark, uri, props + (TagPrefix + name -> v.toString))
+    updateTableProps(spark, uri) { props =>
+      require(!props.contains(TagPrefix + name),
+        s"tag '$name' already exists (deleteTag first)")
+      props + (TagPrefix + name -> v.toString)
+    }
     v
   }
 
   def deleteTag(spark: SparkSession, uri: String, name: String): Unit = {
-    val props = readTableProps(spark, uri)
-    require(props.contains(TagPrefix + name), s"no tag '$name'")
-    writeTableProps(spark, uri, props - (TagPrefix + name))
+    updateTableProps(spark, uri) { props =>
+      require(props.contains(TagPrefix + name), s"no tag '$name'")
+      props - (TagPrefix + name)
+    }
+    ()
   }
 
   /** name → version for every tag on the table. */
@@ -1407,9 +1427,10 @@ object Snapshots extends Serializable {
   /** Opt this table into change-data capture for copy-on-write DML —
     * after this, [[readChangesRows]] works across COW merge/delete/
     * update commits too. */
-  def enableChangeData(spark: SparkSession, uri: String): Unit =
-    writeTableProps(spark, uri,
-      readTableProps(spark, uri) + ("cdc.cow" -> "true"))
+  def enableChangeData(spark: SparkSession, uri: String): Unit = {
+    updateTableProps(spark, uri)(_ + ("cdc.cow" -> "true"))
+    ()
+  }
 
   private def cdcEnabled(spark: SparkSession, uri: String): Boolean =
     readTableProps(spark, uri).get("cdc.cow").contains("true")
@@ -1653,10 +1674,13 @@ object Snapshots extends Serializable {
     // order, is the source of truth
     val tsField = s" ts=${System.currentTimeMillis()}"
     // schema pointer: explicit on alter commits, carried forward from
-    // table.properties on every other commit so time travel reads each
-    // version with the schema it was committed under
+    // the PREVIOUS manifest on every other commit (the previous version
+    // always exists when committing v+1; table properties are only a
+    // read hint and may be stale after a lost alter race)
     val sid = schemaId.orElse(
-      readTableProps(spark, uri).get("schema.current").flatMap(_.toIntOption))
+      if (v > 1 && fs.exists(manifestPath(uri, v - 1)))
+        readManifestFull(spark, uri, v - 1).schemaId
+      else None)
     val schemaField = sid.map(i => s" schema=$i").getOrElse("")
     val out = fs.create(tmp, true)
     try out.write(

@@ -1,0 +1,71 @@
+package graft.io
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Concurrency of the METADATA surfaces: property updates (tags, CDC
+  * flags) must never lose one writer's change to another's, and schema
+  * alters racing data commits must serialize through retryCommit with
+  * both effects landing. */
+class MetadataRaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to 12).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  private def race(n: Int)(work: Int => Unit): Unit = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try work(i) catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek())}")
+  }
+
+  test("8 concurrent tag creations all survive (no lost property update)") {
+    val dir = fresh("race_tags")
+    race(8)(i => Snapshots.createTag(spark, dir, s"t$i"))
+    assert(Snapshots.tags(spark, dir).keySet ==
+      (0 until 8).map(i => s"t$i").toSet)
+  }
+
+  test("schema alters racing appends: all serialize, every effect lands") {
+    val dir = fresh("race_alter")
+    race(4) {
+      case 0 => SchemaEvolution.addColumn(spark, dir, "tag_a", StringType)
+      case 1 => SchemaEvolution.addColumn(spark, dir, "tag_b", StringType)
+      case i => Snapshots.retryCommit(20) {
+        Snapshots.appendCommit(spark, dir,
+          Seq((100L + i, s"app$i")).toDF("k", "s"))
+      }
+    }
+    val df = Snapshots.read(spark, dir)
+    assert(df.columns.toSet == Set("k", "s", "tag_a", "tag_b"))
+    assert(df.count() == 14)
+    // every racer owns its own version; latest = init + 4 commits
+    assert(Snapshots.latestVersion(spark, dir) == 5)
+  }
+}
