@@ -11,11 +11,12 @@ import org.apache.spark.sql.types.StructType
 
 /**
  * Planning-time manifest pruning: a [[FileIndex]] whose `listFiles`
- * evaluates Catalyst's PUSHED-DOWN data filters against the manifest's
- * per-file stats (min/max, null counts, Bloom filters) — so ANY
- * DataFrame/SQL filter over [[Snapshots.readIndexed]] skips excluded
- * files during query planning, without the caller ever naming a
- * predicate string.
+ * evaluates Catalyst's PUSHED-DOWN filters against the manifest's
+ * per-file stats (min/max, null counts, Bloom filters) and — for
+ * hive-partitioned layouts — against the typed partition values, so
+ * ANY DataFrame/SQL filter over [[Snapshots.readIndexed]] skips
+ * excluded files during query planning, without the caller ever
+ * naming a predicate string.
  *
  * This is the missing half of `readWhere`: there the caller hands the
  * predicate over eagerly; here the optimizer's own pushdown drives the
@@ -24,10 +25,13 @@ import org.apache.spark.sql.types.StructType
  * Iceberg splice data skipping into Spark.  The surviving files feed
  * Spark's stock vectorized parquet scan (full codegen, row-group
  * pushdown, column pruning — nothing bespoke in the hot path).
+ * Partition parsing delegates to Spark's own `PartitioningUtils`
+ * (via a shim), so value typing matches a plain basePath read exactly.
  *
- * Construction lists the table directory ONCE (one RPC batch, not one
- * per file).  Used for flat, DV-free, unevolved snapshots; everything
- * else falls back to [[Snapshots.read]]'s feature-complete path.
+ * Construction lists each referenced directory ONCE (one RPC batch per
+ * dir, not one per file).  Used for DV-free, unevolved, untransformed
+ * snapshots; everything else falls back to [[Snapshots.read]]'s
+ * feature-complete path.
  */
 final class SnapshotFileIndex(
     spark: SparkSession, uri: String,
@@ -38,16 +42,47 @@ final class SnapshotFileIndex(
 
   private val statuses: Map[String, FileStatus] = {
     val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
-    val names = entries.map(_.name).toSet
-    fs.listStatus(new Path(uri))
-      .filter(st => names.contains(st.getPath.getName))
-      .map(st => st.getPath.getName -> st).toMap
+    val byDir = entries.map(_.name).groupBy(n =>
+      n.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => n.substring(0, i)
+      })
+    byDir.flatMap { case (dir, names) =>
+      val dirPath = if (dir.isEmpty) new Path(uri) else new Path(uri, dir)
+      val prefix = if (dir.isEmpty) "" else dir + "/"
+      val wanted = names.toSet
+      fs.listStatus(dirPath)
+        .filter(st => wanted.contains(prefix + st.getPath.getName))
+        .map(st => (prefix + st.getPath.getName) -> st)
+    }
   }
   require(statuses.size == entries.size,
     s"$uri: ${entries.size - statuses.size} manifest files missing on disk")
 
+  /** dir-relative prefix ("" for flat) per entry. */
+  private def dirOf(name: String): String = name.lastIndexOf('/') match {
+    case -1 => ""
+    case i  => name.substring(0, i)
+  }
+
+  private val partitioned = entries.exists(_.name.contains("/"))
+
+  /** (partition schema, dir → typed values) via Spark's own parser. */
+  private val (partSchema, partValues): (StructType, Map[String, InternalRow]) =
+    if (!partitioned) (StructType(Nil), Map.empty)
+    else {
+      val dirs = entries.map(e => dirOf(e.name)).distinct
+      val (schema, byPath) = org.apache.spark.sql.execution.datasources.graft.PartitionShim
+        .parsePartitions(spark, dirs.map(d => new Path(uri, d)),
+          new Path(uri))
+      val base = new Path(uri).toUri.getPath.stripSuffix("/")
+      (schema, byPath.map { case (p, row) =>
+        p.toUri.getPath.stripPrefix(base).stripPrefix("/") -> row
+      })
+    }
+
   override def rootPaths: Seq[Path] = Seq(new Path(uri))
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = partSchema
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] =
     entries.map(e => statuses(e.name).getPath.toString).toArray
@@ -57,10 +92,21 @@ final class SnapshotFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pred = SnapshotStats.fromResolved(dataFilters)
-    val kept = entries.filter(e =>
-      SnapshotStats.mayMatch(statsByName(e.name), pred))
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(e => statuses(e.name)).toArray))
+    val keepDir = org.apache.spark.sql.execution.datasources.graft.PartitionShim
+      .partitionPruner(partitionFilters, partSchema)
+    val kept = entries.filter { e =>
+      (!partitioned || keepDir(partValues(dirOf(e.name)))) &&
+        SnapshotStats.mayMatch(statsByName(e.name), pred,
+          SnapshotStats.partitionBounds(e.name),
+          SnapshotStats.partitionNulls(e.name))
+    }
+    if (!partitioned)
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.map(e => statuses(e.name)).toArray))
+    else kept.groupBy(e => dirOf(e.name)).toSeq.map { case (dir, es) =>
+      PartitionDirectory(partValues(dir),
+        es.map(e => statuses(e.name)).toArray)
+    }
   }
 }
 
@@ -69,14 +115,14 @@ object SnapshotFileIndex {
   /** Build the pushdown-pruned relation for a snapshot version.
     * Callers go through [[Snapshots.readIndexed]], which falls back to
     * the feature-complete read path when the snapshot needs evolution,
-    * deletion vectors, or partition handling. */
+    * deletion vectors, or transform-partition handling. */
   private[io] def relation(
       spark: SparkSession, uri: String,
       entries: Seq[Snapshots.ManifestEntry]): DataFrame = {
     val index = new SnapshotFileIndex(spark, uri, entries)
     val dataSchema =
       spark.read.parquet(s"$uri/${entries.head.name}").schema
-    val rel = HadoopFsRelation(index, StructType(Nil), dataSchema,
+    val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty[String, String])(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     org.apache.spark.sql.graft.StreamingShim.ofRows(

@@ -514,8 +514,10 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    val plain = entries.nonEmpty &&
-      entries.forall(e => e.dv.isEmpty && !e.name.contains("/")) &&
+    // hive-partitioned layouts are handled (partition values parsed by
+    // Spark's own inference, pruned alongside stats); DVs, schema
+    // evolution, and hidden transforms fall back
+    val plain = entries.nonEmpty && entries.forall(_.dv.isEmpty) &&
       readManifestFull(spark, uri, v).schemaId.isEmpty &&
       transformsOf(spark, uri).isEmpty
     if (!plain) read(spark, uri, version)

@@ -1,0 +1,55 @@
+package org.apache.spark.sql.execution.datasources.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.PartitioningUtils
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Second `private[sql]` bridge (after [[StreamingShim]]): hive
+ * partition-layout parsing and partition-predicate evaluation for
+ * [[graft.io.SnapshotFileIndex]], delegated to Spark's OWN
+ * `PartitioningUtils` so the snapshot FileIndex types and renders
+ * partition values exactly like `spark.read.parquet(basePath)` would —
+ * no parallel inference to drift.
+ */
+object PartitionShim {
+
+  /** Parse leaf `k=v/...` dirs into (partitionSchema, dir → typed
+    * values), with Spark's inference rules and session conf. */
+  def parsePartitions(
+      spark: SparkSession, leafDirs: Seq[Path], basePath: Path)
+      : (StructType, Map[Path, InternalRow]) = {
+    val conf = spark.sessionState.conf
+    val spec = PartitioningUtils.parsePartitions(
+      leafDirs,
+      typeInference = conf.partitionColumnTypeInferenceEnabled,
+      basePaths = Set(basePath),
+      userSpecifiedSchema = None,
+      caseSensitive = conf.caseSensitiveAnalysis,
+      validatePartitionColumns = conf.validatePartitionColumns,
+      timeZoneId = conf.sessionLocalTimeZone,
+      ignoreInvalidPartitionPaths = false)
+    (spec.partitionColumns,
+      spec.partitions.map(p => p.path -> p.values).toMap)
+  }
+
+  /** Evaluate partition filters against a partition-values row, bound
+    * BY NAME against the partition schema (exprId-independent — the
+    * filters come from the relation's resolved attributes). */
+  def partitionPruner(
+      filters: Seq[Expression], partitionSchema: StructType)
+      : InternalRow => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val bound = filters.reduce(And).transform {
+      case a: AttributeReference =>
+        val i = partitionSchema.fieldIndex(a.name)
+        BoundReference(i, partitionSchema(i).dataType, nullable = true)
+    }
+    val pred = Predicate.createInterpreted(bound)
+    row => pred.eval(row)
+  }
+}

@@ -78,7 +78,33 @@ class SnapshotFileIndexSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
-  test("DV'd, partitioned, and evolved snapshots fall back correctly") {
+  test("hive-partitioned snapshots prune on partition AND data filters") {
+    val dir = fresh("sfi_part")
+    (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      .toDF("k", "part", "x")
+      .repartitionByRange(2, col("k"))
+      .write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    val all = Snapshots.readIndexed(spark, dir)
+    assert(all.columns.toSet == Set("k", "part", "x"))
+    assert(scannedFiles(all) == 8L) // 4 partitions × 2 range files
+    // partition filter prunes whole directories at planning time
+    val onePart = Snapshots.readIndexed(spark, dir)
+      .filter(col("part") === "p1")
+    assert(scannedFiles(onePart) == 2L)
+    assert(onePart.count() == 10)
+    // a DATA filter prunes by stats inside the surviving partitions
+    val both = Snapshots.readIndexed(spark, dir)
+      .filter(col("part") === "p2" && col("k") <= 20)
+    assert(scannedFiles(both) == 1L)
+    // values identical to the plain read path
+    assert(both.orderBy("k").collect().toSeq ==
+      Snapshots.read(spark, dir)
+        .filter(col("part") === "p2" && col("k") <= 20)
+        .orderBy("k").collect().toSeq)
+  }
+
+  test("DV'd and evolved snapshots fall back correctly") {
     val dir = fresh("sfi_fallback")
     (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
       .repartitionByRange(2, col("k")).write.parquet(dir)
