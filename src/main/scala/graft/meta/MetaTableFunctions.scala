@@ -61,7 +61,7 @@ object MetaTableFunctions {
           fn(SparkSession.active, path).queryExecution.analyzed
         })
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
-      snapshotHistoryBuilder
+      snapshotChangesRowsBuilder :+ snapshotHistoryBuilder
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version | timestamp])` —
     * SQL time travel over a [[graft.io.Snapshots]]-managed directory:
@@ -180,6 +180,31 @@ object MetaTableFunctions {
           .map(intLitArg("parquet_snapshot_changes", "to", _))
           .getOrElse(-1)
         graft.io.Snapshots.readChanges(SparkSession.active, path, from, to)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM parquet_snapshot_changes_rows('<uri>', from[, to])`
+    * — the ROW-LEVEL change feed (CDC) as SQL: every insert/delete in
+    * the range tagged `_change_type`/`_commit_version`; covers appends,
+    * merge-on-read DML, and CDC-recorded copy-on-write commits — same
+    * contract as [[graft.io.Snapshots.readChangesRows]]. */
+  private def snapshotChangesRowsBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_snapshot_changes_rows"),
+      new ExpressionInfo("graft", null, "parquet_snapshot_changes_rows",
+        "_FUNC_(uri, from[, to]) - row-level insert/delete feed", ""),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            "parquet_snapshot_changes_rows(uri, from[, to]) takes 2 or " +
+              s"3 arguments, got ${args.length}")
+        val path = pathArg("parquet_snapshot_changes_rows", args.take(1))
+        val from = intLitArg("parquet_snapshot_changes_rows", "from", args(1))
+        val to = args.lift(2)
+          .map(intLitArg("parquet_snapshot_changes_rows", "to", _))
+          .getOrElse(-1)
+        graft.io.Snapshots
+          .readChangesRows(SparkSession.active, path, from, to)
           .queryExecution.analyzed
       })
 

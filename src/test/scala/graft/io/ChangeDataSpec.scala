@@ -74,6 +74,16 @@ class ChangeDataSpec extends AnyFunSuite {
       Snapshots.read(spark, b).orderBy("k").collect().toSeq)
   }
 
+  test("the row feed is SQL-reachable via parquet_snapshot_changes_rows") {
+    val dir = fresh("cdc_sqlfn", n = 6)
+    Snapshots.deleteWhereCommit(spark, dir, "k = 4")
+    graft.meta.MetaTableFunctions.register(spark)
+    val rows = spark.sql(
+      s"SELECT k, _change_type FROM parquet_snapshot_changes_rows('$dir', 1)")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((4L, "delete")))
+  }
+
   test("unrecorded COW commits still refuse; expire sweeps change dirs") {
     val dir = fresh("cdc_off", n = 6)
     // disable AFTER init: commit without recording

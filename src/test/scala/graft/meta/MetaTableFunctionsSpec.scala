@@ -108,6 +108,7 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_file_metadata", "parquet_kv_metadata",
       "parquet_column_stats", "parquet_bloom_filters", "parquet_mview",
       "parquet_snapshot", "parquet_snapshot_files",
-      "parquet_snapshot_changes", "parquet_snapshot_history"))
+      "parquet_snapshot_changes", "parquet_snapshot_changes_rows",
+      "parquet_snapshot_history"))
   }
 }
