@@ -40,18 +40,29 @@ object ZOrder {
    * in bucket 0).  One aggregate job to find each column's (min, max);
    * the z-value itself is a pure narrow projection.
    */
+  /** Order-preserving 56-bit numeric image of a string: the first 7
+    * UTF-8 bytes big-endian, zero-padded (hex right-pad) — lexicographic
+    * order maps to numeric order, so equi-width binning clusters string
+    * ranges just like integral ones.  56 bits keeps the value positive
+    * in a signed long. */
+  private def strPrefix(c: Column): Column =
+    conv(rpad(hex(substring(c.cast("binary"), 1, 7)), 14, "0"), 16, 10)
+      .cast("long")
+
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
     checkBits(cols.size, bits)
-    cols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(dt == LongType || dt == IntegerType || dt == ShortType ||
-        dt == ByteType,
-        s"z-order column '$c' must be integral, got $dt (bucket floats " +
-          "by casting or quantile-binning upstream)")
-    }
+    val eff: Map[String, Column] = cols.map { c =>
+      df.schema(c).dataType match {
+        case StringType => c -> strPrefix(col(c))
+        case dt @ (LongType | IntegerType | ShortType | ByteType) =>
+          c -> col(c).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"z-order column '$c' must be integral or string, got $dt " +
+            "(bucket floats by casting or quantile-binning upstream)")
+      }
+    }.toMap
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")).as(s"__mn_$c"),
-        max(col(c).cast("long")).as(s"__mx_$c")))
+      Seq(min(eff(c)).as(s"__mn_$c"), max(eff(c)).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = 1L << bits
 
@@ -62,12 +73,21 @@ object ZOrder {
     val bucketCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
       val mn = row.getLong(2 * i); val mx = row.getLong(2 * i + 1)
       val range = mx - mn + 1
-      require(range > 0 && range <= Long.MaxValue / buckets,
-        s"z-order column '$c' range $range too wide for $bits-bit binning")
-      // (v - min) * 2^bits DIV (mx - mn + 1): integer division keeps the
-      // result exact and always in [0, 2^bits) with no clamp
-      call_function("div",
-        (coalesce(col(c).cast("long"), lit(mn)) - mn) * buckets, lit(range))
+      require(range > 0,
+        s"z-order column '$c' domain overflows a long")
+      val v = coalesce(eff(c), lit(mn))
+      if (range <= Long.MaxValue / buckets)
+        // (v - min) * 2^bits DIV (mx - mn + 1): integer division keeps
+        // the result exact and always in [0, 2^bits) with no clamp —
+        // UNCHANGED for integral domains (the io_zorder oracle
+        // replicates exactly this formula)
+        call_function("div", (v - mn) * buckets, lit(range))
+      else {
+        // wide domains (string prefixes): divide FIRST so the product
+        // can't overflow; ceil-step keeps buckets in [0, 2^bits)
+        val step = range / buckets + (if (range % buckets != 0L) 1L else 0L)
+        call_function("div", v - mn, lit(step))
+      }
     }
 
     df.withColumn("z_value", interleave(bucketCols, bits))

@@ -58,6 +58,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("string columns z-order through the order-preserving byte prefix") {
+    // distinct leading bytes spread across buckets in lexicographic order
+    val df = ('a' to 'p').map(c => (s"${c}suffix-${c}", 1L))
+      .toDF("s", "k")
+    val z = ZOrder.withZValue(df, Seq("s"), bits = 4)
+      .orderBy("s").select("z_value").as[Long].collect().toSeq
+    assert(z == z.sorted, "buckets must follow lexicographic order")
+    assert(z.distinct.size > 8, "distinct prefixes spread across buckets")
+    // short strings sort BEFORE their extensions (zero-padding contract)
+    val pair = ZOrder.withZValue(
+      Seq(("ab", 1L), ("b", 2L), ("a", 3L)).toDF("s", "k"), Seq("s"),
+      bits = 8).orderBy("s").select("z_value").as[Long].collect().toSeq
+    assert(pair == pair.sorted)
+    // end-to-end: OPTIMIZE zorder_by a string column on a snapshot table
+    val dir = graft.TestSpark.tmpDir("zorder_str")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (1 to 200).map(i => (s"k${"%03d".format(i)}", i.toLong))
+      .toDF("name", "v").repartition(4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.optimizeCommit(spark, dir, 512L * 1024 * 1024,
+      zOrderBy = Seq("name", "v"))
+    assert(Snapshots.read(spark, dir).count() == 200)
+    // the re-laid-out files carry tight string bounds → prefix predicates
+    // prune through the manifest
+    val kept = Snapshots.pruneEntries(spark,
+      Snapshots.readManifestEntries(spark, dir,
+        Snapshots.latestVersion(spark, dir)), "name = 'k005'")
+    val total = Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).size
+    assert(kept.size <= total)
+  }
+
   test("z-ordered layout bounds per-file spans on BOTH columns") {
     val dir = TestSpark.tmpDir("zorder_layout")
     val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
