@@ -1,0 +1,118 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded fuzz over the round-8 statement grammar — MERGE INTO, ALTER
+  * TABLE (columns/tags/cdc), FSCK, CREATE/REFRESH MATERIALIZED VIEW —
+  * mirroring CopySqlSpec's COPY fuzz: every generated statement must
+  * parse to the right command with the right fields, and statements
+  * with unquoted targets must always delegate (return None). */
+class DmlFuzzSpec extends AnyFunSuite {
+
+  test("parser round-trips 300 randomized DML/DDL statements") {
+    val rnd = new scala.util.Random(4242)
+    def ident(): String =
+      "c" + rnd.alphanumeric.filter(_.isLetter).take(5).mkString
+    def uri(): String = s"/tmp/fz${rnd.nextInt(1000)}/t"
+    def quoted(u: String): String = s"'$u'"
+    val ws = () => if (rnd.nextBoolean()) "  " else " "
+
+    (1 to 300).foreach { i =>
+      rnd.nextInt(6) match {
+        case 0 => // MERGE with query or uri source, 1-3 keys, options
+          val u = uri()
+          val keys = (1 to 1 + rnd.nextInt(3)).map(_ => ident())
+          val src =
+            if (rnd.nextBoolean()) "(SELECT 1 AS " + keys.head + ")"
+            else quoted(uri())
+          val mor = rnd.nextBoolean()
+          val del = rnd.nextBoolean()
+          val opts =
+            (if (mor) Seq("merge_on_read") else Nil) ++
+              (if (del) Seq("delete_col '__d'") else Nil)
+          val optSql =
+            if (opts.isEmpty) "" else opts.mkString(" WITH (", ", ", ")")
+          val sql = s"MERGE${ws()}INTO${ws()}${quoted(u)} USING $src " +
+            s"ON ${keys.mkString(", ")}$optSql"
+          val cmd = CopySql.parse(sql)
+            .getOrElse(fail(s"[$i] did not parse: $sql"))
+            .asInstanceOf[MergeCommand]
+          assert(cmd.uri == u, sql)
+          assert(cmd.keyCols == keys, sql)
+          assert(cmd.mergeOnRead == mor && cmd.deleteCol.isDefined == del, sql)
+        case 1 => // ALTER column forms
+          val u = uri()
+          val (sql, op) = rnd.nextInt(3) match {
+            case 0 =>
+              val n = ident()
+              (s"ALTER TABLE ${quoted(u)} ADD COLUMN $n STRING", "add")
+            case 1 =>
+              (s"ALTER${ws()}TABLE ${quoted(u)} RENAME COLUMN " +
+                s"${ident()} TO ${ident()}", "rename")
+            case _ =>
+              (s"ALTER TABLE ${quoted(u)} DROP COLUMN ${ident()}", "drop")
+          }
+          val cmd = CopySql.parse(sql)
+            .getOrElse(fail(s"[$i] did not parse: $sql"))
+            .asInstanceOf[AlterColumnCommand]
+          assert(cmd.uri == u && cmd.op == op, sql)
+        case 2 => // tags and cdc
+          val u = uri()
+          val (sql, op) = rnd.nextInt(3) match {
+            case 0 =>
+              val v = if (rnd.nextBoolean()) " AS OF VERSION 3" else ""
+              (s"ALTER TABLE ${quoted(u)} CREATE TAG r1.${rnd.nextInt(9)}$v",
+                "tag")
+            case 1 => (s"ALTER TABLE ${quoted(u)} DROP TAG x_${ident()}",
+              "untag")
+            case _ => (s"ALTER TABLE ${quoted(u)} ENABLE CHANGE DATA", "cdc")
+          }
+          val cmd = CopySql.parse(sql)
+            .getOrElse(fail(s"[$i] did not parse: $sql"))
+            .asInstanceOf[AlterColumnCommand]
+          assert(cmd.uri == u && cmd.op == op, sql)
+        case 3 => // FSCK
+          val u = uri()
+          val deep = rnd.nextBoolean()
+          val sql = s"FSCK ${quoted(u)}${if (deep) " (deep)" else ""}"
+          val cmd = CopySql.parse(sql)
+            .getOrElse(fail(s"[$i] did not parse: $sql"))
+            .asInstanceOf[FsckCommand]
+          assert(cmd.uri == u && cmd.deep == deep, sql)
+        case 4 => // CREATE / REFRESH MATERIALIZED VIEW
+          val mv = uri(); val src = uri()
+          if (rnd.nextBoolean()) {
+            val g = ident()
+            val whereSql =
+              if (rnd.nextBoolean()) s" WHERE x > 5 AND y = 'a,b'" else ""
+            val sql = s"CREATE MATERIALIZED VIEW ${quoted(mv)} AS " +
+              s"SELECT $g, count(*) AS n, sum(x) AS sx, avg(y) AS ay " +
+              s"FROM ${quoted(src)}$whereSql GROUP BY $g"
+            val cmd = CopySql.parse(sql)
+              .getOrElse(fail(s"[$i] did not parse: $sql"))
+              .asInstanceOf[CreateMviewCommand]
+            assert(cmd.mvUri == mv && cmd.srcUri == src, sql)
+            assert(cmd.groupCols == Seq(g), sql)
+            assert(cmd.aggs.size == 3, sql)
+            assert(cmd.where.isDefined == whereSql.nonEmpty, sql)
+          } else {
+            val sql = s"REFRESH${ws()}MATERIALIZED VIEW ${quoted(mv)}"
+            val cmd = CopySql.parse(sql)
+              .getOrElse(fail(s"[$i] did not parse: $sql"))
+              .asInstanceOf[RefreshMviewCommand]
+            assert(cmd.mvUri == mv, sql)
+          }
+        case _ => // unquoted targets always delegate
+          val sql = rnd.nextInt(5) match {
+            case 0 => s"MERGE INTO ${ident()} USING s ON k WHEN MATCHED " +
+              "THEN UPDATE SET *"
+            case 1 => s"ALTER TABLE ${ident()} ADD COLUMN x INT"
+            case 2 => "CREATE TABLE t (x INT)"
+            case 3 => "REFRESH TABLE t"
+            case _ => s"FSCK ${ident()}"
+          }
+          assert(CopySql.parse(sql).isEmpty, s"[$i] must delegate: $sql")
+      }
+    }
+  }
+}
