@@ -1684,11 +1684,20 @@ object Snapshots extends Serializable {
         readManifestFull(spark, uri, v - 1).schemaId
       else None)
     val schemaField = sid.map(i => s" schema=$i").getOrElse("")
-    val out = fs.create(tmp, true)
-    try out.write(
+    val payload =
       ((s"graft-manifest v4 kind=$kind$morField$tsField$schemaField" +: lines)
-        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(tmp, true)
+    // large manifests gzip transparently (~6-10×): on a million-file
+    // table the driver-side manifest read drops from hundreds of MBs
+    // to tens; readers detect by magic bytes, so every existing plain
+    // manifest stays readable and small tables stay grep-able
+    try {
+      if (entries.size > GzipManifestEntries) {
+        val gz = new java.util.zip.GZIPOutputStream(out, 65536)
+        try gz.write(payload) finally gz.close()
+      } else out.write(payload)
+    } finally if (entries.size <= GzipManifestEntries) out.close()
     // first-wins commit: a racing writer that published the same version
     // number first KEEPS it — this writer fails cleanly, its manifest tmp
     // is removed, and its (uniquely named) data files are orphans that
@@ -1729,6 +1738,9 @@ object Snapshots extends Serializable {
       kind: String, mor: Boolean, ts: Option[Long],
       schemaId: Option[Int], entries: Seq[ManifestEntry])
 
+  /** Manifests larger than this many entries are written gzipped. */
+  private val GzipManifestEntries = 4096
+
   private[io] def readManifestFull(
       spark: SparkSession, uri: String, v: Int): Manifest = {
     val fs = fsOf(spark, uri)
@@ -1738,7 +1750,16 @@ object Snapshots extends Serializable {
     val content = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
+      val bytes = buf.toByteArray
+      // gzip magic → large manifest written compressed
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 65536)
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(gz, out, 65536, true)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } else new String(bytes, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     val header = lines.headOption.getOrElse("")

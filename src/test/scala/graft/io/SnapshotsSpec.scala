@@ -7,6 +7,36 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class SnapshotsSpec extends AnyFunSuite {
+
+  test("large manifests gzip transparently and round-trip") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("snap_gzip")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (1 to 4).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // a synthetic million-file-table-shaped manifest: entries need not
+    // exist on disk for the write/read round-trip
+    val entries = (1 to 5000).map(i =>
+      Snapshots.ManifestEntry(f"synthetic-$i%05d.parquet",
+        Some("rc:1;k=n:1:9")))
+    Snapshots.writeManifest(spark, dir, 2, entries, kind = "append")
+    val back = Snapshots.readManifestEntries(spark, dir, 2)
+    assert(back == entries.sortBy(_.name))
+    // and the bytes on disk really are gzipped (magic header)
+    val p = new org.apache.hadoop.fs.Path(dir,
+      "_graft_manifests/v000002.manifest")
+    val in = fs.open(p)
+    val head = new Array[Byte](2)
+    try in.readFully(head) finally in.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    assert(fs.getFileStatus(p).getLen < 5000L * 20,
+      "compressed well below plain size")
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
