@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rules: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full matrix
     ext.injectOptimizerRule(_ => plans.ThresholdedDistanceRule)
+    // metadata-only count(*): a bare row count over a snapshot relation
+    // answers from manifest stats — no scan, no file opened
+    ext.injectOptimizerRule(_ => plans.MetadataCountRule)
   }
 }
 

@@ -81,6 +81,14 @@ final class SnapshotFileIndex(
       })
     }
 
+  /** Exact live row count from manifest stats alone (None when any
+    * entry lacks one) — what [[graft.plans.MetadataCountRule]] answers
+    * `count(*)` from without touching a data file. */
+  private[graft] def totalRows: Option[Long] = {
+    val rows = entries.map(_.liveRows)
+    if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(uri))
   override def partitionSchema: StructType = partSchema
   override def refresh(): Unit = ()

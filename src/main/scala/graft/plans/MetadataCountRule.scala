@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+
+/**
+ * Metadata-only `count(*)`: a bare row count over a snapshot relation
+ * ([[graft.io.Snapshots.readIndexed]] / SQL `parquet_snapshot(...)`)
+ * is answered from the manifest's per-file row counts — the scan never
+ * runs, no file is opened (Delta answers `SELECT count(*)` from its
+ * log the same way).  On a 100 TB table this turns the most common
+ * sanity query from a cluster job into one driver-side sum that is
+ * ALREADY in memory.
+ *
+ * Strictly guarded: group-less, filter-less `count(literal)` (what
+ * `count(*)` parses to) whose child is the snapshot relation under
+ * row-count-preserving projections only, and only when EVERY manifest
+ * entry carries a row count.  Anything else keeps the normal plan.
+ */
+object MetadataCountRule extends Rule[LogicalPlan] {
+
+  private def indexRows(plan: LogicalPlan): Option[Long] = plan match {
+    case Project(_, child) => indexRows(child) // projections keep counts
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: graft.io.SnapshotFileIndex => idx.totalRows
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Seq(), Seq(Alias(
+        AggregateExpression(Count(Seq(_: Literal)), _, false, None, _),
+        _)), child, _) =>
+      indexRows(child) match {
+        case Some(n) =>
+          LocalRelation(agg.output, Seq(InternalRow(n)))
+        case None => agg
+      }
+  }
+}

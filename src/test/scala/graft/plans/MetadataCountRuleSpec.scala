@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Snapshots
+
+/** Metadata-only count(*): a bare row count over an indexed snapshot
+  * relation must plan to a LocalRelation (no scan at all) with the
+  * exact manifest-stats count; anything the guard excludes (filters,
+  * grouped counts, fallback reads) must keep the normal plan and the
+  * same answer. */
+class MetadataCountRuleSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ MetadataCountRule
+    s
+  }
+  import spark.implicits._
+
+  /** Whether the EXECUTED plan contains any parquet scan (AQE nests
+    * stages where collect() cannot see them — string-match instead). */
+  private def hasScan(df: DataFrame): Boolean = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.contains("FileScan")
+  }
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to 123).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(3, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  test("bare count(*) answers from the manifest — zero scans") {
+    val dir = fresh("mcr_basic")
+    val df = Snapshots.readIndexed(spark, dir).agg(count(lit(1)).as("n"))
+    assert(df.as[Long].head() == 123L)
+    assert(!hasScan(df), "count must not plan a file scan")
+    // SQL route through parquet_snapshot gets the same treatment
+    graft.meta.MetaTableFunctions.register(spark)
+    val sqlDf = spark.sql(s"SELECT count(*) FROM parquet_snapshot('$dir')")
+    assert(sqlDf.as[Long].head() == 123L)
+    assert(!hasScan(sqlDf))
+  }
+
+  test("filters, grouping, and count(col) keep the real plan") {
+    val dir = fresh("mcr_guard")
+    val filtered = Snapshots.readIndexed(spark, dir)
+      .filter(col("k") <= 10).agg(count(lit(1)))
+    assert(filtered.as[Long].head() == 10L)
+    assert(hasScan(filtered), "a filter must keep the scan")
+    val grouped = Snapshots.readIndexed(spark, dir)
+      .groupBy(col("k") % 2).agg(count(lit(1)))
+    assert(hasScan(grouped))
+    // count(col) skips nulls — not answerable from row counts
+    val countCol = Snapshots.readIndexed(spark, dir).agg(count(col("s")))
+    assert(countCol.as[Long].head() == 123L)
+    assert(hasScan(countCol))
+  }
+
+  test("fallback reads (DVs) count correctly through the normal plan") {
+    val dir = fresh("mcr_dv")
+    Snapshots.deleteWhereCommit(spark, dir, "k <= 3", mergeOnRead = true)
+    val df = Snapshots.readIndexed(spark, dir).agg(count(lit(1)))
+    assert(df.as[Long].head() == 120L)
+  }
+}
