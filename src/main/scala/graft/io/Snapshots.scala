@@ -469,6 +469,16 @@ object Snapshots extends Serializable {
     vs.max
   }
 
+  /** Exact live row count of a version from manifest metadata alone
+    * (footer counts minus deletion-vector rows) — no data file opened.
+    * None when any entry predates stats recording. */
+  def rowCount(spark: SparkSession, uri: String,
+      version: Int = -1): Option[Long] = {
+    val v = if (version <= 0) latestVersion(spark, uri) else version
+    val rows = readManifestEntries(spark, uri, v).map(_.liveRows)
+    if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None
+  }
+
   /** Read a pinned snapshot (`version <= 0` → latest). */
   def read(spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
