@@ -81,6 +81,20 @@ final class SnapshotFileIndex(
       })
     }
 
+  /** Fold one column's numeric bound across EVERY entry (min of mins /
+    * max of maxes); None when any file lacks it — an absent bound could
+    * mean dropped stats, not just an all-null file, so any gap refuses
+    * the metadata answer. */
+  private[graft] def numericBound(colName: String, wantMin: Boolean)
+      : Option[java.math.BigDecimal] = {
+    val per = entries.map(_.stats.flatMap(s =>
+      SnapshotStats.parseStats(s).get(colName).collect {
+        case b: SnapshotStats.NumBound => if (wantMin) b.min else b.max
+      }))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else Some(if (wantMin) per.flatten.min else per.flatten.max)
+  }
+
   /** Exact live row count from manifest stats alone (None when any
     * entry lacks one) — what [[graft.plans.MetadataCountRule]] answers
     * `count(*)` from without touching a data file. */

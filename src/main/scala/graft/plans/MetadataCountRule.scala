@@ -1,50 +1,115 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count}
+  AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.io.SnapshotFileIndex
 
 /**
- * Metadata-only `count(*)`: a bare row count over a snapshot relation
+ * Metadata-only aggregates: a group-less, filter-less combination of
+ * `count(*)`, `min(col)` and `max(col)` over a snapshot relation
  * ([[graft.io.Snapshots.readIndexed]] / SQL `parquet_snapshot(...)`)
- * is answered from the manifest's per-file row counts — the scan never
- * runs, no file is opened (Delta answers `SELECT count(*)` from its
- * log the same way).  On a 100 TB table this turns the most common
- * sanity query from a cluster job into one driver-side sum that is
- * ALREADY in memory.
+ * is answered from the manifest's per-file row counts and min/max
+ * bounds — the scan never runs, no file is opened (Delta answers the
+ * same shapes from its log).  On a 100 TB table the classic
+ * `SELECT count(*), min(ts), max(ts)` sanity query becomes one
+ * driver-side fold over data that is ALREADY in memory.
  *
- * Strictly guarded: group-less, filter-less `count(literal)` (what
- * `count(*)` parses to) whose child is the snapshot relation under
- * row-count-preserving projections only, and only when EVERY manifest
- * entry carries a row count.  Anything else keeps the normal plan.
+ * Strictly guarded: every aggregate in the list must be answerable —
+ * `count(literal)` needs every entry to carry a row count; min/max
+ * need a DIRECT column reference of an exact-bounds type (integral /
+ * date / timestamp — parquet footer stats for these are exact values,
+ * never truncated) with a recorded bound in EVERY file (an absent
+ * bound could mean dropped stats, not just an all-null file, so any
+ * gap keeps the real plan).  Filters, grouping, DISTINCT, agg-filters,
+ * expressions under min/max, and fallback reads all keep the normal
+ * plan.
  */
 object MetadataCountRule extends Rule[LogicalPlan] {
 
-  private def indexRows(plan: LogicalPlan): Option[Long] = plan match {
-    case Project(_, child) => indexRows(child) // projections keep counts
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case idx: graft.io.SnapshotFileIndex => idx.totalRows
+  private def indexOf(plan: LogicalPlan): Option[SnapshotFileIndex] =
+    plan match {
+      case Project(_, child) => indexOf(child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case idx: SnapshotFileIndex => Some(idx)
+          case _ => None
+        }
         case _ => None
       }
+      case _ => None
+    }
+
+  /** Follow `attr` down through attribute-forwarding projections to the
+    * relation; the flat (unpartitioned) data column name, or None when
+    * anything rewrites it on the way. */
+  private def columnName(attr: Attribute, plan: LogicalPlan)
+      : Option[String] = plan match {
+    case Project(projList, child) =>
+      projList.collectFirst {
+        case a: AttributeReference if a.exprId == attr.exprId => a
+        case ne @ Alias(a: AttributeReference, _)
+            if ne.exprId == attr.exprId => a
+      }.flatMap(columnName(_, child))
+    case lr: LogicalRelation =>
+      lr.output.collectFirst {
+        case a if a.exprId == attr.exprId => a.name
+      }
+    case _ => None
+  }
+
+  private val exactTypes: Set[DataType] = Set(ByteType, ShortType,
+    IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
+
+  private def internal(v: java.math.BigDecimal, dt: DataType): Any =
+    dt match {
+      case ByteType => v.byteValueExact()
+      case ShortType => v.shortValueExact()
+      case IntegerType | DateType => v.intValueExact()
+      case LongType | TimestampType | TimestampNTZType => v.longValueExact()
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+
+  /** Fold one column's bound across every entry; None when any file
+    * lacks it. */
+  private def foldBound(idx: SnapshotFileIndex, colName: String,
+      dt: DataType, wantMin: Boolean): Option[Any] =
+    idx.numericBound(colName, wantMin)
+      .flatMap(v => scala.util.Try(internal(v, dt)).toOption)
+
+  private def answer(ne: NamedExpression, idx: SnapshotFileIndex,
+      child: LogicalPlan): Option[Any] = ne match {
+    case Alias(AggregateExpression(f, _, false, None, _), _) => f match {
+      case Count(Seq(_: Literal)) => idx.totalRows
+      case Min(a: AttributeReference) if exactTypes.contains(a.dataType) =>
+        columnName(a, child).flatMap(
+          foldBound(idx, _, a.dataType, wantMin = true))
+      case Max(a: AttributeReference) if exactTypes.contains(a.dataType) =>
+        columnName(a, child).flatMap(
+          foldBound(idx, _, a.dataType, wantMin = false))
       case _ => None
     }
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Seq(), Seq(Alias(
-        AggregateExpression(Count(Seq(_: Literal)), _, false, None, _),
-        _)), child, _) =>
-      indexRows(child) match {
-        case Some(n) =>
-          LocalRelation(agg.output, Seq(InternalRow(n)))
+    case agg @ Aggregate(Seq(), aggExprs, child, _) if aggExprs.nonEmpty =>
+      indexOf(child) match {
+        case Some(idx) =>
+          val answers = aggExprs.map(answer(_, idx, child))
+          if (answers.forall(_.isDefined))
+            LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(answers.map(_.get))))
+          else agg
         case None => agg
       }
   }

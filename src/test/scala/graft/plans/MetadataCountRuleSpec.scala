@@ -51,6 +51,22 @@ class MetadataCountRuleSpec extends AnyFunSuite {
     assert(!hasScan(sqlDf))
   }
 
+  test("min/max on exact-bounds columns answer with count in one go") {
+    val dir = fresh("mcr_minmax")
+    val df = Snapshots.readIndexed(spark, dir)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assert(df.as[(Long, Long, Long)].head() == ((123L, 1L, 123L)))
+    assert(!hasScan(df), "stats query must not plan a file scan")
+    // a string column has no exact numeric bound — real plan, right value
+    val strMin = Snapshots.readIndexed(spark, dir).agg(min("s"))
+    assert(strMin.as[String].head() == "v1")
+    assert(hasScan(strMin))
+    // min of an EXPRESSION is not a direct column — real plan
+    val exprMin = Snapshots.readIndexed(spark, dir).agg(min(col("k") + 1))
+    assert(exprMin.as[Long].head() == 2L)
+    assert(hasScan(exprMin))
+  }
+
   test("filters, grouping, and count(col) keep the real plan") {
     val dir = fresh("mcr_guard")
     val filtered = Snapshots.readIndexed(spark, dir)
