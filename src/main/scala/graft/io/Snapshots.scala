@@ -1460,7 +1460,9 @@ object Snapshots extends Serializable {
     fs.delete(tmp, true)
     val parts = pre.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
       post.map(_.withColumn("_change_type", lit("insert")))
-    parts.reduce(_.unionByName(_)).coalesce(1).write.parquet(tmp.toString)
+    // task-natural parallel write: a large delta must not funnel
+    // through one task; readers glob the dir either way
+    parts.reduce(_.unionByName(_)).write.parquet(tmp.toString)
     tmp
   }
 
