@@ -728,6 +728,35 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // metadata-only aggregates: count/min/max over the snapshot answer
+    // from manifest stats through the optimizer rule — zero scan tasks
+    // (plan shape pinned in MetadataCountRuleSpec; THIS query value-
+    // checks the folded answers against DuckDB computing them the
+    // honest way)
+    "io_snapshot_stats_agg" -> ((s, dir) => {
+      val uri = util.Staging.dirFor(
+        "graft_sfi_v1_" + new java.io.File(dir).getName,
+        s"$dir/orders.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+          .write.parquet(uri)
+        io.Snapshots.init(s, uri)
+      }
+      if (!s.experimental.extraOptimizations.contains(
+          plans.MetadataCountRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.MetadataCountRule
+      io.Snapshots.readIndexed(s, uri).agg(
+        count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"))
+    }),
+
     // named snapshot tags (Iceberg ref-style): 'base' pins v1 forever —
     // retention-protected (expire keeps tagged versions), readable by
     // name from SQL long after version numbers stop meaning anything
@@ -3222,6 +3251,11 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 2 = 1 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_snapshot_stats_agg" ->
+      ("SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, min(o_orderdate) AS min_date, " +
+        "max(o_orderdate) AS max_date FROM orders"),
 
     "io_snapshot_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
