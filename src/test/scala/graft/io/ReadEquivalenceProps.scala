@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Seeded equivalence fuzz over the three snapshot read routes: for
+  * random tables (layout, file count, value domains) and random
+  * predicates, `readIndexed(..).filter(p)`, `readWhere(.., p)` and
+  * `read(..).filter(p)` must return identical row sets — planning-time
+  * pruning, eager pruning, and no pruning may only differ in WHICH
+  * files they open, never in what they return. */
+class ReadEquivalenceProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("indexed, eager, and plain reads agree over 15 random cases") {
+    val rnd = new scala.util.Random(77)
+    (1 to 15).foreach { i =>
+      val dir = TestSpark.tmpDir(s"req_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+      val n = 50 + rnd.nextInt(150)
+      val span = 1 + rnd.nextInt(500)
+      val rows = (1 to n).map { _ =>
+        val k = rnd.nextInt(span).toLong
+        (k, s"s${rnd.nextInt(20)}", rnd.nextInt(1000).toLong)
+      }
+      val files = 1 + rnd.nextInt(5)
+      val df = rows.toDF("k", "s", "v")
+      val laid =
+        if (rnd.nextBoolean()) df.repartitionByRange(files, col("k"))
+        else df.repartition(files)
+      laid.write.parquet(dir)
+      Snapshots.init(spark, dir)
+      if (rnd.nextBoolean()) Snapshots.setBloomFilter(spark, dir, Seq("k"))
+
+      val pred = rnd.nextInt(5) match {
+        case 0 => s"k <= ${rnd.nextInt(span)}"
+        case 1 => s"k = ${rnd.nextInt(span)}"
+        case 2 => s"k IN (${Seq.fill(3)(rnd.nextInt(span)).mkString(",")})"
+        case 3 => s"k > ${rnd.nextInt(span)} AND v < ${rnd.nextInt(1000)}"
+        case _ => s"s = 's${rnd.nextInt(20)}' OR k < ${rnd.nextInt(span)}"
+      }
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("k", "s", "v").collect().toSeq
+      val indexed = canon(Snapshots.readIndexed(spark, dir).filter(expr(pred)))
+      val eager = canon(Snapshots.readWhere(spark, dir, pred))
+      val plain = canon(Snapshots.read(spark, dir).filter(expr(pred)))
+      assert(indexed == eager, s"[case $i] indexed != eager for: $pred")
+      assert(indexed == plain, s"[case $i] indexed != plain for: $pred")
+    }
+  }
+}
