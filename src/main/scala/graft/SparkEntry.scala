@@ -3984,7 +3984,7 @@ object SparkEntry {
         "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT) AS hv " +
         "FROM tok) " +
         "SELECT doc_id, hv % 64 AS bucket, " +
-        "sum((hv // 64) % 2 * 2 - 1) AS val FROM h " +
+        "CAST(sum((hv // 64) % 2 * 2 - 1) AS BIGINT) AS val FROM h " +
         "GROUP BY doc_id, hv % 64 HAVING sum((hv // 64) % 2 * 2 - 1) <> 0 " +
         "ORDER BY doc_id, bucket"),
 

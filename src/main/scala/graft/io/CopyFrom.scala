@@ -31,9 +31,73 @@ object CopyFrom {
       target: StructType,
       options: CopyFromOptions = CopyFromOptions.default): DataFrame = {
     val raw = spark.read.parquet(uri)
+    // per-file first: a deviant file must be named in the error, not
+    // surface as an anonymous merged-schema mismatch
+    validatePerFile(spark, raw.inputFiles.toSeq, target, options.matchBy)
     val bindings = SchemaCompat.validate(raw.schema, target, options.matchBy)
     val bound = SchemaCompat.castProjection(raw, bindings, options.matchBy)
     options.where.map(bound.filter).getOrElse(bound)
+  }
+
+  /**
+   * Validate EVERY matched file's own footer schema against the target —
+   * the reference builds one fully-validated reader per matched uri
+   * (`parquet_reader.rs:98-126`, each through the complete
+   * `schema_parser.rs:505-579` check), so a glob with one deviant file
+   * fails FAST with a per-file message instead of erroring mid-scan or
+   * silently null-filling the deviant's columns.  Spark's merged/first
+   * -file schema check above cannot see a deviant: by-name resolution
+   * papers over it until (or past) execution.
+   *
+   * Footer reads are driver-side up to 64 files and one-task-per-file
+   * distributed above — the same sweep shape as the snapshot layer's
+   * stats collection; a 100k-file glob must not serialize footer RPCs
+   * through the driver.
+   */
+  private[io] def validatePerFile(
+      spark: SparkSession, files: Seq[String], target: StructType,
+      matchBy: MatchBy): Unit = {
+    if (files.size <= 1) return // the merged-schema check already saw it
+    val conf = spark.sessionState.newHadoopConf()
+    // footer fetch (the RPC) runs wherever the sweep runs; the parquet→
+    // Spark type conversion runs on the DRIVER (its converter is built
+    // from the session's SQLConf — the exact typing a real scan uses).
+    // MessageType round-trips losslessly through its string form, so
+    // the distributed path ships one small string per file.
+    def footerSchema(c: org.apache.hadoop.conf.Configuration, f: String)
+        : String = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(new java.net.URI(f)), c)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getFileMetaData.getSchema.toString
+      finally reader.close()
+    }
+    val schemas: Seq[(String, String)] =
+      if (files.size <= 64) files.map(f => f -> footerSchema(conf, f))
+      else {
+        val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+        val parts = math.max(1, math.min(files.size / 8,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(files, parts)
+          .map(f => f -> footerSchema(ser.value, f)).collect().toSeq
+      }
+    val converter =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+    val bad = schemas.flatMap { case (f, s) =>
+      val fileSchema = converter.convert(
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(s))
+      try { SchemaCompat.validate(fileSchema, target, matchBy); None }
+      catch {
+        case e: SchemaCompat.SchemaMismatch => Some(s"$f: ${e.msg}")
+      }
+    }
+    if (bad.nonEmpty)
+      throw SchemaCompat.SchemaMismatch(
+        s"${bad.size} of ${files.size} matched parquet files do not " +
+          s"match the table schema:\n" +
+          bad.sorted.take(5).mkString("\n") +
+          (if (bad.size > 5) s"\n… and ${bad.size - 5} more" else ""))
   }
 
   /** Read with no target schema: pure scan (schema from file footer). */

@@ -115,7 +115,22 @@ object Mview {
         accs.tail.map { case (n, e) => e.as(n) }: _*)
     val p = new Path(mvUri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, true)
+    // refuse to destroy unrelated data: only an EXISTING MVIEW may be
+    // recreated in place (mirrors init's refuse-if-manifests-exist) —
+    // a snapshot table or plain data dir at the target is an error,
+    // not an implicit overwrite
+    if (fs.exists(p)) {
+      val isMview =
+        Snapshots.manifestDir(mvUri).getFileSystem(
+          spark.sessionState.newHadoopConf()).exists(
+            Snapshots.manifestDir(mvUri)) &&
+          Snapshots.readTableProps(spark, mvUri).contains("mview.src")
+      require(isMview || fs.listStatus(p).isEmpty,
+        s"$mvUri already exists and is not a materialized view — " +
+          "refusing to overwrite; drop the directory explicitly to " +
+          "reuse the path")
+      fs.delete(p, true)
+    }
     full.write.parquet(mvUri)
     Snapshots.init(spark, mvUri)
     Snapshots.updateTableProps(spark, mvUri)(_ ++ Map(

@@ -128,13 +128,25 @@ object PartitionTransforms {
   // ------------------------------------------------------ prune side
 
   /** xxhash64 of a literal in the column's exact type domain — the same
-    * bytes-and-seed hash `functions.xxhash64` computes on the column. */
-  private def hashLiteral(v: Long, baseType: String): Long = {
-    val lit = baseType match {
-      case "int" => Literal(v.toInt, IntegerType)
-      case _ => Literal(v, LongType)
+    * bytes-and-seed hash `functions.xxhash64` computes on the column.
+    * None when the literal's kind and the column's type disagree (an
+    * `intcol = 'x'` / `strcol = 5` predicate goes through Spark's
+    * implicit casts, a domain this veto must not second-guess). */
+  private def hashLiteral(v: SnapshotStats.CValue, baseType: String)
+      : Option[Long] = {
+    val lit = (baseType, v) match {
+      case ("int", SnapshotStats.NumV(x)) =>
+        exactLong(x).collect { case l if l.isValidInt =>
+          Literal(l.toInt, IntegerType) }
+      case ("long", SnapshotStats.NumV(x)) =>
+        exactLong(x).map(Literal(_, LongType))
+      case ("string", SnapshotStats.StrV(bytes)) =>
+        Some(Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes),
+          StringType))
+      case _ => None
     }
-    XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+    lit.map(l => XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])
   }
 
   /** Exact long from a predicate literal; None when fractional or out
@@ -152,13 +164,12 @@ object PartitionTransforms {
       : (String, SnapshotStats.CValue) => Boolean = { (c, v) =>
     transforms.exists {
       case b: Bucket if b.baseCol == c =>
-        (dirVals.get(b.dirCol), v) match {
-          case (Some(dv), SnapshotStats.NumV(x)) =>
+        dirVals.get(b.dirCol) match {
+          case Some(dv) =>
             (for {
-              lit <- exactLong(x)
+              h <- hashLiteral(v, b.baseType)
               fileBucket <- dv.toLongOption
-            } yield java.lang.Math.floorMod(
-              hashLiteral(lit, b.baseType), b.n.toLong) != fileBucket)
+            } yield java.lang.Math.floorMod(h, b.n.toLong) != fileBucket)
               .getOrElse(false)
           case _ => false
         }
@@ -176,8 +187,13 @@ object PartitionTransforms {
     }
   }
 
+  /** Truncate by Unicode code points — the unit Spark's `substring()`
+    * (which produced the dir value) counts in.  `String.substring`
+    * counts UTF-16 units and disagrees on supplementary characters
+    * (surrogate pairs), which would falsely veto files holding them. */
   private def truncStr(s: String, len: Int): String =
-    if (s.length <= len) s else s.substring(0, len)
+    if (s.codePointCount(0, s.length) <= len) s
+    else s.substring(0, s.offsetByCodePoints(0, len))
 
   /** Extra per-column interval bounds from truncate-int dirs: rows of a
     * file with `pt_c = t` lie in [t, t+w-1] — the existing interval

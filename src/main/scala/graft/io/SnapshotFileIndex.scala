@@ -29,13 +29,26 @@ import org.apache.spark.sql.types.StructType
  * (via a shim), so value typing matches a plain basePath read exactly.
  *
  * Construction lists each referenced directory ONCE (one RPC batch per
- * dir, not one per file).  Used for DV-free, unevolved, untransformed
- * snapshots; everything else falls back to [[Snapshots.read]]'s
- * feature-complete path.
+ * dir, not one per file).
+ *
+ * Beyond the pristine case, the index also serves:
+ *  - TRANSFORM-partitioned tables — `transforms` drives the same
+ *    bucket/truncate eqVeto + interval bounds [[Snapshots.pruneEntries]]
+ *    applies, so `k = 5` over a bucket(8, k) layout keeps ~1/8 of the
+ *    files at PLAN time (the hidden `pb_`/`pt_` dir columns surface as
+ *    partition columns here; the caller drops them);
+ *  - schema-EVOLVED tables — `renames` lets pushed filters over
+ *    `coalesce(cur, former)` (the evolution projection's shape) prune
+ *    per rename variant (see [[SnapshotStats.fromResolved]]);
+ *  - DV'd tables — the caller scans the DV'd entries through their own
+ *    index and anti-joins positions post-scan; pruning still happens
+ *    here, over exactly the files handed in.
  */
 final class SnapshotFileIndex(
     spark: SparkSession, uri: String,
-    entries: Seq[Snapshots.ManifestEntry]) extends FileIndex {
+    entries: Seq[Snapshots.ManifestEntry],
+    transforms: Seq[PartitionTransforms.Transform] = Nil,
+    renames: Map[String, Seq[String]] = Map.empty) extends FileIndex {
 
   private val statsByName: Map[String, Option[String]] =
     entries.map(e => e.name -> e.stats).toMap
@@ -58,6 +71,10 @@ final class SnapshotFileIndex(
   }
   require(statuses.size == entries.size,
     s"$uri: ${entries.size - statuses.size} manifest files missing on disk")
+
+  /** Rename groups for coalesce-leaf expansion: current name + formers. */
+  private val renameGroups: Seq[Set[String]] =
+    renames.toSeq.map { case (cur, olds) => (cur +: olds).toSet }
 
   /** dir-relative prefix ("" for flat) per entry. */
   private def dirOf(name: String): String = name.lastIndexOf('/') match {
@@ -113,14 +130,19 @@ final class SnapshotFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pred = SnapshotStats.fromResolved(dataFilters)
+    val pred = SnapshotStats.fromResolved(dataFilters, renameGroups)
     val keepDir = org.apache.spark.sql.execution.datasources.graft.PartitionShim
       .partitionPruner(partitionFilters, partSchema)
     val kept = entries.filter { e =>
+      val dirVals =
+        if (transforms.isEmpty) Map.empty[String, String]
+        else PartitionTransforms.dirValues(e.name)
       (!partitioned || keepDir(partValues(dirOf(e.name)))) &&
         SnapshotStats.mayMatch(statsByName(e.name), pred,
-          SnapshotStats.partitionBounds(e.name),
-          SnapshotStats.partitionNulls(e.name))
+          SnapshotStats.partitionBounds(e.name) ++
+            PartitionTransforms.extraBounds(transforms, dirVals),
+          SnapshotStats.partitionNulls(e.name),
+          PartitionTransforms.eqVeto(transforms, dirVals))
     }
     if (!partitioned)
       Seq(PartitionDirectory(InternalRow.empty,
@@ -134,17 +156,22 @@ final class SnapshotFileIndex(
 
 object SnapshotFileIndex {
 
-  /** Build the pushdown-pruned relation for a snapshot version.
-    * Callers go through [[Snapshots.readIndexed]], which falls back to
-    * the feature-complete read path when the snapshot needs evolution,
-    * deletion vectors, or transform-partition handling. */
+  /** Build the pushdown-pruned relation over `entries`.  `dataSchema`
+    * overrides the one-file-sniffed physical schema (an EVOLVED table's
+    * files disagree on columns; the union-of-variants schema null-fills
+    * by parquet name resolution exactly like a mergeSchema read).
+    * Callers compose DV anti-joins / evolution projections / hidden-dir
+    * drops on top — see [[Snapshots.readIndexed]]. */
   private[io] def relation(
       spark: SparkSession, uri: String,
-      entries: Seq[Snapshots.ManifestEntry]): DataFrame = {
-    val index = new SnapshotFileIndex(spark, uri, entries)
-    val dataSchema =
-      spark.read.parquet(s"$uri/${entries.head.name}").schema
-    val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+      entries: Seq[Snapshots.ManifestEntry],
+      transforms: Seq[PartitionTransforms.Transform] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[StructType] = None): DataFrame = {
+    val index = new SnapshotFileIndex(spark, uri, entries, transforms, renames)
+    val schema = dataSchema.getOrElse(
+      spark.read.parquet(s"$uri/${entries.head.name}").schema)
+    val rel = HadoopFsRelation(index, index.partitionSchema, schema,
       None, new ParquetFileFormat(), Map.empty[String, String])(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     org.apache.spark.sql.graft.StreamingShim.ofRows(

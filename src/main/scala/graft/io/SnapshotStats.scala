@@ -332,13 +332,67 @@ object SnapshotStats extends Serializable {
 
   /** The same prunable structure from RESOLVED pushed-down filters (the
     * planning-time route [[SnapshotFileIndex]] receives) — implicitly a
-    * conjunction, like every pushed-filter list. */
-  private[io] def fromResolved(filters: Seq[Expression]): Pred =
-    filters.map(f => predOf(f, {
+    * conjunction, like every pushed-filter list.
+    *
+    * `renameGroups`: the table's rename chains (each set = a current
+    * name plus its former names).  A filter over an EVOLVED table
+    * arrives as `coalesce(cur, former) op lit` (the evolution
+    * projection substituted through pushdown); when the coalesce's
+    * attributes all belong to one rename group, the leaf expands to the
+    * AND of per-variant tests — exactly [[withNameVariants]]'s
+    * construction, and exact for the same reason: a file physically
+    * carries at most ONE variant (the others read all-null there), so
+    * the coalesce value is always drawn from the file's own variant,
+    * the absent variants' tests return may-match, and the AND reduces
+    * to the present variant's test.  A coalesce over anything else
+    * stays Unknown (never expanded — two genuinely co-populated
+    * columns would make the AND unsound). */
+  private[io] def fromResolved(
+      filters: Seq[Expression],
+      renameGroups: Seq[Set[String]] = Nil): Pred = {
+    val attr: Expression => Option[String] = {
       case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
         Some(a.name)
       case _ => None
-    })).reduceOption(AndP(_, _)).getOrElse(UnknownP)
+    }
+    def variantNames(e: Expression): Option[Seq[String]] = e match {
+      case Coalesce(children) if children.nonEmpty =>
+        val names = children.map(attr)
+        if (names.forall(_.isDefined)) {
+          val ns = names.flatten
+          if (renameGroups.exists(g => ns.forall(g))) Some(ns) else None
+        } else None
+      case _ => None
+    }
+    def expand(f: Expression): Pred = {
+      // rewrite `op(coalesce(variants), lit)` into the per-variant AND
+      // by substituting each variant for the coalesce and re-parsing
+      def sub(top: Expression, c: Expression, names: Seq[String]): Pred =
+        names.map { n =>
+          val repl = top.transformUp {
+            case e if e.fastEquals(c) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                Seq(n))
+          }
+          // UnresolvedAttribute IS an Attribute — the substituted
+          // variants resolve through the same extractor
+          predOf(repl, attr)
+        }.reduce(AndP(_, _))
+      f match {
+        case And(l, r) => AndP(expand(l), expand(r))
+        case Or(l, r) => OrP(expand(l), expand(r))
+        case _ =>
+          val coalesces = f.collect {
+            case c: Coalesce if variantNames(c).isDefined => c
+          }
+          coalesces.headOption match {
+            case Some(c) => sub(f, c, variantNames(c).get)
+            case None => predOf(f, attr)
+          }
+      }
+    }
+    filters.map(expand).reduceOption(AndP(_, _)).getOrElse(UnknownP)
+  }
 
   private def predOf(
       root: Expression, attr: Expression => Option[String]): Pred = {
@@ -480,14 +534,20 @@ object SnapshotStats extends Serializable {
     lazy val blooms = stats.map(parseBlooms).getOrElse(Map.empty)
     // an equality the file's Bloom filter or a caller-supplied veto
     // (partition transforms) disproves; no bloom / no veto proves
-    // nothing
+    // nothing.  The bloom is only consulted when the literal's kind
+    // matches the column's build domain (derived from the stats bound
+    // type — same footer, same domain): a cross-typed equality like
+    // `intcol = '05'` goes through Spark's implicit cast, where the
+    // StrV bytes "05" vs canonLong "5" would test the wrong key and
+    // falsely veto a matching file.  No bound → domain unknown → skip.
     def bloomDisproves(col: String, v: CValue): Boolean =
       eqVeto(col, v) || blooms.get(col).exists { bl =>
-        val key = v match {
-          case NumV(x) => SnapshotBloom.canonNum(x)
-          case StrV(bytes) => bytes
+        val key = (bounds.get(col), v) match {
+          case (Some(_: NumBound), NumV(x)) => Some(SnapshotBloom.canonNum(x))
+          case (Some(_: StrBound), StrV(bytes)) => Some(bytes)
+          case _ => None
         }
-        !bl.mightContain(key)
+        key.exists(k => !bl.mightContain(k))
       }
     def leafMay(c: Conjunct): Boolean = c.op match {
       case "isnull" =>

@@ -167,10 +167,50 @@ object Snapshots extends Serializable {
     // projection [[SchemaEvolution.evolve]] applies
     val reader = spark.read.option("basePath", uri)
     val r =
-      if (readTableProps(spark, uri).contains("schema.current"))
-        reader.option("mergeSchema", "true")
+      if (isEvolved(spark, uri)) reader.option("mergeSchema", "true")
       else reader
     r.parquet(names.map(n => s"$uri/$n"): _*)
+  }
+
+  /** Has this table EVER taken a schema-evolution commit?  The manifest
+    * header's schemaId is the source of truth (table.properties'
+    * `schema.current` is a documented-lossy hint: delete→rename window,
+    * cross-JVM last-write-wins on alter races) — so the props hint is
+    * only a fast path, and its absence falls through to a header-only
+    * read of the latest manifest.  Evolution never un-happens (schemaId
+    * carries forward on every commit), so a positive answer is cached
+    * sticky per table. */
+  private val evolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def isEvolved(spark: SparkSession, uri: String): Boolean = {
+    if (java.lang.Boolean.TRUE.equals(evolvedCache.get(uri))) return true
+    val e = readTableProps(spark, uri).contains("schema.current") ||
+      (try readManifestHeader(spark, uri, latestVersion(spark, uri))
+        .split(" ").exists(_.startsWith("schema="))
+      catch { case _: Exception => false })
+    if (e) evolvedCache.put(uri, true)
+    e
+  }
+
+  /** First (header) line of a manifest — cheap even for gzip'd
+    * million-entry manifests (only the first block decompresses). */
+  private def readManifestHeader(
+      spark: SparkSession, uri: String, v: Int): String = {
+    val fs = fsOf(spark, uri)
+    val p = manifestPath(uri, v)
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](2)
+      val n = in.read(head)
+      val stream: java.io.InputStream =
+        if (n == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+          in.seek(0)
+          new java.util.zip.GZIPInputStream(in, 8192)
+        } else { in.seek(0); in }
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(stream, StandardCharsets.UTF_8), 8192)
+      Option(br.readLine()).getOrElse("")
+    } finally in.close()
   }
 
   /** Apply version `v`'s schema (when it has one) to a raw file read:
@@ -515,23 +555,92 @@ object Snapshots extends Serializable {
    * — `readIndexed(u).filter($"k" === 5).join(...)` skips excluded
    * files without the caller ever writing a predicate string, and the
    * surviving files run through Spark's stock vectorized parquet scan.
-   * Falls back to [[read]] (feature-complete, eager) when the snapshot
-   * needs deletion vectors, hive/transform partitions, or schema
-   * evolution — result-identical either way, only the prune timing
-   * differs.
+   *
+   * Every table state keeps plan-time skipping (nothing falls back to
+   * an eager scan): hive and TRANSFORM partitions prune through typed
+   * partition values and the bucket/truncate veto; a DV'd table scans
+   * its DV-free files through one pruned index and its DV'd files
+   * through another (positions anti-joined post-scan, pushed filters
+   * reaching both scans); a schema-EVOLVED table scans the
+   * union-of-variants physical schema and prunes pushed
+   * `coalesce(cur, former)` filters per rename variant.  At 100 TB
+   * this is the property that matters: one MoR delete or column RENAME
+   * must not demote every future read to open-all-files.
    */
   def readIndexed(
       spark: SparkSession, uri: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, uri) else version
     val entries = readManifestEntries(spark, uri, v)
-    // hive-partitioned layouts are handled (partition values parsed by
-    // Spark's own inference, pruned alongside stats); DVs, schema
-    // evolution, and hidden transforms fall back
-    val plain = entries.nonEmpty && entries.forall(_.dv.isEmpty) &&
-      readManifestFull(spark, uri, v).schemaId.isEmpty &&
-      transformsOf(spark, uri).isEmpty
-    if (!plain) read(spark, uri, version)
-    else SnapshotFileIndex.relation(spark, uri, entries)
+    // delete-all versions have no files to index — the eager path
+    // already handles schema recovery for them
+    if (entries.isEmpty) return read(spark, uri, version)
+    val transforms = transformsOf(spark, uri)
+    val schemaDef = readManifestFull(spark, uri, v).schemaId
+      .map(id => SchemaEvolution.readDef(spark, uri, id))
+    val partCols = partitionColsOf(entries).toSet
+
+    // physical union schema of an evolved table: every current field
+    // (hive partition columns excepted — they live in the path) plus
+    // one sibling field per former name of a renamed column, all
+    // nullable.  Parquet name resolution null-fills whichever variants
+    // a given file lacks — the same shape a mergeSchema read produces,
+    // without reading any footer here.
+    val dataSchema = schemaDef.map { d =>
+      org.apache.spark.sql.types.StructType(
+        d.schema.fields.filterNot(f => partCols.contains(f.name))
+          .flatMap { f =>
+            (f.name +: d.renames.getOrElse(f.name, Nil)).map(n =>
+              org.apache.spark.sql.types.StructField(
+                n, f.dataType, nullable = true))
+          })
+    }
+
+    def indexed(sub: Seq[ManifestEntry]): DataFrame =
+      SnapshotFileIndex.relation(spark, uri, sub, transforms,
+        schemaDef.map(_.renames).getOrElse(Map.empty), dataSchema)
+
+    // the evolution projection (coalesce rename variants, null-fill
+    // adds, drop drops) — pushed filters substitute through it and
+    // [[SnapshotStats.fromResolved]] prunes per variant
+    def evolved(df: DataFrame, keep: Seq[String]): DataFrame =
+      schemaDef match {
+        case Some(d) => SchemaEvolution.evolveKeeping(df, d, keep)
+        case None => df
+      }
+
+    val (dvd, plainE) = entries.partition(_.dv.isDefined)
+    val plainDf =
+      if (plainE.isEmpty) None
+      else Some(evolved(dropHidden(spark, uri, indexed(plainE)), Nil))
+    val dvDf =
+      if (dvd.isEmpty) None
+      else {
+        // DV'd files: scan through their OWN index (planning-time
+        // pruning still applies — the anti-join's left side receives
+        // the pushed filters), attach parquet row positions, and
+        // anti-join the deleted (file, position) set
+        val raw = dropHidden(spark, uri, indexed(dvd))
+          .withColumn("__gdv_file", col("_metadata.file_path"))
+          .withColumn("__gdv_pos", col("_metadata.row_index"))
+        val fs = fsOf(spark, uri)
+        val refs = dvd.map(e =>
+          fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+        val deleted = dvPositions(spark, uri, refs)
+        val joined =
+          if (dvd.map(_.dv.get.rows).sum <= BroadcastDvRows)
+            raw.join(broadcast(deleted), Seq("__gdv_file", "__gdv_pos"),
+              "left_anti")
+          else raw.join(deleted, Seq("__gdv_file", "__gdv_pos"), "left_anti")
+        val dataCols = joined.columns.toSeq
+          .filterNot(c => c == "__gdv_file" || c == "__gdv_pos")
+        Some(evolved(joined.select(dataCols.map(col): _*), Nil))
+      }
+    (plainDf, dvDf) match {
+      case (Some(p), Some(d)) => p.unionByName(d)
+      case (Some(p), None) => p
+      case (None, Some(d)) => d
+      case (None, None) => read(spark, uri, version) // unreachable
+    }
   }
 
   /**

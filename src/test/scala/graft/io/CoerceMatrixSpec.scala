@@ -100,4 +100,34 @@ class CoerceMatrixSpec extends AnyFunSuite {
       struct("x" -> LongType, "y" -> LongType), struct("a" -> LongType))
     assert(msg.contains("column count mismatch between table and parquet file"))
   }
+
+  test("glob with one deviant file fails FAST with a per-file message " +
+      "(parquet_reader.rs:98-126 per-uri validation)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("coerce_glob")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // files 1 and 3 match the target; file 2 lacks `name` entirely
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/f1")
+    Seq((2L, 9.5)).toDF("id", "score").write.parquet(s"$dir/f2")
+    Seq((3L, "c")).toDF("id", "name").write.parquet(s"$dir/f3")
+    val target = struct("id" -> LongType, "name" -> StringType)
+    val e = intercept[SchemaCompat.SchemaMismatch] {
+      CopyFrom(spark, s"$dir/f*", target,
+        CopyFromOptions.default.copy(matchBy = MatchBy.Name))
+    }
+    // the failure names the deviant FILE and carries the reference's
+    // column wording — and arrives at plan time, before any scan task
+    assert(e.getMessage.contains("f2"), e.getMessage)
+    assert(e.getMessage.contains("column \"name\" is not found in parquet file"),
+      e.getMessage)
+    assert(!e.getMessage.contains("f1/"), e.getMessage)
+    // a clean glob still reads (both files, validated per file)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/f2"), true)
+    val ok = CopyFrom(spark, s"$dir/f*", target,
+      CopyFromOptions.default.copy(matchBy = MatchBy.Name))
+    assert(ok.count() == 2L)
+  }
 }

@@ -164,6 +164,25 @@ class MviewSpec extends AnyFunSuite {
     assert(viaFn == exp)
   }
 
+  test("create refuses to overwrite an existing non-mview directory") {
+    val src = fresh("mv_src_ow")
+    srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))
+    // target holds unrelated data (a plain parquet dir)
+    val target = fresh("mv_target_ow")
+    Seq((42L, "precious")).toDF("id", "s").write.parquet(target)
+    val e = intercept[IllegalArgumentException] {
+      Mview.create(spark, target, src, Seq("grp"), Seq(Mview.Count("n")))
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+    // the unrelated data survived the refusal
+    assert(spark.read.parquet(target).count() == 1L)
+    // ...but recreating over an EXISTING MVIEW still works
+    val mv = fresh("mv_target_ok")
+    Mview.create(spark, mv, src, Seq("grp"), Seq(Mview.Count("n")))
+    Mview.create(spark, mv, src, Seq("grp"), Seq(Mview.Count("n")))
+    assert(Mview.read(spark, mv).count() == 1L)
+  }
+
   test("min/max and null group keys are refused with clear errors") {
     val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
     srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))

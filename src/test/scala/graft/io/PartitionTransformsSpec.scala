@@ -130,6 +130,74 @@ class PartitionTransformsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket on a STRING column: string literals prune, no false drops") {
+    val dir = fresh("pt_bucket_str")
+    val df = (1 to 400).map(i => (s"id$i", i.toLong)).toDF("sid", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "sid")))
+    val entries = entriesOf(dir)
+    val t = Snapshots.transformsOf(spark, dir)
+    // string-literal equality prunes through the string-domain hash...
+    val kept = Snapshots.pruneEntries(spark, entries, "sid = 'id7'", t)
+    assert(kept.size < entries.size,
+      s"string-bucket eq kept ${kept.size}/${entries.size} — pruning inert")
+    // ...and never falsely: every key's row always survives
+    (1 to 100).foreach { i =>
+      val rows = Snapshots.readWhere(spark, dir, s"sid = 'id$i'")
+        .as[(String, Long)].collect()
+      assert(rows.toSeq == Seq((s"id$i", i.toLong)), s"sid=id$i lost")
+    }
+  }
+
+  test("bucket: cross-typed literal (numeric on string bucket) vetoes " +
+      "nothing — implicit-cast matches survive") {
+    val dir = fresh("pt_bucket_xtype")
+    // string column holding digit strings: `sid = 123` goes through
+    // Spark's implicit cast and MUST still find the row — a long-domain
+    // hash veto would falsely prune the file holding '123'
+    val df = (1 to 300).map(i => (i.toString, i.toLong)).toDF("sid", "v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "sid")))
+    (1 to 50).foreach { i =>
+      assert(Snapshots.readWhere(spark, dir, s"sid = $i").count() == 1L,
+        s"sid = $i (numeric literal on string bucket) lost the row")
+    }
+    // and the reverse: string literal on an INT bucket
+    val dir2 = fresh("pt_bucket_xtype2")
+    val df2 = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir2, df2,
+      Seq(PartitionTransforms.bucket(df2, 8, "k")))
+    (1 to 50).foreach { i =>
+      assert(Snapshots.readWhere(spark, dir2, s"k = '$i'").count() == 1L,
+        s"k = '$i' (string literal on long bucket) lost the row")
+    }
+  }
+
+  test("truncate-string counts code points (supplementary chars)") {
+    // "😀😀x…" — the emoji is ONE code point but TWO UTF-16 units;
+    // UTF-16 truncation of length 3 would disagree with Spark's
+    // substring() (which produced the dir value) and falsely prune the
+    // file.  The local FS can't hold emoji dir names (ASCII
+    // sun.jnu.encoding), so the veto is pinned at the pruneEntries
+    // level over synthesized manifest entries — the same code path a
+    // real read exercises.
+    val t = Seq(PartitionTransforms.TruncateStr(3, "name"))
+    // dir value = Spark's substring("😀😀x5", 1, 3) = "😀😀x"
+    val entries = Seq(
+      Snapshots.ManifestEntry("pt_name=😀😀x/part-0.parquet", None),
+      Snapshots.ManifestEntry("pt_name=zzz/part-1.parquet", None))
+    val kept = Snapshots.pruneEntries(
+      spark, entries, "name = '😀😀x5'", t)
+    assert(kept.contains("pt_name=😀😀x/part-0.parquet"),
+      "code-point/UTF-16 truncation mismatch falsely pruned the file")
+    // the non-matching prefix dir is still pruned
+    assert(!kept.contains("pt_name=zzz/part-1.parquet"))
+    // exactly-at-boundary values round-trip too
+    val keptExact = Snapshots.pruneEntries(
+      spark, entries, "name = '😀😀x'", t)
+    assert(keptExact.contains("pt_name=😀😀x/part-0.parquet"))
+  }
+
   test("compaction keeps the transform layout readable and prunable") {
     val dir = fresh("pt_compact")
     val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")

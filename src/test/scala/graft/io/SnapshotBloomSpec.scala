@@ -170,6 +170,38 @@ class SnapshotBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-typed equality literals never consult the bloom " +
+      "(no false negatives through implicit casts)") {
+    // int column, STRING literal: `k = '05'` implicit-casts to 5 at
+    // scan time, but the bloom holds canonLong "5" — testing the raw
+    // bytes "05" would falsely veto the file.  The domain guard must
+    // skip the bloom instead.
+    val dir = interleavedTable("bloom_xtype", n = 400)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("k", "name"))
+    val entries = entriesOf(dir)
+    val rows = Snapshots.readWhere(spark, dir, "k = '05'")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((5L, "name-5")),
+      "string-literal equality on a bloom'd int column lost the row")
+    // string column of digit strings, NUMERIC literal: canonNum "7"
+    // vs raw UTF-8 "07" — same guard, other direction
+    val dir2 = TestSpark.tmpDir("bloom_xtype2")
+    val fs2 = new Path(dir2).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs2.delete(new Path(dir2), true)
+    (1 to 200).map(i => (f"$i%02d", i.toLong)).toDF("sid", "v")
+      .repartition(4).write.parquet(dir2)
+    Snapshots.init(spark, dir2)
+    Snapshots.setBloomFilter(spark, dir2, Seq("sid"))
+    val n = Snapshots.readWhere(spark, dir2, "sid = 7").count()
+    assert(n == 1L,
+      "numeric-literal equality on a bloom'd string column lost the row")
+    // the guard must NOT disable same-domain pruning
+    val kept = Snapshots.pruneEntries(spark, entries, "k = 101")
+    assert(kept.size <= 3, s"same-domain bloom prune inert: ${kept.size}")
+  }
+
   test("compaction rebuilds blooms for the rewritten files") {
     val dir = interleavedTable("bloom_compact", n = 400)
     Snapshots.init(spark, dir)

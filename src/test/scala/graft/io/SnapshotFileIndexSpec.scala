@@ -104,19 +104,111 @@ class SnapshotFileIndexSpec extends AnyFunSuite {
         .orderBy("k").collect().toSeq)
   }
 
-  test("DV'd and evolved snapshots fall back correctly") {
-    val dir = fresh("sfi_fallback")
+  /** Total numFiles across EVERY parquet scan of an executed plan
+    * (a DV'd snapshot read runs two scans: DV-free + DV'd subsets).
+    * Recurses through AQE wrappers and finished query stages. */
+  private def scannedFilesAll(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no parquet scan found in the executed plan")
+    found.map(_.metrics("numFiles").value).sum
+  }
+
+  test("DV'd snapshots keep planning-time pruning (anti-join post-scan)") {
+    val dir = fresh("sfi_dv")
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // MoR delete puts a DV on exactly the file holding k=3
+    Snapshots.deleteWhereCommit(spark, dir, "k = 3", mergeOnRead = true)
+    val all = Snapshots.readIndexed(spark, dir)
+    assert(all.count() == 39)
+    // pruning STILL works: k <= 5 lives in the first range file only —
+    // the other 3 files are skipped at plan time even though the table
+    // carries a deletion vector
+    val df = Snapshots.readIndexed(spark, dir).filter(col("k") <= 5)
+    assert(scannedFilesAll(df) == 1L,
+      "a single MoR delete demoted the table to scan-everything")
+    assert(df.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1"), (2L, "v2"), (4L, "v4"), (5L, "v5")))
+    // a filter excluding every DV'd file scans only plain files
+    val high = Snapshots.readIndexed(spark, dir).filter(col("k") > 30)
+    assert(scannedFilesAll(high) == 1L)
+    assert(high.count() == 10)
+  }
+
+  test("schema-evolved (renamed) snapshots keep planning-time pruning") {
+    val dir = fresh("sfi_evo")
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "k", "key")
+    // post-rename append: new files carry the NEW name
+    Snapshots.appendCommit(spark, dir,
+      Seq((100L, "v100"), (200L, "v200")).toDF("key", "s")
+        .repartitionByRange(2, col("key")))
+    val all = Snapshots.readIndexed(spark, dir)
+    assert(all.columns.toSeq == Seq("key", "s"))
+    assert(all.count() == 42)
+    // predicate on the RENAMED column prunes pre-rename files through
+    // their old-name stats AND post-rename files through the new-name
+    // stats: key <= 5 keeps 1 of 6 files
+    val df = Snapshots.readIndexed(spark, dir).filter(col("key") <= 5)
+    assert(scannedFilesAll(df) == 1L,
+      "a column RENAME demoted the table to scan-everything")
+    assert(df.count() == 5)
+    // a probe hitting only a post-rename file
+    val newOnly = Snapshots.readIndexed(spark, dir)
+      .filter(col("key") === 200L)
+    assert(scannedFilesAll(newOnly) == 1L)
+    assert(newOnly.select("s").as[String].collect().toSeq == Seq("v200"))
+    // values identical to the eager path
+    assert(Snapshots.readIndexed(spark, dir).orderBy("key")
+      .collect().toSeq ==
+      Snapshots.read(spark, dir).orderBy("key").collect().toSeq)
+  }
+
+  test("transform-partitioned snapshots keep planning-time pruning") {
+    val dir = fresh("sfi_transform")
+    val df0 = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.initTransformed(spark, dir, df0,
+      Seq(PartitionTransforms.bucket(df0, 8, "k")))
+    val all = Snapshots.readIndexed(spark, dir)
+    assert(all.columns.toSeq == Seq("k", "v")) // hidden dir col dropped
+    assert(all.count() == 800)
+    val total = scannedFilesAll(Snapshots.readIndexed(spark, dir))
+    // equality on the BASE column prunes through the bucket transform
+    val one = Snapshots.readIndexed(spark, dir).filter(col("k") === 5L)
+    assert(scannedFilesAll(one) < total,
+      s"bucket transform pruned nothing ($total files scanned)")
+    assert(one.as[(Long, String)].collect().toSeq == Seq((5L, "v5")))
+    // no false prunes across many keys
+    (1 to 40).foreach { i =>
+      assert(Snapshots.readIndexed(spark, dir)
+        .filter(col("k") === i.toLong).count() == 1L, s"k=$i lost")
+    }
+  }
+
+  test("evolved + DV'd: the combination still reads correctly") {
+    val dir = fresh("sfi_evo_dv")
     (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "s")
       .repartitionByRange(2, col("k")).write.parquet(dir)
     Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "s", "txt")
     Snapshots.deleteWhereCommit(spark, dir, "k = 3", mergeOnRead = true)
-    // DV present → feature-complete path, values still right
-    assert(Snapshots.readIndexed(spark, dir).count() == 19)
-    val dir2 = fresh("sfi_fallback_evo")
-    (1 to 8).map(i => (i.toLong, s"v$i")).toDF("k", "s")
-      .write.parquet(dir2)
-    Snapshots.init(spark, dir2)
-    SchemaEvolution.renameColumn(spark, dir2, "s", "txt")
-    assert(Snapshots.readIndexed(spark, dir2).columns.contains("txt"))
+    val df = Snapshots.readIndexed(spark, dir)
+    assert(df.columns.toSeq == Seq("k", "txt"))
+    assert(df.count() == 19)
+    assert(df.filter(col("k") === 3L).isEmpty)
+    assert(df.orderBy("k").collect().toSeq ==
+      Snapshots.read(spark, dir).orderBy("k").collect().toSeq)
   }
 }

@@ -83,6 +83,25 @@ def main():
         if sc != oc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} oracle={oc}"
             continue
+        # Result-TYPE comparison at the DuckDB relation level, not the
+        # Python value level: the driver hashes typed values, so a
+        # HUGEINT (DuckDB widens sum(BIGINT)) vs BIGINT divergence fails
+        # its compare even though both fetch as Python int.  Mirror that
+        # sensitivity here so the divergence fails locally first.
+        s_types = {c: str(t) for c, t in zip(s_cols, spark_rel.types)}
+        o_types = {c: str(t) for c, t in zip(o_cols, o_rel.types)}
+        tbad = None
+        for c in sc:
+            st, ot = s_types[c], o_types[c]
+            # tz-variant timestamps compare equal as values; the driver
+            # normalizes them too — not a divergence
+            norm = lambda t: "TIMESTAMP" if t.startswith("TIMESTAMP") else t
+            if norm(st) != norm(ot):
+                tbad = f"TYPE-MISMATCH col {c}: spark={st} oracle={ot}"
+                break
+        if tbad:
+            results[name] = tbad
+            continue
         if len(sr) != len(orr):
             results[name] = f"ROWCOUNT spark={len(sr)} oracle={len(orr)}"
             continue
