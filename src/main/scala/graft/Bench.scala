@@ -40,7 +40,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout capture can truncate the (long) one-line map,
+    // leaving only its tail auditable — persist the FULL per-query JSON
+    // in the repo so every round's head (dedup_*/io_*/meta_*) remains
+    // comparable round-over-round
+    try {
+      val out = java.nio.file.Paths.get("docs/BENCH_full_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] full-json write skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

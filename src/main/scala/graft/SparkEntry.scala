@@ -4310,6 +4310,47 @@ object SparkEntry {
         "FROM w WHERE window_idx * 500 < dur " +
         "ORDER BY doc_id, window_idx"),
 
+    // full replication of the dHash stripe arithmetic: byte i of the
+    // utf-8 blob via the hex string, stripe c = (72i+71)//n (the exact
+    // inverse of [from, to) = [nc/72, n(c+1)/72) — verified for the
+    // whole n range), bit set iff mean(c) < mean(c+1) compared
+    // CROSS-MULTIPLIED (integer-exact, no float division), bit 63 via
+    // two's-complement offset.  All-pairs + hamming<=3 equals the
+    // banded pigeonhole exactly (any pair at Hamming<=3 shares a
+    // 16-bit piece, and candidates are filtered by true hamming).
+    "mm_phash_dedup" ->
+      ("WITH corpus AS (" +
+        "SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS n " +
+        "FROM documents WHERE n_chars >= 288 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, " +
+        "hex(encode(substring(text, 1, length(text) - 4) || 'EDIT')), " +
+        "octet_length(encode(substring(text, 1, length(text) - 4) || 'EDIT')) " +
+        "FROM documents WHERE n_chars >= 288), " +
+        "bytes AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS INTEGER), 2)) AS INT) AS v, " +
+        "CAST((72 * i + 71) // n AS INT) AS c " +
+        "FROM corpus, unnest(range(n)) AS u(i)), " +
+        "stripes AS (SELECT doc_id, c, sum(v) AS s, count(*) AS cnt " +
+        "FROM bytes GROUP BY doc_id, c), " +
+        "bits AS (SELECT a.doc_id, (a.c // 9) * 8 + (a.c % 9) AS bit " +
+        "FROM stripes a JOIN stripes b " +
+        "ON a.doc_id = b.doc_id AND b.c = a.c + 1 " +
+        "WHERE a.c % 9 < 8 AND a.s * b.cnt < b.s * a.cnt), " +
+        "fps AS (SELECT c.doc_id, " +
+        "CAST(coalesce(sum(CASE WHEN bit < 63 " +
+        "THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0) AS BIGINT) " +
+        "+ CASE WHEN coalesce(bool_or(bit = 63), false) " +
+        "THEN -9223372036854775807 - 1 ELSE 0 END AS fp " +
+        "FROM corpus c LEFT JOIN bits ON c.doc_id = bits.doc_id " +
+        "GROUP BY c.doc_id) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming " +
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3 " +
+        "ORDER BY a, b"),
+
     "pipeline_filter_dedup" ->
       ("WITH toks AS (SELECT doc_id, text, lang, " +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +

@@ -467,16 +467,18 @@ case class HyperplaneBits(child: Expression, nbits: Int, seed: Long)
 /**
  * 64-bit difference hash (dHash) of a binary media payload — the
  * classic perceptual image fingerprint (resize to 9×8 grayscale, bit =
- * left pixel < right pixel).  The DECODE+RESIZE stage is the declared
- * stub (codec libraries are unavailable here — see
- * [[graft.ops.Multimodal.FakeDecoder]]): instead of decoding pixels, the
- * payload is cut into 72 contiguous byte stripes and each "pixel" is the
- * stripe's mean byte value.  That preserves exactly the property that
- * makes dHash a NEAR-duplicate hash rather than an exact one: a local
- * edit to the payload perturbs only the stripes it touches, flipping few
- * of the 64 comparison bits, so edited copies stay within a small
- * Hamming distance.  Swapping the stripe-mean for a real
- * decode-to-grayscale changes nothing downstream.
+ * left pixel < right pixel).
+ *
+ * Payloads carrying a PNG/JPEG/GIF/BMP magic number DECODE FOR REAL
+ * (public-JDK `javax.imageio` via [[graft.util.ImageDecode]]: block-mean
+ * luminance onto the 9×8 grid, then the comparison bits).  Every other
+ * payload (text fixtures, video containers, undecodable bytes) falls
+ * back to the deterministic stripe stub: the payload is cut into 72
+ * contiguous byte stripes and each "pixel" is the stripe's mean byte
+ * value.  Both paths preserve exactly the property that makes dHash a
+ * NEAR-duplicate hash rather than an exact one: a local edit perturbs
+ * only the cells it touches, flipping few of the 64 comparison bits, so
+ * edited copies stay within a small Hamming distance.
  *
  * Payloads shorter than 72 bytes index bytes modulo the length; the
  * empty payload hashes to 0.
@@ -491,6 +493,14 @@ case class DHash64(child: Expression)
     val n = bytes.length
     if (n == 0) return java.lang.Long.valueOf(0L)
     val cells = 72 // 9 columns × 8 rows; bit = cell c vs cell c+1 per row
+    // REAL decode path: payloads carrying an image magic (PNG/JPEG/GIF/
+    // BMP) hash actual mean-luminance pixels via javax.imageio — the
+    // classic dHash.  Everything else (text fixtures, video containers,
+    // corrupt bytes) falls through to the deterministic stripe stub.
+    graft.util.ImageDecode.grayGrid(bytes, 9, 8) match {
+      case Some(pix) => return java.lang.Long.valueOf(bitsOf(pix))
+      case None => ()
+    }
     val gray = new Array[Double](cells)
     if (n >= cells) {
       var c = 0
@@ -508,6 +518,11 @@ case class DHash64(child: Expression)
       var c = 0
       while (c < cells) { gray(c) = (bytes(c % n) & 0xFF).toDouble; c += 1 }
     }
+    java.lang.Long.valueOf(bitsOf(gray))
+  }
+
+  /** The dHash comparison bits over a 9×8 row-major luminance grid. */
+  private def bitsOf(gray: Array[Double]): Long = {
     var fp = 0L
     var r = 0
     while (r < 8) {
@@ -518,7 +533,7 @@ case class DHash64(child: Expression)
       }
       r += 1
     }
-    java.lang.Long.valueOf(fp)
+    fp
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
  * `mapInPandas`: one iterator per partition, library handles loaded once
  * per partition, no per-row UDF dispatch).
  *
- * The actual media decode is STUBBED (`FakeDecoder`) — codec libraries
- * are not available in this environment — but everything Spark-side is
- * real and load-bearing: the binary column shape, the typed record
- * schema, the partition-batched execution, and the metadata extraction
- * contract.  Swapping `FakeDecoder.decode` for a real JNI/javacpp decoder
- * changes nothing else.
+ * IMAGE payloads (PNG/JPEG/GIF/BMP) decode FOR REAL through the public
+ * JDK's `javax.imageio` ([[graft.util.ImageDecode]]): real dimensions in
+ * [[decodeMeta]], real mean-luminance pixels under the dHash operators.
+ * VIDEO/AUDIO containers remain STUBBED (`FakeDecoder` — codec libraries
+ * beyond the JDK are not available in this environment), but everything
+ * Spark-side is real and load-bearing: the binary column shape, the
+ * typed record schema, the partition-batched execution, and the metadata
+ * extraction contract.  Swapping `FakeDecoder.decode` for a JNI/javacpp
+ * decoder changes nothing else.
  */
 object Multimodal {
 
@@ -62,7 +65,12 @@ object Multimodal {
     records.mapPartitions { it =>
       // real decoders initialize per-partition state here (codec handles)
       it.map { r =>
-        val (w, h, frames) = FakeDecoder.decode(r.blob)
+        // image payloads decode FOR REAL (javax.imageio dims, one
+        // frame); everything else keeps the deterministic stub
+        val (w, h, frames) = graft.util.ImageDecode.dims(r.blob) match {
+          case Some((iw, ih)) => (iw.toLong, ih.toLong, 1L)
+          case None => FakeDecoder.decode(r.blob)
+        }
         val sampled = (frames + sampleEvery - 1) / sampleEvery
         MediaMeta(r.doc_id, r.blob.length.toLong, w, h, frames, sampled)
       }

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale smoke above the shipped test scale factors: replicate sf0.1's
+ * BIG tables (`documents`, `embeddings`, `events`) `factor`× with
+ * id-offset replicas into a scratch dir (≈ sf1 at factor 10), copy the
+ * TPC-H tables through unchanged, then time the heaviest SparkEntry
+ * queries once each.  The point is catching super-linear cliffs
+ * (all-pairs blow-ups, driver collects, window skew) that sf0.1 is too
+ * small to show — correctness is the driver's job, this is a
+ * wall-clock-shape probe.
+ *
+ *   runMain graft.tools.ScaleSmoke <outDir> [factor] [query ...]
+ *
+ * Replica k offsets doc_id/vec_id/user_id by k·10⁷ (clear of the
+ * +10⁶ id offset mm_phash_dedup uses internally); event timestamps are
+ * kept so time-window density scales with the factor, like a busier
+ * day on the same cluster.
+ */
+object ScaleSmoke {
+
+  private val DefaultQueries = Seq(
+    "sim_knn_search_layered", "sim_knn_search", "sim_knn_graph",
+    "sim_ann_ivfpq", "sim_ann_ivf", "dedup_minhash", "text_bm25",
+    "text_bpe_vocab", "mm_phash_dedup", "q_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_scale_smoke")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(outDir, s"_scaled_x$factor")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val off = 10L * 1000 * 1000
+      def scaled(name: String, idCols: Seq[String]): Unit = {
+        val base = spark.read.parquet(s"$srcDir/$name.parquet")
+        val reps = (0 until factor).map { k =>
+          idCols.foldLeft(base)((d, c) =>
+            d.withColumn(c, col(c) + lit(k * off)))
+        }
+        reps.reduce(_.unionByName(_))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      }
+      scaled("documents", Seq("doc_id"))
+      scaled("embeddings", Seq("vec_id"))
+      scaled("events", Seq("event_id", "user_id"))
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach { name =>
+        spark.read.parquet(s"$srcDir/$name.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      }
+      fs.create(marker, true).close()
+    }
+
+    spark.range(1000000).count() // JVM warm-up
+    val results = queries.map { name =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows =
+        try graft.SparkEntry.queries(name)(spark, outDir)
+          .queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE x$factor $name rows=$rows time=$sec%.2f s")
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"queries":$qs}""")
+    spark.stop()
+  }
+}

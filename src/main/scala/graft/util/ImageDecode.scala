@@ -1,0 +1,89 @@
+package graft.util
+
+/**
+ * Real image decoding for the multimodal operators, on the public JDK
+ * only (`javax.imageio` — PNG/JPEG/GIF/BMP readers ship with every
+ * JRE).  This replaces the declared decode STUB for payloads that are
+ * actually images: [[graft.functions.DHash64]] hashes real grayscale
+ * pixels when the blob carries an image magic number, and
+ * [[graft.ops.Multimodal]] reports real dimensions.  Non-image payloads
+ * (the driver fixtures' utf-8 text blobs, video containers, corrupt
+ * bytes) keep the deterministic stripe stub — a pipeline never fails on
+ * an undecodable blob, it just falls back to byte-level features.
+ *
+ * Decode runs per row inside partition-local tasks; ImageIO readers are
+ * stateless through the static `read` entry, so no per-partition handle
+ * management is needed.
+ */
+object ImageDecode {
+
+  /** Cheap magic-number sniff — only blobs that LOOK like images pay a
+    * decode attempt. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      // PNG \x89PNG
+      ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      // JPEG \xFF\xD8\xFF
+      ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+        (b(2) & 0xFF) == 0xFF) ||
+      // GIF87a/GIF89a
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      // BMP
+      (b(0) == 'B' && b(1) == 'M'))
+
+  private def read(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  /** (width, height) of a decodable image payload. */
+  def dims(b: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(b)) None
+    else read(b).map(img => (img.getWidth, img.getHeight))
+
+  /**
+   * Decode + downsample to the dHash grid: `cols`×`rows` mean-luminance
+   * cells, row-major.  Block means (not Graphics2D rescaling) keep the
+   * result bit-deterministic across JVMs/headless configs.  None when
+   * the payload is not a decodable image.
+   */
+  def grayGrid(b: Array[Byte], cols: Int, rows: Int): Option[Array[Double]] =
+    if (!looksLikeImage(b)) None
+    else read(b).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Double](cols * rows)
+      var r = 0
+      while (r < rows) {
+        val y0 = (h.toLong * r / rows).toInt
+        val y1 = math.max(y0 + 1, (h.toLong * (r + 1) / rows).toInt)
+        var c = 0
+        while (c < cols) {
+          val x0 = (w.toLong * c / cols).toInt
+          val x1 = math.max(x0 + 1, (w.toLong * (c + 1) / cols).toInt)
+          var sum = 0L
+          var n = 0
+          var y = math.min(y0, h - 1)
+          val yEnd = math.min(y1, h)
+          while (y < yEnd) {
+            var x = math.min(x0, w - 1)
+            val xEnd = math.min(x1, w)
+            while (x < xEnd) {
+              val rgb = img.getRGB(x, y)
+              // integer Rec.601 luma — deterministic, no float rounding
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              sum += lum
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(r * cols + c) = if (n == 0) 0.0 else sum.toDouble / n
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+}

@@ -38,6 +38,75 @@ class MultimodalPhashSpec extends AnyFunSuite {
     assert(ham(hb, hashOf(other)) > 10)
   }
 
+  /** Render a deterministic PNG: a left-dark/right-bright gradient with
+    * an optional bright square patch. */
+  private def pngBytes(w: Int, h: Int, patch: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    if (patch) {
+      var py = h / 4
+      while (py < h / 2) {
+        var px = w / 8
+        while (px < w / 4) { img.setRGB(px, py, 0xFFFFFF); px += 1 }
+        py += 1
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("REAL decode: a generated PNG hashes its pixels, not its bytes") {
+    // a monotone left→right gradient: every left pixel < right pixel →
+    // all 64 comparison bits set.  That is a PIXEL property — the PNG's
+    // zlib-compressed BYTES have no such stripe structure, so the old
+    // stripe stub could not produce it.
+    val grad = pngBytes(90, 80, patch = false)
+    assert(hashOf(grad) == -1L, // all 64 bits set
+      s"gradient PNG hashed to ${hashOf(grad)} — pixels not decoded?")
+    // decode is deterministic
+    assert(hashOf(grad) == hashOf(pngBytes(90, 80, patch = false)))
+    // the same image at a different SIZE hashes identically (classic
+    // dHash scale invariance — impossible for a byte-stripe hash, the
+    // two PNGs differ in length and content)
+    assert(hashOf(pngBytes(180, 160, patch = false)) == hashOf(grad))
+    // a local patch flips few bits; corrupt (undecodable) image bytes
+    // fall back to the stripe stub instead of failing
+    val patched = pngBytes(90, 80, patch = true)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashOf(grad), hashOf(patched)) <= 12)
+    assert(ham(hashOf(grad), hashOf(patched)) >= 1)
+    val corrupt = grad.take(40) ++ Array.fill[Byte](100)(3)
+    assert(hashOf(corrupt) == hashOf(corrupt.clone())) // stub, no throw
+  }
+
+  test("REAL decode: decodeMeta reports actual PNG dimensions") {
+    import graft.ops.Multimodal
+    val png = pngBytes(123, 45, patch = false)
+    val text = "not an image, just bytes".getBytes("UTF-8")
+    val records = Seq(
+      Multimodal.MediaRecord(1L, png),
+      Multimodal.MediaRecord(2L, text)).toDS()
+    val metas = Multimodal.decodeMeta(records, sampleEvery = 2)
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).width == 123L && metas(0).height == 45L &&
+      metas(0).n_frames == 1L, s"real PNG dims wrong: ${metas(0)}")
+    // the stub path is untouched for non-image payloads
+    val (w, h, f) = Multimodal.FakeDecoder.decode(text)
+    assert(metas(1).width == w && metas(1).height == h &&
+      metas(1).n_frames == f)
+  }
+
   test("keyFrames keeps frame 0 and only above-threshold transitions") {
     GraftFunctions.register(spark)
     // smooth low-frequency payload (like real image rows): adjacent
