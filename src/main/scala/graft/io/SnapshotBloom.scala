@@ -63,7 +63,14 @@ object SnapshotBloom extends Serializable {
   val MinBytes = 64
   val MaxBytes = 64 * 1024
 
-  final case class Bloom(k: Int, words: Array[Long]) {
+  /** Hash domain a bloom was BUILT in — 'n' (canonical numeric) or 's'
+    * (raw UTF-8).  Recorded in the entry since round 9 so the prune
+    * side can refuse cross-domain lookups even when the column's
+    * min/max bounds were dropped (e.g. >256-byte strings); entries
+    * from older manifests have None and the caller falls back to
+    * deriving the domain from the stats bound type. */
+  final case class Bloom(k: Int, words: Array[Long],
+      domain: Option[Char] = None) {
     def mBits: Int = words.length * 64
     def mightContain(key: Array[Byte]): Boolean = {
       val (h1, h2) = hashPair(key)
@@ -119,25 +126,32 @@ object SnapshotBloom extends Serializable {
   private val B64E = Base64.getUrlEncoder.withoutPadding()
   private val B64D = Base64.getUrlDecoder
 
-  /** Stats-line entry body (after the `b:` tag): `<k>:<b64url(bits)>`. */
+  /** Stats-line entry body (after the `b:` tag):
+    * `<domain><k>:<b64url(bits)>` since round 9 (`n`/`s` domain
+    * letter), `<k>:<b64url(bits)>` before — [[decode]] reads both. */
   def encode(b: Bloom): String = {
     val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
     b.words.foreach(bb.putLong)
-    s"${b.k}:${B64E.encodeToString(bb.array())}"
+    val dom = b.domain.map(_.toString).getOrElse("")
+    s"$dom${b.k}:${B64E.encodeToString(bb.array())}"
   }
 
   def decode(body: String): Option[Bloom] = {
-    val i = body.indexOf(':')
+    val (domain, rest) =
+      if (body.nonEmpty && (body.charAt(0) == 'n' || body.charAt(0) == 's'))
+        (Some(body.charAt(0)), body.substring(1))
+      else (None, body)
+    val i = rest.indexOf(':')
     if (i <= 0) return None
     try {
-      val k = body.substring(0, i).toInt
-      val bytes = B64D.decode(body.substring(i + 1))
+      val k = rest.substring(0, i).toInt
+      val bytes = B64D.decode(rest.substring(i + 1))
       if (k <= 0 || bytes.length < 8 || bytes.length % 8 != 0) return None
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val words = new Array[Long](bytes.length / 8)
       var j = 0
       while (j < words.length) { words(j) = bb.getLong; j += 1 }
-      Some(Bloom(k, words))
+      Some(Bloom(k, words, domain))
     } catch { case _: Exception => None }
   }
 
@@ -252,6 +266,13 @@ object SnapshotBloom extends Serializable {
         g = reader.read()
       }
     } finally reader.close()
-    builders.map { case (c, b) => c -> encode(b.result()) }
+    val domainOf = picked.toMap
+    builders.map { case (c, b) =>
+      val dom = domainOf(c) match {
+        case StringK => 's'
+        case _ => 'n' // integral / timestamp / decimal: canonical numeric
+      }
+      c -> encode(b.result().copy(domain = Some(dom)))
+    }
   }
 }

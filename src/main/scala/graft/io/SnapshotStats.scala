@@ -535,16 +535,23 @@ object SnapshotStats extends Serializable {
     // an equality the file's Bloom filter or a caller-supplied veto
     // (partition transforms) disproves; no bloom / no veto proves
     // nothing.  The bloom is only consulted when the literal's kind
-    // matches the column's build domain (derived from the stats bound
-    // type — same footer, same domain): a cross-typed equality like
+    // matches the column's BUILD domain: a cross-typed equality like
     // `intcol = '05'` goes through Spark's implicit cast, where the
     // StrV bytes "05" vs canonLong "5" would test the wrong key and
-    // falsely veto a matching file.  No bound → domain unknown → skip.
+    // falsely veto a matching file.  The domain comes from the bloom
+    // entry itself (recorded since round 9 — works even when the
+    // column's bounds were dropped, e.g. >256-byte strings) or, for
+    // older entries, from the stats bound type; unknown → skip.
     def bloomDisproves(col: String, v: CValue): Boolean =
       eqVeto(col, v) || blooms.get(col).exists { bl =>
-        val key = (bounds.get(col), v) match {
-          case (Some(_: NumBound), NumV(x)) => Some(SnapshotBloom.canonNum(x))
-          case (Some(_: StrBound), StrV(bytes)) => Some(bytes)
+        val domain: Option[Char] = bl.domain.orElse(bounds.get(col) match {
+          case Some(_: NumBound) => Some('n')
+          case Some(_: StrBound) => Some('s')
+          case None => None
+        })
+        val key = (domain, v) match {
+          case (Some('n'), NumV(x)) => Some(SnapshotBloom.canonNum(x))
+          case (Some('s'), StrV(bytes)) => Some(bytes)
           case _ => None
         }
         key.exists(k => !bl.mightContain(k))

@@ -37,8 +37,17 @@ object ParquetInfo extends Serializable {
   // ---------------------------------------------------------------- list
   /** `parquet.list(pattern)` → (uri, size), reference
     * `src/parquet_udfs/list.rs:16-96`. Prefix pruning before the glob is
-    * what `FileSystem.globStatus` already does. */
+    * what `FileSystem.globStatus` already does.  http(s) uris are
+    * refused explicitly with the reference's message
+    * (`list.rs:86-96` — an http endpoint has no listing semantics,
+    * and the fall-through behavior of a glob over [[graft.io
+    * .HttpFileSystem]] would silently return nothing). */
   def list(spark: SparkSession, pattern: String): DataFrame = {
+    val scheme = try new java.net.URI(pattern).getScheme catch {
+      case _: Exception => null
+    }
+    require(scheme != "http" && scheme != "https",
+      "list operation on http(s) object stores is not supported")
     val rows = resolve(spark, pattern).map { case (p, len) =>
       Row(uriString(p), len)
     }

@@ -54,4 +54,60 @@ class ReadEquivalenceProps extends AnyFunSuite {
       assert(indexed == plain, s"[case $i] indexed != plain for: $pred")
     }
   }
+
+  test("routes agree on EVOLVED + DV'd + transform tables (12 cases)") {
+    val rnd = new scala.util.Random(431)
+    (1 to 12).foreach { i =>
+      val dir = TestSpark.tmpDir(s"reqx_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+      val n = 60 + rnd.nextInt(140)
+      val span = 1 + rnd.nextInt(400)
+      val rows = (1 to n).map { j =>
+        (j.toLong, rnd.nextInt(span).toLong, s"s${rnd.nextInt(20)}")
+      }
+      val df = rows.toDF("id", "k", "s")
+      val mode = i % 3
+      if (mode == 0) {
+        // bucket-transform table
+        Snapshots.initTransformed(spark, dir,
+          df, Seq(PartitionTransforms.bucket(df, 4, "k")))
+      } else {
+        df.repartitionByRange(1 + rnd.nextInt(4), col("k"))
+          .write.parquet(dir)
+        Snapshots.init(spark, dir)
+      }
+      // chained second rename on some cases (former names accumulate;
+      // a rename BACK to a poisoned name is refused by design)
+      val twoRenames = mode == 1 && rnd.nextBoolean()
+      if (mode == 1) {
+        SchemaEvolution.renameColumn(spark, dir, "k", "key")
+        Snapshots.appendCommit(spark, dir,
+          Seq((9001L, 9001L, "zz")).toDF("id", "key", "s"))
+        if (twoRenames) SchemaEvolution.renameColumn(spark, dir, "key", "kk")
+      }
+      if (mode == 2 || rnd.nextBoolean()) {
+        // MoR delete puts DVs on a random slice (transform tables too)
+        Snapshots.deleteWhereCommit(spark, dir,
+          s"id % ${2 + rnd.nextInt(5)} = 0", mergeOnRead = true)
+      }
+      val kcol = if (twoRenames) "kk" else if (mode == 1) "key" else "k"
+      val pred = rnd.nextInt(4) match {
+        case 0 => s"$kcol <= ${rnd.nextInt(span)}"
+        case 1 => s"$kcol = ${rnd.nextInt(span)}"
+        case 2 => s"$kcol IN (${Seq.fill(3)(rnd.nextInt(span)).mkString(",")})"
+        case _ => s"$kcol > ${rnd.nextInt(span)} OR s = 's${rnd.nextInt(20)}'"
+      }
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id").collect().toSeq
+      val indexed = canon(Snapshots.readIndexed(spark, dir).filter(expr(pred)))
+      val eager = canon(Snapshots.readWhere(spark, dir, pred))
+      val plain = canon(Snapshots.read(spark, dir).filter(expr(pred)))
+      assert(indexed == eager,
+        s"[case $i mode $mode] indexed != eager for: $pred")
+      assert(indexed == plain,
+        s"[case $i mode $mode] indexed != plain for: $pred")
+    }
+  }
 }

@@ -202,6 +202,56 @@ class SnapshotBloomSpec extends AnyFunSuite {
     assert(kept.size <= 3, s"same-domain bloom prune inert: ${kept.size}")
   }
 
+  test("long-string columns (bounds dropped at the 256-byte cap) still " +
+      "prune via the bloom's recorded domain") {
+    val dir = TestSpark.tmpDir("bloom_longstr")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    // every value > 256 bytes → StrBound recording is refused, so the
+    // bounds-derived domain fallback would disable the bloom; the
+    // entry's own domain letter must keep it working
+    val pad = "x" * 300
+    (1 to 200).map(i => (i.toLong, s"doc$i-$pad")).toDF("k", "body")
+      .repartition(4, col("k") % 4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.setBloomFilter(spark, dir, Seq("body"))
+    val entries = entriesOf(dir)
+    entries.foreach { e =>
+      assert(!SnapshotStats.parseStats(e.stats.get).contains("body"),
+        "fixture broken: bounds were recorded despite the cap")
+      val bl = SnapshotStats.parseBlooms(e.stats.get)("body")
+      assert(bl.domain.contains('s'))
+    }
+    val kept = Snapshots.pruneEntries(
+      spark, entries, s"body = 'doc101-$pad'")
+    assert(kept.size < entries.size,
+      s"long-string bloom inert: kept ${kept.size}/${entries.size}")
+    val rows = Snapshots.readWhere(spark, dir, s"body = 'doc101-$pad'")
+      .select("k").as[Long].collect()
+    assert(rows.toSeq == Seq(101L))
+  }
+
+  test("pre-round-9 bloom entries (no domain letter) still decode and " +
+      "fall back to the bounds-derived domain") {
+    val b = new SnapshotBloom.Builder(SnapshotBloom.DefaultNumHashes, 1024)
+    (1 to 100).foreach(i => b.add(SnapshotBloom.canonLong(i.toLong)))
+    val legacy = {
+      val bloom = b.result()
+      val bb = java.nio.ByteBuffer.allocate(bloom.words.length * 8)
+      bloom.words.foreach(bb.putLong)
+      s"${bloom.k}:${java.util.Base64.getUrlEncoder.withoutPadding()
+        .encodeToString(bb.array())}"
+    }
+    val decoded = SnapshotBloom.decode(legacy)
+    assert(decoded.isDefined && decoded.get.domain.isEmpty)
+    assert(decoded.get.mightContain(SnapshotBloom.canonLong(5L)))
+    // and the tagged form round-trips its domain
+    val tagged = SnapshotBloom.decode(
+      SnapshotBloom.encode(decoded.get.copy(domain = Some('n'))))
+    assert(tagged.get.domain.contains('n'))
+    assert(tagged.get.mightContain(SnapshotBloom.canonLong(5L)))
+  }
+
   test("compaction rebuilds blooms for the rewritten files") {
     val dir = interleavedTable("bloom_compact", n = 400)
     Snapshots.init(spark, dir)

@@ -80,6 +80,15 @@ class ParquetInfoSpec extends AnyFunSuite {
     assert(files.forall(_._2 > 0))
     assert(files.exists(_._1.endsWith("lineitem.parquet")))
     assert(ParquetInfo.list(spark, "/tmp/no_such_dir_xyz/*.parquet").count() == 0)
+    // http(s) refused with the reference's message (list.rs:86-96)
+    Seq("http://example.test/data/*.parquet",
+        "https://example.test/data/*.parquet").foreach { u =>
+      val e = intercept[IllegalArgumentException] {
+        ParquetInfo.list(spark, u)
+      }
+      assert(e.getMessage.contains(
+        "list operation on http(s) object stores is not supported"))
+    }
   }
 
   test("kv_metadata surfaces writer key-value pairs") {

@@ -82,10 +82,26 @@ class MetadataCountRuleSpec extends AnyFunSuite {
     assert(hasScan(countCol))
   }
 
-  test("fallback reads (DVs) count correctly through the normal plan") {
+  test("DV'd reads (union + anti-join plan) count correctly — the rule " +
+      "must NOT answer from pre-delete row counts") {
     val dir = fresh("mcr_dv")
     Snapshots.deleteWhereCommit(spark, dir, "k <= 3", mergeOnRead = true)
     val df = Snapshots.readIndexed(spark, dir).agg(count(lit(1)))
     assert(df.as[Long].head() == 120L)
+  }
+
+  test("transform-partitioned snapshots answer count/min/max from " +
+      "metadata — no scan (newly indexed in round 9)") {
+    val dir = TestSpark.tmpDir("mcr_transform")
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    val df0 = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    Snapshots.initTransformed(spark, dir, df0,
+      Seq(graft.io.PartitionTransforms.bucket(df0, 4, "k")))
+    val df = Snapshots.readIndexed(spark, dir)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assert(df.as[(Long, Long, Long)].head() == ((200L, 1L, 200L)))
+    assert(!hasScan(df),
+      "transform-table stats query must not plan a file scan")
   }
 }
