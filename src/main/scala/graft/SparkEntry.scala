@@ -574,6 +574,30 @@ object SparkEntry {
       io.Snapshots.read(s, uri).orderBy("o_orderkey")
     }),
 
+    // INSERT OVERWRITE ... WHERE (Delta replaceWhere): ONE atomic
+    // commit deletes the matching slice and lands its replacement;
+    // manifest-stats pruning carries provably-unaffected files over
+    // untouched (OverwriteSpec pins that), and incoming rows are
+    // REQUIRED to satisfy the predicate
+    "io_replace_where" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_replace_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      val pred = "o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1"
+      sql.GraftSql.exec(s,
+        s"INSERT OVERWRITE '$uri' USING (" +
+          "SELECT o_orderkey, o_custkey + 5000000 AS o_custkey, " +
+          "'R' AS o_orderstatus, o_totalprice, o_orderdate, " +
+          s"o_orderpriority FROM parquet.`$dir/orders.parquet` " +
+          s"WHERE $pred) WHERE $pred")
+      io.Snapshots.read(s, uri).orderBy("o_orderkey")
+    }),
+
     // merge-on-read DELETE via deletion vectors: two scattered deletes
     // land as position sidecars + manifest commits — ZERO data files
     // rewritten (the at-scale win: a point delete on a 100 TB table
@@ -3219,6 +3243,18 @@ object SparkEntry {
         "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
         "ORDER BY o_orderkey"),
 
+    // replaceWhere = delete-matching + insert-replacement; the
+    // replacement here is the matching rows with custkey offset and
+    // status 'R', so the net effect is an UPDATE-shaped CASE
+    "io_replace_where" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1 " +
+        "THEN o_custkey + 5000000 ELSE o_custkey END AS o_custkey, " +
+        "CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1 " +
+        "THEN 'R' ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey"),
+
     "io_snapshot_skip" ->
       ("SELECT * FROM orders " +
         "WHERE o_orderkey <= 6000 AND o_totalprice > 100000.0 " +
@@ -4309,6 +4345,52 @@ object SparkEntry {
         "least(window_idx * 500 + 1000, dur) AS end_ms " +
         "FROM w WHERE window_idx * 500 < dur " +
         "ORDER BY doc_id, window_idx"),
+
+    // full replication of keyFrames: per-frame byte rotation
+    // (rot0 = (3f + 997*(f//5)) % n), the dHash stripe arithmetic on
+    // the rotated byte sequence (both the >=72-byte stripe-mean path
+    // and the <72-byte modulo path — min doc is 44 bytes), the lag
+    // window, and the hamming>20-or-first filter.  Mean comparisons
+    // cross-multiplied (integer-exact), bit 63 via two's-complement
+    // offset — same machinery as the mm_phash_dedup oracle below.
+    "mm_keyframes" ->
+      ("WITH docs AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS n FROM documents), " +
+        "frames AS (SELECT doc_id, hx, n, " +
+        "unnest(range(0, n % 24 + 1, 2)) AS frame_idx FROM docs), " +
+        "fr AS (SELECT doc_id, hx, n, frame_idx, " +
+        "(frame_idx * 3 + (frame_idx // 5) * 997) % n AS rot0 FROM frames), " +
+        "cells AS (" +
+        "SELECT doc_id, frame_idx, CAST((72 * p + 71) // n AS INT) AS c, " +
+        "CAST(concat('0x', substr(hx, " +
+        "CAST(2 * ((rot0 + p) % n) + 1 AS INTEGER), 2)) AS INT) AS v " +
+        "FROM fr, unnest(range(n)) AS u(p) WHERE n >= 72 " +
+        "UNION ALL " +
+        "SELECT doc_id, frame_idx, CAST(c AS INT), " +
+        "CAST(concat('0x', substr(hx, " +
+        "CAST(2 * ((rot0 + (c % n)) % n) + 1 AS INTEGER), 2)) AS INT) " +
+        "FROM fr, unnest(range(72)) AS u(c) WHERE n < 72), " +
+        "stripes AS (SELECT doc_id, frame_idx, c, sum(v) AS s, " +
+        "count(*) AS cnt FROM cells GROUP BY doc_id, frame_idx, c), " +
+        "bits AS (SELECT a.doc_id, a.frame_idx, " +
+        "(a.c // 9) * 8 + (a.c % 9) AS bit " +
+        "FROM stripes a JOIN stripes b ON a.doc_id = b.doc_id " +
+        "AND a.frame_idx = b.frame_idx AND b.c = a.c + 1 " +
+        "WHERE a.c % 9 < 8 AND a.s * b.cnt < b.s * a.cnt), " +
+        "fps AS (SELECT f.doc_id, f.frame_idx, " +
+        "CAST(coalesce(sum(CASE WHEN bit < 63 " +
+        "THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0) AS BIGINT) " +
+        "+ CASE WHEN coalesce(bool_or(bit = 63), false) " +
+        "THEN -9223372036854775807 - 1 ELSE 0 END AS frame_hash " +
+        "FROM fr f LEFT JOIN bits ON f.doc_id = bits.doc_id " +
+        "AND f.frame_idx = bits.frame_idx GROUP BY f.doc_id, f.frame_idx), " +
+        "lagged AS (SELECT doc_id, frame_idx, frame_hash, " +
+        "CAST(bit_count(xor(frame_hash, lag(frame_hash) " +
+        "OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS INTEGER) " +
+        "AS hamming_prev FROM fps) " +
+        "SELECT doc_id, frame_idx, frame_hash, hamming_prev FROM lagged " +
+        "WHERE hamming_prev IS NULL OR hamming_prev > 20 " +
+        "ORDER BY doc_id, frame_idx"),
 
     // full replication of the dHash stripe arithmetic: byte i of the
     // utf-8 blob via the hex string, stripe c = (72i+71)//n (the exact

@@ -1031,6 +1031,119 @@ object Snapshots extends Serializable {
     }
   }
 
+  /**
+   * `INSERT OVERWRITE` as an MVCC commit: replace the ENTIRE table
+   * content with `df` in one atomic version — new files land under
+   * fresh names, the new manifest lists ONLY them, and every previous
+   * file stays on disk for pinned readers until [[expire]].  The
+   * metadata twin of Delta's overwrite save mode.
+   */
+  def overwriteCommit(spark: SparkSession, uri: String, df: DataFrame): Int = {
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val fs = fsOf(spark, uri)
+    val cdcTmp =
+      if (!cdcEnabled(spark, uri)) None
+      else {
+        val dataCols = read(spark, uri, v).columns.toSeq
+        Some(stageCdc(spark, uri,
+          Some(readFiles(spark, uri, entries)
+            .select(dataCols.map(col): _*)),
+          Some(df.select(dataCols.map(col): _*))))
+      }
+    val tmp = commitTmp(uri)
+    fs.delete(tmp, true)
+    val transforms = transformsOf(spark, uri)
+      .filter(t => !df.columns.contains(t.dirCol))
+    val prepared =
+      if (transforms.isEmpty) df else PartitionTransforms.prepare(df, transforms)
+    writeTmp(prepared, tmp, partitionColsOf(entries))
+    val newV = v + 1
+    val moved = publishTmp(fs, tmp, uri, newV)
+    writeManifest(spark, uri, newV, entriesFor(spark, uri, moved),
+      kind = "overwrite")
+    cdcTmp.foreach(publishCdc(fs, uri, _, newV))
+    newV
+  }
+
+  /**
+   * `replaceWhere` overwrite (Delta's `option("replaceWhere", p)` /
+   * dynamic-partition rewrite, reduced to its essence): in ONE atomic
+   * commit, rows matching `predicate` are deleted and `df`'s rows take
+   * their place.  Files the manifest stats prove can't match carry
+   * over untouched (on a date-partitioned 100 TB table, replacing one
+   * day touches that day's files only); fully-matching files simply
+   * leave the manifest; partially-matching files are rewritten without
+   * their matching rows — then `df` lands as fresh appends.
+   *
+   * Every row of `df` must itself satisfy `predicate` (same refusal as
+   * Delta: silently writing rows OUTSIDE the replaced region would
+   * corrupt the "replace this slice" contract).  SQL NULL-keep
+   * semantics on the delete side: a NULL-predicate row is kept.
+   * Returns the committed version.
+   */
+  def replaceWhereCommit(
+      spark: SparkSession, uri: String, predicate: String,
+      df: DataFrame): Int = {
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val violating = df.filter(!coalesce(expr(predicate), lit(false)))
+    require(violating.isEmpty,
+      s"replaceWhere: ${violating.count()} incoming rows do not satisfy " +
+        s"'$predicate' — the replacement must stay inside the replaced " +
+        "region (filter the input or widen the predicate)")
+    val byRel = entries.map(e => e.name -> e).toMap
+    val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
+    val liveOf: String => Long = f => {
+      val e = byRel(relName(uri, f))
+      e.liveRows.getOrElse(
+        physicalRows(spark, uri, e.name) - e.dv.map(_.rows).getOrElse(0L))
+    }
+    val (dropWhole, touched, replacement) =
+      MergeInto.deletePlan(spark, target, predicate, basePath = Some(uri),
+        readTouched = Some(dvAwareTouched(spark, uri, entries)),
+        liveRowCount = Some(liveOf))
+    val fs = fsOf(spark, uri)
+    val dataCols = target.columns.toSeq
+    val cdcTmp =
+      if (!cdcEnabled(spark, uri)) None
+      else {
+        val affected = (dropWhole ++ touched).toSeq
+        val pre =
+          if (affected.isEmpty) None
+          else Some(dvAwareTouched(spark, uri, entries)(affected)
+            .filter(expr(predicate)).select(dataCols.map(col): _*))
+        Some(stageCdc(spark, uri, pre, Some(df.select(dataCols.map(col): _*))))
+      }
+    val newV = v + 1
+    val partCols = partitionColsOf(entries)
+    // rewrites of partially-matching files (without their matched rows)
+    val movedRewrites = replacement match {
+      case Some(r) =>
+        val tmp = commitTmp(uri)
+        fs.delete(tmp, true)
+        writeTmp(r, tmp, partCols)
+        publishTmp(fs, tmp, uri, newV)
+      case None => Nil
+    }
+    // the replacement data itself
+    val tmp2 = commitTmp(uri)
+    fs.delete(tmp2, true)
+    val transforms = transformsOf(spark, uri)
+      .filter(t => !df.columns.contains(t.dirCol))
+    val prepared =
+      if (transforms.isEmpty) df else PartitionTransforms.prepare(df, transforms)
+    writeTmp(prepared, tmp2, partCols)
+    val movedNew = publishTmp(fs, tmp2, uri, newV)
+    val gone = (dropWhole ++ touched).map(relName(uri, _)).toSet
+    writeManifest(spark, uri, newV,
+      entries.filterNot(e => gone.contains(e.name)) ++
+        entriesFor(spark, uri, movedRewrites ++ movedNew),
+      kind = "overwrite")
+    cdcTmp.foreach(publishCdc(fs, uri, _, newV))
+    newV
+  }
+
   /** Live rows of `entries` with their file identity and parquet row
     * position attached (`__gdv_file`, `__gdv_pos`) — the scan both
     * merge-on-read writers start from.  Existing DVs are applied, so
@@ -1420,7 +1533,7 @@ object Snapshots extends Serializable {
                 Seq("__gdv_file", "__gdv_pos"), "left_semi")
             pieces += tag(joined, "delete", v)
           }
-        case k @ ("delete" | "merge" | "update")
+        case k @ ("delete" | "merge" | "update" | "overwrite")
             if fs.exists(new Path(changesPath(uri, v), "_SUCCESS")) =>
           // copy-on-write commit with RECORDED change data (cdc.cow):
           // the staged pre/post images ARE the delta — read them

@@ -296,6 +296,21 @@ object CopySql {
       c.expectEnd()
       return Some(MergeCommand(uri, source, keys.toSeq, deleteCol, mor))
     }
+    if (c.tryKeyword("INSERT")) {
+      // only `INSERT OVERWRITE '<uri>' ...` — a quoted target — is
+      // ours; Spark's own INSERT statements delegate untouched
+      if (!c.tryKeyword("OVERWRITE") || !c.peekIs('\'')) return None
+      val uri = c.stringLit()
+      c.expectKeyword("USING")
+      val source: Either[String, String] =
+        if (c.peekIs('(')) Left(c.parenBlock())
+        else if (c.peekIs('\'')) Right(c.stringLit())
+        else throw new IllegalArgumentException(
+          "INSERT OVERWRITE USING takes a (query) or a quoted source uri")
+      val where = if (c.tryKeyword("WHERE")) Some(c.rest())
+                  else { c.expectEnd(); None }
+      return Some(InsertOverwriteCommand(uri, source, where))
+    }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
       if (c.peekIs('(')) {
@@ -715,6 +730,34 @@ final case class MergeCommand(
     }
     Seq(Row(Snapshots.mergeCommit(
       spark, uri, updates, keyCols, deleteCol, mergeOnRead).toLong))
+  }
+}
+
+/** `INSERT OVERWRITE '<uri>' USING (query)|'<src-uri>' [WHERE pred]`
+  * → [[graft.io.Snapshots.overwriteCommit]] (no WHERE: replace the
+  * whole table) or [[graft.io.Snapshots.replaceWhereCommit]] (WHERE:
+  * replace only the matching slice; untouched files carry over and
+  * every incoming row must satisfy the predicate).  One atomic
+  * version either way.  Returns the committed version. */
+final case class InsertOverwriteCommand(
+    uri: String, source: Either[String, String], where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = source match {
+      case Left(q) => spark.sql(q)
+      case Right(u) =>
+        val mp = new org.apache.hadoop.fs.Path(u, "_graft_manifests")
+        val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(mp)) Snapshots.read(spark, u)
+        else spark.read.parquet(u)
+    }
+    val v = where match {
+      case Some(p) => Snapshots.replaceWhereCommit(spark, uri, p, df)
+      case None => Snapshots.overwriteCommit(spark, uri, df)
+    }
+    Seq(Row(v.toLong))
   }
 }
 

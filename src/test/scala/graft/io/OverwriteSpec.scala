@@ -1,0 +1,149 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** INSERT OVERWRITE / replaceWhere as MVCC commits
+  * ([[Snapshots.overwriteCommit]] / [[Snapshots.replaceWhereCommit]]):
+  * one atomic version, prior versions pinned, provably-unaffected
+  * files carried over byte-identical, incoming rows fenced to the
+  * replaced region, and the CDC feed reconstructing the delta. */
+class OverwriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    dir
+  }
+
+  private def entriesOf(dir: String) =
+    Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir))
+
+  test("overwriteCommit replaces everything in one version; old pinned") {
+    val dir = fresh("ow_full")
+    (1 to 100).map(i => (i.toLong, s"old$i")).toDF("k", "s")
+      .repartition(3).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val v2 = Snapshots.overwriteCommit(spark, dir,
+      (1 to 5).map(i => (i.toLong, s"new$i")).toDF("k", "s"))
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).count() == 5)
+    assert(Snapshots.read(spark, dir, 1).count() == 100) // time travel
+    assert(Snapshots.manifestKind(spark, dir, 2) == "overwrite")
+    // file-level change feed refuses across an overwrite
+    intercept[IllegalStateException] {
+      Snapshots.readChanges(spark, dir, 1).collect()
+    }
+  }
+
+  test("replaceWhere: untouched files carry over, slice replaced " +
+      "atomically") {
+    val dir = fresh("ow_replace")
+    (1 to 400).map(i => (i.toLong, i % 4, s"v$i")).toDF("k", "part", "s")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = entriesOf(dir).map(_.name).toSet
+    // replace the low-k slice only — range files 2..4 provably can't
+    // match and must survive under their ORIGINAL names
+    val v2 = Snapshots.replaceWhereCommit(spark, dir, "k <= 100",
+      (1 to 3).map(i => (i.toLong, i % 4, s"repl$i")).toDF("k", "part", "s"))
+    assert(v2 == 2)
+    val after = entriesOf(dir).map(_.name).toSet
+    val carried = before.intersect(after)
+    assert(carried.size == 3,
+      s"expected 3 of 4 range files carried, got ${carried.size}")
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.filter(col("k") <= 100).count() == 3)
+    assert(rows.filter(col("k") > 100).count() == 300)
+    assert(rows.count() == 303)
+    // one version committed, not two (delete+insert is ONE commit)
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+  }
+
+  test("replaceWhere refuses incoming rows outside the region") {
+    val dir = fresh("ow_fence")
+    (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.replaceWhereCommit(spark, dir, "k <= 10",
+        Seq((5L, "in"), (999L, "OUT")).toDF("k", "s"))
+    }
+    assert(e.getMessage.contains("do not satisfy"))
+    // nothing committed
+    assert(Snapshots.latestVersion(spark, dir) == 1)
+    assert(Snapshots.read(spark, dir).count() == 50)
+  }
+
+  test("replaceWhere partial-file rewrite drops matched rows only; " +
+      "existing DVs stay applied") {
+    val dir = fresh("ow_dv")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // MoR-delete k=50, then replace k<=10: the rewrite of the single
+    // (partially-matching) file must not resurrect k=50
+    Snapshots.deleteWhereCommit(spark, dir, "k = 50", mergeOnRead = true)
+    Snapshots.replaceWhereCommit(spark, dir, "k <= 10",
+      Seq((1L, "one")).toDF("k", "s"))
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.count() == 90) // 100 - 1 (dv) - 10 (replaced) + 1 (new)
+    assert(rows.filter(col("k") === 50L).isEmpty, "DV'd row resurrected")
+    assert(rows.filter(col("k") <= 10).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "one")))
+  }
+
+  test("CDC-enabled replaceWhere feeds the row-level delta") {
+    val dir = fresh("ow_cdc")
+    (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(3, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.enableChangeData(spark, dir)
+    Snapshots.replaceWhereCommit(spark, dir, "k <= 20",
+      Seq((7L, "seven")).toDF("k", "s"))
+    val feed = Snapshots.readChangesRows(spark, dir, 1)
+    val deletes = feed.filter(col("_change_type") === "delete")
+    val inserts = feed.filter(col("_change_type") === "insert")
+    assert(deletes.count() == 20)
+    assert(inserts.select("k", "s").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "seven")))
+    // without CDC the feed refuses (kind carried in the manifest)
+    val dir2 = fresh("ow_nocdc")
+    (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "s").write.parquet(dir2)
+    Snapshots.init(spark, dir2)
+    Snapshots.replaceWhereCommit(spark, dir2, "k <= 5",
+      Seq((1L, "x")).toDF("k", "s"))
+    intercept[IllegalStateException] {
+      Snapshots.readChangesRows(spark, dir2, 1).collect()
+    }
+  }
+
+  test("SQL route: INSERT OVERWRITE with and without WHERE") {
+    val dir = fresh("ow_sql")
+    val src = fresh("ow_sql_src")
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Seq((2L, "two"), (4L, "four")).toDF("k", "s").write.parquet(src)
+    val v = graft.sql.GraftSql.exec(spark,
+      s"INSERT OVERWRITE '$dir' USING '$src' WHERE k <= 10")
+      .head.getLong(0)
+    assert(v == 2L)
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.count() == 32) // 30 high + 2 replacements
+    assert(rows.filter(col("k") <= 10).count() == 2)
+    // full overwrite via a (query) source
+    graft.sql.GraftSql.exec(spark,
+      s"INSERT OVERWRITE '$dir' USING (SELECT CAST(1 AS BIGINT) AS k, " +
+        "'only' AS s)")
+    assert(Snapshots.read(spark, dir).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "only")))
+  }
+}

@@ -18,7 +18,7 @@ class DmlFuzzSpec extends AnyFunSuite {
     val ws = () => if (rnd.nextBoolean()) "  " else " "
 
     (1 to 300).foreach { i =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // MERGE with query or uri source, 1-3 keys, options
           val u = uri()
           val keys = (1 to 1 + rnd.nextInt(3)).map(_ => ident())
@@ -102,13 +102,30 @@ class DmlFuzzSpec extends AnyFunSuite {
               .asInstanceOf[RefreshMviewCommand]
             assert(cmd.mvUri == mv, sql)
           }
+        case 5 => // INSERT OVERWRITE, optional WHERE, query or uri source
+          val u = uri()
+          val src =
+            if (rnd.nextBoolean()) s"(SELECT 1 AS ${ident()})"
+            else quoted(uri())
+          val where =
+            if (rnd.nextBoolean()) Some(s"k <= ${rnd.nextInt(100)}")
+            else None
+          val sql = s"INSERT${ws()}OVERWRITE${ws()}${quoted(u)} " +
+            s"USING $src${where.map(" WHERE " + _).getOrElse("")}"
+          val cmd = CopySql.parse(sql)
+            .getOrElse(fail(s"[$i] did not parse: $sql"))
+            .asInstanceOf[InsertOverwriteCommand]
+          assert(cmd.uri == u, sql)
+          assert(cmd.where == where, sql)
+          assert(cmd.source.isLeft == src.startsWith("("), sql)
         case _ => // unquoted targets always delegate
-          val sql = rnd.nextInt(5) match {
+          val sql = rnd.nextInt(6) match {
             case 0 => s"MERGE INTO ${ident()} USING s ON k WHEN MATCHED " +
               "THEN UPDATE SET *"
             case 1 => s"ALTER TABLE ${ident()} ADD COLUMN x INT"
             case 2 => "CREATE TABLE t (x INT)"
             case 3 => "REFRESH TABLE t"
+            case 4 => s"INSERT OVERWRITE ${ident()} SELECT * FROM s"
             case _ => s"FSCK ${ident()}"
           }
           assert(CopySql.parse(sql).isEmpty, s"[$i] must delegate: $sql")
