@@ -574,6 +574,30 @@ object SparkEntry {
       io.Snapshots.read(s, uri).orderBy("o_orderkey")
     }),
 
+    // DYNAMIC partition overwrite: replace exactly the hive partitions
+    // the replacement carries rows for — metadata-exact on a hive
+    // layout (whole dirs swap; untouched partitions keep their
+    // original files, pinned by OverwriteSpec)
+    "io_overwrite_partitions" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_dynow_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartition(4)
+        .write.partitionBy("o_orderpriority").parquet(uri)
+      io.Snapshots.init(s, uri)
+      val repl = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "3-MEDIUM")
+        .withColumn("o_custkey", col("o_custkey") + 7000000L)
+        .withColumn("o_orderstatus", lit("P"))
+      io.Snapshots.overwritePartitionsCommit(s, uri, repl)
+      io.Snapshots.read(s, uri)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // INSERT OVERWRITE ... WHERE (Delta replaceWhere): ONE atomic
     // commit deletes the matching slice and lands its replacement;
     // manifest-stats pruning carries provably-unaffected files over
@@ -3240,6 +3264,16 @@ object SparkEntry {
         "THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey, " +
         "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0 " +
         "THEN 'U' ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey"),
+
+    // dynamic overwrite of the 3-MEDIUM partition = CASE on that slice
+    "io_overwrite_partitions" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_orderpriority = '3-MEDIUM' " +
+        "THEN o_custkey + 7000000 ELSE o_custkey END AS o_custkey, " +
+        "CASE WHEN o_orderpriority = '3-MEDIUM' " +
+        "THEN 'P' ELSE o_orderstatus END AS o_orderstatus, " +
         "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
         "ORDER BY o_orderkey"),
 

@@ -67,7 +67,7 @@ object CopyFrom {
     def footerSchema(c: org.apache.hadoop.conf.Configuration, f: String)
         : String = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(new java.net.URI(f)), c)
+        PathStrings.parse(f), c)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try reader.getFooter.getFileMetaData.getSchema.toString
       finally reader.close()
@@ -200,7 +200,7 @@ object CopyFrom {
     require(files.nonEmpty, s"byFieldIds: no data files under $uri")
     val conf = spark.sessionState.newHadoopConf()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new Path(new java.net.URI(files.head)), conf)
+      PathStrings.parse(files.head), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     val fileFields =
       try reader.getFooter.getFileMetaData.getSchema.getFields

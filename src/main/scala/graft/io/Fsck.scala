@@ -114,7 +114,7 @@ object Fsck {
     // reclaimable debris (info): data files no surviving manifest names
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     files.foreach { f =>
-      val p = new Path(new java.net.URI(f))
+      val p = PathStrings.parse(f)
       val inManifestDir =
         p.getParent != null && p.getParent.getName == "_graft_manifests"
       val rel = relName(uri, f)
@@ -137,7 +137,7 @@ object Fsck {
 
   private def relName(uri: String, file: String): String = {
     val root = new Path(uri).toUri.getPath.stripSuffix("/")
-    val p = new Path(new java.net.URI(file)).toUri.getPath
+    val p = PathStrings.parse(file).toUri.getPath
     if (p.startsWith(root + "/")) p.stripPrefix(root + "/")
     else new Path(p).getName
   }

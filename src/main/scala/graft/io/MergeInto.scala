@@ -93,7 +93,7 @@ object MergeInto {
         new Path(p, s"part-merge-$stamp-$i.parquet")),
         s"merge move ${st.getPath} failed")
     }
-    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    touched.foreach { f => fs.delete(PathStrings.parse(f), false) }
     fs.delete(tmp, true)
 
     val finalRows = footerRows(spark, uri)
@@ -202,8 +202,8 @@ object MergeInto {
           s"delete move ${st.getPath} failed")
       }
     }
-    dropWhole.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
-    touched.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    dropWhole.foreach { f => fs.delete(PathStrings.parse(f), false) }
+    touched.foreach { f => fs.delete(PathStrings.parse(f), false) }
     fs.delete(tmp, true)
     val finalRows = footerRows(spark, uri)
     val affected = touched.size + dropWhole.size
@@ -270,7 +270,7 @@ object MergeInto {
   private def footerRowCount(
       conf: org.apache.hadoop.conf.Configuration, file: String): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new Path(new java.net.URI(file)), conf)
+      PathStrings.parse(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }

@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Path-string conversions that survive special characters (spaces in
+ * hive partition values like `o_orderpriority=4-NOT SPECIFIED`, `%`,
+ * unicode).  Two renderings circulate for the same file and MUST NOT
+ * be mixed:
+ *
+ *  - Spark's `input_file_name()` / `_metadata.file_path` are
+ *    URL-ENCODED (`.../part=a%20b/...`);
+ *  - Hadoop `FileStatus.getPath.toString` / `Path.toString` (what
+ *    [[CopyTo.listDataFiles]] and `DataFrame.inputFiles` return) are
+ *    DECODED display form (`.../part=a b/...`).
+ *
+ * `new java.net.URI(s)` on the decoded form THROWS on a space, and a
+ * decoded-vs-encoded string compare silently matches nothing — the
+ * two failure modes these helpers close.
+ */
+object PathStrings {
+
+  /** Parse either rendering into a Path: the encoded form decodes
+    * through the URI route; the decoded form (where a space makes the
+    * URI parse fail) goes through Hadoop's own lenient parser.  A
+    * DECODED path containing a literal `%xx` sequence is ambiguous by
+    * construction (both engines share this limitation) — the encoded
+    * reading wins. */
+  def parse(s: String): Path =
+    try new Path(new java.net.URI(s))
+    catch { case _: java.net.URISyntaxException => new Path(s) }
+
+  /** The file's qualified URL-ENCODED rendering — the exact string
+    * `_metadata.file_path` yields (`file:/tmp/part=a%20b/...`), safe
+    * to join/compare against that column.  Built from the qualified
+    * path's URI components: the multi-arg URI constructor re-encodes
+    * illegal characters, and an EMPTY authority is normalized to none
+    * (`makeQualified` yields `file://` + "" + path = `file:///...`,
+    * while Spark renders `file:/...` — a mismatch that silently
+    * un-applies every deletion vector). */
+  def qualifiedEncoded(fs: FileSystem, p: Path): String = {
+    val u = fs.makeQualified(p).toUri
+    val auth = if (u.getAuthority != null && u.getAuthority.isEmpty) null
+               else u.getAuthority
+    new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+  }
+}

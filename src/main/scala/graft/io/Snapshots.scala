@@ -265,7 +265,7 @@ object Snapshots extends Serializable {
       .withColumn("__gdv_pos", col("_metadata.row_index"))
     val fs = fsOf(spark, uri)
     val refs = dvd.map(e =>
-      fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+      PathStrings.qualifiedEncoded(fs, new Path(uri, e.name)) -> e.dv.get)
     val deleted = dvPositions(spark, uri, refs)
     val totalDeleted = dvd.map(_.dv.get.rows).sum
     val joined =
@@ -624,7 +624,7 @@ object Snapshots extends Serializable {
           .withColumn("__gdv_pos", col("_metadata.row_index"))
         val fs = fsOf(spark, uri)
         val refs = dvd.map(e =>
-          fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+          PathStrings.qualifiedEncoded(fs, new Path(uri, e.name)) -> e.dv.get)
         val deleted = dvPositions(spark, uri, refs)
         val joined =
           if (dvd.map(_.dv.get.rows).sum <= BroadcastDvRows)
@@ -1144,6 +1144,70 @@ object Snapshots extends Serializable {
     newV
   }
 
+  /**
+   * DYNAMIC partition overwrite (Spark's
+   * `partitionOverwriteMode=dynamic`, as one MVCC commit): replace
+   * exactly the hive partitions `df` carries rows for, leave every
+   * other partition untouched.  On a hive layout this is METADATA-
+   * EXACT: a partition dir's files contain only that partition's rows,
+   * so the delete side never rewrites a file — the affected dirs'
+   * files simply leave the manifest, and `df` lands partitioned.  The
+   * daily-pipeline idiom ("recompute whichever days arrived") with no
+   * predicate to spell out.  Requires a partitioned table; NULL
+   * partition values replace their `__HIVE_DEFAULT_PARTITION__` dir.
+   */
+  def overwritePartitionsCommit(
+      spark: SparkSession, uri: String, df: DataFrame): Int = {
+    val v = latestVersion(spark, uri)
+    val entries = readManifestEntries(spark, uri, v)
+    val partCols = partitionColsOf(entries)
+    require(partCols.nonEmpty,
+      s"$uri is not hive-partitioned — dynamic partition overwrite " +
+        "needs a partitioned layout (use overwriteCommit or " +
+        "replaceWhereCommit)")
+    // the partition tuples df touches, in PATH-VALUE form (the same
+    // string rendering the dirs use) — bounded by partitions touched,
+    // never by row count
+    val touched: Set[Seq[String]] = df
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partCols.indices.map(i =>
+        Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      .toSet
+    val gone = entries.filter { e =>
+      val vals = e.name.split("/").dropRight(1).flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None
+        else Some(SnapshotStats.unescapePath(seg.substring(0, i)) ->
+          SnapshotStats.unescapePath(seg.substring(i + 1)))
+      }.toMap
+      touched.contains(partCols.map(c => vals.getOrElse(c, "")))
+    }.map(_.name).toSet
+    val fs = fsOf(spark, uri)
+    val cdcTmp =
+      if (!cdcEnabled(spark, uri)) None
+      else {
+        val dataCols = read(spark, uri, v).columns.toSeq
+        val pre =
+          if (gone.isEmpty) None
+          else Some(readFiles(spark, uri,
+            entries.filter(e => gone.contains(e.name)))
+            .select(dataCols.map(col): _*))
+        Some(stageCdc(spark, uri, pre, Some(df.select(dataCols.map(col): _*))))
+      }
+    val tmp = commitTmp(uri)
+    fs.delete(tmp, true)
+    writeTmp(df, tmp, partCols)
+    val newV = v + 1
+    val moved = publishTmp(fs, tmp, uri, newV)
+    writeManifest(spark, uri, newV,
+      entries.filterNot(e => gone.contains(e.name)) ++
+        entriesFor(spark, uri, moved),
+      kind = "overwrite")
+    cdcTmp.foreach(publishCdc(fs, uri, _, newV))
+    newV
+  }
+
   /** Live rows of `entries` with their file identity and parquet row
     * position attached (`__gdv_file`, `__gdv_pos`) — the scan both
     * merge-on-read writers start from.  Existing DVs are applied, so
@@ -1161,7 +1225,7 @@ object Snapshots extends Serializable {
     else {
       val fs = fsOf(spark, uri)
       val refs = dvd.map(e =>
-        fs.makeQualified(new Path(uri, e.name)).toString -> e.dv.get)
+        PathStrings.qualifiedEncoded(fs, new Path(uri, e.name)) -> e.dv.get)
       val deleted = dvPositions(spark, uri, refs)
       if (dvd.map(_.dv.get.rows).sum <= BroadcastDvRows)
         raw.join(broadcast(deleted), Seq("__gdv_file", "__gdv_pos"),
@@ -1182,7 +1246,7 @@ object Snapshots extends Serializable {
       matched: DataFrame, newV: Int): Seq[(String, String, Long)] = {
     val fs = fsOf(spark, uri)
     val dvByQual = entries.flatMap(e => e.dv.map(d =>
-      fs.makeQualified(new Path(uri, e.name)).toString -> d.path)).toMap
+      PathStrings.qualifiedEncoded(fs, new Path(uri, e.name)) -> d.path)).toMap
     val ser = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -1222,7 +1286,7 @@ object Snapshots extends Serializable {
     val fs = fsOf(spark, uri)
     val byQual = results.map(r => r._1 -> r).toMap
     entries.flatMap { e =>
-      byQual.get(fs.makeQualified(new Path(uri, e.name)).toString) match {
+      byQual.get(PathStrings.qualifiedEncoded(fs, new Path(uri, e.name))) match {
         case None => Some(e)
         case Some((_, dvRel, delRows)) =>
           val total = e.stats.flatMap(SnapshotStats.parseRowCount)
@@ -1512,7 +1576,7 @@ object Snapshots extends Serializable {
           val deltas = m.entries.flatMap { e =>
             prevByName.get(e.name) match {
               case Some(pe) if e.dv != pe.dv => Some((
-                fs.makeQualified(new Path(uri, e.name)).toString, e.name,
+                PathStrings.qualifiedEncoded(fs, new Path(uri, e.name)), e.name,
                 e.dv.map(_.path), pe.dv.map(_.path),
                 e.dv.map(_.rows).getOrElse(0L) -
                   pe.dv.map(_.rows).getOrElse(0L)))
@@ -1714,7 +1778,7 @@ object Snapshots extends Serializable {
     val removed = Seq.newBuilder[String]
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     files.foreach { f =>
-      val p = new Path(new java.net.URI(f))
+      val p = PathStrings.parse(f)
       val n = relName(uri, f)
       // listDataFiles filters by FILE name only — manifests live under
       // the _graft_manifests dir but their own names aren't underscored
@@ -2032,7 +2096,7 @@ object Snapshots extends Serializable {
     * partitioned: `k=v/.../name`). */
   private def relName(uri: String, file: String): String = {
     val root = new Path(uri).toUri.getPath.stripSuffix("/")
-    val p = new Path(new java.net.URI(file)).toUri.getPath
+    val p = PathStrings.parse(file).toUri.getPath
     if (p.startsWith(root + "/")) p.stripPrefix(root + "/")
     else new Path(p).getName
   }

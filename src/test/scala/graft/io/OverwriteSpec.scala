@@ -125,6 +125,74 @@ class OverwriteSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite replaces exactly the touched dirs") {
+    val dir = fresh("ow_dyn")
+    (1 to 120).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      .toDF("k", "part", "x")
+      .write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = entriesOf(dir).map(_.name).toSet
+    // replacement carries rows for p1 and p3 only
+    val repl = Seq((1001L, "p1", 1.0), (1002L, "p3", 2.0), (1003L, "p3", 3.0))
+      .toDF("k", "part", "x")
+    val v2 = Snapshots.overwritePartitionsCommit(spark, dir, repl)
+    assert(v2 == 2)
+    val after = entriesOf(dir).map(_.name).toSet
+    // untouched partitions keep their ORIGINAL files (no rewrite)
+    assert(before.filter(n => n.contains("part=p0") || n.contains("part=p2"))
+      .subsetOf(after), "untouched partition files were rewritten")
+    assert(!after.exists(n =>
+      before.contains(n) && (n.contains("part=p1") || n.contains("part=p3"))),
+      "replaced partition kept old files")
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.filter(col("part") === "p0").count() == 30)
+    assert(rows.filter(col("part") === "p2").count() == 30)
+    assert(rows.filter(col("part") === "p1").select("k")
+      .as[Long].collect().toSeq == Seq(1001L))
+    assert(rows.filter(col("part") === "p3").count() == 2)
+    // unpartitioned tables refuse
+    val flat = fresh("ow_dyn_flat")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s").write.parquet(flat)
+    Snapshots.init(spark, flat)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.overwritePartitionsCommit(spark, flat,
+        Seq((1L, "x")).toDF("k", "s"))
+    }
+    assert(e.getMessage.contains("not hive-partitioned"))
+  }
+
+  test("partition values with SPACES survive the whole lifecycle " +
+      "(init, MoR delete, dynamic overwrite)") {
+    // 'a b'-style values exercise the two path renderings (Spark's
+    // url-encoded _metadata.file_path vs Hadoop's decoded Path
+    // strings): a mixed compare either crashes URI parsing or —
+    // worse — silently un-applies deletion vectors
+    val dir = fresh("ow_space")
+    (1 to 60).map(i => (i.toLong, if (i % 2 == 0) "NOT SPECIFIED" else "1 HIGH"))
+      .toDF("k", "prio")
+      .write.partitionBy("prio").parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k = 2", mergeOnRead = true)
+    assert(Snapshots.read(spark, dir).count() == 59)
+    assert(Snapshots.read(spark, dir).filter(col("k") === 2L).isEmpty,
+      "DV silently un-applied on a spacey partition")
+    val v = Snapshots.overwritePartitionsCommit(spark, dir,
+      Seq((1000L, "NOT SPECIFIED")).toDF("k", "prio"))
+    assert(v == 3)
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.filter(col("prio") === "NOT SPECIFIED").count() == 1)
+    assert(rows.filter(col("prio") === "1 HIGH").count() == 30)
+    // replaceWhere across the spacey layout
+    Snapshots.replaceWhereCommit(spark, dir, "prio = '1 HIGH' AND k <= 10",
+      Seq((5L, "1 HIGH")).toDF("k", "prio"))
+    val after = Snapshots.read(spark, dir)
+    assert(after.filter(col("prio") === "1 HIGH" && col("k") <= 10)
+      .select("k").as[Long].collect().toSeq == Seq(5L))
+    // expire sweeps superseded spacey files without crashing
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(Snapshots.read(spark, dir).count() == after.count())
+  }
+
   test("SQL route: INSERT OVERWRITE with and without WHERE") {
     val dir = fresh("ow_sql")
     val src = fresh("ow_sql_src")

@@ -73,6 +73,11 @@ class ReadEquivalenceProps extends AnyFunSuite {
         // bucket-transform table
         Snapshots.initTransformed(spark, dir,
           df, Seq(PartitionTransforms.bucket(df, 4, "k")))
+      } else if (mode == 1 && rnd.nextBoolean()) {
+        // hive-partitioned + evolved: the partition column rides the
+        // path while data columns rename underneath it
+        df.write.partitionBy("s").parquet(dir)
+        Snapshots.init(spark, dir)
       } else {
         df.repartitionByRange(1 + rnd.nextInt(4), col("k"))
           .write.parquet(dir)
