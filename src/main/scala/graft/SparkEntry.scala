@@ -2638,7 +2638,7 @@ object SparkEntry {
       val model = ops.Bpe.train(docs, "text", numMerges = 40)
       ops.Bpe.encode(docs, "text", model)
         .select(col("doc_id"), col("n_bpe_tokens"),
-          TextAnalysis.tokenCount(col("text")).as("n_words"))
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"))
         .orderBy("doc_id")
     }),
 
@@ -3137,6 +3137,35 @@ object SparkEntry {
       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
       "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
       "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+
+  /** Shared WITH-RECURSIVE prefix of the two BPE oracles: the word-
+    * frequency base (symbols as a '|'-wrapped string) and the 40 merge
+    * levels, one per recursion step (see the text_bpe_vocab entry's
+    * comment for why replace() IS the merge semantics). */
+  private val BpeOracleCtes: String =
+    "WITH RECURSIVE base AS (" +
+      "SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+      "'|' || array_to_string(list_append(string_split(w, ''), '</w>'), " +
+      "'||') || '|' AS s " +
+      "FROM (SELECT unnest(list_filter(string_split_regex(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+      "lvl AS (" +
+      "SELECT 0 AS it, CAST(NULL AS VARCHAR) AS ml, " +
+      "CAST(NULL AS VARCHAR) AS mr, freq, s FROM base " +
+      "UNION ALL " +
+      "SELECT it + 1, b.x, b.y, freq, " +
+      "replace(s, '|' || b.x || '||' || b.y || '|', " +
+      "'|' || b.x || b.y || '|') " +
+      "FROM lvl CROSS JOIN (" +
+      "SELECT x, y FROM (" +
+      "SELECT pr['x'] AS x, pr['y'] AS y, sum(freq) AS c " +
+      "FROM (SELECT freq, unnest(list_transform(range(1, len(l)), i -> " +
+      "struct_pack(x := l[CAST(i AS INTEGER)], " +
+      "y := l[CAST(i AS INTEGER) + 1]))) AS pr " +
+      "FROM (SELECT freq, list_filter(string_split(s, '|'), " +
+      "z -> z <> '') AS l FROM lvl)) " +
+      "GROUP BY x, y ORDER BY c DESC, x ASC, y ASC LIMIT 1)) b(x, y) " +
+      "WHERE it < 40)"
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25_served" -> bm25OracleSql,
@@ -4153,6 +4182,49 @@ object SparkEntry {
         "CAST(sum(CAST(ln(c * 1.0 / n) AS DECIMAL(18,9))) * 1000000000 AS BIGINT) " +
         "AS logprob_e9 FROM bg JOIN model USING (bg) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // FULL BPE training replication (Sennrich 2016 merges) in a
+    // recursive CTE: word symbols ride as a '|'-wrapped string
+    // ('|h||i||</w>|'), one merge level per recursion step — the best
+    // pair is the argmax over the PREVIOUS level's adjacent-pair
+    // counts (ties: count desc, left asc, right asc — the exact
+    // trainLocal tie-break), and applying it is a plain replace():
+    // left-to-right non-overlapping, which IS the merge semantics,
+    // and a single pass is complete because a replacement can never
+    // recreate its own pattern (the merged symbol is strictly longer
+    // than both parts).
+    "text_bpe_vocab" ->
+      (BpeOracleCtes +
+        " SELECT CAST(it - 1 AS BIGINT) AS \"rank\", ml AS \"left\", " +
+        "mr AS \"right\" FROM (SELECT DISTINCT it, ml, mr FROM lvl " +
+        "WHERE it >= 1) ORDER BY \"rank\""),
+
+    // encoding replays the trained merges in rank order (provably
+    // equivalent to the greedy rank-priority loop — see Bpe.scala's
+    // ranks scaladoc) over each DISTINCT word, then joins the doc
+    // token multiset: n_bpe_tokens = Σ subwords, n_words = token count
+    "text_bpe_encode" ->
+      (BpeOracleCtes + ", " +
+        "merges AS (SELECT it - 1 AS mrank, ml, mr FROM " +
+        "(SELECT DISTINCT it, ml, mr FROM lvl WHERE it >= 1)), " +
+        "encr AS (SELECT 0 AS it, w, s FROM base " +
+        "UNION ALL " +
+        "SELECT e.it + 1, e.w, " +
+        "replace(e.s, '|' || m.ml || '||' || m.mr || '|', " +
+        "'|' || m.ml || m.mr || '|') " +
+        "FROM encr e JOIN merges m ON m.mrank = e.it), " +
+        "encf AS (SELECT w, CAST(len(list_filter(string_split(s, '|'), " +
+        "z -> z <> '')) AS BIGINT) AS n_sub " +
+        "FROM encr WHERE it = (SELECT max(it) FROM encr)), " +
+        "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(" +
+        "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents) " +
+        "SELECT d.doc_id, " +
+        "CAST(coalesce(sum(e.n_sub), 0) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(count(t.w) AS BIGINT) AS n_words " +
+        "FROM documents d " +
+        "LEFT JOIN toks t ON d.doc_id = t.doc_id " +
+        "LEFT JOIN encf e ON t.w = e.w " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
 
     // same portable signatures; candidates restricted to cross
     // (batch ≥ 400 × corpus < 400) buckets, survivors anti-joined
