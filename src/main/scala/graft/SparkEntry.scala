@@ -873,6 +873,28 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // planning-time pruning on a DV'd table (round 9): the MoR delete
+    // puts a deletion vector on the table, and the indexed read must
+    // STILL skip files at plan time (SnapshotFileIndexSpec pins the
+    // numFiles metric) while anti-joining the deleted positions —
+    // values identical to the eager path
+    "io_snapshot_pushdown_dv" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_sfidv_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartitionByRange(10, col("o_orderkey"))
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.deleteWhereCommit(s, uri,
+        "o_custkey % 7 = 3", mergeOnRead = true)
+      io.Snapshots.readIndexed(s, uri)
+        .filter(col("o_orderkey") <= 9000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // row-level change feed over COPY-ON-WRITE DML: with change-data
     // capture on, an update commit records delete-pre + insert-post
     // images and a delete commit its removed rows — the feed reads the
@@ -3359,6 +3381,11 @@ object SparkEntry {
     "io_snapshot_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey <= 3000 AND o_custkey % 5 = 1 " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_snapshot_pushdown_dv" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_custkey % 7 <> 3 AND o_orderkey <= 9000 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
 
     "io_snapshot_cdf" ->
