@@ -2125,6 +2125,40 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // streaming the ROW-LEVEL change feed (readChangeFeed — Delta
+    // CDF's option): each micro-batch carries the inserts AND deletes
+    // of the versions committed since the last trigger, tagged
+    // _change_type/_commit_version — an append and a merge-on-read
+    // delete land while the stream runs and arrive exactly once each
+    "stream_snapshot_cdc" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snapcdc_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/table"; val out = s"$base/out"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .repartition(2).write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      val q = s.readStream.format("graft-snapshot")
+        .option("startingVersion", "1").option("readChangeFeed", "true")
+        .load(tgt)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try {
+        io.Snapshots.appendCommit(s, tgt,
+          cust.filter(col("c_custkey") % 3 === 1))
+        q.processAllAvailable()
+        io.Snapshots.deleteWhereCommit(s, tgt, "c_custkey % 5 = 0",
+          mergeOnRead = true)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .orderBy("_commit_version", "_change_type", "c_custkey")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val schema = eventsSchema
       val stageDir = stagedEventsDir(s, dir)
@@ -3387,6 +3421,21 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_custkey % 7 <> 3 AND o_orderkey <= 9000 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    // v2 = the appended rows as inserts; v3 = the MoR delete's matches
+    // (over the v2 live set: %3 in (0,1)) as deletes
+    "stream_snapshot_cdc" ->
+      ("WITH ins AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "c_mktsegment, 'insert' AS _change_type, " +
+        "CAST(2 AS BIGINT) AS _commit_version " +
+        "FROM customer WHERE c_custkey % 3 = 1), " +
+        "del AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "c_mktsegment, 'delete' AS _change_type, " +
+        "CAST(3 AS BIGINT) AS _commit_version " +
+        "FROM customer WHERE c_custkey % 3 IN (0, 1) " +
+        "AND c_custkey % 5 = 0) " +
+        "SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del) " +
+        "ORDER BY _commit_version, _change_type, c_custkey"),
 
     "io_snapshot_cdf" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, " +

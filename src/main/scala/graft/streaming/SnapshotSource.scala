@@ -31,7 +31,13 @@ import graft.io.Snapshots
  * Options: `path` (the table URI; also settable via `.load(uri)`),
  * `startingVersion` (default: the latest version at stream start, i.e.
  * new appends only; pass an older version to replay history —
- * version 1 replays every append since init).
+ * version 1 replays every append since init), and `readChangeFeed`
+ * (Delta CDF's option name): when true, batches carry the ROW-LEVEL
+ * delta from [[Snapshots.readChangesRows]] — every insert AND delete
+ * tagged `_change_type`/`_commit_version`, so merge-on-read DML and
+ * CDC-recorded copy-on-write commits stream too, not just appends.
+ * The downstream-sync loop (apply deltas to a replica) becomes a
+ * plain `foreachBatch`.
  *
  * At 100 TB: a micro-batch touches only its appended files; everything
  * else is one manifest-dir listing per trigger.
@@ -44,14 +50,26 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       throw new IllegalArgumentException(
         "graft-snapshot needs the table URI: .load(uri) or .option(\"path\", uri)"))
 
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  /** The change-feed schema: table columns + `_change_type` +
+    * `_commit_version` (Delta CDF's shape). */
+  private def cdcSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
       : (String, StructType) = {
     val uri = uriOf(parameters)
-    (shortName(),
-      schema.getOrElse(
-        Snapshots.read(sqlContext.sparkSession, uri).schema))
+    val base = schema.getOrElse(
+      Snapshots.read(sqlContext.sparkSession, uri).schema)
+    (shortName(), if (cdcOf(parameters)) cdcSchema(base) else base)
   }
 
   override def createSource(
@@ -65,14 +83,16 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       require(v >= 1, s"startingVersion must be >= 1 (got $v)")
       v
     }.getOrElse(Snapshots.latestVersion(spark, uri))
+    val cdc = cdcOf(parameters)
+    val base = schema.getOrElse(Snapshots.read(spark, uri).schema)
     new SnapshotSource(spark, uri, starting,
-      schema.getOrElse(Snapshots.read(spark, uri).schema))
+      if (cdc) cdcSchema(base) else base, cdc)
   }
 }
 
 class SnapshotSource(
     spark: SparkSession, uri: String, startingVersion: Int,
-    override val schema: StructType) extends Source {
+    override val schema: StructType, cdc: Boolean = false) extends Source {
 
   private def versionOf(o: OffsetV1): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -97,6 +117,7 @@ class SnapshotSource(
       if (to <= from)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (cdc) Snapshots.readChangesRows(spark, uri, from, to)
       else Snapshots.readChanges(spark, uri, from, to)
     StreamingShim.asStreaming(batch)
   }

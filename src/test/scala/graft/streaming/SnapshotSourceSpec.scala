@@ -115,6 +115,37 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams the ROW-LEVEL delta: deletes flow too, " +
+      "and a MoR commit no longer fails the stream") {
+    val dir = freshTable("snapsrc_cdc")
+    val qn = s"graft_snapsrc_cdc_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      Snapshots.appendCommit(spark, dir,
+        Seq((101L, "a101")).toDF("k", "name"))
+      q.processAllAvailable()
+      val afterIns = spark.table(qn)
+        .select("k", "_change_type", "_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(afterIns == Set((101L, "insert", 2L)))
+      // a merge-on-read DELETE streams as delete rows instead of
+      // failing (the plain feed's append-only refusal doesn't apply:
+      // the row delta IS recorded in the DV)
+      Snapshots.deleteWhereCommit(spark, dir, "k <= 2", mergeOnRead = true)
+      q.processAllAvailable()
+      val all = spark.table(qn)
+        .select("k", "_change_type", "_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(all == Set((101L, "insert", 2L),
+        (1L, "delete", 3L), (2L, "delete", 3L)))
+    } finally q.stop()
+  }
+
   test("pushdown survives the streaming re-tag: filter reaches the scan") {
     val dir = freshTable("snapsrc_push")
     Snapshots.appendCommit(spark, dir,
