@@ -56,6 +56,11 @@ object ZOrder {
         case StringType => c -> strPrefix(col(c))
         case dt @ (LongType | IntegerType | ShortType | ByteType) =>
           c -> col(c).cast("long")
+        // exact integral domains of the calendar types — the classic
+        // TTL layout (`ZORDER BY (event_date, key)`) bins on epoch
+        // days/micros with the same exact arithmetic as plain longs
+        case DateType => c -> unix_date(col(c)).cast("long")
+        case TimestampType => c -> unix_micros(col(c))
         case dt => throw new IllegalArgumentException(
           s"z-order column '$c' must be integral or string, got $dt " +
             "(bucket floats by casting or quantile-binning upstream)")

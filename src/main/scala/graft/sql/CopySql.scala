@@ -301,15 +301,19 @@ object CopySql {
       // ours; Spark's own INSERT statements delegate untouched
       if (!c.tryKeyword("OVERWRITE") || !c.peekIs('\'')) return None
       val uri = c.stringLit()
+      // PARTITIONS = dynamic partition overwrite (replace exactly the
+      // partitions the source carries rows for)
+      val dynamic = c.tryKeyword("PARTITIONS")
       c.expectKeyword("USING")
       val source: Either[String, String] =
         if (c.peekIs('(')) Left(c.parenBlock())
         else if (c.peekIs('\'')) Right(c.stringLit())
         else throw new IllegalArgumentException(
           "INSERT OVERWRITE USING takes a (query) or a quoted source uri")
-      val where = if (c.tryKeyword("WHERE")) Some(c.rest())
-                  else { c.expectEnd(); None }
-      return Some(InsertOverwriteCommand(uri, source, where))
+      val where =
+        if (!dynamic && c.tryKeyword("WHERE")) Some(c.rest())
+        else { c.expectEnd(); None }
+      return Some(InsertOverwriteCommand(uri, source, where, dynamic))
     }
     if (!c.tryKeyword("COPY")) return None
     val stmt =
@@ -733,14 +737,18 @@ final case class MergeCommand(
   }
 }
 
-/** `INSERT OVERWRITE '<uri>' USING (query)|'<src-uri>' [WHERE pred]`
-  * → [[graft.io.Snapshots.overwriteCommit]] (no WHERE: replace the
-  * whole table) or [[graft.io.Snapshots.replaceWhereCommit]] (WHERE:
-  * replace only the matching slice; untouched files carry over and
-  * every incoming row must satisfy the predicate).  One atomic
-  * version either way.  Returns the committed version. */
+/** `INSERT OVERWRITE '<uri>' [PARTITIONS] USING (query)|'<src-uri>'
+  * [WHERE pred]` → [[graft.io.Snapshots.overwriteCommit]] (bare:
+  * replace the whole table), [[graft.io.Snapshots.replaceWhereCommit]]
+  * (WHERE: replace only the matching slice; untouched files carry over
+  * and every incoming row must satisfy the predicate), or
+  * [[graft.io.Snapshots.overwritePartitionsCommit]] (PARTITIONS:
+  * dynamic — replace exactly the hive partitions the source carries
+  * rows for).  One atomic version in every form.  Returns the
+  * committed version. */
 final case class InsertOverwriteCommand(
-    uri: String, source: Either[String, String], where: Option[String])
+    uri: String, source: Either[String, String], where: Option[String],
+    dynamicPartitions: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -753,10 +761,12 @@ final case class InsertOverwriteCommand(
         if (fs.exists(mp)) Snapshots.read(spark, u)
         else spark.read.parquet(u)
     }
-    val v = where match {
-      case Some(p) => Snapshots.replaceWhereCommit(spark, uri, p, df)
-      case None => Snapshots.overwriteCommit(spark, uri, df)
-    }
+    val v =
+      if (dynamicPartitions) Snapshots.overwritePartitionsCommit(spark, uri, df)
+      else where match {
+        case Some(p) => Snapshots.replaceWhereCommit(spark, uri, p, df)
+        case None => Snapshots.overwriteCommit(spark, uri, df)
+      }
     Seq(Row(v.toLong))
   }
 }

@@ -213,5 +213,17 @@ class OverwriteSpec extends AnyFunSuite {
         "'only' AS s)")
     assert(Snapshots.read(spark, dir).as[(Long, String)]
       .collect().toSeq == Seq((1L, "only")))
+    // dynamic form: PARTITIONS keyword routes to the partition swap
+    val pdir = fresh("ow_sql_dyn")
+    (1 to 40).map(i => (i.toLong, s"p${i % 2}")).toDF("k", "part")
+      .write.partitionBy("part").parquet(pdir)
+    Snapshots.init(spark, pdir)
+    graft.sql.GraftSql.exec(spark,
+      s"INSERT OVERWRITE '$pdir' PARTITIONS USING " +
+        "(SELECT CAST(900 AS BIGINT) AS k, 'p1' AS part)")
+    val prows = Snapshots.read(spark, pdir)
+    assert(prows.filter(col("part") === "p0").count() == 20)
+    assert(prows.filter(col("part") === "p1").select("k")
+      .as[Long].collect().toSeq == Seq(900L))
   }
 }

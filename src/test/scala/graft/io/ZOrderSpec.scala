@@ -123,6 +123,32 @@ class ZOrderSpec extends AnyFunSuite {
       s"suppkey spans $suppSpans vs range $suppRange")
   }
 
+  test("DATE / TIMESTAMP columns z-order on their epoch domains " +
+      "(the TTL layout: ZORDER BY event_date, key)") {
+    import spark.implicits._
+    val n = 2000
+    val df = (1 to n).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+         .plusDays(i % 90)),
+       java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+         .plusSeconds(i.toLong * 3600)),
+       (i * 37 % 500).toLong)
+    }.toDF("d", "ts", "k")
+    val zd = ZOrder.withZValue(df, Seq("d", "k"), bits = 6)
+    assert(zd.columns.contains("z_value"))
+    // same day + same key bucket => same z_value (pure function)
+    val perKey = zd.groupBy("d", "k").agg(countDistinct("z_value").as("nz"))
+      .agg(max("nz")).head().getLong(0)
+    assert(perKey == 1L)
+    // day order maps to bucket order: min z of an early day <= of a late
+    val zt = ZOrder.withZValue(df, Seq("ts"), bits = 6)
+    val firstLast = zt.agg(
+      min(when(col("ts") <= "2024-01-03", col("z_value"))),
+      max(when(col("ts") >= "2024-03-20", col("z_value")))).head()
+    assert(firstLast.getLong(0) <= firstLast.getLong(1))
+    assert(zt.select("z_value").distinct().count() > 8)
+  }
+
   test("quantile binning spreads a skewed column where equi-width collapses") {
     // 95% of mass at one value + a long tail: equi-width puts ~all rows
     // in bucket 0; quantile binning still uses many buckets

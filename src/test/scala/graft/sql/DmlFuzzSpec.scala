@@ -102,21 +102,25 @@ class DmlFuzzSpec extends AnyFunSuite {
               .asInstanceOf[RefreshMviewCommand]
             assert(cmd.mvUri == mv, sql)
           }
-        case 5 => // INSERT OVERWRITE, optional WHERE, query or uri source
+        case 5 => // INSERT OVERWRITE: bare / WHERE / PARTITIONS forms
           val u = uri()
           val src =
             if (rnd.nextBoolean()) s"(SELECT 1 AS ${ident()})"
             else quoted(uri())
+          val dynamic = rnd.nextBoolean()
           val where =
-            if (rnd.nextBoolean()) Some(s"k <= ${rnd.nextInt(100)}")
+            if (!dynamic && rnd.nextBoolean())
+              Some(s"k <= ${rnd.nextInt(100)}")
             else None
-          val sql = s"INSERT${ws()}OVERWRITE${ws()}${quoted(u)} " +
+          val sql = s"INSERT${ws()}OVERWRITE${ws()}${quoted(u)}" +
+            s"${if (dynamic) " PARTITIONS" else ""} " +
             s"USING $src${where.map(" WHERE " + _).getOrElse("")}"
           val cmd = CopySql.parse(sql)
             .getOrElse(fail(s"[$i] did not parse: $sql"))
             .asInstanceOf[InsertOverwriteCommand]
           assert(cmd.uri == u, sql)
           assert(cmd.where == where, sql)
+          assert(cmd.dynamicPartitions == dynamic, sql)
           assert(cmd.source.isLeft == src.startsWith("("), sql)
         case _ => // unquoted targets always delegate
           val sql = rnd.nextInt(6) match {
