@@ -24,8 +24,10 @@ object ScaleSmoke {
 
   private val DefaultQueries = Seq(
     "sim_knn_search_layered", "sim_knn_search", "sim_knn_graph",
-    "sim_ann_ivfpq", "sim_ann_ivf", "dedup_minhash", "text_bm25",
-    "text_bpe_vocab", "mm_phash_dedup", "q_sessionize")
+    "sim_ann_ivfpq", "sim_ann_ivf", "dedup_minhash",
+    "dedup_ngram_jaccard", "text_bm25", "text_bpe_vocab",
+    "mm_phash_dedup", "q_sessionize", "stream_mview",
+    "stream_bm25_index")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale_smoke")
