@@ -873,6 +873,34 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // write-audit-publish through a BRANCH (Iceberg's WAP pattern):
+    // the staged batch is invisible to main until the audited branch
+    // head fast-forwards in one atomic commit; BranchSpec pins the
+    // isolation, divergence refusal and expire protection
+    "io_branch_wap" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_wap_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartition(3).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Branches.create(s, uri, "wap")
+      io.Branches.append(s, uri, "wap",
+        orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "1-URGENT"))
+      // main must not see the staged batch pre-publish
+      require(io.Snapshots.latestVersion(s, uri) == 1,
+        "branch append leaked into main")
+      io.Branches.fastForward(s, uri, "wap")
+      io.Snapshots.read(s, uri)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // planning-time pruning on a DV'd table (round 9): the MoR delete
     // puts a deletion vector on the table, and the indexed read must
     // STILL skip files at plan time (SnapshotFileIndexSpec pins the
@@ -3421,6 +3449,15 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_custkey % 7 <> 3 AND o_orderkey <= 9000 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    // main after publish = the even-key base plus the audited
+    // odd-key urgent batch
+    "io_branch_wap" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 2 = 0 " +
+        "OR (o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY o_orderkey"),
 
     // v2 = the appended rows as inserts; v3 = the MoR delete's matches
     // (over the v2 live set: %3 in (0,1)) as deletes

@@ -1,0 +1,240 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Snapshot-table BRANCHES and the write-audit-publish loop (Iceberg's
+ * branch/WAP pattern, reduced to its essence): a branch is an
+ * independent manifest line under `_graft_manifests/refs/<name>/`,
+ * forked from a main version and sharing the table's DATA FILES —
+ * creating one writes a single manifest copy, zero data bytes.
+ *
+ * The loop a 100 TB ingestion pipeline runs:
+ *
+ *  1. `create(uri, "wap")` — fork from main's head (metadata-only);
+ *  2. `append(uri, "wap", batch)` — the new data lands in the table
+ *     dir under fresh unique names but is referenced ONLY by the
+ *     branch; main readers never see it;
+ *  3. audit: `read(uri, "wap")` — run quality checks on the branch;
+ *  4. `fastForward(uri, "wap")` — publish the branch head as main's
+ *     next version in one atomic manifest rename, REFUSED if main
+ *     advanced since the fork (no silent clobber — recreate the
+ *     branch on the new head and replay);
+ *  5. `drop(uri, "wap")` — or just leave it; [[Snapshots.expire]]
+ *     protects files referenced by any live branch, and dropping the
+ *     branch releases them to normal retention.
+ *
+ * Branch commits are APPENDS (the audit loop's shape); richer DML on
+ * branches composes by fast-forwarding first.  Branch names and fork
+ * bases live in the refs dir itself — no table.properties coupling.
+ */
+object Branches {
+
+  private def refsRoot(uri: String): Path =
+    new Path(Snapshots.manifestDir(uri), "refs")
+  private def branchDir(uri: String, name: String): Path =
+    new Path(refsRoot(uri), name)
+  private def branchManifest(uri: String, name: String, v: Int): Path =
+    new Path(branchDir(uri, name), f"v$v%06d.manifest")
+  /** The fork-base marker: main's version at create time. */
+  private def basePath(uri: String, name: String): Path =
+    new Path(branchDir(uri, name), "base")
+
+  private def checkName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name '$name' must be [A-Za-z0-9._-]+")
+
+  /** Fork a branch from `fromVersion` (default: main's head).  One
+    * manifest copy; no data is touched.  Returns the fork base. */
+  def create(spark: SparkSession, uri: String, name: String,
+      fromVersion: Int = -1): Int = {
+    checkName(name)
+    val base =
+      if (fromVersion <= 0) Snapshots.latestVersion(spark, uri)
+      else fromVersion
+    val fs = Snapshots.fsOf(spark, uri)
+    require(fs.exists(Snapshots.manifestPath(uri, base)),
+      s"$uri has no version $base to branch from")
+    require(!fs.exists(branchDir(uri, name)),
+      s"branch '$name' already exists on $uri (drop it first)")
+    fs.mkdirs(branchDir(uri, name))
+    // copy the fork manifest verbatim — the branch starts as an exact
+    // alias of main@base (schema pointer and stats ride along)
+    val in = fs.open(Snapshots.manifestPath(uri, base))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toByteArray
+    } finally in.close()
+    val out = fs.create(branchManifest(uri, name, base), false)
+    try out.write(bytes) finally out.close()
+    val bout = fs.create(basePath(uri, name), false)
+    try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
+    finally bout.close()
+    base
+  }
+
+  /** All live branches of a table. */
+  def list(spark: SparkSession, uri: String): Seq[String] = {
+    val fs = Snapshots.fsOf(spark, uri)
+    if (!fs.exists(refsRoot(uri))) Nil
+    else fs.listStatus(refsRoot(uri)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  private def latest(spark: SparkSession, uri: String, name: String): Int = {
+    val fs = Snapshots.fsOf(spark, uri)
+    require(fs.exists(branchDir(uri, name)),
+      s"$uri has no branch '$name'")
+    val vs = fs.listStatus(branchDir(uri, name)).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+    require(vs.nonEmpty, s"branch '$name' has no manifest versions")
+    vs.max
+  }
+
+  private def forkBase(spark: SparkSession, uri: String, name: String): Int = {
+    val fs = Snapshots.fsOf(spark, uri)
+    val p = basePath(uri, name)
+    require(fs.exists(p), s"branch '$name' has no fork-base marker")
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toInt
+    } finally in.close()
+  }
+
+  /** Parse a branch manifest: its own schema pointer (copied from the
+    * fork manifest — the branch must stay readable after retention
+    * expires main's fork version) plus the entry list. */
+  private def readManifest(spark: SparkSession, uri: String, name: String,
+      v: Int): (Option[Int], Seq[Snapshots.ManifestEntry]) = {
+    val fs = Snapshots.fsOf(spark, uri)
+    val p = branchManifest(uri, name, v)
+    require(fs.exists(p), s"branch '$name' has no version $v")
+    val in = fs.open(p)
+    val content = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    val schemaId = lines.headOption.toSeq
+      .flatMap(_.split(" ")).collectFirst {
+        case a if a.startsWith("schema=") => a.stripPrefix("schema=")
+      }.flatMap(_.toIntOption)
+    val entries = lines.tail.map { line =>
+      val fields = line.split("\t", -1)
+      val (statsF, dvF) = fields.toSeq.tail.partition(!_.startsWith("dv="))
+      val dv = dvF.headOption.map { f =>
+        f.stripPrefix("dv=").split(";rows=", 2) match {
+          case Array(path, n) => Snapshots.DvRef(path, n.toLong)
+          case _ => throw new IllegalStateException(s"bad dv field '$f'")
+        }
+      }
+      Snapshots.ManifestEntry(fields(0), statsF.find(_.nonEmpty), dv)
+    }
+    (schemaId, entries)
+  }
+
+  private def readEntries(spark: SparkSession, uri: String, name: String,
+      v: Int): Seq[Snapshots.ManifestEntry] =
+    readManifest(spark, uri, name, v)._2
+
+  /** Read the branch head (data files shared with main). */
+  def read(spark: SparkSession, uri: String, name: String): DataFrame = {
+    val v = latest(spark, uri, name)
+    val (schemaId, entries) = readManifest(spark, uri, name, v)
+    val raw = Snapshots.readFiles(spark, uri, entries)
+    schemaId match {
+      case Some(id) =>
+        SchemaEvolution.evolve(raw, SchemaEvolution.readDef(spark, uri, id))
+      case None => raw
+    }
+  }
+
+  /** Append to the branch: new files land in the TABLE dir under fresh
+    * unique names (main never references them), the branch manifest
+    * gains them.  Returns the branch version. */
+  def append(spark: SparkSession, uri: String, name: String,
+      df: DataFrame): Int = {
+    val v = latest(spark, uri, name)
+    val (schemaId, entries) = readManifest(spark, uri, name, v)
+    val fs = Snapshots.fsOf(spark, uri)
+    val tmp = Snapshots.commitTmp(uri)
+    fs.delete(tmp, true)
+    Snapshots.writeTmp(df, tmp, Snapshots.partitionColsOf(entries))
+    val newV = v + 1
+    val moved = Snapshots.publishTmp(fs, tmp, uri, newV)
+    val lines = (entries ++ Snapshots.entriesFor(spark, uri, moved))
+      .sortBy(_.name).map { e =>
+        val dvField = e.dv.map(d => s"\tdv=${d.path};rows=${d.rows}")
+        (e.stats, dvField) match {
+          case (Some(s), Some(d)) => s"${e.name}\t$s$d"
+          case (Some(s), None) => s"${e.name}\t$s"
+          case (None, Some(d)) => s"${e.name}\t$d"
+          case (None, None) => e.name
+        }
+      }
+    val header = s"graft-manifest v4 kind=append" +
+      s" ts=${System.currentTimeMillis()}" +
+      schemaId.map(i => s" schema=$i").getOrElse("")
+    val p = branchManifest(uri, name, newV)
+    require(!fs.exists(p),
+      s"concurrent commit: branch '$name' version $newV already published")
+    val out = fs.create(p, false)
+    try out.write(((header +: lines).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    newV
+  }
+
+  /**
+   * PUBLISH: fast-forward main to the branch head in one atomic
+   * manifest commit.  Refused when main advanced past the fork base —
+   * the branch no longer describes "main plus my audited appends", and
+   * silently clobbering the concurrent commits would lose them;
+   * recreate the branch from the new head and replay instead (the same
+   * rule as a git fast-forward).  Returns the published main version.
+   */
+  def fastForward(spark: SparkSession, uri: String, name: String): Int = {
+    val base = forkBase(spark, uri, name)
+    val cur = Snapshots.latestVersion(spark, uri)
+    require(cur == base,
+      s"cannot fast-forward branch '$name': main is at v$cur but the " +
+        s"branch forked from v$base — recreate the branch from v$cur " +
+        "and replay its appends")
+    val head = latest(spark, uri, name)
+    val entries = readEntries(spark, uri, name, head)
+    Snapshots.writeManifest(spark, uri, cur + 1, entries, kind = "append")
+    cur + 1
+  }
+
+  /** Delete the branch (its appended files become expire-reclaimable
+    * orphans unless fast-forwarded first). */
+  def drop(spark: SparkSession, uri: String, name: String): Unit = {
+    val fs = Snapshots.fsOf(spark, uri)
+    require(fs.exists(branchDir(uri, name)), s"$uri has no branch '$name'")
+    fs.delete(branchDir(uri, name), true)
+    ()
+  }
+
+  /** Data files referenced by ANY live branch manifest — what
+    * [[Snapshots.expire]] must protect. */
+  private[io] def referencedFiles(
+      spark: SparkSession, uri: String): Set[String] = {
+    val fs = Snapshots.fsOf(spark, uri)
+    if (!fs.exists(refsRoot(uri))) return Set.empty
+    list(spark, uri).flatMap { name =>
+      fs.listStatus(branchDir(uri, name)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+        .flatMap(v => readEntries(spark, uri, name, v).map(_.name))
+    }.toSet
+  }
+}

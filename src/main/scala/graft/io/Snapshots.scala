@@ -63,7 +63,7 @@ object Snapshots extends Serializable {
     * the manifest), driver-side for small commits and distributed above
     * a threshold — an init over a 100k-file table must not serialize
     * through the driver. */
-  private def entriesFor(
+  private[io] def entriesFor(
       spark: SparkSession, uri: String, names: Seq[String])
       : Seq[ManifestEntry] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -110,7 +110,7 @@ object Snapshots extends Serializable {
     * collide on data-file names — the loser's files become unreferenced
     * orphans that [[expire]] reclaims, instead of silently overwriting
     * the winner's. */
-  private def publishTmp(
+  private[io] def publishTmp(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, uri: String,
       newV: Int): Seq[String] = {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -152,7 +152,7 @@ object Snapshots extends Serializable {
   /** Write `df` under tmp, reproducing the table's hive layout when it
     * is partitioned (partition columns come OFF the data and into the
     * path, matching how the files are later read back with basePath). */
-  private def writeTmp(df: DataFrame, tmp: Path, partCols: Seq[String]): Unit =
+  private[io] def writeTmp(df: DataFrame, tmp: Path, partCols: Seq[String]): Unit =
     if (partCols.isEmpty) df.write.parquet(tmp.toString)
     else df.write.partitionBy(partCols: _*).parquet(tmp.toString)
 
@@ -216,7 +216,7 @@ object Snapshots extends Serializable {
   /** Apply version `v`'s schema (when it has one) to a raw file read:
     * renamed columns coalesce from their former names, added columns
     * null-fill in files predating them, dropped columns disappear. */
-  private def evolveFor(
+  private[io] def evolveFor(
       spark: SparkSession, uri: String, v: Int, df: DataFrame): DataFrame =
     readManifestFull(spark, uri, v).schemaId match {
       case Some(id) =>
@@ -253,7 +253,7 @@ object Snapshots extends Serializable {
     * above.  The union is the live row set of the version.  Deleted
     * position sets parse on executors (one task per DV file), never
     * through the driver. */
-  private def readFiles(
+  private[io] def readFiles(
       spark: SparkSession, uri: String, entries: Seq[ManifestEntry])
       : DataFrame = {
     val (dvd, plain) = entries.partition(_.dv.isDefined)
@@ -309,12 +309,12 @@ object Snapshots extends Serializable {
     * would be deleted out from under a racing commit).  publishTmp
     * removes it on success; a crashed commit's strand is swept by
     * VACUUM's `*_merge_tmp*` match. */
-  private def commitTmp(uri: String): Path =
+  private[io] def commitTmp(uri: String): Path =
     new Path(uri + "_merge_tmp_" +
       java.util.UUID.randomUUID().toString.take(8))
 
   private[io] def manifestDir(uri: String) = new Path(uri, "_graft_manifests")
-  private def manifestPath(uri: String, v: Int) =
+  private[io] def manifestPath(uri: String, v: Int) =
     new Path(manifestDir(uri), f"v$v%06d.manifest")
 
   // ---- table properties: one tiny `key=value`-lines file beside the
@@ -1772,9 +1772,13 @@ object Snapshots extends Serializable {
     // files survive any cutoff until the tag is deleted
     val tagged = tags(spark, uri).values.toSet
     val keptVersions = (cutoff to latest).toSet ++ tagged
+    // live BRANCHES are retention-protected too: files any branch
+    // manifest references survive until the branch is dropped
+    // (write-audit-publish staging must not be swept mid-audit)
     val keep = keptVersions.toSeq.sorted
       .filter(v => fs.exists(manifestPath(uri, v)))
-      .flatMap(v => readManifest(spark, uri, v)).toSet
+      .flatMap(v => readManifest(spark, uri, v)).toSet ++
+      Branches.referencedFiles(spark, uri)
     val removed = Seq.newBuilder[String]
     val (files, _) = CopyTo.listDataFiles(spark, uri)
     files.foreach { f =>
@@ -2101,6 +2105,6 @@ object Snapshots extends Serializable {
     else new Path(p).getName
   }
 
-  private def fsOf(spark: SparkSession, uri: String) =
+  private[io] def fsOf(spark: SparkSession, uri: String) =
     new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
 }

@@ -1,0 +1,101 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Branches + write-audit-publish ([[Branches]]): fork is metadata-only,
+  * branch writes are invisible to main, fast-forward publishes
+  * atomically and refuses divergence, expire protects staged files. */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  test("write-audit-publish: branch writes invisible until fast-forward") {
+    val dir = fresh("br_wap")
+    val base = Branches.create(spark, dir, "wap")
+    assert(base == 1)
+    assert(Branches.list(spark, dir) == Seq("wap"))
+    // branch starts as an alias of main
+    assert(Branches.read(spark, dir, "wap").count() == 100)
+    // stage two batches on the branch
+    Branches.append(spark, dir, "wap",
+      Seq((101L, "a"), (102L, "b")).toDF("k", "s"))
+    Branches.append(spark, dir, "wap", Seq((103L, "c")).toDF("k", "s"))
+    // audit sees them; main does NOT
+    assert(Branches.read(spark, dir, "wap").count() == 103)
+    assert(Snapshots.read(spark, dir).count() == 100)
+    assert(Snapshots.latestVersion(spark, dir) == 1)
+    // publish: one atomic main commit with the branch head's file set
+    val v = Branches.fastForward(spark, dir, "wap")
+    assert(v == 2)
+    assert(Snapshots.read(spark, dir).count() == 103)
+    assert(Snapshots.manifestKind(spark, dir, 2) == "append")
+    // the published commit feeds the change stream like any append
+    assert(Snapshots.readChanges(spark, dir, 1).count() == 3)
+    Branches.drop(spark, dir, "wap")
+    assert(Branches.list(spark, dir).isEmpty)
+  }
+
+  test("fast-forward refuses when main advanced past the fork") {
+    val dir = fresh("br_diverge")
+    Branches.create(spark, dir, "exp")
+    Branches.append(spark, dir, "exp", Seq((200L, "x")).toDF("k", "s"))
+    // main moves on concurrently
+    Snapshots.appendCommit(spark, dir, Seq((300L, "y")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException] {
+      Branches.fastForward(spark, dir, "exp")
+    }
+    assert(e.getMessage.contains("recreate the branch"))
+    // nothing published; main keeps its own line
+    assert(Snapshots.read(spark, dir).count() == 101)
+    assert(Snapshots.read(spark, dir)
+      .filter(col("k") === 200L).isEmpty)
+  }
+
+  test("expire protects branch-referenced files until drop") {
+    val dir = fresh("br_expire")
+    Branches.create(spark, dir, "stage")
+    Branches.append(spark, dir, "stage", Seq((500L, "s")).toDF("k", "s"))
+    // main churns: an overwrite supersedes everything, then expire
+    Snapshots.overwriteCommit(spark, dir,
+      Seq((1L, "new")).toDF("k", "s"))
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    // the branch still reads — base files AND its staged append survive
+    assert(Branches.read(spark, dir, "stage").count() == 101)
+    // after drop, a second expire reclaims the branch's orphans
+    Branches.drop(spark, dir, "stage")
+    val removed = Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(removed.nonEmpty)
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
+
+  test("branch bookkeeping errors are loud") {
+    val dir = fresh("br_err")
+    Branches.create(spark, dir, "a")
+    intercept[IllegalArgumentException] {
+      Branches.create(spark, dir, "a") // duplicate
+    }
+    intercept[IllegalArgumentException] {
+      Branches.read(spark, dir, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Branches.create(spark, dir, "bad name!")
+    }
+    intercept[IllegalArgumentException] {
+      Branches.drop(spark, dir, "nope")
+    }
+  }
+}
