@@ -923,6 +923,75 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // the V2 catalog surface (round 9): a snapshot table as a
+    // first-class SQL relation — `SELECT ... FROM graft.`<uri>``
+    // resolves through graft.io.catalog.GraftCatalog, prunes files at
+    // plan time from manifest stats, and reports manifest-accurate
+    // statistics to the optimizer
+    "io_catalog_sql" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catsql_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_totalprice FROM graft.`$uri` " +
+        "WHERE o_custkey % 11 = 4 ORDER BY o_orderkey")
+    }),
+
+    // STORAGE-PARTITIONED JOIN (round 9, SPARK-37166): two snapshot
+    // tables laid out by the same bucket(8, orderkey) transform join
+    // through the catalog with ZERO shuffle on either side — Spark
+    // matches the reported KeyGroupedPartitioning via the catalog's
+    // bucket function and aligns buckets file-to-file.  CatalogV2Spec
+    // pins the exchange-free plan; this query pins the values
+    "io_spj_join" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_spj_" +
+        new java.io.File(dir).getName
+      val (lUri, rUri) = (s"${base}_o", s"${base}_l")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      Seq(lUri, rUri).foreach(u =>
+        fs.delete(new org.apache.hadoop.fs.Path(u), true))
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      io.Snapshots.initTransformed(s, lUri, o,
+        Seq(io.PartitionTransforms.bucket(o, 8, "o_orderkey")))
+      io.Snapshots.initTransformed(s, rUri, l,
+        Seq(io.PartitionTransforms.bucket(l, 8, "l_orderkey")))
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"SELECT a.o_orderkey, a.o_orderpriority, b.l_linenumber, " +
+        s"b.l_quantity FROM graft.`$lUri` a JOIN graft.`$rUri` b " +
+        "ON a.o_orderkey = b.l_orderkey WHERE a.o_orderkey % 50 = 0 " +
+        "ORDER BY o_orderkey, l_linenumber, l_quantity")
+    }),
+
+    // SQL time travel through the catalog: VERSION AS OF pins a
+    // manifest version — one parser clause, zero data movement
+    "io_catalog_time_travel" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_cattt_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.appendCommit(s, uri,
+        o.filter(col("o_orderkey") % 3 === 1))
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+        s"FROM graft.`$uri` VERSION AS OF 1 ORDER BY o_orderkey")
+    }),
+
     // row-level change feed over COPY-ON-WRITE DML: with change-data
     // capture on, an update commit records delete-pre + insert-post
     // images and a delete commit its removed rows — the feed reads the
@@ -3449,6 +3518,20 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_custkey % 7 <> 3 AND o_orderkey <= 9000 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice"),
+
+    "io_catalog_sql" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_custkey % 11 = 4 ORDER BY o_orderkey"),
+
+    "io_spj_join" ->
+      ("SELECT a.o_orderkey, a.o_orderpriority, b.l_linenumber, " +
+        "b.l_quantity FROM orders a JOIN lineitem b " +
+        "ON a.o_orderkey = b.l_orderkey WHERE a.o_orderkey % 50 = 0 " +
+        "ORDER BY o_orderkey, l_linenumber, l_quantity"),
+
+    "io_catalog_time_travel" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"),
 
     // main after publish = the even-key base plus the audited
     // odd-key urgent batch

@@ -1,0 +1,231 @@
+package graft.io.catalog
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.Snapshots
+
+/**
+ * Spark catalog plugin exposing graft SNAPSHOT TABLES through
+ * DataSource V2 — the piece that turns the snapshot layer from a
+ * programmatic API into a first-class SQL surface:
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft",
+ *     "graft.io.catalog.GraftCatalog")
+ *   spark.sql("SELECT * FROM graft.`/data/orders` WHERE ...")
+ *   spark.sql("SELECT * FROM graft.`/data/orders` VERSION AS OF 3")
+ *   spark.sql("SELECT * FROM graft.`/data/orders` TIMESTAMP AS OF '...'")
+ * }}}
+ *
+ * Identifiers: a name containing `/` is a direct table URI (the
+ * backquoted form above — how Delta spells `delta.`/path``); otherwise
+ * the `warehouse` catalog option roots `graft.ns.tbl` at
+ * `<warehouse>/ns/tbl`.
+ *
+ * The catalog is also a [[FunctionCatalog]] carrying the `bucket`
+ * function, which is what lets Spark match the table's reported
+ * `bucket(n, col)` partitioning ([[SnapshotV2Table.partitioning]])
+ * across two scans and plan a STORAGE-PARTITIONED JOIN (SPARK-37166 —
+ * the V2 successor to bucketed-table joins): two snapshot tables laid
+ * out by the same bucket transform join with ZERO shuffle on either
+ * side under `spark.sql.sources.v2.bucketing.enabled=true`.  At 100 TB
+ * that is the difference between a fact-fact join shuffling both
+ * inputs over the wire and one that reads co-located buckets directly.
+ *
+ * Time travel maps straight onto manifest versions: `VERSION AS OF n`
+ * pins manifest vn (a TAG name is accepted too), `TIMESTAMP AS OF t`
+ * resolves the latest manifest whose recorded commit wall-clock is
+ * <= t — the same rules as [[Snapshots.readAsOf]].
+ *
+ * DDL (create/drop/alter) is intentionally NOT routed through this
+ * catalog — graft's own SQL statements and the [[Snapshots]] API are
+ * the write surface; the catalog is a read head over manifests.
+ */
+final class GraftCatalog extends TableCatalog with FunctionCatalog
+    with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def uriOf(ident: Identifier): String =
+    if (ident.name.contains("/")) ident.name
+    else warehouse match {
+      case Some(w) =>
+        (w.stripSuffix("/") +: (ident.namespace.toSeq :+ ident.name))
+          .mkString("/")
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  private def tableAt(ident: Identifier, version: Int): SnapshotV2Table = {
+    val uri = uriOf(ident)
+    val ok =
+      try { Snapshots.latestVersion(spark, uri); true }
+      catch { case _: Exception => false }
+    if (!ok) throw new NoSuchTableException(ident)
+    new SnapshotV2Table(spark, uri, ident.toString, version)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
+
+  /** `VERSION AS OF v` — a manifest version number or a tag name. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    version.toIntOption match {
+      case Some(v) => tableAt(ident, v)
+      case None =>
+        val uri = uriOf(ident)
+        val tagged = Snapshots.tags(spark, uri).getOrElse(version,
+          throw new NoSuchTableException(
+            Seq(s"$ident (no version or tag '$version')")))
+        tableAt(ident, tagged)
+    }
+
+  /** `TIMESTAMP AS OF t` (micros) — latest version committed <= t,
+    * [[Snapshots.readAsOf]] rules (versions predating commit-time
+    * recording stay eligible). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val uri = uriOf(ident)
+    val tsMillis = timestamp / 1000L
+    val latest = Snapshots.latestVersion(spark, uri)
+    val v = (latest to 1 by -1).find { i =>
+      Snapshots.readManifestFull(spark, uri, i).ts.forall(_ <= tsMillis)
+    }.getOrElse(throw new NoSuchTableException(
+      Seq(s"$ident (every version is newer than timestamp $timestamp)")))
+    tableAt(ident, v)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          (w.stripSuffix("/") +: namespace.toSeq).mkString("/"))
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+          namespace)
+        fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(
+            p, "_graft_manifests")))
+          .map(p => Identifier.of(namespace, p.getName))
+    }
+
+  override def createTable(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read surface — create tables with " +
+        "Snapshots.init/initTransformed or COPY TO + SNAPSHOT INIT")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read surface — alter through SchemaEvolution")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read surface — drop tables on the filesystem")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read surface — rename tables on the filesystem")
+
+  // ------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  // ------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    new util.HashMap[String, String]()
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("read-only catalog")
+}
+
+/**
+ * The catalog's `bucket(n, col)` function — the SEMANTIC DEFINITION of
+ * the layout [[graft.io.PartitionTransforms.Bucket]] writes
+ * (`floorMod(xxhash64(col, seed 42), n)`), published so Spark's join
+ * planner can both MATCH two bucketed scans (via
+ * [[BoundFunction.canonicalName]] equality) and EVALUATE the transform
+ * when it needs to (partially-clustered distributions).  The canonical
+ * name embeds the input type: an int-bucketed and a long-bucketed
+ * column hash different byte widths, so their buckets must never be
+ * treated as co-partitioned.
+ */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod(xxhash64(col, 42), n) — graft layout hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col), got $inputType")
+    val valueType = inputType.fields(1).dataType
+    valueType match {
+      case IntegerType | LongType | StringType => BoundBucket(valueType)
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported column type $other")
+    }
+  }
+
+  final case class BoundBucket(valueType: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, valueType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${valueType.catalogString})"
+    override def isResultNullable: Boolean = false
+
+    override def produceResult(input: InternalRow): Integer = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val n = input.getInt(0)
+      val h = valueType match {
+        case IntegerType => XXH64.hashInt(input.getInt(1), 42L)
+        case LongType => XXH64.hashLong(input.getLong(1), 42L)
+        case StringType =>
+          val s = input.getUTF8String(1)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)
+        case other => throw new IllegalStateException(other.toString)
+      }
+      java.lang.Math.floorMod(h, n.toLong).toInt
+    }
+  }
+}

@@ -1,0 +1,712 @@
+package graft.io.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.{DeletionVectors, PartitionTransforms, SchemaEvolution, Snapshots, SnapshotStats}
+
+/**
+ * A snapshot table as a DataSource V2 [[Table]] — the read head behind
+ * [[GraftCatalog]].  What the V2 surface adds over the V1 route
+ * ([[Snapshots.readIndexed]]'s FileIndex):
+ *
+ *  - '''Reported partitioning''': a `bucket(n, col)` transform table
+ *    reports [[KeyGroupedPartitioning]] over the catalog's `bucket`
+ *    function (plus `identity` for hive dirs), so joins between
+ *    co-bucketed tables plan as STORAGE-PARTITIONED JOINS — no shuffle
+ *    on either side.  The 100 TB story: a fact-fact join reads matching
+ *    buckets file-by-file instead of exchanging both inputs.
+ *  - '''Reported statistics''': size and live row count come straight
+ *    from the manifest (post-pruning), so broadcast decisions see the
+ *    FILTERED size, not the directory size.
+ *  - '''SQL-native time travel''' via the catalog's `VERSION AS OF` /
+ *    `TIMESTAMP AS OF` hooks.
+ *
+ * Like the V1 route, every scan prunes files at PLANNING time against
+ * manifest stats (min/max, nulls, Blooms, partition values, transform
+ * vetoes) — the same [[SnapshotStats.mayMatch]] test, driven here by
+ * the V2 pushdown's `sources.Filter`s.  Deletion vectors apply
+ * INSIDE the reader (per-file position skip over an unfiltered stream,
+ * so parquet row-group pruning can never desynchronize positions), and
+ * schema evolution resolves per-file by positional coalesce over the
+ * rename variants — both states keep full planning-time pruning.
+ *
+ * Reference: the reference engine exposes parquet through the host's
+ * relational surface (`/root/reference/README.md`); this class is the
+ * Spark-native equivalent of "the table IS a first-class relation",
+ * with the snapshot layer underneath.
+ */
+final class SnapshotV2Table(
+    spark: SparkSession, uri: String, ident: String, version: Int)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private[catalog] lazy val v: Int =
+    if (version <= 0) Snapshots.latestVersion(spark, uri) else version
+  private[catalog] lazy val manifest = Snapshots.readManifestFull(spark, uri, v)
+  private[catalog] lazy val entries = manifest.entries
+  private[catalog] lazy val transforms = Snapshots.transformsOf(spark, uri)
+  private[catalog] lazy val schemaDef: Option[SchemaEvolution.SchemaDef] =
+    manifest.schemaId.map(id => SchemaEvolution.readDef(spark, uri, id))
+
+  private lazy val partitioned = entries.exists(_.name.contains("/"))
+  private lazy val hiddenDirs = transforms.map(_.dirCol).toSet
+
+  /** (full partition schema, dir → typed values) via Spark's parser —
+    * includes the hidden `pb_`/`pt_` transform dirs. */
+  private[catalog] lazy val (partSchema, partValues)
+      : (StructType, Map[String, InternalRow]) =
+    if (!partitioned) (StructType(Nil), Map.empty)
+    else {
+      val dirs = entries.map(e => dirOf(e.name)).distinct
+      val (schema, byPath) =
+        org.apache.spark.sql.execution.datasources.graft.PartitionShim
+          .parsePartitions(spark, dirs.map(d => new Path(uri, d)),
+            new Path(uri))
+      val base = new Path(uri).toUri.getPath.stripSuffix("/")
+      (schema, byPath.map { case (p, row) =>
+        p.toUri.getPath.stripPrefix(base).stripPrefix("/") -> row
+      })
+    }
+
+  /** Identity (user-visible) partition fields — hive dirs minus the
+    * hidden transform dirs. */
+  private[catalog] lazy val identityFields: Seq[StructField] =
+    partSchema.fields.toSeq.filterNot(f => hiddenDirs.contains(f.name))
+
+  /** Current-name data fields (no rename variants, no partition cols). */
+  private[catalog] lazy val dataFields: Seq[StructField] = {
+    val partCols = partSchema.fieldNames.toSet
+    schemaDef match {
+      case Some(d) =>
+        d.schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+      case None =>
+        require(entries.nonEmpty,
+          s"$uri v$v is an empty snapshot — the V2 catalog route needs " +
+            "at least one data file to carry the schema; read it with " +
+            "Snapshots.read")
+        spark.read.parquet(s"$uri/${entries.head.name}").schema.fields.toSeq
+          .filterNot(f => partCols.contains(f.name))
+    }
+  }
+
+  /** Physical union schema across rename variants (what parquet name
+    * resolution resolves each file against; same shape as
+    * [[Snapshots.readIndexed]]'s dataSchema). */
+  private[catalog] lazy val fileDataSchema: StructType = schemaDef match {
+    case Some(d) => StructType(dataFields.flatMap { f =>
+      (f.name +: d.renames.getOrElse(f.name, Nil)).map(n =>
+        StructField(n, f.dataType, nullable = true))
+    })
+    case None => StructType(dataFields)
+  }
+
+  private def dirOf(name: String): String = name.lastIndexOf('/') match {
+    case -1 => ""
+    case i => name.substring(0, i)
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    StructType(dataFields ++ identityFields)
+
+  override def partitioning(): Array[Transform] =
+    (transforms.collect { case b: PartitionTransforms.Bucket =>
+      Expressions.bucket(b.n, b.baseCol)
+    } ++ identityFields.map(f => Expressions.identity(f.name))).toArray
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(spark, uri, this)
+
+  /** `INSERT INTO` = [[Snapshots.appendCommit]] (one MVCC version;
+    * transform layouts re-derive their hidden dirs), `INSERT
+    * OVERWRITE` = [[Snapshots.overwriteCommit]], and a filtered
+    * overwrite = [[Snapshots.replaceWhereCommit]] — every form is one
+    * ATOMIC manifest commit under the optimistic-retry loop, so
+    * concurrent SQL writers serialize instead of clobbering. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version <= 0,
+      s"$ident: cannot write to a pinned version/tag — write to the " +
+        "table head")
+    new WriteBuilder with SupportsOverwrite {
+      // None = append; Some(None) = full overwrite; Some(Some(p)) =
+      // replaceWhere with predicate p
+      private var overwriteSql: Option[Option[String]] = None
+
+      override def truncate(): WriteBuilder = { overwriteSql = Some(None); this }
+
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        overwriteSql =
+          if (filters.isEmpty) Some(None)
+          else Some(Some(filters.map(FilterSql.render).mkString(" AND ")))
+        this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            val s = SparkSession.active
+            Snapshots.retryCommit() {
+              overwriteSql match {
+                case Some(Some(p)) => Snapshots.replaceWhereCommit(s, uri, p, data)
+                case Some(None) => Snapshots.overwriteCommit(s, uri, data)
+                case None if overwrite => Snapshots.overwriteCommit(s, uri, data)
+                case None => Snapshots.appendCommit(s, uri, data)
+              }
+            }
+            ()
+          }
+      }
+    }
+  }
+}
+
+/** Render a pushed overwrite filter back to predicate SQL for
+  * [[Snapshots.replaceWhereCommit]] — refuses anything it cannot
+  * express exactly (a lossy rendering would widen the deleted region). */
+private object FilterSql {
+  private def lit(v: Any): String = v match {
+    case null => throw new UnsupportedOperationException(
+      "INSERT OVERWRITE filter: null literal")
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      "'" + s.toString.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case n @ (_: Double | _: Float) => n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case other => throw new UnsupportedOperationException(
+      s"INSERT OVERWRITE filter: cannot render literal $other " +
+        s"(${other.getClass.getName}) — use the graft SQL " +
+        "INSERT OVERWRITE statement for this predicate")
+  }
+
+  private def col(c: String): String =
+    if (c.contains(".")) throw new UnsupportedOperationException(
+      s"INSERT OVERWRITE filter: nested column $c")
+    else "`" + c.replace("`", "``") + "`"
+
+  def render(f: sources.Filter): String = f match {
+    case sources.EqualTo(c, v) => s"${col(c)} = ${lit(v)}"
+    case sources.GreaterThan(c, v) => s"${col(c)} > ${lit(v)}"
+    case sources.GreaterThanOrEqual(c, v) => s"${col(c)} >= ${lit(v)}"
+    case sources.LessThan(c, v) => s"${col(c)} < ${lit(v)}"
+    case sources.LessThanOrEqual(c, v) => s"${col(c)} <= ${lit(v)}"
+    case sources.In(c, vs) =>
+      s"${col(c)} IN (${vs.map(lit).mkString(", ")})"
+    case sources.IsNull(c) => s"${col(c)} IS NULL"
+    case sources.IsNotNull(c) => s"${col(c)} IS NOT NULL"
+    case sources.And(l, r) => s"(${render(l)} AND ${render(r)})"
+    case sources.Or(l, r) => s"(${render(l)} OR ${render(r)})"
+    case sources.Not(x) => s"(NOT ${render(x)})"
+    case sources.AlwaysTrue() => "true"
+    case other => throw new UnsupportedOperationException(
+      s"INSERT OVERWRITE filter: cannot render $other")
+  }
+}
+
+final class SnapshotScanBuilder(
+    spark: SparkSession, uri: String, table: SnapshotV2Table)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  /** Record every translatable filter for manifest/row-group pruning;
+    * hand ALL of them back as residual — pruning is advisory, the full
+    * predicate always re-runs above the scan. */
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SnapshotScan(spark, uri, table, pushed, required)
+}
+
+final class SnapshotScan(
+    spark: SparkSession, uri: String, table: SnapshotV2Table,
+    pushed: Array[sources.Filter], required: StructType)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsReportPartitioning {
+
+  private val partCols = table.partSchema.fieldNames.toSet
+  private val reqData: Seq[StructField] =
+    required.fields.toSeq.filterNot(f => partCols.contains(f.name))
+  private val reqPart: Seq[StructField] =
+    table.identityFields.filter(f => required.fieldNames.contains(f.name))
+
+  override def readSchema(): StructType = StructType(reqData ++ reqPart)
+
+  override def toBatch: Batch = this
+
+  // ------------------------------------------------ manifest pruning
+
+  private lazy val renameGroups: Seq[Set[String]] =
+    table.schemaDef.map(_.renames.toSeq.map { case (cur, olds) =>
+      (cur +: olds).toSet
+    }).getOrElse(Nil)
+
+  private lazy val pred: SnapshotStats.Pred =
+    SourceFilterPred.pred(pushed, renameGroups)
+
+  private lazy val kept: Seq[Snapshots.ManifestEntry] =
+    table.entries.filter { e =>
+      val dirVals =
+        if (table.transforms.isEmpty) Map.empty[String, String]
+        else PartitionTransforms.dirValues(e.name)
+      SnapshotStats.mayMatch(e.stats, pred,
+        SnapshotStats.partitionBounds(e.name) ++
+          PartitionTransforms.extraBounds(table.transforms, dirVals),
+        SnapshotStats.partitionNulls(e.name),
+        PartitionTransforms.eqVeto(table.transforms, dirVals))
+    }
+
+  /** File lengths: one listing RPC per referenced directory. */
+  private lazy val statuses: Map[String, FileStatus] = {
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    kept.map(_.name).groupBy(dirOf).flatMap { case (dir, names) =>
+      val dirPath = if (dir.isEmpty) new Path(uri) else new Path(uri, dir)
+      val prefix = if (dir.isEmpty) "" else dir + "/"
+      val wanted = names.toSet
+      fs.listStatus(dirPath)
+        .filter(st => wanted.contains(prefix + st.getPath.getName))
+        .map(st => (prefix + st.getPath.getName) -> st)
+    }
+  }
+
+  private def dirOf(name: String): String = name.lastIndexOf('/') match {
+    case -1 => ""
+    case i => name.substring(0, i)
+  }
+
+  // -------------------------------------------------- partition keys
+
+  private lazy val bucketTs: Seq[PartitionTransforms.Bucket] =
+    table.transforms.collect { case b: PartitionTransforms.Bucket => b }
+
+  private lazy val keyed: Boolean =
+    bucketTs.nonEmpty || table.identityFields.nonEmpty
+
+  /** Key values of one entry: bucket ids (int) then identity values,
+    * in [[keyExpressions]] order. */
+  private def keyOf(e: Snapshots.ManifestEntry): Seq[Any] = {
+    val dirVals = PartitionTransforms.dirValues(e.name)
+    val row = table.partValues(dirOf(e.name))
+    val idOrds = table.identityFields.map(f =>
+      table.partSchema.fieldIndex(f.name))
+    bucketTs.map(b => dirVals(b.dirCol).toInt: Any) ++
+      idOrds.map(i => row.get(i, table.partSchema.fields(i).dataType))
+  }
+
+  private def keyExpressions
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    (bucketTs.map(b =>
+      Expressions.bucket(b.n, b.baseCol)
+        : org.apache.spark.sql.connector.expressions.Expression) ++
+      table.identityFields.map(f =>
+        Expressions.identity(f.name)
+          : org.apache.spark.sql.connector.expressions.Expression)).toArray
+
+  // ---------------------------------------------------- split planning
+
+  private lazy val planned: Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = kept.map(e =>
+      statuses(e.name).getLen + openCost).sum
+    val bytesPerCore = totalBytes /
+      math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+
+    def partRowOf(e: Snapshots.ManifestEntry): InternalRow =
+      if (reqPart.isEmpty) InternalRow.empty
+      else {
+        val full = table.partValues(dirOf(e.name))
+        new GenericInternalRow(reqPart.map(f => {
+          val i = table.partSchema.fieldIndex(f.name)
+          full.get(i, table.partSchema.fields(i).dataType)
+        }).toArray)
+      }
+
+    def splitsOf(e: Snapshots.ManifestEntry): Seq[PartitionedFile] = {
+      val st = statuses(e.name)
+      val sp = SparkPath.fromPath(st.getPath)
+      val row = partRowOf(e)
+      if (e.dv.isDefined || st.getLen <= maxSplit)
+        Seq(PartitionedFile(row, sp, 0, st.getLen,
+          Array.empty[String], st.getModificationTime, st.getLen))
+      else (0L until st.getLen by maxSplit).map(off =>
+        PartitionedFile(row, sp, off,
+          math.min(maxSplit, st.getLen - off),
+          Array.empty[String], st.getModificationTime, st.getLen))
+    }
+
+    if (keyed) {
+      // one partition per file-split, each carrying its bucket/identity
+      // key; Spark groups same-key partitions when planning an SPJ
+      kept.flatMap { e =>
+        val key = new GenericInternalRow(keyOf(e).toArray)
+        splitsOf(e).map(pf => KeyedGraftPartition(
+          Array(pf), Array(e.dv.map(_.path).orNull), key))
+      }.toArray
+    } else {
+      val (dvd, clean) = kept.partition(_.dv.isDefined)
+      val cleanSplits = clean.flatMap(splitsOf)
+      val packed = FilePartition.getFilePartitions(
+        spark, cleanSplits, maxSplit)
+      (packed.map(fp => GraftPartition(
+        fp.files, fp.files.map(_ => null: String))) ++
+        dvd.map(e => GraftPartition(
+          splitsOf(e).toArray, Array(e.dv.map(_.path).orNull)))).toArray
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  override def outputPartitioning(): Partitioning =
+    if (keyed) {
+      val distinct = kept.map(keyOf).distinct.size
+      new KeyGroupedPartitioning(keyExpressions, distinct)
+    } else new UnknownPartitioning(planned.length)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(kept.map(e => statuses(e.name).getLen).sum)
+    override def numRows(): util.OptionalLong = {
+      val rows = kept.map(_.liveRows)
+      if (rows.forall(_.isDefined))
+        util.OptionalLong.of(rows.flatten.sum)
+      else util.OptionalLong.empty()
+    }
+  }
+
+  // --------------------------------------------------- reader factory
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sqlConf = spark.sessionState.conf
+    // expand required current-name fields to their rename variants —
+    // parquet name resolution then null-fills whichever variants a
+    // given file lacks, and the projection coalesces them back
+    val expanded: Seq[(StructField, Seq[String])] = reqData.map { f =>
+      val variants = table.schemaDef match {
+        case Some(d) => f.name +: d.renames.getOrElse(f.name, Nil)
+        case None => Seq(f.name)
+      }
+      (f, variants)
+    }
+    val innerData = StructType(expanded.flatMap { case (f, vs) =>
+      vs.map(n => StructField(n, f.dataType, nullable = true))
+    })
+    val partStruct = StructType(reqPart)
+    val needsCoalesce = expanded.exists(_._2.length > 1)
+    val projection: Option[VariantProjection] =
+      if (!needsCoalesce) None
+      else {
+        val innerOrd = innerData.fieldNames.zipWithIndex.toMap
+        val nInner = innerData.length
+        Some(VariantProjection(
+          expanded.map { case (f, vs) =>
+            vs.map(innerOrd).toArray
+          }.toArray ++ reqPart.zipWithIndex.map { case (_, i) =>
+            Array(nInner + i)
+          },
+          (reqData ++ reqPart).map(_.dataType).toArray))
+      }
+    // the V2 parquet reader resolves its ReadSupport and requested
+    // schema from the task-side hadoop conf — mirror the keys Spark's
+    // own ParquetScan stamps before broadcasting
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val schemaJson = innerData.json
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+        .SPARK_ROW_REQUESTED_SCHEMA, schemaJson)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+        .SPARK_ROW_SCHEMA, schemaJson)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(innerData, hadoopConf)
+    import org.apache.spark.sql.internal.SQLConf
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    val broadcastConf: Broadcast[SerializableConfiguration] =
+      spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val popts = new ParquetOptions(
+      Map.empty[String, String], sqlConf)
+    val filtered = ParquetPartitionReaderFactory(
+      sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
+      pushed, None, popts)
+    val unfiltered = ParquetPartitionReaderFactory(
+      sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
+      Array.empty, None, popts)
+    new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
+      projection)
+  }
+}
+
+/** Positional coalesce map: out column i takes the first non-null of
+  * `variantOrdinals(i)` in the inner row. */
+final case class VariantProjection(
+    variantOrdinals: Array[Array[Int]], outTypes: Array[DataType])
+
+/** One planned read unit: parquet file splits + per-split DV sidecar
+  * (table-relative path; null = none). */
+final case class GraftPartition(
+    files: Array[PartitionedFile], dvRels: Array[String])
+    extends InputPartition
+
+/** Same, with the bucket/identity partition key for key-grouped
+  * (storage-partitioned-join) planning. */
+final case class KeyedGraftPartition(
+    files: Array[PartitionedFile], dvRels: Array[String],
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/**
+ * Per-file delegating reader factory: clean files stream through
+ * Spark's stock V2 parquet reader WITH pushed filters (row-group and
+ * page pruning intact); DV'd files stream UNFILTERED so the running
+ * row position stays aligned with the deletion vector, which is
+ * applied as a per-position skip right here in the reader (the
+ * predicate still runs above the scan — V2 filters are residual).
+ * Rename-variant files resolve positionally through
+ * [[VariantProjection]] — InternalRow is positional, so a file carrying
+ * a FORMER column name yields the same row shape as a current-name
+ * file, and the coalesce picks whichever variant the file populated.
+ */
+final class SnapshotReaderFactory(
+    uri: String,
+    filtered: ParquetPartitionReaderFactory,
+    unfiltered: ParquetPartitionReaderFactory,
+    conf: Broadcast[SerializableConfiguration],
+    projection: Option[VariantProjection])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val (files, dvRels) = partition match {
+      case g: GraftPartition => (g.files, g.dvRels)
+      case k: KeyedGraftPartition => (k.files, k.dvRels)
+      case other => throw new IllegalStateException(
+        s"unexpected partition $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var cur: PartitionReader[InternalRow] = _
+      private var row: InternalRow = _
+
+      private def openNext(): Boolean = {
+        i += 1
+        if (i >= files.length) return false
+        val dv = dvRels(i)
+        cur =
+          if (dv == null) filtered.buildReader(files(i))
+          else {
+            val deleted = DeletionVectors.readAll(conf.value.value, uri, dv)
+            java.util.Arrays.sort(deleted)
+            new DvSkipReader(unfiltered.buildReader(files(i)), deleted)
+          }
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null && !openNext()) return false
+          if (cur.next()) {
+            row = projection match {
+              case None => cur.get()
+              case Some(p) => project(cur.get(), p)
+            }
+            return true
+          }
+          cur.close(); cur = null
+        }
+        false
+      }
+
+      private def project(
+          in: InternalRow, p: VariantProjection): InternalRow = {
+        val out = new Array[Any](p.variantOrdinals.length)
+        var j = 0
+        while (j < out.length) {
+          val cands = p.variantOrdinals(j)
+          var k = 0
+          var v: Any = null
+          while (v == null && k < cands.length) {
+            if (!in.isNullAt(cands(k)))
+              v = in.get(cands(k), p.outTypes(j))
+            k += 1
+          }
+          out(j) = v
+          j += 1
+        }
+        new GenericInternalRow(out)
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+}
+
+/** Skip rows whose file-local ordinal is in the (sorted) deletion
+  * vector.  The wrapped reader MUST be unfiltered: row positions are a
+  * running count of emitted rows. */
+private final class DvSkipReader(
+    inner: PartitionReader[InternalRow], deleted: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      if (java.util.Arrays.binarySearch(deleted, pos) < 0) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/**
+ * `sources.Filter` → [[SnapshotStats.Pred]] — the V2 twin of
+ * [[SnapshotStats.fromResolved]] (which consumes resolved Catalyst
+ * trees).  Leaves on RENAMED columns expand to the AND of the same
+ * test over every name variant: a file stores exactly one variant, the
+ * tests on absent variants may-match, so the AND reduces to the test
+ * on the file's own name (OR would always may-match and kill pruning).
+ * Anything untranslatable degrades its own branch to may-match.
+ */
+private[catalog] object SourceFilterPred {
+  import SnapshotStats._
+
+  private def cvalue(v: Any): Option[CValue] = v match {
+    case null => None
+    case n @ (_: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte | _: java.lang.Double |
+        _: java.lang.Float) =>
+      Some(NumV(new java.math.BigDecimal(n.toString)))
+    case d: java.math.BigDecimal => Some(NumV(d))
+    case d: scala.math.BigDecimal => Some(NumV(d.bigDecimal))
+    case d: org.apache.spark.sql.types.Decimal =>
+      Some(NumV(d.toJavaBigDecimal))
+    case s: String => Some(StrV(s.getBytes(UTF_8)))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(StrV(s.getBytes))
+    // date/timestamp literals arrive as external Java values; the
+    // manifest's numeric domain is days / micros, same as Catalyst's
+    case d: java.sql.Date =>
+      Some(NumV(java.math.BigDecimal.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+          .toLong)))
+    case d: java.time.LocalDate =>
+      Some(NumV(java.math.BigDecimal.valueOf(d.toEpochDay)))
+    case t: java.sql.Timestamp =>
+      Some(NumV(java.math.BigDecimal.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))))
+    case t: java.time.Instant =>
+      Some(NumV(java.math.BigDecimal.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))))
+    case _ => None
+  }
+
+  private def leaf(col: String, op: String, vs: Seq[CValue],
+      groups: Seq[Set[String]]): Pred = {
+    if (col.contains(".")) return UnknownP // nested fields: conservative
+    val names = groups.find(_.contains(col))
+      .map(_.toSeq).getOrElse(Seq(col))
+    names.map(n => LeafP(Conjunct(n, op, vs)): Pred)
+      .reduce(AndP(_, _))
+  }
+
+  private def one(f: sources.Filter, groups: Seq[Set[String]]): Pred =
+    f match {
+      case sources.And(l, r) => AndP(one(l, groups), one(r, groups))
+      case sources.Or(l, r) => OrP(one(l, groups), one(r, groups))
+      case sources.EqualTo(c, v) =>
+        cvalue(v).map(cv => leaf(c, "=", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.EqualNullSafe(c, v) if v != null =>
+        cvalue(v).map(cv => leaf(c, "=", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.GreaterThan(c, v) =>
+        cvalue(v).map(cv => leaf(c, ">", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.GreaterThanOrEqual(c, v) =>
+        cvalue(v).map(cv => leaf(c, ">=", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.LessThan(c, v) =>
+        cvalue(v).map(cv => leaf(c, "<", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.LessThanOrEqual(c, v) =>
+        cvalue(v).map(cv => leaf(c, "<=", Seq(cv), groups))
+          .getOrElse(UnknownP)
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val cvs = vs.toSeq.map(cvalue)
+        if (cvs.forall(_.isDefined))
+          leaf(c, "in", cvs.map(_.get), groups)
+        else UnknownP
+      case sources.IsNull(c) => leaf(c, "isnull", Nil, groups)
+      case sources.IsNotNull(c) => leaf(c, "notnull", Nil, groups)
+      case _ => UnknownP
+    }
+
+  def pred(filters: Array[sources.Filter],
+      groups: Seq[Set[String]]): Pred =
+    filters.map(one(_, groups)).reduceOption(AndP(_, _))
+      .getOrElse(UnknownP)
+}

@@ -1,0 +1,253 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * The V2 catalog surface ([[graft.io.catalog.GraftCatalog]]): SQL
+ * reads of snapshot tables, planning-time manifest pruning through V2
+ * pushdown, deletion vectors and rename evolution inside the reader,
+ * SQL time travel, and — the scale headline — STORAGE-PARTITIONED
+ * JOINS between co-bucketed snapshot tables with zero shuffle.
+ */
+class CatalogV2Spec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+
+  private def freshTable(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    val cols = a.columns.sorted.toSeq
+    val l = a.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    val r = b.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(l.toSeq == r.toSeq)
+  }
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scans(plan: SparkPlan): Seq[BatchScanExec] =
+    plan.collect { case b: BatchScanExec => b }
+
+  private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect { case s: ShuffleExchangeExec => s }
+
+  test("catalog read equals Snapshots.read on a flat table") {
+    val dir = freshTable("catv2_flat")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val viaCatalog = spark.sql(s"SELECT * FROM graft.`$dir`")
+    sameRows(viaCatalog, Snapshots.read(spark, dir))
+    assert(viaCatalog.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("V2 pushdown prunes files at planning time") {
+    val dir = freshTable("catv2_prune")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 97 AS v")
+      .orderBy("k").coalesce(1)
+      .write.option("maxRecordsPerFile", "1000").parquet(dir)
+    Snapshots.init(spark, dir)
+    val df = spark.sql(s"SELECT * FROM graft.`$dir` WHERE k < 500")
+    val plan = executed(df)
+    val scan = scans(plan).head
+    val nParts = scan.inputPartitions.size
+    assert(nParts == 1, s"expected 1 surviving file partition, got $nParts")
+    assert(df.count() == 500)
+  }
+
+  test("deletion vectors apply inside the V2 reader") {
+    val dir = freshTable("catv2_dv")
+    spark.range(0, 2000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+      .repartition(4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 3",
+      mergeOnRead = true)
+    val viaCatalog = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(viaCatalog.count() == 1800)
+    sameRows(viaCatalog, Snapshots.readIndexed(spark, dir))
+    // filters still prune and still agree with the DV
+    val f = spark.sql(s"SELECT * FROM graft.`$dir` WHERE k < 100")
+    assert(f.count() == 90)
+  }
+
+  test("rename evolution resolves positionally in the V2 reader") {
+    val dir = freshTable("catv2_rename")
+    spark.range(0, 500).selectExpr("id AS old_k", "id * 3 AS v")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "old_k", "k")
+    Snapshots.appendCommit(spark, dir,
+      spark.range(500, 600).selectExpr("id AS k", "id * 3 AS v"))
+    val viaCatalog = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(viaCatalog.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(viaCatalog.count() == 600)
+    sameRows(viaCatalog, Snapshots.readIndexed(spark, dir))
+    // a filter over the renamed column keeps pre-rename rows visible
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE k < 510").count()
+      == 510)
+  }
+
+  test("SQL time travel: VERSION AS OF, tag, TIMESTAMP AS OF") {
+    val dir = freshTable("catv2_tt")
+    spark.range(0, 100).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.createTag(spark, dir, "first")
+    Snapshots.appendCommit(spark, dir,
+      spark.range(100, 150).selectExpr("id AS k"))
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 150)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .count() == 100)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'first'")
+      .count() == 100)
+    val nowMicros = System.currentTimeMillis() * 1000L
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF " +
+        s"timestamp_micros(${nowMicros}L)").count() == 150)
+  }
+
+  test("hive-partitioned table: partition column in schema, dir pruning") {
+    val dir = freshTable("catv2_hive")
+    spark.range(0, 300)
+      .selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+      .write.partitionBy("p").parquet(dir)
+    Snapshots.init(spark, dir)
+    val df = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(df.schema.fieldNames.toSet == Set("k", "p"))
+    assert(df.count() == 300)
+    val pruned = spark.sql(s"SELECT k FROM graft.`$dir` WHERE p = 1")
+    val scan = scans(executed(pruned)).head
+    val paths = scan.inputPartitions.collect {
+      case k: graft.io.catalog.KeyedGraftPartition =>
+        k.files.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("p=1")),
+      s"only the p=1 dir may survive pruning: $paths")
+    assert(pruned.count() == 100)
+  }
+
+  test("co-bucketed snapshot tables join with ZERO shuffle (SPJ)") {
+    val left = freshTable("catv2_spj_l")
+    val right = freshTable("catv2_spj_r")
+    val l = spark.range(0, 2000)
+      .selectExpr("id AS k", "id * 7 AS lv")
+    val r = spark.range(0, 2000).filter("id % 2 = 0")
+      .selectExpr("id AS k", "id * 11 AS rv")
+    Snapshots.initTransformed(spark, left, l,
+      Seq(PartitionTransforms.bucket(l, 8, "k")))
+    Snapshots.initTransformed(spark, right, r,
+      Seq(PartitionTransforms.bucket(r, 8, "k")))
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"SELECT a.k, a.lv, b.rv FROM graft.`$left` a " +
+          s"JOIN graft.`$right` b ON a.k = b.k")
+      val plan = executed(joined)
+      assert(shuffles(plan).isEmpty,
+        s"expected a storage-partitioned join with no exchange:\n$plan")
+      // values: straight join of the two inputs
+      sameRows(joined, l.join(r, "k"))
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBc.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("bucket transform prunes point lookups through the catalog") {
+    val dir = freshTable("catv2_bucket_prune")
+    val df = spark.range(0, 4000).selectExpr("id AS k", "id % 13 AS v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "k")))
+    val q = spark.sql(s"SELECT * FROM graft.`$dir` WHERE k = 1234")
+    val scan = scans(executed(q)).head
+    val total = Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).size
+    assert(scan.inputPartitions.size < total,
+      s"bucket veto should prune: ${scan.inputPartitions.size} of $total")
+    assert(q.count() == 1)
+  }
+
+  test("INSERT INTO appends one MVCC version through the catalog") {
+    val dir = freshTable("catv2_insert")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id, id * 2 " +
+      "FROM range(100, 150)")
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 150)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .count() == 100)
+  }
+
+  test("INSERT INTO a bucketed table re-derives the layout") {
+    val dir = freshTable("catv2_insert_bucket")
+    val df = spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "k")))
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id, id * 2 " +
+      "FROM range(400, 500)")
+    // the appended rows landed under pb_k dirs and point lookups
+    // still prune through the transform
+    val q = spark.sql(s"SELECT * FROM graft.`$dir` WHERE k = 450")
+    assert(q.count() == 1)
+    val scan = scans(executed(q)).head
+    val total = Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).size
+    assert(scan.inputPartitions.size < total)
+  }
+
+  test("INSERT OVERWRITE replaces the table in one commit") {
+    val dir = freshTable("catv2_overwrite")
+    spark.range(0, 100).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"INSERT OVERWRITE graft.`$dir` SELECT id FROM range(7)")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 7)
+    // previous version still readable
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .count() == 100)
+  }
+
+  test("manifest statistics reach the V2 scan (filtered size)") {
+    val dir = freshTable("catv2_stats")
+    spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val tbl = new graft.io.catalog.SnapshotV2Table(
+      spark, dir, "t", -1)
+    val scan = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+}
