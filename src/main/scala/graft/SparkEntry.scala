@@ -972,6 +972,24 @@ object SparkEntry {
         "ORDER BY o_orderkey, l_linenumber, l_quantity")
     }),
 
+    // metadata-only aggregates through the catalog: the V2 scan
+    // builder answers group-less count/min/max from manifest stats as
+    // a LocalScan — zero tasks, no file opened (CatalogV2Spec pins the
+    // plan shape; this pins the values)
+    "io_catalog_agg" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catagg_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t(s, dir, "orders").repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        s"max(o_orderkey) AS max_key FROM graft.`$uri`")
+    }),
+
     // SQL time travel through the catalog: VERSION AS OF pins a
     // manifest version — one parser clause, zero data movement
     "io_catalog_time_travel" -> ((s, dir) => {
@@ -3532,6 +3550,10 @@ object SparkEntry {
     "io_catalog_time_travel" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"),
+
+    "io_catalog_agg" ->
+      ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key FROM orders"),
 
     // main after publish = the even-key base plus the audited
     // odd-key urgent batch

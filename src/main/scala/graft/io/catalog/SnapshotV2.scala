@@ -237,10 +237,11 @@ private object FilterSql {
 final class SnapshotScanBuilder(
     spark: SparkSession, uri: String, table: SnapshotV2Table)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = table.schema()
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   /** Record every translatable filter for manifest/row-group pruning;
     * hand ALL of them back as residual — pruning is advisory, the full
@@ -256,8 +257,102 @@ final class SnapshotScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(spark, uri, table, pushed, required)
+  // ------------------------- metadata-only aggregates (zero tasks)
+
+  private val exactTypes: Set[DataType] = Set(ByteType, ShortType,
+    IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
+
+  private def internal(
+      v: java.math.BigDecimal, dt: DataType): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case ByteType => v.byteValueExact()
+      case ShortType => v.shortValueExact()
+      case IntegerType | DateType => v.intValueExact()
+      case LongType | TimestampType | TimestampNTZType =>
+        v.longValueExact()
+      case other => throw new IllegalStateException(other.toString)
+    }).toOption
+
+  /** Fold one data column's exact bound across EVERY manifest entry;
+    * None when any file lacks it (dropped stats vs all-null is
+    * indistinguishable — any gap keeps the real plan). */
+  private def boundFor(colName: String, wantMin: Boolean)
+      : Option[java.math.BigDecimal] = {
+    val per = table.entries.map(_.stats.flatMap(s =>
+      SnapshotStats.parseStats(s).get(colName).collect {
+        case b: SnapshotStats.NumBound => if (wantMin) b.min else b.max
+      }))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else Some(if (wantMin) per.flatten.min else per.flatten.max)
+  }
+
+  /**
+   * The V2 twin of [[graft.plans.MetadataCountRule]]: a group-less,
+   * filter-less `count(*)` / `min` / `max` combination over the
+   * catalog table is answered as a [[LocalScan]] from the manifest —
+   * ZERO tasks, no file opened.  `count(*)` uses live row counts
+   * (footer count minus deletion-vector rows — DV-exact); min/max
+   * need a flat data column of an exact-bounds type with a bound in
+   * every file AND a DV-free table (a deleted row could be the
+   * extreme).  Anything else refuses and the real scan runs.
+   */
+  private def answerFor(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val hasDv = table.entries.exists(_.dv.isDefined)
+    def extremum(col: org.apache.spark.sql.connector.expressions
+        .Expression, wantMin: Boolean, label: String)
+        : Option[(StructField, Any)] = col match {
+      case fr: NamedReference if fr.fieldNames.length == 1 && !hasDv =>
+        val n = fr.fieldNames.head
+        for {
+          f <- table.dataFields.find(_.name == n)
+          if exactTypes.contains(f.dataType)
+          b <- boundFor(n, wantMin)
+          v <- internal(b, f.dataType)
+        } yield (StructField(s"$label($n)", f.dataType, nullable = true), v)
+      case _ => None
+    }
+    val answers = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val rows = table.entries.map(_.liveRows)
+        if (rows.forall(_.isDefined))
+          Some((StructField("count(*)", LongType, nullable = false),
+            rows.flatten.sum: Any))
+        else None
+      case m: Min => extremum(m.column, wantMin = true, "min")
+      case m: Max => extremum(m.column, wantMin = false, "max")
+      case _ => None
+    }
+    if (answers.nonEmpty && answers.forall(_.isDefined))
+      Some((StructType(answers.map(_.get._1)),
+        new GenericInternalRow(answers.map(_.get._2).toArray)))
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = answerFor(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    answerFor(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String =
+        s"GraftManifestAggregate($uri)"
+    }
+    case None => new SnapshotScan(spark, uri, table, pushed, required)
+  }
 }
 
 final class SnapshotScan(
@@ -494,8 +589,13 @@ final class SnapshotScan(
     val unfiltered = ParquetPartitionReaderFactory(
       sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
       Array.empty, None, popts)
+    // columnar must be all-or-nothing across a scan's partitions
+    // (BatchScanExec refuses a mix): hand batches through only when no
+    // kept file carries a DV and no rename projection is needed —
+    // then the scan is Spark's own vectorized parquet path end to end
+    val allClean = kept.forall(_.dv.isEmpty) && projection.isEmpty
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
-      projection)
+      projection, allClean)
   }
 }
 
@@ -535,8 +635,43 @@ final class SnapshotReaderFactory(
     filtered: ParquetPartitionReaderFactory,
     unfiltered: ParquetPartitionReaderFactory,
     conf: Broadcast[SerializableConfiguration],
-    projection: Option[VariantProjection])
+    projection: Option[VariantProjection],
+    allClean: Boolean)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allClean && filtered.supportColumnarReads(partition)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val files = partition match {
+      case g: GraftPartition => g.files
+      case k: KeyedGraftPartition => k.files
+      case other => throw new IllegalStateException(
+        s"unexpected partition $other")
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var i = -1
+      private var cur: PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            i += 1
+            if (i >= files.length) return false
+            cur = filtered.buildColumnarReader(files(i))
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        cur.get()
+      override def close(): Unit =
+        if (cur != null) { cur.close(); cur = null }
+    }
+  }
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {

@@ -48,8 +48,14 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  /** Every V2 scan, descending through AQE query stages (leaves). */
   private def scans(plan: SparkPlan): Seq[BatchScanExec] =
-    plan.collect { case b: BatchScanExec => b }
+    plan.collect {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
 
   private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
     plan.collect { case s: ShuffleExchangeExec => s }
@@ -233,6 +239,52 @@ class CatalogV2Spec extends AnyFunSuite {
     // previous version still readable
     assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
       .count() == 100)
+  }
+
+  test("clean tables scan COLUMNAR; DV'd tables fall back to rows") {
+    val dir = freshTable("catv2_columnar")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val clean = spark.sql(s"SELECT * FROM graft.`$dir`")
+    val cleanScan = scans(executed(clean)).head
+    assert(cleanScan.supportsColumnar,
+      "clean snapshot scans must use the vectorized batch path")
+    Snapshots.deleteWhereCommit(spark, dir, "k % 10 = 0",
+      mergeOnRead = true)
+    val dvd = spark.sql(s"SELECT * FROM graft.`$dir`")
+    val dvScan = scans(executed(dvd)).head
+    assert(!dvScan.supportsColumnar,
+      "DV position-skip requires the row path")
+    assert(dvd.count() == 900)
+  }
+
+  test("count/min/max answer from the manifest with ZERO tasks") {
+    val dir = freshTable("catv2_agg")
+    spark.range(0, 5000).selectExpr("id AS k", "id % 7 AS v")
+      .repartition(4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft.`$dir`")
+    val row = q.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2))
+      == ((5000L, 0L, 4999L)))
+    // the plan must be a local (manifest) scan — no BatchScanExec
+    assert(scans(executed(q)).isEmpty,
+      s"expected a LocalScan answer:\n${q.queryExecution.executedPlan}")
+    // a MoR delete keeps count(*) exact (live rows) but refuses min/max
+    Snapshots.deleteWhereCommit(spark, dir, "k < 10", mergeOnRead = true)
+    val n2 = spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+    assert(n2.collect().head.getLong(0) == 4990L)
+    assert(scans(executed(n2)).isEmpty)
+    val m2 = spark.sql(s"SELECT min(k) AS lo FROM graft.`$dir`")
+    assert(m2.collect().head.getLong(0) == 10L)
+    assert(scans(executed(m2)).nonEmpty,
+      "min over a DV'd table must run the real scan")
+    // filters keep the real plan
+    val f = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` WHERE v = 3")
+    assert(scans(executed(f)).nonEmpty)
   }
 
   test("manifest statistics reach the V2 scan (filtered size)") {
