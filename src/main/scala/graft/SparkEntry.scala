@@ -990,6 +990,27 @@ object SparkEntry {
         s"max(o_orderkey) AS max_key FROM graft.`$uri`")
     }),
 
+    // commit history as a SQL relation (`graft.`<uri>`.history` —
+    // Delta DESCRIBE HISTORY / Iceberg snapshots analogue), served as
+    // a zero-task LocalScan over the manifests
+    "io_catalog_history" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_cathist_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      io.Snapshots.appendCommit(s, uri,
+        o.filter(col("o_orderkey") % 3 === 1))
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"SELECT version, kind, row_count " +
+        s"FROM graft.`$uri`.history ORDER BY version")
+    }),
+
     // SQL time travel through the catalog: VERSION AS OF pins a
     // manifest version — one parser clause, zero data movement
     "io_catalog_time_travel" -> ((s, dir) => {
@@ -3554,6 +3575,14 @@ object SparkEntry {
     "io_catalog_agg" ->
       ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM orders"),
+
+    "io_catalog_history" ->
+      ("SELECT CAST(1 AS BIGINT) AS version, 'init' AS kind, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey % 3 = 0) AS row_count " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'append', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey % 3 IN (0, 1)) ORDER BY version"),
 
     // main after publish = the even-key base plus the audited
     // odd-key urgent batch

@@ -84,7 +84,37 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
     new SnapshotV2Table(spark, uri, ident.toString, version)
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident).getOrElse(tableAt(ident, -1))
+
+  /** `graft.`/uri``.history` / `.files` / `.tags` — the snapshot
+    * layer's metadata relations as SQL tables (Delta's DESCRIBE
+    * HISTORY / Iceberg's `snapshots`/`files` analogue).  Served only
+    * when the base identifier IS a managed table, so a real table
+    * named `history` always wins. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+    def managed(uri: String): Boolean =
+      try { Snapshots.latestVersion(spark, uri); true }
+      catch { case _: Exception => false }
+    val uri = try uriOf(base) catch { case _: Exception => return None }
+    if (!managed(uri)) return None
+    val s = spark
+    ident.name match {
+      case "history" => Some(new MetadataV2Table(
+        s"$base.history", () => Snapshots.historyDf(s, uri)))
+      case "files" => Some(new MetadataV2Table(
+        s"$base.files", () => Snapshots.filesDf(s, uri)))
+      case "tags" => Some(new MetadataV2Table(
+        s"$base.tags", { () =>
+          import s.implicits._
+          Snapshots.tags(s, uri).toSeq.sorted
+            .toDF("tag", "version")
+        }))
+      case _ => None
+    }
+  }
 
   /** `VERSION AS OF v` — a manifest version number or a tag name. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -174,6 +204,34 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("read-only catalog")
+}
+
+/** A driver-computed metadata relation (history/files/tags) as a V2
+  * table: the backing DataFrame is manifest-sized (versions, files,
+  * tags — metadata, never data), so it serves as a [[org.apache.spark
+  * .sql.connector.read.LocalScan]] — zero tasks. */
+final class MetadataV2Table(
+    ident: String, df: () => org.apache.spark.sql.DataFrame)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+  private lazy val frame = df()
+
+  override def name(): String = ident
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          frame.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = frame.schema
+        override def description(): String = s"GraftMetadata($ident)"
+      }
+    }
 }
 
 /**

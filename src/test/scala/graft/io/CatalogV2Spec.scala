@@ -287,6 +287,29 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(scans(executed(f)).nonEmpty)
   }
 
+  test("metadata tables: history, files and tags as SQL relations") {
+    val dir = freshTable("catv2_meta")
+    spark.range(0, 100).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.createTag(spark, dir, "base")
+    Snapshots.appendCommit(spark, dir,
+      spark.range(100, 120).selectExpr("id AS k"))
+    val hist = spark.sql(
+      s"SELECT version, kind, row_count FROM graft.`$dir`.history " +
+        "ORDER BY version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1L, "init", 100L), (2L, "append", 120L)))
+    val files = spark.sql(s"SELECT file FROM graft.`$dir`.files")
+    assert(files.count() >= 2)
+    val tags = spark.sql(s"SELECT tag, version FROM graft.`$dir`.tags")
+      .collect()
+    assert(tags.map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("base", 1)))
+    // zero tasks: these are LocalScans
+    assert(scans(executed(spark.sql(
+      s"SELECT * FROM graft.`$dir`.history"))).isEmpty)
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
