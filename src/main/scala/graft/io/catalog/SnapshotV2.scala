@@ -475,12 +475,21 @@ final class SnapshotScan(
     }
 
     if (keyed) {
-      // one partition per file-split, each carrying its bucket/identity
-      // key; Spark groups same-key partitions when planning an SPJ
-      kept.flatMap { e =>
-        val key = new GenericInternalRow(keyOf(e).toArray)
-        splitsOf(e).map(pf => KeyedGraftPartition(
-          Array(pf), Array(e.dv.map(_.path).orNull), key))
+      // bin-pack file-splits WITHIN each key group (a task-natural
+      // bucketed write can leave many small files per bucket — one
+      // task per file would melt the scheduler); every partition still
+      // carries its key, and Spark groups same-key partitions when
+      // planning an SPJ
+      kept.groupBy(keyOf).toSeq.sortBy(_._1.toString).flatMap {
+        case (keyVals, es) =>
+          val key = new GenericInternalRow(keyVals.toArray)
+          val (dvd, clean) = es.partition(_.dv.isDefined)
+          val packed = FilePartition.getFilePartitions(
+            spark, clean.flatMap(splitsOf), maxSplit)
+          packed.map(fp => KeyedGraftPartition(
+            fp.files, fp.files.map(_ => null: String), key)) ++
+            dvd.map(e => KeyedGraftPartition(
+              splitsOf(e).toArray, Array(e.dv.map(_.path).orNull), key))
       }.toArray
     } else {
       val (dvd, clean) = kept.partition(_.dv.isDefined)

@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{PartitionTransforms, Snapshots}
+
+/**
+ * Storage-partitioned-join scale probe: replicate orders/lineitem
+ * `factor`× with key-offset replicas, lay both out as snapshot tables
+ * bucketed on the join key, then time the SAME join three ways —
+ * catalog SPJ (zero shuffle), catalog reads with SPJ disabled
+ * (sort-merge with both sides exchanged), and plain parquet reads.
+ * The printed per-side shuffle-write bytes make the win legible: SPJ
+ * moves ZERO join-input bytes over the exchange at any scale, while
+ * the shuffled plans move the whole probe side — the gap the layout
+ * buys grows linearly with the data.
+ *
+ *   runMain graft.tools.SpjBench [factor] [buckets]
+ */
+object SpjBench {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val buckets = args.lift(1).map(_.toInt).getOrElse(32)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.io.catalog.GraftCatalog].getName)
+    // the join sides are far above any broadcast threshold at scale;
+    // forcing the issue keeps the comparison honest at sf0.1 too
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    val oUri = s"$tmp/graft_spjbench_o_x$factor"
+    val lUri = s"$tmp/graft_spjbench_l_x$factor"
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val reps = (0 until factor).map { k =>
+        keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k.toLong * 100L * 1000 * 1000)))
+      }
+      reps.reduce(_.unionAll(_))
+    }
+
+    val marker = new org.apache.hadoop.fs.Path(oUri, s"_graft_manifests")
+    if (!fs.exists(marker)) {
+      Seq(oUri, lUri).foreach(u =>
+        fs.delete(new org.apache.hadoop.fs.Path(u), true))
+      val o = replicate(
+        spark.read.parquet(s"$srcDir/orders.parquet"), Seq("o_orderkey"))
+      val l = replicate(
+        spark.read.parquet(s"$srcDir/lineitem.parquet"), Seq("l_orderkey"))
+      Snapshots.initTransformed(spark, oUri, o,
+        Seq(PartitionTransforms.bucket(o, buckets, "o_orderkey")))
+      Snapshots.initTransformed(spark, lUri, l,
+        Seq(PartitionTransforms.bucket(l, buckets, "l_orderkey")))
+    }
+
+    def shuffleBytes(df: DataFrame): Long = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            Seq(s.metrics.get("shuffleBytesWritten").orElse(
+              s.metrics.get("bytesWritten")).map(_.value).getOrElse(0L))
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+        }.flatten
+      walk(df.queryExecution.executedPlan).sum
+    }
+
+    def time(label: String, df: => DataFrame): Unit = {
+      val d = df
+      val t0 = System.nanoTime()
+      // execute THIS queryExecution (df.count() would plan a separate
+      // one and leave these metrics empty)
+      val n = d.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"$label","sec":$sec%.2f,"rows":$n,""" +
+        s""""shuffle_bytes":${shuffleBytes(d)}}""")
+    }
+
+    def catalogJoin(): DataFrame =
+      spark.sql(s"SELECT a.o_orderkey, a.o_orderpriority, b.l_quantity " +
+        s"FROM graft.`$oUri` a JOIN graft.`$lUri` b " +
+        "ON a.o_orderkey = b.l_orderkey")
+
+    // warm the page cache / JIT with REAL scans of both sides (a bare
+    // count(*) would be answered from the manifest and warm nothing)
+    spark.sql(s"SELECT sum(l_quantity) FROM graft.`$lUri`").collect()
+    spark.sql(s"SELECT sum(o_totalprice) FROM graft.`$oUri`").collect()
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    time("spj", catalogJoin())
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    time("catalog_shuffled", catalogJoin())
+    val po = spark.read.parquet(oUri).drop("pb_o_orderkey")
+    val pl = spark.read.parquet(lUri).drop("pb_l_orderkey")
+    time("plain_shuffled", po.join(pl,
+      col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_orderpriority", "l_quantity"))
+    spark.stop()
+  }
+}
