@@ -359,7 +359,8 @@ final class SnapshotScan(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
     pushed: Array[sources.Filter], required: StructType)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   private val partCols = table.partSchema.fieldNames.toSet
   private val reqData: Seq[StructField] =
@@ -381,22 +382,58 @@ final class SnapshotScan(
   private lazy val pred: SnapshotStats.Pred =
     SourceFilterPred.pred(pushed, renameGroups)
 
-  private lazy val kept: Seq[Snapshots.ManifestEntry] =
-    table.entries.filter { e =>
+  private def pruneWith(entries: Seq[Snapshots.ManifestEntry],
+      p: SnapshotStats.Pred): Seq[Snapshots.ManifestEntry] =
+    entries.filter { e =>
       val dirVals =
         if (table.transforms.isEmpty) Map.empty[String, String]
         else PartitionTransforms.dirValues(e.name)
-      SnapshotStats.mayMatch(e.stats, pred,
+      SnapshotStats.mayMatch(e.stats, p,
         SnapshotStats.partitionBounds(e.name) ++
           PartitionTransforms.extraBounds(table.transforms, dirVals),
         SnapshotStats.partitionNulls(e.name),
         PartitionTransforms.eqVeto(table.transforms, dirVals))
     }
 
-  /** File lengths: one listing RPC per referenced directory. */
+  private lazy val baseKept: Seq[Snapshots.ManifestEntry] =
+    pruneWith(table.entries, pred)
+
+  /** Re-pruned by any runtime (DPP) filter; starts as [[baseKept]]. */
+  @volatile private var runtimeKept: Option[Seq[Snapshots.ManifestEntry]] =
+    None
+
+  private def kept: Seq[Snapshots.ManifestEntry] =
+    runtimeKept.getOrElse(baseKept)
+
+  // -------------------------------------- runtime (dynamic) filtering
+
+  /** Every top-level column is fair game for a runtime filter — the
+    * manifest holds min/max, null counts, Blooms, partition values and
+    * transform vetoes, so join-key IN-sets from a broadcasted dim side
+    * prune fact files AT RUNTIME through the same evidence plan-time
+    * filters use (V2's dynamic partition pruning, generalized to
+    * stats+bloom+bucket skipping). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema().fieldNames.map(Expressions.column)
+
+  /** Cap: a pathological runtime IN-set stops pruning, never planning. */
+  private val MaxRuntimeInValues = 100 * 1000
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val bounded = filters.filter {
+      case sources.In(_, vs) => vs.length <= MaxRuntimeInValues
+      case _ => true
+    }
+    val p = SourceFilterPred.pred(bounded, renameGroups)
+    runtimeKept = Some(pruneWith(kept, p))
+  }
+
+  /** File lengths: one listing RPC per referenced directory (listed
+    * over the PLAN-TIME survivors — runtime filtering only shrinks). */
   private lazy val statuses: Map[String, FileStatus] = {
     val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
-    kept.map(_.name).groupBy(dirOf).flatMap { case (dir, names) =>
+    baseKept.map(_.name).groupBy(dirOf).flatMap { case (dir, names) =>
       val dirPath = if (dir.isEmpty) new Path(uri) else new Path(uri, dir)
       val prefix = if (dir.isEmpty) "" else dir + "/"
       val wanted = names.toSet
@@ -441,7 +478,9 @@ final class SnapshotScan(
 
   // ---------------------------------------------------- split planning
 
-  private lazy val planned: Array[InputPartition] = {
+  // a def, not a lazy val: runtime filtering shrinks `kept` and Spark
+  // re-plans by calling planInputPartitions again
+  private def planned: Array[InputPartition] = {
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val totalBytes = kept.map(e =>

@@ -310,6 +310,28 @@ class CatalogV2Spec extends AnyFunSuite {
       s"SELECT * FROM graft.`$dir`.history"))).isEmpty)
   }
 
+  test("runtime (dynamic) filtering prunes fact files from a dim join") {
+    val fact = freshTable("catv2_rt_fact")
+    val dim = freshTable("catv2_rt_dim")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 5 AS v")
+      .repartitionByRange(8, col("k")).write.parquet(fact)
+    Snapshots.init(spark, fact)
+    spark.range(1000, 1400).selectExpr("id AS k", "1 AS flag")
+      .coalesce(1).write.parquet(dim)
+    Snapshots.init(spark, dim)
+    val q = spark.sql(
+      s"SELECT f.k, f.v FROM graft.`$fact` f JOIN graft.`$dim` d " +
+        "ON f.k = d.k WHERE d.flag = 1")
+    assert(q.count() == 400)
+    val factScan = scans(executed(q)).find(
+      _.toString.contains("rt_fact")).get
+    val scanned = factScan.metrics("numOutputRows").value
+    // the dim's key range [1000,1400) overlaps 1-2 of the 8 range
+    // files; without runtime filtering all 4000 rows stream out
+    assert(scanned <= 1000,
+      s"runtime filter should prune fact files; scanned $scanned rows")
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)

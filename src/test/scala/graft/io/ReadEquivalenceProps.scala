@@ -6,14 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Seeded equivalence fuzz over the three snapshot read routes: for
+/** Seeded equivalence fuzz over the FOUR snapshot read routes: for
   * random tables (layout, file count, value domains) and random
-  * predicates, `readIndexed(..).filter(p)`, `readWhere(.., p)` and
-  * `read(..).filter(p)` must return identical row sets — planning-time
-  * pruning, eager pruning, and no pruning may only differ in WHICH
-  * files they open, never in what they return. */
+  * predicates, `readIndexed(..).filter(p)`, `readWhere(.., p)`,
+  * `read(..).filter(p)` and the V2 catalog route
+  * (`SELECT ... FROM graft.`dir` WHERE p`) must return identical row
+  * sets — planning-time pruning, eager pruning, V2 pushdown and no
+  * pruning may only differ in WHICH files they open, never in what
+  * they return. */
 class ReadEquivalenceProps extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
   import spark.implicits._
 
   test("indexed, eager, and plain reads agree over 15 random cases") {
@@ -50,8 +56,11 @@ class ReadEquivalenceProps extends AnyFunSuite {
       val indexed = canon(Snapshots.readIndexed(spark, dir).filter(expr(pred)))
       val eager = canon(Snapshots.readWhere(spark, dir, pred))
       val plain = canon(Snapshots.read(spark, dir).filter(expr(pred)))
+      val catalog = canon(spark.sql(
+        s"SELECT k, s, v FROM graft.`$dir` WHERE $pred"))
       assert(indexed == eager, s"[case $i] indexed != eager for: $pred")
       assert(indexed == plain, s"[case $i] indexed != plain for: $pred")
+      assert(indexed == catalog, s"[case $i] indexed != catalog for: $pred")
     }
   }
 
@@ -109,10 +118,16 @@ class ReadEquivalenceProps extends AnyFunSuite {
       val indexed = canon(Snapshots.readIndexed(spark, dir).filter(expr(pred)))
       val eager = canon(Snapshots.readWhere(spark, dir, pred))
       val plain = canon(Snapshots.read(spark, dir).filter(expr(pred)))
+      val cols = Seq("id", kcol, "s").mkString(", ")
+      val catalog = canon(spark.sql(
+        s"SELECT $cols FROM graft.`$dir` WHERE $pred"))
       assert(indexed == eager,
         s"[case $i mode $mode] indexed != eager for: $pred")
       assert(indexed == plain,
         s"[case $i mode $mode] indexed != plain for: $pred")
+      assert(indexed.map(_.toSeq.sortBy(String.valueOf(_)))
+          == catalog.map(_.toSeq.sortBy(String.valueOf(_))),
+        s"[case $i mode $mode] indexed != catalog for: $pred")
     }
   }
 }
