@@ -58,10 +58,15 @@ object SpjBench {
         spark.read.parquet(s"$srcDir/orders.parquet"), Seq("o_orderkey"))
       val l = replicate(
         spark.read.parquet(s"$srcDir/lineitem.parquet"), Seq("l_orderkey"))
+      // v1 = the task-natural bucketed write (tasks × buckets small
+      // files); v2 = OPTIMIZE'd layout (~1 file per bucket) — MVCC time
+      // travel lets the bench read BOTH layouts of the same table
       Snapshots.initTransformed(spark, oUri, o,
         Seq(PartitionTransforms.bucket(o, buckets, "o_orderkey")))
       Snapshots.initTransformed(spark, lUri, l,
         Seq(PartitionTransforms.bucket(l, buckets, "l_orderkey")))
+      Snapshots.compactCommit(spark, oUri, 128L * 1024 * 1024)
+      Snapshots.compactCommit(spark, lUri, 128L * 1024 * 1024)
     }
 
     def shuffleBytes(df: DataFrame): Long = {
@@ -89,9 +94,10 @@ object SpjBench {
         s""""shuffle_bytes":${shuffleBytes(d)}}""")
     }
 
-    def catalogJoin(): DataFrame =
+    def catalogJoin(version: Int): DataFrame =
       spark.sql(s"SELECT a.o_orderkey, a.o_orderpriority, b.l_quantity " +
-        s"FROM graft.`$oUri` a JOIN graft.`$lUri` b " +
+        s"FROM graft.`$oUri` VERSION AS OF $version a " +
+        s"JOIN graft.`$lUri` VERSION AS OF $version b " +
         "ON a.o_orderkey = b.l_orderkey")
 
     // warm the page cache / JIT with REAL scans of both sides (a bare
@@ -99,12 +105,24 @@ object SpjBench {
     spark.sql(s"SELECT sum(l_quantity) FROM graft.`$lUri`").collect()
     spark.sql(s"SELECT sum(o_totalprice) FROM graft.`$oUri`").collect()
 
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    time("spj", catalogJoin())
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-    time("catalog_shuffled", catalogJoin())
-    val po = spark.read.parquet(oUri).drop("pb_o_orderkey")
-    val pl = spark.read.parquet(lUri).drop("pb_l_orderkey")
+    // scan-only baselines on the compacted layout: V2 catalog route vs
+    // Spark's native parquet read over the same data
+    time("catalog_scan",
+      spark.sql(s"SELECT l_quantity, l_extendedprice FROM graft.`$lUri` " +
+        "WHERE l_quantity >= 0"))
+    time("plain_scan",
+      Snapshots.read(spark, lUri)
+        .filter(col("l_quantity") >= 0)
+        .select("l_quantity", "l_extendedprice"))
+
+    for ((ver, label) <- Seq(1 -> "smallfiles", 2 -> "compacted")) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      time(s"spj_$label", catalogJoin(ver))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      time(s"catalog_shuffled_$label", catalogJoin(ver))
+    }
+    val po = Snapshots.read(spark, oUri).drop("pb_o_orderkey")
+    val pl = Snapshots.read(spark, lUri).drop("pb_l_orderkey")
     time("plain_shuffled", po.join(pl,
       col("o_orderkey") === col("l_orderkey"))
       .select("o_orderkey", "o_orderpriority", "l_quantity"))
