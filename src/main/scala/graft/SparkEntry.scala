@@ -2261,6 +2261,37 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // streaming FROM a snapshot table by CATALOG NAME (round 9):
+    // `readStream.table("graft.`<uri>`")` — the V2 MicroBatchStream
+    // twin of stream_snapshot_source; offsets are manifest versions,
+    // each append arrives exactly once
+    "stream_catalog_table" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_catstr_" +
+        new java.io.File(dir).getName
+      val tgt = s"$base/table"; val out = s"$base/out"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .repartition(2).write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      val q = s.readStream
+        .option("startingVersion", "1").table(s"graft.`$tgt`")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try {
+        io.Snapshots.appendCommit(s, tgt, cust.filter(col("c_custkey") % 3 === 1))
+        q.processAllAvailable()
+        io.Snapshots.appendCommit(s, tgt, cust.filter(col("c_custkey") % 3 === 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).orderBy("c_custkey")
+    }),
+
     // streaming the ROW-LEVEL change feed (readChangeFeed — Delta
     // CDF's option): each micro-batch carries the inserts AND deletes
     // of the versions committed since the last trigger, tagged
@@ -4201,6 +4232,10 @@ object SparkEntry {
         "FROM customer ORDER BY c_custkey"),
 
     "stream_snapshot_source" ->
+      ("SELECT * FROM customer WHERE c_custkey % 3 <> 0 " +
+        "ORDER BY c_custkey"),
+
+    "stream_catalog_table" ->
       ("SELECT * FROM customer WHERE c_custkey % 3 <> 0 " +
         "ORDER BY c_custkey"),
 

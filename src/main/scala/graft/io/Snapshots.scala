@@ -1470,13 +1470,12 @@ object Snapshots extends Serializable {
    * restriction Iceberg's incremental scan documents).  Read full
    * versions around rewrite commits instead.
    */
-  def readChanges(
-      spark: SparkSession, uri: String, fromVersion: Int,
-      toVersion: Int = -1): DataFrame = {
-    val to = if (toVersion <= 0) latestVersion(spark, uri) else toVersion
-    require(fromVersion >= 1 && fromVersion <= to,
-      s"readChanges needs 1 <= fromVersion <= toVersion " +
-        s"(got $fromVersion..$to)")
+  /** File names appended in versions (from, to] — the shared diff
+    * behind [[readChanges]] and the V2 catalog's micro-batch stream.
+    * Refuses non-append kinds (layout/metadata commits are skipped). */
+  private[io] def changedFiles(
+      spark: SparkSession, uri: String, fromVersion: Int, to: Int)
+      : Seq[String] = {
     var prev = readManifest(spark, uri, fromVersion).toSet
     val added = Seq.newBuilder[String]
     (fromVersion + 1 to to).foreach { v =>
@@ -1495,7 +1494,17 @@ object Snapshots extends Serializable {
       }
       prev = names.toSet
     }
-    val files = added.result()
+    added.result()
+  }
+
+  def readChanges(
+      spark: SparkSession, uri: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion <= 0) latestVersion(spark, uri) else toVersion
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"readChanges needs 1 <= fromVersion <= toVersion " +
+        s"(got $fromVersion..$to)")
+    val files = changedFiles(spark, uri, fromVersion, to)
     if (files.isEmpty) {
       val schema = read(spark, uri, to).schema
       spark.createDataFrame(

@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -138,12 +139,13 @@ final class SnapshotV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(spark, uri, this)
+    new SnapshotScanBuilder(spark, uri, this, options)
 
   /** `INSERT INTO` = [[Snapshots.appendCommit]] (one MVCC version;
     * transform layouts re-derive their hidden dirs), `INSERT
@@ -235,7 +237,9 @@ private object FilterSql {
 }
 
 final class SnapshotScanBuilder(
-    spark: SparkSession, uri: String, table: SnapshotV2Table)
+    spark: SparkSession, uri: String, table: SnapshotV2Table,
+    options: CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -351,13 +355,16 @@ final class SnapshotScanBuilder(
       override def description(): String =
         s"GraftManifestAggregate($uri)"
     }
-    case None => new SnapshotScan(spark, uri, table, pushed, required)
+    case None => new SnapshotScan(spark, uri, table, pushed, required,
+      options)
   }
 }
 
 final class SnapshotScan(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
-    pushed: Array[sources.Filter], required: StructType)
+    pushed: Array[sources.Filter], required: StructType,
+    options: CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
@@ -561,6 +568,33 @@ final class SnapshotScan(
     }
   }
 
+  // ----------------------------------------------------- streaming
+
+  /** `spark.readStream.table("graft.`<uri>`")`: the V2 twin of the
+    * `graft-snapshot` DSv1 source — offsets ARE manifest versions, a
+    * micro-batch is the files APPENDED in (fromV, toV] (compact/
+    * optimize layout commits contribute nothing; merge/delete kinds
+    * refuse, same as [[Snapshots.readChanges]]).  Column pruning and
+    * pushed filters apply to every batch; restart recovery is the
+    * checkpointed version.  FLAT tables only — the row-level
+    * `readChangeFeed` and partitioned layouts stay on
+    * `readStream.format("graft-snapshot")`. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    require(table.partSchema.isEmpty,
+      s"$uri: catalog streaming serves FLAT tables; use " +
+        "spark.readStream.format(\"graft-snapshot\") for " +
+        "partitioned/transform layouts")
+    val starting = Option(options.get("startingVersion")).map { s =>
+      val v = s.toInt
+      require(v >= 1, s"startingVersion must be >= 1 (got $v)")
+      v
+    }.getOrElse(Snapshots.latestVersion(spark, uri))
+    new SnapshotMicroBatchStream(spark, uri, starting, this)
+  }
+
+  private[catalog] def pushedPred: SnapshotStats.Pred = pred
+
   // --------------------------------------------------- reader factory
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -645,6 +679,81 @@ final class SnapshotScan(
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
       projection, allClean)
   }
+}
+
+/** A stream offset that IS a manifest version. */
+final case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/**
+ * Micro-batch stream over a FLAT snapshot table's append feed (see
+ * [[SnapshotScan.toMicroBatchStream]]).  Each trigger costs one
+ * manifest-dir listing; a batch plans only its appended files, pruned
+ * by the scan's pushed filters against the manifest stats they were
+ * committed with.
+ */
+final class SnapshotMicroBatchStream(
+    spark: SparkSession, uri: String, starting: Int, scan: SnapshotScan)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = VersionOffset(starting.toLong)
+
+  override def latestOffset(): Offset = VersionOffset(
+    math.max(Snapshots.latestVersion(spark, uri), starting).toLong)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v.toInt
+    val to = end.asInstanceOf[VersionOffset].v.toInt
+    if (to <= from) return Array.empty
+    val names = Snapshots.changedFiles(spark, uri, from, to)
+    if (names.isEmpty) return Array.empty
+    // stats from the end-version manifest (a file compacted away
+    // within the range reads whole — conservative)
+    val statsAt = Snapshots.readManifestEntries(spark, uri, to)
+      .map(e => e.name -> e).toMap
+    val entries = names.map(n =>
+      statsAt.getOrElse(n, Snapshots.ManifestEntry(n, None)))
+    val kept = entries.filter(e => SnapshotStats.mayMatch(
+      e.stats, scan.pushedPred, Map.empty, Map.empty, (_, _) => false))
+    if (kept.isEmpty) return Array.empty
+    val conf = spark.sessionState.conf
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    val sts = kept.map(e => fs.getFileStatus(new Path(uri, e.name)))
+    val openCost = conf.filesOpenCostInBytes
+    val bytesPerCore = sts.map(_.getLen + openCost).sum /
+      math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val splits = sts.flatMap { st =>
+      val sp = SparkPath.fromPath(st.getPath)
+      if (st.getLen <= maxSplit)
+        Seq(PartitionedFile(InternalRow.empty, sp, 0, st.getLen,
+          Array.empty[String], st.getModificationTime, st.getLen))
+      else (0L until st.getLen by maxSplit).map(off =>
+        PartitionedFile(InternalRow.empty, sp, off,
+          math.min(maxSplit, st.getLen - off),
+          Array.empty[String], st.getModificationTime, st.getLen))
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit)
+      .map(fp => GraftPartition(fp.files, fp.files.map(_ => null: String))
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def toString: String =
+    s"SnapshotMicroBatchStream[$uri from v$starting]"
 }
 
 /** Positional coalesce map: out column i takes the first non-null of

@@ -332,6 +332,40 @@ class CatalogV2Spec extends AnyFunSuite {
       s"runtime filter should prune fact files; scanned $scanned rows")
   }
 
+  test("readStream.table tails append commits as micro-batches") {
+    val dir = freshTable("catv2_stream")
+    val sink = freshTable("catv2_stream_sink")
+    val ckpt = freshTable("catv2_stream_ckpt")
+    spark.range(0, 50).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val q = spark.readStream
+      .option("startingVersion", "1")
+      .table(s"graft.`$dir`")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // v1 replay: nothing (startingVersion is the exclusive base)...
+    // then two appends arrive in a second run
+    Snapshots.appendCommit(spark, dir,
+      spark.range(50, 80).selectExpr("id AS k"))
+    Snapshots.appendCommit(spark, dir,
+      spark.range(80, 90).selectExpr("id AS k"))
+    val q2 = spark.readStream
+      .option("startingVersion", "1")
+      .table(s"graft.`$dir`")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(sink).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (50L until 90L).toSeq,
+      s"expected the two appended batches, got ${got.size} rows")
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
