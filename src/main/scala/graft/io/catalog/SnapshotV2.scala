@@ -241,11 +241,20 @@ final class SnapshotScanBuilder(
     options: CaseInsensitiveStringMap =
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = table.schema()
   private var aggResult: Option[(StructType, InternalRow)] = None
+  private var limit: Option[Int] = None
+
+  /** A bare `LIMIT n` plans only enough files to cover n live rows
+    * (manifest row counts are DV-exact).  Only without filters — a
+    * filtered file's contribution is unknown, so cutting files could
+    * under-deliver.  Partial push: Spark re-applies the limit above. */
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.isEmpty) { limit = Some(n); true } else false
 
   /** Record every translatable filter for manifest/row-group pruning;
     * hand ALL of them back as residual — pruning is advisory, the full
@@ -356,7 +365,7 @@ final class SnapshotScanBuilder(
         s"GraftManifestAggregate($uri)"
     }
     case None => new SnapshotScan(spark, uri, table, pushed, required,
-      options)
+      options, limit)
   }
 }
 
@@ -364,7 +373,8 @@ final class SnapshotScan(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
     pushed: Array[sources.Filter], required: StructType,
     options: CaseInsensitiveStringMap =
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+    limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
@@ -409,8 +419,28 @@ final class SnapshotScan(
   @volatile private var runtimeKept: Option[Seq[Snapshots.ManifestEntry]] =
     None
 
+  /** A pushed `LIMIT n` keeps files only until their cumulative live
+    * row count covers n (a file with unknown rows contributes 0 —
+    * more files stay, never fewer rows than owed). */
+  private def limited(es: Seq[Snapshots.ManifestEntry])
+      : Seq[Snapshots.ManifestEntry] = limit match {
+    case None => es
+    case Some(n) =>
+      var cum = 0L
+      val b = Seq.newBuilder[Snapshots.ManifestEntry]
+      var done = false
+      es.foreach { e =>
+        if (!done) {
+          b += e
+          cum += e.liveRows.getOrElse(0L)
+          if (cum >= n) done = true
+        }
+      }
+      b.result()
+  }
+
   private def kept: Seq[Snapshots.ManifestEntry] =
-    runtimeKept.getOrElse(baseKept)
+    limited(runtimeKept.getOrElse(baseKept))
 
   // -------------------------------------- runtime (dynamic) filtering
 

@@ -366,6 +366,23 @@ class CatalogV2Spec extends AnyFunSuite {
       s"expected the two appended batches, got ${got.size} rows")
   }
 
+  test("LIMIT plans only enough files to cover the requested rows") {
+    val dir = freshTable("catv2_limit")
+    spark.range(0, 4000).selectExpr("id AS k")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val q = spark.sql(s"SELECT k FROM graft.`$dir` LIMIT 10")
+    assert(q.count() == 10)
+    val scan = scans(executed(q)).head
+    val files = scan.inputPartitions.collect {
+      case g: graft.io.catalog.GraftPartition => g.files.length
+    }.sum
+    assert(files <= 1, s"LIMIT 10 should plan 1 of 8 files, got $files")
+    // with a filter the limit must NOT cut files
+    val f = spark.sql(s"SELECT k FROM graft.`$dir` WHERE k >= 3990 LIMIT 10")
+    assert(f.count() == 10)
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
