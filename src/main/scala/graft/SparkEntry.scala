@@ -2292,6 +2292,39 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // streaming INTO a snapshot table by CATALOG NAME (round 9):
+    // `writeStream.toTable("graft.`<uri>`")` — each micro-batch lands
+    // as ONE idempotent MVCC version (the (queryId, epoch) txn claim
+    // rides the manifest header, so a recovery-replayed epoch skips
+    // instead of double-appending).  Source and sink are both catalog
+    // tables: the full read+write streaming loop by name
+    "stream_catalog_sink" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_catsink_" +
+        new java.io.File(dir).getName
+      val src = s"$base/src"; val tgt = s"$base/tgt"; val ck = s"$base/ck"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 4 === 0)
+        .repartition(2).write.parquet(src)
+      io.Snapshots.init(s, src)
+      cust.filter(col("c_custkey") % 4 === 1)
+        .repartition(2).write.parquet(tgt)
+      io.Snapshots.init(s, tgt)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      io.Snapshots.appendCommit(s, src,
+        cust.filter(col("c_custkey") % 4 === 2))
+      val q = s.readStream
+        .option("startingVersion", "1").table(s"graft.`$src`")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$tgt`")
+      q.awaitTermination(120000)
+      io.Snapshots.read(s, tgt).orderBy("c_custkey")
+    }),
+
     // streaming the ROW-LEVEL change feed (readChangeFeed — Delta
     // CDF's option): each micro-batch carries the inserts AND deletes
     // of the versions committed since the last trigger, tagged
@@ -4237,6 +4270,12 @@ object SparkEntry {
 
     "stream_catalog_table" ->
       ("SELECT * FROM customer WHERE c_custkey % 3 <> 0 " +
+        "ORDER BY c_custkey"),
+
+    // target seed (%4=1) plus the streamed batch (%4=2): the %4=0
+    // base predates the stream's startingVersion
+    "stream_catalog_sink" ->
+      ("SELECT * FROM customer WHERE c_custkey % 4 IN (1, 2) " +
         "ORDER BY c_custkey"),
 
     "stream_mview" ->

@@ -1340,6 +1340,51 @@ object Snapshots extends Serializable {
     newV
   }
 
+  /** Highest epoch a writer id has committed (from manifest `txn=`
+    * claims), scanning latest→1 and stopping at the first claim found
+    * — a live stream's claim sits near the top, so this is one or two
+    * header reads per trigger in steady state. */
+  private[io] def txnLastEpoch(
+      spark: SparkSession, uri: String, txnId: String): Option[Long] = {
+    val fs = fsOf(spark, uri)
+    val latest = latestVersion(spark, uri)
+    (latest to 1 by -1).iterator
+      .filter(v => fs.exists(manifestPath(uri, v)))
+      .flatMap(v => readManifestFull(spark, uri, v).txn)
+      .collectFirst {
+        case t if t.startsWith(txnId + ":") =>
+          t.stripPrefix(txnId + ":").toLong
+      }
+  }
+
+  /**
+   * Idempotent append of ALREADY-WRITTEN table-relative files as one
+   * MVCC version — the commit half of a streaming epoch.  The
+   * `(txnId, epoch)` claim rides the manifest header, so the claim and
+   * the data commit in ONE atomic rename: a replayed epoch (driver
+   * recovery re-running a commit) finds the claim and returns the
+   * existing version instead of double-appending — Delta's `txn`
+   * idempotent-writes mechanism.  Epochs must be monotonically
+   * increasing per txnId (Structured Streaming's contract).
+   */
+  def appendFilesCommitIdempotent(
+      spark: SparkSession, uri: String, names: Seq[String],
+      txnId: String, epoch: Long): Int = {
+    val newEntries = entriesFor(spark, uri, names)
+    retryCommit() {
+      txnLastEpoch(spark, uri, txnId) match {
+        case Some(last) if last >= epoch => latestVersion(spark, uri)
+        case _ =>
+          val v = latestVersion(spark, uri)
+          val newV = v + 1
+          writeManifest(spark, uri, newV,
+            readManifestEntries(spark, uri, v) ++ newEntries,
+            kind = "append", txn = Some(s"$txnId:$epoch"))
+          newV
+      }
+    }
+  }
+
   /**
    * Compaction as an MVCC commit: bin-pack the CURRENT snapshot's files
    * into ~`targetBytes` outputs (same narrow, shuffle-free scan-planning
@@ -1896,7 +1941,8 @@ object Snapshots extends Serializable {
     val rows = (1 to latest).flatMap { v =>
       if (!fs.exists(manifestPath(uri, v))) None // expired prefix
       else {
-        val Manifest(kind, _, cts, _, entries) = readManifestFull(spark, uri, v)
+        val Manifest(kind, _, cts, _, entries, _) =
+          readManifestFull(spark, uri, v)
         val counts = entries.map(_.liveRows)
         val rowCount: Any =
           if (entries.isEmpty) 0L // delete-all version: zero rows
@@ -1962,7 +2008,8 @@ object Snapshots extends Serializable {
   private[io] def writeManifest(
       spark: SparkSession, uri: String, v: Int,
       entries: Seq[ManifestEntry], kind: String = "unknown",
-      mor: Boolean = false, schemaId: Option[Int] = None): Unit = {
+      mor: Boolean = false, schemaId: Option[Int] = None,
+      txn: Option[String] = None): Unit = {
     val fs = fsOf(spark, uri)
     fs.mkdirs(manifestDir(uri))
     // writer-unique tmp: two racers targeting the same version must not
@@ -1995,8 +2042,17 @@ object Snapshots extends Serializable {
         readManifestFull(spark, uri, v - 1).schemaId
       else None)
     val schemaField = sid.map(i => s" schema=$i").getOrElse("")
+    // txn claim (writer-id:epoch) rides the manifest header, so the
+    // claim and the data it covers commit in ONE atomic rename —
+    // Delta's txn/idempotent-write mechanism
+    val txnField = txn.map { t =>
+      require(!t.exists(c => c.isWhitespace || c == '\n'),
+        s"txn token must not contain whitespace: '$t'")
+      s" txn=$t"
+    }.getOrElse("")
     val payload =
-      ((s"graft-manifest v4 kind=$kind$morField$tsField$schemaField" +: lines)
+      ((s"graft-manifest v4 kind=$kind$morField$tsField$schemaField$txnField"
+        +: lines)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
     // large manifests gzip transparently (~6-10×): on a million-file
@@ -2047,7 +2103,8 @@ object Snapshots extends Serializable {
     * the live entry list. */
   private[io] final case class Manifest(
       kind: String, mor: Boolean, ts: Option[Long],
-      schemaId: Option[Int], entries: Seq[ManifestEntry])
+      schemaId: Option[Int], entries: Seq[ManifestEntry],
+      txn: Option[String] = None)
 
   /** Manifests larger than this many entries are written gzipped. */
   private val GzipManifestEntries = 4096
@@ -2088,6 +2145,9 @@ object Snapshots extends Serializable {
     val schemaId = header.split(" ").collectFirst {
       case a if a.startsWith("schema=") => a.stripPrefix("schema=")
     }.flatMap(_.toIntOption)
+    val txn = header.split(" ").collectFirst {
+      case a if a.startsWith("txn=") => a.stripPrefix("txn=")
+    }
     val entries = lines.tail.map { line =>
       val fields = line.split("\t", -1)
       val name = fields(0)
@@ -2102,7 +2162,7 @@ object Snapshots extends Serializable {
       }
       ManifestEntry(name, stats, dv)
     }
-    Manifest(kind, mor, ts, schemaId, entries)
+    Manifest(kind, mor, ts, schemaId, entries, txn)
   }
 
   /** Table-relative path of a data file (flat: the bare name;

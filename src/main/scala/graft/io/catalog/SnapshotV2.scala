@@ -141,7 +141,8 @@ final class SnapshotV2Table(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -186,6 +187,21 @@ final class SnapshotV2Table(
             }
             ()
           }
+
+        /** `writeStream.toTable("graft.`<uri>`")` — append-mode only;
+          * each epoch lands as one idempotent MVCC version. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(overwriteSql.isEmpty,
+            s"$ident: streaming into a snapshot table supports APPEND " +
+              "output mode only (use foreachBatch + overwriteCommit " +
+              "for complete-mode semantics)")
+          require(partSchema.isEmpty,
+            s"$ident: catalog streaming writes serve FLAT tables; use " +
+              "foreachBatch + appendCommit for partitioned layouts")
+          new SnapshotStreamingWrite(spark, uri, info.schema(),
+            info.queryId())
+        }
       }
     }
   }
@@ -784,6 +800,147 @@ final class SnapshotMicroBatchStream(
 
   override def toString: String =
     s"SnapshotMicroBatchStream[$uri from v$starting]"
+}
+
+/**
+ * Streaming sink into a FLAT snapshot table: executors write each
+ * micro-batch's rows as parquet files under `_stream_tmp/<query>/<epoch>`
+ * (Spark's stock `ParquetOutputWriter`), and the driver publishes the
+ * staged files as ONE MVCC version through
+ * [[Snapshots.appendFilesCommitIdempotent]] — the `(queryId, epoch)`
+ * claim rides the manifest header, so a recovery-replayed epoch finds
+ * its claim and skips instead of double-appending (Delta's `txn`
+ * idempotent-writes loop).  Readers (batch, time travel, the
+ * micro-batch source) see each epoch as a normal append version.
+ * Crashed-epoch staging strands live under `_stream_tmp` (underscored
+ * — invisible to data listings) until VACUUM.
+ */
+final class SnapshotStreamingWrite(
+    spark: SparkSession, uri: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stageDir(epochId: Long) =
+    new Path(new Path(uri, "_stream_tmp"), s"$queryId/e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // the conf a ParquetOutputWriter needs: write support + schema +
+    // codec + the SQLConf mirrors ParquetWriteSupport.init reads
+    hadoopConf.set("parquet.write.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport].getName)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, hadoopConf)
+    import org.apache.spark.sql.internal.SQLConf
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat)
+    hadoopConf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    hadoopConf.set("parquet.compression", sqlConf.parquetCompressionCodec)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    hadoopConf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE))
+    GraftStreamingWriterFactory(
+      new SerializableConfiguration(hadoopConf), uri, queryId)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case m: StagedFileMessage if m.rows > 0 => m
+    }
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    if (staged.nonEmpty) {
+      // unique final names; the manifest commit decides visibility
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val names = staged.zipWithIndex.map { case (m, i) =>
+        val name = f"part-s$epochId-$stamp-$i%05d.parquet"
+        require(fs.rename(new Path(m.path), new Path(uri, name)),
+          s"staged move ${m.path} failed")
+        name
+      }
+      Snapshots.appendFilesCommitIdempotent(
+        spark, uri, names.toSeq, s"stream-$queryId", epochId)
+    }
+    fs.delete(stageDir(epochId), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(stageDir(epochId), true)
+  }
+
+  override def toString: String =
+    s"SnapshotStreamingWrite[$uri query=$queryId]"
+}
+
+/** Serializable factory shipping only the conf + path strings. */
+final case class GraftStreamingWriterFactory(
+    conf: SerializableConfiguration, uri: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write
+      .DataWriter[InternalRow] =
+    new GraftStreamingDataWriter(conf,
+      new Path(new Path(uri, "_stream_tmp"), s"$queryId/e$epochId"),
+      partitionId, taskId)
+}
+
+/** One staged parquet file (absolute path) and its row count. */
+final case class StagedFileMessage(path: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Executor-side parquet writer for one task of one epoch. */
+final class GraftStreamingDataWriter(
+    conf: SerializableConfiguration, dir: Path,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType, JobID}
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+  private val path = new Path(dir, s"part-$partitionId-$taskId.parquet")
+  private var rows = 0L
+  private lazy val writer = {
+    val fs = path.getFileSystem(conf.value)
+    fs.mkdirs(dir)
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-stream", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetOutputWriter(path.toString,
+        new TaskAttemptContextImpl(conf.value, attempt))
+  }
+
+  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (rows > 0) writer.close()
+    StagedFileMessage(path.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    path.getFileSystem(conf.value).delete(path, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Positional coalesce map: out column i takes the first non-null of

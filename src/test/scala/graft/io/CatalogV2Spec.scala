@@ -383,6 +383,57 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(f.count() == 10)
   }
 
+  test("writeStream.toTable lands each epoch as one idempotent version") {
+    val src = freshTable("catv2_wsink_src")
+    val tgt = freshTable("catv2_wsink_tgt")
+    val ckpt = freshTable("catv2_wsink_ckpt")
+    spark.range(0, 40).selectExpr("id AS k").write.parquet(src)
+    Snapshots.init(spark, src)
+    spark.range(1000, 1010).selectExpr("id AS k").write.parquet(tgt)
+    Snapshots.init(spark, tgt)
+    def run(): Unit = {
+      val q = spark.readStream
+        .option("startingVersion", "1").table(s"graft.`$src`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$tgt`")
+      q.awaitTermination(60000)
+    }
+    run() // v1 is the stream's base: nothing to deliver
+    Snapshots.appendCommit(spark, src,
+      spark.range(40, 70).selectExpr("id AS k"))
+    run()
+    val got = spark.sql(s"SELECT k FROM graft.`$tgt`")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((40L until 70L) ++ (1000L until 1010L)).sorted,
+      s"expected seed + the appended batch, got ${got.size} rows")
+    // the epoch landed as an append version on the target
+    assert(Snapshots.latestVersion(spark, tgt) == 2)
+  }
+
+  test("appendFilesCommitIdempotent skips a replayed epoch") {
+    val dir = freshTable("catv2_txn")
+    spark.range(0, 10).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // stage one extra file by hand
+    val extra = s"$dir/extra-e1.parquet"
+    spark.range(10, 15).selectExpr("id AS k").coalesce(1)
+      .write.parquet(s"$dir/_tmp_extra")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(s"$dir/_tmp_extra"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(extra))
+    fs.delete(new Path(s"$dir/_tmp_extra"), true)
+    val v1 = Snapshots.appendFilesCommitIdempotent(
+      spark, dir, Seq("extra-e1.parquet"), "stream-q1", 1L)
+    assert(v1 == 2)
+    // replaying the same epoch is a no-op
+    val v2 = Snapshots.appendFilesCommitIdempotent(
+      spark, dir, Seq("extra-e1.parquet"), "stream-q1", 1L)
+    assert(v2 == 2 && Snapshots.latestVersion(spark, dir) == 2)
+    assert(Snapshots.read(spark, dir).count() == 15)
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
