@@ -1358,6 +1358,40 @@ object Snapshots extends Serializable {
   }
 
   /**
+   * Idempotent DataFrame append for foreachBatch pipelines:
+   * `foreachBatch { (df, id) => appendCommitIdempotent(s, uri, df,
+   * qid, id) }` makes a restart-replayed micro-batch a no-op — the
+   * `(txnId, epoch)` claim commits atomically with the data in the
+   * manifest header.  Wrap in [[retryCommit]] like any commit; a
+   * replay that loses the race leaves uniquely-named orphans for
+   * [[expire]].
+   */
+  def appendCommitIdempotent(
+      spark: SparkSession, uri: String, df: DataFrame,
+      txnId: String, epoch: Long): Int =
+    txnLastEpoch(spark, uri, txnId) match {
+      case Some(last) if last >= epoch => latestVersion(spark, uri)
+      case _ =>
+        val v = latestVersion(spark, uri)
+        val entries = readManifestEntries(spark, uri, v)
+        val fs = fsOf(spark, uri)
+        val tmp = commitTmp(uri)
+        fs.delete(tmp, true)
+        val transforms = transformsOf(spark, uri)
+          .filter(t => !df.columns.contains(t.dirCol))
+        val prepared =
+          if (transforms.isEmpty) df
+          else PartitionTransforms.prepare(df, transforms)
+        writeTmp(prepared, tmp, partitionColsOf(entries))
+        val newV = v + 1
+        val moved = publishTmp(fs, tmp, uri, newV)
+        writeManifest(spark, uri, newV,
+          entries ++ entriesFor(spark, uri, moved), kind = "append",
+          txn = Some(s"$txnId:$epoch"))
+        newV
+    }
+
+  /**
    * Idempotent append of ALREADY-WRITTEN table-relative files as one
    * MVCC version — the commit half of a streaming epoch.  The
    * `(txnId, epoch)` claim rides the manifest header, so the claim and

@@ -434,6 +434,27 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 15)
   }
 
+  test("appendCommitIdempotent makes a replayed foreachBatch a no-op") {
+    val dir = freshTable("catv2_txn_df")
+    spark.range(0, 10).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val batch = spark.range(10, 20).selectExpr("id AS k")
+    val v1 = Snapshots.retryCommit() {
+      Snapshots.appendCommitIdempotent(spark, dir, batch, "q7", 0L)
+    }
+    val v2 = Snapshots.retryCommit() {
+      Snapshots.appendCommitIdempotent(spark, dir, batch, "q7", 0L)
+    }
+    assert(v1 == 2 && v2 == 2)
+    assert(Snapshots.read(spark, dir).count() == 20)
+    // the next epoch commits normally
+    assert(Snapshots.retryCommit() {
+      Snapshots.appendCommitIdempotent(spark, dir,
+        spark.range(20, 25).selectExpr("id AS k"), "q7", 1L)
+    } == 3)
+    assert(Snapshots.read(spark, dir).count() == 25)
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
