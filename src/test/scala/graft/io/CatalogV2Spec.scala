@@ -455,6 +455,58 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 25)
   }
 
+  test("two concurrent idempotent writers serialize without loss") {
+    val dir = freshTable("catv2_txn_race")
+    spark.range(0, 10).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    def writer(qid: String, base: Long): Future[Unit] = Future {
+      (0 until 4).foreach { epoch =>
+        Snapshots.retryCommit() {
+          Snapshots.appendCommitIdempotent(spark, dir,
+            spark.range(base + epoch * 10, base + epoch * 10 + 10)
+              .selectExpr("id AS k"),
+            qid, epoch.toLong)
+        }
+      }
+    }
+    try Await.result(
+      Future.sequence(Seq(writer("qa", 1000L), writer("qb", 2000L))),
+      120.seconds)
+    finally pool.shutdown()
+    // 10 seed + 2 writers x 4 epochs x 10 rows, every epoch exactly once
+    assert(Snapshots.read(spark, dir).count() == 90)
+    assert(Snapshots.latestVersion(spark, dir) == 9)
+    // both writers' last claims resolve
+    assert(Snapshots.txnLastEpoch(spark, dir, "qa").contains(3L))
+    assert(Snapshots.txnLastEpoch(spark, dir, "qb").contains(3L))
+  }
+
+  test("SPJ composes with a selective dim-side filter (values exact)") {
+    val left = freshTable("catv2_spj_rf_l")
+    val right = freshTable("catv2_spj_rf_r")
+    val l = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS lv")
+    val r = spark.range(0, 1000).selectExpr("id AS k", "id % 10 AS tag")
+    Snapshots.initTransformed(spark, left, l,
+      Seq(PartitionTransforms.bucket(l, 8, "k")))
+    Snapshots.initTransformed(spark, right, r,
+      Seq(PartitionTransforms.bucket(r, 8, "k")))
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val q = spark.sql(
+        s"SELECT a.k, a.lv FROM graft.`$left` a JOIN graft.`$right` b " +
+          "ON a.k = b.k WHERE b.tag = 7")
+      sameRows(q, l.join(r.filter(col("tag") === 7), "k").select("k", "lv"))
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
