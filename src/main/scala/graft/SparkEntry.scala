@@ -2321,7 +2321,8 @@ object SparkEntry {
         .writeStream.option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .toTable(s"graft.`$tgt`")
-      q.awaitTermination(120000)
+      require(q.awaitTermination(120000),
+        "stream_catalog_sink: AvailableNow query did not finish in 120s")
       io.Snapshots.read(s, tgt).orderBy("c_custkey")
     }),
 

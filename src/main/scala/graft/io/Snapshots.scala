@@ -1319,7 +1319,8 @@ object Snapshots extends Serializable {
 
   /** Append as an MVCC commit: `df` lands as fresh files and the new
     * manifest gains them — no existing file is touched at all. */
-  def appendCommit(spark: SparkSession, uri: String, df: DataFrame): Int = {
+  def appendCommit(spark: SparkSession, uri: String, df: DataFrame,
+      txn: Option[String] = None): Int = {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
     val fs = fsOf(spark, uri)
@@ -1336,24 +1337,29 @@ object Snapshots extends Serializable {
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
-      entries ++ entriesFor(spark, uri, moved), kind = "append")
+      entries ++ entriesFor(spark, uri, moved), kind = "append", txn = txn)
     newV
   }
 
   /** Highest epoch a writer id has committed (from manifest `txn=`
-    * claims), scanning latest→1 and stopping at the first claim found
-    * — a live stream's claim sits near the top, so this is one or two
-    * header reads per trigger in steady state. */
-  private[io] def txnLastEpoch(
+    * claims), scanning latest→1 and stopping at the first claim OF
+    * THIS WRITER — a live stream's claim sits near the top, so steady
+    * state is one or two reads per trigger, and each read is
+    * HEADER-ONLY (first line; a million-entry manifest costs one
+    * buffered line read, not a full parse).  A writer with no claim
+    * yet pays one full header walk on its first commit. */
+  def txnLastEpoch(
       spark: SparkSession, uri: String, txnId: String): Option[Long] = {
     val fs = fsOf(spark, uri)
     val latest = latestVersion(spark, uri)
+    val prefix = txnId + ":"
     (latest to 1 by -1).iterator
       .filter(v => fs.exists(manifestPath(uri, v)))
-      .flatMap(v => readManifestFull(spark, uri, v).txn)
+      .flatMap(v => readManifestHeader(spark, uri, v).split(" ")
+        .collectFirst { case a if a.startsWith("txn=") =>
+          a.stripPrefix("txn=") })
       .collectFirst {
-        case t if t.startsWith(txnId + ":") =>
-          t.stripPrefix(txnId + ":").toLong
+        case t if t.startsWith(prefix) => t.stripPrefix(prefix).toLong
       }
   }
 
@@ -1362,34 +1368,19 @@ object Snapshots extends Serializable {
    * `foreachBatch { (df, id) => appendCommitIdempotent(s, uri, df,
    * qid, id) }` makes a restart-replayed micro-batch a no-op — the
    * `(txnId, epoch)` claim commits atomically with the data in the
-   * manifest header.  Wrap in [[retryCommit]] like any commit; a
-   * replay that loses the race leaves uniquely-named orphans for
-   * [[expire]].
+   * manifest header.  Internally retried (like
+   * [[appendFilesCommitIdempotent]]); a replay that loses a race
+   * leaves uniquely-named orphans for [[expire]].
    */
   def appendCommitIdempotent(
       spark: SparkSession, uri: String, df: DataFrame,
-      txnId: String, epoch: Long): Int =
+      txnId: String, epoch: Long): Int = retryCommit() {
     txnLastEpoch(spark, uri, txnId) match {
       case Some(last) if last >= epoch => latestVersion(spark, uri)
-      case _ =>
-        val v = latestVersion(spark, uri)
-        val entries = readManifestEntries(spark, uri, v)
-        val fs = fsOf(spark, uri)
-        val tmp = commitTmp(uri)
-        fs.delete(tmp, true)
-        val transforms = transformsOf(spark, uri)
-          .filter(t => !df.columns.contains(t.dirCol))
-        val prepared =
-          if (transforms.isEmpty) df
-          else PartitionTransforms.prepare(df, transforms)
-        writeTmp(prepared, tmp, partitionColsOf(entries))
-        val newV = v + 1
-        val moved = publishTmp(fs, tmp, uri, newV)
-        writeManifest(spark, uri, newV,
-          entries ++ entriesFor(spark, uri, moved), kind = "append",
-          txn = Some(s"$txnId:$epoch"))
-        newV
+      case _ => appendCommit(spark, uri, df,
+        txn = Some(s"$txnId:$epoch"))
     }
+  }
 
   /**
    * Idempotent append of ALREADY-WRITTEN table-relative files as one

@@ -75,12 +75,23 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** True when `uri` is a snapshot-managed table.  ONLY the
+    * definitively-absent cases map to "no such table" — a transient
+    * I/O failure (throttle, permission, network) must surface as
+    * itself, not as a missing table. */
+  private def managed(uri: String): Boolean =
+    try { Snapshots.latestVersion(spark, uri); true }
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            (e.getMessage.contains("not snapshot-managed") ||
+              e.getMessage.contains("no manifest versions")) => false
+    }
+
   private def tableAt(ident: Identifier, version: Int): SnapshotV2Table = {
     val uri = uriOf(ident)
-    val ok =
-      try { Snapshots.latestVersion(spark, uri); true }
-      catch { case _: Exception => false }
-    if (!ok) throw new NoSuchTableException(ident)
+    if (!managed(uri)) throw new NoSuchTableException(ident)
     new SnapshotV2Table(spark, uri, ident.toString, version)
   }
 
@@ -95,10 +106,8 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
   private def metadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val base = Identifier.of(ident.namespace.init, ident.namespace.last)
-    def managed(uri: String): Boolean =
-      try { Snapshots.latestVersion(spark, uri); true }
-      catch { case _: Exception => false }
-    val uri = try uriOf(base) catch { case _: Exception => return None }
+    val uri =
+      try uriOf(base) catch { case _: NoSuchTableException => return None }
     if (!managed(uri)) return None
     val s = spark
     ident.name match {

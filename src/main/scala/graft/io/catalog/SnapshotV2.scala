@@ -199,6 +199,15 @@ final class SnapshotV2Table(
           require(partSchema.isEmpty,
             s"$ident: catalog streaming writes serve FLAT tables; use " +
               "foreachBatch + appendCommit for partitioned layouts")
+          // the streaming V2 path hands the QUERY schema through
+          // unresolved — refuse a shape that diverges from the table
+          // (a mismatched file would silently null-fill on read, and
+          // could even flip the sniffed table schema)
+          val want = schema().fields.map(f => (f.name, f.dataType)).toSeq
+          val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+          require(got == want,
+            s"$ident: stream schema ${info.schema().simpleString} does " +
+              s"not match the table schema ${schema().simpleString}")
           new SnapshotStreamingWrite(spark, uri, info.schema(),
             info.queryId())
         }
@@ -222,6 +231,12 @@ private object FilterSql {
     case n @ (_: Double | _: Float) => n.toString
     case d: java.math.BigDecimal => d.toPlainString
     case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    // date/timestamp predicates are THE dynamic-overwrite use case
+    case d: java.sql.Date => s"DATE'$d'"
+    case d: java.time.LocalDate => s"DATE'$d'"
+    case t: java.sql.Timestamp =>
+      s"TIMESTAMP'${t.toInstant}'"
+    case t: java.time.Instant => s"TIMESTAMP'$t'"
     case other => throw new UnsupportedOperationException(
       s"INSERT OVERWRITE filter: cannot render literal $other " +
         s"(${other.getClass.getName}) — use the graft SQL " +
@@ -864,7 +879,12 @@ final class SnapshotStreamingWrite(
       case m: StagedFileMessage if m.rows > 0 => m
     }
     val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
-    if (staged.nonEmpty) {
+    // replayed epoch (driver recovery): the claim already exists —
+    // checking BEFORE the rename loop keeps the re-staged duplicate
+    // batch out of the table entirely (no orphans to expire)
+    val alreadyCommitted = Snapshots
+      .txnLastEpoch(spark, uri, s"stream-$queryId").exists(_ >= epochId)
+    if (staged.nonEmpty && !alreadyCommitted) {
       // unique final names; the manifest commit decides visibility
       val stamp = java.util.UUID.randomUUID().toString.take(8)
       val names = staged.zipWithIndex.map { case (m, i) =>

@@ -37,8 +37,8 @@ object SpjBench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     val tmp = System.getProperty("java.io.tmpdir")
-    val oUri = s"$tmp/graft_spjbench_o_x$factor"
-    val lUri = s"$tmp/graft_spjbench_l_x$factor"
+    val oUri = s"$tmp/graft_spjbench_o_x${factor}_b$buckets"
+    val lUri = s"$tmp/graft_spjbench_l_x${factor}_b$buckets"
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -50,8 +50,10 @@ object SpjBench {
       reps.reduce(_.unionAll(_))
     }
 
-    val marker = new org.apache.hadoop.fs.Path(oUri, s"_graft_manifests")
-    if (!fs.exists(marker)) {
+    // both sides must exist (a crash between the two inits must rebuild)
+    val marker = Seq(oUri, lUri).map(u =>
+      new org.apache.hadoop.fs.Path(u, "_graft_manifests"))
+    if (!marker.forall(fs.exists)) {
       Seq(oUri, lUri).foreach(u =>
         fs.delete(new org.apache.hadoop.fs.Path(u), true))
       val o = replicate(

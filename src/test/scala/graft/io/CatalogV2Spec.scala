@@ -507,6 +507,47 @@ class CatalogV2Spec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
   }
 
+  test("streaming write refuses a schema that diverges from the table") {
+    val src = freshTable("catv2_wsink_bad_src")
+    val tgt = freshTable("catv2_wsink_bad_tgt")
+    val ckpt = freshTable("catv2_wsink_bad_ckpt")
+    spark.range(0, 5).selectExpr("id AS k").write.parquet(src)
+    Snapshots.init(spark, src)
+    spark.range(0, 5).selectExpr("id AS k", "id AS v").write.parquet(tgt)
+    Snapshots.init(spark, tgt)
+    val e = intercept[Exception] {
+      val q = spark.readStream
+        .option("startingVersion", "1").table(s"graft.`$src`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$tgt`")
+      q.awaitTermination(60000)
+      throw new IllegalStateException("should have refused")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("does not match") ||
+      m.contains("DATATYPE_MISMATCH") || m.contains("too many data columns")),
+      s"expected a schema refusal, got: ${messages(e)}")
+  }
+
+  test("filtered overwrite renders date predicates (writeTo API)") {
+    val dir = freshTable("catv2_date_ow")
+    spark.sql("SELECT id AS k, DATE'2024-01-01' + CAST(id % 3 AS INT) AS d " +
+      "FROM range(30)").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql("SELECT id + 100 AS k, DATE'2024-01-02' AS d FROM range(5)")
+      .writeTo(s"graft.`$dir`")
+      .overwrite(col("d") === lit(java.sql.Date.valueOf("2024-01-02")))
+    val left = spark.sql(s"SELECT k FROM graft.`$dir`")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // day 2's ten original rows replaced by the five new ones
+    val expect = ((0L until 30L).filter(_ % 3 != 1) ++
+      (100L until 105L)).sorted
+    assert(left == expect)
+  }
+
   test("manifest statistics reach the V2 scan (filtered size)") {
     val dir = freshTable("catv2_stats")
     spark.range(0, 1000).selectExpr("id AS k").write.parquet(dir)
