@@ -104,6 +104,54 @@ object Probe {
     probe("analyze-no-columns") {
       graft.io.Maintenance.analyze(spark, s"$dir/region.parquet", Nil)
     }
+    // V2 catalog error surface (round 9)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.io.catalog.GraftCatalog].getName)
+    probe("catalog-not-a-table") {
+      spark.sql(s"SELECT * FROM graft.`$dir/lineitem.parquet`").count()
+    }
+    probe("catalog-bad-version") {
+      import spark.implicits._
+      val t = s"$tmp/graft_probe_cat"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(t), true)
+      Seq((1L, "a")).toDF("k", "v").write.parquet(t)
+      graft.io.Snapshots.init(spark, t)
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 'no-such-tag'")
+        .count()
+    }
+    probe("catalog-stream-partitioned-refused") {
+      import spark.implicits._
+      val t = s"$tmp/graft_probe_cat_part"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(t), true)
+      Seq((1L, "p")).toDF("k", "part")
+        .write.partitionBy("part").parquet(t)
+      graft.io.Snapshots.init(spark, t)
+      val q = spark.readStream.option("startingVersion", "1")
+        .table(s"graft.`$t`")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/graft_probe_cat_part_ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    probe("catalog-create-refused") {
+      spark.sql("CREATE TABLE graft.`/tmp/graft_probe_new` (k BIGINT)")
+    }
+    probe("catalog-stream-complete-mode-refused") {
+      val t = s"$tmp/graft_probe_cat"
+      val q = spark.readStream
+        .option("startingVersion", "1").table(s"graft.`$t`")
+        .groupBy("v").count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/graft_probe_cat_ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$t`")
+      try q.awaitTermination() finally q.stop()
+    }
     spark.stop()
   }
 }

@@ -130,4 +130,44 @@ class ReadEquivalenceProps extends AnyFunSuite {
         s"[case $i mode $mode] indexed != catalog for: $pred")
     }
   }
+
+  test("routes agree on NULL-bearing tables with null-test predicates") {
+    val rnd = new scala.util.Random(907)
+    (1 to 8).foreach { i =>
+      val dir = TestSpark.tmpDir(s"reqn_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+      val n = 60 + rnd.nextInt(100)
+      val rows = (1 to n).map { j =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(4) == 0) null else rnd.nextInt(50).toLong
+        val sv: String =
+          if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(8)}"
+        (j.toLong, k, sv)
+      }
+      rows.toDF("id", "k", "s")
+        .repartition(1 + rnd.nextInt(4)).write.parquet(dir)
+      Snapshots.init(spark, dir)
+      if (rnd.nextBoolean())
+        Snapshots.deleteWhereCommit(spark, dir,
+          s"id % ${3 + rnd.nextInt(3)} = 0", mergeOnRead = true)
+      val pred = rnd.nextInt(4) match {
+        case 0 => "k IS NULL"
+        case 1 => "k IS NOT NULL AND s IS NULL"
+        case 2 => s"k IS NULL OR k = ${rnd.nextInt(50)}"
+        case _ => s"s IS NOT NULL AND k <= ${rnd.nextInt(50)}"
+      }
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id").collect().toSeq
+      val indexed = canon(Snapshots.readIndexed(spark, dir).filter(expr(pred)))
+      val eager = canon(Snapshots.readWhere(spark, dir, pred))
+      val plain = canon(Snapshots.read(spark, dir).filter(expr(pred)))
+      val catalog = canon(spark.sql(
+        s"SELECT id, k, s FROM graft.`$dir` WHERE $pred"))
+      assert(indexed == eager, s"[case $i] indexed != eager for: $pred")
+      assert(indexed == plain, s"[case $i] indexed != plain for: $pred")
+      assert(indexed == catalog, s"[case $i] indexed != catalog for: $pred")
+    }
+  }
 }
