@@ -498,6 +498,65 @@ object Snapshots extends Serializable {
     1
   }
 
+  /**
+   * CREATE TABLE: start a snapshot table from a DECLARED schema with
+   * no data.  Manifest v1 is empty and pins schema id 1 (written as a
+   * [[SchemaEvolution.SchemaDef]], so reads of the empty table — and
+   * later ALTERs — have a schema source of truth without any data
+   * file).  The declared layout (partition transforms and/or identity
+   * hive partition columns) is recorded in table.properties so the
+   * FIRST append already lands partitioned.  This is what the V2
+   * catalog's `CREATE TABLE` / CTAS routes through; [[init]] remains
+   * the adopt-existing-files path.
+   */
+  def initEmpty(spark: SparkSession, uri: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transforms: Seq[PartitionTransforms.Transform] = Nil,
+      identityPartitionCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Int = {
+    val fs = fsOf(spark, uri)
+    require(!fs.exists(manifestDir(uri)),
+      s"$uri is already snapshot-managed")
+    val dir = new Path(uri)
+    require(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
+      s"$uri already contains files — snapshot-manage existing data " +
+        "with init/initTransformed instead of creating over it")
+    require(transforms.isEmpty || identityPartitionCols.isEmpty,
+      "declare partition TRANSFORMS or identity partition columns, " +
+        "not both (mixed layouts are not supported)")
+    transforms.foreach(t => require(schema.fieldNames.contains(t.baseCol),
+      s"transform base column '${t.baseCol}' is not in the schema"))
+    identityPartitionCols.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the schema"))
+    require(identityPartitionCols.size < schema.size,
+      "a table cannot be partitioned by every column")
+    fs.mkdirs(dir)
+    SchemaEvolution.writeDef(spark, uri, 1,
+      SchemaEvolution.SchemaDef(schema, Map.empty, Set.empty))
+    writeManifest(spark, uri, 1, Nil, kind = "create", schemaId = Some(1))
+    val declared =
+      (if (transforms.isEmpty) Map.empty[String, String]
+       else Map("partition.transforms" -> PartitionTransforms.format(transforms))) ++
+      (if (identityPartitionCols.isEmpty) Map.empty[String, String]
+       else Map("partition.columns" -> identityPartitionCols.mkString(","))) ++
+      props
+    if (declared.nonEmpty)
+      updateTableProps(spark, uri)(_ ++ declared)
+    1
+  }
+
+  /** Partition columns a WRITE must reproduce: derived from the
+    * current entries' paths when data exists; for an EMPTY table (just
+    * created, or truncated) the declared layout in table.properties is
+    * the truth — transform dir columns first, then identity columns. */
+  private[io] def writePartitionCols(spark: SparkSession, uri: String,
+      entries: Seq[ManifestEntry]): Seq[String] =
+    if (entries.nonEmpty) partitionColsOf(entries)
+    else transformsOf(spark, uri).map(_.dirCol) ++
+      readTableProps(spark, uri).get("partition.columns")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   def latestVersion(spark: SparkSession, uri: String): Int = {
     val fs = fsOf(spark, uri)
     val md = manifestDir(uri)
@@ -527,11 +586,18 @@ object Snapshots extends Serializable {
       evolveFor(spark, uri, v,
         dropHidden(spark, uri, readFiles(spark, uri, entries)))
     else {
-      // a DELETE WHERE matching every row publishes an empty manifest —
-      // that version must stay readable (empty result, real schema).
-      // The schema comes from the nearest surviving non-empty ancestor;
-      // v1 is never empty (init requires data files), so this only
-      // fails if expire already reclaimed every ancestor's files.
+      // a CREATE TABLE v1 or a DELETE WHERE matching every row
+      // publishes an empty manifest — that version must stay readable
+      // (empty result, real schema).  A manifest with a schema pointer
+      // answers from its SchemaDef directly (created-empty tables have
+      // no data ancestor at all); otherwise the schema comes from the
+      // nearest surviving non-empty ancestor, which only fails if
+      // expire already reclaimed every ancestor's files.
+      readManifestFull(spark, uri, v).schemaId.foreach { id =>
+        val d = SchemaEvolution.readDef(spark, uri, id)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema)
+      }
       val fs = fsOf(spark, uri)
       val prior = (v - 1 to 1 by -1).iterator
         .filter(pv => fs.exists(manifestPath(uri, pv)))
@@ -1057,7 +1123,7 @@ object Snapshots extends Serializable {
       .filter(t => !df.columns.contains(t.dirCol))
     val prepared =
       if (transforms.isEmpty) df else PartitionTransforms.prepare(df, transforms)
-    writeTmp(prepared, tmp, partitionColsOf(entries))
+    writeTmp(prepared, tmp, writePartitionCols(spark, uri, entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV, entriesFor(spark, uri, moved),
@@ -1093,14 +1159,21 @@ object Snapshots extends Serializable {
         s"'$predicate' — the replacement must stay inside the replaced " +
         "region (filter the input or widen the predicate)")
     val byRel = entries.map(e => e.name -> e).toMap
-    val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
+    // an EMPTY table (just created, or fully deleted) has nothing to
+    // replace — the eager read recovers the schema without data files
+    val target =
+      if (entries.isEmpty) read(spark, uri, v)
+      else evolveFor(spark, uri, v, readFiles(spark, uri, entries))
     val liveOf: String => Long = f => {
       val e = byRel(relName(uri, f))
       e.liveRows.getOrElse(
         physicalRows(spark, uri, e.name) - e.dv.map(_.rows).getOrElse(0L))
     }
     val (dropWhole, touched, replacement) =
-      MergeInto.deletePlan(spark, target, predicate, basePath = Some(uri),
+      if (entries.isEmpty)
+        (Seq.empty[String], Set.empty[String], Option.empty[DataFrame])
+      else MergeInto.deletePlan(spark, target, predicate,
+        basePath = Some(uri),
         readTouched = Some(dvAwareTouched(spark, uri, entries)),
         liveRowCount = Some(liveOf))
     val fs = fsOf(spark, uri)
@@ -1116,7 +1189,7 @@ object Snapshots extends Serializable {
         Some(stageCdc(spark, uri, pre, Some(df.select(dataCols.map(col): _*))))
       }
     val newV = v + 1
-    val partCols = partitionColsOf(entries)
+    val partCols = writePartitionCols(spark, uri, entries)
     // rewrites of partially-matching files (without their matched rows)
     val movedRewrites = replacement match {
       case Some(r) =>
@@ -1333,7 +1406,7 @@ object Snapshots extends Serializable {
     val prepared =
       if (transforms.isEmpty) df
       else PartitionTransforms.prepare(df, transforms)
-    writeTmp(prepared, tmp, partitionColsOf(entries))
+    writeTmp(prepared, tmp, writePartitionCols(spark, uri, entries))
     val newV = v + 1
     val moved = publishTmp(fs, tmp, uri, newV)
     writeManifest(spark, uri, newV,
@@ -1407,6 +1480,37 @@ object Snapshots extends Serializable {
             kind = "append", txn = Some(s"$txnId:$epoch"))
           newV
       }
+    }
+  }
+
+  /**
+   * Replace exactly `removeRels` (table-relative names) with
+   * ALREADY-WRITTEN files `addNames` in ONE atomic manifest commit —
+   * the commit half of a copy-on-write group rewrite (the V2 row-level
+   * UPDATE/MERGE path).  Retried under the optimistic loop; a
+   * concurrent commit that made any removed file leave the manifest
+   * (another rewrite won the race on an overlapping file set) fails
+   * with [[java.util.ConcurrentModificationException]] rather than
+   * resurrecting or double-applying rows — the caller's staged files
+   * become orphans that [[expire]] reclaims.
+   */
+  def replaceFilesCommit(spark: SparkSession, uri: String,
+      removeRels: Seq[String], addNames: Seq[String],
+      kind: String = "replace"): Int = {
+    val newEntries = entriesFor(spark, uri, addNames)
+    val removeSet = removeRels.toSet
+    retryCommit() {
+      val v = latestVersion(spark, uri)
+      val entries = readManifestEntries(spark, uri, v)
+      val have = entries.map(_.name).toSet
+      val missing = removeRels.filterNot(have)
+      if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"$uri: files ${missing.take(3).mkString(", ")}… left the " +
+          "manifest during the rewrite (concurrent writer) — re-run " +
+          "the operation against the current version")
+      writeManifest(spark, uri, v + 1,
+        entries.filterNot(e => removeSet(e.name)) ++ newEntries, kind)
+      v + 1
     }
   }
 

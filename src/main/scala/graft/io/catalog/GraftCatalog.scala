@@ -46,9 +46,12 @@ import graft.io.Snapshots
  * resolves the latest manifest whose recorded commit wall-clock is
  * <= t — the same rules as [[Snapshots.readAsOf]].
  *
- * DDL (create/drop/alter) is intentionally NOT routed through this
- * catalog — graft's own SQL statements and the [[Snapshots]] API are
- * the write surface; the catalog is a read head over manifests.
+ * DDL routes onto the snapshot layer's own primitives: CREATE TABLE /
+ * CTAS (with `PARTITIONED BY (bucket(n, c) | truncate(w, c) | c)`
+ * layouts) = [[Snapshots.initEmpty]], ALTER TABLE ADD/RENAME/DROP
+ * COLUMN = [[graft.io.SchemaEvolution]]'s metadata-only commits,
+ * SET/UNSET TBLPROPERTIES = the locked table.properties update, DROP /
+ * RENAME TABLE = filesystem moves guarded to snapshot-managed dirs.
  */
 final class GraftCatalog extends TableCatalog with FunctionCatalog
     with SupportsNamespaces {
@@ -166,25 +169,171 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           .map(p => Identifier.of(namespace, p.getName))
     }
 
+  // ------------------------------------------------------------- DDL
+  //
+  // CREATE/ALTER/DROP/RENAME route onto the snapshot layer's own
+  // primitives, so a SQL-only user never has to touch the programmatic
+  // API: CREATE TABLE (and CTAS) = [[Snapshots.initEmpty]] with the
+  // declared layout recorded for the first append; ALTER TABLE
+  // ADD/RENAME/DROP COLUMN = [[SchemaEvolution]]'s metadata-only
+  // commits; SET/UNSET TBLPROPERTIES = the locked table.properties
+  // update (graft-internal keys refused).
+
+  /** Keys DDL must not clobber — they encode the physical layout /
+    * lineage and are maintained by the engine itself. */
+  private val reservedProps = Set(
+    "partition.transforms", "partition.columns", "schema.current",
+    "mview.src")
+
+  /** Spark-side reserved option keys that arrive in `properties`. */
+  private val sparkProps = Set(TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  private def createUriOf(
+      ident: Identifier, properties: util.Map[String, String]): String =
+    Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse {
+      if (ident.name.contains("/")) ident.name
+      else warehouse match {
+        case Some(w) =>
+          (w.stripSuffix("/") +: (ident.namespace.toSeq :+ ident.name))
+            .mkString("/")
+        case None => throw new UnsupportedOperationException(
+          s"cannot create $ident: set the catalog's 'warehouse' option " +
+            "(or name the table by a full path, or give LOCATION)")
+      }
+    }
+
   override def createTable(
       ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read surface — create tables with " +
-        "Snapshots.init/initTransformed or COPY TO + SNAPSHOT INIT")
+      properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    val uri = createUriOf(ident, properties)
+    if (managed(uri)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach { p =>
+      require(p.equalsIgnoreCase("parquet") || p.equalsIgnoreCase("graft"),
+        s"graft tables are parquet-backed — USING $p is not supported")
+    }
+    val schema = StructType(columns.toSeq.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    def baseTypeOf(col: String): String = schema(col).dataType match {
+      case IntegerType => "int"
+      case LongType => "long"
+      case StringType => "string"
+      case other => throw new UnsupportedOperationException(
+        s"partition transform on $col: unsupported type $other " +
+          "(int, bigint and string columns only)")
+    }
+    var transforms = Seq.empty[graft.io.PartitionTransforms.Transform]
+    var identCols = Seq.empty[String]
+    partitions.foreach { t =>
+      def colOf: String = t.references match {
+        case Array(r: NamedReference) if r.fieldNames.length == 1 =>
+          r.fieldNames.head
+        case other => throw new UnsupportedOperationException(
+          s"transform ${t.describe} must reference exactly one " +
+            s"top-level column (got ${other.mkString(", ")})")
+      }
+      def widthOf: Long = t.arguments.collectFirst {
+        case l: VLit[_] => l.value.toString.toLong
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"transform ${t.describe} needs a literal width"))
+      t.name match {
+        case "identity" => identCols :+= colOf
+        case "bucket" =>
+          transforms :+= graft.io.PartitionTransforms.Bucket(
+            widthOf.toInt, colOf, baseTypeOf(colOf))
+        case "truncate" =>
+          val c = colOf
+          transforms :+= (baseTypeOf(c) match {
+            case "string" =>
+              graft.io.PartitionTransforms.TruncateStr(widthOf.toInt, c)
+            case bt =>
+              graft.io.PartitionTransforms.TruncateInt(widthOf, c, bt)
+          })
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' — bucket, " +
+            "truncate and identity columns are supported")
+      }
+    }
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap -- sparkProps
+    }
+    val bad = userProps.keySet.intersect(reservedProps)
+    require(bad.isEmpty,
+      s"table properties ${bad.mkString(", ")} are engine-maintained — " +
+        "declare layout with PARTITIONED BY")
+    Snapshots.initEmpty(spark, uri, schema, transforms, identCols,
+      userProps)
+    new SnapshotV2Table(spark, uri, ident.toString, -1)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read surface — alter through SchemaEvolution")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val uri = uriOf(ident)
+    if (!managed(uri)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported")
+        graft.io.SchemaEvolution.addColumn(
+          spark, uri, a.fieldNames.head, a.dataType)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN ${r.fieldNames.mkString(".")} is not supported")
+        graft.io.SchemaEvolution.renameColumn(
+          spark, uri, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN ${d.fieldNames.mkString(".")} is not supported")
+        graft.io.SchemaEvolution.dropColumn(spark, uri, d.fieldNames.head)
+      case p: TableChange.SetProperty =>
+        require(!reservedProps.contains(p.property),
+          s"table property '${p.property}' is engine-maintained")
+        Snapshots.updateTableProps(spark, uri)(_ + (p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        require(!reservedProps.contains(p.property),
+          s"table property '${p.property}' is engine-maintained")
+        Snapshots.updateTableProps(spark, uri)(_ - p.property)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — column add/rename/" +
+          "drop and table properties are supported")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read surface — drop tables on the filesystem")
+  /** DROP TABLE: removes the table DIRECTORY (data, manifests, DVs,
+    * schema files) — only ever a snapshot-managed dir, so a stray
+    * identifier can't delete arbitrary paths. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val uri = try uriOf(ident) catch {
+      case _: NoSuchTableException => return false
+    }
+    if (!managed(uri)) return false
+    val p = new org.apache.hadoop.fs.Path(uri)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read surface — rename tables on the filesystem")
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val fromUri = uriOf(from)
+    if (!managed(fromUri)) throw new NoSuchTableException(from)
+    val toUri = try uriOf(to) catch {
+      case _: NoSuchTableException => throw new UnsupportedOperationException(
+        s"cannot rename to $to: set the catalog's 'warehouse' option " +
+          "or use a full-path identifier")
+    }
+    val fs = new org.apache.hadoop.fs.Path(fromUri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val toPath = new org.apache.hadoop.fs.Path(toUri)
+    if (fs.exists(toPath)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(to)
+    Option(toPath.getParent).foreach(fs.mkdirs)
+    require(fs.rename(new org.apache.hadoop.fs.Path(fromUri), toPath),
+      s"rename $from -> $to failed")
+  }
 
   // ------------------------------------------------------- functions
 

@@ -138,8 +138,23 @@ object Probe {
         .start()
       try q.awaitTermination() finally q.stop()
     }
-    probe("catalog-create-refused") {
-      spark.sql("CREATE TABLE graft.`/tmp/graft_probe_new` (k BIGINT)")
+    probe("catalog-create-over-existing-refused") {
+      // CREATE over a dir that already contains files must refuse —
+      // initEmpty never adopts or clobbers data (init does adoption)
+      val dir = s"$tmp/graft_probe_create_clobber"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(3).write.parquet(dir)
+      spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT)")
+    }
+    probe("catalog-create-reserved-prop-refused") {
+      val dir = s"$tmp/graft_probe_create_prop"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT) " +
+        "TBLPROPERTIES ('partition.transforms'='bucket(2,k,long)')")
     }
     probe("catalog-stream-complete-mode-refused") {
       val t = s"$tmp/graft_probe_cat"

@@ -20,4 +20,15 @@ object TestSpark {
   val sfDir = "/root/testdata/sf0.001"
   def tmpDir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_test_$name"
+
+  /** Run `body` with conf overrides, restoring previous values after. */
+  def withConf[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

@@ -1,0 +1,198 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * SQL DDL through the V2 catalog ([[graft.io.catalog.GraftCatalog]]):
+ * CREATE TABLE (flat / bucket-transform / identity-partitioned), CTAS,
+ * INSERT into created-empty tables, ALTER TABLE column evolution and
+ * properties, DROP TABLE and RENAME TO — the full life of a table
+ * without ever touching the programmatic API.
+ */
+class CatalogDdlSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwh", "graft.io.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwh.warehouse",
+      TestSpark.tmpDir("ddl_warehouse"))
+    s
+  }
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+
+  test("CREATE TABLE (flat), read empty, INSERT, read back") {
+    val dir = fresh("ddl_flat")
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING)")
+    val empty = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    assert(empty.count() == 0)
+    // the programmatic read path agrees on the declared schema
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a'), (2, 'b')")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$dir`")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+  }
+
+  test("CREATE TABLE refuses an existing table and non-parquet providers") {
+    val dir = fresh("ddl_dup")
+    spark.sql(s"CREATE TABLE graft.`$dir` (k INT)")
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$dir` (k INT)"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    val dir2 = fresh("ddl_prov")
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$dir2` (k INT) USING csv"))
+    assert(e2.getMessage.contains("parquet-backed"))
+  }
+
+  test("CREATE TABLE PARTITIONED BY bucket: first append lands bucketed") {
+    val dir = fresh("ddl_bucket")
+    spark.sql(
+      s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, 100)")
+    // physical layout: pb_k=<bucket> dirs, recorded transform spec
+    val entries = Snapshots.readManifestEntries(
+      spark, dir, Snapshots.latestVersion(spark, dir))
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.name.startsWith("pb_k=")),
+      entries.map(_.name).take(3).mkString(", "))
+    // user-facing read has no hidden column and full data
+    val back = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 100)
+    // bucket pruning works on equality (eqVeto path)
+    val one = spark.sql(s"SELECT * FROM graft.`$dir` WHERE k = 7")
+    assert(rows(one) == Seq(Seq(7L, "7")))
+  }
+
+  test("CREATE TABLE PARTITIONED BY identity column: hive layout") {
+    val dir = fresh("ddl_hive")
+    spark.sql(
+      s"CREATE TABLE graft.`$dir` (k BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END " +
+      "AS part FROM range(0, 10)")
+    val entries = Snapshots.readManifestEntries(
+      spark, dir, Snapshots.latestVersion(spark, dir))
+    assert(entries.forall(e => e.name.startsWith("part=")),
+      entries.map(_.name).take(3).mkString(", "))
+    val back = spark.sql(s"SELECT * FROM graft.`$dir` WHERE part = 'even'")
+    assert(back.count() == 5)
+  }
+
+  test("CTAS materializes the query as v1+append") {
+    val dir = fresh("ddl_ctas")
+    spark.sql(s"CREATE TABLE graft.`$dir` AS " +
+      "SELECT id AS k, id * 3 AS t FROM range(0, 50)")
+    val back = spark.sql(s"SELECT sum(t) AS s, count(*) AS n FROM graft.`$dir`")
+    assert(rows(back) == Seq(Seq(3L * 49 * 50 / 2, 50L)))
+  }
+
+  test("warehouse-rooted names: CREATE, SHOW TABLES, DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gwh.ns1")
+    spark.sql("CREATE TABLE gwh.ns1.t1 (k INT)")
+    spark.sql("INSERT INTO gwh.ns1.t1 VALUES (5)")
+    assert(rows(spark.sql("SELECT * FROM gwh.ns1.t1")) == Seq(Seq(5)))
+    val listed = spark.sql("SHOW TABLES IN gwh.ns1").collect()
+      .map(_.getString(1)).toSeq
+    assert(listed.contains("t1"))
+    assert(spark.sql("DROP TABLE gwh.ns1.t1").collect().isEmpty)
+    val e = intercept[Exception](spark.sql("SELECT * FROM gwh.ns1.t1"))
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"))
+  }
+
+  test("ALTER TABLE: add, rename, drop column, properties") {
+    val dir = fresh("ddl_alter")
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN w INT")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (2, 'b', 9)")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$dir`")) ==
+      Seq(Seq(1L, "a", null), Seq(2L, "b", 9)))
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO label")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq ==
+      Seq("k", "label", "w"))
+    // old files resolve through the former name
+    assert(rows(spark.sql(
+      s"SELECT label FROM graft.`$dir` WHERE k = 1")) == Seq(Seq("a")))
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN w")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq ==
+      Seq("k", "label"))
+    // properties round-trip; engine keys refused
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES ('cdc.cow'='true')")
+    assert(Snapshots.readTableProps(spark, dir).get("cdc.cow")
+      .contains("true"))
+    spark.sql(s"ALTER TABLE graft.`$dir` UNSET TBLPROPERTIES ('cdc.cow')")
+    assert(!Snapshots.readTableProps(spark, dir).contains("cdc.cow"))
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('partition.transforms'='bucket(2,k,long)')"))
+    assert(e.getMessage.contains("engine-maintained"))
+  }
+
+  test("ALTER TABLE RENAME TO moves the directory") {
+    val from = fresh("ddl_ren_from")
+    val to = fresh("ddl_ren_to")
+    spark.sql(s"CREATE TABLE graft.`$from` (k INT)")
+    spark.sql(s"INSERT INTO graft.`$from` VALUES (3)")
+    spark.sql(s"ALTER TABLE graft.`$from` RENAME TO graft.`$to`")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$to`")) == Seq(Seq(3)))
+    val fs = new Path(from).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(from)))
+  }
+
+  test("DROP TABLE only ever deletes snapshot-managed dirs") {
+    val dir = fresh("ddl_unmanaged")
+    spark.range(3).write.parquet(dir) // plain parquet, NOT managed
+    val e = intercept[Exception](spark.sql(s"DROP TABLE graft.`$dir`"))
+    assert(e.getMessage.toLowerCase.contains("not") ||
+      e.getMessage.contains("TABLE_OR_VIEW"))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(dir)), "unmanaged dir must survive DROP")
+  }
+
+  test("created bucketed tables storage-partition-join with no shuffle") {
+    val d1 = fresh("ddl_spj_a")
+    val d2 = fresh("ddl_spj_b")
+    Seq(d1, d2).foreach { d =>
+      spark.sql(s"CREATE TABLE graft.`$d` (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"INSERT INTO graft.`$d` " +
+        s"SELECT id AS k, id * 7 AS v FROM range(0, 400)")
+    }
+    TestSpark.withConf(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.sql(
+        s"SELECT a.k, a.v, b.v AS v2 FROM graft.`$d1` a " +
+          s"JOIN graft.`$d2` b ON a.k = b.k")
+      assert(j.count() == 400)
+      val plan = j.queryExecution.executedPlan
+      val nShuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => s
+      }.size
+      assert(nShuffles == 0, s"expected SPJ with 0 shuffles:\n$plan")
+    }
+  }
+}
