@@ -901,6 +901,7 @@ object Snapshots extends Serializable {
     if (mergeOnRead) return deleteWhereCommitMor(spark, uri, predicate)
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
+    if (entries.isEmpty) return v // nothing to delete (created-empty)
     val byRel = entries.map(e => e.name -> e).toMap
     val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
     // whole-file detection must compare against LIVE rows (footer count

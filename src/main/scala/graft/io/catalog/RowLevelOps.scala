@@ -1,0 +1,189 @@
+package graft.io.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.Snapshots
+
+/**
+ * Group-based COPY-ON-WRITE row-level operation for snapshot tables —
+ * what Spark's `UPDATE`, `MERGE INTO` and (non-filter-translatable)
+ * `DELETE FROM` SQL plan against a
+ * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+ * table.  The contract (Spark's `ReplaceData` plan):
+ *
+ *  1. Spark reads the table through [[newScanBuilder]]'s scan, narrowed
+ *     to candidate GROUPS (files): the command's condition is pushed
+ *     for manifest stats/Bloom/transform pruning, and runtime group
+ *     filtering re-prunes the file list mid-query from the matching
+ *     rows' key values ([[SnapshotScan]] implements runtime filtering).
+ *     The scan runs in `rewriteMode`: surviving files stream EVERY
+ *     live row (no parquet row-group/page filtering — those rows must
+ *     be carried over), with deletion vectors still applied.
+ *  2. Spark computes the affected groups' FULL replacement content
+ *     (carried rows + updated/merged rows, minus deleted ones) and
+ *     writes it through [[newWriteBuilder]]'s write: executors stage
+ *     plain parquet under `_rewrite_tmp/<stamp>/`.
+ *  3. The driver commit swaps exactly the scanned files for the staged
+ *     ones in ONE atomic manifest commit
+ *     ([[Snapshots.replaceFilesCommit]]) — a concurrent writer that
+ *     touched any scanned file fails the commit instead of losing
+ *     rows.
+ *
+ * At 100 TB the pruning does the heavy lifting: an `UPDATE ... WHERE
+ * k = 5` rewrites the files that may CONTAIN k=5 (often one), not the
+ * table.  FLAT tables only — partitioned/transform layouts keep graft's
+ * own SQL UPDATE/MERGE statements (their rewrite path reproduces the
+ * hive layout); a CDC-enabled table refuses (this path records no
+ * change feed, and silently breaking the feed would be worse).
+ *
+ * Reference parity note: the reference engine delegates DML to its
+ * host database (`/root/reference/README.md`); this is the Spark-native
+ * equivalent surface.
+ */
+final class GraftRowLevelOperation(
+    spark: SparkSession, uri: String, table: SnapshotV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The ReplaceData relation's scan — set when Spark builds it; its
+    * post-runtime-filter file list is what the commit replaces.  (The
+    * runtime group-filter SUBQUERY scans through the original table's
+    * own scan builder, not this one, so exactly one scan lands here.) */
+  @volatile private[catalog] var scan: SnapshotScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(spark, uri, table, options, rewrite = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(table.partSchema.isEmpty,
+      s"${table.name()}: native ${cmd.name} serves FLAT tables — use " +
+        "graft SQL UPDATE/MERGE INTO/DELETE FROM statements for " +
+        "partitioned and transform layouts")
+    require(!Snapshots.readTableProps(spark, uri).get("cdc.cow")
+        .contains("true"),
+      s"${table.name()}: native ${cmd.name} does not record the " +
+        "change-data feed — use graft SQL UPDATE/MERGE INTO/DELETE " +
+        "FROM on CDC-enabled tables")
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceDataWrite(spark, uri, GraftRowLevelOperation.this,
+          info.schema())
+    }
+  }
+
+  override def description(): String = s"GraftCow(${cmd.name}, $uri)"
+}
+
+/** The ReplaceData write: stage parquet on executors, swap files on
+  * commit. */
+final class GraftReplaceDataWrite(
+    spark: SparkSession, uri: String, op: GraftRowLevelOperation,
+    schema: StructType) extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val stamp = java.util.UUID.randomUUID().toString.take(8)
+    private def stageRoot = new Path(uri, "_rewrite_tmp")
+    private def stageDir = new Path(stageRoot, stamp)
+    private def fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      GraftBatchWriterFactory(
+        new SerializableConfiguration(ParquetTaskWriteConf(spark, schema)),
+        stageDir.toString, schema)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.collect {
+        case m: StagedFileMessage if m.rows > 0 => m
+      }
+      require(op.scan != null,
+        s"$uri: row-level write committed without a planned scan")
+      val removed = op.scan.scannedRels
+      try {
+        // nothing scanned and nothing produced: the condition matched
+        // no file — the table head is already the answer
+        if (removed.isEmpty && staged.isEmpty) return
+        val names = staged.zipWithIndex.map { case (m, i) =>
+          val name = f"part-rw-$stamp-$i%05d.parquet"
+          require(fs.rename(new Path(m.path), new Path(uri, name)),
+            s"staged move ${m.path} failed")
+          name
+        }
+        Snapshots.replaceFilesCommit(spark, uri, removed, names.toSeq,
+          kind = op.command().name.toLowerCase)
+      } finally fs.delete(stageDir, true)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      fs.delete(stageDir, true)
+      ()
+    }
+  }
+
+  override def description(): String =
+    s"GraftReplaceData(${op.command().name}, $uri)"
+}
+
+/** Serializable batch twin of [[GraftStreamingWriterFactory]], aware
+  * of the ReplaceData row shape. */
+final case class GraftBatchWriterFactory(
+    conf: SerializableConfiguration, dir: String,
+    rowSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new OpColumnStrippingWriter(
+      new GraftStreamingDataWriter(conf, new Path(dir), partitionId, taskId),
+      rowSchema)
+}
+
+/**
+ * Spark's group-based `ReplaceData` query prepends an internal
+ * `__row_operation` INT column ([[org.apache.spark.sql.catalyst.util
+ * .RowDeltaUtils]]) to every row — and only strips it before the
+ * connector's writer when the operation declared metadata attributes
+ * (the `DataAndMetadataWritingSparkTask` path).  With no metadata
+ * columns the raw `[op, row...]` rows reach the writer, so this
+ * wrapper strips the marker itself: rows one field wider than the
+ * declared write schema must lead with `WRITE_OPERATION` and are
+ * projected down; exact-width rows pass through.
+ */
+final class OpColumnStrippingWriter(
+    inner: DataWriter[InternalRow], rowSchema: StructType)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+
+  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    rowSchema, (1 to rowSchema.length).toList)
+
+  override def write(row: InternalRow): Unit =
+    if (row.numFields == rowSchema.length) inner.write(row)
+    else {
+      require(row.numFields == rowSchema.length + 1,
+        s"row-level write row has ${row.numFields} fields for schema " +
+          s"${rowSchema.simpleString}")
+      val op = row.getInt(0)
+      // Spark stamps WRITE_WITH_METADATA_OPERATION even when the
+      // operation declared no metadata attributes — accept both write
+      // markers, refuse anything else (a delta op would mean rows here
+      // are deletes/updates to APPLY, not content to write)
+      require(op == RowDeltaUtils.WRITE_OPERATION ||
+          op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+        s"unexpected row operation marker $op in a group rewrite")
+      proj.project(row)
+      inner.write(proj)
+    }
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}

@@ -60,7 +60,9 @@ import graft.io.{DeletionVectors, PartitionTransforms, SchemaEvolution, Snapshot
  */
 final class SnapshotV2Table(
     spark: SparkSession, uri: String, ident: String, version: Int)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private[catalog] lazy val v: Int =
     if (version <= 0) Snapshots.latestVersion(spark, uri) else version
@@ -102,12 +104,15 @@ final class SnapshotV2Table(
       case Some(d) =>
         d.schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
       case None =>
-        require(entries.nonEmpty,
-          s"$uri v$v is an empty snapshot — the V2 catalog route needs " +
-            "at least one data file to carry the schema; read it with " +
-            "Snapshots.read")
-        spark.read.parquet(s"$uri/${entries.head.name}").schema.fields.toSeq
-          .filterNot(f => partCols.contains(f.name))
+        if (entries.nonEmpty)
+          spark.read.parquet(s"$uri/${entries.head.name}").schema.fields.toSeq
+            .filterNot(f => partCols.contains(f.name))
+        else
+          // empty, never-evolved snapshot (e.g. just truncated): the
+          // eager read recovers the schema from the nearest non-empty
+          // ancestor version
+          Snapshots.read(spark, uri, v).schema.fields.toSeq
+            .filterNot(f => partCols.contains(f.name))
     }
   }
 
@@ -147,6 +152,45 @@ final class SnapshotV2Table(
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(spark, uri, this, options)
+
+  /** `DELETE FROM` whose whole condition translates to source filters
+    * — and SQL `TRUNCATE TABLE` (the default `truncateTable()` is
+    * `deleteWhere(AlwaysTrue)`) — commit through
+    * [[Snapshots.deleteWhereCommit]]: no job runs here; the commit
+    * itself prunes via manifest stats, takes the whole-file fast path,
+    * rewrites only partially-matching files, and records CDC when the
+    * table has it enabled.  Non-translatable conditions take the
+    * row-level (group rewrite) path below instead. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    version <= 0 &&
+      scala.util.Try(filters.map(FilterSql.render)).isSuccess
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(version <= 0,
+      s"$ident: cannot delete from a pinned version/tag")
+    val sql =
+      if (filters.isEmpty) "true"
+      else filters.map(FilterSql.render).mkString(" AND ")
+    Snapshots.retryCommit() {
+      Snapshots.deleteWhereCommit(spark, uri, sql)
+    }
+    ()
+  }
+
+  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE` as group-based
+    * COPY-ON-WRITE row-level operations ([[GraftRowLevelOperation]]):
+    * Spark rewrites the affected groups' full content; the scan prunes
+    * candidate files through manifest stats AND runtime group
+    * filtering, and the commit atomically swaps exactly the scanned
+    * files ([[Snapshots.replaceFilesCommit]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version <= 0,
+      s"$ident: cannot modify a pinned version/tag — write to the " +
+        "table head")
+    () => new GraftRowLevelOperation(spark, uri, this, info.command)
+  }
 
   /** `INSERT INTO` = [[Snapshots.appendCommit]] (one MVCC version;
     * transform layouts re-derive their hidden dirs), `INSERT
@@ -270,7 +314,8 @@ private object FilterSql {
 final class SnapshotScanBuilder(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
     options: CaseInsensitiveStringMap =
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+    rewrite: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -285,7 +330,8 @@ final class SnapshotScanBuilder(
     * filtered file's contribution is unknown, so cutting files could
     * under-deliver.  Partial push: Spark re-applies the limit above. */
   override def pushLimit(n: Int): Boolean =
-    if (pushed.isEmpty) { limit = Some(n); true } else false
+    if (pushed.isEmpty && rewrite.isEmpty) { limit = Some(n); true }
+    else false
 
   /** Record every translatable filter for manifest/row-group pruning;
     * hand ALL of them back as residual — pruning is advisory, the full
@@ -378,12 +424,14 @@ final class SnapshotScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean = answerFor(agg).isDefined
+        .Aggregation): Boolean =
+    rewrite.isEmpty && answerFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    answerFor(agg) match {
+    if (rewrite.isDefined) false
+    else answerFor(agg) match {
       case Some(r) => aggResult = Some(r); true
       case None => false
     }
@@ -395,8 +443,11 @@ final class SnapshotScanBuilder(
       override def description(): String =
         s"GraftManifestAggregate($uri)"
     }
-    case None => new SnapshotScan(spark, uri, table, pushed, required,
-      options, limit)
+    case None =>
+      val scan = new SnapshotScan(spark, uri, table, pushed, required,
+        options, limit, rewriteMode = rewrite.isDefined)
+      rewrite.foreach(_.scan = scan)
+      scan
   }
 }
 
@@ -405,7 +456,14 @@ final class SnapshotScan(
     pushed: Array[sources.Filter], required: StructType,
     options: CaseInsensitiveStringMap =
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    /** Row-level rewrite (group-granularity) mode: pushed filters and
+      * runtime filters still prune FILES through the manifest, but
+      * surviving files stream EVERY live row — no parquet row-group/
+      * page filtering, which can legitimately drop non-matching rows
+      * of a kept file (exactly the rows a copy-on-write rewrite must
+      * carry over). */
+    rewriteMode: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
@@ -472,6 +530,10 @@ final class SnapshotScan(
 
   private def kept: Seq[Snapshots.ManifestEntry] =
     limited(runtimeKept.getOrElse(baseKept))
+
+  /** The FINAL planned file set (post plan-time pruning and runtime
+    * group filtering) — what a copy-on-write rewrite's commit replaces. */
+  private[catalog] def scannedRels: Seq[String] = kept.map(_.name)
 
   // -------------------------------------- runtime (dynamic) filtering
 
@@ -726,9 +788,13 @@ final class SnapshotScan(
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     val popts = new ParquetOptions(
       Map.empty[String, String], sqlConf)
+    // rewrite mode: group granularity — never let parquet row-group/
+    // page filtering drop rows the rewrite must carry over
+    val readerFilters = if (rewriteMode) Array.empty[sources.Filter]
+      else pushed
     val filtered = ParquetPartitionReaderFactory(
       sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
-      pushed, None, popts)
+      readerFilters, None, popts)
     val unfiltered = ParquetPartitionReaderFactory(
       sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
       Array.empty, None, popts)
@@ -840,38 +906,10 @@ final class SnapshotStreamingWrite(
     new Path(new Path(uri, "_stream_tmp"), s"$queryId/e$epochId")
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val sqlConf = spark.sessionState.conf
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    // the conf a ParquetOutputWriter needs: write support + schema +
-    // codec + the SQLConf mirrors ParquetWriteSupport.init reads
-    hadoopConf.set("parquet.write.support.class",
-      classOf[org.apache.spark.sql.execution.datasources.parquet
-        .ParquetWriteSupport].getName)
-    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(schema, hadoopConf)
-    import org.apache.spark.sql.internal.SQLConf
-    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
-      sqlConf.sessionLocalTimeZone)
-    hadoopConf.setBoolean(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      sqlConf.writeLegacyParquetFormat)
-    hadoopConf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sqlConf.parquetOutputTimestampType.toString)
-    hadoopConf.set("parquet.compression", sqlConf.parquetCompressionCodec)
-    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      sqlConf.parquetFieldIdWriteEnabled)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sqlConf.parquetInferTimestampNTZEnabled)
-    hadoopConf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
-    hadoopConf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    hadoopConf.setBoolean(
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE))
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftStreamingWriterFactory(
-      new SerializableConfiguration(hadoopConf), uri, queryId)
-  }
+      new SerializableConfiguration(ParquetTaskWriteConf(spark, schema)),
+      uri, queryId)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -907,6 +945,43 @@ final class SnapshotStreamingWrite(
 
   override def toString: String =
     s"SnapshotStreamingWrite[$uri query=$queryId]"
+}
+
+/** The hadoop conf a bare `ParquetOutputWriter` needs when driven
+  * outside Spark's own write path: write support + schema + codec +
+  * the SQLConf mirrors `ParquetWriteSupport.init` reads (a missing
+  * key is a `"null".toBoolean` at task time). */
+object ParquetTaskWriteConf {
+  def apply(spark: SparkSession,
+      schema: StructType): org.apache.hadoop.conf.Configuration = {
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    hadoopConf.set("parquet.write.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport].getName)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, hadoopConf)
+    import org.apache.spark.sql.internal.SQLConf
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat)
+    hadoopConf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    hadoopConf.set("parquet.compression", sqlConf.parquetCompressionCodec)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    hadoopConf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE))
+    hadoopConf
+  }
 }
 
 /** Serializable factory shipping only the conf + path strings. */

@@ -1,0 +1,197 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Spark-native row-level DML on catalog tables: `DELETE FROM` (metadata
+ * path via SupportsDelete, group-rewrite path for non-translatable
+ * predicates), `UPDATE`, `MERGE INTO` (group-based copy-on-write via
+ * SupportsRowLevelOperations), and `TRUNCATE TABLE` — plus the
+ * group-granularity guarantees: only candidate files rewritten,
+ * carried rows survive, deletion vectors honored, refusals for
+ * partitioned/CDC/pinned targets.
+ */
+class RowLevelOpsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+
+  /** 4 ordered files of 1000 rows each: k in [0,4000), v = k * 3. */
+  private def fourFileTable(name: String): String = {
+    val dir = fresh(name)
+    spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS v")
+      .orderBy("k").coalesce(1)
+      .write.option("maxRecordsPerFile", "1000").parquet(dir)
+    Snapshots.init(spark, dir)
+    dir
+  }
+
+  private def manifestNames(dir: String): Seq[String] =
+    Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).map(_.name)
+
+  test("DELETE FROM with translatable predicate takes the commit path") {
+    val dir = fourFileTable("rl_del_meta")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k >= 3000")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 3000)
+    // whole-file fast path: file 4 left the manifest, none rewritten
+    val kinds = Snapshots.historyDf(spark, dir)
+      .select("kind").collect().map(_.getString(0)).toSeq
+    assert(kinds.contains("delete"), kinds)
+    assert(manifestNames(dir).size == 3, manifestNames(dir))
+  }
+
+  test("DELETE FROM with non-translatable predicate group-rewrites") {
+    val dir = fourFileTable("rl_del_group")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 7 = 0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000 - (4000 + 6) / 7)
+    assert(rows(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` WHERE k % 7 = 0")) ==
+      Seq(Seq(0L)))
+  }
+
+  test("UPDATE rewrites only the files that may match") {
+    val dir = fourFileTable("rl_upd")
+    val before = manifestNames(dir)
+    spark.sql(s"UPDATE graft.`$dir` SET v = -1 WHERE k = 1234")
+    val after = manifestNames(dir)
+    // exactly one original file replaced (stats prune the other three)
+    assert(before.toSet.intersect(after.toSet).size == 3,
+      s"before=$before after=$after")
+    assert(after.exists(_.startsWith("part-rw-")), after)
+    // values: the updated row plus every carried row
+    assert(rows(spark.sql(
+      s"SELECT v FROM graft.`$dir` WHERE k = 1234")) == Seq(Seq(-1L)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000)
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft.`$dir`").head().getLong(0) ==
+      (0L until 4000L).map(_ * 3).sum - 1234 * 3 - 1)
+  }
+
+  test("UPDATE with arithmetic on the matched rows carries the rest") {
+    val dir = fourFileTable("rl_upd_arith")
+    spark.sql(s"UPDATE graft.`$dir` SET v = v + 1000000 WHERE k % 10 = 3")
+    val expect = (0L until 4000L).map(k =>
+      if (k % 10 == 3) k * 3 + 1000000 else k * 3).sum
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft.`$dir`")
+      .head().getLong(0) == expect)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000)
+  }
+
+  test("UPDATE honors deletion vectors (no resurrection)") {
+    val dir = fourFileTable("rl_upd_dv")
+    // MoR delete first: k in [100, 200) gone by DV
+    Snapshots.deleteWhereCommit(spark, dir,
+      "k >= 100 AND k < 200", mergeOnRead = true)
+    spark.sql(s"UPDATE graft.`$dir` SET v = 0 WHERE k < 1000")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 3900)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` WHERE k >= 100 AND k < 200")
+      .head().getLong(0) == 0, "DV'd rows must not resurrect")
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft.`$dir` WHERE k < 1000")
+      .head().getLong(0) == 0)
+  }
+
+  test("MERGE INTO: update matched, insert not matched, delete clause") {
+    val dir = fresh("rl_merge")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.range(50, 150).selectExpr("id AS k", "id * 100 AS nv")
+      .createOrReplaceTempView("rl_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING rl_merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k < 70 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+         |""".stripMargin)
+    val got = rows(spark.sql(s"SELECT k, v FROM graft.`$dir`"))
+    val expect = (
+      (0L until 50L).map(k => Seq[Any](k, k * 2)) ++      // untouched
+      (50L until 70L).map(k => Seq[Any](k, k * 100)) ++   // updated
+      // 70..99 matched -> deleted
+      (100L until 150L).map(k => Seq[Any](k, k * 100))    // inserted
+    ).sortBy(_.toString)
+    assert(got == expect)
+  }
+
+  test("TRUNCATE TABLE empties the manifest, keeps the schema") {
+    val dir = fourFileTable("rl_trunc")
+    spark.sql(s"TRUNCATE TABLE graft.`$dir`")
+    assert(manifestNames(dir).isEmpty)
+    val back = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 0)
+    // still writable after truncate
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 1)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 1)
+  }
+
+  test("UPDATE refuses partitioned layouts with a pointer to graft SQL") {
+    val dir = fresh("rl_part_refuse")
+    val df = spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS part")
+    df.write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft.`$dir` SET k = 0 WHERE k = 5"))
+    assert(e.getMessage.contains("FLAT tables"), e.getMessage)
+  }
+
+  test("UPDATE refuses CDC-enabled tables (feed would go unrecorded)") {
+    val dir = fourFileTable("rl_cdc_refuse")
+    Snapshots.enableChangeData(spark, dir)
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft.`$dir` SET v = 0 WHERE k = 5"))
+    assert(e.getMessage.contains("change-data"), e.getMessage)
+    // the metadata DELETE path still works and records the feed
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k < 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 3990)
+    val feed = Snapshots.readChangesRows(spark, dir, 1)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+  }
+
+  test("replaceFilesCommit refuses when a scanned file left the manifest") {
+    val dir = fourFileTable("rl_conflict")
+    val victim = manifestNames(dir).head
+    // concurrent writer compacts the victim away
+    Snapshots.deleteWhereCommit(spark, dir, "k < 1000") // drops file 1
+    val e = intercept[java.util.ConcurrentModificationException](
+      Snapshots.replaceFilesCommit(spark, dir, Seq(victim), Nil))
+    assert(e.getMessage.contains("left the manifest"))
+  }
+
+  test("DELETE/UPDATE refuse pinned versions") {
+    val dir = fourFileTable("rl_pinned")
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$dir` VERSION AS OF 1 WHERE k = 1"))
+    assert(e.getMessage.toLowerCase.contains("pinned") ||
+      e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+  }
+}
