@@ -1031,6 +1031,75 @@ object SparkEntry {
         s"FROM graft.`$uri` VERSION AS OF 1 ORDER BY o_orderkey")
     }),
 
+    // SQL DDL through the catalog (round 9, third session): CREATE
+    // TABLE from a declared schema (empty manifest v1 carrying schema
+    // id 1), INSERT INTO the created table, ALTER TABLE ADD COLUMN
+    // (metadata-only commit; earlier files read NULL), a second insert
+    // WITH the new column, and RENAME COLUMN (old files resolve
+    // through the former name) — a full table life through standard
+    // Spark SQL, no programmatic API
+    "io_catalog_ddl" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catddl_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      t(s, dir, "orders").createOrReplaceTempView("graft_catddl_orders")
+      s.sql(s"CREATE TABLE graft.`$uri` " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO graft.`$uri` " +
+        "SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM graft_catddl_orders WHERE o_orderkey % 4 = 0")
+      s.sql(s"ALTER TABLE graft.`$uri` ADD COLUMN pri STRING")
+      s.sql(s"INSERT INTO graft.`$uri` " +
+        "SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM graft_catddl_orders WHERE o_orderkey % 4 = 1")
+      s.sql(s"ALTER TABLE graft.`$uri` RENAME COLUMN cents TO total_cents")
+      s.sql(s"SELECT o_orderkey, o_custkey, total_cents, pri " +
+        s"FROM graft.`$uri` " +
+        "ORDER BY o_orderkey, o_custkey, total_cents")
+    }),
+
+    // native SQL row-level DML through the catalog (round 9, third
+    // session): UPDATE takes the group-based copy-on-write path
+    // (manifest stats + runtime group filtering bound the rewrite to
+    // candidate files), DELETE here is non-filter-translatable so it
+    // also group-rewrites, and MERGE INTO re-inserts the deleted slice
+    // — final state is every orders row with deterministic cents
+    // adjustments, value-checked against DuckDB
+    "io_catalog_dml" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catdml_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      base.filter(expr("o_orderkey % 10 IN (1, 6)"))
+        .selectExpr("o_orderkey AS k", "o_custkey AS c",
+          "cents * 2 AS newc")
+        .createOrReplaceTempView("graft_catdml_src")
+      s.sql(s"UPDATE graft.`$uri` SET cents = cents + 7 " +
+        "WHERE o_orderkey % 10 = 3")
+      s.sql(s"DELETE FROM graft.`$uri` WHERE o_orderkey % 10 = 6")
+      s.sql(s"MERGE INTO graft.`$uri` t USING graft_catdml_src s " +
+        "ON t.o_orderkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = s.newc " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, cents) " +
+        "VALUES (s.k, s.c, s.newc)")
+      s.sql(s"SELECT o_orderkey, o_custkey, cents FROM graft.`$uri` " +
+        "ORDER BY o_orderkey, o_custkey, cents")
+    }),
+
     // row-level change feed over COPY-ON-WRITE DML: with change-data
     // capture on, an update commit records delete-pre + insert-post
     // images and a delete commit its removed rows — the feed reads the
@@ -3640,6 +3709,26 @@ object SparkEntry {
     "io_catalog_agg" ->
       ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM orders"),
+
+    "io_catalog_ddl" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, " +
+        "CAST(NULL AS VARCHAR) AS pri FROM orders WHERE o_orderkey % 4 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 4 = 1 " +
+        "ORDER BY o_orderkey, o_custkey, total_cents"),
+
+    // UPDATE +7 on k%10=3; DELETE k%10=6; MERGE doubles k%10=1 and
+    // re-inserts k%10=6 doubled -> every row present, cents adjusted
+    "io_catalog_dml" ->
+      ("SELECT o_orderkey, o_custkey, CASE " +
+        "WHEN o_orderkey % 10 = 3 THEN " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 7 " +
+        "WHEN o_orderkey % 10 IN (1, 6) THEN " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) * 2 " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
+        "FROM orders ORDER BY o_orderkey, o_custkey, cents"),
 
     "io_catalog_history" ->
       ("SELECT CAST(1 AS BIGINT) AS version, 'init' AS kind, " +
