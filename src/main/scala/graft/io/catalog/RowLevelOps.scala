@@ -1,15 +1,19 @@
 package graft.io.catalog
 
+import scala.collection.mutable
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.io.Snapshots
+import graft.io.{PartitionTransforms, Snapshots}
 
 /**
  * Group-based COPY-ON-WRITE row-level operation for snapshot tables —
@@ -29,7 +33,10 @@ import graft.io.Snapshots
  *  2. Spark computes the affected groups' FULL replacement content
  *     (carried rows + updated/merged rows, minus deleted ones) and
  *     writes it through [[newWriteBuilder]]'s write: executors stage
- *     plain parquet under `_rewrite_tmp/<stamp>/`.
+ *     parquet under `_rewrite_tmp/<stamp>/`, reproducing the table's
+ *     hive/transform layout per row ([[RewriteStagingWriter]]), with
+ *     the write clustered by the layout's base columns so each
+ *     partition value lands in one task.
  *  3. The driver commit swaps exactly the scanned files for the staged
  *     ones in ONE atomic manifest commit
  *     ([[Snapshots.replaceFilesCommit]]) — a concurrent writer that
@@ -38,10 +45,11 @@ import graft.io.Snapshots
  *
  * At 100 TB the pruning does the heavy lifting: an `UPDATE ... WHERE
  * k = 5` rewrites the files that may CONTAIN k=5 (often one), not the
- * table.  FLAT tables only — partitioned/transform layouts keep graft's
- * own SQL UPDATE/MERGE statements (their rewrite path reproduces the
- * hive layout); a CDC-enabled table refuses (this path records no
- * change feed, and silently breaking the feed would be worse).
+ * table.  An UPDATE that changes a partition-column value moves the
+ * row to its new directory naturally — the rewrite is a full re-layout
+ * of the affected groups.  A CDC-enabled table refuses (this path
+ * records no change feed, and silently breaking the feed would be
+ * worse than refusing).
  *
  * Reference parity note: the reference engine delegates DML to its
  * host database (`/root/reference/README.md`); this is the Spark-native
@@ -64,47 +72,192 @@ final class GraftRowLevelOperation(
     new SnapshotScanBuilder(spark, uri, table, options, rewrite = Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(table.partSchema.isEmpty,
-      s"${table.name()}: native ${cmd.name} serves FLAT tables — use " +
-        "graft SQL UPDATE/MERGE INTO/DELETE FROM statements for " +
-        "partitioned and transform layouts")
     require(!Snapshots.readTableProps(spark, uri).get("cdc.cow")
         .contains("true"),
       s"${table.name()}: native ${cmd.name} does not record the " +
         "change-data feed — use graft SQL UPDATE/MERGE INTO/DELETE " +
         "FROM on CDC-enabled tables")
+    val schema = info.schema()
+    val specs = DirSpec.forTable(spark, uri, table, schema)
     new WriteBuilder {
       override def build(): Write =
         new GraftReplaceDataWrite(spark, uri, GraftRowLevelOperation.this,
-          info.schema())
+          schema, specs)
     }
   }
 
   override def description(): String = s"GraftCow(${cmd.name}, $uri)"
 }
 
-/** The ReplaceData write: stage parquet on executors, swap files on
-  * commit. */
+/**
+ * One directory level of the table's physical layout, resolved against
+ * the ReplaceData write schema: renders a row's `name=value` path
+ * segment exactly as the table's own write path does (identity hive
+ * values via cast-to-string, transform dirs via the same
+ * hash/arithmetic the [[PartitionTransforms]] column expressions
+ * compute), so rewritten rows land beside the files they replace.
+ */
+private[catalog] sealed trait DirSpec extends Serializable {
+  def dirCol: String
+  /** The write-schema column the dir value derives from. */
+  def baseCol: String
+  def segment(row: InternalRow): String
+  protected def render(v: Any): String = {
+    val s = if (v == null)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v.toString)
+    s"$dirCol=$s"
+  }
+}
+
+private[catalog] object DirSpec {
+  final case class IdentityDir(name: String, ord: Int, dt: DataType)
+      extends DirSpec {
+    def dirCol: String = name
+    def baseCol: String = name
+    def segment(row: InternalRow): String =
+      if (row.isNullAt(ord)) render(null)
+      else render(dt match {
+        case StringType => row.getUTF8String(ord).toString
+        case IntegerType => row.getInt(ord)
+        case LongType => row.getLong(ord)
+        case ShortType => row.getShort(ord)
+        case ByteType => row.getByte(ord)
+        case BooleanType => row.getBoolean(ord)
+        // Spark renders date partition values as ISO yyyy-MM-dd
+        case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord))
+        case other => throw new IllegalStateException(other.toString)
+      })
+  }
+
+  final case class BucketDir(n: Int, ord: Int, dt: DataType,
+      override val dirCol: String, override val baseCol: String)
+      extends DirSpec {
+    def segment(row: InternalRow): String = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      // Spark's xxhash64 leaves the seed untouched on a NULL input —
+      // a null base value still buckets (to floorMod(42, n))
+      val h =
+        if (row.isNullAt(ord)) 42L
+        else dt match {
+          case IntegerType => XXH64.hashInt(row.getInt(ord), 42L)
+          case LongType => XXH64.hashLong(row.getLong(ord), 42L)
+          case StringType =>
+            val s = row.getUTF8String(ord)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+              s.numBytes, 42L)
+          case other => throw new IllegalStateException(other.toString)
+        }
+      render(java.lang.Math.floorMod(h, n.toLong))
+    }
+  }
+
+  final case class TruncIntDir(w: Long, ord: Int, dt: DataType,
+      override val dirCol: String, override val baseCol: String)
+      extends DirSpec {
+    def segment(row: InternalRow): String =
+      if (row.isNullAt(ord)) render(null)
+      else {
+        val v = dt match {
+          case IntegerType => row.getInt(ord).toLong
+          case LongType => row.getLong(ord)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        render(v - java.lang.Math.floorMod(v, w))
+      }
+  }
+
+  final case class TruncStrDir(len: Int, ord: Int,
+      override val dirCol: String, override val baseCol: String)
+      extends DirSpec {
+    def segment(row: InternalRow): String =
+      if (row.isNullAt(ord)) render(null)
+      else {
+        // Spark's substring counts CODE POINTS, not UTF-16 units
+        val s = row.getUTF8String(ord).toString
+        val cps = s.codePointCount(0, s.length)
+        render(
+          if (cps <= len) s else s.substring(0, s.offsetByCodePoints(0, len)))
+      }
+  }
+
+  /** Resolve the table's dir layout (in nesting order) against the
+    * write schema; refuses identity types whose path rendering is not
+    * reproduced here (timestamp/decimal/float). */
+  def forTable(spark: SparkSession, uri: String, table: SnapshotV2Table,
+      schema: StructType): Seq[DirSpec] = {
+    val byDirCol = table.transforms.map(t => t.dirCol -> t).toMap
+    Snapshots.writePartitionCols(spark, uri, table.entries).map { name =>
+      byDirCol.get(name) match {
+        case Some(b: PartitionTransforms.Bucket) =>
+          val ord = schema.fieldIndex(b.baseCol)
+          BucketDir(b.n, ord, schema(ord).dataType, b.dirCol, b.baseCol)
+        case Some(t: PartitionTransforms.TruncateInt) =>
+          val ord = schema.fieldIndex(t.baseCol)
+          TruncIntDir(t.w, ord, schema(ord).dataType, t.dirCol, t.baseCol)
+        case Some(t: PartitionTransforms.TruncateStr) =>
+          val ord = schema.fieldIndex(t.baseCol)
+          TruncStrDir(t.len, ord, t.dirCol, t.baseCol)
+        case None =>
+          val ord = schema.fieldIndex(name)
+          val dt = schema(ord).dataType
+          require(Seq(StringType, IntegerType, LongType, ShortType,
+              ByteType, BooleanType, DateType).contains(dt),
+            s"${table.name()}: native row-level DML cannot reproduce " +
+              s"the $dt partition value rendering of column '$name' — " +
+              "use graft SQL UPDATE/MERGE INTO/DELETE FROM")
+          IdentityDir(name, ord, dt)
+      }
+    }
+  }
+}
+
+/** The ReplaceData write: stage layout-faithful parquet on executors,
+  * swap files on commit.  Clustered by the layout's base columns so
+  * each partition value is written by one task (bounding files and
+  * open writers); flat tables leave the distribution unspecified. */
 final class GraftReplaceDataWrite(
     spark: SparkSession, uri: String, op: GraftRowLevelOperation,
-    schema: StructType) extends Write {
+    schema: StructType, specs: Seq[DirSpec]) extends Write
+    with RequiresDistributionAndOrdering {
+
+  // identity dirs strip their column from the file (hive layout);
+  // transform base columns stay in the data
+  private val identityCols = specs.collect {
+    case d: DirSpec.IdentityDir => d.name
+  }.toSet
+  private val fileOrdinals = schema.fields.zipWithIndex
+    .collect { case (f, i) if !identityCols.contains(f.name) => i }
+  private val fileSchema = StructType(fileOrdinals.map(schema.fields(_)))
+
+  override def requiredDistribution(): Distribution =
+    if (specs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      specs.map(s => Expressions.column(s.baseCol)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val stamp = java.util.UUID.randomUUID().toString.take(8)
-    private def stageRoot = new Path(uri, "_rewrite_tmp")
-    private def stageDir = new Path(stageRoot, stamp)
+    private def stageDir = new Path(new Path(uri, "_rewrite_tmp"), stamp)
     private def fs = new Path(uri)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      GraftBatchWriterFactory(
-        new SerializableConfiguration(ParquetTaskWriteConf(spark, schema)),
-        stageDir.toString, schema)
+      RewriteWriterFactory(
+        new SerializableConfiguration(
+          ParquetTaskWriteConf(spark, fileSchema)),
+        stageDir.toString, schema, fileSchema,
+        fileOrdinals, specs)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val staged = messages.collect {
-        case m: StagedFileMessage if m.rows > 0 => m
+      val staged = messages.flatMap {
+        case m: StagedPartFilesMessage => m.files.filter(_.rows > 0)
+        case _ => Nil
       }
       require(op.scan != null,
         s"$uri: row-level write committed without a planned scan")
@@ -114,8 +267,11 @@ final class GraftReplaceDataWrite(
         // no file — the table head is already the answer
         if (removed.isEmpty && staged.isEmpty) return
         val names = staged.zipWithIndex.map { case (m, i) =>
-          val name = f"part-rw-$stamp-$i%05d.parquet"
-          require(fs.rename(new Path(m.path), new Path(uri, name)),
+          val base = f"part-rw-$stamp-$i%05d.parquet"
+          val name = if (m.dir.isEmpty) base else s"${m.dir}/$base"
+          val target = new Path(uri, name)
+          Option(target.getParent).foreach(fs.mkdirs)
+          require(fs.rename(new Path(m.path), target),
             s"staged move ${m.path} failed")
           name
         }
@@ -134,56 +290,115 @@ final class GraftReplaceDataWrite(
     s"GraftReplaceData(${op.command().name}, $uri)"
 }
 
-/** Serializable batch twin of [[GraftStreamingWriterFactory]], aware
-  * of the ReplaceData row shape. */
-final case class GraftBatchWriterFactory(
-    conf: SerializableConfiguration, dir: String,
-    rowSchema: StructType) extends DataWriterFactory {
+/** One staged file: absolute path, row count, table-relative dir
+  * ("" for flat). */
+final case class StagedPartFile(path: String, rows: Long, dir: String)
+
+/** A task's staged files (one per distinct dir it wrote). */
+final case class StagedPartFilesMessage(files: Seq[StagedPartFile])
+    extends WriterCommitMessage
+
+final case class RewriteWriterFactory(
+    conf: SerializableConfiguration, stageDir: String,
+    rowSchema: StructType, fileSchema: StructType,
+    fileOrdinals: Array[Int], specs: Seq[DirSpec])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new OpColumnStrippingWriter(
-      new GraftStreamingDataWriter(conf, new Path(dir), partitionId, taskId),
-      rowSchema)
+    new RewriteStagingWriter(conf, stageDir, partitionId, taskId,
+      rowSchema, fileSchema, fileOrdinals, specs)
 }
 
 /**
- * Spark's group-based `ReplaceData` query prepends an internal
- * `__row_operation` INT column ([[org.apache.spark.sql.catalyst.util
- * .RowDeltaUtils]]) to every row — and only strips it before the
- * connector's writer when the operation declared metadata attributes
- * (the `DataAndMetadataWritingSparkTask` path).  With no metadata
- * columns the raw `[op, row...]` rows reach the writer, so this
- * wrapper strips the marker itself: rows one field wider than the
- * declared write schema must lead with `WRITE_OPERATION` and are
- * projected down; exact-width rows pass through.
+ * Executor-side writer for a group rewrite: strips Spark's internal
+ * `__row_operation` marker (the group-based `ReplaceData` query
+ * prepends an INT op column, and only projects it away itself when
+ * the operation declared metadata attributes — rows one field wider
+ * than the write schema must lead with a write marker and are
+ * projected down), derives the row's directory from the table layout
+ * ([[DirSpec]]), and streams it to a per-directory parquet writer.
+ * Open writers are capped; an evicted directory reopens as a new
+ * uniquely-numbered file, so memory stays bounded without losing the
+ * one-task-per-partition-value clustering benefit.
  */
-final class OpColumnStrippingWriter(
-    inner: DataWriter[InternalRow], rowSchema: StructType)
+final class RewriteStagingWriter(
+    conf: SerializableConfiguration, stageDir: String,
+    partitionId: Int, taskId: Long,
+    rowSchema: StructType, fileSchema: StructType,
+    fileOrdinals: Array[Int], specs: Seq[DirSpec])
     extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.util.RowDeltaUtils
 
-  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-    rowSchema, (1 to rowSchema.length).toList)
+  private val MaxOpenWriters = 64
 
-  override def write(row: InternalRow): Unit =
-    if (row.numFields == rowSchema.length) inner.write(row)
-    else {
-      require(row.numFields == rowSchema.length + 1,
-        s"row-level write row has ${row.numFields} fields for schema " +
-          s"${rowSchema.simpleString}")
-      val op = row.getInt(0)
-      // Spark stamps WRITE_WITH_METADATA_OPERATION even when the
-      // operation declared no metadata attributes — accept both write
-      // markers, refuse anything else (a delta op would mean rows here
-      // are deletes/updates to APPLY, not content to write)
-      require(op == RowDeltaUtils.WRITE_OPERATION ||
-          op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
-        s"unexpected row operation marker $op in a group rewrite")
-      proj.project(row)
-      inner.write(proj)
+  private val opProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    rowSchema, (1 to rowSchema.length).toList)
+  private val fileProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    fileSchema, fileOrdinals.toList)
+
+  private val open = mutable.LinkedHashMap.empty[String, GraftStreamingDataWriter]
+  private val seq = mutable.Map.empty[String, Int]
+  private val done = mutable.ArrayBuffer.empty[StagedPartFile]
+
+  private def writerFor(dir: String): GraftStreamingDataWriter =
+    open.getOrElseUpdate(dir, {
+      if (open.size >= MaxOpenWriters) {
+        val (eldest, w) = open.head
+        closeOne(eldest, w)
+        open.remove(eldest)
+      }
+      val n = seq.getOrElse(dir, 0)
+      seq(dir) = n + 1
+      val d = if (dir.isEmpty) new Path(stageDir) else new Path(stageDir, dir)
+      // the inner writer's (partitionId, taskId) pin uniqueness; the
+      // per-dir sequence separates eviction reopens
+      new GraftStreamingDataWriter(conf, d,
+        partitionId, taskId * 1000 + n)
+    })
+
+  private def closeOne(dir: String, w: GraftStreamingDataWriter): Unit =
+    w.commit() match {
+      case StagedFileMessage(path, rows) =>
+        if (rows > 0) done += StagedPartFile(path, rows, dir)
+      case other => throw new IllegalStateException(
+        s"unexpected inner commit message $other")
     }
 
-  override def commit(): WriterCommitMessage = inner.commit()
-  override def abort(): Unit = inner.abort()
-  override def close(): Unit = inner.close()
+  override def write(row: InternalRow): Unit = {
+    val data =
+      if (row.numFields == rowSchema.length) row
+      else {
+        require(row.numFields == rowSchema.length + 1,
+          s"row-level write row has ${row.numFields} fields for schema " +
+            s"${rowSchema.simpleString}")
+        val op = row.getInt(0)
+        // Spark stamps WRITE_WITH_METADATA_OPERATION even when the
+        // operation declared no metadata attributes — accept both
+        // write markers, refuse anything else (a delta marker would
+        // mean rows here are deltas to APPLY, not content to write)
+        require(op == RowDeltaUtils.WRITE_OPERATION ||
+            op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+          s"unexpected row operation marker $op in a group rewrite")
+        opProj.project(row)
+        opProj
+      }
+    val dir = if (specs.isEmpty) ""
+      else specs.map(_.segment(data)).mkString("/")
+    val w = writerFor(dir)
+    if (fileOrdinals.length == rowSchema.length) w.write(data)
+    else { fileProj.project(data); w.write(fileProj) }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.foreach { case (dir, w) => closeOne(dir, w) }
+    open.clear()
+    StagedPartFilesMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(w => scala.util.Try(w.abort()))
+    open.clear()
+  }
+
+  override def close(): Unit = ()
 }

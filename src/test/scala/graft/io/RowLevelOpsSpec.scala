@@ -151,15 +151,77 @@ class RowLevelOpsSpec extends AnyFunSuite {
       .head().getLong(0) == 1)
   }
 
-  test("UPDATE refuses partitioned layouts with a pointer to graft SQL") {
-    val dir = fresh("rl_part_refuse")
-    val df = spark.range(0, 100)
+  test("UPDATE on a hive-partitioned table keeps the layout") {
+    val dir = fresh("rl_part_upd")
+    val df = spark.range(0, 300)
       .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS part")
     df.write.partitionBy("part").parquet(dir)
     Snapshots.init(spark, dir)
-    val e = intercept[Exception](
-      spark.sql(s"UPDATE graft.`$dir` SET k = 0 WHERE k = 5"))
-    assert(e.getMessage.contains("FLAT tables"), e.getMessage)
+    spark.sql(s"UPDATE graft.`$dir` SET k = k + 1000000 WHERE k % 10 = 4")
+    // every file still lives under its part= dir
+    val names = manifestNames(dir)
+    assert(names.forall(_.matches("part=[0-2]/.*")), names.take(5))
+    // untouched partitions' files carried over, matched partitions'
+    // replaced with part-rw files
+    assert(names.exists(_.contains("part-rw-")), names)
+    val expect = (0L until 300L).map(k =>
+      if (k % 10 == 4) k + 1000000 else k).sum
+    assert(spark.sql(s"SELECT sum(k) AS s FROM graft.`$dir`")
+      .head().getLong(0) == expect)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 300)
+    // partition column values still readable from the dirs
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` WHERE part = '1'")
+      .head().getLong(0) == 100)
+  }
+
+  test("UPDATE that moves a row across partitions relocates its file") {
+    val dir = fresh("rl_part_move")
+    val df = spark.range(0, 90)
+      .selectExpr("id AS k",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b' " +
+          "ELSE 'c' END AS part")
+    df.write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    // move k=30 (part=a) into a brand-new partition z
+    spark.sql(s"UPDATE graft.`$dir` SET part = 'z' WHERE k = 30")
+    assert(rows(spark.sql(
+      s"SELECT k, part FROM graft.`$dir` WHERE k = 30")) ==
+      Seq(Seq(30L, "z")))
+    assert(manifestNames(dir).exists(_.startsWith("part=z/")),
+      manifestNames(dir))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 90)
+  }
+
+  test("MERGE INTO a bucket-transform table lands in the right buckets") {
+    val dir = fresh("rl_bucket_merge")
+    val df = spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 4, "k")))
+    spark.range(300, 500).selectExpr("id AS k", "id * 100 AS nv")
+      .createOrReplaceTempView("rl_bucket_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING rl_bucket_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+         |""".stripMargin)
+    val names = manifestNames(dir)
+    assert(names.forall(_.matches("pb_k=[0-3]/.*")), names.take(5))
+    val got = rows(spark.sql(s"SELECT k, v FROM graft.`$dir`"))
+    val expect = (
+      (0L until 300L).map(k => Seq[Any](k, k * 2)) ++
+      (300L until 500L).map(k => Seq[Any](k, k * 100))
+    ).sortBy(_.toString)
+    assert(got == expect)
+    // bucket pruning still sound after the rewrite: a point lookup
+    // scans a subset and finds its row
+    assert(rows(spark.sql(
+      s"SELECT v FROM graft.`$dir` WHERE k = 450")) == Seq(Seq(45000L)))
+    // the rewritten files' bucket dirs agree with the hash: re-read
+    // via the transform-pruned route
+    assert(Snapshots.readWhere(spark, dir, "k = 123").count() == 1)
   }
 
   test("UPDATE refuses CDC-enabled tables (feed would go unrecorded)") {
