@@ -71,6 +71,16 @@ final class GraftRowLevelOperation(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(spark, uri, table, options, rewrite = Some(this))
 
+  /** Ask for the `_file` metadata column: runtime group filtering then
+    * computes `DISTINCT _file` of the matching rows and the rewrite
+    * scan prunes to EXACTLY the files containing a match — file-exact
+    * even when stats/Bloom evidence cannot discriminate.  (The write
+    * side receives the metadata separately and ignores it.) */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.schema().fieldNames.contains("_file")) Array.empty
+    else Array(Expressions.column("_file"))
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!Snapshots.readTableProps(spark, uri).get("cdc.cow")
         .contains("true"),
@@ -364,6 +374,13 @@ final class RewriteStagingWriter(
         s"unexpected inner commit message $other")
     }
 
+  /** Metadata-and-row form (Spark's `DataAndMetadataWritingSparkTask`
+    * when the operation declared metadata attributes): the row arrives
+    * already projected to the write schema; the metadata (`_file`) is
+    * provenance only — not written. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    writeData(row)
+
   override def write(row: InternalRow): Unit = {
     val data =
       if (row.numFields == rowSchema.length) row
@@ -382,6 +399,10 @@ final class RewriteStagingWriter(
         opProj.project(row)
         opProj
       }
+    writeData(data)
+  }
+
+  private def writeData(data: InternalRow): Unit = {
     val dir = if (specs.isEmpty) ""
       else specs.map(_.segment(data)).mkString("/")
     val w = writerFor(dir)

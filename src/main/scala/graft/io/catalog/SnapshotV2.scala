@@ -62,7 +62,22 @@ final class SnapshotV2Table(
     spark: SparkSession, uri: String, ident: String, version: Int)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file`: the row's source file (the SparkPath url-encoded string)
+    * — selectable for debugging, and the exact-pruning handle row-level
+    * operations use for runtime group filtering (nullable: a MERGE's
+    * inserted rows have no source file). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = true
+      override def comment(): String = "source data file of the row"
+    })
 
   private[catalog] lazy val v: Int =
     if (version <= 0) Snapshots.latestVersion(spark, uri) else version
@@ -469,12 +484,20 @@ final class SnapshotScan(
     with SupportsRuntimeFiltering {
 
   private val partCols = table.partSchema.fieldNames.toSet
+  /** `_file` metadata column requested? (never a data column — table
+    * schemas with a real `_file` keep it as data via the conflict rule) */
+  private val wantFile: Boolean =
+    !table.schema().fieldNames.contains("_file") &&
+      required.fieldNames.contains("_file")
   private val reqData: Seq[StructField] =
-    required.fields.toSeq.filterNot(f => partCols.contains(f.name))
+    required.fields.toSeq.filterNot(f =>
+      partCols.contains(f.name) || (wantFile && f.name == "_file"))
   private val reqPart: Seq[StructField] =
     table.identityFields.filter(f => required.fieldNames.contains(f.name))
 
-  override def readSchema(): StructType = StructType(reqData ++ reqPart)
+  override def readSchema(): StructType = StructType(
+    reqData ++ reqPart ++
+      (if (wantFile) Seq(StructField("_file", StringType)) else Nil))
 
   override def toBatch: Batch = this
 
@@ -542,21 +565,49 @@ final class SnapshotScan(
     * transform vetoes, so join-key IN-sets from a broadcasted dim side
     * prune fact files AT RUNTIME through the same evidence plan-time
     * filters use (V2's dynamic partition pruning, generalized to
-    * stats+bloom+bucket skipping). */
+    * stats+bloom+bucket skipping).  A REWRITE scan advertises ONLY the
+    * `_file` metadata column: Spark's row-level runtime group
+    * filtering then builds `DISTINCT _file of the matching rows` and
+    * the scan prunes to exactly the files that contain a match — and a
+    * single attribute is what keeps the injected IN-subquery
+    * translatable to a source filter (a multi-column struct IN is
+    * not). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    readSchema().fieldNames.map(Expressions.column)
+    if (rewriteMode) Array(Expressions.column("_file"))
+    else readSchema().fieldNames.filterNot(_ == "_file")
+      .map(Expressions.column)
 
   /** Cap: a pathological runtime IN-set stops pruning, never planning. */
   private val MaxRuntimeInValues = 100 * 1000
 
+  /** The `_file` string a scan emits for an entry (and the value a
+    * runtime `_file` filter matches against). */
+  private def fileStringOf(e: Snapshots.ManifestEntry): String =
+    SparkPath.fromPath(statuses(e.name).getPath).toString
+
   override def filter(filters: Array[sources.Filter]): Unit = {
-    val bounded = filters.filter {
+    // exact pruning on the _file metadata column (row-level rewrites)
+    val (fileFilters, rest) = filters.partition {
+      case sources.In("_file", _) | sources.EqualTo("_file", _) => true
+      case _ => false
+    }
+    val byFile: Seq[Snapshots.ManifestEntry] =
+      if (fileFilters.isEmpty) kept
+      else {
+        val wanted = fileFilters.flatMap {
+          case sources.In(_, vs) => vs.toSeq.map(String.valueOf)
+          case sources.EqualTo(_, v) => Seq(String.valueOf(v))
+          case _ => Seq.empty[String]
+        }.toSet
+        kept.filter(e => wanted.contains(fileStringOf(e)))
+      }
+    val bounded = rest.filter {
       case sources.In(_, vs) => vs.length <= MaxRuntimeInValues
       case _ => true
     }
     val p = SourceFilterPred.pred(bounded, renameGroups)
-    runtimeKept = Some(pruneWith(kept, p))
+    runtimeKept = Some(pruneWith(byFile, p))
   }
 
   /** File lengths: one listing RPC per referenced directory (listed
@@ -800,11 +851,13 @@ final class SnapshotScan(
       Array.empty, None, popts)
     // columnar must be all-or-nothing across a scan's partitions
     // (BatchScanExec refuses a mix): hand batches through only when no
-    // kept file carries a DV and no rename projection is needed —
-    // then the scan is Spark's own vectorized parquet path end to end
-    val allClean = kept.forall(_.dv.isEmpty) && projection.isEmpty
+    // kept file carries a DV, no rename projection is needed and no
+    // per-row _file append is requested — then the scan is Spark's own
+    // vectorized parquet path end to end
+    val allClean = kept.forall(_.dv.isEmpty) && projection.isEmpty &&
+      !wantFile
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
-      projection, allClean)
+      projection, allClean, wantFile)
   }
 }
 
@@ -1075,7 +1128,8 @@ final class SnapshotReaderFactory(
     unfiltered: ParquetPartitionReaderFactory,
     conf: Broadcast[SerializableConfiguration],
     projection: Option[VariantProjection],
-    allClean: Boolean)
+    allClean: Boolean,
+    withFile: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -1125,10 +1179,15 @@ final class SnapshotReaderFactory(
       private var cur: PartitionReader[InternalRow] = _
       private var row: InternalRow = _
 
+      private var fileRow: InternalRow = _
+
       private def openNext(): Boolean = {
         i += 1
         if (i >= files.length) return false
         val dv = dvRels(i)
+        if (withFile) fileRow = new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            files(i).filePath.toString)))
         cur =
           if (dv == null) filtered.buildReader(files(i))
           else {
@@ -1143,10 +1202,14 @@ final class SnapshotReaderFactory(
         while (true) {
           if (cur == null && !openNext()) return false
           if (cur.next()) {
-            row = projection match {
+            val base = projection match {
               case None => cur.get()
               case Some(p) => project(cur.get(), p)
             }
+            row =
+              if (!withFile) base
+              else new org.apache.spark.sql.catalyst.expressions
+                .JoinedRow(base, fileRow)
             return true
           }
           cur.close(); cur = null

@@ -224,6 +224,39 @@ class RowLevelOpsSpec extends AnyFunSuite {
     assert(Snapshots.readWhere(spark, dir, "k = 123").count() == 1)
   }
 
+  test("_file metadata column is selectable") {
+    val dir = fourFileTable("rl_file_col")
+    val files = spark.sql(
+      s"SELECT DISTINCT _file FROM graft.`$dir`").collect()
+      .map(_.getString(0)).toSeq
+    assert(files.size == 4, files)
+    assert(files.forall(_.contains("rl_file_col")), files)
+    // mixes with data columns and filters
+    assert(spark.sql(
+      s"SELECT k, _file FROM graft.`$dir` WHERE k = 7").count() == 1)
+  }
+
+  test("runtime group filtering is file-exact when stats cannot prune") {
+    val dir = fresh("rl_file_exact")
+    // 4 files, each spanning the FULL key range (round-robin), so
+    // min/max stats keep every file for a point predicate
+    spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(4).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = manifestNames(dir)
+    assert(before.size == 4)
+    spark.sql(s"UPDATE graft.`$dir` SET v = -1 WHERE k = 57")
+    val after = manifestNames(dir)
+    // _file-based runtime group filtering narrowed the rewrite to the
+    // ONE file containing k=57 — the other three carried over
+    assert(before.toSet.intersect(after.toSet).size == 3,
+      s"before=$before after=$after")
+    assert(rows(spark.sql(
+      s"SELECT v FROM graft.`$dir` WHERE k = 57")) == Seq(Seq(-1L)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000)
+  }
+
   test("UPDATE refuses CDC-enabled tables (feed would go unrecorded)") {
     val dir = fourFileTable("rl_cdc_refuse")
     Snapshots.enableChangeData(spark, dir)
