@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.Snapshots
+
+/**
+ * Scale smoke for the native row-level DML path: build a replicated
+ * flat snapshot table (factor × sf0.1 lineitem, id-offset replicas,
+ * many files), then time each DML verb through the catalog and report
+ * HOW MANY FILES each one rewrote — the property that matters at
+ * 100 TB is not the wall-clock of this box but that a point UPDATE
+ * touches one file out of hundreds and a translatable DELETE commits
+ * with zero jobs.
+ *
+ *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *     sbt "runMain graft.tools.DmlSmoke /tmp/graft_dml_smoke 10"
+ */
+object DmlSmoke {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_dml_smoke")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.io.catalog.GraftCatalog].getName)
+
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+
+    // factor× lineitem with offset keys; ~64 ordered files so stats
+    // prune point predicates, written sorted by l_orderkey
+    val base = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+    val off = 100L * 1000 * 1000
+    val big = (0 until factor).map(k =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(k * off)))
+      .reduce(_.unionByName(_))
+    big.repartitionByRange(64, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(outDir)
+    Snapshots.init(spark, outDir)
+    val rows = Snapshots.rowCount(spark, outDir).getOrElse(-1L)
+    val nFiles = Snapshots.filesDf(spark, outDir).count()
+    println(s"[dml-smoke] table rows=$rows files=$nFiles factor=$factor")
+
+    def files(): Set[String] = Snapshots.filesDf(spark, outDir)
+      .select("file").collect().map(_.getString(0)).toSet
+
+    def timed(label: String)(sql: String): Unit = {
+      val before = files()
+      val t0 = System.nanoTime()
+      spark.sql(sql)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = files()
+      val rewritten = (before -- after).size
+      val added = (after -- before).size
+      println(f"[dml-smoke] $label%-28s $sec%7.2fs " +
+        s"filesRemoved=$rewritten filesAdded=$added " +
+        s"rows=${Snapshots.rowCount(spark, outDir).getOrElse(-1L)}")
+    }
+
+    val key = 3 * off + 1031 // inside replica 3
+    timed("update_point (stats-pruned)")(
+      s"UPDATE graft.`$outDir` SET qty = qty + 1 WHERE l_orderkey = $key")
+    timed("update_range (one replica)")(
+      s"UPDATE graft.`$outDir` SET qty = qty + 1 " +
+        s"WHERE l_orderkey >= ${5 * off} AND l_orderkey < ${5 * off} + 200000")
+    timed("delete_metadata (no job)")(
+      s"DELETE FROM graft.`$outDir` WHERE l_orderkey >= ${(factor - 1) * off}")
+    timed("delete_group_rewrite")(
+      s"DELETE FROM graft.`$outDir` WHERE l_orderkey % 97 = 13 " +
+        s"AND l_orderkey < ${off / 4}")
+    spark.sql(s"SELECT l_orderkey, qty FROM graft.`$outDir` " +
+      s"WHERE l_orderkey = $key").createOrReplaceTempView("dml_probe")
+    val q = spark.sql("SELECT sum(qty) FROM dml_probe").head()
+    println(s"[dml-smoke] probe sum(qty) after update = ${q.get(0)}")
+    spark.stop()
+  }
+}
