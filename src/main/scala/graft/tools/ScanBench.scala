@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.Snapshots
+
+/**
+ * Route-for-route scan comparison on a MANY-SMALL-FILES snapshot
+ * table: the V1 FileIndex route (`Snapshots.readIndexed`) vs the V2
+ * catalog route, full-scan aggregate and filtered scan, warm best-of.
+ * Exists to quantify (and keep honest) the documented V2 per-file
+ * reader-construction overhead.
+ *
+ *   runMain graft.tools.ScanBench [files] [reps]
+ */
+object ScanBench {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(400)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = s"/tmp/graft_scan_bench_$nFiles"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.io.catalog.GraftCatalog].getName)
+
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(nFiles).write.parquet(outDir)
+      Snapshots.init(spark, outDir)
+    }
+
+    def best(label: String)(body: => Any): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scan-bench] $label%-36s best=${times.min}%6.2fs " +
+        times.map(t => f"$t%.2f").mkString("[", ", ", "]"))
+    }
+
+    best("v1 full agg (readIndexed)") {
+      Snapshots.readIndexed(spark, outDir)
+        .agg(sum("l_extendedprice"), sum("l_quantity")).collect()
+    }
+    best("v2 full agg (catalog)") {
+      spark.sql(s"SELECT sum(l_extendedprice), sum(l_quantity) " +
+        s"FROM graft.`$outDir`").collect()
+    }
+    best("v1 filtered (readIndexed)") {
+      Snapshots.readIndexed(spark, outDir)
+        .filter(col("l_partkey") % 1000 === 7)
+        .agg(sum("l_quantity")).collect()
+    }
+    best("v2 filtered (catalog)") {
+      spark.sql(s"SELECT sum(l_quantity) FROM graft.`$outDir` " +
+        "WHERE l_partkey % 1000 = 7").collect()
+    }
+    best("v1 narrow projection") {
+      Snapshots.readIndexed(spark, outDir)
+        .select("l_quantity").agg(sum("l_quantity")).collect()
+    }
+    best("v2 narrow projection") {
+      spark.sql(s"SELECT sum(l_quantity) FROM graft.`$outDir`").collect()
+    }
+    spark.stop()
+  }
+}
