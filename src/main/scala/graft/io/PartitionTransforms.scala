@@ -52,6 +52,7 @@ object PartitionTransforms {
 
   final case class Bucket(n: Int, baseCol: String, baseType: String)
       extends Transform {
+    require(n > 0, "bucket count must be positive")
     val dirCol = s"pb_$baseCol"
     def toColumn: Column = pmod(xxhash64(col(baseCol)), lit(n))
     def spec: String = s"bucket($n,${enc(baseCol)},$baseType)"

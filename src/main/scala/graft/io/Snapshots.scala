@@ -794,6 +794,16 @@ object Snapshots extends Serializable {
       return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
+    // empty table (created or fully deleted): every upsert is an
+    // insert — one plain append, nothing to match against
+    if (entries.isEmpty) {
+      val inserts = deleteCol match {
+        case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+          .drop(d)
+        case None => updates
+      }
+      return appendCommit(spark, uri, inserts)
+    }
     val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
 
     // same plan as the in-place MergeInto — only the publish differs.
@@ -855,6 +865,15 @@ object Snapshots extends Serializable {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
+    // empty table: all inserts, one append (same as the COW path)
+    if (entries.isEmpty) {
+      val inserts = deleteCol match {
+        case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+          .drop(d)
+        case None => updates
+      }
+      return appendCommit(spark, uri, inserts)
+    }
     val keyDf = updates.select(keyCols.map(col): _*)
     require(keyDf.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
@@ -1496,21 +1515,28 @@ object Snapshots extends Serializable {
    * become orphans that [[expire]] reclaims.
    */
   def replaceFilesCommit(spark: SparkSession, uri: String,
-      removeRels: Seq[String], addNames: Seq[String],
+      removeEntries: Seq[ManifestEntry], addNames: Seq[String],
       kind: String = "replace"): Int = {
     val newEntries = entriesFor(spark, uri, addNames)
-    val removeSet = removeRels.toSet
+    // conflict detection keys on (name, deletion-vector state): a
+    // concurrent MERGE-ON-READ delete/update leaves a scanned file's
+    // NAME in place but swaps its DV — replacing the file with content
+    // computed against the OLD DV would resurrect those rows, so a DV
+    // mismatch must refuse exactly like a vanished file
+    val removeKeys = removeEntries.map(e => (e.name, e.dv)).toSet
+    val removeNames = removeEntries.map(_.name).toSet
     retryCommit() {
       val v = latestVersion(spark, uri)
       val entries = readManifestEntries(spark, uri, v)
-      val have = entries.map(_.name).toSet
-      val missing = removeRels.filterNot(have)
+      val have = entries.map(e => (e.name, e.dv)).toSet
+      val missing = removeKeys.filterNot(have)
       if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
-        s"$uri: files ${missing.take(3).mkString(", ")}… left the " +
-          "manifest during the rewrite (concurrent writer) — re-run " +
-          "the operation against the current version")
+        s"$uri: files ${missing.take(3).map(_._1).mkString(", ")}… left " +
+          "the manifest or changed deletion-vector state during the " +
+          "rewrite (concurrent writer) — re-run the operation against " +
+          "the current version")
       writeManifest(spark, uri, v + 1,
-        entries.filterNot(e => removeSet(e.name)) ++ newEntries, kind)
+        entries.filterNot(e => removeNames(e.name)) ++ newEntries, kind)
       v + 1
     }
   }

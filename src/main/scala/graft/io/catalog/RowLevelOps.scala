@@ -113,7 +113,9 @@ private[catalog] sealed trait DirSpec extends Serializable {
   def baseCol: String
   def segment(row: InternalRow): String
   protected def render(v: Any): String = {
-    val s = if (v == null)
+    // Spark's partitioned write maps BOTH null and the empty string to
+    // the default partition dir (PartitioningUtils.getPartitionPathString)
+    val s = if (v == null || v.toString.isEmpty)
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -242,11 +244,23 @@ final class GraftReplaceDataWrite(
     .collect { case (f, i) if !identityCols.contains(f.name) => i }
   private val fileSchema = StructType(fileOrdinals.map(schema.fields(_)))
 
+  /** Cluster by the DIRECTORY value, not the raw base column: for a
+    * bucket layout that means the catalog's `bucket(n, c)` transform
+    * (resolvable through [[GraftBucketFunction]]), so one task owns
+    * one bucket directory instead of every task writing slivers of
+    * every bucket.  Truncate layouts cluster by the base column —
+    * coarser than the dir (several truncation groups per task) but
+    * each group still lands whole in one task. */
   override def requiredDistribution(): Distribution =
     if (specs.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      specs.map(s => Expressions.column(s.baseCol)
-        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      specs.map {
+        case b: DirSpec.BucketDir =>
+          Expressions.bucket(b.n, b.baseCol)
+            : org.apache.spark.sql.connector.expressions.Expression
+        case s => Expressions.column(s.baseCol)
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray)
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
@@ -271,7 +285,7 @@ final class GraftReplaceDataWrite(
       }
       require(op.scan != null,
         s"$uri: row-level write committed without a planned scan")
-      val removed = op.scan.scannedRels
+      val removed = op.scan.scannedEntries
       try {
         // nothing scanned and nothing produced: the condition matched
         // no file — the table head is already the answer

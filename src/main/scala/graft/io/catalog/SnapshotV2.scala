@@ -555,8 +555,11 @@ final class SnapshotScan(
     limited(runtimeKept.getOrElse(baseKept))
 
   /** The FINAL planned file set (post plan-time pruning and runtime
-    * group filtering) — what a copy-on-write rewrite's commit replaces. */
-  private[catalog] def scannedRels: Seq[String] = kept.map(_.name)
+    * group filtering) — what a copy-on-write rewrite's commit
+    * replaces.  Full ENTRIES, not names: the commit's conflict check
+    * keys on (name, dv) so a concurrent merge-on-read delta on a
+    * scanned file refuses instead of resurrecting its deleted rows. */
+  private[catalog] def scannedEntries: Seq[Snapshots.ManifestEntry] = kept
 
   // -------------------------------------- runtime (dynamic) filtering
 
@@ -574,8 +577,14 @@ final class SnapshotScan(
     * not). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rewriteMode) Array(Expressions.column("_file"))
-    else readSchema().fieldNames.filterNot(_ == "_file")
+    if (rewriteMode) {
+      // a table with a REAL `_file` data column gets no metadata
+      // column (conflict) — advertising it here would make the group
+      // filter match data values against file paths and prune
+      // everything; no runtime filtering is the correct degradation
+      if (table.schema().fieldNames.contains("_file")) Array.empty
+      else Array(Expressions.column("_file"))
+    } else readSchema().fieldNames.filterNot(_ == "_file")
       .map(Expressions.column)
 
   /** Cap: a pathological runtime IN-set stops pruning, never planning. */
@@ -587,9 +596,12 @@ final class SnapshotScan(
     SparkPath.fromPath(statuses(e.name).getPath).toString
 
   override def filter(filters: Array[sources.Filter]): Unit = {
-    // exact pruning on the _file metadata column (row-level rewrites)
+    // exact pruning on the _file METADATA column (row-level rewrites);
+    // a real `_file` DATA column keeps the generic stats path instead
+    val fileIsMeta = !table.schema().fieldNames.contains("_file")
     val (fileFilters, rest) = filters.partition {
-      case sources.In("_file", _) | sources.EqualTo("_file", _) => true
+      case sources.In("_file", _) | sources.EqualTo("_file", _) =>
+        fileIsMeta
       case _ => false
     }
     val byFile: Seq[Snapshots.ManifestEntry] =

@@ -1,0 +1,134 @@
+package graft.io.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.PartitionTransforms
+
+/**
+ * The rewrite writer's per-row directory derivation ([[DirSpec]]) must
+ * agree BYTE-FOR-BYTE with the directories Spark's own partitioned
+ * write produces from the [[PartitionTransforms]] column expressions —
+ * the arithmetic intentionally lives twice (Catalyst expressions on
+ * the append path, per-row Scala on the rewrite path), and this spec
+ * is the tripwire for divergence: same values, same dirs, including
+ * nulls, negatives, supplementary characters and path-hostile strings.
+ */
+class DirSpecParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Dirs Spark's partitionBy writes for `df` prepared with `t`. */
+  private def sparkDirs(name: String,
+      df: org.apache.spark.sql.DataFrame,
+      t: PartitionTransforms.Transform): Set[String] = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    PartitionTransforms.prepare(df, Seq(t))
+      .write.partitionBy(t.dirCol).parquet(dir)
+    fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+  }
+
+  test("bucket dirs: longs incl. negatives and null") {
+    import spark.implicits._
+    val vals: Seq[java.lang.Long] =
+      Seq[java.lang.Long](0L, 1L, -1L, 57L, -9999999L, Long.MaxValue, null)
+    val df = vals.toDF("k")
+    val t = PartitionTransforms.Bucket(7, "k", "long")
+    val spec = DirSpec.BucketDir(7, 0, LongType, t.dirCol, "k")
+    val mine = vals.map { v =>
+      val row: InternalRow = new GenericInternalRow(Array[Any](v))
+      spec.segment(row)
+    }.toSet
+    assert(mine == sparkDirs("dirspec_bucket_long", df, t))
+  }
+
+  test("bucket dirs: strings incl. empty and multibyte") {
+    import spark.implicits._
+    val vals = Seq("a", "", "héllo", "😀😀", "x y", "a=b/c")
+    val df = vals.toDF("k")
+    val t = PartitionTransforms.Bucket(5, "k", "string")
+    val spec = DirSpec.BucketDir(5, 0, StringType, t.dirCol, "k")
+    val mine = vals.map { v =>
+      val row: InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+      spec.segment(row)
+    }.toSet
+    assert(mine == sparkDirs("dirspec_bucket_str", df, t))
+  }
+
+  test("truncate-int dirs: negatives round toward -inf like pmod") {
+    import spark.implicits._
+    val vals: Seq[java.lang.Long] =
+      Seq[java.lang.Long](0L, 5L, 19L, -1L, -20L, -21L, 1000L, null)
+    val df = vals.toDF("k")
+    val t = PartitionTransforms.TruncateInt(10L, "k", "long")
+    val spec = DirSpec.TruncIntDir(10L, 0, LongType, t.dirCol, "k")
+    val mine = vals.map { v =>
+      val row: InternalRow = new GenericInternalRow(Array[Any](v))
+      spec.segment(row)
+    }.toSet
+    assert(mine == sparkDirs("dirspec_trunc_int", df, t))
+  }
+
+  test("truncate-str dirs: ASCII path-hostile chars (filesystem)") {
+    import spark.implicits._
+    val vals = Seq("abcdef", "ab", "", "x=y z", "a/b:c", "%41%")
+    val df = vals.toDF("k")
+    val t = PartitionTransforms.TruncateStr(2, "k")
+    val spec = DirSpec.TruncStrDir(2, 0, t.dirCol, "k")
+    val mine = vals.map { v =>
+      val row: InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+      spec.segment(row)
+    }.toSet
+    assert(mine == sparkDirs("dirspec_trunc_str", df, t))
+  }
+
+  test("truncate-str dirs: emoji/code points (expression parity)") {
+    // the local filesystem cannot create emoji directories in this
+    // locale, so the supplementary-character cases compare against the
+    // TRANSFORM EXPRESSION's own output (the rendering around it is
+    // the same shared escapePathName both sides call)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val vals = Seq("😀😀😀😀", "a😀b", "é😀é😀é", "😀")
+    val t = PartitionTransforms.TruncateStr(2, "k")
+    val expect = PartitionTransforms.prepare(vals.toDF("k"), Seq(t))
+      .select(t.dirCol).collect()
+      .map(r => t.dirCol + "=" +
+        ExternalCatalogUtils.escapePathName(r.getString(0))).toSet
+    val spec = DirSpec.TruncStrDir(2, 0, t.dirCol, "k")
+    val mine = vals.map { v =>
+      val row: InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+      spec.segment(row)
+    }.toSet
+    assert(mine == expect)
+  }
+
+  test("identity dirs: date and string rendering") {
+    import spark.implicits._
+    val days = Seq(0, 19000, -1)
+    val df = days.map(d => (d.toLong, java.time.LocalDate.ofEpochDay(d.toLong)))
+      .toDF("x", "d")
+    val dir = TestSpark.tmpDir("dirspec_identity_date")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    df.write.partitionBy("d").parquet(dir)
+    val expect = fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    val spec = DirSpec.IdentityDir("d", 0, DateType)
+    val mine = days.map { d =>
+      val row: InternalRow = new GenericInternalRow(Array[Any](d))
+      spec.segment(row)
+    }.toSet
+    assert(mine == expect)
+  }
+}

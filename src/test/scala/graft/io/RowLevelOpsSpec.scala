@@ -273,12 +273,24 @@ class RowLevelOpsSpec extends AnyFunSuite {
 
   test("replaceFilesCommit refuses when a scanned file left the manifest") {
     val dir = fourFileTable("rl_conflict")
-    val victim = manifestNames(dir).head
-    // concurrent writer compacts the victim away
+    val victim = Snapshots.readManifestEntries(spark, dir, 1).head
+    // concurrent writer deletes the victim's rows away
     Snapshots.deleteWhereCommit(spark, dir, "k < 1000") // drops file 1
     val e = intercept[java.util.ConcurrentModificationException](
       Snapshots.replaceFilesCommit(spark, dir, Seq(victim), Nil))
     assert(e.getMessage.contains("left the manifest"))
+  }
+
+  test("replaceFilesCommit refuses when a scanned file gained a DV") {
+    val dir = fourFileTable("rl_conflict_dv")
+    val victim = Snapshots.readManifestEntries(spark, dir, 1).head
+    // concurrent MoR delete: the file KEEPS its name but gains a DV —
+    // replacing it with content computed against the old DV state
+    // would resurrect the deleted rows
+    Snapshots.deleteWhereCommit(spark, dir, "k = 5", mergeOnRead = true)
+    val e = intercept[java.util.ConcurrentModificationException](
+      Snapshots.replaceFilesCommit(spark, dir, Seq(victim), Nil))
+    assert(e.getMessage.contains("deletion-vector state"))
   }
 
   test("DELETE/UPDATE refuse pinned versions") {
