@@ -1100,6 +1100,35 @@ object SparkEntry {
         "ORDER BY o_orderkey, o_custkey, cents")
     }),
 
+    // SQL stored procedures (round 9, third session; SPARK-44167
+    // `CALL` grammar): the maintenance lifecycle through standard SQL
+    // — CALL optimize compacts the fragmented table (data intact, one
+    // MVCC version), CALL create_tag pins it, a later INSERT moves the
+    // head, and the tagged read returns exactly the pre-insert slice
+    "io_catalog_call" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catcall_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0).repartition(8)
+        .write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"CALL graft.system.optimize(table => '$uri', " +
+        "target_mb => 128)")
+      s.sql(s"CALL graft.system.create_tag(table => '$uri', " +
+        "tag => 'compacted')")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView("graft_catcall_odd")
+      s.sql(s"INSERT INTO graft.`$uri` SELECT * FROM graft_catcall_odd")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+        s"FROM graft.`$uri` VERSION AS OF 'compacted' " +
+        "ORDER BY o_orderkey")
+    }),
+
     // row-level change feed over COPY-ON-WRITE DML: with change-data
     // capture on, an update commit records delete-pre + insert-post
     // images and a delete commit its removed rows — the feed reads the
@@ -3718,6 +3747,12 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
         "FROM orders WHERE o_orderkey % 4 = 1 " +
         "ORDER BY o_orderkey, o_custkey, total_cents"),
+
+    // tagged read sees the even-key slice regardless of the later
+    // odd-key insert; optimize changed layout only
+    "io_catalog_call" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"),
 
     // UPDATE +7 on k%10=3; DELETE k%10=6; MERGE doubles k%10=1 and
     // re-inserts k%10=6 doubled -> every row present, cents adjusted

@@ -1880,6 +1880,36 @@ object Snapshots extends Serializable {
 
   /** Name `version` (default: latest).  Tag names are immutable —
     * re-tagging requires deleteTag first. */
+  /**
+   * RESTORE (Delta's RESTORE TABLE ... TO VERSION AS OF): publish a
+   * NEW version whose content is exactly `toVersion`'s entries — a
+   * metadata-only commit (files are shared with the restored version,
+   * which must not have been expired).  History is preserved: the
+   * rollback is itself a version, so a mistaken restore is restorable.
+   * The schema pointer restores with the version when it recorded one;
+   * a pre-evolution target under an evolved table keeps the current
+   * schema view (its files read through the rename coalesce either
+   * way).
+   */
+  def restoreCommit(spark: SparkSession, uri: String,
+      toVersion: Int): Int = retryCommit() {
+    val latest = latestVersion(spark, uri)
+    require(toVersion >= 1 && toVersion <= latest,
+      s"$uri: cannot restore to version $toVersion (latest is $latest)")
+    val fs = fsOf(spark, uri)
+    require(fs.exists(manifestPath(uri, toVersion)),
+      s"$uri: version $toVersion's manifest was expired")
+    val m = readManifestFull(spark, uri, toVersion)
+    val missing = m.entries.filterNot(e =>
+      fs.exists(new Path(uri, e.name)))
+    require(missing.isEmpty,
+      s"$uri: cannot restore v$toVersion — ${missing.size} of its data " +
+        s"files were expired (${missing.take(3).map(_.name).mkString(", ")}…)")
+    writeManifest(spark, uri, latest + 1, m.entries, kind = "restore",
+      schemaId = m.schemaId)
+    latest + 1
+  }
+
   def createTag(spark: SparkSession, uri: String, name: String,
       version: Int = -1): Int = {
     require(name.nonEmpty && name.forall(c =>

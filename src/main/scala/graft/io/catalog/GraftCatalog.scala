@@ -54,7 +54,7 @@ import graft.io.Snapshots
  * RENAME TABLE = filesystem moves guarded to snapshot-managed dirs.
  */
 final class GraftCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -334,6 +334,22 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
     require(fs.rename(new org.apache.hadoop.fs.Path(fromUri), toPath),
       s"rename $from -> $to failed")
   }
+
+  // ------------------------------------------------------ procedures
+
+  /** Maintenance verbs as stored procedures (`CALL graft.system.
+    * optimize(table => '<uri>', ...)`) — see [[Procedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(ident.name).filter(_ =>
+      ident.namespace.isEmpty || ident.namespace.sameElements(
+        Array("system")))
+      .getOrElse(throw new NoSuchFunctionException(ident))
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    Procedures.names.map(n =>
+      Identifier.of(Array("system"), n)).toArray
 
   // ------------------------------------------------------- functions
 

@@ -1,0 +1,167 @@
+package graft.io.catalog
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{Fsck, Mview, Snapshots}
+
+/**
+ * Maintenance verbs as SQL STORED PROCEDURES (SPARK-44167 /
+ * `CALL graft.system.<proc>(...)`) — the V2 twin of graft's own
+ * OPTIMIZE/VACUUM/FSCK statement grammar, so a catalog-only SQL user
+ * gets the full table lifecycle:
+ *
+ * {{{
+ *   CALL graft.system.optimize(table => '/data/t', target_mb => 256)
+ *   CALL graft.system.optimize(table => '/data/t',
+ *     zorder_by => 'k1,k2', `where` => 'day = DATE\'2026-01-01\'')
+ *   CALL graft.system.vacuum(table => '/data/t', keep_versions => 3)
+ *   CALL graft.system.fsck(table => '/data/t', deep => true)
+ *   CALL graft.system.create_tag(table => '/data/t', tag => 'ml-v1')
+ *   CALL graft.system.restore(table => '/data/t', version => 4)
+ *   CALL graft.system.refresh_mview(view => '/data/mv')
+ * }}}
+ *
+ * Each procedure returns a small driver-computed result relation
+ * (committed version, removed-file count, fsck issues) served as a
+ * zero-task [[LocalScan]].  Heavy lifting stays in the [[Snapshots]]
+ * commits, which run distributed jobs as needed.
+ */
+object Procedures {
+
+  private def spark = SparkSession.active
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "fsck",
+    "create_tag", "delete_tag", "restore", "refresh_mview")
+
+  def load(name: String): Option[UnboundProcedure] = name match {
+    case "optimize" => Some(proc("optimize",
+      Seq(in("table", StringType),
+        in("target_mb", IntegerType, Some("128")),
+        in("zorder_by", StringType, Some("NULL")),
+        in("where", StringType, Some("NULL"))),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val uri = str(row, 0)
+        val targetMb = if (row.isNullAt(1)) 128 else row.getInt(1)
+        val zorder = optStr(row, 2).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val v = Snapshots.retryCommit() {
+          Snapshots.optimizeCommit(spark, uri, targetMb.toLong << 20,
+            zorder, optStr(row, 3))
+        }
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "vacuum" => Some(proc("vacuum",
+      Seq(in("table", StringType),
+        in("keep_versions", IntegerType, Some("1"))),
+      StructType(Seq(StructField("removed_files", IntegerType))),
+      row => {
+        val removed = Snapshots.expire(spark, str(row, 0),
+          if (row.isNullAt(1)) 1 else row.getInt(1))
+        Seq(new GenericInternalRow(Array[Any](removed.size)))
+      }))
+
+    case "fsck" => Some(proc("fsck",
+      Seq(in("table", StringType),
+        in("deep", BooleanType, Some("false"))),
+      StructType(Seq(
+        StructField("severity", StringType),
+        StructField("kind", StringType),
+        StructField("object", StringType),
+        StructField("detail", StringType))),
+      row => {
+        Fsck(spark, str(row, 0), !row.isNullAt(1) && row.getBoolean(1))
+          .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(r.getString(0)),
+            UTF8String.fromString(r.getString(1)),
+            UTF8String.fromString(r.getString(2)),
+            UTF8String.fromString(r.getString(3)))))
+      }))
+
+    case "create_tag" => Some(proc("create_tag",
+      Seq(in("table", StringType), in("tag", StringType),
+        in("version", IntegerType, Some("-1"))),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val v = Snapshots.createTag(spark, str(row, 0), str(row, 1),
+          if (row.isNullAt(2)) -1 else row.getInt(2))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "delete_tag" => Some(proc("delete_tag",
+      Seq(in("table", StringType), in("tag", StringType)),
+      StructType(Seq(StructField("deleted", BooleanType))),
+      row => {
+        Snapshots.deleteTag(spark, str(row, 0), str(row, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      }))
+
+    case "restore" => Some(proc("restore",
+      Seq(in("table", StringType), in("version", IntegerType)),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val v = Snapshots.restoreCommit(spark, str(row, 0), row.getInt(1))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "refresh_mview" => Some(proc("refresh_mview",
+      Seq(in("view", StringType)),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val v = Mview.refresh(spark, str(row, 0))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case _ => None
+  }
+
+  // ------------------------------------------------------- plumbing
+
+  private def str(row: InternalRow, i: Int): String = {
+    require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
+    row.getUTF8String(i).toString
+  }
+
+  private def optStr(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): JIterator[Scan] = {
+            val resultRows = body(input).toArray
+            Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] = resultRows
+              override def readSchema(): StructType = outSchema
+              override def description(): String = s"Graft($procName)"
+            }: Scan).iterator()
+          }
+        }
+    }
+}

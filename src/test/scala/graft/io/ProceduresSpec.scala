@@ -1,0 +1,138 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * SQL stored procedures (`CALL graft.system.<proc>(...)`) — the
+ * maintenance lifecycle through standard Spark SQL: optimize (compact
+ * + z-order, partial via `where`), vacuum, fsck, tags, restore and
+ * incremental-view refresh.
+ */
+class ProceduresSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def nFiles(dir: String): Long =
+    Snapshots.filesDf(spark, dir).count()
+
+  test("CALL optimize compacts a fragmented table") {
+    val dir = fresh("proc_optimize")
+    spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(40).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    assert(nFiles(dir) == 40)
+    val out = spark.sql(
+      s"CALL graft.system.optimize(table => '$dir', target_mb => 128)")
+    assert(out.columns.toSeq == Seq("version"))
+    assert(out.head().getInt(0) == 2)
+    assert(nFiles(dir) < 40)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft.`$dir`")
+      .head().getLong(0) == (0L until 20000L).map(_ * 2).sum)
+  }
+
+  test("CALL optimize with zorder_by re-clusters") {
+    val dir = fresh("proc_zorder")
+    spark.range(0, 10000)
+      .selectExpr("id % 100 AS a", "CAST(id / 100 AS BIGINT) AS b")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"CALL graft.system.optimize(table => '$dir', " +
+      "zorder_by => 'a,b')")
+    // data intact after the re-layout
+    assert(spark.sql(s"SELECT count(*) AS n, sum(a) AS sa " +
+      s"FROM graft.`$dir`").head().getLong(1) ==
+      (0L until 10000L).map(_ % 100).sum)
+  }
+
+  test("CALL create_tag / restore / vacuum lifecycle") {
+    val dir = fresh("proc_lifecycle")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"CALL graft.system.create_tag(table => '$dir', " +
+      "tag => 'base')")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id FROM range(100, 200)")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k < 50")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 150)
+    // restore to the tagged version (1): full original content back
+    val restored = spark.sql(
+      s"CALL graft.system.restore(table => '$dir', version => 1)")
+      .head().getInt(0)
+    assert(restored == 4)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 100)
+    // time travel still sees the pre-restore head
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 3")
+      .head().getLong(0) == 150)
+    // vacuum keeps tagged + recent; returns a count
+    val removed = spark.sql(
+      s"CALL graft.system.vacuum(table => '$dir', keep_versions => 1)")
+      .head().getInt(0)
+    assert(removed >= 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 100)
+    spark.sql(s"CALL graft.system.delete_tag(table => '$dir', " +
+      "tag => 'base')")
+    assert(Snapshots.tags(spark, dir).isEmpty)
+  }
+
+  test("CALL fsck reports a clean table and a missing file") {
+    val dir = fresh("proc_fsck")
+    spark.range(0, 100).selectExpr("id AS k").repartition(2)
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    assert(spark.sql(s"CALL graft.system.fsck(table => '$dir')")
+      .filter(col("severity") === "error").count() == 0)
+    // break it: remove a referenced data file behind the manifest
+    val victim = Snapshots.filesDf(spark, dir)
+      .select("file").head().getString(0)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir, victim), false)
+    val issues = spark.sql(
+      s"CALL graft.system.fsck(table => '$dir', deep => true)")
+    assert(issues.filter(col("kind") === "missing_data_file").count() >= 1)
+  }
+
+  test("CALL refresh_mview folds appended deltas") {
+    val src = fresh("proc_mv_src")
+    val mv = fresh("proc_mv_view")
+    spark.range(0, 100)
+      .selectExpr("id % 10 AS g", "id AS x").coalesce(1)
+      .write.parquet(src)
+    Snapshots.init(spark, src)
+    Mview.create(spark, mv, src, Seq("g"),
+      Seq(Mview.Count("cnt"), Mview.Sum("x", "sx")))
+    Snapshots.appendCommit(spark, src,
+      spark.range(100, 200).selectExpr("id % 10 AS g", "id AS x"))
+    spark.sql(s"CALL graft.system.refresh_mview(view => '$mv')")
+    val got = Snapshots.read(spark, mv).select("g", "cnt", "sx")
+      .orderBy("g").collect().map(_.toSeq)
+    val expect = spark.range(0, 200)
+      .selectExpr("id % 10 AS g", "id AS x").groupBy("g")
+      .agg(count("x").as("cnt"), sum("x").as("sx"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("unknown procedure refuses cleanly") {
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.nonsense()"))
+    assert(e.getMessage.toLowerCase.contains("nonsense"))
+  }
+}
