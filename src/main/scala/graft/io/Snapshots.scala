@@ -1881,6 +1881,69 @@ object Snapshots extends Serializable {
   /** Name `version` (default: latest).  Tag names are immutable —
     * re-tagging requires deleteTag first. */
   /**
+   * MERGE-ON-READ row-delta commit — the publish half of the V2
+   * delta-based (SupportsDelta) DELETE/UPDATE/MERGE path: per scanned
+   * file, fresh deleted POSITIONS merge with the file's existing
+   * deletion vector into a NEW sidecar (data bytes never move); files
+   * whose every physical row is now deleted simply leave the manifest;
+   * already-staged insert files land as appends.  One atomic manifest
+   * commit, `mor=true` (the delta IS fully described by DV changes +
+   * new files, so `readChangesRows` reconstructs the feed for free).
+   * Conflict detection keys on each MODIFIED file's (name, dv-state)
+   * as scanned: a concurrent writer that rewrote the file or advanced
+   * its DV refuses (retrying with the scanned basis would lose their
+   * delete or resurrect rows).
+   */
+  def applyRowDeltaCommit(spark: SparkSession, uri: String,
+      dvUpdates: Seq[(ManifestEntry, Array[Long])],
+      addNames: Seq[String], kind: String): Int = {
+    val fs = fsOf(spark, uri)
+    val conf = spark.sessionState.newHadoopConf()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val newEntries = entriesFor(spark, uri, addNames)
+    // build the replacement entries ONCE (DV files are immutable and
+    // uniquely named — a retried manifest commit reuses them)
+    val provisionalV = latestVersion(spark, uri) + 1
+    val swapped: Seq[(ManifestEntry, Option[ManifestEntry])] =
+      dvUpdates.zipWithIndex.map { case ((e, fresh), i) =>
+        require(fresh.nonEmpty, s"empty position delta for ${e.name}")
+        val existing = e.dv.map(d =>
+          DeletionVectors.readAll(conf, uri, d.path))
+          .getOrElse(Array.empty[Long])
+        val merged = DeletionVectors.merge(existing,
+          fresh.distinct.sorted)
+        val physical = e.stats.flatMap(SnapshotStats.parseRowCount)
+        if (physical.contains(merged.length.toLong))
+          (e, None) // every physical row deleted — file leaves
+        else {
+          val rel = DeletionVectors.relPath(provisionalV, stamp, s"d$i")
+          DeletionVectors.write(fs, new Path(uri, rel), merged)
+          (e, Some(e.copy(dv = Some(DvRef(rel, merged.length.toLong)))))
+        }
+      }
+    val basis = swapped.map { case (e, _) => (e.name, e.dv) }.toSet
+    val byName = swapped.map { case (e, r) => e.name -> r }.toMap
+    retryCommit() {
+      val v = latestVersion(spark, uri)
+      val entries = readManifestEntries(spark, uri, v)
+      val have = entries.map(e => (e.name, e.dv)).toSet
+      val conflicted = basis.filterNot(have)
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$uri: files ${conflicted.take(3).map(_._1).mkString(", ")}… " +
+            "changed during the row-level operation (concurrent " +
+            "writer) — re-run against the current version")
+      writeManifest(spark, uri, v + 1,
+        entries.flatMap(e => byName.get(e.name) match {
+          case None => Some(e) // untouched
+          case Some(repl) => repl // DV-swapped or fully deleted
+        }) ++ newEntries,
+        kind, mor = true)
+      v + 1
+    }
+  }
+
+  /**
    * RESTORE (Delta's RESTORE TABLE ... TO VERSION AS OF): publish a
    * NEW version whose content is exactly `toVersion`'s entries — a
    * metadata-only commit (files are shared with the restored version,

@@ -55,15 +55,20 @@ import graft.io.{PartitionTransforms, Snapshots}
  * host database (`/root/reference/README.md`); this is the Spark-native
  * equivalent surface.
  */
+/** Shared state between a row-level operation's scan and its write:
+  * the relation's scan — set when Spark builds it; its
+  * post-runtime-filter file list is what the commit replaces or
+  * DV-amends.  (The runtime group-filter SUBQUERY scans through the
+  * original table's own scan builder, not the operation's, so exactly
+  * one scan lands here.) */
+private[catalog] trait GraftRowLevelOp {
+  @volatile private[catalog] var scan: SnapshotScan = _
+}
+
 final class GraftRowLevelOperation(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
-
-  /** The ReplaceData relation's scan — set when Spark builds it; its
-    * post-runtime-filter file list is what the commit replaces.  (The
-    * runtime group-filter SUBQUERY scans through the original table's
-    * own scan builder, not this one, so exactly one scan lands here.) */
-  @volatile private[catalog] var scan: SnapshotScan = _
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with GraftRowLevelOp {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -312,6 +317,219 @@ final class GraftReplaceDataWrite(
 
   override def description(): String =
     s"GraftReplaceData(${op.command().name}, $uri)"
+}
+
+/**
+ * MERGE-ON-READ row-level operation (Spark's delta-based
+ * `SupportsDelta` path), selected by table property
+ * `write.mode = merge-on-read`: instead of rewriting affected files,
+ * Spark streams the OPERATION's row deltas — `delete(rowId)`,
+ * `update(rowId, row)`, `insert(row)` — where the row id is the
+ * `(_file, _pos)` metadata pair the scan emits.  Deletes accumulate
+ * per-file POSITION lists staged as graft deletion-vector part files;
+ * inserts stage as layout-faithful parquet; the driver merges each
+ * file's fresh positions with its existing DV and publishes ONE
+ * `mor=true` commit ([[Snapshots.applyRowDeltaCommit]]).  A scattered
+ * point delete on a 100 TB table costs kilobytes of sidecar — and the
+ * commit's row delta is fully DV-described, so the CDC feed
+ * (`readChangesRows`) reconstructs it with no extra files.
+ */
+final class GraftMorOperation(
+    spark: SparkSession, uri: String, table: SnapshotV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta with GraftRowLevelOp {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(spark, uri, table, options, rewrite = Some(this))
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val schema = info.schema()
+    // DELETE carries no row payload — specs resolve only when the
+    // write schema actually holds the table columns (insert paths)
+    val specs = scala.util.Try(
+      DirSpec.forTable(spark, uri, table, schema)).toOption
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(spark, uri, GraftMorOperation.this,
+          schema, specs)
+    }
+  }
+
+  override def description(): String = s"GraftMor(${cmd.name}, $uri)"
+}
+
+/** The delta write: DV part files + staged inserts on executors, one
+  * merge-on-read commit on the driver.  Clustered by `_file` (one
+  * task owns one file's deletes) and ordered by `(_file, _pos)`. */
+final class GraftDeltaWrite(
+    spark: SparkSession, uri: String, op: GraftMorOperation,
+    rowSchema: StructType, specs: Option[Seq[DirSpec]]) extends DeltaWrite
+    with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.expressions.{SortDirection, NullOrdering}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      Expressions.column("_file")
+        : org.apache.spark.sql.connector.expressions.Expression))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("_file"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_LAST),
+    Expressions.sort(Expressions.column("_pos"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_LAST))
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val stamp = java.util.UUID.randomUUID().toString.take(8)
+    private def stageDir = new Path(new Path(uri, "_rewrite_tmp"), stamp)
+    private def fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DeltaWriterFactory = {
+      val identityCols = specs.toSeq.flatten.collect {
+        case d: DirSpec.IdentityDir => d.name
+      }.toSet
+      val fileOrdinals = rowSchema.fields.zipWithIndex
+        .collect { case (f, i) if !identityCols.contains(f.name) => i }
+      val fileSchema = StructType(fileOrdinals.map(rowSchema.fields(_)))
+      GraftDeltaWriterFactory(
+        new SerializableConfiguration(
+          ParquetTaskWriteConf(spark, fileSchema)),
+        stageDir.toString, rowSchema, fileSchema, fileOrdinals,
+        specs.getOrElse(Nil))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: GraftDeltaMessage => m }
+      val inserts = msgs.flatMap(_.inserts).filter(_.rows > 0)
+      val deletes: Map[String, Seq[String]] = msgs.flatMap(_.dvParts)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      require(op.scan != null,
+        s"$uri: delta write committed without a planned scan")
+      try {
+        if (inserts.isEmpty && deletes.isEmpty) return
+        val byFileString = op.scan.scannedByFileString
+        val dvUpdates = deletes.toSeq.map { case (fileStr, parts) =>
+          val entry = byFileString.getOrElse(fileStr,
+            throw new IllegalStateException(
+              s"$uri: delta rowId file $fileStr was not in the scan"))
+          val fresh = parts.map(p =>
+            graft.io.DeletionVectors.read(fs, new Path(p)))
+            .reduce(graft.io.DeletionVectors.merge)
+          (entry, fresh)
+        }
+        val names = inserts.zipWithIndex.map { case (m, i) =>
+          val base = f"part-mor-$stamp-$i%05d.parquet"
+          val name = if (m.dir.isEmpty) base else s"${m.dir}/$base"
+          val target = new Path(uri, name)
+          Option(target.getParent).foreach(fs.mkdirs)
+          require(fs.rename(new Path(m.path), target),
+            s"staged move ${m.path} failed")
+          name
+        }
+        Snapshots.applyRowDeltaCommit(spark, uri, dvUpdates, names.toSeq,
+          kind = op.command().name.toLowerCase)
+      } finally fs.delete(stageDir, true)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      fs.delete(stageDir, true)
+      ()
+    }
+  }
+
+  override def description(): String =
+    s"GraftDelta(${op.command().name}, $uri)"
+}
+
+/** A task's delta output: staged insert files + staged DV part files
+  * as `(rowId _file string, staging path)`. */
+final case class GraftDeltaMessage(
+    inserts: Seq[StagedPartFile],
+    dvParts: Seq[(String, String)]) extends WriterCommitMessage
+
+final case class GraftDeltaWriterFactory(
+    conf: SerializableConfiguration, stageDir: String,
+    rowSchema: StructType, fileSchema: StructType,
+    fileOrdinals: Array[Int], specs: Seq[DirSpec])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(conf, stageDir, partitionId, taskId,
+      rowSchema, fileSchema, fileOrdinals, specs)
+}
+
+/** Executor-side delta writer: accumulates deleted positions per
+  * source file (flushed as graft DV part files at commit) and streams
+  * inserts through the layout-faithful staging writer. */
+final class GraftDeltaWriter(
+    conf: SerializableConfiguration, stageDir: String,
+    partitionId: Int, taskId: Long,
+    rowSchema: StructType, fileSchema: StructType,
+    fileOrdinals: Array[Int], specs: Seq[DirSpec])
+    extends DeltaWriter[InternalRow] {
+
+  private val deletes =
+    mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+  private lazy val insertWriter = new RewriteStagingWriter(conf,
+    new Path(stageDir, "inserts").toString, partitionId, taskId,
+    rowSchema, fileSchema, fileOrdinals, specs)
+  private var insertsUsed = false
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    require(!id.isNullAt(0) && !id.isNullAt(1),
+      "delta delete with a null (_file, _pos) row id")
+    deletes.getOrElseUpdate(id.getUTF8String(0).toString,
+      mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    insertsUsed = true
+    insertWriter.write(row)
+  }
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val fs = new Path(stageDir).getFileSystem(conf.value)
+    val dvParts = deletes.toSeq.zipWithIndex.map {
+      case ((fileStr, positions), i) =>
+        val p = new Path(new Path(stageDir, "dvparts"),
+          f"dv-$partitionId-$taskId-$i%04d.bin")
+        fs.mkdirs(p.getParent)
+        graft.io.DeletionVectors.write(fs, p,
+          positions.distinct.sorted.toArray)
+        (fileStr, p.toString)
+    }
+    val inserts =
+      if (!insertsUsed) Seq.empty[StagedPartFile]
+      else insertWriter.commit() match {
+        case StagedPartFilesMessage(files) => files
+        case other => throw new IllegalStateException(
+          s"unexpected insert commit message $other")
+      }
+    GraftDeltaMessage(inserts, dvParts)
+  }
+
+  override def abort(): Unit = if (insertsUsed) insertWriter.abort()
+
+  override def close(): Unit = ()
 }
 
 /** One staged file: absolute path, row count, table-relative dir

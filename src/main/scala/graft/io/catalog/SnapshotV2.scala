@@ -65,19 +65,33 @@ final class SnapshotV2Table(
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_file`: the row's source file (the SparkPath url-encoded string)
-    * — selectable for debugging, and the exact-pruning handle row-level
-    * operations use for runtime group filtering (nullable: a MERGE's
-    * inserted rows have no source file). */
+  /** `_file` (the row's source file, SparkPath url-encoded) and
+    * `_pos` (its PHYSICAL parquet row ordinal — the deletion-vector
+    * position domain).  Selectable for provenance, and the row-id /
+    * group-pruning handles the row-level operations use.  Requesting `_pos` switches
+    * the scan to unfiltered, unsplit, row-based reads — positions are
+    * a running physical count, so parquet row-group/page pruning or a
+    * mid-file split would silently desynchronize them. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        StringType
-      override def isNullable: Boolean = true
-      override def comment(): String = "source data file of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        // row-id attributes must be non-nullable (every SCANNED row
+        // has a file; Spark null-fills insert branches itself)
+        override def isNullable: Boolean = false
+        override def comment(): String = "source data file of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row ordinal within the source file"
+      })
 
   private[catalog] lazy val v: Int =
     if (version <= 0) Snapshots.latestVersion(spark, uri) else version
@@ -186,25 +200,43 @@ final class SnapshotV2Table(
     val sql =
       if (filters.isEmpty) "true"
       else filters.map(FilterSql.render).mkString(" AND ")
+    // the table's declared write mode applies here too: a
+    // merge-on-read table's filter DELETE writes deletion vectors
+    val mor = Snapshots.readTableProps(spark, uri)
+      .get("write.mode").exists(m => m == "merge-on-read" || m == "mor")
     Snapshots.retryCommit() {
-      Snapshots.deleteWhereCommit(spark, uri, sql)
+      Snapshots.deleteWhereCommit(spark, uri, sql, mergeOnRead = mor)
     }
     ()
   }
 
-  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE` as group-based
-    * COPY-ON-WRITE row-level operations ([[GraftRowLevelOperation]]):
-    * Spark rewrites the affected groups' full content; the scan prunes
-    * candidate files through manifest stats AND runtime group
-    * filtering, and the commit atomically swaps exactly the scanned
-    * files ([[Snapshots.replaceFilesCommit]]). */
+  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE` as row-level
+    * operations.  The table property `write.mode` picks the plan:
+    * `cow` (default) = group-based COPY-ON-WRITE
+    * ([[GraftRowLevelOperation]] — affected files rewritten whole,
+    * committed by atomic swap); `merge-on-read` = delta-based
+    * ([[GraftMorOperation]] — deleted rows become DELETION-VECTOR
+    * positions, zero data bytes rewritten, inserts append; the
+    * `mor=true` commit feeds `readChangesRows` for free). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version <= 0,
       s"$ident: cannot modify a pinned version/tag — write to the " +
         "table head")
-    () => new GraftRowLevelOperation(spark, uri, this, info.command)
+    Snapshots.readTableProps(spark, uri).getOrElse("write.mode", "cow")
+        match {
+      case "cow" =>
+        () => new GraftRowLevelOperation(spark, uri, this, info.command)
+      case "merge-on-read" | "mor" =>
+        require(!schema().fieldNames.exists(n =>
+            n == "_file" || n == "_pos"),
+          s"$ident: merge-on-read DML needs the _file/_pos metadata " +
+            "columns, which this table shadows with real columns")
+        () => new GraftMorOperation(spark, uri, this, info.command)
+      case other => throw new IllegalArgumentException(
+        s"$ident: unknown write.mode '$other' (cow | merge-on-read)")
+    }
   }
 
   /** `INSERT INTO` = [[Snapshots.appendCommit]] (one MVCC version;
@@ -330,7 +362,7 @@ final class SnapshotScanBuilder(
     spark: SparkSession, uri: String, table: SnapshotV2Table,
     options: CaseInsensitiveStringMap =
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-    rewrite: Option[GraftRowLevelOperation] = None)
+    rewrite: Option[GraftRowLevelOp] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -484,20 +516,24 @@ final class SnapshotScan(
     with SupportsRuntimeFiltering {
 
   private val partCols = table.partSchema.fieldNames.toSet
-  /** `_file` metadata column requested? (never a data column — table
-    * schemas with a real `_file` keep it as data via the conflict rule) */
-  private val wantFile: Boolean =
-    !table.schema().fieldNames.contains("_file") &&
-      required.fieldNames.contains("_file")
+  /** Requested METADATA columns in `required` order (a table with a
+    * real column of the same name keeps it as data — conflict rule). */
+  private val metaCols: Seq[String] = required.fieldNames.toSeq
+    .filter(n => (n == "_file" || n == "_pos") &&
+      !table.schema().fieldNames.contains(n))
+  private val wantFile: Boolean = metaCols.contains("_file")
+  private val wantPos: Boolean = metaCols.contains("_pos")
   private val reqData: Seq[StructField] =
     required.fields.toSeq.filterNot(f =>
-      partCols.contains(f.name) || (wantFile && f.name == "_file"))
+      partCols.contains(f.name) || metaCols.contains(f.name))
   private val reqPart: Seq[StructField] =
     table.identityFields.filter(f => required.fieldNames.contains(f.name))
 
   override def readSchema(): StructType = StructType(
-    reqData ++ reqPart ++
-      (if (wantFile) Seq(StructField("_file", StringType)) else Nil))
+    reqData ++ reqPart ++ metaCols.map {
+      case "_file" => StructField("_file", StringType)
+      case "_pos" => StructField("_pos", LongType)
+    })
 
   override def toBatch: Batch = this
 
@@ -560,6 +596,13 @@ final class SnapshotScan(
     * keys on (name, dv) so a concurrent merge-on-read delta on a
     * scanned file refuses instead of resurrecting its deleted rows. */
   private[catalog] def scannedEntries: Seq[Snapshots.ManifestEntry] = kept
+
+  /** Scanned entries keyed by the `_file` string the reader emits —
+    * how a delta write maps row-id file values back to manifest
+    * entries. */
+  private[catalog] def scannedByFileString
+      : Map[String, Snapshots.ManifestEntry] =
+    kept.map(e => fileStringOf(e) -> e).toMap
 
   // -------------------------------------- runtime (dynamic) filtering
 
@@ -697,7 +740,9 @@ final class SnapshotScan(
       val st = statuses(e.name)
       val sp = SparkPath.fromPath(st.getPath)
       val row = partRowOf(e)
-      if (e.dv.isDefined || st.getLen <= maxSplit)
+      // _pos is a running physical count — a mid-file split would
+      // restart it at zero, so position-bearing scans never split
+      if (wantPos || e.dv.isDefined || st.getLen <= maxSplit)
         Seq(PartitionedFile(row, sp, 0, st.getLen,
           Array.empty[String], st.getModificationTime, st.getLen))
       else (0L until st.getLen by maxSplit).map(off =>
@@ -852,8 +897,11 @@ final class SnapshotScan(
     val popts = new ParquetOptions(
       Map.empty[String, String], sqlConf)
     // rewrite mode: group granularity — never let parquet row-group/
-    // page filtering drop rows the rewrite must carry over
-    val readerFilters = if (rewriteMode) Array.empty[sources.Filter]
+    // page filtering drop rows the rewrite must carry over.  Same for
+    // position-bearing scans: a pruned page would desync the running
+    // physical ordinal.
+    val readerFilters =
+      if (rewriteMode || wantPos) Array.empty[sources.Filter]
       else pushed
     val filtered = ParquetPartitionReaderFactory(
       sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
@@ -867,9 +915,9 @@ final class SnapshotScan(
     // per-row _file append is requested — then the scan is Spark's own
     // vectorized parquet path end to end
     val allClean = kept.forall(_.dv.isEmpty) && projection.isEmpty &&
-      !wantFile
+      metaCols.isEmpty
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
-      projection, allClean, wantFile)
+      projection, allClean, metaCols)
   }
 }
 
@@ -1141,8 +1189,11 @@ final class SnapshotReaderFactory(
     conf: Broadcast[SerializableConfiguration],
     projection: Option[VariantProjection],
     allClean: Boolean,
-    withFile: Boolean = false)
+    metaCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
+
+  private val withMeta = metaCols.nonEmpty
+  private val withPos = metaCols.contains("_pos")
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allClean && filtered.supportColumnarReads(partition)
@@ -1191,24 +1242,40 @@ final class SnapshotReaderFactory(
       private var cur: PartitionReader[InternalRow] = _
       private var row: InternalRow = _
 
-      private var fileRow: InternalRow = _
+      private var fileStr: org.apache.spark.unsafe.types.UTF8String = _
+      private var posReader: DvSkipReader = _
 
       private def openNext(): Boolean = {
         i += 1
         if (i >= files.length) return false
         val dv = dvRels(i)
-        if (withFile) fileRow = new GenericInternalRow(Array[Any](
-          org.apache.spark.unsafe.types.UTF8String.fromString(
-            files(i).filePath.toString)))
+        if (withMeta) fileStr = org.apache.spark.unsafe.types.UTF8String
+          .fromString(files(i).filePath.toString)
+        posReader = null
         cur =
-          if (dv == null) filtered.buildReader(files(i))
+          if (dv == null && !withPos) filtered.buildReader(files(i))
           else {
-            val deleted = DeletionVectors.readAll(conf.value.value, uri, dv)
-            java.util.Arrays.sort(deleted)
-            new DvSkipReader(unfiltered.buildReader(files(i)), deleted)
+            // position-bearing or DV'd: unfiltered stream with a
+            // running PHYSICAL ordinal (skipped DV rows still advance)
+            val deleted =
+              if (dv == null) Array.empty[Long]
+              else {
+                val d = DeletionVectors.readAll(conf.value.value, uri, dv)
+                java.util.Arrays.sort(d)
+                d
+              }
+            posReader = new DvSkipReader(
+              unfiltered.buildReader(files(i)), deleted)
+            posReader
           }
         true
       }
+
+      private def metaRow(): InternalRow =
+        new GenericInternalRow(metaCols.map {
+          case "_file" => fileStr: Any
+          case "_pos" => posReader.currentPos: Any
+        }.toArray)
 
       override def next(): Boolean = {
         while (true) {
@@ -1219,9 +1286,9 @@ final class SnapshotReaderFactory(
               case Some(p) => project(cur.get(), p)
             }
             row =
-              if (!withFile) base
+              if (!withMeta) base
               else new org.apache.spark.sql.catalyst.expressions
-                .JoinedRow(base, fileRow)
+                .JoinedRow(base, metaRow())
             return true
           }
           cur.close(); cur = null
@@ -1255,12 +1322,15 @@ final class SnapshotReaderFactory(
 }
 
 /** Skip rows whose file-local ordinal is in the (sorted) deletion
-  * vector.  The wrapped reader MUST be unfiltered: row positions are a
-  * running count of emitted rows. */
-private final class DvSkipReader(
+  * vector, tracking the PHYSICAL ordinal of the current row (skipped
+  * rows advance it — this is the `_pos` / DV position domain).  The
+  * wrapped reader MUST be unfiltered and unsplit: positions are a
+  * running count of all rows in the file. */
+private[catalog] final class DvSkipReader(
     inner: PartitionReader[InternalRow], deleted: Array[Long])
     extends PartitionReader[InternalRow] {
   private var pos = -1L
+  def currentPos: Long = pos
   override def next(): Boolean = {
     while (inner.next()) {
       pos += 1

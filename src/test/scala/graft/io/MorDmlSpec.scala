@@ -1,0 +1,174 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * MERGE-ON-READ native DML (`write.mode = merge-on-read`): UPDATE /
+ * MERGE / DELETE through standard Spark SQL write DELETION VECTORS and
+ * appended files instead of rewriting data — zero data bytes move for
+ * a delete, the manifest's file set stays put, and the `mor=true`
+ * commits feed the row-level change feed for free.
+ */
+class MorDmlSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+
+  /** 4 ordered files of 1000 rows each, write.mode=merge-on-read. */
+  private def morTable(name: String): String = {
+    val dir = fresh(name)
+    spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS v")
+      .orderBy("k").coalesce(1)
+      .write.option("maxRecordsPerFile", "1000").parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('write.mode'='merge-on-read')")
+    dir
+  }
+
+  private def entries(dir: String): Seq[Snapshots.ManifestEntry] =
+    Snapshots.readManifestEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir))
+
+  test("MoR DELETE writes a DV, moves zero data bytes") {
+    val dir = morTable("mor_del")
+    val before = entries(dir).map(_.name).toSet
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 9 = 4 AND k < 1000")
+    val after = entries(dir)
+    // same files — the delete is a sidecar, not a rewrite
+    assert(after.map(_.name).toSet == before)
+    val dvd = after.filter(_.dv.isDefined)
+    assert(dvd.size == 1, after.map(e => (e.name, e.dv)))
+    assert(dvd.head.dv.get.rows == (0 until 1000).count(_ % 9 == 4))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000 - (0 until 1000).count(_ % 9 == 4))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` WHERE k % 9 = 4 AND k < 1000")
+      .head().getLong(0) == 0)
+  }
+
+  test("MoR filter DELETE (metadata route) also writes DVs") {
+    val dir = morTable("mor_del_meta")
+    val before = entries(dir).map(_.name).toSet
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k >= 500 AND k < 600")
+    val after = entries(dir)
+    assert(after.map(_.name).toSet == before, "no rewrite expected")
+    assert(after.count(_.dv.isDefined) == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 3900)
+  }
+
+  test("MoR UPDATE: DV on the old row, appended new row, CDC feed") {
+    val dir = morTable("mor_upd")
+    val v0 = Snapshots.latestVersion(spark, dir)
+    spark.sql(s"UPDATE graft.`$dir` SET v = -7 WHERE k = 1234")
+    val after = entries(dir)
+    // original 4 files all still present; one carries a 1-row DV; one
+    // fresh append holds the updated row
+    assert(after.count(_.name.startsWith("part-mor-")) == 1, after.map(_.name))
+    assert(after.count(_.dv.isDefined) == 1)
+    assert(after.find(_.dv.isDefined).get.dv.get.rows == 1)
+    assert(rows(spark.sql(
+      s"SELECT v FROM graft.`$dir` WHERE k = 1234")) == Seq(Seq(-7L)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 4000)
+    // the mor commit IS the change feed: delete pre-image + insert
+    val feed = Snapshots.readChangesRows(spark, dir, v0)
+      .filter(col("k") === 1234)
+    assert(rows(feed.select("_change_type", "v")) ==
+      Seq(Seq("delete", 3702L), Seq("insert", -7L)))
+  }
+
+  test("MoR MERGE: update + delete + insert clauses in one commit") {
+    val dir = morTable("mor_merge")
+    spark.range(3900, 4100).selectExpr("id AS k", "id * 100 AS nv")
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING mor_merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k < 3950 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+         |""".stripMargin)
+    val got = rows(spark.sql(s"SELECT k, v FROM graft.`$dir`"))
+    val expect = (
+      (0L until 3900L).map(k => Seq[Any](k, k * 3)) ++
+      (3900L until 3950L).map(k => Seq[Any](k, k * 100)) ++
+      // 3950..3999 matched -> deleted
+      (4000L until 4100L).map(k => Seq[Any](k, k * 100))
+    ).sortBy(_.toString)
+    assert(got == expect)
+    // the original files were never rewritten
+    assert(entries(dir).count(e =>
+      !e.name.startsWith("part-mor-")) == 4)
+  }
+
+  test("MoR DELETE covering a whole file drops it from the manifest") {
+    val dir = morTable("mor_del_whole")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 5 = 1") // row-level
+    // file 1 now: delete the REST of its rows -> fully dead
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k < 1000 AND k % 5 <> 1")
+    val after = entries(dir)
+    assert(after.size == 3, after.map(_.name))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 3000 - (1000 until 4000).count(_ % 5 == 1))
+  }
+
+  test("MoR UPDATE on a hive-partitioned table keeps layout for inserts") {
+    val dir = fresh("mor_part")
+    spark.range(0, 300)
+      .selectExpr("id AS k",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b' " +
+          "ELSE 'c' END AS part")
+      .write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('write.mode'='merge-on-read')")
+    spark.sql(s"UPDATE graft.`$dir` SET part = 'z' WHERE k = 30")
+    val after = entries(dir)
+    assert(after.exists(e => e.name.startsWith("part=z/") &&
+      e.name.contains("part-mor-")), after.map(_.name))
+    assert(rows(spark.sql(
+      s"SELECT k, part FROM graft.`$dir` WHERE k = 30")) ==
+      Seq(Seq(30L, "z")))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 300)
+  }
+
+  test("applyRowDeltaCommit refuses a stale DV basis") {
+    val dir = morTable("mor_conflict")
+    val victim = entries(dir).head
+    // concurrent MoR delete advances the file's DV
+    Snapshots.deleteWhereCommit(spark, dir, "k = 7", mergeOnRead = true)
+    val e = intercept[java.util.ConcurrentModificationException](
+      Snapshots.applyRowDeltaCommit(spark, dir,
+        Seq((victim, Array(3L))), Nil, "delete"))
+    assert(e.getMessage.contains("changed during"))
+  }
+
+  test("_pos metadata column is selectable and physical") {
+    val dir = morTable("mor_pos")
+    // DV-delete two rows, then read positions: gaps stay (physical)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k IN (1, 3)")
+    val got = spark.sql(
+      s"SELECT k, _pos FROM graft.`$dir` WHERE k < 6 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (2L, 2L), (4L, 4L), (5L, 5L)), got)
+  }
+}
