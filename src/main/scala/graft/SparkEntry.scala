@@ -1100,6 +1100,42 @@ object SparkEntry {
         "ORDER BY o_orderkey, o_custkey, cents")
     }),
 
+    // native MERGE-ON-READ DML (round 9, third session): the same
+    // UPDATE / DELETE / MERGE lifecycle as io_catalog_dml, but with
+    // write.mode=merge-on-read — every delete is a DELETION-VECTOR
+    // position, zero data bytes rewritten (MorDmlSpec pins the
+    // mechanics; this pins the values stay identical to the COW path)
+    "io_catalog_dml_mor" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catmor_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.repartition(4).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      s.sql(s"ALTER TABLE graft.`$uri` SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      base.filter(expr("o_orderkey % 10 IN (1, 6)"))
+        .selectExpr("o_orderkey AS k", "o_custkey AS c",
+          "cents * 2 AS newc")
+        .createOrReplaceTempView("graft_catmor_src")
+      s.sql(s"UPDATE graft.`$uri` SET cents = cents + 7 " +
+        "WHERE o_orderkey % 10 = 3")
+      s.sql(s"DELETE FROM graft.`$uri` WHERE o_orderkey % 10 = 6")
+      s.sql(s"MERGE INTO graft.`$uri` t USING graft_catmor_src s " +
+        "ON t.o_orderkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = s.newc " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, cents) " +
+        "VALUES (s.k, s.c, s.newc)")
+      s.sql(s"SELECT o_orderkey, o_custkey, cents FROM graft.`$uri` " +
+        "ORDER BY o_orderkey, o_custkey, cents")
+    }),
+
     // SQL stored procedures (round 9, third session; SPARK-44167
     // `CALL` grammar): the maintenance lifecycle through standard SQL
     // — CALL optimize compacts the fragmented table (data intact, one
@@ -3753,6 +3789,16 @@ object SparkEntry {
     "io_catalog_call" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"),
+
+    // same lifecycle on the merge-on-read table -> same final values
+    "io_catalog_dml_mor" ->
+      ("SELECT o_orderkey, o_custkey, CASE " +
+        "WHEN o_orderkey % 10 = 3 THEN " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 7 " +
+        "WHEN o_orderkey % 10 IN (1, 6) THEN " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) * 2 " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
+        "FROM orders ORDER BY o_orderkey, o_custkey, cents"),
 
     // UPDATE +7 on k%10=3; DELETE k%10=6; MERGE doubles k%10=1 and
     // re-inserts k%10=6 doubled -> every row present, cents adjusted
