@@ -795,15 +795,10 @@ object Snapshots extends Serializable {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
     // empty table (created or fully deleted): every upsert is an
-    // insert — one plain append, nothing to match against
-    if (entries.isEmpty) {
-      val inserts = deleteCol match {
-        case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
-          .drop(d)
-        case None => updates
-      }
-      return appendCommit(spark, uri, inserts)
-    }
+    // insert — one plain append, nothing to match against.  Same
+    // contract as the non-empty path: unique keys, declared columns
+    if (entries.isEmpty)
+      return appendAllAsInserts(spark, uri, v, updates, keyCols, deleteCol)
     val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
 
     // same plan as the in-place MergeInto — only the publish differs.
@@ -866,14 +861,8 @@ object Snapshots extends Serializable {
     val v = latestVersion(spark, uri)
     val entries = readManifestEntries(spark, uri, v)
     // empty table: all inserts, one append (same as the COW path)
-    if (entries.isEmpty) {
-      val inserts = deleteCol match {
-        case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
-          .drop(d)
-        case None => updates
-      }
-      return appendCommit(spark, uri, inserts)
-    }
+    if (entries.isEmpty)
+      return appendAllAsInserts(spark, uri, v, updates, keyCols, deleteCol)
     val keyDf = updates.select(keyCols.map(col): _*)
     require(keyDf.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
@@ -903,6 +892,24 @@ object Snapshots extends Serializable {
         entriesFor(spark, uri, moved),
       kind = "merge", mor = true)
     newV
+  }
+
+  /** Merge into an EMPTY table: all upserts are inserts, appended in
+    * one commit — holding the non-empty path's contract (unique keys
+    * required; only the table's declared columns written). */
+  private def appendAllAsInserts(spark: SparkSession, uri: String,
+      v: Int, updates: DataFrame, keyCols: Seq[String],
+      deleteCol: Option[String]): Int = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(updates.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "updates carry multiple rows for the same key")
+    val dataCols = read(spark, uri, v).columns.toSeq
+    val inserts = (deleteCol match {
+      case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
+      case None => updates
+    }).select(dataCols.map(col): _*)
+    appendCommit(spark, uri, inserts)
   }
 
   /**
@@ -1686,6 +1693,11 @@ object Snapshots extends Serializable {
         case "append" => added ++= names.filterNot(prev)
         // layout/metadata-only commits: same rows
         case "compact" | "optimize" | "stats" | "schema" => ()
+        case "restore" => throw new IllegalStateException(
+          s"$uri v$v is a RESTORE commit — the append-only file feed " +
+            "cannot represent the files it removed; restart the " +
+            "stream from a fresh startingVersion at or after v" + v +
+            " (readChangesRows reconstructs restore row deltas)")
         case other => throw new IllegalStateException(
           s"$uri v$v is a '$other' commit — readChanges supports " +
             "append-only ranges (compact/optimize commits are skipped); " +
@@ -1807,6 +1819,20 @@ object Snapshots extends Serializable {
                 Seq("__gdv_file", "__gdv_pos"), "left_semi")
             pieces += tag(joined, "delete", v)
           }
+        // RESTORE: a metadata-only file-set swap — reconstructible at
+        // the row level when no surviving file's DV changed (dropped
+        // files' live rows are the deletes, re-added files' live rows
+        // the inserts).  A restore that REVERTED deletion vectors
+        // falls through to the refusal below: emitting resurrections
+        // as inserts without their per-row identity would be wrong.
+        case "restore" if !m.entries.exists(e =>
+            prevByName.get(e.name).exists(_.dv != e.dv)) =>
+          val added = m.entries.filterNot(e => prevByName.contains(e.name))
+          if (added.nonEmpty)
+            pieces += tag(readFiles(spark, uri, added), "insert", v)
+          val dropped = prev.filterNot(e => curNames.contains(e.name))
+          if (dropped.nonEmpty)
+            pieces += tag(readFiles(spark, uri, dropped), "delete", v)
         case k @ ("delete" | "merge" | "update" | "overwrite")
             if fs.exists(new Path(changesPath(uri, v), "_SUCCESS")) =>
           // copy-on-write commit with RECORDED change data (cdc.cow):

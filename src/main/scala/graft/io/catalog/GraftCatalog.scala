@@ -348,8 +348,10 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
-    Procedures.names.map(n =>
-      Identifier.of(Array("system"), n)).toArray
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Procedures.names.map(n =>
+        Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ------------------------------------------------------- functions
 

@@ -353,10 +353,15 @@ final class GraftMorOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
     val schema = info.schema()
-    // DELETE carries no row payload — specs resolve only when the
-    // write schema actually holds the table columns (insert paths)
-    val specs = scala.util.Try(
-      DirSpec.forTable(spark, uri, table, schema)).toOption
+    // DELETE carries no row payload (its schema lacks the table
+    // columns) and never inserts, so layout resolution is skipped;
+    // every other command must resolve the layout — an unsupported
+    // identity type REFUSES here, exactly like the COW path, instead
+    // of silently staging unpartitioned files into a partitioned table
+    val specs: Option[Seq[DirSpec]] =
+      if (cmd == RowLevelOperation.Command.DELETE)
+        scala.util.Try(DirSpec.forTable(spark, uri, table, schema)).toOption
+      else Some(DirSpec.forTable(spark, uri, table, schema))
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(spark, uri, GraftMorOperation.this,
@@ -405,8 +410,7 @@ final class GraftDeltaWrite(
       GraftDeltaWriterFactory(
         new SerializableConfiguration(
           ParquetTaskWriteConf(spark, fileSchema)),
-        stageDir.toString, rowSchema, fileSchema, fileOrdinals,
-        specs.getOrElse(Nil))
+        stageDir.toString, rowSchema, fileSchema, fileOrdinals, specs)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -461,7 +465,7 @@ final case class GraftDeltaMessage(
 final case class GraftDeltaWriterFactory(
     conf: SerializableConfiguration, stageDir: String,
     rowSchema: StructType, fileSchema: StructType,
-    fileOrdinals: Array[Int], specs: Seq[DirSpec])
+    fileOrdinals: Array[Int], specs: Option[Seq[DirSpec]])
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -469,28 +473,56 @@ final case class GraftDeltaWriterFactory(
       rowSchema, fileSchema, fileOrdinals, specs)
 }
 
-/** Executor-side delta writer: accumulates deleted positions per
-  * source file (flushed as graft DV part files at commit) and streams
-  * inserts through the layout-faithful staging writer. */
+/**
+ * Executor-side delta writer.  Deletes stream: the write is ordered by
+ * `(_file, _pos)`, so one file's positions arrive contiguously — only
+ * the CURRENT file's positions buffer in memory, flushed as a graft DV
+ * part file when the file changes (a file that reappears — e.g. the
+ * ordering was best-effort — simply flushes another part; the commit
+ * merges all parts per file).  The file string compares by UTF8String
+ * equality, converting once per file, not per row.  Inserts stream
+ * through the layout-faithful staging writer.
+ */
 final class GraftDeltaWriter(
     conf: SerializableConfiguration, stageDir: String,
     partitionId: Int, taskId: Long,
     rowSchema: StructType, fileSchema: StructType,
-    fileOrdinals: Array[Int], specs: Seq[DirSpec])
+    fileOrdinals: Array[Int], specs: Option[Seq[DirSpec]])
     extends DeltaWriter[InternalRow] {
 
-  private val deletes =
-    mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+  private val dvParts = mutable.ArrayBuffer.empty[(String, String)]
+  private var curFile: org.apache.spark.unsafe.types.UTF8String = _
+  private var curFileStr: String = _
+  private val curPositions = mutable.ArrayBuffer.empty[Long]
+  private var partSeq = 0
+  private lazy val fs = new Path(stageDir).getFileSystem(conf.value)
+
   private lazy val insertWriter = new RewriteStagingWriter(conf,
     new Path(stageDir, "inserts").toString, partitionId, taskId,
-    rowSchema, fileSchema, fileOrdinals, specs)
+    rowSchema, fileSchema, fileOrdinals, specs.getOrElse(Nil))
   private var insertsUsed = false
+
+  private def flushCurrent(): Unit = if (curPositions.nonEmpty) {
+    val p = new Path(new Path(stageDir, "dvparts"),
+      f"dv-$partitionId-$taskId-$partSeq%04d.bin")
+    partSeq += 1
+    fs.mkdirs(p.getParent)
+    graft.io.DeletionVectors.write(fs, p,
+      curPositions.distinct.sorted.toArray)
+    dvParts += ((curFileStr, p.toString))
+    curPositions.clear()
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     require(!id.isNullAt(0) && !id.isNullAt(1),
       "delta delete with a null (_file, _pos) row id")
-    deletes.getOrElseUpdate(id.getUTF8String(0).toString,
-      mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+    val f = id.getUTF8String(0)
+    if (curFile == null || f != curFile) {
+      flushCurrent()
+      curFile = f.clone()
+      curFileStr = curFile.toString
+    }
+    curPositions += id.getLong(1)
   }
 
   override def update(metadata: InternalRow, id: InternalRow,
@@ -500,6 +532,9 @@ final class GraftDeltaWriter(
   }
 
   override def insert(row: InternalRow): Unit = {
+    require(specs.isDefined,
+      "delta write received an insert but the table layout was not " +
+        "resolved (delete-only plan) — this is a planner bug")
     insertsUsed = true
     insertWriter.write(row)
   }
@@ -507,16 +542,7 @@ final class GraftDeltaWriter(
   override def write(row: InternalRow): Unit = insert(row)
 
   override def commit(): WriterCommitMessage = {
-    val fs = new Path(stageDir).getFileSystem(conf.value)
-    val dvParts = deletes.toSeq.zipWithIndex.map {
-      case ((fileStr, positions), i) =>
-        val p = new Path(new Path(stageDir, "dvparts"),
-          f"dv-$partitionId-$taskId-$i%04d.bin")
-        fs.mkdirs(p.getParent)
-        graft.io.DeletionVectors.write(fs, p,
-          positions.distinct.sorted.toArray)
-        (fileStr, p.toString)
-    }
+    flushCurrent()
     val inserts =
       if (!insertsUsed) Seq.empty[StagedPartFile]
       else insertWriter.commit() match {
@@ -524,7 +550,7 @@ final class GraftDeltaWriter(
         case other => throw new IllegalStateException(
           s"unexpected insert commit message $other")
       }
-    GraftDeltaMessage(inserts, dvParts)
+    GraftDeltaMessage(inserts, dvParts.toSeq)
   }
 
   override def abort(): Unit = if (insertsUsed) insertWriter.abort()

@@ -1242,15 +1242,22 @@ final class SnapshotReaderFactory(
       private var cur: PartitionReader[InternalRow] = _
       private var row: InternalRow = _
 
-      private var fileStr: org.apache.spark.unsafe.types.UTF8String = _
       private var posReader: DvSkipReader = _
+      // one meta row per FILE, with only the _pos slot (if any)
+      // updated per row — rows are consumed before the next() call,
+      // Spark's standard InternalRow reuse contract
+      private var meta: GenericInternalRow = _
+      private val posSlot = metaCols.indexOf("_pos")
 
       private def openNext(): Boolean = {
         i += 1
         if (i >= files.length) return false
         val dv = dvRels(i)
-        if (withMeta) fileStr = org.apache.spark.unsafe.types.UTF8String
-          .fromString(files(i).filePath.toString)
+        if (withMeta) meta = new GenericInternalRow(metaCols.map {
+          case "_file" => org.apache.spark.unsafe.types.UTF8String
+            .fromString(files(i).filePath.toString): Any
+          case "_pos" => -1L: Any
+        }.toArray)
         posReader = null
         cur =
           if (dv == null && !withPos) filtered.buildReader(files(i))
@@ -1271,12 +1278,6 @@ final class SnapshotReaderFactory(
         true
       }
 
-      private def metaRow(): InternalRow =
-        new GenericInternalRow(metaCols.map {
-          case "_file" => fileStr: Any
-          case "_pos" => posReader.currentPos: Any
-        }.toArray)
-
       override def next(): Boolean = {
         while (true) {
           if (cur == null && !openNext()) return false
@@ -1287,8 +1288,11 @@ final class SnapshotReaderFactory(
             }
             row =
               if (!withMeta) base
-              else new org.apache.spark.sql.catalyst.expressions
-                .JoinedRow(base, metaRow())
+              else {
+                if (posSlot >= 0) meta.update(posSlot, posReader.currentPos)
+                new org.apache.spark.sql.catalyst.expressions
+                  .JoinedRow(base, meta)
+              }
             return true
           }
           cur.close(); cur = null

@@ -151,6 +151,57 @@ class MorDmlSpec extends AnyFunSuite {
       .head().getLong(0) == 300)
   }
 
+  test("MoR UPDATE refuses an unrepresentable partition value type") {
+    val dir = fresh("mor_ts_part")
+    spark.range(0, 10)
+      .selectExpr("id AS k",
+        "CAST(id AS DOUBLE) AS part") // double dirs not renderable
+      .write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('write.mode'='merge-on-read')")
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft.`$dir` SET k = 0 WHERE k = 5"))
+    assert(e.getMessage.contains("partition value rendering"),
+      e.getMessage)
+  }
+
+  test("MERGE into an empty created table holds the merge contract") {
+    val dir = fresh("mor_empty_merge")
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v BIGINT)")
+    // duplicate keys refused, same as the non-empty path
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (1L, 11L)).toDF("k", "v")
+    val e = intercept[Exception](
+      Snapshots.mergeCommit(spark, dir, dup, Seq("k")))
+    assert(e.getMessage.contains("multiple rows for the same key"))
+    // extra helper columns are projected away, not written
+    val extra = Seq((2L, 20L, "junk")).toDF("k", "v", "helper")
+    Snapshots.mergeCommit(spark, dir, extra, Seq("k"),
+      mergeOnRead = true)
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$dir`")) ==
+      Seq(Seq(2L, 20L)))
+  }
+
+  test("readChangesRows reconstructs a RESTORE's row delta") {
+    val dir = fresh("mor_restore_feed")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id FROM range(100, 150)")
+    Snapshots.restoreCommit(spark, dir, 1) // v3: the insert undone
+    val feed = Snapshots.readChangesRows(spark, dir, 2, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 50)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    // a restore over DV state refuses (identity-less resurrection)
+    Snapshots.deleteWhereCommit(spark, dir, "k = 5", mergeOnRead = true)
+    Snapshots.restoreCommit(spark, dir, 3)
+    val e = intercept[IllegalStateException](
+      Snapshots.readChangesRows(spark, dir, 4, 5).collect())
+    assert(e.getMessage.contains("restore"), e.getMessage)
+  }
+
   test("applyRowDeltaCommit refuses a stale DV basis") {
     val dir = morTable("mor_conflict")
     val victim = entries(dir).head
