@@ -83,6 +83,26 @@ object DmlSmoke {
       s"WHERE l_orderkey = $key").createOrReplaceTempView("dml_probe")
     val q = spark.sql("SELECT sum(qty) FROM dml_probe").head()
     println(s"[dml-smoke] probe sum(qty) after update = ${q.get(0)}")
+
+    // ---- merge-on-read: same shapes, deletion vectors instead of
+    // rewrites — the number that matters is bytes moved (zero)
+    spark.sql(s"ALTER TABLE graft.`$outDir` SET TBLPROPERTIES " +
+      "('write.mode'='merge-on-read')")
+    def dvBytes(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dv = new org.apache.hadoop.fs.Path(outDir, "_graft_dv")
+      if (!fs.exists(dv)) 0L
+      else fs.listStatus(dv).map(_.getLen).sum
+    }
+    timed("mor_delete_point")(
+      s"DELETE FROM graft.`$outDir` WHERE l_orderkey % 89 = 7 " +
+        s"AND l_orderkey < ${off / 4}")
+    println(s"[dml-smoke] dv sidecar bytes after MoR delete = ${dvBytes()}")
+    timed("mor_update_point")(
+      s"UPDATE graft.`$outDir` SET qty = qty + 5 " +
+        s"WHERE l_orderkey = ${2 * off + 777}")
+    println(s"[dml-smoke] dv sidecar bytes after MoR update = ${dvBytes()}")
     spark.stop()
   }
 }
