@@ -1,0 +1,138 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Seeded MODEL-BASED fuzz over the native SQL DML surface: random
+ * sequences of INSERT / UPDATE / DELETE / MERGE / optimize / restore
+ * run against a snapshot table — copy-on-write or merge-on-read, flat
+ * or hive-partitioned — while a driver-side reference model applies
+ * the same semantics to a plain Map.  After every operation the
+ * catalog read must equal the model exactly.  The point: the write
+ * modes and layouts may only change the PHYSICS (rewrites vs DVs,
+ * dirs vs flat), never the answer, under arbitrary interleavings.
+ */
+class DmlEquivalenceProps extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+  import spark.implicits._
+
+  test("random DML sequences match the reference model (12 cases)") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 12).foreach { case i =>
+      val dir = TestSpark.tmpDir(s"dmlfuzz_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+      val partitioned = rnd.nextBoolean()
+      val mor = rnd.nextBoolean()
+
+      // model: k -> (v, p)
+      var model = (0 until 60 + rnd.nextInt(60)).map { _ =>
+        rnd.nextInt(500).toLong -> (rnd.nextInt(100).toLong,
+          s"p${rnd.nextInt(3)}")
+      }.toMap
+
+      val df0 = model.toSeq.map { case (k, (v, p)) => (k, v, p) }
+        .toDF("k", "v", "p")
+      if (partitioned) df0.write.partitionBy("p").parquet(dir)
+      else df0.repartition(1 + rnd.nextInt(3)).write.parquet(dir)
+      Snapshots.init(spark, dir)
+      if (mor) spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+
+      def check(step: String): Unit = {
+        val got = spark.sql(s"SELECT k, v, p FROM graft.`$dir`")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getString(2))).toMap
+        assert(got == model,
+          s"case $i (partitioned=$partitioned mor=$mor) after $step: " +
+            s"missing=${(model.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- model.keySet).take(5)} " +
+            s"diff=${model.keySet.intersect(got.keySet)
+              .filter(k => model(k) != got(k)).take(5)}")
+      }
+      check("init")
+
+      val versions = scala.collection.mutable.ArrayBuffer(
+        (Snapshots.latestVersion(spark, dir), model))
+
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => // INSERT new keys
+            val fresh = (0 until 10).map(_ =>
+              (500L + rnd.nextInt(500), rnd.nextInt(100).toLong,
+                s"p${rnd.nextInt(3)}")).distinctBy(_._1)
+              .filterNot(t => model.contains(t._1))
+            if (fresh.nonEmpty) {
+              fresh.toDF("k", "v", "p")
+                .createOrReplaceTempView("dmlfuzz_ins")
+              spark.sql(s"INSERT INTO graft.`$dir` " +
+                "SELECT * FROM dmlfuzz_ins")
+              model ++= fresh.map(t => t._1 -> (t._2, t._3))
+              check("insert")
+            }
+          case 1 => // UPDATE a slice
+            val m = 2 + rnd.nextInt(5)
+            spark.sql(s"UPDATE graft.`$dir` SET v = v + 1000 " +
+              s"WHERE k % $m = 1")
+            model = model.map { case (k, (v, p)) =>
+              k -> (if (k % m == 1) (v + 1000, p) else (v, p))
+            }
+            check(s"update k%$m=1")
+          case 2 => // DELETE a slice (sometimes untranslatable)
+            val m = 3 + rnd.nextInt(5)
+            val pred = if (rnd.nextBoolean()) s"k % $m = 2"
+              else s"k >= ${rnd.nextInt(400)} AND k % $m = 2"
+            spark.sql(s"DELETE FROM graft.`$dir` WHERE $pred")
+            val keep: Long => Boolean = pred match {
+              case p if p.startsWith("k %") => k => !(k % m == 2)
+              case p =>
+                val lo = p.stripPrefix("k >= ").takeWhile(_.isDigit).toLong
+                k => !(k >= lo && k % m == 2)
+            }
+            model = model.filter { case (k, _) => keep(k) }
+            check(s"delete $pred")
+          case 3 => // MERGE: update evens, insert odds of a random set
+            val src = (0 until 12).map(_ =>
+              (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong,
+                s"p${rnd.nextInt(3)}")).distinctBy(_._1)
+            src.toDF("k", "nv", "np")
+              .createOrReplaceTempView("dmlfuzz_src")
+            spark.sql(
+              s"""MERGE INTO graft.`$dir` t USING dmlfuzz_src s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET v = s.nv
+                 |WHEN NOT MATCHED THEN INSERT (k, v, p)
+                 |VALUES (s.k, s.nv, s.np)
+                 |""".stripMargin)
+            src.foreach { case (k, nv, np) =>
+              model += (model.get(k) match {
+                case Some((_, p)) => k -> (nv, p)
+                case None => k -> (nv, np)
+              })
+            }
+            check("merge")
+          case 4 => // optimize (layout only)
+            spark.sql(s"CALL graft.system.optimize(table => '$dir')")
+            check("optimize")
+          case 5 => // restore to a random recorded version
+            val (tv, tm) = versions(rnd.nextInt(versions.size))
+            // restores over MoR DV reverts are refused by the feed,
+            // not the restore itself — always state-correct
+            Snapshots.restoreCommit(spark, dir, tv)
+            model = tm
+            check(s"restore v$tv")
+        }
+        versions += ((Snapshots.latestVersion(spark, dir), model))
+      }
+    }
+  }
+}
