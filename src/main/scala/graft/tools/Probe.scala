@@ -156,6 +156,30 @@ object Probe {
       spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT) " +
         "TBLPROPERTIES ('partition.transforms'='bucket(2,k,long)')")
     }
+    probe("catalog-restore-bad-version-refused") {
+      val dir = s"$tmp/graft_probe_restore"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(5).write.parquet(dir)
+      graft.io.Snapshots.init(spark, dir)
+      spark.sql(s"CALL graft.system.restore(table => '$dir', " +
+        "version => 9)")
+    }
+    probe("catalog-bad-write-mode-refused") {
+      val dir = s"$tmp/graft_probe_wmode"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(5).selectExpr("id AS k").write.parquet(dir)
+      graft.io.Snapshots.init(spark, dir)
+      spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('write.mode'='sideways')")
+      spark.sql(s"UPDATE graft.`$dir` SET k = 0 WHERE k = 1")
+    }
+    probe("catalog-unknown-procedure-refused") {
+      spark.sql("CALL graft.system.defragment(table => '/tmp/x')")
+    }
     probe("catalog-stream-complete-mode-refused") {
       val t = s"$tmp/graft_probe_cat"
       val q = spark.readStream

@@ -24,6 +24,68 @@ class DmlEquivalenceProps extends AnyFunSuite {
   }
   import spark.implicits._
 
+  test("DML over schema evolution: rename/add interleave with rewrites") {
+    val rnd = new scala.util.Random(9090)
+    (1 to 6).foreach { i =>
+      val dir = TestSpark.tmpDir(s"dmlevo_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+      val mor = i % 2 == 0
+      var model = (0 until 80).map(_ =>
+        rnd.nextInt(300).toLong -> rnd.nextInt(100).toLong).toMap
+      model.toSeq.map { case (k, v) => (k, v) }.toDF("k", "v")
+        .repartition(3).write.parquet(dir)
+      Snapshots.init(spark, dir)
+      if (mor) spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+
+      // rename v -> val: files written BEFORE the rename still carry v
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val")
+      def check(step: String): Unit = {
+        val got = spark.sql(s"SELECT k, val FROM graft.`$dir`")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"case $i mor=$mor after $step")
+      }
+      check("rename")
+
+      // DML through the rename: old-name files coalesce, rewrites
+      // and inserts land under the current name
+      spark.sql(s"UPDATE graft.`$dir` SET val = val + 500 WHERE k % 4 = 1")
+      model = model.map { case (k, v) =>
+        k -> (if (k % 4 == 1) v + 500 else v)
+      }
+      check("update after rename")
+
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 7 = 2")
+      model = model.filter { case (k, _) => k % 7 != 2 }
+      check("delete after rename")
+
+      // add a column, then MERGE writes all three
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN w BIGINT")
+      val src = (0 until 15).map(_ =>
+        (rnd.nextInt(600).toLong, rnd.nextInt(100).toLong)).distinctBy(_._1)
+      src.toDF("k", "nv").createOrReplaceTempView(s"dmlevo_src_$i")
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dmlevo_src_$i s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET val = s.nv, w = s.nv * 2
+           |WHEN NOT MATCHED THEN INSERT (k, val, w)
+           |VALUES (s.k, s.nv, s.nv * 3)
+           |""".stripMargin)
+      var modelW: Map[Long, Option[Long]] =
+        model.keySet.map(_ -> Option.empty[Long]).toMap
+      src.foreach { case (k, nv) =>
+        if (model.contains(k)) { model += k -> nv; modelW += k -> Some(nv * 2) }
+        else { model += k -> nv; modelW += k -> Some(nv * 3) }
+      }
+      check("merge after add")
+      val gotW = spark.sql(s"SELECT k, w FROM graft.`$dir`")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(gotW == modelW, s"case $i mor=$mor: w column mismatch")
+    }
+  }
+
   test("random DML sequences match the reference model (12 cases)") {
     val rnd = new scala.util.Random(4242)
     (1 to 12).foreach { case i =>
