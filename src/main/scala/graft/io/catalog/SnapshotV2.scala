@@ -910,14 +910,14 @@ final class SnapshotScan(
       sqlConf, broadcastConf, table.fileDataSchema, innerData, partStruct,
       Array.empty, None, popts)
     // columnar must be all-or-nothing across a scan's partitions
-    // (BatchScanExec refuses a mix): hand batches through only when no
-    // kept file carries a DV, no rename projection is needed and no
-    // per-row _file append is requested — then the scan is Spark's own
-    // vectorized parquet path end to end
-    val allClean = kept.forall(_.dv.isEmpty) && projection.isEmpty &&
-      metaCols.isEmpty
+    // (BatchScanExec refuses a mix): batches stream when no kept file
+    // carries a DV and no per-row metadata append is requested.  A
+    // rename-variant projection stays columnar too — the coalesce
+    // wraps the batch's vectors ([[CoalescingColumnVector]]) instead
+    // of demoting the whole scan to row-at-a-time reads.
+    val columnarOk = kept.forall(_.dv.isEmpty) && metaCols.isEmpty
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
-      projection, allClean, metaCols)
+      projection, columnarOk, metaCols)
   }
 }
 
@@ -1156,6 +1156,60 @@ final class GraftStreamingDataWriter(
 final case class VariantProjection(
     variantOrdinals: Array[Array[Int]], outTypes: Array[DataType])
 
+/**
+ * Columnar rename-variant coalesce: presents the first non-null of
+ * several physical column vectors (the rename variants — a file
+ * stores exactly ONE, so at most one is non-null per row) as a single
+ * logical column.  This is what keeps a schema-EVOLVED table on
+ * Spark's vectorized parquet path end-to-end: batches stream through
+ * with a per-cell dispatch instead of falling back to row-at-a-time
+ * reads.
+ */
+final class CoalescingColumnVector(
+    tpe: DataType,
+    variants: Array[org.apache.spark.sql.vectorized.ColumnVector],
+    numRows: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(tpe) {
+  import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarMap, ColumnVector}
+
+  private def pick(rowId: Int): ColumnVector = {
+    var i = 0
+    while (i < variants.length) {
+      if (!variants(i).isNullAt(rowId)) return variants(i)
+      i += 1
+    }
+    variants(0)
+  }
+
+  private lazy val nullCount: Int =
+    (0 until numRows).count(isNullAt)
+
+  override def close(): Unit = () // owned by the wrapped batch
+  override def hasNull: Boolean = nullCount > 0
+  override def numNulls(): Int = nullCount
+  override def isNullAt(rowId: Int): Boolean =
+    variants.forall(_.isNullAt(rowId))
+  override def getBoolean(rowId: Int): Boolean = pick(rowId).getBoolean(rowId)
+  override def getByte(rowId: Int): Byte = pick(rowId).getByte(rowId)
+  override def getShort(rowId: Int): Short = pick(rowId).getShort(rowId)
+  override def getInt(rowId: Int): Int = pick(rowId).getInt(rowId)
+  override def getLong(rowId: Int): Long = pick(rowId).getLong(rowId)
+  override def getFloat(rowId: Int): Float = pick(rowId).getFloat(rowId)
+  override def getDouble(rowId: Int): Double = pick(rowId).getDouble(rowId)
+  override def getArray(rowId: Int): ColumnarArray = pick(rowId).getArray(rowId)
+  override def getMap(rowId: Int): ColumnarMap = pick(rowId).getMap(rowId)
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    pick(rowId).getDecimal(rowId, precision, scale)
+  override def getUTF8String(rowId: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    pick(rowId).getUTF8String(rowId)
+  override def getBinary(rowId: Int): Array[Byte] = pick(rowId).getBinary(rowId)
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException(
+      "nested children are not coalesced (rename variants are flat)")
+}
+
 /** One planned read unit: parquet file splits + per-split DV sidecar
   * (table-relative path; null = none). */
 final case class GraftPartition(
@@ -1188,7 +1242,7 @@ final class SnapshotReaderFactory(
     unfiltered: ParquetPartitionReaderFactory,
     conf: Broadcast[SerializableConfiguration],
     projection: Option[VariantProjection],
-    allClean: Boolean,
+    columnarOk: Boolean,
     metaCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
 
@@ -1196,7 +1250,7 @@ final class SnapshotReaderFactory(
   private val withPos = metaCols.contains("_pos")
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    allClean && filtered.supportColumnarReads(partition)
+    columnarOk && filtered.supportColumnarReads(partition)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1223,7 +1277,22 @@ final class SnapshotReaderFactory(
         false
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        cur.get()
+        projection match {
+          case None => cur.get()
+          case Some(p) =>
+            // coalesce rename variants per BATCH: one wrapper vector
+            // per multi-variant column, passthrough otherwise
+            val b = cur.get()
+            val cols = p.variantOrdinals.zipWithIndex.map {
+              case (cands, j) =>
+                if (cands.length == 1) b.column(cands(0))
+                else new CoalescingColumnVector(p.outTypes(j),
+                  cands.map(b.column), b.numRows())
+                  : org.apache.spark.sql.vectorized.ColumnVector
+            }
+            new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols, b.numRows())
+        }
       override def close(): Unit =
         if (cur != null) { cur.close(); cur = null }
     }

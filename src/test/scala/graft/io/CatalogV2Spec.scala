@@ -114,6 +114,14 @@ class CatalogV2Spec extends AnyFunSuite {
     // a filter over the renamed column keeps pre-rename rows visible
     assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE k < 510").count()
       == 510)
+    // the evolved scan stays COLUMNAR: variants coalesce per batch
+    // (CoalescingColumnVector), not row-at-a-time
+    val plan = executed(spark.sql(s"SELECT k, v FROM graft.`$dir`"))
+    val colToRow = plan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }
+    assert(colToRow.nonEmpty,
+      s"expected a columnar evolved scan (ColumnarToRow present):\n$plan")
   }
 
   test("SQL time travel: VERSION AS OF, tag, TIMESTAMP AS OF") {
