@@ -1765,7 +1765,8 @@ object Snapshots extends Serializable {
         .withColumn("_change_type", lit(t))
         .withColumn("_commit_version", lit(v.toLong))
 
-    var prev = readManifestEntries(spark, uri, fromVersion)
+    var prevM = readManifestFull(spark, uri, fromVersion)
+    var prev = prevM.entries
     val pieces = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to to).foreach { v =>
       val m = readManifestFull(spark, uri, v)
@@ -1822,17 +1823,26 @@ object Snapshots extends Serializable {
         // RESTORE: a metadata-only file-set swap — reconstructible at
         // the row level when no surviving file's DV changed (dropped
         // files' live rows are the deletes, re-added files' live rows
-        // the inserts).  A restore that REVERTED deletion vectors
-        // falls through to the refusal below: emitting resurrections
-        // as inserts without their per-row identity would be wrong.
+        // the inserts) AND the restore kept the schema pointer (a
+        // schema revert would project dropped post-rename files under
+        // a def that does not know their names — silent null
+        // pre-images).  Otherwise refuse with the restore-specific
+        // message below.
         case "restore" if !m.entries.exists(e =>
-            prevByName.get(e.name).exists(_.dv != e.dv)) =>
+            prevByName.get(e.name).exists(_.dv != e.dv)) &&
+            m.schemaId == prevM.schemaId =>
           val added = m.entries.filterNot(e => prevByName.contains(e.name))
           if (added.nonEmpty)
             pieces += tag(readFiles(spark, uri, added), "insert", v)
           val dropped = prev.filterNot(e => curNames.contains(e.name))
           if (dropped.nonEmpty)
             pieces += tag(readFiles(spark, uri, dropped), "delete", v)
+        case "restore" => throw new IllegalStateException(
+          s"$uri v$v is a RESTORE commit that reverted deletion " +
+            "vectors or the schema pointer — its row delta cannot be " +
+            "reconstructed (resurrected rows have no recorded " +
+            "identity); restart the feed from a version at or after " +
+            s"v$v")
         case k @ ("delete" | "merge" | "update" | "overwrite")
             if fs.exists(new Path(changesPath(uri, v), "_SUCCESS")) =>
           // copy-on-write commit with RECORDED change data (cdc.cow):
@@ -1855,6 +1865,7 @@ object Snapshots extends Serializable {
             "full versions around unrecorded copy-on-write rewrites")
       }
       prev = m.entries
+      prevM = m
     }
     val parts = pieces.result()
     if (parts.isEmpty) {

@@ -914,8 +914,18 @@ final class SnapshotScan(
     // carries a DV and no per-row metadata append is requested.  A
     // rename-variant projection stays columnar too — the coalesce
     // wraps the batch's vectors ([[CoalescingColumnVector]]) instead
-    // of demoting the whole scan to row-at-a-time reads.
-    val columnarOk = kept.forall(_.dv.isEmpty) && metaCols.isEmpty
+    // of demoting the whole scan to row-at-a-time reads — but only
+    // for FLAT variant columns: nested access routes through
+    // `getChild`, which a per-row coalesce cannot serve, so a renamed
+    // struct/array/map column keeps the row path.
+    val coalesceIsFlat = expanded.forall { case (f, vs) =>
+      vs.length == 1 || (f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      })
+    }
+    val columnarOk = kept.forall(_.dv.isEmpty) && metaCols.isEmpty &&
+      coalesceIsFlat
     new SnapshotReaderFactory(uri, filtered, unfiltered, broadcastConf,
       projection, columnarOk, metaCols)
   }

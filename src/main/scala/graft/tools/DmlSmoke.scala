@@ -99,9 +99,11 @@ object DmlSmoke {
       s"DELETE FROM graft.`$outDir` WHERE l_orderkey % 89 = 7 " +
         s"AND l_orderkey < ${off / 4}")
     println(s"[dml-smoke] dv sidecar bytes after MoR delete = ${dvBytes()}")
+    // 1031 = 32*32+7: TPC-H orderkeys exist only at positions 0-7 of
+    // each 32-block, so the key must be picked from that lattice
     timed("mor_update_point")(
       s"UPDATE graft.`$outDir` SET qty = qty + 5 " +
-        s"WHERE l_orderkey = ${2 * off + 777}")
+        s"WHERE l_orderkey = ${2 * off + 1031}")
     println(s"[dml-smoke] dv sidecar bytes after MoR update = ${dvBytes()}")
     spark.stop()
   }

@@ -202,6 +202,43 @@ class MorDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("restore"), e.getMessage)
   }
 
+  test("restore that reverts the schema pointer refuses the feed") {
+    val dir = fresh("mor_restore_schema")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1)
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "v", "val") // v2, schema 1
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id AS k, id AS val FROM range(50, 80)") // v3
+    SchemaEvolution.renameColumn(spark, dir, "val", "w") // v4, schema 2
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id AS k, id AS w FROM range(80, 90)") // v5
+    Snapshots.restoreCommit(spark, dir, 3) // v6: schema pointer reverts
+    val e = intercept[IllegalStateException](
+      Snapshots.readChangesRows(spark, dir, 5, 6).collect())
+    assert(e.getMessage.contains("schema pointer"), e.getMessage)
+    // the restored state itself reads fine under its own schema
+    assert(spark.sql(s"SELECT k, val FROM graft.`$dir`").count() == 80)
+  }
+
+  test("a renamed STRUCT column reads correctly (row-path demotion)") {
+    val dir = fresh("mor_nested_rename")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "named_struct('a', id, 'b', id * 2) AS s")
+      .coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    SchemaEvolution.renameColumn(spark, dir, "s", "t")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id AS k, " +
+      "named_struct('a', id, 'b', id * 2) AS t FROM range(100, 150)")
+    // mixed old-name/new-name STRUCT files: the coalesce cannot go
+    // columnar (getChild), so the scan demotes to rows — and values
+    // must be exact across both variants
+    val got = spark.sql(
+      s"SELECT k, t.a AS a, t.b AS b FROM graft.`$dir` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == (0L until 150L).map(k => (k, k, k * 2)))
+  }
+
   test("applyRowDeltaCommit refuses a stale DV basis") {
     val dir = morTable("mor_conflict")
     val victim = entries(dir).head
