@@ -168,7 +168,13 @@ object Branches {
     val fs = Snapshots.fsOf(spark, uri)
     val tmp = Snapshots.commitTmp(uri)
     fs.delete(tmp, true)
-    Snapshots.writeTmp(df, tmp, Snapshots.partitionColsOf(entries))
+    // Transform-partitioned tables carry hidden pb_/pt_ dir columns
+    // that df does not have — derive them exactly like appendCommit
+    // does, or the partitionBy write fails.
+    val transforms = Snapshots.transformsOf(spark, uri)
+    val prepared =
+      if (transforms.isEmpty) df else PartitionTransforms.prepare(df, transforms)
+    Snapshots.writeTmp(prepared, tmp, Snapshots.partitionColsOf(entries))
     val newV = v + 1
     val moved = Snapshots.publishTmp(fs, tmp, uri, newV)
     val lines = (entries ++ Snapshots.entriesFor(spark, uri, moved))

@@ -1267,12 +1267,17 @@ object Snapshots extends Serializable {
         "replaceWhereCommit)")
     // the partition tuples df touches, in PATH-VALUE form (the same
     // string rendering the dirs use) — bounded by partitions touched,
-    // never by row count
+    // never by row count.  Spark's partitioned write maps BOTH null
+    // and empty string to __HIVE_DEFAULT_PARTITION__, so the touched
+    // set must too or an empty-string partition leaves stale default-
+    // partition files beside the replacement.
     val touched: Set[Seq[String]] = df
       .select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
-      .map(r => partCols.indices.map(i =>
-        Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      .map(r => partCols.indices.map { i =>
+        val s = r.getString(i)
+        if (s == null || s.isEmpty) "__HIVE_DEFAULT_PARTITION__" else s
+      })
       .toSet
     val gone = entries.filter { e =>
       val vals = e.name.split("/").dropRight(1).flatMap { seg =>

@@ -131,7 +131,14 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
   /** `VERSION AS OF v` — a manifest version number or a tag name. */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toIntOption match {
-      case Some(v) => tableAt(ident, v)
+      case Some(v) if v >= 1 => tableAt(ident, v)
+      case Some(v) =>
+        // tableAt treats v <= 0 as "latest head" (the programmatic
+        // convention); through SQL that would make VERSION AS OF 0
+        // silently read the head AND pass the pinned-version write
+        // guards — refuse instead.
+        throw new NoSuchTableException(
+          Seq(s"$ident (no such version $v — versions start at 1)"))
       case None =>
         val uri = uriOf(ident)
         val tagged = Snapshots.tags(spark, uri).getOrElse(version,
@@ -161,8 +168,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         val dir = new org.apache.hadoop.fs.Path(
           (w.stripSuffix("/") +: namespace.toSeq).mkString("/"))
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(dir)) throw new NoSuchNamespaceException(
-          namespace)
+        // A missing warehouse root just means "no tables yet" — SHOW
+        // TABLES on a freshly configured catalog must list empty, not
+        // error.  Reserve NoSuchNamespaceException for NAMED namespaces
+        // whose directory is absent.
+        if (!fs.exists(dir)) {
+          if (namespace.isEmpty || namespace.sameElements(defaultNamespace()))
+            return Array.empty
+          throw new NoSuchNamespaceException(namespace)
+        }
         fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(
             p, "_graft_manifests")))

@@ -618,10 +618,13 @@ final class RewriteStagingWriter(
       val n = seq.getOrElse(dir, 0)
       seq(dir) = n + 1
       val d = if (dir.isEmpty) new Path(stageDir) else new Path(stageDir, dir)
-      // the inner writer's (partitionId, taskId) pin uniqueness; the
-      // per-dir sequence separates eviction reopens
+      // the inner writer's (partitionId, taskId) pin uniqueness across
+      // attempts; the per-dir reopen sequence rides as a SEPARATE
+      // filename component — arithmetic packing (taskId*1000+n) could
+      // collide two attempts whose reopen counts differ by a multiple
+      // of the pack base
       new GraftStreamingDataWriter(conf, d,
-        partitionId, taskId * 1000 + n)
+        partitionId, taskId, nameSuffix = s"-$n")
     })
 
   private def closeOne(dir: String, w: GraftStreamingDataWriter): Unit =

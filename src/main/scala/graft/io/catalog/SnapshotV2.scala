@@ -1127,12 +1127,13 @@ final case class StagedFileMessage(path: String, rows: Long)
 /** Executor-side parquet writer for one task of one epoch. */
 final class GraftStreamingDataWriter(
     conf: SerializableConfiguration, dir: Path,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, nameSuffix: String = "")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType, JobID}
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
-  private val path = new Path(dir, s"part-$partitionId-$taskId.parquet")
+  private val path =
+    new Path(dir, s"part-$partitionId-$taskId$nameSuffix.parquet")
   private var rows = 0L
   private lazy val writer = {
     val fs = path.getFileSystem(conf.value)

@@ -98,4 +98,32 @@ class BranchSpec extends AnyFunSuite {
       Branches.drop(spark, dir, "nope")
     }
   }
+
+  test("WAP works on a transform-partitioned table (hidden dir cols " +
+      "re-derived on branch append)") {
+    val dir = TestSpark.tmpDir("br_transform")
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    Snapshots.initTransformed(spark, dir, df,
+      Seq(PartitionTransforms.bucket(df, 8, "k")))
+    Branches.create(spark, dir, "wap")
+    // the append df has NO pb_ column — Branches must derive it like
+    // appendCommit does, or the partitionBy write fails
+    Branches.append(spark, dir, "wap",
+      Seq((201L, "a"), (202L, "b")).toDF("k", "s"))
+    assert(Branches.read(spark, dir, "wap").count() == 202)
+    assert(Snapshots.read(spark, dir).count() == 200)
+    val v = Branches.fastForward(spark, dir, "wap")
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.count() == 202)
+    assert(rows.filter(col("k") === 201L).select("s").as[String]
+      .collect().toSeq == Seq("a"))
+    // published rows still prune through the transform
+    val t = Snapshots.transformsOf(spark, dir)
+    val entries = Snapshots.readManifestEntries(spark, dir, v)
+    val kept = Snapshots.pruneEntries(spark, entries, "k = 201", t)
+    assert(kept.nonEmpty && kept.size < entries.size,
+      s"branch-published file not pruned: ${kept.size}/${entries.size}")
+  }
 }

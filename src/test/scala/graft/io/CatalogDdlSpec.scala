@@ -34,6 +34,41 @@ class CatalogDdlSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
 
+  test("VERSION AS OF 0 / negative refuses instead of silently " +
+      "reading the head") {
+    val dir = fresh("ddl_v0")
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1)")
+    // Spark rewraps the catalog's NoSuchTableException as
+    // TABLE_OR_VIEW_NOT_FOUND — the point is it ERRORS instead of
+    // silently reading the head (and passing pinned-write guards)
+    // (bare -1 is already a parse error; the quoted form reaches the
+    // catalog's string-version path)
+    Seq("0", "'-1'").foreach { v =>
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF $v").collect())
+      assert(e.getMessage.contains("cannot be found") ||
+        e.getMessage.contains("versions start at 1"),
+        s"VERSION AS OF $v: ${e.getMessage}")
+    }
+    // and a real version still works
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 2")
+      .count() == 1)
+  }
+
+  test("SHOW TABLES on a fresh catalog whose warehouse dir does not " +
+      "exist lists empty (named namespaces still refuse)") {
+    val missing = fresh("ddl_wh_missing") // deleted, never created
+    spark.conf.set("spark.sql.catalog.gempty", "graft.io.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gempty.warehouse", missing)
+    assert(spark.sql("SHOW TABLES IN gempty").collect().isEmpty)
+    val e = intercept[Exception](
+      spark.sql("SHOW TABLES IN gempty.nosuchns").collect())
+    // Spark surfaces NoSuchNamespaceException as SCHEMA_NOT_FOUND
+    assert(e.getMessage.toLowerCase.contains("schema") ||
+      e.getMessage.toLowerCase.contains("namespace"), e.getMessage)
+  }
+
   test("CREATE TABLE (flat), read empty, INSERT, read back") {
     val dir = fresh("ddl_flat")
     spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING)")

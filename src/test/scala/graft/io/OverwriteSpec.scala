@@ -226,4 +226,29 @@ class OverwriteSpec extends AnyFunSuite {
     assert(prows.filter(col("part") === "p1").select("k")
       .as[Long].collect().toSeq == Seq(900L))
   }
+
+  test("dynamic overwrite maps EMPTY-STRING partition values to the " +
+      "default partition (no stale rows left beside the replacement)") {
+    // Spark's partitioned write lands both null and "" in
+    // __HIVE_DEFAULT_PARTITION__; the touched-set rendering must agree
+    // or the old default-partition files silently survive
+    val dir = fresh("ow_emptystr")
+    Seq((1L, ""), (2L, ""), (3L, "p1"), (4L, "p1"))
+      .toDF("k", "part").write.partitionBy("part").parquet(dir)
+    Snapshots.init(spark, dir)
+    // replacement touches ONLY the empty-string partition
+    val v2 = Snapshots.overwritePartitionsCommit(spark, dir,
+      Seq((100L, "")).toDF("k", "part"))
+    assert(v2 == 2)
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.filter(col("part").isNull).select("k").as[Long]
+      .collect().toSeq == Seq(100L),
+      "old empty-string partition rows survived the overwrite")
+    assert(rows.filter(col("part") === "p1").count() == 2)
+    // a NULL-valued replacement hits the same dir
+    Snapshots.overwritePartitionsCommit(spark, dir,
+      Seq((200L, null.asInstanceOf[String])).toDF("k", "part"))
+    assert(Snapshots.read(spark, dir).filter(col("part").isNull)
+      .select("k").as[Long].collect().toSeq == Seq(200L))
+  }
 }

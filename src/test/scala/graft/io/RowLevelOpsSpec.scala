@@ -301,4 +301,26 @@ class RowLevelOpsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not supported") ||
       e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
   }
+
+  test("staged rewrite filenames keep taskId and reopen sequence as " +
+      "separate components (no cross-attempt collisions)") {
+    // the old arithmetic packing (taskId*1000+n) collided two attempts
+    // of the same partition whose reopen counts differ by a multiple
+    // of the pack base: (taskId=1, n=1000) and (taskId=2, n=0) both
+    // produced part-0-2000.parquet in the shared stage dir
+    import org.apache.spark.util.SerializableConfiguration
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stage = new Path(TestSpark.tmpDir("rl_stage_names"))
+    // commit() with zero rows never opens the writer — pure name pin
+    val a = new graft.io.catalog.GraftStreamingDataWriter(
+      conf, stage, 0, 1L, nameSuffix = "-1000")
+    val b = new graft.io.catalog.GraftStreamingDataWriter(
+      conf, stage, 0, 2L, nameSuffix = "-0")
+    val pa = a.commit().asInstanceOf[graft.io.catalog.StagedFileMessage].path
+    val pb = b.commit().asInstanceOf[graft.io.catalog.StagedFileMessage].path
+    assert(pa != pb, s"attempt filename collision: $pa")
+    assert(pa.endsWith("part-0-1-1000.parquet") &&
+      pb.endsWith("part-0-2-0.parquet"), s"$pa / $pb")
+  }
 }
