@@ -3500,9 +3500,11 @@ object SparkEntry {
   )
 
   // =====================================================================
-  /** DuckDB oracles.  LSH/minhash/simhash (Spark-hash dependent) and
-    * fingerprint (xxhash64) are not ANSI-expressible → omitted (driver
-    * does rows-only checks there).  Metadata functions are checked against
+  /** DuckDB oracles.  Only genuinely iterative float refinement (k-means
+    * ANN indexes, NN-Descent graphs) remains rows-only; everything
+    * hash-derived is replicated value-exactly (md5 portable hashes,
+    * splitmix64 hyperplanes in HUGEINT arithmetic, the BPE merge loop,
+    * decimal-sum GD).  Metadata functions are checked against
     * DuckDB's own parquet introspection; `__SFDIR__` is replaced with the
     * absolute scale-factor directory by Verify when it dumps
     * oracle_sql.json. */
@@ -3558,8 +3560,158 @@ object SparkEntry {
       "GROUP BY x, y ORDER BY c DESC, x ASC, y ASC LIMIT 1)) b(x, y) " +
       "WHERE it < 40)"
 
+  /** Shared CTE prefix of the two hyperplane-LSH oracles: splitmix64
+    * replicated in HUGEINT mod-2^64 arithmetic (the wrap-around
+    * multiply split into 32-bit halves so the 128-bit intermediate
+    * never overflows), the 48 seeded hyperplane component lists
+    * (8 tables × 6 bits, seed 42), and each vector's per-table 6-bit
+    * bucket from index-ordered dot-product sign bits.  Bit-identical
+    * to [[graft.functions.HyperplaneBits]]: every step is exact
+    * integer or IEEE-double arithmetic (`(h>>>11)/2^53*2-1` is exact;
+    * `list_reduce` accumulates in the same element order as the
+    * expression's loop), no libm anywhere. */
+  private val LshOracleCtes: String =
+    "WITH comp0 AS (SELECT b, i, " +
+      "(42::HUGEINT + b*1000003 + i + 11400714819323198485) " +
+      "% 18446744073709551616 AS z " +
+      "FROM (SELECT unnest(range(48)) AS b), " +
+      "(SELECT unnest(range(64)) AS i)), " +
+      "comp1 AS (SELECT b, i, xor(z, z >> 30) AS x FROM comp0), " +
+      "comp2 AS (SELECT b, i, (((x >> 32) * 13787848793156543929 " +
+      "% 4294967296) * 4294967296 + (x % 4294967296) * " +
+      "13787848793156543929) % 18446744073709551616 AS z FROM comp1), " +
+      "comp3 AS (SELECT b, i, xor(z, z >> 27) AS x FROM comp2), " +
+      "comp4 AS (SELECT b, i, (((x >> 32) * 10723151780598845931 " +
+      "% 4294967296) * 4294967296 + (x % 4294967296) * " +
+      "10723151780598845931) % 18446744073709551616 AS z FROM comp3), " +
+      "comp AS (SELECT b, i, ((xor(z, z >> 31) >> 11)::DOUBLE " +
+      "/ 9007199254740992.0 * 2.0 - 1.0) AS c FROM comp4), " +
+      "plane AS (SELECT b, list(c ORDER BY i) AS cs FROM comp GROUP BY b), " +
+      "dots AS (SELECT e.vec_id, p.b, " +
+      "list_reduce(list_transform(range(1, 65), " +
+      "i -> e.embedding[i]::DOUBLE * p.cs[i]), (acc, x) -> acc + x) AS dot " +
+      "FROM embeddings e, plane p), " +
+      "buckets AS (SELECT vec_id, b // 6 AS tbl, " +
+      "sum(CASE WHEN dot >= 0 THEN 1 << (b % 6) ELSE 0 END)::BIGINT " +
+      "AS bucket FROM dots GROUP BY vec_id, b // 6)"
+
+  /** The learned-quality-scorer oracle: the weak label + five features
+    * (reusing the oracled token/repetition SQL), decimal(28,12)
+    * standardization statistics, and TEN unrolled full-batch GD
+    * iterations — each a one-row cross join carrying the weights
+    * forward, gradient sums in DECIMAL so they are order-independent
+    * in both engines.  The double arithmetic between the decimal
+    * roundings (z-scores, sigmoid, the final 4dp round) agrees because
+    * the casts quantize away sub-1e-12 libm ulp differences. */
+  private val QualityGdOracle: String = {
+    val margin = "(((((z0*w0 + z1*w1) + z2*w2) + z3*w3) + z4*w4) + b)"
+    val err = s"(1.0/(1.0 + exp(-$margin)) - y)"
+    def gsum(term: String) =
+      s"CAST(sum(CAST($term AS DECIMAL(28,12))) AS DOUBLE)"
+    val feats =
+      "feats AS (SELECT doc_id, " +
+        "CASE WHEN NOT (n < 15) AND NOT (n > 5000) " +
+        "AND NOT (n > 0 AND (sum_len < 2*n OR sum_len > 12*n)) " +
+        "AND NOT (stop_hits < 2) AND NOT (digits*10 > chars*2) " +
+        "THEN 1.0 ELSE 0.0 END AS y, " +
+        "ln(n::DOUBLE + 1.0) AS f0, " +
+        "sum_len::DOUBLE / greatest(n::DOUBLE, 1.0) AS f1, " +
+        "stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0) AS f2, " +
+        "digits::DOUBLE / greatest(chars::DOUBLE, 1.0) AS f3, " +
+        "rep AS f4 FROM (" +
+        "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, " +
+        "CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) " +
+        "AS BIGINT) AS sum_len, " +
+        "CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of'," +
+        "'to','in','is','it','that'))) AS BIGINT) AS stop_hits, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', " +
+        "'g')) AS BIGINT) AS digits, " +
+        "CAST(length(text) AS BIGINT) AS chars, " +
+        "CASE WHEN len(g3) > 0 THEN 1.0 - " +
+        "len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END AS rep " +
+        "FROM (SELECT doc_id, text, tk, " +
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), " +
+        "i -> array_to_string(tk[i:i+2], ' ')) " +
+        "ELSE [array_to_string(tk, ' ')] END AS g3 " +
+        "FROM (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS tk FROM documents))))"
+    val stats =
+      ", st AS (SELECT count(*)::DOUBLE AS nr, " +
+        (0 to 4).map(i =>
+          gsum(s"f$i") + s" AS s$i, " + gsum(s"f$i*f$i") + s" AS ss$i")
+          .mkString(", ") +
+        " FROM feats), " +
+        "norm AS (SELECT nr, " +
+        (0 to 4).map(i =>
+          s"s$i/nr AS m$i, greatest(1e-9, sqrt(greatest(0.0, " +
+            s"ss$i/nr - (s$i/nr)*(s$i/nr)))) AS d$i").mkString(", ") +
+        " FROM st), " +
+        "z AS (SELECT doc_id, y, " +
+        (0 to 4).map(i => s"(f$i - m$i)/d$i AS z$i").mkString(", ") +
+        " FROM feats, norm)"
+    val iters = (0 until 10).map { j =>
+      s", w${j + 1} AS (SELECT " +
+        (0 to 4).map(i =>
+          s"w$i - 0.5 * ${gsum(s"$err * z$i")} / nr AS w$i").mkString(", ") +
+        s", b - 0.5 * ${gsum(err)} / nr AS b, nr AS nr " +
+        s"FROM z, w$j GROUP BY w0, w1, w2, w3, w4, b, nr)"
+    }.mkString
+    "WITH " + feats + stats +
+      ", w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, " +
+      "0.0 AS w4, 0.0 AS b, nr FROM norm)" + iters +
+      s" SELECT doc_id, round(1.0/(1.0 + exp(-$margin)), 4) " +
+      "AS quality_score FROM z, w10 ORDER BY doc_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bm25_served" -> bm25OracleSql,
+
+    // value-exact hyperplane-LSH near-dup pairs: buckets from the
+    // shared splitmix64 CTEs, size-capped (n in (1, 2000]), pairs
+    // verified by exact cosine — replicates Dedup.embeddingNearDupPairs
+    "dedup_embedding_lsh" ->
+      (LshOracleCtes + ", " +
+        "sized AS (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket " +
+        "HAVING count(*) > 1 AND count(*) <= 2000), " +
+        "pruned AS (SELECT bk.* FROM buckets bk " +
+        "JOIN sized s USING (tbl, bucket)), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b " +
+        "FROM pruned x JOIN pruned y ON x.tbl = y.tbl " +
+        "AND x.bucket = y.bucket AND x.vec_id < y.vec_id) " +
+        "SELECT c.a, c.b, " +
+        "round(list_cosine_similarity(ea.embedding::DOUBLE[], " +
+        "eb.embedding::DOUBLE[]), 4) AS cosine " +
+        "FROM cand c JOIN embeddings ea ON ea.vec_id = c.a " +
+        "JOIN embeddings eb ON eb.vec_id = c.b " +
+        "WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], " +
+        "eb.embedding::DOUBLE[]), 4) >= 0.4 ORDER BY a, b"),
+
+    // value-exact multi-probe LSH ANN: query buckets fan out to the
+    // exact bucket plus each single-bit flip, candidates reranked by
+    // exact cosine with ties on neighbor_id — replicates
+    // Similarity.lshTopK(multiProbe = true)
+    "sim_ann_lsh" ->
+      (LshOracleCtes + ", " +
+        "qprobe AS (SELECT bk.vec_id AS query_id, bk.tbl, " +
+        "xor(bk.bucket, f.f) AS bucket FROM buckets bk, " +
+        "(SELECT unnest([0,1,2,4,8,16,32]) AS f) f WHERE bk.vec_id < 5), " +
+        "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id " +
+        "FROM buckets c JOIN qprobe q ON c.tbl = q.tbl " +
+        "AND c.bucket = q.bucket WHERE c.vec_id <> q.query_id), " +
+        "scored AS (SELECT cd.query_id, cd.neighbor_id, " +
+        "list_cosine_similarity(en.embedding::DOUBLE[], " +
+        "eq.embedding::DOUBLE[]) AS cos, " +
+        "row_number() OVER (PARTITION BY cd.query_id ORDER BY " +
+        "list_cosine_similarity(en.embedding::DOUBLE[], " +
+        "eq.embedding::DOUBLE[]) DESC, cd.neighbor_id) AS rk " +
+        "FROM cand cd JOIN embeddings en ON en.vec_id = cd.neighbor_id " +
+        "JOIN embeddings eq ON eq.vec_id = cd.query_id) " +
+        "SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, " +
+        "round(cos, 4) AS cosine FROM scored WHERE rk <= 10 " +
+        "ORDER BY query_id, rank"),
+
+    "text_quality_model" -> QualityGdOracle,
     "stream_bm25_index" -> bm25OracleSql,
     "meta_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Experiment harness for the bench-drift investigation (round 10): does
+ * a synthetic md5-kernel warm-up bring the FIRST run of the md5-heavy
+ * queries to steady state, or does only a full-query execution?
+ *
+ * runMain graft.tools.WarmProbe <mode> <query> [sfDir]
+ *   mode = none | md5 | full
+ */
+object WarmProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val name = args(1)
+    val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).count()
+    val w0 = System.nanoTime()
+    mode match {
+      case "none" => ()
+      case "md5" =>
+        // the portable-hash kernel shape the dedup family codegens:
+        // md5 over binary → hex slice → conv(16,10) → arithmetic,
+        // run enough times to tier the shared kernels up to C2
+        (1 to 3).foreach { _ =>
+          spark.range(2000000)
+            .select(conv(substring(md5(concat_ws("|",
+              col("id").cast("string"), lit("warm")).cast("binary")),
+              1, 13), 16, 10).cast("long").as("h"))
+            .select(xxhash64(col("h") % 1000, col("h")).as("g"))
+            .groupBy(col("g") % 64).agg(max("g"))
+            .queryExecution.toRdd.count()
+        }
+      case "full" =>
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.toRdd.count()
+    }
+    println(f"WARMUP $mode time=${(System.nanoTime() - w0) / 1e9}%.2f s")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.toRdd.count()
+      println(f"RUN$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
