@@ -3595,6 +3595,163 @@ object SparkEntry {
       "sum(CASE WHEN dot >= 0 THEN 1 << (b % 6) ELSE 0 END)::BIGINT " +
       "AS bucket FROM dots GROUP BY vec_id, b // 6)"
 
+  /** Exact scale-10 HALF_UP fixed-point of a double `x` — DuckDB's
+    * double→DECIMAL cast rounds half-boundaries differently from
+    * [[graft.functions.VectorDecimalMean]]'s `BigDecimal.setScale(10,
+    * HALF_UP)` (one real boundary value exists in the sf0.01
+    * embeddings), so the quantization is rebuilt from the float's
+    * exact integer form: `|x|·2^63` is an exact HUGEINT for any
+    * float with `|x| ≥ 2^-40` (smaller values round to 0 at scale 10
+    * anyway), and half-up is `floor((2·n·10^10 + 2^63) / 2^64)` with
+    * the sign reapplied. */
+  private val ScaledFix: String =
+    "CASE WHEN abs(x) < 9.094947017729282e-13 THEN 0 " +
+      "ELSE CASE WHEN x < 0 THEN -1 ELSE 1 END * " +
+      "((2 * (abs(x) * 9223372036854775808.0)::HUGEINT * 10000000000 " +
+      "+ 9223372036854775808) // 18446744073709551616) END"
+
+  /** Scale-20 HALF_UP mean of scale-10 sums, then the double/float
+    * casts [[graft.functions.VectorDecimalMean]] applies — `s`/`n` are
+    * the sum/count column names. */
+  private def decMean(s: String, n: String): String =
+    s"((CASE WHEN $s < 0 THEN -1 ELSE 1 END * " +
+      s"((2 * abs($s) * 10000000000 + $n) // (2 * $n)))::DOUBLE " +
+      "/ 1e20)::FLOAT::DOUBLE"
+
+  // --- IVF k-means replication (k=8, iters=3, cosine assignment) ---
+  /** One cosine-argmax assignment pass: ties keep the lowest cell,
+    * dot/norm accumulation via `list_reduce` in element order (the
+    * expression's loop order), sim = dot/(sqrt(nv)·nc) with the
+    * zero-norm guard — mirrors [[graft.ops.IvfIndex.NearestCentroid]]. */
+  private def ivfAssignCte(a: String, cprev: String): String =
+    s"$a AS (SELECT vec_id, c FROM (" +
+      "SELECT ev.vec_id, k.c, row_number() OVER (PARTITION BY ev.vec_id " +
+      "ORDER BY CASE WHEN ev.nv = 0.0 OR k.nc = 0.0 THEN NULL ELSE " +
+      "list_reduce(list_transform(range(1, 65), i -> ev.v[i] * k.cent[i]), " +
+      "(acc, q) -> acc + q) / (sqrt(ev.nv) * k.nc) END DESC NULLS LAST, " +
+      "k.c) AS rn FROM ev, (SELECT c, cent, " +
+      "sqrt(list_reduce(list_transform(cent, x -> x*x), " +
+      s"(acc, q) -> acc + q)) AS nc FROM $cprev) k) WHERE rn = 1)"
+
+  private def ivfMeansCte(m: String, a: String): String =
+    s"$m AS (SELECT c, list(elem ORDER BY i) AS cent FROM (" +
+      s"SELECT c, i, ${decMean("s", "n")} AS elem FROM (" +
+      s"SELECT $a.c, u.i, sum($ScaledFix) AS s, count(*) AS n " +
+      s"FROM ev, $a, LATERAL (SELECT unnest(range(1, 65)) AS i, " +
+      "unnest(ev.v) AS x) u " +
+      s"WHERE ev.vec_id = $a.vec_id GROUP BY $a.c, u.i)) GROUP BY c)"
+
+  private def ivfNewcCte(cn: String, m: String, cprev: String): String =
+    s"$cn AS (SELECT p.c, coalesce(m.cent, p.cent) AS cent " +
+      s"FROM $cprev p LEFT JOIN $m m ON m.c = p.c)"
+
+  /** Vectors as DOUBLE lists plus their norm² (element-order fold). */
+  private val IvfEvCte: String =
+    "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), " +
+      "(acc, q) -> acc + q) AS nv FROM embeddings)"
+
+  /** `ev`, lowest-8-id init, and the three unrolled Lloyd iterations →
+    * final centroids `c3`. */
+  private val IvfTrainCtes: String =
+    IvfEvCte + ", " +
+      "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "v AS cent FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 8)), " +
+      (0 until 3).map(j =>
+        ivfAssignCte(s"ia$j", s"c$j") + ", " +
+          ivfMeansCte(s"im$j", s"ia$j") + ", " +
+          ivfNewcCte(s"c${j + 1}", s"im$j", s"c$j")).mkString(", ")
+
+  /** nprobe nearest cells per query (vec_id < `qMax`), tie by cell —
+    * mirrors the driver-side probe loop (sim = dot/(nq·nc)). */
+  private def ivfProbesCte(nprobe: Int, qMax: Int): String =
+    "probes AS (SELECT query_id, c FROM (" +
+      "SELECT q.vec_id AS query_id, k.c, row_number() OVER " +
+      "(PARTITION BY q.vec_id ORDER BY " +
+      "CASE WHEN q.nv = 0.0 OR k.nc = 0.0 THEN NULL ELSE " +
+      "list_reduce(list_transform(range(1, 65), i -> q.v[i] * k.cent[i]), " +
+      "(acc, x) -> acc + x) / (sqrt(q.nv) * k.nc) END DESC NULLS LAST, " +
+      s"k.c) AS rn FROM (SELECT * FROM ev WHERE vec_id < $qMax) q, " +
+      "(SELECT c, cent, sqrt(list_reduce(list_transform(cent, " +
+      "x -> x*x), (acc, q2) -> acc + q2)) AS nc FROM c3) k) " +
+      s"WHERE rn <= $nprobe)"
+
+  /** Exact-cosine rerank of `(query_id, neighbor_id)` shortlist rows in
+    * CTE `src`, top-`k` with ties on neighbor_id. */
+  private def rerankSql(src: String, k: Int): String =
+    "scored AS (SELECT s.query_id, s.neighbor_id, " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) AS cos, " +
+      "row_number() OVER (PARTITION BY s.query_id ORDER BY " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) DESC, s.neighbor_id) AS rk " +
+      s"FROM $src s JOIN embeddings en ON en.vec_id = s.neighbor_id " +
+      "JOIN embeddings eq ON eq.vec_id = s.query_id) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, " +
+      s"round(cos, 4) AS cosine FROM scored WHERE rk <= $k " +
+      "ORDER BY query_id, rank"
+
+  // --- PQ k-means replication (m=16, k=32, iters=4, L2 assignment) ---
+  private val PqD2: String = (1 to 4)
+    .map(i => s"(s.sv[$i]-b.cent[$i])*(s.sv[$i]-b.cent[$i])")
+    .mkString(" + ")
+
+  private def pqAssignCte(a: String, b: String): String =
+    s"$a AS (SELECT vec_id, mi, c FROM (" +
+      "SELECT s.vec_id, s.mi, b.c, row_number() OVER " +
+      s"(PARTITION BY s.vec_id, s.mi ORDER BY $PqD2 ASC, b.c) AS rn " +
+      s"FROM sub s JOIN $b b ON b.mi = s.mi) WHERE rn = 1)"
+
+  private def pqMeansCte(m: String, a: String): String =
+    s"$m AS (SELECT mi, c, list(elem ORDER BY i) AS cent FROM (" +
+      s"SELECT mi, c, i, ${decMean("sm", "n")} AS elem FROM (" +
+      s"SELECT a.mi, a.c, u.i, sum($ScaledFix) AS sm, count(*) AS n " +
+      s"FROM sub s2 JOIN $a a ON a.vec_id = s2.vec_id AND a.mi = s2.mi, " +
+      "LATERAL (SELECT unnest(range(1, 5)) AS i, unnest(s2.sv) AS x) u " +
+      "GROUP BY a.mi, a.c, u.i)) GROUP BY mi, c)"
+
+  private def pqNewbCte(bn: String, m: String, bp: String): String =
+    s"$bn AS (SELECT p.mi, p.c, coalesce(m.cent, p.cent) AS cent " +
+      s"FROM $bp p LEFT JOIN $m m ON m.mi = p.mi AND m.c = p.c)"
+
+  /** Subvector explosion, lowest-32-id init per subspace, four unrolled
+    * Lloyd iterations → final codebooks `b4`.  Requires `ev`. */
+  private val PqTrainCtes: String =
+    "sub AS (SELECT vec_id, mi, list_transform(range(1, 5), " +
+      "j -> v[mi*4 + j]) AS sv FROM ev, " +
+      "(SELECT unnest(range(16)) AS mi)), " +
+      "b0 AS (SELECT mi, row_number() OVER (PARTITION BY mi " +
+      "ORDER BY vec_id) - 1 AS c, sv AS cent FROM sub " +
+      "WHERE vec_id IN (SELECT vec_id FROM ev ORDER BY vec_id LIMIT 32)), " +
+      (0 until 4).map(j =>
+        pqAssignCte(s"pa$j", s"b$j") + ", " +
+          pqMeansCte(s"pm$j", s"pa$j") + ", " +
+          pqNewbCte(s"b${j + 1}", s"pm$j", s"b$j")).mkString(", ")
+
+  /** ADC machinery over final codebooks `b4` and corpus codes `enc`:
+    * per-query dot tables, centroid norms², the O(m) score assembled
+    * with ORDER-PRESERVING list folds (plain SUM would break the
+    * sequential double accumulation), shortlist top-`rerank`.  `candSrc`
+    * restricts candidates (IVF-PQ probes); empty = whole corpus. */
+  private def pqAdcCtes(qMax: Int, rerank: Int, candJoin: String): String = {
+    val cn = (1 to 4).map(i => s"cent[$i]*cent[$i]").mkString(" + ")
+    val qd = (1 to 4).map(i => s"q.v[b.mi*4 + $i]*b.cent[$i]").mkString(" + ")
+    s"cnq AS (SELECT mi, c, $cn AS cnorm FROM b4), " +
+      "qt AS (SELECT q.vec_id AS query_id, b.mi, b.c, " +
+      s"CASE WHEN q.nv = 0.0 THEN 0.0 ELSE ($qd) / sqrt(q.nv) END AS tval " +
+      s"FROM (SELECT * FROM ev WHERE vec_id < $qMax) q, b4 b), " +
+      candJoin + ", " +
+      "adc AS (SELECT query_id, neighbor_id, " +
+      "list_reduce(list(tval ORDER BY mi), (acc, x) -> acc + x) AS dt, " +
+      "list_reduce(list(cnorm ORDER BY mi), (acc, x) -> acc + x) AS nx " +
+      "FROM adcp GROUP BY query_id, neighbor_id), " +
+      "short AS (SELECT query_id, neighbor_id FROM (" +
+      "SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY " +
+      "CASE WHEN nx = 0.0 THEN 0.0 ELSE dt / sqrt(nx) END DESC, " +
+      s"neighbor_id) AS rn FROM adc) WHERE rn <= $rerank)"
+  }
+
   /** The learned-quality-scorer oracle: the weak label + five features
     * (reusing the oracled token/repetition SQL), decimal(28,12)
     * standardization statistics, and TEN unrolled full-batch GD
@@ -3712,6 +3869,85 @@ object SparkEntry {
         "ORDER BY query_id, rank"),
 
     "text_quality_model" -> QualityGdOracle,
+
+    // value-exact IVF ANN: the three decimal-mean Lloyd iterations
+    // unrolled, cosine-argmax assignment, driver-probe replication and
+    // exact rerank — replicates IvfIndex.train(k=8, iters=3) +
+    // search(k=10, nprobe=3) bit-for-bit (the VectorDecimalMean
+    // quantization is rebuilt exactly, see ScaledFix)
+    "sim_ann_ivf" ->
+      ("WITH " + IvfTrainCtes + ", " +
+        ivfAssignCte("af", "c3") + ", " +
+        ivfProbesCte(nprobe = 3, qMax = 5) + ", " +
+        "cand AS (SELECT p.query_id, af.vec_id AS neighbor_id " +
+        "FROM probes p JOIN af ON af.c = p.c " +
+        "WHERE af.vec_id <> p.query_id), " +
+        rerankSql("cand", k = 10)),
+
+    // value-exact PQ ANN: four unrolled per-subspace Lloyd iterations,
+    // L2 code assignment, ADC scoring via order-preserving list folds,
+    // shortlist 80 → exact rerank — replicates PqIndex.train(m=16,
+    // k=32, iters=4) + searchReranked(k=10, rerank=80)
+    "sim_ann_pq" ->
+      ("WITH " + IvfEvCte + ", " + PqTrainCtes + ", " +
+        pqAssignCte("enc", "b4") + ", " +
+        pqAdcCtes(qMax = 5, rerank = 80,
+          candJoin = "adcp AS (SELECT qt.query_id, e.vec_id AS " +
+            "neighbor_id, qt.mi, qt.tval, cnq.cnorm FROM enc e " +
+            "JOIN qt ON qt.mi = e.mi AND qt.c = e.c " +
+            "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c " +
+            "WHERE e.vec_id <> qt.query_id)") + ", " +
+        rerankSql("short", k = 10)),
+
+    // value-exact IVF-PQ: both trained models composed — probed cells
+    // restrict the candidate set, codes score it, rerank 60 → top 10
+    "sim_ann_ivfpq" ->
+      ("WITH " + IvfTrainCtes + ", " + PqTrainCtes + ", " +
+        ivfAssignCte("cellf", "c3") + ", " +
+        pqAssignCte("enc", "b4") + ", " +
+        ivfProbesCte(nprobe = 4, qMax = 5) + ", " +
+        pqAdcCtes(qMax = 5, rerank = 60,
+          candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
+            "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
+            "WHERE cf.vec_id <> p.query_id), " +
+            "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
+            "qt.tval, cnq.cnorm FROM candc cd " +
+            "JOIN enc e ON e.vec_id = cd.neighbor_id " +
+            "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
+            "AND qt.c = e.c " +
+            "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
+        rerankSql("short", k = 10)),
+
+    // value-exact SemDeDup: the shared IVF k-means, within-cell pairs
+    // at cosine >= 0.45 (NaN-guarded), duplicate groups as the
+    // recursive closure, survivor = least-centroid-similar (ties by id)
+    "dedup_semantic" ->
+      ("WITH RECURSIVE " + IvfTrainCtes + ", " +
+        ivfAssignCte("cellf", "c3") + ", " +
+        "wsim AS (SELECT ev.vec_id AS id, cellf.c AS cell, " +
+        "round(list_cosine_similarity(ev.v, k.cent), 4) AS centroid_sim " +
+        "FROM ev JOIN cellf ON cellf.vec_id = ev.vec_id " +
+        "JOIN c3 k ON k.c = cellf.c), " +
+        "p AS (SELECT least(a.vec_id, b.vec_id) AS a, " +
+        "greatest(a.vec_id, b.vec_id) AS b FROM " +
+        "(SELECT ev.vec_id, ev.v, cellf.c FROM ev " +
+        "JOIN cellf ON cellf.vec_id = ev.vec_id) a " +
+        "JOIN (SELECT ev.vec_id, ev.v, cellf.c FROM ev " +
+        "JOIN cellf ON cellf.vec_id = ev.vec_id) b " +
+        "ON a.c = b.c AND a.vec_id < b.vec_id " +
+        "WHERE NOT isnan(list_cosine_similarity(a.v, b.v)) " +
+        "AND list_cosine_similarity(a.v, b.v) >= 0.45), " +
+        "e AS (SELECT a AS u, v FROM (SELECT a, b AS v FROM p) " +
+        "UNION SELECT b, a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+        "comp AS (SELECT u AS id, least(u, min(v)) AS grp " +
+        "FROM reach GROUP BY u) " +
+        "SELECT w.id, CAST(w.cell AS INTEGER) AS cell, w.centroid_sim, " +
+        "coalesce(c.grp, w.id) AS \"group\", " +
+        "(row_number() OVER (PARTITION BY coalesce(c.grp, w.id) " +
+        "ORDER BY w.centroid_sim ASC, w.id ASC) = 1) AS keep " +
+        "FROM wsim w LEFT JOIN comp c ON c.id = w.id ORDER BY w.id"),
     "stream_bm25_index" -> bm25OracleSql,
     "meta_schema" ->
       (s"SELECT file_name AS uri, $schemaCols " +
