@@ -3752,6 +3752,174 @@ object SparkEntry {
       s"neighbor_id) AS rn FROM adc) WHERE rn <= $rerank)"
   }
 
+  // --- NN-Descent replication (the last four rows-only queries) ---
+  //
+  // Every stage of KnnGraph.build/search is a set operation over exact
+  // values: splitless xxhash64-of-long ring init, exact-cosine top-k
+  // with ties on neighbor id, neighbors-of-neighbors candidate sets,
+  // beam maintenance.  The 6 refinement rounds and 4 beam hops unroll
+  // into chained MATERIALIZED CTEs (inlining would blow up
+  // exponentially — und/cand reference their graph several times).
+  // Spark's xxhash64 over one LONG is a fixed formula (XXH64.hashLong,
+  // seed 42) rebuilt in HUGEINT mod-2^64 arithmetic; seed ordering is
+  // by the SIGNED hash (ring successor pairs are rotation-invariant,
+  // so the ring CTE may sort unsigned, but beam seeds must not).
+  private val KnnM64 = "18446744073709551616"
+  private def wrapMul(a: String, c: String): String =
+    s"((((($a) >> 32) * $c) % 4294967296) * 4294967296 + " +
+      s"(($a) % 4294967296) * $c) % $KnnM64"
+  private def rotlSql(x: String, r: Int): String =
+    s"((($x) % ${1L << (64 - r)}) * ${1L << r} + (($x) >> ${64 - r}))"
+  private def u64(hex: String): String = java.lang.Long.toUnsignedString(
+    java.lang.Long.parseUnsignedLong(hex, 16))
+  private val XxP1 = u64("9E3779B185EBCA87")
+  private val XxP2 = u64("C2B2AE3D27D4EB4F")
+  private val XxP3 = u64("165667B19E3779F9")
+  private val XxP4 = u64("85EBCA77C2B2AE63")
+  private val XxC0 = java.lang.Long.toUnsignedString( // seed 42 + P5 + 8
+    42L + java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16) + 8L)
+
+  /** CTEs `ev`, `ids`, and `hx(id, h)` = xxhash64(id) as unsigned. */
+  private val KnnHashCtes: String =
+    "ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings), " +
+      "ids AS (SELECT vec_id AS id FROM ev), " +
+      s"x1 AS (SELECT id, ${wrapMul("id::HUGEINT", XxP2)} AS t FROM ids), " +
+      s"x2 AS (SELECT id, ${wrapMul(rotlSql("t", 31), XxP1)} AS t FROM x1), " +
+      s"x3 AS (SELECT id, xor($XxC0::HUGEINT, t) AS t FROM x2), " +
+      s"x4 AS (SELECT id, (${wrapMul(rotlSql("t", 27), XxP1)} + $XxP4) " +
+      s"% $KnnM64 AS t FROM x3), " +
+      "x5 AS (SELECT id, xor(t, t >> 33) AS t FROM x4), " +
+      s"x6 AS (SELECT id, ${wrapMul("t", XxP2)} AS t FROM x5), " +
+      "x7 AS (SELECT id, xor(t, t >> 29) AS t FROM x6), " +
+      s"x8 AS (SELECT id, ${wrapMul("t", XxP3)} AS t FROM x7), " +
+      "hx AS MATERIALIZED (SELECT id, xor(t, t >> 32) AS h FROM x8)"
+
+  private def knnTopK(g: String, c: String, k: Int): String =
+    s"$g AS MATERIALIZED (SELECT a, b, cos, rn FROM (" +
+      "SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS cos, " +
+      "row_number() OVER (PARTITION BY c.a ORDER BY " +
+      "list_cosine_similarity(ea.v, eb.v) DESC, c.b) AS rn " +
+      s"FROM $c c JOIN ev ea ON ea.vec_id = c.a " +
+      s"JOIN ev eb ON eb.vec_id = c.b) WHERE rn <= $k)"
+
+  /** The full NN-Descent build over id set `idsrc`: hashed-ring init
+    * (succ = min(k, n-1) successors), `iters` unrolled rounds of
+    * symmetrize → neighbors-of-neighbors → exact top-k.  Returns
+    * (CTE string, final graph CTE name). */
+  private def knnBuildCtes(
+      p: String, idsrc: String, iters: Int, k: Int): (String, String) = {
+    val head = Seq(
+      s"ring$p AS MATERIALIZED (SELECT s.id, row_number() OVER " +
+        s"(ORDER BY hx.h, s.id) - 1 AS rid " +
+        s"FROM $idsrc s JOIN hx ON hx.id = s.id)",
+      s"nn$p AS (SELECT count(*) AS n FROM ring$p)",
+      s"e0$p AS (SELECT DISTINCT r.id AS a, r2.id AS b " +
+        s"FROM ring$p r, (SELECT unnest(range(1, ${k + 1})) AS j) js, " +
+        s"nn$p, ring$p r2 " +
+        s"WHERE r2.rid = (r.rid + j) % nn$p.n AND j <= nn$p.n - 1)",
+      knnTopK(s"g0$p", s"e0$p", k))
+    val its = (0 until iters).map { j =>
+      s"und$j$p AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
+        s"(SELECT a, b FROM g$j$p UNION ALL SELECT b, a FROM g$j$p)), " +
+        s"cand$j$p AS MATERIALIZED (SELECT DISTINCT a, b FROM (" +
+        s"SELECT u1.a, u2.b FROM und$j$p u1 JOIN und$j$p u2 " +
+        s"ON u1.b = u2.a WHERE u1.a <> u2.b " +
+        s"UNION ALL SELECT a, b FROM und$j$p)), " +
+        knnTopK(s"g${j + 1}$p", s"cand$j$p", k)
+    }
+    ((head ++ its).mkString(", "), s"g$iters$p")
+  }
+
+  private def knnKeepBeam(name: String, src: String, beam: Int): String =
+    s"$name AS MATERIALIZED (SELECT query_id, cand, cos FROM (" +
+      "SELECT query_id, cand, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS br " +
+      s"FROM $src) WHERE br <= $beam)"
+
+  /** Beam serving over pre-built edge phases: seed CTE `seedsSql`
+    * (column `cand`), then (edges CTE, hop count) phases in order;
+    * final exact top-k excludes self.  Mirrors KnnGraph.beamServe. */
+  private def knnServeSql(
+      qMax: Int, beam: Int, k: Int, seedsSql: String,
+      phases: Seq[(String, Int)]): String = {
+    val head = Seq(
+      s"qs AS (SELECT vec_id AS query_id, v AS qv FROM ev " +
+        s"WHERE vec_id < $qMax)",
+      s"seeds AS ($seedsSql)",
+      "sc0 AS (SELECT q.query_id, s.cand, " +
+        "list_cosine_similarity(ev.v, q.qv) AS cos " +
+        "FROM qs q, seeds s JOIN ev ON ev.vec_id = s.cand)",
+      knnKeepBeam("st0", "sc0", beam))
+    var i = 0
+    val hops = phases.flatMap { case (edges, nHops) =>
+      (0 until nHops).map { _ =>
+        val step =
+          s"ex$i AS (SELECT DISTINCT st.query_id, e.next AS cand " +
+            s"FROM st$i st JOIN $edges e ON e.cand = st.cand), " +
+            s"sc${i + 1} AS (SELECT query_id, cand, max(cos) AS cos FROM (" +
+            s"SELECT x.query_id, x.cand, " +
+            "list_cosine_similarity(ev.v, q.qv) AS cos " +
+            s"FROM ex$i x JOIN ev ON ev.vec_id = x.cand " +
+            "JOIN qs q ON q.query_id = x.query_id " +
+            s"UNION ALL SELECT query_id, cand, cos FROM st$i) " +
+            "GROUP BY query_id, cand), " +
+            knnKeepBeam(s"st${i + 1}", s"sc${i + 1}", beam)
+        i += 1
+        step
+      }
+    }
+    (head ++ hops).mkString(", ") +
+      " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
+      "round(cos, 4) AS cosine FROM (" +
+      "SELECT query_id, cand, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rk " +
+      s"FROM st$i WHERE cand <> query_id) WHERE rk <= $k " +
+      "ORDER BY query_id, rank"
+  }
+
+  /** Spark's xxhash64 is a SIGNED long — the 40 lowest seeds sort by
+    * the signed value (the ring may sort unsigned: successor pairs are
+    * rotation-invariant, seed selection is not). */
+  private def knnSeedsSql(beam: Int): String =
+    "SELECT id AS cand FROM (SELECT " +
+      s"h - (h >> 63) * $KnnM64 AS sh, id FROM hx " +
+      s"ORDER BY sh, id LIMIT $beam)"
+
+  private val KnnGraphOracle: String = {
+    val (b, g) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
+    "WITH " + KnnHashCtes + ", " + b +
+      " SELECT a AS id, CAST(rn AS BIGINT) AS rank, b AS neighbor_id, " +
+      s"round(cos, 4) AS cosine FROM $g ORDER BY id, rank"
+  }
+
+  private def knnSearchOracle(qMax: Int): String = {
+    val (b, g) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
+    "WITH " + KnnHashCtes + ", " + b +
+      s", edges AS (SELECT a AS cand, b AS next FROM $g), " +
+      knnServeSql(qMax, beam = 40, k = 10, knnSeedsSql(40),
+        Seq(("edges", 4)))
+  }
+
+  /** Layered: level 0 = the full graph; level 1 = the subset whose
+    * hash is divisible by branching=4 (at the driver's sf0.01 scale
+    * maxLevel = max(1, floor(log4(500/128))) = 1 and the ~125-node
+    * level clears the m >= k bound), built with iters/2 = 3 rounds and
+    * serving as phases [(level1, 1 hop), (level0, 4 hops)] seeded by
+    * level 1's node set — mirrors KnnGraph.buildLayered/searchLayered
+    * at the query's parameters. */
+  private val KnnLayeredOracle: String = {
+    val (b0, g0) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
+    val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
+    "WITH " + KnnHashCtes + ", " + b0 +
+      ", sub1 AS (SELECT id FROM hx WHERE h % 4 = 0), " + b1 +
+      s", edA AS (SELECT a AS cand, b AS next FROM $g1), " +
+      s"edB AS (SELECT a AS cand, b AS next FROM $g0), " +
+      knnServeSql(qMax = 5, beam = 40, k = 10,
+        s"SELECT DISTINCT a AS cand FROM $g1",
+        Seq(("edA", 1), ("edB", 4)))
+  }
+
   /** The learned-quality-scorer oracle: the weak label + five features
     * (reusing the oracled token/repetition SQL), decimal(28,12)
     * standardization statistics, and TEN unrolled full-batch GD
@@ -3917,6 +4085,22 @@ object SparkEntry {
             "AND qt.c = e.c " +
             "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
         rerankSql("short", k = 10)),
+
+    // value-exact NN-Descent: xxhash64-of-long rebuilt in HUGEINT
+    // arithmetic, hashed-ring init, six unrolled refinement rounds,
+    // exact-cosine top-k — the full graph, bit-for-bit
+    "sim_knn_graph" -> KnnGraphOracle,
+
+    // value-exact beam serving over the replicated graph: signed-hash
+    // seeds, four unrolled hops, beam-40 maintenance, exact top-10
+    "sim_knn_search" -> knnSearchOracle(qMax = 5),
+
+    // the persisted-index query serves the SAME graph (the snapshot
+    // round-trip is byte-identical, pinned in KnnGraphSpec) — the
+    // oracle is the same serve at its query set
+    "sim_knn_serve_persisted" -> knnSearchOracle(qMax = 10),
+
+    "sim_knn_search_layered" -> KnnLayeredOracle,
 
     // value-exact SemDeDup: the shared IVF k-means, within-cell pairs
     // at cosine >= 0.45 (NaN-guarded), duplicate groups as the

@@ -51,21 +51,24 @@ object AnnotatedParquet {
       df: DataFrame, uri: String,
       uuidCols: Set[String] = Set.empty,
       timeCols: Set[String] = Set.empty,
-      jsonCols: Set[String] = Set.empty): Unit = {
+      jsonCols: Set[String] = Set.empty,
+      timetzCols: Set[String] = Set.empty): Unit = {
     val fields: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
       val kind = (f.dataType, uuidCols.contains(f.name),
-          timeCols.contains(f.name), jsonCols.contains(f.name)) match {
-        case (BinaryType, true, _, _) => "uuid"
-        case (LongType, _, true, _) => "time"
-        case (StringType, _, _, true) => "json"
-        case (BinaryType, _, _, _) => "binary"
-        case (LongType, _, _, _) => "long"
-        case (IntegerType, _, _, _) => "int"
-        case (DoubleType, _, _, _) => "double"
-        case (FloatType, _, _, _) => "float"
-        case (BooleanType, _, _, _) => "boolean"
-        case (StringType, _, _, _) => "string"
-        case (dt, _, _, _) => throw new IllegalArgumentException(
+          timeCols.contains(f.name), jsonCols.contains(f.name),
+          timetzCols.contains(f.name)) match {
+        case (BinaryType, true, _, _, _) => "uuid"
+        case (LongType, _, true, _, _) => "time"
+        case (LongType, _, _, _, true) => "timetz"
+        case (StringType, _, _, true, _) => "json"
+        case (BinaryType, _, _, _, _) => "binary"
+        case (LongType, _, _, _, _) => "long"
+        case (IntegerType, _, _, _, _) => "int"
+        case (DoubleType, _, _, _, _) => "double"
+        case (FloatType, _, _, _, _) => "float"
+        case (BooleanType, _, _, _, _) => "boolean"
+        case (StringType, _, _, _, _) => "string"
+        case (dt, _, _, _, _) => throw new IllegalArgumentException(
           s"AnnotatedParquet supports flat primitive schemas; column " +
             s"'${f.name}' has unsupported type ${dt.simpleString}")
       }
@@ -78,6 +81,10 @@ object AnnotatedParquet {
       s"time columns ${timeCols -- names} not in schema")
     require(jsonCols.subsetOf(names),
       s"json columns ${jsonCols -- names} not in schema")
+    require(timetzCols.subsetOf(names),
+      s"timetz columns ${timetzCols -- names} not in schema")
+    require(timeCols.intersect(timetzCols).isEmpty,
+      "a column cannot be both time and timetz")
     val arrowB64 = arrowSchemaB64(fields)
 
     // clean target dir driver-side, then write one file per partition
@@ -129,20 +136,27 @@ object AnnotatedParquet {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
     import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
     import scala.jdk.CollectionConverters._
-    def field(name: String, t: ArrowType, ext: Option[String]): Field = {
-      val md: Map[String, String] = ext match {
+    def fieldMd(name: String, t: ArrowType, md: Map[String, String]): Field =
+      new Field(name, new FieldType(true, t, null, md.asJava), null)
+    def field(name: String, t: ArrowType, ext: Option[String]): Field =
+      fieldMd(name, t, ext match {
         case Some(e) => Map("ARROW:extension:name" -> e,
           "ARROW:extension:metadata" -> "")
         case None => Map.empty
-      }
-      new Field(name, new FieldType(true, t, null, md.asJava), null)
-    }
+      })
     val af: Seq[Field] = fields.map {
       case (n, "uuid") =>
         field(n, new ArrowType.FixedSizeBinary(16), Some("arrow.uuid"))
       case (n, "json") => field(n, ArrowType.Utf8.INSTANCE, Some("arrow.json"))
       case (n, "time") =>
         field(n, new ArrowType.Time(ATimeUnit.MICROSECOND, 64), None)
+      case (n, "timetz") =>
+        // the reference's timetz marker: a plain Time64(µs) Arrow field
+        // CARRYING `adjusted_to_utc=true` field metadata
+        // (`src/arrow_parquet/schema_parser.rs:398-406`) — values are
+        // UTC-normalized micros-of-day
+        fieldMd(n, new ArrowType.Time(ATimeUnit.MICROSECOND, 64),
+          Map("adjusted_to_utc" -> "true"))
       case (n, "binary") => field(n, ArrowType.Binary.INSTANCE, None)
       case (n, "long") => field(n, new ArrowType.Int(64, true), None)
       case (n, "int") => field(n, new ArrowType.Int(32, true), None)
@@ -169,7 +183,10 @@ object AnnotatedParquet {
         case "uuid" =>
           Types.optional(PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
             .length(16).as(LogicalTypeAnnotation.uuidType()).named(name)
-        case "time" =>
+        case "time" | "timetz" =>
+          // timetz shares the physical shape (arrow-rs writes Time64 as
+          // TIME(MICROS, isAdjustedToUTC=false) regardless); the timetz
+          // distinction rides the ARROW:schema field metadata above
           Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.timeType(
               false, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
@@ -207,7 +224,7 @@ object AnnotatedParquet {
           g.add(name, Binary.fromConstantByteArray(bytes))
         case "binary" =>
           g.add(name, Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
-        case "time" | "long" => g.add(name, row.getLong(i))
+        case "time" | "timetz" | "long" => g.add(name, row.getLong(i))
         case "int" => g.add(name, row.getInt(i))
         case "double" => g.add(name, row.getDouble(i))
         case "float" => g.add(name, row.getFloat(i))

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Snapshots
+
+/**
+ * Runtime (dynamic) file filtering scale probe — the second flagship V2
+ * scan feature next to SPJ ([[SpjBench]]): replicate lineitem `factor`×
+ * into a range-clustered snapshot FACT table (files carry tight
+ * min/max key stats), put a narrow key slice in a broadcastable DIM
+ * table, then time the same join with runtime filtering ON and OFF.
+ * With it ON, the broadcasted dim side's join keys re-prune the fact
+ * FILE LIST at runtime through the manifest's stats/Bloom evidence —
+ * the scan never opens files whose key range can't match — so the
+ * fact-side bytes read scale with the SLICE, not the corpus.  OFF,
+ * every fact file streams through the join's probe side.
+ *
+ *   runMain graft.tools.RtfBench [factor] [sliceKeys]
+ *
+ * Prints one JSON line per run with wall-clock, fact-scan output rows,
+ * and planned input partitions (post-pruning file chunks).
+ */
+object RtfBench {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sliceKeys = args.lift(1).map(_.toInt).getOrElse(4000)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.io.catalog.GraftCatalog].getName)
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    val factUri = s"$tmp/graft_rtfbench_fact_x$factor"
+    val dimUri = s"$tmp/graft_rtfbench_dim_x$factor"
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    val off = 100L * 1000 * 1000
+    if (!fs.exists(new org.apache.hadoop.fs.Path(factUri, "_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(factUri), true)
+      val base = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      val reps = (0 until factor).map(k =>
+        base.withColumn("l_orderkey", col("l_orderkey") + lit(k * off)))
+      // range-clustered files: tight per-file min/max on the join key is
+      // exactly what runtime pruning consumes (at 100 TB this layout is
+      // the standard ingest-sorted or z-ordered table)
+      reps.reduce(_.unionAll(_))
+        .repartitionByRange(16 * factor, col("l_orderkey"))
+        .write.parquet(factUri)
+      Snapshots.init(spark, factUri)
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dimUri, "_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(dimUri), true)
+      // a narrow slice in the MIDDLE replica — plan-time pruning can't
+      // help (the fact filter is the join itself), only runtime can
+      val lo = (factor / 2) * off
+      spark.range(lo, lo + sliceKeys).selectExpr("id AS k", "1 AS flag")
+        .coalesce(1).write.parquet(dimUri)
+      Snapshots.init(spark, dimUri)
+    }
+
+    def factScan(df: DataFrame)
+        : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+        }.flatten
+      walk(df.queryExecution.executedPlan).find(_.toString.contains("rtfbench_fact"))
+    }
+
+    def run(label: String): Unit = {
+      val q = spark.sql(
+        s"SELECT sum(f.l_quantity) AS q FROM graft.`$factUri` f " +
+          s"JOIN graft.`$dimUri` d ON f.l_orderkey = d.k WHERE d.flag = 1")
+      val t0 = System.nanoTime()
+      q.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val scan = factScan(q)
+      val rows = scan.map(_.metrics("numOutputRows").value).getOrElse(-1L)
+      // FILES surviving the (re-)planned scan: BatchScanExec's cached
+      // inputPartitions predate runtime filtering, but the Scan
+      // INSTANCE received filter() — re-planning it yields the pruned
+      // file set the exec actually ran
+      val files = scan.map(_.scan
+        .asInstanceOf[graft.io.catalog.SnapshotScan]
+        .planInputPartitions().toSeq.flatMap {
+        case g: graft.io.catalog.GraftPartition =>
+          g.files.map(_.filePath.toString)
+        case k: graft.io.catalog.KeyedGraftPartition =>
+          k.files.map(_.filePath.toString)
+        case _ => Seq.empty
+      }.distinct.size).getOrElse(-1)
+      println(f"""{"bench":"$label","sec":$sec%.2f,""" +
+        s""""fact_rows_scanned":$rows,"fact_files_scanned":$files}""")
+    }
+
+    // warm the page cache with one real scan of the fact side
+    spark.sql(s"SELECT sum(l_extendedprice) FROM graft.`$factUri`").collect()
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    run("runtime_filter_on")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    run("runtime_filter_off")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    run("runtime_filter_on_again")
+    spark.stop()
+  }
+}

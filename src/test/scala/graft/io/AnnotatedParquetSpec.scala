@@ -106,4 +106,116 @@ class AnnotatedParquetSpec extends AnyFunSuite {
     assert(back == times)
     assert(PgSchema.microsToTime(back(1)._2).toString == "12:34:56.789")
   }
+
+  test("reference-layout time/timetz fixture reads byte-exactly " +
+      "(both isAdjustedToUTC flag variants)") {
+    // The reference writes timetz through arrow-rs as INT64
+    // TIME(MICROS, isAdjustedToUTC=false) with the timetz marker riding
+    // the ARROW:schema field metadata `adjusted_to_utc=true`
+    // (`src/arrow_parquet/schema_parser.rs:398-406`); other engines
+    // (parquet-cpp/pyarrow) write the same values with
+    // isAdjustedToUTC=TRUE, which the reference's stats reader ALSO
+    // accepts as timetz (`src/parquet_udfs/stats.rs:213-227`).  Build
+    // one fixture per flag variant with raw parquet-java — independent
+    // of graft's writer — and pin graft's read of both.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+    // UTC-normalized micros-of-day, the reference's storage values
+    // (`pg_arrow_type_conversions.rs:138-176`: local - offset, wrapped):
+    //   13:00Z           exactly (the pgrx coerce test's value)
+    //   15:30+02:00  ->  13:30Z
+    //   01:30+03:00  ->  22:30Z the day "before" (wrap at 24h)
+    val rows = Seq(
+      (0L, 13L * 3600 * 1000000),
+      (1L, (13L * 3600 + 30 * 60) * 1000000),
+      (2L, (22L * 3600 + 30 * 60) * 1000000))
+    assert(PgSchema.timetzToUtcMicros(java.time.OffsetTime.of(
+      15, 30, 0, 0, java.time.ZoneOffset.ofHours(2))) == rows(1)._2)
+    assert(PgSchema.timetzToUtcMicros(java.time.OffsetTime.of(
+      1, 30, 0, 0, java.time.ZoneOffset.ofHours(3))) == rows(2)._2)
+
+    Seq(false, true).foreach { adjusted =>
+      val uri = TestSpark.tmpDir(s"timetz_ref_$adjusted")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(uri))
+      val schema = Types.buildMessage()
+        .addField(Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+          .named("id"))
+        .addField(Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timeType(
+            adjusted, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named("ttz"))
+        .named("ref_schema")
+      val file = new org.apache.hadoop.fs.Path(uri, "ref-00000.parquet")
+      val w = ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(file, spark.sessionState.newHadoopConf()))
+        .withType(schema).build()
+      try rows.foreach { case (id, us) =>
+        val g = new SimpleGroup(schema)
+        g.add("id", id); g.add("ttz", us)
+        w.write(g)
+      } finally w.close()
+
+      // footer pin: the logical type carries the variant's flag
+      val meta = ParquetInfo.schema(spark, s"$uri/*.parquet")
+        .filter(col("name") === "ttz").head()
+      assert(meta.getAs[String]("logical_type") ==
+        s"TimeType(isAdjustedToUTC=${if (adjusted) 1 else 0}, " +
+          "unit=TimeUnit(MILLIS=<null>, MICROS=MicroSeconds(), " +
+          "NANOS=<null>))")
+
+      // byte-exact value pin through graft's read path
+      val back = AnnotatedParquet.read(spark, uri, StructType(Seq(
+          StructField("id", LongType), StructField("ttz", LongType))))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(back == rows, s"adjusted=$adjusted")
+      // presented as the reference presents them: UTC wall time
+      // (i64_to_timetz attaches offset 0)
+      assert(java.time.OffsetTime.of(PgSchema.microsToTime(back(1)._2),
+        java.time.ZoneOffset.UTC).toString == "13:30Z")
+      assert(java.time.OffsetTime.of(PgSchema.microsToTime(back(2)._2),
+        java.time.ZoneOffset.UTC).toString == "22:30Z")
+    }
+  }
+
+  test("graft's own timetz write matches the reference layout: same " +
+      "int64s, TIME(MICROS) annotation, adjusted_to_utc arrow metadata") {
+    val rows = Seq(
+      (0L, 13L * 3600 * 1000000),
+      (1L, (13L * 3600 + 30 * 60) * 1000000),
+      (2L, (22L * 3600 + 30 * 60) * 1000000))
+    val uri = TestSpark.tmpDir("timetz_own")
+    AnnotatedParquet.write(rows.toDF("id", "ttz"), uri,
+      timetzCols = Set("ttz"))
+    val meta = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .filter(col("name") === "ttz").head()
+    assert(meta.getAs[String]("type") == "INT64")
+    assert(meta.getAs[String]("converted_type") == "TIME_MICROS")
+    assert(meta.getAs[String]("logical_type") ==
+      "TimeType(isAdjustedToUTC=0, unit=TimeUnit(MILLIS=<null>, " +
+        "MICROS=MicroSeconds(), NANOS=<null>))")
+    val back = AnnotatedParquet.read(spark, uri, StructType(Seq(
+        StructField("id", LongType), StructField("ttz", LongType))))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(back == rows)
+    // the ARROW:schema footer marks the column as the reference's
+    // timetz: Time64(µs) field + adjusted_to_utc=true metadata
+    val kv = ParquetInfo.kvMetadata(spark, s"$uri/*.parquet")
+      .filter(col("key") === "ARROW:schema").head().getAs[String]("value")
+    val ipc = java.util.Base64.getDecoder.decode(kv)
+    val schema = org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(ipc))))
+    val f = schema.findField("ttz")
+    assert(f.getType
+      .isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Time])
+    assert(f.getMetadata.get("adjusted_to_utc") == "true")
+    assert(schema.findField("id").getMetadata.isEmpty)
+  }
 }

@@ -1,0 +1,180 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * COMPOSED model-based DML fuzz (round 10): the three newest surfaces —
+ * copy-on-write group rewrites, merge-on-read deletion vectors, and
+ * declared physical layouts (hive dirs, bucket/truncate transforms) —
+ * each have lifecycle specs of their own; this fuzz drives their
+ * PAIRWISE COMPOSITIONS, where lakehouse engines historically break:
+ * random INSERT/UPDATE/DELETE/MERGE/OPTIMIZE/RESTORE interleavings on
+ * every layout × write-mode combination, plus mid-sequence column
+ * renames/adds where the layout allows them (transform layouts refuse
+ * evolution by design — their physical dirs pin base-column names).
+ *
+ * A driver-side reference model applies the same semantics to a Map;
+ * after every operation the catalog read must equal the model exactly.
+ * Hive cases include EMPTY-STRING partition values (they land in
+ * `__HIVE_DEFAULT_PARTITION__` and read back as null — the rendering
+ * class of bug the round-10 dynamic-overwrite fix closed).
+ */
+class DmlComposedProps extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+  import spark.implicits._
+
+  private val Layouts = Seq("flat", "hive", "bucket", "truncate")
+
+  test("layout × write-mode × evolution: random DML matches the model") {
+    val rnd = new scala.util.Random(sys.props.getOrElse("dmlcomp.seed", "77013").toLong)
+    (1 to sys.props.getOrElse("dmlcomp.cases", "12").toInt).foreach { i =>
+      val layout = Layouts(rnd.nextInt(Layouts.size))
+      val mor = rnd.nextBoolean()
+      val transform = layout == "bucket" || layout == "truncate"
+      val hive = layout == "hive"
+      val dir = TestSpark.tmpDir(s"dmlcomp_$i")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+
+      // a partition value: hive reads "" back as null (default dir)
+      def normP(p: String): String = if (hive && p.isEmpty) null else p
+      def somePs(r: scala.util.Random): String =
+        r.nextInt(4) match { case 0 => "" case n => s"p${n - 1}" }
+
+      // model: k -> (v, p)
+      var model: Map[Long, (Long, String)] =
+        (0 until 60 + rnd.nextInt(40)).map { _ =>
+          rnd.nextInt(400).toLong ->
+            (rnd.nextInt(100).toLong, normP(somePs(rnd)))
+        }.toMap
+
+      val df0 = model.toSeq.map { case (k, (v, p)) => (k, v, p) }
+        .toDF("k", "v", "p")
+      layout match {
+        case "flat" =>
+          df0.repartition(1 + rnd.nextInt(3)).write.parquet(dir)
+          Snapshots.init(spark, dir)
+        case "hive" =>
+          df0.write.partitionBy("p").parquet(dir)
+          Snapshots.init(spark, dir)
+        case "bucket" =>
+          Snapshots.initTransformed(spark, dir, df0,
+            Seq(PartitionTransforms.bucket(df0, 4, "k")))
+        case "truncate" =>
+          Snapshots.initTransformed(spark, dir, df0,
+            Seq(PartitionTransforms.truncate(df0, 100, "k")))
+      }
+      if (mor) spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+
+      var vName = "v"
+      var renamed = false
+      def check(step: String): Unit = {
+        val got = spark.sql(s"SELECT k, $vName, p FROM graft.`$dir`")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getString(2))).toMap
+        assert(got == model,
+          s"case $i layout=$layout mor=$mor after $step: " +
+            s"missing=${(model.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- model.keySet).take(5)} " +
+            s"diff=${model.keySet.intersect(got.keySet)
+              .filter(k => model(k) != got(k)).take(5)}")
+      }
+      check("init")
+
+      // restore targets recorded only AFTER the last schema change, so
+      // a restore never has to answer "which schema does v3 mean"
+      val versions = scala.collection.mutable.ArrayBuffer(
+        (Snapshots.latestVersion(spark, dir), model))
+
+      (1 to 7).foreach { step =>
+        rnd.nextInt(7) match {
+          case 0 => // INSERT fresh keys
+            val fresh = (0 until 8).map(_ =>
+              (400L + rnd.nextInt(400), rnd.nextInt(100).toLong,
+                somePs(rnd))).distinctBy(_._1)
+              .filterNot(t => model.contains(t._1))
+            if (fresh.nonEmpty) {
+              fresh.toDF("k", "v", "p").createOrReplaceTempView("dmlcomp_ins")
+              spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM dmlcomp_ins")
+              model ++= fresh.map(t => t._1 -> (t._2, normP(t._3)))
+              check("insert")
+            }
+          case 1 => // UPDATE a modular slice through the current name
+            val m = 2 + rnd.nextInt(5)
+            spark.sql(s"UPDATE graft.`$dir` SET $vName = $vName + 1000 " +
+              s"WHERE k % $m = 1")
+            model = model.map { case (k, (v, p)) =>
+              k -> (if (k % m == 1) (v + 1000, p) else (v, p)) }
+            check(s"update k%$m")
+          case 2 => // UPDATE on a base-column RANGE (transform-prunable)
+            val lo = rnd.nextInt(300)
+            spark.sql(s"UPDATE graft.`$dir` SET $vName = $vName + 7 " +
+              s"WHERE k >= $lo AND k < ${lo + 60}")
+            model = model.map { case (k, (v, p)) =>
+              k -> (if (k >= lo && k < lo + 60) (v + 7, p) else (v, p)) }
+            check(s"update range $lo")
+          case 3 => // DELETE a slice
+            val m = 3 + rnd.nextInt(5)
+            spark.sql(s"DELETE FROM graft.`$dir` WHERE k % $m = 2")
+            model = model.filter { case (k, _) => k % m != 2 }
+            check(s"delete k%$m")
+          case 4 => // MERGE through the current column name
+            val src = (0 until 10).map(_ =>
+              (rnd.nextInt(800).toLong, rnd.nextInt(100).toLong,
+                somePs(rnd))).distinctBy(_._1)
+            src.toDF("k", "nv", "np").createOrReplaceTempView("dmlcomp_src")
+            spark.sql(
+              s"""MERGE INTO graft.`$dir` t USING dmlcomp_src s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET $vName = s.nv
+                 |WHEN NOT MATCHED THEN INSERT (k, $vName, p)
+                 |VALUES (s.k, s.nv, s.np)
+                 |""".stripMargin)
+            src.foreach { case (k, nv, np) =>
+              model += (model.get(k) match {
+                case Some((_, p)) => k -> (nv, p)
+                case None => k -> (nv, normP(np))
+              })
+            }
+            check("merge")
+          case 5 => // optimize: physics only
+            spark.sql(s"CALL graft.system.optimize(table => '$dir')")
+            check("optimize")
+          case 6 =>
+            if (!transform && !renamed && rnd.nextBoolean()) {
+              // rename mid-sequence: old files keep the old physical
+              // name; every later rewrite/DV/merge must coalesce it
+              spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val")
+              vName = "val"
+              renamed = true
+              versions.clear() // pre-rename restore targets retired
+              check("rename")
+            } else { // restore to a recorded same-schema version
+              if (versions.nonEmpty) {
+                val (tv, tm) = versions(rnd.nextInt(versions.size))
+                Snapshots.restoreCommit(spark, dir, tv)
+                model = tm
+                check(s"restore v$tv")
+              }
+            }
+        }
+        versions += ((Snapshots.latestVersion(spark, dir), model))
+      }
+
+      // end-of-life invariants: fsck is clean, a compact round-trips,
+      // and time travel to the first recorded version still answers
+      spark.sql(s"CALL graft.system.fsck(table => '$dir')")
+      spark.sql(s"CALL graft.system.optimize(table => '$dir')")
+      check("final optimize")
+    }
+  }
+}
