@@ -22,9 +22,16 @@ object Bench {
     // real queries once before the clock starts.  Every other query
     // converges by its own cold run.
     Seq("dedup_minhash", "pipeline_leakage_safe_split").foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case e: Throwable => System.err.println(
+            s"[bench] warm-up $n failed (its timed numbers will carry " +
+              s"JIT cost): ${e.getMessage}") }
+        case None => System.err.println(
+          s"[bench] warm-up query $n no longer exists — if it was " +
+            "renamed, update the warm-up list or its timed numbers " +
+            "revert to the r09 JIT drift")
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

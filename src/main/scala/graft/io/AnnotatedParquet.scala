@@ -85,6 +85,16 @@ object AnnotatedParquet {
       s"timetz columns ${timetzCols -- names} not in schema")
     require(timeCols.intersect(timetzCols).isEmpty,
       "a column cannot be both time and timetz")
+    // a typed-column request on a wrong-typed column must raise, not
+    // silently write the base kind with no annotation
+    val byName = fields.toMap
+    def requireKind(cols: Set[String], kind: String, needed: String): Unit =
+      cols.foreach { c => require(byName(c) == kind,
+        s"$kind column '$c' must be $needed (got kind '${byName(c)}')") }
+    requireKind(uuidCols, "uuid", "16-byte BinaryType")
+    requireKind(timeCols, "time", "LongType micros-of-day")
+    requireKind(timetzCols, "timetz", "LongType UTC micros-of-day")
+    requireKind(jsonCols, "json", "StringType JSON text")
     val arrowB64 = arrowSchemaB64(fields)
 
     // clean target dir driver-side, then write one file per partition

@@ -86,7 +86,7 @@ object Branches {
       .filter(_.isDirectory).map(_.getPath.getName).sorted
   }
 
-  private def latest(spark: SparkSession, uri: String, name: String): Int = {
+  private[io] def latest(spark: SparkSession, uri: String, name: String): Int = {
     val fs = Snapshots.fsOf(spark, uri)
     require(fs.exists(branchDir(uri, name)),
       s"$uri has no branch '$name'")
@@ -112,7 +112,7 @@ object Branches {
   /** Parse a branch manifest: its own schema pointer (copied from the
     * fork manifest — the branch must stay readable after retention
     * expires main's fork version) plus the entry list. */
-  private def readManifest(spark: SparkSession, uri: String, name: String,
+  private[io] def readManifest(spark: SparkSession, uri: String, name: String,
       v: Int): (Option[Int], Seq[Snapshots.ManifestEntry]) = {
     val fs = Snapshots.fsOf(spark, uri)
     val p = branchManifest(uri, name, v)
@@ -170,11 +170,16 @@ object Branches {
     fs.delete(tmp, true)
     // Transform-partitioned tables carry hidden pb_/pt_ dir columns
     // that df does not have — derive them exactly like appendCommit
-    // does, or the partitionBy write fails.
+    // does (same dirCol guard, same writePartitionCols fallback: on an
+    // EMPTY branch manifest the declared layout in table.properties is
+    // the truth, or the derived dir column would land as a DATA column
+    // in a flat file).
     val transforms = Snapshots.transformsOf(spark, uri)
+      .filter(t => !df.columns.contains(t.dirCol))
     val prepared =
       if (transforms.isEmpty) df else PartitionTransforms.prepare(df, transforms)
-    Snapshots.writeTmp(prepared, tmp, Snapshots.partitionColsOf(entries))
+    Snapshots.writeTmp(prepared, tmp,
+      Snapshots.writePartitionCols(spark, uri, entries))
     val newV = v + 1
     val moved = Snapshots.publishTmp(fs, tmp, uri, newV)
     val lines = (entries ++ Snapshots.entriesFor(spark, uri, moved))

@@ -38,9 +38,13 @@ object RtfBench {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.io.catalog.GraftCatalog].getName)
 
+    // key the cached tables by EVERY input that shapes them — a factor
+    // key alone would silently reuse a stale dim after a sliceKeys or
+    // source-dir change and benchmark the wrong configuration
+    val srcTag = java.lang.Integer.toHexString(srcDir.hashCode)
     val tmp = System.getProperty("java.io.tmpdir")
-    val factUri = s"$tmp/graft_rtfbench_fact_x$factor"
-    val dimUri = s"$tmp/graft_rtfbench_dim_x$factor"
+    val factUri = s"$tmp/graft_rtfbench_fact_x${factor}_$srcTag"
+    val dimUri = s"$tmp/graft_rtfbench_dim_x${factor}_k${sliceKeys}_$srcTag"
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -126,4 +126,38 @@ class BranchSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < entries.size,
       s"branch-published file not pruned: ${kept.size}/${entries.size}")
   }
+
+  test("WAP on an EMPTY declared-layout table derives the layout " +
+      "instead of writing dir columns as data") {
+    // a just-created table has a ZERO-entry manifest: the branch
+    // append must fall back to the DECLARED layout (table.properties),
+    // like appendCommit — deriving from entries writes the hidden
+    // pb_ column into flat data files
+    spark.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    val dir = TestSpark.tmpDir("br_empty_transform")
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    Branches.create(spark, dir, "wap")
+    Branches.append(spark, dir, "wap",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    // staged files landed under derived bucket dirs, not flat
+    val (_, entries) = Branches.readManifest(spark, dir, "wap",
+      Branches.latest(spark, dir, "wap"))
+    assert(entries.nonEmpty && entries.forall(_.name.contains("pb_k=")),
+      s"branch files not bucket-laid-out: ${entries.map(_.name)}")
+    val v = Branches.fastForward(spark, dir, "wap")
+    val rows = Snapshots.read(spark, dir)
+    assert(rows.columns.toSeq == Seq("k", "s"),
+      s"hidden dir column leaked into data: ${rows.columns.toSeq}")
+    assert(rows.count() == 3)
+    // and the published files prune through the declared transform
+    val t = Snapshots.transformsOf(spark, dir)
+    val all = Snapshots.readManifestEntries(spark, dir, v)
+    val kept = Snapshots.pruneEntries(spark, all, "k = 1", t)
+    assert(kept.size < all.size || all.size == 1,
+      s"no transform pruning on branch-published files: " +
+        s"${kept.size}/${all.size}")
+  }
 }
