@@ -3764,6 +3764,25 @@ object SparkEntry {
   // seed 42) rebuilt in HUGEINT mod-2^64 arithmetic; seed ordering is
   // by the SIGNED hash (ring successor pairs are rotation-invariant,
   // so the ring CTE may sort unsigned, but beam seeds must not).
+  //
+  // DOMAIN ASSUMPTIONS (the driver's correctness gate runs at sf0.01;
+  // these hold for its generated corpus and are NOT replicated):
+  //  - no zero-norm or NaN-component embeddings: at a zero norm the
+  //    engine's cosine returns NULL (sorts last) where DuckDB's
+  //    list_cosine_similarity yields NaN (sorts first), and
+  //    VectorDecimalMean SKIPS non-finite vectors where the SQL sums
+  //    would error;
+  //  - the layered index's level structure (one upper level at
+  //    branching 4, k=10) is the structure buildLayered derives at
+  //    n≈500/seedTarget=128 — a different corpus size derives a
+  //    different CTE shape, which static SQL cannot follow;
+  //  - decimal quantization boundaries: the GD oracle uses DuckDB's
+  //    native DECIMAL(28,12) cast and decMean converts scale-20 means
+  //    via one extra double rounding — both can disagree with the
+  //    engine only when a value lands within one ulp of an exact
+  //    half-boundary (measure-zero; absent from the driver corpus, and
+  //    the scale-10 path where a real boundary value EXISTS uses the
+  //    exact ScaledFix form instead).
   private val KnnM64 = "18446744073709551616"
   private def wrapMul(a: String, c: String): String =
     s"((((($a) >> 32) * $c) % 4294967296) * 4294967296 + " +
@@ -3779,12 +3798,16 @@ object SparkEntry {
   private val XxC0 = java.lang.Long.toUnsignedString( // seed 42 + P5 + 8
     42L + java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16) + 8L)
 
-  /** CTEs `ev`, `ids`, and `hx(id, h)` = xxhash64(id) as unsigned. */
+  /** CTEs `ev`, `ids`, and `hx(id, h)` = xxhash64(id) as unsigned.
+    * The id enters as its 64-bit TWO'S-COMPLEMENT bit pattern (a
+    * negative id maps to id + 2^64) — xxhash64 hashes bits, and
+    * DuckDB's signed % / >> on a negative HUGEINT would diverge. */
   private val KnnHashCtes: String =
     "ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v " +
       "FROM embeddings), " +
       "ids AS (SELECT vec_id AS id FROM ev), " +
-      s"x1 AS (SELECT id, ${wrapMul("id::HUGEINT", XxP2)} AS t FROM ids), " +
+      s"x0 AS (SELECT id, (id::HUGEINT + $KnnM64) % $KnnM64 AS u FROM ids), " +
+      s"x1 AS (SELECT id, ${wrapMul("u", XxP2)} AS t FROM x0), " +
       s"x2 AS (SELECT id, ${wrapMul(rotlSql("t", 31), XxP1)} AS t FROM x1), " +
       s"x3 AS (SELECT id, xor($XxC0::HUGEINT, t) AS t FROM x2), " +
       s"x4 AS (SELECT id, (${wrapMul(rotlSql("t", 27), XxP1)} + $XxP4) " +

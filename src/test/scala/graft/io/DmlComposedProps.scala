@@ -34,8 +34,8 @@ class DmlComposedProps extends AnyFunSuite {
   private val Layouts = Seq("flat", "hive", "bucket", "truncate")
 
   test("layout × write-mode × evolution: random DML matches the model") {
-    val rnd = new scala.util.Random(sys.props.getOrElse("dmlcomp.seed", "77013").toLong)
-    (1 to sys.props.getOrElse("dmlcomp.cases", "12").toInt).foreach { i =>
+    val rnd = new scala.util.Random(sys.env.getOrElse("DMLCOMP_SEED", "77013").toLong)
+    (1 to sys.env.getOrElse("DMLCOMP_CASES", "12").toInt).foreach { i =>
       val layout = Layouts(rnd.nextInt(Layouts.size))
       val mor = rnd.nextBoolean()
       val transform = layout == "bucket" || layout == "truncate"
@@ -79,9 +79,18 @@ class DmlComposedProps extends AnyFunSuite {
       var vName = "v"
       var renamed = false
       def check(step: String): Unit = {
-        val got = spark.sql(s"SELECT k, $vName, p FROM graft.`$dir`")
+        val rows = spark.sql(s"SELECT k, $vName, p FROM graft.`$dir`")
           .collect().map(r => r.getLong(0) ->
-            (r.getLong(1), r.getString(2))).toMap
+            (r.getLong(1), r.getString(2))).toSeq
+        // row count FIRST: a rewrite that publishes the new file but
+        // fails to drop the replaced one duplicates rows — a Map
+        // compare alone would silently collapse the duplicates
+        assert(rows.size == model.size,
+          s"case $i layout=$layout mor=$mor after $step: " +
+            s"${rows.size} rows vs model ${model.size} " +
+            s"(dups=${rows.groupBy(_._1).filter(_._2.size > 1)
+              .keys.take(5)})")
+        val got = rows.toMap
         assert(got == model,
           s"case $i layout=$layout mor=$mor after $step: " +
             s"missing=${(model.keySet -- got.keySet).take(5)} " +
@@ -171,10 +180,20 @@ class DmlComposedProps extends AnyFunSuite {
       }
 
       // end-of-life invariants: fsck is clean, a compact round-trips,
-      // and time travel to the first recorded version still answers
+      // and time travel to the first recorded (same-schema) version
+      // still answers with that version's exact state
       spark.sql(s"CALL graft.system.fsck(table => '$dir')")
       spark.sql(s"CALL graft.system.optimize(table => '$dir')")
       check("final optimize")
+      versions.headOption.foreach { case (v0, m0) =>
+        val tt = spark.sql(
+            s"SELECT k, $vName, p FROM graft.`$dir` VERSION AS OF $v0")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getString(2))).toSeq
+        assert(tt.size == m0.size && tt.toMap == m0,
+          s"case $i layout=$layout mor=$mor: time travel to v$v0 " +
+            s"diverged (${tt.size} rows vs ${m0.size})")
+      }
     }
   }
 }
