@@ -901,6 +901,50 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the same WAP loop driven ENTIRELY through SQL (round 10): branch
+    // procedures + the 'branch:<name>' VERSION AS OF audit read — a
+    // catalog-only user never touches the programmatic Branches API
+    "io_branch_sql" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_wapsql_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .repartition(3).write.parquet(uri)
+      io.Snapshots.init(s, uri)
+      orders.createOrReplaceTempView("graft_wapsql_orders")
+      s.sql(s"CALL graft.system.create_branch(table => '$uri', " +
+        "branch => 'wap')")
+      s.sql(s"CALL graft.system.branch_append(table => '$uri', " +
+        "branch => 'wap', source => " +
+        "'SELECT * FROM graft_wapsql_orders " +
+        "WHERE o_orderkey % 3 = 1 AND o_orderstatus = \\'F\\'')")
+      // audit through SQL: the branch sees the staged batch, main and
+      // the branches metadata relation agree, nothing leaked
+      val staged = s.sql(s"SELECT count(*) FROM graft.`$uri` " +
+        "VERSION AS OF 'branch:wap'").head().getLong(0)
+      val mainN = s.sql(s"SELECT count(*) FROM graft.`$uri`")
+        .head().getLong(0)
+      require(staged > mainN, s"branch audit saw $staged vs main $mainN")
+      require(io.Snapshots.latestVersion(s, uri) == 1,
+        "branch append leaked into main")
+      val br = s.sql(s"SELECT branch, head_version, fork_base " +
+        s"FROM graft.`$uri`.branches").head()
+      require(br.getString(0) == "wap" && br.getInt(2) == 1,
+        s"branches relation wrong: $br")
+      s.sql(s"CALL graft.system.fast_forward(table => '$uri', " +
+        "branch => 'wap')")
+      s.sql(s"CALL graft.system.drop_branch(table => '$uri', " +
+        "branch => 'wap')")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_totalprice, o_orderdate, o_orderpriority FROM graft.`$uri` " +
+        "ORDER BY o_orderkey")
+    }),
+
     // planning-time pruning on a DV'd table (round 9): the MoR delete
     // puts a deletion vector on the table, and the indexed read must
     // STILL skip files at plan time (SnapshotFileIndexSpec pins the
@@ -4413,6 +4457,15 @@ object SparkEntry {
         "UNION ALL SELECT CAST(2 AS BIGINT), 'append', " +
         "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
         "WHERE o_orderkey % 3 IN (0, 1)) ORDER BY version"),
+
+    // main after SQL-driven publish = the %3=0 base plus the audited
+    // %3=1 'F' batch
+    "io_branch_sql" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 3 = 0 " +
+        "OR (o_orderkey % 3 = 1 AND o_orderstatus = 'F') " +
+        "ORDER BY o_orderkey"),
 
     // main after publish = the even-key base plus the audited
     // odd-key urgent batch

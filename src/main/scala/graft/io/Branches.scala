@@ -97,7 +97,7 @@ object Branches {
     vs.max
   }
 
-  private def forkBase(spark: SparkSession, uri: String, name: String): Int = {
+  private[io] def forkBase(spark: SparkSession, uri: String, name: String): Int = {
     val fs = Snapshots.fsOf(spark, uri)
     val p = basePath(uri, name)
     require(fs.exists(p), s"branch '$name' has no fork-base marker")

@@ -124,11 +124,23 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           Snapshots.tags(s, uri).toSeq.sorted
             .toDF("tag", "version")
         }))
+      case "branches" => Some(new MetadataV2Table(
+        s"$base.branches", { () =>
+          import s.implicits._
+          graft.io.Branches.list(s, uri)
+            .map(n => (n, graft.io.Branches.latest(s, uri, n),
+              graft.io.Branches.forkBase(s, uri, n)))
+            .toDF("branch", "head_version", "fork_base")
+        }))
       case _ => None
     }
   }
 
-  /** `VERSION AS OF v` — a manifest version number or a tag name. */
+  /** `VERSION AS OF v` — a manifest version number, a tag name, or a
+    * BRANCH head via `'branch:<name>'` (read-only: the table carries
+    * the branch head as its pinned version, so every pinned-version
+    * write guard applies — branch WRITES go through
+    * `CALL graft.system.branch_append`). */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toIntOption match {
       case Some(v) if v >= 1 => tableAt(ident, v)
@@ -139,6 +151,18 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         // guards — refuse instead.
         throw new NoSuchTableException(
           Seq(s"$ident (no such version $v — versions start at 1)"))
+      case None if version.startsWith("branch:") =>
+        val uri = uriOf(ident)
+        val name = version.stripPrefix("branch:")
+        if (!graft.io.Branches.list(spark, uri).contains(name))
+          throw new NoSuchTableException(
+            Seq(s"$ident (no branch '$name')"))
+        val head = graft.io.Branches.latest(spark, uri, name)
+        val (schemaId, entries) =
+          graft.io.Branches.readManifest(spark, uri, name, head)
+        new SnapshotV2Table(spark, uri, s"$ident@$name", head,
+          branchManifest = Some((head, Snapshots.Manifest(
+            "append", mor = false, None, schemaId, entries))))
       case None =>
         val uri = uriOf(ident)
         val tagged = Snapshots.tags(spark, uri).getOrElse(version,

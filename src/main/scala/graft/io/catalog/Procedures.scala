@@ -39,7 +39,8 @@ object Procedures {
   private def spark = SparkSession.active
 
   val names: Seq[String] = Seq("optimize", "vacuum", "fsck",
-    "create_tag", "delete_tag", "restore", "refresh_mview")
+    "create_tag", "delete_tag", "restore", "refresh_mview",
+    "create_branch", "branch_append", "fast_forward", "drop_branch")
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "optimize" => Some(proc("optimize",
@@ -119,6 +120,50 @@ object Procedures {
       row => {
         val v = Mview.refresh(spark, str(row, 0))
         Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    // ------------------------- write-audit-publish branches as SQL
+    // the full WAP loop without the programmatic API: create a branch,
+    // stage batches onto it from any SQL query, audit via
+    // `SELECT ... VERSION AS OF 'branch:<name>'`, publish with
+    // fast_forward (refused if main advanced past the fork), drop
+    case "create_branch" => Some(proc("create_branch",
+      Seq(in("table", StringType), in("branch", StringType),
+        in("version", IntegerType, Some("-1"))),
+      StructType(Seq(StructField("fork_base", IntegerType))),
+      row => {
+        val base = graft.io.Branches.create(spark, str(row, 0),
+          str(row, 1), if (row.isNullAt(2)) -1 else row.getInt(2))
+        Seq(new GenericInternalRow(Array[Any](base)))
+      }))
+
+    case "branch_append" => Some(proc("branch_append",
+      Seq(in("table", StringType), in("branch", StringType),
+        in("source", StringType)),
+      StructType(Seq(StructField("branch_version", IntegerType))),
+      row => {
+        // `source` is any SQL query; its result appends to the branch
+        // (main never references the new files until fast_forward)
+        val v = graft.io.Branches.append(spark, str(row, 0),
+          str(row, 1), spark.sql(str(row, 2)))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "fast_forward" => Some(proc("fast_forward",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val v = graft.io.Branches.fastForward(spark, str(row, 0),
+          str(row, 1))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "drop_branch" => Some(proc("drop_branch",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      row => {
+        graft.io.Branches.drop(spark, str(row, 0), str(row, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
       }))
 
     case _ => None

@@ -59,7 +59,11 @@ import graft.io.{DeletionVectors, PartitionTransforms, SchemaEvolution, Snapshot
  * with the snapshot layer underneath.
  */
 final class SnapshotV2Table(
-    spark: SparkSession, uri: String, ident: String, version: Int)
+    spark: SparkSession, uri: String, ident: String, version: Int,
+    /** A BRANCH head served as a read-only pinned table: (head
+      * version, the branch manifest).  `version` is the head (> 0),
+      * so every pinned-version write guard applies unchanged. */
+    branchManifest: Option[(Int, Snapshots.Manifest)] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -93,9 +97,10 @@ final class SnapshotV2Table(
           "physical row ordinal within the source file"
       })
 
-  private[catalog] lazy val v: Int =
-    if (version <= 0) Snapshots.latestVersion(spark, uri) else version
-  private[catalog] lazy val manifest = Snapshots.readManifestFull(spark, uri, v)
+  private[catalog] lazy val v: Int = branchManifest.map(_._1).getOrElse(
+    if (version <= 0) Snapshots.latestVersion(spark, uri) else version)
+  private[catalog] lazy val manifest = branchManifest.map(_._2).getOrElse(
+    Snapshots.readManifestFull(spark, uri, v))
   private[catalog] lazy val entries = manifest.entries
   private[catalog] lazy val transforms = Snapshots.transformsOf(spark, uri)
   private[catalog] lazy val schemaDef: Option[SchemaEvolution.SchemaDef] =

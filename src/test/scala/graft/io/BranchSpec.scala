@@ -127,6 +127,65 @@ class BranchSpec extends AnyFunSuite {
       s"branch-published file not pruned: ${kept.size}/${entries.size}")
   }
 
+  test("the full WAP loop through SQL only: procedures, branch audit " +
+      "reads, metadata relation, divergence refusal, write guards") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    val dir = fresh("br_sql")
+    spark.sql(s"CALL graft.system.create_branch(table => '$dir', " +
+      "branch => 'wap')")
+    (101 to 103).map(i => (i.toLong, s"n$i")).toDF("k", "s")
+      .createOrReplaceTempView("br_sql_batch")
+    val bv = spark.sql(s"CALL graft.system.branch_append(" +
+      s"table => '$dir', branch => 'wap', " +
+      "source => 'SELECT * FROM br_sql_batch')").head().getInt(0)
+    assert(bv == 2)
+    // audit read through VERSION AS OF 'branch:...'
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap'").count() == 103)
+    assert(spark.sql(s"SELECT max(k) FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap'").head().getLong(0) == 103L)
+    // main unchanged; metadata relation lists the branch
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 100)
+    val br = spark.sql(s"SELECT branch, head_version, fork_base " +
+      s"FROM graft.`$dir`.branches").collect()
+    assert(br.map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .toSeq == Seq(("wap", 2, 1)))
+    // a branch relation is READ-ONLY: DML through it refuses — Spark
+    // rejects string-version DML at parse time; the runtime guard
+    // (version > 0 ⇒ pinned) covers any path that gets further, pinned
+    // in RowLevelOpsSpec for int versions which branch tables reuse
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$dir` VERSION AS OF 'branch:wap' WHERE k = 1"))
+    assert(e.getMessage.toLowerCase.contains("pinned") ||
+      e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("syntax error"), e.getMessage)
+    // unknown branch refuses loudly
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft.`$dir` VERSION AS OF 'branch:nope'").collect())
+    assert(e2.getMessage.contains("no branch") ||
+      e2.getMessage.contains("cannot be found"), e2.getMessage)
+    // publish + drop through SQL
+    assert(spark.sql(s"CALL graft.system.fast_forward(table => '$dir', " +
+      "branch => 'wap')").head().getInt(0) == 2)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 103)
+    spark.sql(s"CALL graft.system.drop_branch(table => '$dir', " +
+      "branch => 'wap')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`.branches").count() == 0)
+    // divergence refusal surfaces through the procedure
+    spark.sql(s"CALL graft.system.create_branch(table => '$dir', " +
+      "branch => 'late')")
+    spark.sql(s"CALL graft.system.branch_append(table => '$dir', " +
+      "branch => 'late', source => 'SELECT CAST(500 AS BIGINT) AS k, " +
+      "''x'' AS s')")
+    Snapshots.appendCommit(spark, dir,
+      Seq((600L, "y")).toDF("k", "s"))
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL graft.system.fast_forward(table => '$dir', " +
+        "branch => 'late')").collect())
+    assert(e3.getMessage.contains("recreate the branch"), e3.getMessage)
+  }
+
   test("WAP on an EMPTY declared-layout table derives the layout " +
       "instead of writing dir columns as data") {
     // a just-created table has a ZERO-entry manifest: the branch
