@@ -62,8 +62,17 @@ object Branches {
     require(!fs.exists(branchDir(uri, name)),
       s"branch '$name' already exists on $uri (drop it first)")
     fs.mkdirs(branchDir(uri, name))
+    // the BASE MARKER is the creation mutex: exclusive create means
+    // exactly one racer proceeds to write a fork manifest — two racers
+    // straddling a concurrent main commit would otherwise each publish
+    // a DIFFERENT fork version into the same branch (the loser's head
+    // silently winning and fast_forward permanently refusing)
+    val bout = fs.create(basePath(uri, name), false)
+    try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
+    finally bout.close()
     // copy the fork manifest verbatim — the branch starts as an exact
-    // alias of main@base (schema pointer and stats ride along)
+    // alias of main@base (schema pointer and stats ride along; a
+    // gzipped large manifest stays gzipped — readers detect the magic)
     val in = fs.open(Snapshots.manifestPath(uri, base))
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -72,9 +81,6 @@ object Branches {
     } finally in.close()
     val out = fs.create(branchManifest(uri, name, base), false)
     try out.write(bytes) finally out.close()
-    val bout = fs.create(basePath(uri, name), false)
-    try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
-    finally bout.close()
     base
   }
 
@@ -109,49 +115,33 @@ object Branches {
     } finally in.close()
   }
 
-  /** Parse a branch manifest: its own schema pointer (copied from the
-    * fork manifest — the branch must stay readable after retention
-    * expires main's fork version) plus the entry list. */
-  private[io] def readManifest(spark: SparkSession, uri: String, name: String,
-      v: Int): (Option[Int], Seq[Snapshots.ManifestEntry]) = {
+  /** Read a branch manifest through the SHARED manifest machinery
+    * ([[Snapshots.parseManifest]] + gzip-aware content read): a fork
+    * copy of a LARGE main manifest is gzipped bytes, and a bespoke
+    * UTF-8 parse here once returned silent garbage for it — junk
+    * "entries" that broke branch reads AND stopped expire protecting
+    * the real fork files.  The schema pointer rides the branch
+    * manifest so the branch stays readable after retention expires
+    * main's fork version. */
+  private[io] def readManifest(spark: SparkSession, uri: String,
+      name: String, v: Int): Snapshots.Manifest = {
     val fs = Snapshots.fsOf(spark, uri)
     val p = branchManifest(uri, name, v)
     require(fs.exists(p), s"branch '$name' has no version $v")
-    val in = fs.open(p)
-    val content = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
-    val schemaId = lines.headOption.toSeq
-      .flatMap(_.split(" ")).collectFirst {
-        case a if a.startsWith("schema=") => a.stripPrefix("schema=")
-      }.flatMap(_.toIntOption)
-    val entries = lines.tail.map { line =>
-      val fields = line.split("\t", -1)
-      val (statsF, dvF) = fields.toSeq.tail.partition(!_.startsWith("dv="))
-      val dv = dvF.headOption.map { f =>
-        f.stripPrefix("dv=").split(";rows=", 2) match {
-          case Array(path, n) => Snapshots.DvRef(path, n.toLong)
-          case _ => throw new IllegalStateException(s"bad dv field '$f'")
-        }
-      }
-      Snapshots.ManifestEntry(fields(0), statsF.find(_.nonEmpty), dv)
-    }
-    (schemaId, entries)
+    Snapshots.parseManifest(
+      Snapshots.readManifestContent(fs, p), p.toString)
   }
 
   private def readEntries(spark: SparkSession, uri: String, name: String,
       v: Int): Seq[Snapshots.ManifestEntry] =
-    readManifest(spark, uri, name, v)._2
+    readManifest(spark, uri, name, v).entries
 
   /** Read the branch head (data files shared with main). */
   def read(spark: SparkSession, uri: String, name: String): DataFrame = {
     val v = latest(spark, uri, name)
-    val (schemaId, entries) = readManifest(spark, uri, name, v)
-    val raw = Snapshots.readFiles(spark, uri, entries)
-    schemaId match {
+    val m = readManifest(spark, uri, name, v)
+    val raw = Snapshots.readFiles(spark, uri, m.entries)
+    m.schemaId match {
       case Some(id) =>
         SchemaEvolution.evolve(raw, SchemaEvolution.readDef(spark, uri, id))
       case None => raw
@@ -164,7 +154,8 @@ object Branches {
   def append(spark: SparkSession, uri: String, name: String,
       df: DataFrame): Int = {
     val v = latest(spark, uri, name)
-    val (schemaId, entries) = readManifest(spark, uri, name, v)
+    val m = readManifest(spark, uri, name, v)
+    val (schemaId, entries) = (m.schemaId, m.entries)
     val fs = Snapshots.fsOf(spark, uri)
     val tmp = Snapshots.commitTmp(uri)
     fs.delete(tmp, true)
@@ -235,17 +226,27 @@ object Branches {
     ()
   }
 
-  /** Data files referenced by ANY live branch manifest — what
-    * [[Snapshots.expire]] must protect. */
-  private[io] def referencedFiles(
-      spark: SparkSession, uri: String): Set[String] = {
+  /** Every manifest entry referenced by ANY live branch manifest —
+    * what [[Snapshots.expire]] must protect (both the data-file NAMES
+    * and the DV sidecar paths the entries carry: a main compaction can
+    * supersede a DV'd file while the branch still needs its sidecar). */
+  private[io] def referencedEntries(
+      spark: SparkSession, uri: String): Seq[Snapshots.ManifestEntry] = {
     val fs = Snapshots.fsOf(spark, uri)
-    if (!fs.exists(refsRoot(uri))) return Set.empty
+    if (!fs.exists(refsRoot(uri))) return Nil
     list(spark, uri).flatMap { name =>
       fs.listStatus(branchDir(uri, name)).toSeq
         .map(_.getPath.getName).filter(_.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-        .flatMap(v => readEntries(spark, uri, name, v).map(_.name))
-    }.toSet
+        .flatMap(v => readEntries(spark, uri, name, v))
+    }
   }
+
+  private[io] def referencedFiles(
+      spark: SparkSession, uri: String): Set[String] =
+    referencedEntries(spark, uri).map(_.name).toSet
+
+  private[io] def referencedDvs(
+      spark: SparkSession, uri: String): Set[String] =
+    referencedEntries(spark, uri).flatMap(_.dv.map(_.path)).toSet
 }

@@ -2157,10 +2157,13 @@ object Snapshots extends Serializable {
     }
     val dvDir = new Path(uri, DeletionVectors.Dir)
     if (fs.exists(dvDir)) {
+      // live branches protect their DV sidecars too — a main compact
+      // can supersede a DV'd file that a branch still references
       val keepDv = keptVersions.toSeq.sorted
         .filter(v => fs.exists(manifestPath(uri, v)))
         .flatMap(v => readManifestEntries(spark, uri, v)
-          .flatMap(_.dv.map(_.path))).toSet
+          .flatMap(_.dv.map(_.path))).toSet ++
+        Branches.referencedDvs(spark, uri)
       fs.listStatus(dvDir).foreach { st =>
         val rel = s"${DeletionVectors.Dir}/${st.getPath.getName}"
         if (!keepDv.contains(rel)) {
@@ -2405,8 +2408,17 @@ object Snapshots extends Serializable {
     val fs = fsOf(spark, uri)
     val p = manifestPath(uri, v)
     require(fs.exists(p), s"$uri has no manifest version $v")
+    parseManifest(readManifestContent(fs, p), p.toString)
+  }
+
+  /** Read a manifest file's TEXT, transparently un-gzipping large
+    * manifests (magic-byte detection) — shared by the main line and
+    * branch refs (a branch fork copies the main manifest byte-verbatim,
+    * so a gzipped fork stays gzipped). */
+  private[io] def readManifestContent(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val content = try {
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       val bytes = buf.toByteArray
@@ -2420,6 +2432,12 @@ object Snapshots extends Serializable {
         new String(out.toByteArray, StandardCharsets.UTF_8)
       } else new String(bytes, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  /** Parse manifest TEXT (header + entry lines) — the ONE parser every
+    * manifest consumer shares (`where` labels errors). */
+  private[io] def parseManifest(content: String, where: String): Manifest = {
+    val p = where
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     val header = lines.headOption.getOrElse("")
     require(header == "graft-manifest v1" || header == "graft-manifest v2" ||

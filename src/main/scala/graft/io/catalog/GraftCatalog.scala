@@ -127,9 +127,13 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       case "branches" => Some(new MetadataV2Table(
         s"$base.branches", { () =>
           import s.implicits._
+          // per-branch stats are non-atomic vs concurrent drops and a
+          // crashed create can leave a torn dir — skip what cannot be
+          // read instead of failing the whole listing
           graft.io.Branches.list(s, uri)
-            .map(n => (n, graft.io.Branches.latest(s, uri, n),
-              graft.io.Branches.forkBase(s, uri, n)))
+            .flatMap(n => scala.util.Try((n,
+              graft.io.Branches.latest(s, uri, n),
+              graft.io.Branches.forkBase(s, uri, n))).toOption)
             .toDF("branch", "head_version", "fork_base")
         }))
       case _ => None
@@ -158,11 +162,9 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           throw new NoSuchTableException(
             Seq(s"$ident (no branch '$name')"))
         val head = graft.io.Branches.latest(spark, uri, name)
-        val (schemaId, entries) =
-          graft.io.Branches.readManifest(spark, uri, name, head)
         new SnapshotV2Table(spark, uri, s"$ident@$name", head,
-          branchManifest = Some((head, Snapshots.Manifest(
-            "append", mor = false, None, schemaId, entries))))
+          branchManifest = Some((head,
+            graft.io.Branches.readManifest(spark, uri, name, head))))
       case None =>
         val uri = uriOf(ident)
         val tagged = Snapshots.tags(spark, uri).getOrElse(version,

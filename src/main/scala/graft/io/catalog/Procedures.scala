@@ -142,10 +142,22 @@ object Procedures {
         in("source", StringType)),
       StructType(Seq(StructField("branch_version", IntegerType))),
       row => {
-        // `source` is any SQL query; its result appends to the branch
-        // (main never references the new files until fast_forward)
-        val v = graft.io.Branches.append(spark, str(row, 0),
-          str(row, 1), spark.sql(str(row, 2)))
+        val table = str(row, 0); val branch = str(row, 1)
+        val src = str(row, 2)
+        // validate BEFORE evaluating source (spark.sql runs commands
+        // eagerly — a bad branch name must not leave side effects),
+        // and refuse command statements outright: `source` is a QUERY
+        // whose result appends to the branch, never DDL/DML to execute
+        require(graft.io.Branches.list(spark, table).contains(branch),
+          s"$table has no branch '$branch'")
+        val plan = spark.sessionState.sqlParser.parsePlan(src)
+        require(!plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Command] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ParsedStatement],
+          "branch_append source must be a query, not a command statement")
+        val v = graft.io.Branches.append(spark, table, branch,
+          spark.sql(src))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 

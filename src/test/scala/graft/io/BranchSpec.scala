@@ -186,6 +186,87 @@ class BranchSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("recreate the branch"), e3.getMessage)
   }
 
+  test("a GZIPPED fork manifest (large-table copy) reads through the " +
+      "shared parser") {
+    // writeManifest gzips manifests above 4096 entries and create()
+    // copies fork bytes VERBATIM — simulate by gzipping the branch
+    // manifest in place; reads and expire-protection must not care
+    val dir = fresh("br_gzip")
+    Branches.create(spark, dir, "wap")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(dir,
+      "_graft_manifests/refs/wap/v000001.manifest")
+    val plain = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close(); bos.toByteArray
+    }
+    val out = fs.create(p, true)
+    try out.write(gz) finally out.close()
+    assert(Branches.read(spark, dir, "wap").count() == 100)
+    assert(Branches.referencedFiles(spark, dir).nonEmpty,
+      "gzipped branch manifest invisible to expire protection")
+    // and the SQL audit path reads it too
+    spark.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap'").count() == 100)
+  }
+
+  test("expire protects a live branch's DV sidecars after main " +
+      "supersedes the DV'd file") {
+    val dir = fresh("br_dv_expire")
+    // MoR delete puts a DV beside a data file; the branch forks with it
+    Snapshots.deleteWhereCommit(spark, dir, "k <= 10", mergeOnRead = true)
+    assert(Snapshots.read(spark, dir).count() == 90)
+    Branches.create(spark, dir, "audit")
+    // main moves on: a full overwrite supersedes the DV'd file, then
+    // retention sweeps everything main no longer references
+    Snapshots.overwriteCommit(spark, dir, Seq((1L, "new")).toDF("k", "s"))
+    Snapshots.expire(spark, dir, keepVersions = 1)
+    // the branch must still read with its deletion vector applied —
+    // before the fix the sidecar was swept and this threw (or worse,
+    // resurrected the deleted rows)
+    val br = Branches.read(spark, dir, "audit")
+    assert(br.count() == 90, "branch lost its deletion vector")
+    assert(br.filter(col("k") <= 10).isEmpty,
+      "deleted rows resurrected on the branch")
+  }
+
+  test("branch_append refuses command statements and validates the " +
+      "branch BEFORE evaluating source") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    val dir = fresh("br_inject")
+    Branches.create(spark, dir, "wap")
+    val victim = fresh("br_inject_victim")
+    // a command as source: refused, and the victim table untouched
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.branch_append(table => '$dir', " +
+        s"branch => 'wap', source => 'DROP TABLE graft.`$victim`')"))
+    assert(e.getMessage.contains("must be a query"), e.getMessage)
+    assert(Snapshots.read(spark, victim).count() == 100,
+      "command source executed despite refusal")
+    // a bad branch name: refused BEFORE the source runs
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft.system.branch_append(table => '$dir', " +
+        s"branch => 'nope', source => 'SELECT 1 AS x')"))
+    assert(e2.getMessage.contains("no branch"), e2.getMessage)
+    // INSERT-shaped sources are commands too
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL graft.system.branch_append(table => '$dir', " +
+        s"branch => 'wap', " +
+        s"source => 'INSERT INTO graft.`$victim` VALUES (1000, ''z'')')"))
+    assert(e3.getMessage.contains("must be a query"), e3.getMessage)
+    assert(Snapshots.read(spark, victim).count() == 100)
+  }
+
   test("WAP on an EMPTY declared-layout table derives the layout " +
       "instead of writing dir columns as data") {
     // a just-created table has a ZERO-entry manifest: the branch
@@ -202,8 +283,8 @@ class BranchSpec extends AnyFunSuite {
     Branches.append(spark, dir, "wap",
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
     // staged files landed under derived bucket dirs, not flat
-    val (_, entries) = Branches.readManifest(spark, dir, "wap",
-      Branches.latest(spark, dir, "wap"))
+    val entries = Branches.readManifest(spark, dir, "wap",
+      Branches.latest(spark, dir, "wap")).entries
     assert(entries.nonEmpty && entries.forall(_.name.contains("pb_k=")),
       s"branch files not bucket-laid-out: ${entries.map(_.name)}")
     val v = Branches.fastForward(spark, dir, "wap")
