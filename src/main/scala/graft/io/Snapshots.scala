@@ -2483,6 +2483,40 @@ object Snapshots extends Serializable {
     else new Path(p).getName
   }
 
+  /** Resolve a stream's DEFAULT starting version ("latest at FIRST
+    * stream start") DURABLY: persisted under the stream's checkpoint/
+    * metadata dir on first resolution and read back ever after.  The
+    * restart-before-batch-0-commits window otherwise loses data: the
+    * offset log holds batch 0's END offset, `initialOffset()` is
+    * re-evaluated for its START, and a recomputed "latest" silently
+    * skips every version committed since the original stream start. */
+  private[graft] def durableStartingVersion(
+      spark: SparkSession, uri: String, metadataDir: String): Int = {
+    val fs = fsOf(spark, metadataDir)
+    val p = new Path(metadataDir, "graft_starting_version")
+    def readIt: Int = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toInt
+      } finally in.close()
+    }
+    if (fs.exists(p)) readIt
+    else {
+      val v = latestVersion(spark, uri)
+      try {
+        fs.mkdirs(new Path(metadataDir))
+        val out = fs.create(p, false)
+        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        v
+      } catch { // a concurrent racer won the exclusive create — defer
+        case _: java.io.IOException => readIt
+      }
+    }
+  }
+
   private[io] def fsOf(spark: SparkSession, uri: String) =
     new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
 }

@@ -101,6 +101,18 @@ final class SnapshotV2Table(
     if (version <= 0) Snapshots.latestVersion(spark, uri) else version)
   private[catalog] lazy val manifest = branchManifest.map(_._2).getOrElse(
     Snapshots.readManifestFull(spark, uri, v))
+
+  /** True only for the live (unpinned, non-branch) head — what
+    * streaming reads and writes must anchor to. */
+  private[catalog] def isLiveHead: Boolean =
+    version <= 0 && branchManifest.isEmpty
+
+  /** Identity partition columns DECLARED on the table (CREATE TABLE
+    * PARTITIONED BY col) — present even when the table has no files
+    * yet, where the file-path-derived `partSchema` is empty. */
+  private[catalog] lazy val declaredIdentityCols: Seq[String] =
+    Snapshots.readTableProps(spark, uri).get("partition.columns")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
   private[catalog] lazy val entries = manifest.entries
   private[catalog] lazy val transforms = Snapshots.transformsOf(spark, uri)
   private[catalog] lazy val schemaDef: Option[SchemaEvolution.SchemaDef] =
@@ -292,9 +304,16 @@ final class SnapshotV2Table(
             s"$ident: streaming into a snapshot table supports APPEND " +
               "output mode only (use foreachBatch + overwriteCommit " +
               "for complete-mode semantics)")
-          require(partSchema.isEmpty,
+          // the guard must test the DECLARED layout, not the
+          // file-derived partSchema: an EMPTY partitioned/bucketed
+          // table has no file paths to derive from, and accepting its
+          // first epochs as flat root files would corrupt the layout
+          // unrecoverably (every later keyed scan derives dir values)
+          require(partSchema.isEmpty && transforms.isEmpty &&
+              declaredIdentityCols.isEmpty,
             s"$ident: catalog streaming writes serve FLAT tables; use " +
-              "foreachBatch + appendCommit for partitioned layouts")
+              "foreachBatch + appendCommit for partitioned/transform " +
+              "layouts")
           // the streaming V2 path hands the QUERY schema through
           // unresolved — refuse a shape that diverges from the table
           // (a mismatched file would silently null-fill on read, and
@@ -817,19 +836,35 @@ final class SnapshotScan(
     * `readStream.format("graft-snapshot")`. */
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream = {
-    require(table.partSchema.isEmpty,
+    // a stream tails the LIVE head's append feed — a pinned version,
+    // tag or branch relation would silently serve main's commits
+    // under the pin's name
+    require(table.isLiveHead,
+      s"$uri: streaming reads serve the live table head — not a " +
+        "pinned version, tag, or branch relation")
+    require(table.partSchema.isEmpty && table.declaredIdentityCols.isEmpty,
       s"$uri: catalog streaming serves FLAT tables; use " +
         "spark.readStream.format(\"graft-snapshot\") for " +
         "partitioned/transform layouts")
+    val latest = Snapshots.latestVersion(spark, uri)
     val starting = Option(options.get("startingVersion")).map { s =>
       val v = s.toInt
       require(v >= 1, s"startingVersion must be >= 1 (got $v)")
+      require(v <= latest,
+        s"startingVersion $v is beyond the table head v$latest — " +
+          "appends up to it would be silently skipped")
       v
-    }.getOrElse(Snapshots.latestVersion(spark, uri))
+    }.getOrElse( // durable: a restart must replay the ORIGINAL range
+      Snapshots.durableStartingVersion(spark, uri, checkpointLocation))
     new SnapshotMicroBatchStream(spark, uri, starting, this)
   }
 
   private[catalog] def pushedPred: SnapshotStats.Pred = pred
+
+  /** The schema pointer the reader factory was resolved against —
+    * [[SnapshotMicroBatchStream]] fails the stream when a later batch's
+    * manifest moved past it. */
+  private[catalog] def resolvedSchemaId: Option[Int] = table.manifest.schemaId
 
   // --------------------------------------------------- reader factory
 
@@ -970,12 +1005,21 @@ final class SnapshotMicroBatchStream(
     val from = start.asInstanceOf[VersionOffset].v.toInt
     val to = end.asInstanceOf[VersionOffset].v.toInt
     if (to <= from) return Array.empty
+    val endManifest = Snapshots.readManifestFull(spark, uri, to)
+    // a mid-stream schema change (rename/add) would make files written
+    // under the NEW schema silently null-fill through the reader
+    // factory's resolution-time projection — fail loudly instead (the
+    // Delta rule for non-additive change: restart the stream)
+    require(endManifest.schemaId == scan.resolvedSchemaId,
+      s"$uri: table schema changed mid-stream (schema pointer " +
+        s"${scan.resolvedSchemaId.getOrElse("none")} -> " +
+        s"${endManifest.schemaId.getOrElse("none")}) — restart the " +
+        "stream to pick up the new schema")
     val names = Snapshots.changedFiles(spark, uri, from, to)
     if (names.isEmpty) return Array.empty
     // stats from the end-version manifest (a file compacted away
     // within the range reads whole — conservative)
-    val statsAt = Snapshots.readManifestEntries(spark, uri, to)
-      .map(e => e.name -> e).toMap
+    val statsAt = endManifest.entries.map(e => e.name -> e).toMap
     val entries = names.map(n =>
       statsAt.getOrElse(n, Snapshots.ManifestEntry(n, None)))
     val kept = entries.filter(e => SnapshotStats.mayMatch(
@@ -983,7 +1027,15 @@ final class SnapshotMicroBatchStream(
     if (kept.isEmpty) return Array.empty
     val conf = spark.sessionState.conf
     val fs = new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
-    val sts = kept.map(e => fs.getFileStatus(new Path(uri, e.name)))
+    // ONE root listing instead of one RPC per appended file (the
+    // stream serves flat tables, so every data file is a root child);
+    // anything the listing missed falls back to a point lookup
+    val wanted = kept.map(_.name).toSet
+    val listed = fs.listStatus(new Path(uri)).toSeq
+      .filter(st => wanted.contains(st.getPath.getName))
+    val missing = wanted -- listed.map(_.getPath.getName)
+    val sts = listed ++
+      missing.toSeq.sorted.map(n => fs.getFileStatus(new Path(uri, n)))
     val openCost = conf.filesOpenCostInBytes
     val bytesPerCore = sts.map(_.getLen + openCost).sum /
       math.max(1, spark.sparkContext.defaultParallelism)

@@ -78,11 +78,19 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val uri = uriOf(parameters)
+    val latest = Snapshots.latestVersion(spark, uri)
     val starting = parameters.get("startingVersion").map { s =>
       val v = s.toInt
       require(v >= 1, s"startingVersion must be >= 1 (got $v)")
+      require(v <= latest,
+        s"startingVersion $v is beyond the table head v$latest — " +
+          "appends up to it would be silently skipped")
       v
-    }.getOrElse(Snapshots.latestVersion(spark, uri))
+    }.getOrElse(
+      // the DEFAULT start must survive a restart-before-batch-0-commits
+      // (createSource re-runs; a recomputed "latest" would skip every
+      // version committed since the original stream start)
+      Snapshots.durableStartingVersion(spark, uri, metadataPath))
     val cdc = cdcOf(parameters)
     val base = schema.getOrElse(Snapshots.read(spark, uri).schema)
     new SnapshotSource(spark, uri, starting,

@@ -374,6 +374,102 @@ class CatalogV2Spec extends AnyFunSuite {
       s"expected the two appended batches, got ${got.size} rows")
   }
 
+  test("the DEFAULT streaming start is durable across a restart " +
+      "before batch 0 commits") {
+    val dir = freshTable("catv2_stream_durable")
+    val ckpt = freshTable("catv2_stream_durable_ckpt")
+    spark.range(0, 10).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // first resolution pins "latest at stream start" under the
+    // checkpoint; appends advance the table; re-resolution (the
+    // restart-before-batch-0-commits path re-runs it) must return the
+    // ORIGINAL version, not the new head — or v2's rows are silently
+    // skipped
+    val s1 = Snapshots.durableStartingVersion(spark, dir, ckpt)
+    assert(s1 == 1)
+    Snapshots.appendCommit(spark, dir,
+      spark.range(10, 20).selectExpr("id AS k"))
+    assert(Snapshots.durableStartingVersion(spark, dir, ckpt) == 1,
+      "restart recomputed the default start and lost the appends")
+    // a fresh checkpoint starts at the new head
+    assert(Snapshots.durableStartingVersion(spark, dir,
+      freshTable("catv2_stream_durable_ckpt2")) == 2)
+  }
+
+  test("streaming guards: startingVersion beyond head, pinned/branch " +
+      "relations, declared-layout writes, mid-stream schema change") {
+    val dir = freshTable("catv2_stream_guards")
+    spark.range(0, 20).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.io.catalog.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], dir)
+    // startingVersion beyond the head refuses instead of silently
+    // swallowing appends up to it
+    val liveTable = cat.loadTable(ident)
+      .asInstanceOf[graft.io.catalog.SnapshotV2Table]
+    val badStart = liveTable.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("startingVersion", "99")))
+      .build().asInstanceOf[graft.io.catalog.SnapshotScan]
+    val e1 = intercept[IllegalArgumentException](
+      badStart.toMicroBatchStream(freshTable("catv2_sg_ck1")))
+    assert(e1.getMessage.contains("beyond the table head"), e1.getMessage)
+    // a branch relation refuses streaming (it would silently serve
+    // MAIN's append feed under the branch's name)
+    Branches.create(spark, dir, "wap")
+    val brTable = cat.loadTable(ident, "branch:wap")
+      .asInstanceOf[graft.io.catalog.SnapshotV2Table]
+    val scan = brTable.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[graft.io.catalog.SnapshotScan]
+    val e2 = intercept[IllegalArgumentException](
+      scan.toMicroBatchStream(freshTable("catv2_sg_ck2")))
+    assert(e2.getMessage.contains("live table head"), e2.getMessage)
+    Branches.drop(spark, dir, "wap")
+    // an EMPTY declared-layout table refuses streaming WRITES (flat
+    // root epochs would corrupt the bucket layout unrecoverably)
+    val bdir = freshTable("catv2_sg_bucket")
+    spark.sql(s"CREATE TABLE graft.`$bdir` (k BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val src = freshTable("catv2_sg_src")
+    spark.range(0, 5).selectExpr("id AS k").write.parquet(src)
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.schema("k BIGINT").parquet(src)
+        .writeStream
+        .option("checkpointLocation", freshTable("catv2_sg_ck3"))
+        .toTable(s"graft.`$bdir`")
+      q.processAllAvailable(); q.stop()
+    }
+    assert(e3.getMessage.contains("FLAT tables"), e3.getMessage)
+    // a mid-stream rename fails the stream loudly instead of
+    // null-filling the renamed column in later batches
+    val rdir = freshTable("catv2_sg_rename")
+    spark.range(0, 10).selectExpr("id AS k", "id AS v").write.parquet(rdir)
+    Snapshots.init(spark, rdir)
+    val sink = freshTable("catv2_sg_rsink")
+    val ckpt = freshTable("catv2_sg_rckpt")
+    // one CONTINUOUS query (a restart re-resolves the schema and is
+    // fine — the hazard is a LIVE stream whose reader projection was
+    // pinned before the rename)
+    val q = spark.readStream.option("startingVersion", "1")
+      .table(s"graft.`$rdir`")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // empty v1 replay under the OLD schema
+      spark.sql(s"ALTER TABLE graft.`$rdir` RENAME COLUMN v TO val")
+      Snapshots.appendCommit(spark, rdir,
+        spark.range(10, 15).selectExpr("id AS k", "id AS val"))
+      val e4 = intercept[Exception](q.processAllAvailable())
+      assert(e4.getMessage.contains("schema changed mid-stream"),
+        e4.getMessage)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("LIMIT plans only enough files to cover the requested rows") {
     val dir = freshTable("catv2_limit")
     spark.range(0, 4000).selectExpr("id AS k")
