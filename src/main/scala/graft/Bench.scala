@@ -13,18 +13,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JIT warm-up (round-10 drift investigation, docs/NOTES.md):
-    // the two md5-portable-hash queries are the only shapes whose
-    // GENERATED classes need a third execution to tier up to C2 — in a
-    // fresh JVM they measure 11.8s → 3.8s → 1.5s, so even the reported
-    // second run is ~2.4× steady state when the harness JVM is young.
-    // A synthetic md5-kernel warm-up does NOT close the gap (the cost
-    // is the query-specific codegen, not MessageDigest), so run the
-    // real queries once before the clock starts.  Every other query
-    // converges by its own cold run.
-    Seq("dedup_minhash", "pipeline_leakage_safe_split").foreach { n =>
+    // the md5-portable-hash queries are the only shapes whose GENERATED
+    // classes need a third execution to tier up to C2 — in a fresh JVM
+    // dedup_minhash measures 11.8s → 3.8s → 1.5s and
+    // pipeline_incremental_near_dedup 13.4s → 1.6s → 1.5s, so even the
+    // reported second run is several× steady state when the harness JVM
+    // is young.  A synthetic md5-kernel warm-up does NOT close the gap
+    // (the cost is the query-specific codegen, not MessageDigest), so
+    // run the real queries once before the clock starts.  Every other
+    // query converges by its own cold run.  NOTE: these queries' "cold"
+    // numbers are therefore NOT cold — the emitted JSON carries the
+    // warm-up run's own time per query plus a "warmed" list so a
+    // downstream consumer never compares them against true cold runs.
+    val warmupNames =
+      Seq("dedup_minhash", "pipeline_leakage_safe_split",
+          "pipeline_incremental_near_dedup")
+    val warmupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    warmupNames.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
-          try fn(spark, sfDir).queryExecution.toRdd.count()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).queryExecution.toRdd.count()
+            warmupTimes(n) = (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable => System.err.println(
             s"[bench] warm-up $n failed (its timed numbers will carry " +
               s"JIT cost): ${e.getMessage}") }
@@ -64,22 +74,41 @@ object Bench {
     // driver artifact)
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + fmt(w) }
-      .mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, _, w) => (k, w) })
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
+    // the warm-up pre-heats both JIT tiers and the page cache for these
+    // queries, so their "cold" entries are not comparable to a true cold
+    // run — the artifact says so explicitly
+    val warmedJson =
+      warmupTimes.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"sf":"$sfDir"}"""
     println(line)
-    // the driver's stdout capture can truncate the (long) one-line map,
-    // leaving only its tail auditable — persist the FULL per-query JSON
-    // in the repo so every round's head (dedup_*/io_*/meta_*) remains
-    // comparable round-over-round
+    // Full evidence artifact: per-query {cold, warm} plus the warm-up
+    // runs' own durations.  Written to a per-run timestamped file under
+    // docs/bench_runs/ so a driver invocation never clobbers the
+    // builder's committed close evidence (docs/BENCH_full_latest.json is
+    // only updated when SPARK_GRAFT_BENCH_PUBLISH=1 — the builder sets
+    // it when recording a close).
     try {
-      val out = java.nio.file.Paths.get("docs/BENCH_full_latest.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val full = {
+        val cold = jmap(results.map { case (k, c, _) => (k, c) })
+        val wup = jmap(warmupTimes.toSeq)
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold":$cold,"warmup":$wup,"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"sf":"$sfDir"}"""
+      }
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val runDir = java.nio.file.Paths.get("docs/bench_runs")
+      java.nio.file.Files.createDirectories(runDir)
+      val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(runDir.resolve(s"BENCH_full_$stamp.json"), bytes)
+      if (sys.env.get("SPARK_GRAFT_BENCH_PUBLISH").contains("1"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("docs/BENCH_full_latest.json"), bytes)
     } catch { case e: Exception =>
       System.err.println(s"[bench] full-json write skipped: ${e.getMessage}")
     }

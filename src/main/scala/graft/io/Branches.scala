@@ -53,23 +53,36 @@ object Branches {
   def create(spark: SparkSession, uri: String, name: String,
       fromVersion: Int = -1): Int = {
     checkName(name)
-    val base =
-      if (fromVersion <= 0) Snapshots.latestVersion(spark, uri)
-      else fromVersion
     val fs = Snapshots.fsOf(spark, uri)
+    // a crash between the base-marker write and the fork-manifest copy
+    // leaves a TORN branch (marker, no manifests); treat it as
+    // resumable — the marker is the mutex, so its recorded base is the
+    // decided fork point and completing the manifest copy is safe and
+    // idempotent.  Any branch that already HAS manifests is live.
+    val torn = fs.exists(branchDir(uri, name)) && {
+      val hasManifest = fs.listStatus(branchDir(uri, name))
+        .exists(_.getPath.getName.endsWith(".manifest"))
+      require(!hasManifest,
+        s"branch '$name' already exists on $uri (drop it first)")
+      fs.exists(basePath(uri, name))
+    }
+    val base =
+      if (torn) forkBase(spark, uri, name)
+      else if (fromVersion <= 0) Snapshots.latestVersion(spark, uri)
+      else fromVersion
     require(fs.exists(Snapshots.manifestPath(uri, base)),
       s"$uri has no version $base to branch from")
-    require(!fs.exists(branchDir(uri, name)),
-      s"branch '$name' already exists on $uri (drop it first)")
-    fs.mkdirs(branchDir(uri, name))
-    // the BASE MARKER is the creation mutex: exclusive create means
-    // exactly one racer proceeds to write a fork manifest — two racers
-    // straddling a concurrent main commit would otherwise each publish
-    // a DIFFERENT fork version into the same branch (the loser's head
-    // silently winning and fast_forward permanently refusing)
-    val bout = fs.create(basePath(uri, name), false)
-    try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
-    finally bout.close()
+    if (!torn) {
+      fs.mkdirs(branchDir(uri, name))
+      // the BASE MARKER is the creation mutex: exclusive create means
+      // exactly one racer proceeds to write a fork manifest — two racers
+      // straddling a concurrent main commit would otherwise each publish
+      // a DIFFERENT fork version into the same branch (the loser's head
+      // silently winning and fast_forward permanently refusing)
+      val bout = fs.create(basePath(uri, name), false)
+      try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
+      finally bout.close()
+    }
     // copy the fork manifest verbatim — the branch starts as an exact
     // alias of main@base (schema pointer and stats ride along; a
     // gzipped large manifest stays gzipped — readers detect the magic)
@@ -99,7 +112,11 @@ object Branches {
     val vs = fs.listStatus(branchDir(uri, name)).map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-    require(vs.nonEmpty, s"branch '$name' has no manifest versions")
+    require(vs.nonEmpty,
+      s"branch '$name' on $uri has a directory but no manifest " +
+        "versions — a torn create (crash between base marker and fork " +
+        "copy); re-run create_branch to resume it, or drop_branch to " +
+        "discard")
     vs.max
   }
 

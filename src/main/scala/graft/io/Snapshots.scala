@@ -2511,8 +2511,15 @@ object Snapshots extends Serializable {
         try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         v
-      } catch { // a concurrent racer won the exclusive create — defer
-        case _: java.io.IOException => readIt
+      } catch {
+        // "a concurrent racer won" is only believable if the racer's
+        // marker is actually there; a genuine write failure
+        // (permissions, quota, metadataDir-is-a-file) must surface as
+        // itself, not as a FileNotFoundException from a blind read.
+        // (Exception-type dispatch is not enough: local-fs mkdirs over
+        // a file throws FileAlreadyExistsException about the PARENT.)
+        case e: java.io.IOException =>
+          if (fs.exists(p)) readIt else throw e
       }
     }
   }

@@ -1009,10 +1009,22 @@ final class SnapshotMicroBatchStream(
     // a mid-stream schema change (rename/add) would make files written
     // under the NEW schema silently null-fill through the reader
     // factory's resolution-time projection — fail loudly instead (the
-    // Delta rule for non-additive change: restart the stream)
-    require(endManifest.schemaId == scan.resolvedSchemaId,
-      s"$uri: table schema changed mid-stream (schema pointer " +
-        s"${scan.resolvedSchemaId.getOrElse("none")} -> " +
+    // Delta rule for non-additive change: restart the stream).  The
+    // comparison is against the BATCH RANGE's own start version, not
+    // the scan's resolution-time schemaId: a replayed batch whose
+    // offset was WAL'd before a later schema change re-resolves
+    // against the NEW schema on every restart, and an anchor on the
+    // resolution-time pointer would wedge that replay permanently
+    // ("restart the stream" could never clear it).  If the start
+    // manifest is gone (expired by retention), fall back to the
+    // resolution-time anchor — conservative, never silent.
+    val startSchemaId: Option[Int] =
+      scala.util.Try(Snapshots.readManifestFull(spark, uri, from).schemaId)
+        .getOrElse(scan.resolvedSchemaId)
+    require(endManifest.schemaId == startSchemaId,
+      s"$uri: table schema changed mid-stream within batch range " +
+        s"[$from, $to] (schema pointer " +
+        s"${startSchemaId.getOrElse("none")} -> " +
         s"${endManifest.schemaId.getOrElse("none")}) — restart the " +
         "stream to pick up the new schema")
     val names = Snapshots.changedFiles(spark, uri, from, to)

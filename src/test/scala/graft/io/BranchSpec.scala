@@ -300,4 +300,28 @@ class BranchSpec extends AnyFunSuite {
       s"no transform pruning on branch-published files: " +
         s"${kept.size}/${all.size}")
   }
+
+  test("a torn create (base marker, no fork manifest) is diagnosed by " +
+      "latest() and resumed by create()") {
+    val dir = fresh("br_torn")
+    Snapshots.appendCommit(spark, dir, Seq((101L, "x")).toDF("k", "s"))
+    Branches.create(spark, dir, "t", fromVersion = 1)
+    // simulate the crash window: the fork-manifest copy never happened
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new Path(dir, "_graft_manifests/refs/t")
+    fs.listStatus(bdir).filter(_.getPath.getName.endsWith(".manifest"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val e = intercept[IllegalArgumentException] {
+      Branches.latest(spark, dir, "t")
+    }
+    assert(e.getMessage.contains("torn create") &&
+      e.getMessage.contains("drop_branch"), e.getMessage)
+    // resume completes the copy at the MARKER's base (1), even though
+    // main's head is now 2 and the caller asked for the default head
+    val base = Branches.create(spark, dir, "t")
+    assert(base == 1)
+    assert(Branches.read(spark, dir, "t").count() == 100)
+    // and a live branch still refuses duplicate creation
+    intercept[IllegalArgumentException] { Branches.create(spark, dir, "t") }
+  }
 }

@@ -667,4 +667,55 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(stats.numRows().getAsLong == 1000L)
     assert(stats.sizeInBytes().getAsLong > 0L)
   }
+
+  test("a replayed batch wholly under the OLD schema plans after a " +
+      "restart re-resolved the NEW schema (wedge regression)") {
+    // the r10 guard anchored on the scan's resolution-time schemaId:
+    // a batch whose offset was WAL'd before a later schema change
+    // then failed on EVERY restart ("restart the stream" could never
+    // clear it).  The guard now compares within the batch range only.
+    val dir = freshTable("catv2_replay_wedge")
+    spark.range(0, 10).selectExpr("id AS k", "id AS v").write.parquet(dir)
+    Snapshots.init(spark, dir)                                    // v1 (schema A)
+    Snapshots.appendCommit(spark, dir,
+      spark.range(10, 15).selectExpr("id AS k", "id AS v"))       // v2 (schema A)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val") // v3 (schema B)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.io.catalog.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], dir)
+    val scan = cat.loadTable(ident)
+      .asInstanceOf[graft.io.catalog.SnapshotV2Table]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("startingVersion", "1")))
+      .build().asInstanceOf[graft.io.catalog.SnapshotScan]
+    val stream = scan.toMicroBatchStream(freshTable("catv2_rw_ck"))
+    // replay of [1,2] — both under schema A — must plan, not wedge
+    val parts = stream.planInputPartitions(
+      graft.io.catalog.VersionOffset(1), graft.io.catalog.VersionOffset(2))
+    assert(parts.nonEmpty, "old-schema replay planned no partitions")
+    // while a change WITHIN the range still fails loudly
+    val e = intercept[IllegalArgumentException](stream.planInputPartitions(
+      graft.io.catalog.VersionOffset(1), graft.io.catalog.VersionOffset(3)))
+    assert(e.getMessage.contains("schema changed mid-stream"), e.getMessage)
+  }
+
+  test("durableStartingVersion surfaces a genuine write failure " +
+      "instead of a misleading read miss") {
+    val dir = freshTable("catv2_durable_err")
+    spark.range(0, 5).selectExpr("id AS k").write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // a FILE where the metadata dir should be: create() fails with a
+    // real IOException that is NOT an exclusive-create loss, and no
+    // marker exists to read back — the real cause must surface
+    val bad = TestSpark.tmpDir("catv2_durable_err_meta")
+    val fs = new Path(bad).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(bad), true)
+    val out = fs.create(new Path(bad), true); out.close()
+    val e = intercept[Exception](
+      Snapshots.durableStartingVersion(spark, dir, bad))
+    assert(!e.isInstanceOf[java.io.FileNotFoundException] ||
+      !e.getMessage.contains("graft_starting_version"),
+      s"write failure was masked as a read miss: $e")
+  }
 }
