@@ -34,6 +34,38 @@ object StatefulOps {
       event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** Shared file-sink scaffolding for the stateful ops: stream the
+    * staged events through `transform` into a parquet file sink under a
+    * per-stage tmp dir (rows flow executor→files, nothing through the
+    * driver), run to completion, and return the raw sink read-back for
+    * the caller's last-write-wins reconciliation. */
+  private def runToFileSink[T](
+      spark: SparkSession, stageDir: String, sinkTag: String,
+      statePartitions: Int, maxFilesPerTrigger: Option[Int] = None)(
+      transform: Dataset[Event] => Dataset[T]): DataFrame = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${sinkTag}_sink_" +
+      new java.io.File(stageDir).getName
+    val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    withPartitions(spark, statePartitions) {
+      val q = transform(reader.parquet(stageDir).as[Event])
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
   final case class UserState(n: Long, total: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
@@ -72,7 +104,6 @@ object StatefulOps {
       maxFilesPerTrigger: Option[Int] = None,
       statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
     def fn(userId: Long, events: Iterator[Event],
         state: GroupState[SessState]): Iterator[SessionRow] = {
@@ -95,31 +126,14 @@ object StatefulOps {
       out.iterator
     }
 
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sess_sink_" +
-      new java.io.File(stageDir).getName
-    val outDir = s"$base/out"; val ckDir = s"$base/ck"
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
-    withPartitions(spark, statePartitions) {
-      val q = reader.parquet(stageDir)
-        .as[Event]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append(),
-          GroupStateTimeout.NoTimeout())(fn)
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckDir)
-        .outputMode(OutputMode.Append())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    }
     // last-write-wins reconciliation: per (user_id, sess_id) the final
     // (largest) emission is the session's true extent
-    spark.read.parquet(outDir)
+    runToFileSink(spark, stageDir, "sess", statePartitions,
+        maxFilesPerTrigger) {
+      _.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(fn)
+    }
       .groupBy("user_id", "sess_id")
       .agg(max("n").as("n"), min("sess_start").as("sess_start"),
         max("sess_end").as("sess_end"))
@@ -148,7 +162,6 @@ object StatefulOps {
   def streamingDedup(spark: SparkSession, stageDir: String,
       statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
     def fn(key: (Long, String), events: Iterator[Event],
         state: GroupState[DedupState]): Iterator[DedupRow] = {
@@ -162,26 +175,11 @@ object StatefulOps {
       Iterator.single(DedupRow(key._1, key._2, st.minId, st.minTs, st.n))
     }
 
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sink_" +
-      new java.io.File(stageDir).getName
-    val outDir = s"$base/out"; val ckDir = s"$base/ck"
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    withPartitions(spark, statePartitions) {
-      val q = spark.readStream.schema(schema).parquet(stageDir)
-        .as[Event]
-        .groupByKey(e => (e.user_id, e.event_type))
+    runToFileSink(spark, stageDir, "dedup", statePartitions) {
+      _.groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(fn)
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckDir)
-        .outputMode(OutputMode.Append())
-        .start()
-      q.processAllAvailable()
-      q.stop()
     }
-    spark.read.parquet(outDir)
       .groupBy("user_id", "event_type")
       .agg(min("min_event_id").as("min_event_id"),
         min("first_ts_us").as("first_ts_us"), max("n").as("n"))
@@ -197,7 +195,6 @@ object StatefulOps {
   def userStats(spark: SparkSession, stageDir: String,
       statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
 
     // self-contained closure (a reference to the object's updateUser
     // would capture the non-serializable StatefulOps$ outer)
@@ -211,26 +208,11 @@ object StatefulOps {
           .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()))
     }
 
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ustats_sink_" +
-      new java.io.File(stageDir).getName
-    val outDir = s"$base/out"; val ckDir = s"$base/ck"
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    withPartitions(spark, statePartitions) {
-      val q = spark.readStream.schema(schema).parquet(stageDir)
-        .as[Event]
-        .groupByKey(_.user_id)
+    runToFileSink(spark, stageDir, "ustats", statePartitions) {
+      _.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(fn)
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckDir)
-        .outputMode(OutputMode.Append())
-        .start()
-      q.processAllAvailable()
-      q.stop()
     }
-    spark.read.parquet(outDir)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         expr("max_by(total_value, n_events)").as("total_value"))
