@@ -2109,10 +2109,57 @@ object Snapshots extends Serializable {
   def expire(
       spark: SparkSession, uri: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val fs = fsOf(spark, uri)
     val latest = latestVersion(spark, uri)
     // keepVersions may exceed the table's age — keep everything then
-    val cutoff = math.max(1, latest - keepVersions + 1)
+    expireBelow(spark, uri, math.max(1, latest - keepVersions + 1))
+  }
+
+  /** Age-based retention (Iceberg's `expire_snapshots(older_than)` /
+    * Delta's `VACUUM ... RETAIN`): expire versions whose manifest is
+    * older than `maxAgeMillis`, except the LATEST version (always
+    * kept, however old) and tag/branch-protected state (same
+    * guarantees as [[expire]]).  Age is the manifest file's
+    * modification time — the commit's publish instant. */
+  def expireOlderThan(
+      spark: SparkSession, uri: String, maxAgeMillis: Long): Seq[String] =
+    expireBelow(spark, uri, ageCutoff(spark, uri, maxAgeMillis))
+
+  /** Union retention (Iceberg `older_than` + `retain_last`): a version
+    * survives if it is within the last `retainLast` versions OR
+    * younger than `maxAgeMillis`. */
+  def expireOlderThanKeeping(spark: SparkSession, uri: String,
+      maxAgeMillis: Long, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "must keep at least the latest version")
+    val latest = latestVersion(spark, uri)
+    expireBelow(spark, uri, math.min(
+      ageCutoff(spark, uri, maxAgeMillis),
+      math.max(1, latest - retainLast + 1)))
+  }
+
+  private def ageCutoff(
+      spark: SparkSession, uri: String, maxAgeMillis: Long): Int = {
+    require(maxAgeMillis >= 0, "keep_age must be a non-negative interval")
+    val fs = fsOf(spark, uri)
+    val latest = latestVersion(spark, uri)
+    val horizon = System.currentTimeMillis() - maxAgeMillis
+    // manifests publish in version order, so mtimes are monotone: the
+    // cutoff is the oldest version still inside the age horizon (the
+    // latest version is always kept, however old)
+    val young = (1 to latest).filter { v =>
+      val p = manifestPath(uri, v)
+      fs.exists(p) && fs.getFileStatus(p).getModificationTime >= horizon
+    }
+    if (young.nonEmpty) math.min(young.min, latest) else latest
+  }
+
+  /** Shared retention core: drop manifests below `cutoff` (the first
+    * kept version) and reclaim data files, CDC dirs and DV sidecars no
+    * surviving manifest references — except tag-protected versions and
+    * files/DVs any live branch references. */
+  private def expireBelow(
+      spark: SparkSession, uri: String, cutoff: Int): Seq[String] = {
+    val fs = fsOf(spark, uri)
+    val latest = latestVersion(spark, uri)
     // tagged versions are retention-protected: their manifests and
     // files survive any cutoff until the tag is deleted
     val tagged = tags(spark, uri).values.toSet

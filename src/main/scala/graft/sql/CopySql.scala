@@ -58,13 +58,16 @@ object CopySql {
       val opts = parseOptionList(c)
       c.expectEnd()
       var keep = -1
+      var keepAgeMs = -1L
       opts.foreach {
         case ("keep_versions", v) =>
           keep = requireValue("keep_versions", v).toInt
+        case ("keep_age", v) =>
+          keepAgeMs = parseAgeMillis(requireValue("keep_age", v))
         case (other, _) => throw new IllegalArgumentException(
           s"option '$other' is not supported for VACUUM")
       }
-      return Some(VacuumCommand(uri, keep))
+      return Some(VacuumCommand(uri, keep, keepAgeMs))
     }
     if (c.tryKeyword("ANALYZE")) {
       if (!c.peekIs('\'')) return None
@@ -453,6 +456,27 @@ object CopySql {
     v.getOrElse(throw new IllegalArgumentException(
       s"COPY option '$k' requires a value"))
 
+  /** `'<n> <unit>'` → milliseconds, for `VACUUM (keep_age ...)` —
+    * units second(s)/minute(s)/hour(s)/day(s)/week(s). */
+  private[sql] def parseAgeMillis(s: String): Long = {
+    val m = java.util.regex.Pattern
+      .compile("""\s*(\d+)\s*(second|minute|hour|day|week)s?\s*""",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(s)
+    if (!m.matches()) throw new IllegalArgumentException(
+      s"keep_age '$s' is not a valid interval; use '<n> " +
+        "seconds|minutes|hours|days|weeks'")
+    val n = m.group(1).toLong
+    val unit = m.group(2).toLowerCase(Locale.ROOT) match {
+      case "second" => 1000L
+      case "minute" => 60L * 1000
+      case "hour"   => 3600L * 1000
+      case "day"    => 24L * 3600 * 1000
+      case "week"   => 7L * 24 * 3600 * 1000
+    }
+    math.multiplyExact(n, unit)
+  }
+
   private def checkFormat(v: Option[String]): String = {
     val f = requireValue("format", v).toLowerCase(Locale.ROOT)
     if (f != "parquet" && f != "pg_binary" && f != "binary")
@@ -539,20 +563,37 @@ sealed trait CopyStatement extends LeafRunnableCommand {
     Seq(AttributeReference("num_rows", LongType, nullable = false)())
 }
 
-/** `VACUUM '<uri>' [(keep_versions N)]` →
-  * [[graft.io.Maintenance.vacuum]] (stranded tmp dirs), plus — when
-  * `keep_versions` is given on a snapshot-managed table —
-  * [[graft.io.Snapshots.expire]] (drop manifests older than the last N
-  * versions and reclaim data files no surviving manifest references).
+/** `VACUUM '<uri>' [(keep_versions N, keep_age '<n> <unit>')]` →
+  * [[graft.io.Maintenance.vacuum]] (stranded tmp dirs), plus — on a
+  * snapshot-managed table — [[graft.io.Snapshots.expire]] when
+  * `keep_versions` is given (drop manifests older than the last N
+  * versions) and/or [[graft.io.Snapshots.expireOlderThan]] when
+  * `keep_age` is given (drop versions whose commit is older than the
+  * interval; the latest version and tag/branch-protected state always
+  * survive).  Given BOTH, a version is kept if EITHER rule keeps it
+  * (Iceberg's `retain_last` + `older_than` union) — keep_versions runs
+  * first, so age only removes versions outside the count window.
   * Returns the total number of removed paths. */
-final case class VacuumCommand(uri: String, keepVersions: Int = -1)
+final case class VacuumCommand(uri: String, keepVersions: Int = -1,
+    keepAgeMillis: Long = -1L)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_removed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // union semantics: expire-by-count keeps the last N; the age pass
+    // only ever removes versions the count pass ALSO let go (a version
+    // inside keep_versions survives because expire() never drops it;
+    // one inside keep_age survives because expireOlderThan keeps it)
     val expired =
-      if (keepVersions > 0) Snapshots.expire(spark, uri, keepVersions).size
-      else 0
+      (if (keepVersions > 0 && keepAgeMillis >= 0)
+        // count rule widens the age cutoff: apply age only below the
+        // count window by expiring age-wise with the count floor
+        Snapshots.expireOlderThanKeeping(
+          spark, uri, keepAgeMillis, keepVersions).size
+      else if (keepVersions > 0) Snapshots.expire(spark, uri, keepVersions).size
+      else if (keepAgeMillis >= 0)
+        Snapshots.expireOlderThan(spark, uri, keepAgeMillis).size
+      else 0)
     Seq(Row(expired.toLong + Maintenance.vacuum(spark, uri).size.toLong))
   }
 }

@@ -91,4 +91,64 @@ class TimeTravelSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not supported for VACUUM"))
   }
+
+  test("VACUUM keep_age expires versions older than the interval; " +
+      "latest and tagged versions always survive") {
+    val dir = fresh("tt_vacuum_age")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)                                    // v1
+    Snapshots.deleteWhereCommit(spark, dir, "k = 1")              // v2
+    Snapshots.appendCommit(spark, dir, Seq((20L, "x")).toDF("k", "s")) // v3
+    Snapshots.appendCommit(spark, dir, Seq((21L, "y")).toDF("k", "s")) // v4
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate age: v1/v2 committed two days ago, v3 an hour ago
+    def age(v: Int, ms: Long): Unit = {
+      val p = new Path(dir, f"_graft_manifests/v$v%06d.manifest")
+      fs.setTimes(p, System.currentTimeMillis() - ms, -1)
+    }
+    age(1, 2L * 24 * 3600 * 1000); age(2, 2L * 24 * 3600 * 1000)
+    age(3, 3600L * 1000)
+    Snapshots.createTag(spark, dir, "audit", version = 2)
+    val removed = graft.sql.GraftSql
+      .exec(spark, s"VACUUM '$dir' (keep_age '1 day')").as[Long].head()
+    assert(removed > 0)
+    // v1 (old, untagged) is gone; v2 survives via the tag; v3 is young
+    intercept[Exception] { Snapshots.read(spark, dir, 1).count() }
+    assert(Snapshots.read(spark, dir, 2).count() == 9)
+    assert(Snapshots.read(spark, dir, 3).count() == 10)
+    assert(Snapshots.read(spark, dir).count() == 11)
+    // the LATEST version survives any age, even when everything is old
+    (1 to 4).foreach(v => if (fs.exists(
+      new Path(dir, f"_graft_manifests/v$v%06d.manifest"))) age(v, 10L * 24 * 3600 * 1000))
+    Snapshots.deleteTag(spark, dir, "audit")
+    graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' (keep_age '1 day')")
+    assert(Snapshots.read(spark, dir).count() == 11)
+    intercept[Exception] { Snapshots.read(spark, dir, 3).count() }
+    // malformed interval is loud
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' (keep_age 'fortnight')")
+    }
+    assert(ex2.getMessage.contains("not a valid interval"))
+  }
+
+  test("VACUUM keep_versions + keep_age keeps the UNION of both rules") {
+    val dir = fresh("tt_vacuum_union")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)                                    // v1
+    Snapshots.appendCommit(spark, dir, Seq((20L, "x")).toDF("k", "s")) // v2
+    Snapshots.appendCommit(spark, dir, Seq((21L, "y")).toDF("k", "s")) // v3
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def age(v: Int, ms: Long): Unit =
+      fs.setTimes(new Path(dir, f"_graft_manifests/v$v%06d.manifest"),
+        System.currentTimeMillis() - ms, -1)
+    // ALL versions are old — but keep_versions 2 still retains v2/v3
+    (1 to 3).foreach(age(_, 2L * 24 * 3600 * 1000))
+    graft.sql.GraftSql.exec(spark,
+      s"VACUUM '$dir' (keep_versions '2', keep_age '1 day')")
+    intercept[Exception] { Snapshots.read(spark, dir, 1).count() }
+    assert(Snapshots.read(spark, dir, 2).count() == 11)
+    assert(Snapshots.read(spark, dir, 3).count() == 12)
+  }
 }
