@@ -945,6 +945,39 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // branch DEPTH (round 11): time travel WITHIN a branch
+    // ('branch:<name>@<v>') and the branch-scoped change feed
+    // (parquet_branch_changes since the fork = the staged audit batch)
+    "io_branch_travel" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_brtravel_" +
+        new java.io.File(dir).getName
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .repartition(2).write.parquet(uri)
+      io.Snapshots.init(s, uri)                                  // v1
+      io.Branches.create(s, uri, "wap")                          // b1
+      io.Branches.append(s, uri, "wap", orders.filter(
+        col("o_orderkey") % 4 === 1 && col("o_orderstatus") === "O")) // b2
+      io.Branches.append(s, uri, "wap", orders.filter(
+        col("o_orderkey") % 4 === 2 &&
+          col("o_orderpriority") === "1-URGENT"))                // b3
+      graft.meta.MetaTableFunctions.register(s)
+      // branch@2 through SQL time travel; the staged batch through the
+      // branch change feed since the fork base
+      val atV2 = s.sql(s"SELECT o_orderkey FROM graft.`$uri` " +
+        "VERSION AS OF 'branch:wap@2'").withColumn("src", lit("at_v2"))
+      val feed = s.sql("SELECT o_orderkey FROM " +
+        s"parquet_branch_changes('$uri', 'wap', 1)")
+        .withColumn("src", lit("staged"))
+      atV2.unionByName(feed).select("src", "o_orderkey")
+        .orderBy("src", "o_orderkey")
+    }),
+
     // planning-time pruning on a DV'd table (round 9): the MoR delete
     // puts a deletion vector on the table, and the indexed read must
     // STILL skip files at plan time (SnapshotFileIndexSpec pins the
@@ -4466,6 +4499,18 @@ object SparkEntry {
         "WHERE o_orderkey % 3 = 0 " +
         "OR (o_orderkey % 3 = 1 AND o_orderstatus = 'F') " +
         "ORDER BY o_orderkey"),
+
+    // branch@2 = the %4=0 base plus the first staged batch; the feed
+    // since the fork = both staged batches
+    "io_branch_travel" ->
+      ("SELECT 'at_v2' AS src, o_orderkey FROM orders " +
+        "WHERE o_orderkey % 4 = 0 " +
+        "OR (o_orderkey % 4 = 1 AND o_orderstatus = 'O') " +
+        "UNION ALL " +
+        "SELECT 'staged' AS src, o_orderkey FROM orders " +
+        "WHERE (o_orderkey % 4 = 1 AND o_orderstatus = 'O') " +
+        "OR (o_orderkey % 4 = 2 AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY src, o_orderkey"),
 
     // main after publish = the even-key base plus the audited
     // odd-key urgent batch

@@ -106,12 +106,7 @@ object Branches {
   }
 
   private[io] def latest(spark: SparkSession, uri: String, name: String): Int = {
-    val fs = Snapshots.fsOf(spark, uri)
-    require(fs.exists(branchDir(uri, name)),
-      s"$uri has no branch '$name'")
-    val vs = fs.listStatus(branchDir(uri, name)).map(_.getPath.getName)
-      .filter(_.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+    val vs = versions(spark, uri, name)
     require(vs.nonEmpty,
       s"branch '$name' on $uri has a directory but no manifest " +
         "versions — a torn create (crash between base marker and fork " +
@@ -153,12 +148,82 @@ object Branches {
       v: Int): Seq[Snapshots.ManifestEntry] =
     readManifest(spark, uri, name, v).entries
 
-  /** Read the branch head (data files shared with main). */
-  def read(spark: SparkSession, uri: String, name: String): DataFrame = {
-    val v = latest(spark, uri, name)
+  /** Read the branch head — or, with `version`, travel to any branch
+    * version (the fork base or a later branch commit); data files are
+    * shared with main. */
+  def read(spark: SparkSession, uri: String, name: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version <= 0) latest(spark, uri, name) else version
     val m = readManifest(spark, uri, name, v)
     val raw = Snapshots.readFiles(spark, uri, m.entries)
     m.schemaId match {
+      case Some(id) =>
+        SchemaEvolution.evolve(raw, SchemaEvolution.readDef(spark, uri, id))
+      case None => raw
+    }
+  }
+
+  /** All branch versions, ascending (fork base first). */
+  private[io] def versions(
+      spark: SparkSession, uri: String, name: String): Seq[Int] = {
+    val fs = Snapshots.fsOf(spark, uri)
+    require(fs.exists(branchDir(uri, name)), s"$uri has no branch '$name'")
+    fs.listStatus(branchDir(uri, name)).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .toSeq.sorted
+  }
+
+  /** Timestamp time travel WITHIN the branch: the latest branch
+    * version committed at or before `tsMillis` ([[Snapshots.readAsOf]]
+    * rules — the fork manifest carries main's commit instant, branch
+    * appends their own). */
+  def readAsOf(spark: SparkSession, uri: String, name: String,
+      tsMillis: Long): DataFrame = {
+    val vs = versions(spark, uri, name)
+    require(vs.nonEmpty, s"branch '$name' has no manifest versions")
+    val v = vs.reverse.find(v =>
+      readManifest(spark, uri, name, v).ts.forall(_ <= tsMillis))
+      .getOrElse(throw new IllegalArgumentException(
+        s"branch '$name' on $uri has no version committed at or " +
+          s"before $tsMillis"))
+    read(spark, uri, name, v)
+  }
+
+  /** Branch-scoped change feed: rows appended to the BRANCH between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive, omitted =
+    * branch head).  Branch commits are appends by construction, so the
+    * feed is a pure manifest set-diff — `fromVersion = forkBase` yields
+    * exactly the staged-but-unpublished audit batch. */
+  def readChanges(spark: SparkSession, uri: String, name: String,
+      fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val vs = versions(spark, uri, name)
+    require(vs.nonEmpty, s"branch '$name' has no manifest versions")
+    val to = if (toVersion <= 0) vs.max else toVersion
+    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
+      s"branch '$name' change range [$fromVersion, $to] must lie " +
+        s"within its versions ${vs.min}..${vs.max}")
+    var prev = readEntries(spark, uri, name, fromVersion)
+      .map(_.name).toSet
+    val added = Seq.newBuilder[String]
+    vs.filter(v => v > fromVersion && v <= to).foreach { v =>
+      val names = readEntries(spark, uri, name, v).map(_.name)
+      added ++= names.filterNot(prev)
+      prev = names.toSet
+    }
+    val files = added.result().toSet
+    val head = readManifest(spark, uri, name, to)
+    if (files.isEmpty) {
+      val schema = read(spark, uri, name, to).schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // read the added files with their HEAD-manifest entries (stats and
+    // any DV state ride along), through the same evolve projection as
+    // a branch read
+    val raw = Snapshots.readFiles(spark, uri,
+      head.entries.filter(e => files.contains(e.name)))
+    head.schemaId match {
       case Some(id) =>
         SchemaEvolution.evolve(raw, SchemaEvolution.readDef(spark, uri, id))
       case None => raw

@@ -157,14 +157,28 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           Seq(s"$ident (no such version $v — versions start at 1)"))
       case None if version.startsWith("branch:") =>
         val uri = uriOf(ident)
-        val name = version.stripPrefix("branch:")
+        // 'branch:<name>' = branch head; 'branch:<name>@<v>' = time
+        // travel WITHIN the branch (the fork base or a later commit)
+        val spec = version.stripPrefix("branch:")
+        val (name, at) = spec.lastIndexOf('@') match {
+          case -1 => (spec, None)
+          case i => (spec.take(i), Some(spec.drop(i + 1)))
+        }
         if (!graft.io.Branches.list(spark, uri).contains(name))
           throw new NoSuchTableException(
             Seq(s"$ident (no branch '$name')"))
-        val head = graft.io.Branches.latest(spark, uri, name)
+        val head = at match {
+          case None => graft.io.Branches.latest(spark, uri, name)
+          case Some(s) => s.toIntOption.getOrElse(
+            throw new NoSuchTableException(Seq(
+              s"$ident (branch version '$s' is not a number)")))
+        }
         new SnapshotV2Table(spark, uri, s"$ident@$name", head,
           branchManifest = Some((head,
-            graft.io.Branches.readManifest(spark, uri, name, head))))
+            scala.util.Try(graft.io.Branches
+              .readManifest(spark, uri, name, head)).getOrElse(
+              throw new NoSuchTableException(Seq(
+                s"$ident (branch '$name' has no version $head)"))))))
       case None =>
         val uri = uriOf(ident)
         val tagged = Snapshots.tags(spark, uri).getOrElse(version,

@@ -61,7 +61,8 @@ object MetaTableFunctions {
           fn(SparkSession.active, path).queryExecution.analyzed
         })
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
-      snapshotChangesRowsBuilder :+ snapshotHistoryBuilder
+      snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
+      branchChangesBuilder
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version | timestamp])` —
     * SQL time travel over a [[graft.io.Snapshots]]-managed directory:
@@ -220,6 +221,33 @@ object MetaTableFunctions {
       (args: Seq[Expression]) => {
         val path = pathArg("parquet_snapshot_history", args)
         graft.io.Snapshots.historyDf(SparkSession.active, path)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM parquet_branch_changes('<uri>', '<branch>', from
+    * [, to])` — the BRANCH-scoped change feed as SQL: rows appended to
+    * the branch between `from` (exclusive; the fork base yields the
+    * whole staged audit batch) and `to` (inclusive, omitted = branch
+    * head), same rules as [[graft.io.Branches.readChanges]]. */
+  private def branchChangesBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("parquet_branch_changes"),
+      new ExpressionInfo("graft", null, "parquet_branch_changes",
+        "_FUNC_(uri, branch, from[, to]) - rows appended to the branch " +
+          "in the version range", ""),
+      (args: Seq[Expression]) => {
+        if (args.length < 3 || args.length > 4)
+          throw new IllegalArgumentException(
+            "parquet_branch_changes(uri, branch, from[, to]) takes 3 " +
+              s"or 4 arguments, got ${args.length}")
+        val path = pathArg("parquet_branch_changes", args.take(1))
+        val branch = pathArg("parquet_branch_changes", Seq(args(1)))
+        val from = intLitArg("parquet_branch_changes", "from", args(2))
+        val to = args.lift(3)
+          .map(intLitArg("parquet_branch_changes", "to", _))
+          .getOrElse(-1)
+        graft.io.Branches
+          .readChanges(SparkSession.active, path, branch, from, to)
           .queryExecution.analyzed
       })
 

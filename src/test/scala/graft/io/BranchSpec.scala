@@ -301,6 +301,67 @@ class BranchSpec extends AnyFunSuite {
         s"${kept.size}/${all.size}")
   }
 
+  test("branch time travel: version + timestamp reads within the " +
+      "branch, SQL 'branch:<name>@<v>' relation") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    val dir = fresh("br_travel")
+    Branches.create(spark, dir, "wap")                              // b1 = 100
+    Branches.append(spark, dir, "wap",
+      Seq((101L, "a"), (102L, "b")).toDF("k", "s"))                 // b2 = 102
+    val afterB2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Branches.append(spark, dir, "wap", Seq((103L, "c")).toDF("k", "s")) // b3
+    // version travel within the branch
+    assert(Branches.read(spark, dir, "wap", 1).count() == 100)
+    assert(Branches.read(spark, dir, "wap", 2).count() == 102)
+    assert(Branches.read(spark, dir, "wap").count() == 103)
+    intercept[IllegalArgumentException] {
+      Branches.read(spark, dir, "wap", 9).count()
+    }
+    // timestamp travel within the branch
+    assert(Branches.readAsOf(spark, dir, "wap", afterB2).count() == 102)
+    assert(Branches.readAsOf(spark, dir, "wap",
+      System.currentTimeMillis()).count() == 103)
+    // the SQL relation: branch head and branch@version
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap@2'").count() == 102)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap@1'").count() == 100)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM graft.`$dir` " +
+      "VERSION AS OF 'branch:wap@7'").collect())
+    assert(e.getMessage.contains("no version 7") ||
+      e.getMessage.contains("cannot be found"), e.getMessage)
+  }
+
+  test("branch-scoped change feed: staged batch since the fork, " +
+      "programmatic and SQL") {
+    val dir = fresh("br_feed")
+    Branches.create(spark, dir, "wap")                              // b1
+    Branches.append(spark, dir, "wap",
+      Seq((101L, "a"), (102L, "b")).toDF("k", "s"))                 // b2
+    Branches.append(spark, dir, "wap", Seq((103L, "c")).toDF("k", "s")) // b3
+    // since the fork: exactly the staged audit batch
+    val staged = Branches.readChanges(spark, dir, "wap", 1)
+    assert(staged.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(101L, 102L, 103L))
+    // a sub-range and an empty range
+    assert(Branches.readChanges(spark, dir, "wap", 2)
+      .select("k").as[Long].collect().toSeq == Seq(103L))
+    assert(Branches.readChanges(spark, dir, "wap", 3).count() == 0)
+    // out-of-range is loud
+    intercept[IllegalArgumentException] {
+      Branches.readChanges(spark, dir, "wap", 7)
+    }
+    // the SQL table function agrees
+    graft.meta.MetaTableFunctions.register(spark)
+    assert(spark.sql(
+      s"SELECT k FROM parquet_branch_changes('$dir', 'wap', 1)")
+      .as[Long].collect().sorted.toSeq == Seq(101L, 102L, 103L))
+    assert(spark.sql(
+      s"SELECT k FROM parquet_branch_changes('$dir', 'wap', 1, 2)")
+      .as[Long].collect().sorted.toSeq == Seq(101L, 102L))
+  }
+
   test("a torn create (base marker, no fork manifest) is diagnosed by " +
       "latest() and resumed by create()") {
     val dir = fresh("br_torn")
