@@ -3163,6 +3163,18 @@ object SparkEntry {
           "doc_id", "blob", windowMs = 1000, hopMs = 500)
         .orderBy("doc_id", "window_idx")),
 
+    // REAL audio decode (round 11): deterministic WAV clips encoded per
+    // document, decoded through javax.sound.sampled to actual PCM
+    // samples, windowed into integer amplitude features — the oracle
+    // regenerates the closed-form samples and replicates the window
+    // arithmetic, so the container encode→decode path is value-checked
+    // end-to-end
+    "mm_audio_decode" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+          Multimodal.synthWav(t(s, dir, "documents"), "doc_id", "n_chars"),
+          windowMs = 250, hopMs = 125)
+        .toDF().orderBy("doc_id", "window_idx")),
+
     // keyframe selection: per-frame perceptual hash, windowed Hamming
     // against the previous frame, keep frame 0 + above-threshold cuts
     "mm_keyframes" -> ((s, dir) =>
@@ -5636,6 +5648,35 @@ object SparkEntry {
         "least(window_idx * 500 + 1000, dur) AS end_ms " +
         "FROM w WHERE window_idx * 500 < dur " +
         "ORDER BY doc_id, window_idx"),
+
+    // full replication of audioFeatures over the synthetic WAV corpus:
+    // n = n_chars*23+2000 samples at 8 kHz (dur = n//8 ms >= 388 so
+    // every clip spans >=2 windows), s_i = (id*7919+i*131+17)%65536 -
+    // 32768, window/hop 250/125 with the same integer index arithmetic;
+    // sums cast back to BIGINT (DuckDB sum() widens to HUGEINT)
+    "mm_audio_decode" ->
+      ("WITH d AS (SELECT doc_id, n_chars * 23 + 2000 AS n FROM documents), " +
+        "dur AS (SELECT doc_id, n, n * 1000 // 8000 AS dur FROM d), " +
+        "w AS (SELECT doc_id, n, dur, " +
+        "unnest(range(0, (dur - 250 + 124) // 125 + 1)) AS window_idx " +
+        "FROM dur), " +
+        "wf AS (SELECT doc_id, n, window_idx, " +
+        "window_idx * 125 AS start_ms, " +
+        "least(window_idx * 125 + 250, dur) AS end_ms " +
+        "FROM w WHERE window_idx * 125 < dur), " +
+        "sv AS (SELECT doc_id, i, " +
+        "abs((doc_id * 7919 + i * 131 + 17) % 65536 - 32768) AS a " +
+        "FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM d)), " +
+        "j AS (SELECT wf.doc_id, wf.window_idx, wf.start_ms, wf.end_ms, " +
+        "CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(sv.a) AS BIGINT) AS sum_abs, " +
+        "CAST(sum(sv.a * sv.a) AS BIGINT) AS sum_sq, " +
+        "CAST(max(sv.a) AS BIGINT) AS peak " +
+        "FROM wf JOIN sv ON sv.doc_id = wf.doc_id " +
+        "AND sv.i >= wf.start_ms * 8 AND sv.i < least(wf.end_ms * 8, wf.n) " +
+        "GROUP BY ALL) " +
+        "SELECT doc_id, window_idx, start_ms, end_ms, n_samples, " +
+        "sum_abs, sum_sq, peak FROM j ORDER BY doc_id, window_idx"),
 
     // full replication of keyFrames: per-frame byte rotation
     // (rot0 = (3f + 997*(f//5)) % n), the dHash stripe arithmetic on

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
  * IMAGE payloads (PNG/JPEG/GIF/BMP) decode FOR REAL through the public
  * JDK's `javax.imageio` ([[graft.util.ImageDecode]]): real dimensions in
  * [[decodeMeta]], real mean-luminance pixels under the dHash operators.
- * VIDEO/AUDIO containers remain STUBBED (`FakeDecoder` — codec libraries
- * beyond the JDK are not available in this environment), but everything
- * Spark-side is real and load-bearing: the binary column shape, the
- * typed record schema, the partition-batched execution, and the metadata
- * extraction contract.  Swapping `FakeDecoder.decode` for a JNI/javacpp
- * decoder changes nothing else.
+ * AUDIO payloads (WAV/PCM) decode FOR REAL through the public JDK's
+ * `javax.sound.sampled` ([[graft.util.AudioDecode]]): [[audioFeatures]]
+ * windows actual PCM sample values.  VIDEO containers remain STUBBED
+ * (`FakeDecoder` — codec libraries beyond the JDK are not available in
+ * this environment), but everything Spark-side is real and load-bearing:
+ * the binary column shape, the typed record schema, the
+ * partition-batched execution, and the metadata extraction contract.
+ * Swapping `FakeDecoder.decode` for a JNI/javacpp decoder changes
+ * nothing else.
  */
 object Multimodal {
 
@@ -123,6 +126,93 @@ object Multimodal {
       .select(col("doc_id"), col("window_idx"),
         (col("window_idx") * hopMs).as("start_ms"),
         least(col("window_idx") * hopMs + windowMs, col("_dur")).as("end_ms"))
+  }
+
+  /** Per-window PCM features over REAL decoded audio. */
+  final case class AudioWindowFeat(
+      doc_id: Long, window_idx: Long, start_ms: Long, end_ms: Long,
+      n_samples: Long, sum_abs: Long, sum_sq: Long, peak: Long)
+
+  /**
+   * REAL audio feature extraction: decode each WAV/PCM payload through
+   * [[graft.util.AudioDecode]] (`javax.sound.sampled` — actual sample
+   * values, not a length stub), then window the samples with the same
+   * window/hop fan-out as [[audioWindows]] and aggregate integer
+   * amplitude features per window: sample count, Σ|s|, Σs² (energy) and
+   * peak |s| — the spectrogram-adjacent batch shape an ASR/audio-tagging
+   * pipeline feeds from.  All-integer arithmetic keeps the output
+   * replicable bit-exactly by a SQL oracle.  Undecodable payloads emit
+   * nothing (the never-fail fallback rule).
+   *
+   * Partition-local like [[decodeMeta]] (one decode per record inside
+   * `mapPartitions`, no shuffle); at 100 TB the cost is the decode
+   * itself, linear and embarrassingly parallel.
+   */
+  def audioFeatures(
+      records: Dataset[MediaRecord],
+      windowMs: Int = 250, hopMs: Int = 125): Dataset[AudioWindowFeat] = {
+    require(windowMs >= 1 && hopMs >= 1 && hopMs <= windowMs,
+      "need 1 <= hopMs <= windowMs")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        graft.util.AudioDecode.decode(r.blob) match {
+          case None => Iterator.empty
+          case Some(d) =>
+            val s = d.samples
+            val rate = d.sampleRate.toLong
+            val dur = s.length.toLong * 1000L / rate
+            // same index arithmetic as audioWindows; JVM int division
+            // truncates toward zero, so a clip shorter than the window
+            // still emits its single truncated window
+            val maxIdx = math.max(0L, (dur - windowMs + hopMs - 1) / hopMs)
+            (0L to maxIdx).iterator
+              .filter(wi => wi * hopMs < dur)
+              .map { wi =>
+                val startMs = wi * hopMs
+                val endMs = math.min(startMs + windowMs, dur)
+                val a = (startMs * rate / 1000L).toInt
+                val b = math.min(endMs * rate / 1000L, s.length.toLong).toInt
+                var sa = 0L; var sq = 0L; var pk = 0L
+                var i = a
+                while (i < b) {
+                  val v = math.abs(s(i).toLong)
+                  sa += v; sq += v * v
+                  if (v > pk) pk = v
+                  i += 1
+                }
+                AudioWindowFeat(r.doc_id, wi, startMs, endMs,
+                  (b - a).toLong, sa, sq, pk)
+              }
+        }
+      }
+    }
+  }
+
+  /**
+   * Deterministic WAV fixture corpus: one 8 kHz mono 16-bit PCM clip
+   * per row with `nCol * 23 + 2000` samples,
+   * `s_i = floorMod(id*7919 + i*131 + 17, 65536) - 32768` — a closed
+   * form a SQL oracle regenerates, so [[audioFeatures]] is verifiable
+   * END-TO-END through the real container encode + `javax.sound`
+   * decode (real corpora arrive as WAV bytes from the object store).
+   */
+  def synthWav(df: DataFrame, idCol: String, nCol: String)
+      : Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val n = (nc * 23 + 2000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (Math.floorMod(id * 7919L + i * 131L + 17L, 65536L) - 32768L)
+              .toInt)
+          MediaRecord(id, graft.util.AudioDecode.encodeWav(samples, 8000))
+        }
+      }
   }
 
   /**

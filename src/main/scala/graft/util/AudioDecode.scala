@@ -1,0 +1,103 @@
+package graft.util
+
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+/**
+ * Real audio decoding for the multimodal operators, on the public JDK
+ * only (`javax.sound.sampled` ships with every JRE — the same
+ * no-new-deps rule that lets [[ImageDecode]] use `javax.imageio`).
+ * WAV/PCM payloads decode to actual sample values; non-audio payloads
+ * (text blobs, compressed containers, corrupt bytes) return None and
+ * the callers fall back to byte-level stubs — a pipeline never fails
+ * on an undecodable blob.
+ *
+ * Decoding is bit-deterministic: PCM 16-bit samples are reassembled
+ * from the raw frame bytes (not resampled through a mixer line), and
+ * multi-channel frames downmix by integer floor-division mean — so a
+ * SQL oracle can replicate the arithmetic exactly.
+ */
+object AudioDecode {
+
+  /** Decoded PCM audio: `samples` are mono (multi-channel downmixed by
+    * floor-div mean), signed 16-bit range for 16-bit payloads, signed
+    * 8-bit range (value − 128) for 8-bit unsigned payloads. */
+  final case class Decoded(
+      sampleRate: Int, channels: Int, bits: Int, samples: Array[Int]) {
+    def durationMs: Long = samples.length.toLong * 1000L / sampleRate
+  }
+
+  /** Cheap magic-number sniff — only blobs that LOOK like RIFF/WAVE
+    * pay a decode attempt. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode a WAV payload to PCM samples; None when the payload is not
+    * decodable PCM (unsupported encoding/bit depth included — only
+    * integer PCM replicates exactly cross-engine). */
+  def decode(b: Array[Byte]): Option[Decoded] =
+    if (!looksLikeWav(b)) None
+    else try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val f = in.getFormat
+        val bits = f.getSampleSizeInBits
+        val signed16 =
+          f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
+        val unsigned8 =
+          f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+        if (!signed16 && !unsigned8) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = f.getChannels
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = bytes.length / frameBytes
+          val out = new Array[Int](nFrames)
+          var fi = 0
+          while (fi < nFrames) {
+            var sum = 0L
+            var c = 0
+            while (c < ch) {
+              val off = fi * frameBytes + c * bytesPerSample
+              val v =
+                if (signed16) {
+                  if (f.isBigEndian)
+                    (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+                  else
+                    (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+                } else (bytes(off) & 0xFF) - 128
+              sum += v
+              c += 1
+            }
+            out(fi) = Math.floorDiv(sum, ch).toInt
+            fi += 1
+          }
+          Some(Decoded(f.getSampleRate.toInt, ch, bits, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Canonical 44-byte-header mono 16-bit little-endian PCM WAV — the
+    * fixture generator for specs and the synthetic driver corpus
+    * (real corpora arrive as WAV bytes from the object store). */
+  def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+}

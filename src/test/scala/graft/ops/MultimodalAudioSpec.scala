@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.AudioDecode
+
+/** Real WAV/PCM decode ([[graft.util.AudioDecode]]) and the windowed
+  * feature op ([[Multimodal.audioFeatures]]): byte-exact sample
+  * recovery through the container round-trip, stereo downmix, 8-bit
+  * payloads, and the never-fail fallback on undecodable blobs. */
+class MultimodalAudioSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encode -> javax.sound decode recovers PCM samples byte-exactly") {
+    val samples = Array.tabulate(4000)(i =>
+      (math.sin(i / 20.0) * 12345).toInt)
+    val wav = AudioDecode.encodeWav(samples, 8000)
+    assert(AudioDecode.looksLikeWav(wav))
+    val d = AudioDecode.decode(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bits == 16)
+    assert(d.samples.toSeq == samples.toSeq)
+    assert(d.durationMs == 500L)
+    // extreme values survive the short round-trip
+    val edges = Array(-32768, -1, 0, 1, 32767)
+    assert(AudioDecode.decode(AudioDecode.encodeWav(edges, 44100))
+      .get.samples.toSeq == edges.toSeq)
+  }
+
+  test("stereo downmixes by floor-div mean; 8-bit unsigned centers") {
+    // hand-build a 2-channel 16-bit LE WAV: frames (L,R) = (10,21), (-5,-6)
+    def stereoWav(frames: Seq[(Int, Int)]): Array[Byte] = {
+      val dataLen = frames.length * 4
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+        .putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      frames.foreach { case (l, r) =>
+        buf.putShort(l.toShort).putShort(r.toShort)
+      }
+      buf.array()
+    }
+    val d = AudioDecode.decode(stereoWav(Seq((10, 21), (-5, -6)))).get
+    assert(d.channels == 2)
+    // (10+21)/2 = 15 (floor), (-5 + -6)/2 = -6 (floor, not trunc)
+    assert(d.samples.toSeq == Seq(15, -6))
+
+    // 8-bit unsigned mono: stored value v decodes to v - 128
+    def wav8(vals: Seq[Int]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + vals.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(vals.length)
+      vals.foreach(v => buf.put(v.toByte))
+      buf.array()
+    }
+    val d8 = AudioDecode.decode(wav8(Seq(0, 128, 255))).get
+    assert(d8.bits == 8)
+    assert(d8.samples.toSeq == Seq(-128, 0, 127))
+  }
+
+  test("undecodable payloads return None and emit no feature rows") {
+    assert(AudioDecode.decode("not audio at all".getBytes).isEmpty)
+    assert(AudioDecode.decode(Array.emptyByteArray).isEmpty)
+    // RIFF magic but truncated garbage
+    assert(AudioDecode.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "plain text".getBytes),
+      Multimodal.MediaRecord(2L,
+        AudioDecode.encodeWav(Array.tabulate(4000)(_ % 100), 8000)))
+      .toDS()
+    val out = Multimodal.audioFeatures(recs).collect()
+    assert(out.nonEmpty && out.forall(_.doc_id == 2L),
+      "non-WAV blob leaked feature rows or WAV emitted none")
+  }
+
+  test("audioFeatures matches a hand-computed window over real samples") {
+    // 8 kHz, 600 samples -> 75 ms: one truncated window [0, 75)
+    val samples = Array.tabulate(600)(i => if (i % 2 == 0) 100 else -3)
+    val recs = Seq(Multimodal.MediaRecord(7L,
+      AudioDecode.encodeWav(samples, 8000))).toDS()
+    val rows = Multimodal.audioFeatures(recs, windowMs = 250, hopMs = 125)
+      .collect().toSeq
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.window_idx == 0 && r.start_ms == 0 && r.end_ms == 75)
+    assert(r.n_samples == 600)
+    assert(r.sum_abs == 300L * 100 + 300L * 3)
+    assert(r.sum_sq == 300L * 100 * 100 + 300L * 3 * 3)
+    assert(r.peak == 100)
+    // multi-window clip: windows tile with the documented overlap
+    val long = Array.fill(8000)(1000) // 1000 ms
+    val rs = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(8L, AudioDecode.encodeWav(long, 8000)))
+        .toDS(), windowMs = 250, hopMs = 125).collect().toSeq
+      .sortBy(_.window_idx)
+    assert(rs.length == 7)
+    assert(rs.head.start_ms == 0 && rs.last.end_ms == 1000)
+    assert(rs.forall(w => w.sum_abs == w.n_samples * 1000))
+  }
+
+  test("synthWav corpus decodes to its closed-form samples") {
+    val df = Seq((3L, 10L)).toDF("doc_id", "n_chars")
+    val rec = Multimodal.synthWav(df, "doc_id", "n_chars").collect().head
+    val d = AudioDecode.decode(rec.blob).get
+    assert(d.samples.length == 10 * 23 + 2000)
+    val expect = Array.tabulate(d.samples.length)(i =>
+      (Math.floorMod(3L * 7919 + i * 131L + 17L, 65536L) - 32768L).toInt)
+    assert(d.samples.toSeq == expect.toSeq)
+  }
+}
