@@ -277,6 +277,52 @@ object KnnGraph {
   }
 
   /**
+   * Persist each level of a layered index as its own snapshot table
+   * under `uri/levelN` (plus a `branching` marker) — the serving-time
+   * amortization for [[buildLayered]], mirroring the flat persisted
+   * path: the NN-Descent build runs once, every query serves from the
+   * stored edge lists.
+   */
+  def persistLayered(spark: org.apache.spark.sql.SparkSession,
+      index: LayeredKnnGraph, uri: String): Unit = {
+    require(index.levels.nonEmpty, "empty layered index")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    index.levels.zipWithIndex.foreach { case (g, i) =>
+      val p = s"$uri/level$i"
+      g.coalesce(4).write.parquet(p)
+      graft.io.Snapshots.init(spark, p)
+    }
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(uri, "branching"), true)
+    try out.write(index.branching.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[persistLayered]] index: levels read through the snapshot
+    * layer (pruned, versioned, expire-protected like any table). */
+  def loadLayered(spark: org.apache.spark.sql.SparkSession,
+      uri: String): LayeredKnnGraph = {
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val levels = Iterator.from(0)
+      .map(i => new org.apache.hadoop.fs.Path(uri, s"level$i"))
+      .takeWhile(fs.exists).toSeq
+    require(levels.nonEmpty, s"$uri has no persisted layered index")
+    val bp = new org.apache.hadoop.fs.Path(uri, "branching")
+    require(fs.exists(bp), s"$uri has no branching marker")
+    val in = fs.open(bp)
+    val branching = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, "UTF-8").trim.toInt
+    } finally in.close()
+    LayeredKnnGraph(
+      levels.map(p => graft.io.Snapshots.read(spark, p.toString)),
+      branching)
+  }
+
+  /**
    * Layered serving: enter at the TOP layer (its whole node set seeds
    * the beam — by construction ~seedTarget nodes), walk `upperHops`
    * hop(s) per upper layer to pull the beam toward the query's

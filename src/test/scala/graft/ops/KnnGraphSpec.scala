@@ -135,6 +135,33 @@ class KnnGraphSpec extends AnyFunSuite {
       persisted.groupBy(_.getLong(0)).forall(_._2.size == k))
   }
 
+  test("persistLayered/loadLayered round-trips the index and serves " +
+      "identical results") {
+    val k = 5
+    val idx = KnnGraph.buildLayered(emb, "vec_id", "embedding", k,
+      iters = 3, branching = 4, seedTarget = 64)
+    val uri = graft.TestSpark.tmpDir("knn_layered_persisted")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    KnnGraph.persistLayered(spark, idx, uri)
+    val loaded = KnnGraph.loadLayered(spark, uri)
+    assert(loaded.branching == idx.branching)
+    assert(loaded.levels.length == idx.levels.length)
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve(i: KnnGraph.LayeredKnnGraph) =
+      KnnGraph.searchLayered(i, emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k,
+          beam = 20, hops = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(loaded) == serve(idx),
+      "the persisted layered index must serve identical results")
+    // loading a non-index dir is loud
+    intercept[IllegalArgumentException] {
+      KnnGraph.loadLayered(spark, uri + "_nope")
+    }
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
