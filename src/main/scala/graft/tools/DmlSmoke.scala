@@ -55,7 +55,18 @@ object DmlSmoke {
     def files(): Set[String] = Snapshots.filesDf(spark, outDir)
       .select("file").collect().map(_.getString(0)).toSet
 
-    def timed(label: String)(sql: String): Unit = {
+    /** Files that actually CONTAIN rows matching `pred` — the COW
+      * group-rewrite lower bound.  The 100 TB pin is
+      * filesRemoved == this count: the runtime group filter narrows
+      * the rewrite to exactly the matching files, never the table. */
+    def matchFiles(pred: String): Set[String] =
+      Snapshots.read(spark, outDir).filter(pred)
+        .select(input_file_name()).distinct().collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+        .toSet
+
+    def timed(label: String, expectTouched: Option[Int] = None)
+        (sql: String): Unit = {
       val before = files()
       val t0 = System.nanoTime()
       spark.sql(sql)
@@ -63,20 +74,54 @@ object DmlSmoke {
       val after = files()
       val rewritten = (before -- after).size
       val added = (after -- before).size
+      val pin = expectTouched match {
+        case Some(n) if rewritten == n => s" [touched==$n OK]"
+        case Some(n) =>
+          s" [PIN FAILED: rewrote $rewritten, matching files $n]"
+        case None => ""
+      }
       println(f"[dml-smoke] $label%-28s $sec%7.2fs " +
         s"filesRemoved=$rewritten filesAdded=$added " +
-        s"rows=${Snapshots.rowCount(spark, outDir).getOrElse(-1L)}")
+        s"rows=${Snapshots.rowCount(spark, outDir).getOrElse(-1L)}$pin")
     }
 
     val key = 3 * off + 1031 // inside replica 3
-    timed("update_point (stats-pruned)")(
+    timed("update_point (stats-pruned)",
+        Some(matchFiles(s"l_orderkey = $key").size))(
       s"UPDATE graft.`$outDir` SET qty = qty + 1 WHERE l_orderkey = $key")
-    timed("update_range (one replica)")(
+    timed("update_range (one replica)",
+        Some(matchFiles(s"l_orderkey >= ${5 * off} AND " +
+          s"l_orderkey < ${5 * off} + 200000").size))(
       s"UPDATE graft.`$outDir` SET qty = qty + 1 " +
         s"WHERE l_orderkey >= ${5 * off} AND l_orderkey < ${5 * off} + 200000")
+    // COW MERGE at the same scale: matched rows update, unmatched
+    // insert — the group rewrite must still touch only files holding
+    // matched keys (the source is tiny; the runtime group filter
+    // narrows the scan to its key range)
+    val mkeys = (0 until 50).map(i => 4 * off + 1031 + i * 32L)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          mkeys.map(k => org.apache.spark.sql.Row(k, 7L)) :+
+            org.apache.spark.sql.Row(99L * off + 5, 7L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("delta",
+            org.apache.spark.sql.types.LongType))))
+      .createOrReplaceTempView("dml_merge_src")
+    timed("merge_cow (50 keys + 1 ins)",
+        Some(matchFiles(
+          s"l_orderkey IN (${mkeys.mkString(",")})").size))(
+      s"MERGE INTO graft.`$outDir` t USING dml_merge_src s " +
+        "ON t.l_orderkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.delta " +
+        "WHEN NOT MATCHED THEN INSERT (l_orderkey, l_partkey, " +
+        "l_suppkey, l_linenumber, qty) VALUES (s.k, 0, 0, 1, s.delta)")
     timed("delete_metadata (no job)")(
       s"DELETE FROM graft.`$outDir` WHERE l_orderkey >= ${(factor - 1) * off}")
-    timed("delete_group_rewrite")(
+    timed("delete_group_rewrite",
+        Some(matchFiles(s"l_orderkey % 97 = 13 AND " +
+          s"l_orderkey < ${off / 4}").size))(
       s"DELETE FROM graft.`$outDir` WHERE l_orderkey % 97 = 13 " +
         s"AND l_orderkey < ${off / 4}")
     spark.sql(s"SELECT l_orderkey, qty FROM graft.`$outDir` " +
