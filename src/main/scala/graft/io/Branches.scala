@@ -317,10 +317,17 @@ object Branches {
     val fs = Snapshots.fsOf(spark, uri)
     if (!fs.exists(refsRoot(uri))) return Nil
     list(spark, uri).flatMap { name =>
-      fs.listStatus(branchDir(uri, name)).toSeq
-        .map(_.getPath.getName).filter(_.endsWith(".manifest"))
-        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-        .flatMap(v => readEntries(spark, uri, name, v))
+      // a branch DROPPED between the listing and this read contributes
+      // nothing (its files are orphans from that instant; retention's
+      // orphan grace covers the transition) — expire must not fail on
+      // the race
+      scala.util.Try {
+        fs.listStatus(branchDir(uri, name)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+          .flatMap(v => scala.util.Try(
+            readEntries(spark, uri, name, v)).getOrElse(Nil))
+      }.getOrElse(Nil)
     }
   }
 

@@ -26,15 +26,25 @@ object Maintenance {
   private val TmpSuffixes =
     Seq("_compact_tmp", "_merge_tmp", "_resplit_tmp", "_swap_old")
 
-  /** Paths removed. */
-  def vacuum(spark: SparkSession, uri: String): Seq[String] = {
+  /** Paths removed.  `graceMs` is the concurrent-writer window: a
+    * stamped tmp strand is indistinguishable from a LIVE writer's
+    * staging dir (the round-11 threaded fuzz deleted one mid-write),
+    * so with a nonzero grace only strands older than the window are
+    * swept.  0 (the default) keeps the eager single-writer behavior. */
+  def vacuum(spark: SparkSession, uri: String,
+      graceMs: Long = 0L): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
     val removed = Seq.newBuilder[String]
+    val horizon = System.currentTimeMillis() - graceMs
+    def old(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs <= 0L || st.getModificationTime < horizon
     TmpSuffixes.foreach { suf =>
       val t = new Path(uri + suf)
-      if (fs.exists(t)) { fs.delete(t, true); removed += t.toString }
+      if (fs.exists(t) && old(fs.getFileStatus(t))) {
+        fs.delete(t, true); removed += t.toString
+      }
     }
     // per-commit stamped strands (`<table>_merge_tmp_<stamp>` from a
     // crashed Snapshots commit) live as SIBLINGS of the table dir
@@ -44,7 +54,8 @@ object Maintenance {
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
         if (n != tableName &&
-            TmpSuffixes.exists(suf => n.startsWith(tableName + suf))) {
+            TmpSuffixes.exists(suf => n.startsWith(tableName + suf)) &&
+            old(st)) {
           fs.delete(st.getPath, true)
           removed += st.getPath.toString
         }
@@ -55,8 +66,8 @@ object Maintenance {
       // commit markers
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith(".") && n != "." && n != "..") ||
-            n.endsWith(".crc")) {
+        if (((n.startsWith(".") && n != "." && n != "..") ||
+            n.endsWith(".crc")) && old(st)) {
           fs.delete(st.getPath, true)
           removed += st.getPath.toString
         }

@@ -2107,11 +2107,13 @@ object Snapshots extends Serializable {
   }
 
   def expire(
-      spark: SparkSession, uri: String, keepVersions: Int = 1): Seq[String] = {
+      spark: SparkSession, uri: String, keepVersions: Int = 1,
+      orphanGraceMs: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val latest = latestVersion(spark, uri)
     // keepVersions may exceed the table's age — keep everything then
-    expireBelow(spark, uri, math.max(1, latest - keepVersions + 1))
+    expireBelow(spark, uri, math.max(1, latest - keepVersions + 1),
+      orphanGraceMs)
   }
 
   /** Age-based retention (Iceberg's `expire_snapshots(older_than)` /
@@ -2121,19 +2123,22 @@ object Snapshots extends Serializable {
     * guarantees as [[expire]]).  Age is the manifest file's
     * modification time — the commit's publish instant. */
   def expireOlderThan(
-      spark: SparkSession, uri: String, maxAgeMillis: Long): Seq[String] =
-    expireBelow(spark, uri, ageCutoff(spark, uri, maxAgeMillis))
+      spark: SparkSession, uri: String, maxAgeMillis: Long,
+      orphanGraceMs: Long = 0L): Seq[String] =
+    expireBelow(spark, uri, ageCutoff(spark, uri, maxAgeMillis),
+      orphanGraceMs)
 
   /** Union retention (Iceberg `older_than` + `retain_last`): a version
     * survives if it is within the last `retainLast` versions OR
     * younger than `maxAgeMillis`. */
   def expireOlderThanKeeping(spark: SparkSession, uri: String,
-      maxAgeMillis: Long, retainLast: Int): Seq[String] = {
+      maxAgeMillis: Long, retainLast: Int,
+      orphanGraceMs: Long = 0L): Seq[String] = {
     require(retainLast >= 1, "must keep at least the latest version")
     val latest = latestVersion(spark, uri)
     expireBelow(spark, uri, math.min(
       ageCutoff(spark, uri, maxAgeMillis),
-      math.max(1, latest - retainLast + 1)))
+      math.max(1, latest - retainLast + 1)), orphanGraceMs)
   }
 
   private def ageCutoff(
@@ -2155,9 +2160,20 @@ object Snapshots extends Serializable {
   /** Shared retention core: drop manifests below `cutoff` (the first
     * kept version) and reclaim data files, CDC dirs and DV sidecars no
     * surviving manifest references — except tag-protected versions and
-    * files/DVs any live branch references. */
+    * files/DVs any live branch references.
+    *
+    * `orphanGraceMs` is the concurrent-writer safety window: a file
+    * referenced by an EXPIRED manifest is always reclaimable (no new
+    * commit can re-reference it — restore refuses expired targets,
+    * rewrites mint fresh names), but a file referenced by NOTHING may
+    * be a concurrent writer's just-published data whose manifest
+    * commit hasn't landed yet; it is reclaimed only when older than
+    * the grace window.  0 (the default) keeps the eager single-writer
+    * behavior; concurrent maintenance should pass a real window
+    * (Iceberg's remove_orphan_files defaults to 3 days). */
   private def expireBelow(
-      spark: SparkSession, uri: String, cutoff: Int): Seq[String] = {
+      spark: SparkSession, uri: String, cutoff: Int,
+      orphanGraceMs: Long = 0L): Seq[String] = {
     val fs = fsOf(spark, uri)
     val latest = latestVersion(spark, uri)
     // tagged versions are retention-protected: their manifests and
@@ -2171,8 +2187,37 @@ object Snapshots extends Serializable {
       .filter(v => fs.exists(manifestPath(uri, v)))
       .flatMap(v => readManifest(spark, uri, v)).toSet ++
       Branches.referencedFiles(spark, uri)
+    val expiredRef = (1 until cutoff).filterNot(tagged)
+      .filter(v => fs.exists(manifestPath(uri, v)))
+      .flatMap(v => readManifest(spark, uri, v)).toSet
+    val orphanHorizon = System.currentTimeMillis() - orphanGraceMs
     val removed = Seq.newBuilder[String]
-    val (files, _) = CopyTo.listDataFiles(spark, uri)
+    // the recursive listing races concurrent writers cleaning their
+    // scratch (a file yielded by the walk can vanish before its status
+    // loads — hadoop's local FS surfaces that as a RuntimeException
+    // over an ExitCodeException, found by the round-11 threaded fuzz);
+    // the listing is only used to FIND deletable files, so retry it
+    val (files, _) = {
+      def vanished(e: Throwable): Boolean = {
+        var c: Throwable = e
+        while (c != null) {
+          if (c.isInstanceOf[java.io.FileNotFoundException] ||
+              (c.getMessage != null &&
+                c.getMessage.contains("No such file or directory")))
+            return true
+          c = c.getCause
+        }
+        false
+      }
+      var attempt = 0
+      var out: Option[(Seq[String], Long)] = None
+      while (out.isEmpty) {
+        try out = Some(CopyTo.listDataFiles(spark, uri))
+        catch { case e: Exception if attempt < 8 && vanished(e) =>
+          attempt += 1; Thread.sleep(25) }
+      }
+      out.get
+    }
     files.foreach { f =>
       val p = PathStrings.parse(f)
       val n = relName(uri, f)
@@ -2180,7 +2225,11 @@ object Snapshots extends Serializable {
       // the _graft_manifests dir but their own names aren't underscored
       val inManifestDir = p.getParent != null &&
         p.getParent.getName == "_graft_manifests"
-      if (!inManifestDir && !keep.contains(n)) {
+      val reclaimable = expiredRef.contains(n) ||
+        (orphanGraceMs <= 0L ||
+          (try fs.getFileStatus(p).getModificationTime < orphanHorizon
+           catch { case _: java.io.IOException => false }))
+      if (!inManifestDir && !keep.contains(n) && reclaimable) {
         fs.delete(p, false)
         removed += f
       }
@@ -2213,7 +2262,11 @@ object Snapshots extends Serializable {
         Branches.referencedDvs(spark, uri)
       fs.listStatus(dvDir).foreach { st =>
         val rel = s"${DeletionVectors.Dir}/${st.getPath.getName}"
-        if (!keepDv.contains(rel)) {
+        // same grace rule as data files: an unreferenced sidecar may be
+        // a concurrent MoR commit's DV written just before its manifest
+        val reclaimable = orphanGraceMs <= 0L ||
+          st.getModificationTime < orphanHorizon
+        if (!keepDv.contains(rel) && reclaimable) {
           fs.delete(st.getPath, false)
           removed += st.getPath.toString
         }

@@ -59,15 +59,18 @@ object CopySql {
       c.expectEnd()
       var keep = -1
       var keepAgeMs = -1L
+      var orphanGraceMs = 0L
       opts.foreach {
         case ("keep_versions", v) =>
           keep = requireValue("keep_versions", v).toInt
         case ("keep_age", v) =>
           keepAgeMs = parseAgeMillis(requireValue("keep_age", v))
+        case ("orphan_grace", v) =>
+          orphanGraceMs = parseAgeMillis(requireValue("orphan_grace", v))
         case (other, _) => throw new IllegalArgumentException(
           s"option '$other' is not supported for VACUUM")
       }
-      return Some(VacuumCommand(uri, keep, keepAgeMs))
+      return Some(VacuumCommand(uri, keep, keepAgeMs, orphanGraceMs))
     }
     if (c.tryKeyword("ANALYZE")) {
       if (!c.peekIs('\'')) return None
@@ -575,7 +578,7 @@ sealed trait CopyStatement extends LeafRunnableCommand {
   * first, so age only removes versions outside the count window.
   * Returns the total number of removed paths. */
 final case class VacuumCommand(uri: String, keepVersions: Int = -1,
-    keepAgeMillis: Long = -1L)
+    keepAgeMillis: Long = -1L, orphanGraceMillis: Long = 0L)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_removed", LongType, nullable = false)())
@@ -583,18 +586,23 @@ final case class VacuumCommand(uri: String, keepVersions: Int = -1,
     // union semantics: expire-by-count keeps the last N; the age pass
     // only ever removes versions the count pass ALSO let go (a version
     // inside keep_versions survives because expire() never drops it;
-    // one inside keep_age survives because expireOlderThan keeps it)
+    // one inside keep_age survives because expireOlderThan keeps it).
+    // orphan_grace is the concurrent-writer window: files/DVs no
+    // manifest references are reclaimed only when older than it.
     val expired =
       (if (keepVersions > 0 && keepAgeMillis >= 0)
         // count rule widens the age cutoff: apply age only below the
         // count window by expiring age-wise with the count floor
         Snapshots.expireOlderThanKeeping(
-          spark, uri, keepAgeMillis, keepVersions).size
-      else if (keepVersions > 0) Snapshots.expire(spark, uri, keepVersions).size
+          spark, uri, keepAgeMillis, keepVersions, orphanGraceMillis).size
+      else if (keepVersions > 0)
+        Snapshots.expire(spark, uri, keepVersions, orphanGraceMillis).size
       else if (keepAgeMillis >= 0)
-        Snapshots.expireOlderThan(spark, uri, keepAgeMillis).size
+        Snapshots.expireOlderThan(
+          spark, uri, keepAgeMillis, orphanGraceMillis).size
       else 0)
-    Seq(Row(expired.toLong + Maintenance.vacuum(spark, uri).size.toLong))
+    Seq(Row(expired.toLong +
+      Maintenance.vacuum(spark, uri, orphanGraceMillis).size.toLong))
   }
 }
 

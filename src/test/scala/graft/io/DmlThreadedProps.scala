@@ -1,0 +1,278 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * THREADED concurrent-writer fuzz (round 11): the serial
+ * [[DmlComposedProps]] model-checks single-writer compositions; this
+ * fuzz races real THREADS — DML writers × maintenance
+ * (optimize/vacuum+expire) × branch create/append/fast-forward — on
+ * one table and model-checks after quiescence.  The design makes the
+ * outcome interleaving-independent so ANY serialization must converge
+ * to the same state:
+ *
+ *  - each DML worker owns a DISJOINT key slice (ops on different
+ *    slices commute; they still CONTEND on shared files, which is the
+ *    point — group rewrites conflict-check on (name, dv-state) and the
+ *    documented contract is "re-run", so workers retry on
+ *    ConcurrentModificationException exactly like a production job),
+ *  - maintenance is semantics-neutral (optimize + vacuum with
+ *    keep_versions and a 1-hour orphan_grace — the concurrent-writer
+ *    window that keeps a racing commit's just-renamed files alive),
+ *  - fast-forward folds its batch into the expected model ONLY when it
+ *    reports success (it refuses whenever main advanced past the fork
+ *    — the overwhelmingly common outcome under concurrent DML).
+ *
+ * Any lost update, resurrected row, swept live file, or torn branch
+ * surfaces as a model divergence or an unexpected exception class.
+ *
+ * Knobs: DMLTHREAD_CASES (default 12), DMLTHREAD_SEED (default 4242).
+ */
+class DmlThreadedProps extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.io.catalog.GraftCatalog")
+    s
+  }
+  import spark.implicits._
+
+  private def isRetryable(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.util.ConcurrentModificationException] ||
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            c.getMessage.toLowerCase.contains("concurrent")))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
+  /** The production retry loop: concurrent group rewrites refuse with
+    * "re-run against the current version" — so re-run. */
+  private def withRetry[T](label: String)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Throwable if isRetryable(e) && attempt < 80 =>
+          attempt += 1
+          Thread.sleep(
+            5L + java.util.concurrent.ThreadLocalRandom.current.nextInt(45))
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"$label failed non-retryably after $attempt retries", e)
+      }
+    }
+    out.get
+  }
+
+  test("threaded DML x maintenance x branch ops converge to the model") {
+    val seed = sys.env.getOrElse("DMLTHREAD_SEED", "4242").toLong
+    val cases = sys.env.getOrElse("DMLTHREAD_CASES", "12").toInt
+    val rnd = new scala.util.Random(seed)
+    val layouts = Seq("flat", "hive", "bucket")
+
+    (1 to cases).foreach { ci =>
+      val layout = layouts(rnd.nextInt(layouts.size))
+      val mor = rnd.nextBoolean()
+      val hive = layout == "hive"
+      val dir = TestSpark.tmpDir(s"dmlthread_$ci")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(dir), true)
+
+      def normP(p: String): String = if (hive && p.isEmpty) null else p
+      def somePs(r: scala.util.Random): String =
+        r.nextInt(4) match { case 0 => "" case n => s"p${n - 1}" }
+
+      // base rows on NEGATIVE keys — no worker slice touches them
+      val baseModel: Map[Long, (Long, String)] =
+        (0 until 60).map { _ =>
+          -(1 + rnd.nextInt(120)).toLong ->
+            (rnd.nextInt(100).toLong, normP(somePs(rnd)))
+        }.toMap
+      val df0 = baseModel.toSeq.map { case (k, (v, p)) => (k, v, p) }
+        .toDF("k", "v", "p")
+      layout match {
+        case "flat" =>
+          df0.repartition(2).write.parquet(dir)
+          Snapshots.init(spark, dir)
+        case "hive" =>
+          df0.write.partitionBy("p").parquet(dir)
+          Snapshots.init(spark, dir)
+        case "bucket" =>
+          Snapshots.initTransformed(spark, dir, df0,
+            Seq(PartitionTransforms.bucket(df0, 4, "k")))
+      }
+      if (mor) spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+
+      // ---- pre-generate each worker's op list + expected slice model
+      // (ops within a thread are ordered; slices are disjoint, so the
+      // union of final slices is THE answer under any interleaving)
+      val nWorkers = 3
+      val workerPlans = (0 until nWorkers).map { w =>
+        val lo = (w + 1) * 1000L
+        var slice = Map.empty[Long, (Long, String)]
+        val ops = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        // op 0 is always an insert so the slice participates
+        val nOps = 4
+        (0 until nOps).foreach { oi =>
+          val kind = if (oi == 0) 0 else rnd.nextInt(4)
+          kind match {
+            case 0 =>
+              val fresh = (0 until 12).map(_ =>
+                (lo + rnd.nextInt(400), rnd.nextInt(100).toLong,
+                  somePs(rnd))).distinctBy(_._1)
+                .filterNot(t => slice.contains(t._1))
+              if (fresh.nonEmpty) {
+                val values = fresh.map { case (k, v, p) =>
+                  s"($k, $v, '${p}')" }.mkString(", ")
+                ops += (("insert",
+                  s"INSERT INTO graft.`$dir` VALUES $values"))
+                slice ++= fresh.map(t => t._1 -> (t._2, normP(t._3)))
+              }
+            case 1 =>
+              val a = lo + rnd.nextInt(300)
+              ops += (("update range",
+                s"UPDATE graft.`$dir` SET v = v + 1000 " +
+                  s"WHERE k >= $a AND k < ${a + 80}"))
+              slice = slice.map { case (k, (v, p)) =>
+                k -> (if (k >= a && k < a + 80) (v + 1000, p) else (v, p)) }
+            case 2 =>
+              val m = 3 + rnd.nextInt(4)
+              ops += (("delete",
+                s"DELETE FROM graft.`$dir` WHERE k % $m = 1 " +
+                  s"AND k >= $lo AND k < ${lo + 400}"))
+              slice = slice.filter { case (k, _) => k % m != 1 }
+            case 3 =>
+              val src = (0 until 8).map(_ =>
+                (lo + rnd.nextInt(400), rnd.nextInt(100).toLong,
+                  somePs(rnd))).distinctBy(_._1)
+              val values = src.map { case (k, v, p) =>
+                s"($k, $v, '${p}')" }.mkString(", ")
+              ops += (("merge",
+                s"MERGE INTO graft.`$dir` t USING " +
+                  s"(SELECT * FROM (VALUES $values) AS x(k, nv, np)) s " +
+                  "ON t.k = s.k " +
+                  "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+                  "WHEN NOT MATCHED THEN INSERT (k, v, p) " +
+                  "VALUES (s.k, s.nv, s.np)"))
+              src.foreach { case (k, nv, np) =>
+                slice += (slice.get(k) match {
+                  case Some((_, p)) => k -> (nv, p)
+                  case None => k -> (nv, normP(np))
+                })
+              }
+          }
+        }
+        (ops.toSeq, slice)
+      }
+
+      // ---- run the race
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ffBatches =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long, String)]]
+      val workers = workerPlans.zipWithIndex.map { case ((ops, _), w) =>
+        new Thread(() => {
+          try ops.foreach { case (label, sql) =>
+            withRetry(s"case $ci worker $w $label")(spark.sql(sql).collect())
+          } catch { case t: Throwable => errors.add(t) }
+        }, s"dmlthread-w$w")
+      }
+      val maintenance = new Thread(() => {
+        try (1 to 3).foreach { _ =>
+          withRetry(s"case $ci optimize")(
+            spark.sql(s"CALL graft.system.optimize(table => '$dir')")
+              .collect())
+          Thread.sleep(20)
+          withRetry(s"case $ci vacuum")(
+            graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' " +
+              "(keep_versions '4', orphan_grace '1 hour')").collect())
+          Thread.sleep(20)
+        } catch { case t: Throwable => errors.add(t) }
+      }, "dmlthread-maint")
+      val brancher = new Thread(() => {
+        try (0 until 2).foreach { round =>
+          val name = s"wap_$round"
+          withRetry(s"case $ci branch create")(
+            Branches.create(spark, dir, name))
+          val forkN = Branches.read(spark, dir, name).count()
+          val batch = (0 until 6).map(j =>
+            (9000L + round * 100 + j, j.toLong, "pb"))
+          Branches.append(spark, dir, name,
+            batch.toDF("k", "v", "p"))
+          // the staged audit read must survive concurrent main churn
+          // (vacuum + optimize run right now) — expire protection
+          val staged = Branches.read(spark, dir, name).count()
+          if (staged != forkN + batch.size)
+            throw new IllegalStateException(
+              s"case $ci: branch $name staged read $staged, " +
+                s"expected ${forkN + batch.size}")
+          try {
+            Branches.fastForward(spark, dir, name)
+            ffBatches.add(batch.map(t => (t._1, t._2, t._3)))
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("recreate the branch") => () // refused
+          }
+          Branches.drop(spark, dir, name)
+        } catch { case t: Throwable => errors.add(t) }
+      }, "dmlthread-branch")
+
+      val threads = workers :+ maintenance :+ brancher
+      threads.foreach(_.start())
+      threads.foreach(_.join(240000))
+      assert(!threads.exists(_.isAlive), s"case $ci: thread wedged")
+      def dump(e: Throwable): String = {
+        val sb = new StringBuilder
+        var c: Throwable = e
+        while (c != null) {
+          sb ++= c.toString += '\n'
+          sb ++= c.getStackTrace.take(6).mkString("\n") += '\n'
+          c = c.getCause
+        }
+        sb.result()
+      }
+      assert(errors.isEmpty,
+        s"case $ci layout=$layout mor=$mor: " +
+          s"${Option(errors.peek()).map(dump).orNull}")
+
+      // ---- quiescence: union of base + final slices + published WAP
+      // batches must be exactly what the table answers
+      var expected = baseModel ++ workerPlans.flatMap(_._2)
+      ffBatches.forEach(b =>
+        expected ++= b.map { case (k, v, p) => k -> (v, normP(p)) })
+      def check(step: String): Unit = {
+        val rows = spark.sql(s"SELECT k, v, p FROM graft.`$dir`")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getString(2))).toSeq
+        assert(rows.size == expected.size,
+          s"case $ci layout=$layout mor=$mor after $step: " +
+            s"${rows.size} rows vs model ${expected.size} " +
+            s"(dups=${rows.groupBy(_._1).filter(_._2.size > 1)
+              .keys.take(5)})")
+        val got = rows.toMap
+        assert(got == expected,
+          s"case $ci layout=$layout mor=$mor after $step: " +
+            s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+            s"diff=${expected.keySet.intersect(got.keySet)
+              .filter(k => expected(k) != got(k)).take(5)}")
+      }
+      check("quiescence")
+      // end-of-life: fsck clean, a final optimize + expire round-trips
+      spark.sql(s"CALL graft.system.fsck(table => '$dir')")
+      spark.sql(s"CALL graft.system.optimize(table => '$dir')")
+      graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' " +
+        "(keep_versions '1', orphan_grace '1 hour')")
+      check("final optimize+vacuum")
+    }
+  }
+}
