@@ -2917,6 +2917,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL index insertion (round 11): a persisted layered index
+    // absorbs a batch (4% of the corpus) without a rebuild — per level,
+    // the batch beam-walks its k nearest existing members, affected
+    // existing nodes re-rank with exact cosines (reverse links), and
+    // each level advances ONE snapshot version (MVCC: pristine index
+    // restorable).  Output = layered serving from the UPDATED index for
+    // three old + two newly-inserted queries — the new nodes are only
+    // findable if the insert actually wired them in
+    "sim_knn_index_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val existing = e.filter(col("vec_id") % 25 =!= 7)
+      val batch = e.filter(col("vec_id") % 25 === 7)
+      val uri = util.Staging.dirFor(
+        "graft_knn_lins_v1_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          uri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        ops.KnnGraph.persistLayered(s,
+          ops.KnnGraph.buildLayered(existing, "vec_id", "embedding",
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+      }
+      // a re-run restores every level to the pristine build first, so
+      // the insert applies to the same basis each time (MVCC restore)
+      val pristine = ops.KnnGraph.loadLayered(s, uri)
+      (0 until pristine.levels.length).foreach { l =>
+        val lu = s"$uri/level$l"
+        if (io.Snapshots.latestVersion(s, lu) > 1)
+          io.Snapshots.restoreCommit(s, lu, 1)
+      }
+      val idx = ops.KnnGraph.insertLayered(s, uri, existing, batch,
+        "vec_id", "embedding", k = 10, beam = 40, hops = 4)
+      ops.KnnGraph.searchLayered(idx, e,
+          e.filter(col("vec_id").isin(0L, 1L, 2L, 7L, 32L)),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // persisted LAYERED serving (round 11): buildLayered runs once into
     // per-level snapshot tables and every query serves from the stored
     // edge lists — same answers as sim_knn_search_layered (same oracle)
@@ -4016,6 +4057,107 @@ object SparkEntry {
       "ORDER BY query_id, rank"
   }
 
+  /** Generalized beam-serve CTE chain (suffix `p` keeps names unique):
+    * queries from `qsSql` (columns query_id, qv), seeds from `seedsSql`
+    * (column cand), then (edges CTE, hop count) phases.  Returns
+    * (CTE string, final beam-state CTE name) — the state carries
+    * (query_id, cand, cos) for a caller-shaped final select.  Same
+    * arithmetic as [[knnServeSql]], reusable mid-query. */
+  private def knnServeCtes(
+      p: String, qsSql: String, seedsSql: String, beam: Int,
+      phases: Seq[(String, Int)]): (String, String) = {
+    val head = Seq(
+      s"qs$p AS ($qsSql)",
+      s"seeds$p AS ($seedsSql)",
+      s"sc0$p AS (SELECT q.query_id, s.cand, " +
+        "list_cosine_similarity(ev.v, q.qv) AS cos " +
+        s"FROM qs$p q, seeds$p s JOIN ev ON ev.vec_id = s.cand)",
+      knnKeepBeam(s"st0$p", s"sc0$p", beam))
+    var i = 0
+    val hops = phases.flatMap { case (edges, nHops) =>
+      (0 until nHops).map { _ =>
+        val step =
+          s"ex$i$p AS (SELECT DISTINCT st.query_id, e.next AS cand " +
+            s"FROM st$i$p st JOIN $edges e ON e.cand = st.cand), " +
+            s"sc${i + 1}$p AS (SELECT query_id, cand, max(cos) AS cos " +
+            "FROM (SELECT x.query_id, x.cand, " +
+            "list_cosine_similarity(ev.v, q.qv) AS cos " +
+            s"FROM ex$i$p x JOIN ev ON ev.vec_id = x.cand " +
+            s"JOIN qs$p q ON q.query_id = x.query_id " +
+            s"UNION ALL SELECT query_id, cand, cos FROM st$i$p) " +
+            "GROUP BY query_id, cand), " +
+            knnKeepBeam(s"st${i + 1}$p", s"sc${i + 1}$p", beam)
+        i += 1
+        step
+      }
+    }
+    ((head ++ hops).mkString(", "), s"st$i$p")
+  }
+
+  /** The incremental-insert oracle: build the two-level index on the
+    * EXISTING subset (id % 25 <> 7), replicate insertLayered per level
+    * — the batch's beam walk over the level graph (new edge lists =
+    * top-10 of the final beam state), affected nodes re-ranked over
+    * (old neighbors ∪ reverse-selecting new nodes) by exact cosine,
+    * merged edges — then layered serving from the MERGED graphs for
+    * queries {0,1,2} (old) ∪ {7,32} (inserted). */
+  private val KnnInsertOracle: String = {
+    val (b0, g0) = knnBuildCtes("l0", "exist", iters = 6, k = 10)
+    val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
+    def levelSeeds(src: String): String =
+      s"SELECT id AS cand FROM (SELECT h - (h >> 63) * $KnnM64 AS sh, " +
+        s"hx.id FROM hx JOIN $src s ON s.id = hx.id " +
+        "ORDER BY sh, hx.id LIMIT 40)"
+    def qsOf(src: String): String =
+      "SELECT vec_id AS query_id, v AS qv FROM ev " +
+        s"JOIN $src n ON n.id = ev.vec_id"
+    val (i0, ist0) = knnServeCtes("i0", qsOf("newn"),
+      levelSeeds("exist"), beam = 40, Seq(("edg0", 4)))
+    val (i1, ist1) = knnServeCtes("i1", qsOf("newn1"),
+      levelSeeds("sub1"), beam = 40, Seq(("edg1", 4)))
+    def mergeCtes(p: String, g: String, st: String): String =
+      s"ne$p AS MATERIALIZED (SELECT a, b, cos, rn FROM (" +
+        "SELECT query_id AS a, cand AS b, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rn " +
+        s"FROM $st WHERE cand <> query_id) WHERE rn <= 10), " +
+        s"aff$p AS (SELECT DISTINCT b AS id FROM ne$p), " +
+        s"mc$p AS (SELECT DISTINCT a, b FROM (" +
+        s"SELECT g.a, g.b FROM $g g JOIN aff$p ON aff$p.id = g.a " +
+        s"UNION ALL SELECT ne$p.b AS a, ne$p.a AS b FROM ne$p)), " +
+        knnTopK(s"mg$p", s"mc$p", 10) + ", " +
+        s"med$p AS (SELECT a, b FROM $g " +
+        s"WHERE a NOT IN (SELECT id FROM aff$p) " +
+        s"UNION ALL SELECT a, b FROM mg$p " +
+        s"UNION ALL SELECT a, b FROM ne$p), " +
+        s"medg$p AS (SELECT a AS cand, b AS next FROM med$p)"
+    val (f, fst) = knnServeCtes("f",
+      "SELECT vec_id AS query_id, v AS qv FROM ev " +
+        "WHERE vec_id IN (0, 1, 2, 7, 32)",
+      "SELECT DISTINCT a AS cand FROM medm1", beam = 40,
+      Seq(("medgm1", 1), ("medgm0", 4)))
+    "WITH " + KnnHashCtes +
+      ", exist AS (SELECT id FROM ids WHERE id % 25 <> 7)" +
+      ", newn AS (SELECT id FROM ids WHERE id % 25 = 7)" +
+      ", " + b0 +
+      ", sub1 AS (SELECT e.id FROM exist e JOIN hx ON hx.id = e.id " +
+      "WHERE hx.h % 4 = 0)" +
+      ", newn1 AS (SELECT n.id FROM newn n JOIN hx ON hx.id = n.id " +
+      "WHERE hx.h % 4 = 0)" +
+      ", " + b1 +
+      s", edg0 AS (SELECT a AS cand, b AS next FROM $g0)" +
+      s", edg1 AS (SELECT a AS cand, b AS next FROM $g1)" +
+      ", " + i0 + ", " + i1 +
+      ", " + mergeCtes("m0", g0, ist0) +
+      ", " + mergeCtes("m1", g1, ist1) +
+      ", " + f +
+      " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
+      "round(cos, 4) AS cosine FROM (" +
+      "SELECT query_id, cand, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rk " +
+      s"FROM $fst WHERE cand <> query_id) WHERE rk <= 10 " +
+      "ORDER BY query_id, rank"
+  }
+
   /** Spark's xxhash64 is a SIGNED long — the 40 lowest seeds sort by
     * the signed value (the ring may sort unsigned: successor pairs are
     * rotation-invariant, seed selection is not). */
@@ -4242,6 +4384,7 @@ object SparkEntry {
     // identical build parameters and query set served from the
     // persisted per-level snapshot tables — same replication
     "sim_knn_serve_layered_persisted" -> KnnLayeredOracle,
+    "sim_knn_index_insert" -> KnnInsertOracle,
 
     // value-exact SemDeDup: the shared IVF k-means, within-cell pairs
     // at cosine >= 0.45 (NaN-guarded), duplicate groups as the

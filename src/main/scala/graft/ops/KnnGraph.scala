@@ -323,6 +323,77 @@ object KnnGraph {
   }
 
   /**
+   * INCREMENTAL insertion into a persisted layered index (the
+   * disk-native HNSW-insert path): for each level, the batch's members
+   * (same hash-decay rule as [[buildLayered]]) find their k nearest
+   * existing level members via the level's own beam walk, the affected
+   * existing nodes re-rank their lists over (old neighbors ∪ the new
+   * nodes that selected them) with EXACT cosines (the reverse-link
+   * step), and each level table advances by ONE snapshot version
+   * carrying the merged graph — MVCC, so the pristine index remains
+   * time-travelable and a bad batch is a RESTORE away.
+   *
+   * Batch semantics (deterministic, order-free): new→existing and
+   * existing→new links land; new↔new links within one batch appear on
+   * the next refresh — the standard freshness-layer trade.  Levels the
+   * pristine index does not have are not created (a batch cannot grow
+   * the tower height).  Cost: one beam walk per level over the BATCH
+   * only + a bounded re-rank — independent of corpus size, the 100 TB
+   * shape.
+   */
+  def insertLayered(spark: org.apache.spark.sql.SparkSession, uri: String,
+      existing: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, beam: Int = 40, hops: Int = 4): LayeredKnnGraph = {
+    require(k >= 1 && beam >= k && hops >= 1,
+      "need k >= 1, beam >= k, hops >= 1")
+    val idx = loadLayered(spark, uri)
+    val br = idx.branching
+    GraftFunctions.register(spark)
+    val exNodes = existing.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val newNodes = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    idx.levels.zipWithIndex.foreach { case (g, l) =>
+      val levelNew =
+        if (l == 0) newNodes else newNodes.filter(levelAtLeast(br, l))
+      val levelExisting =
+        if (l == 0) exNodes else exNodes.filter(levelAtLeast(br, l))
+      // the batch's edges: beam walk over THIS level's edge set, seeded
+      // like flat search (the beam lowest signed-hash level members)
+      val seeds = levelExisting.select(col("id").as("cand"))
+        .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
+      val newEdges = beamServe(levelExisting, levelNew, "id", "__v",
+          "id", "__v", k, beam, seeds, Seq((g, hops)))
+        .select(col("query_id").as("id"), col("rank"),
+          col("neighbor_id"), col("cosine"))
+        .localCheckpoint()
+      // reverse links: every existing node some new node selected
+      // re-ranks (old neighbors ∪ its selecting new nodes) with exact
+      // cosines — stored cosines are display-rounded, never compared
+      val affected = newEdges.select(col("neighbor_id").as("id")).distinct()
+      val oldPairs = g.join(affected, "id")
+        .select(col("id").as("a"), col("neighbor_id").as("b"))
+      val revPairs = newEdges
+        .select(col("neighbor_id").as("a"), col("id").as("b"))
+      val allVecs = levelExisting.unionAll(levelNew)
+      val scored = oldPairs.unionAll(revPairs).distinct()
+        .join(allVecs.select(col("id").as("a"), col("__v").as("__va")), "a")
+        .join(allVecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
+        .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
+      val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
+      val rescored = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+        .select(col("a").as("id"), col("__r").cast("long").as("rank"),
+          col("b").as("neighbor_id"), round(col("__c"), 4).as("cosine"))
+      val merged = g.join(affected, Seq("id"), "left_anti")
+        .unionByName(rescored)
+        .unionByName(newEdges)
+      graft.io.Snapshots.overwriteCommit(spark, s"$uri/level$l", merged)
+    }
+    loadLayered(spark, uri)
+  }
+
+  /**
    * Layered serving: enter at the TOP layer (its whole node set seeds
    * the beam — by construction ~seedTarget nodes), walk `upperHops`
    * hop(s) per upper layer to pull the beam toward the query's

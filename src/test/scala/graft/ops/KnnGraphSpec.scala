@@ -162,6 +162,49 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("insertLayered wires a batch into the persisted index: new " +
+      "nodes findable, reverse links land, MVCC restore recovers") {
+    val k = 5
+    val existing = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    val uri = graft.TestSpark.tmpDir("knn_layered_insert")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+        iters = 3, branching = 4, seedTarget = 64), uri)
+    val idx = KnnGraph.insertLayered(spark, uri, existing, batch,
+      "vec_id", "embedding", k, beam = 20, hops = 3)
+    // every batch node has its own edge list at level 0
+    val l0 = idx.levels.head
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val withEdges = l0.select("id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(withEdges),
+      s"missing inserted nodes: ${(batchIds -- withEdges).take(5)}")
+    // reverse links: at least one existing node now lists a new node
+    assert(l0.filter(col("neighbor_id").isin(batchIds.toSeq: _*))
+      .filter(!col("id").isin(batchIds.toSeq: _*)).count() > 0,
+      "no reverse link from any existing node to the batch")
+    // a new node is FINDABLE: serving its own vector returns true
+    // near neighbors (its exact-NN among everyone else at rank 1 is
+    // not guaranteed by ANN, but the result must be nonempty and
+    // ranked by real cosine)
+    val q = emb.filter(col("vec_id") === 3)
+    val res = KnnGraph.searchLayered(idx, emb, q,
+      "vec_id", "embedding", "vec_id", "embedding", k,
+      beam = 20, hops = 3).collect()
+    assert(res.length == k)
+    // MVCC: the level tables advanced one version; restore recovers
+    // the pristine build exactly
+    val v = graft.io.Snapshots.latestVersion(spark, s"$uri/level0")
+    assert(v == 2, s"expected one insert commit, at v$v")
+    graft.io.Snapshots.restoreCommit(spark, s"$uri/level0", 1)
+    val pristine = graft.io.Snapshots.read(spark, s"$uri/level0")
+    assert(pristine.filter(col("id").isin(batchIds.toSeq: _*)).count() == 0,
+      "restore did not recover the pre-insert graph")
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
