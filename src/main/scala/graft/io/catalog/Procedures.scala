@@ -63,11 +63,25 @@ object Procedures {
 
     case "vacuum" => Some(proc("vacuum",
       Seq(in("table", StringType),
-        in("keep_versions", IntegerType, Some("1"))),
+        in("keep_versions", IntegerType, Some("1")),
+        in("keep_age", StringType, Some("null")),
+        in("orphan_grace", StringType, Some("null"))),
       StructType(Seq(StructField("removed_files", IntegerType))),
       row => {
-        val removed = Snapshots.expire(spark, str(row, 0),
-          if (row.isNullAt(1)) 1 else row.getInt(1))
+        // same semantics as the VACUUM statement: keep_age expires by
+        // commit age (union with keep_versions when both given),
+        // orphan_grace is the concurrent-writer window
+        val uri = str(row, 0)
+        val keep = if (row.isNullAt(1)) 1 else row.getInt(1)
+        val ageMs = optStr(row, 2)
+          .map(graft.sql.CopySql.parseAgeMillis)
+        val graceMs = optStr(row, 3)
+          .map(graft.sql.CopySql.parseAgeMillis).getOrElse(0L)
+        val removed = ageMs match {
+          case Some(a) =>
+            Snapshots.expireOlderThanKeeping(spark, uri, a, keep, graceMs)
+          case None => Snapshots.expire(spark, uri, keep, graceMs)
+        }
         Seq(new GenericInternalRow(Array[Any](removed.size)))
       }))
 

@@ -461,7 +461,7 @@ object CopySql {
 
   /** `'<n> <unit>'` → milliseconds, for `VACUUM (keep_age ...)` —
     * units second(s)/minute(s)/hour(s)/day(s)/week(s). */
-  private[sql] def parseAgeMillis(s: String): Long = {
+  private[graft] def parseAgeMillis(s: String): Long = {
     val m = java.util.regex.Pattern
       .compile("""\s*(\d+)\s*(second|minute|hour|day|week)s?\s*""",
         java.util.regex.Pattern.CASE_INSENSITIVE)

@@ -92,6 +92,42 @@ class ProceduresSpec extends AnyFunSuite {
     assert(Snapshots.tags(spark, dir).isEmpty)
   }
 
+  test("CALL vacuum honors keep_age and orphan_grace") {
+    val dir = fresh("proc_vacuum_age")
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)                                    // v1
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id FROM range(50, 60)") // v2
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id FROM range(60, 70)") // v3
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def age(v: Int, ms: Long): Unit =
+      fs.setTimes(new Path(dir, f"_graft_manifests/v$v%06d.manifest"),
+        System.currentTimeMillis() - ms, -1)
+    age(1, 3L * 24 * 3600 * 1000); age(2, 3L * 24 * 3600 * 1000)
+    // an UNREFERENCED fresh orphan next to the data: orphan_grace
+    // protects it, the expired version still reclaims
+    val orphan = new Path(dir, "part-orphan-fresh.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    val removed = spark.sql(
+      s"CALL graft.system.vacuum(table => '$dir', keep_versions => 1, " +
+        "keep_age => '1 day', orphan_grace => '1 hour')")
+      .head().getInt(0)
+    assert(removed >= 1)
+    intercept[Exception] { Snapshots.read(spark, dir, 1).count() }
+    assert(fs.exists(orphan), "orphan_grace failed to protect a fresh file")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`")
+      .head().getLong(0) == 70)
+    // past the grace window the orphan goes
+    fs.setTimes(orphan, System.currentTimeMillis() - 7200_000L, -1)
+    spark.sql(s"CALL graft.system.vacuum(table => '$dir', " +
+      "keep_versions => 1, orphan_grace => '1 hour')")
+    assert(!fs.exists(orphan), "aged orphan survived vacuum")
+    // malformed interval is loud
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.vacuum(table => '$dir', keep_age => 'soon')")
+      .collect())
+    assert(e.getMessage.contains("not a valid interval"), e.getMessage)
+  }
+
   test("CALL fsck reports a clean table and a missing file") {
     val dir = fresh("proc_fsck")
     spark.range(0, 100).selectExpr("id AS k").repartition(2)
