@@ -2958,6 +2958,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INDEX DELETION with healing (round 11): 2.5% of the corpus leaves
+    // the persisted layered index — deleted lists drop, survivors that
+    // listed a removed neighbor re-rank over (surviving neighbors ∪
+    // bridges through the removed node) with exact cosines, one MVCC
+    // version per level.  Output = serving from the HEALED index for
+    // three surviving + two DELETED query vectors: the deleted ids must
+    // never appear as neighbors, and a deleted vector still queries
+    // (it is simply no longer in the graph)
+    "sim_knn_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = util.Staging.dirFor(
+        "graft_knn_ldel_v1_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          uri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        ops.KnnGraph.persistLayered(s,
+          ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+      }
+      val pristine = ops.KnnGraph.loadLayered(s, uri)
+      (0 until pristine.levels.length).foreach { l =>
+        val lu = s"$uri/level$l"
+        if (io.Snapshots.latestVersion(s, lu) > 1)
+          io.Snapshots.restoreCommit(s, lu, 1)
+      }
+      val idx = ops.KnnGraph.deleteFromLayered(s, uri,
+        e.filter(col("vec_id") % 40 === 1).select("vec_id"),
+        e, "vec_id", "embedding", k = 10)
+      ops.KnnGraph.searchLayered(idx, e,
+          e.filter(col("vec_id").isin(0L, 2L, 3L, 41L, 81L)),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // persisted LAYERED serving (round 11): buildLayered runs once into
     // per-level snapshot tables and every query serves from the stored
     // edge lists — same answers as sim_knn_search_layered (same oracle)
@@ -4158,6 +4196,57 @@ object SparkEntry {
       "ORDER BY query_id, rank"
   }
 
+  /** The index-deletion oracle: build the two-level index on ALL ids
+    * (same CTEs as the layered oracle), drop the deleted ids' lists,
+    * heal survivors that listed a removed neighbor over (surviving
+    * neighbors ∪ bridges through the removed node) by exact cosine,
+    * then serve from the healed graphs. */
+  private val KnnDeleteOracle: String = {
+    val (b0, g0) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
+    val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
+    def healCtes(p: String, g: String): String =
+      s"aff$p AS (SELECT DISTINCT a FROM $g " +
+        s"WHERE a NOT IN (SELECT id FROM del) " +
+        "AND b IN (SELECT id FROM del)), " +
+        s"surv$p AS (SELECT a, b FROM $g " +
+        "WHERE a NOT IN (SELECT id FROM del) " +
+        "AND b NOT IN (SELECT id FROM del)), " +
+        s"brid$p AS (SELECT DISTINCT ad.a, de.b FROM " +
+        s"(SELECT a, b AS d FROM $g WHERE b IN (SELECT id FROM del) " +
+        "AND a NOT IN (SELECT id FROM del)) ad JOIN " +
+        s"(SELECT a AS d, b FROM $g WHERE a IN (SELECT id FROM del) " +
+        "AND b NOT IN (SELECT id FROM del)) de ON de.d = ad.d " +
+        "WHERE ad.a <> de.b), " +
+        s"hc$p AS (SELECT DISTINCT a, b FROM (" +
+        s"SELECT s.a, s.b FROM surv$p s JOIN aff$p ON aff$p.a = s.a " +
+        s"UNION ALL SELECT a, b FROM brid$p)), " +
+        knnTopK(s"hg$p", s"hc$p", 10) + ", " +
+        s"med$p AS (SELECT a, b FROM $g " +
+        "WHERE a NOT IN (SELECT id FROM del) " +
+        s"AND a NOT IN (SELECT a FROM aff$p) " +
+        s"UNION ALL SELECT a, b FROM hg$p), " +
+        s"medg$p AS (SELECT a AS cand, b AS next FROM med$p)"
+    val (f, fst) = knnServeCtes("f",
+      "SELECT vec_id AS query_id, v AS qv FROM ev " +
+        "WHERE vec_id IN (0, 2, 3, 41, 81)",
+      "SELECT DISTINCT a AS cand FROM medd1", beam = 40,
+      Seq(("medgd1", 1), ("medgd0", 4)))
+    "WITH " + KnnHashCtes +
+      ", del AS (SELECT id FROM ids WHERE id % 40 = 1)" +
+      ", " + b0 +
+      ", sub1 AS (SELECT id FROM hx WHERE h % 4 = 0)" +
+      ", " + b1 +
+      ", " + healCtes("d0", g0) +
+      ", " + healCtes("d1", g1) +
+      ", " + f +
+      " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
+      "round(cos, 4) AS cosine FROM (" +
+      "SELECT query_id, cand, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rk " +
+      s"FROM $fst WHERE cand <> query_id) WHERE rk <= 10 " +
+      "ORDER BY query_id, rank"
+  }
+
   /** Spark's xxhash64 is a SIGNED long — the 40 lowest seeds sort by
     * the signed value (the ring may sort unsigned: successor pairs are
     * rotation-invariant, seed selection is not). */
@@ -4385,6 +4474,7 @@ object SparkEntry {
     // persisted per-level snapshot tables — same replication
     "sim_knn_serve_layered_persisted" -> KnnLayeredOracle,
     "sim_knn_index_insert" -> KnnInsertOracle,
+    "sim_knn_index_delete" -> KnnDeleteOracle,
 
     // value-exact SemDeDup: the shared IVF k-means, within-cell pairs
     // at cosine >= 0.45 (NaN-guarded), duplicate groups as the

@@ -394,6 +394,64 @@ object KnnGraph {
   }
 
   /**
+   * DELETION from a persisted layered index with graph HEALING: per
+   * level, the deleted ids' own lists drop, survivors that LISTED a
+   * deleted neighbor repair by re-ranking over (their surviving
+   * neighbors ∪ the deleted neighbors' own surviving neighbors — the
+   * bridge-through-the-removed-node candidates) with exact cosines,
+   * and each level advances one snapshot version.  Deleted nodes
+   * become unreachable at serve time (no edges lead to them), so no
+   * corpus rewrite is needed — the index-side analogue of a deletion
+   * vector.  Cost bounds: candidates per affected node ≤ its k old
+   * neighbors × k bridge fan-out — independent of corpus size.
+   */
+  def deleteFromLayered(spark: org.apache.spark.sql.SparkSession,
+      uri: String, ids: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): LayeredKnnGraph = {
+    require(k >= 1, "need k >= 1")
+    val idx = loadLayered(spark, uri)
+    GraftFunctions.register(spark)
+    val del = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint()
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    idx.levels.zipWithIndex.foreach { case (g, l) =>
+      val delAsNeighbor = del.withColumnRenamed("id", "neighbor_id")
+      // survivors that lost a neighbor
+      val aff = g.join(delAsNeighbor, "neighbor_id")
+        .join(del, Seq("id"), "left_anti")
+        .select(col("id").as("a")).distinct()
+      // their surviving edges, plus bridges through each removed node
+      val surviving = g.join(del, Seq("id"), "left_anti")
+        .join(delAsNeighbor, Seq("neighbor_id"), "left_anti")
+        .select(col("id").as("a"), col("neighbor_id").as("b"))
+      val aToD = g.join(delAsNeighbor, "neighbor_id")
+        .join(del, Seq("id"), "left_anti")
+        .select(col("id").as("a"), col("neighbor_id").as("d"))
+      val dEdges = g.join(del, "id")
+        .join(delAsNeighbor, Seq("neighbor_id"), "left_anti")
+        .select(col("id").as("d"), col("neighbor_id").as("b"))
+      val bridge = aToD.join(dEdges, "d")
+        .select(col("a"), col("b")).filter(col("a") =!= col("b"))
+      val cand = surviving.join(aff, "a").unionAll(bridge).distinct()
+      val scored = cand
+        .join(vecs.select(col("id").as("a"), col("__v").as("__va")), "a")
+        .join(vecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
+        .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
+      val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
+      val healed = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+        .select(col("a").as("id"), col("__r").cast("long").as("rank"),
+          col("b").as("neighbor_id"), round(col("__c"), 4).as("cosine"))
+      val untouched = g.join(del, Seq("id"), "left_anti")
+        .join(aff.withColumnRenamed("a", "id"), Seq("id"), "left_anti")
+      graft.io.Snapshots.overwriteCommit(spark, s"$uri/level$l",
+        untouched.unionByName(healed))
+    }
+    loadLayered(spark, uri)
+  }
+
+  /**
    * Layered serving: enter at the TOP layer (its whole node set seeds
    * the beam — by construction ~seedTarget nodes), walk `upperHops`
    * hop(s) per upper layer to pull the beam toward the query's

@@ -205,6 +205,45 @@ class KnnGraphSpec extends AnyFunSuite {
       "restore did not recover the pre-insert graph")
   }
 
+  test("deleteFromLayered removes ids everywhere and heals survivors") {
+    val k = 5
+    val uri = graft.TestSpark.tmpDir("knn_layered_delete")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(emb, "vec_id", "embedding", k,
+        iters = 3, branching = 4, seedTarget = 64), uri)
+    val delIds = emb.filter(col("vec_id") % 15 === 2).select("vec_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    val before = graft.io.Snapshots.read(spark, s"$uri/level0")
+    // some survivor must have listed a deleted neighbor, or the heal
+    // path is untested
+    assert(before.filter(col("neighbor_id").isin(delSet.toSeq: _*))
+      .filter(!col("id").isin(delSet.toSeq: _*)).count() > 0)
+    val idx = KnnGraph.deleteFromLayered(spark, uri, delIds, emb,
+      "vec_id", "embedding", k)
+    idx.levels.foreach { g =>
+      assert(g.filter(col("id").isin(delSet.toSeq: _*)).count() == 0,
+        "deleted id still owns a list")
+      assert(g.filter(col("neighbor_id").isin(delSet.toSeq: _*))
+        .count() == 0, "deleted id still appears as a neighbor")
+    }
+    // healed survivors still carry full lists (the bridge candidates
+    // make that possible at this density)
+    val l0 = idx.levels.head
+    val counts = l0.groupBy("id").count()
+    assert(counts.filter(col("count") < k).count() == 0,
+      "a healed node lost list capacity the bridges could cover")
+    // a DELETED vector still queries; its results exclude deleted ids
+    val res = KnnGraph.searchLayered(idx, emb,
+      emb.filter(col("vec_id") === 2), "vec_id", "embedding",
+      "vec_id", "embedding", k, beam = 20, hops = 3).collect()
+    assert(res.length == k)
+    assert(res.forall(r => !delSet.contains(r.getLong(2))),
+      "a deleted id surfaced in serving results")
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
