@@ -2958,6 +2958,68 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMING ANN index maintenance (round 11): the layered index is
+    // kept fresh by a stream — each foreachBatch micro-batch applies
+    // insertLayered against the state every PRIOR batch left (the
+    // BM25-index streaming pattern, now for the vector side).  Two
+    // sequential triggers (batch A = %50==7, batch B = %50==32 on the
+    // A-updated index); output = serving from the final index, and the
+    // oracle replicates BOTH rounds back to back
+    "stream_knn_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val existing = e.filter(col("vec_id") % 25 =!= 7)
+      val uri = util.Staging.dirFor(
+        "graft_knn_lins_v1_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          uri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        ops.KnnGraph.persistLayered(s,
+          ops.KnnGraph.buildLayered(existing, "vec_id", "embedding",
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+      }
+      val pristine = ops.KnnGraph.loadLayered(s, uri)
+      (0 until pristine.levels.length).foreach { l =>
+        val lu = s"$uri/level$l"
+        if (io.Snapshots.latestVersion(s, lu) > 1)
+          io.Snapshots.restoreCommit(s, lu, 1)
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamknn_" +
+        new java.io.File(dir).getName
+      val srcDir = s"$base/src"; val ck = s"$base/ck"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // batch order is by construction: write A, drain, write B, drain
+      e.filter(col("vec_id") % 50 === 7)
+        .coalesce(1).write.parquet(s"$srcDir/ba")
+      var done = existing.select("vec_id", "embedding")
+      val q = s.readStream.schema(e.schema).parquet(s"$srcDir/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            ops.KnnGraph.insertLayered(s, uri, done, batch,
+              "vec_id", "embedding", k = 10, beam = 40, hops = 4)
+            done = done.unionByName(
+              batch.select("vec_id", "embedding").localCheckpoint())
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      e.filter(col("vec_id") % 50 === 32)
+        .coalesce(1).write.parquet(s"$srcDir/bb")
+      q.processAllAvailable()
+      q.stop()
+      val idx = ops.KnnGraph.loadLayered(s, uri)
+      ops.KnnGraph.searchLayered(idx, e,
+          e.filter(col("vec_id").isin(0L, 1L, 2L, 7L, 32L)),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // INDEX DELETION with healing (round 11): 2.5% of the corpus leaves
     // the persisted layered index — deleted lists drop, survivors that
     // listed a removed neighbor re-rank over (surviving neighbors ∪
@@ -4132,6 +4194,56 @@ object SparkEntry {
     ((head ++ hops).mkString(", "), s"st$i$p")
   }
 
+  /** The beam lowest SIGNED-hash members of an id-set CTE — the
+    * insertion walk's seed rule (mirrors flat search restricted to a
+    * level's members). */
+  private def knnLevelSeedsSql(src: String): String =
+    s"SELECT id AS cand FROM (SELECT h - (h >> 63) * $KnnM64 AS sh, " +
+      s"hx.id FROM hx JOIN $src s ON s.id = hx.id " +
+      "ORDER BY sh, hx.id LIMIT 40)"
+
+  private def knnQsOfSql(src: String): String =
+    "SELECT vec_id AS query_id, v AS qv FROM ev " +
+      s"JOIN $src n ON n.id = ev.vec_id"
+
+  /** insertLayered's per-level merge in SQL: new edge lists = top-10
+    * of the final beam state `st`, affected nodes of graph `g`
+    * re-ranked over (old neighbors ∪ reverse-selecting new nodes) by
+    * exact cosine.  Emits `med$p` (merged a,b rows) and `medg$p`
+    * (cand,next edge view). */
+  private def knnMergeCtes(p: String, g: String, st: String): String =
+    s"ne$p AS MATERIALIZED (SELECT a, b, cos, rn FROM (" +
+      "SELECT query_id AS a, cand AS b, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rn " +
+      s"FROM $st WHERE cand <> query_id) WHERE rn <= 10), " +
+      s"aff$p AS (SELECT DISTINCT b AS id FROM ne$p), " +
+      s"mc$p AS (SELECT DISTINCT a, b FROM (" +
+      s"SELECT g.a, g.b FROM $g g JOIN aff$p ON aff$p.id = g.a " +
+      s"UNION ALL SELECT ne$p.b AS a, ne$p.a AS b FROM ne$p)), " +
+      knnTopK(s"mg$p", s"mc$p", 10) + ", " +
+      s"med$p AS (SELECT a, b FROM $g " +
+      s"WHERE a NOT IN (SELECT id FROM aff$p) " +
+      s"UNION ALL SELECT a, b FROM mg$p " +
+      s"UNION ALL SELECT a, b FROM ne$p), " +
+      s"medg$p AS (SELECT a AS cand, b AS next FROM med$p)"
+
+  /** One full insertLayered round over both levels: batch id-sets
+    * `new0`/`new1` walk edge views `edges0`/`edges1` of graphs
+    * `g0`/`g1`, seeded from existing id-sets `ex0`/`ex1`; produces
+    * merged graphs `med${p}0`/`med${p}1` + edge views `medg${p}0/1`. */
+  private def knnInsertRoundCtes(p: String, ex0: String, ex1: String,
+      new0: String, new1: String, g0: String, g1: String): String = {
+    val (i0, ist0) = knnServeCtes(s"${p}w0", knnQsOfSql(new0),
+      knnLevelSeedsSql(ex0), beam = 40, Seq((s"edv${p}0", 4)))
+    val (i1, ist1) = knnServeCtes(s"${p}w1", knnQsOfSql(new1),
+      knnLevelSeedsSql(ex1), beam = 40, Seq((s"edv${p}1", 4)))
+    s"edv${p}0 AS (SELECT a AS cand, b AS next FROM $g0), " +
+      s"edv${p}1 AS (SELECT a AS cand, b AS next FROM $g1), " +
+      i0 + ", " + i1 + ", " +
+      knnMergeCtes(s"${p}0", g0, ist0) + ", " +
+      knnMergeCtes(s"${p}1", g1, ist1)
+  }
+
   /** The incremental-insert oracle: build the two-level index on the
     * EXISTING subset (id % 25 <> 7), replicate insertLayered per level
     * — the batch's beam walk over the level graph (new edge lists =
@@ -4142,32 +4254,12 @@ object SparkEntry {
   private val KnnInsertOracle: String = {
     val (b0, g0) = knnBuildCtes("l0", "exist", iters = 6, k = 10)
     val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
-    def levelSeeds(src: String): String =
-      s"SELECT id AS cand FROM (SELECT h - (h >> 63) * $KnnM64 AS sh, " +
-        s"hx.id FROM hx JOIN $src s ON s.id = hx.id " +
-        "ORDER BY sh, hx.id LIMIT 40)"
-    def qsOf(src: String): String =
-      "SELECT vec_id AS query_id, v AS qv FROM ev " +
-        s"JOIN $src n ON n.id = ev.vec_id"
-    val (i0, ist0) = knnServeCtes("i0", qsOf("newn"),
-      levelSeeds("exist"), beam = 40, Seq(("edg0", 4)))
-    val (i1, ist1) = knnServeCtes("i1", qsOf("newn1"),
-      levelSeeds("sub1"), beam = 40, Seq(("edg1", 4)))
+    val (i0, ist0) = knnServeCtes("i0", knnQsOfSql("newn"),
+      knnLevelSeedsSql("exist"), beam = 40, Seq(("edg0", 4)))
+    val (i1, ist1) = knnServeCtes("i1", knnQsOfSql("newn1"),
+      knnLevelSeedsSql("sub1"), beam = 40, Seq(("edg1", 4)))
     def mergeCtes(p: String, g: String, st: String): String =
-      s"ne$p AS MATERIALIZED (SELECT a, b, cos, rn FROM (" +
-        "SELECT query_id AS a, cand AS b, cos, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rn " +
-        s"FROM $st WHERE cand <> query_id) WHERE rn <= 10), " +
-        s"aff$p AS (SELECT DISTINCT b AS id FROM ne$p), " +
-        s"mc$p AS (SELECT DISTINCT a, b FROM (" +
-        s"SELECT g.a, g.b FROM $g g JOIN aff$p ON aff$p.id = g.a " +
-        s"UNION ALL SELECT ne$p.b AS a, ne$p.a AS b FROM ne$p)), " +
-        knnTopK(s"mg$p", s"mc$p", 10) + ", " +
-        s"med$p AS (SELECT a, b FROM $g " +
-        s"WHERE a NOT IN (SELECT id FROM aff$p) " +
-        s"UNION ALL SELECT a, b FROM mg$p " +
-        s"UNION ALL SELECT a, b FROM ne$p), " +
-        s"medg$p AS (SELECT a AS cand, b AS next FROM med$p)"
+      knnMergeCtes(p, g, st)
     val (f, fst) = knnServeCtes("f",
       "SELECT vec_id AS query_id, v AS qv FROM ev " +
         "WHERE vec_id IN (0, 1, 2, 7, 32)",
@@ -4239,6 +4331,46 @@ object SparkEntry {
       ", " + healCtes("d0", g0) +
       ", " + healCtes("d1", g1) +
       ", " + f +
+      " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
+      "round(cos, 4) AS cosine FROM (" +
+      "SELECT query_id, cand, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rk " +
+      s"FROM $fst WHERE cand <> query_id) WHERE rk <= 10 " +
+      "ORDER BY query_id, rank"
+  }
+
+  /** The STREAMING index-maintenance oracle: two insertLayered rounds
+    * back to back — batch A (id % 50 = 7) walks the pristine graphs,
+    * batch B (id % 50 = 32) walks the A-merged graphs with seeds drawn
+    * from existing ∪ A — then serving from the final graphs.  Exactly
+    * what two sequential foreachBatch triggers compute. */
+  private val KnnStreamInsertOracle: String = {
+    val (b0, g0) = knnBuildCtes("l0", "exist", iters = 6, k = 10)
+    val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
+    val roundA = knnInsertRoundCtes("ra", "exist", "sub1",
+      "newa", "newa1", g0, g1)
+    val roundB = knnInsertRoundCtes("rb", "exb0", "exb1",
+      "newb", "newb1", "medra0", "medra1")
+    val (f, fst) = knnServeCtes("f",
+      "SELECT vec_id AS query_id, v AS qv FROM ev " +
+        "WHERE vec_id IN (0, 1, 2, 7, 32)",
+      "SELECT DISTINCT a AS cand FROM medrb1", beam = 40,
+      Seq(("medgrb1", 1), ("medgrb0", 4)))
+    "WITH " + KnnHashCtes +
+      ", exist AS (SELECT id FROM ids WHERE id % 25 <> 7)" +
+      ", newa AS (SELECT id FROM ids WHERE id % 50 = 7)" +
+      ", newb AS (SELECT id FROM ids WHERE id % 50 = 32)" +
+      ", " + b0 +
+      ", sub1 AS (SELECT e.id FROM exist e JOIN hx ON hx.id = e.id " +
+      "WHERE hx.h % 4 = 0)" +
+      ", newa1 AS (SELECT n.id FROM newa n JOIN hx ON hx.id = n.id " +
+      "WHERE hx.h % 4 = 0)" +
+      ", newb1 AS (SELECT n.id FROM newb n JOIN hx ON hx.id = n.id " +
+      "WHERE hx.h % 4 = 0)" +
+      ", exb0 AS (SELECT id FROM exist UNION ALL SELECT id FROM newa)" +
+      ", exb1 AS (SELECT id FROM sub1 UNION ALL SELECT id FROM newa1)" +
+      ", " + b1 +
+      ", " + roundA + ", " + roundB + ", " + f +
       " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
       "round(cos, 4) AS cosine FROM (" +
       "SELECT query_id, cand, cos, row_number() OVER " +
@@ -4475,6 +4607,7 @@ object SparkEntry {
     "sim_knn_serve_layered_persisted" -> KnnLayeredOracle,
     "sim_knn_index_insert" -> KnnInsertOracle,
     "sim_knn_index_delete" -> KnnDeleteOracle,
+    "stream_knn_index" -> KnnStreamInsertOracle,
 
     // value-exact SemDeDup: the shared IVF k-means, within-cell pairs
     // at cosine >= 0.45 (NaN-guarded), duplicate groups as the
