@@ -67,7 +67,16 @@ object Branches {
       fs.exists(basePath(uri, name))
     }
     val base =
-      if (torn) forkBase(spark, uri, name)
+      if (torn) {
+        // the marker is the mutex: its recorded base IS the decided
+        // fork point, so an explicit conflicting fromVersion cannot be
+        // honored silently
+        val b = forkBase(spark, uri, name)
+        require(fromVersion <= 0 || fromVersion == b,
+          s"branch '$name' has a torn create recording fork base $b — " +
+            s"resume cannot refork from $fromVersion; drop_branch first")
+        b
+      }
       else if (fromVersion <= 0) Snapshots.latestVersion(spark, uri)
       else fromVersion
     require(fs.exists(Snapshots.manifestPath(uri, base)),
@@ -119,12 +128,12 @@ object Branches {
     val fs = Snapshots.fsOf(spark, uri)
     val p = basePath(uri, name)
     require(fs.exists(p), s"branch '$name' has no fork-base marker")
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toInt
-    } finally in.close()
+    Snapshots.readMarkerInt(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' on $uri has an UNREADABLE fork-base marker " +
+          "(a crash before the base was recorded) — no fork point was " +
+          "ever decided, so resume is impossible; drop_branch and " +
+          "recreate"))
   }
 
   /** Read a branch manifest through the SHARED manifest machinery
@@ -320,14 +329,18 @@ object Branches {
       // a branch DROPPED between the listing and this read contributes
       // nothing (its files are orphans from that instant; retention's
       // orphan grace covers the transition) — expire must not fail on
-      // the race
-      scala.util.Try {
-        fs.listStatus(branchDir(uri, name)).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".manifest"))
-          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-          .flatMap(v => scala.util.Try(
-            readEntries(spark, uri, name, v)).getOrElse(Nil))
-      }.getOrElse(Nil)
+      // the race.  ONLY the dropped-branch case may be swallowed: this
+      // is expire's keep-set, so treating a transient IO error or a
+      // corrupt manifest as "references nothing" would delete a LIVE
+      // branch's staged files.  The discriminator is the branch dir
+      // itself: gone = dropped, still there = real failure, rethrow.
+      try
+        versions(spark, uri, name)
+          .flatMap(v => readEntries(spark, uri, name, v))
+      catch {
+        case e: Exception =>
+          if (!fs.exists(branchDir(uri, name))) Nil else throw e
+      }
     }
   }
 

@@ -343,13 +343,22 @@ object CopyTo {
   }
 
   def listDataFiles(spark: SparkSession, uri: String): (Seq[String], Long) = {
+    val all = listDataFileStatus(spark, uri)
+    (all.map(_._1).sorted, all.map(_._2).sum)
+  }
+
+  /** (path, length, modification time) per data file — one recursive
+    * listing; retention reads the mtimes from here instead of paying a
+    * getFileStatus round-trip per orphan candidate. */
+  private[io] def listDataFileStatus(
+      spark: SparkSession, uri: String): Seq[(String, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return (Nil, 0L)
+    if (!fs.exists(p)) return Nil
     val rootPath = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(p, true)
-    val buf = Seq.newBuilder[(String, Long)]
+    val buf = Seq.newBuilder[(String, Long, Long)]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
@@ -364,10 +373,9 @@ object CopyTo {
       val hiddenAncestor = comps.view.init
         .exists(c => c.startsWith("_") || c.startsWith("."))
       if (!name.startsWith("_") && !name.startsWith(".") && !hiddenAncestor)
-        buf += ((st.getPath.toString, st.getLen))
+        buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
-    val all = buf.result()
-    (all.map(_._1).sorted, all.map(_._2).sum)
+    buf.result()
   }
 
   private def deleteDir(spark: SparkSession, uri: String): Unit = {

@@ -2197,7 +2197,7 @@ object Snapshots extends Serializable {
     // loads — hadoop's local FS surfaces that as a RuntimeException
     // over an ExitCodeException, found by the round-11 threaded fuzz);
     // the listing is only used to FIND deletable files, so retry it
-    val (files, _) = {
+    val files = {
       def vanished(e: Throwable): Boolean = {
         var c: Throwable = e
         while (c != null) {
@@ -2210,25 +2210,24 @@ object Snapshots extends Serializable {
         false
       }
       var attempt = 0
-      var out: Option[(Seq[String], Long)] = None
+      var out: Option[Seq[(String, Long, Long)]] = None
       while (out.isEmpty) {
-        try out = Some(CopyTo.listDataFiles(spark, uri))
+        try out = Some(CopyTo.listDataFileStatus(spark, uri))
         catch { case e: Exception if attempt < 8 && vanished(e) =>
           attempt += 1; Thread.sleep(25) }
       }
       out.get
     }
-    files.foreach { f =>
+    files.foreach { case (f, _, mtime) =>
       val p = PathStrings.parse(f)
       val n = relName(uri, f)
       // listDataFiles filters by FILE name only — manifests live under
       // the _graft_manifests dir but their own names aren't underscored
       val inManifestDir = p.getParent != null &&
         p.getParent.getName == "_graft_manifests"
+      // mtime comes from the listing itself — no per-candidate RPC
       val reclaimable = expiredRef.contains(n) ||
-        (orphanGraceMs <= 0L ||
-          (try fs.getFileStatus(p).getModificationTime < orphanHorizon
-           catch { case _: java.io.IOException => false }))
+        orphanGraceMs <= 0L || mtime < orphanHorizon
       if (!inManifestDir && !keep.contains(n) && reclaimable) {
         fs.delete(p, false)
         removed += f
@@ -2594,14 +2593,10 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, metadataDir: String): Int = {
     val fs = fsOf(spark, metadataDir)
     val p = new Path(metadataDir, "graft_starting_version")
-    def readIt: Int = {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toInt
-      } finally in.close()
-    }
+    def readIt: Int = readMarkerInt(fs, p).getOrElse(
+      throw new IllegalStateException(
+        s"$p: starting-version marker unreadable (torn write) — " +
+          "remove it (or the checkpoint) to re-resolve"))
     if (fs.exists(p)) readIt
     else {
       val v = latestVersion(spark, uri)
@@ -2626,4 +2621,21 @@ object Snapshots extends Serializable {
 
   private[io] def fsOf(spark: SparkSession, uri: String) =
     new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Read a tiny integer marker file (branch fork base, stream
+    * starting version, index branching): Some(n) on a parseable
+    * marker, None when the file is missing or its content is not an
+    * int (a torn write — crash between create and write).  The shared
+    * reader keeps the three marker surfaces' parsing identical. */
+  private[graft] def readMarkerInt(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Int] =
+    try {
+      val in = fs.open(p)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+      } finally in.close()
+      s.toIntOption
+    } catch { case _: java.io.FileNotFoundException => None }
 }

@@ -173,12 +173,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             throw new NoSuchTableException(Seq(
               s"$ident (branch version '$s' is not a number)")))
         }
+        // only a genuinely MISSING version maps to "not found" — an IO
+        // error or a corrupt manifest must surface as itself, not send
+        // the user off to recreate a branch whose data is present
+        if (!graft.io.Branches.versions(spark, uri, name).contains(head))
+          throw new NoSuchTableException(Seq(
+            s"$ident (branch '$name' has no version $head)"))
         new SnapshotV2Table(spark, uri, s"$ident@$name", head,
           branchManifest = Some((head,
-            scala.util.Try(graft.io.Branches
-              .readManifest(spark, uri, name, head)).getOrElse(
-              throw new NoSuchTableException(Seq(
-                s"$ident (branch '$name' has no version $head)"))))))
+            graft.io.Branches.readManifest(spark, uri, name, head))))
       case None =>
         val uri = uriOf(ident)
         val tagged = Snapshots.tags(spark, uri).getOrElse(version,

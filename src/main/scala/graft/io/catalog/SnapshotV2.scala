@@ -1018,10 +1018,17 @@ final class SnapshotMicroBatchStream(
     // ("restart the stream" could never clear it).  If the start
     // manifest is gone (expired by retention), fall back to the
     // resolution-time anchor — conservative, never silent.
+    // Pass when the end schema matches EITHER anchor: the range's own
+    // start (a wholly-old-schema replay under a re-resolved scan) or
+    // the scan's resolution (a post-restart replay of the range that
+    // SPANNED the change — the restart already re-resolved, which is
+    // what "restart the stream" promises).  Fail only when both
+    // disagree: a LIVE stream watching the change happen.
     val startSchemaId: Option[Int] =
       scala.util.Try(Snapshots.readManifestFull(spark, uri, from).schemaId)
         .getOrElse(scan.resolvedSchemaId)
-    require(endManifest.schemaId == startSchemaId,
+    require(endManifest.schemaId == startSchemaId ||
+      endManifest.schemaId == scan.resolvedSchemaId,
       s"$uri: table schema changed mid-stream within batch range " +
         s"[$from, $to] (schema pointer " +
         s"${startSchemaId.getOrElse("none")} -> " +

@@ -311,12 +311,9 @@ object KnnGraph {
     require(levels.nonEmpty, s"$uri has no persisted layered index")
     val bp = new org.apache.hadoop.fs.Path(uri, "branching")
     require(fs.exists(bp), s"$uri has no branching marker")
-    val in = fs.open(bp)
-    val branching = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      new String(buf.toByteArray, "UTF-8").trim.toInt
-    } finally in.close()
+    val branching = graft.io.Snapshots.readMarkerInt(fs, bp).getOrElse(
+      throw new IllegalArgumentException(
+        s"$uri: branching marker unreadable — re-persist the index"))
     LayeredKnnGraph(
       levels.map(p => graft.io.Snapshots.read(spark, p.toString)),
       branching)

@@ -48,7 +48,11 @@ object AudioDecode {
           f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
         val unsigned8 =
           f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
-        if (!signed16 && !unsigned8) None
+        // a crafted/corrupt fmt chunk can declare rate 0 or channels 0
+        // — downstream divides by both, and the never-fail contract
+        // means such a blob must decode to None, not crash the task
+        if ((!signed16 && !unsigned8) ||
+            f.getSampleRate.toInt <= 0 || f.getChannels <= 0) None
         else {
           val bytes = in.readAllBytes()
           val ch = f.getChannels

@@ -362,6 +362,54 @@ class BranchSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == Seq(101L, 102L))
   }
 
+  test("expire FAILS LOUDLY on an unreadable live-branch manifest " +
+      "instead of treating the branch as referencing nothing") {
+    val dir = fresh("br_corrupt_keep")
+    Branches.create(spark, dir, "stage")
+    Branches.append(spark, dir, "stage", Seq((500L, "s")).toDF("k", "s"))
+    Snapshots.overwriteCommit(spark, dir, Seq((1L, "new")).toDF("k", "s"))
+    // corrupt the branch's manifests: if expire swallowed this, the
+    // staged append (referenced by NO main manifest) would be swept
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new Path(dir, "_graft_manifests/refs/stage")
+    fs.listStatus(bdir).filter(_.getPath.getName.endsWith(".manifest"))
+      .foreach { st =>
+        val out = fs.create(st.getPath, true)
+        out.write("not a manifest at all".getBytes); out.close()
+      }
+    val dataBefore = CopyTo.listDataFiles(spark, dir)._1.toSet
+    intercept[Exception] { Snapshots.expire(spark, dir, keepVersions = 1) }
+    assert(CopyTo.listDataFiles(spark, dir)._1.toSet == dataBefore,
+      "expire deleted data while the branch keep-set was unreadable")
+    Branches.drop(spark, dir, "stage")
+    Snapshots.expire(spark, dir, keepVersions = 1) // now clean
+  }
+
+  test("a torn EMPTY base marker errs clearly; resume refuses a " +
+      "conflicting fromVersion") {
+    val dir = fresh("br_torn_marker")
+    Snapshots.appendCommit(spark, dir, Seq((101L, "x")).toDF("k", "s"))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    Branches.create(spark, dir, "t", fromVersion = 1)
+    val bdir = new Path(dir, "_graft_manifests/refs/t")
+    fs.listStatus(bdir).filter(_.getPath.getName.endsWith(".manifest"))
+      .foreach(st => fs.delete(st.getPath, false))
+    // conflicting explicit refork of a torn branch is refused
+    val e0 = intercept[IllegalArgumentException] {
+      Branches.create(spark, dir, "t", fromVersion = 2)
+    }
+    assert(e0.getMessage.contains("resume cannot refork"), e0.getMessage)
+    // crash-before-write marker: empty file -> clear diagnosis, not a
+    // NumberFormatException
+    val out = fs.create(new Path(bdir, "base"), true); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Branches.create(spark, dir, "t")
+    }
+    assert(e.getMessage.contains("UNREADABLE fork-base marker"),
+      e.getMessage)
+    Branches.drop(spark, dir, "t")
+  }
+
   test("a torn create (base marker, no fork manifest) is diagnosed by " +
       "latest() and resumed by create()") {
     val dir = fresh("br_torn")

@@ -679,25 +679,35 @@ class CatalogV2Spec extends AnyFunSuite {
     Snapshots.init(spark, dir)                                    // v1 (schema A)
     Snapshots.appendCommit(spark, dir,
       spark.range(10, 15).selectExpr("id AS k", "id AS v"))       // v2 (schema A)
-    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val") // v3 (schema B)
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[graft.io.catalog.GraftCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array.empty[String], dir)
-    val scan = cat.loadTable(ident)
+    def scanNow() = cat.loadTable(ident)
       .asInstanceOf[graft.io.catalog.SnapshotV2Table]
       .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("startingVersion", "1")))
       .build().asInstanceOf[graft.io.catalog.SnapshotScan]
-    val stream = scan.toMicroBatchStream(freshTable("catv2_rw_ck"))
-    // replay of [1,2] — both under schema A — must plan, not wedge
-    val parts = stream.planInputPartitions(
-      graft.io.catalog.VersionOffset(1), graft.io.catalog.VersionOffset(2))
-    assert(parts.nonEmpty, "old-schema replay planned no partitions")
-    // while a change WITHIN the range still fails loudly
-    val e = intercept[IllegalArgumentException](stream.planInputPartitions(
-      graft.io.catalog.VersionOffset(1), graft.io.catalog.VersionOffset(3)))
+    // a LIVE stream (resolved under schema A) watching the change
+    // happen must fail loudly
+    val live = scanNow().toMicroBatchStream(freshTable("catv2_rw_ck0"))
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val") // v3 (schema B)
+    Snapshots.appendCommit(spark, dir,
+      spark.range(15, 18).selectExpr("id AS k", "id AS val"))     // v4 (schema B)
+    val e = intercept[IllegalArgumentException](live.planInputPartitions(
+      graft.io.catalog.VersionOffset(1), graft.io.catalog.VersionOffset(4)))
     assert(e.getMessage.contains("schema changed mid-stream"), e.getMessage)
+    // after restart (re-resolution under B) every WAL'd replay plans:
+    // the wholly-old-schema range AND the range spanning the change
+    val replay = scanNow().toMicroBatchStream(freshTable("catv2_rw_ck1"))
+    assert(replay.planInputPartitions(
+      graft.io.catalog.VersionOffset(1),
+      graft.io.catalog.VersionOffset(2)).nonEmpty,
+      "old-schema replay planned no partitions")
+    assert(replay.planInputPartitions(
+      graft.io.catalog.VersionOffset(1),
+      graft.io.catalog.VersionOffset(4)).nonEmpty,
+      "spanning replay wedged after re-resolution")
   }
 
   test("durableStartingVersion surfaces a genuine write failure " +

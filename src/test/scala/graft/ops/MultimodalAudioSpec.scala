@@ -73,6 +73,14 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(AudioDecode.decode(Array.emptyByteArray).isEmpty)
     // RIFF magic but truncated garbage
     assert(AudioDecode.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    // a crafted fmt chunk declaring sample rate 0 must decode to None
+    // (downstream divides by the rate — the never-fail contract)
+    val rate0 = AudioDecode.encodeWav(Array(1, 2, 3), 8000)
+    val bb = java.nio.ByteBuffer.wrap(rate0)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(24, 0) // sampleRate field of the canonical header
+    assert(AudioDecode.decode(rate0).isEmpty,
+      "rate-0 WAV must be undecodable, not a division bomb")
     val recs = Seq(
       Multimodal.MediaRecord(1L, "plain text".getBytes),
       Multimodal.MediaRecord(2L,
