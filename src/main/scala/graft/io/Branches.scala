@@ -48,6 +48,24 @@ object Branches {
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"branch name '$name' must be [A-Za-z0-9._-]+")
 
+  /** ATOMIC publish of a branch file: stage under a hidden stamped tmp
+    * in the same dir, then [[Snapshots.publishExclusive]] into place.
+    * A concurrent reader (expire's keep-set scan, a branch audit read)
+    * never sees a partial manifest — the round-11 threaded fuzz caught
+    * expire parsing a HALF-WRITTEN branch manifest mid-append — and a
+    * concurrent same-name commit loses LOUDLY instead of overwriting. */
+  private def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, bytes: Array[Byte], what: String): Unit = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try Snapshots.publishExclusive(fs, tmp, p, what)
+    catch { case e: IllegalStateException =>
+      throw new IllegalArgumentException(e.getMessage)
+    }
+  }
+
   /** Fork a branch from `fromVersion` (default: main's head).  One
     * manifest copy; no data is touched.  Returns the fork base. */
   def create(spark: SparkSession, uri: String, name: String,
@@ -83,14 +101,16 @@ object Branches {
       s"$uri has no version $base to branch from")
     if (!torn) {
       fs.mkdirs(branchDir(uri, name))
-      // the BASE MARKER is the creation mutex: exclusive create means
-      // exactly one racer proceeds to write a fork manifest — two racers
-      // straddling a concurrent main commit would otherwise each publish
-      // a DIFFERENT fork version into the same branch (the loser's head
-      // silently winning and fast_forward permanently refusing)
-      val bout = fs.create(basePath(uri, name), false)
-      try bout.write(base.toString.getBytes(StandardCharsets.UTF_8))
-      finally bout.close()
+      // the BASE MARKER is the creation mutex: its ATOMIC rename-into-
+      // place means exactly one racer proceeds to write a fork
+      // manifest — two racers straddling a concurrent main commit
+      // would otherwise each publish a DIFFERENT fork version into the
+      // same branch (the loser's head silently winning and
+      // fast_forward permanently refusing); atomicity also closes the
+      // window where a concurrent forkBase read saw an empty marker
+      publishAtomic(fs, basePath(uri, name),
+        base.toString.getBytes(StandardCharsets.UTF_8),
+        s"branch '$name' (concurrent create)")
     }
     // copy the fork manifest verbatim — the branch starts as an exact
     // alias of main@base (schema pointer and stats ride along; a
@@ -101,8 +121,8 @@ object Branches {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       buf.toByteArray
     } finally in.close()
-    val out = fs.create(branchManifest(uri, name, base), false)
-    try out.write(bytes) finally out.close()
+    publishAtomic(fs, branchManifest(uri, name, base), bytes,
+      s"branch '$name' fork manifest")
     base
   }
 
@@ -277,13 +297,10 @@ object Branches {
     val header = s"graft-manifest v4 kind=append" +
       s" ts=${System.currentTimeMillis()}" +
       schemaId.map(i => s" schema=$i").getOrElse("")
-    val p = branchManifest(uri, name, newV)
-    require(!fs.exists(p),
-      s"concurrent commit: branch '$name' version $newV already published")
-    val out = fs.create(p, false)
-    try out.write(((header +: lines).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    publishAtomic(fs, branchManifest(uri, name, newV),
+      ((header +: lines).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      s"branch '$name' version $newV")
     newV
   }
 
@@ -297,15 +314,22 @@ object Branches {
    */
   def fastForward(spark: SparkSession, uri: String, name: String): Int = {
     val base = forkBase(spark, uri, name)
-    val cur = Snapshots.latestVersion(spark, uri)
-    require(cur == base,
-      s"cannot fast-forward branch '$name': main is at v$cur but the " +
-        s"branch forked from v$base — recreate the branch from v$cur " +
-        "and replay its appends")
     val head = latest(spark, uri, name)
     val entries = readEntries(spark, uri, name, head)
-    Snapshots.writeManifest(spark, uri, cur + 1, entries, kind = "append")
-    cur + 1
+    // the divergence check lives INSIDE the retry loop: a commit that
+    // lands between the check and the publish makes this writer lose
+    // the version race, and the replay must re-judge divergence against
+    // the NEW head (refusing with the recreate advice) instead of
+    // surfacing a raw concurrent-commit error
+    Snapshots.retryCommit() {
+      val cur = Snapshots.latestVersion(spark, uri)
+      require(cur == base,
+        s"cannot fast-forward branch '$name': main is at v$cur but the " +
+          s"branch forked from v$base — recreate the branch from v$cur " +
+          "and replay its appends")
+      Snapshots.writeManifest(spark, uri, cur + 1, entries, kind = "append")
+      cur + 1
+    }
   }
 
   /** Delete the branch (its appended files become expire-reclaimable

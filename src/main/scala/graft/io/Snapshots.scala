@@ -2461,19 +2461,52 @@ object Snapshots extends Serializable {
     // first-wins commit: a racing writer that published the same version
     // number first KEEPS it — this writer fails cleanly, its manifest tmp
     // is removed, and its (uniquely named) data files are orphans that
-    // expire() reclaims.  POSIX/HDFS rename overwrites an existing
-    // destination, so an explicit existence check is required; the
-    // residual check→rename window is what a real deployment closes with
-    // a conditional put / commit service (Delta's LogStore, Iceberg's
-    // catalog CAS) — same protocol, stronger primitive.
-    if (fs.exists(manifestPath(uri, v))) {
+    // expire() reclaims.
+    publishExclusive(fs, tmp, manifestPath(uri, v),
+      s"$uri version $v")
+  }
+
+  /**
+   * Atomic EXCLUSIVE publish of a fully-staged file: the destination
+   * is either absent (this writer wins) or the loser fails loudly —
+   * never a silent overwrite.  POSIX rename REPLACES an existing
+   * destination, so an exists-check + rename has a residual window in
+   * which two racers both pass the check and the second rename
+   * clobbers the first COMMIT (the round-11 threaded fuzz lost a
+   * 12-row insert exactly this way).  On a local filesystem link(2)
+   * is the atomic no-replace primitive: hard-link the staged tmp to
+   * the destination (EEXIST = loser), then drop the tmp name.  On
+   * HDFS, rename itself refuses an existing destination.  Object
+   * stores use a conditional put / commit service in real deployments
+   * (Delta's LogStore, Iceberg's catalog CAS) — same protocol,
+   * different primitive — and keep the exists+rename approximation.
+   */
+  private[graft] def publishExclusive(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path,
+      what: String): Unit = {
+    def lose(): Nothing = {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"concurrent commit: $uri version $v was published by another " +
-          "writer; re-read the latest version and retry")
+        s"concurrent commit: $what was published by another writer; " +
+          "re-read the latest version and retry")
     }
-    require(fs.rename(tmp, manifestPath(uri, v)),
-      s"manifest commit v$v failed (concurrent writer?)")
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      val t = java.nio.file.Paths.get(
+        fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(
+        fs.makeQualified(dst).toUri.getPath)
+      try java.nio.file.Files.createLink(d, t)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => lose()
+      }
+      fs.delete(tmp, false) // drops the checksum sidecar too
+    } else {
+      // HDFS rename refuses an existing destination (returns false);
+      // the up-front check keeps object-store behavior first-wins
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) lose()
+    }
   }
 
   private def readManifest(

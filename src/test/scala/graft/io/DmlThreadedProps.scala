@@ -253,11 +253,15 @@ class DmlThreadedProps extends AnyFunSuite {
         val rows = spark.sql(s"SELECT k, v, p FROM graft.`$dir`")
           .collect().map(r => r.getLong(0) ->
             (r.getLong(1), r.getString(2))).toSeq
+        val gotKeys = rows.map(_._1).toSet
         assert(rows.size == expected.size,
           s"case $ci layout=$layout mor=$mor after $step: " +
             s"${rows.size} rows vs model ${expected.size} " +
             s"(dups=${rows.groupBy(_._1).filter(_._2.size > 1)
-              .keys.take(5)})")
+              .keys.take(5)} " +
+            s"missing=${(expected.keySet -- gotKeys).toSeq.sorted.take(20)} " +
+            s"extra=${(gotKeys -- expected.keySet).toSeq.sorted.take(20)} " +
+            s"ff=${ffBatches.size})")
         val got = rows.toMap
         assert(got == expected,
           s"case $ci layout=$layout mor=$mor after $step: " +
