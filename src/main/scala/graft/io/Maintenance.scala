@@ -26,13 +26,21 @@ object Maintenance {
   private val TmpSuffixes =
     Seq("_compact_tmp", "_merge_tmp", "_resplit_tmp", "_swap_old")
 
+  /** Default concurrent-writer window (Iceberg's `remove_orphan_files`
+    * default): a bare VACUUM must never sweep a live writer's staging —
+    * the round-11 threaded fuzz proved grace=0 does exactly that — so
+    * eager cleanup is an explicit opt-in (`orphan_grace '0'`), never
+    * the default. */
+  val DefaultOrphanGraceMs: Long = 3L * 24 * 60 * 60 * 1000
+
   /** Paths removed.  `graceMs` is the concurrent-writer window: a
     * stamped tmp strand is indistinguishable from a LIVE writer's
     * staging dir (the round-11 threaded fuzz deleted one mid-write),
-    * so with a nonzero grace only strands older than the window are
-    * swept.  0 (the default) keeps the eager single-writer behavior. */
+    * so only strands older than the window are swept.  Defaults to
+    * [[DefaultOrphanGraceMs]]; single-writer tests and tools that
+    * KNOW no writer is live opt into eager cleanup with 0. */
   def vacuum(spark: SparkSession, uri: String,
-      graceMs: Long = 0L): Seq[String] = {
+      graceMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(uri)
     val fs = p.getFileSystem(conf)

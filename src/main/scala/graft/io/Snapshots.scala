@@ -2108,7 +2108,7 @@ object Snapshots extends Serializable {
 
   def expire(
       spark: SparkSession, uri: String, keepVersions: Int = 1,
-      orphanGraceMs: Long = 0L): Seq[String] = {
+      orphanGraceMs: Long = Maintenance.DefaultOrphanGraceMs): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val latest = latestVersion(spark, uri)
     // keepVersions may exceed the table's age — keep everything then
@@ -2124,7 +2124,7 @@ object Snapshots extends Serializable {
     * modification time — the commit's publish instant. */
   def expireOlderThan(
       spark: SparkSession, uri: String, maxAgeMillis: Long,
-      orphanGraceMs: Long = 0L): Seq[String] =
+      orphanGraceMs: Long = Maintenance.DefaultOrphanGraceMs): Seq[String] =
     expireBelow(spark, uri, ageCutoff(spark, uri, maxAgeMillis),
       orphanGraceMs)
 
@@ -2133,7 +2133,7 @@ object Snapshots extends Serializable {
     * younger than `maxAgeMillis`. */
   def expireOlderThanKeeping(spark: SparkSession, uri: String,
       maxAgeMillis: Long, retainLast: Int,
-      orphanGraceMs: Long = 0L): Seq[String] = {
+      orphanGraceMs: Long = Maintenance.DefaultOrphanGraceMs): Seq[String] = {
     require(retainLast >= 1, "must keep at least the latest version")
     val latest = latestVersion(spark, uri)
     expireBelow(spark, uri, math.min(
@@ -2168,9 +2168,9 @@ object Snapshots extends Serializable {
     * rewrites mint fresh names), but a file referenced by NOTHING may
     * be a concurrent writer's just-published data whose manifest
     * commit hasn't landed yet; it is reclaimed only when older than
-    * the grace window.  0 (the default) keeps the eager single-writer
-    * behavior; concurrent maintenance should pass a real window
-    * (Iceberg's remove_orphan_files defaults to 3 days). */
+    * the grace window.  Public entry points default to
+    * [[Maintenance.DefaultOrphanGraceMs]] (Iceberg's
+    * remove_orphan_files default); eager cleanup is an explicit 0. */
   private def expireBelow(
       spark: SparkSession, uri: String, cutoff: Int,
       orphanGraceMs: Long = 0L): Seq[String] = {
@@ -2190,6 +2190,13 @@ object Snapshots extends Serializable {
     val expiredRef = (1 until cutoff).filterNot(tagged)
       .filter(v => fs.exists(manifestPath(uri, v)))
       .flatMap(v => readManifest(spark, uri, v)).toSet
+    // DV sidecars the expired manifests referenced — computed HERE,
+    // before those manifests are deleted below: like data files they
+    // are always reclaimable (nothing can re-reference them)
+    val expiredDv = (1 until cutoff).filterNot(tagged)
+      .filter(v => fs.exists(manifestPath(uri, v)))
+      .flatMap(v => readManifestEntries(spark, uri, v)
+        .flatMap(_.dv.map(_.path))).toSet
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs
     val removed = Seq.newBuilder[String]
     // the recursive listing races concurrent writers cleaning their
@@ -2263,7 +2270,7 @@ object Snapshots extends Serializable {
         val rel = s"${DeletionVectors.Dir}/${st.getPath.getName}"
         // same grace rule as data files: an unreferenced sidecar may be
         // a concurrent MoR commit's DV written just before its manifest
-        val reclaimable = orphanGraceMs <= 0L ||
+        val reclaimable = expiredDv.contains(rel) || orphanGraceMs <= 0L ||
           st.getModificationTime < orphanHorizon
         if (!keepDv.contains(rel) && reclaimable) {
           fs.delete(st.getPath, false)
@@ -2505,7 +2512,25 @@ object Snapshots extends Serializable {
     } else {
       // HDFS rename refuses an existing destination (returns false);
       // the up-front check keeps object-store behavior first-wins
-      if (fs.exists(dst) || !fs.rename(tmp, dst)) lose()
+      if (fs.exists(dst)) lose()
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      if (!renamed) {
+        // rename can return false for reasons OTHER than losing the
+        // race (missing parent dir, permissions, transient IO).  Only
+        // a destination that now exists proves a true loser; anything
+        // else must surface as an IO error — reporting it as
+        // "concurrent commit" would send retryCommit into five futile
+        // retries and a misleading message
+        if (fs.exists(dst)) lose()
+        throw new java.io.IOException(
+          s"failed to publish $what: rename $tmp -> $dst returned " +
+            "false and the destination does not exist (an IO problem, " +
+            "not a concurrent commit)")
+      }
     }
   }
 
@@ -2541,6 +2566,18 @@ object Snapshots extends Serializable {
     val p = manifestPath(uri, v)
     require(fs.exists(p), s"$uri has no manifest version $v")
     parseManifest(readManifestContent(fs, p), p.toString)
+  }
+
+  /** The manifest when version `v` still exists; None when it was
+    * expired by retention.  Only genuine ABSENCE maps to None — a
+    * corrupt manifest or a transient IO failure propagates, so callers
+    * discriminating "expired" from "broken" don't swallow the latter. */
+  private[graft] def readManifestFullOpt(
+      spark: SparkSession, uri: String, v: Int): Option[Manifest] = {
+    val fs = fsOf(spark, uri)
+    val p = manifestPath(uri, v)
+    if (!fs.exists(p)) None
+    else Some(parseManifest(readManifestContent(fs, p), p.toString))
   }
 
   /** Read a manifest file's TEXT, transparently un-gzipping large

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.io.{Fsck, Mview, Snapshots}
+import graft.io.{Fsck, Maintenance, Mview, Snapshots}
 
 /**
  * Maintenance verbs as SQL STORED PROCEDURES (SPARK-44167 /
@@ -76,7 +76,8 @@ object Procedures {
         val ageMs = optStr(row, 2)
           .map(graft.sql.CopySql.parseAgeMillis)
         val graceMs = optStr(row, 3)
-          .map(graft.sql.CopySql.parseAgeMillis).getOrElse(0L)
+          .map(graft.sql.CopySql.parseAgeMillis)
+          .getOrElse(Maintenance.DefaultOrphanGraceMs)
         val removed = ageMs match {
           case Some(a) =>
             Snapshots.expireOlderThanKeeping(spark, uri, a, keep, graceMs)

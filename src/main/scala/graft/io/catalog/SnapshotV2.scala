@@ -1024,9 +1024,14 @@ final class SnapshotMicroBatchStream(
     // SPANNED the change — the restart already re-resolved, which is
     // what "restart the stream" promises).  Fail only when both
     // disagree: a LIVE stream watching the change happen.
+    // only genuine absence (expired by retention) falls back to the
+    // resolution-time anchor; a corrupt manifest or transient IO error
+    // propagates instead of silently anchoring to the wrong schema
     val startSchemaId: Option[Int] =
-      scala.util.Try(Snapshots.readManifestFull(spark, uri, from).schemaId)
-        .getOrElse(scan.resolvedSchemaId)
+      Snapshots.readManifestFullOpt(spark, uri, from) match {
+        case Some(m) => m.schemaId
+        case None    => scan.resolvedSchemaId
+      }
     require(endManifest.schemaId == startSchemaId ||
       endManifest.schemaId == scan.resolvedSchemaId,
       s"$uri: table schema changed mid-stream within batch range " +

@@ -163,10 +163,11 @@ object Multimodal {
             val s = d.samples
             val rate = d.sampleRate.toLong
             val dur = s.length.toLong * 1000L / rate
-            // same index arithmetic as audioWindows; JVM int division
-            // truncates toward zero, so a clip shorter than the window
-            // still emits its single truncated window
-            val maxIdx = math.max(0L, (dur - windowMs + hopMs - 1) / hopMs)
+            // same index arithmetic as audioWindows; FLOOR division on
+            // purpose (JVM `/` truncates toward zero): a clip shorter
+            // than windowMs-hopMs+1 must emit ZERO windows, exactly
+            // like the oracle's `//` — truncation would emit one
+            val maxIdx = Math.floorDiv(dur - windowMs + hopMs - 1, hopMs)
             (0L to maxIdx).iterator
               .filter(wi => wi * hopMs < dur)
               .map { wi =>

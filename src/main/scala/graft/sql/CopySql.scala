@@ -59,7 +59,7 @@ object CopySql {
       c.expectEnd()
       var keep = -1
       var keepAgeMs = -1L
-      var orphanGraceMs = 0L
+      var orphanGraceMs = graft.io.Maintenance.DefaultOrphanGraceMs
       opts.foreach {
         case ("keep_versions", v) =>
           keep = requireValue("keep_versions", v).toInt
@@ -578,7 +578,8 @@ sealed trait CopyStatement extends LeafRunnableCommand {
   * first, so age only removes versions outside the count window.
   * Returns the total number of removed paths. */
 final case class VacuumCommand(uri: String, keepVersions: Int = -1,
-    keepAgeMillis: Long = -1L, orphanGraceMillis: Long = 0L)
+    keepAgeMillis: Long = -1L,
+    orphanGraceMillis: Long = graft.io.Maintenance.DefaultOrphanGraceMs)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_removed", LongType, nullable = false)())

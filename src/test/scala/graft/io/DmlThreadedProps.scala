@@ -20,8 +20,9 @@ import graft.TestSpark
  *    documented contract is "re-run", so workers retry on
  *    ConcurrentModificationException exactly like a production job),
  *  - maintenance is semantics-neutral (optimize + vacuum with
- *    keep_versions and a 1-hour orphan_grace — the concurrent-writer
- *    window that keeps a racing commit's just-renamed files alive),
+ *    keep_versions and DEFAULT orphan_grace — the 3-day
+ *    concurrent-writer window that keeps a racing commit's
+ *    just-renamed files alive must hold without being asked for),
  *  - fast-forward folds its batch into the expected model ONLY when it
  *    reports success (it refuses whenever main advanced past the fork
  *    — the overwhelmingly common outcome under concurrent DML).
@@ -192,9 +193,12 @@ class DmlThreadedProps extends AnyFunSuite {
             spark.sql(s"CALL graft.system.optimize(table => '$dir')")
               .collect())
           Thread.sleep(20)
+          // DEFAULT arguments on purpose: orphan_grace now defaults to
+          // the 3-day concurrent-writer window, so a bare VACUUM must
+          // be safe to run against live writers
           withRetry(s"case $ci vacuum")(
             graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' " +
-              "(keep_versions '4', orphan_grace '1 hour')").collect())
+              "(keep_versions '4')").collect())
           Thread.sleep(20)
         } catch { case t: Throwable => errors.add(t) }
       }, "dmlthread-maint")
@@ -274,8 +278,7 @@ class DmlThreadedProps extends AnyFunSuite {
       // end-of-life: fsck clean, a final optimize + expire round-trips
       spark.sql(s"CALL graft.system.fsck(table => '$dir')")
       spark.sql(s"CALL graft.system.optimize(table => '$dir')")
-      graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' " +
-        "(keep_versions '1', orphan_grace '1 hour')")
+      graft.sql.GraftSql.exec(spark, s"VACUUM '$dir' (keep_versions '1')")
       check("final optimize+vacuum")
     }
   }

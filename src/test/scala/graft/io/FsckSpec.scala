@@ -78,7 +78,7 @@ class FsckSpec extends AnyFunSuite {
     fs(dir).mkdirs(new Path(dir + "_merge_tmp_deadbeef"))
     val r = Fsck(spark, dir).filter(col("kind") === "crashed_commit_strand")
     assert(r.count() == 1)
-    Maintenance.vacuum(spark, dir)
+    Maintenance.vacuum(spark, dir, graceMs = 0L)
     assert(Fsck(spark, dir).filter(col("kind") === "crashed_commit_strand")
       .isEmpty)
   }

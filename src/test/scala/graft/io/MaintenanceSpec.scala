@@ -21,7 +21,8 @@ class MaintenanceSpec extends AnyFunSuite {
     fs.mkdirs(new Path(dir + "_swap_old"))
     fs.create(new Path(dir, ".scratch")).close()
 
-    val removed = Maintenance.vacuum(spark, dir)
+    // fresh strands: eager cleanup is the explicit single-writer opt-in
+    val removed = Maintenance.vacuum(spark, dir, graceMs = 0L)
     assert(removed.size == 4)
     assert(!fs.exists(new Path(dir + "_compact_tmp")))
     assert(!fs.exists(new Path(dir + "_merge_tmp")))
@@ -52,7 +53,7 @@ class MaintenanceSpec extends AnyFunSuite {
   test("vacuum on a clean directory removes nothing") {
     val dir = TestSpark.tmpDir("vacuum_clean")
     Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
-    assert(Maintenance.vacuum(spark, dir).isEmpty)
+    assert(Maintenance.vacuum(spark, dir, graceMs = 0L).isEmpty)
   }
 
   test("analyze computes exact per-column stats in one pass") {

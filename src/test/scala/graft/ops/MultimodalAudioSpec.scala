@@ -92,19 +92,33 @@ class MultimodalAudioSpec extends AnyFunSuite {
   }
 
   test("audioFeatures matches a hand-computed window over real samples") {
-    // 8 kHz, 600 samples -> 75 ms: one truncated window [0, 75)
-    val samples = Array.tabulate(600)(i => if (i % 2 == 0) 100 else -3)
+    // 8 kHz, 1040 samples -> 130 ms: one truncated window [0, 130)
+    val samples = Array.tabulate(1040)(i => if (i % 2 == 0) 100 else -3)
     val recs = Seq(Multimodal.MediaRecord(7L,
       AudioDecode.encodeWav(samples, 8000))).toDS()
     val rows = Multimodal.audioFeatures(recs, windowMs = 250, hopMs = 125)
       .collect().toSeq
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.window_idx == 0 && r.start_ms == 0 && r.end_ms == 75)
-    assert(r.n_samples == 600)
-    assert(r.sum_abs == 300L * 100 + 300L * 3)
-    assert(r.sum_sq == 300L * 100 * 100 + 300L * 3 * 3)
+    assert(r.window_idx == 0 && r.start_ms == 0 && r.end_ms == 130)
+    assert(r.n_samples == 1040)
+    assert(r.sum_abs == 520L * 100 + 520L * 3)
+    assert(r.sum_sq == 520L * 100 * 100 + 520L * 3 * 3)
     assert(r.peak == 100)
+    // floor-division boundary, pinned against the oracle's `//`: a clip
+    // shorter than windowMs-hopMs+1 ms emits ZERO windows (JVM trunc
+    // division used to emit one), and the first length at the boundary
+    // (126 ms here) emits exactly one
+    val short = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(9L,
+        AudioDecode.encodeWav(Array.fill(600)(5), 8000))).toDS(), // 75 ms
+      windowMs = 250, hopMs = 125).collect()
+    assert(short.isEmpty, "sub-threshold clip must emit no windows")
+    val edge = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(10L,
+        AudioDecode.encodeWav(Array.fill(1008)(5), 8000))).toDS(), // 126 ms
+      windowMs = 250, hopMs = 125).collect()
+    assert(edge.length == 1 && edge.head.end_ms == 126)
     // multi-window clip: windows tile with the documented overlap
     val long = Array.fill(8000)(1000) // 1000 ms
     val rs = Multimodal.audioFeatures(

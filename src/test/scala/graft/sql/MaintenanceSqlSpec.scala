@@ -17,7 +17,7 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(dir + "_merge_tmp"))
-    val out = GraftSql.exec(spark, s"VACUUM '$dir'")
+    val out = GraftSql.exec(spark, s"VACUUM '$dir' (orphan_grace '0 seconds')")
       .as[Long].head()
     assert(out == 1L)
     assert(!fs.exists(new Path(dir + "_merge_tmp")))
