@@ -2917,20 +2917,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // INCREMENTAL index insertion (round 11): a persisted layered index
-    // absorbs a batch (4% of the corpus) without a rebuild — per level,
-    // the batch beam-walks its k nearest existing members, affected
-    // existing nodes re-rank with exact cosines (reverse links), and
-    // each level advances ONE snapshot version (MVCC: pristine index
-    // restorable).  Output = layered serving from the UPDATED index for
-    // three old + two newly-inserted queries — the new nodes are only
-    // findable if the insert actually wired them in
+    // INCREMENTAL index insertion (round 11, partial commits + within-
+    // batch graph round 12): a persisted layered index absorbs a batch
+    // (4% of the corpus) without a rebuild — per level, the batch
+    // beam-walks its k nearest existing members, a batch of >= 2k
+    // members also builds its own small NN-Descent so new<->new links
+    // land in the SAME commit (at sf0.01 the 20-member level-0 batch
+    // hits the gate), affected existing nodes re-rank with exact
+    // cosines (reverse links), and each level advances ONE snapshot
+    // version through the keyed PARTIAL-rewrite path: on the id-range-
+    // clustered layout only files holding affected ids rewrite.
+    // Output = layered serving from the UPDATED index for three old +
+    // two newly-inserted queries — the new nodes are only findable if
+    // the insert actually wired them in
     "sim_knn_index_insert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val existing = e.filter(col("vec_id") % 25 =!= 7)
       val batch = e.filter(col("vec_id") % 25 === 7)
       val uri = util.Staging.dirFor(
-        "graft_knn_lins_v1_" + new java.io.File(dir).getName,
+        "graft_knn_lins_v2_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -2969,7 +2974,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val existing = e.filter(col("vec_id") % 25 =!= 7)
       val uri = util.Staging.dirFor(
-        "graft_knn_lins_v1_" + new java.io.File(dir).getName,
+        "graft_knn_lins_v2_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -3031,7 +3036,7 @@ object SparkEntry {
     "sim_knn_index_delete" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val uri = util.Staging.dirFor(
-        "graft_knn_ldel_v1_" + new java.io.File(dir).getName,
+        "graft_knn_ldel_v2_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -3066,7 +3071,7 @@ object SparkEntry {
     "sim_knn_serve_layered_persisted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val uri = util.Staging.dirFor(
-        "graft_knn_lindex_v1_" + new java.io.File(dir).getName,
+        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -4206,42 +4211,60 @@ object SparkEntry {
     "SELECT vec_id AS query_id, v AS qv FROM ev " +
       s"JOIN $src n ON n.id = ev.vec_id"
 
-  /** insertLayered's per-level merge in SQL: new edge lists = top-10
-    * of the final beam state `st`, affected nodes of graph `g`
-    * re-ranked over (old neighbors ∪ reverse-selecting new nodes) by
-    * exact cosine.  Emits `med$p` (merged a,b rows) and `medg$p`
-    * (cand,next edge view). */
-  private def knnMergeCtes(p: String, g: String, st: String): String =
-    s"ne$p AS MATERIALIZED (SELECT a, b, cos, rn FROM (" +
-      "SELECT query_id AS a, cand AS b, cos, row_number() OVER " +
+  /** insertLayered's per-level merge in SQL: each new node's list =
+    * exact-cosine top-10 over (beam selections from `st` ∪ — when the
+    * level batch `newIds` reaches 2·k = 20 members, the engine's
+    * within-batch gate — its own NN-Descent graph `batchG`), affected
+    * EXISTING nodes of graph `g` re-ranked over (old neighbors ∪
+    * reverse-selecting new nodes) by exact cosine.  Emits `med$p`
+    * (merged a,b rows) and `medg$p` (cand,next edge view). */
+  private def knnMergeCtes(p: String, g: String, st: String,
+      newIds: String, batchG: String): String =
+    s"ne$p AS MATERIALIZED (SELECT a, b FROM (" +
+      "SELECT query_id AS a, cand AS b, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rn " +
       s"FROM $st WHERE cand <> query_id) WHERE rn <= 10), " +
-      s"aff$p AS (SELECT DISTINCT b AS id FROM ne$p), " +
+      // within-batch NN-Descent pairs enter only above the 2·k gate —
+      // the same data-driven condition the engine evaluates, so the
+      // oracle follows the engine at ANY corpus size
+      s"np$p AS (SELECT DISTINCT a, b FROM (" +
+      s"SELECT a, b FROM ne$p UNION ALL " +
+      s"SELECT a, b FROM $batchG " +
+      s"WHERE (SELECT count(*) FROM $newIds) >= 20)), " +
+      knnTopK(s"nl$p", s"np$p", 10) + ", " +
+      s"aff$p AS (SELECT DISTINCT b AS id FROM nl$p " +
+      s"WHERE b NOT IN (SELECT id FROM $newIds)), " +
       s"mc$p AS (SELECT DISTINCT a, b FROM (" +
       s"SELECT g.a, g.b FROM $g g JOIN aff$p ON aff$p.id = g.a " +
-      s"UNION ALL SELECT ne$p.b AS a, ne$p.a AS b FROM ne$p)), " +
+      s"UNION ALL SELECT nl$p.b AS a, nl$p.a AS b FROM nl$p " +
+      s"WHERE nl$p.b NOT IN (SELECT id FROM $newIds))), " +
       knnTopK(s"mg$p", s"mc$p", 10) + ", " +
       s"med$p AS (SELECT a, b FROM $g " +
       s"WHERE a NOT IN (SELECT id FROM aff$p) " +
       s"UNION ALL SELECT a, b FROM mg$p " +
-      s"UNION ALL SELECT a, b FROM ne$p), " +
+      s"UNION ALL SELECT a, b FROM nl$p), " +
       s"medg$p AS (SELECT a AS cand, b AS next FROM med$p)"
 
   /** One full insertLayered round over both levels: batch id-sets
     * `new0`/`new1` walk edge views `edges0`/`edges1` of graphs
-    * `g0`/`g1`, seeded from existing id-sets `ex0`/`ex1`; produces
-    * merged graphs `med${p}0`/`med${p}1` + edge views `medg${p}0/1`. */
+    * `g0`/`g1`, seeded from existing id-sets `ex0`/`ex1`, each level
+    * also building the (gated) within-batch graph; produces merged
+    * graphs `med${p}0`/`med${p}1` + edge views `medg${p}0/1`. */
   private def knnInsertRoundCtes(p: String, ex0: String, ex1: String,
       new0: String, new1: String, g0: String, g1: String): String = {
     val (i0, ist0) = knnServeCtes(s"${p}w0", knnQsOfSql(new0),
       knnLevelSeedsSql(ex0), beam = 40, Seq((s"edv${p}0", 4)))
     val (i1, ist1) = knnServeCtes(s"${p}w1", knnQsOfSql(new1),
       knnLevelSeedsSql(ex1), beam = 40, Seq((s"edv${p}1", 4)))
+    val (bb0, bg0) = knnBuildCtes(s"bb${p}0", new0,
+      iters = ops.KnnGraph.BatchGraphIters, k = 10)
+    val (bb1, bg1) = knnBuildCtes(s"bb${p}1", new1,
+      iters = ops.KnnGraph.BatchGraphIters, k = 10)
     s"edv${p}0 AS (SELECT a AS cand, b AS next FROM $g0), " +
       s"edv${p}1 AS (SELECT a AS cand, b AS next FROM $g1), " +
-      i0 + ", " + i1 + ", " +
-      knnMergeCtes(s"${p}0", g0, ist0) + ", " +
-      knnMergeCtes(s"${p}1", g1, ist1)
+      i0 + ", " + i1 + ", " + bb0 + ", " + bb1 + ", " +
+      knnMergeCtes(s"${p}0", g0, ist0, new0, bg0) + ", " +
+      knnMergeCtes(s"${p}1", g1, ist1, new1, bg1)
   }
 
   /** The incremental-insert oracle: build the two-level index on the
@@ -4254,12 +4277,8 @@ object SparkEntry {
   private val KnnInsertOracle: String = {
     val (b0, g0) = knnBuildCtes("l0", "exist", iters = 6, k = 10)
     val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
-    val (i0, ist0) = knnServeCtes("i0", knnQsOfSql("newn"),
-      knnLevelSeedsSql("exist"), beam = 40, Seq(("edg0", 4)))
-    val (i1, ist1) = knnServeCtes("i1", knnQsOfSql("newn1"),
-      knnLevelSeedsSql("sub1"), beam = 40, Seq(("edg1", 4)))
-    def mergeCtes(p: String, g: String, st: String): String =
-      knnMergeCtes(p, g, st)
+    val round = knnInsertRoundCtes("m", "exist", "sub1",
+      "newn", "newn1", g0, g1)
     val (f, fst) = knnServeCtes("f",
       "SELECT vec_id AS query_id, v AS qv FROM ev " +
         "WHERE vec_id IN (0, 1, 2, 7, 32)",
@@ -4274,11 +4293,7 @@ object SparkEntry {
       ", newn1 AS (SELECT n.id FROM newn n JOIN hx ON hx.id = n.id " +
       "WHERE hx.h % 4 = 0)" +
       ", " + b1 +
-      s", edg0 AS (SELECT a AS cand, b AS next FROM $g0)" +
-      s", edg1 AS (SELECT a AS cand, b AS next FROM $g1)" +
-      ", " + i0 + ", " + i1 +
-      ", " + mergeCtes("m0", g0, ist0) +
-      ", " + mergeCtes("m1", g1, ist1) +
+      ", " + round +
       ", " + f +
       " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
       "round(cos, 4) AS cosine FROM (" +

@@ -789,7 +789,7 @@ object Snapshots extends Serializable {
   def mergeCommit(
       spark: SparkSession, uri: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
-      mergeOnRead: Boolean = false): Int = {
+      mergeOnRead: Boolean = false, statsPrune: Boolean = false): Int = {
     if (mergeOnRead)
       return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
     val v = latestVersion(spark, uri)
@@ -799,7 +799,23 @@ object Snapshots extends Serializable {
     // contract as the non-empty path: unique keys, declared columns
     if (entries.isEmpty)
       return appendAllAsInserts(spark, uri, v, updates, keyCols, deleteCol)
-    val target = evolveFor(spark, uri, v, readFiles(spark, uri, entries))
+    // optional manifest-stats pruning of the touched-file PROBE: the
+    // probe scan is restricted to files whose stats may contain one of
+    // the updates' first-key values, so on a key-range-clustered table
+    // a keyed maintenance batch reads only the overlapping files
+    // instead of the whole table (the 100 TB shape for high-frequency
+    // index maintenance).  Sound — pruning only drops files that
+    // PROVABLY contain no matching key; the exact left-semi probe
+    // still decides which survivors actually rewrite.
+    val probeEntries =
+      if (!statsPrune) entries
+      else pruneForKeys(spark, uri, v, entries, updates, keyCols)
+    val target =
+      if (probeEntries.isEmpty)
+        // nothing can match: keep the schema, read no data — every
+        // upsert flows through as an insert
+        evolveFor(spark, uri, v, readFiles(spark, uri, entries)).limit(0)
+      else evolveFor(spark, uri, v, readFiles(spark, uri, probeEntries))
 
     // same plan as the in-place MergeInto — only the publish differs.
     // Touched files re-read through their DVs (a prior merge-on-read
@@ -841,6 +857,44 @@ object Snapshots extends Serializable {
         entriesFor(spark, uri, moved), kind = "merge")
     cdcTmp.foreach(publishCdc(fs, uri, _, newV))
     newV
+  }
+
+  /** Manifest-stats candidate filter for a keyed merge: keep files
+    * whose stats may contain at least one of the updates' FIRST key
+    * column's values.  Sound: a file lacking every first-key value
+    * cannot contain a full-key match, and a file the stats cannot
+    * disprove is kept.  Falls back to all entries when the key type
+    * has no literal rendering or the distinct key count exceeds the
+    * cap (the predicate is evaluated per entry on the driver — bounded
+    * work by construction, like the broadcast the probe already does). */
+  private def pruneForKeys(
+      spark: SparkSession, uri: String, v: Int,
+      entries: Seq[ManifestEntry], updates: DataFrame,
+      keyCols: Seq[String]): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val k0 = keyCols.head
+    val maxKeys = 20000
+    val lits: Option[Seq[String]] = updates.schema(k0).dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        val rows = updates.select(col(k0)).distinct()
+          .limit(maxKeys + 1).collect()
+        if (rows.length > maxKeys) None
+        else Some(rows.flatMap(r => Option(r.get(0))).toSeq.map {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case other => other.toString
+        })
+      case _ => None
+    }
+    lits match {
+      case None => entries
+      // only-null keys: equality never matches NULL — nothing to touch
+      case Some(vs) if vs.isEmpty => Seq.empty
+      case Some(vs) =>
+        val pred = s"$k0 IN (${vs.mkString(", ")})"
+        val keep = pruneEntries(spark, entries, pred,
+          transformsOf(spark, uri), renamesFor(spark, uri, v)).toSet
+        entries.filter(e => keep(e.name))
+    }
   }
 
   /**

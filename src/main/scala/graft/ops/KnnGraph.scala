@@ -282,17 +282,33 @@ object KnnGraph {
    * amortization for [[buildLayered]], mirroring the flat persisted
    * path: the NN-Descent build runs once, every query serves from the
    * stored edge lists.
+   *
+   * Levels are written id-RANGE-clustered with file count proportional
+   * to size (`targetRowsPerFile`): each file covers a contiguous id
+   * interval whose min/max land in the manifest stats, so incremental
+   * maintenance ([[insertLayered]] / [[deleteFromLayered]]) can prove
+   * non-overlapping files untouched and rewrite ONLY the files holding
+   * affected ids.  A fixed `coalesce(n)` would give every file the full
+   * id span and force every batch to rewrite the whole level.
    */
   def persistLayered(spark: org.apache.spark.sql.SparkSession,
-      index: LayeredKnnGraph, uri: String): Unit = {
+      index: LayeredKnnGraph, uri: String,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
     require(index.levels.nonEmpty, "empty layered index")
-    val fs = new org.apache.hadoop.fs.Path(uri)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
     index.levels.zipWithIndex.foreach { case (g, i) =>
       val p = s"$uri/level$i"
-      g.coalesce(4).write.parquet(p)
+      val rows = g.count()
+      val nFiles = math.max(1L,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val clustered =
+        if (nFiles == 1) g.coalesce(1)
+        else g.repartitionByRange(nFiles, col("id"), col("rank"))
+      clustered.sortWithinPartitions("id", "rank").write.parquet(p)
       graft.io.Snapshots.init(spark, p)
     }
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(
       new org.apache.hadoop.fs.Path(uri, "branching"), true)
     try out.write(index.branching.toString.getBytes("UTF-8"))
@@ -319,24 +335,135 @@ object KnnGraph {
       branching)
   }
 
+  /** Within-batch graph gate: a level batch of at least 2·k members
+    * gets its own small NN-Descent in [[insertLayered]] so new↔new
+    * neighbors land in the SAME commit; smaller batches rely on the
+    * next refresh (the freshness trade, now bounded to sub-2k
+    * batches).  Refinement rounds for that batch graph — the upper-
+    * layer convention (half the default build's six). */
+  private[graft] val BatchGraphIters = 3
+
+  /** Exact-cosine top-`k` lists from candidate PAIRS `(a, b)`:
+    * vectors joined from `vecs(id, __v)`, ties by neighbor id, output
+    * in the graph schema.  Stored cosines are display-rounded —
+    * comparisons always recompute exactly. */
+  private def topKExact(
+      pairs: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs
+      .join(vecs.select(col("id").as("a"), col("__v").as("__va")), "a")
+      .join(vecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
+      .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
+    val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("a").as("id"), col("__r").cast("long").as("rank"),
+        col("b").as("neighbor_id"), round(col("__c"), 4).as("cosine"))
+  }
+
+  /**
+   * Publish one level's merged edge lists as ONE snapshot version
+   * through the keyed PARTIAL-rewrite path ([[graft.io.Snapshots
+   * .mergeCommit]] with a manifest-stats-pruned probe): `newRows`
+   * upsert on `(id, rank)`, rows of `replacedIds` no new row covers
+   * get delete markers, and — on the id-range-clustered layout
+   * [[persistLayered]] writes — only files CONTAINING an affected id
+   * are read and rewritten; every other file carries over as a
+   * manifest entry.  This is what keeps a maintenance batch's commit
+   * I/O proportional to the batch, not to the corpus: the previous
+   * overwrite commit staged the full O(n·k) level per batch.
+   * No-ops (skips the version bump) when the batch left the level
+   * untouched.
+   */
+  private def commitLevelMerge(
+      spark: org.apache.spark.sql.SparkSession, levelUri: String,
+      g: DataFrame, replacedIds: DataFrame, newRows: DataFrame): Unit = {
+    val oldKeys = g.join(replacedIds, "id").select(col("id"), col("rank"))
+    val delRows = oldKeys
+      .join(newRows.select("id", "rank"), Seq("id", "rank"), "left_anti")
+      .withColumn("neighbor_id", lit(null).cast("long"))
+      .withColumn("cosine", lit(null).cast("double"))
+      .withColumn("__del", lit(true))
+    val ups = newRows.withColumn("__del", lit(false))
+      .unionByName(delRows)
+      .localCheckpoint()
+    // an empty per-level batch publishes NOTHING — a new identical
+    // version would churn retention and readers for no content change
+    if (!ups.isEmpty)
+      graft.io.Snapshots.mergeCommit(spark, levelUri, ups,
+        Seq("id", "rank"), deleteCol = Some("__del"), statsPrune = true)
+  }
+
+  private def maintPendingPath(uri: String) =
+    new org.apache.hadoop.fs.Path(uri, "_maint_pending")
+
+  /** Maintenance journal: levels commit one at a time, so a crash
+    * mid-[[insertLayered]]/[[deleteFromLayered]] leaves some levels
+    * updated and others pristine.  `_maint_pending` records every
+    * level's version BEFORE the first commit and is replaced by
+    * `_maint_applied` only after the LAST level commits — a torn index
+    * is detectable ([[pendingMaintenance]]) and resumable: restore
+    * each level to its recorded version, re-run the batch. */
+  def pendingMaintenance(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Option[String] = {
+    val p = maintPendingPath(uri)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def markPending(spark: org.apache.spark.sql.SparkSession,
+      uri: String, idx: LayeredKnnGraph): Unit = {
+    val p = maintPendingPath(uri)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = idx.levels.indices.map(l =>
+      s"level$l=${graft.io.Snapshots.latestVersion(spark, s"$uri/level$l")}")
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def markApplied(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Unit = {
+    val p = maintPendingPath(uri)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val a = new org.apache.hadoop.fs.Path(uri, "_maint_applied")
+    val out = fs.create(a, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+  }
+
   /**
    * INCREMENTAL insertion into a persisted layered index (the
    * disk-native HNSW-insert path): for each level, the batch's members
    * (same hash-decay rule as [[buildLayered]]) find their k nearest
-   * existing level members via the level's own beam walk, the affected
-   * existing nodes re-rank their lists over (old neighbors ∪ the new
-   * nodes that selected them) with EXACT cosines (the reverse-link
+   * existing level members via the level's own beam walk; when the
+   * level batch reaches 2·k members it ALSO builds a small NN-Descent
+   * graph over itself, and each new node's list is the exact-cosine
+   * top-k over (beam selections ∪ within-batch neighbors) — so a
+   * backfill-sized batch wires new↔new links in the same commit.  The
+   * affected EXISTING nodes re-rank their lists over (old neighbors ∪
+   * the new nodes that kept them) with EXACT cosines (the reverse-link
    * step), and each level table advances by ONE snapshot version
-   * carrying the merged graph — MVCC, so the pristine index remains
+   * carrying only the delta — the commit goes through the keyed
+   * partial-rewrite path, so on the range-clustered layout only files
+   * containing affected ids rewrite.  MVCC: the pristine index remains
    * time-travelable and a bad batch is a RESTORE away.
    *
-   * Batch semantics (deterministic, order-free): new→existing and
-   * existing→new links land; new↔new links within one batch appear on
-   * the next refresh — the standard freshness-layer trade.  Levels the
-   * pristine index does not have are not created (a batch cannot grow
-   * the tower height).  Cost: one beam walk per level over the BATCH
-   * only + a bounded re-rank — independent of corpus size, the 100 TB
-   * shape.
+   * Batch semantics (deterministic, order-free): new→existing,
+   * existing→new, and — above the 2·k gate — new↔new links land;
+   * below the gate new↔new appears on the next refresh (the freshness
+   * trade, now bounded to sub-2k batches).  Levels the pristine index
+   * does not have are not created (a batch cannot grow the tower
+   * height).  Cost: one beam walk per level over the BATCH only + a
+   * bounded re-rank + an O(batch²)-bounded batch graph — commit I/O
+   * and compute both independent of corpus size, the 100 TB shape.
    */
   def insertLayered(spark: org.apache.spark.sql.SparkSession, uri: String,
       existing: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
@@ -350,43 +477,49 @@ object KnnGraph {
       col(vecCol).as("__v"))
     val newNodes = batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
+    markPending(spark, uri, idx)
     idx.levels.zipWithIndex.foreach { case (g, l) =>
       val levelNew =
         if (l == 0) newNodes else newNodes.filter(levelAtLeast(br, l))
       val levelExisting =
         if (l == 0) exNodes else exNodes.filter(levelAtLeast(br, l))
-      // the batch's edges: beam walk over THIS level's edge set, seeded
-      // like flat search (the beam lowest signed-hash level members)
-      val seeds = levelExisting.select(col("id").as("cand"))
-        .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
-      val newEdges = beamServe(levelExisting, levelNew, "id", "__v",
-          "id", "__v", k, beam, seeds, Seq((g, hops)))
-        .select(col("query_id").as("id"), col("rank"),
-          col("neighbor_id"), col("cosine"))
-        .localCheckpoint()
-      // reverse links: every existing node some new node selected
-      // re-ranks (old neighbors ∪ its selecting new nodes) with exact
-      // cosines — stored cosines are display-rounded, never compared
-      val affected = newEdges.select(col("neighbor_id").as("id")).distinct()
-      val oldPairs = g.join(affected, "id")
-        .select(col("id").as("a"), col("neighbor_id").as("b"))
-      val revPairs = newEdges
-        .select(col("neighbor_id").as("a"), col("id").as("b"))
-      val allVecs = levelExisting.unionAll(levelNew)
-      val scored = oldPairs.unionAll(revPairs).distinct()
-        .join(allVecs.select(col("id").as("a"), col("__v").as("__va")), "a")
-        .join(allVecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
-        .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
-      val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
-      val rescored = scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= k)
-        .select(col("a").as("id"), col("__r").cast("long").as("rank"),
-          col("b").as("neighbor_id"), round(col("__c"), 4).as("cosine"))
-      val merged = g.join(affected, Seq("id"), "left_anti")
-        .unionByName(rescored)
-        .unionByName(newEdges)
-      graft.io.Snapshots.overwriteCommit(spark, s"$uri/level$l", merged)
+      val mNew = levelNew.count()
+      if (mNew > 0) {
+        // the batch's edges: beam walk over THIS level's edge set,
+        // seeded like flat search (beam lowest signed-hash members)
+        val seeds = levelExisting.select(col("id").as("cand"))
+          .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
+        val beamPairs = beamServe(levelExisting, levelNew, "id", "__v",
+            "id", "__v", k, beam, seeds, Seq((g, hops)))
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+        val newPairs =
+          if (mNew >= 2L * k)
+            beamPairs.unionAll(
+              build(levelNew, "id", "__v",
+                  math.min(k.toLong, mNew - 1).toInt, BatchGraphIters)
+                .select(col("id").as("a"), col("neighbor_id").as("b")))
+              .distinct()
+          else beamPairs
+        val allVecs = levelExisting.unionAll(levelNew)
+        val newLists = topKExact(newPairs, allVecs, k).localCheckpoint()
+        // reverse links: every EXISTING node some new node kept
+        // re-ranks (old neighbors ∪ its selecting new nodes); batch
+        // members never re-rank here — their lists were just built
+        val newIds = levelNew.select("id")
+        val affected = newLists.select(col("neighbor_id").as("id"))
+          .distinct().join(newIds, Seq("id"), "left_anti")
+        val oldPairs = g.join(affected, "id")
+          .select(col("id").as("a"), col("neighbor_id").as("b"))
+        val revPairs = newLists
+          .select(col("neighbor_id").as("a"), col("id").as("b"))
+          .join(newIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        val rescored =
+          topKExact(oldPairs.unionAll(revPairs).distinct(), allVecs, k)
+        commitLevelMerge(spark, s"$uri/level$l", g, affected,
+          rescored.unionByName(newLists))
+      }
     }
+    markApplied(spark, uri)
     loadLayered(spark, uri)
   }
 
@@ -412,6 +545,7 @@ object KnnGraph {
       .distinct().localCheckpoint()
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
+    markPending(spark, uri, idx)
     idx.levels.zipWithIndex.foreach { case (g, l) =>
       val delAsNeighbor = del.withColumnRenamed("id", "neighbor_id")
       // survivors that lost a neighbor
@@ -431,20 +565,15 @@ object KnnGraph {
       val bridge = aToD.join(dEdges, "d")
         .select(col("a"), col("b")).filter(col("a") =!= col("b"))
       val cand = surviving.join(aff, "a").unionAll(bridge).distinct()
-      val scored = cand
-        .join(vecs.select(col("id").as("a"), col("__v").as("__va")), "a")
-        .join(vecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
-        .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
-      val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
-      val healed = scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= k)
-        .select(col("a").as("id"), col("__r").cast("long").as("rank"),
-          col("b").as("neighbor_id"), round(col("__c"), 4).as("cosine"))
-      val untouched = g.join(del, Seq("id"), "left_anti")
-        .join(aff.withColumnRenamed("a", "id"), Seq("id"), "left_anti")
-      graft.io.Snapshots.overwriteCommit(spark, s"$uri/level$l",
-        untouched.unionByName(healed))
+      val healed = topKExact(cand, vecs, k)
+      // partial rewrite: the batch replaces exactly the DELETED ids'
+      // lists (dropped — no new row covers them) and the affected
+      // survivors' lists (healed); every other node's rows — and on
+      // the clustered layout every non-overlapping FILE — carries over
+      val replaced = del.unionByName(aff.withColumnRenamed("a", "id"))
+      commitLevelMerge(spark, s"$uri/level$l", g, replaced, healed)
     }
+    markApplied(spark, uri)
     loadLayered(spark, uri)
   }
 

@@ -244,6 +244,155 @@ class KnnGraphSpec extends AnyFunSuite {
       "a deleted id surfaced in serving results")
   }
 
+  test("index maintenance commits are PARTIAL: untouched files carry " +
+      "over, only files holding affected ids rewrite") {
+    val k = 5
+    val existing = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id").isin(3L, 13L))
+    val uri = graft.TestSpark.tmpDir("knn_partial_commit")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    // small targetRowsPerFile => a MULTI-file id-range-clustered level 0
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+        iters = 3, branching = 4, seedTarget = 64), uri,
+      targetRowsPerFile = 10)
+    val l0 = s"$uri/level0"
+    def names(v: Int): Set[String] = graft.io.Snapshots
+      .filesDf(spark, l0, v).select("file")
+      .collect().map(_.getString(0)).toSet
+    val before = names(1)
+    assert(before.size >= 15,
+      s"fixture must be multi-file, got ${before.size}")
+    KnnGraph.insertLayered(spark, uri, existing, batch,
+      "vec_id", "embedding", k, beam = 20, hops = 3)
+    val after = names(graft.io.Snapshots.latestVersion(spark, l0))
+    val carried = before.intersect(after)
+    val rewritten = before -- after
+    info(s"level0 files: ${before.size} before, " +
+      s"${rewritten.size} rewritten, ${carried.size} carried over")
+    // the scale pin: a 2-node batch must NOT rewrite the level — the
+    // previous overwrite commit replaced every file every batch
+    assert(carried.size > before.size / 2,
+      s"partial rewrite regressed: only ${carried.size}/${before.size} " +
+        "files carried over")
+    // content sanity: merged level equals what serving expects
+    val g = graft.io.Snapshots.read(spark, l0)
+    assert(g.filter(col("id").isin(3L, 13L)).count() == 2L * k)
+    // deletion heals through the same partial path
+    val b2 = names(graft.io.Snapshots.latestVersion(spark, l0))
+    KnnGraph.deleteFromLayered(spark, uri,
+      emb.filter(col("vec_id") === 13L).select("vec_id"), emb,
+      "vec_id", "embedding", k)
+    val a2 = names(graft.io.Snapshots.latestVersion(spark, l0))
+    assert(b2.intersect(a2).size > b2.size / 2,
+      "delete healing rewrote more than the affected files")
+  }
+
+  test("insert batch >= 2k builds a within-batch graph: new<->new " +
+      "neighbors land in the same commit") {
+    val k = 5
+    import spark.implicits._
+    // constructed corpus with REAL cluster structure (the parquet
+    // fixture's embeddings are near-random — NN-Descent recall there
+    // measures the corpus, not the mechanism): 60 existing vectors in
+    // 3 clusters, and a 12-member batch forming 3 NEW tight clusters
+    // far from everything existing, so each batch node's true
+    // neighbors are its own cluster mates — reachable ONLY through
+    // the within-batch graph
+    def vec(center: Int, i: Int): Array[Float] = {
+      val base = Array.tabulate(8)(d =>
+        if (d == center % 8) 10f else if (d == (center + 3) % 8) 4f else 0f)
+      base(i % 8) += 0.1f * ((i % 7) + 1)
+      base
+    }
+    val existing = (0 until 60).map(i => (i.toLong, vec(i % 3, i)))
+      .toDF("vec_id", "embedding")
+    val batch = (0 until 12).map(i => (1000L + i, vec(5 + i % 3, i)))
+      .toDF("vec_id", "embedding")
+    val emb = existing.unionByName(batch)
+    assert(batch.count() >= 2L * k, "fixture must reach the gate")
+    val uri = graft.TestSpark.tmpDir("knn_within_batch")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+        iters = 3, branching = 4, seedTarget = 64), uri)
+    val idx = KnnGraph.insertLayered(spark, uri, existing, batch,
+      "vec_id", "embedding", k, beam = 20, hops = 3)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val l0 = idx.levels.head
+    // without the within-batch graph this is IMPOSSIBLE: the beam walk
+    // only reaches existing nodes, so new->new edges can come only
+    // from the batch's own NN-Descent
+    val newNew = l0.filter(col("id").isin(batchIds.toSeq: _*))
+      .filter(col("neighbor_id").isin(batchIds.toSeq: _*)).count()
+    assert(newNew > 0, "no new<->new edge landed for a >=2k batch")
+    // recall pin: the inserted nodes' lists against the exact top-k
+    // over the FULL corpus — within-batch edges close exactly the
+    // true-neighbor-is-also-new gap
+    // exact top-k over the full corpus (bruteForceTopK excludes self)
+    val exact = asMap(Similarity.bruteForceTopK(
+      emb, batch, "vec_id", "embedding", "vec_id", "embedding", k)
+      .withColumnRenamed("query_id", "id"))
+    val got = asMap(l0.filter(col("id").isin(batchIds.toSeq: _*)))
+    def recallOver(truthOf: Long => Set[Long]): (Double, Int) = {
+      val scored = batchIds.toSeq.flatMap { id =>
+        val truth = truthOf(id)
+        if (truth.isEmpty) None
+        else Some(got.getOrElse(id, Set.empty)
+          .intersect(truth).size.toDouble / truth.size)
+      }
+      (if (scored.isEmpty) 1.0 else scored.sum / scored.size, scored.size)
+    }
+    val (overall, _) = recallOver(id => exact.getOrElse(id, Set.empty))
+    // THE pin: true neighbors that are THEMSELVES batch members are
+    // reachable only through the within-batch graph (the beam walk
+    // sees existing nodes only) — over a 2k-node batch the small
+    // NN-Descent is near-exhaustive, so these must be found
+    val (newNewRecall, nPinned) = recallOver(id =>
+      exact.getOrElse(id, Set.empty).intersect(batchIds - id))
+    info(f"inserted-node recall@$k: overall $overall%.2f, " +
+      f"batch-member truth $newNewRecall%.2f over $nPinned nodes")
+    assert(nPinned > 0, "fixture has no within-batch true neighbors")
+    assert(newNewRecall >= 0.8,
+      f"within-batch true neighbors missed: $newNewRecall%.2f")
+    // loose floor on overall ANN quality at this corpus's weak
+    // neighbor structure (the build spec documents LSH at 0.26 here)
+    assert(overall >= 0.2, f"inserted-node recall too low: $overall%.2f")
+  }
+
+  test("maintenance journal: pending marker detects a torn index, " +
+      "applied marker lands after full batches") {
+    val k = 5
+    val uri = graft.TestSpark.tmpDir("knn_maint_journal")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    val existing = emb.filter(col("vec_id") % 10 =!= 3)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+        iters = 2, branching = 4, seedTarget = 64), uri)
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty)
+    KnnGraph.insertLayered(spark, uri, existing,
+      emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      k, beam = 20, hops = 3)
+    // a COMPLETE batch leaves no pending marker, and records the
+    // pre-batch versions while running (simulated torn state below)
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty,
+      "completed insert left the pending marker behind")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(uri, "_maint_applied")))
+    // simulate a crash mid-batch: the pending marker alone signals it
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(uri, "_maint_pending"), true)
+    out.write("level0=2\nlevel1=1".getBytes("UTF-8")); out.close()
+    val pending = KnnGraph.pendingMaintenance(spark, uri)
+    assert(pending.exists(_.contains("level0=2")),
+      "torn-index marker not surfaced")
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
