@@ -1,0 +1,22 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+
+/**
+ * Capability marker for FileSystems that own an ATOMIC create-exclusive
+ * primitive (S3 conditional PUT `If-None-Match: *`, Azure lease/ETag
+ * `If-None-Match`, GCS `ifGenerationMatch=0`): create `f` with `body`
+ * iff absent, in ONE request the store itself arbitrates.
+ *
+ * [[Snapshots.publishExclusive]] prefers this over the exists-check +
+ * rename approximation on object stores — the check/rename pair has a
+ * residual window in which two racing commits both pass the check and
+ * the second rename silently clobbers the first (the exact race the
+ * round-11 threaded fuzz caught on the local filesystem, closed there
+ * with link(2)).
+ */
+trait AtomicCreate {
+  /** True = created (this writer owns the object); false = an object
+    * already exists (lost the race).  Anything else throws. */
+  def createExclusive(f: Path, body: Array[Byte]): Boolean
+}

@@ -2538,9 +2538,10 @@ object Snapshots extends Serializable {
    * is the atomic no-replace primitive: hard-link the staged tmp to
    * the destination (EEXIST = loser), then drop the tmp name.  On
    * HDFS, rename itself refuses an existing destination.  Object
-   * stores use a conditional put / commit service in real deployments
-   * (Delta's LogStore, Iceberg's catalog CAS) — same protocol,
-   * different primitive — and keep the exists+rename approximation.
+   * stores whose FileSystem implements [[AtomicCreate]] (the owned S3
+   * client's conditional PUT) publish through ONE store-arbitrated
+   * request — Delta's LogStore / Iceberg's catalog-CAS shape; only a
+   * store with neither primitive falls back to exists-check + rename.
    */
   private[graft] def publishExclusive(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path,
@@ -2563,6 +2564,19 @@ object Snapshots extends Serializable {
         case _: java.nio.file.FileAlreadyExistsException => lose()
       }
       fs.delete(tmp, false) // drops the checksum sidecar too
+    } else if (fs.isInstanceOf[AtomicCreate]) {
+      // object stores with a conditional-put primitive (the owned S3
+      // client's `If-None-Match: *`): ONE request the store arbitrates
+      // — no exists-check window at all.  The staged tmp re-uploads as
+      // the publish body (manifests are small; this is the Delta
+      // LogStore / Iceberg CAS-catalog commit shape).
+      val body = {
+        val in = fs.open(tmp)
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      }
+      if (!fs.asInstanceOf[AtomicCreate].createExclusive(dst, body)) lose()
+      fs.delete(tmp, false)
     } else {
       // HDFS rename refuses an existing destination (returns false);
       // the up-front check keeps object-store behavior first-wins

@@ -36,7 +36,7 @@ import graft.io.CloudConf
  * `object_store_cache.rs:101-129` expiry behavior, applied per request
  * instead of per cached handle.
  */
-class GraftS3FileSystem extends FileSystem {
+class GraftS3FileSystem extends FileSystem with graft.io.AtomicCreate {
   private var fsUri: URI = _
   private var bucket: String = _
   private[s3] var client: S3Client = _
@@ -194,6 +194,12 @@ class GraftS3FileSystem extends FileSystem {
     }
     true
   }
+
+  /** Atomic create-exclusive via S3 conditional PUT — see
+    * [[graft.io.AtomicCreate]].  One signed request; the STORE
+    * arbitrates the race, so there is no exists-check window. */
+  override def createExclusive(f: Path, body: Array[Byte]): Boolean =
+    client.putIfAbsent(bucket, keyOf(f), body)
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val key = keyOf(f)
@@ -463,6 +469,23 @@ private[s3] class S3Client(
     expect2xx(request("PUT", pathOf(bucket, key), Nil, body),
       s"PUT $bucket/$key")
     ()
+  }
+
+  /** Conditional put (`If-None-Match: *`, signed like any header):
+    * true = created, false = an object already exists (HTTP 412/409 —
+    * this writer lost the race).  The S3-native atomic create-exclusive
+    * primitive, what Delta's S3 LogStore and Iceberg's CAS catalogs
+    * build commits on. */
+  def putIfAbsent(bucket: String, key: String, body: Array[Byte]): Boolean = {
+    val conn = request("PUT", pathOf(bucket, key), Nil, body,
+      Map("if-none-match" -> "*"))
+    val code = conn.getResponseCode
+    val bytes = drain(conn)
+    if (code >= 200 && code < 300) true
+    else if (code == 412 || code == 409) false
+    else throw new IOException(
+      s"conditional PUT $bucket/$key failed: HTTP $code " +
+        new String(bytes.take(512), UTF_8))
   }
 
   def delete(bucket: String, key: String): Unit = {

@@ -147,7 +147,18 @@ final class InMemoryS3(accessKey: String, secretKey: String, region: String) {
 
   private def putObject(ex: HttpExchange, full: String): Unit = {
     val body = ex.getRequestBody.readAllBytes()
-    objects.put(full, body)
+    // conditional put (`If-None-Match: *`): the atomic create-exclusive
+    // primitive real S3 exposes — putIfAbsent on the backing map makes
+    // this endpoint a genuine CAS arbiter, so a two-writer publish race
+    // has exactly one winner and the loser sees 412, never a silent
+    // overwrite
+    val conditional =
+      Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+    if (conditional) {
+      if (objects.putIfAbsent(full, body) != null) {
+        respond(ex, 412, errXml("PreconditionFailed")); return
+      }
+    } else objects.put(full, body)
     mtimes.put(full, System.currentTimeMillis())
     respond(ex, 200, Array.emptyByteArray)
   }

@@ -204,6 +204,56 @@ class S3RoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       "complete after abort must not materialize the object")
   }
 
+  test("conditional put: exactly one of two racing publishes wins, " +
+      "the loser is loud — never a silent overwrite") {
+    val fs = new Path("s3a://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .asInstanceOf[GraftS3FileSystem]
+    // the primitive: second conditional create must lose (HTTP 412)
+    val p = new Path("s3a://bucket/cas/winner.txt")
+    assert(fs.createExclusive(p, "first".getBytes("UTF-8")))
+    assert(!fs.createExclusive(p, "second".getBytes("UTF-8")))
+    val in = fs.open(p)
+    val body = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    assert(body == "first", "loser overwrote the winner's object")
+
+    // the commit path: many THREADS race appendCommit on one s3a
+    // table — publishExclusive routes through the conditional put, so
+    // every version has exactly one owner; losers get the loud
+    // concurrent-commit error, retryCommit re-runs them, and every
+    // writer's row lands exactly once
+    val dir = "s3a://bucket/cas_table"
+    fs.delete(new Path(dir), true)
+    (1 to 2).map(i => (i.toLong * -1, s"base$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    graft.io.Snapshots.init(spark, dir)
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          graft.io.Snapshots.retryCommit(maxAttempts = 40) {
+            graft.io.Snapshots.appendCommit(spark, dir,
+              Seq((w.toLong, s"writer$w")).toDF("k", "v").coalesce(1))
+          }
+          ()
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"s3cas-w$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(!threads.exists(_.isAlive), "a racing writer wedged")
+    assert(errors.isEmpty, s"racing writer failed: ${errors.peek()}")
+    val rows = graft.io.Snapshots.read(spark, dir)
+      .select("k").as[Long].collect().toSet
+    assert(rows == Set(-1L, -2L, 0L, 1L, 2L, 3L),
+      s"a commit was lost or duplicated: $rows")
+    assert(graft.io.Snapshots.latestVersion(spark, dir) == 5,
+      "four appends over v1 must land as v2..v5 — one owner per version")
+  }
+
   test("a wrong secret is rejected by signature verification") {
     val badConf = new org.apache.hadoop.conf.Configuration(
       spark.sessionState.newHadoopConf())
