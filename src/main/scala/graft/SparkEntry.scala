@@ -3347,6 +3347,21 @@ object SparkEntry {
           windowMs = 250, hopMs = 125)
         .toDF().orderBy("doc_id", "window_idx")),
 
+    // REAL video decode (round 12): deterministic 18x8 grayscale
+    // uncompressed-DIB AVIs encoded per document (closed-form pixels),
+    // decoded back through the RIFF container walk to actual frame
+    // pixels, every 2nd frame kept, integer luminance features + a
+    // real-pixel dHash per frame — the oracle regenerates the pixels
+    // and replicates the grid arithmetic, value-checking the container
+    // encode->decode->hash path end-to-end.  (MJPEG frames ride the
+    // same walk through javax.imageio; spec-pinned, since JPEG decode
+    // is not SQL-replicable.)
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.videoFrameFeatures(
+          Multimodal.synthAvi(t(s, dir, "documents"), "doc_id", "n_chars"),
+          sampleEvery = 2)
+        .toDF().orderBy("doc_id", "frame_idx")),
+
     // keyframe selection: per-frame perceptual hash, windowed Hamming
     // against the previous frame, keep frame 0 + above-threshold cuts
     "mm_keyframes" -> ((s, dir) =>
@@ -6087,6 +6102,47 @@ object SparkEntry {
         "GROUP BY ALL) " +
         "SELECT doc_id, window_idx, start_ms, end_ms, n_samples, " +
         "sum_abs, sum_sq, peak FROM j ORDER BY doc_id, window_idx"),
+
+    // full replication of videoFrameFeatures over the synthetic DIB-AVI
+    // corpus: nf = n_chars % 4 + 2 frames, every 2nd kept, 18x8
+    // grayscale pixels v = (id*7919 + f*4211 + y*131 + x*17 + 13) % 256
+    // (lossless through the container, so regenerating them IS the
+    // decode), features as integer aggregates, dHash from the 9x8 grid
+    // of 2x1-pixel cell sums with the darker-than comparison and the
+    // same bit-63 two's-complement assembly as the phash oracles
+    "mm_video_frames" ->
+      ("WITH d AS (SELECT doc_id, n_chars % 4 + 2 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx " +
+        "FROM d), " +
+        "px AS (SELECT doc_id, frame_idx, y, x, " +
+        "(doc_id * 7919 + frame_idx * 4211 + y * 131 + x * 17 + 13) % 256 " +
+        "AS v FROM fr, unnest(range(8)) AS uy(y), " +
+        "unnest(range(18)) AS ux(x)), " +
+        "feat AS (SELECT doc_id, frame_idx, " +
+        "CAST(count(*) AS BIGINT) AS n_pixels, " +
+        "CAST(sum(v) AS BIGINT) AS sum_lum, " +
+        "CAST(max(v) AS BIGINT) AS peak_lum " +
+        "FROM px GROUP BY doc_id, frame_idx), " +
+        "cells AS (SELECT doc_id, frame_idx, y AS r, x // 2 AS c, " +
+        "sum(v) AS s FROM px GROUP BY doc_id, frame_idx, y, x // 2), " +
+        "bits AS (SELECT a.doc_id, a.frame_idx, a.r * 8 + a.c AS bit " +
+        "FROM cells a JOIN cells b ON a.doc_id = b.doc_id " +
+        "AND a.frame_idx = b.frame_idx AND b.r = a.r AND b.c = a.c + 1 " +
+        "WHERE a.c < 8 AND a.s < b.s), " +
+        "dh AS (SELECT f.doc_id, f.frame_idx, " +
+        "CAST(coalesce(sum(CASE WHEN bit < 63 " +
+        "THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0) AS BIGINT) " +
+        "+ CASE WHEN coalesce(bool_or(bit = 63), false) " +
+        "THEN -9223372036854775807 - 1 ELSE 0 END AS dhash " +
+        "FROM fr f LEFT JOIN bits ON f.doc_id = bits.doc_id " +
+        "AND f.frame_idx = bits.frame_idx " +
+        "GROUP BY f.doc_id, f.frame_idx) " +
+        "SELECT feat.doc_id, feat.frame_idx, " +
+        "CAST(18 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height, " +
+        "n_pixels, sum_lum, peak_lum, dhash " +
+        "FROM feat JOIN dh ON dh.doc_id = feat.doc_id " +
+        "AND dh.frame_idx = feat.frame_idx " +
+        "ORDER BY feat.doc_id, feat.frame_idx"),
 
     // full replication of keyFrames: per-frame byte rotation
     // (rot0 = (3f + 997*(f//5)) % n), the dHash stripe arithmetic on

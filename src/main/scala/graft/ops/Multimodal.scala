@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
  * [[decodeMeta]], real mean-luminance pixels under the dHash operators.
  * AUDIO payloads (WAV/PCM) decode FOR REAL through the public JDK's
  * `javax.sound.sampled` ([[graft.util.AudioDecode]]): [[audioFeatures]]
- * windows actual PCM sample values.  VIDEO containers remain STUBBED
- * (`FakeDecoder` — codec libraries beyond the JDK are not available in
- * this environment), but everything Spark-side is real and load-bearing:
- * the binary column shape, the typed record schema, the
- * partition-batched execution, and the metadata extraction contract.
- * Swapping `FakeDecoder.decode` for a JNI/javacpp decoder changes
- * nothing else.
+ * windows actual PCM sample values.  VIDEO payloads in AVI containers
+ * decode FOR REAL through [[graft.util.VideoDecode]] (RIFF walk; MJPEG
+ * frames via `javax.imageio`, uncompressed DIB frames via integer
+ * arithmetic): [[videoFrameFeatures]] hashes actual frame pixels.  Only
+ * codec-compressed video (MP4/H.264/VP9 — codec libraries beyond the
+ * JDK) keeps the deterministic `FakeDecoder` stub in [[decodeMeta]];
+ * everything Spark-side is real and load-bearing either way: the binary
+ * column shape, the typed record schema, the partition-batched
+ * execution, and the metadata extraction contract.
  */
 object Multimodal {
 
@@ -305,6 +307,148 @@ object Multimodal {
       .filter(col("hamming_prev").isNull ||
         col("hamming_prev") > minHamming)
       .select("doc_id", "frame_idx", "frame_hash", "hamming_prev")
+  }
+
+  /** Per-frame features over REAL decoded video frames. */
+  final case class VideoFrameFeat(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_pixels: Long, sum_lum: Long, peak_lum: Long, dhash: Long)
+
+  /**
+   * REAL video frame extraction: decode each AVI payload through
+   * [[graft.util.VideoDecode]] (RIFF walk; MJPEG frames via
+   * `javax.imageio`, uncompressed DIB frames via integer arithmetic —
+   * no codec library needed for either), keep every `sampleEvery`-th
+   * frame, and emit integer luminance features per kept frame: pixel
+   * count, Σlum, peak, and a 64-bit dHash computed from the DECODED
+   * pixels (9×8 grid of cell sums, bit k = r·8+c set when cell (r,c)
+   * is darker than its right neighbor — the [[graft.functions.DHash64]]
+   * convention; cross-multiplied integer compare, so
+   * unequal cell sizes never need float means).  All-integer, so a SQL
+   * oracle replicates the output exactly over a closed-form corpus
+   * ([[synthAvi]]).  Undecodable payloads emit nothing (never-fail).
+   *
+   * Partition-local like [[audioFeatures]]: one decode per record
+   * inside `mapPartitions`, no shuffle — at 100 TB the cost is the
+   * decode itself, linear and embarrassingly parallel.
+   */
+  def videoFrameFeatures(
+      records: Dataset[MediaRecord],
+      sampleEvery: Int = 2): Dataset[VideoFrameFeat] = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        graft.util.VideoDecode.decode(r.blob) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            val w = v.width
+            val h = v.height
+            v.frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % sampleEvery == 0 }
+              .map { case (f, i) =>
+                var sum = 0L
+                var peak = 0L
+                var p = 0
+                while (p < f.pixels.length) {
+                  val x = f.pixels(p).toLong
+                  sum += x
+                  if (x > peak) peak = x
+                  p += 1
+                }
+                VideoFrameFeat(r.doc_id, i.toLong, w.toLong, h.toLong,
+                  f.pixels.length.toLong, sum, peak,
+                  dhashOfPixels(f.pixels, w, h))
+              }
+        }
+      }
+    }
+  }
+
+  /** dHash over decoded pixels: 9 cols × 8 rows of cell SUMS with
+    * floor(cellEdge·i/cells) boundaries (the [[graft.util.ImageDecode
+    * .grayGrid]] grid); bit r·8+c set when cell (r,c) is DARKER than
+    * (r,c+1) — the [[graft.functions.DHash64]] convention, so video
+    * frames hash in the same space as images — compared by
+    * cross-multiplication (exact integers, no float means). */
+  private[graft] def dhashOfPixels(
+      px: Array[Int], w: Int, h: Int): Long = {
+    val cols = 9
+    val rows = 8
+    val sums = new Array[Long](cols * rows)
+    val counts = new Array[Long](cols * rows)
+    var r = 0
+    while (r < rows) {
+      val y0 = math.min((h.toLong * r / rows).toInt, h - 1)
+      val y1 = math.max(y0 + 1, (h.toLong * (r + 1) / rows).toInt)
+      var c = 0
+      while (c < cols) {
+        val x0 = math.min((w.toLong * c / cols).toInt, w - 1)
+        val x1 = math.max(x0 + 1, (w.toLong * (c + 1) / cols).toInt)
+        var s = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(r * cols + c) = s
+        counts(r * cols + c) =
+          (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        val a = r * cols + c
+        val b = a + 1
+        if (sums(a) * counts(b) < sums(b) * counts(a))
+          bits |= 1L << (r * (cols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /**
+   * Deterministic AVI fixture corpus (the [[synthWav]] trick for
+   * video): one 18×8 grayscale uncompressed-DIB AVI per row with
+   * `nCol % 4 + 2` frames and closed-form pixels
+   * `v = floorMod(id·7919 + frame·4211 + y·131 + x·17 + 13, 256)` —
+   * lossless through the container, so [[videoFrameFeatures]] is
+   * verifiable END-TO-END (encode → RIFF walk → DIB decode → features)
+   * against a SQL oracle that regenerates the same pixels.  18×8 makes
+   * every dHash cell exactly 2×1 pixels — integer-exact everywhere.
+   */
+  def synthAvi(df: DataFrame, idCol: String, nCol: String)
+      : Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = 18
+    val h = 8
+    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val nFrames = (Math.floorMod(nc, 4L) + 2L).toInt
+          val frames = (0 until nFrames).map { f =>
+            Array.tabulate(w * h) { p =>
+              val y = p / w
+              val x = p % w
+              Math.floorMod(
+                id * 7919L + f * 4211L + y * 131L + x * 17L + 13L, 256L)
+                .toInt
+            }
+          }
+          MediaRecord(id, graft.util.VideoDecode.encodeAviDib(frames, w, h))
+        }
+      }
   }
 
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */

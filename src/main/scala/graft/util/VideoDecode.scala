@@ -1,0 +1,263 @@
+package graft.util
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Real video-container decoding on the public JDK only: AVI is a RIFF
+ * container (the WAV parser's sibling — same chunk walk, different
+ * fourccs), and its two codec-free payload kinds both decode without
+ * native codec libraries:
+ *
+ *  - `00dc` MJPEG frames — each chunk is a complete JPEG, decoded
+ *    through `javax.imageio` exactly like still images
+ *    ([[ImageDecode]]);
+ *  - `00db` uncompressed DIB frames (BI_RGB bottom-up BGR24) — parsed
+ *    with integer arithmetic directly, which also makes them exactly
+ *    replicable by a SQL oracle.
+ *
+ * Frames decode to row-major integer LUMINANCE arrays (Rec.601 integer
+ * luma, the same formula as [[ImageDecode.grayGrid]]), the substrate
+ * for perceptual hashing and keyframe selection.  Everything else
+ * (MP4/H.264/VP9) genuinely needs a codec library the JDK does not
+ * ship — those payloads return None, the never-fail contract: a
+ * pipeline falls back to byte-level features rather than failing.
+ *
+ * Reference parity: the reference treats media as opaque binary with
+ * typed metadata (`SURVEY.md` §2 multimodal rows); the decode here is
+ * the beyond-reference training-pipeline surface.
+ */
+object VideoDecode {
+
+  /** One decoded frame: row-major (top-down) luminance, 0..255. */
+  final case class VideoFrame(pixels: Array[Int])
+
+  final case class VideoData(
+      width: Int, height: Int, usecPerFrame: Long, frames: Seq[VideoFrame]) {
+    def fps: Double =
+      if (usecPerFrame <= 0) 0.0 else 1e6 / usecPerFrame
+  }
+
+  /** Cheap magic sniff: RIFF....AVI(space). */
+  def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Integer Rec.601 luma — deterministic, no float rounding; identical
+    * to [[ImageDecode]]'s formula so images and video frames hash in
+    * the same space. */
+  private def luma(r: Int, g: Int, bl: Int): Int =
+    (r * 299 + g * 587 + bl * 114) / 1000
+
+  /**
+   * Decode an AVI payload: chunk-walk the container, read frame
+   * geometry from `avih` (falling back to the `strf`
+   * BITMAPINFOHEADER), and decode every `00dc`/`00db` chunk.  None on
+   * anything that is not a well-formed AVI with at least one decodable
+   * frame and positive dimensions — the never-fail contract.
+   */
+  def decode(blob: Array[Byte]): Option[VideoData] = {
+    if (!looksLikeAvi(blob)) return None
+    try decodeUnsafe(blob)
+    catch { case _: Exception => None }
+  }
+
+  private def decodeUnsafe(blob: Array[Byte]): Option[VideoData] = {
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    var width = 0
+    var height = 0
+    var bitCount = 24
+    var compression = 0
+    var usecPerFrame = 0L
+    val frames = Seq.newBuilder[VideoFrame]
+
+    def fourcc(pos: Int): String =
+      new String(blob, pos, 4, "US-ASCII")
+
+    // recursive chunk walk; LIST/RIFF nodes recurse into their payload
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourcc(pos)
+        val size = buf.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return // torn chunk: stop
+        val body = pos + 8
+        id match {
+          case "RIFF" | "LIST" =>
+            // skip the 4-byte list type, recurse into the children
+            if (size >= 4) walk(body + 4, body + size)
+          case "avih" if size >= 40 =>
+            usecPerFrame = buf.getInt(body).toLong & 0xFFFFFFFFL
+            width = buf.getInt(body + 32)
+            height = buf.getInt(body + 36)
+          case "strf" if size >= 20 =>
+            // BITMAPINFOHEADER: fills geometry when avih was absent
+            if (width == 0) width = buf.getInt(body + 4)
+            if (height == 0) height = math.abs(buf.getInt(body + 8))
+            bitCount = buf.getShort(body + 14).toInt & 0xFFFF
+            compression = buf.getInt(body + 16)
+          case _ if id.length == 4 && id.startsWith("00") &&
+              (id.endsWith("dc") || id.endsWith("db")) =>
+            val payload = java.util.Arrays.copyOfRange(blob, body, body + size)
+            decodeFrame(id, payload, width, height, bitCount)
+              .foreach(frames += _)
+          case _ => () // idx1, junk, other streams: skip
+        }
+        pos = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(0, blob.length)
+    val fs = frames.result()
+    if (width <= 0 || height <= 0 || fs.isEmpty) None
+    else Some(VideoData(width, height, usecPerFrame, fs))
+  }
+
+  /** One frame chunk: `..dc` = compressed (MJPEG — a complete JPEG per
+    * chunk, javax.imageio decodes it), `..db` = uncompressed DIB
+    * (BI_RGB bottom-up BGR rows, 4-byte-aligned stride).  None for an
+    * individually undecodable frame (skipped, not fatal). */
+  private def decodeFrame(
+      id: String, payload: Array[Byte], width: Int, height: Int,
+      bitCount: Int): Option[VideoFrame] = {
+    if (id.endsWith("dc")) {
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(y * w + x) =
+                luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrame(px)
+        }
+      } catch { case _: Exception => None }
+    } else {
+      // uncompressed DIB: BGR24 only (the canonical BI_RGB layout)
+      if (bitCount != 24 || width <= 0 || height <= 0) return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      if (payload.length < stride * height) return None
+      val px = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val row = (height - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < width) {
+          val o = row + x * 3
+          px(y * width + x) = luma(
+            payload(o + 2) & 0xFF, payload(o + 1) & 0xFF, payload(o) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      Some(VideoFrame(px))
+    }
+  }
+
+  // ----------------------------------------------------------- encoders
+
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(cc(id))
+    out.write(le32(body.length))
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0) // word alignment
+    out.toByteArray
+  }
+
+  private def list(kind: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", cc(kind) ++ children)
+
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def headers(
+      width: Int, height: Int, nFrames: Int, fps: Int, handler: String,
+      biCompression: Int, frameBytes: Int): Array[Byte] = {
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / math.max(1, fps)) // usec per frame
+      .putInt(frameBytes * fps)             // max bytes/sec
+      .putInt(0).putInt(0)                  // padding, flags
+      .putInt(nFrames).putInt(0)            // total, initial
+      .putInt(1)                            // streams
+      .putInt(frameBytes)                   // suggested buffer
+      .putInt(width).putInt(height)
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put(cc("vids")).put(cc(handler))
+      .putInt(0).putInt(0).putInt(0)        // flags, prio/lang, initial
+      .putInt(1).putInt(math.max(1, fps))   // scale, rate
+      .putInt(0).putInt(nFrames)            // start, length
+      .putInt(frameBytes).putInt(-1).putInt(0) // bufsize, quality, sample
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(biCompression).putInt(frameBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    list("hdrl",
+      chunk("avih", avih.array()) ++
+        list("strl",
+          chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+  }
+
+  private def container(
+      width: Int, height: Int, fps: Int, handler: String,
+      biCompression: Int, frames: Seq[Array[Byte]],
+      frameId: String): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val maxFrame = frames.map(_.length).max
+    val hdrl = headers(width, height, frames.size, fps, handler,
+      biCompression, maxFrame)
+    val movi = list("movi",
+      frames.map(f => chunk(frameId, f)).reduce(_ ++ _))
+    chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** MJPEG-in-AVI: each frame a complete JPEG payload (`00dc`). */
+  def encodeAviMjpeg(
+      jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] =
+    container(width, height, fps, "MJPG",
+      0x47504A4D /* 'MJPG' */, jpegFrames, "00dc")
+
+  /** Uncompressed-DIB AVI (`00db`, BI_RGB): grayscale frames given as
+    * row-major top-down luminance arrays — lossless, so a closed-form
+    * pixel corpus survives the container round-trip bit-exactly (the
+    * WAV trick, applied to video). */
+  def encodeAviDib(
+      frames: Seq[Array[Int]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(frames.forall(_.length == width * height),
+      "every frame must be width*height pixels")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dibs = frames.map { px =>
+      val body = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val row = (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val v = (px(y * width + x) & 0xFF).toByte
+          val o = row + x * 3
+          body(o) = v; body(o + 1) = v; body(o + 2) = v // B = G = R
+          x += 1
+        }
+        y += 1
+      }
+      body
+    }
+    container(width, height, fps, "DIB ", 0 /* BI_RGB */, dibs, "00db")
+  }
+}
