@@ -219,6 +219,29 @@ class DmlThreadedProps extends AnyFunSuite {
             throw new IllegalStateException(
               s"case $ci: branch $name staged read $staged, " +
                 s"expected ${forkN + batch.size}")
+          // round-11 surfaces under the SAME race: the branch change
+          // feed since the fork base is exactly the staged batch, the
+          // fork-base pin still answers forkN however main churns, and
+          // branch time travel at "now" resolves the branch head
+          // (branch versions inherit main's numbering — the fork base
+          // is the branch's LOWEST version, not 1)
+          val forkV = Branches.versions(spark, dir, name).min
+          val feedN = Branches.readChanges(spark, dir, name, forkV).count()
+          if (feedN != batch.size)
+            throw new IllegalStateException(
+              s"case $ci: branch $name change feed $feedN rows, " +
+                s"expected ${batch.size}")
+          val baseN = Branches.read(spark, dir, name, version = forkV).count()
+          if (baseN != forkN)
+            throw new IllegalStateException(
+              s"case $ci: branch $name fork-base pin read $baseN, " +
+                s"expected $forkN")
+          val travelN = Branches.readAsOf(spark, dir, name,
+            System.currentTimeMillis()).count()
+          if (travelN != staged)
+            throw new IllegalStateException(
+              s"case $ci: branch $name travel-to-now read $travelN, " +
+                s"expected $staged")
           try {
             Branches.fastForward(spark, dir, name)
             ffBatches.add(batch.map(t => (t._1, t._2, t._3)))
@@ -230,7 +253,70 @@ class DmlThreadedProps extends AnyFunSuite {
         } catch { case t: Throwable => errors.add(t) }
       }, "dmlthread-branch")
 
-      val threads = workers :+ maintenance :+ brancher
+      // a READER thread races the writers, maintenance, and brancher:
+      // pinned version reads must be REPEATABLE (MVCC), the main-line
+      // change feeds must never tear (they may refuse documented
+      // unsupported commit kinds, or find their range expired — both
+      // acceptable under retention), and the version clock never runs
+      // backwards
+      val reader = new Thread(() => {
+        def expired(e: Throwable): Boolean = {
+          var c: Throwable = e
+          while (c != null) {
+            if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+            val m = c.getMessage
+            if (m != null && (m.contains("no manifest version") ||
+                m.contains("No such file"))) return true
+            c = c.getCause
+          }
+          false
+        }
+        // the feeds' documented refusals (append-only ranges for the
+        // file feed; MoR/CDC-recorded ranges for the row feed)
+        def refused(e: Throwable): Boolean =
+          e.isInstanceOf[IllegalStateException] &&
+            e.getMessage != null && e.getMessage.contains(" commit")
+        try (1 to 6).foreach { _ =>
+          val v1 = Snapshots.latestVersion(spark, dir)
+          def snap(): Option[Map[Long, (Long, String)]] =
+            try Some(spark.sql(
+                s"SELECT k, v, p FROM graft.`$dir` VERSION AS OF $v1")
+              .collect()
+              .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+              .toMap)
+            catch { case e: Throwable if expired(e) => None }
+          (snap(), snap()) match {
+            case (Some(a), Some(b)) =>
+              if (a != b) throw new IllegalStateException(
+                s"case $ci: pinned read of v$v1 NOT repeatable under " +
+                  s"race (${(a.keySet -- b.keySet).take(3)} vs " +
+                  s"${(b.keySet -- a.keySet).take(3)})")
+            case _ => () // version aged out mid-sample: allowed
+          }
+          if (v1 >= 2) {
+            try Snapshots.readChanges(spark, dir, v1 - 1, v1).collect()
+            catch {
+              case e: Throwable if expired(e) || refused(e) => ()
+            }
+            try {
+              val kinds = Snapshots.readChangesRows(spark, dir, v1 - 1, v1)
+                .select("_change_type").collect().map(_.getString(0))
+              if (!kinds.forall(t => t == "insert" || t == "delete"))
+                throw new IllegalStateException(
+                  s"case $ci: CDC feed emitted unknown change type " +
+                    s"${kinds.distinct.mkString(",")}")
+            } catch {
+              case e: Throwable if expired(e) || refused(e) => ()
+            }
+          }
+          val v2 = Snapshots.latestVersion(spark, dir)
+          if (v2 < v1) throw new IllegalStateException(
+            s"case $ci: version clock ran backwards $v1 -> $v2")
+          Thread.sleep(15)
+        } catch { case t: Throwable => errors.add(t) }
+      }, "dmlthread-reader")
+
+      val threads = workers :+ maintenance :+ brancher :+ reader
       threads.foreach(_.start())
       threads.foreach(_.join(240000))
       assert(!threads.exists(_.isAlive), s"case $ci: thread wedged")
