@@ -41,7 +41,13 @@ object Bench {
             "revert to the r09 JIT drift")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args: run only the named queries (iteration
+    // aid — the driver always runs the full board)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // toRdd.count() materializes every output row (a plain count() lets
       // Catalyst prune the query down to a row count)
       def once(): Double = {
@@ -95,7 +101,7 @@ object Bench {
     // builder's committed close evidence (docs/BENCH_full_latest.json is
     // only updated when SPARK_GRAFT_BENCH_PUBLISH=1 — the builder sets
     // it when recording a close).
-    val artifact: Option[String] = try {
+    val artifact: Option[String] = if (only.nonEmpty) None else try {
       val full = {
         val best = jmap(results.map { case (k, _, _, b) => (k, b) })
         val warm = jmap(results.map { case (k, _, w, _) => (k, w) })

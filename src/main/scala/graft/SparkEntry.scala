@@ -4234,18 +4234,19 @@ object SparkEntry {
     * reverse-selecting new nodes) by exact cosine.  Emits `med$p`
     * (merged a,b rows) and `medg$p` (cand,next edge view). */
   private def knnMergeCtes(p: String, g: String, st: String,
-      newIds: String, batchG: String): String =
+      newIds: String, batchG: Option[String]): String =
     s"ne$p AS MATERIALIZED (SELECT a, b FROM (" +
       "SELECT query_id AS a, cand AS b, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rn " +
       s"FROM $st WHERE cand <> query_id) WHERE rn <= 10), " +
-      // within-batch NN-Descent pairs enter only above the 2·k gate —
-      // the same data-driven condition the engine evaluates, so the
-      // oracle follows the engine at ANY corpus size
+      // within-batch NN-Descent pairs (level 0 only) enter only above
+      // the 2·k gate — the same data-driven condition the engine
+      // evaluates, so the oracle follows the engine at ANY corpus size
       s"np$p AS (SELECT DISTINCT a, b FROM (" +
-      s"SELECT a, b FROM ne$p UNION ALL " +
-      s"SELECT a, b FROM $batchG " +
-      s"WHERE (SELECT count(*) FROM $newIds) >= 20)), " +
+      s"SELECT a, b FROM ne$p" +
+      batchG.map(bg => s" UNION ALL SELECT a, b FROM $bg " +
+        s"WHERE (SELECT count(*) FROM $newIds) >= 20").getOrElse("") +
+      ")), " +
       knnTopK(s"nl$p", s"np$p", 10) + ", " +
       s"aff$p AS (SELECT DISTINCT b AS id FROM nl$p " +
       s"WHERE b NOT IN (SELECT id FROM $newIds)), " +
@@ -4273,13 +4274,11 @@ object SparkEntry {
       knnLevelSeedsSql(ex1), beam = 40, Seq((s"edv${p}1", 4)))
     val (bb0, bg0) = knnBuildCtes(s"bb${p}0", new0,
       iters = ops.KnnGraph.BatchGraphIters, k = 10)
-    val (bb1, bg1) = knnBuildCtes(s"bb${p}1", new1,
-      iters = ops.KnnGraph.BatchGraphIters, k = 10)
     s"edv${p}0 AS (SELECT a AS cand, b AS next FROM $g0), " +
       s"edv${p}1 AS (SELECT a AS cand, b AS next FROM $g1), " +
-      i0 + ", " + i1 + ", " + bb0 + ", " + bb1 + ", " +
-      knnMergeCtes(s"${p}0", g0, ist0, new0, bg0) + ", " +
-      knnMergeCtes(s"${p}1", g1, ist1, new1, bg1)
+      i0 + ", " + i1 + ", " + bb0 + ", " +
+      knnMergeCtes(s"${p}0", g0, ist0, new0, Some(bg0)) + ", " +
+      knnMergeCtes(s"${p}1", g1, ist1, new1, None)
   }
 
   /** The incremental-insert oracle: build the two-level index on the

@@ -115,13 +115,18 @@ object MergeInto {
       spark: SparkSession, target: DataFrame, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String],
       basePath: Option[String] = None,
-      readTouched: Option[Seq[String] => DataFrame] = None)
+      readTouched: Option[Seq[String] => DataFrame] = None,
+      keysUnique: Boolean = false)
       : (Set[String], DataFrame) = {
     val dataCols = target.schema.fieldNames.toSeq
     val keyDf = updates.select(keyCols.map(col): _*)
-    require(keyDf.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      "updates carry multiple rows for the same key")
+    // `keysUnique` lets a caller whose updates are unique BY
+    // CONSTRUCTION (e.g. row_number-ranked batches) skip the guard —
+    // one full aggregate job per merge on a high-frequency path
+    if (!keysUnique)
+      require(keyDf.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).isEmpty,
+        "updates carry multiple rows for the same key")
 
     val touched = target.withColumn("__file", input_file_name())
       .join(keyDf.hint("broadcast"), keyCols, "left_semi")

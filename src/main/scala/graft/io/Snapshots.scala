@@ -789,7 +789,8 @@ object Snapshots extends Serializable {
   def mergeCommit(
       spark: SparkSession, uri: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
-      mergeOnRead: Boolean = false, statsPrune: Boolean = false): Int = {
+      mergeOnRead: Boolean = false, statsPrune: Boolean = false,
+      keysUnique: Boolean = false): Int = {
     if (mergeOnRead)
       return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
     val v = latestVersion(spark, uri)
@@ -808,7 +809,7 @@ object Snapshots extends Serializable {
     // PROVABLY contain no matching key; the exact left-semi probe
     // still decides which survivors actually rewrite.
     val probeEntries =
-      if (!statsPrune) entries
+      if (!statsPrune || entries.size <= 1) entries
       else pruneForKeys(spark, uri, v, entries, updates, keyCols)
     val target =
       if (probeEntries.isEmpty)
@@ -822,7 +823,8 @@ object Snapshots extends Serializable {
     // delete must not resurrect in the rewrite).
     val (touchedAbs, replacement) = MergeInto.replacementPlan(
       spark, target, updates, keyCols, deleteCol, basePath = Some(uri),
-      readTouched = Some(dvAwareTouched(spark, uri, entries)))
+      readTouched = Some(dvAwareTouched(spark, uri, entries)),
+      keysUnique = keysUnique)
     val touched = touchedAbs.map(relName(uri, _))
 
     val fs = fsOf(spark, uri)

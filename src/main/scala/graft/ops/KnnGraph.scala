@@ -335,13 +335,16 @@ object KnnGraph {
       branching)
   }
 
-  /** Within-batch graph gate: a level batch of at least 2·k members
+  /** Within-batch graph gate: a LEVEL-0 batch of at least 2·k members
     * gets its own small NN-Descent in [[insertLayered]] so new↔new
     * neighbors land in the SAME commit; smaller batches rely on the
     * next refresh (the freshness trade, now bounded to sub-2k
-    * batches).  Refinement rounds for that batch graph — the upper-
-    * layer convention (half the default build's six). */
-  private[graft] val BatchGraphIters = 3
+    * batches).  Layer 0 only: upper layers exist to STEER the entry
+    * beam, and serving reads neighbor lists from layer 0 — within-
+    * batch freshness above it buys recall nothing for its cost.
+    * Two refinement rounds suffice for a batch-sized graph (ring init
+    * over ≤ thousands of nodes is already dense). */
+  private[graft] val BatchGraphIters = 2
 
   /** Exact-cosine top-`k` lists from candidate PAIRS `(a, b)`:
     * vectors joined from `vecs(id, __v)`, ties by neighbor id, output
@@ -388,9 +391,21 @@ object KnnGraph {
       .localCheckpoint()
     // an empty per-level batch publishes NOTHING — a new identical
     // version would churn retention and readers for no content change
-    if (!ups.isEmpty)
-      graft.io.Snapshots.mergeCommit(spark, levelUri, ups,
-        Seq("id", "rank"), deleteCol = Some("__del"), statsPrune = true)
+    if (!ups.isEmpty) {
+      // adaptive commit: on a SINGLE-file level the partial rewrite
+      // degenerates to a full rewrite anyway, so the merge machinery's
+      // probe + touched re-read buys nothing — publish the merged
+      // content directly (same rows either way); multi-file levels
+      // (any real corpus) take the keyed partial-rewrite path
+      if (graft.io.Snapshots.filesDf(spark, levelUri).count() <= 1)
+        graft.io.Snapshots.overwriteCommit(spark, levelUri,
+          g.join(replacedIds, Seq("id"), "left_anti")
+            .unionByName(newRows))
+      else
+        graft.io.Snapshots.mergeCommit(spark, levelUri, ups,
+          Seq("id", "rank"), deleteCol = Some("__del"), statsPrune = true,
+          keysUnique = true) // (id, rank) ranked by row_number per id
+    }
   }
 
   private def maintPendingPath(uri: String) =
@@ -444,10 +459,11 @@ object KnnGraph {
    * disk-native HNSW-insert path): for each level, the batch's members
    * (same hash-decay rule as [[buildLayered]]) find their k nearest
    * existing level members via the level's own beam walk; when the
-   * level batch reaches 2·k members it ALSO builds a small NN-Descent
-   * graph over itself, and each new node's list is the exact-cosine
-   * top-k over (beam selections ∪ within-batch neighbors) — so a
-   * backfill-sized batch wires new↔new links in the same commit.  The
+   * LEVEL-0 batch reaches 2·k members it ALSO builds a small
+   * NN-Descent graph over itself, and each new node's list is the
+   * exact-cosine top-k over (beam selections ∪ within-batch neighbors)
+   * — so a backfill-sized batch wires new↔new links in the same
+   * commit where serving reads them (upper layers only steer).  The
    * affected EXISTING nodes re-rank their lists over (old neighbors ∪
    * the new nodes that kept them) with EXACT cosines (the reverse-link
    * step), and each level table advances by ONE snapshot version
@@ -485,23 +501,31 @@ object KnnGraph {
         if (l == 0) exNodes else exNodes.filter(levelAtLeast(br, l))
       val mNew = levelNew.count()
       if (mNew > 0) {
+        def dbg[T](label: String)(body: => T): T = {
+          if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG")) {
+            val t0 = System.nanoTime()
+            val r = body
+            println(f"[knn-dbg] level$l $label: ${(System.nanoTime()-t0)/1e9}%.2f s")
+            r
+          } else body
+        }
         // the batch's edges: beam walk over THIS level's edge set,
         // seeded like flat search (beam lowest signed-hash members)
         val seeds = levelExisting.select(col("id").as("cand"))
           .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
-        val beamPairs = beamServe(levelExisting, levelNew, "id", "__v",
+        val beamPairs = dbg("beamServe")(beamServe(levelExisting, levelNew, "id", "__v",
             "id", "__v", k, beam, seeds, Seq((g, hops)))
-          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+          .select(col("query_id").as("a"), col("neighbor_id").as("b")).localCheckpoint())
         val newPairs =
-          if (mNew >= 2L * k)
+          if (l == 0 && mNew >= 2L * k)
             beamPairs.unionAll(
-              build(levelNew, "id", "__v",
+              dbg("batchBuild")(build(levelNew, "id", "__v",
                   math.min(k.toLong, mNew - 1).toInt, BatchGraphIters)
-                .select(col("id").as("a"), col("neighbor_id").as("b")))
+                .select(col("id").as("a"), col("neighbor_id").as("b")).localCheckpoint()))
               .distinct()
           else beamPairs
         val allVecs = levelExisting.unionAll(levelNew)
-        val newLists = topKExact(newPairs, allVecs, k).localCheckpoint()
+        val newLists = dbg("newLists")(topKExact(newPairs, allVecs, k).localCheckpoint())
         // reverse links: every EXISTING node some new node kept
         // re-ranks (old neighbors ∪ its selecting new nodes); batch
         // members never re-rank here — their lists were just built
@@ -515,8 +539,8 @@ object KnnGraph {
           .join(newIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         val rescored =
           topKExact(oldPairs.unionAll(revPairs).distinct(), allVecs, k)
-        commitLevelMerge(spark, s"$uri/level$l", g, affected,
-          rescored.unionByName(newLists))
+        dbg("commit")(commitLevelMerge(spark, s"$uri/level$l", g, affected,
+          rescored.unionByName(newLists)))
       }
     }
     markApplied(spark, uri)

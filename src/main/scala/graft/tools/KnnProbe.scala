@@ -1,0 +1,45 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object KnnProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val existing = e.filter(col("vec_id") % 25 =!= 7)
+    val batch = e.filter(col("vec_id") % 25 === 7)
+    val uri = "/tmp/knnprobe_idx"
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def t[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probe] $label: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      r
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(uri, "level0/_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      t("buildLayered+persist") {
+        graft.ops.KnnGraph.persistLayered(spark,
+          graft.ops.KnnGraph.buildLayered(existing, "vec_id", "embedding",
+            10, 6, 4, 128), uri)
+      }
+    }
+    (0 until 2).foreach { i =>
+      (0 until 2).foreach { l =>
+        val lu = s"$uri/level$l"
+        if (graft.io.Snapshots.latestVersion(spark, lu) > 1)
+          graft.io.Snapshots.restoreCommit(spark, lu, 1)
+      }
+      t(s"insertLayered run$i") {
+        graft.ops.KnnGraph.insertLayered(spark, uri, existing, batch,
+          "vec_id", "embedding", 10, 40, 4)
+      }
+    }
+    spark.stop()
+  }
+}
