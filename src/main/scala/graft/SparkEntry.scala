@@ -3362,6 +3362,18 @@ object SparkEntry {
           sampleEvery = 2)
         .toDF().orderBy("doc_id", "frame_idx")),
 
+    // keyframe selection over REAL decoded video (round 12): the
+    // scene-structured DIB-AVI corpus (hard cut every 3 frames, small
+    // uniform drift within a shot), dHash over actual decoded pixels,
+    // lag-window Hamming, keep frame 0 + above-threshold cuts — the
+    // oracle regenerates the pixels and replicates hash + window
+    "mm_video_keyframes" -> ((s, dir) =>
+      Multimodal.videoKeyFrames(
+          Multimodal.synthAviScenes(
+            t(s, dir, "documents"), "doc_id", "n_chars"),
+          minHamming = 8)
+        .orderBy("doc_id", "frame_idx")),
+
     // keyframe selection: per-frame perceptual hash, windowed Hamming
     // against the previous frame, keep frame 0 + above-threshold cuts
     "mm_keyframes" -> ((s, dir) =>
@@ -6142,6 +6154,40 @@ object SparkEntry {
         "FROM feat JOIN dh ON dh.doc_id = feat.doc_id " +
         "AND dh.frame_idx = feat.frame_idx " +
         "ORDER BY feat.doc_id, feat.frame_idx"),
+
+    // full replication of videoKeyFrames over the scene-structured
+    // corpus: nf = n_chars % 6 + 4 frames, scene = f//3 re-seeds the
+    // formula, drift = 2*(f%3) shifts uniformly, dHash per frame from
+    // the 2x1-cell grid (same machinery as mm_video_frames), then the
+    // lag window + hamming>8-or-first filter
+    "mm_video_keyframes" ->
+      ("WITH d AS (SELECT doc_id, n_chars % 6 + 4 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, unnest(range(nf)) AS frame_idx FROM d), " +
+        "px AS (SELECT doc_id, frame_idx, y, x, " +
+        "(doc_id * 7919 + (frame_idx // 3) * 5501 + y * 131 + x * 17 " +
+        "+ (frame_idx % 3) * 2 + 13) % 256 AS v " +
+        "FROM fr, unnest(range(8)) AS uy(y), unnest(range(18)) AS ux(x)), " +
+        "cells AS (SELECT doc_id, frame_idx, y AS r, x // 2 AS c, " +
+        "sum(v) AS s FROM px GROUP BY doc_id, frame_idx, y, x // 2), " +
+        "bits AS (SELECT a.doc_id, a.frame_idx, a.r * 8 + a.c AS bit " +
+        "FROM cells a JOIN cells b ON a.doc_id = b.doc_id " +
+        "AND a.frame_idx = b.frame_idx AND b.r = a.r AND b.c = a.c + 1 " +
+        "WHERE a.c < 8 AND a.s < b.s), " +
+        "dh AS (SELECT f.doc_id, f.frame_idx, " +
+        "CAST(coalesce(sum(CASE WHEN bit < 63 " +
+        "THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0) AS BIGINT) " +
+        "+ CASE WHEN coalesce(bool_or(bit = 63), false) " +
+        "THEN -9223372036854775807 - 1 ELSE 0 END AS dhash " +
+        "FROM fr f LEFT JOIN bits ON f.doc_id = bits.doc_id " +
+        "AND f.frame_idx = bits.frame_idx " +
+        "GROUP BY f.doc_id, f.frame_idx), " +
+        "lagged AS (SELECT doc_id, frame_idx, dhash, " +
+        "CAST(bit_count(xor(dhash, lag(dhash) " +
+        "OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS INTEGER) " +
+        "AS hamming_prev FROM dh) " +
+        "SELECT doc_id, frame_idx, dhash, hamming_prev FROM lagged " +
+        "WHERE hamming_prev IS NULL OR hamming_prev > 8 " +
+        "ORDER BY doc_id, frame_idx"),
 
     // full replication of keyFrames: per-frame byte rotation
     // (rot0 = (3f + 997*(f//5)) % n), the dHash stripe arithmetic on

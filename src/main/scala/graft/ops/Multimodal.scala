@@ -451,6 +451,66 @@ object Multimodal {
       }
   }
 
+  /**
+   * Keyframe selection over REAL decoded video (the rotation-stub
+   * [[keyFrames]] upgraded to actual pixels): dHash every decoded
+   * frame ([[videoFrameFeatures]] at sampleEvery = 1), compare each
+   * hash to the PREVIOUS frame's with a bounded per-document window,
+   * and keep frame 0 plus every frame whose Hamming distance exceeds
+   * `minHamming` — the shot-boundary reduction, now driven by what the
+   * frames actually look like.  Narrow decode → codegen'd bit ops →
+   * one per-document window; no other shuffle.
+   */
+  def videoKeyFrames(
+      records: Dataset[MediaRecord], minHamming: Int = 8): DataFrame = {
+    val hashed = videoFrameFeatures(records, sampleEvery = 1).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    hashed
+      .withColumn("hamming_prev",
+        bit_count(col("dhash").bitwiseXOR(
+          lag(col("dhash"), 1).over(w))).cast("int"))
+      .filter(col("hamming_prev").isNull ||
+        col("hamming_prev") > minHamming)
+      .select("doc_id", "frame_idx", "dhash", "hamming_prev")
+  }
+
+  /**
+   * Scene-structured AVI fixture (the [[synthAvi]] corpus with SHOT
+   * structure): `nCol % 6 + 4` frames per clip, a hard cut every 3
+   * frames (`scene = frame / 3` re-seeds the pixel formula) and a
+   * small uniform drift (+2·frameInScene) within a scene — drift
+   * shifts all pixels equally, so cell comparisons (and the dHash)
+   * move only where values WRAP mod 256, giving the realistic shape:
+   * near-zero Hamming inside a shot, ~half-bits across a cut.
+   * Closed form, lossless through the DIB container — SQL-replicable.
+   */
+  def synthAviScenes(df: DataFrame, idCol: String, nCol: String)
+      : Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = 18
+    val h = 8
+    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val nFrames = (Math.floorMod(nc, 6L) + 4L).toInt
+          val frames = (0 until nFrames).map { f =>
+            val scene = f / 3
+            val drift = (f % 3) * 2
+            Array.tabulate(w * h) { p =>
+              val y = p / w
+              val x = p % w
+              Math.floorMod(id * 7919L + scene * 5501L + y * 131L +
+                x * 17L + drift + 13L, 256L).toInt
+            }
+          }
+          MediaRecord(id, graft.util.VideoDecode.encodeAviDib(frames, w, h))
+        }
+      }
+  }
+
   /** End-to-end: DataFrame with (idCol, textCol) → decoded metadata. */
   def extractMeta(
       spark: SparkSession, df: DataFrame, idCol: String, srcCol: String,
