@@ -121,11 +121,18 @@ class GraftS3FileSystem extends FileSystem with graft.io.AtomicCreate {
       replication: Short, blockSize: Long, progress: Progressable)
       : FSDataOutputStream = {
     val key = keyOf(f)
+    // fast-fail pre-check; the real exclusivity for non-overwrite
+    // creates lands at close(): the single-PUT path uses the
+    // conditional put, so exclusive-create users (branch-create
+    // mutexes, commit markers) get STORE-arbitrated atomicity instead
+    // of a check/put window.  Multipart uploads (bodies past the part
+    // size) keep the pre-check semantics only.
     if (!overwrite && client.head(bucket, key).isDefined)
       throw new IOException(s"$f already exists")
     new FSDataOutputStream(
       new S3OutputStream(client, bucket, key,
-        getConf.getLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024)),
+        getConf.getLong("fs.graft.s3.multipart.size", 64L * 1024 * 1024),
+        exclusive = !overwrite),
       statistics)
   }
 
@@ -261,7 +268,8 @@ private[s3] class S3InputStream(
   * upload beyond it (parts flushed as the buffer fills — bounded memory
   * for arbitrarily large objects). */
 private[s3] class S3OutputStream(
-    client: S3Client, bucket: String, key: String, partSize: Long)
+    client: S3Client, bucket: String, key: String, partSize: Long,
+    exclusive: Boolean = false)
     extends java.io.OutputStream {
   private val buf = new ByteArrayOutputStream()
   private var uploadId: Option[String] = None
@@ -297,7 +305,13 @@ private[s3] class S3OutputStream(
     closed = true
     uploadId match {
       case None =>
-        if (!failed) client.put(bucket, key, buf.toByteArray)
+        if (!failed) {
+          if (exclusive) {
+            if (!client.putIfAbsent(bucket, key, buf.toByteArray))
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"$bucket/$key: lost the create-exclusive race")
+          } else client.put(bucket, key, buf.toByteArray)
+        }
       case Some(id) =>
         if (failed) {
           // a finally-close after an upstream failure: release the upload

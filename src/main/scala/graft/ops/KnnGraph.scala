@@ -602,6 +602,29 @@ object KnnGraph {
   }
 
   /**
+   * Restore the id-range clustering maintenance erodes: every
+   * [[insertLayered]]/[[deleteFromLayered]] batch appends replacement
+   * files whose id ranges straddle the touched ids, so after many
+   * batches the per-file manifest stats overlap and the partial-
+   * rewrite probe prunes less.  One z-order compaction per level
+   * (z-order on a single column = a range re-sort) re-packs the files
+   * into disjoint id intervals at `targetBytes` — run it on the same
+   * cadence as any table OPTIMIZE.  Content is untouched (pure
+   * layout); each level advances one MVCC version.  Returns the new
+   * version per level.
+   */
+  def compactLayered(spark: org.apache.spark.sql.SparkSession,
+      uri: String, targetBytes: Long = 128L << 20): Seq[Int] = {
+    val idx = loadLayered(spark, uri) // validates the index shape
+    idx.levels.indices.map { l =>
+      graft.io.Snapshots.retryCommit() {
+        graft.io.Snapshots.optimizeCommit(
+          spark, s"$uri/level$l", targetBytes, Seq("id"), None)
+      }
+    }
+  }
+
+  /**
    * Layered serving: enter at the TOP layer (its whole node set seeds
    * the beam — by construction ~seedTarget nodes), walk `upperHops`
    * hop(s) per upper layer to pull the beam toward the query's

@@ -288,6 +288,20 @@ class KnnGraphSpec extends AnyFunSuite {
     val a2 = names(graft.io.Snapshots.latestVersion(spark, l0))
     assert(b2.intersect(a2).size > b2.size / 2,
       "delete healing rewrote more than the affected files")
+    // compaction restores the clustering maintenance eroded: content
+    // untouched, file count collapses (tiny files re-pack), and the
+    // maintenance journal is clean throughout
+    val pre = graft.io.Snapshots.read(spark, l0)
+      .collect().map(_.toSeq).toSet
+    KnnGraph.compactLayered(spark, uri, targetBytes = 1L << 20)
+    val post = graft.io.Snapshots.read(spark, l0)
+      .collect().map(_.toSeq).toSet
+    assert(post == pre, "compactLayered changed level content")
+    val compacted = names(graft.io.Snapshots.latestVersion(spark, l0))
+    assert(compacted.size < a2.size,
+      s"compaction did not shrink the file count (${a2.size} -> " +
+        s"${compacted.size})")
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty)
   }
 
   test("insert batch >= 2k builds a within-batch graph: new<->new " +
