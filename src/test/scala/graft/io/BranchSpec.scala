@@ -75,9 +75,16 @@ class BranchSpec extends AnyFunSuite {
     Snapshots.expire(spark, dir, keepVersions = 1)
     // the branch still reads — base files AND its staged append survive
     assert(Branches.read(spark, dir, "stage").count() == 101)
-    // after drop, a second expire reclaims the branch's orphans
+    // after drop, the branch's files are unreferenced ORPHANS — the
+    // default 3-day grace window protects them (they are
+    // indistinguishable from a concurrent writer's staging), so a
+    // DEFAULT expire reclaims nothing yet
     Branches.drop(spark, dir, "stage")
-    val removed = Snapshots.expire(spark, dir, keepVersions = 1)
+    assert(Snapshots.expire(spark, dir, keepVersions = 1).isEmpty,
+      "default grace must protect freshly-orphaned branch files")
+    // eager single-writer cleanup is the explicit opt-in
+    val removed = Snapshots.expire(spark, dir, keepVersions = 1,
+      orphanGraceMs = 0L)
     assert(removed.nonEmpty)
     assert(Snapshots.read(spark, dir).count() == 1)
   }
