@@ -266,7 +266,10 @@ class DmlThreadedProps extends AnyFunSuite {
             if (c.isInstanceOf[java.io.FileNotFoundException]) return true
             val m = c.getMessage
             if (m != null && (m.contains("no manifest version") ||
-                m.contains("No such file"))) return true
+                m.contains("No such file") ||
+                // Spark's readers phrase a mid-scan vanished file as
+                // "File ... does not exist" inside a task failure
+                m.contains("does not exist"))) return true
             c = c.getCause
           }
           false
