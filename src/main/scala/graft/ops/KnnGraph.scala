@@ -207,8 +207,17 @@ object KnnGraph {
           .join(edges, "cand")
           .select(col("query_id"), col("next").as("cand"))
           .distinct()
-        state = materialize(keepBeam(score(expanded).unionAll(state)
-            .groupBy("query_id", "cand").agg(max("cosine").as("cosine"))))
+        val next = keepBeam(score(expanded).unionAll(state)
+          .groupBy("query_id", "cand").agg(max("cosine").as("cosine")))
+        // materialize every SECOND hop (and the phase end): each hop
+        // references its predecessor twice (expand + union), so the
+        // uncut plan doubles per hop — one skipped cut bounds that at
+        // 2× while halving the eager checkpoints, which dominate the
+        // walk's wall-clock on bounded beams.  Results are identical:
+        // materialization never changes content, only plan shape.
+        state =
+          if (hop % 2 == 1 || hop == hopCount - 1) materialize(next)
+          else next
         hop += 1
       }
     }
@@ -480,6 +489,14 @@ object KnnGraph {
    * height).  Cost: one beam walk per level over the BATCH only + a
    * bounded re-rank + an O(batch²)-bounded batch graph — commit I/O
    * and compute both independent of corpus size, the 100 TB shape.
+   *
+   * SINGLE MAINTAINER: the per-level deltas are computed against the
+   * index loaded at entry, so concurrent maintenance on the SAME index
+   * is not replay-safe — a racing commit fails loudly (concurrent-
+   * commit error) rather than publishing stale-basis content, leaving
+   * the `_maint_pending` journal to diagnose and the recorded versions
+   * to restore.  Serialize maintainers per index (the streaming path's
+   * one-trigger-at-a-time foreachBatch does this naturally).
    */
   def insertLayered(spark: org.apache.spark.sql.SparkSession, uri: String,
       existing: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
