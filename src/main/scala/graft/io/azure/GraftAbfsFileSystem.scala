@@ -37,7 +37,7 @@ import graft.io.s3.S3Signer
  * commits nothing.  Directories are prefix-implicit with zero-byte
  * `key/` markers, as in the s3 FS.
  */
-class GraftAbfsFileSystem extends FileSystem {
+class GraftAbfsFileSystem extends FileSystem with graft.io.AtomicCreate {
   private var fsUri: URI = _
   private var container: String = _
   private[azure] var client: AzureBlobClient = _
@@ -194,6 +194,11 @@ class GraftAbfsFileSystem extends FileSystem {
     }
     true
   }
+
+  /** Atomic create-exclusive via Azure conditional Put Blob — see
+    * [[graft.io.AtomicCreate]]. */
+  override def createExclusive(f: Path, body: Array[Byte]): Boolean =
+    client.putIfAbsent(container, keyOf(f), body)
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val key = keyOf(f)
@@ -477,6 +482,23 @@ private[azure] class AzureBlobClient(
       Map("x-ms-blob-type" -> "BlockBlob")),
       s"PUT $container/$key")
     ()
+  }
+
+  /** Conditional Put Blob (`If-None-Match: *` — the header rides the
+    * SharedKey string-to-sign's standard slot): true = created, false
+    * = a blob already exists (HTTP 409 BlobAlreadyExists / 412) — this
+    * writer lost the race.  Azure's native create-exclusive. */
+  def putIfAbsent(
+      container: String, key: String, body: Array[Byte]): Boolean = {
+    val conn = request("PUT", pathOf(container, key), Nil, body,
+      Map("x-ms-blob-type" -> "BlockBlob", "if-none-match" -> "*"))
+    val code = conn.getResponseCode
+    val bytes = drain(conn)
+    if (code >= 200 && code < 300) true
+    else if (code == 409 || code == 412) false
+    else throw new IOException(
+      s"conditional PUT $container/$key failed: HTTP $code " +
+        new String(bytes.take(512), UTF_8))
   }
 
   def putBlock(

@@ -199,7 +199,16 @@ final class InMemoryAzureBlob(
 
   private def putBlob(ex: HttpExchange, full: String): Unit = {
     val body = ex.getRequestBody.readAllBytes()
-    blobs.put(full, body)
+    // conditional put (`If-None-Match: *`): putIfAbsent on the backing
+    // map makes the endpoint a genuine CAS arbiter — Azure answers 409
+    // BlobAlreadyExists for the loser
+    val conditional =
+      Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+    if (conditional) {
+      if (blobs.putIfAbsent(full, body) != null) {
+        respond(ex, 409, errXml("BlobAlreadyExists")); return
+      }
+    } else blobs.put(full, body)
     mtimes.put(full, System.currentTimeMillis())
     respond(ex, 201, Array.emptyByteArray)
   }

@@ -30,7 +30,7 @@ import graft.io.s3.S3Signer
  * `fs.graft.gs.endpoint` (the STORAGE_EMULATOR_HOST convention of
  * fake-gcs-server, which the reference's own integration tests use).
  */
-class GraftGsFileSystem extends FileSystem {
+class GraftGsFileSystem extends FileSystem with graft.io.AtomicCreate {
   private var fsUri: URI = _
   private var bucket: String = _
   private[gcs] var client: GcsClient = _
@@ -182,6 +182,11 @@ class GraftGsFileSystem extends FileSystem {
     }
     true
   }
+
+  /** Atomic create-exclusive via GCS `if-generation-match: 0` — see
+    * [[graft.io.AtomicCreate]]. */
+  override def createExclusive(f: Path, body: Array[Byte]): Boolean =
+    client.putIfAbsent(bucket, keyOf(f), body)
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val key = keyOf(f)
@@ -486,6 +491,22 @@ private[gcs] class GcsClient(
     expect2xx(request("PUT", pathOf(bucket, key), Nil, body),
       s"PUT $bucket/$key")
     ()
+  }
+
+  /** Conditional put (`x-goog-if-generation-match: 0` — generation 0
+    * means "the object must not exist"): true = created, false = an
+    * object already exists (HTTP 412 PreconditionFailed) — this writer
+    * lost the race.  GCS's native create-exclusive. */
+  def putIfAbsent(bucket: String, key: String, body: Array[Byte]): Boolean = {
+    val conn = request("PUT", pathOf(bucket, key), Nil, body,
+      Map("x-goog-if-generation-match" -> "0"))
+    val code = conn.getResponseCode
+    val bytes = drain(conn)
+    if (code >= 200 && code < 300) true
+    else if (code == 412 || code == 409) false
+    else throw new IOException(
+      s"conditional PUT $bucket/$key failed: HTTP $code " +
+        new String(bytes.take(512), UTF_8))
   }
 
   def delete(bucket: String, key: String): Unit = {

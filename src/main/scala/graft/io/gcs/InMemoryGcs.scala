@@ -255,7 +255,16 @@ final class InMemoryGcs(clientEmail: String) {
 
   private def putObject(ex: HttpExchange, full: String): Unit = {
     val body = ex.getRequestBody.readAllBytes()
-    objects.put(full, body)
+    // conditional put (`x-goog-if-generation-match: 0` = must not
+    // exist): putIfAbsent makes the endpoint a genuine CAS arbiter —
+    // GCS answers 412 PreconditionFailed for the loser
+    val conditional = Option(ex.getRequestHeaders
+      .getFirst("x-goog-if-generation-match")).contains("0")
+    if (conditional) {
+      if (objects.putIfAbsent(full, body) != null) {
+        respond(ex, 412, errXml("PreconditionFailed")); return
+      }
+    } else objects.put(full, body)
     mtimes.put(full, System.currentTimeMillis())
     respond(ex, 200, Array.emptyByteArray)
   }

@@ -140,6 +140,22 @@ class AbfsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count(_.startsWith("page/d")) == 5)
   }
 
+  test("conditional put: exactly one of two racing creates wins") {
+    val fs = new Path(s"abfs://data@$host/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .asInstanceOf[GraftAbfsFileSystem]
+    val p = new Path(s"abfs://data@$host/cas/winner.txt")
+    // the If-None-Match header rides the SharedKey string-to-sign, so
+    // this also proves the signed standard-slot path end-to-end
+    assert(fs.createExclusive(p, "first".getBytes("UTF-8")))
+    assert(!fs.createExclusive(p, "second".getBytes("UTF-8")))
+    val in = fs.open(p)
+    val body = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    assert(body == "first", "loser overwrote the winner's blob")
+  }
+
   test("a wrong account key is rejected by signature verification") {
     val badConf = new org.apache.hadoop.conf.Configuration(
       spark.sessionState.newHadoopConf())

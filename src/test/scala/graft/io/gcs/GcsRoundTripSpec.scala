@@ -45,6 +45,20 @@ class GcsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gcs.tokenGrants >= 1, "the bearer token came from a verified grant")
   }
 
+  test("conditional put: exactly one of two racing creates wins") {
+    val fs = new Path("gs://bucket/")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .asInstanceOf[GraftGsFileSystem]
+    val p = new Path("gs://bucket/cas/winner.txt")
+    assert(fs.createExclusive(p, "first".getBytes("UTF-8")))
+    assert(!fs.createExclusive(p, "second".getBytes("UTF-8")))
+    val in = fs.open(p)
+    val body = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    assert(body == "first", "loser overwrote the winner's object")
+  }
+
   test("filesystem contract: status, list, rename, delete, ranged read") {
     val fs = new Path("gs://bucket/")
       .getFileSystem(spark.sessionState.newHadoopConf())
