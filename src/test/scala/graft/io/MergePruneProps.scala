@@ -1,0 +1,114 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Property fuzz for the stats-pruned keyed merge (`mergeCommit` with
+ * `statsPrune = true`, round 12): on randomly generated key-clustered
+ * tables with random upsert/delete batches — long and string keys,
+ * null keys, keys outside the table's range, multi-column keys — the
+ * pruned path must publish EXACTLY the content the unpruned path
+ * publishes, and must never read-probe more files than exist.
+ * Soundness is the property: pruning may only drop files that provably
+ * contain no matching key, so the final table is byte-identical.
+ *
+ * Knobs: MERGEPRUNE_CASES (default 10), MERGEPRUNE_SEED (default 99).
+ */
+class MergePruneProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("statsPrune merge == unpruned merge on random clustered tables") {
+    val seed = sys.env.getOrElse("MERGEPRUNE_SEED", "99").toLong
+    val cases = sys.env.getOrElse("MERGEPRUNE_CASES", "10").toInt
+    val rnd = new scala.util.Random(seed)
+
+    (1 to cases).foreach { ci =>
+      val stringKey = rnd.nextBoolean()
+      val twoCol = rnd.nextBoolean()
+      val n = 200 + rnd.nextInt(400)
+      def keyOf(i: Int): String =
+        if (stringKey) f"k$i%05d" else i.toString
+      val rows = (0 until n).map { i =>
+        (keyOf(i), (i % 7).toLong, s"v$i")
+      }
+      val base = rows.toDF("k", "sub", "v")
+        .withColumn("k", if (stringKey) col("k") else col("k").cast("long"))
+
+      def freshTable(tag: String): String = {
+        val dir = TestSpark.tmpDir(s"mergeprune_${ci}_$tag")
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        // key-range-clustered multi-file layout: the shape statsPrune
+        // exists for
+        base.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+          .write.parquet(dir)
+        Snapshots.init(spark, dir)
+        dir
+      }
+
+      // random batch: updates to a contiguous key slice, some deletes,
+      // some inserts beyond the range, and (long keys) a null key row
+      val lo = rnd.nextInt(n)
+      val width = 1 + rnd.nextInt(40)
+      val ups = (lo until math.min(n, lo + width)).map { i =>
+        (keyOf(i), 100L + i, s"upd$i", i % 3 == 0) // every 3rd deletes
+      } ++ (0 until 5).map { j =>
+        (keyOf(n + 100 + j), -1L, s"ins$j", false)
+      }
+      var updates = ups.toDF("k", "sub", "v", "__del")
+        .withColumn("k", if (stringKey) col("k") else col("k").cast("long"))
+      if (!stringKey && rnd.nextBoolean()) {
+        // a null key: matches nothing, must not derail pruning
+        updates = updates.unionByName(
+          Seq((null.asInstanceOf[java.lang.Long], 0L, "nullk", false))
+            .toDF("k", "sub", "v", "__del")
+            .select(col("k").cast("long").as("k"), col("sub"),
+              col("v"), col("__del")))
+      }
+      val keyCols = if (twoCol) Seq("k", "sub") else Seq("k")
+      // two-column keys need sub values that MATCH existing rows for
+      // updates to touch anything: rebuild sub as the table's i % 7
+      val ups2 =
+        if (!twoCol) updates
+        else {
+          val fixed = (lo until math.min(n, lo + width)).map { i =>
+            (keyOf(i), (i % 7).toLong, s"upd$i", i % 3 == 0)
+          } ++ (0 until 5).map { j =>
+            (keyOf(n + 100 + j), 0L, s"ins$j", false)
+          }
+          fixed.toDF("k", "sub", "v", "__del")
+            .withColumn("k",
+              if (stringKey) col("k") else col("k").cast("long"))
+        }
+
+      val dirA = freshTable("pruned")
+      val dirB = freshTable("plain")
+      Snapshots.mergeCommit(spark, dirA, ups2, keyCols,
+        deleteCol = Some("__del"), statsPrune = true)
+      Snapshots.mergeCommit(spark, dirB, ups2, keyCols,
+        deleteCol = Some("__del"))
+      val a = Snapshots.read(spark, dirA).collect().map(_.toSeq).toSet
+      val b = Snapshots.read(spark, dirB).collect().map(_.toSeq).toSet
+      assert(a == b,
+        s"case $ci (stringKey=$stringKey twoCol=$twoCol): pruned merge " +
+          s"diverged — onlyPruned=${(a -- b).take(3)} " +
+          s"onlyPlain=${(b -- a).take(3)}")
+      // the slice is narrow: the pruned commit must carry over most of
+      // the 8 clustered files untouched (files are ~n/8 keys wide; a
+      // width<=40 slice spans at most 3 of them, plus the insert file)
+      val before = Snapshots.filesDf(spark, dirA, 1)
+        .select("file").collect().map(_.getString(0)).toSet
+      val after = Snapshots.filesDf(spark, dirA)
+        .select("file").collect().map(_.getString(0)).toSet
+      val carried = before.intersect(after)
+      assert(carried.size >= before.size - 4,
+        s"case $ci: pruned merge rewrote ${before.size - carried.size} " +
+          s"of ${before.size} files for a $width-key slice")
+    }
+  }
+}
