@@ -2935,7 +2935,7 @@ object SparkEntry {
       val existing = e.filter(col("vec_id") % 25 =!= 7)
       val batch = e.filter(col("vec_id") % 25 === 7)
       val uri = util.Staging.dirFor(
-        "graft_knn_lins_v2_" + new java.io.File(dir).getName,
+        "graft_knn_lins_v3_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -2944,7 +2944,11 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(uri), true)
         ops.KnnGraph.persistLayered(s,
           ops.KnnGraph.buildLayered(existing, "vec_id", "embedding",
-            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri,
+          // multi-file levels at driver scale so the PARTIAL commit
+          // path (not the single-file overwrite fallback) is what the
+          // oracles check end-to-end
+          targetRowsPerFile = 2000)
       }
       // a re-run restores every level to the pristine build first, so
       // the insert applies to the same basis each time (MVCC restore)
@@ -2974,7 +2978,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val existing = e.filter(col("vec_id") % 25 =!= 7)
       val uri = util.Staging.dirFor(
-        "graft_knn_lins_v2_" + new java.io.File(dir).getName,
+        "graft_knn_lins_v3_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -2983,7 +2987,11 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(uri), true)
         ops.KnnGraph.persistLayered(s,
           ops.KnnGraph.buildLayered(existing, "vec_id", "embedding",
-            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri,
+          // multi-file levels at driver scale so the PARTIAL commit
+          // path (not the single-file overwrite fallback) is what the
+          // oracles check end-to-end
+          targetRowsPerFile = 2000)
       }
       val pristine = ops.KnnGraph.loadLayered(s, uri)
       (0 until pristine.levels.length).foreach { l =>
@@ -3036,7 +3044,7 @@ object SparkEntry {
     "sim_knn_index_delete" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val uri = util.Staging.dirFor(
-        "graft_knn_ldel_v2_" + new java.io.File(dir).getName,
+        "graft_knn_ldel_v3_" + new java.io.File(dir).getName,
         s"$dir/embeddings.parquet")
       val fs = new org.apache.hadoop.fs.Path(uri)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -3045,7 +3053,8 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(uri), true)
         ops.KnnGraph.persistLayered(s,
           ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
-            k = 10, iters = 6, branching = 4, seedTarget = 128), uri)
+            k = 10, iters = 6, branching = 4, seedTarget = 128), uri,
+          targetRowsPerFile = 2000)
       }
       val pristine = ops.KnnGraph.loadLayered(s, uri)
       (0 until pristine.levels.length).foreach { l =>
