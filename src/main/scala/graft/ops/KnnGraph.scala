@@ -36,6 +36,39 @@ import graft.functions.GraftFunctions
  */
 object KnnGraph {
 
+  /** Run one task per index level CONCURRENTLY and wait for all.
+    * Levels are independent — separate snapshot tables, separate edge
+    * sets, deltas computed from state loaded before the first task
+    * starts — so maintenance/build/persist work per level overlaps:
+    * the upper layers' many tiny Spark stages (whose scheduling
+    * latency, not data, dominates their cost) hide under level 0's
+    * walk instead of serializing after it.  Spark schedules concurrent
+    * jobs from one session natively.  Results are unchanged: no task
+    * reads another's output.  Any failure propagates loudly after all
+    * tasks settle (so a crash leaves a complete journal, not a
+    * half-cancelled one). */
+  private def perLevel[T](n: Int)(body: Int => T): Seq[T] =
+    concurrently((0 until n).map(l => () => body(l)))
+
+  /** Run independent tasks concurrently on a dedicated pool and wait
+    * for ALL to settle (failed or not — a sibling mid-commit must not
+    * be abandoned), then propagate the first failure or return the
+    * results in task order. */
+  private def concurrently[T](tasks: Seq[() => T]): Seq[T] = {
+    if (tasks.length == 1) return Seq(tasks.head())
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.length)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = tasks.map(t => Future(t()))
+      val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
+    } finally { pool.shutdown() }
+  }
+
   /** Eager materialization for iterative state, like `localCheckpoint`
     * but rebuilt as a bare RDD scan: Spark's checkpoint preserves the
     * origin plan's constraint set, which can reference PRE-checkpoint
@@ -97,6 +130,14 @@ object KnnGraph {
         .filter(col("rank") <= k)
     }
 
+    // checkpoint cadence mirrors the beam walk's: each round references
+    // its predecessor three times (two union arms + the NoN self-join),
+    // so one skipped cut bounds the uncut plan at ~3× while halving the
+    // eager checkpoints — which dominate wall-clock on small subsets
+    // (upper layers, within-batch graphs).  The init IS cut (round 0
+    // would otherwise recompute the ring-init join four times).
+    // Content is unchanged: materialization never alters rows, only
+    // plan shape.
     var graph = materialize(topK(edges.distinct()))
     var it = 0
     while (it < iters) {
@@ -112,7 +153,8 @@ object KnnGraph {
       // (a reverse edge b→a is direct evidence that a→b may belong in
       // a's list — the paper's reverse-neighbor trick)
       val cand = proposals.unionAll(und).distinct()
-      graph = materialize(topK(cand))
+      graph = topK(cand)
+      if (it % 2 == 1 || it == iters - 1) graph = materialize(graph)
       it += 1
     }
     nodes.unpersist()
@@ -266,7 +308,10 @@ object KnnGraph {
     val maxLevel = math.max(1,
       (math.log(n.toDouble / math.max(1, seedTarget)) /
         math.log(branching.toDouble)).floor.toInt)
-    val levels = (0 to maxLevel).flatMap { l =>
+    // levels build CONCURRENTLY (perLevel): each is an independent
+    // NN-Descent over its own subset, and the upper layers' tiny-stage
+    // scheduling latency hides under layer 0's build
+    val levels = perLevel(maxLevel + 1) { l =>
       val sub = if (l == 0) nodes else nodes.filter(levelAtLeast(branching, l))
       // a layer needs enough nodes for a k-graph to mean anything; the
       // hash decay can undershoot on small corpora — stop there
@@ -281,7 +326,7 @@ object KnnGraph {
         val levelIters = if (l == 0) iters else math.max(2, iters / 2)
         Some(build(sub, "id", vecCol, math.min(k, (m - 1).toInt), levelIters))
       }
-    }
+    }.flatten
     LayeredKnnGraph(levels, branching)
   }
 
@@ -305,7 +350,8 @@ object KnnGraph {
       targetRowsPerFile: Long = 1L << 20): Unit = {
     require(index.levels.nonEmpty, "empty layered index")
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
-    index.levels.zipWithIndex.foreach { case (g, i) =>
+    perLevel(index.levels.length) { i =>
+      val g = index.levels(i)
       val p = s"$uri/level$i"
       val rows = g.count()
       val nFiles = math.max(1L,
@@ -511,7 +557,8 @@ object KnnGraph {
     val newNodes = batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
     markPending(spark, uri, idx)
-    idx.levels.zipWithIndex.foreach { case (g, l) =>
+    perLevel(idx.levels.length) { l =>
+      val g = idx.levels(l)
       val levelNew =
         if (l == 0) newNodes else newNodes.filter(levelAtLeast(br, l))
       val levelExisting =
@@ -527,20 +574,29 @@ object KnnGraph {
           } else body
         }
         // the batch's edges: beam walk over THIS level's edge set,
-        // seeded like flat search (beam lowest signed-hash members)
+        // seeded like flat search (beam lowest signed-hash members).
+        // The beam walk and the within-batch graph are INDEPENDENT
+        // candidate producers (both only feed topKExact), so they run
+        // concurrently — the batch graph hides under the longer walk
         val seeds = levelExisting.select(col("id").as("cand"))
           .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
-        val beamPairs = dbg("beamServe")(beamServe(levelExisting, levelNew, "id", "__v",
-            "id", "__v", k, beam, seeds, Seq((g, hops)))
-          .select(col("query_id").as("a"), col("neighbor_id").as("b")).localCheckpoint())
-        val newPairs =
-          if (l == 0 && mNew >= 2L * k)
-            beamPairs.unionAll(
-              dbg("batchBuild")(build(levelNew, "id", "__v",
-                  math.min(k.toLong, mNew - 1).toInt, BatchGraphIters)
-                .select(col("id").as("a"), col("neighbor_id").as("b")).localCheckpoint()))
-              .distinct()
-          else beamPairs
+        val wantBatchGraph = l == 0 && mNew >= 2L * k
+        val produced = concurrently(Seq(
+          () => Some(dbg("beamServe")(
+            beamServe(levelExisting, levelNew, "id", "__v",
+                "id", "__v", k, beam, seeds, Seq((g, hops)))
+              .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+              .localCheckpoint())),
+          () => if (!wantBatchGraph) None
+            else Some(dbg("batchBuild")(build(levelNew, "id", "__v",
+                math.min(k.toLong, mNew - 1).toInt, BatchGraphIters)
+              .select(col("id").as("a"), col("neighbor_id").as("b"))
+              .localCheckpoint()))))
+        val beamPairs = produced(0).get
+        val newPairs = produced(1) match {
+          case Some(batchPairs) => beamPairs.unionAll(batchPairs).distinct()
+          case None => beamPairs
+        }
         val allVecs = levelExisting.unionAll(levelNew)
         val newLists = dbg("newLists")(topKExact(newPairs, allVecs, k).localCheckpoint())
         // reverse links: every EXISTING node some new node kept
@@ -563,6 +619,7 @@ object KnnGraph {
     markApplied(spark, uri)
     loadLayered(spark, uri)
   }
+
 
   /**
    * DELETION from a persisted layered index with graph HEALING: per
@@ -587,7 +644,8 @@ object KnnGraph {
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
     markPending(spark, uri, idx)
-    idx.levels.zipWithIndex.foreach { case (g, l) =>
+    perLevel(idx.levels.length) { l =>
+      val g = idx.levels(l)
       val delAsNeighbor = del.withColumnRenamed("id", "neighbor_id")
       // survivors that lost a neighbor
       val aff = g.join(delAsNeighbor, "neighbor_id")
