@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,6 +79,164 @@ object Similarity {
       .select(least(col("ida"), col("idb")).as("a"),
         greatest(col("ida"), col("idb")).as("b"),
         round(col("c"), 4).as("cos"))
+  }
+
+  /**
+   * SQ8 scalar quantization: per-dimension affine codes in one byte.
+   *
+   * The memory/IO story at corpus scale: a d-float vector (4d bytes)
+   * stores as d int8 codes (d bytes) — 4× smaller than floats, and
+   * unlike PQ the codebook is just 2d floats of per-dimension stats, so
+   * encode/decode is a branch-free elementwise map with no nearest-
+   * centroid search.  The standard middle rung of the quantization
+   * ladder (float32 → SQ8 → PQ), used by FAISS's `SQ8` and most vector
+   * stores' "scalar quantization" option.
+   *
+   * Determinism: stats are exact min/max (no sampling); the quantizer
+   * is `floor(t + 0.5)` clamped to [0,255] — floor is exact IEEE in
+   * both the JVM and the SQL oracle, unlike half-even/half-up `round`
+   * variants that disagree at representation boundaries.
+   */
+  final case class Sq8Model(mins: Array[Float], maxs: Array[Float]) {
+    def dim: Int = mins.length
+    /** Per-dim span as exact doubles (float subtraction is exact in
+      * double — the oracle reproduces it bit-for-bit). */
+    def spans: Array[Double] =
+      mins.zip(maxs).map { case (mn, mx) => mx.toDouble - mn.toDouble }
+  }
+
+  /** Exact per-dimension min/max in ONE aggregation job (d groups —
+    * bounded by vector dim, not corpus size; the collect is 2d floats). */
+  def sq8Train(df: DataFrame, vecCol: String): Sq8Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__i")
+      .agg(min("__x").as("mn"), max("__x").as("mx"))
+      .orderBy("__i")
+      .as[(Int, Float, Float)].collect()
+    require(stats.nonEmpty, "sq8Train: empty corpus or empty vectors")
+    Sq8Model(stats.map(_._2), stats.map(_._3))
+  }
+
+  /** Corpus → corpus + `sq8_code` (array<tinyint>, offset-bias −128:
+    * stored byte −128 ↔ code 0).  All-builtin elementwise transform —
+    * stays inside whole-stage codegen. */
+  def sq8Encode(df: DataFrame, vecCol: String, model: Sq8Model): DataFrame = {
+    val mnLit = typedLit(model.mins.map(_.toDouble))
+    val spanLit = typedLit(model.spans)
+    df.withColumn("sq8_code",
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val span = element_at(spanLit, i + 1)
+        val t = (x.cast("double") - mn) * lit(255.0) / span
+        when(span === 0.0, lit(-128).cast("byte"))
+          .otherwise(
+            (least(lit(255L), greatest(lit(0L), floor(t + lit(0.5))))
+              .cast("int") - lit(128)).cast("byte"))
+      }))
+  }
+
+  /** Reconstructed vector from codes (float, matching the stored
+    * vectors' type so the cosine kernel sees identical inputs). */
+  private def sq8Decode(codeCol: Column, model: Sq8Model): Column = {
+    val mnLit = typedLit(model.mins.map(_.toDouble))
+    val spanLit = typedLit(model.spans)
+    transform(codeCol, (c, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val span = element_at(spanLit, i + 1)
+      (mn + (c.cast("double") + lit(128.0)) * span / lit(255.0))
+        .cast("float")
+    })
+  }
+
+  /**
+   * SQ8 two-stage top-k: shortlist `rerank` candidates per query by
+   * cosine against the DEQUANTIZED codes (the corpus-wide pass reads
+   * only the 1-byte-per-dim codes; stats ride along as a literal), then
+   * score just the shortlist with true vectors.  Same shape as
+   * [[PqIndex.searchReranked]]: the exact stage touches `rerank ×
+   * queries` vectors regardless of corpus size.  `vecCol` names the
+   * true-vector column on `encodedCorpus`.
+   */
+  def sq8TopK(
+      encodedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: Sq8Model, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    GraftFunctions.register(encodedCorpus.sparkSession)
+    val q = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q")))
+    val coarse = encodedCorpus
+      .select(col(idCol).as("neighbor_id"), col("sq8_code"))
+      .withColumn("__dq", sq8Decode(col("sq8_code"), model))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos", GraftFunctions.cosine(col("__dq"), col("__q")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val exact = shortlist
+      .join(encodedCorpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /**
+   * Matryoshka (MRL) coarse-to-fine top-k: stage 1 ranks by cosine over
+   * the FIRST `dPrefix` dimensions only (Kusupati et al. 2022 —
+   * Matryoshka representations front-load information, so the prefix is
+   * itself a valid low-dim embedding); stage 2 reranks the per-query
+   * `shortlist` exactly at full dimension.
+   *
+   * Scale shape: at corpus scale the prefix is materialized as its own
+   * parquet column, so the coarse pass scans dPrefix/d of the embedding
+   * bytes (columnar pruning does the rest) and the full vectors are
+   * read only for `shortlist × queries` rows.  Here the prefix is
+   * sliced inline — the plan shape (cheap corpus-wide pass + bounded
+   * exact pass) is the same.
+   */
+  def matryoshkaTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      dPrefix: Int, shortlist: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1, "dPrefix must be >= 1")
+    require(shortlist >= k, "shortlist must be at least k")
+    GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__q"),
+      slice(col(qVecCol), 1, dPrefix).as("__qh")))
+    val coarse = corpus
+      .select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), 1, dPrefix).as("__vh"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hcos", GraftFunctions.cosine(col("__vh"), col("__qh")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hcos").desc, col("neighbor_id"))
+    val short = coarse.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .join(q.select("query_id", "__q"), Seq("query_id"))
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
   /**

@@ -255,6 +255,96 @@ class OpsSpec extends AnyFunSuite {
     assert(probedRecall > 0.4, s"multi-probe recall@10 = $probedRecall")
   }
 
+  test("sq8 quantization: codes span int8, round-trip error bounded, " +
+      "recall vs brute force") {
+    val emb = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val model = Similarity.sq8Train(emb, "embedding")
+    assert(model.dim == 64)
+    assert(model.spans.forall(_ >= 0.0))
+    val coded = Similarity.sq8Encode(emb, "embedding", model)
+    // every code is a genuine int8; a max-coordinate row uses the top code
+    val rng = coded.select(
+        min(array_min(col("sq8_code"))), max(array_max(col("sq8_code"))))
+      .as[(Byte, Byte)].head()
+    assert(rng._1 == -128.toByte && rng._2 == 127.toByte, rng)
+    // dequantization error ≤ span/510 per coordinate (half a code step):
+    // check max |x - x̂| against the largest span
+    val maxSpan = model.spans.max
+    val err = coded.select(posexplode(col("sq8_code")).as(Seq("i", "c")),
+        col("embedding"))
+      .select((abs(col("embedding").getItem(col("i")).cast("double") -
+        (element_at(typedLit(model.mins.map(_.toDouble)), col("i") + 1) +
+          (col("c").cast("double") + 128.0) *
+            element_at(typedLit(model.spans), col("i") + 1) / 255.0)))
+        .as("e"))
+      .agg(max("e")).as[Double].head()
+    assert(err <= maxSpan / 510.0 + 1e-9, s"max dequant error $err")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.sq8TopK(coded, queries,
+        "vec_id", "embedding", "vec_id", "embedding", model,
+        k = 10, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"sq8 recall@10 = $recall%.3f at rerank 50")
+    // 8-bit codes barely perturb cosine order; the 50-deep exact rerank
+    // recovers the rest
+    assert(recall > 0.97, s"sq8 recall@10 = $recall")
+  }
+
+  test("sq8 encoding is deterministic across partitionings") {
+    val emb = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val model = Similarity.sq8Train(emb.repartition(7), "embedding")
+    val model2 = Similarity.sq8Train(emb.coalesce(1), "embedding")
+    assert(model.mins.toSeq == model2.mins.toSeq &&
+      model.maxs.toSeq == model2.maxs.toSeq)
+    val a = Similarity.sq8Encode(emb.repartition(5), "embedding", model)
+      .select(col("vec_id"), col("sq8_code")).as[(Long, Seq[Byte])]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    val b = Similarity.sq8Encode(emb.coalesce(1), "embedding", model)
+      .select(col("vec_id"), col("sq8_code")).as[(Long, Seq[Byte])]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(a == b)
+  }
+
+  test("matryoshka coarse-to-fine recall vs brute force") {
+    val emb = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mrl = Similarity.matryoshkaTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        dPrefix = 16, shortlist = 40, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & mrl).size.toDouble / exact.size
+    info(f"matryoshka recall@10 = $recall%.3f at prefix 16 / shortlist 40")
+    // these synthetic embeddings are NOT Matryoshka-trained (every dim
+    // carries equal signal), so prefix-16 is an unusually weak coarse
+    // ranker here — 0.445 measured; real MRL vectors front-load and sit
+    // ~0.95+.  The pin is a floor on the machinery, not the method.
+    assert(recall > 0.4, s"matryoshka recall@10 = $recall")
+    // recall must grow with prefix width (the Matryoshka dial) and with
+    // shortlist depth (monotone coverage)
+    val wider = Similarity.matryoshkaTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        dPrefix = 32, shortlist = 40, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val widerRecall = (exact & wider).size.toDouble / exact.size
+    info(f"matryoshka recall@10 = $widerRecall%.3f at prefix 32")
+    assert(widerRecall > recall,
+      s"prefix 32 ($widerRecall) should beat prefix 16 ($recall)")
+    val deeper = Similarity.matryoshkaTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        dPrefix = 16, shortlist = 120, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val deepRecall = (exact & deeper).size.toDouble / exact.size
+    info(f"matryoshka recall@10 = $deepRecall%.3f at shortlist 120")
+    assert(deepRecall >= recall)
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // chain 1-2-3 plus isolated pair (7,9): two components
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
