@@ -246,6 +246,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nothing here should shuffle-join:\n$p")
   }
 
+  test("sq8 coarse pass broadcasts queries and plans no cartesian blowup") {
+    val p = plan("sim_ann_sq8")
+    // the query batch rides as a BroadcastExchange; the corpus-wide
+    // quantized pass must not shuffle the corpus itself
+    assert(p.contains("BroadcastExchange"), s"no broadcast in sq8 plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the sq8 plan:\n$p")
+    // encode/decode are all-builtin transforms — no interpreted
+    // fallback nodes (python/udf eval) in the corpus-wide pass
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapInPandas"))
+  }
+
+  test("matryoshka coarse pass reads the corpus once with broadcast queries") {
+    val p = plan("sim_ann_matryoshka")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    // corpus scans stay bounded: prefix pass, rerank's true-vector
+    // fetch, and the two broadcast query-batch reads (at scale the
+    // prefix pass reads a different, narrower COLUMN) — tree nodes
+    // print as "Scan parquet  (n)"
+    val scans = "Scan parquet [^(]*\\(\\d+\\)".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <=4 parquet scan nodes, got $scans:\n$p")
+  }
+
   test("skew join salts the big side and explodes the small side only") {
     val p = plan("q_skew_join")
     // the join must be an equi-join on (key, salt) — no cartesian, and
