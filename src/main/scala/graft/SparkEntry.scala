@@ -25,6 +25,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Stage a persisted IVF-PQ index fixture (models trained on the
+    * FULL corpus — the offline-training contract — index rows over
+    * `subset`), multi-file so the append/prune story is what the
+    * oracles exercise.  Re-runs restore the index table to the
+    * pristine v1 build so mutating queries apply to the same basis
+    * every time (the layered-index fixture pattern). */
+  private def stageIvfPq(s: SparkSession, dir: String,
+      full: DataFrame, subset: DataFrame, tag: String): String = {
+    val uri = util.Staging.dirFor(
+      s"graft_ivfpq_${tag}_v1_" + new java.io.File(dir).getName,
+      s"$dir/embeddings.parquet")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        uri, "index/_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val ivf = ops.IvfIndex.train(full, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val pq = ops.PqIndex.train(full, "vec_id", "embedding",
+        m = 16, k = 32, iters = 4)
+      ops.IvfPqStore.persist(s, uri, subset, "vec_id", "embedding",
+        ivf, pq, targetRowsPerFile = 50)
+    } else {
+      val lu = s"$uri/index"
+      if (io.Snapshots.latestVersion(s, lu) > 1)
+        io.Snapshots.restoreCommit(s, lu, 1)
+    }
+    uri
+  }
+
   /** One in-JVM S3 endpoint per driver process (io_s3_roundtrip); the
     * signature-verifying fake from [[graft.io.s3.InMemoryS3]]. */
   private lazy val s3Server: graft.io.s3.InMemoryS3 =
@@ -2882,6 +2912,53 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // persisted IVF-PQ index: same models/params as sim_ann_ivfpq,
+    // codes served from a cell-clustered snapshot table (the probed-
+    // cell IN filter becomes a manifest-pruned scan); results are
+    // byte-identical to the inline build, so the same value-exact
+    // oracle
+    "sim_ann_ivfpq_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = stageIvfPq(s, dir, e, e, "full")
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .orderBy("query_id", "rank")
+    }),
+
+    // incremental INSERT into the persisted IVF-PQ index: the stored
+    // (frozen, offline-trained) quantizers encode the %25==7 batch and
+    // the commit is a PURE APPEND — no existing file read or rewritten
+    // (the flat-index contrast to the graph index's partial rewrites;
+    // spec pins zero rewrites).  Basis = corpus minus the batch, so
+    // post-insert the index covers the full corpus under full-corpus
+    // models — results equal the one-shot build and reuse its oracle
+    "sim_ann_ivfpq_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = stageIvfPq(s, dir, e,
+        e.filter(col("vec_id") % 25 =!= 7), "base")
+      ops.IvfPqStore.insert(s, uri, e.filter(col("vec_id") % 25 === 7),
+        "vec_id", "embedding")
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .orderBy("query_id", "rank")
+    }),
+
+    // DELETE from the persisted IVF-PQ index as merge-on-read:
+    // deletion vectors mark ids (7, 27, 64) — all present in the full
+    // build's top-10 lists — and ZERO data bytes move; the oracle is
+    // the full build with those ids excluded from the candidate cells
+    "sim_ann_ivfpq_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = stageIvfPq(s, dir, e, e, "fulldel")
+      ops.IvfPqStore.delete(s, uri, Seq(7L, 27L, 64L))
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .orderBy("query_id", "rank")
+    }),
+
     // SQ8 scalar-quantized ANN: per-dim affine int8 codes (4× smaller
     // than float32; stats = 2d floats, no centroid search), corpus-wide
     // pass reads only codes, exact rerank on the shortlist — the middle
@@ -4002,6 +4079,31 @@ object SparkEntry {
 
   /** Exact-cosine rerank of `(query_id, neighbor_id)` shortlist rows in
     * CTE `src`, top-`k` with ties on neighbor_id. */
+  /** The value-exact IVF-PQ replication (train both models, probe 4 of
+    * 8 cells, ADC-shortlist 60, exact rerank to top 10), optionally
+    * with ids excluded from the candidate cells (the MoR-delete
+    * variant: DV-marked rows can never shortlist). */
+  private def ivfPqOracle(excluded: Seq[Long] = Nil): String = {
+    val notIn =
+      if (excluded.isEmpty) ""
+      else s" AND cf.vec_id NOT IN (${excluded.mkString(", ")})"
+    "WITH " + IvfTrainCtes + ", " + PqTrainCtes + ", " +
+      ivfAssignCte("cellf", "c3") + ", " +
+      pqAssignCte("enc", "b4") + ", " +
+      ivfProbesCte(nprobe = 4, qMax = 5) + ", " +
+      pqAdcCtes(qMax = 5, rerank = 60,
+        candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
+          "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
+          s"WHERE cf.vec_id <> p.query_id$notIn), " +
+          "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
+          "qt.tval, cnq.cnorm FROM candc cd " +
+          "JOIN enc e ON e.vec_id = cd.neighbor_id " +
+          "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
+          "AND qt.c = e.c " +
+          "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
+      rerankSql("short", k = 10)
+  }
+
   private def rerankSql(src: String, k: Int): String =
     "scored AS (SELECT s.query_id, s.neighbor_id, " +
       "list_cosine_similarity(en.embedding::DOUBLE[], " +
@@ -4647,22 +4749,18 @@ object SparkEntry {
 
     // value-exact IVF-PQ: both trained models composed — probed cells
     // restrict the candidate set, codes score it, rerank 60 → top 10
-    "sim_ann_ivfpq" ->
-      ("WITH " + IvfTrainCtes + ", " + PqTrainCtes + ", " +
-        ivfAssignCte("cellf", "c3") + ", " +
-        pqAssignCte("enc", "b4") + ", " +
-        ivfProbesCte(nprobe = 4, qMax = 5) + ", " +
-        pqAdcCtes(qMax = 5, rerank = 60,
-          candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
-            "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
-            "WHERE cf.vec_id <> p.query_id), " +
-            "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
-            "qt.tval, cnq.cnorm FROM candc cd " +
-            "JOIN enc e ON e.vec_id = cd.neighbor_id " +
-            "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
-            "AND qt.c = e.c " +
-            "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
-        rerankSql("short", k = 10)),
+    "sim_ann_ivfpq" -> ivfPqOracle(),
+
+    // the persisted-index query serves the SAME rows under the SAME
+    // models (snapshot round-trip is byte-identical) — same oracle
+    "sim_ann_ivfpq_persisted" -> ivfPqOracle(),
+    // insert: base index (corpus minus the %25==7 batch) + appended
+    // batch = the full corpus under full-corpus frozen models — the
+    // one-shot build's oracle replicates it exactly
+    "sim_ann_ivfpq_insert" -> ivfPqOracle(),
+    // delete: the full build with the DV-marked ids excluded from the
+    // candidate cells (they can never shortlist)
+    "sim_ann_ivfpq_delete" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
 
     // value-exact SQ8: exact per-dim min/max stats, floor(t+0.5)
     // quantizer clamped to [0,255], REAL-rounded dequantization,

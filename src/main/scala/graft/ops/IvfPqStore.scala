@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * A PERSISTED IVF-PQ vector index with incremental maintenance — the
+ * append-only counterpart to the graph index's lifecycle
+ * ([[KnnGraph.insertLayered]]/[[KnnGraph.deleteFromLayered]]).
+ *
+ * The two index families have opposite maintenance costs, and this
+ * store exists to demonstrate the cheap side: a k-NN graph must REWIRE
+ * neighbors on every mutation (partial rewrites, healing), while an
+ * IVF-PQ index is a flat bag of `(id, cell, code)` rows —
+ *
+ *  - INSERT is a PURE APPEND: the frozen coarse/product quantizers
+ *    (trained offline, like production FAISS/vector-store deployments)
+ *    encode the batch, and the commit adds files without touching any
+ *    existing one (zero rewrite amplification, any batch size);
+ *  - DELETE is MERGE-ON-READ: a deletion-vector commit moves zero data
+ *    bytes regardless of index size;
+ *  - SEARCH probes only the queries' `nprobe` cells: the index is
+ *    persisted CLUSTERED BY CELL, so the driver-known probed-cell set
+ *    becomes a pushed IN filter the snapshot manifest prunes files
+ *    with — a probe reads ~nprobe/k_cells of the index FILES
+ *    ([[graft.io.Snapshots.readIndexed]] planning-time skipping).
+ *
+ * The trade: frozen quantizers drift as the corpus distribution moves
+ * (stale centroids lower recall; re-train + re-encode is the IVF
+ * analogue of the graph index's refresh), and MoR deletes accumulate
+ * DV overhead until compaction.  Both are the standard production
+ * trades (reference's Rust engine has no vector indexes at all; this
+ * layer is beyond-reference).
+ *
+ * Layout under `uri`:
+ *  - `index/` — snapshot table `(id long, ivf_cell int, pq_code
+ *    array<int>)`, range-clustered on `(ivf_cell, id)` with
+ *    size-proportional file counts;
+ *  - `ivf_centroids/`, `pq_codebooks/` — tiny model sidecar tables
+ *    (parquet for exact float round-trip).
+ */
+object IvfPqStore {
+
+  /** Encode and persist `corpus` as a fresh index at `uri` with the
+    * given (already-trained) models.  Files are cell-clustered so
+    * probes prune; `targetRowsPerFile` sizes the file count to the
+    * corpus (a fixed coalesce would hand every file the full cell span
+    * and defeat pruning). */
+  def persist(
+      spark: SparkSession, uri: String, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      ivf: IvfIndex.IvfModel, pq: PqIndex.PqModel,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    val indexed = encodeRows(corpus, idCol, vecCol, ivf, pq)
+    val p = s"$uri/index"
+    val rows = indexed.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val clustered =
+      if (nFiles == 1) indexed.coalesce(1)
+      else indexed.repartitionByRange(nFiles, col("ivf_cell"), col("id"))
+    clustered.sortWithinPartitions("ivf_cell", "id").write.parquet(p)
+    graft.io.Snapshots.init(spark, p)
+    import spark.implicits._
+    ivf.centroids.zipWithIndex.toSeq.map { case (cent, c) => (c, cent) }
+      .toDF("c", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$uri/ivf_centroids")
+    (for {
+      (book, mi) <- pq.codebooks.zipWithIndex.toSeq
+      (cent, c) <- book.zipWithIndex
+    } yield (mi, c, cent))
+      .toDF("mi", "c", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$uri/pq_codebooks")
+  }
+
+  /** The frozen quantizers back from the sidecar tables (bounded
+    * collects: k×d + m×k×dsub floats). */
+  def loadModels(
+      spark: SparkSession,
+      uri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$uri/ivf_centroids")
+      .select(col("c"), col("cent")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"$uri has no persisted IVF centroids")
+    val books = spark.read.parquet(s"$uri/pq_codebooks")
+      .select(col("mi"), col("c"), col("cent"))
+      .as[(Int, Int, Array[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    require(books.nonEmpty, s"$uri has no persisted PQ codebooks")
+    (IvfIndex.IvfModel(cents), PqIndex.PqModel(books))
+  }
+
+  /** Incremental INSERT: the stored (frozen) models encode the batch
+    * and the commit is a pure append — no existing file is read or
+    * rewritten, whatever the index size.  Returns the committed
+    * version. */
+  def insert(
+      spark: SparkSession, uri: String, batch: DataFrame,
+      idCol: String, vecCol: String): Int = {
+    val (ivf, pq) = loadModels(spark, uri)
+    graft.io.Snapshots.appendCommit(spark, s"$uri/index",
+      encodeRows(batch, idCol, vecCol, ivf, pq)
+        .sortWithinPartitions("ivf_cell", "id"))
+  }
+
+  /** DELETE ids from the index as a merge-on-read commit: deletion
+    * vectors mark the rows, zero data bytes move.  `ids` is a bounded
+    * maintenance batch (it becomes an IN predicate). */
+  def delete(spark: SparkSession, uri: String, ids: Seq[Long]): Int = {
+    require(ids.nonEmpty, "delete batch is empty")
+    require(ids.size <= IvfIndex.MaxQueryBatch,
+      s"delete renders ids as an IN predicate; got ${ids.size} " +
+        s"(max ${IvfIndex.MaxQueryBatch}) — split the batch")
+    graft.io.Snapshots.deleteWhereCommit(spark, s"$uri/index",
+      s"id IN (${ids.mkString(", ")})", mergeOnRead = true)
+  }
+
+  /** ADC top-k served from the persisted index: codes come from the
+    * cell-pruned snapshot scan, true vectors for the exact rerank join
+    * from `corpus`.  Same scoring core (and bit-identical results) as
+    * [[PqIndex.searchIvfPq]] over the same rows and models. */
+  def search(
+      spark: SparkSession, uri: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val (ivf, pq) = loadModels(spark, uri)
+    val indexed = graft.io.Snapshots.readIndexed(spark, s"$uri/index")
+      .select(col("id").as("neighbor_id"), col("ivf_cell"), col("pq_code"))
+    PqIndex.adcSearch(indexed,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      queries, qIdCol, qVecCol, ivf, pq, k, nprobe, rerank)
+  }
+
+  private def encodeRows(
+      df: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex.IvfModel, pq: PqIndex.PqModel): DataFrame =
+    PqIndex.encode(
+      IvfIndex.assign(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
+        "id", "__v", ivf),
+      "__v", pq)
+      .select(col("id"), col("ivf_cell"), col("pq_code"))
+}

@@ -351,17 +351,41 @@ object PqIndex {
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       ivfModel: IvfIndex.IvfModel, pqModel: PqModel,
       k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, "rerank shortlist must be at least k")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    registerFns(spark)
-    // the compressed index: one narrow pass builds (id, cell, code, vec)
+    // the compressed index: one narrow pass builds (id, cell, code)
     val indexed = PqIndex.encode(
       IvfIndex.assign(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__v")), "neighbor_id", "__v", ivfModel),
       "__v", pqModel)
+      .select(col("neighbor_id"), col("ivf_cell"), col("pq_code"))
+    adcSearch(indexed,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      queries, qIdCol, qVecCol, ivfModel, pqModel, k, nprobe, rerank)
+  }
 
+  /**
+   * The IVF-PQ scoring core over an ALREADY-ENCODED index — shared by
+   * [[searchIvfPq]] (inline encode) and [[IvfPqStore.search]] (index
+   * read from a snapshot table, true vectors joined from the base
+   * corpus).  `indexed` is `(neighbor_id, ivf_cell, pq_code)`; `vecs`
+   * is `(neighbor_id, __v)` supplying the exact-rerank vectors.
+   *
+   * The probed-cell IN filter ahead of the probe join is what turns a
+   * persisted, cell-clustered index into a partition-pruned scan: the
+   * cells are driver-known (tiny centroid model), so the filter is a
+   * static pushed predicate the snapshot manifest prunes files with —
+   * at open scale a probe reads `nprobe/k_cells` of the index FILES,
+   * not just of its rows.
+   */
+  private[ops] def adcSearch(
+      indexed: DataFrame, vecs: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String,
+      ivfModel: IvfIndex.IvfModel, pqModel: PqModel,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    registerFns(spark)
     val nQueries = queries.count()
     require(nQueries <= IvfIndex.MaxQueryBatch,
       s"searchIvfPq collects the query batch to the driver; got $nQueries")
@@ -397,7 +421,9 @@ object PqIndex {
     }
     val probeDf = spark.createDataFrame(probes)
       .toDF("query_id", "ivf_cell", "__t")
+    val probedCells = probes.map(_._2).distinct.sorted
     val shortlist = indexed
+      .filter(col("ivf_cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(probeDf), Seq("ivf_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_cosine", call_function("graft_pq_adc",
@@ -406,7 +432,8 @@ object PqIndex {
       .orderBy(col("adc_cosine").desc, col("neighbor_id"))
     val cand = shortlist.withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= rerank)
-      .select(col("query_id"), col("neighbor_id"), col("__v"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(vecs, Seq("neighbor_id"))
       .join(broadcast(queries.select(col(qIdCol).as("query_id"),
         col(qVecCol).as("__q"))), Seq("query_id"))
       .withColumn("cosine",

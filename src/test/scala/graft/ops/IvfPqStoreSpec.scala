@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Snapshots
+
+/**
+ * The persisted IVF-PQ index lifecycle: model round-trip fidelity,
+ * serve-equals-inline-build, PURE-APPEND inserts, zero-data-movement
+ * MoR deletes, and cell-pruned probe scans — the append-only contrast
+ * to the graph index's partial-rewrite maintenance.
+ */
+class IvfPqStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+  private lazy val ivf =
+    IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+  private lazy val pq =
+    PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 4)
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  test("persist/load round-trips both models exactly") {
+    val uri = fresh("ivfpq_models")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val (ivf2, pq2) = IvfPqStore.loadModels(spark, uri)
+    assert(ivf2.centroids.map(_.toSeq).toSeq ==
+      ivf.centroids.map(_.toSeq).toSeq)
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("persisted serve equals the inline searchIvfPq build") {
+    val uri = fresh("ivfpq_serve")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inline = rows(PqIndex.searchIvfPq(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", ivf, pq,
+      k = 10, nprobe = 4, rerank = 60))
+    val served = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(served == inline)
+  }
+
+  test("insert is a PURE APPEND: every pre-insert file carries over " +
+      "untouched, and the final index equals the one-shot build") {
+    val uri = fresh("ivfpq_ins")
+    val base = emb.filter(col("vec_id") % 25 =!= 7)
+    val batch = emb.filter(col("vec_id") % 25 === 7)
+    IvfPqStore.persist(spark, uri, base, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val lu = s"$uri/index"
+    val before = Snapshots.filesDf(spark, lu)
+      .select("file").as[String].collect().toSet
+    assert(before.size > 1, s"fixture must be multi-file: $before")
+    val v = IvfPqStore.insert(spark, uri, batch, "vec_id", "embedding")
+    assert(v == 2)
+    val after = Snapshots.filesDf(spark, lu)
+      .select("file").as[String].collect().toSet
+    assert(before.subsetOf(after),
+      s"append rewrote files: ${before -- after}")
+    assert((after -- before).nonEmpty, "append added no files")
+    // post-insert index == full corpus under the same frozen models
+    val queries = emb.filter(col("vec_id") < 5)
+    val inline = rows(PqIndex.searchIvfPq(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", ivf, pq,
+      k = 10, nprobe = 4, rerank = 60))
+    val served = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(served == inline)
+  }
+
+  test("delete is merge-on-read: zero data files change, deleted ids " +
+      "vanish from results, results actually differ") {
+    val uri = fresh("ivfpq_del")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val lu = s"$uri/index"
+    val queries = emb.filter(col("vec_id") < 5)
+    val pre = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    // ids chosen to appear in the pre-delete top-10 lists
+    val del = pre.map(_._3).distinct.sorted.take(3)
+    val before = Snapshots.filesDf(spark, lu)
+      .select("file").as[String].collect().toSet
+    IvfPqStore.delete(spark, uri, del)
+    val after = Snapshots.filesDf(spark, lu)
+      .select("file").as[String].collect().toSet
+    assert(after == before, "MoR delete must not touch data files")
+    val post = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(post.forall(r => !del.contains(r._3)))
+    assert(post != pre, "deleting shortlisted ids must change results")
+  }
+
+  test("probe scan prunes to the queried cells' files") {
+    val uri = fresh("ivfpq_prune")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val one = emb.filter(col("vec_id") === 0)
+    val df = IvfPqStore.search(spark, uri, emb, one,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 60)
+    df.collect()
+    // the index scan (reads pq_code) must open fewer files than the
+    // cell-clustered table holds — the probed-cell IN filter prunes at
+    // the manifest.  AQE nests the final plan inside query stages, so
+    // walk through them explicitly.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    val idxScans = scans.filter(
+      _.schema.fieldNames.contains("pq_code"))
+    assert(idxScans.nonEmpty, s"no index scan found among ${scans.size}")
+    val opened = idxScans.map(_.metrics("numFiles").value).sum
+    val total = Snapshots.filesDf(spark, s"$uri/index").count()
+    assert(total > 4, s"fixture must be multi-file, got $total")
+    assert(opened < total,
+      s"probe opened all $total files (no manifest pruning)")
+  }
+}
