@@ -2959,6 +2959,56 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMING IVF-PQ index maintenance: each foreachBatch trigger
+    // appends its encoded batch EXACTLY-ONCE (the (txnId, epoch) claim
+    // commits atomically with the files — a restart replay is a
+    // no-op), then a z-order compaction restores the cell clustering
+    // the appends eroded (pure layout, results must be unchanged by
+    // it).  Two triggers turn the %25!=7 base into the full corpus
+    // under the frozen full-corpus models — the one-shot build's
+    // oracle replicates the final serve
+    "stream_ivfpq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = stageIvfPq(s, dir, e,
+        e.filter(col("vec_id") % 25 =!= 7), "stream")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        "graft_streamivfpq_" + new java.io.File(dir).getName
+      val srcDir = s"$base/src"; val ck = s"$base/ck"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // batch order is by construction: write A, drain, write B, drain
+      e.filter(col("vec_id") % 50 === 7)
+        .coalesce(1).write.parquet(s"$srcDir/ba")
+      // the txn claim is per QUERY INCARNATION: this driver query wipes
+      // its checkpoint each run (epochs restart at 0), so the id must
+      // be fresh per run or the restored index would skip "replayed"
+      // epochs an EARLIER incarnation claimed — in production the id
+      // derives from the checkpoint's queryId, which changes exactly
+      // when the checkpoint does
+      val txn = "stream_ivfpq_" + java.util.UUID.randomUUID().toString
+      val q = s.readStream.schema(e.schema).parquet(s"$srcDir/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          if (!batch.isEmpty)
+            ops.IvfPqStore.insertIdempotent(s, uri, batch,
+              "vec_id", "embedding", txn, epoch)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      e.filter(col("vec_id") % 50 === 32)
+        .coalesce(1).write.parquet(s"$srcDir/bb")
+      q.processAllAvailable()
+      q.stop()
+      ops.IvfPqStore.compact(s, uri)
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .orderBy("query_id", "rank")
+    }),
+
     // SQ8 scalar-quantized ANN: per-dim affine int8 codes (4× smaller
     // than float32; stats = 2d floats, no centroid search), corpus-wide
     // pass reads only codes, exact rerank on the shortlist — the middle
@@ -4761,6 +4811,10 @@ object SparkEntry {
     // delete: the full build with the DV-marked ids excluded from the
     // candidate cells (they can never shortlist)
     "sim_ann_ivfpq_delete" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
+    // streaming maintenance: two exactly-once appended batches turn the
+    // base into the full corpus; compaction is pure layout — the
+    // one-shot build's oracle replicates the final serve
+    "stream_ivfpq_index" -> ivfPqOracle(),
 
     // value-exact SQ8: exact per-dim min/max stats, floor(t+0.5)
     // quantizer clamped to [0,255], REAL-rounded dequantization,

@@ -106,6 +106,34 @@ object IvfPqStore {
         .sortWithinPartitions("ivf_cell", "id"))
   }
 
+  /** Exactly-once streaming INSERT for foreachBatch pipelines: the
+    * `(txnId, epoch)` claim commits atomically with the appended files
+    * ([[graft.io.Snapshots.appendCommitIdempotent]]), so a restart-
+    * replayed micro-batch is a no-op — the vector-index analogue of
+    * the catalog sink's exactly-once appends.  Still a pure append. */
+  def insertIdempotent(
+      spark: SparkSession, uri: String, batch: DataFrame,
+      idCol: String, vecCol: String, txnId: String, epoch: Long): Int = {
+    val (ivf, pq) = loadModels(spark, uri)
+    graft.io.Snapshots.appendCommitIdempotent(spark, s"$uri/index",
+      encodeRows(batch, idCol, vecCol, ivf, pq)
+        .sortWithinPartitions("ivf_cell", "id"),
+      txnId, epoch)
+  }
+
+  /** Restore the cell clustering appends erode: each appended batch
+    * file spans many cells, so after many triggers the per-file cell
+    * ranges overlap and probe pruning decays.  One z-order compaction
+    * on `(ivf_cell, id)` re-packs disjoint ranges at `targetBytes` —
+    * pure layout (content untouched), one MVCC version, same OPTIMIZE
+    * cadence as any table. */
+  def compact(spark: SparkSession, uri: String,
+      targetBytes: Long = 128L << 20): Int =
+    graft.io.Snapshots.retryCommit() {
+      graft.io.Snapshots.optimizeCommit(spark, s"$uri/index",
+        targetBytes, Seq("ivf_cell", "id"), None)
+    }
+
   /** DELETE ids from the index as a merge-on-read commit: deletion
     * vectors mark the rows, zero data bytes move.  `ids` is a bounded
     * maintenance batch (it becomes an IN predicate). */

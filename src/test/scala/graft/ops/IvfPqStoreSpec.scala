@@ -117,6 +117,55 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(post != pre, "deleting shortlisted ids must change results")
   }
 
+  test("idempotent insert: a replayed epoch is a no-op") {
+    val uri = fresh("ivfpq_idem")
+    val base = emb.filter(col("vec_id") % 25 =!= 7)
+    val batch = emb.filter(col("vec_id") % 25 === 7)
+    IvfPqStore.persist(spark, uri, base, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val lu = s"$uri/index"
+    val v1 = IvfPqStore.insertIdempotent(spark, uri, batch,
+      "vec_id", "embedding", "q1", epoch = 0L)
+    val rowsAfter = Snapshots.countRows(spark, lu)
+    // the replay: same txn, same epoch — must not commit again
+    val v2 = IvfPqStore.insertIdempotent(spark, uri, batch,
+      "vec_id", "embedding", "q1", epoch = 0L)
+    assert(v2 == v1, s"replayed epoch committed v$v2 over v$v1")
+    assert(Snapshots.countRows(spark, lu) == rowsAfter)
+    // the next epoch commits normally
+    val v3 = IvfPqStore.insertIdempotent(spark, uri,
+      batch.limit(0), "vec_id", "embedding", "q1", epoch = 1L)
+    assert(v3 == v1 + 1)
+  }
+
+  test("compaction is pure layout: results unchanged, file count drops " +
+      "after append erosion") {
+    val uri = fresh("ivfpq_compact")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfPqStore.persist(spark, uri, base, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    // erode clustering with several small appends (each spans cells)
+    (1 to 4).foreach { r =>
+      IvfPqStore.insert(spark, uri,
+        emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 4 === (r - 1)),
+        "vec_id", "embedding")
+    }
+    val lu = s"$uri/index"
+    val queries = emb.filter(col("vec_id") < 5)
+    val pre = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    val filesBefore = Snapshots.filesDf(spark, lu).count()
+    IvfPqStore.compact(spark, uri)
+    val filesAfter = Snapshots.filesDf(spark, lu).count()
+    assert(filesAfter < filesBefore,
+      s"compaction left $filesAfter of $filesBefore files")
+    val post = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(post == pre, "compaction changed results")
+  }
+
   test("probe scan prunes to the queried cells' files") {
     val uri = fresh("ivfpq_prune")
     IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
