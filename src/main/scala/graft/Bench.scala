@@ -134,6 +134,14 @@ object Bench {
     val artJson = artifact.map("\"" + _ + "\"").getOrElse("null")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$famJson,"queries_n":${results.size},"warm_total":${fmt(warmTotal)},"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"artifact":$artJson,"sf":"$sfDir"}""")
+    // subset runs (iteration aid) have no artifact — print the
+    // per-query numbers they were run FOR; the driver's full-board
+    // line stays family-subtotals-only by construction
+    if (only.nonEmpty)
+      results.sortBy(-_._4).foreach { case (name, c, w, b) =>
+        System.err.println(
+          f"[bench] $name%-34s best ${b}%7.2fs  warm ${w}%7.2fs  cold ${c}%7.2fs")
+      }
     spark.stop()
   }
 }
