@@ -138,6 +138,39 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(v3 == v1 + 1)
   }
 
+  test("RACING duplicate epochs commit exactly once (not just the " +
+      "sequential replay)") {
+    val uri = fresh("ivfpq_race")
+    val base = emb.filter(col("vec_id") % 25 =!= 7)
+    val batch = emb.filter(col("vec_id") % 25 === 7)
+    IvfPqStore.persist(spark, uri, base, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val lu = s"$uri/index"
+    val expected = Snapshots.countRows(spark, lu) + batch.count()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      // a failover double-fire: two writers believe they own epoch 0.
+      // The exclusive manifest publish arbitrates; the loser's retry
+      // re-reads the claim and no-ops — both calls SUCCEED, the batch
+      // lands once.
+      val racers = Seq(
+        Future(IvfPqStore.insertIdempotent(spark, uri, batch,
+          "vec_id", "embedding", "race", 0L)),
+        Future(IvfPqStore.insertIdempotent(spark, uri, batch,
+          "vec_id", "embedding", "race", 0L)))
+      val versions = racers.map(f => Await.result(f, 5.minutes))
+      assert(versions.toSet == Set(2),
+        s"racing epoch-0 writers reported versions $versions")
+    } finally pool.shutdown()
+    assert(Snapshots.latestVersion(spark, lu) == 2)
+    assert(Snapshots.countRows(spark, lu) == expected,
+      "the batch must land exactly once")
+  }
+
   test("compaction is pure layout: results unchanged, file count drops " +
       "after append erosion") {
     val uri = fresh("ivfpq_compact")
