@@ -199,6 +199,37 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(post == pre, "compaction changed results")
   }
 
+  test("property: any sequential batch partition of the corpus yields " +
+      "the same index as the one-shot build") {
+    // append-only indexes must be insertion-order independent: hash the
+    // corpus into r random batches, insert them one by one, and the
+    // final (id, cell, code) set must equal persisting everything at
+    // once — for several seeds
+    val queries = emb.filter(col("vec_id") < 5)
+    val oneShot = {
+      val uri = fresh("ivfpq_prop_base")
+      IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+        targetRowsPerFile = 50)
+      rows(IvfPqStore.search(spark, uri, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 60))
+    }
+    Seq(11L, 42L, 4242L).foreach { seed =>
+      val uri = fresh(s"ivfpq_prop_$seed")
+      val slot = pmod(xxhash64(col("vec_id") + lit(seed)), lit(4L))
+      IvfPqStore.persist(spark, uri, emb.filter(slot === 0),
+        "vec_id", "embedding", ivf, pq, targetRowsPerFile = 50)
+      (1L to 3L).foreach { r =>
+        IvfPqStore.insert(spark, uri, emb.filter(slot === r),
+          "vec_id", "embedding")
+      }
+      val got = rows(IvfPqStore.search(spark, uri, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 60))
+      assert(got == oneShot, s"seed $seed diverged from the one-shot build")
+    }
+  }
+
   test("probe scan prunes to the queried cells' files") {
     val uri = fresh("ivfpq_prune")
     IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
