@@ -177,6 +177,21 @@ object Probe {
         "('write.mode'='sideways')")
       spark.sql(s"UPDATE graft.`$dir` SET k = 0 WHERE k = 1")
     }
+    // IVF-PQ store: a missing index must fail loudly, not NPE
+    probe("ivfpq-load-missing") {
+      graft.ops.IvfPqStore.loadModels(spark, s"$tmp/graft_probe_no_ivfpq")
+    }
+    probe("ivfpq-delete-empty-batch") {
+      graft.ops.IvfPqStore.delete(spark, s"$tmp/graft_probe_no_ivfpq", Nil)
+    }
+    probe("ivfpq-rerank-below-k") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.PqIndex.searchReranked(e, e.limit(1),
+        "vec_id", "embedding", "vec_id", "embedding",
+        graft.ops.PqIndex.PqModel(
+          Array(Array(Array(0f, 0f), Array(1f, 1f)))),
+        k = 10, rerank = 5)
+    }
     probe("catalog-unknown-procedure-refused") {
       spark.sql("CALL graft.system.defragment(table => '/tmp/x')")
     }
