@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.Snapshots
+import graft.ops.{IvfIndex, IvfPqStore, PqIndex}
+
+/**
+ * Scale smoke for the persisted IVF-PQ index: build stores at two
+ * corpus sizes (default 200k and 1M hash-derived 64-dim vectors, many
+ * files), then pin the properties that matter at 100 TB —
+ *
+ *  1. INSERT cost is independent of index size: the same 1k batch
+ *     appends into both stores touching ZERO existing files, with
+ *     comparable wall-clock (the 5× bigger index must not make the
+ *     insert 5× slower);
+ *  2. a PROBE opens ~nprobe/k_cells of the index FILES, not all of
+ *     them (cell-clustered layout + pushed IN filter + manifest
+ *     stats);
+ *  3. MoR DELETE moves zero data bytes at any size.
+ *
+ *   SPARK_GRAFT_CPUS=16 \
+ *     sbt "runMain graft.tools.IvfPqSmoke /tmp/graft_ivfpq_smoke"
+ */
+object IvfPqSmoke {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_ivfpq_smoke")
+    val smallN = args.lift(1).map(_.toLong).getOrElse(200000L)
+    val bigN = args.lift(2).map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+
+    // deterministic synthetic embeddings: 64 dims from id hashes
+    def corpus(n: Long, idOffset: Long = 0L) =
+      spark.range(n).select((col("id") + lit(idOffset)).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(pmod(xxhash64(id * 64 + j), 1000) / 500.0 - 1.0 " +
+          "AS FLOAT))").as("embedding"))
+
+    // one model pair for both stores (frozen-quantizer contract);
+    // trained on a small sample — training cost is not what this smoke
+    // measures
+    val sample = corpus(5000)
+    val ivf = IvfIndex.train(sample, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = PqIndex.train(sample, "vec_id", "embedding",
+      m = 16, k = 32, iters = 2)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def run(tag: String, n: Long): (Double, Long, Long) = {
+      val uri = s"$outDir/$tag"
+      val (_, tPersist) = timed {
+        IvfPqStore.persist(spark, uri, corpus(n), "vec_id", "embedding",
+          ivf, pq, targetRowsPerFile = math.max(1L, n / 64))
+      }
+      val lu = s"$uri/index"
+      val total = Snapshots.filesDf(spark, lu).count()
+      val before = Snapshots.filesDf(spark, lu)
+        .select("file").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      val batch = corpus(1000, idOffset = 10L * 1000 * 1000)
+      val (_, tInsert) = timed {
+        IvfPqStore.insert(spark, uri, batch, "vec_id", "embedding")
+      }
+      val after = Snapshots.filesDf(spark, lu)
+        .select("file").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      val rewrote = (before -- after).size
+      println(f"[ivfpq-smoke] $tag%-6s n=$n%8d files=$total%3d " +
+        f"persist=${tPersist}%6.1fs insert(1k)=${tInsert}%5.2fs " +
+        f"rewroteExisting=$rewrote")
+      require(rewrote == 0, s"$tag: insert rewrote $rewrote existing files")
+
+      // probe: ONE query, nprobe 2 of 8 cells — count files opened
+      // (more queries probe more distinct cells; a 5-query batch can
+      // legitimately cover all 8, which prunes nothing)
+      val totalAfterInsert = Snapshots.filesDf(spark, lu).count()
+      val queries = corpus(1)
+      val res = IvfPqStore.search(spark, uri, corpus(n), queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 2, rerank = 30)
+      res.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+        }.flatten
+      def openedBy(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        scans(df.queryExecution.executedPlan)
+          .filter(_.schema.fieldNames.contains("pq_code"))
+          .map(_.metrics("numFiles").value).sum
+      }
+      val opened = openedBy(res)
+      println(f"[ivfpq-smoke] $tag%-6s probe opened $opened%3d of " +
+        f"$totalAfterInsert%3d files (1 query, nprobe 2/8 cells)")
+      require(opened < totalAfterInsert / 2,
+        s"$tag: probe opened $opened of $totalAfterInsert files — " +
+          "cell pruning lost")
+      // the appended batch files span every cell (each one opens on any
+      // probe) — compaction re-packs disjoint cell ranges and the probe
+      // tightens back toward nprobe/k_cells of the files
+      IvfPqStore.compact(spark, uri,
+        targetBytes = math.max(1L << 20, n * 80 / 48))
+      val totalCompacted = Snapshots.filesDf(spark, lu).count()
+      val openedCompacted = openedBy(
+        IvfPqStore.search(spark, uri, corpus(n), queries,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 2, rerank = 30))
+      println(f"[ivfpq-smoke] $tag%-6s post-compact probe opened " +
+        f"$openedCompacted%3d of $totalCompacted%3d files")
+      // absolute count: re-packing must strictly cut what a probe opens
+      // (the 1 MiB file floor can leave few-file tables where a ratio
+      // test is meaningless — PQ codes compress ~16× below the floor
+      // at these row counts)
+      require(openedCompacted <= opened,
+        s"$tag: compaction worsened the probe " +
+          s"($opened -> $openedCompacted files)")
+
+      // MoR delete: zero data files change
+      val preFiles = Snapshots.filesDf(spark, lu)
+        .select("file").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      val (_, tDelete) = timed {
+        IvfPqStore.delete(spark, uri, Seq(1L, 2L, 3L))
+      }
+      val postFiles = Snapshots.filesDf(spark, lu)
+        .select("file").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      require(postFiles == preFiles,
+        s"$tag: MoR delete changed the data file set")
+      println(f"[ivfpq-smoke] $tag%-6s delete(3)=${tDelete}%5.2fs " +
+        "dataFilesChanged=0")
+      (tInsert, opened, total)
+    }
+
+    val (tSmall, _, _) = run("small", smallN)
+    val (tBig, _, _) = run("big", bigN)
+    val ratio = tBig / math.max(0.01, tSmall)
+    println(f"[ivfpq-smoke] insert-time ratio big/small = $ratio%4.2f " +
+      f"(corpus ratio ${bigN.toDouble / smallN}%4.2f) — " +
+      "append cost must not scale with index size")
+    require(ratio < 2.5,
+      f"insert slowed $ratio%4.2f× on a ${bigN.toDouble / smallN}%.0f× " +
+        "bigger index — append path is not size-independent")
+    println("[ivfpq-smoke] PASS")
+    spark.stop()
+  }
+}
