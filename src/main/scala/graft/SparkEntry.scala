@@ -2959,6 +2959,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED vector search on the persisted IVF-PQ index: top-k
+    // WHERE label = 3 (~10% of the corpus).  The attribute lives on
+    // the BASE table — the index stores only ids/cells/codes — and
+    // candidates semi-join the eligible ids BEFORE the ADC shortlist,
+    // so every query gets k ELIGIBLE results (post-filtering a fixed
+    // shortlist loses recall exactly when the filter is selective)
+    "sim_ann_ivfpq_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = stageIvfPq(s, dir, e, e, "full")
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60,
+          eligible = Some(e.filter(col("label") === 3)))
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMING IVF-PQ index maintenance: each foreachBatch trigger
     // appends its encoded batch EXACTLY-ONCE (the (txnId, epoch) claim
     // commits atomically with the files — a restart replay is a
@@ -4133,10 +4149,14 @@ object SparkEntry {
     * 8 cells, ADC-shortlist 60, exact rerank to top 10), optionally
     * with ids excluded from the candidate cells (the MoR-delete
     * variant: DV-marked rows can never shortlist). */
-  private def ivfPqOracle(excluded: Seq[Long] = Nil): String = {
+  private def ivfPqOracle(excluded: Seq[Long] = Nil,
+      eligibleSql: Option[String] = None): String = {
     val notIn =
-      if (excluded.isEmpty) ""
-      else s" AND cf.vec_id NOT IN (${excluded.mkString(", ")})"
+      (if (excluded.isEmpty) ""
+       else s" AND cf.vec_id NOT IN (${excluded.mkString(", ")})") +
+      eligibleSql.map(p =>
+        s" AND cf.vec_id IN (SELECT vec_id FROM embeddings WHERE $p)")
+        .getOrElse("")
     "WITH " + IvfTrainCtes + ", " + PqTrainCtes + ", " +
       ivfAssignCte("cellf", "c3") + ", " +
       pqAssignCte("enc", "b4") + ", " +
@@ -4811,6 +4831,10 @@ object SparkEntry {
     // delete: the full build with the DV-marked ids excluded from the
     // candidate cells (they can never shortlist)
     "sim_ann_ivfpq_delete" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
+    // filtered: only label-3 ids may enter the shortlist — the same
+    // pre-filter position as the engine's semi-join
+    "sim_ann_ivfpq_filtered" -> ivfPqOracle(
+      eligibleSql = Some("label = 3")),
     // streaming maintenance: two exactly-once appended batches turn the
     // base into the full corpus; compaction is pure layout — the
     // one-shot build's oracle replicates the final serve

@@ -149,18 +149,28 @@ object IvfPqStore {
   /** ADC top-k served from the persisted index: codes come from the
     * cell-pruned snapshot scan, true vectors for the exact rerank join
     * from `corpus`.  Same scoring core (and bit-identical results) as
-    * [[PqIndex.searchIvfPq]] over the same rows and models. */
+    * [[PqIndex.searchIvfPq]] over the same rows and models.
+    *
+    * `eligible` (optional) is FILTERED vector search: the rows of
+    * `corpus` allowed in results (the attribute predicate lives on the
+    * base table — the index stores only ids/cells/codes).  Candidates
+    * semi-join the eligible ids BEFORE the ADC shortlist, so every
+    * query still gets k ELIGIBLE results — post-filtering a fixed
+    * shortlist would lose recall exactly when the filter is selective. */
   def search(
       spark: SparkSession, uri: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       qIdCol: String, qVecCol: String,
-      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+      k: Int, nprobe: Int, rerank: Int,
+      eligible: Option[DataFrame] = None): DataFrame = {
     val (ivf, pq) = loadModels(spark, uri)
     val indexed = graft.io.Snapshots.readIndexed(spark, s"$uri/index")
       .select(col("id").as("neighbor_id"), col("ivf_cell"), col("pq_code"))
     PqIndex.adcSearch(indexed,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
-      queries, qIdCol, qVecCol, ivf, pq, k, nprobe, rerank)
+      queries, qIdCol, qVecCol, ivf, pq, k, nprobe, rerank,
+      eligible = eligible.map(el =>
+        el.select(col(idCol).as("neighbor_id"))))
   }
 
   private def encodeRows(

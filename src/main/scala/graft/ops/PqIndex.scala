@@ -376,11 +376,20 @@ object PqIndex {
    * at open scale a probe reads `nprobe/k_cells` of the index FILES,
    * not just of its rows.
    */
+  /**
+   * `eligible` (optional) is FILTERED vector search: a frame of ids
+   * (column `neighbor_id`) that may appear in results — the attribute
+   * predicate lives on the BASE table, not in the index, so candidates
+   * semi-join it BEFORE the ADC shortlist.  Pre-filtering is what keeps
+   * k eligible results per query: post-filtering a fixed shortlist
+   * loses recall exactly when the filter is selective.
+   */
   private[ops] def adcSearch(
       indexed: DataFrame, vecs: DataFrame, queries: DataFrame,
       qIdCol: String, qVecCol: String,
       ivfModel: IvfIndex.IvfModel, pqModel: PqModel,
-      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+      k: Int, nprobe: Int, rerank: Int,
+      eligible: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, "rerank shortlist must be at least k")
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -422,8 +431,15 @@ object PqIndex {
     val probeDf = spark.createDataFrame(probes)
       .toDF("query_id", "ivf_cell", "__t")
     val probedCells = probes.map(_._2).distinct.sorted
-    val shortlist = indexed
+    val pruned = indexed
       .filter(col("ivf_cell").isin(probedCells.map(Int.box): _*))
+    val filtered = eligible match {
+      case Some(el) =>
+        pruned.join(el.select("neighbor_id"), Seq("neighbor_id"),
+          "left_semi")
+      case None => pruned
+    }
+    val shortlist = filtered
       .join(broadcast(probeDf), Seq("ivf_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_cosine", call_function("graft_pq_adc",

@@ -230,6 +230,31 @@ class IvfPqStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search: every query gets k ELIGIBLE results — the " +
+      "pre-shortlist semi-join, not a lossy post-filter") {
+    val uri = fresh("ivfpq_filter")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    val eligible = emb.filter(col("label") === 3)
+    val eligibleIds = eligible.select("vec_id")
+      .as[Long].collect().toSet
+    val got = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60, eligible = Some(eligible)))
+    assert(got.forall(r => eligibleIds.contains(r._3)),
+      "an ineligible id reached the results")
+    // ~10% selectivity over probed cells still yields k full lists —
+    // the property a post-filter on the 60-deep shortlist would break
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == 10, s"query $q got only ${rs.size} results")
+    }
+    val unfiltered = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(got != unfiltered)
+  }
+
   test("probe scan prunes to the queried cells' files") {
     val uri = fresh("ivfpq_prune")
     IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
