@@ -3301,6 +3301,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // index-quality monitoring: per-query recall@10 of the multi-probe
+    // LSH serve against exact brute force — the drift metric a
+    // production pipeline alerts on to schedule index re-training.
+    // count/k is an exact IEEE division, so the recall values
+    // themselves are value-oracled
+    "sim_recall_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(e, qs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        tables = 8, bitsPerTable = 6, multiProbe = true)
+      Similarity.recallAtK(exact, approx, k = 10)
+        .orderBy("query_id")
+    }),
+
     // ------------------------------------ pipeline ops: text analysis
     "text_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -4062,6 +4079,27 @@ object SparkEntry {
       "sum(CASE WHEN dot >= 0 THEN 1 << (b % 6) ELSE 0 END)::BIGINT " +
       "AS bucket FROM dots GROUP BY vec_id, b // 6)"
 
+  /** The multi-probe LSH SERVE replication on top of [[LshOracleCtes]]:
+    * query buckets fan out to the exact bucket plus each single-bit
+    * flip, candidates rerank by exact cosine with ties on neighbor_id
+    * (ends at CTE `scored` carrying query_id/neighbor_id/cos/rk) —
+    * replicates `Similarity.lshTopK(multiProbe = true)`. */
+  private val LshServeCtes: String =
+    "qprobe AS (SELECT bk.vec_id AS query_id, bk.tbl, " +
+      "xor(bk.bucket, f.f) AS bucket FROM buckets bk, " +
+      "(SELECT unnest([0,1,2,4,8,16,32]) AS f) f WHERE bk.vec_id < 5), " +
+      "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id " +
+      "FROM buckets c JOIN qprobe q ON c.tbl = q.tbl " +
+      "AND c.bucket = q.bucket WHERE c.vec_id <> q.query_id), " +
+      "scored AS (SELECT cd.query_id, cd.neighbor_id, " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) AS cos, " +
+      "row_number() OVER (PARTITION BY cd.query_id ORDER BY " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) DESC, cd.neighbor_id) AS rk " +
+      "FROM cand cd JOIN embeddings en ON en.vec_id = cd.neighbor_id " +
+      "JOIN embeddings eq ON eq.vec_id = cd.query_id)"
+
   /** Exact scale-10 HALF_UP fixed-point of a double `x` — DuckDB's
     * double→DECIMAL cast rounds half-boundaries differently from
     * [[graft.functions.VectorDecimalMean]]'s `BigDecimal.setScale(10,
@@ -4767,24 +4805,29 @@ object SparkEntry {
     // exact cosine with ties on neighbor_id — replicates
     // Similarity.lshTopK(multiProbe = true)
     "sim_ann_lsh" ->
-      (LshOracleCtes + ", " +
-        "qprobe AS (SELECT bk.vec_id AS query_id, bk.tbl, " +
-        "xor(bk.bucket, f.f) AS bucket FROM buckets bk, " +
-        "(SELECT unnest([0,1,2,4,8,16,32]) AS f) f WHERE bk.vec_id < 5), " +
-        "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id " +
-        "FROM buckets c JOIN qprobe q ON c.tbl = q.tbl " +
-        "AND c.bucket = q.bucket WHERE c.vec_id <> q.query_id), " +
-        "scored AS (SELECT cd.query_id, cd.neighbor_id, " +
-        "list_cosine_similarity(en.embedding::DOUBLE[], " +
-        "eq.embedding::DOUBLE[]) AS cos, " +
-        "row_number() OVER (PARTITION BY cd.query_id ORDER BY " +
-        "list_cosine_similarity(en.embedding::DOUBLE[], " +
-        "eq.embedding::DOUBLE[]) DESC, cd.neighbor_id) AS rk " +
-        "FROM cand cd JOIN embeddings en ON en.vec_id = cd.neighbor_id " +
-        "JOIN embeddings eq ON eq.vec_id = cd.query_id) " +
-        "SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, " +
+      (LshOracleCtes + ", " + LshServeCtes +
+        " SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, " +
         "round(cos, 4) AS cosine FROM scored WHERE rk <= 10 " +
         "ORDER BY query_id, rank"),
+
+    // value-exact recall@10: the LSH serve's top-10 set intersected
+    // with the exact brute-force top-10, count/k per query
+    "sim_recall_eval" ->
+      (LshOracleCtes + ", " + LshServeCtes + ", " +
+        "lsh AS (SELECT query_id, neighbor_id FROM scored " +
+        "WHERE rk <= 10), " +
+        "bf AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(c.embedding::DOUBLE[], " +
+        "q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk " +
+        "FROM embeddings c, embeddings q " +
+        "WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rk <= 10) " +
+        "SELECT bf.query_id, " +
+        "CAST(count(lsh.neighbor_id) AS DOUBLE) / 10.0 AS recall " +
+        "FROM bf LEFT JOIN lsh ON lsh.query_id = bf.query_id " +
+        "AND lsh.neighbor_id = bf.neighbor_id " +
+        "GROUP BY bf.query_id ORDER BY bf.query_id"),
 
     "text_quality_model" -> QualityGdOracle,
 

@@ -82,6 +82,26 @@ object Similarity {
   }
 
   /**
+   * Index-quality monitoring: per-query recall@k of an approximate
+   * top-k result against the exact one — the metric a production
+   * vector pipeline tracks to catch quantizer/centroid drift and
+   * decide re-training.  Both inputs are `(query_id, neighbor_id)`
+   * top-k frames (any extra columns ignored); output is one row per
+   * query with `recall = |approx ∩ exact| / k`.  One shuffled join +
+   * aggregation, no collects — runs at any query-set size.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / lit(k.toDouble))
+        .as("recall"))
+  }
+
+  /**
    * SQ8 scalar quantization: per-dimension affine codes in one byte.
    *
    * The memory/IO story at corpus scale: a d-float vector (4d bytes)

@@ -345,6 +345,17 @@ class OpsSpec extends AnyFunSuite {
     assert(deepRecall >= recall)
   }
 
+  test("recallAtK: exact matches score 1, absent queries score 0, " +
+      "partial overlap counts hits") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // chain 1-2-3 plus isolated pair (7,9): two components
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
