@@ -44,6 +44,10 @@ object Bench {
     // optional positional args: run only the named queries (iteration
     // aid — the driver always runs the full board)
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} — a " +
+        "typo'd name would otherwise silently measure nothing")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

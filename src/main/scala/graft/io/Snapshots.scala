@@ -2243,16 +2243,17 @@ object Snapshots extends Serializable {
       .filter(v => fs.exists(manifestPath(uri, v)))
       .flatMap(v => readManifest(spark, uri, v)).toSet ++
       Branches.referencedFiles(spark, uri)
-    val expiredRef = (1 until cutoff).filterNot(tagged)
+    // one parse per expired manifest yields BOTH the referenced data
+    // files and the DV sidecars (computed HERE, before those manifests
+    // are deleted below: like data files, expired DVs are always
+    // reclaimable — nothing can re-reference them).  High-frequency
+    // maintenance tables accumulate hundreds of expired versions;
+    // parsing each twice doubled this path's manifest I/O.
+    val expiredEntries = (1 until cutoff).filterNot(tagged)
       .filter(v => fs.exists(manifestPath(uri, v)))
-      .flatMap(v => readManifest(spark, uri, v)).toSet
-    // DV sidecars the expired manifests referenced — computed HERE,
-    // before those manifests are deleted below: like data files they
-    // are always reclaimable (nothing can re-reference them)
-    val expiredDv = (1 until cutoff).filterNot(tagged)
-      .filter(v => fs.exists(manifestPath(uri, v)))
-      .flatMap(v => readManifestEntries(spark, uri, v)
-        .flatMap(_.dv.map(_.path))).toSet
+      .flatMap(v => readManifestEntries(spark, uri, v))
+    val expiredRef = expiredEntries.map(_.name).toSet
+    val expiredDv = expiredEntries.flatMap(_.dv.map(_.path)).toSet
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs
     val removed = Seq.newBuilder[String]
     // the recursive listing races concurrent writers cleaning their

@@ -157,15 +157,35 @@ object IvfPqStore {
     * semi-join the eligible ids BEFORE the ADC shortlist, so every
     * query still gets k ELIGIBLE results — post-filtering a fixed
     * shortlist would lose recall exactly when the filter is selective. */
+  /** CONTRACT: `corpus` must contain a vector for every id in the
+    * index (it is the rerank's vector source) — an id in the index but
+    * absent from `corpus` would pass the code-only ADC shortlist and
+    * then silently drop at the exact-rerank join, returning farther
+    * neighbors and possibly fewer than k rows.  Readers serving a
+    * freshly-inserted index must read the corpus at least as fresh.
+    * `validateCorpus = true` runs an anti-join probe (one pass over
+    * the index ids) and fails loudly on the first uncovered id —
+    * opt-in, for pipeline assertions rather than per-query serving. */
   def search(
       spark: SparkSession, uri: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int, rerank: Int,
-      eligible: Option[DataFrame] = None): DataFrame = {
+      eligible: Option[DataFrame] = None,
+      validateCorpus: Boolean = false): DataFrame = {
     val (ivf, pq) = loadModels(spark, uri)
     val indexed = graft.io.Snapshots.readIndexed(spark, s"$uri/index")
       .select(col("id").as("neighbor_id"), col("ivf_cell"), col("pq_code"))
+    if (validateCorpus) {
+      val missing = indexed.select("neighbor_id")
+        .join(corpus.select(col(idCol).as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+        .limit(1).collect()
+      require(missing.isEmpty,
+        s"index at $uri contains id ${missing.head.get(0)} with no " +
+          "vector in the supplied corpus — results would silently " +
+          "drop it; read a corpus at least as fresh as the index")
+    }
     PqIndex.adcSearch(indexed,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
       queries, qIdCol, qVecCol, ivf, pq, k, nprobe, rerank,

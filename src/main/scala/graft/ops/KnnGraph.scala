@@ -500,6 +500,20 @@ object KnnGraph {
       uri: String, idx: LayeredKnnGraph): Unit = {
     val p = maintPendingPath(uri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a surviving journal means a PRIOR batch crashed mid-commit: some
+    // levels already carry its partial state and the journal holds the
+    // only record of the pre-batch versions.  Overwriting it with the
+    // CURRENT (half-applied) versions would launder the torn index as
+    // clean once this batch lands — refuse instead; the operator
+    // restores each level to the journal's version (then deletes the
+    // marker) before new maintenance may run.
+    pendingMaintenance(spark, uri).foreach { journal =>
+      throw new IllegalStateException(
+        s"$uri has an unresolved maintenance journal (a prior batch " +
+          "crashed mid-commit). Restore each level to its recorded " +
+          "version and delete _maint_pending before running new " +
+          s"maintenance. Journal:\n$journal")
+    }
     val lines = idx.levels.indices.map(l =>
       s"level$l=${graft.io.Snapshots.latestVersion(spark, s"$uri/level$l")}")
     val out = fs.create(p, true)

@@ -343,8 +343,12 @@ object Multimodal {
         graft.util.VideoDecode.decode(r.blob) match {
           case None => Iterator.empty
           case Some(v) =>
-            val w = v.width
-            val h = v.height
+            // per-FRAME dimensions, not the container's avih header: an
+            // MJPEG frame's JPEG may differ (corrupt or lying header) —
+            // hashing with the container width would index out of
+            // bounds and kill the job, violating the never-fail
+            // contract.  Well-formed files agree, so features are
+            // unchanged there.
             v.frames.iterator.zipWithIndex
               .filter { case (_, i) => i % sampleEvery == 0 }
               .map { case (f, i) =>
@@ -357,9 +361,10 @@ object Multimodal {
                   if (x > peak) peak = x
                   p += 1
                 }
-                VideoFrameFeat(r.doc_id, i.toLong, w.toLong, h.toLong,
+                VideoFrameFeat(r.doc_id, i.toLong,
+                  f.width.toLong, f.height.toLong,
                   f.pixels.length.toLong, sum, peak,
-                  dhashOfPixels(f.pixels, w, h))
+                  dhashOfPixels(f.pixels, f.width, f.height))
               }
         }
       }

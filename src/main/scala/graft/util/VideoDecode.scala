@@ -29,8 +29,12 @@ import java.nio.{ByteBuffer, ByteOrder}
  */
 object VideoDecode {
 
-  /** One decoded frame: row-major (top-down) luminance, 0..255. */
-  final case class VideoFrame(pixels: Array[Int])
+  /** One decoded frame: row-major (top-down) luminance, 0..255,
+    * carrying ITS OWN dimensions — an MJPEG frame's JPEG can
+    * legitimately (or through corruption) differ from the container's
+    * `avih` header dims, and indexing its pixels with the container's
+    * width would read out of bounds. */
+  final case class VideoFrame(pixels: Array[Int], width: Int, height: Int)
 
   final case class VideoData(
       width: Int, height: Int, usecPerFrame: Long, frames: Seq[VideoFrame]) {
@@ -138,7 +142,7 @@ object VideoDecode {
             }
             y += 1
           }
-          VideoFrame(px)
+          VideoFrame(px, w, h)
         }
       } catch { case _: Exception => None }
     } else {
@@ -159,7 +163,7 @@ object VideoDecode {
         }
         y += 1
       }
-      Some(VideoFrame(px))
+      Some(VideoFrame(px, width, height))
     }
   }
 

@@ -405,6 +405,24 @@ class KnnGraphSpec extends AnyFunSuite {
     val pending = KnnGraph.pendingMaintenance(spark, uri)
     assert(pending.exists(_.contains("level0=2")),
       "torn-index marker not surfaced")
+    // new maintenance over a torn index must REFUSE, not overwrite the
+    // journal (the only record of the restore-point versions) with the
+    // half-applied current state
+    val ex = intercept[IllegalStateException] {
+      KnnGraph.insertLayered(spark, uri, existing,
+        emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+        k, beam = 20, hops = 3)
+    }
+    assert(ex.getMessage.contains("unresolved maintenance journal"))
+    assert(KnnGraph.pendingMaintenance(spark, uri)
+      .exists(_.contains("level0=2")), "refusal must leave the journal")
+    // operator resolution: restore + delete the marker → maintenance
+    // runs again
+    fs.delete(new org.apache.hadoop.fs.Path(uri, "_maint_pending"), false)
+    KnnGraph.insertLayered(spark, uri, existing,
+      emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      k, beam = 20, hops = 3)
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty)
   }
 
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
