@@ -136,8 +136,22 @@ object Bench {
     // numbers now live only in the artifact.
     val famJson = jmap(families)
     val artJson = artifact.map("\"" + _ + "\"").getOrElse("null")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$famJson,"queries_n":${results.size},"warm_total":${fmt(warmTotal)},"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"artifact":$artJson,"sf":"$sfDir"}""")
+    val summaryLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$famJson,"queries_n":${results.size},"warm_total":${fmt(warmTotal)},"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"artifact":$artJson,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // the r12 driver captured this line intact but still recorded
+    // "parsed": null — most plausibly its parser reads the FINAL stdout
+    // line and finds sbt's "[success] Total time" epilogue there
+    // instead.  A well-known file sidesteps the capture entirely: the
+    // summary (the same single JSON line) always lands at
+    // docs/BENCH_summary_latest.json for full-board runs, so machine-
+    // readable bench evidence no longer depends on stdout framing.
+    if (only.isEmpty) try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/BENCH_summary_latest.json"),
+        (summaryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] summary write skipped: ${e.getMessage}") }
     // subset runs (iteration aid) have no artifact — print the
     // per-query numbers they were run FOR; the driver's full-board
     // line stays family-subtotals-only by construction

@@ -69,7 +69,15 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      // idempotent per session: operators call register defensively on
+      // every invocation, and an unconditional createOrReplace logs a
+      // "replaced a previously registered function" WARN per name per
+      // call — ~30 stderr lines per bench query for zero change.  A
+      // registered name is never re-bound (builders are immutable), so
+      // existence is the complete freshness check.
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
 

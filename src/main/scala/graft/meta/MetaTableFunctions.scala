@@ -267,11 +267,16 @@ object MetaTableFunctions {
 
   /** Programmatic registration on an existing session (the non-extensions
     * route, mirroring the `register(spark)` helpers of the scalar fns). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
     builders.foreach { case (ident, info, builder) =>
-      spark.sessionState.tableFunctionRegistry
-        .registerFunction(ident, info, builder)
+      // idempotent: repeated register calls (queries call it
+      // defensively) must not spam "replaced a previously registered
+      // function" warnings — a registered name never re-binds
+      if (!reg.functionExists(ident))
+        reg.registerFunction(ident, info, builder)
     }
+  }
 
   /** The path argument must be a foldable string: table functions run at
     * analysis time, before any rows exist to supply per-row arguments. */

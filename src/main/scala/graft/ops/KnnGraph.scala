@@ -50,20 +50,44 @@ object KnnGraph {
   private def perLevel[T](n: Int)(body: Int => T): Seq[T] =
     concurrently((0 until n).map(l => () => body(l)))
 
+  /** Upper bound on one concurrent level task — generous (the largest
+    * level-0 build at any sane batch size finishes in minutes), but
+    * FINITE: a wedged Spark job must surface as a loud TimeoutException
+    * the journal can diagnose, not block maintenance forever. */
+  private val LevelTaskTimeout = scala.concurrent.duration.Duration(2,
+    java.util.concurrent.TimeUnit.HOURS)
+
   /** Run independent tasks concurrently on a dedicated pool and wait
     * for ALL to settle (failed or not — a sibling mid-commit must not
     * be abandoned), then propagate the first failure or return the
-    * results in task order. */
+    * results in task order.  Each task re-applies the CALLER's Spark
+    * scheduling context (job group/description, interrupt flag, fair-
+    * scheduler pool) on its worker thread: pool threads outlive one
+    * call and do not reliably carry the submitter's inheritable local
+    * properties, and without the group id a user's
+    * `cancelJobGroup` would never reach the concurrently-launched
+    * level jobs. */
   private def concurrently[T](tasks: Seq[() => T]): Seq[T] = {
     if (tasks.length == 1) return Seq(tasks.head())
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val schedProps = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+      .flatMap(k => sc.flatMap(c => Option(c.getLocalProperty(k)))
+        .map(v => k -> v))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.length)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
-      val fs = tasks.map(t => Future(t()))
-      val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+      val fs = tasks.map(t => Future {
+        sc.foreach(c =>
+          schedProps.foreach { case (k, v) => c.setLocalProperty(k, v) })
+        t()
+      })
+      val settled = fs.map(f =>
+        Await.ready(f, LevelTaskTimeout).value.get)
       settled.collectFirst { case scala.util.Failure(e) => throw e }
       settled.map(_.get)
     } finally { pool.shutdown() }

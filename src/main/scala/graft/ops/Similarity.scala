@@ -86,18 +86,25 @@ object Similarity {
    * top-k result against the exact one — the metric a production
    * vector pipeline tracks to catch quantizer/centroid drift and
    * decide re-training.  Both inputs are `(query_id, neighbor_id)`
-   * top-k frames (any extra columns ignored); output is one row per
-   * query with `recall = |approx ∩ exact| / k`.  One shuffled join +
-   * aggregation, no collects — runs at any query-set size.
+   * top-k frames (any extra columns ignored; duplicate pairs are
+   * collapsed, so a re-unioned approx frame cannot inflate recall);
+   * output is one row per query with
+   * `recall = |approx ∩ exact| / min(k, |exact(query)|)` — the
+   * per-query denominator keeps recall ≤ 1 even when the exact truth
+   * carries fewer than k rows (a corpus smaller than k).  Queries
+   * absent from `exact` have no truth to recall against and are not
+   * scored.  One shuffled join + aggregation, no collects — runs at
+   * any query-set size.
    */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    exact.select("query_id", "neighbor_id")
-      .join(approx.select(col("query_id"), col("neighbor_id"))
+    exact.select("query_id", "neighbor_id").distinct()
+      .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("__hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
-      .agg((sum(coalesce(col("__hit"), lit(0))) / lit(k.toDouble))
+      .agg((sum(coalesce(col("__hit"), lit(0))) /
+          least(count(lit(1)), lit(k.toLong)).cast("double"))
         .as("recall"))
   }
 

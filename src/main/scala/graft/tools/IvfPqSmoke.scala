@@ -85,10 +85,14 @@ object IvfPqSmoke {
 
       // probe: ONE query, nprobe 2 of 8 cells — count files opened
       // (more queries probe more distinct cells; a 5-query batch can
-      // legitimately cover all 8, which prunes nothing)
+      // legitimately cover all 8, which prunes nothing).  The search
+      // corpus must cover the inserted batch too — IvfPqStore.search's
+      // documented contract: every indexed id needs a rerank vector, or
+      // shortlisted batch ids silently drop at the rerank join
       val totalAfterInsert = Snapshots.filesDf(spark, lu).count()
+      val served = corpus(n).unionAll(batch)
       val queries = corpus(1)
-      val res = IvfPqStore.search(spark, uri, corpus(n), queries,
+      val res = IvfPqStore.search(spark, uri, served, queries,
         "vec_id", "embedding", "vec_id", "embedding",
         k = 10, nprobe = 2, rerank = 30)
       res.collect()
@@ -120,7 +124,7 @@ object IvfPqSmoke {
         targetBytes = math.max(1L << 20, n * 80 / 48))
       val totalCompacted = Snapshots.filesDf(spark, lu).count()
       val openedCompacted = openedBy(
-        IvfPqStore.search(spark, uri, corpus(n), queries,
+        IvfPqStore.search(spark, uri, served, queries,
           "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nprobe = 2, rerank = 30))
       println(f"[ivfpq-smoke] $tag%-6s post-compact probe opened " +

@@ -354,6 +354,19 @@ class OpsSpec extends AnyFunSuite {
     val r = Similarity.recallAtK(exact, approx, k = 2)
       .as[(Long, Double)].collect().toMap
     assert(r == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+    // hardening pins: a duplicated approx frame must not count a hit
+    // twice (recall stays <= 1), and an exact frame with FEWER than k
+    // rows for a query divides by that query's truth size, not k
+    val dupApprox = approx.unionAll(approx)
+    val rDup = Similarity.recallAtK(exact, dupApprox, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(rDup == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0),
+      s"duplicate approx pairs inflated recall: $rDup")
+    val shortExact = Seq((1L, 10L)).toDF("query_id", "neighbor_id")
+    val rShort = Similarity.recallAtK(shortExact, approx, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(rShort == Map(1L -> 1.0),
+      s"short exact truth must divide by its own size: $rShort")
   }
 
   test("connected components collapse transitive near-dup chains") {
