@@ -126,7 +126,16 @@ object IvfPqStore {
     * ranges overlap and probe pruning decays.  One z-order compaction
     * on `(ivf_cell, id)` re-packs disjoint ranges at `targetBytes` —
     * pure layout (content untouched), one MVCC version, same OPTIMIZE
-    * cadence as any table. */
+    * cadence as any table.
+    *
+    * Concurrency: safe to race with [[insert]]/[[insertIdempotent]]/
+    * [[delete]] — all sides commit through store-arbitrated exclusive
+    * manifest publishes, so a collision makes exactly one side retry
+    * (compact retries here; a losing append surfaces the loud
+    * concurrent-commit error and the CALLER re-runs it against the
+    * compacted basis — appends are pure so the re-run is identical).
+    * Unlike the graph index there is no multi-level journal to strand,
+    * hence no maintenance lease. */
   def compact(spark: SparkSession, uri: String,
       targetBytes: Long = 128L << 20): Int =
     graft.io.Snapshots.retryCommit() {

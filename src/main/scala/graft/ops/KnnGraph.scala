@@ -500,6 +500,101 @@ object KnnGraph {
   private def maintPendingPath(uri: String) =
     new org.apache.hadoop.fs.Path(uri, "_maint_pending")
 
+  private def maintLockPath(uri: String) =
+    new org.apache.hadoop.fs.Path(uri, "_maint_lock")
+
+  /** Test-only fault injection: levels in this set throw INSTEAD of
+    * committing, fabricating a deterministic torn batch for the
+    * recovery specs (a real crash is any subset of levels committed —
+    * the injected one is just reproducible). */
+  @volatile private[graft] var crashLevels: Set[Int] = Set.empty
+
+  /**
+   * Per-index maintenance LEASE: insert/delete/compact/resume on the
+   * same layered index must not interleave — each computes deltas (or
+   * replacement layouts) against the index loaded at entry, and the
+   * loser of an unserialized race fails mid-batch at its first level
+   * commit, stranding a journal that needs manual recovery.  The lease
+   * makes the loser fail LOUDLY BEFORE any level commits: acquisition
+   * is one [[graft.io.Snapshots.publishExclusive]] create (link(2)
+   * local, no-overwrite rename HDFS, conditional PUT on the owned
+   * object-store clients), so two maintainers cannot both hold it.
+   *
+   * The lease releases on ANY exit, including a thrown batch — only a
+   * JVM crash leaves it behind, and a crash also leaves the
+   * `_maint_pending` journal, so the documented recovery ("delete
+   * `_maint_lock`, run [[resumeMaintenance]]") is the operator's
+   * acknowledgment that the holder is dead.
+   */
+  private def withMaintenanceLock[T](
+      spark: org.apache.spark.sql.SparkSession, uri: String,
+      what: String)(body: => T): T = {
+    val lock = maintLockPath(uri)
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(uri,
+      s"_maint_lock.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"$what@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    try graft.io.Snapshots.publishExclusive(fs, tmp, lock,
+      s"maintenance lease on $uri")
+    catch { case e: IllegalStateException =>
+      throw new IllegalStateException(
+        s"$uri: another maintainer holds the maintenance lease " +
+          s"(refusing $what before any level commits). If the holder " +
+          "is live, wait for it; if it crashed, delete _maint_lock " +
+          "and run resumeMaintenance.", e)
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /**
+   * AUTOMATIC recovery of a torn maintenance batch: restore every
+   * level to the version the `_maint_pending` journal recorded before
+   * the crashed batch started (levels the batch never committed are
+   * left alone), then clear the journal.  After resume the index
+   * equals its pre-batch state — re-running the batch then lands it
+   * whole, byte-equal to a never-crashed run (both compute from the
+   * same restored basis).  Returns `(level, restored-to version)` per
+   * journal line; the restore itself is one MVCC commit per touched
+   * level ([[graft.io.Snapshots.restoreCommit]] — the crashed batch's
+   * partial content stays time-travelable).
+   *
+   * Run this only when no maintainer is LIVE on the index (the journal
+   * cannot distinguish a crash from a still-running batch; the
+   * maintenance lease can — a live holder blocks resume).
+   */
+  def resumeMaintenance(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Seq[(String, Int)] =
+    withMaintenanceLock(spark, uri, "resumeMaintenance") {
+      val journal = pendingMaintenance(spark, uri).getOrElse(
+        throw new IllegalStateException(
+          s"$uri has no pending maintenance journal — nothing to resume"))
+      val entries = journal.split("\n").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map { line =>
+          line.split("=") match {
+            case Array(lvl, v) if lvl.startsWith("level") =>
+              (lvl, v.toInt)
+            case _ => throw new IllegalStateException(
+              s"$uri: unparseable journal line '$line' — recover " +
+                "manually (restore each level, delete _maint_pending)")
+          }
+        }
+      val restored = entries.map { case (lvl, v) =>
+        val lu = s"$uri/$lvl"
+        val cur = graft.io.Snapshots.latestVersion(spark, lu)
+        // an untouched level needs no restore commit (and gets none —
+        // a redundant version would churn retention for no change)
+        if (cur != v) (lvl, graft.io.Snapshots.restoreCommit(spark, lu, v))
+        else (lvl, cur)
+      }
+      val fs = maintPendingPath(uri)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(maintPendingPath(uri), false)
+      restored
+    }
+
   /** Maintenance journal: levels commit one at a time, so a crash
     * mid-[[insertLayered]]/[[deleteFromLayered]] leaves some levels
     * updated and others pristine.  `_maint_pending` records every
@@ -550,11 +645,21 @@ object KnnGraph {
     val p = maintPendingPath(uri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val a = new org.apache.hadoop.fs.Path(uri, "_maint_applied")
-    val out = fs.create(a, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(p, false)
+    // ONE atomic transition: the journal becomes the applied record via
+    // rename, so no crash point leaves BOTH markers (the old
+    // create-applied-then-delete-pending pair could crash in between
+    // and make a fully-applied batch read as torn — recovery would
+    // needlessly restore and re-run).  The applied file now carries the
+    // batch's pre-versions instead of a timestamp; nothing reads it for
+    // content.  A stale applied marker from the previous batch is
+    // dropped first: if the crash lands between the delete and the
+    // rename, pending survives alone — still unambiguous.
+    if (fs.exists(a)) fs.delete(a, false)
+    if (!fs.rename(p, a))
+      throw new java.io.IOException(
+        s"$uri: could not rename _maint_pending to _maint_applied — " +
+          "the batch IS fully committed; remove the stale journal " +
+          "manually before the next maintenance run")
   }
 
   /**
@@ -586,17 +691,19 @@ object KnnGraph {
    *
    * SINGLE MAINTAINER: the per-level deltas are computed against the
    * index loaded at entry, so concurrent maintenance on the SAME index
-   * is not replay-safe — a racing commit fails loudly (concurrent-
-   * commit error) rather than publishing stale-basis content, leaving
-   * the `_maint_pending` journal to diagnose and the recorded versions
-   * to restore.  Serialize maintainers per index (the streaming path's
-   * one-trigger-at-a-time foreachBatch does this naturally).
+   * is not replay-safe.  The per-index maintenance LEASE
+   * (`_maint_lock`, atomic-create arbitrated on all five filesystems)
+   * enforces this: a racing insert/delete/compact/resume fails loudly
+   * BEFORE any level commits — never mid-journal.  The streaming
+   * path's one-trigger-at-a-time foreachBatch serializes naturally and
+   * just re-acquires the free lease each trigger.
    */
   def insertLayered(spark: org.apache.spark.sql.SparkSession, uri: String,
       existing: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, beam: Int = 40, hops: Int = 4): LayeredKnnGraph = {
     require(k >= 1 && beam >= k && hops >= 1,
       "need k >= 1, beam >= k, hops >= 1")
+   withMaintenanceLock(spark, uri, "insertLayered") {
     val idx = loadLayered(spark, uri)
     val br = idx.branching
     GraftFunctions.register(spark)
@@ -661,12 +768,15 @@ object KnnGraph {
           .join(newIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         val rescored =
           topKExact(oldPairs.unionAll(revPairs).distinct(), allVecs, k)
+        if (crashLevels.contains(l)) throw new IllegalStateException(
+          s"injected crash: level$l commit skipped (test fault hook)")
         dbg("commit")(commitLevelMerge(spark, s"$uri/level$l", g, affected,
           rescored.unionByName(newLists)))
       }
     }
     markApplied(spark, uri)
     loadLayered(spark, uri)
+   }
   }
 
 
@@ -686,6 +796,7 @@ object KnnGraph {
       uri: String, ids: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): LayeredKnnGraph = {
     require(k >= 1, "need k >= 1")
+   withMaintenanceLock(spark, uri, "deleteFromLayered") {
     val idx = loadLayered(spark, uri)
     GraftFunctions.register(spark)
     val del = ids.select(col(ids.columns.head).cast("long").as("id"))
@@ -719,10 +830,13 @@ object KnnGraph {
       // survivors' lists (healed); every other node's rows — and on
       // the clustered layout every non-overlapping FILE — carries over
       val replaced = del.unionByName(aff.withColumnRenamed("a", "id"))
+      if (crashLevels.contains(l)) throw new IllegalStateException(
+        s"injected crash: level$l commit skipped (test fault hook)")
       commitLevelMerge(spark, s"$uri/level$l", g, replaced, healed)
     }
     markApplied(spark, uri)
     loadLayered(spark, uri)
+   }
   }
 
   /**
@@ -739,11 +853,18 @@ object KnnGraph {
    */
   def compactLayered(spark: org.apache.spark.sql.SparkSession,
       uri: String, targetBytes: Long = 128L << 20): Seq[Int] = {
-    val idx = loadLayered(spark, uri) // validates the index shape
-    idx.levels.indices.map { l =>
-      graft.io.Snapshots.retryCommit() {
-        graft.io.Snapshots.optimizeCommit(
-          spark, s"$uri/level$l", targetBytes, Seq("id"), None)
+    // compaction is a MAINTENANCE op under the same single-maintainer
+    // contract as insert/delete: run concurrently with a batch it would
+    // make the batch's un-retried mergeCommit fail mid-journal.  The
+    // lease serializes them — the loser fails loudly BEFORE any level
+    // commits (on either side), never mid-batch.
+    withMaintenanceLock(spark, uri, "compactLayered") {
+      val idx = loadLayered(spark, uri) // validates the index shape
+      idx.levels.indices.map { l =>
+        graft.io.Snapshots.retryCommit() {
+          graft.io.Snapshots.optimizeCommit(
+            spark, s"$uri/level$l", targetBytes, Seq("id"), None)
+        }
       }
     }
   }

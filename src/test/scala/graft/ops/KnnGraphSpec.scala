@@ -425,6 +425,140 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty)
   }
 
+  test("torn-batch recovery: resumeMaintenance restores the journal's " +
+      "versions and the re-run equals a never-crashed batch") {
+    val k = 5
+    val existing = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    val uriA = graft.TestSpark.tmpDir("knn_resume_golden")
+    val uriB = graft.TestSpark.tmpDir("knn_resume_torn")
+    val fs = new org.apache.hadoop.fs.Path(uriA)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(uriA, uriB).foreach { uri =>
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      KnnGraph.persistLayered(spark,
+        KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+          iters = 2, branching = 4, seedTarget = 64), uri)
+    }
+    val nLevels = KnnGraph.loadLayered(spark, uriB).levels.length
+    assert(nLevels >= 2, "fixture needs >= 2 levels for a torn state")
+    // golden: the never-crashed run
+    KnnGraph.insertLayered(spark, uriA, existing, batch,
+      "vec_id", "embedding", k, beam = 20, hops = 3)
+    // torn: the LAST level's commit is skipped by the fault hook while
+    // the other levels commit — a genuine mid-batch crash shape (the
+    // concurrent level tasks all settle before the failure propagates)
+    KnnGraph.crashLevels = Set(nLevels - 1)
+    try {
+      val ex = intercept[IllegalStateException] {
+        KnnGraph.insertLayered(spark, uriB, existing, batch,
+          "vec_id", "embedding", k, beam = 20, hops = 3)
+      }
+      assert(ex.getMessage.contains("injected crash"))
+    } finally KnnGraph.crashLevels = Set.empty
+    assert(KnnGraph.pendingMaintenance(spark, uriB).isDefined,
+      "crashed batch must leave the journal")
+    assert(graft.io.Snapshots.latestVersion(spark, s"$uriB/level0") > 1,
+      "fixture did not tear: level0 should have committed")
+    // the thrown batch released the lease — resume acquires it, rolls
+    // every touched level back to the journal's versions, clears the
+    // journal; untouched levels get NO redundant restore commit
+    val restored = KnnGraph.resumeMaintenance(spark, uriB).toMap
+    assert(KnnGraph.pendingMaintenance(spark, uriB).isEmpty,
+      "resume must clear the journal")
+    assert(restored(s"level${nLevels - 1}") == 1,
+      "the never-committed level must stay at its recorded version")
+    // post-resume the index equals its pre-batch state, so the re-run
+    // computes from the same basis as the golden run
+    KnnGraph.insertLayered(spark, uriB, existing, batch,
+      "vec_id", "embedding", k, beam = 20, hops = 3)
+    val a = KnnGraph.loadLayered(spark, uriA)
+    val b = KnnGraph.loadLayered(spark, uriB)
+    assert(a.levels.length == b.levels.length)
+    a.levels.zip(b.levels).zipWithIndex.foreach { case ((ga, gb), l) =>
+      assert(ga.collect().map(_.toSeq).toSet ==
+        gb.collect().map(_.toSeq).toSet,
+        s"level$l diverged from the never-crashed run after recovery")
+    }
+    // resume with no journal refuses
+    val noJournal = intercept[IllegalStateException] {
+      KnnGraph.resumeMaintenance(spark, uriB)
+    }
+    assert(noJournal.getMessage.contains("nothing to resume"))
+  }
+
+  test("maintenance lease: a held lease blocks maintenance BEFORE any " +
+      "commit; a racing insert/compact pair never strands a journal") {
+    val k = 5
+    val existing = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    val uri = graft.TestSpark.tmpDir("knn_maint_lease")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(existing, "vec_id", "embedding", k,
+        iters = 2, branching = 4, seedTarget = 64), uri)
+    def versions: Seq[Int] = KnnGraph.loadLayered(spark, uri)
+      .levels.indices.map(l =>
+        graft.io.Snapshots.latestVersion(spark, s"$uri/level$l"))
+    // deterministic half: a held lease refuses all three maintenance
+    // verbs with NO side effects — versions unchanged, no journal
+    val lock = new org.apache.hadoop.fs.Path(uri, "_maint_lock")
+    fs.create(lock, true).close()
+    val before = versions
+    Seq(
+      () => KnnGraph.insertLayered(spark, uri, existing, batch,
+        "vec_id", "embedding", k, beam = 20, hops = 3),
+      () => KnnGraph.deleteFromLayered(spark, uri,
+        emb.filter(col("vec_id") === 4L).select("vec_id"), emb,
+        "vec_id", "embedding", k),
+      () => KnnGraph.compactLayered(spark, uri)
+    ).foreach { op =>
+      val ex = intercept[IllegalStateException] { op() }
+      assert(ex.getMessage.contains("maintenance lease"),
+        s"wrong failure: ${ex.getMessage}")
+    }
+    assert(versions == before, "a refused op must commit nothing")
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty,
+      "a refused op must not strand a journal")
+    fs.delete(lock, false)
+    // racing half: insert vs compact from two threads starting
+    // together — a loser (if the timing produces one) fails with the
+    // lease error BEFORE committing anything; never mid-journal
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    def racer(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try body catch { case e: Throwable => outcomes.put(name, e) }
+      })
+      t.start(); t
+    }
+    val ti = racer("insert") {
+      KnnGraph.insertLayered(spark, uri, existing, batch,
+        "vec_id", "embedding", k, beam = 20, hops = 3)
+    }
+    val tc = racer("compact") { KnnGraph.compactLayered(spark, uri) }
+    start.countDown()
+    ti.join(300000); tc.join(300000)
+    import scala.jdk.CollectionConverters._
+    outcomes.asScala.foreach { case (name, e) =>
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("maintenance lease"),
+        s"$name failed with a non-lease error: $e")
+    }
+    assert(outcomes.size() <= 1, "at most one racer can lose the lease")
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty,
+      "the race must not strand a journal")
+    assert(!fs.exists(lock), "the winner must release the lease")
+    // whatever interleaving occurred, the index stays loadable and
+    // serves full lists
+    val idx = KnnGraph.loadLayered(spark, uri)
+    assert(idx.levels.head.groupBy("id").count()
+      .filter(col("count") < 1).count() == 0)
+  }
+
   test("graph is deterministic across partitionings, ranks dense, no self-edges") {
     val a = KnnGraph.build(emb, "vec_id", "embedding", 5, 2)
       .orderBy("id", "rank").collect().toSeq
