@@ -2975,6 +2975,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the ENTIRE vector-index lifecycle from SQL — build (train on the
+    // full corpus, index the %25!=7 basis), insert the batch, MoR-
+    // delete three ids, compact, and serve via the vector_search table
+    // function: five statements, no Scala API.  End state = the
+    // one-shot build minus the deleted ids, so the delete variant's
+    // value-exact oracle replicates it
+    "sim_ann_sql_lifecycle" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      graft.meta.MetaTableFunctions.register(s)
+      val uri = util.Staging.dirFor(
+        "graft_ivfpq_sql_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val src = s"$dir/embeddings.parquet"
+      s.sql(s"CALL graft.system.vector_index_build(index => '$uri', " +
+        s"source => '$src', id_col => 'vec_id', " +
+        "vec_col => 'embedding', `where` => 'vec_id % 25 <> 7', " +
+        "rows_per_file => 50, replace => true)")
+      s.sql(s"CALL graft.system.vector_insert(index => '$uri', " +
+        s"source => '$src', id_col => 'vec_id', " +
+        "vec_col => 'embedding', `where` => 'vec_id % 25 = 7')")
+      s.sql(s"CALL graft.system.vector_delete(index => '$uri', " +
+        "ids => '7, 27, 64')")
+      s.sql(s"CALL graft.system.vector_compact(index => '$uri')")
+      s.sql(s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
+        "'embedding', 'vec_id < 5', 10, 4, 60) " +
+        "ORDER BY query_id, rank")
+    }),
+
     // STREAMING IVF-PQ index maintenance: each foreachBatch trigger
     // appends its encoded batch EXACTLY-ONCE (the (txnId, epoch) claim
     // commits atomically with the files — a restart replay is a
@@ -4874,6 +4903,11 @@ object SparkEntry {
     // delete: the full build with the DV-marked ids excluded from the
     // candidate cells (they can never shortlist)
     "sim_ann_ivfpq_delete" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
+    // the SQL lifecycle lands the same end state (build basis + insert
+    // = full corpus under full-corpus models; delete marks 7/27/64;
+    // compact is pure layout) — the delete variant's oracle replicates
+    // the final vector_search verbatim
+    "sim_ann_sql_lifecycle" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
     // filtered: only label-3 ids may enter the shortlist — the same
     // pre-filter position as the engine's semi-join
     "sim_ann_ivfpq_filtered" -> ivfPqOracle(

@@ -40,7 +40,35 @@ object Procedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "fsck",
     "create_tag", "delete_tag", "restore", "refresh_mview",
-    "create_branch", "branch_append", "fast_forward", "drop_branch")
+    "create_branch", "branch_append", "fast_forward", "drop_branch",
+    "vector_index_build", "vector_insert", "vector_delete",
+    "vector_compact", "knn_index_build", "knn_insert", "knn_delete",
+    "knn_compact", "knn_resume")
+
+  /** A procedure/table-function `source` argument: a snapshot-managed
+    * directory reads through the manifest (pruned, versioned), a plain
+    * directory as ordinary parquet. */
+  private[graft] def readSource(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_manifests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Snapshots.read(spark, path)
+    else spark.read.parquet(path)
+  }
+
+  private def deleteIfReplace(spark: SparkSession, uri: String,
+      replace: Boolean, marker: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(uri)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(uri, marker))
+    if (exists && !replace)
+      throw new IllegalStateException(
+        s"$uri already holds an index — pass replace => true to rebuild")
+    if (replace) fs.delete(root, true)
+  }
+
+  private def csvLongs(s: String): Seq[Long] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "optimize" => Some(proc("optimize",
@@ -191,6 +219,182 @@ object Procedures {
       row => {
         graft.io.Branches.drop(spark, str(row, 0), str(row, 1))
         Seq(new GenericInternalRow(Array[Any](true)))
+      }))
+
+    // ---------------------- vector-index lifecycle as SQL procedures
+    // the last Scala-only surface: building/maintaining the persisted
+    // ANN indexes ([[graft.ops.IvfPqStore]], [[graft.ops.KnnGraph]])
+    // now routes through CALL like every other table operation, and
+    // serving pairs with the vector_search / knn_search table functions
+    // ([[graft.meta.MetaTableFunctions]]).  `source` is a parquet or
+    // snapshot-managed path; models TRAIN on the whole source (the
+    // offline-training contract production stores follow) while
+    // `where` picks which rows are indexed — so an index built over a
+    // basis subset and then incrementally fed equals the one-shot
+    // build over the union.
+    case "vector_index_build" => Some(proc("vector_index_build",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("where", StringType, Some("NULL")),
+        in("ivf_cells", IntegerType, Some("8")),
+        in("ivf_iters", IntegerType, Some("3")),
+        in("pq_m", IntegerType, Some("16")),
+        in("pq_k", IntegerType, Some("32")),
+        in("pq_iters", IntegerType, Some("4")),
+        in("rows_per_file", IntegerType, Some("1048576")),
+        in("replace", BooleanType, Some("false"))),
+      StructType(Seq(StructField("rows_indexed", LongType),
+        StructField("files", IntegerType))),
+      row => {
+        val uri = str(row, 0)
+        val src = readSource(spark, str(row, 1))
+        val idCol = str(row, 2); val vecCol = str(row, 3)
+        deleteIfReplace(spark, uri,
+          !row.isNullAt(11) && row.getBoolean(11), "index")
+        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
+        val ivf = graft.ops.IvfIndex.train(src, idCol, vecCol,
+          k = if (row.isNullAt(5)) 8 else row.getInt(5),
+          iters = if (row.isNullAt(6)) 3 else row.getInt(6))
+        val pq = graft.ops.PqIndex.train(src, idCol, vecCol,
+          m = if (row.isNullAt(7)) 16 else row.getInt(7),
+          k = if (row.isNullAt(8)) 32 else row.getInt(8),
+          iters = if (row.isNullAt(9)) 4 else row.getInt(9))
+        graft.ops.IvfPqStore.persist(spark, uri, subset, idCol, vecCol,
+          ivf, pq,
+          targetRowsPerFile =
+            if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong)
+        val f = org.apache.spark.sql.functions
+        val files = Snapshots.filesDf(spark, s"$uri/index")
+          .agg(f.coalesce(f.sum("row_count"), f.lit(0L)),
+            f.count(f.lit(1))).head()
+        Seq(new GenericInternalRow(Array[Any](
+          files.getLong(0), files.getLong(1).toInt)))
+      }))
+
+    case "vector_insert" => Some(proc("vector_insert",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("where", StringType, Some("NULL"))),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val batch = optStr(row, 4).map(src.filter).getOrElse(src)
+        val v = graft.ops.IvfPqStore.insert(spark, str(row, 0), batch,
+          str(row, 2), str(row, 3))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "vector_delete" => Some(proc("vector_delete",
+      Seq(in("index", StringType), in("ids", StringType)),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val v = graft.ops.IvfPqStore.delete(spark, str(row, 0),
+          csvLongs(str(row, 1)))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "vector_compact" => Some(proc("vector_compact",
+      Seq(in("index", StringType),
+        in("target_mb", IntegerType, Some("128"))),
+      StructType(Seq(StructField("version", IntegerType))),
+      row => {
+        val mb = if (row.isNullAt(1)) 128 else row.getInt(1)
+        val v = graft.ops.IvfPqStore.compact(spark, str(row, 0),
+          mb.toLong << 20)
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    case "knn_index_build" => Some(proc("knn_index_build",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("where", StringType, Some("NULL")),
+        in("k", IntegerType, Some("10")),
+        in("iters", IntegerType, Some("6")),
+        in("branching", IntegerType, Some("4")),
+        in("seed_target", IntegerType, Some("128")),
+        in("rows_per_file", IntegerType, Some("1048576")),
+        in("replace", BooleanType, Some("false"))),
+      StructType(Seq(StructField("levels", IntegerType))),
+      row => {
+        val uri = str(row, 0)
+        val src = readSource(spark, str(row, 1))
+        deleteIfReplace(spark, uri,
+          !row.isNullAt(10) && row.getBoolean(10), "level0")
+        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
+        val idx = graft.ops.KnnGraph.buildLayered(subset,
+          str(row, 2), str(row, 3),
+          k = if (row.isNullAt(5)) 10 else row.getInt(5),
+          iters = if (row.isNullAt(6)) 6 else row.getInt(6),
+          branching = if (row.isNullAt(7)) 4 else row.getInt(7),
+          seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8))
+        graft.ops.KnnGraph.persistLayered(spark, idx, uri,
+          targetRowsPerFile =
+            if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
+        Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
+      }))
+
+    // the batch is `source WHERE batch_where`; everything else in
+    // `source` is the standing corpus the batch wires into — one
+    // source-of-truth table, the same contract as the Scala API's
+    // (existing, batch) pair
+    case "knn_insert" => Some(proc("knn_insert",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("batch_where", StringType),
+        in("k", IntegerType, Some("10")),
+        in("beam", IntegerType, Some("40")),
+        in("hops", IntegerType, Some("4"))),
+      StructType(Seq(StructField("levels", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val cond = str(row, 4)
+        val idx = graft.ops.KnnGraph.insertLayered(spark, str(row, 0),
+          src.filter(s"NOT ($cond)"), src.filter(cond),
+          str(row, 2), str(row, 3),
+          k = if (row.isNullAt(5)) 10 else row.getInt(5),
+          beam = if (row.isNullAt(6)) 40 else row.getInt(6),
+          hops = if (row.isNullAt(7)) 4 else row.getInt(7))
+        Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
+      }))
+
+    case "knn_delete" => Some(proc("knn_delete",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("ids", StringType),
+        in("k", IntegerType, Some("10"))),
+      StructType(Seq(StructField("levels", IntegerType))),
+      row => {
+        val spark0 = spark
+        import spark0.implicits._
+        val src = readSource(spark, str(row, 1))
+        val ids = csvLongs(str(row, 4)).toDF("id")
+        val idx = graft.ops.KnnGraph.deleteFromLayered(spark,
+          str(row, 0), ids, src, str(row, 2), str(row, 3),
+          k = if (row.isNullAt(5)) 10 else row.getInt(5))
+        Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
+      }))
+
+    case "knn_compact" => Some(proc("knn_compact",
+      Seq(in("index", StringType),
+        in("target_mb", IntegerType, Some("128"))),
+      StructType(Seq(StructField("level", IntegerType),
+        StructField("version", IntegerType))),
+      row => {
+        val mb = if (row.isNullAt(1)) 128 else row.getInt(1)
+        graft.ops.KnnGraph.compactLayered(spark, str(row, 0),
+            mb.toLong << 20)
+          .zipWithIndex.map { case (v, l) =>
+            new GenericInternalRow(Array[Any](l, v)) }
+      }))
+
+    case "knn_resume" => Some(proc("knn_resume",
+      Seq(in("index", StringType)),
+      StructType(Seq(StructField("level", StringType),
+        StructField("version", IntegerType))),
+      row => {
+        graft.ops.KnnGraph.resumeMaintenance(spark, str(row, 0))
+          .map { case (lvl, v) => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(lvl), v)) }
       }))
 
     case _ => None

@@ -62,7 +62,80 @@ object MetaTableFunctions {
         })
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
-      branchChangesBuilder
+      branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder
+
+  /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
+    * '<vec_col>', '<queries_where>', k, nprobe, rerank)` — ADC top-k
+    * from a persisted IVF-PQ index ([[graft.ops.IvfPqStore.search]]) as
+    * a FROM-clause relation: `source` supplies both the rerank vectors
+    * and (filtered by `queries_where`) the query set, so the whole
+    * serve — like the build/insert/delete/compact procedures it pairs
+    * with — runs without leaving SQL.  Joins/filters compose on top
+    * like any relation. */
+  private def vectorSearchBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("vector_search"),
+      new ExpressionInfo("graft", null, "vector_search",
+        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
+          "nprobe, rerank) - ANN top-k from a persisted IVF-PQ index", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 8)
+          throw new IllegalArgumentException(
+            "vector_search(index, source, id_col, vec_col, " +
+              s"queries_where, k, nprobe, rerank) takes 8 arguments, " +
+              s"got ${args.length}")
+        val spark = SparkSession.active
+        val Seq(index, source, idCol, vecCol, qWhere) =
+          (0 to 4).map(i => strLitArg("vector_search", args(i)))
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        graft.ops.IvfPqStore.search(spark, index, corpus,
+            corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
+            k = intLitArg("vector_search", "k", args(5)),
+            nprobe = intLitArg("vector_search", "nprobe", args(6)),
+            rerank = intLitArg("vector_search", "rerank", args(7)))
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM knn_search('<index>', '<source>', '<id_col>',
+    * '<vec_col>', '<queries_where>', k, beam, hops)` — layered
+    * graph-ANN serving ([[graft.ops.KnnGraph.searchLayered]]) from a
+    * persisted index, same SQL shape as [[vectorSearchBuilder]]. */
+  private def knnSearchBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("knn_search"),
+      new ExpressionInfo("graft", null, "knn_search",
+        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
+          "beam, hops) - graph-ANN top-k from a persisted layered index",
+        ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 8)
+          throw new IllegalArgumentException(
+            "knn_search(index, source, id_col, vec_col, queries_where, " +
+              s"k, beam, hops) takes 8 arguments, got ${args.length}")
+        val spark = SparkSession.active
+        val Seq(index, source, idCol, vecCol, qWhere) =
+          (0 to 4).map(i => strLitArg("knn_search", args(i)))
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        val idx = graft.ops.KnnGraph.loadLayered(spark, index)
+        graft.ops.KnnGraph.searchLayered(idx, corpus,
+            corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
+            k = intLitArg("knn_search", "k", args(5)),
+            beam = intLitArg("knn_search", "beam", args(6)),
+            hops = intLitArg("knn_search", "hops", args(7)))
+          .queryExecution.analyzed
+      })
+
+  /** A non-null string-literal argument. */
+  private def strLitArg(fname: String, e: Expression): String = {
+    if (!e.foldable || e.dataType != StringType)
+      throw new IllegalArgumentException(
+        s"$fname: expected a string literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        s"$fname: string argument must not be NULL")
+    v.toString
+  }
 
   /** `SELECT * FROM parquet_snapshot('<uri>'[, version | timestamp])` —
     * SQL time travel over a [[graft.io.Snapshots]]-managed directory:

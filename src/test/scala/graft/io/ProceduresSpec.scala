@@ -171,4 +171,104 @@ class ProceduresSpec extends AnyFunSuite {
       spark.sql("CALL graft.system.nonsense()"))
     assert(e.getMessage.toLowerCase.contains("nonsense"))
   }
+
+  test("CALL vector-index lifecycle equals the Scala API route") {
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val sqlUri = fresh("proc_vec_sql")
+    val apiUri = fresh("proc_vec_api")
+    // SQL route: build (train full, index %10!=3) + insert + delete +
+    // compact + table-function serve
+    val built = spark.sql("CALL graft.system.vector_index_build(" +
+      s"index => '$sqlUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', `where` => 'vec_id % 10 <> 3', " +
+      "rows_per_file => 50)").head()
+    assert(built.getLong(0) > 0 && built.getInt(1) > 1,
+      s"build returned $built — expected rows and a multi-file layout")
+    // un-replaced rebuild refuses; replace => true rebuilds
+    val dup = intercept[Exception](spark.sql(
+      "CALL graft.system.vector_index_build(" +
+        s"index => '$sqlUri', source => '$src', id_col => 'vec_id', " +
+        "vec_col => 'embedding')"))
+    assert(dup.getMessage.contains("replace"))
+    spark.sql(s"CALL graft.system.vector_insert(index => '$sqlUri', " +
+      s"source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', `where` => 'vec_id % 10 = 3')")
+    spark.sql(
+      s"CALL graft.system.vector_delete(index => '$sqlUri', ids => '5, 9')")
+    spark.sql(s"CALL graft.system.vector_compact(index => '$sqlUri')")
+    val sqlServe = spark.sql(s"SELECT * FROM vector_search('$sqlUri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 3', 5, 4, 40) " +
+      "ORDER BY query_id, rank").collect().map(_.toSeq).toSeq
+    // Scala route: same models (full-corpus training), same mutations
+    val e = spark.read.parquet(src)
+    val ivf = graft.ops.IvfIndex.train(e, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val pq = graft.ops.PqIndex.train(e, "vec_id", "embedding",
+      m = 16, k = 32, iters = 4)
+    graft.ops.IvfPqStore.persist(spark, apiUri,
+      e.filter(col("vec_id") % 10 =!= 3), "vec_id", "embedding",
+      ivf, pq, targetRowsPerFile = 50)
+    graft.ops.IvfPqStore.insert(spark, apiUri,
+      e.filter(col("vec_id") % 10 === 3), "vec_id", "embedding")
+    graft.ops.IvfPqStore.delete(spark, apiUri, Seq(5L, 9L))
+    graft.ops.IvfPqStore.compact(spark, apiUri)
+    val apiServe = graft.ops.IvfPqStore.search(spark, apiUri, e,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 4, rerank = 40)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlServe == apiServe,
+      "the SQL lifecycle diverged from the Scala API route")
+    // deleted ids never serve
+    assert(sqlServe.forall(r => r(2) != 5L && r(2) != 9L))
+  }
+
+  test("CALL knn lifecycle: build/insert/delete/compact through SQL, " +
+      "knn_search serves the persisted index") {
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = fresh("proc_knn_sql")
+    val levels = spark.sql("CALL graft.system.knn_index_build(" +
+      s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', `where` => 'vec_id % 10 <> 3', " +
+      "k => 5, iters => 2, seed_target => 64)").head().getInt(0)
+    assert(levels >= 2, s"expected a layered index, got $levels levels")
+    // table-function serving equals the Scala route over the same index
+    val sqlServe = spark.sql(s"SELECT * FROM knn_search('$uri', '$src', " +
+      "'vec_id', 'embedding', 'vec_id < 3 AND vec_id % 10 <> 3', " +
+      "5, 20, 3) ORDER BY query_id, rank").collect().map(_.toSeq).toSeq
+    val e = spark.read.parquet(src)
+    val apiServe = graft.ops.KnnGraph.searchLayered(
+        graft.ops.KnnGraph.loadLayered(spark, uri), e,
+        e.filter(col("vec_id") < 3 && col("vec_id") % 10 =!= 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 20, hops = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlServe == apiServe,
+      "knn_search diverged from the Scala serving route")
+    // insert the %10==3 batch from SQL, then a new id must be findable
+    spark.sql(s"CALL graft.system.knn_insert(index => '$uri', " +
+      s"source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', batch_where => 'vec_id % 10 = 3', " +
+      "k => 5, beam => 20, hops => 3)")
+    val post = spark.sql(s"SELECT * FROM knn_search('$uri', '$src', " +
+      "'vec_id', 'embedding', 'vec_id = 3', 5, 20, 3)").collect()
+    assert(post.length == 5, "an inserted query id must serve k results")
+    // delete id 13 from SQL: it disappears from every neighbor list
+    spark.sql(s"CALL graft.system.knn_delete(index => '$uri', " +
+      s"source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', ids => '13', k => 5)")
+    val idx = graft.ops.KnnGraph.loadLayered(spark, uri)
+    idx.levels.foreach { g =>
+      assert(g.filter(col("id") === 13L || col("neighbor_id") === 13L)
+        .count() == 0, "deleted id survived in a level")
+    }
+    // compact returns one row per level; resume with no journal refuses
+    val compacted = spark.sql(
+      s"CALL graft.system.knn_compact(index => '$uri')").collect()
+    assert(compacted.length == idx.levels.length)
+    val noJournal = intercept[Exception](spark.sql(
+      s"CALL graft.system.knn_resume(index => '$uri')"))
+    assert(noJournal.getMessage.contains("nothing to resume"))
+  }
 }
