@@ -2975,6 +2975,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // quantizer RE-TRAINING as an MVCC index generation: the initial
+    // build is deliberately DRIFTED (models trained on a 20% skewed
+    // sample — the shape recallAtK monitoring alerts on), then retrain
+    // trains fresh models on the full corpus, re-encodes, and publishes
+    // generation 1 by one atomic marker create.  The serve after the
+    // swap is exactly the one-shot full-corpus build, so the standard
+    // IVF-PQ oracle replicates it value-exactly — proof the generation
+    // swap is complete and the drift is gone
+    "sim_ann_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = util.Staging.dirFor(
+        "graft_ivfpq_retrain_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // retrain mutates the generation chain — rebuild the fixture
+      // fresh each run so the query is re-run-stable
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val drifted = e.filter(col("vec_id") % 5 === 0)
+      val ivf0 = ops.IvfIndex.train(drifted, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val pq0 = ops.PqIndex.train(drifted, "vec_id", "embedding",
+        m = 16, k = 32, iters = 4)
+      ops.IvfPqStore.persist(s, uri, e, "vec_id", "embedding",
+        ivf0, pq0, targetRowsPerFile = 50)
+      ops.IvfPqStore.retrain(s, uri, e, "vec_id", "embedding",
+        targetRowsPerFile = 50)
+      ops.IvfPqStore.search(s, uri, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .orderBy("query_id", "rank")
+    }),
+
     // the ENTIRE vector-index lifecycle from SQL — build (train on the
     // full corpus, index the %25!=7 basis), insert the batch, MoR-
     // delete three ids, compact, and serve via the vector_search table
@@ -4908,6 +4941,9 @@ object SparkEntry {
     // compact is pure layout) — the delete variant's oracle replicates
     // the final vector_search verbatim
     "sim_ann_sql_lifecycle" -> ivfPqOracle(excluded = Seq(7L, 27L, 64L)),
+    // retrain swaps to full-corpus models + a full re-encode — the
+    // post-swap serve IS the one-shot build, value-exactly
+    "sim_ann_retrain" -> ivfPqOracle(),
     // filtered: only label-3 ids may enter the shortlist — the same
     // pre-filter position as the engine's semi-join
     "sim_ann_ivfpq_filtered" -> ivfPqOracle(

@@ -42,8 +42,8 @@ object Procedures {
     "create_tag", "delete_tag", "restore", "refresh_mview",
     "create_branch", "branch_append", "fast_forward", "drop_branch",
     "vector_index_build", "vector_insert", "vector_delete",
-    "vector_compact", "knn_index_build", "knn_insert", "knn_delete",
-    "knn_compact", "knn_resume")
+    "vector_compact", "vector_retrain", "knn_index_build", "knn_insert",
+    "knn_delete", "knn_compact", "knn_resume")
 
   /** A procedure/table-function `source` argument: a snapshot-managed
     * directory reads through the manifest (pruned, versioned), a plain
@@ -291,6 +291,37 @@ object Procedures {
         val v = graft.ops.IvfPqStore.delete(spark, str(row, 0),
           csvLongs(str(row, 1)))
         Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    // drift response: fresh models + full re-encode published as a new
+    // index GENERATION (readers on the old one unaffected); `where`
+    // filters the corpus — retrain's source of truth trains AND
+    // re-indexes the same row set, unlike build's train-full/index-
+    // subset split
+    case "vector_retrain" => Some(proc("vector_retrain",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("where", StringType, Some("NULL")),
+        in("ivf_cells", IntegerType, Some("8")),
+        in("ivf_iters", IntegerType, Some("3")),
+        in("pq_m", IntegerType, Some("16")),
+        in("pq_k", IntegerType, Some("32")),
+        in("pq_iters", IntegerType, Some("4")),
+        in("rows_per_file", IntegerType, Some("1048576"))),
+      StructType(Seq(StructField("generation", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val corpus = optStr(row, 4).map(src.filter).getOrElse(src)
+        val gen = graft.ops.IvfPqStore.retrain(spark, str(row, 0),
+          corpus, str(row, 2), str(row, 3),
+          ivfCells = if (row.isNullAt(5)) 8 else row.getInt(5),
+          ivfIters = if (row.isNullAt(6)) 3 else row.getInt(6),
+          pqM = if (row.isNullAt(7)) 16 else row.getInt(7),
+          pqK = if (row.isNullAt(8)) 32 else row.getInt(8),
+          pqIters = if (row.isNullAt(9)) 4 else row.getInt(9),
+          targetRowsPerFile =
+            if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong)
+        Seq(new GenericInternalRow(Array[Any](gen)))
       }))
 
     case "vector_compact" => Some(proc("vector_compact",

@@ -37,9 +37,97 @@ import org.apache.spark.sql.functions._
  *    array<int>)`, range-clustered on `(ivf_cell, id)` with
  *    size-proportional file counts;
  *  - `ivf_centroids/`, `pq_codebooks/` — tiny model sidecar tables
- *    (parquet for exact float round-trip).
+ *    (parquet for exact float round-trip);
+ *  - `genN/` + `_genN` marker — [[retrain]]ed index GENERATIONS: each
+ *    holds its own index + sidecars (models and codes version
+ *    together), the highest marker is current, and every
+ *    read/maintenance entry point resolves it first.
  */
 object IvfPqStore {
+
+  // ------------------------------------------------ index generations
+
+  /** Published generation numbers at `uri`, ascending (empty = only the
+    * original gen-0 layout exists).  A generation is VISIBLE iff its
+    * `_genN` marker exists — the marker is created exclusively AFTER
+    * the `genN/` subtree is fully written, so a crashed retrain leaves
+    * an invisible partial directory, never a half-readable index. */
+  def generations(spark: SparkSession, uri: String): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "_gen*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  /** The CURRENT generation's root: `uri/genN` for the highest
+    * published marker, `uri` itself before any retrain. */
+  private def resolveRoot(spark: SparkSession, uri: String): String =
+    generations(spark, uri).lastOption
+      .map(n => s"$uri/gen$n").getOrElse(uri)
+
+  /**
+   * Re-train the quantizers and publish the re-encoded index as a NEW
+   * GENERATION — the drift response [[graft.ops.Similarity.recallAtK]]
+   * monitoring schedules: frozen centroids/codebooks go stale as the
+   * corpus distribution moves, and the fix is fresh models + a full
+   * re-encode, NOT in-place mutation.  The new generation is staged
+   * completely under `uri/gen<N>` (index + model sidecars version
+   * TOGETHER — codes are meaningless under the wrong codebooks), then
+   * made current by ONE store-arbitrated exclusive marker create, so:
+   *
+   *  - readers never observe a half-swapped index (marker absent =
+   *    generation invisible; marker present = subtree complete);
+   *  - an IN-FLIGHT search on the old generation completes untouched —
+   *    its snapshot pinned the old files at plan time and nothing
+   *    deletes them (old generations stay on disk until the operator
+   *    retires them after readers drain);
+   *  - two racing retrains cannot both publish generation N (the
+   *    loser's staged subtree is unreferenced and gets cleaned by the
+   *    next retrain's staging delete).
+   *
+   * `corpus` is the CURRENT source of truth — rows deleted from the
+   * old index simply aren't in it, so retrain also collapses
+   * accumulated deletion vectors.  Serialize retrain with
+   * insert/delete maintainers (an append landing on the old generation
+   * after the swap would be silently shadowed); concurrent SEARCHES
+   * are safe on either side of the swap.  Returns the new generation
+   * number.
+   */
+  def retrain(
+      spark: SparkSession, uri: String, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      ivfCells: Int = 8, ivfIters: Int = 3,
+      pqM: Int = 16, pqK: Int = 32, pqIters: Int = 4,
+      targetRowsPerFile: Long = 1L << 20): Int = {
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${resolveRoot(spark, uri)}/index")),
+      s"$uri has no index to retrain — use persist for the first build")
+    val next = generations(spark, uri).lastOption.getOrElse(0) + 1
+    val ivf = IvfIndex.train(corpus, idCol, vecCol,
+      k = ivfCells, iters = ivfIters)
+    val pq = PqIndex.train(corpus, idCol, vecCol,
+      m = pqM, k = pqK, iters = pqIters)
+    val genUri = s"$uri/gen$next"
+    // a crashed prior retrain may have left an unmarked partial subtree
+    // at this number — it was never visible; replace it
+    fs.delete(new org.apache.hadoop.fs.Path(genUri), true)
+    persist(spark, genUri, corpus, idCol, vecCol, ivf, pq,
+      targetRowsPerFile)
+    val tmp = new org.apache.hadoop.fs.Path(uri,
+      s"_gen$next.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes("UTF-8"))
+    finally out.close()
+    graft.io.Snapshots.publishExclusive(fs, tmp,
+      new org.apache.hadoop.fs.Path(uri, s"_gen$next"),
+      s"index generation $next of $uri")
+    next
+  }
 
   /** Encode and persist `corpus` as a fresh index at `uri` with the
     * given (already-trained) models.  Files are cell-clustered so
@@ -74,12 +162,13 @@ object IvfPqStore {
       .write.mode("overwrite").parquet(s"$uri/pq_codebooks")
   }
 
-  /** The frozen quantizers back from the sidecar tables (bounded
-    * collects: k×d + m×k×dsub floats). */
+  /** The CURRENT generation's frozen quantizers back from the sidecar
+    * tables (bounded collects: k×d + m×k×dsub floats). */
   def loadModels(
       spark: SparkSession,
-      uri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
+      rawUri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
     import spark.implicits._
+    val uri = resolveRoot(spark, rawUri)
     val cents = spark.read.parquet(s"$uri/ivf_centroids")
       .select(col("c"), col("cent")).as[(Int, Array[Float])]
       .collect().sortBy(_._1).map(_._2)
@@ -98,8 +187,9 @@ object IvfPqStore {
     * rewritten, whatever the index size.  Returns the committed
     * version. */
   def insert(
-      spark: SparkSession, uri: String, batch: DataFrame,
+      spark: SparkSession, rawUri: String, batch: DataFrame,
       idCol: String, vecCol: String): Int = {
+    val uri = resolveRoot(spark, rawUri)
     val (ivf, pq) = loadModels(spark, uri)
     graft.io.Snapshots.appendCommit(spark, s"$uri/index",
       encodeRows(batch, idCol, vecCol, ivf, pq)
@@ -112,8 +202,9 @@ object IvfPqStore {
     * replayed micro-batch is a no-op — the vector-index analogue of
     * the catalog sink's exactly-once appends.  Still a pure append. */
   def insertIdempotent(
-      spark: SparkSession, uri: String, batch: DataFrame,
+      spark: SparkSession, rawUri: String, batch: DataFrame,
       idCol: String, vecCol: String, txnId: String, epoch: Long): Int = {
+    val uri = resolveRoot(spark, rawUri)
     val (ivf, pq) = loadModels(spark, uri)
     graft.io.Snapshots.appendCommitIdempotent(spark, s"$uri/index",
       encodeRows(batch, idCol, vecCol, ivf, pq)
@@ -136,21 +227,24 @@ object IvfPqStore {
     * compacted basis — appends are pure so the re-run is identical).
     * Unlike the graph index there is no multi-level journal to strand,
     * hence no maintenance lease. */
-  def compact(spark: SparkSession, uri: String,
-      targetBytes: Long = 128L << 20): Int =
+  def compact(spark: SparkSession, rawUri: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val uri = resolveRoot(spark, rawUri)
     graft.io.Snapshots.retryCommit() {
       graft.io.Snapshots.optimizeCommit(spark, s"$uri/index",
         targetBytes, Seq("ivf_cell", "id"), None)
     }
+  }
 
   /** DELETE ids from the index as a merge-on-read commit: deletion
     * vectors mark the rows, zero data bytes move.  `ids` is a bounded
     * maintenance batch (it becomes an IN predicate). */
-  def delete(spark: SparkSession, uri: String, ids: Seq[Long]): Int = {
+  def delete(spark: SparkSession, rawUri: String, ids: Seq[Long]): Int = {
     require(ids.nonEmpty, "delete batch is empty")
     require(ids.size <= IvfIndex.MaxQueryBatch,
       s"delete renders ids as an IN predicate; got ${ids.size} " +
         s"(max ${IvfIndex.MaxQueryBatch}) — split the batch")
+    val uri = resolveRoot(spark, rawUri)
     graft.io.Snapshots.deleteWhereCommit(spark, s"$uri/index",
       s"id IN (${ids.mkString(", ")})", mergeOnRead = true)
   }
@@ -176,12 +270,13 @@ object IvfPqStore {
     * the index ids) and fails loudly on the first uncovered id —
     * opt-in, for pipeline assertions rather than per-query serving. */
   def search(
-      spark: SparkSession, uri: String, corpus: DataFrame,
+      spark: SparkSession, rawUri: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int, rerank: Int,
       eligible: Option[DataFrame] = None,
       validateCorpus: Boolean = false): DataFrame = {
+    val uri = resolveRoot(spark, rawUri)
     val (ivf, pq) = loadModels(spark, uri)
     val indexed = graft.io.Snapshots.readIndexed(spark, s"$uri/index")
       .select(col("id").as("neighbor_id"), col("ivf_cell"), col("pq_code"))

@@ -286,4 +286,69 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(opened < total,
       s"probe opened all $total files (no manifest pruning)")
   }
+
+  test("retrain publishes a new generation: post-swap serve equals a " +
+      "fresh full-corpus build, an in-flight old-generation search " +
+      "completes, recall recovers from drift") {
+    val uri = fresh("ivfpq_retrain")
+    // DRIFTED initial build: models trained on a thin skewed sample
+    val drifted = emb.filter(col("vec_id") % 5 === 0)
+    val ivf0 = IvfIndex.train(drifted, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val pq0 = PqIndex.train(drifted, "vec_id", "embedding",
+      m = 16, k = 32, iters = 4)
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding",
+      ivf0, pq0, targetRowsPerFile = 50)
+    assert(IvfPqStore.generations(spark, uri).isEmpty)
+    val queries = emb.filter(col("vec_id") < 5)
+    // in-flight reader: the plan pins generation-0 files NOW
+    val inFlight = IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60)
+    val preSwap = rows(inFlight)
+    // drift response: fresh models on the live corpus → generation 1
+    val gen = IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      targetRowsPerFile = 50)
+    assert(gen == 1 && IvfPqStore.generations(spark, uri) == Seq(1))
+    // the old generation's plan still executes and returns its own
+    // results — nothing deleted its files
+    assert(rows(inFlight) == preSwap,
+      "an in-flight old-generation search changed results mid-swap")
+    // post-swap serve equals a one-shot build with the same fresh
+    // models (train is deterministic, so re-deriving them here is
+    // exact)
+    val served = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60))
+    assert(served == rows(PqIndex.searchIvfPq(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", ivf, pq,
+      k = 10, nprobe = 4, rerank = 60)),
+      "post-retrain serve diverged from the fresh-model build")
+    // recall@10 vs brute force must not degrade by the swap — drifted
+    // quantizers shortlist worse cells/codes, fresh ones recover
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    def meanRecall(approx: Seq[(Long, Long, Long, Double)]): Double = {
+      val ap = approx.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+      Similarity.recallAtK(exact, ap, k = 10)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val before = meanRecall(preSwap)
+    val after = meanRecall(served)
+    info(f"recall@10: drifted $before%.2f -> retrained $after%.2f")
+    assert(after >= before,
+      f"retrain degraded recall: $before%.2f -> $after%.2f")
+    // maintenance routes to the CURRENT generation: an insert after the
+    // swap serves from gen1 (id 100000 only exists post-insert)
+    val extra = Seq((100000L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    IvfPqStore.insert(spark, uri, extra, "vec_id", "embedding")
+    val post = IvfPqStore.search(spark, uri,
+      emb.select("vec_id", "embedding").unionByName(extra),
+      extra, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 10)
+    assert(post.count() == 3,
+      "post-retrain insert did not land in the current generation")
+  }
 }
