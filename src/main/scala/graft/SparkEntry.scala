@@ -3496,6 +3496,33 @@ object SparkEntry {
       Lexical.rrfFuse(Seq(lex, sem), "doc_id", "rank", kConst = 60, topK = 20)
     }),
 
+    // the PRODUCTION serving topology for hybrid retrieval: both legs
+    // read PERSISTED indexes — BM25 from the term-range-partitioned
+    // postings index, the semantic leg from the persisted IVF-PQ store
+    // (cell-pruned ADC + exact rerank) — fused by the same reciprocal-
+    // rank formula.  Tokenize/encode once, serve many; no corpus-wide
+    // scan on either leg at query time
+    "sim_hybrid_served" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bmIdx = graft.util.Staging.dirFor("graft_bm25_idx_v1",
+        s"$dir/documents.parquet")
+      if (!new java.io.File(s"$bmIdx/stats/_SUCCESS").exists())
+        Lexical.buildIndex(t(s, dir, "documents"), "doc_id", "text", bmIdx)
+      val lex = Lexical.bm25Serve(s, bmIdx, "doc_id",
+          Seq("spark", "window", "merge", "vector"), k = 30)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val e = t(s, dir, "embeddings")
+      val vecIdx = stageIvfPq(s, dir, e, e, "full")
+      val sem = ops.IvfPqStore.search(s, vecIdx, e,
+          e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 30, nprobe = 4, rerank = 60)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Lexical.rrfFuse(Seq(lex, sem), "doc_id", "rank", kConst = 60, topK = 20)
+    }),
+
     // weighted sampling without replacement (Efraimidis-Spirakis):
     // 10 docs per source with inclusion odds proportional to length —
     // the sample-by-quality-score curation step, deterministic per seed
@@ -4273,6 +4300,30 @@ object SparkEntry {
           "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
       rerankSql("short", k = 10)
   }
+
+  /** The BM25 lexical leg of the hybrid oracles: query-term postings,
+    * df/N stats, the exact k1=1.2/b=0.75 formula, top-30 → `lex`
+    * `(doc_id, rank_1)` — shared verbatim by `sim_hybrid_rrf` (inline
+    * cosine leg) and `sim_hybrid_served` (persisted IVF-PQ leg). */
+  private val HybridBm25Ctes: String =
+    "toks AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
+      "FROM documents), " +
+      "dls AS (SELECT doc_id, len(tk) AS dl FROM toks), " +
+      "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM " +
+      "(SELECT doc_id, dl, tk FROM toks JOIN dls USING (doc_id))) " +
+      "WHERE term IN ('spark','window','merge','vector') " +
+      "GROUP BY doc_id, dl, term), " +
+      "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
+      "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls), " +
+      "bm AS (SELECT doc_id, " +
+      "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
+      "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30), " +
+      "lex AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY score DESC, doc_id) AS rank_1 FROM bm)"
 
   private def rerankSql(src: String, k: Int): String =
     "scored AS (SELECT s.query_id, s.neighbor_id, " +
@@ -6327,29 +6378,47 @@ object SparkEntry {
     // top-30 for query vec 0 (same shape as sim_topk), fused by
     // 1/(60+rank) — each addend one exact integer division
     "sim_hybrid_rrf" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk " +
-        "FROM documents), " +
-        "dls AS (SELECT doc_id, len(tk) AS dl FROM toks), " +
-        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, dl, unnest(tk) AS term FROM " +
-        "(SELECT doc_id, dl, tk FROM toks JOIN dls USING (doc_id))) " +
-        "WHERE term IN ('spark','window','merge','vector') " +
-        "GROUP BY doc_id, dl, term), " +
-        "dfs AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
-        "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls), " +
-        "bm AS (SELECT doc_id, " +
-        "round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM tf JOIN dfs USING (term) CROSS JOIN corpus " +
-        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30), " +
-        "lex AS (SELECT doc_id, row_number() OVER " +
-        "(ORDER BY score DESC, doc_id) AS rank_1 FROM bm), " +
+      ("WITH " + HybridBm25Ctes + ", " +
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
         "sem AS (SELECT neighbor_id AS doc_id, rn AS rank_2 FROM (" +
         "SELECT vec_id AS neighbor_id, row_number() OVER (ORDER BY " +
         "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
         "vec_id) AS rn FROM embeddings, q WHERE vec_id <> 0) WHERE rn <= 30) " +
+        "SELECT doc_id, rank_1, rank_2, " +
+        "round(coalesce(1.0 / (60 + rank_1), 0) + " +
+        "coalesce(1.0 / (60 + rank_2), 0), 9) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem USING (doc_id) " +
+        "ORDER BY rrf DESC, doc_id LIMIT 20"),
+
+    // hybrid over PERSISTED indexes: the bm25 leg is identical (the
+    // postings index reproduces the inline formula by construction),
+    // the semantic leg is the full IVF-PQ serve for query vec 0 —
+    // trained models, 4-of-8 probed cells, ADC shortlist 60, exact
+    // rerank to top 30 — then the same 1/(60+rank) fusion
+    "sim_hybrid_served" ->
+      ("WITH " + HybridBm25Ctes + ", " +
+        IvfTrainCtes + ", " + PqTrainCtes + ", " +
+        ivfAssignCte("cellf", "c3") + ", " +
+        pqAssignCte("enc", "b4") + ", " +
+        ivfProbesCte(nprobe = 4, qMax = 1) + ", " +
+        pqAdcCtes(qMax = 1, rerank = 60,
+          candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
+            "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
+            "WHERE cf.vec_id <> p.query_id), " +
+            "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
+            "qt.tval, cnq.cnorm FROM candc cd " +
+            "JOIN enc e ON e.vec_id = cd.neighbor_id " +
+            "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
+            "AND qt.c = e.c " +
+            "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
+        "semsc AS (SELECT s.query_id, s.neighbor_id, " +
+        "row_number() OVER (PARTITION BY s.query_id ORDER BY " +
+        "list_cosine_similarity(en.embedding::DOUBLE[], " +
+        "eq.embedding::DOUBLE[]) DESC, s.neighbor_id) AS rk " +
+        "FROM short s JOIN embeddings en ON en.vec_id = s.neighbor_id " +
+        "JOIN embeddings eq ON eq.vec_id = s.query_id), " +
+        "sem AS (SELECT neighbor_id AS doc_id, rk AS rank_2 " +
+        "FROM semsc WHERE rk <= 30) " +
         "SELECT doc_id, rank_1, rank_2, " +
         "round(coalesce(1.0 / (60 + rank_1), 0) + " +
         "coalesce(1.0 / (60 + rank_2), 0), 9) AS rrf " +
