@@ -3114,6 +3114,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Matryoshka AT REST: the prefix materialized as its own parquet
+    // column (matryoshkaWrite), so the corpus-wide coarse pass READS
+    // only (id, prefix) — 16/64 of the embedding bytes via columnar
+    // pruning (plan-pinned in PlanQualitySpec) — and full vectors page
+    // in only for the 40-deep rerank.  Stored prefix = slice(vec,1,16)
+    // by construction, so the inline variant's oracle is shared
+    "sim_ann_matryoshka_at_rest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val stage = util.Staging.dirFor(
+        "graft_mrl_rest_v1_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      if (!new java.io.File(s"$stage/_SUCCESS").exists())
+        Similarity.matryoshkaWrite(e, "vec_id", "embedding", 16, stage)
+      Similarity.matryoshkaTopKAtRest(s.read.parquet(stage),
+          e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "embedding_prefix",
+          "vec_id", "embedding",
+          dPrefix = 16, shortlist = 40, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // NN-Descent k-NN graph: the graph-ANN substrate, built with keyed
     // joins + bounded windows only (rows-only: iterative refinement has
     // no ANSI-SQL equivalent; deterministic by construction)
@@ -4325,6 +4346,22 @@ object SparkEntry {
       "lex AS (SELECT doc_id, row_number() OVER " +
       "(ORDER BY score DESC, doc_id) AS rank_1 FROM bm)"
 
+  /** Prefix-16 cosine shortlist 40 → full-dim exact rerank: shared by
+    * the inline and at-rest Matryoshka variants (the stored prefix
+    * column equals `slice(vec, 1, 16)` by construction). */
+  private lazy val MatryoshkaOracle: String =
+    "WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, v AS qv FROM ev " +
+      "WHERE vec_id < 5), " +
+      "coarse AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+      "list_cosine_similarity(c.v[1:16], q.qv[1:16]) DESC, c.vec_id) " +
+      "AS srk FROM ev c, q WHERE c.vec_id <> q.query_id), " +
+      "short AS (SELECT query_id, neighbor_id FROM coarse " +
+      "WHERE srk <= 40), " +
+      rerankSql("short", k = 10)
+
   private def rerankSql(src: String, k: Int): String =
     "scored AS (SELECT s.query_id, s.neighbor_id, " +
       "list_cosine_similarity(en.embedding::DOUBLE[], " +
@@ -5035,18 +5072,10 @@ object SparkEntry {
 
     // value-exact Matryoshka: prefix-16 cosine shortlist 40 → full-dim
     // exact rerank — replicates matryoshkaTopK(16, 40, 10)
-    "sim_ann_matryoshka" ->
-      ("WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
-        "FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM ev " +
-        "WHERE vec_id < 5), " +
-        "coarse AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
-        "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
-        "list_cosine_similarity(c.v[1:16], q.qv[1:16]) DESC, c.vec_id) " +
-        "AS srk FROM ev c, q WHERE c.vec_id <> q.query_id), " +
-        "short AS (SELECT query_id, neighbor_id FROM coarse " +
-        "WHERE srk <= 40), " +
-        rerankSql("short", k = 10)),
+    "sim_ann_matryoshka" -> MatryoshkaOracle,
+    // the at-rest variant serves from a STORED prefix column equal to
+    // slice(vec, 1, 16) by construction — same oracle
+    "sim_ann_matryoshka_at_rest" -> MatryoshkaOracle,
 
     // value-exact NN-Descent: xxhash64-of-long rebuilt in HUGEINT
     // arithmetic, hashed-ring init, six unrolled refinement rounds,

@@ -266,6 +266,63 @@ object Similarity {
         col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Materialize the Matryoshka prefix as its OWN parquet column next
+    * to the full vector: `<vecCol>_prefix = slice(vecCol, 1, dPrefix)`.
+    * This is the at-rest layout [[matryoshkaTopK]]'s doc promises at
+    * corpus scale — parquet is columnar, so the coarse pass projects
+    * just `(id, prefix)` and the scan reads dPrefix/d of the embedding
+    * BYTES; the full vectors page in only for the shortlist rerank. */
+  def matryoshkaWrite(df: DataFrame, idCol: String, vecCol: String,
+      dPrefix: Int, dir: String): Unit = {
+    require(dPrefix >= 1, "dPrefix must be >= 1")
+    df.withColumn(s"${vecCol}_prefix", slice(col(vecCol), 1, dPrefix))
+      .write.parquet(dir)
+  }
+
+  /**
+   * [[matryoshkaTopK]] over the [[matryoshkaWrite]] layout: stage 1
+   * ranks by cosine over the STORED prefix column (the corpus-wide
+   * pass projects only `(idCol, prefixCol)` — Spark's column pruning
+   * keeps the full vector out of that scan, pinned in
+   * `PlanQualitySpec`), stage 2 reranks the shortlist exactly at full
+   * dimension.  Results are identical to the inline variant by
+   * construction (the stored prefix IS `slice(vec, 1, dPrefix)`), so
+   * the two share an oracle.
+   */
+  def matryoshkaTopKAtRest(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, prefixCol: String,
+      qIdCol: String, qVecCol: String,
+      dPrefix: Int, shortlist: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1, "dPrefix must be >= 1")
+    require(shortlist >= k, "shortlist must be at least k")
+    GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__q"),
+      slice(col(qVecCol), 1, dPrefix).as("__qh")))
+    val coarse = corpus
+      .select(col(idCol).as("neighbor_id"), col(prefixCol).as("__vh"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hcos", GraftFunctions.cosine(col("__vh"), col("__qh")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hcos").desc, col("neighbor_id"))
+    val short = coarse.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .join(q.select("query_id", "__q"), Seq("query_id"))
+      .withColumn("cosine", GraftFunctions.cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /**
    * LSH-bucketed ANN top-k: candidates share a hyperplane-sign bucket with
    * the query in ≥1 of `tables` tables; candidates are reranked exactly.

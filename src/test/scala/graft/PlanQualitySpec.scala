@@ -270,6 +270,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 4, s"expected <=4 parquet scan nodes, got $scans:\n$p")
   }
 
+  test("matryoshka at rest: the coarse scan reads ONLY the prefix " +
+      "column — the full embedding stays out of the corpus-wide pass") {
+    val p = plan("sim_ann_matryoshka_at_rest")
+    val readSchemas = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    // the coarse pass scans the two-column fixture projecting just
+    // (vec_id, embedding_prefix): at 16 of 64 dims that is 1/4 of the
+    // embedding bytes — the at-rest promise the inline variant's doc
+    // makes.  The rerank scan reads the full vector for the shortlist
+    // only; the one plan must contain BOTH shapes.
+    val coarseOnly = readSchemas.filter(l =>
+      l.contains("embedding_prefix") && !l.contains("embedding:array"))
+    assert(coarseOnly.nonEmpty,
+      s"no prefix-only scan in the at-rest plan:\n$p")
+    val rerank = readSchemas.filter(l => l.contains("embedding:array"))
+    assert(rerank.nonEmpty, s"no full-vector rerank scan:\n$p")
+    assert(rerank.forall(!_.contains("embedding_prefix")),
+      s"the rerank scan drags the prefix column along:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("skew join salts the big side and explodes the small side only") {
     val p = plan("q_skew_join")
     // the join must be an equi-join on (key, salt) — no cartesian, and
