@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Snapshots
+
+/**
+ * THREADED lifecycle fuzz for the persisted IVF-PQ store — the vector
+ * twin of [[graft.io.DmlThreadedProps]]: real threads race
+ * exactly-once streaming inserts (TWO workers replaying the SAME
+ * `(txn, epoch)` sequence — the restart-replay shape), MoR deletes,
+ * z-order compactions, and continuous searches on one index, then the
+ * quiesced state is model-checked.  The design makes the end state
+ * interleaving-independent:
+ *
+ *  - inserts are idempotent claims — however the two replaying workers
+ *    interleave with each other and with compaction, each epoch's rows
+ *    land EXACTLY once;
+ *  - deletes are id-keyed and disjoint from nothing: a delete landing
+ *    before or after a compact/insert commits the same DV semantics;
+ *  - compaction is pure layout;
+ *  - searches mid-run must return exactly k well-formed rows at EVERY
+ *    interleaving point (the reader-side invariant: no torn index is
+ *    ever visible through the snapshot layer).
+ *
+ * Any lost epoch, double-applied batch, resurrected delete, or torn
+ * read surfaces as a model divergence or an unexpected exception.
+ * Knobs: IVFPQFUZZ_SEEDS (default "11,23,37").
+ */
+class IvfPqThreadedProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "embedding")
+  private lazy val ivf =
+    IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+  private lazy val pq =
+    PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 2)
+
+  private def isRetryable(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.util.ConcurrentModificationException] ||
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            c.getMessage.toLowerCase.contains("concurrent")))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
+  private def withRetry[T](label: String)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Throwable if isRetryable(e) && attempt < 80 =>
+          attempt += 1
+          Thread.sleep(
+            5L + java.util.concurrent.ThreadLocalRandom.current.nextInt(45))
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"$label failed non-retryably after $attempt retries", e)
+      }
+    }
+    out.get
+  }
+
+  test("threaded IVF-PQ lifecycle: exactly-once inserts x MoR deletes " +
+      "x compact x searches converge to the model") {
+    val seeds = sys.env.getOrElse("IVFPQFUZZ_SEEDS", "11,23,37")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runCase)
+  }
+
+  private def runCase(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val uri = TestSpark.tmpDir(s"ivfpq_fuzz_$seed")
+    val fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(uri), true)
+
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    IvfPqStore.persist(spark, uri, base, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 40)
+    // four epoch batches partitioning the %4==0 rows; both insert
+    // workers replay the SAME sequence in different orders
+    val epochBatches: Seq[(Long, DataFrame)] = (0 until 4).map { i =>
+      (i.toLong,
+        emb.filter(col("vec_id") % 16 === (4 * i).toLong).localCheckpoint())
+    }
+    val baseIds = base.select("vec_id").as[Long].collect().toSet
+    val delIds = rnd.shuffle(baseIds.toSeq.sorted).take(6).sorted
+    val txn = s"ivfpqfuzz_$seed"
+
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def worker(label: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try body catch { case e: Throwable =>
+          failures.add(new IllegalStateException(s"$label died", e)) }
+      }, label)
+      t.start(); t
+    }
+
+    // both workers replay the SAME epochs IN ORDER (epochs are
+    // monotonic per txn — Structured Streaming's contract, which the
+    // claim's high-watermark check encodes): a zombie driver racing
+    // its replacement is two in-order replayers, and the claims must
+    // land every epoch exactly once however they interleave
+    val inserters = Seq("insA", "insB").map { name =>
+      worker(name) {
+        epochBatches.foreach { case (epoch, batch) =>
+          withRetry(s"$name epoch $epoch") {
+            IvfPqStore.insertIdempotent(spark, uri, batch,
+              "vec_id", "embedding", txn, epoch)
+          }
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current.nextInt(25).toLong)
+        }
+      }
+    }
+    val deleter = worker("del") {
+      delIds.grouped(3).foreach { chunk =>
+        withRetry(s"delete $chunk") {
+          IvfPqStore.delete(spark, uri, chunk)
+        }
+        Thread.sleep(10L + rnd.nextInt(30))
+      }
+    }
+    val compactor = worker("compact") {
+      (1 to 3).foreach { _ =>
+        withRetry("compact") {
+          IvfPqStore.compact(spark, uri, targetBytes = 1L << 20)
+        }
+        Thread.sleep(10L + rnd.nextInt(40))
+      }
+    }
+    val queries = emb.filter(col("vec_id").isin(1L, 2L)).localCheckpoint()
+    val searcher = worker("search") {
+      var i = 0
+      while (!done.get() && i < 200) {
+        // the reader-side invariant at EVERY interleaving point: a
+        // search through the snapshot layer sees some committed
+        // version — exactly k well-formed rows per query, dense ranks,
+        // no duplicate neighbors, ids from the known universe
+        val out = IvfPqStore.search(spark, uri, emb, queries,
+            "vec_id", "embedding", "vec_id", "embedding",
+            k = 5, nprobe = 8, rerank = 20)
+          .select("query_id", "rank", "neighbor_id")
+          .as[(Long, Long, Long)].collect()
+        assert(out.length == 10, s"search returned ${out.length} rows")
+        out.groupBy(_._1).foreach { case (q, rows) =>
+          assert(rows.map(_._2).sorted.toSeq == (1L to 5L),
+            s"query $q ranks not dense: ${rows.toSeq}")
+          assert(rows.map(_._3).distinct.length == 5,
+            s"query $q returned duplicate neighbors")
+        }
+        i += 1
+        Thread.sleep(15L)
+      }
+    }
+    (inserters :+ deleter :+ compactor).foreach(_.join(600000))
+    done.set(true)
+    searcher.join(600000)
+    if (!failures.isEmpty) {
+      val e = failures.peek()
+      throw new AssertionError(
+        s"seed $seed: ${failures.size()} worker(s) failed", e)
+    }
+
+    // quiescence model check: index ids = base ∪ all epochs − deletes,
+    // each EXACTLY once (a replayed epoch that landed twice shows as a
+    // duplicate id; a swallowed one as a missing id)
+    val gotIds = Snapshots.read(spark, s"$uri/index")
+      .select("id").as[Long].collect().toSeq
+    assert(gotIds.distinct.length == gotIds.length,
+      s"seed $seed: duplicate ids — an epoch landed twice")
+    val expected = (baseIds ++
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id")
+        .as[Long].collect()) -- delIds
+    assert(gotIds.toSet == expected,
+      s"seed $seed: index id set diverged from the model " +
+        s"(missing ${(expected -- gotIds.toSet).take(5)}, " +
+        s"extra ${(gotIds.toSet -- expected).take(5)})")
+
+    // the quiesced serve equals the inline one-shot build over the
+    // surviving corpus under the same models
+    val surviving = emb.filter(!col("vec_id").isin(delIds: _*))
+    val served = IvfPqStore.search(spark, uri, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nprobe = 4, rerank = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = PqIndex.searchIvfPq(surviving, queries,
+        "vec_id", "embedding", "vec_id", "embedding", ivf, pq,
+        k = 5, nprobe = 4, rerank = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served == inline,
+      s"seed $seed: quiesced serve diverged from the one-shot build")
+  }
+}
