@@ -284,8 +284,7 @@ object BloomSketch {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      GraftFunctions.registerOnce(spark, name, b)
     }
 
   /** Bloom STATE of `c` sized for `expectedItems` at `fpp` (aggregate). */

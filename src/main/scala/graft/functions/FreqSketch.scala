@@ -170,8 +170,7 @@ object FreqSketch {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      GraftFunctions.registerOnce(spark, name, b)
     }
 
   /** Misra–Gries candidate heavy hitters of `c` (string column):

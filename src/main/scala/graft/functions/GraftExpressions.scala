@@ -66,20 +66,24 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()
     })
 
-  def register(spark: SparkSession): Unit = {
+  /** Register `name` once per session: operators call their register
+    * helpers defensively on every invocation, and an unconditional
+    * createOrReplace logs a "replaced a previously registered function"
+    * WARN per name per call — ~30 stderr lines per bench query for
+    * zero change.  A registered name is never re-bound (every builder
+    * in this codebase is immutable), so existence is the complete
+    * freshness check.  Shared by ALL graft temp-function registration
+    * sites (sketches, WKB, IVF/PQ kernels). */
+  private[graft] def registerOnce(spark: SparkSession, name: String,
+      b: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      // idempotent per session: operators call register defensively on
-      // every invocation, and an unconditional createOrReplace logs a
-      // "replaced a previously registered function" WARN per name per
-      // call — ~30 stderr lines per bench query for zero change.  A
-      // registered name is never re-bound (builders are immutable), so
-      // existence is the complete freshness check.
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
   }
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => registerOnce(spark, name, b) }
 
   import org.apache.spark.sql.functions.lit
   /** k-permutation MinHash signature of an array<long> of element hashes. */

@@ -154,8 +154,7 @@ object HllSketch {
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      GraftFunctions.registerOnce(spark, name, b)
     }
 
   /** Mergeable HLL distinct estimate with 2^p byte registers.

@@ -342,8 +342,7 @@ object KmvSketch {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      GraftFunctions.registerOnce(spark, name, b)
     }
 
   /** Approximate distinct count of `c` with a k-minimum-values sketch.

@@ -182,8 +182,7 @@ object QuantileSketch {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      GraftFunctions.registerOnce(spark, name, b)
     }
 
   /** Approximate `q`-quantile of `c` within relative error `alpha`. */

@@ -183,12 +183,10 @@ object Wkb {
     "graft_wkb_type" -> { exprs => WkbGeometryType(exprs.head) },
     "graft_wkb_bbox" -> { exprs => WkbBbox(exprs.head) })
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      graft.functions.GraftFunctions.registerOnce(spark, name, b)
     }
-  }
 
   def point(x: Column, y: Column): Column =
     call_function("graft_wkb_point", x, y)

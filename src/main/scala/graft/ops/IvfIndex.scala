@@ -77,9 +77,8 @@ object IvfIndex {
   }
 
   private def registerCellFn(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cell",
-      exprs => NearestCentroid(exprs.head, exprs(1)), "scala_udf")
+    graft.functions.GraftFunctions.registerOnce(spark, "graft_ivf_cell",
+      exprs => NearestCentroid(exprs.head, exprs(1)))
 
   private def nearestCell(df: DataFrame, vec: String, model: IvfModel): Column = {
     registerCellFn(df.sparkSession)

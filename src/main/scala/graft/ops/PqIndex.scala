@@ -158,11 +158,10 @@ object PqIndex {
   }
 
   private def registerFns(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_encode", exprs => PqEncode(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_adc",
-      exprs => PqAdcScore(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    graft.functions.GraftFunctions.registerOnce(spark,
+      "graft_pq_encode", exprs => PqEncode(exprs.head, exprs(1)))
+    graft.functions.GraftFunctions.registerOnce(spark, "graft_pq_adc",
+      exprs => PqAdcScore(exprs.head, exprs(1), exprs(2)))
     graft.functions.VectorMean.register(spark)
   }
 
@@ -281,9 +280,9 @@ object PqIndex {
   private def nearestSub(sub: Column, mIdx: Column, cbLit: Column): Column = {
     // registered on demand per session
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.GraftFunctions.registerOnce(spark,
       "graft_pq_nearest_sub",
-      exprs => NearestSub(exprs.head, exprs(1), exprs(2)), "scala_udf")
+      exprs => NearestSub(exprs.head, exprs(1), exprs(2)))
     call_function("graft_pq_nearest_sub", sub, mIdx, cbLit)
   }
 

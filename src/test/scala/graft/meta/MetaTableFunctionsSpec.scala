@@ -109,6 +109,7 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_column_stats", "parquet_bloom_filters", "parquet_mview",
       "parquet_snapshot", "parquet_snapshot_files",
       "parquet_snapshot_changes", "parquet_snapshot_changes_rows",
-      "parquet_snapshot_history", "parquet_branch_changes"))
+      "parquet_snapshot_history", "parquet_branch_changes",
+      "vector_search", "knn_search"))
   }
 }
