@@ -42,8 +42,9 @@ object Procedures {
     "create_tag", "delete_tag", "restore", "refresh_mview",
     "create_branch", "branch_append", "fast_forward", "drop_branch",
     "vector_index_build", "vector_insert", "vector_delete",
-    "vector_compact", "vector_retrain", "knn_index_build", "knn_insert",
-    "knn_delete", "knn_compact", "knn_resume")
+    "vector_compact", "vector_retrain", "vector_vacuum",
+    "knn_index_build", "knn_insert", "knn_delete", "knn_compact",
+    "knn_resume")
 
   /** A procedure/table-function `source` argument: a snapshot-managed
     * directory reads through the manifest (pruned, versioned), a plain
@@ -333,6 +334,19 @@ object Procedures {
         val v = graft.ops.IvfPqStore.compact(spark, str(row, 0),
           mb.toLong << 20)
         Seq(new GenericInternalRow(Array[Any](v)))
+      }))
+
+    // retention for retrained generations: retire all but the newest
+    // `keep` after readers drain (the operator's expire-cadence call)
+    case "vector_vacuum" => Some(proc("vector_vacuum",
+      Seq(in("index", StringType),
+        in("keep", IntegerType, Some("1"))),
+      StructType(Seq(StructField("retired", StringType))),
+      row => {
+        graft.ops.IvfPqStore.dropRetiredGenerations(spark, str(row, 0),
+            keep = if (row.isNullAt(1)) 1 else row.getInt(1))
+          .map(r => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(r))))
       }))
 
     case "knn_index_build" => Some(proc("knn_index_build",

@@ -77,22 +77,29 @@ object MetaTableFunctions {
     (FunctionIdentifier("vector_search"),
       new ExpressionInfo("graft", null, "vector_search",
         "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
-          "nprobe, rerank) - ANN top-k from a persisted IVF-PQ index", ""),
+          "nprobe, rerank[, eligible_where]) - ANN top-k from a " +
+          "persisted IVF-PQ index", ""),
       (args: Seq[Expression]) => {
-        if (args.length != 8)
+        if (args.length < 8 || args.length > 9)
           throw new IllegalArgumentException(
             "vector_search(index, source, id_col, vec_col, " +
-              s"queries_where, k, nprobe, rerank) takes 8 arguments, " +
-              s"got ${args.length}")
+              "queries_where, k, nprobe, rerank[, eligible_where]) " +
+              s"takes 8 or 9 arguments, got ${args.length}")
         val spark = SparkSession.active
         val Seq(index, source, idCol, vecCol, qWhere) =
           (0 to 4).map(i => strLitArg("vector_search", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        // optional 9th arg = FILTERED vector search: the predicate
+        // lives on the base table, candidates semi-join eligible ids
+        // BEFORE the ADC shortlist — k eligible results per query
+        val eligible = args.lift(8)
+          .map(e => corpus.filter(strLitArg("vector_search", e)))
         graft.ops.IvfPqStore.search(spark, index, corpus,
             corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
             k = intLitArg("vector_search", "k", args(5)),
             nprobe = intLitArg("vector_search", "nprobe", args(6)),
-            rerank = intLitArg("vector_search", "rerank", args(7)))
+            rerank = intLitArg("vector_search", "rerank", args(7)),
+            eligible = eligible)
           .queryExecution.analyzed
       })
 

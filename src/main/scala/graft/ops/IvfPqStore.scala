@@ -129,6 +129,72 @@ object IvfPqStore {
     next
   }
 
+  /**
+   * Retire generations older than the newest `keep`: the retention
+   * half of [[retrain]] — old generations stay on disk so in-flight
+   * readers finish, and THIS call is the operator's statement that
+   * they have drained (run it on the same cadence as snapshot
+   * `expire`, after the read-job SLA).  The CURRENT generation is
+   * never touched; for each retired one the data subtree goes first
+   * and its marker last, so a crash mid-retire leaves at worst a
+   * marker pointing at nothing — harmless, since only the HIGHEST
+   * marker is ever resolved.  The pre-retrain gen-0 layout (`index/`
+   * + sidecars at the root) is retired the same way once a published
+   * generation supersedes it.  Returns the retired generation roots.
+   */
+  def dropRetiredGenerations(spark: SparkSession, uri: String,
+      keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1 (the current generation)")
+    val gens = generations(spark, uri)
+    if (gens.isEmpty) return Seq.empty // only gen-0 exists: nothing newer
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = gens.dropRight(keep)
+    val dropped = retired.map { n =>
+      val root = s"$uri/gen$n"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n"), false)
+      root
+    }
+    // gen-0 has no marker: its subtrees at the root are retired
+    // whenever any published generation supersedes it
+    val gen0Index = new org.apache.hadoop.fs.Path(uri, "index")
+    if (gens.size >= keep && fs.exists(gen0Index)) {
+      Seq("index", "ivf_centroids", "pq_codebooks").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(uri, d), true))
+      dropped :+ s"$uri (gen-0 layout)"
+    } else dropped
+  }
+
+  /**
+   * The drift-policy loop closed: measure the store's serving recall
+   * against exact brute force on a PROBE query set
+   * ([[graft.ops.Similarity.recallAtK]] — the monitoring metric), and
+   * if the mean falls below `threshold`, [[retrain]] on the supplied
+   * corpus.  Returns `(mean recall before, new generation if
+   * retrained)`.  Run it on the monitoring cadence; the probe set
+   * should be small (it drives one exact brute-force pass over the
+   * corpus) and representative of live traffic.
+   */
+  def retrainIfDrifted(
+      spark: SparkSession, uri: String, corpus: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int, rerank: Int, threshold: Double,
+      targetRowsPerFile: Long = 1L << 20): (Double, Option[Int]) = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val approx = search(spark, uri, corpus, probes,
+      idCol, vecCol, qIdCol, qVecCol, k, nprobe, rerank)
+    val exact = Similarity.bruteForceTopK(corpus, probes,
+      idCol, vecCol, qIdCol, qVecCol, k)
+    val recall = Similarity.recallAtK(exact, approx, k)
+      .agg(avg("recall")).head().getDouble(0)
+    if (recall < threshold)
+      (recall, Some(retrain(spark, uri, corpus, idCol, vecCol,
+        targetRowsPerFile = targetRowsPerFile)))
+    else (recall, None)
+  }
+
   /** Encode and persist `corpus` as a fresh index at `uri` with the
     * given (already-trained) models.  Files are cell-clustered so
     * probes prune; `targetRowsPerFile` sizes the file count to the

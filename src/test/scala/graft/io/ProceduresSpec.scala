@@ -221,6 +221,30 @@ class ProceduresSpec extends AnyFunSuite {
       "the SQL lifecycle diverged from the Scala API route")
     // deleted ids never serve
     assert(sqlServe.forall(r => r(2) != 5L && r(2) != 9L))
+    // FILTERED search from SQL (optional 9th arg): equals the API's
+    // eligible pre-filter route
+    val sqlFiltered = spark.sql(s"SELECT * FROM vector_search('$sqlUri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 3', 5, 4, 40, " +
+      "'label = 3') ORDER BY query_id, rank").collect().map(_.toSeq).toSeq
+    val apiFiltered = graft.ops.IvfPqStore.search(spark, apiUri, e,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 4, rerank = 40,
+        eligible = Some(e.filter(col("label") === 3)))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlFiltered == apiFiltered,
+      "SQL filtered vector_search diverged from the API route")
+    // retrain + retention from SQL: a new generation publishes, vacuum
+    // retires everything but the newest
+    val gen = spark.sql(s"CALL graft.system.vector_retrain(" +
+      s"index => '$sqlUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', rows_per_file => 50)").head().getInt(0)
+    assert(gen == 1)
+    val retired = spark.sql(
+      s"CALL graft.system.vector_vacuum(index => '$sqlUri')").collect()
+    assert(retired.length == 1 &&
+      retired.head.getString(0).contains("gen-0"),
+      s"expected the gen-0 layout retired: ${retired.toSeq}")
+    assert(graft.ops.IvfPqStore.generations(spark, sqlUri) == Seq(1))
   }
 
   test("CALL knn lifecycle: build/insert/delete/compact through SQL, " +

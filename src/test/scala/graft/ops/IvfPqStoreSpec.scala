@@ -351,4 +351,62 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(post.count() == 3,
       "post-retrain insert did not land in the current generation")
   }
+
+  test("generation retention: dropRetiredGenerations keeps the newest " +
+      "keep, retires older ones and the gen-0 layout, never the current") {
+    val uri = fresh("ivfpq_retention")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    // nothing newer than gen-0: retire is a no-op
+    assert(IvfPqStore.dropRetiredGenerations(spark, uri).isEmpty)
+    IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      ivfIters = 1, pqIters = 1, targetRowsPerFile = 50)
+    IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      targetRowsPerFile = 50)
+    assert(IvfPqStore.generations(spark, uri) == Seq(1, 2))
+    val dropped = IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1)
+    assert(dropped.size == 2, s"expected gen1 + gen-0 retired: $dropped")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$uri/gen1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$uri/index")),
+      "gen-0 layout must retire once a generation supersedes it")
+    assert(IvfPqStore.generations(spark, uri) == Seq(2))
+    // the current generation still serves (models trained on the full
+    // corpus = the standard fixture models)
+    val queries = emb.filter(col("vec_id") < 3)
+    val served = rows(IvfPqStore.search(spark, uri, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 30))
+    assert(served == rows(PqIndex.searchIvfPq(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", ivf, pq,
+      k = 5, nprobe = 4, rerank = 30)))
+  }
+
+  test("retrainIfDrifted: a drifted store retrains, a healthy one is " +
+      "left alone") {
+    val uri = fresh("ivfpq_policy")
+    // drifted build (thin skewed training sample over the full corpus)
+    val drifted = emb.filter(col("vec_id") % 7 === 0)
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding",
+      IvfIndex.train(drifted, "vec_id", "embedding", k = 8, iters = 3),
+      PqIndex.train(drifted, "vec_id", "embedding",
+        m = 16, k = 32, iters = 4),
+      targetRowsPerFile = 50)
+    val probes = emb.filter(col("vec_id") < 5)
+    val (before, gen) = IvfPqStore.retrainIfDrifted(spark, uri, emb,
+      probes, "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60, threshold = 0.9,
+      targetRowsPerFile = 50)
+    assert(before < 0.9, f"fixture not drifted enough: $before%.2f")
+    assert(gen.contains(1), s"drift below threshold must retrain: $gen")
+    // second pass: fresh models serve above the threshold — no retrain
+    val (after, gen2) = IvfPqStore.retrainIfDrifted(spark, uri, emb,
+      probes, "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nprobe = 4, rerank = 60, threshold = 0.9,
+      targetRowsPerFile = 50)
+    info(f"policy recall: drifted $before%.2f -> retrained $after%.2f")
+    assert(after >= 0.9 && gen2.isEmpty,
+      f"healthy store must not retrain (recall $after%.2f, $gen2)")
+  }
 }
