@@ -237,6 +237,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fused ordering present:\n$p")
   }
 
+  test("hybrid served reads persisted indexes: term-filtered postings " +
+      "scan, no cartesian, no corpus-wide text pass") {
+    val p = plan("sim_hybrid_served")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the lexical leg reads the POSTINGS index with the query terms
+    // pushed into the scan — not the documents table (tokenize once,
+    // serve many); `text` must appear in no ReadSchema
+    assert(p.linesIterator.filter(_.contains("ReadSchema"))
+      .forall(!_.contains("text:")),
+      s"a corpus-wide text scan crept into the served plan:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term filter not pushed into the postings scan:\n$p")
+  }
+
   test("bigram LM broadcasts the model and total back over one corpus pass") {
     val p = plan("text_bigram_lm")
     assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
