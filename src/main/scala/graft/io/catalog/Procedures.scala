@@ -58,14 +58,21 @@ object Procedures {
   }
 
   private def deleteIfReplace(spark: SparkSession, uri: String,
-      replace: Boolean, marker: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(uri)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(uri, marker))
+      replace: Boolean, exists: Boolean): Unit = {
     if (exists && !replace)
       throw new IllegalStateException(
         s"$uri already holds an index — pass replace => true to rebuild")
-    if (replace) fs.delete(root, true)
+    if (replace) {
+      val root = new org.apache.hadoop.fs.Path(uri)
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(root, true)
+    }
+  }
+
+  private def pathExists(spark: SparkSession, uri: String,
+      sub: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(uri, sub)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   private def csvLongs(s: String): Seq[Long] =
@@ -250,8 +257,14 @@ object Procedures {
         val uri = str(row, 0)
         val src = readSource(spark, str(row, 1))
         val idCol = str(row, 2); val vecCol = str(row, 3)
+        // "exists" must see RETRAINED layouts too: after retrain +
+        // vacuum the gen-0 `index/` dir is gone but `_genN` markers
+        // remain, and a rebuild at the root would be silently shadowed
+        // by the higher generation resolveRoot serves
         deleteIfReplace(spark, uri,
-          !row.isNullAt(11) && row.getBoolean(11), "index")
+          !row.isNullAt(11) && row.getBoolean(11),
+          pathExists(spark, uri, "index") ||
+            graft.ops.IvfPqStore.generations(spark, uri).nonEmpty)
         val subset = optStr(row, 4).map(src.filter).getOrElse(src)
         val ivf = graft.ops.IvfIndex.train(src, idCol, vecCol,
           k = if (row.isNullAt(5)) 8 else row.getInt(5),
@@ -364,7 +377,8 @@ object Procedures {
         val uri = str(row, 0)
         val src = readSource(spark, str(row, 1))
         deleteIfReplace(spark, uri,
-          !row.isNullAt(10) && row.getBoolean(10), "level0")
+          !row.isNullAt(10) && row.getBoolean(10),
+          pathExists(spark, uri, "level0"))
         val subset = optStr(row, 4).map(src.filter).getOrElse(src)
         val idx = graft.ops.KnnGraph.buildLayered(subset,
           str(row, 2), str(row, 3),

@@ -67,6 +67,30 @@ object IvfPqStore {
     generations(spark, uri).lastOption
       .map(n => s"$uri/gen$n").getOrElse(uri)
 
+  /** Generation numbers TAKEN at `uri`: published (`_genN`) plus
+    * claimed-but-unpublished (`_genN.claim` — a retrain in flight or
+    * crashed).  Claims keep two racing retrains off the same number,
+    * so neither can touch the other's staged or published subtree. */
+  private def takenGenerations(
+      fs: org.apache.hadoop.fs.FileSystem, uri: String): Seq[Int] = {
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "_gen*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
+      .map(_.stripSuffix(".claim"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      uri: String, dst: org.apache.hadoop.fs.Path, what: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(uri,
+      s"${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes("UTF-8"))
+    finally out.close()
+    graft.io.Snapshots.publishExclusive(fs, tmp, dst, what)
+  }
+
   /**
    * Re-train the quantizers and publish the re-encoded index as a NEW
    * GENERATION — the drift response [[graft.ops.Similarity.recallAtK]]
@@ -83,9 +107,10 @@ object IvfPqStore {
    *    its snapshot pinned the old files at plan time and nothing
    *    deletes them (old generations stay on disk until the operator
    *    retires them after readers drain);
-   *  - two racing retrains cannot both publish generation N (the
-   *    loser's staged subtree is unreferenced and gets cleaned by the
-   *    next retrain's staging delete).
+   *  - two racing retrains claim DIFFERENT generation numbers (an
+   *    exclusive `_genN.claim` create arbitrates before any staging),
+   *    so neither can delete, shadow, or publish over the other's
+   *    subtree; both may publish, and the higher number is current.
    *
    * `corpus` is the CURRENT source of truth — rows deleted from the
    * old index simply aren't in it, so retrain also collapses
@@ -106,24 +131,41 @@ object IvfPqStore {
     require(fs.exists(new org.apache.hadoop.fs.Path(
         s"${resolveRoot(spark, uri)}/index")),
       s"$uri has no index to retrain — use persist for the first build")
-    val next = generations(spark, uri).lastOption.getOrElse(0) + 1
+    // CLAIM a generation number before staging anything: the exclusive
+    // `_genN.claim` create arbitrates ownership, so two racing
+    // retrains land on DIFFERENT numbers and neither can delete or
+    // shadow the other's subtree (a blind "stage at max+1" would let
+    // the loser clobber the winner's just-published data).  A crashed
+    // retrain burns its claimed number — harmless; its partial subtree
+    // is invisible (no `_genN` marker) and vacuum sweeps it.
+    var next = takenGenerations(fs, uri).lastOption.getOrElse(0) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        exclusiveCreate(fs, uri,
+          new org.apache.hadoop.fs.Path(uri, s"_gen$next.claim"),
+          s"generation claim $next of $uri")
+        claimed = true
+      } catch { case _: IllegalStateException =>
+        attempts += 1
+        require(attempts < 1000,
+          s"$uri: could not claim a generation number after $attempts " +
+            "attempts — runaway concurrent retrains?")
+        next += 1
+      }
+    }
     val ivf = IvfIndex.train(corpus, idCol, vecCol,
       k = ivfCells, iters = ivfIters)
     val pq = PqIndex.train(corpus, idCol, vecCol,
       m = pqM, k = pqK, iters = pqIters)
     val genUri = s"$uri/gen$next"
-    // a crashed prior retrain may have left an unmarked partial subtree
-    // at this number — it was never visible; replace it
+    // the claim owns this number; any leftover subtree here is our own
+    // earlier partial staging, never another retrain's
     fs.delete(new org.apache.hadoop.fs.Path(genUri), true)
     persist(spark, genUri, corpus, idCol, vecCol, ivf, pq,
       targetRowsPerFile)
-    val tmp = new org.apache.hadoop.fs.Path(uri,
-      s"_gen$next.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
-      .getBytes("UTF-8"))
-    finally out.close()
-    graft.io.Snapshots.publishExclusive(fs, tmp,
+    exclusiveCreate(fs, uri,
       new org.apache.hadoop.fs.Path(uri, s"_gen$next"),
       s"index generation $next of $uri")
     next
@@ -154,8 +196,18 @@ object IvfPqStore {
       val root = s"$uri/gen$n"
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n.claim"), false)
       root
     }
+    // claimed-but-never-published numbers BELOW the current generation
+    // are crashed retrains: their partial subtrees were never visible —
+    // sweep them (a claim above the current one may be in flight; keep)
+    val current = gens.last
+    takenGenerations(fs, uri).filter(n => n < current && !gens.contains(n))
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$uri/gen$n"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n.claim"), false)
+      }
     // gen-0 has no marker: its subtrees at the root are retired
     // whenever any published generation supersedes it
     val gen0Index = new org.apache.hadoop.fs.Path(uri, "index")
@@ -187,8 +239,13 @@ object IvfPqStore {
       idCol, vecCol, qIdCol, qVecCol, k, nprobe, rerank)
     val exact = Similarity.bruteForceTopK(corpus, probes,
       idCol, vecCol, qIdCol, qVecCol, k)
-    val recall = Similarity.recallAtK(exact, approx, k)
-      .agg(avg("recall")).head().getDouble(0)
+    val row = Similarity.recallAtK(exact, approx, k)
+      .agg(avg("recall")).head()
+    require(!row.isNullAt(0),
+      "retrainIfDrifted: the probe set produced no recall rows (empty " +
+        "probes, or no overlap with the corpus) — drift cannot be " +
+        "measured; fix the probe query before scheduling retrains")
+    val recall = row.getDouble(0)
     if (recall < threshold)
       (recall, Some(retrain(spark, uri, corpus, idCol, vecCol,
         targetRowsPerFile = targetRowsPerFile)))
@@ -232,9 +289,16 @@ object IvfPqStore {
     * tables (bounded collects: k×d + m×k×dsub floats). */
   def loadModels(
       spark: SparkSession,
-      rawUri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
+      rawUri: String): (IvfIndex.IvfModel, PqIndex.PqModel) =
+    loadModelsAt(spark, resolveRoot(spark, rawUri))
+
+  /** [[loadModels]] on an ALREADY-RESOLVED generation root — the
+    * internal entry points resolve once and pass the root through, so
+    * a serve/insert costs one generation listing, not two. */
+  private def loadModelsAt(
+      spark: SparkSession,
+      uri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
     import spark.implicits._
-    val uri = resolveRoot(spark, rawUri)
     val cents = spark.read.parquet(s"$uri/ivf_centroids")
       .select(col("c"), col("cent")).as[(Int, Array[Float])]
       .collect().sortBy(_._1).map(_._2)
@@ -256,7 +320,7 @@ object IvfPqStore {
       spark: SparkSession, rawUri: String, batch: DataFrame,
       idCol: String, vecCol: String): Int = {
     val uri = resolveRoot(spark, rawUri)
-    val (ivf, pq) = loadModels(spark, uri)
+    val (ivf, pq) = loadModelsAt(spark, uri)
     graft.io.Snapshots.appendCommit(spark, s"$uri/index",
       encodeRows(batch, idCol, vecCol, ivf, pq)
         .sortWithinPartitions("ivf_cell", "id"))
@@ -271,7 +335,7 @@ object IvfPqStore {
       spark: SparkSession, rawUri: String, batch: DataFrame,
       idCol: String, vecCol: String, txnId: String, epoch: Long): Int = {
     val uri = resolveRoot(spark, rawUri)
-    val (ivf, pq) = loadModels(spark, uri)
+    val (ivf, pq) = loadModelsAt(spark, uri)
     graft.io.Snapshots.appendCommitIdempotent(spark, s"$uri/index",
       encodeRows(batch, idCol, vecCol, ivf, pq)
         .sortWithinPartitions("ivf_cell", "id"),
@@ -343,7 +407,7 @@ object IvfPqStore {
       eligible: Option[DataFrame] = None,
       validateCorpus: Boolean = false): DataFrame = {
     val uri = resolveRoot(spark, rawUri)
-    val (ivf, pq) = loadModels(spark, uri)
+    val (ivf, pq) = loadModelsAt(spark, uri)
     val indexed = graft.io.Snapshots.readIndexed(spark, s"$uri/index")
       .select(col("id").as("neighbor_id"), col("ivf_cell"), col("pq_code"))
     if (validateCorpus) {

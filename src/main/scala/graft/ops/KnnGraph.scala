@@ -52,21 +52,35 @@ object KnnGraph {
 
   /** Upper bound on one concurrent level task — generous (the largest
     * level-0 build at any sane batch size finishes in minutes), but
-    * FINITE: a wedged Spark job must surface as a loud TimeoutException
-    * the journal can diagnose, not block maintenance forever. */
+    * FINITE: a wedged Spark job must surface as a loud
+    * [[WedgedMaintenanceException]] the journal can diagnose, not
+    * block maintenance forever. */
   private val LevelTaskTimeout = scala.concurrent.duration.Duration(2,
     java.util.concurrent.TimeUnit.HOURS)
+
+  /** A level task blew [[LevelTaskTimeout]]: the task MAY STILL BE
+    * RUNNING (a thread pool cannot cancel a Spark job mid-action), so
+    * [[withMaintenanceLock]] deliberately KEEPS the lease on this
+    * failure — releasing it would let a resume run under a zombie
+    * commit, the exact unserialized interleaving the lease exists to
+    * prevent.  Recovery is the crash path: verify the JVM/zombie is
+    * dead, delete `_maint_lock`, run [[resumeMaintenance]]. */
+  final class WedgedMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Run independent tasks concurrently on a dedicated pool and wait
     * for ALL to settle (failed or not — a sibling mid-commit must not
     * be abandoned), then propagate the first failure or return the
-    * results in task order.  Each task re-applies the CALLER's Spark
-    * scheduling context (job group/description, interrupt flag, fair-
-    * scheduler pool) on its worker thread: pool threads outlive one
-    * call and do not reliably carry the submitter's inheritable local
-    * properties, and without the group id a user's
-    * `cancelJobGroup` would never reach the concurrently-launched
-    * level jobs. */
+    * results in task order.  A task that exceeds [[LevelTaskTimeout]]
+    * surfaces as [[WedgedMaintenanceException]] — but only after every
+    * OTHER task was also awaited (each with its own full timeout), so
+    * a slow sibling is never abandoned mid-commit by a wedged one.
+    * Each task re-applies the CALLER's Spark scheduling context (job
+    * group/description, interrupt flag, fair-scheduler pool) on its
+    * worker thread: pool threads outlive one call and do not reliably
+    * carry the submitter's inheritable local properties, and without
+    * the group id a user's `cancelJobGroup` would never reach the
+    * concurrently-launched level jobs. */
   private def concurrently[T](tasks: Seq[() => T]): Seq[T] = {
     if (tasks.length == 1) return Seq(tasks.head())
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -86,8 +100,16 @@ object KnnGraph {
           schedProps.foreach { case (k, v) => c.setLocalProperty(k, v) })
         t()
       })
-      val settled = fs.map(f =>
-        Await.ready(f, LevelTaskTimeout).value.get)
+      val settled = fs.zipWithIndex.map { case (f, i) =>
+        try Await.ready(f, LevelTaskTimeout).value.get
+        catch { case _: java.util.concurrent.TimeoutException =>
+          scala.util.Failure(new WedgedMaintenanceException(
+            s"task $i did not settle within $LevelTaskTimeout and may " +
+              "still be running — the maintenance lease stays held; " +
+              "verify the process is dead, delete _maint_lock, then " +
+              "resumeMaintenance"))
+        }
+      }
       settled.collectFirst { case scala.util.Failure(e) => throw e }
       settled.map(_.get)
     } finally { pool.shutdown() }
@@ -546,7 +568,15 @@ object KnnGraph {
           "is live, wait for it; if it crashed, delete _maint_lock " +
           "and run resumeMaintenance.", e)
     }
-    try body finally fs.delete(lock, false)
+    // the lease releases on ANY normal exit or thrown batch — EXCEPT a
+    // wedged task, which may still be committing in the background: a
+    // released lease would let resumeMaintenance restore levels UNDER
+    // the zombie's late commit.  Held lease + journal = the documented
+    // crash-recovery path.
+    var wedged = false
+    try body
+    catch { case e: WedgedMaintenanceException => wedged = true; throw e }
+    finally { if (!wedged) fs.delete(lock, false) }
   }
 
   /**
@@ -572,7 +602,8 @@ object KnnGraph {
         throw new IllegalStateException(
           s"$uri has no pending maintenance journal — nothing to resume"))
       val entries = journal.split("\n").toSeq.map(_.trim)
-        .filter(_.nonEmpty).map { line =>
+        .filter(l => l.nonEmpty && !l.startsWith("batch="))
+        .map { line =>
           line.split("=") match {
             case Array(lvl, v) if lvl.startsWith("level") =>
               (lvl, v.toInt)
@@ -608,10 +639,26 @@ object KnnGraph {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-      finally in.close()
+      def readAll(f: org.apache.hadoop.fs.Path): String = {
+        val in = fs.open(f)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      val journal = readAll(p)
+      // BOTH markers with IDENTICAL content = a crash inside
+      // markApplied's rename on a store where rename is copy+delete
+      // (object stores; local/HDFS rename is atomic and cannot get
+      // here).  markApplied runs only after the LAST level commit and
+      // deletes any stale applied marker BEFORE the rename, so content
+      // equality proves the batch fully applied — finish the rename's
+      // delete half instead of reporting a fully-applied batch as torn
+      // (recovery would needlessly restore and re-run it).
+      val a = new org.apache.hadoop.fs.Path(uri, "_maint_applied")
+      if (fs.exists(a) && readAll(a) == journal) {
+        fs.delete(p, false)
+        None
+      } else Some(journal)
     }
   }
 
@@ -633,8 +680,15 @@ object KnnGraph {
           "version and delete _maint_pending before running new " +
           s"maintenance. Journal:\n$journal")
     }
-    val lines = idx.levels.indices.map(l =>
-      s"level$l=${graft.io.Snapshots.latestVersion(spark, s"$uri/level$l")}")
+    // the batch id makes every journal's CONTENT unique: the both-
+    // markers recovery in [[pendingMaintenance]] resolves by content
+    // equality, which must only ever hold for a rename's copy of this
+    // very journal — never for a later batch that happened to record
+    // the same per-level versions (possible after an all-empty no-op
+    // batch, whose markApplied also runs)
+    val lines = s"batch=${java.util.UUID.randomUUID()}" +:
+      idx.levels.indices.map(l =>
+        s"level$l=${graft.io.Snapshots.latestVersion(spark, s"$uri/level$l")}")
     val out = fs.create(p, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -645,15 +699,17 @@ object KnnGraph {
     val p = maintPendingPath(uri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val a = new org.apache.hadoop.fs.Path(uri, "_maint_applied")
-    // ONE atomic transition: the journal becomes the applied record via
-    // rename, so no crash point leaves BOTH markers (the old
-    // create-applied-then-delete-pending pair could crash in between
-    // and make a fully-applied batch read as torn — recovery would
-    // needlessly restore and re-run).  The applied file now carries the
-    // batch's pre-versions instead of a timestamp; nothing reads it for
-    // content.  A stale applied marker from the previous batch is
-    // dropped first: if the crash lands between the delete and the
-    // rename, pending survives alone — still unambiguous.
+    // the journal becomes the applied record via rename — atomic on
+    // local/HDFS, copy+delete on object-store clients.  Either way no
+    // crash point MISREPORTS: pending alone = torn (or crash between
+    // the stale-applied delete and the rename — both resolve by
+    // restore+rerun); BOTH markers can only mean a crash inside a
+    // copy+delete rename, which [[pendingMaintenance]] detects by
+    // content equality and resolves as applied (the old
+    // create-applied-then-delete-pending pair could not distinguish
+    // that state from a genuinely torn batch).  The applied file
+    // carries the batch's pre-versions; nothing reads it for content
+    // except that equality check.
     if (fs.exists(a)) fs.delete(a, false)
     if (!fs.rename(p, a))
       throw new java.io.IOException(

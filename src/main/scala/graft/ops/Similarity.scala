@@ -275,8 +275,11 @@ object Similarity {
   def matryoshkaWrite(df: DataFrame, idCol: String, vecCol: String,
       dPrefix: Int, dir: String): Unit = {
     require(dPrefix >= 1, "dPrefix must be >= 1")
+    // overwrite: a killed run leaves part-files without _SUCCESS, and
+    // the staging guards key on _SUCCESS — ErrorIfExists would wedge
+    // the fixture forever on the leftover directory
     df.withColumn(s"${vecCol}_prefix", slice(col(vecCol), 1, dPrefix))
-      .write.parquet(dir)
+      .write.mode("overwrite").parquet(dir)
   }
 
   /**

@@ -423,6 +423,29 @@ class KnnGraphSpec extends AnyFunSuite {
       emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
       k, beam = 20, hops = 3)
     assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty)
+    // rename-crash recovery: BOTH markers with IDENTICAL content can
+    // only mean markApplied's copy+delete rename (object stores)
+    // crashed after the copy — the batch fully applied, so
+    // pendingMaintenance resolves it (clears the journal, reports
+    // clean) instead of sending recovery on a needless restore+rerun
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(uri, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    val journal = "batch=abc\nlevel0=3\nlevel1=2"
+    put("_maint_pending", journal)
+    put("_maint_applied", journal)
+    assert(KnnGraph.pendingMaintenance(spark, uri).isEmpty,
+      "identical both-markers state must resolve as applied")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "_maint_pending")),
+      "resolution must finish the rename's delete half")
+    // DIFFERING contents = a stale applied marker from an earlier
+    // batch plus a genuinely torn current one — still reported torn
+    put("_maint_pending", "batch=def\nlevel0=4\nlevel1=2")
+    assert(KnnGraph.pendingMaintenance(spark, uri)
+      .exists(_.contains("level0=4")),
+      "a torn batch must not be laundered by a stale applied marker")
+    fs.delete(new org.apache.hadoop.fs.Path(uri, "_maint_pending"), false)
   }
 
   test("torn-batch recovery: resumeMaintenance restores the journal's " +
