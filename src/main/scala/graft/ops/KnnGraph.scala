@@ -110,6 +110,13 @@ object KnnGraph {
               "resumeMaintenance"))
         }
       }
+      // a WEDGED task outranks any ordinary failure: the ordinary one
+      // proves a task died, but the wedged one means a task MAY STILL
+      // BE RUNNING — the caller's lease handling keys on exactly that
+      // distinction, and throwing the ordinary failure first would
+      // release the lease under a possible zombie commit
+      settled.collectFirst {
+        case scala.util.Failure(e: WedgedMaintenanceException) => throw e }
       settled.collectFirst { case scala.util.Failure(e) => throw e }
       settled.map(_.get)
     } finally { pool.shutdown() }
