@@ -42,9 +42,10 @@ object Procedures {
     "create_tag", "delete_tag", "restore", "refresh_mview",
     "create_branch", "branch_append", "fast_forward", "drop_branch",
     "vector_index_build", "vector_insert", "vector_delete",
-    "vector_compact", "vector_retrain", "vector_vacuum",
-    "knn_index_build", "knn_insert", "knn_delete", "knn_compact",
-    "knn_resume")
+    "vector_compact", "vector_retrain", "vector_retrain_if_drifted",
+    "vector_vacuum",
+    "knn_index_build", "knn_rebuild", "knn_insert", "knn_delete",
+    "knn_compact", "knn_resume", "knn_vacuum")
 
   /** A procedure/table-function `source` argument: a snapshot-managed
     * directory reads through the manifest (pruned, versioned), a plain
@@ -57,17 +58,18 @@ object Procedures {
     else spark.read.parquet(path)
   }
 
-  private def deleteIfReplace(spark: SparkSession, uri: String,
-      replace: Boolean, exists: Boolean): Unit = {
+  /** Gate for `replace => false` builds: an existing index must be
+    * replaced explicitly.  `replace => true` builds do NOT delete
+    * anything here — an existing index is rebuilt as a new MVCC
+    * GENERATION (staged fully, swapped by one marker create), so a
+    * failed or interrupted rebuild can never leave the index with no
+    * copy and serving never pauses; the caller routes to the
+    * rebuild/retrain path when `exists`. */
+  private def requireReplaceable(uri: String, replace: Boolean,
+      exists: Boolean): Unit =
     if (exists && !replace)
       throw new IllegalStateException(
         s"$uri already holds an index — pass replace => true to rebuild")
-    if (replace) {
-      val root = new org.apache.hadoop.fs.Path(uri)
-      root.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(root, true)
-    }
-  }
 
   private def pathExists(spark: SparkSession, uri: String,
       sub: String): Boolean = {
@@ -261,10 +263,10 @@ object Procedures {
         // vacuum the gen-0 `index/` dir is gone but `_genN` markers
         // remain, and a rebuild at the root would be silently shadowed
         // by the higher generation resolveRoot serves
-        deleteIfReplace(spark, uri,
-          !row.isNullAt(11) && row.getBoolean(11),
-          pathExists(spark, uri, "index") ||
-            graft.ops.IvfPqStore.generations(spark, uri).nonEmpty)
+        val exists = pathExists(spark, uri, "index") ||
+          graft.ops.IvfPqStore.generations(spark, uri).nonEmpty
+        requireReplaceable(uri, !row.isNullAt(11) && row.getBoolean(11),
+          exists)
         val subset = optStr(row, 4).map(src.filter).getOrElse(src)
         val ivf = graft.ops.IvfIndex.train(src, idCol, vecCol,
           k = if (row.isNullAt(5)) 8 else row.getInt(5),
@@ -273,12 +275,20 @@ object Procedures {
           m = if (row.isNullAt(7)) 16 else row.getInt(7),
           k = if (row.isNullAt(8)) 32 else row.getInt(8),
           iters = if (row.isNullAt(9)) 4 else row.getInt(9))
-        graft.ops.IvfPqStore.persist(spark, uri, subset, idCol, vecCol,
-          ivf, pq,
-          targetRowsPerFile =
-            if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong)
+        val rpf =
+          if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong
+        // ATOMIC replace: an existing index is rebuilt as a new MVCC
+        // generation (old one serves until the marker lands; a failed
+        // build leaves it untouched) — never delete-then-build
+        if (exists)
+          graft.ops.IvfPqStore.rebuild(spark, uri, subset, idCol,
+            vecCol, ivf, pq, rpf)
+        else
+          graft.ops.IvfPqStore.persist(spark, uri, subset, idCol,
+            vecCol, ivf, pq, rpf)
         val f = org.apache.spark.sql.functions
-        val files = Snapshots.filesDf(spark, s"$uri/index")
+        val files = Snapshots.filesDf(spark,
+            s"${graft.ops.IvfPqStore.currentRoot(spark, uri)}/index")
           .agg(f.coalesce(f.sum("row_count"), f.lit(0L)),
             f.count(f.lit(1))).head()
         Seq(new GenericInternalRow(Array[Any](
@@ -338,6 +348,41 @@ object Procedures {
         Seq(new GenericInternalRow(Array[Any](gen)))
       }))
 
+    // the drift LOOP from SQL: measure serving recall@k on a probe
+    // query set against exact brute force, retrain (as a new
+    // generation) only if the mean fell below `threshold` — the
+    // monitoring-cadence call, pairing with the vector_recall table
+    // function for measure-only.  `probes_where` picks the probe
+    // queries from `source`; generation is NULL when no retrain ran
+    case "vector_retrain_if_drifted" => Some(proc(
+      "vector_retrain_if_drifted",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("probes_where", StringType),
+        in("k", IntegerType, Some("10")),
+        in("nprobe", IntegerType, Some("4")),
+        in("rerank", IntegerType, Some("60")),
+        in("threshold", DoubleType, Some("0.9")),
+        in("rows_per_file", IntegerType, Some("1048576"))),
+      StructType(Seq(StructField("recall_before", DoubleType),
+        StructField("retrained", BooleanType),
+        StructField("generation", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val probes = src.filter(str(row, 4))
+        val (recall, gen) = graft.ops.IvfPqStore.retrainIfDrifted(
+          spark, str(row, 0), src, probes, str(row, 2), str(row, 3),
+          str(row, 2), str(row, 3),
+          k = if (row.isNullAt(5)) 10 else row.getInt(5),
+          nprobe = if (row.isNullAt(6)) 4 else row.getInt(6),
+          rerank = if (row.isNullAt(7)) 60 else row.getInt(7),
+          threshold = if (row.isNullAt(8)) 0.9 else row.getDouble(8),
+          targetRowsPerFile =
+            if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
+        Seq(new GenericInternalRow(Array[Any](
+          recall, gen.isDefined, gen.map(Int.box).orNull)))
+      }))
+
     case "vector_compact" => Some(proc("vector_compact",
       Seq(in("index", StringType),
         in("target_mb", IntegerType, Some("128"))),
@@ -376,20 +421,76 @@ object Procedures {
       row => {
         val uri = str(row, 0)
         val src = readSource(spark, str(row, 1))
-        deleteIfReplace(spark, uri,
-          !row.isNullAt(10) && row.getBoolean(10),
-          pathExists(spark, uri, "level0"))
+        // "exists" must see REBUILT layouts: after rebuild + vacuum the
+        // gen-0 level0 is gone but `_genN` markers remain
+        val exists = pathExists(spark, uri, "level0") ||
+          graft.ops.KnnGraph.generations(spark, uri).nonEmpty
+        requireReplaceable(uri, !row.isNullAt(10) && row.getBoolean(10),
+          exists)
         val subset = optStr(row, 4).map(src.filter).getOrElse(src)
-        val idx = graft.ops.KnnGraph.buildLayered(subset,
-          str(row, 2), str(row, 3),
+        val k = if (row.isNullAt(5)) 10 else row.getInt(5)
+        val iters = if (row.isNullAt(6)) 6 else row.getInt(6)
+        val branching = if (row.isNullAt(7)) 4 else row.getInt(7)
+        val seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8)
+        val rpf =
+          if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong
+        // ATOMIC replace: an existing index rebuilds as a new MVCC
+        // generation — the live index serves through the whole
+        // NN-Descent build and a crash leaves it untouched (the old
+        // delete-first replace was a serving outage, and NO index at
+        // all after a failure)
+        if (exists)
+          graft.ops.KnnGraph.rebuildLayered(spark, uri, subset,
+            str(row, 2), str(row, 3), k, iters, branching, seedTarget,
+            rpf)
+        else
+          graft.ops.KnnGraph.persistLayered(spark,
+            graft.ops.KnnGraph.buildLayered(subset, str(row, 2),
+              str(row, 3), k, iters, branching, seedTarget),
+            uri, rpf)
+        val levels = graft.ops.KnnGraph.loadLayered(spark, uri)
+          .levels.length
+        Seq(new GenericInternalRow(Array[Any](levels)))
+      }))
+
+    // explicit generation-swapped rebuild (what replace => true routes
+    // through when an index exists): returns the published generation
+    case "knn_rebuild" => Some(proc("knn_rebuild",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("where", StringType, Some("NULL")),
+        in("k", IntegerType, Some("10")),
+        in("iters", IntegerType, Some("6")),
+        in("branching", IntegerType, Some("4")),
+        in("seed_target", IntegerType, Some("128")),
+        in("rows_per_file", IntegerType, Some("1048576"))),
+      StructType(Seq(StructField("generation", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
+        val gen = graft.ops.KnnGraph.rebuildLayered(spark, str(row, 0),
+          subset, str(row, 2), str(row, 3),
           k = if (row.isNullAt(5)) 10 else row.getInt(5),
           iters = if (row.isNullAt(6)) 6 else row.getInt(6),
           branching = if (row.isNullAt(7)) 4 else row.getInt(7),
-          seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8))
-        graft.ops.KnnGraph.persistLayered(spark, idx, uri,
+          seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8),
           targetRowsPerFile =
             if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
-        Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
+        Seq(new GenericInternalRow(Array[Any](gen)))
+      }))
+
+    // retention for rebuilt generations (the graph twin of
+    // vector_vacuum): retire all but the newest `keep` after readers
+    // drain
+    case "knn_vacuum" => Some(proc("knn_vacuum",
+      Seq(in("index", StringType),
+        in("keep", IntegerType, Some("1"))),
+      StructType(Seq(StructField("retired", StringType))),
+      row => {
+        graft.ops.KnnGraph.dropRetiredGenerations(spark, str(row, 0),
+            keep = if (row.isNullAt(1)) 1 else row.getInt(1))
+          .map(r => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(r))))
       }))
 
     // the batch is `source WHERE batch_where`; everything else in
@@ -407,8 +508,16 @@ object Procedures {
       row => {
         val src = readSource(spark, str(row, 1))
         val cond = str(row, 4)
+        // the split must be EXHAUSTIVE under three-valued logic: a row
+        // where `cond` evaluates NULL is not in the batch (SQL WHERE
+        // semantics) so it belongs to the standing corpus — a plain
+        // NOT(cond) would drop it from BOTH sides and silently lose it
+        // from the index's wiring
+        val f = org.apache.spark.sql.functions
+        val condCol = f.expr(cond)
         val idx = graft.ops.KnnGraph.insertLayered(spark, str(row, 0),
-          src.filter(s"NOT ($cond)"), src.filter(cond),
+          src.filter(!f.coalesce(condCol, f.lit(false))),
+          src.filter(condCol),
           str(row, 2), str(row, 3),
           k = if (row.isNullAt(5)) 10 else row.getInt(5),
           beam = if (row.isNullAt(6)) 40 else row.getInt(6),

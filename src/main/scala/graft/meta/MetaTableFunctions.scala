@@ -1,6 +1,7 @@
 package graft.meta
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -62,44 +63,205 @@ object MetaTableFunctions {
         })
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
-      branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder
+      branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder :+
+      vectorRecallBuilder :+ hybridSearchBuilder
 
   /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
-    * '<vec_col>', '<queries_where>', k, nprobe, rerank)` — ADC top-k
-    * from a persisted IVF-PQ index ([[graft.ops.IvfPqStore.search]]) as
-    * a FROM-clause relation: `source` supplies both the rerank vectors
-    * and (filtered by `queries_where`) the query set, so the whole
-    * serve — like the build/insert/delete/compact procedures it pairs
-    * with — runs without leaving SQL.  Joins/filters compose on top
-    * like any relation. */
+    * '<vec_col>', <queries>, k, nprobe, rerank)` — ADC top-k from a
+    * persisted IVF-PQ index ([[graft.ops.IvfPqStore.search]]) as a
+    * FROM-clause relation: `source` supplies the rerank vectors, and
+    * `queries` is EITHER a `queries_where` string (the query set =
+    * `source WHERE ...`) OR an ARRAY literal — one fresh embedding
+    * served straight from SQL (`array(0.1, ...)`, query_id 0) without
+    * staging a one-row table first.  The whole serve — like the
+    * build/insert/delete/compact procedures it pairs with — runs
+    * without leaving SQL; joins/filters compose on top like any
+    * relation. */
   private def vectorSearchBuilder
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("vector_search"),
       new ExpressionInfo("graft", null, "vector_search",
-        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
-          "nprobe, rerank[, eligible_where]) - ANN top-k from a " +
-          "persisted IVF-PQ index", ""),
+        "_FUNC_(index, source, id_col, vec_col, queries_where | " +
+          "query_vec_array, k, nprobe, rerank[, eligible_where]) - " +
+          "ANN top-k from a persisted IVF-PQ index", ""),
       (args: Seq[Expression]) => {
         if (args.length < 8 || args.length > 9)
           throw new IllegalArgumentException(
             "vector_search(index, source, id_col, vec_col, " +
-              "queries_where, k, nprobe, rerank[, eligible_where]) " +
-              s"takes 8 or 9 arguments, got ${args.length}")
+              "queries_where | query_vec_array, k, nprobe, rerank" +
+              s"[, eligible_where]) takes 8 or 9 arguments, got " +
+              s"${args.length}")
         val spark = SparkSession.active
-        val Seq(index, source, idCol, vecCol, qWhere) =
-          (0 to 4).map(i => strLitArg("vector_search", args(i)))
+        val Seq(index, source, idCol, vecCol) =
+          (0 to 3).map(i => strLitArg("vector_search", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        // 5th arg: a string literal filters source into the query set;
+        // an array literal IS the (single) query vector
+        val queries = args(4).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            literalQueryDf(spark, corpus, vecCol, "vector_search", args(4))
+          case _ =>
+            corpus.filter(strLitArg("vector_search", args(4)))
+              .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        }
         // optional 9th arg = FILTERED vector search: the predicate
         // lives on the base table, candidates semi-join eligible ids
         // BEFORE the ADC shortlist — k eligible results per query
         val eligible = args.lift(8)
           .map(e => corpus.filter(strLitArg("vector_search", e)))
         graft.ops.IvfPqStore.search(spark, index, corpus,
-            corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
+            queries, idCol, vecCol, "query_id", "__qv",
             k = intLitArg("vector_search", "k", args(5)),
             nprobe = intLitArg("vector_search", "nprobe", args(6)),
             rerank = intLitArg("vector_search", "rerank", args(7)),
             eligible = eligible)
+          .queryExecution.analyzed
+      })
+
+  /** A one-row query relation `(query_id = 0, __qv)` from an array
+    * literal, with the vector cast to the CORPUS vector column's exact
+    * element type — the scoring path then sees the same types as the
+    * staged-table route, so a literal serve is value-equal to filtering
+    * an identical row out of a table. */
+  private def literalQueryDf(spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+      fname: String, e: Expression): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fname: the query vector must be an array LITERAL, got ${e.sql}")
+    val elemT = corpus.schema(vecCol).dataType match {
+      case ArrayType(t: NumericType, _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fname: corpus column $vecCol is $other, not a numeric array")
+    }
+    val raw = e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fname: the query vector literal must not be NULL")
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case ArrayType(et, _) => ad.toObjectArray(et).toSeq
+          case _ => throw new IllegalStateException("unreachable")
+        }
+    }
+    val nums = raw.map {
+      case null => throw new IllegalArgumentException(
+        s"$fname: the query vector must not contain NULL elements")
+      case n: Number => n
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => throw new IllegalArgumentException(
+        s"$fname: non-numeric query vector element " +
+          s"${other.getClass.getSimpleName}")
+    }
+    val vec: Any = elemT match {
+      case FloatType => nums.map(_.floatValue())
+      case DoubleType => nums.map(_.doubleValue())
+      case IntegerType => nums.map(_.intValue())
+      case LongType => nums.map(_.longValue())
+      case ShortType => nums.map(_.shortValue())
+      case ByteType => nums.map(_.byteValue())
+      case other => throw new IllegalArgumentException(
+        s"$fname: unsupported corpus vector element type $other")
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("__qv", ArrayType(elemT), nullable = false)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(0L, vec)),
+      schema)
+  }
+
+  /** `SELECT * FROM vector_recall('<index>', '<source>', '<id_col>',
+    * '<vec_col>', '<queries_where>', k, nprobe, rerank)` — per-query
+    * recall@k of the persisted IVF-PQ serve against exact brute force
+    * ([[graft.ops.Similarity.recallAtK]]): the drift-monitoring metric
+    * as a FROM-clause relation, pairing with the
+    * `vector_retrain_if_drifted` procedure that acts on it.  The probe
+    * set should be small — it drives one exact brute-force pass. */
+  private def vectorRecallBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("vector_recall"),
+      new ExpressionInfo("graft", null, "vector_recall",
+        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
+          "nprobe, rerank) - recall@k of the persisted serve vs exact " +
+          "brute force", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 8)
+          throw new IllegalArgumentException(
+            "vector_recall(index, source, id_col, vec_col, " +
+              s"queries_where, k, nprobe, rerank) takes 8 arguments, " +
+              s"got ${args.length}")
+        val spark = SparkSession.active
+        val Seq(index, source, idCol, vecCol, qWhere) =
+          (0 to 4).map(i => strLitArg("vector_recall", args(i)))
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        val queries = corpus.filter(qWhere)
+        val k = intLitArg("vector_recall", "k", args(5))
+        val approx = graft.ops.IvfPqStore.search(spark, index, corpus,
+          queries, idCol, vecCol, idCol, vecCol, k,
+          nprobe = intLitArg("vector_recall", "nprobe", args(6)),
+          rerank = intLitArg("vector_recall", "rerank", args(7)))
+        val exact = graft.ops.Similarity.bruteForceTopK(corpus, queries,
+          idCol, vecCol, idCol, vecCol, k)
+        graft.ops.Similarity.recallAtK(exact, approx, k)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM hybrid_search('<bm25_index>', '<vector_index>',
+    * '<source>', '<id_col>', '<vec_col>', '<terms_csv>',
+    * '<query_where>', k_each, nprobe, rerank, k_const, top_k)` — the
+    * production hybrid-retrieval serve as one FROM-clause relation:
+    * the lexical leg ranks `terms_csv` from the PERSISTED BM25
+    * postings index ([[graft.ops.Lexical.bm25Serve]]), the semantic
+    * leg serves the SINGLE query vector `source WHERE query_where`
+    * from the persisted IVF-PQ store, and the two rank lists fuse by
+    * reciprocal rank ([[graft.ops.Lexical.rrfFuse]]).  Output:
+    * `(id, rank_1 lexical, rank_2 semantic, rrf)`, top_k rows. */
+  private def hybridSearchBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("hybrid_search"),
+      new ExpressionInfo("graft", null, "hybrid_search",
+        "_FUNC_(bm25_index, vector_index, source, id_col, vec_col, " +
+          "terms_csv, query_where, k_each, nprobe, rerank, k_const, " +
+          "top_k) - RRF fusion of persisted BM25 and IVF-PQ serves", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 12)
+          throw new IllegalArgumentException(
+            "hybrid_search(bm25_index, vector_index, source, id_col, " +
+              "vec_col, terms_csv, query_where, k_each, nprobe, " +
+              s"rerank, k_const, top_k) takes 12 arguments, got " +
+              s"${args.length}")
+        val spark = SparkSession.active
+        val Seq(bmIdx, vecIdx, source, idCol, vecCol, termsCsv, qWhere) =
+          (0 to 6).map(i => strLitArg("hybrid_search", args(i)))
+        val kEach = intLitArg("hybrid_search", "k_each", args(7))
+        val nprobe = intLitArg("hybrid_search", "nprobe", args(8))
+        val rerank = intLitArg("hybrid_search", "rerank", args(9))
+        val kConst = intLitArg("hybrid_search", "k_const", args(10))
+        val topK = intLitArg("hybrid_search", "top_k", args(11))
+        val terms = termsCsv.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        val queries = corpus.filter(qWhere)
+        // one serving request = one query vector; several would mix
+        // their semantic ranks into one fused list
+        require(queries.limit(2).count() == 1,
+          s"hybrid_search: query_where '$qWhere' must select exactly " +
+            "one query vector")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))
+        val lex = graft.ops.Lexical.bm25Serve(spark, bmIdx, "id",
+            terms, kEach)
+          .withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .select("id", "rank")
+        val sem = graft.ops.IvfPqStore.search(spark, vecIdx, corpus,
+            queries, idCol, vecCol, idCol, vecCol,
+            kEach, nprobe, rerank)
+          .select(col("neighbor_id").as("id"), col("rank"))
+        graft.ops.Lexical.rrfFuse(Seq(lex, sem), "id", "rank",
+            kConst, topK)
           .queryExecution.analyzed
       })
 

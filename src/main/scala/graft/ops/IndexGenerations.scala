@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Shared MVCC GENERATION machinery for persisted vector indexes: a
+ * rebuild/retrain stages its replacement completely under
+ * `uri/gen<N>`, then makes it current with ONE store-arbitrated
+ * exclusive marker create — readers never observe a half-swapped
+ * index, in-flight searches on the old generation complete untouched,
+ * and `replace` never deletes the only copy.  Used by the flat
+ * [[IvfPqStore]] (retrain) and the layered [[KnnGraph]] (rebuild);
+ * the protocol is identical, only the per-generation layout differs.
+ *
+ * Protocol invariant — "marker present ⇒ subtree complete":
+ *
+ *  - a generation number is CLAIMED before any staging by an exclusive
+ *    `_genN.claim` create, so two racing rebuilds land on DIFFERENT
+ *    numbers and neither can delete, shadow, or publish over the
+ *    other's subtree;
+ *  - the `_genN` marker is created exclusively AFTER the subtree is
+ *    fully written; a crashed rebuild leaves an invisible partial
+ *    directory, never a half-readable index;
+ *  - [[publish]] re-verifies its claim around the marker create and
+ *    UNPUBLISHES if the claim vanished mid-swap, and
+ *    [[sweepCrashedClaims]] deletes the claim FIRST and re-checks the
+ *    marker before touching the subtree — between the two, a vacuum
+ *    that races a slow rebuild can never leave a marker pointing at a
+ *    swept subtree (one side always loses loudly);
+ *  - crashed-claim sweeps are additionally AGE-GATED
+ *    (`claimSweepAgeMs`): a claim younger than the gate is presumed a
+ *    live in-flight rebuild and kept, whatever its number.
+ */
+private[graft] object IndexGenerations {
+
+  /** Default crashed-claim sweep age gate: claims younger than this are
+    * presumed live in-flight rebuilds and never swept.  Generous — the
+    * longest sane rebuild is hours — because sweeping a live claim is
+    * the one race this module exists to prevent. */
+  val DefaultClaimSweepAgeMs: Long = 24L * 3600 * 1000
+
+  def fs(spark: SparkSession, uri: String): FileSystem =
+    new Path(uri).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Published generation numbers at `uri`, ascending (empty = only the
+    * original gen-0 layout exists).  A generation is VISIBLE iff its
+    * `_genN` marker exists. */
+  def published(fs: FileSystem, uri: String): Seq[Int] = {
+    val st = fs.globStatus(new Path(uri, "_gen*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  /** Generation numbers TAKEN at `uri`: published (`_genN`) plus
+    * claimed-but-unpublished (`_genN.claim` — a rebuild in flight or
+    * crashed). */
+  def taken(fs: FileSystem, uri: String): Seq[Int] = {
+    val st = fs.globStatus(new Path(uri, "_gen*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
+      .map(_.stripSuffix(".claim"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  /** The CURRENT generation's root: `uri/genN` for the highest
+    * published marker, `uri` itself before any rebuild. */
+  def resolveRoot(fs: FileSystem, uri: String): String =
+    published(fs, uri).lastOption.map(n => s"$uri/gen$n").getOrElse(uri)
+
+  private def exclusiveCreate(fs: FileSystem, uri: String, dst: Path,
+      what: String): Unit = {
+    val tmp = new Path(uri,
+      s"${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes("UTF-8"))
+    finally out.close()
+    graft.io.Snapshots.publishExclusive(fs, tmp, dst, what)
+  }
+
+  /** CLAIM a generation number before staging anything: the exclusive
+    * `_genN.claim` create arbitrates ownership, so two racing rebuilds
+    * land on DIFFERENT numbers (a blind "stage at max+1" would let the
+    * loser clobber the winner's just-published data).  A crashed
+    * rebuild burns its claimed number — harmless; its partial subtree
+    * is invisible (no `_genN` marker) and an aged vacuum sweeps it.
+    * Returns the claimed number; the caller stages under `uri/gen<N>`
+    * and [[publish]]es. */
+  def claimNext(fs: FileSystem, uri: String): Int = {
+    var next = taken(fs, uri).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (true) {
+      try {
+        exclusiveCreate(fs, uri, new Path(uri, s"_gen$next.claim"),
+          s"generation claim $next of $uri")
+        return next
+      } catch { case _: IllegalStateException =>
+        attempts += 1
+        require(attempts < 1000,
+          s"$uri: could not claim a generation number after $attempts " +
+            "attempts — runaway concurrent rebuilds?")
+        next += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Make claimed generation `n` current by one exclusive `_genN`
+    * marker create — with the claim re-verified on BOTH sides of the
+    * create, so a crashed-claim sweep that raced this (slow) rebuild
+    * cannot end with a marker over a swept subtree: if the claim
+    * vanished before the create, publish fails without a marker; if it
+    * vanished after, the marker is removed again and publish fails —
+    * either way LOUDLY, and the sweep's own marker re-check
+    * ([[sweepCrashedClaims]]) covers the converse interleaving. */
+  def publish(fs: FileSystem, uri: String, n: Int): Unit = {
+    val claim = new Path(uri, s"_gen$n.claim")
+    val marker = new Path(uri, s"_gen$n")
+    def sweptError() = new IllegalStateException(
+      s"$uri: generation claim $n was swept while this rebuild was " +
+        "staging (a vacuum judged it crashed) — the staged subtree is " +
+        "gone or going; re-run the rebuild, and age-gate or pause " +
+        "vacuums that must coexist with slow rebuilds")
+    if (!fs.exists(claim)) throw sweptError()
+    exclusiveCreate(fs, uri, marker, s"index generation $n of $uri")
+    if (!fs.exists(claim)) {
+      fs.delete(marker, false)
+      throw sweptError()
+    }
+  }
+
+  /** Sweep claimed-but-never-published generations below `current`
+    * whose claims are older than `claimSweepAgeMs`: crashed rebuilds
+    * whose partial subtrees were never visible.  The claim is deleted
+    * FIRST and the marker re-checked before the subtree goes, closing
+    * the race against a rebuild publishing concurrently (see
+    * [[publish]]).  A claim ABOVE `current` may be a live rebuild
+    * about to supersede it — always kept. */
+  def sweepCrashedClaims(fs: FileSystem, uri: String, current: Int,
+      claimSweepAgeMs: Long = DefaultClaimSweepAgeMs): Unit = {
+    val pub = published(fs, uri).toSet
+    val now = System.currentTimeMillis()
+    taken(fs, uri).filter(n => n < current && !pub.contains(n)).foreach { n =>
+      val claim = new Path(uri, s"_gen$n.claim")
+      val age = try now - fs.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      if (age >= claimSweepAgeMs) {
+        fs.delete(claim, false)
+        // the rebuild may have published between our listing and the
+        // claim delete — its publish-side re-check will unpublish and
+        // fail loudly, but do NOT delete a subtree a marker points at
+        if (!fs.exists(new Path(uri, s"_gen$n")))
+          fs.delete(new Path(s"$uri/gen$n"), true)
+      }
+    }
+  }
+
+  /** Retire published generations older than the newest `keep` (the
+    * caller asserts in-flight readers have drained).  The CURRENT
+    * generation is never touched; data subtree goes first, marker
+    * last, so a crash mid-retire leaves at worst a marker pointing at
+    * nothing — harmless, since only the HIGHEST marker is resolved.
+    * Returns the retired generation roots; the caller handles its own
+    * gen-0 layout. */
+  def dropRetiredPublished(fs: FileSystem, uri: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1 (the current generation)")
+    val gens = published(fs, uri)
+    gens.dropRight(keep).map { n =>
+      val root = s"$uri/gen$n"
+      fs.delete(new Path(root), true)
+      fs.delete(new Path(uri, s"_gen$n"), false)
+      fs.delete(new Path(uri, s"_gen$n.claim"), false)
+      root
+    }
+  }
+}

@@ -46,50 +46,24 @@ import org.apache.spark.sql.functions._
 object IvfPqStore {
 
   // ------------------------------------------------ index generations
+  // (protocol shared with the layered graph index — [[IndexGenerations]])
 
   /** Published generation numbers at `uri`, ascending (empty = only the
     * original gen-0 layout exists).  A generation is VISIBLE iff its
     * `_genN` marker exists — the marker is created exclusively AFTER
     * the `genN/` subtree is fully written, so a crashed retrain leaves
     * an invisible partial directory, never a half-readable index. */
-  def generations(spark: SparkSession, uri: String): Seq[Int] = {
-    val fs = new org.apache.hadoop.fs.Path(uri)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val st = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "_gen*"))
-    if (st == null) Seq.empty
-    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
-      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
-  }
+  def generations(spark: SparkSession, uri: String): Seq[Int] =
+    IndexGenerations.published(IndexGenerations.fs(spark, uri), uri)
 
   /** The CURRENT generation's root: `uri/genN` for the highest
-    * published marker, `uri` itself before any retrain. */
+    * published marker, `uri` itself before any retrain.  Public so the
+    * SQL surface can report file/row counts of the served layout. */
+  def currentRoot(spark: SparkSession, uri: String): String =
+    IndexGenerations.resolveRoot(IndexGenerations.fs(spark, uri), uri)
+
   private def resolveRoot(spark: SparkSession, uri: String): String =
-    generations(spark, uri).lastOption
-      .map(n => s"$uri/gen$n").getOrElse(uri)
-
-  /** Generation numbers TAKEN at `uri`: published (`_genN`) plus
-    * claimed-but-unpublished (`_genN.claim` — a retrain in flight or
-    * crashed).  Claims keep two racing retrains off the same number,
-    * so neither can touch the other's staged or published subtree. */
-  private def takenGenerations(
-      fs: org.apache.hadoop.fs.FileSystem, uri: String): Seq[Int] = {
-    val st = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "_gen*"))
-    if (st == null) Seq.empty
-    else st.toSeq.map(_.getPath.getName.stripPrefix("_gen"))
-      .map(_.stripSuffix(".claim"))
-      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
-  }
-
-  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
-      uri: String, dst: org.apache.hadoop.fs.Path, what: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(uri,
-      s"${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
-      .getBytes("UTF-8"))
-    finally out.close()
-    graft.io.Snapshots.publishExclusive(fs, tmp, dst, what)
-  }
+    currentRoot(spark, uri)
 
   /**
    * Re-train the quantizers and publish the re-encoded index as a NEW
@@ -115,10 +89,12 @@ object IvfPqStore {
    * `corpus` is the CURRENT source of truth — rows deleted from the
    * old index simply aren't in it, so retrain also collapses
    * accumulated deletion vectors.  Serialize retrain with
-   * insert/delete maintainers (an append landing on the old generation
-   * after the swap would be silently shadowed); concurrent SEARCHES
-   * are safe on either side of the swap.  Returns the new generation
-   * number.
+   * insert/delete maintainers: an append landing on the old generation
+   * after the swap would be shadowed — the maintainers' commit-time
+   * generation re-check (`guardSuperseded`) makes that race fail
+   * loudly instead of silently, and the loser re-runs against the new
+   * generation.  Concurrent SEARCHES are safe on either side of the
+   * swap.  Returns the new generation number.
    */
   def retrain(
       spark: SparkSession, uri: String, corpus: DataFrame,
@@ -126,48 +102,37 @@ object IvfPqStore {
       ivfCells: Int = 8, ivfIters: Int = 3,
       pqM: Int = 16, pqK: Int = 32, pqIters: Int = 4,
       targetRowsPerFile: Long = 1L << 20): Int = {
-    val fs = new org.apache.hadoop.fs.Path(uri)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(
-        s"${resolveRoot(spark, uri)}/index")),
-      s"$uri has no index to retrain — use persist for the first build")
-    // CLAIM a generation number before staging anything: the exclusive
-    // `_genN.claim` create arbitrates ownership, so two racing
-    // retrains land on DIFFERENT numbers and neither can delete or
-    // shadow the other's subtree (a blind "stage at max+1" would let
-    // the loser clobber the winner's just-published data).  A crashed
-    // retrain burns its claimed number — harmless; its partial subtree
-    // is invisible (no `_genN` marker) and vacuum sweeps it.
-    var next = takenGenerations(fs, uri).lastOption.getOrElse(0) + 1
-    var claimed = false
-    var attempts = 0
-    while (!claimed) {
-      try {
-        exclusiveCreate(fs, uri,
-          new org.apache.hadoop.fs.Path(uri, s"_gen$next.claim"),
-          s"generation claim $next of $uri")
-        claimed = true
-      } catch { case _: IllegalStateException =>
-        attempts += 1
-        require(attempts < 1000,
-          s"$uri: could not claim a generation number after $attempts " +
-            "attempts — runaway concurrent retrains?")
-        next += 1
-      }
-    }
     val ivf = IvfIndex.train(corpus, idCol, vecCol,
       k = ivfCells, iters = ivfIters)
     val pq = PqIndex.train(corpus, idCol, vecCol,
       m = pqM, k = pqK, iters = pqIters)
+    rebuild(spark, uri, corpus, idCol, vecCol, ivf, pq, targetRowsPerFile)
+  }
+
+  /** [[retrain]] with ALREADY-TRAINED models: stage `corpus` encoded
+    * under the given quantizers as a new generation and publish it —
+    * the atomic-replace path (`replace => true` rebuilds route here so
+    * a failed build can never leave the index with NO copy: the old
+    * generation serves until the marker lands).  Unlike [[retrain]],
+    * the models may be trained on a different row set than `corpus`
+    * (the build procedure's train-full/index-subset contract). */
+  def rebuild(
+      spark: SparkSession, uri: String, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      ivf: IvfIndex.IvfModel, pq: PqIndex.PqModel,
+      targetRowsPerFile: Long = 1L << 20): Int = {
+    val fs = IndexGenerations.fs(spark, uri)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${resolveRoot(spark, uri)}/index")),
+      s"$uri has no index to rebuild — use persist for the first build")
+    val next = IndexGenerations.claimNext(fs, uri)
     val genUri = s"$uri/gen$next"
     // the claim owns this number; any leftover subtree here is our own
     // earlier partial staging, never another retrain's
     fs.delete(new org.apache.hadoop.fs.Path(genUri), true)
     persist(spark, genUri, corpus, idCol, vecCol, ivf, pq,
       targetRowsPerFile)
-    exclusiveCreate(fs, uri,
-      new org.apache.hadoop.fs.Path(uri, s"_gen$next"),
-      s"index generation $next of $uri")
+    IndexGenerations.publish(fs, uri, next)
     next
   }
 
@@ -185,29 +150,22 @@ object IvfPqStore {
    * generation supersedes it.  Returns the retired generation roots.
    */
   def dropRetiredGenerations(spark: SparkSession, uri: String,
-      keep: Int = 1): Seq[String] = {
-    require(keep >= 1, "keep must be >= 1 (the current generation)")
+      keep: Int = 1,
+      claimSweepAgeMs: Long = IndexGenerations.DefaultClaimSweepAgeMs)
+      : Seq[String] = {
     val gens = generations(spark, uri)
-    if (gens.isEmpty) return Seq.empty // only gen-0 exists: nothing newer
-    val fs = new org.apache.hadoop.fs.Path(uri)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val retired = gens.dropRight(keep)
-    val dropped = retired.map { n =>
-      val root = s"$uri/gen$n"
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n.claim"), false)
-      root
+    if (gens.isEmpty) {
+      require(keep >= 1, "keep must be >= 1 (the current generation)")
+      return Seq.empty // only gen-0 exists: nothing newer
     }
+    val fs = IndexGenerations.fs(spark, uri)
+    val dropped = IndexGenerations.dropRetiredPublished(fs, uri, keep)
     // claimed-but-never-published numbers BELOW the current generation
-    // are crashed retrains: their partial subtrees were never visible —
-    // sweep them (a claim above the current one may be in flight; keep)
-    val current = gens.last
-    takenGenerations(fs, uri).filter(n => n < current && !gens.contains(n))
-      .foreach { n =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$uri/gen$n"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$n.claim"), false)
-      }
+    // are crashed retrains IF their claims are old enough (a young
+    // claim — or any claim above current — may be a live retrain whose
+    // staging must not be swept from under it; see IndexGenerations)
+    IndexGenerations.sweepCrashedClaims(fs, uri, gens.last,
+      claimSweepAgeMs)
     // gen-0 has no marker: its subtrees at the root are retired
     // whenever any published generation supersedes it
     val gen0Index = new org.apache.hadoop.fs.Path(uri, "index")
@@ -263,16 +221,23 @@ object IvfPqStore {
       ivf: IvfIndex.IvfModel, pq: PqIndex.PqModel,
       targetRowsPerFile: Long = 1L << 20): Unit = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    // cache the encoded frame: the IVF-assign + PQ-encode pass is the
+    // most expensive thing the store runs, and three consumers read it
+    // (the sizing count, repartitionByRange's range sampling, and the
+    // write itself) — uncached, each would recompute the full encode
     val indexed = encodeRows(corpus, idCol, vecCol, ivf, pq)
-    val p = s"$uri/index"
-    val rows = indexed.count()
-    val nFiles = math.max(1L,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val clustered =
-      if (nFiles == 1) indexed.coalesce(1)
-      else indexed.repartitionByRange(nFiles, col("ivf_cell"), col("id"))
-    clustered.sortWithinPartitions("ivf_cell", "id").write.parquet(p)
-    graft.io.Snapshots.init(spark, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = s"$uri/index"
+      val rows = indexed.count()
+      val nFiles = math.max(1L,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val clustered =
+        if (nFiles == 1) indexed.coalesce(1)
+        else indexed.repartitionByRange(nFiles, col("ivf_cell"), col("id"))
+      clustered.sortWithinPartitions("ivf_cell", "id").write.parquet(p)
+      graft.io.Snapshots.init(spark, p)
+    } finally indexed.unpersist()
     import spark.implicits._
     ivf.centroids.zipWithIndex.toSeq.map { case (cent, c) => (c, cent) }
       .toDF("c", "cent").coalesce(1)
@@ -312,6 +277,30 @@ object IvfPqStore {
     (IvfIndex.IvfModel(cents), PqIndex.PqModel(books))
   }
 
+  /** Commit-time enforcement of the retrain↔maintainer serialization
+    * contract: a maintainer resolves the generation root at entry, so
+    * a retrain that publishes mid-commit would leave the commit on the
+    * RETIRED generation — correct on disk but invisible to serving
+    * (silent data loss from the served index).  Re-resolving after the
+    * commit makes that race LOUD: the caller re-runs against the
+    * current generation (appends are pure and deletes id-keyed, so the
+    * re-run is identical; the stranded old-generation commit is
+    * harmless and retires with its generation).  The residual window —
+    * a marker landing after this check — is exactly the retrain
+    * contract's "serialize with maintainers"; this guard catches the
+    * overwhelmingly common interleaving and fails it safely. */
+  private def guardSuperseded[T](spark: SparkSession, rawUri: String,
+      root: String, what: String)(commit: => T): T = {
+    val out = commit
+    val now = resolveRoot(spark, rawUri)
+    if (now != root) throw new IllegalStateException(
+      s"$rawUri: concurrent retrain superseded generation root $root " +
+        s"(current is $now) while this $what was committing — the " +
+        "commit landed on the retired generation and is INVISIBLE to " +
+        "serving; re-run it against the current generation")
+    out
+  }
+
   /** Incremental INSERT: the stored (frozen) models encode the batch
     * and the commit is a pure append — no existing file is read or
     * rewritten, whatever the index size.  Returns the committed
@@ -321,9 +310,11 @@ object IvfPqStore {
       idCol: String, vecCol: String): Int = {
     val uri = resolveRoot(spark, rawUri)
     val (ivf, pq) = loadModelsAt(spark, uri)
-    graft.io.Snapshots.appendCommit(spark, s"$uri/index",
-      encodeRows(batch, idCol, vecCol, ivf, pq)
-        .sortWithinPartitions("ivf_cell", "id"))
+    guardSuperseded(spark, rawUri, uri, "insert") {
+      graft.io.Snapshots.appendCommit(spark, s"$uri/index",
+        encodeRows(batch, idCol, vecCol, ivf, pq)
+          .sortWithinPartitions("ivf_cell", "id"))
+    }
   }
 
   /** Exactly-once streaming INSERT for foreachBatch pipelines: the
@@ -336,10 +327,12 @@ object IvfPqStore {
       idCol: String, vecCol: String, txnId: String, epoch: Long): Int = {
     val uri = resolveRoot(spark, rawUri)
     val (ivf, pq) = loadModelsAt(spark, uri)
-    graft.io.Snapshots.appendCommitIdempotent(spark, s"$uri/index",
-      encodeRows(batch, idCol, vecCol, ivf, pq)
-        .sortWithinPartitions("ivf_cell", "id"),
-      txnId, epoch)
+    guardSuperseded(spark, rawUri, uri, "idempotent insert") {
+      graft.io.Snapshots.appendCommitIdempotent(spark, s"$uri/index",
+        encodeRows(batch, idCol, vecCol, ivf, pq)
+          .sortWithinPartitions("ivf_cell", "id"),
+        txnId, epoch)
+    }
   }
 
   /** Restore the cell clustering appends erode: each appended batch
@@ -375,8 +368,10 @@ object IvfPqStore {
       s"delete renders ids as an IN predicate; got ${ids.size} " +
         s"(max ${IvfIndex.MaxQueryBatch}) — split the batch")
     val uri = resolveRoot(spark, rawUri)
-    graft.io.Snapshots.deleteWhereCommit(spark, s"$uri/index",
-      s"id IN (${ids.mkString(", ")})", mergeOnRead = true)
+    guardSuperseded(spark, rawUri, uri, "delete") {
+      graft.io.Snapshots.deleteWhereCommit(spark, s"$uri/index",
+        s"id IN (${ids.mkString(", ")})", mergeOnRead = true)
+    }
   }
 
   /** ADC top-k served from the persisted index: codes come from the

@@ -393,6 +393,125 @@ object KnnGraph {
     LayeredKnnGraph(levels, branching)
   }
 
+  // --------------------------------------------- index generations
+  // (protocol shared with the flat IVF-PQ store — [[IndexGenerations]])
+
+  /** Published generation numbers at `uri`, ascending (empty = only
+    * the original gen-0 `levelN/` layout exists).  A generation is
+    * VISIBLE iff its `_genN` marker exists — created exclusively AFTER
+    * the `genN/` subtree (all levels + branching marker) is fully
+    * written, so a crashed rebuild leaves an invisible partial
+    * directory, never a half-readable index. */
+  def generations(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Seq[Int] =
+    IndexGenerations.published(IndexGenerations.fs(spark, uri), uri)
+
+  /** The CURRENT generation's root: `uri/genN` for the highest
+    * published marker, `uri` itself before any rebuild.  Every
+    * load/serve/maintenance entry point resolves it first. */
+  def currentRoot(spark: org.apache.spark.sql.SparkSession,
+      uri: String): String =
+    IndexGenerations.resolveRoot(IndexGenerations.fs(spark, uri), uri)
+
+  /**
+   * REBUILD the layered index from scratch and publish it as a new
+   * GENERATION — the graph-index twin of [[IvfPqStore.retrain]], and
+   * the safe `replace` path: a full NN-Descent rebuild takes minutes,
+   * and deleting the live index first would be a serving outage for
+   * the whole build (and NO index at all after a crash).  Instead the
+   * fresh build stages completely under `uri/gen<N>` (levels +
+   * branching marker version together), then becomes current by ONE
+   * claim-arbitrated exclusive marker create:
+   *
+   *  - serving never pauses — readers resolve the old generation until
+   *    the marker lands, and an IN-FLIGHT search completes untouched
+   *    (its plan pinned the old level files; nothing deletes them
+   *    until [[dropRetiredGenerations]] after readers drain);
+   *  - two racing rebuilds claim DIFFERENT numbers (`_genN.claim`
+   *    exclusive create BEFORE any staging) — both may publish, the
+   *    higher number is current;
+   *  - a crashed rebuild leaves an invisible partial subtree an aged
+   *    vacuum sweeps.
+   *
+   * Serialize with insert/delete maintainers the same way as the flat
+   * store: a maintenance batch racing the swap fails loudly at its
+   * commit-time generation re-check and re-runs against the new
+   * generation.  Returns the new generation number.
+   */
+  def rebuildLayered(spark: org.apache.spark.sql.SparkSession,
+      uri: String, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 6, branching: Int = 4,
+      seedTarget: Int = 128, targetRowsPerFile: Long = 1L << 20): Int = {
+    val fs = IndexGenerations.fs(spark, uri)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${currentRoot(spark, uri)}/level0")),
+      s"$uri has no layered index to rebuild — use " +
+        "buildLayered + persistLayered for the first build")
+    val next = IndexGenerations.claimNext(fs, uri)
+    val genUri = s"$uri/gen$next"
+    // the claim owns this number; any leftover subtree here is our own
+    // earlier partial staging, never another rebuild's
+    fs.delete(new org.apache.hadoop.fs.Path(genUri), true)
+    val idx = buildLayered(corpus, idCol, vecCol, k, iters, branching,
+      seedTarget)
+    persistLayered(spark, idx, genUri, targetRowsPerFile)
+    IndexGenerations.publish(fs, uri, next)
+    next
+  }
+
+  /**
+   * Retire generations older than the newest `keep` — the retention
+   * half of [[rebuildLayered]], same contract as
+   * [[IvfPqStore.dropRetiredGenerations]]: old generations stay on
+   * disk so in-flight readers finish, and THIS call is the operator's
+   * statement that they have drained.  The current generation is never
+   * touched; crashed-rebuild claims are swept only past the age gate.
+   * The pre-rebuild gen-0 layout (`levelN/` + markers at the root) is
+   * retired once a published generation supersedes it.
+   */
+  def dropRetiredGenerations(spark: org.apache.spark.sql.SparkSession,
+      uri: String, keep: Int = 1,
+      claimSweepAgeMs: Long = IndexGenerations.DefaultClaimSweepAgeMs)
+      : Seq[String] = {
+    val gens = generations(spark, uri)
+    if (gens.isEmpty) {
+      require(keep >= 1, "keep must be >= 1 (the current generation)")
+      return Seq.empty // only gen-0 exists: nothing newer
+    }
+    val fs = IndexGenerations.fs(spark, uri)
+    val dropped = IndexGenerations.dropRetiredPublished(fs, uri, keep)
+    IndexGenerations.sweepCrashedClaims(fs, uri, gens.last,
+      claimSweepAgeMs)
+    // gen-0 has no marker: its level tables and maintenance markers at
+    // the root retire once any published generation supersedes it
+    val gen0Level0 = new org.apache.hadoop.fs.Path(uri, "level0")
+    if (gens.size >= keep && fs.exists(gen0Level0)) {
+      val lv = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "level*"))
+      (if (lv == null) Seq.empty
+       else lv.toSeq.map(_.getPath)).foreach(p => fs.delete(p, true))
+      Seq("branching", "_maint_pending", "_maint_applied", "_maint_lock")
+        .foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(uri, m), false))
+      dropped :+ s"$uri (gen-0 layout)"
+    } else dropped
+  }
+
+  /** The graph-side twin of the flat store's commit-time generation
+    * re-check: a maintenance batch that resolved its root before a
+    * rebuild's marker landed has committed to the RETIRED generation —
+    * consistent on disk (the journal applied cleanly there) but
+    * invisible to serving.  Fail loudly; the caller re-runs the batch
+    * against the current generation. */
+  private def guardSuperseded(spark: org.apache.spark.sql.SparkSession,
+      rawUri: String, root: String, what: String): Unit = {
+    val now = currentRoot(spark, rawUri)
+    if (now != root) throw new IllegalStateException(
+      s"$rawUri: concurrent rebuild superseded generation root $root " +
+        s"(current is $now) while this $what was committing — the " +
+        "batch landed on the retired generation and is INVISIBLE to " +
+        "serving; re-run it against the current generation")
+  }
+
   /**
    * Persist each level of a layered index as its own snapshot table
    * under `uri/levelN` (plus a `branching` marker) — the serving-time
@@ -434,8 +553,17 @@ object KnnGraph {
   }
 
   /** Load a [[persistLayered]] index: levels read through the snapshot
-    * layer (pruned, versioned, expire-protected like any table). */
+    * layer (pruned, versioned, expire-protected like any table).
+    * Resolves the CURRENT generation first — after a
+    * [[rebuildLayered]], this serves the new build automatically. */
   def loadLayered(spark: org.apache.spark.sql.SparkSession,
+      uri: String): LayeredKnnGraph =
+    loadLayeredAt(spark, currentRoot(spark, uri))
+
+  /** [[loadLayered]] on an ALREADY-RESOLVED generation root — the
+    * maintenance entry points resolve once and pass the root through,
+    * so a batch costs one generation listing, not several. */
+  private def loadLayeredAt(spark: org.apache.spark.sql.SparkSession,
       uri: String): LayeredKnnGraph = {
     val fs = new org.apache.hadoop.fs.Path(uri)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -579,10 +707,22 @@ object KnnGraph {
     // wedged task, which may still be committing in the background: a
     // released lease would let resumeMaintenance restore levels UNDER
     // the zombie's late commit.  Held lease + journal = the documented
-    // crash-recovery path.
+    // crash-recovery path.  Wedged failures are detected ANYWHERE in
+    // the cause chain — a Future/Spark layer that wraps the timeout in
+    // its own exception must not smuggle the release past the check.
+    def isWedged(e: Throwable): Boolean = {
+      var c = e
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+      while (c != null && seen.add(c)) {
+        if (c.isInstanceOf[WedgedMaintenanceException]) return true
+        c = c.getCause
+      }
+      false
+    }
     var wedged = false
     try body
-    catch { case e: WedgedMaintenanceException => wedged = true; throw e }
+    catch { case e: Throwable => wedged = isWedged(e); throw e }
     finally { if (!wedged) fs.delete(lock, false) }
   }
 
@@ -603,7 +743,8 @@ object KnnGraph {
    * maintenance lease can — a live holder blocks resume).
    */
   def resumeMaintenance(spark: org.apache.spark.sql.SparkSession,
-      uri: String): Seq[(String, Int)] =
+      rawUri: String): Seq[(String, Int)] = {
+    val uri = currentRoot(spark, rawUri)
     withMaintenanceLock(spark, uri, "resumeMaintenance") {
       val journal = pendingMaintenance(spark, uri).getOrElse(
         throw new IllegalStateException(
@@ -632,6 +773,7 @@ object KnnGraph {
       fs.delete(maintPendingPath(uri), false)
       restored
     }
+  }
 
   /** Maintenance journal: levels commit one at a time, so a crash
     * mid-[[insertLayered]]/[[deleteFromLayered]] leaves some levels
@@ -641,7 +783,8 @@ object KnnGraph {
     * is detectable ([[pendingMaintenance]]) and resumable: restore
     * each level to its recorded version, re-run the batch. */
   def pendingMaintenance(spark: org.apache.spark.sql.SparkSession,
-      uri: String): Option[String] = {
+      rawUri: String): Option[String] = {
+    val uri = currentRoot(spark, rawUri)
     val p = maintPendingPath(uri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -766,15 +909,16 @@ object KnnGraph {
       k: Int = 10, beam: Int = 40, hops: Int = 4): LayeredKnnGraph = {
     require(k >= 1 && beam >= k && hops >= 1,
       "need k >= 1, beam >= k, hops >= 1")
-   withMaintenanceLock(spark, uri, "insertLayered") {
-    val idx = loadLayered(spark, uri)
+   val root = currentRoot(spark, uri)
+   withMaintenanceLock(spark, root, "insertLayered") {
+    val idx = loadLayeredAt(spark, root)
     val br = idx.branching
     GraftFunctions.register(spark)
     val exNodes = existing.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
     val newNodes = batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
-    markPending(spark, uri, idx)
+    markPending(spark, root, idx)
     perLevel(idx.levels.length) { l =>
       val g = idx.levels(l)
       val levelNew =
@@ -798,6 +942,7 @@ object KnnGraph {
         // concurrently — the batch graph hides under the longer walk
         val seeds = levelExisting.select(col("id").as("cand"))
           .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
+        // (level tables live under the resolved generation root)
         val wantBatchGraph = l == 0 && mNew >= 2L * k
         val produced = concurrently(Seq(
           () => Some(dbg("beamServe")(
@@ -833,12 +978,13 @@ object KnnGraph {
           topKExact(oldPairs.unionAll(revPairs).distinct(), allVecs, k)
         if (crashLevels.contains(l)) throw new IllegalStateException(
           s"injected crash: level$l commit skipped (test fault hook)")
-        dbg("commit")(commitLevelMerge(spark, s"$uri/level$l", g, affected,
+        dbg("commit")(commitLevelMerge(spark, s"$root/level$l", g, affected,
           rescored.unionByName(newLists)))
       }
     }
-    markApplied(spark, uri)
-    loadLayered(spark, uri)
+    markApplied(spark, root)
+    guardSuperseded(spark, uri, root, "insertLayered")
+    loadLayeredAt(spark, root)
    }
   }
 
@@ -859,14 +1005,15 @@ object KnnGraph {
       uri: String, ids: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): LayeredKnnGraph = {
     require(k >= 1, "need k >= 1")
-   withMaintenanceLock(spark, uri, "deleteFromLayered") {
-    val idx = loadLayered(spark, uri)
+   val root = currentRoot(spark, uri)
+   withMaintenanceLock(spark, root, "deleteFromLayered") {
+    val idx = loadLayeredAt(spark, root)
     GraftFunctions.register(spark)
     val del = ids.select(col(ids.columns.head).cast("long").as("id"))
       .distinct().localCheckpoint()
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
-    markPending(spark, uri, idx)
+    markPending(spark, root, idx)
     perLevel(idx.levels.length) { l =>
       val g = idx.levels(l)
       val delAsNeighbor = del.withColumnRenamed("id", "neighbor_id")
@@ -895,10 +1042,11 @@ object KnnGraph {
       val replaced = del.unionByName(aff.withColumnRenamed("a", "id"))
       if (crashLevels.contains(l)) throw new IllegalStateException(
         s"injected crash: level$l commit skipped (test fault hook)")
-      commitLevelMerge(spark, s"$uri/level$l", g, replaced, healed)
+      commitLevelMerge(spark, s"$root/level$l", g, replaced, healed)
     }
-    markApplied(spark, uri)
-    loadLayered(spark, uri)
+    markApplied(spark, root)
+    guardSuperseded(spark, uri, root, "deleteFromLayered")
+    loadLayeredAt(spark, root)
    }
   }
 
@@ -921,12 +1069,13 @@ object KnnGraph {
     // make the batch's un-retried mergeCommit fail mid-journal.  The
     // lease serializes them — the loser fails loudly BEFORE any level
     // commits (on either side), never mid-batch.
-    withMaintenanceLock(spark, uri, "compactLayered") {
-      val idx = loadLayered(spark, uri) // validates the index shape
+    val root = currentRoot(spark, uri)
+    withMaintenanceLock(spark, root, "compactLayered") {
+      val idx = loadLayeredAt(spark, root) // validates the index shape
       idx.levels.indices.map { l =>
         graft.io.Snapshots.retryCommit() {
           graft.io.Snapshots.optimizeCommit(
-            spark, s"$uri/level$l", targetBytes, Seq("id"), None)
+            spark, s"$root/level$l", targetBytes, Seq("id"), None)
         }
       }
     }

@@ -271,7 +271,11 @@ object Similarity {
     * This is the at-rest layout [[matryoshkaTopK]]'s doc promises at
     * corpus scale — parquet is columnar, so the coarse pass projects
     * just `(id, prefix)` and the scan reads dPrefix/d of the embedding
-    * BYTES; the full vectors page in only for the shortlist rerank. */
+    * BYTES; the full vectors page in only for the shortlist rerank.
+    *
+    * CONTRACT: `dir` is REPLACED unconditionally (`mode("overwrite")`)
+    * — point it at a directory owned by this layout, never at one
+    * holding anything else. */
   def matryoshkaWrite(df: DataFrame, idCol: String, vecCol: String,
       dPrefix: Int, dir: String): Unit = {
     require(dPrefix >= 1, "dPrefix must be >= 1")
