@@ -3032,9 +3032,52 @@ object SparkEntry {
       s.sql(s"CALL graft.system.vector_delete(index => '$uri', " +
         "ids => '7, 27, 64')")
       s.sql(s"CALL graft.system.vector_compact(index => '$uri')")
+      // replace => true rebuilds as a GENERATION on re-runs (atomic
+      // replace — the old index is never deleted first), so retention
+      // is part of the lifecycle: retire everything but the current
+      s.sql(s"CALL graft.system.vector_vacuum(index => '$uri')")
       s.sql(s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
         "'embedding', 'vec_id < 5', 10, 4, 60) " +
         "ORDER BY query_id, rank")
+    }),
+
+    // the drift LOOP entirely from SQL: the fixture store is built
+    // DRIFTED (models on a 20% skewed sample — sim_ann_retrain's
+    // shape), one CALL measures recall@10 on the probe queries against
+    // exact brute force and, below threshold, retrains as generation 1;
+    // the output RE-MEASURES from SQL via the vector_recall table
+    // function.  Post-retrain the store serves under fresh full-corpus
+    // models, so the oracle replicates recall@10 of the standard
+    // IVF-PQ serve vs brute force — exact IEEE count/k divisions,
+    // value-oracled like sim_recall_eval
+    "sim_drift_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.catalog.GraftCatalog].getName)
+      graft.meta.MetaTableFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val src = s"$dir/embeddings.parquet"
+      val uri = util.Staging.dirFor(
+        "graft_ivfpq_drift_" + new java.io.File(dir).getName, src)
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // the loop mutates the generation chain — fresh fixture per run
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val drifted = e.filter(col("vec_id") % 5 === 0)
+      ops.IvfPqStore.persist(s, uri, e, "vec_id", "embedding",
+        ops.IvfIndex.train(drifted, "vec_id", "embedding",
+          k = 8, iters = 3),
+        ops.PqIndex.train(drifted, "vec_id", "embedding",
+          m = 16, k = 32, iters = 4),
+        targetRowsPerFile = 50)
+      val acted = s.sql("CALL graft.system.vector_retrain_if_drifted(" +
+        s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+        "vec_col => 'embedding', probes_where => 'vec_id < 5', " +
+        "threshold => 0.9, rows_per_file => 50)").head()
+      require(acted.getBoolean(1),
+        f"drift fixture did not trigger a retrain " +
+          f"(recall ${acted.getDouble(0)}%.3f)")
+      s.sql(s"SELECT * FROM vector_recall('$uri', '$src', 'vec_id', " +
+        "'embedding', 'vec_id < 5', 10, 4, 60) ORDER BY query_id")
     }),
 
     // STREAMING IVF-PQ index maintenance: each foreachBatch trigger
@@ -3165,6 +3208,37 @@ object SparkEntry {
       val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
         k = 10, iters = 6, branching = 4, seedTarget = 128)
       ops.KnnGraph.searchLayered(idx, e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // graph-index REBUILD as an MVCC generation (round 14 — the
+    // layered twin of sim_ann_retrain): the initial persisted index is
+    // deliberately DRIFTED (built over a 10% subset), then
+    // rebuildLayered runs a fresh full-corpus NN-Descent staged under
+    // uri/gen1 and published by ONE exclusive marker create — serving
+    // never pauses, replace never deletes the only copy, and the
+    // post-swap serve IS the one-shot layered build, so the layered
+    // oracle replicates it value-exactly
+    "sim_knn_rebuild" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val uri = util.Staging.dirFor(
+        "graft_knn_rebuild_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // rebuild mutates the generation chain — fresh fixture per run
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      ops.KnnGraph.persistLayered(s,
+        ops.KnnGraph.buildLayered(e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 10, iters = 2, branching = 4,
+          seedTarget = 128), uri, targetRowsPerFile = 2000)
+      ops.KnnGraph.rebuildLayered(s, uri, e, "vec_id", "embedding",
+        k = 10, iters = 6, branching = 4, seedTarget = 128,
+        targetRowsPerFile = 2000)
+      ops.KnnGraph.searchLayered(ops.KnnGraph.loadLayered(s, uri), e,
+          e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
           k = 10, beam = 40, hops = 4)
         .orderBy("query_id", "rank")
@@ -3542,6 +3616,24 @@ object SparkEntry {
           k = 30, nprobe = 4, rerank = 60)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Lexical.rrfFuse(Seq(lex, sem), "doc_id", "rank", kConst = 60, topK = 20)
+    }),
+
+    // the hybrid serve as ONE SQL relation: the hybrid_search table
+    // function fuses the SAME two persisted indexes (BM25 postings ⊕
+    // IVF-PQ store) by the same reciprocal-rank formula — the
+    // sim_hybrid_served topology, now driven without leaving SQL
+    "sim_hybrid_sql" -> ((s, dir) => {
+      graft.meta.MetaTableFunctions.register(s)
+      val bmIdx = graft.util.Staging.dirFor("graft_bm25_idx_v1",
+        s"$dir/documents.parquet")
+      if (!new java.io.File(s"$bmIdx/stats/_SUCCESS").exists())
+        Lexical.buildIndex(t(s, dir, "documents"), "doc_id", "text", bmIdx)
+      val e = t(s, dir, "embeddings")
+      val vecIdx = stageIvfPq(s, dir, e, e, "full")
+      s.sql(s"SELECT * FROM hybrid_search('$bmIdx', '$vecIdx', " +
+        s"'$dir/embeddings.parquet', 'vec_id', 'embedding', " +
+        "'spark, window, merge, vector', 'vec_id = 0', 30, 4, 60, " +
+        "60, 20) ORDER BY rrf DESC, id")
     }),
 
     // weighted sampling without replacement (Efraimidis-Spirakis):
@@ -4322,6 +4414,82 @@ object SparkEntry {
       rerankSql("short", k = 10)
   }
 
+  /** Hybrid-over-persisted-indexes replication, shared by the Scala
+    * composition (`sim_hybrid_served`, fused id column `doc_id`) and
+    * the `hybrid_search` table function (`sim_hybrid_sql`, generic
+    * `id`): the bm25 leg is the exact k1=1.2/b=0.75 formula, the
+    * semantic leg the full IVF-PQ serve for query vec 0, fused by
+    * 1/(60+rank) sums (each addend one exact IEEE division). */
+  private def hybridServedOracleSql(outId: String): String =
+    "WITH " + HybridBm25Ctes + ", " +
+      IvfTrainCtes + ", " + PqTrainCtes + ", " +
+      ivfAssignCte("cellf", "c3") + ", " +
+      pqAssignCte("enc", "b4") + ", " +
+      ivfProbesCte(nprobe = 4, qMax = 1) + ", " +
+      pqAdcCtes(qMax = 1, rerank = 60,
+        candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
+          "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
+          "WHERE cf.vec_id <> p.query_id), " +
+          "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
+          "qt.tval, cnq.cnorm FROM candc cd " +
+          "JOIN enc e ON e.vec_id = cd.neighbor_id " +
+          "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
+          "AND qt.c = e.c " +
+          "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
+      "semsc AS (SELECT s.query_id, s.neighbor_id, " +
+      "row_number() OVER (PARTITION BY s.query_id ORDER BY " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) DESC, s.neighbor_id) AS rk " +
+      "FROM short s JOIN embeddings en ON en.vec_id = s.neighbor_id " +
+      "JOIN embeddings eq ON eq.vec_id = s.query_id), " +
+      "sem AS (SELECT neighbor_id AS doc_id, rk AS rank_2 " +
+      "FROM semsc WHERE rk <= 30) " +
+      s"SELECT doc_id AS $outId, rank_1, rank_2, " +
+      "round(coalesce(1.0 / (60 + rank_1), 0) + " +
+      "coalesce(1.0 / (60 + rank_2), 0), 9) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem USING (doc_id) " +
+      s"ORDER BY rrf DESC, $outId LIMIT 20"
+
+  /** recall@10 of the standard IVF-PQ serve (fresh full-corpus models,
+    * 4-of-8 probes, ADC shortlist 60, exact rerank) against exact
+    * brute force, per probe query — the drift loop's re-measurement.
+    * Both top-10 sets replicate value-exactly and the recall is one
+    * exact count/10 division, so the metric itself value-oracles. */
+  private lazy val IvfPqRecallOracle: String =
+    "WITH " + IvfTrainCtes + ", " + PqTrainCtes + ", " +
+      ivfAssignCte("cellf", "c3") + ", " +
+      pqAssignCte("enc", "b4") + ", " +
+      ivfProbesCte(nprobe = 4, qMax = 5) + ", " +
+      pqAdcCtes(qMax = 5, rerank = 60,
+        candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
+          "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
+          "WHERE cf.vec_id <> p.query_id), " +
+          "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
+          "qt.tval, cnq.cnorm FROM candc cd " +
+          "JOIN enc e ON e.vec_id = cd.neighbor_id " +
+          "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
+          "AND qt.c = e.c " +
+          "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
+      "appr AS (SELECT query_id, neighbor_id FROM (" +
+      "SELECT s.query_id, s.neighbor_id, row_number() OVER " +
+      "(PARTITION BY s.query_id ORDER BY " +
+      "list_cosine_similarity(en.embedding::DOUBLE[], " +
+      "eq.embedding::DOUBLE[]) DESC, s.neighbor_id) AS rk " +
+      "FROM short s JOIN embeddings en ON en.vec_id = s.neighbor_id " +
+      "JOIN embeddings eq ON eq.vec_id = s.query_id) WHERE rk <= 10), " +
+      "bf AS (SELECT query_id, neighbor_id FROM (" +
+      "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(c.embedding::DOUBLE[], " +
+      "q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk " +
+      "FROM embeddings c, embeddings q " +
+      "WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rk <= 10) " +
+      "SELECT bf.query_id, " +
+      "CAST(count(appr.neighbor_id) AS DOUBLE) / 10.0 AS recall " +
+      "FROM bf LEFT JOIN appr ON appr.query_id = bf.query_id " +
+      "AND appr.neighbor_id = bf.neighbor_id " +
+      "GROUP BY bf.query_id ORDER BY bf.query_id"
+
   /** The BM25 lexical leg of the hybrid oracles: query-term postings,
     * df/N stats, the exact k1=1.2/b=0.75 formula, top-30 → `lex`
     * `(doc_id, rank_1)` — shared verbatim by `sim_hybrid_rrf` (inline
@@ -5040,6 +5208,11 @@ object SparkEntry {
     // base into the full corpus; compaction is pure layout — the
     // one-shot build's oracle replicates the final serve
     "stream_ivfpq_index" -> ivfPqOracle(),
+    // the SQL drift loop retrains to fresh full-corpus models, and the
+    // output re-measures recall@10 of that serve vs exact brute force:
+    // the standard IVF-PQ replication's top-10 intersected with the
+    // brute-force top-10, count/10 per query — every division exact
+    "sim_drift_sql" -> IvfPqRecallOracle,
 
     // value-exact SQ8: exact per-dim min/max stats, floor(t+0.5)
     // quantizer clamped to [0,255], REAL-rounded dequantization,
@@ -5095,6 +5268,10 @@ object SparkEntry {
     // identical build parameters and query set served from the
     // persisted per-level snapshot tables — same replication
     "sim_knn_serve_layered_persisted" -> KnnLayeredOracle,
+    // the generation-swapped rebuild lands the one-shot full-corpus
+    // layered build (same parameters, fresh NN-Descent) — the layered
+    // oracle replicates the post-swap serve verbatim
+    "sim_knn_rebuild" -> KnnLayeredOracle,
     "sim_knn_index_insert" -> KnnInsertOracle,
     "sim_knn_index_delete" -> KnnDeleteOracle,
     "stream_knn_index" -> KnnStreamInsertOracle,
@@ -6424,35 +6601,10 @@ object SparkEntry {
     // the semantic leg is the full IVF-PQ serve for query vec 0 —
     // trained models, 4-of-8 probed cells, ADC shortlist 60, exact
     // rerank to top 30 — then the same 1/(60+rank) fusion
-    "sim_hybrid_served" ->
-      ("WITH " + HybridBm25Ctes + ", " +
-        IvfTrainCtes + ", " + PqTrainCtes + ", " +
-        ivfAssignCte("cellf", "c3") + ", " +
-        pqAssignCte("enc", "b4") + ", " +
-        ivfProbesCte(nprobe = 4, qMax = 1) + ", " +
-        pqAdcCtes(qMax = 1, rerank = 60,
-          candJoin = "candc AS (SELECT p.query_id, cf.vec_id AS " +
-            "neighbor_id FROM probes p JOIN cellf cf ON cf.c = p.c " +
-            "WHERE cf.vec_id <> p.query_id), " +
-            "adcp AS (SELECT cd.query_id, cd.neighbor_id, qt.mi, " +
-            "qt.tval, cnq.cnorm FROM candc cd " +
-            "JOIN enc e ON e.vec_id = cd.neighbor_id " +
-            "JOIN qt ON qt.query_id = cd.query_id AND qt.mi = e.mi " +
-            "AND qt.c = e.c " +
-            "JOIN cnq ON cnq.mi = e.mi AND cnq.c = e.c)") + ", " +
-        "semsc AS (SELECT s.query_id, s.neighbor_id, " +
-        "row_number() OVER (PARTITION BY s.query_id ORDER BY " +
-        "list_cosine_similarity(en.embedding::DOUBLE[], " +
-        "eq.embedding::DOUBLE[]) DESC, s.neighbor_id) AS rk " +
-        "FROM short s JOIN embeddings en ON en.vec_id = s.neighbor_id " +
-        "JOIN embeddings eq ON eq.vec_id = s.query_id), " +
-        "sem AS (SELECT neighbor_id AS doc_id, rk AS rank_2 " +
-        "FROM semsc WHERE rk <= 30) " +
-        "SELECT doc_id, rank_1, rank_2, " +
-        "round(coalesce(1.0 / (60 + rank_1), 0) + " +
-        "coalesce(1.0 / (60 + rank_2), 0), 9) AS rrf " +
-        "FROM lex FULL OUTER JOIN sem USING (doc_id) " +
-        "ORDER BY rrf DESC, doc_id LIMIT 20"),
+    "sim_hybrid_served" -> hybridServedOracleSql("doc_id"),
+    // the SQL hybrid_search table function fuses the same two
+    // persisted serves (its generic output id column is `id`)
+    "sim_hybrid_sql" -> hybridServedOracleSql("id"),
 
     // naive all-pairs within-block edit-distance join — the banded Spark
     // plan must return exactly this

@@ -72,8 +72,8 @@ object MetaTableFunctions {
     * FROM-clause relation: `source` supplies the rerank vectors, and
     * `queries` is EITHER a `queries_where` string (the query set =
     * `source WHERE ...`) OR an ARRAY literal — one fresh embedding
-    * served straight from SQL (`array(0.1, ...)`, query_id 0) without
-    * staging a one-row table first.  The whole serve — like the
+    * served straight from SQL (`array(0.1, ...)`, reported as
+    * query_id -1) without staging a one-row table first.  The whole serve — like the
     * build/insert/delete/compact procedures it pairs with — runs
     * without leaving SQL; joins/filters compose on top like any
     * relation. */
@@ -118,11 +118,15 @@ object MetaTableFunctions {
           .queryExecution.analyzed
       })
 
-  /** A one-row query relation `(query_id = 0, __qv)` from an array
+  /** A one-row query relation `(query_id = -1, __qv)` from an array
     * literal, with the vector cast to the CORPUS vector column's exact
     * element type — the scoring path then sees the same types as the
-    * staged-table route, so a literal serve is value-equal to filtering
-    * an identical row out of a table. */
+    * staged-table route, so a literal serve is value-equal to staging
+    * an identical one-row query table.  query_id is -1 because a
+    * literal is a FRESH embedding, not a corpus row: the serve excludes
+    * `neighbor_id == query_id`, and a colliding id would silently drop
+    * that corpus row from the results (ids are non-negative in every
+    * sane corpus; if yours include -1, stage a query table instead). */
   private def literalQueryDf(spark: SparkSession,
       corpus: org.apache.spark.sql.DataFrame, vecCol: String,
       fname: String, e: Expression): org.apache.spark.sql.DataFrame = {
@@ -168,7 +172,7 @@ object MetaTableFunctions {
       StructField("__qv", ArrayType(elemT), nullable = false)))
     spark.createDataFrame(
       java.util.Collections.singletonList(
-        org.apache.spark.sql.Row(0L, vec)),
+        org.apache.spark.sql.Row(-1L, vec)),
       schema)
   }
 
@@ -249,13 +253,21 @@ object MetaTableFunctions {
         require(queries.limit(2).count() == 1,
           s"hybrid_search: query_where '$qWhere' must select exactly " +
             "one query vector")
+        // the BM25 index stores its own id column (named at build
+        // time): detect it from the postings schema, rename to the
+        // fused output's `id`
+        val bmIdCol = spark.read.parquet(s"$bmIdx/postings")
+          .schema.fieldNames
+          .filterNot(Set("term", "dl", "tf")).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"hybrid_search: $bmIdx/postings has no id column"))
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("id"))
-        val lex = graft.ops.Lexical.bm25Serve(spark, bmIdx, "id",
+          .orderBy(col("score").desc, col(bmIdCol))
+        val lex = graft.ops.Lexical.bm25Serve(spark, bmIdx, bmIdCol,
             terms, kEach)
           .withColumn("rank",
             org.apache.spark.sql.functions.row_number().over(w))
-          .select("id", "rank")
+          .select(col(bmIdCol).as("id"), col("rank"))
         val sem = graft.ops.IvfPqStore.search(spark, vecIdx, corpus,
             queries, idCol, vecCol, idCol, vecCol,
             kEach, nprobe, rerank)

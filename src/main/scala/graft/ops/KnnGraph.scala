@@ -746,7 +746,7 @@ object KnnGraph {
       rawUri: String): Seq[(String, Int)] = {
     val uri = currentRoot(spark, rawUri)
     withMaintenanceLock(spark, uri, "resumeMaintenance") {
-      val journal = pendingMaintenance(spark, uri).getOrElse(
+      val journal = pendingMaintenanceAt(spark, uri).getOrElse(
         throw new IllegalStateException(
           s"$uri has no pending maintenance journal — nothing to resume"))
       val entries = journal.split("\n").toSeq.map(_.trim)
@@ -783,8 +783,17 @@ object KnnGraph {
     * is detectable ([[pendingMaintenance]]) and resumable: restore
     * each level to its recorded version, re-run the batch. */
   def pendingMaintenance(spark: org.apache.spark.sql.SparkSession,
-      rawUri: String): Option[String] = {
-    val uri = currentRoot(spark, rawUri)
+      rawUri: String): Option[String] =
+    pendingMaintenanceAt(spark, currentRoot(spark, rawUri))
+
+  /** [[pendingMaintenance]] on an ALREADY-RESOLVED generation root —
+    * internal callers (markPending, resumeMaintenance) must check the
+    * SAME root they journal/restore at, never re-resolve: a rebuild
+    * publishing mid-call would otherwise split the check and the write
+    * across generations. */
+  private def pendingMaintenanceAt(
+      spark: org.apache.spark.sql.SparkSession,
+      uri: String): Option[String] = {
     val p = maintPendingPath(uri)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -823,7 +832,7 @@ object KnnGraph {
     // clean once this batch lands — refuse instead; the operator
     // restores each level to the journal's version (then deletes the
     // marker) before new maintenance may run.
-    pendingMaintenance(spark, uri).foreach { journal =>
+    pendingMaintenanceAt(spark, uri).foreach { journal =>
       throw new IllegalStateException(
         s"$uri has an unresolved maintenance journal (a prior batch " +
           "crashed mid-commit). Restore each level to its recorded " +

@@ -295,4 +295,143 @@ class ProceduresSpec extends AnyFunSuite {
       s"CALL graft.system.knn_resume(index => '$uri')"))
     assert(noJournal.getMessage.contains("nothing to resume"))
   }
+
+  test("replace => true is ATOMIC for both index families: the live " +
+      "index is rebuilt as a new generation, never deleted first; " +
+      "vacuum retires the old copy after readers drain") {
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val fs = new Path(TestSpark.tmpDir("x"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // ---- flat IVF-PQ store
+    val vUri = fresh("proc_replace_vec")
+    spark.sql("CALL graft.system.vector_index_build(" +
+      s"index => '$vUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', rows_per_file => 50)")
+    assert(graft.ops.IvfPqStore.generations(spark, vUri).isEmpty)
+    spark.sql("CALL graft.system.vector_index_build(" +
+      s"index => '$vUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', rows_per_file => 50, replace => true)")
+    assert(graft.ops.IvfPqStore.generations(spark, vUri) == Seq(1),
+      "replace must publish a generation, not rebuild in place")
+    assert(fs.exists(new Path(vUri, "index")),
+      "replace deleted the live index before the swap")
+    val retired = spark.sql(
+      s"CALL graft.system.vector_vacuum(index => '$vUri')").collect()
+    assert(retired.exists(_.getString(0).contains("gen-0")))
+    assert(!fs.exists(new Path(vUri, "index")))
+    // ---- layered graph index
+    val kUri = fresh("proc_replace_knn")
+    spark.sql("CALL graft.system.knn_index_build(" +
+      s"index => '$kUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', k => 5, iters => 2, seed_target => 64)")
+    assert(graft.ops.KnnGraph.generations(spark, kUri).isEmpty)
+    spark.sql("CALL graft.system.knn_index_build(" +
+      s"index => '$kUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', k => 5, iters => 2, seed_target => 64, " +
+      "replace => true)")
+    assert(graft.ops.KnnGraph.generations(spark, kUri) == Seq(1),
+      "knn replace must publish a generation")
+    assert(fs.exists(new Path(kUri, "level0")),
+      "knn replace deleted the live index before the swap")
+    // explicit rebuild procedure: one more generation
+    val gen2 = spark.sql(s"CALL graft.system.knn_rebuild(" +
+      s"index => '$kUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', k => 5, iters => 2, seed_target => 64)")
+      .head().getInt(0)
+    assert(gen2 == 2)
+    val kRetired = spark.sql(
+      s"CALL graft.system.knn_vacuum(index => '$kUri')").collect()
+    assert(kRetired.length == 2, s"expected gen1 + gen-0: " +
+      s"${kRetired.toSeq}")
+    assert(!fs.exists(new Path(kUri, "level0")))
+    assert(graft.ops.KnnGraph.generations(spark, kUri) == Seq(2))
+    // the current generation serves from SQL, equal to the Scala route
+    val sqlServe = spark.sql(s"SELECT * FROM knn_search('$kUri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 3', 5, 20, 3) " +
+      "ORDER BY query_id, rank").collect().map(_.toSeq).toSeq
+    val e = spark.read.parquet(src)
+    val apiServe = graft.ops.KnnGraph.searchLayered(
+        graft.ops.KnnGraph.loadLayered(spark, kUri), e,
+        e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 20, hops = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlServe == apiServe)
+  }
+
+  test("CALL knn_insert keeps NULL-predicate rows in the standing " +
+      "corpus — no row vanishes from the index under three-valued logic") {
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = fresh("proc_knn_null")
+    spark.sql("CALL graft.system.knn_index_build(" +
+      s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', `where` => 'vec_id % 10 <> 3', " +
+      "k => 5, iters => 2, seed_target => 64)")
+    val e = spark.read.parquet(src)
+    val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    // batch = %10==3; %10==4 rows evaluate NULL — SQL WHERE semantics
+    // put them in NEITHER batch nor a naive NOT(batch) side, and the
+    // pre-fix split dropped their vectors from the standing corpus, so
+    // any of them an inserted node selected as a neighbor had its list
+    // DELETED by the re-rank merge
+    spark.sql(s"CALL graft.system.knn_insert(index => '$uri', " +
+      s"source => '$src', id_col => 'vec_id', vec_col => 'embedding', " +
+      "batch_where => " +
+      "'IF(vec_id % 10 = 3, true, IF(vec_id % 10 = 4, NULL, false))', " +
+      "k => 5, beam => 20, hops => 3)")
+    val level0Ids = graft.ops.KnnGraph.loadLayered(spark, uri)
+      .levels.head.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(level0Ids == allIds,
+      s"rows vanished from the index: missing " +
+        s"${(allIds -- level0Ids).toSeq.sorted.take(8)}")
+  }
+
+  test("CALL vector_retrain_if_drifted closes the drift loop from " +
+      "SQL, and vector_recall equals the Scala recall route") {
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = fresh("proc_drift")
+    // the drifted fixture: models trained on a thin skewed sample
+    val e = spark.read.parquet(src)
+    val drifted = e.filter(col("vec_id") % 7 === 0)
+    graft.ops.IvfPqStore.persist(spark, uri, e, "vec_id", "embedding",
+      graft.ops.IvfIndex.train(drifted, "vec_id", "embedding",
+        k = 8, iters = 3),
+      graft.ops.PqIndex.train(drifted, "vec_id", "embedding",
+        m = 16, k = 32, iters = 4),
+      targetRowsPerFile = 50)
+    def call() = spark.sql("CALL graft.system.vector_retrain_if_drifted(" +
+      s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', probes_where => 'vec_id < 5', " +
+      "threshold => 0.9, rows_per_file => 50)").head()
+    val first = call()
+    assert(first.getDouble(0) < 0.9,
+      f"fixture not drifted enough: ${first.getDouble(0)}%.2f")
+    assert(first.getBoolean(1) && first.getInt(2) == 1,
+      s"drift below threshold must retrain: $first")
+    // re-measure from SQL: the retrained store serves healthily
+    val recallSql = spark.sql(s"SELECT * FROM vector_recall('$uri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 5', 10, 4, 60) " +
+      "ORDER BY query_id").collect().map(_.toSeq).toSeq
+    assert(recallSql.map(_(1).asInstanceOf[Double]).sum /
+      recallSql.size >= 0.9, s"post-retrain recall low: $recallSql")
+    // value parity with the Scala measurement route
+    val approx = graft.ops.IvfPqStore.search(spark, uri, e,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "vec_id", "embedding", k = 10, nprobe = 4, rerank = 60)
+    val exact = graft.ops.Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "vec_id", "embedding", k = 10)
+    val recallApi = graft.ops.Similarity.recallAtK(exact, approx, 10)
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(recallSql == recallApi,
+      "SQL vector_recall diverged from the Scala recallAtK route")
+    // a healthy store is left alone: no retrain, generation NULL
+    val second = call()
+    assert(!second.getBoolean(1) && second.isNullAt(2),
+      s"healthy store must not retrain: $second")
+    assert(graft.ops.IvfPqStore.generations(spark, uri) == Seq(1))
+  }
 }

@@ -98,6 +98,100 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       e2.getMessage.contains("string literal"))
   }
 
+  test("vector_search serves a LITERAL query vector: one fresh " +
+      "embedding straight from SQL, value-equal to staging a one-row " +
+      "query table") {
+    import org.apache.spark.sql.functions._
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = TestSpark.tmpDir("tf_vec_literal")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    val e = spark.read.parquet(src)
+    val ivf = graft.ops.IvfIndex.train(e, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val pq = graft.ops.PqIndex.train(e, "vec_id", "embedding",
+      m = 16, k = 32, iters = 2)
+    graft.ops.IvfPqStore.persist(spark, uri, e, "vec_id", "embedding",
+      ivf, pq, targetRowsPerFile = 50)
+    // the "fresh embedding": corpus row 7's vector, passed as a FLOAT
+    // array literal (the corpus element type)
+    val vec = e.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val lit = "CAST(array(" + vec.map(v => s"CAST($v AS FLOAT)")
+      .mkString(", ") + ") AS ARRAY<FLOAT>)"
+    val got = spark.sql(s"SELECT * FROM vector_search('$uri', '$src', " +
+      s"'vec_id', 'embedding', $lit, 5, 4, 40) ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    // staged-table route: the same vector as an explicit one-row query
+    // relation with the same sentinel id
+    import spark.implicits._
+    val staged = Seq((-1L, vec.toArray)).toDF("query_id", "__qv")
+    val want = graft.ops.IvfPqStore.search(spark, uri, e, staged,
+        "vec_id", "embedding", "query_id", "__qv",
+        k = 5, nprobe = 4, rerank = 40)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "literal-vector serve diverged from the staged-table route")
+    // a fresh embedding must NOT shadow any corpus row: vec 7 itself is
+    // the top neighbor (the literal is its vector, but not its id)
+    assert(got.head(2) == 7L && got.head(0) == -1L, s"got: ${got.head}")
+    // malformed literals refuse loudly
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
+        "'embedding', array('a', 'b'), 5, 4, 40)"))
+    assert(err.getMessage.contains("non-numeric"), err.getMessage)
+  }
+
+  test("hybrid_search fuses the two persisted indexes from SQL, " +
+      "value-equal to the Scala rrfFuse composition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dsrc = s"${TestSpark.sfDir}/documents.parquet"
+    val esrc = s"${TestSpark.sfDir}/embeddings.parquet"
+    val docs = spark.read.parquet(dsrc)
+    val e = spark.read.parquet(esrc)
+    val conf = spark.sessionState.newHadoopConf()
+    val bmIdx = TestSpark.tmpDir("tf_hybrid_bm25")
+    val fs = new org.apache.hadoop.fs.Path(bmIdx).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(bmIdx), true)
+    graft.ops.Lexical.buildIndex(docs, "doc_id", "text", bmIdx)
+    val vecIdx = TestSpark.tmpDir("tf_hybrid_vec")
+    fs.delete(new org.apache.hadoop.fs.Path(vecIdx), true)
+    graft.ops.IvfPqStore.persist(spark, vecIdx, e, "vec_id", "embedding",
+      graft.ops.IvfIndex.train(e, "vec_id", "embedding", k = 8, iters = 2),
+      graft.ops.PqIndex.train(e, "vec_id", "embedding",
+        m = 16, k = 32, iters = 2),
+      targetRowsPerFile = 50)
+    val got = spark.sql(s"SELECT * FROM hybrid_search('$bmIdx', " +
+      s"'$vecIdx', '$esrc', 'vec_id', 'embedding', " +
+      "'spark, merge, vector', 'vec_id = 0', 20, 4, 40, 60, 15)")
+      .collect().map(_.toSeq).toSeq
+    val lex = graft.ops.Lexical.bm25Serve(spark, bmIdx, "doc_id",
+        Seq("spark", "merge", "vector"), k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val sem = graft.ops.IvfPqStore.search(spark, vecIdx, e,
+        e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        "vec_id", "embedding", k = 20, nprobe = 4, rerank = 40)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    val want = graft.ops.Lexical.rrfFuse(Seq(lex, sem), "id", "rank",
+        kConst = 60, topK = 15)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "SQL hybrid_search diverged from the Scala fusion route")
+    assert(got.length == 15 &&
+      got.map(_(3).asInstanceOf[Double]).sliding(2)
+        .forall(p => p.head >= p.last), "rrf must be sorted desc")
+    // more than one query vector refuses loudly
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM hybrid_search('$bmIdx', '$vecIdx', '$esrc', " +
+        "'vec_id', 'embedding', 'spark', 'vec_id < 2', 20, 4, 40, " +
+        "60, 15)"))
+    assert(err.getMessage.contains("exactly one"), err.getMessage)
+  }
+
   test("extensions-based registration exposes the same functions") {
     // GraftExtensions.apply wires builders through injectTableFunction;
     // assert the builder list covers all six functions without spinning

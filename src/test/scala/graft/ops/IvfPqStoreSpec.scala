@@ -383,6 +383,83 @@ class IvfPqStoreSpec extends AnyFunSuite {
       k = 5, nprobe = 4, rerank = 30)))
   }
 
+  test("persist runs ONE encode pass: the encoded frame is cached for " +
+      "the sizing count / range sampling / write, and released after") {
+    val uri = fresh("ivfpq_onepass")
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    // listener evidence that a stage actually ran against a cached RDD
+    // (the encode materializes once; sampling + write read the cache)
+    @volatile var sawCached = false
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        // storageLevel.isValid = the stage ran over an RDD marked for
+        // caching (numCachedPartitions lags the async status updates —
+        // the marker is the deterministic signal)
+        if (sc.stageInfo.rddInfos.exists(_.storageLevel.isValid))
+          sawCached = true
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+        targetRowsPerFile = 50)
+      // the listener bus is async — poll briefly for the evidence
+      val deadline = System.currentTimeMillis() + 30000
+      while (!sawCached && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(sawCached,
+        "persist never served a stage from the cached encoded frame — " +
+          "the encode is recomputed per consumer again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == baseline,
+      "persist leaked its cached encoded frame")
+  }
+
+  test("a crashed-claim sweep is age-gated, and a swept rebuild fails " +
+      "loudly at publish instead of publishing over a gone subtree") {
+    val uri = fresh("ivfpq_sweep")
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding", ivf, pq,
+      targetRowsPerFile = 50)
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a "slow rebuild": claim gen 1, stage nothing yet
+    val claimed = IndexGenerations.claimNext(fs, uri)
+    assert(claimed == 1)
+    // a faster retrain claims PAST it and publishes gen 2
+    assert(IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      ivfIters = 1, pqIters = 1, targetRowsPerFile = 50) == 2)
+    // default age gate: the young claim below current is presumed a
+    // live in-flight rebuild — NOT swept
+    IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(uri, "_gen1.claim")),
+      "vacuum swept a claim younger than the age gate")
+    // the slow rebuild can still publish its generation normally
+    // (stage a subtree for it so the marker points at something real)
+    val genUri = s"$uri/gen1"
+    IvfPqStore.persist(spark, genUri, emb, "vec_id", "embedding", ivf,
+      pq, targetRowsPerFile = 50)
+    IndexGenerations.publish(fs, uri, 1)
+    assert(IvfPqStore.generations(spark, uri) == Seq(1, 2))
+    // now the converse: an AGED crashed claim IS swept, and a rebuild
+    // that lost its claim to the sweep fails loudly at publish
+    val claimed3 = IndexGenerations.claimNext(fs, uri)
+    assert(claimed3 == 3)
+    assert(IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      ivfIters = 1, pqIters = 1, targetRowsPerFile = 50) == 4)
+    IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1,
+      claimSweepAgeMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "_gen3.claim")),
+      "an aged crashed claim below current must sweep")
+    val e = intercept[IllegalStateException] {
+      IndexGenerations.publish(fs, uri, 3)
+    }
+    assert(e.getMessage.contains("swept"), e.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "_gen3")),
+      "a swept rebuild must not leave a marker behind")
+  }
+
   test("retrainIfDrifted: a drifted store retrains, a healthy one is " +
       "left alone") {
     val uri = fresh("ivfpq_policy")

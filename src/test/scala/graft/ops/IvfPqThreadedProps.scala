@@ -46,10 +46,15 @@ class IvfPqThreadedProps extends AnyFunSuite {
   private def isRetryable(e: Throwable): Boolean = {
     var c: Throwable = e
     while (c != null) {
+      val msg = Option(c.getMessage).map(_.toLowerCase).getOrElse("")
       if (c.isInstanceOf[java.util.ConcurrentModificationException] ||
           c.isInstanceOf[java.io.FileNotFoundException] ||
-          (c.getMessage != null &&
-            c.getMessage.toLowerCase.contains("concurrent")))
+          msg.contains("concurrent") ||
+          // a reader losing its (retired) generation to the vacuum
+          // mid-plan: resolve → files/models gone → re-resolve current
+          msg.contains("path_not_found") ||
+          msg.contains("does not exist") ||
+          msg.contains("no persisted"))
         return true
       c = c.getCause
     }
@@ -79,6 +84,133 @@ class IvfPqThreadedProps extends AnyFunSuite {
     val seeds = sys.env.getOrElse("IVFPQFUZZ_SEEDS", "11,23,37")
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runCase)
+  }
+
+  test("threaded generation swap: racing retrains x vacuum x " +
+      "continuous searches — claims arbitrate, readers stay " +
+      "k-well-formed across every swap, the quiesced serve is the " +
+      "one-shot fresh-model build") {
+    val seeds = sys.env.getOrElse("IVFPQFUZZ_RETRAIN_SEEDS", "5,17,29")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runRetrainCase)
+  }
+
+  /** Two retrains race a retention vacuum and a stream of searches on
+    * one store.  Interleaving-independence: retrains CLAIM distinct
+    * generation numbers before staging (neither can shadow the other),
+    * the vacuum's crashed-claim sweep is age-gated (a live claim is
+    * never swept), and a search either serves a complete published
+    * generation or fails on a retired one and retries (the documented
+    * reader contract — vacuum is the drain statement).  Quiesced, the
+    * highest generation serves exactly the one-shot build under fresh
+    * full-corpus models (training is deterministic, so both racers
+    * stage identical content). */
+  private def runRetrainCase(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val uri = TestSpark.tmpDir(s"ivfpq_refuzz_$seed")
+    val fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(uri), true)
+    // DRIFTED initial store, so the retrains actually change serving
+    val drifted = emb.filter(col("vec_id") % 5 === 0)
+    IvfPqStore.persist(spark, uri, emb, "vec_id", "embedding",
+      IvfIndex.train(drifted, "vec_id", "embedding", k = 8, iters = 2),
+      PqIndex.train(drifted, "vec_id", "embedding",
+        m = 16, k = 32, iters = 2),
+      targetRowsPerFile = 40)
+
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def worker(label: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try body catch { case e: Throwable =>
+          failures.add(new IllegalStateException(s"$label died", e)) }
+      }, label)
+      t.start(); t
+    }
+
+    val retrainers = Seq("retrA", "retrB").map { name =>
+      worker(name) {
+        Thread.sleep(rnd.nextInt(40).toLong)
+        withRetry(s"$name retrain") {
+          IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+            ivfIters = 2, pqIters = 2, targetRowsPerFile = 40)
+        }
+      }
+    }
+    val vacuum = worker("vacuum") {
+      (1 to 4).foreach { _ =>
+        withRetry("vacuum") {
+          // default age gate: live in-flight claims are never swept
+          IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1)
+        }
+        Thread.sleep(10L + rnd.nextInt(40))
+      }
+    }
+    val queries = emb.filter(col("vec_id").isin(1L, 2L)).localCheckpoint()
+    val searcher = worker("search") {
+      var i = 0
+      while (!done.get() && i < 200) {
+        // reader invariant at EVERY point: a search either resolves a
+        // complete generation (marker present = subtree complete) and
+        // returns k well-formed rows, or loses its generation to the
+        // vacuum mid-plan and retries — it NEVER sees a half-swapped
+        // index (wrong row counts, torn models)
+        val out = withRetry("search") {
+          IvfPqStore.search(spark, uri, emb, queries,
+              "vec_id", "embedding", "vec_id", "embedding",
+              k = 5, nprobe = 8, rerank = 20)
+            .select("query_id", "rank", "neighbor_id")
+            .as[(Long, Long, Long)].collect()
+        }
+        assert(out.length == 10, s"search returned ${out.length} rows")
+        out.groupBy(_._1).foreach { case (q, rows) =>
+          assert(rows.map(_._2).sorted.toSeq == (1L to 5L),
+            s"query $q ranks not dense: ${rows.toSeq}")
+          assert(rows.map(_._3).distinct.length == 5,
+            s"query $q returned duplicate neighbors")
+        }
+        i += 1
+        Thread.sleep(15L)
+      }
+    }
+    (retrainers :+ vacuum).foreach(_.join(600000))
+    done.set(true)
+    searcher.join(600000)
+    if (!failures.isEmpty) {
+      val e = failures.peek()
+      throw new AssertionError(
+        s"seed $seed: ${failures.size()} worker(s) failed", e)
+    }
+
+    // quiescence: both retrains published DISTINCT generations (claim
+    // arbitration) and the highest serves the one-shot fresh-model
+    // build exactly
+    val gens = IvfPqStore.generations(spark, uri)
+    assert(gens.nonEmpty && gens == gens.distinct.sorted,
+      s"seed $seed: generation chain corrupt: $gens")
+    assert(gens.last >= 2,
+      s"seed $seed: two retrains must take two numbers, got $gens")
+    val freshIvf = IvfIndex.train(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val freshPq = PqIndex.train(emb, "vec_id", "embedding",
+      m = 16, k = 32, iters = 2)
+    val served = IvfPqStore.search(spark, uri, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nprobe = 4, rerank = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = PqIndex.searchIvfPq(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", freshIvf, freshPq,
+        k = 5, nprobe = 4, rerank = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served == inline,
+      s"seed $seed: quiesced serve diverged from the fresh-model build")
+    // the final retention pass leaves exactly the current generation
+    IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1)
+    assert(IvfPqStore.generations(spark, uri) == Seq(gens.last))
+    assert(!fs.exists(new Path(uri, "index")),
+      "gen-0 layout must retire after the swap drains")
   }
 
   private def runCase(seed: Long): Unit = {

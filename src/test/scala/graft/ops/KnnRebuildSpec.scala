@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Generation-swapped REBUILD of the persisted layered graph index —
+ * the graph twin of [[IvfPqStoreSpec]]'s retrain pins: a full rebuild
+ * stages under `uri/genN` and swaps by one marker create, so serving
+ * never pauses, an in-flight old-generation search completes, replace
+ * never deletes the only copy, and maintenance follows the current
+ * generation.
+ */
+class KnnRebuildSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    dir
+  }
+
+  private def serve(idx: KnnGraph.LayeredKnnGraph, corpus: DataFrame,
+      qMax: Int = 5): Seq[(Long, Long, Long, Double)] =
+    KnnGraph.searchLayered(idx, corpus, corpus.filter(col("vec_id") < qMax),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, beam = 40, hops = 4)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  test("rebuildLayered publishes a new generation: serving never " +
+      "pauses, an in-flight old-generation search completes, post-swap " +
+      "serving equals a from-scratch build") {
+    val uri = fresh("knn_rebuild")
+    // DRIFTED initial index: built over a thin subset of the corpus
+    val subset = emb.filter(col("vec_id") % 5 === 0)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(subset, "vec_id", "embedding",
+        k = 10, iters = 4, branching = 4, seedTarget = 128),
+      uri, targetRowsPerFile = 200)
+    assert(KnnGraph.generations(spark, uri).isEmpty)
+    // in-flight reader: the plan pins generation-0 level files NOW
+    val oldIdx = KnnGraph.loadLayered(spark, uri)
+    val preSwap = serve(oldIdx, subset)
+    // the rebuild: full corpus, fresh NN-Descent, published as gen 1
+    val gen = KnnGraph.rebuildLayered(spark, uri, emb,
+      "vec_id", "embedding", k = 10, iters = 4, branching = 4,
+      seedTarget = 128, targetRowsPerFile = 200)
+    assert(gen == 1 && KnnGraph.generations(spark, uri) == Seq(1))
+    // nothing deleted the old generation's files — the in-flight
+    // search (and any re-read of the old LayeredKnnGraph) still serves
+    assert(serve(oldIdx, subset) == preSwap,
+      "an in-flight old-generation search changed results mid-swap")
+    // post-swap serving equals a from-scratch build with the same
+    // parameters (NN-Descent is deterministic)
+    val served = serve(KnnGraph.loadLayered(spark, uri), emb)
+    val scratch = serve(KnnGraph.buildLayered(emb, "vec_id", "embedding",
+      k = 10, iters = 4, branching = 4, seedTarget = 128), emb)
+    assert(served == scratch,
+      "post-rebuild serving diverged from a from-scratch build")
+  }
+
+  test("maintenance follows the current generation: an insert after " +
+      "the swap lands in gen1 (lease + journal live there), and the " +
+      "new node is findable") {
+    val uri = fresh("knn_rebuild_maint")
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", k = 10, iters = 4, branching = 4,
+        seedTarget = 128),
+      uri, targetRowsPerFile = 200)
+    KnnGraph.rebuildLayered(spark, uri,
+      emb.filter(col("vec_id") % 25 =!= 7), "vec_id", "embedding",
+      k = 10, iters = 4, branching = 4, seedTarget = 128,
+      targetRowsPerFile = 200)
+    val existing = emb.filter(col("vec_id") % 25 =!= 7)
+    val batch = emb.filter(col("vec_id") % 25 === 7)
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gen0V = graft.io.Snapshots.latestVersion(spark, s"$uri/level0")
+    KnnGraph.insertLayered(spark, uri, existing, batch,
+      "vec_id", "embedding", k = 10, beam = 40, hops = 4)
+    // the insert committed to the CURRENT generation, not gen-0
+    assert(graft.io.Snapshots.latestVersion(spark, s"$uri/level0") ==
+      gen0V, "insert touched the retired gen-0 level")
+    assert(graft.io.Snapshots.latestVersion(spark,
+      s"$uri/gen1/level0") >= 2, "insert did not land in gen1")
+    // its applied marker too
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$uri/gen1/_maint_applied")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri,
+      "_maint_applied")))
+    // a batch member is findable through the updated current index
+    val out = KnnGraph.searchLayered(KnnGraph.loadLayered(spark, uri),
+        emb, emb.filter(col("vec_id") === 7),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, beam = 40, hops = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.length == 10, "inserted-corpus serve must return k rows")
+  }
+
+  test("dropRetiredGenerations retires drained generations and the " +
+      "gen-0 layout, never the current; rebuild refuses a missing index") {
+    val uri = fresh("knn_rebuild_vac")
+    intercept[IllegalArgumentException] {
+      KnnGraph.rebuildLayered(spark, uri, emb, "vec_id", "embedding")
+    }
+    val subset = emb.filter(col("vec_id") % 5 === 0)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(subset, "vec_id", "embedding",
+        k = 10, iters = 2, branching = 4, seedTarget = 128),
+      uri, targetRowsPerFile = 200)
+    // nothing newer than gen-0: retire is a no-op
+    assert(KnnGraph.dropRetiredGenerations(spark, uri).isEmpty)
+    KnnGraph.rebuildLayered(spark, uri, subset, "vec_id", "embedding",
+      k = 10, iters = 2, branching = 4, seedTarget = 128,
+      targetRowsPerFile = 200)
+    KnnGraph.rebuildLayered(spark, uri, emb, "vec_id", "embedding",
+      k = 10, iters = 4, branching = 4, seedTarget = 128,
+      targetRowsPerFile = 200)
+    assert(KnnGraph.generations(spark, uri) == Seq(1, 2))
+    val dropped = KnnGraph.dropRetiredGenerations(spark, uri, keep = 1)
+    assert(dropped.size == 2, s"expected gen1 + gen-0 retired: $dropped")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$uri/gen1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "level0")),
+      "gen-0 layout must retire once a generation supersedes it")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "branching")))
+    assert(KnnGraph.generations(spark, uri) == Seq(2))
+    // the current generation still serves, identically to a fresh
+    // full-corpus build
+    val served = serve(KnnGraph.loadLayered(spark, uri), emb)
+    val scratch = serve(KnnGraph.buildLayered(emb, "vec_id", "embedding",
+      k = 10, iters = 4, branching = 4, seedTarget = 128), emb)
+    assert(served == scratch)
+  }
+}
