@@ -3063,11 +3063,14 @@ object SparkEntry {
       // the loop mutates the generation chain — fresh fixture per run
       fs.delete(new org.apache.hadoop.fs.Path(uri), true)
       val drifted = e.filter(col("vec_id") % 5 === 0)
+      // one Lloyd round suffices for the DRIFTED fixture models — only
+      // the post-retrain state is oracled, and less-converged skewed
+      // quantizers are just more drifted
       ops.IvfPqStore.persist(s, uri, e, "vec_id", "embedding",
         ops.IvfIndex.train(drifted, "vec_id", "embedding",
-          k = 8, iters = 3),
+          k = 8, iters = 1),
         ops.PqIndex.train(drifted, "vec_id", "embedding",
-          m = 16, k = 32, iters = 4),
+          m = 16, k = 32, iters = 1),
         targetRowsPerFile = 50)
       val acted = s.sql("CALL graft.system.vector_retrain_if_drifted(" +
         s"index => '$uri', source => '$src', id_col => 'vec_id', " +
