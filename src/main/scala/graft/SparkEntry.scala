@@ -3428,6 +3428,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the GRAPH drift metric from SQL: knn_recall measures recall@10
+    // of the persisted layered serve against exact brute force — the
+    // monitoring half of the knn_rebuild_if_drifted loop (incremental
+    // maintenance erodes graph quality; this metric schedules the
+    // generation-swapped rebuild).  Serving-only cost: reuses the
+    // persisted layered fixture; the oracle wraps the full layered
+    // replication and intersects with the brute-force top-10 (count/10
+    // divisions are exact IEEE)
+    "sim_knn_recall_sql" -> ((s, dir) => {
+      graft.meta.MetaTableFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val uri = util.Staging.dirFor(
+        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          uri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+          k = 10, iters = 6, branching = 4, seedTarget = 128)
+        ops.KnnGraph.persistLayered(s, idx, uri)
+      }
+      s.sql(s"SELECT * FROM knn_recall('$uri', " +
+        s"'$dir/embeddings.parquet', 'vec_id', 'embedding', " +
+        "'vec_id < 5', 10, 40, 4) ORDER BY query_id")
+    }),
+
     // persisted-index serving: the k-NN graph is built ONCE into a
     // snapshot table (how production amortizes the NN-Descent cost — the
     // 6-round build inside sim_knn_search is the worst number on the
@@ -5275,6 +5303,24 @@ object SparkEntry {
     // layered build (same parameters, fresh NN-Descent) — the layered
     // oracle replicates the post-swap serve verbatim
     "sim_knn_rebuild" -> KnnLayeredOracle,
+    // the graph drift metric: the layered serve's top-10 (the full
+    // replication, wrapped as a subquery) intersected with the exact
+    // brute-force top-10, count/10 per probe query
+    "sim_knn_recall_sql" ->
+      ("WITH appr AS (SELECT query_id, neighbor_id FROM (" +
+        KnnLayeredOracle + ")), " +
+        "bf AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(c.embedding::DOUBLE[], " +
+        "q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk " +
+        "FROM embeddings c, embeddings q " +
+        "WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rk <= 10) " +
+        "SELECT bf.query_id, " +
+        "CAST(count(appr.neighbor_id) AS DOUBLE) / 10.0 AS recall " +
+        "FROM bf LEFT JOIN appr ON appr.query_id = bf.query_id " +
+        "AND appr.neighbor_id = bf.neighbor_id " +
+        "GROUP BY bf.query_id ORDER BY bf.query_id"),
     "sim_knn_index_insert" -> KnnInsertOracle,
     "sim_knn_index_delete" -> KnnDeleteOracle,
     "stream_knn_index" -> KnnStreamInsertOracle,

@@ -44,8 +44,9 @@ object Procedures {
     "vector_index_build", "vector_insert", "vector_delete",
     "vector_compact", "vector_retrain", "vector_retrain_if_drifted",
     "vector_vacuum",
-    "knn_index_build", "knn_rebuild", "knn_insert", "knn_delete",
-    "knn_compact", "knn_resume", "knn_vacuum")
+    "knn_index_build", "knn_rebuild", "knn_rebuild_if_drifted",
+    "knn_insert", "knn_delete", "knn_compact", "knn_resume",
+    "knn_vacuum")
 
   /** A procedure/table-function `source` argument: a snapshot-managed
     * directory reads through the manifest (pruned, versioned), a plain
@@ -477,6 +478,45 @@ object Procedures {
           targetRowsPerFile =
             if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
         Seq(new GenericInternalRow(Array[Any](gen)))
+      }))
+
+    // the graph drift loop from SQL (twin of vector_retrain_if_drifted):
+    // measure layered serving recall@k on probe queries vs exact brute
+    // force; below threshold, rebuild as a new generation
+    case "knn_rebuild_if_drifted" => Some(proc("knn_rebuild_if_drifted",
+      Seq(in("index", StringType), in("source", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        in("probes_where", StringType),
+        in("k", IntegerType, Some("10")),
+        in("beam", IntegerType, Some("40")),
+        in("hops", IntegerType, Some("4")),
+        in("threshold", DoubleType, Some("0.9")),
+        in("build_k", IntegerType, Some("10")),
+        in("iters", IntegerType, Some("6")),
+        in("branching", IntegerType, Some("4")),
+        in("seed_target", IntegerType, Some("128")),
+        in("rows_per_file", IntegerType, Some("1048576"))),
+      StructType(Seq(StructField("recall_before", DoubleType),
+        StructField("rebuilt", BooleanType),
+        StructField("generation", IntegerType))),
+      row => {
+        val src = readSource(spark, str(row, 1))
+        val probes = src.filter(str(row, 4))
+        val (recall, gen) = graft.ops.KnnGraph.rebuildIfDrifted(
+          spark, str(row, 0), src, probes, str(row, 2), str(row, 3),
+          str(row, 2), str(row, 3),
+          k = if (row.isNullAt(5)) 10 else row.getInt(5),
+          beam = if (row.isNullAt(6)) 40 else row.getInt(6),
+          hops = if (row.isNullAt(7)) 4 else row.getInt(7),
+          threshold = if (row.isNullAt(8)) 0.9 else row.getDouble(8),
+          buildK = if (row.isNullAt(9)) 10 else row.getInt(9),
+          buildIters = if (row.isNullAt(10)) 6 else row.getInt(10),
+          branching = if (row.isNullAt(11)) 4 else row.getInt(11),
+          seedTarget = if (row.isNullAt(12)) 128 else row.getInt(12),
+          targetRowsPerFile =
+            if (row.isNullAt(13)) 1L << 20 else row.getInt(13).toLong)
+        Seq(new GenericInternalRow(Array[Any](
+          recall, gen.isDefined, gen.map(Int.box).orNull)))
       }))
 
     // retention for rebuilt generations (the graph twin of

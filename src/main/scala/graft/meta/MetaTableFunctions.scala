@@ -64,7 +64,7 @@ object MetaTableFunctions {
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
       branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder :+
-      vectorRecallBuilder :+ hybridSearchBuilder
+      vectorRecallBuilder :+ knnRecallBuilder :+ hybridSearchBuilder
 
   /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
     * '<vec_col>', <queries>, k, nprobe, rerank)` — ADC top-k from a
@@ -206,6 +206,42 @@ object MetaTableFunctions {
           queries, idCol, vecCol, idCol, vecCol, k,
           nprobe = intLitArg("vector_recall", "nprobe", args(6)),
           rerank = intLitArg("vector_recall", "rerank", args(7)))
+        val exact = graft.ops.Similarity.bruteForceTopK(corpus, queries,
+          idCol, vecCol, idCol, vecCol, k)
+        graft.ops.Similarity.recallAtK(exact, approx, k)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM knn_recall('<index>', '<source>', '<id_col>',
+    * '<vec_col>', '<queries_where>', k, beam, hops)` — per-query
+    * recall@k of the persisted LAYERED GRAPH serve against exact brute
+    * force: the graph twin of [[vectorRecallBuilder]], pairing with
+    * the `knn_rebuild_if_drifted` procedure (incremental maintenance
+    * erodes graph quality; this is the metric that schedules the
+    * generation-swapped rebuild). */
+  private def knnRecallBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("knn_recall"),
+      new ExpressionInfo("graft", null, "knn_recall",
+        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
+          "beam, hops) - recall@k of the persisted layered serve vs " +
+          "exact brute force", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 8)
+          throw new IllegalArgumentException(
+            "knn_recall(index, source, id_col, vec_col, queries_where, " +
+              s"k, beam, hops) takes 8 arguments, got ${args.length}")
+        val spark = SparkSession.active
+        val Seq(index, source, idCol, vecCol, qWhere) =
+          (0 to 4).map(i => strLitArg("knn_recall", args(i)))
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        val queries = corpus.filter(qWhere)
+        val k = intLitArg("knn_recall", "k", args(5))
+        val approx = graft.ops.KnnGraph.searchLayered(
+          graft.ops.KnnGraph.loadLayered(spark, index), corpus, queries,
+          idCol, vecCol, idCol, vecCol, k,
+          beam = intLitArg("knn_recall", "beam", args(6)),
+          hops = intLitArg("knn_recall", "hops", args(7)))
         val exact = graft.ops.Similarity.bruteForceTopK(corpus, queries,
           idCol, vecCol, idCol, vecCol, k)
         graft.ops.Similarity.recallAtK(exact, approx, k)

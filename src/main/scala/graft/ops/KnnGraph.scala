@@ -496,6 +496,43 @@ object KnnGraph {
     } else dropped
   }
 
+  /**
+   * The drift-policy loop for the GRAPH index, twin of
+   * [[IvfPqStore.retrainIfDrifted]]: a layered index drifts not via
+   * frozen quantizers but via accumulated incremental maintenance —
+   * beam-walk inserts wire batches more weakly than a full NN-Descent,
+   * and delete healing approximates — so serving recall decays as the
+   * mutated fraction grows.  Measure recall@k of the CURRENT
+   * generation's serving against exact brute force on a small probe
+   * set; below `threshold`, [[rebuildLayered]] on the supplied corpus
+   * (published as a new generation — serving never pauses).  Returns
+   * `(mean recall before, new generation if rebuilt)`.
+   */
+  def rebuildIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      uri: String, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, beam: Int, hops: Int, threshold: Double,
+      buildK: Int = 10, buildIters: Int = 6, branching: Int = 4,
+      seedTarget: Int = 128,
+      targetRowsPerFile: Long = 1L << 20): (Double, Option[Int]) = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val approx = searchLayered(loadLayered(spark, uri), corpus, probes,
+      idCol, vecCol, qIdCol, qVecCol, k, beam, hops)
+    val exact = Similarity.bruteForceTopK(corpus, probes,
+      idCol, vecCol, qIdCol, qVecCol, k)
+    val row = Similarity.recallAtK(exact, approx, k)
+      .agg(org.apache.spark.sql.functions.avg("recall")).head()
+    require(!row.isNullAt(0),
+      "rebuildIfDrifted: the probe set produced no recall rows (empty " +
+        "probes, or no overlap with the corpus) — drift cannot be " +
+        "measured; fix the probe query before scheduling rebuilds")
+    val recall = row.getDouble(0)
+    if (recall < threshold)
+      (recall, Some(rebuildLayered(spark, uri, corpus, idCol, vecCol,
+        buildK, buildIters, branching, seedTarget, targetRowsPerFile)))
+    else (recall, None)
+  }
+
   /** The graph-side twin of the flat store's commit-time generation
     * re-check: a maintenance batch that resolved its root before a
     * rebuild's marker landed has committed to the RETIRED generation —

@@ -388,6 +388,47 @@ class ProceduresSpec extends AnyFunSuite {
         s"${(allIds -- level0Ids).toSeq.sorted.take(8)}")
   }
 
+  test("CALL knn_rebuild_if_drifted + knn_recall close the GRAPH " +
+      "drift loop from SQL") {
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = fresh("proc_knn_drift")
+    // the degraded fixture from SQL: a zero-refinement build
+    spark.sql("CALL graft.system.knn_index_build(" +
+      s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', iters => 0)")
+    def call() = spark.sql("CALL graft.system.knn_rebuild_if_drifted(" +
+      s"index => '$uri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', probes_where => 'vec_id < 5', " +
+      "threshold => 0.8, iters => 6)").head()
+    val first = call()
+    assert(first.getDouble(0) < 0.8,
+      f"fixture not degraded enough: ${first.getDouble(0)}%.2f")
+    assert(first.getBoolean(1) && first.getInt(2) == 1,
+      s"recall below threshold must rebuild: $first")
+    // the re-measure from SQL equals the Scala recall route
+    val recallSql = spark.sql(s"SELECT * FROM knn_recall('$uri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 5', 10, 40, 4) " +
+      "ORDER BY query_id").collect().map(_.toSeq).toSeq
+    val e = spark.read.parquet(src)
+    val probes = e.filter(col("vec_id") < 5)
+    val approx = graft.ops.KnnGraph.searchLayered(
+      graft.ops.KnnGraph.loadLayered(spark, uri), e, probes,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, beam = 40, hops = 4)
+    val exact = graft.ops.Similarity.bruteForceTopK(e, probes,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val recallApi = graft.ops.Similarity.recallAtK(exact, approx, 10)
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(recallSql == recallApi,
+      "SQL knn_recall diverged from the Scala recallAtK route")
+    // healthy: no rebuild, generation NULL
+    val second = call()
+    assert(!second.getBoolean(1) && second.isNullAt(2),
+      s"healthy index must not rebuild: $second")
+    assert(graft.ops.KnnGraph.generations(spark, uri) == Seq(1))
+  }
+
   test("CALL vector_retrain_if_drifted closes the drift loop from " +
       "SQL, and vector_recall equals the Scala recall route") {
     graft.meta.MetaTableFunctions.register(spark)

@@ -204,6 +204,7 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_snapshot", "parquet_snapshot_files",
       "parquet_snapshot_changes", "parquet_snapshot_changes_rows",
       "parquet_snapshot_history", "parquet_branch_changes",
-      "vector_search", "knn_search", "vector_recall", "hybrid_search"))
+      "vector_search", "knn_search", "vector_recall", "knn_recall",
+      "hybrid_search"))
   }
 }

@@ -110,6 +110,30 @@ class KnnRebuildSpec extends AnyFunSuite {
     assert(out.length == 10, "inserted-corpus serve must return k rows")
   }
 
+  test("rebuildIfDrifted: a degraded index rebuilds as a generation, " +
+      "a healthy one is left alone") {
+    val uri = fresh("knn_drift")
+    // the most degraded structure the builder can persist: a ring-init
+    // graph with ZERO refinement rounds — the limiting shape of an
+    // index eroded by many weakly-wired incremental batches
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(emb, "vec_id", "embedding",
+        k = 10, iters = 0, branching = 4, seedTarget = 128),
+      uri, targetRowsPerFile = 200)
+    val probes = emb.filter(col("vec_id") < 5)
+    def loop() = KnnGraph.rebuildIfDrifted(spark, uri, emb, probes,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, beam = 40, hops = 4, threshold = 0.8,
+      buildIters = 6, targetRowsPerFile = 200)
+    val (before, gen) = loop()
+    assert(before < 0.8, f"fixture not degraded enough: $before%.2f")
+    assert(gen.contains(1), s"recall below threshold must rebuild: $gen")
+    val (after, gen2) = loop()
+    info(f"graph recall@10: degraded $before%.2f -> rebuilt $after%.2f")
+    assert(after >= 0.8 && gen2.isEmpty,
+      f"healthy index must not rebuild (recall $after%.2f, $gen2)")
+  }
+
   test("dropRetiredGenerations retires drained generations and the " +
       "gen-0 layout, never the current; rebuild refuses a missing index") {
     val uri = fresh("knn_rebuild_vac")
