@@ -155,6 +155,21 @@ private[graft] object IndexGenerations {
           fs.delete(new Path(s"$uri/gen$n"), true)
       }
     }
+    // ORPHANED staging dirs — neither marker nor claim, below current:
+    // the residue of a publish that unpublished itself after losing
+    // its claim to a sweep mid-swap.  A live rebuild always holds its
+    // claim while staging (created before, deleted only by sweeps), so
+    // a claimless markerless dir is definitionally dead; without this
+    // pass it would be invisible to every future sweep (sweeps iterate
+    // TAKEN numbers) and leak its disk forever.
+    val live = taken(fs, uri).toSet
+    val dirs = fs.globStatus(new Path(uri, "gen*"))
+    (if (dirs == null) Seq.empty else dirs.toSeq.map(_.getPath))
+      .foreach { p =>
+        scala.util.Try(p.getName.stripPrefix("gen").toInt).toOption
+          .filter(n => n < current && !live.contains(n))
+          .foreach(_ => fs.delete(p, true))
+      }
   }
 
   /** Retire published generations older than the newest `keep` (the

@@ -297,7 +297,9 @@ object IvfPqStore {
       s"$rawUri: concurrent retrain superseded generation root $root " +
         s"(current is $now) while this $what was committing — the " +
         "commit landed on the retired generation and is INVISIBLE to " +
-        "serving; re-run it against the current generation")
+        "serving; re-run it against the current generation (unless " +
+        "the retrain's corpus already contained this batch — then the " +
+        "new generation has the rows and a re-run would double them)")
     out
   }
 

@@ -546,7 +546,9 @@ object KnnGraph {
       s"$rawUri: concurrent rebuild superseded generation root $root " +
         s"(current is $now) while this $what was committing — the " +
         "batch landed on the retired generation and is INVISIBLE to " +
-        "serving; re-run it against the current generation")
+        "serving; re-run it against the current generation (unless " +
+        "the rebuild's corpus already contained this batch — then the " +
+        "new generation has the rows wired in already)")
   }
 
   /**

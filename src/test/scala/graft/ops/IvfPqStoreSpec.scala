@@ -458,6 +458,15 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("swept"), e.getMessage)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(uri, "_gen3")),
       "a swept rebuild must not leave a marker behind")
+    // an ORPHANED staging dir (neither marker nor claim — the residue
+    // of an unpublished swap) is reclaimed by the next sweep, not
+    // leaked forever: fabricate one below current and vacuum again
+    val orphan = new org.apache.hadoop.fs.Path(s"$uri/gen3")
+    fs.mkdirs(orphan)
+    IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1,
+      claimSweepAgeMs = 0L)
+    assert(!fs.exists(orphan),
+      "a claimless markerless staging dir below current must sweep")
   }
 
   test("retrainIfDrifted: a drifted store retrains, a healthy one is " +

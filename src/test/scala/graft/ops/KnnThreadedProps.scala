@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * THREADED generation-swap fuzz for the layered GRAPH index — the
+ * graph twin of [[IvfPqThreadedProps]]'s retrain property: two racing
+ * [[KnnGraph.rebuildLayered]]s, a retention vacuum, and a stream of
+ * layered searches on one index.  Interleaving-independence:
+ *
+ *  - rebuilds CLAIM distinct generation numbers before staging
+ *    (neither can shadow or delete the other's subtree); both publish,
+ *    the higher number serves;
+ *  - the vacuum's crashed-claim sweep is age-gated — a live in-flight
+ *    rebuild is never swept;
+ *  - a search either serves a complete published generation (marker
+ *    present = all levels + branching staged) or loses a RETIRED
+ *    generation to the vacuum mid-plan and retries — it never sees a
+ *    half-swapped index (missing levels, torn branching marker);
+ *  - quiesced, the current generation serves exactly the from-scratch
+ *    build with the same parameters (NN-Descent is deterministic).
+ *
+ * Knobs: KNNFUZZ_SEEDS (default "7,19").
+ */
+class KnnThreadedProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+  private def isRetryable(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      val msg = Option(c.getMessage).map(_.toLowerCase).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("concurrent") ||
+          msg.contains("path_not_found") ||
+          msg.contains("does not exist") ||
+          // a reader resolving a generation the vacuum retires mid-plan
+          // can surface missing levels or the branching marker
+          msg.contains("no persisted layered index") ||
+          msg.contains("branching marker"))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
+  private def withRetry[T](label: String)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Throwable if isRetryable(e) && attempt < 80 =>
+          attempt += 1
+          Thread.sleep(
+            5L + java.util.concurrent.ThreadLocalRandom.current.nextInt(45))
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"$label failed non-retryably after $attempt retries", e)
+      }
+    }
+    out.get
+  }
+
+  test("threaded graph generation swap: racing rebuilds x vacuum x " +
+      "continuous layered searches stay k-well-formed; quiesced serve " +
+      "equals the from-scratch build") {
+    val seeds = sys.env.getOrElse("KNNFUZZ_SEEDS", "7,19")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runCase)
+  }
+
+  private def runCase(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val uri = TestSpark.tmpDir(s"knn_refuzz_$seed")
+    val fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(uri), true)
+    // DEGRADED initial index (zero refinement), so the rebuilds change
+    // serving and the final state is distinguishable from the fixture
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(emb, "vec_id", "embedding",
+        k = 5, iters = 0, branching = 4, seedTarget = 64),
+      uri, targetRowsPerFile = 400)
+
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def worker(label: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try body catch { case e: Throwable =>
+          failures.add(new IllegalStateException(s"$label died", e)) }
+      }, label)
+      t.start(); t
+    }
+
+    val rebuilders = Seq("rebA", "rebB").map { name =>
+      worker(name) {
+        Thread.sleep(rnd.nextInt(40).toLong)
+        withRetry(s"$name rebuild") {
+          KnnGraph.rebuildLayered(spark, uri, emb, "vec_id", "embedding",
+            k = 5, iters = 2, branching = 4, seedTarget = 64,
+            targetRowsPerFile = 400)
+        }
+      }
+    }
+    val vacuum = worker("vacuum") {
+      (1 to 4).foreach { _ =>
+        withRetry("vacuum") {
+          // default age gate: live in-flight claims are never swept
+          KnnGraph.dropRetiredGenerations(spark, uri, keep = 1)
+        }
+        Thread.sleep(10L + rnd.nextInt(40))
+      }
+    }
+    val queries = emb.filter(col("vec_id").isin(1L, 2L)).localCheckpoint()
+    val searcher = worker("search") {
+      var i = 0
+      while (!done.get() && i < 60) {
+        val out = withRetry("search") {
+          KnnGraph.searchLayered(KnnGraph.loadLayered(spark, uri),
+              emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+              k = 5, beam = 20, hops = 2)
+            .select("query_id", "rank", "neighbor_id")
+            .as[(Long, Long, Long)].collect()
+        }
+        assert(out.length == 10, s"search returned ${out.length} rows")
+        out.groupBy(_._1).foreach { case (q, rows) =>
+          assert(rows.map(_._2).sorted.toSeq == (1L to 5L),
+            s"query $q ranks not dense: ${rows.toSeq}")
+          assert(rows.map(_._3).distinct.length == 5,
+            s"query $q returned duplicate neighbors")
+        }
+        i += 1
+        Thread.sleep(20L)
+      }
+    }
+    rebuilders.foreach(_.join(600000))
+    vacuum.join(600000)
+    done.set(true)
+    searcher.join(600000)
+    if (!failures.isEmpty) {
+      val e = failures.peek()
+      throw new AssertionError(
+        s"seed $seed: ${failures.size()} worker(s) failed", e)
+    }
+
+    // quiescence: two distinct generations published (claim
+    // arbitration), the current one serves the deterministic
+    // from-scratch build exactly
+    val gens = KnnGraph.generations(spark, uri)
+    assert(gens.nonEmpty && gens.last >= 2,
+      s"seed $seed: two rebuilds must take two numbers, got $gens")
+    val served = KnnGraph.searchLayered(KnnGraph.loadLayered(spark, uri),
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 20, hops = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val scratch = KnnGraph.searchLayered(
+        KnnGraph.buildLayered(emb, "vec_id", "embedding",
+          k = 5, iters = 2, branching = 4, seedTarget = 64),
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 20, hops = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served == scratch,
+      s"seed $seed: quiesced serve diverged from the from-scratch build")
+    // final retention leaves exactly the current generation, gen-0 gone
+    KnnGraph.dropRetiredGenerations(spark, uri, keep = 1)
+    assert(KnnGraph.generations(spark, uri) == Seq(gens.last))
+    assert(!fs.exists(new Path(uri, "level0")),
+      "gen-0 layout must retire after the swap drains")
+  }
+}
