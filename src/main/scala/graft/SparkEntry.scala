@@ -3428,6 +3428,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED graph serving: the walk stays unrestricted (pruning
+    // expansion severs connectivity exactly when the filter is
+    // selective — the known failure of naive filtered graph-ANN) and
+    // eligibility applies at the final ranking; the beam is raised to
+    // 120 because a bounded beam yields ~beam × selectivity eligible
+    // results (label = 3 is ~10% of the corpus).  Served via the SQL
+    // route's optional 9th arg over the persisted layered fixture
+    "sim_knn_filtered" -> ((s, dir) => {
+      graft.meta.MetaTableFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val uri = util.Staging.dirFor(
+        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          uri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+          k = 10, iters = 6, branching = 4, seedTarget = 128)
+        ops.KnnGraph.persistLayered(s, idx, uri)
+      }
+      s.sql(s"SELECT * FROM knn_search('$uri', " +
+        s"'$dir/embeddings.parquet', 'vec_id', 'embedding', " +
+        "'vec_id < 5', 10, 120, 4, 'label = 3') " +
+        "ORDER BY query_id, rank")
+    }),
+
     // the GRAPH drift metric from SQL: knn_recall measures recall@10
     // of the persisted layered serve against exact brute force — the
     // monitoring half of the knn_rebuild_if_drifted loop (incremental
@@ -4748,7 +4776,8 @@ object SparkEntry {
     * final exact top-k excludes self.  Mirrors KnnGraph.beamServe. */
   private def knnServeSql(
       qMax: Int, beam: Int, k: Int, seedsSql: String,
-      phases: Seq[(String, Int)]): String = {
+      phases: Seq[(String, Int)],
+      eligibleSql: Option[String] = None): String = {
     val head = Seq(
       s"qs AS (SELECT vec_id AS query_id, v AS qv FROM ev " +
         s"WHERE vec_id < $qMax)",
@@ -4775,12 +4804,18 @@ object SparkEntry {
         step
       }
     }
+    // filtered serving: eligibility applies at the FINAL ranking (the
+    // walk above is identical and unrestricted — KnnGraph.beamServe's
+    // documented filtered-graph semantics)
+    val elig = eligibleSql.map(p =>
+      s" AND cand IN (SELECT vec_id FROM embeddings WHERE $p)")
+      .getOrElse("")
     (head ++ hops).mkString(", ") +
       " SELECT query_id, CAST(rk AS BIGINT) AS rank, cand AS neighbor_id, " +
       "round(cos, 4) AS cosine FROM (" +
       "SELECT query_id, cand, cos, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, cand) AS rk " +
-      s"FROM st$i WHERE cand <> query_id) WHERE rk <= $k " +
+      s"FROM st$i WHERE cand <> query_id$elig) WHERE rk <= $k " +
       "ORDER BY query_id, rank"
   }
 
@@ -5045,17 +5080,20 @@ object SparkEntry {
     * serving as phases [(level1, 1 hop), (level0, 4 hops)] seeded by
     * level 1's node set — mirrors KnnGraph.buildLayered/searchLayered
     * at the query's parameters. */
-  private val KnnLayeredOracle: String = {
+  private def knnLayeredOracleSql(beam: Int,
+      eligibleSql: Option[String] = None): String = {
     val (b0, g0) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
     val (b1, g1) = knnBuildCtes("l1", "sub1", iters = 3, k = 10)
     "WITH " + KnnHashCtes + ", " + b0 +
       ", sub1 AS (SELECT id FROM hx WHERE h % 4 = 0), " + b1 +
       s", edA AS (SELECT a AS cand, b AS next FROM $g1), " +
       s"edB AS (SELECT a AS cand, b AS next FROM $g0), " +
-      knnServeSql(qMax = 5, beam = 40, k = 10,
+      knnServeSql(qMax = 5, beam = beam, k = 10,
         s"SELECT DISTINCT a AS cand FROM $g1",
-        Seq(("edA", 1), ("edB", 4)))
+        Seq(("edA", 1), ("edB", 4)), eligibleSql)
   }
+
+  private lazy val KnnLayeredOracle: String = knnLayeredOracleSql(40)
 
   /** The learned-quality-scorer oracle: the weak label + five features
     * (reusing the oracled token/repetition SQL), decimal(28,12)
@@ -5303,6 +5341,11 @@ object SparkEntry {
     // layered build (same parameters, fresh NN-Descent) — the layered
     // oracle replicates the post-swap serve verbatim
     "sim_knn_rebuild" -> KnnLayeredOracle,
+    // filtered graph serving: the identical beam-120 walk, eligibility
+    // (label = 3) applied at the final ranking only — the documented
+    // filtered-graph semantics, replicated position-for-position
+    "sim_knn_filtered" ->
+      knnLayeredOracleSql(120, eligibleSql = Some("label = 3")),
     // the graph drift metric: the layered serve's top-10 (the full
     // replication, wrapped as a subquery) intersected with the exact
     // brute-force top-10, count/10 per probe query

@@ -314,31 +314,39 @@ object MetaTableFunctions {
       })
 
   /** `SELECT * FROM knn_search('<index>', '<source>', '<id_col>',
-    * '<vec_col>', '<queries_where>', k, beam, hops)` — layered
-    * graph-ANN serving ([[graft.ops.KnnGraph.searchLayered]]) from a
-    * persisted index, same SQL shape as [[vectorSearchBuilder]]. */
+    * '<vec_col>', '<queries_where>', k, beam, hops[, eligible_where])`
+    * — layered graph-ANN serving ([[graft.ops.KnnGraph.searchLayered]])
+    * from a persisted index, same SQL shape as [[vectorSearchBuilder]].
+    * The optional 9th arg is FILTERED graph serving: the walk stays
+    * unrestricted (connectivity), eligibility applies at the final
+    * ranking — raise `beam` for selective filters (a bounded beam
+    * yields ~beam × selectivity eligible results). */
   private def knnSearchBuilder
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("knn_search"),
       new ExpressionInfo("graft", null, "knn_search",
         "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
-          "beam, hops) - graph-ANN top-k from a persisted layered index",
-        ""),
+          "beam, hops[, eligible_where]) - graph-ANN top-k from a " +
+          "persisted layered index", ""),
       (args: Seq[Expression]) => {
-        if (args.length != 8)
+        if (args.length < 8 || args.length > 9)
           throw new IllegalArgumentException(
             "knn_search(index, source, id_col, vec_col, queries_where, " +
-              s"k, beam, hops) takes 8 arguments, got ${args.length}")
+              "k, beam, hops[, eligible_where]) takes 8 or 9 " +
+              s"arguments, got ${args.length}")
         val spark = SparkSession.active
         val Seq(index, source, idCol, vecCol, qWhere) =
           (0 to 4).map(i => strLitArg("knn_search", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
         val idx = graft.ops.KnnGraph.loadLayered(spark, index)
+        val eligible = args.lift(8)
+          .map(e => corpus.filter(strLitArg("knn_search", e)))
         graft.ops.KnnGraph.searchLayered(idx, corpus,
             corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
             k = intLitArg("knn_search", "k", args(5)),
             beam = intLitArg("knn_search", "beam", args(6)),
-            hops = intLitArg("knn_search", "hops", args(7)))
+            hops = intLitArg("knn_search", "hops", args(7)),
+            eligible = eligible)
           .queryExecution.analyzed
       })
 

@@ -255,7 +255,8 @@ object KnnGraph {
   def search(
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int = 10, beam: Int = 30, hops: Int = 4): DataFrame = {
+      k: Int = 10, beam: Int = 30, hops: Int = 4,
+      eligible: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 1,
       "need k >= 1, beam >= k, hops >= 1")
     // seeds: the `beam` lowest hashed-order corpus nodes, same for every
@@ -263,7 +264,8 @@ object KnnGraph {
     val seeds = corpus.select(col(idCol).cast("long").as("cand"))
       .orderBy(xxhash64(col("cand")), col("cand")).limit(beam)
     beamServe(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
-      k, beam, seeds, Seq((graph, hops)))
+      k, beam, seeds, Seq((graph, hops)),
+      eligible.map(_.select(col(idCol).cast("long").as("cand"))))
   }
 
   /** Shared beam-search loop: seed the per-query beam, then walk each
@@ -271,12 +273,24 @@ object KnnGraph {
     * one per layer for [[searchLayered]].  Per hop the work is one keyed
     * join against the phase's edge list + a bounded window (queries ×
     * beam × k candidate rows); the corpus is touched only through its
-    * edge lists and the broadcast queries. */
+    * edge lists and the broadcast queries.
+    *
+    * `eligible` (optional, column `cand`) is FILTERED graph serving:
+    * the WALK stays unrestricted — pruning expansion to eligible nodes
+    * would sever the graph's connectivity exactly when the filter is
+    * selective (the known failure mode of naive filtered graph-ANN) —
+    * and eligibility applies at the FINAL ranking, so results contain
+    * only eligible nodes reached by the walk.  Unlike the IVF store's
+    * pre-shortlist semi-join, a bounded beam cannot GUARANTEE k
+    * eligible results: ~beam × selectivity survive the filter, so
+    * callers raise `beam` for selective filters (the documented graph
+    * trade; at very low selectivity use the IVF route instead). */
   private def beamServe(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, beam: Int, seeds: DataFrame,
-      phases: Seq[(DataFrame, Int)]): DataFrame = {
+      phases: Seq[(DataFrame, Int)],
+      eligible: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val vecs = corpus.select(col(idCol).cast("long").as("cand"),
@@ -325,7 +339,10 @@ object KnnGraph {
     vecs.unpersist()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand"))
-    state.filter(col("cand") =!= col("query_id"))
+    val ranked = eligible
+      .map(el => state.join(el.distinct(), Seq("cand"), "left_semi"))
+      .getOrElse(state)
+    ranked.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -1142,7 +1159,7 @@ object KnnGraph {
       index: LayeredKnnGraph, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int = 10, beam: Int = 30, hops: Int = 4,
-      upperHops: Int = 1): DataFrame = {
+      upperHops: Int = 1, eligible: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 1 && upperHops >= 1,
       "need k >= 1, beam >= k, hops >= 1, upperHops >= 1")
     require(index.levels.nonEmpty, "empty layered index")
@@ -1153,6 +1170,7 @@ object KnnGraph {
       index.levels.drop(1).reverse.map(g => (g, upperHops)) :+
         (index.levels.head, hops)
     beamServe(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
-      k, beam, seeds, phases)
+      k, beam, seeds, phases,
+      eligible.map(_.select(col(idCol).cast("long").as("cand"))))
   }
 }

@@ -113,6 +113,48 @@ class KnnGraphSpec extends AnyFunSuite {
       "results must not depend on corpus partitioning")
   }
 
+  test("FILTERED graph serving: walk unrestricted, eligibility at the " +
+      "final ranking — only eligible ids serve, and the unfiltered walk " +
+      "is reused verbatim") {
+    val k = 10
+    val idx = KnnGraph.buildLayered(emb, "vec_id", "embedding", k,
+      iters = 4, branching = 4, seedTarget = 128)
+    val queries = emb.filter(col("vec_id") < 5)
+    val eligible = emb.filter(col("label") === 3)
+    val eligibleIds = eligible.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val filtered = KnnGraph.searchLayered(idx, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k, beam = 120, hops = 4, eligible = Some(eligible))
+    val rows = filtered.select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "filtered serve returned nothing")
+    assert(rows.forall(r => eligibleIds.contains(r._3)),
+      "an ineligible id reached the filtered results")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.size).toSeq,
+        s"query $q ranks not dense after the eligibility filter")
+    }
+    // semantic pin: the filtered result IS the unfiltered beam state
+    // ranked over eligible candidates only — recompute from the
+    // unfiltered serve at FULL beam depth and compare the id sets per
+    // query (the unfiltered API surfaces top-k, so pin via difference:
+    // filtered results differ from naive post-filtering of top-k)
+    val naive = KnnGraph.searchLayered(idx, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k, beam = 120, hops = 4)
+      .filter(col("neighbor_id").isin(eligibleIds.toSeq: _*))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fset = rows.map(r => (r._1, r._3)).toSet
+    assert(naive.subsetOf(fset),
+      "every eligible id in the unfiltered top-k must appear in the " +
+        "filtered serve (same walk, wider eligible ranking)")
+    assert(fset.size > naive.size,
+      "the filtered serve must surface eligible nodes the unfiltered " +
+        "top-k truncated away (post-filtering loses them)")
+  }
+
   test("serving from a snapshot-persisted graph equals in-memory serving") {
     val k = 5
     val graph = KnnGraph.build(emb, "vec_id", "embedding", k, iters = 3)
