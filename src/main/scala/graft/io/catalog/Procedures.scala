@@ -397,13 +397,22 @@ object Procedures {
 
     // retention for retrained generations: retire all but the newest
     // `keep` after readers drain (the operator's expire-cadence call)
+    // claim_sweep_age overrides the crashed-claim age gate (default
+    // 24h): pass '0s' to force-sweep a KNOWN-dead rebuild's claim and
+    // staging — only after verifying no rebuild is live, the same
+    // operator statement as deleting a _maint_lock
     case "vector_vacuum" => Some(proc("vector_vacuum",
       Seq(in("index", StringType),
-        in("keep", IntegerType, Some("1"))),
+        in("keep", IntegerType, Some("1")),
+        in("claim_sweep_age", StringType, Some("NULL"))),
       StructType(Seq(StructField("retired", StringType))),
       row => {
         graft.ops.IvfPqStore.dropRetiredGenerations(spark, str(row, 0),
-            keep = if (row.isNullAt(1)) 1 else row.getInt(1))
+            keep = if (row.isNullAt(1)) 1 else row.getInt(1),
+            claimSweepAgeMs = optStr(row, 2)
+              .map(graft.sql.CopySql.parseAgeMillis)
+              .getOrElse(
+                graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
           .map(r => new GenericInternalRow(
             Array[Any](UTF8String.fromString(r))))
       }))
@@ -524,11 +533,16 @@ object Procedures {
     // drain
     case "knn_vacuum" => Some(proc("knn_vacuum",
       Seq(in("index", StringType),
-        in("keep", IntegerType, Some("1"))),
+        in("keep", IntegerType, Some("1")),
+        in("claim_sweep_age", StringType, Some("NULL"))),
       StructType(Seq(StructField("retired", StringType))),
       row => {
         graft.ops.KnnGraph.dropRetiredGenerations(spark, str(row, 0),
-            keep = if (row.isNullAt(1)) 1 else row.getInt(1))
+            keep = if (row.isNullAt(1)) 1 else row.getInt(1),
+            claimSweepAgeMs = optStr(row, 2)
+              .map(graft.sql.CopySql.parseAgeMillis)
+              .getOrElse(
+                graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
           .map(r => new GenericInternalRow(
             Array[Any](UTF8String.fromString(r))))
       }))

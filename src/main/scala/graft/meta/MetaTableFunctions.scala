@@ -316,18 +316,19 @@ object MetaTableFunctions {
   /** `SELECT * FROM knn_search('<index>', '<source>', '<id_col>',
     * '<vec_col>', '<queries_where>', k, beam, hops[, eligible_where])`
     * — layered graph-ANN serving ([[graft.ops.KnnGraph.searchLayered]])
-    * from a persisted index, same SQL shape as [[vectorSearchBuilder]].
-    * The optional 9th arg is FILTERED graph serving: the walk stays
-    * unrestricted (connectivity), eligibility applies at the final
-    * ranking — raise `beam` for selective filters (a bounded beam
-    * yields ~beam × selectivity eligible results). */
+    * from a persisted index, same SQL shape as [[vectorSearchBuilder]]
+    * including the ARRAY-LITERAL query form (one fresh embedding,
+    * query_id -1).  The optional 9th arg is FILTERED graph serving:
+    * the walk stays unrestricted (connectivity), eligibility applies
+    * at the final ranking — raise `beam` for selective filters (a
+    * bounded beam yields ~beam × selectivity eligible results). */
   private def knnSearchBuilder
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("knn_search"),
       new ExpressionInfo("graft", null, "knn_search",
-        "_FUNC_(index, source, id_col, vec_col, queries_where, k, " +
-          "beam, hops[, eligible_where]) - graph-ANN top-k from a " +
-          "persisted layered index", ""),
+        "_FUNC_(index, source, id_col, vec_col, queries_where | " +
+          "query_vec_array, k, beam, hops[, eligible_where]) - " +
+          "graph-ANN top-k from a persisted layered index", ""),
       (args: Seq[Expression]) => {
         if (args.length < 8 || args.length > 9)
           throw new IllegalArgumentException(
@@ -335,14 +336,24 @@ object MetaTableFunctions {
               "k, beam, hops[, eligible_where]) takes 8 or 9 " +
               s"arguments, got ${args.length}")
         val spark = SparkSession.active
-        val Seq(index, source, idCol, vecCol, qWhere) =
-          (0 to 4).map(i => strLitArg("knn_search", args(i)))
+        val Seq(index, source, idCol, vecCol) =
+          (0 to 3).map(i => strLitArg("knn_search", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
         val idx = graft.ops.KnnGraph.loadLayered(spark, index)
+        // 5th arg: a string filters source into the query set; an
+        // array literal IS the (single, fresh) query vector — same
+        // contract as vector_search (query_id -1)
+        val queries = args(4).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            literalQueryDf(spark, corpus, vecCol, "knn_search", args(4))
+          case _ =>
+            corpus.filter(strLitArg("knn_search", args(4)))
+              .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        }
         val eligible = args.lift(8)
           .map(e => corpus.filter(strLitArg("knn_search", e)))
         graft.ops.KnnGraph.searchLayered(idx, corpus,
-            corpus.filter(qWhere), idCol, vecCol, idCol, vecCol,
+            queries, idCol, vecCol, "query_id", "__qv",
             k = intLitArg("knn_search", "k", args(5)),
             beam = intLitArg("knn_search", "beam", args(6)),
             hops = intLitArg("knn_search", "hops", args(7)),

@@ -320,6 +320,21 @@ class ProceduresSpec extends AnyFunSuite {
       s"CALL graft.system.vector_vacuum(index => '$vUri')").collect()
     assert(retired.exists(_.getString(0).contains("gen-0")))
     assert(!fs.exists(new Path(vUri, "index")))
+    // forced crash cleanup from SQL: a dead claim below current only
+    // sweeps past the age gate — claim_sweep_age => '0 seconds' is the
+    // operator's I-verified-it-is-dead statement
+    val deadClaim = graft.ops.IndexGenerations.claimNext(
+      graft.ops.IndexGenerations.fs(spark, vUri), vUri)
+    spark.sql("CALL graft.system.vector_index_build(" +
+      s"index => '$vUri', source => '$src', id_col => 'vec_id', " +
+      "vec_col => 'embedding', rows_per_file => 50, replace => true)")
+    spark.sql(s"CALL graft.system.vector_vacuum(index => '$vUri')")
+    assert(fs.exists(new Path(vUri, s"_gen$deadClaim.claim")),
+      "the default age gate must keep a young claim")
+    spark.sql(s"CALL graft.system.vector_vacuum(index => '$vUri', " +
+      "claim_sweep_age => '0 seconds')")
+    assert(!fs.exists(new Path(vUri, s"_gen$deadClaim.claim")),
+      "claim_sweep_age => 0 must force-sweep the dead claim")
     // ---- layered graph index
     val kUri = fresh("proc_replace_knn")
     spark.sql("CALL graft.system.knn_index_build(" +

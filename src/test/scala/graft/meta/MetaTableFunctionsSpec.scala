@@ -141,6 +141,28 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
         "'embedding', array('a', 'b'), 5, 4, 40)"))
     assert(err.getMessage.contains("non-numeric"), err.getMessage)
+    // the GRAPH route takes the same literal form: knn_search over a
+    // persisted layered index, value-equal to the staged-query route
+    val kUri = TestSpark.tmpDir("tf_knn_literal")
+    fs.delete(new org.apache.hadoop.fs.Path(kUri), true)
+    graft.ops.KnnGraph.persistLayered(spark,
+      graft.ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+        k = 5, iters = 2, branching = 4, seedTarget = 64),
+      kUri, targetRowsPerFile = 400)
+    val gotK = spark.sql(s"SELECT * FROM knn_search('$kUri', '$src', " +
+      s"'vec_id', 'embedding', $lit, 5, 20, 3) ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    val wantK = graft.ops.KnnGraph.searchLayered(
+        graft.ops.KnnGraph.loadLayered(spark, kUri), e, staged,
+        "vec_id", "embedding", "query_id", "__qv",
+        k = 5, beam = 20, hops = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(gotK == wantK,
+      "knn_search literal-vector serve diverged from the staged route")
+    // (the weak 2-iteration fixture graph need not REACH node 7 in a
+    // 3-hop beam-20 walk — route parity above is the pin; only the
+    // sentinel id is structural)
+    assert(gotK.head(0) == -1L, s"got: ${gotK.head}")
   }
 
   test("hybrid_search fuses the two persisted indexes from SQL, " +
