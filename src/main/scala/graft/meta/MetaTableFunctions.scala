@@ -64,7 +64,8 @@ object MetaTableFunctions {
     } :+ snapshotBuilder :+ snapshotFilesBuilder :+ snapshotChangesBuilder :+
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
       branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder :+
-      vectorRecallBuilder :+ knnRecallBuilder :+ hybridSearchBuilder
+      vectorRecallBuilder :+ knnRecallBuilder :+ hybridSearchBuilder :+
+      indexGenerationsBuilder
 
   /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
     * '<vec_col>', <queries>, k, nprobe, rerank)` — ADC top-k from a
@@ -358,6 +359,39 @@ object MetaTableFunctions {
             beam = intLitArg("knn_search", "beam", args(6)),
             hops = intLitArg("knn_search", "hops", args(7)),
             eligible = eligible)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM index_generations('<uri>')` — the MVCC generation
+    * chain of a persisted vector index (either family; the
+    * claim/marker protocol is shared): one row per generation with its
+    * state (`gen0` = the pre-rebuild root layout, `published` = marker
+    * present, `claimed` = in-flight or crashed rebuild) and whether it
+    * currently serves.  The operator's observability for scheduling
+    * `vector_vacuum`/`knn_vacuum` and diagnosing crashed rebuilds. */
+  private def indexGenerationsBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("index_generations"),
+      new ExpressionInfo("graft", null, "index_generations",
+        "_FUNC_(uri) - generation chain of a persisted vector index", ""),
+      (args: Seq[Expression]) => {
+        val uri = pathArg("index_generations", args)
+        val spark = SparkSession.active
+        val fs = new org.apache.hadoop.fs.Path(uri)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val pub = graft.ops.IndexGenerations.published(fs, uri)
+        val claimed = graft.ops.IndexGenerations.taken(fs, uri)
+          .filterNot(pub.contains)
+        val current = pub.lastOption
+        val gen0 = Seq("index", "level0").exists(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(uri, d)))
+        import spark.implicits._
+        val rows =
+          (if (gen0) Seq((0, "gen0", current.isEmpty)) else Seq.empty) ++
+            pub.map(n => (n, "published", current.contains(n))) ++
+            claimed.map(n => (n, "claimed", false))
+        rows.toDF("generation", "state", "current")
+          .orderBy("generation")
           .queryExecution.analyzed
       })
 

@@ -214,6 +214,37 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("exactly one"), err.getMessage)
   }
 
+  test("index_generations exposes the MVCC chain of both index " +
+      "families: gen0/published/claimed states, the serving generation " +
+      "flagged") {
+    val src = s"${TestSpark.sfDir}/embeddings.parquet"
+    val uri = TestSpark.tmpDir("tf_gens")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    val e = spark.read.parquet(src)
+    val ivf = graft.ops.IvfIndex.train(e, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val pq = graft.ops.PqIndex.train(e, "vec_id", "embedding",
+      m = 16, k = 32, iters = 1)
+    graft.ops.IvfPqStore.persist(spark, uri, e, "vec_id", "embedding",
+      ivf, pq, targetRowsPerFile = 100)
+    def chain() = spark.sql(
+      s"SELECT * FROM index_generations('$uri') ORDER BY generation")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+    assert(chain() == Seq((0, "gen0", true)))
+    graft.ops.IvfPqStore.rebuild(spark, uri, e, "vec_id", "embedding",
+      ivf, pq, targetRowsPerFile = 100)
+    val inFlight = graft.ops.IndexGenerations.claimNext(fs, uri)
+    assert(chain() == Seq((0, "gen0", false), (1, "published", true),
+      (inFlight, "claimed", false)))
+    fs.delete(new org.apache.hadoop.fs.Path(uri, s"_gen$inFlight.claim"),
+      false)
+    graft.ops.IvfPqStore.dropRetiredGenerations(spark, uri)
+    assert(chain() == Seq((1, "published", true)))
+  }
+
   test("extensions-based registration exposes the same functions") {
     // GraftExtensions.apply wires builders through injectTableFunction;
     // assert the builder list covers all six functions without spinning
@@ -227,6 +258,6 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_snapshot_changes", "parquet_snapshot_changes_rows",
       "parquet_snapshot_history", "parquet_branch_changes",
       "vector_search", "knn_search", "vector_recall", "knn_recall",
-      "hybrid_search"))
+      "hybrid_search", "index_generations"))
   }
 }
