@@ -78,6 +78,92 @@ class KnnThreadedProps extends AnyFunSuite {
     seeds.foreach(runCase)
   }
 
+  test("insert racing rebuild: the maintainer's commit-time generation " +
+      "re-check fires loudly (never a silent shadow), the insert " +
+      "retries onto the new generation, and one reconcile pass " +
+      "converges when the swap landed after a finished insert") {
+    val seeds = sys.env.getOrElse("KNNFUZZ_INSERT_SEEDS", "3,13")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runInsertRaceCase)
+  }
+
+  /** One rebuild (over the STANDING corpus only — it does not know the
+    * batch) races one insert of the batch.  Outcomes by interleaving:
+    *  - rebuild publishes before the insert's final commit → the
+    *    insert's guardSuperseded throws LOUDLY ("concurrent rebuild
+    *    superseded"), the retry resolves the new generation and wires
+    *    the batch there;
+    *  - the insert finishes first → the rebuild (whose corpus predates
+    *    the batch) shadows it — the DOCUMENTED semantics (the rebuild
+    *    corpus is the source of truth), detected by the reconcile read
+    *    and repaired by ONE re-run of the insert on the new generation.
+    * Either way the converged index = standing ∪ batch on the current
+    * generation, and nothing was lost SILENTLY: the batch is either
+    * present or its absence is visible in the current level-0 id set. */
+  private def runInsertRaceCase(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val uri = TestSpark.tmpDir(s"knn_insfuzz_$seed")
+    val fs = new Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(uri), true)
+    val standing = emb.filter(col("vec_id") % 25 =!= 7).localCheckpoint()
+    val batch = emb.filter(col("vec_id") % 25 === 7).localCheckpoint()
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(standing, "vec_id", "embedding",
+        k = 5, iters = 2, branching = 4, seedTarget = 64),
+      uri, targetRowsPerFile = 400)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(label: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try body catch { case e: Throwable =>
+          failures.add(new IllegalStateException(s"$label died", e)) }
+      }, label)
+      t.start(); t
+    }
+    val rebuilder = worker("rebuild") {
+      Thread.sleep(rnd.nextInt(2000).toLong)
+      withRetry("rebuild") {
+        KnnGraph.rebuildLayered(spark, uri, standing,
+          "vec_id", "embedding", k = 5, iters = 2, branching = 4,
+          seedTarget = 64, targetRowsPerFile = 400)
+      }
+    }
+    val inserter = worker("insert") {
+      withRetry("insert") {
+        KnnGraph.insertLayered(spark, uri, standing, batch,
+          "vec_id", "embedding", k = 5, beam = 20, hops = 2)
+      }
+    }
+    Seq(rebuilder, inserter).foreach(_.join(600000))
+    if (!failures.isEmpty) {
+      val e = failures.peek()
+      throw new AssertionError(
+        s"seed $seed: ${failures.size()} worker(s) failed", e)
+    }
+    val allIds = standing.unionByName(batch)
+      .select("vec_id").as[Long].collect().toSet
+    def level0Ids() = KnnGraph.loadLayered(spark, uri)
+      .levels.head.select("id").distinct().as[Long].collect().toSet
+    // reconcile: if the rebuild landed after a finished insert, its
+    // standing-only corpus shadowed the batch — visible in the current
+    // id set, repaired by one re-run (the production reconcile step)
+    if (level0Ids() != allIds)
+      KnnGraph.insertLayered(spark, uri, standing, batch,
+        "vec_id", "embedding", k = 5, beam = 20, hops = 2)
+    assert(level0Ids() == allIds,
+      s"seed $seed: converged index diverged " +
+        s"(missing ${(allIds -- level0Ids()).take(5)})")
+    // a batch member must actually serve from the converged index
+    val out = KnnGraph.searchLayered(KnnGraph.loadLayered(spark, uri),
+        emb, emb.filter(col("vec_id") === 7),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 20, hops = 2)
+      .collect()
+    assert(out.length == 5, s"seed $seed: converged serve returned " +
+      s"${out.length} rows")
+  }
+
   private def runCase(seed: Long): Unit = {
     val rnd = new scala.util.Random(seed)
     val uri = TestSpark.tmpDir(s"knn_refuzz_$seed")
