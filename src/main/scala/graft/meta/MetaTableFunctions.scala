@@ -255,8 +255,9 @@ object MetaTableFunctions {
     * production hybrid-retrieval serve as one FROM-clause relation:
     * the lexical leg ranks `terms_csv` from the PERSISTED BM25
     * postings index ([[graft.ops.Lexical.bm25Serve]]), the semantic
-    * leg serves the SINGLE query vector `source WHERE query_where`
-    * from the persisted IVF-PQ store, and the two rank lists fuse by
+    * leg serves the SINGLE query vector — `source WHERE query_where`,
+    * or an ARRAY literal (a just-computed fresh embedding) — from the
+    * persisted IVF-PQ store, and the two rank lists fuse by
     * reciprocal rank ([[graft.ops.Lexical.rrfFuse]]).  Output:
     * `(id, rank_1 lexical, rank_2 semantic, rrf)`, top_k rows. */
   private def hybridSearchBuilder
@@ -274,8 +275,8 @@ object MetaTableFunctions {
               s"rerank, k_const, top_k) takes 12 arguments, got " +
               s"${args.length}")
         val spark = SparkSession.active
-        val Seq(bmIdx, vecIdx, source, idCol, vecCol, termsCsv, qWhere) =
-          (0 to 6).map(i => strLitArg("hybrid_search", args(i)))
+        val Seq(bmIdx, vecIdx, source, idCol, vecCol, termsCsv) =
+          (0 to 5).map(i => strLitArg("hybrid_search", args(i)))
         val kEach = intLitArg("hybrid_search", "k_each", args(7))
         val nprobe = intLitArg("hybrid_search", "nprobe", args(8))
         val rerank = intLitArg("hybrid_search", "rerank", args(9))
@@ -284,12 +285,24 @@ object MetaTableFunctions {
         val terms = termsCsv.split(",").toSeq.map(_.trim)
           .filter(_.nonEmpty)
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
-        val queries = corpus.filter(qWhere)
-        // one serving request = one query vector; several would mix
-        // their semantic ranks into one fused list
-        require(queries.limit(2).count() == 1,
-          s"hybrid_search: query_where '$qWhere' must select exactly " +
-            "one query vector")
+        // 7th arg: a string filters source down to the query vector; an
+        // ARRAY literal is the fresh embedding itself (same contract as
+        // vector_search/knn_search — a hybrid request often arrives as
+        // query terms + a just-computed embedding)
+        val queries = args(6).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            literalQueryDf(spark, corpus, vecCol, "hybrid_search", args(6))
+          case _ =>
+            val qWhere = strLitArg("hybrid_search", args(6))
+            val qs = corpus.filter(qWhere)
+              .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+            // one serving request = one query vector; several would mix
+            // their semantic ranks into one fused list
+            require(qs.limit(2).count() == 1,
+              s"hybrid_search: query_where '$qWhere' must select " +
+                "exactly one query vector")
+            qs
+        }
         // the BM25 index stores its own id column (named at build
         // time): detect it from the postings schema, rename to the
         // fused output's `id`
@@ -306,7 +319,7 @@ object MetaTableFunctions {
             org.apache.spark.sql.functions.row_number().over(w))
           .select(col(bmIdCol).as("id"), col("rank"))
         val sem = graft.ops.IvfPqStore.search(spark, vecIdx, corpus,
-            queries, idCol, vecCol, idCol, vecCol,
+            queries, idCol, vecCol, "query_id", "__qv",
             kEach, nprobe, rerank)
           .select(col("neighbor_id").as("id"), col("rank"))
         graft.ops.Lexical.rrfFuse(Seq(lex, sem), "id", "rank",

@@ -212,6 +212,32 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
         "'vec_id', 'embedding', 'spark', 'vec_id < 2', 20, 4, 40, " +
         "60, 15)"))
     assert(err.getMessage.contains("exactly one"), err.getMessage)
+    // the LITERAL query form: a fresh embedding (query_id -1, so no
+    // corpus row is shadowed) fused with the same lexical leg —
+    // value-equal to staging the one-row query table in Scala
+    import spark.implicits._
+    val vec0 = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val lit0 = "CAST(array(" + vec0.map(v => s"CAST($v AS FLOAT)")
+      .mkString(", ") + ") AS ARRAY<FLOAT>)"
+    val gotLit = spark.sql(s"SELECT * FROM hybrid_search('$bmIdx', " +
+      s"'$vecIdx', '$esrc', 'vec_id', 'embedding', " +
+      s"'spark, merge, vector', $lit0, 20, 4, 40, 60, 15)")
+      .collect().map(_.toSeq).toSeq
+    val semLit = graft.ops.IvfPqStore.search(spark, vecIdx, e,
+        Seq((-1L, vec0.toArray)).toDF("query_id", "__qv"),
+        "vec_id", "embedding", "query_id", "__qv",
+        k = 20, nprobe = 4, rerank = 40)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    val wantLit = graft.ops.Lexical.rrfFuse(Seq(lex, semLit), "id",
+        "rank", kConst = 60, topK = 15)
+      .collect().map(_.toSeq).toSeq
+    assert(gotLit == wantLit,
+      "literal-vector hybrid_search diverged from the staged route")
+    // vec 0 itself is now an eligible semantic hit (query_id -1 does
+    // not shadow it) — the fused list must contain it
+    assert(gotLit.exists(_(0) == 0L),
+      "the literal route must not shadow corpus row 0")
   }
 
   test("index_generations exposes the MVCC chain of both index " +
