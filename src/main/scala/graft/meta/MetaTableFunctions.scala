@@ -158,6 +158,16 @@ object MetaTableFunctions {
         s"$fname: non-numeric query vector element " +
           s"${other.getClass.getSimpleName}")
     }
+    require(nums.nonEmpty,
+      s"$fname: the query vector literal is empty")
+    // dimension check against one corpus row (a mismatched literal
+    // would otherwise fail deep inside the scoring kernels, or worse,
+    // score garbage) — one single-row job, negligible next to the serve
+    corpus.select(vecCol).limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length)
+      .foreach(d => require(nums.length == d,
+        s"$fname: query vector literal has ${nums.length} dims, " +
+          s"corpus vectors have $d"))
     val vec: Any = elemT match {
       case FloatType => nums.map(_.floatValue())
       case DoubleType => nums.map(_.doubleValue())

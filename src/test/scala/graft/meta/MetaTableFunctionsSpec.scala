@@ -141,6 +141,10 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
         "'embedding', array('a', 'b'), 5, 4, 40)"))
     assert(err.getMessage.contains("non-numeric"), err.getMessage)
+    val dimErr = intercept[Exception](spark.sql(
+      s"SELECT * FROM vector_search('$uri', '$src', 'vec_id', " +
+        "'embedding', array(0.1D, 0.2D), 5, 4, 40)"))
+    assert(dimErr.getMessage.contains("dims"), dimErr.getMessage)
     // the GRAPH route takes the same literal form: knn_search over a
     // persisted layered index, value-equal to the staged-query route
     val kUri = TestSpark.tmpDir("tf_knn_literal")
