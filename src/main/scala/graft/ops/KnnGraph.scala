@@ -339,8 +339,18 @@ object KnnGraph {
     vecs.unpersist()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand"))
+    // eligibility as an INNER join with the beam state BROADCAST: the
+    // state is queries × beam rows (tiny at any corpus size) while the
+    // eligible set is corpus-scale — a semi-join could only broadcast
+    // the eligible side, so at scale it would shuffle the whole
+    // eligible set against a few thousand rows.  This shape is one
+    // predicate-pushed corpus scan + a broadcast hash join.  The state
+    // is unique per (query_id, cand), so duplicates can come only from
+    // duplicate eligible ids — deduped on the tiny join result, never
+    // on the corpus-scale input.
     val ranked = eligible
-      .map(el => state.join(el.distinct(), Seq("cand"), "left_semi"))
+      .map(el => broadcast(state).join(el, Seq("cand"))
+        .dropDuplicates("query_id", "cand"))
       .getOrElse(state)
     ranked.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
