@@ -113,9 +113,9 @@ object Procedures {
         val uri = str(row, 0)
         val keep = if (row.isNullAt(1)) 1 else row.getInt(1)
         val ageMs = optStr(row, 2)
-          .map(graft.sql.CopySql.parseAgeMillis)
+          .map(graft.sql.CopySql.parseAgeMillis(_, "keep_age"))
         val graceMs = optStr(row, 3)
-          .map(graft.sql.CopySql.parseAgeMillis)
+          .map(graft.sql.CopySql.parseAgeMillis(_, "orphan_grace"))
           .getOrElse(Maintenance.DefaultOrphanGraceMs)
         val removed = ageMs match {
           case Some(a) =>
@@ -410,7 +410,7 @@ object Procedures {
         graft.ops.IvfPqStore.dropRetiredGenerations(spark, str(row, 0),
             keep = if (row.isNullAt(1)) 1 else row.getInt(1),
             claimSweepAgeMs = optStr(row, 2)
-              .map(graft.sql.CopySql.parseAgeMillis)
+              .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
               .getOrElse(
                 graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
           .map(r => new GenericInternalRow(
@@ -540,7 +540,7 @@ object Procedures {
         graft.ops.KnnGraph.dropRetiredGenerations(spark, str(row, 0),
             keep = if (row.isNullAt(1)) 1 else row.getInt(1),
             claimSweepAgeMs = optStr(row, 2)
-              .map(graft.sql.CopySql.parseAgeMillis)
+              .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
               .getOrElse(
                 graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
           .map(r => new GenericInternalRow(

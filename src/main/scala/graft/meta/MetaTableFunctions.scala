@@ -128,7 +128,7 @@ object MetaTableFunctions {
     * `neighbor_id == query_id`, and a colliding id would silently drop
     * that corpus row from the results (ids are non-negative in every
     * sane corpus; if yours include -1, stage a query table instead). */
-  private def literalQueryDf(spark: SparkSession,
+  private[graft] def literalQueryDf(spark: SparkSession,
       corpus: org.apache.spark.sql.DataFrame, vecCol: String,
       fname: String, e: Expression): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
@@ -163,18 +163,35 @@ object MetaTableFunctions {
     // dimension check against one corpus row (a mismatched literal
     // would otherwise fail deep inside the scoring kernels, or worse,
     // score garbage) — one single-row job, negligible next to the serve
-    corpus.select(vecCol).limit(1).collect().headOption
+    corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(1).collect().headOption
       .map(_.getSeq[Any](0).length)
       .foreach(d => require(nums.length == d,
         s"$fname: query vector literal has ${nums.length} dims, " +
           s"corpus vectors have $d"))
+    // integral corpus element types: a fractional literal element
+    // would silently truncate (0.9 → 0) and the serve would score a
+    // DIFFERENT vector than the user wrote — fail as loudly as the
+    // non-numeric case instead
+    def integral(n: Number, to: Number => Long, tname: String): Long = {
+      val v = to(n)
+      if (n.doubleValue() != v.toDouble)
+        throw new IllegalArgumentException(
+          s"$fname: query vector element $n is not exactly " +
+            s"representable as corpus element type $tname — it would " +
+            "be truncated; round the literal explicitly if intended")
+      v
+    }
     val vec: Any = elemT match {
       case FloatType => nums.map(_.floatValue())
       case DoubleType => nums.map(_.doubleValue())
-      case IntegerType => nums.map(_.intValue())
-      case LongType => nums.map(_.longValue())
-      case ShortType => nums.map(_.shortValue())
-      case ByteType => nums.map(_.byteValue())
+      case IntegerType =>
+        nums.map(integral(_, _.intValue().toLong, "int").toInt)
+      case LongType => nums.map(integral(_, _.longValue(), "bigint"))
+      case ShortType =>
+        nums.map(integral(_, _.shortValue().toLong, "smallint").toShort)
+      case ByteType =>
+        nums.map(integral(_, _.byteValue().toLong, "tinyint").toByte)
       case other => throw new IllegalArgumentException(
         s"$fname: unsupported corpus vector element type $other")
     }

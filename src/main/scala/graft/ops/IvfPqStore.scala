@@ -102,6 +102,11 @@ object IvfPqStore {
       ivfCells: Int = 8, ivfIters: Int = 3,
       pqM: Int = 16, pqK: Int = 32, pqIters: Int = 4,
       targetRowsPerFile: Long = 1L << 20): Int = {
+    // existence first: training both models is a full pass over the
+    // corpus — a mistyped URI must fail BEFORE that cost, not after
+    require(IndexGenerations.fs(spark, uri).exists(
+        new org.apache.hadoop.fs.Path(s"${resolveRoot(spark, uri)}/index")),
+      s"$uri has no index to retrain — use persist for the first build")
     val ivf = IvfIndex.train(corpus, idCol, vecCol,
       k = ivfCells, iters = ivfIters)
     val pq = PqIndex.train(corpus, idCol, vecCol,

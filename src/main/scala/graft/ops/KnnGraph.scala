@@ -58,6 +58,14 @@ object KnnGraph {
   private val LevelTaskTimeout = scala.concurrent.duration.Duration(2,
     java.util.concurrent.TimeUnit.HOURS)
 
+  /** Most queries a beam serve will FORCE-broadcast: the per-query
+    * beam state is `queries × beam` rows, bounded in the corpus size
+    * but not in the query count, so above this many queries the serve
+    * drops the broadcast hints and lets Spark pick the join strategy
+    * (a shuffle join degrades gracefully; a forced broadcast of an
+    * arbitrary `queries_where` selection can OOM the driver). */
+  private[graft] val MaxBroadcastQueries = 100000
+
   /** A level task blew [[LevelTaskTimeout]]: the task MAY STILL BE
     * RUNNING (a thread pool cannot cancel a Spark job mid-action), so
     * [[withMaintenanceLock]] deliberately KEEPS the lease on this
@@ -296,8 +304,18 @@ object KnnGraph {
     val vecs = corpus.select(col(idCol).cast("long").as("cand"),
         col(vecCol).as("__cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
-      col(qVecCol).as("__qv")))
+    // the beam state is queries × beam rows — tiny in the CORPUS size
+    // but unbounded in the QUERY count (queries_where can select
+    // arbitrarily many rows), so only HINT broadcast when the state is
+    // provably small; above the threshold leave the strategy to Spark
+    // (AQE still broadcasts genuinely small sides on its own), which
+    // degrades to a shuffle join instead of a driver OOM
+    val qsRaw = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stateSmall = qsRaw.limit(MaxBroadcastQueries + 1).count() <=
+      MaxBroadcastQueries
+    val qs = if (stateSmall) broadcast(qsRaw) else qsRaw
 
     def score(cands: DataFrame): DataFrame =
       cands.join(vecs, "cand").join(qs, "query_id")
@@ -337,6 +355,7 @@ object KnnGraph {
       }
     }
     vecs.unpersist()
+    qsRaw.unpersist()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand"))
     // eligibility as an INNER join with the beam state BROADCAST: the
@@ -349,8 +368,10 @@ object KnnGraph {
     // duplicate eligible ids — deduped on the tiny join result, never
     // on the corpus-scale input.
     val ranked = eligible
-      .map(el => broadcast(state).join(el, Seq("cand"))
-        .dropDuplicates("query_id", "cand"))
+      .map { el =>
+        val st = if (stateSmall) broadcast(state) else state
+        st.join(el, Seq("cand")).dropDuplicates("query_id", "cand")
+      }
       .getOrElse(state)
     ranked.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))

@@ -66,7 +66,8 @@ object CopySql {
         case ("keep_age", v) =>
           keepAgeMs = parseAgeMillis(requireValue("keep_age", v))
         case ("orphan_grace", v) =>
-          orphanGraceMs = parseAgeMillis(requireValue("orphan_grace", v))
+          orphanGraceMs =
+            parseAgeMillis(requireValue("orphan_grace", v), "orphan_grace")
         case (other, _) => throw new IllegalArgumentException(
           s"option '$other' is not supported for VACUUM")
       }
@@ -459,15 +460,19 @@ object CopySql {
     v.getOrElse(throw new IllegalArgumentException(
       s"COPY option '$k' requires a value"))
 
-  /** `'<n> <unit>'` → milliseconds, for `VACUUM (keep_age ...)` —
-    * units second(s)/minute(s)/hour(s)/day(s)/week(s). */
-  private[graft] def parseAgeMillis(s: String): Long = {
+  /** `'<n> <unit>'` → milliseconds, for `VACUUM (keep_age ...)` and
+    * the age-typed procedure options — units second(s)/minute(s)/
+    * hour(s)/day(s)/week(s).  `option` names the option in the
+    * diagnostic so a malformed `claim_sweep_age` never points the user
+    * at `keep_age`. */
+  private[graft] def parseAgeMillis(
+      s: String, option: String = "keep_age"): Long = {
     val m = java.util.regex.Pattern
       .compile("""\s*(\d+)\s*(second|minute|hour|day|week)s?\s*""",
         java.util.regex.Pattern.CASE_INSENSITIVE)
       .matcher(s)
     if (!m.matches()) throw new IllegalArgumentException(
-      s"keep_age '$s' is not a valid interval; use '<n> " +
+      s"$option '$s' is not a valid interval; use '<n> " +
         "seconds|minutes|hours|days|weeks'")
     val n = m.group(1).toLong
     val unit = m.group(2).toLowerCase(Locale.ROOT) match {

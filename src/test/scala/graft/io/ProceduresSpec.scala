@@ -335,6 +335,13 @@ class ProceduresSpec extends AnyFunSuite {
       "claim_sweep_age => '0 seconds')")
     assert(!fs.exists(new Path(vUri, s"_gen$deadClaim.claim")),
       "claim_sweep_age => 0 must force-sweep the dead claim")
+    // a malformed claim_sweep_age must name claim_sweep_age in the
+    // diagnostic, not the VACUUM statement's keep_age
+    val ageErr = intercept[Exception](spark.sql(
+      s"CALL graft.system.vector_vacuum(index => '$vUri', " +
+        "claim_sweep_age => 'fortnight')"))
+    assert(ageErr.getMessage.contains("claim_sweep_age"),
+      ageErr.getMessage)
     // ---- layered graph index
     val kUri = fresh("proc_replace_knn")
     spark.sql("CALL graft.system.knn_index_build(" +

@@ -275,6 +275,41 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
     assert(chain() == Seq((1, "published", true)))
   }
 
+  test("literal query vectors: integral corpora reject LOSSY literals, " +
+      "exact integrals pass, and a NULL-vector row never breaks the " +
+      "dimension probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // int-element corpus whose FIRST row has a NULL vector: the
+    // dimension probe must sample a non-null row, not NPE
+    val corpus = Seq(
+        (0L, null.asInstanceOf[Array[Int]]),
+        (1L, Array(1, 2, 3)),
+        (2L, Array(4, 5, 6)))
+      .toDF("id", "vec").coalesce(1)
+    val lossy = Literal.create(Seq(0.9d, 2.0d, 3.0d),
+      ArrayType(DoubleType))
+    val err = intercept[IllegalArgumentException](
+      MetaTableFunctions.literalQueryDf(spark, corpus, "vec",
+        "knn_search", lossy))
+    assert(err.getMessage.contains("truncated"), err.getMessage)
+    assert(err.getMessage.contains("0.9"), err.getMessage)
+    val exact = Literal.create(Seq(1.0d, 2.0d, 3.0d),
+      ArrayType(DoubleType))
+    val row = MetaTableFunctions.literalQueryDf(spark, corpus, "vec",
+      "knn_search", exact).head()
+    assert(row.getLong(0) == -1L)
+    assert(row.getSeq[Int](1) == Seq(1, 2, 3))
+    // an ALL-NULL vector column skips the dimension check (nothing to
+    // compare against) rather than throwing
+    val allNull = Seq((0L, null.asInstanceOf[Array[Int]]))
+      .toDF("id", "vec")
+    val r2 = MetaTableFunctions.literalQueryDf(spark, allNull, "vec",
+      "knn_search", exact).head()
+    assert(r2.getSeq[Int](1) == Seq(1, 2, 3))
+  }
+
   test("extensions-based registration exposes the same functions") {
     // GraftExtensions.apply wires builders through injectTableFunction;
     // assert the builder list covers all six functions without spinning

@@ -352,6 +352,16 @@ class IvfPqStoreSpec extends AnyFunSuite {
       "post-retrain insert did not land in the current generation")
   }
 
+  test("retrain on a missing index fails up front, before burning a " +
+      "training pass") {
+    val uri = fresh("ivfpq_retrain_missing")
+    val err = intercept[IllegalArgumentException](
+      IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+        targetRowsPerFile = 50))
+    assert(err.getMessage.contains("no index to retrain"),
+      err.getMessage)
+  }
+
   test("generation retention: dropRetiredGenerations keeps the newest " +
       "keep, retires older ones and the gen-0 layout, never the current") {
     val uri = fresh("ivfpq_retention")
