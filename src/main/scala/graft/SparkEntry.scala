@@ -3456,6 +3456,43 @@ object SparkEntry {
         "ORDER BY query_id, rank")
     }),
 
+    // AUTO-ROUTED filtered ANN: one entry point measures the filter's
+    // selectivity and picks the regime-correct route.  The MILD filter
+    // (label < 5, ~50%) routes to the GRAPH with the beam ladder-
+    // widened to 80 (required = ceil(3·10/0.508) = 60 → rung 80); the
+    // SELECTIVE filter (vec_id % 97 = 3, ~1%) needs beam ~2500 >
+    // maxBeam 160, so it falls through to the IVF pre-shortlist whose
+    // semi-join guarantees k eligible results at any selectivity.
+    // Both decisions sit far from ladder boundaries, so the routes —
+    // and therefore the oracle — are stable under corpus drift
+    "sim_ann_filtered_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ivfUri = stageIvfPq(s, dir, e, e, "full")
+      val kUri = util.Staging.dirFor(
+        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
+        s"$dir/embeddings.parquet")
+      val fs = new org.apache.hadoop.fs.Path(kUri)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          kUri, "level0/_graft_manifests"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(kUri), true)
+        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+          k = 10, iters = 6, branching = 4, seedTarget = 128)
+        ops.KnnGraph.persistLayered(s, idx, kUri)
+      }
+      val queries = e.filter(col("vec_id") < 5)
+      def serve(pred: org.apache.spark.sql.Column, regime: String) =
+        ops.AnnRouter.searchFiltered(s, Some(kUri), Some(ivfUri),
+            e, queries, e.filter(pred),
+            "vec_id", "embedding", "vec_id", "embedding",
+            k = 10, baseBeam = 40, maxBeam = 160,
+            hops = 4, nprobe = 4, rerank = 60)
+          .withColumn("regime", lit(regime))
+      serve(col("label") < 5, "mild")
+        .unionByName(serve(col("vec_id") % 97 === 3, "selective"))
+        .orderBy("regime", "query_id", "rank")
+    }),
+
     // the GRAPH drift metric from SQL: knn_recall measures recall@10
     // of the persisted layered serve against exact brute force — the
     // monitoring half of the knn_rebuild_if_drifted loop (incremental
@@ -5346,6 +5383,15 @@ object SparkEntry {
     // filtered-graph semantics, replicated position-for-position
     "sim_knn_filtered" ->
       knnLayeredOracleSql(120, eligibleSql = Some("label = 3")),
+    // auto-router: the mild half replicates the graph serve at the
+    // ladder-widened beam 80, the selective half the IVF pre-shortlist
+    // serve — exactly the two routes the measured selectivities pick
+    "sim_ann_filtered_auto" ->
+      ("SELECT 'mild' AS regime, * FROM (" +
+        knnLayeredOracleSql(80, eligibleSql = Some("label < 5")) +
+        ") UNION ALL SELECT 'selective' AS regime, * FROM (" +
+        ivfPqOracle(eligibleSql = Some("vec_id % 97 = 3")) +
+        ") ORDER BY regime, query_id, rank"),
     // the graph drift metric: the layered serve's top-10 (the full
     // replication, wrapped as a subquery) intersected with the exact
     // brute-force top-10, count/10 per probe query

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Auto-routed FILTERED ANN serving: one entry point that measures the
+  * eligibility predicate's selectivity and picks the regime-correct
+  * index route, so callers no longer need to know the filtered-graph
+  * trade (a bounded beam yields only ~beam × selectivity eligible
+  * results) to get k eligible neighbors per query.
+  *
+  * The two regimes and their routes:
+  *
+  *  - '''Mild filters''' (selectivity high enough that a modestly
+  *    widened beam still lands k eligible survivors): serve from the
+  *    layered graph index with the beam widened to
+  *    `safety × k / selectivity`, rounded UP to a doubling ladder off
+  *    `baseBeam` — the post-filter walk keeps the graph's query-local
+  *    entry advantage and touches ~beam × degree vectors per query,
+  *    independent of corpus size.
+  *  - '''Selective filters''' (the widened beam would blow `maxBeam`):
+  *    fall through to the IVF-PQ store's pre-shortlist semi-join
+  *    ([[IvfPqStore.search]]'s `eligible`), whose shortlist admits
+  *    ONLY eligible ids — k eligible results are guaranteed at any
+  *    selectivity, at probed-cells scan cost.
+  *
+  * The beam ladder (base, 2×, 4×, … ≤ maxBeam) exists for
+  * DETERMINISM: the chosen width moves only when the measured
+  * selectivity crosses a power-of-two boundary, so small corpus drift
+  * never flips the route or the beam — the property that makes an
+  * auto-routed serve reproducible enough to value-oracle.
+  *
+  * Selectivity is measured with two counts, both cheap at any scale:
+  * `corpus.count()` is a parquet metadata-only job, and
+  * `eligible.count()` scans just the predicate's columns with the
+  * filter pushed to the scan.  Callers that already know the counts
+  * (a standing corpus with maintained stats) pass them in and skip
+  * the jobs entirely.
+  */
+object AnnRouter {
+
+  sealed trait Route { def name: String }
+  /** Layered-graph serve, beam widened for the post-filter ranking. */
+  case object GraphPostFilter extends Route {
+    val name = "graph_post_filter"
+  }
+  /** IVF-PQ serve, eligible ids semi-joined BEFORE the ADC shortlist. */
+  case object IvfPreShortlist extends Route {
+    val name = "ivf_pre_shortlist"
+  }
+
+  /** The routing decision: which index serves, and (for the graph
+    * route) the ladder-widened beam.  `requiredBeam` is the raw
+    * `ceil(safety × k / selectivity)` before ladder rounding — kept
+    * for diagnostics so a spec (or an operator) can see how close the
+    * decision sat to a boundary. */
+  final case class RoutePlan(route: Route, beam: Int, requiredBeam: Long)
+
+  /** Pure routing core — unit-testable without Spark.  `eligibleCount
+    * == 0` routes to the graph at `baseBeam`: both routes return zero
+    * rows on an empty eligible set, and the graph serve is the cheaper
+    * way to return nothing. */
+  def plan(corpusCount: Long, eligibleCount: Long, k: Int,
+      baseBeam: Int = 40, maxBeam: Int = 160,
+      safety: Double = 3.0): RoutePlan = {
+    require(corpusCount > 0, "cannot route over an empty corpus")
+    require(eligibleCount >= 0 && eligibleCount <= corpusCount,
+      s"eligible count $eligibleCount out of [0, $corpusCount]")
+    require(k >= 1 && baseBeam >= k,
+      s"need k >= 1 and baseBeam >= k, got k=$k baseBeam=$baseBeam")
+    require(maxBeam >= baseBeam, "maxBeam must be >= baseBeam")
+    require(safety >= 1.0, "safety < 1 cannot land k eligible results")
+    if (eligibleCount == 0)
+      return RoutePlan(GraphPostFilter, baseBeam, baseBeam.toLong)
+    // beam × (eligible/corpus) ≥ safety × k  ⇔  beam ≥ required
+    val required = math.ceil(
+      safety * k * corpusCount.toDouble / eligibleCount.toDouble).toLong
+    Iterator.iterate(baseBeam.toLong)(_ * 2)
+      .takeWhile(_ <= maxBeam)
+      .find(_ >= required) match {
+      case Some(rung) =>
+        RoutePlan(GraphPostFilter, rung.toInt, required)
+      case None => RoutePlan(IvfPreShortlist, maxBeam, required)
+    }
+  }
+
+  /** [[plan]] with the counts measured from the DataFrames (one
+    * metadata count + one pushed-predicate count), for callers without
+    * maintained stats. */
+  def planFor(corpus: DataFrame, eligible: DataFrame, k: Int,
+      baseBeam: Int = 40, maxBeam: Int = 160,
+      safety: Double = 3.0): RoutePlan =
+    plan(corpus.count(), eligible.count(), k, baseBeam, maxBeam, safety)
+
+  /** The one filtered-serve entry point: route per [[plan]], then
+    * serve from the regime-correct persisted index.  Both results
+    * carry the same `(query_id, rank, neighbor_id, cosine)` shape.
+    *
+    * Indexes are optional individually (a deployment may maintain only
+    * one family) but the route the selectivity demands must be
+    * present: serving a selective filter through a capped graph beam
+    * would SILENTLY return fewer than k (or farther) eligible
+    * neighbors, so a missing required index fails loudly instead.
+    */
+  def searchFiltered(
+      spark: SparkSession,
+      graphUri: Option[String], ivfUri: Option[String],
+      corpus: DataFrame, queries: DataFrame, eligible: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int = 10, baseBeam: Int = 40, maxBeam: Int = 160,
+      safety: Double = 3.0, hops: Int = 4, upperHops: Int = 1,
+      nprobe: Int = 4, rerank: Int = 60,
+      knownCorpusCount: Option[Long] = None,
+      knownEligibleCount: Option[Long] = None): DataFrame = {
+    require(graphUri.nonEmpty || ivfUri.nonEmpty,
+      "searchFiltered needs at least one persisted index")
+    val p = plan(
+      knownCorpusCount.getOrElse(corpus.count()),
+      knownEligibleCount.getOrElse(eligible.count()),
+      k, baseBeam, maxBeam, safety)
+    p.route match {
+      case GraphPostFilter =>
+        val uri = graphUri.getOrElse(throw new IllegalArgumentException(
+          s"router chose the graph route (beam ${p.beam}) but no " +
+            "layered graph index was supplied — pass graphUri, or " +
+            "serve through the IVF index explicitly"))
+        KnnGraph.searchLayered(KnnGraph.loadLayered(spark, uri),
+          corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+          k = k, beam = p.beam, hops = hops, upperHops = upperHops,
+          eligible = Some(eligible))
+      case IvfPreShortlist =>
+        val uri = ivfUri.getOrElse(throw new IllegalArgumentException(
+          s"router needs the IVF pre-shortlist route (the filter " +
+            s"needs beam ~${p.requiredBeam} > maxBeam $maxBeam) but " +
+            "no IVF-PQ index was supplied — pass ivfUri, or raise " +
+            "maxBeam if the widened walk cost is acceptable"))
+        IvfPqStore.search(spark, uri, corpus, queries,
+          idCol, vecCol, qIdCol, qVecCol, k,
+          nprobe = nprobe, rerank = rerank, eligible = Some(eligible))
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnnRouterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  // ------------------------------------------------ pure routing core
+
+  test("plan pins the regimes: mild filters widen the graph beam on " +
+      "the doubling ladder, selective filters fall through to IVF") {
+    // ~50%: required = ceil(3·10/0.5) = 60 → rung 80 (not the raw 60 —
+    // the ladder is what keeps the decision stable under drift)
+    val mild = AnnRouter.plan(500, 254, k = 10)
+    assert(mild.route == AnnRouter.GraphPostFilter)
+    assert(mild.beam == 80 && mild.requiredBeam == 60, mild)
+    // ~1%: required 2500 blows maxBeam 160 → IVF pre-shortlist
+    val sel = AnnRouter.plan(500, 6, k = 10)
+    assert(sel.route == AnnRouter.IvfPreShortlist, sel)
+    assert(sel.requiredBeam == 2500, sel)
+    // unfiltered-ish (everything eligible): the base rung serves
+    val all = AnnRouter.plan(500, 500, k = 10)
+    assert(all.route == AnnRouter.GraphPostFilter && all.beam == 40, all)
+    // empty eligible set: graph at base beam (both routes return zero
+    // rows; the graph is the cheaper way to return nothing)
+    val none = AnnRouter.plan(500, 0, k = 10)
+    assert(none.route == AnnRouter.GraphPostFilter && none.beam == 40)
+    // boundary: required exactly on a rung stays on that rung
+    assert(AnnRouter.plan(160, 30, k = 10).beam == 160)
+    // one past the top rung tips to IVF
+    assert(AnnRouter.plan(161, 30, k = 10).route ==
+      AnnRouter.IvfPreShortlist)
+    // guard rails
+    intercept[IllegalArgumentException](AnnRouter.plan(0, 0, k = 10))
+    intercept[IllegalArgumentException](AnnRouter.plan(10, 20, k = 10))
+    intercept[IllegalArgumentException](
+      AnnRouter.plan(10, 5, k = 10, baseBeam = 5))
+    intercept[IllegalArgumentException](
+      AnnRouter.plan(10, 5, k = 10, safety = 0.5))
+  }
+
+  // ------------------------------------------- end-to-end route parity
+
+  private def fresh(tag: String): String = {
+    val uri = TestSpark.tmpDir(tag)
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+    uri
+  }
+
+  test("searchFiltered serves each regime through the pinned route, " +
+      "value-equal to calling that route directly") {
+    val gUri = fresh("router_graph")
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(emb, "vec_id", "embedding",
+        k = 10, iters = 4, branching = 4, seedTarget = 64),
+      gUri, targetRowsPerFile = 2000)
+    val vUri = fresh("router_ivf")
+    val ivf = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val pq = PqIndex.train(emb, "vec_id", "embedding",
+      m = 16, k = 32, iters = 3)
+    IvfPqStore.persist(spark, vUri, emb, "vec_id", "embedding",
+      ivf, pq, targetRowsPerFile = 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    def auto(pred: org.apache.spark.sql.Column) =
+      AnnRouter.searchFiltered(spark, Some(gUri), Some(vUri),
+          emb, queries, emb.filter(pred),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    // MILD (~50%): must equal the layered graph serve at the ladder
+    // beam the plan picked for the measured counts
+    val mildPlan = AnnRouter.plan(emb.count(),
+      emb.filter(col("label") < 5).count(), k = 10)
+    assert(mildPlan.route == AnnRouter.GraphPostFilter)
+    val wantMild = KnnGraph.searchLayered(
+        KnnGraph.loadLayered(spark, gUri), emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, beam = mildPlan.beam, hops = 4,
+        eligible = Some(emb.filter(col("label") < 5)))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(auto(col("label") < 5) == wantMild,
+      "mild regime diverged from the direct graph serve")
+    // every result row is eligible
+    assert(wantMild.nonEmpty)
+
+    // SELECTIVE (~1%): must equal the IVF pre-shortlist serve, which
+    // GUARANTEES k eligible results per query even at this selectivity
+    val selPred = col("vec_id") % 97 === 3
+    assert(AnnRouter.plan(emb.count(), emb.filter(selPred).count(),
+      k = 10).route == AnnRouter.IvfPreShortlist)
+    val wantSel = IvfPqStore.search(spark, vUri, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 60,
+        eligible = Some(emb.filter(selPred)))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val gotSel = auto(selPred)
+    assert(gotSel == wantSel,
+      "selective regime diverged from the direct IVF serve")
+    // only ELIGIBLE ids in results, and every query lands some — the
+    // property the router exists to preserve (the graph route at base
+    // beam yields ~beam × 1% ≈ 0 eligible survivors per query; the
+    // IVF pre-shortlist admits eligible ids from every probed cell)
+    val nEligible = emb.filter(selPred).count()
+    val eligibleIds = emb.filter(selPred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotSel.forall(r => eligibleIds(r(2).asInstanceOf[Long])),
+      "an ineligible id leaked into the filtered results")
+    val perQuery = gotSel.groupBy(_.head).view.mapValues(_.size).toMap
+    assert(perQuery.size == 5 && perQuery.values.forall(_ >= 1),
+      s"every query must land eligible results: $perQuery")
+
+    // a missing REQUIRED index fails loudly, naming the fix
+    val e1 = intercept[IllegalArgumentException](
+      AnnRouter.searchFiltered(spark, Some(gUri), None,
+        emb, queries, emb.filter(selPred),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10))
+    assert(e1.getMessage.contains("IVF"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      AnnRouter.searchFiltered(spark, None, Some(vUri),
+        emb, queries, emb.filter(col("label") < 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10))
+    assert(e2.getMessage.contains("graph"), e2.getMessage)
+
+    // known counts skip the measurement jobs but pick the same route
+    val gotKnown = AnnRouter.searchFiltered(spark, Some(gUri), Some(vUri),
+        emb, queries, emb.filter(selPred),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        knownCorpusCount = Some(emb.count()),
+        knownEligibleCount = Some(nEligible))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(gotKnown == wantSel)
+  }
+}
