@@ -141,7 +141,7 @@ private[graft] object IndexGenerations {
   def sweepCrashedClaims(fs: FileSystem, uri: String, current: Int,
       claimSweepAgeMs: Long = DefaultClaimSweepAgeMs): Unit = {
     val pub = published(fs, uri).toSet
-    val now = System.currentTimeMillis()
+    val now = storeNow(fs, uri)
     taken(fs, uri).filter(n => n < current && !pub.contains(n)).foreach { n =>
       val claim = new Path(uri, s"_gen$n.claim")
       val age = try now - fs.getFileStatus(claim).getModificationTime
@@ -170,6 +170,27 @@ private[graft] object IndexGenerations {
           .filter(n => n < current && !live.contains(n))
           .foreach(_ => fs.delete(p, true))
       }
+  }
+
+  /** The store's own notion of "now": the mtime of a freshly created
+    * probe file under `uri`.  Claim ages then compare two mtimes
+    * stamped by the SAME filesystem clock, so driver↔object-store
+    * clock skew can never make a live claim look older than the sweep
+    * gate (a driver clock ahead of the store would otherwise age every
+    * claim by the skew).  Falls back to the driver clock only if the
+    * probe cannot be created — and a store we cannot write to is one
+    * we cannot sweep either, so the fallback value is never acted on
+    * destructively. */
+  private def storeNow(fs: FileSystem, uri: String): Long = {
+    val probe = new Path(uri,
+      s"_clock_probe_${java.util.UUID.randomUUID().toString}")
+    try {
+      fs.create(probe, false).close()
+      try fs.getFileStatus(probe).getModificationTime
+      finally fs.delete(probe, false)
+    } catch {
+      case _: java.io.IOException => System.currentTimeMillis()
+    }
   }
 
   /** Retire published generations older than the newest `keep` (the

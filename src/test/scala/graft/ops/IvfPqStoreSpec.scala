@@ -477,6 +477,23 @@ class IvfPqStoreSpec extends AnyFunSuite {
       claimSweepAgeMs = 0L)
     assert(!fs.exists(orphan),
       "a claimless markerless staging dir below current must sweep")
+    // CLOCK SKEW: a claim stamped in the FUTURE (a rebuild running on
+    // a box whose clock is ahead of the sweeping operator's — or a
+    // store clock behind both) must never be judged "aged".  The sweep
+    // derives its notion of now from the STORE (a fresh probe file's
+    // mtime), so claim age compares two mtimes from the same clock and
+    // this claim survives even a zero age gate.
+    val claimed5 = IndexGenerations.claimNext(fs, uri)
+    val futureClaim =
+      new org.apache.hadoop.fs.Path(uri, s"_gen$claimed5.claim")
+    fs.setTimes(futureClaim, System.currentTimeMillis() + 3600L * 1000,
+      -1)
+    assert(IvfPqStore.retrain(spark, uri, emb, "vec_id", "embedding",
+      ivfIters = 1, pqIters = 1, targetRowsPerFile = 50) == claimed5 + 1)
+    IvfPqStore.dropRetiredGenerations(spark, uri, keep = 1,
+      claimSweepAgeMs = 0L)
+    assert(fs.exists(futureClaim),
+      "a claim from the future (simulated clock skew) must never sweep")
   }
 
   test("retrainIfDrifted: a drifted store retrains, a healthy one is " +
