@@ -3493,6 +3493,45 @@ object SparkEntry {
         .orderBy("regime", "query_id", "rank")
     }),
 
+    // LATE-INTERACTION (multi-vector / maxsim) retrieval: documents
+    // and queries are BAGS of token vectors (doc = 4 consecutive
+    // embedding rows) and relevance is sum over query tokens of the
+    // best-matching doc-token cosine — the ColBERT scoring shape a
+    // pooled single vector cannot express.  Exact serve: one pass of
+    // doc tokens against the broadcast query-token batch
+    "sim_multivector" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.MultiVector.maxSimTopK(
+          e.select(expr("vec_id div 4").as("doc_id"), col("embedding")),
+          e.filter(col("vec_id") < 8)
+            .select(expr("vec_id div 4").as("query_id"),
+              col("vec_id").as("qtok"), col("embedding")),
+          "doc_id", "embedding", "query_id", "qtok", "embedding",
+          k = 10, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the IVF-shortlisted maxsim serve: the shared k-means (k=8,
+    // iters=3) quantizes the TOKEN space, each query token probes its
+    // 4 nearest cells, a doc is a candidate iff any of its tokens sits
+    // in any probed cell, and candidates are exactly rescored — the
+    // corpus-wide pass drops to cell arithmetic, the recall trade is
+    // nprobe.  No top-N cutoff, so the serve is deterministic given
+    // the model and the oracle replicates it cell-for-cell
+    "sim_multivector_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ivf = ops.IvfIndex.train(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      ops.MultiVector.maxSimShortlisted(
+          e.select(expr("vec_id div 4").as("doc_id"), col("embedding")),
+          e.filter(col("vec_id") < 8)
+            .select(expr("vec_id div 4").as("query_id"),
+              col("vec_id").as("qtok"), col("embedding")),
+          "doc_id", "embedding", "query_id", "qtok", "embedding",
+          ivf, nprobe = 4, k = 10, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // the GRAPH drift metric from SQL: knn_recall measures recall@10
     // of the persisted layered serve against exact brute force — the
     // monitoring half of the knn_rebuild_if_drifted loop (incremental
@@ -5102,6 +5141,38 @@ object SparkEntry {
       s"round(cos, 4) AS cosine FROM $g ORDER BY id, rank"
   }
 
+  /** Exact maxsim replication: doc = vec_id // 4 token bags, queries
+    * = docs 0/1 (tokens vec_id < 8), score = Σ per-query-token max doc
+    * -token cosine, rounded to 4, top-10 with doc_id ties, self-doc
+    * excluded.  `candCte` (must end by defining `cand(query_id,
+    * doc_id)`) restricts scoring to candidate pairs — the
+    * IVF-shortlisted variant; None scores every doc. */
+  private def MaxSimOracle(candCte: Option[String]): String = {
+    val lead = candCte match {
+      case Some(c) => "WITH " + IvfTrainCtes + ", " + c + ", "
+      case None => "WITH " + IvfEvCte + ", "
+    }
+    val pairs = candCte match {
+      case Some(_) =>
+        "FROM cand c JOIN qt q ON q.query_id = c.query_id " +
+          "JOIN dt d ON d.doc_id = c.doc_id WHERE c.doc_id <> c.query_id"
+      case None => "FROM dt d, qt q WHERE d.doc_id <> q.query_id"
+    }
+    lead +
+      "qt AS (SELECT vec_id // 4 AS query_id, vec_id AS qtok, v AS qv " +
+      "FROM ev WHERE vec_id < 8), " +
+      "dt AS (SELECT vec_id // 4 AS doc_id, v AS dv FROM ev), " +
+      "pt AS (SELECT q.query_id, q.qtok, d.doc_id, " +
+      "max(list_cosine_similarity(d.dv, q.qv)) AS mx " +
+      pairs + " GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT query_id, doc_id, round(sum(mx), 4) AS maxsim " +
+      "FROM pt GROUP BY 1, 2) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, maxsim " +
+      "FROM (SELECT query_id, doc_id, maxsim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS rk " +
+      "FROM sc) WHERE rk <= 10 ORDER BY query_id, rank"
+  }
+
   private def knnSearchOracle(qMax: Int): String = {
     val (b, g) = knnBuildCtes("l0", "ids", iters = 6, k = 10)
     "WITH " + KnnHashCtes + ", " + b +
@@ -5392,6 +5463,18 @@ object SparkEntry {
         ") UNION ALL SELECT 'selective' AS regime, * FROM (" +
         ivfPqOracle(eligibleSql = Some("vec_id % 97 = 3")) +
         ") ORDER BY regime, query_id, rank"),
+    // exact maxsim: explode doc/query token bags, max per (query
+    // token, doc), sum per (query, doc), top-10 on the rounded score
+    "sim_multivector" -> MaxSimOracle(candCte = None),
+    // IVF-shortlisted maxsim: the shared k-means replication probes 4
+    // cells per query TOKEN; a doc is a candidate iff any of its
+    // tokens lands in a probed cell; exact rescoring over candidates
+    "sim_multivector_ivf" -> MaxSimOracle(candCte = Some(
+      ivfAssignCte("cellf", "c3") + ", " +
+        ivfProbesCte(nprobe = 4, qMax = 8) + ", " +
+        "cand AS (SELECT DISTINCT p.query_id // 4 AS query_id, " +
+        "cf.vec_id // 4 AS doc_id FROM probes p " +
+        "JOIN cellf cf ON cf.c = p.c)")),
     // the graph drift metric: the layered serve's top-10 (the full
     // replication, wrapped as a subquery) intersected with the exact
     // brute-force top-10, count/10 per probe query

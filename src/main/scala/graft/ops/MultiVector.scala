@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Late-interaction (multi-vector / "maxsim") retrieval: documents and
+  * queries are BAGS of token-level vectors, and the relevance of doc
+  * `d` to query `q` is `Σ_{i∈q} max_{j∈d} cos(q_i, d_j)` — every query
+  * token finds its best-matching doc token and the per-token maxima
+  * sum.  This is the scoring shape ColBERT-style retrievers need; a
+  * single pooled vector per document cannot express it (pooling
+  * averages away exactly the token-level matches maxsim rewards).
+  *
+  * Two serves:
+  *  - [[maxSimTopK]] — exact: one pass of doc tokens against the
+  *    broadcast query-token batch.  Per-doc-token cost is
+  *    O(|query tokens|), independent of corpus size per partition, so
+  *    it scans at full parallelism — the right tool for bounded query
+  *    batches over any corpus that a scan can afford.
+  *  - [[maxSimShortlisted]] — the index-accelerated path: candidate
+  *    docs come from an IVF probe of the TOKEN space (a doc is a
+  *    candidate iff one of its tokens lands in a probed cell of one of
+  *    the query's tokens), and only candidates are exactly maxsim-
+  *    rescored.  The corpus-wide work drops to the probed cells'
+  *    token rows — the standard recall trade, controlled by `nprobe`.
+  *
+  * Query tokens need a per-token id (`qTokenCol`, unique within its
+  * query) because the max is grouped PER QUERY TOKEN before summing —
+  * two identical query tokens legitimately both contribute.  Doc
+  * tokens need no id (the max does not care which token won).
+  */
+object MultiVector {
+
+  /** Exact maxsim top-k.  Output: `(query_id, rank, doc_id, maxsim)`
+    * with `maxsim` rounded to 4 decimals and ties broken by doc_id.
+    * `excludeSelf` drops `doc_id == query_id` (query bags derived from
+    * corpus documents — the corpus row is not an interesting answer to
+    * itself). */
+  def maxSimTopK(
+      docTokens: DataFrame, queryTokens: DataFrame,
+      docIdCol: String, vecCol: String,
+      qIdCol: String, qTokenCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    rerank(docTokens, queryTokens, docIdCol, vecCol,
+      qIdCol, qTokenCol, qVecCol, k, excludeSelf, candidates = None)
+  }
+
+  /** IVF-shortlisted maxsim top-k: `model` quantizes the TOKEN space
+    * (train it on the doc-token vectors); each query token probes its
+    * `nprobe` nearest cells, a doc is a candidate iff any of its
+    * tokens sits in any probed cell of any of the query's tokens, and
+    * candidates are exactly rescored.  Deterministic given the model —
+    * no top-N shortlist cutoff, so the only recall loss is cell
+    * pruning itself. */
+  def maxSimShortlisted(
+      docTokens: DataFrame, queryTokens: DataFrame,
+      docIdCol: String, vecCol: String,
+      qIdCol: String, qTokenCol: String, qVecCol: String,
+      model: IvfIndex.IvfModel, nprobe: Int,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "need k >= 1 and nprobe >= 1")
+    val spark = docTokens.sparkSession
+    // probe cells per QUERY TOKEN: driver-side over the tiny model,
+    // same guarded pattern (and the same probe arithmetic/tie order)
+    // as IvfIndex.search
+    import spark.implicits._
+    val nTok = queryTokens.count()
+    require(nTok <= IvfIndex.MaxQueryBatch,
+      s"maxSimShortlisted collects the query-token batch to the " +
+        s"driver; got $nTok tokens (max ${IvfIndex.MaxQueryBatch}) — " +
+        "split the query batch")
+    val qRows = queryTokens
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      val nq = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      model.centroids.zipWithIndex.map { case (cent, c) =>
+        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        val dot = qv.zip(cent).map { case (a, b) => a.toDouble * b }.sum
+        val sim =
+          if (nq == 0 || nc == 0) Double.MinValue else dot / (nq * nc)
+        (qid, c, sim)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(nprobe)
+        .map { case (id, c, _) => (id, c) }
+    }.distinct.toSeq
+    val probeDf = spark.createDataFrame(probeRows)
+      .toDF("query_id", "ivf_cell")
+    // candidate (query, doc) pairs: doc tokens in probed cells — the
+    // broadcast side is queries × nprobe cells, tiny; the assign scan
+    // is the only corpus-wide pass and it prunes to code arithmetic
+    val cand = IvfIndex.assign(
+        docTokens.select(col(docIdCol).cast("long").as("doc_id"),
+          col(vecCol).as("__v")), "doc_id", "__v", model)
+      .join(broadcast(probeDf), Seq("ivf_cell"))
+      .select("query_id", "doc_id").distinct()
+    rerank(docTokens, queryTokens, docIdCol, vecCol,
+      qIdCol, qTokenCol, qVecCol, k, excludeSelf, Some(cand))
+  }
+
+  /** The shared exact scorer: max per (query, query token, doc), then
+    * sum per (query, doc), windowed top-k.  With `candidates` the doc
+    * side first semi-joins the candidate doc set per query (the
+    * shortlist); without, every doc competes. */
+  private def rerank(
+      docTokens: DataFrame, queryTokens: DataFrame,
+      docIdCol: String, vecCol: String,
+      qIdCol: String, qTokenCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean,
+      candidates: Option[DataFrame]): DataFrame = {
+    val spark = docTokens.sparkSession
+    GraftFunctions.register(spark)
+    val dt = docTokens.select(col(docIdCol).cast("long").as("doc_id"),
+      col(vecCol).as("__dv"))
+    val qt = broadcast(queryTokens.select(
+      col(qIdCol).cast("long").as("query_id"),
+      col(qTokenCol).cast("long").as("__qt"),
+      col(qVecCol).as("__qv")))
+    // pair doc tokens with query tokens: restricted to candidate
+    // (query, doc) pairs when shortlisted (broadcast-joined on doc_id
+    // per query), else the full broadcast nested-loop scan
+    val pairs = candidates match {
+      case Some(c) => dt.join(c, Seq("doc_id")).join(qt, Seq("query_id"))
+      case None => dt.crossJoin(qt)
+    }
+    val self: Column =
+      if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true)
+    val perTok = pairs.filter(self)
+      .withColumn("__cos", GraftFunctions.cosine(col("__dv"), col("__qv")))
+      // max over the doc's tokens, PER query token (partial map-side)
+      .groupBy("query_id", "__qt", "doc_id")
+      .agg(max("__cos").as("__mx"))
+    val scored = perTok.groupBy("query_id", "doc_id")
+      .agg(round(sum("__mx"), 4).as("maxsim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("maxsim"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultiVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  private def docTokens = emb.select(
+    expr("vec_id div 4").as("doc_id"), col("embedding"))
+  private def queryTokens = emb.filter(col("vec_id") < 8).select(
+    expr("vec_id div 4").as("query_id"),
+    col("vec_id").as("qtok"), col("embedding"))
+
+  test("maxsim semantics: a doc sharing the query's tokens scores " +
+      "|query tokens|, per-token maxima sum, duplicates both count") {
+    import spark.implicits._
+    // hand corpus: doc 1 = exactly the query's two tokens, doc 2 one
+    // matching token + one orthogonal, doc 3 orthogonal only
+    val a = Array(1f, 0f, 0f)
+    val b = Array(0f, 1f, 0f)
+    val c = Array(0f, 0f, 1f)
+    val docs = Seq((1L, a), (1L, b), (2L, a), (2L, c), (3L, c))
+      .toDF("doc_id", "vec")
+    val qs = Seq((0L, 0L, a), (0L, 1L, b)).toDF("query_id", "qtok", "vec")
+    val got = MultiVector.maxSimTopK(docs, qs,
+        "doc_id", "vec", "query_id", "qtok", "vec", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    // doc1: 1+1=2; doc2: 1+0=1; doc3: 0+0=0
+    assert(got == Seq((1L, 2.0), (2L, 1.0), (3L, 0.0)), got.toString)
+    // DUPLICATE query tokens both contribute (distinct qtok ids): the
+    // sum is per token, not per distinct vector
+    val qdup = Seq((0L, 0L, a), (0L, 1L, a)).toDF("query_id", "qtok", "vec")
+    val dup = MultiVector.maxSimTopK(docs, qdup,
+        "doc_id", "vec", "query_id", "qtok", "vec", k = 1)
+      .head()
+    assert(dup.getLong(2) == 1L || dup.getLong(2) == 2L)
+    assert(dup.getDouble(3) == 2.0,
+      s"two identical query tokens must sum twice: $dup")
+    // excludeSelf drops the query's own doc id
+    val self = MultiVector.maxSimTopK(docs, qs
+          .withColumn("query_id", lit(1L)),
+        "doc_id", "vec", "query_id", "qtok", "vec",
+        k = 3, excludeSelf = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!self.contains(1L), s"self doc must be excluded: $self")
+  }
+
+  test("IVF shortlist: probing every cell equals the exact serve; " +
+      "fewer cells trade bounded recall") {
+    val ivf = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val exact = MultiVector.maxSimTopK(docTokens, queryTokens,
+        "doc_id", "embedding", "query_id", "qtok", "embedding",
+        k = 10, excludeSelf = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // nprobe = k(cells): every cell probed → candidate set = all docs
+    val all = MultiVector.maxSimShortlisted(docTokens, queryTokens,
+        "doc_id", "embedding", "query_id", "qtok", "embedding",
+        ivf, nprobe = 8, k = 10, excludeSelf = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(all == exact,
+      "probing all cells must reproduce the exact maxsim serve")
+    // pruned probing: recall@10 of doc ids stays useful
+    val pruned = MultiVector.maxSimShortlisted(docTokens, queryTokens,
+        "doc_id", "embedding", "query_id", "qtok", "embedding",
+        ivf, nprobe = 4, k = 10, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = exact.map(r =>
+        (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long]))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      pruned.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"maxsim IVF-shortlist recall@10 (nprobe 4/8) = $recall%.2f")
+    assert(recall >= 0.5, f"shortlist recall too low: $recall%.2f")
+  }
+}
