@@ -534,17 +534,32 @@ object Procedures {
     case "knn_vacuum" => Some(proc("knn_vacuum",
       Seq(in("index", StringType),
         in("keep", IntegerType, Some("1")),
-        in("claim_sweep_age", StringType, Some("NULL"))),
+        in("claim_sweep_age", StringType, Some("NULL")),
+        in("level_keep", IntegerType, Some("NULL")),
+        in("level_keep_age", StringType, Some("NULL"))),
       StructType(Seq(StructField("retired", StringType))),
       row => {
-        graft.ops.KnnGraph.dropRetiredGenerations(spark, str(row, 0),
-            keep = if (row.isNullAt(1)) 1 else row.getInt(1),
-            claimSweepAgeMs = optStr(row, 2)
-              .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
-              .getOrElse(
-                graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
-          .map(r => new GenericInternalRow(
-            Array[Any](UTF8String.fromString(r))))
+        val gens = graft.ops.KnnGraph.dropRetiredGenerations(spark,
+          str(row, 0),
+          keep = if (row.isNullAt(1)) 1 else row.getInt(1),
+          claimSweepAgeMs = optStr(row, 2)
+            .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
+            .getOrElse(
+              graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
+        // level_keep / level_keep_age opt into the OTHER retention
+        // axis: the current generation's per-level MVCC history that
+        // streaming maintenance grows one version per batch (union
+        // retention — a version survives inside the newest level_keep
+        // OR younger than level_keep_age)
+        val levelKeep = if (row.isNullAt(3)) None else Some(row.getInt(3))
+        val levelAge = optStr(row, 4)
+          .map(graft.sql.CopySql.parseAgeMillis(_, "level_keep_age"))
+        val levels =
+          if (levelKeep.isEmpty && levelAge.isEmpty) Seq.empty
+          else graft.ops.KnnGraph.vacuumLevels(spark, str(row, 0),
+            keepVersions = levelKeep.getOrElse(1), keepAgeMs = levelAge)
+        (gens ++ levels).map(r => new GenericInternalRow(
+          Array[Any](UTF8String.fromString(r))))
       }))
 
     // the batch is `source WHERE batch_where`; everything else in

@@ -545,6 +545,62 @@ object KnnGraph {
   }
 
   /**
+   * Reclaim the CURRENT generation's maintenance HISTORY — the other
+   * axis of retention from [[dropRetiredGenerations]]: under streaming
+   * maintenance every batch commits one MVCC version per level and a
+   * fresh `_maint_applied` journal, so the superseded manifests and
+   * unreferenced data files grow without bound even though only the
+   * latest version serves.  Expires each level table's versions under
+   * the standard union retention (keep the newest `keepVersions`, OR
+   * any younger than `keepAgeMs` when given — the
+   * [[graft.io.Snapshots.expireOlderThanKeeping]] contract, tag/branch
+   * protections included) and removes the stale `_maint_applied`
+   * marker (its content matters only while a `_maint_pending` twin
+   * exists — the copy+delete-rename recovery in
+   * [[pendingMaintenance]]).
+   *
+   * REFUSES a torn index (unresolved `_maint_pending`): recovery
+   * restores levels to the journal's recorded versions, which are
+   * exactly what this call would reclaim.  Like every retention entry
+   * point, running it is the operator's statement that no maintainer
+   * is live and in-flight readers have drained past the expired
+   * versions.  Returns the reclaimed paths.
+   */
+  def vacuumLevels(spark: org.apache.spark.sql.SparkSession,
+      rawUri: String, keepVersions: Int = 1,
+      keepAgeMs: Option[Long] = None,
+      orphanGraceMs: Long = graft.io.Maintenance.DefaultOrphanGraceMs)
+      : Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the serving version")
+    val uri = currentRoot(spark, rawUri)
+    pendingMaintenanceAt(spark, uri).foreach { journal =>
+      throw new IllegalStateException(
+        s"$uri has an unresolved maintenance journal (a prior batch " +
+          "crashed mid-commit) — level history is the recovery's " +
+          "restore target; resolve the journal before vacuuming. " +
+          s"Journal:\n$journal")
+    }
+    val fs = IndexGenerations.fs(spark, uri)
+    val lv = fs.globStatus(new org.apache.hadoop.fs.Path(uri, "level*"))
+    val levels = (if (lv == null) Seq.empty else lv.toSeq.map(_.getPath))
+      .filter(_.getName.matches("level\\d+")).sortBy(_.getName)
+    require(levels.nonEmpty, s"$uri has no level tables to vacuum")
+    val reclaimed = levels.flatMap { p =>
+      keepAgeMs match {
+        case Some(a) => graft.io.Snapshots.expireOlderThanKeeping(
+          spark, p.toString, a, keepVersions, orphanGraceMs)
+        case None => graft.io.Snapshots.expire(
+          spark, p.toString, keepVersions, orphanGraceMs)
+      }
+    }
+    val applied = new org.apache.hadoop.fs.Path(uri, "_maint_applied")
+    if (fs.exists(applied)) {
+      fs.delete(applied, false)
+      reclaimed :+ applied.toString
+    } else reclaimed
+  }
+
+  /**
    * The drift-policy loop for the GRAPH index, twin of
    * [[IvfPqStore.retrainIfDrifted]]: a layered index drifts not via
    * frozen quantizers but via accumulated incremental maintenance —

@@ -380,6 +380,30 @@ class ProceduresSpec extends AnyFunSuite {
         k = 5, beam = 20, hops = 3)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(sqlServe == apiServe)
+    // level-history retention from SQL: an insert batch grows gen2's
+    // level history; knn_vacuum(level_keep => 1) reclaims it and the
+    // serve is unchanged
+    spark.sql(s"CALL graft.system.knn_insert(index => '$kUri', " +
+      s"source => '$src', id_col => 'vec_id', vec_col => 'embedding', " +
+      "batch_where => 'vec_id % 40 = 11', k => 5, beam => 20, " +
+      "hops => 3)")
+    def serveNow() = spark.sql(s"SELECT * FROM knn_search('$kUri', " +
+      s"'$src', 'vec_id', 'embedding', 'vec_id < 3', 5, 20, 3) " +
+      "ORDER BY query_id, rank").collect().map(_.toSeq).toSeq
+    val postInsert = serveNow()
+    val reclaimed = spark.sql(
+      s"CALL graft.system.knn_vacuum(index => '$kUri', " +
+        "level_keep => 1)").collect()
+    assert(reclaimed.nonEmpty,
+      "level_keep => 1 must reclaim the superseded level versions")
+    assert(serveNow() == postInsert,
+      "level vacuum changed the serving results")
+    // a malformed level_keep_age names level_keep_age
+    val lvlErr = intercept[Exception](spark.sql(
+      s"CALL graft.system.knn_vacuum(index => '$kUri', " +
+        "level_keep_age => 'soon')"))
+    assert(lvlErr.getMessage.contains("level_keep_age"),
+      lvlErr.getMessage)
   }
 
   test("CALL knn_insert keeps NULL-predicate rows in the standing " +

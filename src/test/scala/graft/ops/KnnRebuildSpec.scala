@@ -110,6 +110,70 @@ class KnnRebuildSpec extends AnyFunSuite {
     assert(out.length == 10, "inserted-corpus serve must return k rows")
   }
 
+  test("vacuumLevels plateaus a long maintenance chain's file count " +
+      "without changing what serves; a torn journal refuses") {
+    val uri = fresh("knn_level_vacuum")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    KnnGraph.persistLayered(spark,
+      KnnGraph.buildLayered(base, "vec_id", "embedding",
+        k = 10, iters = 3, branching = 4, seedTarget = 64),
+      uri, targetRowsPerFile = 200)
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(uri), true)
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    // a maintenance CHAIN: three insert batches, each committing one
+    // MVCC version per level + a journal cycle
+    var standing = base
+    (1 to 3).foreach { i =>
+      val batch = emb.filter(col("vec_id") % 3 === i % 3)
+        .filter(col("vec_id") % 9 === i)
+      KnnGraph.insertLayered(spark, uri, standing, batch,
+        "vec_id", "embedding", k = 10, beam = 40, hops = 4)
+      standing = standing.unionByName(batch)
+    }
+    val grown = files()
+    val before = serve(KnnGraph.loadLayered(spark, uri), standing)
+    // reclaim history: keep only the serving version per level (eager
+    // orphan grace — the test owns the only writer)
+    val reclaimed = KnnGraph.vacuumLevels(spark, uri,
+      keepVersions = 1, orphanGraceMs = 0L)
+    assert(reclaimed.nonEmpty, "a 3-batch chain must have history")
+    val shrunk = files()
+    assert(shrunk < grown,
+      s"vacuum must reclaim superseded level history: $grown -> $shrunk")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(uri,
+      "_maint_applied")), "the stale applied journal must go")
+    // results unchanged: the serving version was never touched
+    assert(serve(KnnGraph.loadLayered(spark, uri), standing) == before,
+      "vacuum changed serving results")
+    // PLATEAU: another batch + vacuum returns to ~the same file count
+    val batch4 = emb.filter(col("vec_id") % 9 === 4)
+      .filter(col("vec_id") % 3 =!= 0)
+    KnnGraph.insertLayered(spark, uri, standing, batch4,
+      "vec_id", "embedding", k = 10, beam = 40, hops = 4)
+    KnnGraph.vacuumLevels(spark, uri, keepVersions = 1,
+      orphanGraceMs = 0L)
+    val plateau = files()
+    assert(plateau <= shrunk + 4,
+      s"chain + vacuum must plateau, not grow: $shrunk -> $plateau")
+    // keepVersions < 1 refuses; a TORN journal refuses (its recorded
+    // versions are the recovery's restore target)
+    intercept[IllegalArgumentException](
+      KnnGraph.vacuumLevels(spark, uri, keepVersions = 0))
+    val pending = new org.apache.hadoop.fs.Path(uri, "_maint_pending")
+    val out = fs.create(pending, true)
+    out.write("batch=torn\nlevel0=1\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](
+      KnnGraph.vacuumLevels(spark, uri, keepVersions = 1))
+    assert(e.getMessage.contains("journal"), e.getMessage)
+    fs.delete(pending, false)
+  }
+
   test("rebuildIfDrifted: a degraded index rebuilds as a generation, " +
       "a healthy one is left alone") {
     val uri = fresh("knn_drift")
