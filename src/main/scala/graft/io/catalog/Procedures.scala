@@ -82,50 +82,47 @@ object Procedures {
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
 
   def load(name: String): Option[UnboundProcedure] = name match {
-    case "optimize" => Some(proc("optimize",
+    case "optimize" => Some(procA("optimize",
       Seq(in("table", StringType),
         in("target_mb", IntegerType, Some("128")),
         in("zorder_by", StringType, Some("NULL")),
         in("where", StringType, Some("NULL"))),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val uri = str(row, 0)
-        val targetMb = if (row.isNullAt(1)) 128 else row.getInt(1)
-        val zorder = optStr(row, 2).toSeq
+      a => {
+        val zorder = a.optStr("zorder_by").toSeq
           .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         val v = Snapshots.retryCommit() {
-          Snapshots.optimizeCommit(spark, uri, targetMb.toLong << 20,
-            zorder, optStr(row, 3))
+          Snapshots.optimizeCommit(spark, a.str("table"),
+            a.int("target_mb", 128).toLong << 20,
+            zorder, a.optStr("where"))
         }
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "vacuum" => Some(proc("vacuum",
+    case "vacuum" => Some(procA("vacuum",
       Seq(in("table", StringType),
         in("keep_versions", IntegerType, Some("1")),
         in("keep_age", StringType, Some("null")),
         in("orphan_grace", StringType, Some("null"))),
       StructType(Seq(StructField("removed_files", IntegerType))),
-      row => {
+      a => {
         // same semantics as the VACUUM statement: keep_age expires by
         // commit age (union with keep_versions when both given),
         // orphan_grace is the concurrent-writer window
-        val uri = str(row, 0)
-        val keep = if (row.isNullAt(1)) 1 else row.getInt(1)
-        val ageMs = optStr(row, 2)
-          .map(graft.sql.CopySql.parseAgeMillis(_, "keep_age"))
-        val graceMs = optStr(row, 3)
-          .map(graft.sql.CopySql.parseAgeMillis(_, "orphan_grace"))
+        val uri = a.str("table")
+        val keep = a.int("keep_versions", 1)
+        val graceMs = a.ageMs("orphan_grace")
           .getOrElse(Maintenance.DefaultOrphanGraceMs)
-        val removed = ageMs match {
-          case Some(a) =>
-            Snapshots.expireOlderThanKeeping(spark, uri, a, keep, graceMs)
+        val removed = a.ageMs("keep_age") match {
+          case Some(age) =>
+            Snapshots.expireOlderThanKeeping(spark, uri, age, keep,
+              graceMs)
           case None => Snapshots.expire(spark, uri, keep, graceMs)
         }
         Seq(new GenericInternalRow(Array[Any](removed.size)))
       }))
 
-    case "fsck" => Some(proc("fsck",
+    case "fsck" => Some(procA("fsck",
       Seq(in("table", StringType),
         in("deep", BooleanType, Some("false"))),
       StructType(Seq(
@@ -133,8 +130,8 @@ object Procedures {
         StructField("kind", StringType),
         StructField("object", StringType),
         StructField("detail", StringType))),
-      row => {
-        Fsck(spark, str(row, 0), !row.isNullAt(1) && row.getBoolean(1))
+      a => {
+        Fsck(spark, a.str("table"), a.bool("deep", false))
           .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
             UTF8String.fromString(r.getString(0)),
             UTF8String.fromString(r.getString(1)),
@@ -142,37 +139,38 @@ object Procedures {
             UTF8String.fromString(r.getString(3)))))
       }))
 
-    case "create_tag" => Some(proc("create_tag",
+    case "create_tag" => Some(procA("create_tag",
       Seq(in("table", StringType), in("tag", StringType),
         in("version", IntegerType, Some("-1"))),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val v = Snapshots.createTag(spark, str(row, 0), str(row, 1),
-          if (row.isNullAt(2)) -1 else row.getInt(2))
+      a => {
+        val v = Snapshots.createTag(spark, a.str("table"), a.str("tag"),
+          a.int("version", -1))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "delete_tag" => Some(proc("delete_tag",
+    case "delete_tag" => Some(procA("delete_tag",
       Seq(in("table", StringType), in("tag", StringType)),
       StructType(Seq(StructField("deleted", BooleanType))),
-      row => {
-        Snapshots.deleteTag(spark, str(row, 0), str(row, 1))
+      a => {
+        Snapshots.deleteTag(spark, a.str("table"), a.str("tag"))
         Seq(new GenericInternalRow(Array[Any](true)))
       }))
 
-    case "restore" => Some(proc("restore",
+    case "restore" => Some(procA("restore",
       Seq(in("table", StringType), in("version", IntegerType)),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val v = Snapshots.restoreCommit(spark, str(row, 0), row.getInt(1))
+      a => {
+        val v = Snapshots.restoreCommit(spark, a.str("table"),
+          a.int("version", -1))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "refresh_mview" => Some(proc("refresh_mview",
+    case "refresh_mview" => Some(procA("refresh_mview",
       Seq(in("view", StringType)),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val v = Mview.refresh(spark, str(row, 0))
+      a => {
+        val v = Mview.refresh(spark, a.str("view"))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
@@ -181,23 +179,23 @@ object Procedures {
     // stage batches onto it from any SQL query, audit via
     // `SELECT ... VERSION AS OF 'branch:<name>'`, publish with
     // fast_forward (refused if main advanced past the fork), drop
-    case "create_branch" => Some(proc("create_branch",
+    case "create_branch" => Some(procA("create_branch",
       Seq(in("table", StringType), in("branch", StringType),
         in("version", IntegerType, Some("-1"))),
       StructType(Seq(StructField("fork_base", IntegerType))),
-      row => {
-        val base = graft.io.Branches.create(spark, str(row, 0),
-          str(row, 1), if (row.isNullAt(2)) -1 else row.getInt(2))
+      a => {
+        val base = graft.io.Branches.create(spark, a.str("table"),
+          a.str("branch"), a.int("version", -1))
         Seq(new GenericInternalRow(Array[Any](base)))
       }))
 
-    case "branch_append" => Some(proc("branch_append",
+    case "branch_append" => Some(procA("branch_append",
       Seq(in("table", StringType), in("branch", StringType),
         in("source", StringType)),
       StructType(Seq(StructField("branch_version", IntegerType))),
-      row => {
-        val table = str(row, 0); val branch = str(row, 1)
-        val src = str(row, 2)
+      a => {
+        val table = a.str("table"); val branch = a.str("branch")
+        val src = a.str("source")
         // validate BEFORE evaluating source (spark.sql runs commands
         // eagerly — a bad branch name must not leave side effects),
         // and refuse command statements outright: `source` is a QUERY
@@ -215,20 +213,20 @@ object Procedures {
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "fast_forward" => Some(proc("fast_forward",
+    case "fast_forward" => Some(procA("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val v = graft.io.Branches.fastForward(spark, str(row, 0),
-          str(row, 1))
+      a => {
+        val v = graft.io.Branches.fastForward(spark, a.str("table"),
+          a.str("branch"))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "drop_branch" => Some(proc("drop_branch",
+    case "drop_branch" => Some(procA("drop_branch",
       Seq(in("table", StringType), in("branch", StringType)),
       StructType(Seq(StructField("dropped", BooleanType))),
-      row => {
-        graft.io.Branches.drop(spark, str(row, 0), str(row, 1))
+      a => {
+        graft.io.Branches.drop(spark, a.str("table"), a.str("branch"))
         Seq(new GenericInternalRow(Array[Any](true)))
       }))
 
@@ -243,7 +241,7 @@ object Procedures {
     // `where` picks which rows are indexed — so an index built over a
     // basis subset and then incrementally fed equals the one-shot
     // build over the union.
-    case "vector_index_build" => Some(proc("vector_index_build",
+    case "vector_index_build" => Some(procA("vector_index_build",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("where", StringType, Some("NULL")),
@@ -256,28 +254,24 @@ object Procedures {
         in("replace", BooleanType, Some("false"))),
       StructType(Seq(StructField("rows_indexed", LongType),
         StructField("files", IntegerType))),
-      row => {
-        val uri = str(row, 0)
-        val src = readSource(spark, str(row, 1))
-        val idCol = str(row, 2); val vecCol = str(row, 3)
+      a => {
+        val uri = a.str("index")
+        val src = readSource(spark, a.str("source"))
+        val idCol = a.str("id_col"); val vecCol = a.str("vec_col")
         // "exists" must see RETRAINED layouts too: after retrain +
         // vacuum the gen-0 `index/` dir is gone but `_genN` markers
         // remain, and a rebuild at the root would be silently shadowed
         // by the higher generation resolveRoot serves
         val exists = pathExists(spark, uri, "index") ||
           graft.ops.IvfPqStore.generations(spark, uri).nonEmpty
-        requireReplaceable(uri, !row.isNullAt(11) && row.getBoolean(11),
-          exists)
-        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
+        requireReplaceable(uri, a.bool("replace", false), exists)
+        val subset = a.optStr("where").map(src.filter).getOrElse(src)
         val ivf = graft.ops.IvfIndex.train(src, idCol, vecCol,
-          k = if (row.isNullAt(5)) 8 else row.getInt(5),
-          iters = if (row.isNullAt(6)) 3 else row.getInt(6))
+          k = a.int("ivf_cells", 8), iters = a.int("ivf_iters", 3))
         val pq = graft.ops.PqIndex.train(src, idCol, vecCol,
-          m = if (row.isNullAt(7)) 16 else row.getInt(7),
-          k = if (row.isNullAt(8)) 32 else row.getInt(8),
-          iters = if (row.isNullAt(9)) 4 else row.getInt(9))
-        val rpf =
-          if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong
+          m = a.int("pq_m", 16), k = a.int("pq_k", 32),
+          iters = a.int("pq_iters", 4))
+        val rpf = a.int("rows_per_file", 1 << 20).toLong
         // ATOMIC replace: an existing index is rebuilt as a new MVCC
         // generation (old one serves until the marker lands; a failed
         // build leaves it untouched) — never delete-then-build
@@ -296,25 +290,25 @@ object Procedures {
           files.getLong(0), files.getLong(1).toInt)))
       }))
 
-    case "vector_insert" => Some(proc("vector_insert",
+    case "vector_insert" => Some(procA("vector_insert",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("where", StringType, Some("NULL"))),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val batch = optStr(row, 4).map(src.filter).getOrElse(src)
-        val v = graft.ops.IvfPqStore.insert(spark, str(row, 0), batch,
-          str(row, 2), str(row, 3))
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val batch = a.optStr("where").map(src.filter).getOrElse(src)
+        val v = graft.ops.IvfPqStore.insert(spark, a.str("index"),
+          batch, a.str("id_col"), a.str("vec_col"))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
-    case "vector_delete" => Some(proc("vector_delete",
+    case "vector_delete" => Some(procA("vector_delete",
       Seq(in("index", StringType), in("ids", StringType)),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val v = graft.ops.IvfPqStore.delete(spark, str(row, 0),
-          csvLongs(str(row, 1)))
+      a => {
+        val v = graft.ops.IvfPqStore.delete(spark, a.str("index"),
+          csvLongs(a.str("ids")))
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
@@ -323,7 +317,7 @@ object Procedures {
     // filters the corpus — retrain's source of truth trains AND
     // re-indexes the same row set, unlike build's train-full/index-
     // subset split
-    case "vector_retrain" => Some(proc("vector_retrain",
+    case "vector_retrain" => Some(procA("vector_retrain",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("where", StringType, Some("NULL")),
@@ -334,18 +328,16 @@ object Procedures {
         in("pq_iters", IntegerType, Some("4")),
         in("rows_per_file", IntegerType, Some("1048576"))),
       StructType(Seq(StructField("generation", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val corpus = optStr(row, 4).map(src.filter).getOrElse(src)
-        val gen = graft.ops.IvfPqStore.retrain(spark, str(row, 0),
-          corpus, str(row, 2), str(row, 3),
-          ivfCells = if (row.isNullAt(5)) 8 else row.getInt(5),
-          ivfIters = if (row.isNullAt(6)) 3 else row.getInt(6),
-          pqM = if (row.isNullAt(7)) 16 else row.getInt(7),
-          pqK = if (row.isNullAt(8)) 32 else row.getInt(8),
-          pqIters = if (row.isNullAt(9)) 4 else row.getInt(9),
-          targetRowsPerFile =
-            if (row.isNullAt(10)) 1L << 20 else row.getInt(10).toLong)
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val corpus = a.optStr("where").map(src.filter).getOrElse(src)
+        val gen = graft.ops.IvfPqStore.retrain(spark, a.str("index"),
+          corpus, a.str("id_col"), a.str("vec_col"),
+          ivfCells = a.int("ivf_cells", 8),
+          ivfIters = a.int("ivf_iters", 3),
+          pqM = a.int("pq_m", 16), pqK = a.int("pq_k", 32),
+          pqIters = a.int("pq_iters", 4),
+          targetRowsPerFile = a.int("rows_per_file", 1 << 20).toLong)
         Seq(new GenericInternalRow(Array[Any](gen)))
       }))
 
@@ -355,7 +347,7 @@ object Procedures {
     // monitoring-cadence call, pairing with the vector_recall table
     // function for measure-only.  `probes_where` picks the probe
     // queries from `source`; generation is NULL when no retrain ran
-    case "vector_retrain_if_drifted" => Some(proc(
+    case "vector_retrain_if_drifted" => Some(procA(
       "vector_retrain_if_drifted",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
@@ -368,30 +360,28 @@ object Procedures {
       StructType(Seq(StructField("recall_before", DoubleType),
         StructField("retrained", BooleanType),
         StructField("generation", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val probes = src.filter(str(row, 4))
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val probes = src.filter(a.str("probes_where"))
+        val idCol = a.str("id_col"); val vecCol = a.str("vec_col")
         val (recall, gen) = graft.ops.IvfPqStore.retrainIfDrifted(
-          spark, str(row, 0), src, probes, str(row, 2), str(row, 3),
-          str(row, 2), str(row, 3),
-          k = if (row.isNullAt(5)) 10 else row.getInt(5),
-          nprobe = if (row.isNullAt(6)) 4 else row.getInt(6),
-          rerank = if (row.isNullAt(7)) 60 else row.getInt(7),
-          threshold = if (row.isNullAt(8)) 0.9 else row.getDouble(8),
-          targetRowsPerFile =
-            if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
+          spark, a.str("index"), src, probes, idCol, vecCol,
+          idCol, vecCol,
+          k = a.int("k", 10), nprobe = a.int("nprobe", 4),
+          rerank = a.int("rerank", 60),
+          threshold = a.double("threshold", 0.9),
+          targetRowsPerFile = a.int("rows_per_file", 1 << 20).toLong)
         Seq(new GenericInternalRow(Array[Any](
           recall, gen.isDefined, gen.map(Int.box).orNull)))
       }))
 
-    case "vector_compact" => Some(proc("vector_compact",
+    case "vector_compact" => Some(procA("vector_compact",
       Seq(in("index", StringType),
         in("target_mb", IntegerType, Some("128"))),
       StructType(Seq(StructField("version", IntegerType))),
-      row => {
-        val mb = if (row.isNullAt(1)) 128 else row.getInt(1)
-        val v = graft.ops.IvfPqStore.compact(spark, str(row, 0),
-          mb.toLong << 20)
+      a => {
+        val v = graft.ops.IvfPqStore.compact(spark, a.str("index"),
+          a.int("target_mb", 128).toLong << 20)
         Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
@@ -401,23 +391,21 @@ object Procedures {
     // 24h): pass '0s' to force-sweep a KNOWN-dead rebuild's claim and
     // staging — only after verifying no rebuild is live, the same
     // operator statement as deleting a _maint_lock
-    case "vector_vacuum" => Some(proc("vector_vacuum",
+    case "vector_vacuum" => Some(procA("vector_vacuum",
       Seq(in("index", StringType),
         in("keep", IntegerType, Some("1")),
         in("claim_sweep_age", StringType, Some("NULL"))),
       StructType(Seq(StructField("retired", StringType))),
-      row => {
-        graft.ops.IvfPqStore.dropRetiredGenerations(spark, str(row, 0),
-            keep = if (row.isNullAt(1)) 1 else row.getInt(1),
-            claimSweepAgeMs = optStr(row, 2)
-              .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
-              .getOrElse(
-                graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
+      a => {
+        graft.ops.IvfPqStore.dropRetiredGenerations(spark,
+            a.str("index"), keep = a.int("keep", 1),
+            claimSweepAgeMs = a.ageMs("claim_sweep_age").getOrElse(
+              graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
           .map(r => new GenericInternalRow(
             Array[Any](UTF8String.fromString(r))))
       }))
 
-    case "knn_index_build" => Some(proc("knn_index_build",
+    case "knn_index_build" => Some(procA("knn_index_build",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("where", StringType, Some("NULL")),
@@ -428,22 +416,19 @@ object Procedures {
         in("rows_per_file", IntegerType, Some("1048576")),
         in("replace", BooleanType, Some("false"))),
       StructType(Seq(StructField("levels", IntegerType))),
-      row => {
-        val uri = str(row, 0)
-        val src = readSource(spark, str(row, 1))
+      a => {
+        val uri = a.str("index")
+        val src = readSource(spark, a.str("source"))
         // "exists" must see REBUILT layouts: after rebuild + vacuum the
         // gen-0 level0 is gone but `_genN` markers remain
         val exists = pathExists(spark, uri, "level0") ||
           graft.ops.KnnGraph.generations(spark, uri).nonEmpty
-        requireReplaceable(uri, !row.isNullAt(10) && row.getBoolean(10),
-          exists)
-        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
-        val k = if (row.isNullAt(5)) 10 else row.getInt(5)
-        val iters = if (row.isNullAt(6)) 6 else row.getInt(6)
-        val branching = if (row.isNullAt(7)) 4 else row.getInt(7)
-        val seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8)
-        val rpf =
-          if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong
+        requireReplaceable(uri, a.bool("replace", false), exists)
+        val subset = a.optStr("where").map(src.filter).getOrElse(src)
+        val k = a.int("k", 10); val iters = a.int("iters", 6)
+        val branching = a.int("branching", 4)
+        val seedTarget = a.int("seed_target", 128)
+        val rpf = a.int("rows_per_file", 1 << 20).toLong
         // ATOMIC replace: an existing index rebuilds as a new MVCC
         // generation — the live index serves through the whole
         // NN-Descent build and a crash leaves it untouched (the old
@@ -451,12 +436,12 @@ object Procedures {
         // all after a failure)
         if (exists)
           graft.ops.KnnGraph.rebuildLayered(spark, uri, subset,
-            str(row, 2), str(row, 3), k, iters, branching, seedTarget,
-            rpf)
+            a.str("id_col"), a.str("vec_col"), k, iters, branching,
+            seedTarget, rpf)
         else
           graft.ops.KnnGraph.persistLayered(spark,
-            graft.ops.KnnGraph.buildLayered(subset, str(row, 2),
-              str(row, 3), k, iters, branching, seedTarget),
+            graft.ops.KnnGraph.buildLayered(subset, a.str("id_col"),
+              a.str("vec_col"), k, iters, branching, seedTarget),
             uri, rpf)
         val levels = graft.ops.KnnGraph.loadLayered(spark, uri)
           .levels.length
@@ -465,7 +450,7 @@ object Procedures {
 
     // explicit generation-swapped rebuild (what replace => true routes
     // through when an index exists): returns the published generation
-    case "knn_rebuild" => Some(proc("knn_rebuild",
+    case "knn_rebuild" => Some(procA("knn_rebuild",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("where", StringType, Some("NULL")),
@@ -475,24 +460,23 @@ object Procedures {
         in("seed_target", IntegerType, Some("128")),
         in("rows_per_file", IntegerType, Some("1048576"))),
       StructType(Seq(StructField("generation", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val subset = optStr(row, 4).map(src.filter).getOrElse(src)
-        val gen = graft.ops.KnnGraph.rebuildLayered(spark, str(row, 0),
-          subset, str(row, 2), str(row, 3),
-          k = if (row.isNullAt(5)) 10 else row.getInt(5),
-          iters = if (row.isNullAt(6)) 6 else row.getInt(6),
-          branching = if (row.isNullAt(7)) 4 else row.getInt(7),
-          seedTarget = if (row.isNullAt(8)) 128 else row.getInt(8),
-          targetRowsPerFile =
-            if (row.isNullAt(9)) 1L << 20 else row.getInt(9).toLong)
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val subset = a.optStr("where").map(src.filter).getOrElse(src)
+        val gen = graft.ops.KnnGraph.rebuildLayered(spark,
+          a.str("index"), subset, a.str("id_col"), a.str("vec_col"),
+          k = a.int("k", 10), iters = a.int("iters", 6),
+          branching = a.int("branching", 4),
+          seedTarget = a.int("seed_target", 128),
+          targetRowsPerFile = a.int("rows_per_file", 1 << 20).toLong)
         Seq(new GenericInternalRow(Array[Any](gen)))
       }))
 
     // the graph drift loop from SQL (twin of vector_retrain_if_drifted):
     // measure layered serving recall@k on probe queries vs exact brute
     // force; below threshold, rebuild as a new generation
-    case "knn_rebuild_if_drifted" => Some(proc("knn_rebuild_if_drifted",
+    case "knn_rebuild_if_drifted" => Some(procA(
+      "knn_rebuild_if_drifted",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("probes_where", StringType),
@@ -508,22 +492,21 @@ object Procedures {
       StructType(Seq(StructField("recall_before", DoubleType),
         StructField("rebuilt", BooleanType),
         StructField("generation", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val probes = src.filter(str(row, 4))
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val probes = src.filter(a.str("probes_where"))
+        val idCol = a.str("id_col"); val vecCol = a.str("vec_col")
         val (recall, gen) = graft.ops.KnnGraph.rebuildIfDrifted(
-          spark, str(row, 0), src, probes, str(row, 2), str(row, 3),
-          str(row, 2), str(row, 3),
-          k = if (row.isNullAt(5)) 10 else row.getInt(5),
-          beam = if (row.isNullAt(6)) 40 else row.getInt(6),
-          hops = if (row.isNullAt(7)) 4 else row.getInt(7),
-          threshold = if (row.isNullAt(8)) 0.9 else row.getDouble(8),
-          buildK = if (row.isNullAt(9)) 10 else row.getInt(9),
-          buildIters = if (row.isNullAt(10)) 6 else row.getInt(10),
-          branching = if (row.isNullAt(11)) 4 else row.getInt(11),
-          seedTarget = if (row.isNullAt(12)) 128 else row.getInt(12),
-          targetRowsPerFile =
-            if (row.isNullAt(13)) 1L << 20 else row.getInt(13).toLong)
+          spark, a.str("index"), src, probes, idCol, vecCol,
+          idCol, vecCol,
+          k = a.int("k", 10), beam = a.int("beam", 40),
+          hops = a.int("hops", 4),
+          threshold = a.double("threshold", 0.9),
+          buildK = a.int("build_k", 10),
+          buildIters = a.int("iters", 6),
+          branching = a.int("branching", 4),
+          seedTarget = a.int("seed_target", 128),
+          targetRowsPerFile = a.int("rows_per_file", 1 << 20).toLong)
         Seq(new GenericInternalRow(Array[Any](
           recall, gen.isDefined, gen.map(Int.box).orNull)))
       }))
@@ -531,32 +514,28 @@ object Procedures {
     // retention for rebuilt generations (the graph twin of
     // vector_vacuum): retire all but the newest `keep` after readers
     // drain
-    case "knn_vacuum" => Some(proc("knn_vacuum",
+    case "knn_vacuum" => Some(procA("knn_vacuum",
       Seq(in("index", StringType),
         in("keep", IntegerType, Some("1")),
         in("claim_sweep_age", StringType, Some("NULL")),
         in("level_keep", IntegerType, Some("NULL")),
         in("level_keep_age", StringType, Some("NULL"))),
       StructType(Seq(StructField("retired", StringType))),
-      row => {
+      a => {
         val gens = graft.ops.KnnGraph.dropRetiredGenerations(spark,
-          str(row, 0),
-          keep = if (row.isNullAt(1)) 1 else row.getInt(1),
-          claimSweepAgeMs = optStr(row, 2)
-            .map(graft.sql.CopySql.parseAgeMillis(_, "claim_sweep_age"))
-            .getOrElse(
-              graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
+          a.str("index"), keep = a.int("keep", 1),
+          claimSweepAgeMs = a.ageMs("claim_sweep_age").getOrElse(
+            graft.ops.IndexGenerations.DefaultClaimSweepAgeMs))
         // level_keep / level_keep_age opt into the OTHER retention
         // axis: the current generation's per-level MVCC history that
         // streaming maintenance grows one version per batch (union
         // retention — a version survives inside the newest level_keep
         // OR younger than level_keep_age)
-        val levelKeep = if (row.isNullAt(3)) None else Some(row.getInt(3))
-        val levelAge = optStr(row, 4)
-          .map(graft.sql.CopySql.parseAgeMillis(_, "level_keep_age"))
+        val levelKeep = a.optInt("level_keep")
+        val levelAge = a.ageMs("level_keep_age")
         val levels =
           if (levelKeep.isEmpty && levelAge.isEmpty) Seq.empty
-          else graft.ops.KnnGraph.vacuumLevels(spark, str(row, 0),
+          else graft.ops.KnnGraph.vacuumLevels(spark, a.str("index"),
             keepVersions = levelKeep.getOrElse(1), keepAgeMs = levelAge)
         (gens ++ levels).map(r => new GenericInternalRow(
           Array[Any](UTF8String.fromString(r))))
@@ -566,7 +545,7 @@ object Procedures {
     // `source` is the standing corpus the batch wires into — one
     // source-of-truth table, the same contract as the Scala API's
     // (existing, batch) pair
-    case "knn_insert" => Some(proc("knn_insert",
+    case "knn_insert" => Some(procA("knn_insert",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("batch_where", StringType),
@@ -574,9 +553,9 @@ object Procedures {
         in("beam", IntegerType, Some("40")),
         in("hops", IntegerType, Some("4"))),
       StructType(Seq(StructField("levels", IntegerType))),
-      row => {
-        val src = readSource(spark, str(row, 1))
-        val cond = str(row, 4)
+      a => {
+        val src = readSource(spark, a.str("source"))
+        val cond = a.str("batch_where")
         // the split must be EXHAUSTIVE under three-valued logic: a row
         // where `cond` evaluates NULL is not in the batch (SQL WHERE
         // semantics) so it belongs to the standing corpus — a plain
@@ -584,52 +563,51 @@ object Procedures {
         // from the index's wiring
         val f = org.apache.spark.sql.functions
         val condCol = f.expr(cond)
-        val idx = graft.ops.KnnGraph.insertLayered(spark, str(row, 0),
+        val idx = graft.ops.KnnGraph.insertLayered(spark,
+          a.str("index"),
           src.filter(!f.coalesce(condCol, f.lit(false))),
           src.filter(condCol),
-          str(row, 2), str(row, 3),
-          k = if (row.isNullAt(5)) 10 else row.getInt(5),
-          beam = if (row.isNullAt(6)) 40 else row.getInt(6),
-          hops = if (row.isNullAt(7)) 4 else row.getInt(7))
+          a.str("id_col"), a.str("vec_col"),
+          k = a.int("k", 10), beam = a.int("beam", 40),
+          hops = a.int("hops", 4))
         Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
       }))
 
-    case "knn_delete" => Some(proc("knn_delete",
+    case "knn_delete" => Some(procA("knn_delete",
       Seq(in("index", StringType), in("source", StringType),
         in("id_col", StringType), in("vec_col", StringType),
         in("ids", StringType),
         in("k", IntegerType, Some("10"))),
       StructType(Seq(StructField("levels", IntegerType))),
-      row => {
+      a => {
         val spark0 = spark
         import spark0.implicits._
-        val src = readSource(spark, str(row, 1))
-        val ids = csvLongs(str(row, 4)).toDF("id")
+        val src = readSource(spark, a.str("source"))
+        val ids = csvLongs(a.str("ids")).toDF("id")
         val idx = graft.ops.KnnGraph.deleteFromLayered(spark,
-          str(row, 0), ids, src, str(row, 2), str(row, 3),
-          k = if (row.isNullAt(5)) 10 else row.getInt(5))
+          a.str("index"), ids, src, a.str("id_col"), a.str("vec_col"),
+          k = a.int("k", 10))
         Seq(new GenericInternalRow(Array[Any](idx.levels.length)))
       }))
 
-    case "knn_compact" => Some(proc("knn_compact",
+    case "knn_compact" => Some(procA("knn_compact",
       Seq(in("index", StringType),
         in("target_mb", IntegerType, Some("128"))),
       StructType(Seq(StructField("level", IntegerType),
         StructField("version", IntegerType))),
-      row => {
-        val mb = if (row.isNullAt(1)) 128 else row.getInt(1)
-        graft.ops.KnnGraph.compactLayered(spark, str(row, 0),
-            mb.toLong << 20)
+      a => {
+        graft.ops.KnnGraph.compactLayered(spark, a.str("index"),
+            a.int("target_mb", 128).toLong << 20)
           .zipWithIndex.map { case (v, l) =>
             new GenericInternalRow(Array[Any](l, v)) }
       }))
 
-    case "knn_resume" => Some(proc("knn_resume",
+    case "knn_resume" => Some(procA("knn_resume",
       Seq(in("index", StringType)),
       StructType(Seq(StructField("level", StringType),
         StructField("version", IntegerType))),
-      row => {
-        graft.ops.KnnGraph.resumeMaintenance(spark, str(row, 0))
+      a => {
+        graft.ops.KnnGraph.resumeMaintenance(spark, a.str("index"))
           .map { case (lvl, v) => new GenericInternalRow(Array[Any](
             UTF8String.fromString(lvl), v)) }
       }))
@@ -639,13 +617,56 @@ object Procedures {
 
   // ------------------------------------------------------- plumbing
 
-  private def str(row: InternalRow, i: Int): String = {
-    require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
-    row.getUTF8String(i).toString
+  /** BY-NAME argument access over a bound procedure row: the `in(...)`
+    * parameter table is the single source of truth for position,
+    * defaults resolve at the access site, and age-typed options parse
+    * with their own name in the diagnostic — adding an argument to a
+    * procedure is one `in(...)` row plus one named read, with no
+    * positional index to keep in sync across near-twin procedures. */
+  private final class Args(row: InternalRow,
+      params: Seq[ProcedureParameter]) {
+    private val ix: Map[String, Int] =
+      params.map(_.name).zipWithIndex.toMap
+    private def at(name: String): Int = ix.getOrElse(name,
+      throw new IllegalStateException(
+        s"unknown procedure argument '$name' — not in the parameter " +
+          "table"))
+    def str(name: String): String = {
+      val i = at(name)
+      require(!row.isNullAt(i), s"argument '$name' must not be NULL")
+      row.getUTF8String(i).toString
+    }
+    def optStr(name: String): Option[String] = {
+      val i = at(name)
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    }
+    def int(name: String, dflt: Int): Int = {
+      val i = at(name)
+      if (row.isNullAt(i)) dflt else row.getInt(i)
+    }
+    def optInt(name: String): Option[Int] = {
+      val i = at(name)
+      if (row.isNullAt(i)) None else Some(row.getInt(i))
+    }
+    def bool(name: String, dflt: Boolean): Boolean = {
+      val i = at(name)
+      if (row.isNullAt(i)) dflt else row.getBoolean(i)
+    }
+    def double(name: String, dflt: Double): Double = {
+      val i = at(name)
+      if (row.isNullAt(i)) dflt else row.getDouble(i)
+    }
+    /** Age-typed option: the diagnostic names the option itself. */
+    def ageMs(name: String): Option[Long] =
+      optStr(name).map(graft.sql.CopySql.parseAgeMillis(_, name))
   }
 
-  private def optStr(row: InternalRow, i: Int): Option[String] =
-    if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+  /** [[proc]] with by-name [[Args]] instead of a positional row. */
+  private def procA(procName: String, params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      body: Args => Seq[InternalRow]): UnboundProcedure =
+    proc(procName, params, outSchema,
+      row => body(new Args(row, params)))
 
   private def in(name: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -65,7 +65,7 @@ object MetaTableFunctions {
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
       branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder :+
       vectorRecallBuilder :+ knnRecallBuilder :+ hybridSearchBuilder :+
-      indexGenerationsBuilder
+      indexGenerationsBuilder :+ annSearchBuilder
 
   /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
     * '<vec_col>', <queries>, k, nprobe, rerank)` — ADC top-k from a
@@ -399,6 +399,60 @@ object MetaTableFunctions {
             beam = intLitArg("knn_search", "beam", args(6)),
             hops = intLitArg("knn_search", "hops", args(7)),
             eligible = eligible)
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM ann_search('<graph_index>', '<ivf_index>',
+    * '<source>', '<id_col>', '<vec_col>', <queries>, k,
+    * '<eligible_where>')` — AUTO-ROUTED filtered ANN
+    * ([[graft.ops.AnnRouter.searchFiltered]]) as a FROM-clause
+    * relation: the router measures the filter's selectivity and picks
+    * the graph post-filter walk (beam ladder-widened) or the IVF
+    * pre-shortlist, so SQL callers get k eligible neighbors without
+    * knowing the regime.  Either index argument may be NULL or '' when
+    * that family is not maintained — the route the selectivity demands
+    * must be present (the router fails loudly otherwise).  `queries`
+    * is a `queries_where` string or an array literal, the
+    * vector_search/knn_search contract. */
+  private def annSearchBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("ann_search"),
+      new ExpressionInfo("graft", null, "ann_search",
+        "_FUNC_(graph_index, ivf_index, source, id_col, vec_col, " +
+          "queries_where | query_vec_array, k, eligible_where) - " +
+          "selectivity-routed filtered ANN top-k", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 8)
+          throw new IllegalArgumentException(
+            "ann_search(graph_index, ivf_index, source, id_col, " +
+              "vec_col, queries, k, eligible_where) takes 8 " +
+              s"arguments, got ${args.length}")
+        val spark = SparkSession.active
+        def optUri(e: Expression, which: String): Option[String] = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"ann_search: $which must be a string literal or NULL, " +
+                s"got ${e.sql}")
+          Option(e.eval()).map(_.toString).filter(_.nonEmpty)
+        }
+        val graphUri = optUri(args(0), "graph_index")
+        val ivfUri = optUri(args(1), "ivf_index")
+        val source = strLitArg("ann_search", args(2))
+        val idCol = strLitArg("ann_search", args(3))
+        val vecCol = strLitArg("ann_search", args(4))
+        val corpus = graft.io.catalog.Procedures.readSource(spark, source)
+        val queries = args(5).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            literalQueryDf(spark, corpus, vecCol, "ann_search", args(5))
+          case _ =>
+            corpus.filter(strLitArg("ann_search", args(5)))
+              .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        }
+        val eligible = corpus.filter(strLitArg("ann_search", args(7)))
+        graft.ops.AnnRouter.searchFiltered(spark, graphUri, ivfUri,
+            corpus, queries, eligible, idCol, vecCol,
+            "query_id", "__qv",
+            k = intLitArg("ann_search", "k", args(6)))
           .queryExecution.analyzed
       })
 

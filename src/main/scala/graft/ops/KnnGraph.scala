@@ -332,8 +332,14 @@ object KnnGraph {
     var state = materialize(keepBeam(score(
         qs.select("query_id").crossJoin(seeds))))
     phases.foreach { case (graph, hopCount) =>
+      // cache the phase's edge list: every hop joins the beam state
+      // against the SAME edges, so without this a h-hop walk scans the
+      // level's parquet h times — the dominant serve cost once the
+      // corpus outgrows the page cache (the standard HNSW trade: the
+      // graph stays resident while serving)
       val edges = graph.select(col("id").as("cand"),
         col("neighbor_id").as("next"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var hop = 0
       while (hop < hopCount) {
         val expanded = state.select(col("query_id"), col("cand"))
@@ -353,6 +359,9 @@ object KnnGraph {
           else next
         hop += 1
       }
+      // the phase-final state is materialized, so nothing downstream
+      // re-reads these edges
+      edges.unpersist()
     }
     vecs.unpersist()
     qsRaw.unpersist()

@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndex, IvfPqStore, KnnGraph, PqIndex}
+
+/**
+ * Index-lifecycle scale probe: synthesizes embedding corpora 10×–160×
+ * the sf0.1 fixture and measures, for BOTH persisted index families,
+ * that
+ *
+ *  (a) per-batch INSERT cost stays ~flat as the standing corpus grows
+ *      (IVF-PQ insert is a pure append of encoded batch rows; graph
+ *      insert walks the batch through bounded beams and rewrites only
+ *      the touched neighbor files), and
+ *  (b) SERVE cost scales with the probed work — cells × cell
+ *      population for IVF (cells grow with the corpus so population
+ *      stays ~constant, the deployment shape), queries × beam × hops
+ *      for the graph — not with corpus size.
+ *
+ * Corpus vectors are deterministic hash-derived floats (no RNG, no
+ * source data read-amplification), so any size is reproducible.
+ * Build/train cost IS proportional to the corpus — that is the
+ * amortized offline path and is reported, not asserted flat.
+ *
+ *   runMain graft.tools.IndexScaleProbe [outDir] [size ...]
+ *
+ * Prints one JSON line per corpus size with the measured seconds;
+ * docs/NOTES.md holds the table of slopes for the shipped run.
+ * [[graft.ops.ScaleProbeSpec]] asserts the structural flat-cost
+ * invariants on a reduced grid (file-level, not wall-clock, so CI
+ * noise cannot flake it).
+ */
+object IndexScaleProbe {
+
+  /** Deterministic synthetic corpus: 64-dim hash-derived floats in
+    * [-1, 1), a 10-valued label, ids [base, base+n). */
+  def synth(spark: SparkSession, n: Long, base: Long = 0L): DataFrame =
+    spark.range(base, base + n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "cast((pmod(xxhash64(id, i), 2000) - 1000) / 1000.0 as float))")
+        .as("embedding"),
+      expr("cast(pmod(xxhash64(id, 999), 10) as int)").as("label"))
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_index_scale")
+    val sizes = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+      else Seq(20000L, 80000L, 320000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+
+    val batchN = 2000L   // the fixed maintenance batch, every size
+    val queries = synth(spark, 8, base = -8 - 1000000L)
+      .withColumn("vec_id", col("vec_id") + 1000000L + 8)
+
+    sizes.foreach { n =>
+      val corpus = synth(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val batch = synth(spark, batchN, base = n)
+      val grown = corpus.unionByName(batch)
+
+      // ---- IVF-PQ store: cells scale with the corpus so the probed
+      // population per cell stays ~constant (the deployment shape)
+      val cells = math.max(8, (n / 4000).toInt)
+      val vUri = s"$outDir/ivf_$n"
+      val sample = corpus.filter(col("vec_id") % math.max(1, n / 20000) === 0)
+      val ivf = IvfIndex.train(sample, "vec_id", "embedding",
+        k = cells, iters = 2)
+      val pq = PqIndex.train(sample, "vec_id", "embedding",
+        m = 16, k = 32, iters = 2)
+      val (_, tPersist) = timed(IvfPqStore.persist(spark, vUri, corpus,
+        "vec_id", "embedding", ivf, pq, targetRowsPerFile = 1L << 14))
+      val (_, tInsert) = timed(IvfPqStore.insert(spark, vUri, batch,
+        "vec_id", "embedding"))
+      val (_, tServe) = timed(IvfPqStore.search(spark, vUri, grown,
+          queries, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60)
+        .foreach(_ => ()))
+      val (_, tFiltered) = timed(IvfPqStore.search(spark, vUri, grown,
+          queries, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nprobe = 4, rerank = 60,
+          eligible = Some(grown.filter(col("label") < 5)))
+        .foreach(_ => ()))
+
+      // ---- layered graph index
+      val gUri = s"$outDir/knn_$n"
+      val (idx, tBuild) = timed {
+        val i = KnnGraph.buildLayered(corpus, "vec_id", "embedding",
+          k = 10, iters = 2, branching = 8, seedTarget = 256)
+        KnnGraph.persistLayered(spark, i, gUri,
+          targetRowsPerFile = 1L << 14)
+        i
+      }
+      val (_, tGInsert) = timed(KnnGraph.insertLayered(spark, gUri,
+        corpus, batch, "vec_id", "embedding", k = 10, beam = 40,
+        hops = 4))
+      val (_, tGServe) = timed(KnnGraph.searchLayered(
+          KnnGraph.loadLayered(spark, gUri), grown, queries,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, beam = 40, hops = 4)
+        .foreach(_ => ()))
+      corpus.unpersist()
+      // scaling note: tPersist/tBuild are the amortized offline paths
+      // (∝ corpus); tInsert/tGInsert/t*Serve are the flat-cost claims
+      println(f"""{"probe":"index_scale","n":$n,"cells":$cells,""" +
+        f""""persist_sec":$tPersist%.2f,"insert_sec":$tInsert%.2f,""" +
+        f""""serve_sec":$tServe%.2f,"filtered_serve_sec":$tFiltered%.2f,""" +
+        f""""build_sec":$tBuild%.2f,"graph_insert_sec":$tGInsert%.2f,""" +
+        f""""graph_serve_sec":$tGServe%.2f}""")
+      val _ = idx
+    }
+    spark.stop()
+  }
+}

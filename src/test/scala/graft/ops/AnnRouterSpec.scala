@@ -136,5 +136,25 @@ class AnnRouterSpec extends AnyFunSuite {
         knownEligibleCount = Some(nEligible))
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(gotKnown == wantSel)
+
+    // the SQL surface routes identically: ann_search equals the Scala
+    // entry point on BOTH regimes, and a NULL index argument means
+    // "family not maintained" (loud failure if the route needs it)
+    graft.meta.MetaTableFunctions.register(spark)
+    val src = s"${graft.TestSpark.sfDir}/embeddings.parquet"
+    val sqlSel = spark.sql(s"SELECT * FROM ann_search('$gUri', " +
+        s"'$vUri', '$src', 'vec_id', 'embedding', 'vec_id < 5', 10, " +
+        "'vec_id % 97 = 3') ORDER BY query_id, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(sqlSel == wantSel, "SQL ann_search diverged (selective)")
+    val sqlMild = spark.sql(s"SELECT * FROM ann_search('$gUri', " +
+        s"'$vUri', '$src', 'vec_id', 'embedding', 'vec_id < 5', 10, " +
+        "'label < 5') ORDER BY query_id, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(sqlMild == wantMild, "SQL ann_search diverged (mild)")
+    val sqlErr = intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('$gUri', NULL, '$src', 'vec_id', " +
+        "'embedding', 'vec_id < 5', 10, 'vec_id % 97 = 3')").collect())
+    assert(sqlErr.getMessage.contains("IVF"), sqlErr.getMessage)
   }
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tools.IndexScaleProbe
+
+/**
+ * Reduced-grid STRUCTURAL pins behind the index-lifecycle scale claims
+ * (`tools/IndexScaleProbe` measures the wall-clock slopes; docs/NOTES
+ * holds the shipped table).  These assert the file- and row-level
+ * invariants that MAKE the costs flat, so CI noise cannot flake them:
+ *
+ *  - IVF-PQ insert is a pure append — the same fixed batch lands the
+ *    same number of NEW files whatever the standing corpus size, and
+ *    no existing file is rewritten.
+ *  - IVF-PQ serving scans probed CELLS: with cells grown ∝ corpus
+ *    (the deployment shape) the probed row population stays ~flat
+ *    while the corpus quadruples.
+ *  - The layered graph's height grows logarithmically — the bound
+ *    that keeps the serve's hop count (and beam work) ~flat.
+ */
+class ScaleProbeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(tag: String): String = {
+    val uri = TestSpark.tmpDir(tag)
+    new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(uri), true)
+    uri
+  }
+
+  private def indexFiles(uri: String): Set[String] =
+    graft.io.Snapshots.filesDf(spark, s"$uri/index")
+      .select("file").collect().map(_.getString(0)).toSet
+
+  test("IVF-PQ insert is a pure append: a fixed batch lands the same " +
+      "new files at 4k and 16k standing corpus, rewriting nothing") {
+    val deltas = Seq(4000L, 16000L).map { n =>
+      val corpus = IndexScaleProbe.synth(spark, n)
+      val uri = fresh(s"scale_ivf_append_$n")
+      val ivf = IvfIndex.train(corpus, "vec_id", "embedding",
+        k = (n / 500).toInt, iters = 1)
+      val pq = PqIndex.train(corpus, "vec_id", "embedding",
+        m = 8, k = 16, iters = 1)
+      IvfPqStore.persist(spark, uri, corpus, "vec_id", "embedding",
+        ivf, pq, targetRowsPerFile = 500)
+      val before = indexFiles(uri)
+      IvfPqStore.insert(spark, uri,
+        IndexScaleProbe.synth(spark, 500, base = n),
+        "vec_id", "embedding")
+      val after = indexFiles(uri)
+      assert(before.subsetOf(after),
+        s"insert rewrote standing files at n=$n: ${before -- after}")
+      (after -- before).size
+    }
+    assert(deltas(0) == deltas(1) && deltas(0) >= 1,
+      s"per-batch appended files must be corpus-independent: $deltas")
+  }
+
+  test("IVF-PQ serving scans probed cells: with cells ~ corpus/500 " +
+      "the probed population stays flat while the corpus quadruples") {
+    val pops = Seq(4000L, 16000L).map { n =>
+      val corpus = IndexScaleProbe.synth(spark, n)
+      val cells = (n / 500).toInt
+      val ivf = IvfIndex.train(corpus, "vec_id", "embedding",
+        k = cells, iters = 2)
+      // the serve's probe order: top-4 cells by centroid cosine for
+      // query 0 (same arithmetic as IvfIndex.search's driver loop)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val nq = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val probed = ivf.centroids.zipWithIndex.map { case (cent, c) =>
+        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        val dot = qv.zip(cent).map { case (a, b) => a.toDouble * b }.sum
+        (c, if (nq == 0 || nc == 0) Double.MinValue else dot / (nq * nc))
+      }.sortBy { case (c, s) => (-s, c) }.take(4).map(_._1).toSet
+      IvfIndex.assign(corpus, "vec_id", "embedding", ivf)
+        .filter(col("ivf_cell").isin(probed.toSeq.map(Int.box): _*))
+        .count()
+    }
+    info(s"probed population at 4k/16k: $pops")
+    assert(pops(1) <= pops(0) * 3,
+      s"probed rows must not scale with the corpus: $pops " +
+        "(corpus grew 4x)")
+  }
+
+  test("layered graph height grows logarithmically — the serve's hop " +
+      "count stays ~flat as the corpus scales") {
+    val heights = Seq(2000L, 16000L).map { n =>
+      KnnGraph.buildLayered(IndexScaleProbe.synth(spark, n),
+        "vec_id", "embedding", k = 5, iters = 1, branching = 8,
+        seedTarget = 64).levels.length
+    }
+    info(s"levels at 2k/16k: $heights")
+    // 8x corpus = exactly +1 level at branching 8
+    assert(heights(1) <= heights(0) + 1,
+      s"height must grow as log(corpus): $heights")
+  }
+}
