@@ -55,6 +55,27 @@ object SparkEntry {
     uri
   }
 
+  /** Stage the persisted layered-graph index fixture shared by the
+    * graph-serving queries (k=10, 6 NN-Descent iters, branching 4,
+    * seedTarget 128 — the parameters every knnLayeredOracleSql
+    * replication encodes); built once per testdata fingerprint. */
+  private def stageKnnLayered(s: SparkSession, dir: String,
+      e: DataFrame): String = {
+    val uri = util.Staging.dirFor(
+      "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
+      s"$dir/embeddings.parquet")
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        uri, "level0/_graft_manifests"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(uri), true)
+      val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
+        k = 10, iters = 6, branching = 4, seedTarget = 128)
+      ops.KnnGraph.persistLayered(s, idx, uri)
+    }
+    uri
+  }
+
   /** One in-JVM S3 endpoint per driver process (io_s3_roundtrip); the
     * signature-verifying fake from [[graft.io.s3.InMemoryS3]]. */
   private lazy val s3Server: graft.io.s3.InMemoryS3 =
@@ -1354,6 +1375,45 @@ object SparkEntry {
       io.Snapshots.deleteWhereCommit(s, src, "o_custkey % 10 = 4",
         mergeOnRead = true)
       io.Mview.refresh(s, mv)
+      io.Mview.read(s, mv).orderBy("grp")
+    }),
+
+    // min/max materialized aggregates: insert-only refreshes fold the
+    // stored extremum with least/greatest (no source read); a refresh
+    // whose range carries deletes re-aggregates ONLY the delete-touched
+    // groups from the source (churn-proportional — the classic
+    // view-maintenance boundary).  Both legs run: one append-only
+    // refresh, then a delete-bearing one that shrinks extrema and
+    // kills the o_custkey%10=4 groups
+    "mview_minmax" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val sfn = new java.io.File(dir).getName
+      val src = s"$tmp/graft_mvmmsrc_$sfn"
+      val mv = s"$tmp/graft_mvmm_$sfn"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(mv), true)
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_custkey") % 100).as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ord.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.parquet(src)
+      io.Snapshots.init(s, src)
+      io.Mview.create(s, mv, src, Seq("grp"),
+        Seq(io.Mview.Count("n_orders"),
+          io.Mview.Min("cents", "min_cents"),
+          io.Mview.Max("cents", "max_cents"),
+          io.Mview.Sum("cents", "sum_cents")))
+      io.Snapshots.appendCommit(s, src,
+        ord.filter(col("o_orderkey") % 3 === 0))
+      io.Mview.refresh(s, mv) // insert-only: extremum fold, no recompute
+      // kills whole groups (grp%10=4) AND thins scattered rows out of
+      // surviving ones — extrema must shrink where a max row died
+      io.Snapshots.deleteWhereCommit(s, src,
+        "o_custkey % 10 = 4 OR o_orderkey % 17 = 3", mergeOnRead = true)
+      io.Mview.refresh(s, mv) // delete leg: touched groups re-aggregate
       io.Mview.read(s, mv).orderBy("grp")
     }),
 
@@ -3409,18 +3469,7 @@ object SparkEntry {
     // the layered query the slowest non-md5 entry on the bench board
     "sim_knn_serve_layered_persisted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val uri = util.Staging.dirFor(
-        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
-        s"$dir/embeddings.parquet")
-      val fs = new org.apache.hadoop.fs.Path(uri)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(
-          uri, "level0/_graft_manifests"))) {
-        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
-        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
-          k = 10, iters = 6, branching = 4, seedTarget = 128)
-        ops.KnnGraph.persistLayered(s, idx, uri)
-      }
+      val uri = stageKnnLayered(s, dir, e)
       val idx = ops.KnnGraph.loadLayered(s, uri)
       ops.KnnGraph.searchLayered(idx, e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
@@ -3438,18 +3487,7 @@ object SparkEntry {
     "sim_knn_filtered" -> ((s, dir) => {
       graft.meta.MetaTableFunctions.register(s)
       val e = t(s, dir, "embeddings")
-      val uri = util.Staging.dirFor(
-        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
-        s"$dir/embeddings.parquet")
-      val fs = new org.apache.hadoop.fs.Path(uri)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(
-          uri, "level0/_graft_manifests"))) {
-        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
-        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
-          k = 10, iters = 6, branching = 4, seedTarget = 128)
-        ops.KnnGraph.persistLayered(s, idx, uri)
-      }
+      val uri = stageKnnLayered(s, dir, e)
       s.sql(s"SELECT * FROM knn_search('$uri', " +
         s"'$dir/embeddings.parquet', 'vec_id', 'embedding', " +
         "'vec_id < 5', 10, 120, 4, 'label = 3') " +
@@ -3468,18 +3506,7 @@ object SparkEntry {
     "sim_ann_filtered_auto" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val ivfUri = stageIvfPq(s, dir, e, e, "full")
-      val kUri = util.Staging.dirFor(
-        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
-        s"$dir/embeddings.parquet")
-      val fs = new org.apache.hadoop.fs.Path(kUri)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(
-          kUri, "level0/_graft_manifests"))) {
-        fs.delete(new org.apache.hadoop.fs.Path(kUri), true)
-        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
-          k = 10, iters = 6, branching = 4, seedTarget = 128)
-        ops.KnnGraph.persistLayered(s, idx, kUri)
-      }
+      val kUri = stageKnnLayered(s, dir, e)
       val queries = e.filter(col("vec_id") < 5)
       def serve(pred: org.apache.spark.sql.Column, regime: String) =
         ops.AnnRouter.searchFiltered(s, Some(kUri), Some(ivfUri),
@@ -3490,6 +3517,26 @@ object SparkEntry {
           .withColumn("regime", lit(regime))
       serve(col("label") < 5, "mild")
         .unionByName(serve(col("vec_id") % 97 === 3, "selective"))
+        .orderBy("regime", "query_id", "rank")
+    }),
+
+    // the same auto-routed filtered serve entirely FROM SQL: ann_search
+    // measures the predicate's selectivity and picks the route per leg
+    // (mild → ladder-widened graph walk, selective → IVF pre-shortlist)
+    // with no regime knowledge in the statement — the serving surface a
+    // SQL-only caller gets.  Same fixtures, defaults equal to the Scala
+    // entry point's arguments, so the oracle is shared
+    "sim_ann_sql" -> ((s, dir) => {
+      graft.meta.MetaTableFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val ivfUri = stageIvfPq(s, dir, e, e, "full")
+      val kUri = stageKnnLayered(s, dir, e)
+      def leg(pred: String, regime: String) = s.sql(
+        s"SELECT '$regime' AS regime, * FROM ann_search('$kUri', " +
+          s"'$ivfUri', '$dir/embeddings.parquet', 'vec_id', " +
+          s"'embedding', 'vec_id < 5', 10, '$pred')")
+      leg("label < 5", "mild")
+        .unionByName(leg("vec_id % 97 = 3", "selective"))
         .orderBy("regime", "query_id", "rank")
     }),
 
@@ -3543,18 +3590,7 @@ object SparkEntry {
     "sim_knn_recall_sql" -> ((s, dir) => {
       graft.meta.MetaTableFunctions.register(s)
       val e = t(s, dir, "embeddings")
-      val uri = util.Staging.dirFor(
-        "graft_knn_lindex_v2_" + new java.io.File(dir).getName,
-        s"$dir/embeddings.parquet")
-      val fs = new org.apache.hadoop.fs.Path(uri)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(
-          uri, "level0/_graft_manifests"))) {
-        fs.delete(new org.apache.hadoop.fs.Path(uri), true)
-        val idx = ops.KnnGraph.buildLayered(e, "vec_id", "embedding",
-          k = 10, iters = 6, branching = 4, seedTarget = 128)
-        ops.KnnGraph.persistLayered(s, idx, uri)
-      }
+      val uri = stageKnnLayered(s, dir, e)
       s.sql(s"SELECT * FROM knn_recall('$uri', " +
         s"'$dir/embeddings.parquet', 'vec_id', 'embedding', " +
         "'vec_id < 5', 10, 40, 4) ORDER BY query_id")
@@ -5463,6 +5499,14 @@ object SparkEntry {
         ") UNION ALL SELECT 'selective' AS regime, * FROM (" +
         ivfPqOracle(eligibleSql = Some("vec_id % 97 = 3")) +
         ") ORDER BY regime, query_id, rank"),
+    // the SQL surface routes identically to the Scala entry point —
+    // same fixtures, same defaults, same two-regime replication
+    "sim_ann_sql" ->
+      ("SELECT 'mild' AS regime, * FROM (" +
+        knnLayeredOracleSql(80, eligibleSql = Some("label < 5")) +
+        ") UNION ALL SELECT 'selective' AS regime, * FROM (" +
+        ivfPqOracle(eligibleSql = Some("vec_id % 97 = 3")) +
+        ") ORDER BY regime, query_id, rank"),
     // exact maxsim: explode doc/query token bags, max per (query
     // token, doc), sum per (query, doc), top-10 on the rounded score
     "sim_multivector" -> MaxSimOracle(candCte = None),
@@ -5854,6 +5898,15 @@ object SparkEntry {
       ("SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
         "AS sum_cents FROM orders WHERE o_custkey % 10 <> 4 " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "mview_minmax" ->
+      ("SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +
+        "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
+        "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents FROM orders " +
+        "WHERE NOT (o_custkey % 10 = 4 OR o_orderkey % 17 = 3) " +
         "GROUP BY 1 ORDER BY 1"),
 
     "io_snapshot_transform" ->

@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
  * churn, a refresh touches ~0.1% of the source rows and a handful of
  * view files; the full group-by never runs again after `create`.
  *
- * Supported aggregates are the self-maintainable ones — each must be
- * reconstructible from a SIGNED row multiset: `count(*)`, `sum(col)`,
- * `avg(col)` (kept as sum + non-null count).  min/max are not
- * maintainable under deletes without re-reading the group and are
- * refused at `create`.
+ * `count(*)`, `sum(col)` and `avg(col)` (kept as sum + non-null
+ * count) are fully self-maintainable — reconstructible from a SIGNED
+ * row multiset, so a refresh never re-reads the source.  `min(col)` /
+ * `max(col)` sit on the classic view-maintenance boundary: they fold
+ * incrementally under INSERTS (`least`/`greatest` against the stored
+ * extremum) but can shrink under deletes, so a refresh recomputes
+ * ONLY the delete-touched groups from the source (semi-join on the
+ * affected keys — churn-proportional, never a full re-aggregation;
+ * on an append-mostly 100 TB source the recompute leg usually runs
+ * on an empty key set).
  *
  * The view itself is a snapshot table (time-travelable, change-fed,
  * compactable); its storage schema is the group columns plus typed
@@ -38,6 +43,11 @@ object Mview {
   final case class Sum(column: String, alias: String) extends Agg
   /** `avg(column) AS alias` — stored as double sum + non-null count. */
   final case class Avg(column: String, alias: String) extends Agg
+  /** `min(column) AS alias` — folds under inserts; delete-touched
+    * groups recompute from the source at refresh. */
+  final case class Min(column: String, alias: String) extends Agg
+  /** `max(column) AS alias` — same maintenance regime as [[Min]]. */
+  final case class Max(column: String, alias: String) extends Agg
 
   /** Hidden per-group row count: detects group death (count reaching
     * zero deletes the view row) even when the user asked only for
@@ -77,7 +87,20 @@ object Mview {
       avgCntCol(alias) ->
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
           .cast("long"))
+    // min/max ignore the sign: they are only ever aggregated over
+    // all-insert row sets (create, the insert-only delta fold, and
+    // the per-group source recompute)
+    case Min(c, alias) => Seq(alias -> min(col(c)))
+    case Max(c, alias) => Seq(alias -> max(col(c)))
   }
+
+  /** Accumulator columns merged by extremum (`least`/`greatest`)
+    * instead of signed addition; true = min. */
+  private def extremumNames(aggs: Seq[Agg]): Map[String, Boolean] =
+    aggs.collect {
+      case Min(_, a) => a -> true
+      case Max(_, a) => a -> false
+    }.toMap
 
   private def storageAggs(aggs: Seq[Agg]): Seq[(String, Column)] =
     Seq(N -> sum(col("__sign")).cast("long")) ++ aggs.flatMap(accExprs)
@@ -140,6 +163,8 @@ object Mview {
         case Count(a)  => s"count::${enc(a)}"
         case Sum(c, a) => s"sum:${enc(c)}:${enc(a)}"
         case Avg(c, a) => s"avg:${enc(c)}:${enc(a)}"
+        case Min(c, a) => s"min:${enc(c)}:${enc(a)}"
+        case Max(c, a) => s"max:${enc(c)}:${enc(a)}"
       }.mkString(","),
       "mview.src_version" -> srcV.toString) ++
       where.map(w => "mview.where" -> enc(w)))
@@ -157,6 +182,8 @@ object Mview {
         case Array("count", _, a) => Count(dec(a))
         case Array("sum", c, a)   => Sum(dec(c), dec(a))
         case Array("avg", c, a)   => Avg(dec(c), dec(a))
+        case Array("min", c, a)   => Min(dec(c), dec(a))
+        case Array("max", c, a)   => Max(dec(c), dec(a))
         case other => throw new IllegalStateException(
           s"unreadable mview agg spec '$s'")
       }
@@ -184,32 +211,83 @@ object Mview {
       .withColumn("__sign",
         when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     val accs = storageAggs(aggs)
-    val delta = changes.groupBy(groupCols.map(col): _*)
+    val accNames = accs.map(_._1)
+    val extremum = extremumNames(aggs)
+
+    // min/max can SHRINK when a delete removes the extremal row, so
+    // every group a delete touched is re-aggregated from the source
+    // (semi-join on the touched keys — churn-proportional, and the
+    // manifest stats prune + DPP bound the source files read); all
+    // other groups fold their delta without reading the source.  With
+    // no min/max aggregate the touched set is not even computed.
+    val delKeys: Option[DataFrame] =
+      if (extremum.isEmpty) None
+      else Some(changes.filter(col("_change_type") =!= "insert")
+        .select(groupCols.map(col): _*).distinct())
+    val foldChanges = delKeys.foldLeft(changes)(
+      (d, keys) => d.join(keys, groupCols, "left_anti"))
+
+    val delta = foldChanges.groupBy(groupCols.map(col): _*)
       .agg(accs.head._2.as(accs.head._1),
         accs.tail.map { case (n, e) => e.as(n) }: _*)
       // a group whose delta nets out to nothing needs no view touch
-      .filter(accs.map { case (n, _) => col(n) =!= lit(0) }.reduce(_ || _))
+      // (judged on the signed accumulators — a min/max over an
+      // insert-only group always rides a positive row-count delta)
+      .filter(accs.collect {
+        case (n, _) if !extremum.contains(n) => col(n) =!= lit(0)
+      }.reduce(_ || _))
     requireNonNullKeys(delta.select(groupCols.map(col): _*),
       groupCols, "the change delta")
 
     val mv = Snapshots.read(spark, mvUri)
-    val accNames = accs.map(_._1)
     // fold delta into current accumulators: absent view group = zeros.
     // The delta side is the small one — broadcast it through the join
     // and let mergeCommit's key semi-join bound the file rewrites.
     val renamedMv = accNames.foldLeft(mv) { case (d, n) =>
       d.withColumnRenamed(n, s"__old_$n")
     }
-    val merged = broadcast(delta).join(renamedMv, groupCols, "left")
+    val folded = broadcast(delta).join(renamedMv, groupCols, "left")
       .select(groupCols.map(col) ++ accNames.map { n =>
-        // both sides need the zero default: the view may lack the group
-        // (new group), and a delta sum over all-NULL inputs is NULL
-        val zero = lit(0).cast(mv.schema(n).dataType)
-        (coalesce(col(s"__old_$n"), zero) + coalesce(col(n), zero))
-          .cast(mv.schema(n).dataType).as(n)
+        val t = mv.schema(n).dataType
+        if (extremum.contains(n))
+          // least/greatest skip NULLs: a brand-new group keeps the
+          // delta extremum, an all-NULL-measure delta keeps the old
+          (if (extremum(n)) least(col(s"__old_$n"), col(n))
+           else greatest(col(s"__old_$n"), col(n))).cast(t).as(n)
+        else {
+          // both sides need the zero default: the view may lack the
+          // group (new group), and a delta sum over all-NULL inputs
+          // is NULL
+          val zero = lit(0).cast(t)
+          (coalesce(col(s"__old_$n"), zero) + coalesce(col(n), zero))
+            .cast(t).as(n)
+        }
       }: _*)
-      .withColumn("__mv_del", col(N) <= lit(0L))
-    Snapshots.mergeCommit(spark, mvUri, merged, groupCols,
+
+    val merged = delKeys match {
+      case None => folded
+      case Some(keys) =>
+        requireNonNullKeys(keys, groupCols, "the change delta")
+        // re-aggregate ONLY the delete-touched groups from the
+        // source's current version; a key absent from the recompute
+        // is a dead group (row count coalesces to 0 → deleted below)
+        val cur = where.foldLeft(Snapshots.read(spark, srcUri, curV))(
+            (d, p) => d.filter(expr(p)))
+          .join(broadcast(keys), groupCols, "left_semi")
+          .withColumn("__sign", lit(1L))
+          .groupBy(groupCols.map(col): _*)
+          .agg(accs.head._2.as(accs.head._1),
+            accs.tail.map { case (n, e) => e.as(n) }: _*)
+        val recomputed = broadcast(keys).join(cur, groupCols, "left")
+          .select(groupCols.map(col) ++ accNames.map { n =>
+            val t = mv.schema(n).dataType
+            val v = if (n == N) coalesce(col(n), lit(0L)) else col(n)
+            v.cast(t).as(n)
+          }: _*)
+        folded.unionByName(recomputed)
+    }
+    Snapshots.mergeCommit(spark, mvUri,
+      merged.withColumn("__mv_del", col(N) <= lit(0L)), groupCols,
       deleteCol = Some("__mv_del"))
     Snapshots.updateTableProps(spark, mvUri)(
       _ + ("mview.src_version" -> curV.toString))
@@ -225,6 +303,8 @@ object Mview {
     df.select(groupCols.map(col) ++ aggs.map {
       case Count(a)  => col(a)
       case Sum(_, a) => col(a)
+      case Min(_, a) => col(a)
+      case Max(_, a) => col(a)
       case Avg(_, a) =>
         when(col(avgCntCol(a)) === 0L, lit(null))
           .otherwise(col(avgSumCol(a)) / col(avgCntCol(a))).as(a)

@@ -419,13 +419,15 @@ object CopySql {
   /** The one option UPDATE/DELETE take: `WITH (merge_on_read [true])`
     * selects the deletion-vector commit strategy. */
   private val MviewAggRe =
-    """(?i)^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg)\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+    """(?i)^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg|min|max)\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
   private val MviewIdentRe = """^\w+$""".r
 
   /** SELECT items of CREATE MATERIALIZED VIEW: plain idents (the group
-    * columns) and the self-maintainable aggregates `count(*) AS a`,
-    * `sum(col) AS a`, `avg(col) AS a` — the restriction is what makes
-    * incremental refresh from the change feed possible. */
+    * columns) and the maintainable aggregates `count(*) AS a`,
+    * `sum(col) AS a`, `avg(col) AS a` (self-maintainable from the
+    * change feed alone) plus `min(col) AS a` / `max(col) AS a`
+    * (insert-maintainable; delete-touched groups re-aggregate from the
+    * source at refresh — [[graft.io.Mview]]). */
   private def parseMviewItems(items: Seq[String])
       : (Seq[String], Seq[graft.io.Mview.Agg]) = {
     val groups = Seq.newBuilder[String]
@@ -436,13 +438,17 @@ object CopySql {
         case MviewIdentRe() => groups += it
         case MviewAggRe(cnt, ca, fn, colName, a) =>
           if (cnt != null) aggs += graft.io.Mview.Count(ca)
-          else if (fn.toLowerCase(Locale.ROOT) == "sum")
-            aggs += graft.io.Mview.Sum(colName, a)
-          else aggs += graft.io.Mview.Avg(colName, a)
+          else fn.toLowerCase(Locale.ROOT) match {
+            case "sum" => aggs += graft.io.Mview.Sum(colName, a)
+            case "avg" => aggs += graft.io.Mview.Avg(colName, a)
+            case "min" => aggs += graft.io.Mview.Min(colName, a)
+            case "max" => aggs += graft.io.Mview.Max(colName, a)
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported SELECT item '$other' — a materialized view " +
-            "takes plain group columns and count(*)/sum(col)/avg(col) " +
-            "with AS aliases (the incrementally-maintainable shapes)")
+            "takes plain group columns and count(*)/sum(col)/avg(col)/" +
+            "min(col)/max(col) with AS aliases (the incrementally-" +
+            "maintainable shapes)")
       }
     }
     (groups.result(), aggs.result())

@@ -137,7 +137,7 @@ class MviewSpec extends AnyFunSuite {
     // non-maintainable SELECT items fail loudly
     val e = intercept[IllegalArgumentException] {
       graft.sql.CopySql.parse(s"CREATE MATERIALIZED VIEW '/tmp/x' AS " +
-        s"SELECT grp, max(x) AS mx FROM '/tmp/y' GROUP BY grp")
+        s"SELECT grp, median(x) AS mx FROM '/tmp/y' GROUP BY grp")
     }
     assert(e.getMessage.contains("maintainable"))
   }
@@ -183,7 +183,87 @@ class MviewSpec extends AnyFunSuite {
     assert(Mview.read(spark, mv).count() == 1L)
   }
 
-  test("min/max and null group keys are refused with clear errors") {
+  /** min/max recompute expectation straight from the source. */
+  private def expectedMm(srcDir: String): Seq[Seq[Any]] =
+    Snapshots.read(spark, srcDir).groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+      .orderBy("grp").collect().toSeq.map(_.toSeq)
+
+  private def gotMm(mvDir: String): Seq[Seq[Any]] =
+    Mview.read(spark, mvDir).orderBy("grp").collect().toSeq.map(_.toSeq)
+
+  test("min/max fold under inserts: birth, NULL measures, extremum moves") {
+    val src = fresh("mv_src_mm"); val mv = fresh("mv_view_mm")
+    srcTable(src, (1L to 30L).map(i =>
+      (i, s"g${i % 3}", java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Min("x", "mn"), Mview.Max("x", "mx")))
+    // one append: moves g1's max up and g2's min down, births g9 (one
+    // NULL measure, one real), leaves g0 untouched
+    Snapshots.appendCommit(spark, src,
+      Seq((100L, "g1", java.lang.Double.valueOf(999.0)),
+        (101L, "g2", java.lang.Double.valueOf(-5.0)),
+        (102L, "g9", null.asInstanceOf[java.lang.Double]),
+        (103L, "g9", java.lang.Double.valueOf(7.0)))
+        .toDF("id", "grp", "x"))
+    // a second, all-NULL-measure append must keep every extremum
+    Snapshots.appendCommit(spark, src,
+      Seq((104L, "g1", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    assert(gotMm(mv) == expectedMm(src))
+    val g1 = Mview.read(spark, mv).filter(col("grp") === "g1").head()
+    assert(g1.getDouble(3) == 999.0 && g1.getDouble(2) == 1.0)
+  }
+
+  test("min/max under deletes: only delete-touched groups re-aggregate") {
+    val src = fresh("mv_src_mmdel"); val mv = fresh("mv_view_mmdel")
+    srcTable(src, (1L to 40L).map(i =>
+      (i, if (i <= 4) "doomed" else s"g${i % 2}",
+        java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Min("x", "mn"), Mview.Max("x", "mx")))
+    // one refresh covering a mixed range: an insert into g1, then a
+    // delete that removes g0's current MAX row (x=40) and all of
+    // doomed — the extremum must shrink and the dead group must leave
+    Snapshots.appendCommit(spark, src,
+      Seq((200L, "g1", java.lang.Double.valueOf(0.5)))
+        .toDF("id", "grp", "x"))
+    Snapshots.deleteWhereCommit(spark, src,
+      "grp = 'doomed' OR id = 40", mergeOnRead = true)
+    Mview.refresh(spark, mv)
+    assert(gotMm(mv) == expectedMm(src))
+    val g0 = Mview.read(spark, mv).filter(col("grp") === "g0").head()
+    assert(g0.getDouble(3) == 38.0, "max must shrink after the delete")
+    assert(Mview.read(spark, mv).filter(col("grp") === "doomed").isEmpty)
+    // a group born and fully deleted INSIDE one refresh range must not
+    // materialize: insert ghost rows, delete them, refresh once
+    Snapshots.appendCommit(spark, src,
+      Seq((300L, "ghost", java.lang.Double.valueOf(1.0)))
+        .toDF("id", "grp", "x"))
+    Snapshots.deleteWhereCommit(spark, src, "grp = 'ghost'",
+      mergeOnRead = true)
+    Mview.refresh(spark, mv)
+    assert(gotMm(mv) == expectedMm(src))
+    assert(Mview.read(spark, mv).filter(col("grp") === "ghost").isEmpty)
+  }
+
+  test("min/max via the SQL route equals a full recompute") {
+    val src = fresh("mv_src_mmsql"); val mv = fresh("mv_view_mmsql")
+    srcTable(src, (1L to 20L).map(i =>
+      (i, s"g${i % 4}", java.lang.Double.valueOf(i.toDouble))))
+    graft.sql.GraftSql.exec(spark,
+      s"CREATE MATERIALIZED VIEW '$mv' AS SELECT grp, count(*) AS n, " +
+        s"min(x) AS mn, max(x) AS mx FROM '$src' GROUP BY grp")
+    Snapshots.appendCommit(spark, src,
+      Seq((99L, "g0", java.lang.Double.valueOf(-3.0)))
+        .toDF("id", "grp", "x"))
+    Snapshots.deleteWhereCommit(spark, src, "id = 8", mergeOnRead = true)
+    graft.sql.GraftSql.exec(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(gotMm(mv) == expectedMm(src))
+  }
+
+  test("non-maintainable aggregates and null group keys are refused") {
     val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
     srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))
     intercept[IllegalArgumentException] {
