@@ -1401,11 +1401,15 @@ object SparkEntry {
       ord.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
         .write.parquet(src)
       io.Snapshots.init(s, src)
+      // approx_custs is the portable-KMV distinct sketch at k=8:
+      // most groups hold >8 distinct custkeys (estimator branch) while
+      // thin ones stay exact (count branch) — both legs value-oracled
       io.Mview.create(s, mv, src, Seq("grp"),
         Seq(io.Mview.Count("n_orders"),
           io.Mview.Min("cents", "min_cents"),
           io.Mview.Max("cents", "max_cents"),
-          io.Mview.Sum("cents", "sum_cents")))
+          io.Mview.Sum("cents", "sum_cents"),
+          io.Mview.DistinctK("o_custkey", "approx_custs", k = 8)))
       io.Snapshots.appendCommit(s, src,
         ord.filter(col("o_orderkey") % 3 === 0))
       io.Mview.refresh(s, mv) // insert-only: extremum fold, no recompute
@@ -5901,13 +5905,27 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY 1"),
 
     "mview_minmax" ->
-      ("SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +
+      ("WITH live AS (SELECT * FROM orders " +
+        "WHERE NOT (o_custkey % 10 = 4 OR o_orderkey % 17 = 3)), " +
+        // the portable-KMV replication (q_kmv_distinct shape, k=8):
+        // 52-bit md5-prefix hashes, exact below k, integer-exact
+        // (k-1)*2^52 floor-div kth-minimum at k
+        "h AS (SELECT DISTINCT o_custkey % 100 AS grp, " +
+        "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv " +
+        "FROM live), " +
+        "r AS (SELECT grp, hv, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS nd FROM h), " +
+        "kmv AS (SELECT grp, CAST(CASE WHEN max(nd) < 8 THEN max(nd) " +
+        "ELSE (7 * 4503599627370496) // greatest(max(CASE WHEN rn = 8 THEN hv END), 1) " +
+        "END AS BIGINT) AS approx_custs FROM r GROUP BY grp), " +
+        "base AS (SELECT o_custkey % 100 AS grp, count(*) AS n_orders, " +
         "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
         "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
-        "AS sum_cents FROM orders " +
-        "WHERE NOT (o_custkey % 10 = 4 OR o_orderkey % 17 = 3) " +
-        "GROUP BY 1 ORDER BY 1"),
+        "AS sum_cents FROM live GROUP BY 1) " +
+        "SELECT grp, n_orders, min_cents, max_cents, sum_cents, " +
+        "approx_custs FROM base JOIN kmv USING (grp) ORDER BY grp"),
 
     "io_snapshot_transform" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
  * `count(*)`, `sum(col)` and `avg(col)` (kept as sum + non-null
  * count) are fully self-maintainable — reconstructible from a SIGNED
  * row multiset, so a refresh never re-reads the source.  `min(col)` /
- * `max(col)` sit on the classic view-maintenance boundary: they fold
- * incrementally under INSERTS (`least`/`greatest` against the stored
- * extremum) but can shrink under deletes, so a refresh recomputes
- * ONLY the delete-touched groups from the source (semi-join on the
+ * `max(col)` and the KMV distinct-count sketch ([[DistinctK]]) sit on
+ * the classic view-maintenance boundary: they fold incrementally
+ * under INSERTS (`least`/`greatest` against the stored extremum;
+ * sketch union) but not under deletes, so a refresh recomputes ONLY
+ * the delete-touched groups from the source (semi-join on the
  * affected keys — churn-proportional, never a full re-aggregation;
  * on an append-mostly 100 TB source the recompute leg usually runs
  * on an empty key set).
@@ -48,6 +49,17 @@ object Mview {
   final case class Min(column: String, alias: String) extends Agg
   /** `max(column) AS alias` — same maintenance regime as [[Min]]. */
   final case class Max(column: String, alias: String) extends Agg
+  /** `approx_count_distinct(column) AS alias` — a PORTABLE KMV sketch
+    * (the `k` smallest 52-bit md5 hashes, the
+    * [[graft.functions.KmvSketch]] portable mode) stored per group as
+    * an `array<bigint>` accumulator.  Sketch union is associative and
+    * insert-only (k smallest of the concatenation), so it shares
+    * [[Min]]'s maintenance regime: fold under inserts, recompute
+    * delete-touched groups.  The estimate ((k−1)·2⁵² div kth-minimum,
+    * exact below k) is integer-exact, so any engine mirroring the
+    * hash computes the identical value. */
+  final case class DistinctK(column: String, alias: String,
+      k: Int = 512) extends Agg
 
   /** Hidden per-group row count: detects group death (count reaching
     * zero deletes the view row) even when the user asked only for
@@ -87,19 +99,38 @@ object Mview {
       avgCntCol(alias) ->
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
           .cast("long"))
-    // min/max ignore the sign: they are only ever aggregated over
+    // min/max/KMV ignore the sign: they are only ever aggregated over
     // all-insert row sets (create, the insert-only delta fold, and
     // the per-group source recompute)
     case Min(c, alias) => Seq(alias -> min(col(c)))
     case Max(c, alias) => Seq(alias -> max(col(c)))
+    case DistinctK(c, alias, k) =>
+      Seq(alias -> slice(array_sort(collect_set(kmvHash(c))), 1, k))
   }
 
-  /** Accumulator columns merged by extremum (`least`/`greatest`)
-    * instead of signed addition; true = min. */
-  private def extremumNames(aggs: Seq[Agg]): Map[String, Boolean] =
+  /** The portable 52-bit KMV hash (first 13 md5 hex digits) — the
+    * [[graft.functions.KmvState.portableHash]] contract, built from
+    * codegen'd functions so the sketch stays inside whole-stage
+    * codegen. */
+  private def kmvHash(c: String): Column =
+    conv(substring(md5(col(c).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Accumulator columns that fold by a custom insert-only merge
+    * (extrema, sketch unions) instead of signed addition — the aggs
+    * whose groups must recompute from the source when a delete
+    * touches them. */
+  private def foldMerges(aggs: Seq[Agg])
+      : Map[String, (Column, Column) => Column] =
     aggs.collect {
-      case Min(_, a) => a -> true
-      case Max(_, a) => a -> false
+      case Min(_, a) => a ->
+        ((o: Column, d: Column) => least(o, d))
+      case Max(_, a) => a ->
+        ((o: Column, d: Column) => greatest(o, d))
+      case DistinctK(_, a, k) => a ->
+        ((o: Column, d: Column) => slice(array_sort(array_distinct(
+          concat(coalesce(o, typedLit(Seq.empty[Long])),
+            coalesce(d, typedLit(Seq.empty[Long]))))), 1, k))
     }.toMap
 
   private def storageAggs(aggs: Seq[Agg]): Seq[(String, Column)] =
@@ -165,6 +196,7 @@ object Mview {
         case Avg(c, a) => s"avg:${enc(c)}:${enc(a)}"
         case Min(c, a) => s"min:${enc(c)}:${enc(a)}"
         case Max(c, a) => s"max:${enc(c)}:${enc(a)}"
+        case DistinctK(c, a, k) => s"kmv:${enc(c)}:${enc(a)}:$k"
       }.mkString(","),
       "mview.src_version" -> srcV.toString) ++
       where.map(w => "mview.where" -> enc(w)))
@@ -184,6 +216,7 @@ object Mview {
         case Array("avg", c, a)   => Avg(dec(c), dec(a))
         case Array("min", c, a)   => Min(dec(c), dec(a))
         case Array("max", c, a)   => Max(dec(c), dec(a))
+        case Array("kmv", c, a, k) => DistinctK(dec(c), dec(a), k.toInt)
         case other => throw new IllegalStateException(
           s"unreadable mview agg spec '$s'")
       }
@@ -212,9 +245,10 @@ object Mview {
         when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     val accs = storageAggs(aggs)
     val accNames = accs.map(_._1)
-    val extremum = extremumNames(aggs)
+    val extremum = foldMerges(aggs)
 
-    // min/max can SHRINK when a delete removes the extremal row, so
+    // min/max can SHRINK when a delete removes the extremal row (and
+    // a KMV sketch cannot forget a hash), so
     // every group a delete touched is re-aggregated from the source
     // (semi-join on the touched keys — churn-proportional, and the
     // manifest stats prune + DPP bound the source files read); all
@@ -250,10 +284,10 @@ object Mview {
       .select(groupCols.map(col) ++ accNames.map { n =>
         val t = mv.schema(n).dataType
         if (extremum.contains(n))
-          // least/greatest skip NULLs: a brand-new group keeps the
-          // delta extremum, an all-NULL-measure delta keeps the old
-          (if (extremum(n)) least(col(s"__old_$n"), col(n))
-           else greatest(col(s"__old_$n"), col(n))).cast(t).as(n)
+          // least/greatest skip NULLs (and the sketch merge coalesces
+          // them): a brand-new group keeps the delta accumulator, an
+          // all-NULL-measure delta keeps the old
+          extremum(n)(col(s"__old_$n"), col(n)).cast(t).as(n)
         else {
           // both sides need the zero default: the view may lack the
           // group (new group), and a delta sum over all-NULL inputs
@@ -305,6 +339,13 @@ object Mview {
       case Sum(_, a) => col(a)
       case Min(_, a) => col(a)
       case Max(_, a) => col(a)
+      case DistinctK(_, a, k) =>
+        // the KmvState.estimate portable branch, integer-exact: exact
+        // distinct-hash count below k, (k−1)·2⁵² div kth-minimum at k
+        when(size(col(a)) < k, size(col(a)).cast("long"))
+          .otherwise(expr(
+            s"${(k - 1).toLong << 52} div " +
+              s"greatest(element_at(`$a`, $k), 1)")).as(a)
       case Avg(_, a) =>
         when(col(avgCntCol(a)) === 0L, lit(null))
           .otherwise(col(avgSumCol(a)) / col(avgCntCol(a))).as(a)

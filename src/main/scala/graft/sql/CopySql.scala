@@ -419,7 +419,7 @@ object CopySql {
   /** The one option UPDATE/DELETE take: `WITH (merge_on_read [true])`
     * selects the deletion-vector commit strategy. */
   private val MviewAggRe =
-    """(?i)^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg|min|max)\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+    """(?i)^(count)\(\s*\*\s*\)\s+AS\s+(\w+)$|^(sum|avg|min|max|approx_count_distinct)\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
   private val MviewIdentRe = """^\w+$""".r
 
   /** SELECT items of CREATE MATERIALIZED VIEW: plain idents (the group
@@ -443,12 +443,14 @@ object CopySql {
             case "avg" => aggs += graft.io.Mview.Avg(colName, a)
             case "min" => aggs += graft.io.Mview.Min(colName, a)
             case "max" => aggs += graft.io.Mview.Max(colName, a)
+            case "approx_count_distinct" =>
+              aggs += graft.io.Mview.DistinctK(colName, a)
           }
         case other => throw new IllegalArgumentException(
           s"unsupported SELECT item '$other' — a materialized view " +
             "takes plain group columns and count(*)/sum(col)/avg(col)/" +
-            "min(col)/max(col) with AS aliases (the incrementally-" +
-            "maintainable shapes)")
+            "min(col)/max(col)/approx_count_distinct(col) with AS " +
+            "aliases (the incrementally-maintainable shapes)")
       }
     }
     (groups.result(), aggs.result())

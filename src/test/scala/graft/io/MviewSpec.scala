@@ -248,6 +248,44 @@ class MviewSpec extends AnyFunSuite {
     assert(Mview.read(spark, mv).filter(col("grp") === "ghost").isEmpty)
   }
 
+  test("KMV distinct sketch folds under inserts, recomputes under deletes") {
+    val src = fresh("mv_src_kmv"); val mv = fresh("mv_view_kmv")
+    val ref = fresh("mv_view_kmvref")
+    // 12 distinct x values per group at k=4 → the estimator branch;
+    // the reference view is RE-CREATED (full compute) at each step, so
+    // equality proves the incremental fold/recompute reaches the same
+    // sketch as a from-scratch build
+    def aggs = Seq(Mview.Count("n"), Mview.DistinctK("x", "ad", k = 4))
+    def assertMatchesFreshCreate(): Unit = {
+      Mview.create(spark, ref, src, Seq("grp"), aggs)
+      assert(Mview.read(spark, mv).orderBy("grp").collect().toSeq
+          .map(_.toSeq) ==
+        Mview.read(spark, ref).orderBy("grp").collect().toSeq
+          .map(_.toSeq))
+    }
+    srcTable(src, (1L to 40L).map(i =>
+      (i, s"g${i % 2}", java.lang.Double.valueOf((i % 12).toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"), aggs)
+    // insert-only: new distinct values in g0, a newborn thin group g9
+    Snapshots.appendCommit(spark, src,
+      Seq((100L, "g0", java.lang.Double.valueOf(50.0)),
+        (101L, "g0", java.lang.Double.valueOf(51.0)),
+        (102L, "g9", java.lang.Double.valueOf(1.0)))
+        .toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    assertMatchesFreshCreate()
+    // the thin group sits below k → EXACT distinct count
+    assert(Mview.read(spark, mv).filter(col("grp") === "g9")
+      .select("ad").as[Long].head() == 1L)
+    // deletes remove distinct values from g0 and kill g9 — the sketch
+    // cannot forget, so those groups must re-aggregate from the source
+    Snapshots.deleteWhereCommit(spark, src, "x >= 50 OR grp = 'g9'",
+      mergeOnRead = true)
+    Mview.refresh(spark, mv)
+    assertMatchesFreshCreate()
+    assert(Mview.read(spark, mv).filter(col("grp") === "g9").isEmpty)
+  }
+
   test("min/max via the SQL route equals a full recompute") {
     val src = fresh("mv_src_mmsql"); val mv = fresh("mv_view_mmsql")
     srcTable(src, (1L to 20L).map(i =>
@@ -255,6 +293,14 @@ class MviewSpec extends AnyFunSuite {
     graft.sql.GraftSql.exec(spark,
       s"CREATE MATERIALIZED VIEW '$mv' AS SELECT grp, count(*) AS n, " +
         s"min(x) AS mn, max(x) AS mx FROM '$src' GROUP BY grp")
+    // approx_count_distinct parses on the SQL route too (default k)
+    val mvAd = fresh("mv_view_mmsql_ad")
+    graft.sql.GraftSql.exec(spark,
+      s"CREATE MATERIALIZED VIEW '$mvAd' AS SELECT grp, " +
+        s"approx_count_distinct(x) AS ad FROM '$src' GROUP BY grp")
+    // 5 distinct x per group, far below the default k → exact
+    assert(Mview.read(spark, mvAd).orderBy("grp")
+      .select("ad").as[Long].collect().toSeq == Seq(5L, 5L, 5L, 5L))
     Snapshots.appendCommit(spark, src,
       Seq((99L, "g0", java.lang.Double.valueOf(-3.0)))
         .toDF("id", "grp", "x"))
