@@ -1,0 +1,95 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Model-based fuzz for incremental view maintenance: a deterministic
+ * random interleaving of appends, COW/MoR deletes and refreshes must
+ * leave [[Mview]] equal to a FRESH full compute (re-`create`) after
+ * every refresh, across all five aggregate kinds at once — count,
+ * sum, avg, min, max, and the KMV distinct sketch.  This drives the
+ * regime split (signed fold vs insert-only fold vs delete-touched
+ * recompute) through sequences no hand-written case covers: group
+ * birth, death, rebirth, NULL measures, net-zero deltas, and deletes
+ * landing in the same refresh range as the inserts they cancel.
+ *
+ * Measures are small integers in double form so every sum is exact in
+ * IEEE arithmetic — the fold-order difference between incremental and
+ * from-scratch summation cannot manufacture a spurious mismatch.
+ */
+class MviewProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val dir = TestSpark.tmpDir(name)
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(dir), true)
+    dir
+  }
+
+  private val aggs = Seq(
+    Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Avg("x", "ax"),
+    Mview.Min("x", "mn"), Mview.Max("x", "mx"),
+    Mview.DistinctK("x", "ad", k = 4))
+
+  private def readAll(mv: String): Seq[Seq[Any]] =
+    Mview.read(spark, mv).orderBy("grp").collect().toSeq.map(_.toSeq)
+
+  test("random append/delete/refresh interleavings equal a fresh compute") {
+    val seeds = Seq(42L, 20260816L)
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val src = fresh(s"mvp_src_$seed")
+      val mv = fresh(s"mvp_view_$seed")
+      val ref = fresh(s"mvp_ref_$seed")
+      var nextId = 0L
+      def batch(n: Int): DataFrame = {
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          val x: java.lang.Double =
+            if (rnd.nextInt(8) == 0) null
+            else java.lang.Double.valueOf(rnd.nextInt(40).toDouble)
+          (id, s"g${rnd.nextInt(5)}", x)
+        }
+        rows.toDF("id", "grp", "x")
+      }
+      batch(30).repartition(3).write.parquet(src)
+      Snapshots.init(spark, src)
+      // CDC makes COPY-ON-WRITE deletes row-feed-readable too, so the
+      // fuzz drives refresh through BOTH delta encodings (DV-recorded
+      // MoR commits and CDC pre-images)
+      Snapshots.enableChangeData(spark, src)
+      Mview.create(spark, mv, src, Seq("grp"), aggs)
+      (0 until 8).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => Snapshots.appendCommit(spark, src,
+            batch(1 + rnd.nextInt(10)))
+          case 2 =>
+            // id-scattered deletes cross every group; zero-match
+            // predicates are commit no-ops by contract
+            val m = 2 + rnd.nextInt(7)
+            Snapshots.deleteWhereCommit(spark, src,
+              s"id % $m = ${rnd.nextInt(m)}",
+              mergeOnRead = rnd.nextBoolean())
+          case 3 =>
+            // insert-then-delete inside ONE refresh range: the delta
+            // and its cancellation land together (ghost groups)
+            Snapshots.appendCommit(spark, src, batch(3))
+            Snapshots.deleteWhereCommit(spark, src,
+              s"id >= ${nextId - 3}", mergeOnRead = true)
+        }
+        Mview.refresh(spark, mv)
+        Mview.create(spark, ref, src, Seq("grp"), aggs)
+        assert(readAll(mv) == readAll(ref),
+          s"seed $seed step $step: incremental view diverged from " +
+            "fresh compute")
+      }
+    }
+  }
+}

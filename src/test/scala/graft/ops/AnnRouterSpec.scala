@@ -156,5 +156,25 @@ class AnnRouterSpec extends AnyFunSuite {
       s"SELECT * FROM ann_search('$gUri', NULL, '$src', 'vec_id', " +
         "'embedding', 'vec_id < 5', 10, 'vec_id % 97 = 3')").collect())
     assert(sqlErr.getMessage.contains("IVF"), sqlErr.getMessage)
+
+    // array-LITERAL queries serve through ann_search as query_id -1
+    // (the vector_search/knn_search contract), value-equal to staging
+    // the same one-row query table against the Scala entry point
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val litSql = v0.map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    val gotLit = spark.sql(s"SELECT * FROM ann_search('$gUri', " +
+        s"'$vUri', '$src', 'vec_id', 'embedding', $litSql, 10, " +
+        "'vec_id % 97 = 3') ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    import spark.implicits._
+    val qLit = Seq((-1L, v0)).toDF("query_id", "__qv")
+    val wantLit = AnnRouter.searchFiltered(spark, Some(gUri), Some(vUri),
+        emb, qLit, emb.filter(selPred),
+        "vec_id", "embedding", "query_id", "__qv", k = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(gotLit == wantLit, "literal-vector ann_search diverged")
+    assert(gotLit.nonEmpty && gotLit.forall(_.head == -1L))
   }
 }
