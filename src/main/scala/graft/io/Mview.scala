@@ -136,6 +136,39 @@ object Mview {
   private def storageAggs(aggs: Seq[Agg]): Seq[(String, Column)] =
     Seq(N -> sum(col("__sign")).cast("long")) ++ aggs.flatMap(accExprs)
 
+  /** Past this many delete-touched groups the recompute keeps the
+    * full-scan semi-join instead of an IN-list predicate (a giant OR
+    * chain strains the optimizer and prunes nothing anyway). */
+  private val MaxPrunedRecomputeKeys = 64
+
+  /** Exact SQL literal for a group-key value, or None when the type
+    * has no round-trip-safe literal form (float/double/binary/…) —
+    * the caller falls back to the semi-join. */
+  private def sqlLit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+    case _ => None
+  }
+
+  /** `(c1 = v1 AND c2 = v2) OR (…)` over the collected key rows, or
+    * None when any value lacks an exact literal. */
+  private def inListPredicate(groupCols: Seq[String],
+      rows: Array[org.apache.spark.sql.Row]): Option[String] = {
+    val disjuncts = rows.toSeq.map { r =>
+      val conj = groupCols.indices.map(i => sqlLit(r.get(i)))
+      if (conj.exists(_.isEmpty)) return None
+      groupCols.zip(conj.map(_.get))
+        .map { case (c, l) => s"`$c` = $l" }
+        .mkString("(", " AND ", ")")
+    }
+    Some(disjuncts.mkString(" OR "))
+  }
+
   private def requireNonNullKeys(df: DataFrame, groupCols: Seq[String],
       what: String): Unit = {
     val nullPred = groupCols.map(col(_).isNull).reduce(_ || _)
@@ -257,10 +290,15 @@ object Mview {
     val delKeys: Option[DataFrame] =
       if (extremum.isEmpty) None
       else Some(changes.filter(col("_change_type") =!= "insert")
-        .select(groupCols.map(col): _*).distinct())
+        .select(groupCols.map(col): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val foldChanges = delKeys.foldLeft(changes)(
       (d, keys) => d.join(keys, groupCols, "left_anti"))
 
+    // the delta and the touched-key set are GROUP-scale; every
+    // downstream job (null-key guard, broadcast, merge, recompute
+    // joins) would otherwise re-scan the row-scale change feed — cache
+    // both, released before returning
     val delta = foldChanges.groupBy(groupCols.map(col): _*)
       .agg(accs.head._2.as(accs.head._1),
         accs.tail.map { case (n, e) => e.as(n) }: _*)
@@ -270,6 +308,7 @@ object Mview {
       .filter(accs.collect {
         case (n, _) if !extremum.contains(n) => col(n) =!= lit(0)
       }.reduce(_ || _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     requireNonNullKeys(delta.select(groupCols.map(col): _*),
       groupCols, "the change delta")
 
@@ -302,27 +341,49 @@ object Mview {
       case None => folded
       case Some(keys) =>
         requireNonNullKeys(keys, groupCols, "the change delta")
-        // re-aggregate ONLY the delete-touched groups from the
-        // source's current version; a key absent from the recompute
-        // is a dead group (row count coalesces to 0 → deleted below)
-        val cur = where.foldLeft(Snapshots.read(spark, srcUri, curV))(
-            (d, p) => d.filter(expr(p)))
-          .join(broadcast(keys), groupCols, "left_semi")
-          .withColumn("__sign", lit(1L))
-          .groupBy(groupCols.map(col): _*)
-          .agg(accs.head._2.as(accs.head._1),
-            accs.tail.map { case (n, e) => e.as(n) }: _*)
-        val recomputed = broadcast(keys).join(cur, groupCols, "left")
-          .select(groupCols.map(col) ++ accNames.map { n =>
-            val t = mv.schema(n).dataType
-            val v = if (n == N) coalesce(col(n), lit(0L)) else col(n)
-            v.cast(t).as(n)
-          }: _*)
-        folded.unionByName(recomputed)
+        // bounded key collect decides the recompute's READ SHAPE: a
+        // small touched set renders as an explicit OR-of-equalities
+        // predicate so readWhere prunes source FILES through manifest
+        // stats / hive dirs / transforms (on a group-clustered 100 TB
+        // table the recompute reads only the affected groups' files);
+        // past the cap — or with non-literal-renderable key types —
+        // the full-scan broadcast semi-join stands
+        val keyRows = keys.limit(MaxPrunedRecomputeKeys + 1).collect()
+        if (keyRows.isEmpty) folded
+        else {
+          val affectedSrc = inListPredicate(groupCols, keyRows) match {
+            case Some(p) if keyRows.length <= MaxPrunedRecomputeKeys =>
+              Snapshots.readWhere(spark, srcUri, p, curV)
+            case _ =>
+              Snapshots.read(spark, srcUri, curV)
+                .join(broadcast(keys), groupCols, "left_semi")
+          }
+          // re-aggregate ONLY the delete-touched groups from the
+          // source's current version; a key absent from the recompute
+          // is a dead group (row count coalesces to 0 → deleted below)
+          val cur = where.foldLeft(affectedSrc)(
+              (d, p) => d.filter(expr(p)))
+            .withColumn("__sign", lit(1L))
+            .groupBy(groupCols.map(col): _*)
+            .agg(accs.head._2.as(accs.head._1),
+              accs.tail.map { case (n, e) => e.as(n) }: _*)
+          val recomputed = broadcast(keys).join(cur, groupCols, "left")
+            .select(groupCols.map(col) ++ accNames.map { n =>
+              val t = mv.schema(n).dataType
+              val v = if (n == N) coalesce(col(n), lit(0L)) else col(n)
+              v.cast(t).as(n)
+            }: _*)
+          folded.unionByName(recomputed)
+        }
     }
-    Snapshots.mergeCommit(spark, mvUri,
-      merged.withColumn("__mv_del", col(N) <= lit(0L)), groupCols,
-      deleteCol = Some("__mv_del"))
+    try {
+      Snapshots.mergeCommit(spark, mvUri,
+        merged.withColumn("__mv_del", col(N) <= lit(0L)), groupCols,
+        deleteCol = Some("__mv_del"))
+    } finally {
+      delta.unpersist()
+      delKeys.foreach(_.unpersist())
+    }
     Snapshots.updateTableProps(spark, mvUri)(
       _ + ("mview.src_version" -> curV.toString))
     curV

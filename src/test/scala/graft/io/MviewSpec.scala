@@ -248,6 +248,54 @@ class MviewSpec extends AnyFunSuite {
     assert(Mview.read(spark, mv).filter(col("grp") === "ghost").isEmpty)
   }
 
+  test("delete-touched recompute is manifest-pruned to affected groups") {
+    val src = fresh("mv_src_prune"); val mv = fresh("mv_view_prune")
+    // 8 groups × 500 rows, range-clustered so each file holds ~one
+    // group and footer stats separate them
+    (1L to 4000L).map(i =>
+        (i, s"g${i % 8}", java.lang.Double.valueOf((i % 50).toDouble)))
+      .toDF("id", "grp", "x")
+      .repartitionByRange(8, col("grp")).write.parquet(src)
+    Snapshots.init(spark, src)
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Max("x", "mx")))
+    Snapshots.deleteWhereCommit(spark, src, "grp = 'g3' AND x >= 49",
+      mergeOnRead = true)
+    @volatile var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        records += sc.stageInfo.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Mview.refresh(spark, mv)
+      // listener bus is async — poll until the count settles
+      var last = -1L; var settles = 0
+      val deadline = System.currentTimeMillis() + 20000
+      while (settles < 4 && System.currentTimeMillis() < deadline) {
+        if (records == last) settles += 1 else { settles = 0; last = records }
+        Thread.sleep(150)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val kept = Snapshots.pruneEntries(spark,
+      Snapshots.readManifestEntries(spark, src,
+        Snapshots.latestVersion(spark, src)),
+      "(`grp` = 'g3')")
+    info(s"pruneEntries kept ${kept.size} files; records=$records")
+    // an unpruned recompute scans all 4000 source rows on top of the
+    // change feed + view reads; the IN-list readWhere path reads only
+    // g3's file (~500) — the margin is the pin
+    assert(records < 2500,
+      s"refresh read $records records — the recompute was not pruned")
+    val exp = Snapshots.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("x").as("mx"))
+      .orderBy("grp").collect().toSeq.map(_.toSeq)
+    assert(Mview.read(spark, mv).orderBy("grp").collect().toSeq
+      .map(_.toSeq) == exp)
+  }
+
   test("KMV distinct sketch folds under inserts, recomputes under deletes") {
     val src = fresh("mv_src_kmv"); val mv = fresh("mv_view_kmv")
     val ref = fresh("mv_view_kmvref")
