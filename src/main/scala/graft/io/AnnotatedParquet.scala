@@ -225,23 +225,155 @@ object AnnotatedParquet {
       schema: MessageType, fields: Seq[(String, String)], row: Row)
       : SimpleGroup = {
     val g = new SimpleGroup(schema)
+    // adds are POSITIONAL (field i of the built schema is column i of
+    // the row by construction) — a by-name add would resolve through
+    // the schema's name index, which is ambiguous when the output
+    // carries duplicate column names (writeDuplicateNames)
     fields.zipWithIndex.foreach { case ((name, kind), i) =>
       if (!row.isNullAt(i)) kind match {
         case "uuid" =>
           val bytes = row.getAs[Array[Byte]](i)
           require(bytes.length == 16,
             s"uuid column '$name' must hold 16 bytes, got ${bytes.length}")
-          g.add(name, Binary.fromConstantByteArray(bytes))
+          g.add(i, Binary.fromConstantByteArray(bytes))
         case "binary" =>
-          g.add(name, Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
-        case "time" | "timetz" | "long" => g.add(name, row.getLong(i))
-        case "int" => g.add(name, row.getInt(i))
-        case "double" => g.add(name, row.getDouble(i))
-        case "float" => g.add(name, row.getFloat(i))
-        case "boolean" => g.add(name, row.getBoolean(i))
-        case "string" | "json" => g.add(name, row.getString(i))
+          g.add(i, Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
+        case "time" | "timetz" | "long" => g.add(i, row.getLong(i))
+        case "int" => g.add(i, row.getInt(i))
+        case "double" => g.add(i, row.getDouble(i))
+        case "float" => g.add(i, row.getFloat(i))
+        case "boolean" => g.add(i, row.getBoolean(i))
+        case "string" | "json" => g.add(i, row.getString(i))
       }
     }
     g
+  }
+
+  /** COPY TO with DUPLICATE output column names, reference parity:
+    * `COPY (SELECT 1 AS a, 2 AS a) TO '…'` succeeds there
+    * (`copy_pg_rules.rs:230-233`) because the parquet FORMAT never
+    * required unique field names — it is Spark's analysis-time
+    * COLUMN_ALREADY_EXISTS check that refuses.  parquet-mr cannot
+    * write colliding paths either (its column writers key on the path,
+    * so duplicate names silently corrupt the chunks), so each task
+    * writes under per-position UNIQUE names and then rewrites only the
+    * FOOTER thrift — SchemaElement names and every chunk's
+    * `path_in_schema` — back to the duplicated originals.  Data pages,
+    * column/offset indexes and their recorded offsets are untouched
+    * (only the tail of the file changes).  Flat primitive schemas
+    * only. */
+  def writeDuplicateNames(df: DataFrame, uri: String,
+      codec: CompressionCodecName): Unit = {
+    val names: Seq[String] = df.schema.fieldNames.toSeq
+    val kinds: Seq[String] = df.schema.fields.toSeq.map(f =>
+      plainKind(f.name, f.dataType))
+    // positionally-unique WRITE names; the footer rename restores the
+    // user's duplicates afterwards
+    val writeFields: Seq[(String, String)] =
+      names.zipWithIndex.map { case (n, i) => s"c${i}__$n" }.zip(kinds)
+    // the ARROW:schema metadata carries the REAL (duplicated) names —
+    // arrow field lists are positional, duplicates are legal there
+    val arrowB64 = arrowSchemaB64(names.zip(kinds))
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = new Path(uri)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val taskConf = new Configuration()
+        val schema = buildSchema(writeFields)
+        val part = org.apache.spark.TaskContext.get().partitionId()
+        val file = new Path(dir, f"part-$part%05d.parquet")
+        val writer = ExampleParquetWriter
+          .builder(HadoopOutputFile.fromPath(file, taskConf))
+          .withType(schema)
+          .withExtraMetaData(
+            java.util.Collections.singletonMap("ARROW:schema", arrowB64))
+          .withCompressionCodec(codec)
+          .build()
+        try rows.foreach { row =>
+          writer.write(toGroup(schema, writeFields, row))
+        } finally writer.close()
+        renameFooterFields(taskConf, file, names)
+      }
+    }
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    ()
+  }
+
+  /** Rewrite a flat parquet file's footer with new positional field
+    * names (duplicates permitted): only the thrift tail changes — data
+    * pages and index structures keep their recorded offsets. */
+  private[io] def renameFooterFields(conf: Configuration, file: Path,
+      names: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val fs = file.getFileSystem(conf)
+    val len = fs.getFileStatus(file).getLen
+    val in = fs.open(file)
+    try {
+      val tail = new Array[Byte](8)
+      in.seek(len - 8); in.readFully(tail)
+      require(new String(tail, 4, 4, "US-ASCII") == "PAR1",
+        s"$file is not a parquet file (bad magic)")
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      val footerStart = len - 8 - footerLen
+      val fb = new Array[Byte](footerLen)
+      in.seek(footerStart); in.readFully(fb)
+      val fm = org.apache.parquet.format.Util.readFileMetaData(
+        new java.io.ByteArrayInputStream(fb))
+      val se = fm.getSchema // element 0 is the root group
+      require(se.size == names.length + 1,
+        s"expected a flat ${names.length}-column schema, footer has " +
+          s"${se.size - 1}")
+      names.zipWithIndex.foreach { case (n, i) => se.get(i + 1).setName(n) }
+      fm.getRow_groups.asScala.foreach { rg =>
+        rg.getColumns.asScala.zipWithIndex.foreach { case (cc, i) =>
+          cc.getMeta_data.setPath_in_schema(
+            java.util.Collections.singletonList(names(i)))
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.parquet.format.Util.writeFileMetaData(fm, bos)
+      val nf = bos.toByteArray
+      val tmp = new Path(file.getParent, s".${file.getName}.duptmp")
+      val out = fs.create(tmp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        in.seek(0)
+        var remaining = footerStart
+        while (remaining > 0) {
+          val r = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(r > 0, s"unexpected EOF copying $file")
+          out.write(buf, 0, r); remaining -= r
+        }
+        out.write(nf)
+        out.write(Array[Byte](
+          (nf.length & 0xff).toByte, ((nf.length >> 8) & 0xff).toByte,
+          ((nf.length >> 16) & 0xff).toByte,
+          ((nf.length >> 24) & 0xff).toByte))
+        out.write("PAR1".getBytes("US-ASCII"))
+      } finally out.close()
+      fs.delete(file, false)
+      fs.rename(tmp, file)
+      ()
+    } finally in.close()
+  }
+
+  /** The plain (un-annotated) writer kind for a column type. */
+  private def plainKind(name: String,
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case BinaryType => "binary"
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      "duplicate-name COPY TO supports flat primitive schemas; " +
+        s"column '$name' has unsupported type ${other.simpleString} — " +
+        "alias the duplicate columns apart for full-type writes")
   }
 }

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -56,6 +57,34 @@ object CopyTo {
         return WriteResult(uri, Seq(uri), bytes)
       case _ =>
     }
+    // DUPLICATE output column names (`COPY (SELECT 1 AS a, 2 AS a) TO`)
+    // write through the direct positional parquet writer — parquet
+    // itself never required unique names and the reference accepts
+    // this (copy_pg_rules.rs:230-233); only Spark's analysis check
+    // refuses.  Layout options are name-addressed, so they are
+    // incompatible with an ambiguous name space and stay refused.
+    if (df.columns.distinct.length != df.columns.length) {
+      require(opts0.partitionBy.isEmpty && opts0.clusterBy.isEmpty &&
+          opts0.zOrderBy.isEmpty && opts0.bloomFilterColumns.isEmpty &&
+          opts0.fieldIds == "none" && opts0.fileSizeBytes.isEmpty,
+        "COPY TO with duplicate output column names supports only " +
+          "plain writes (+compression); alias the duplicates apart " +
+          "for partitioning/clustering/field-id options")
+      val codecName = opts0.effectiveCompression(uri) match {
+        case "snappy" => CompressionCodecName.SNAPPY
+        case "gzip" => CompressionCodecName.GZIP
+        case "zstd" => CompressionCodecName.ZSTD
+        case "lz4" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+        case "brotli" => CompressionCodecName.BROTLI
+        case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+        case other => throw new IllegalArgumentException(
+          s"unsupported compression '$other' for duplicate-name writes")
+      }
+      AnnotatedParquet.writeDuplicateNames(df, uri, codecName)
+      val (files, bytes) = listDataFiles(spark, uri)
+      return WriteResult(uri, files, bytes)
+    }
+
     // z-order: materialize the Morton key, then cluster on it like any
     // clusterBy column (ZOrder.write is sugar for exactly this path)
     val (df0, opts) =

@@ -384,6 +384,58 @@ class CopyRoundTripSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate field id"))
   }
 
+  test("duplicate output column names write positionally (PG parity)") {
+    // the reference accepts `COPY (SELECT 1 AS a, 2 AS a) TO ...`
+    // (copy_pg_rules.rs:230-233) — parquet never required unique field
+    // names, only Spark's analysis check does.  The direct positional
+    // writer carries the duplicated names into the footer verbatim.
+    val uri = TestSpark.tmpDir("dupnames")
+    val df = spark.sql("SELECT 1 AS a, 2 AS a")
+    val res = CopyTo(df, uri)
+    assert(res.files.nonEmpty)
+    // footer schema holds TWO fields, both named a
+    val names = ParquetInfo.schema(spark, s"$uri/*.parquet")
+      .filter(col("name") === "a").count()
+    assert(names == 2L, "footer must carry both duplicated fields")
+    // positional value check straight from the footer thrift: with one
+    // row per column chunk the recorded min/max ARE the values (name-
+    // keyed readers — Spark, parquet-mr example — refuse duplicates by
+    // design; positional ones like pyarrow/arrow-rs read this file)
+    val file = res.files.head
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fsLocal = p.getFileSystem(conf)
+    val len = fsLocal.getFileStatus(p).getLen
+    val in = fsLocal.open(p)
+    val (paths, mins) = try {
+      val tail = new Array[Byte](8)
+      in.seek(len - 8); in.readFully(tail)
+      val fl = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      val fb = new Array[Byte](fl)
+      in.seek(len - 8 - fl); in.readFully(fb)
+      val fm = org.apache.parquet.format.Util.readFileMetaData(
+        new java.io.ByteArrayInputStream(fb))
+      import scala.jdk.CollectionConverters._
+      val cols = fm.getRow_groups.get(0).getColumns.asScala.toSeq
+      (cols.map(_.getMeta_data.getPath_in_schema.asScala.mkString(".")),
+        cols.map(c => java.nio.ByteBuffer
+          .wrap(c.getMeta_data.getStatistics.getMin_value)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt))
+    } finally in.close()
+    assert(paths == Seq("a", "a"), s"chunk paths: $paths")
+    assert(mins == Seq(1, 2), s"positional chunk values: $mins")
+    // name-addressed layout options stay refused under ambiguity
+    val e = intercept[IllegalArgumentException] {
+      CopyTo(df, TestSpark.tmpDir("dupnames2"),
+        CopyToOptions(clusterBy = Seq("a")))
+    }
+    assert(e.getMessage.contains("duplicate output column names"))
+    // the SQL route reaches the same writer
+    graft.sql.GraftSql.exec(spark,
+      s"COPY (SELECT 1 AS a, 2 AS a) TO '${TestSpark.tmpDir("dupsql")}'")
+  }
+
   test("match-by-position renames columns ordinally") {
     val uri = TestSpark.tmpDir("pos")
     CopyTo(spark.range(5).select(col("id").as("orig")), uri)
