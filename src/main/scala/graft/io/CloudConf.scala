@@ -77,14 +77,26 @@ object CloudConf {
       b += "fs.s3a.connection.ssl.enabled" -> "false"
 
     // ---- Azure Blob / ADLS (reference azure.rs: account key, SAS,
-    // connection string, client secret)
-    val account = env.get("AZURE_STORAGE_ACCOUNT")
+    // connection string, client secret).  The azure-cli config file
+    // (`AZURE_CONFIG_FILE`, default ~/.azure/config; ini section
+    // [storage] with keys account/key/sas_token/connection_string)
+    // backs each env var ONLY when that env var is absent — the
+    // reference's per-key fallback (azure.rs:126-187).
+    val azureIni: Map[String, String] = {
+      val home = env.getOrElse("HOME", System.getProperty("user.home", ""))
+      val path = env.getOrElse("AZURE_CONFIG_FILE", s"$home/.azure/config")
+      readFile(path).map(parseIniSection(_, "storage"))
+        .getOrElse(Map.empty)
+    }
+    def azure(envKey: String, iniKey: String): Option[String] =
+      env.get(envKey).orElse(azureIni.get(iniKey))
+    val account = azure("AZURE_STORAGE_ACCOUNT", "account")
     account.foreach { acct =>
-      env.get("AZURE_STORAGE_KEY").foreach { key =>
+      azure("AZURE_STORAGE_KEY", "key").foreach { key =>
         b += s"fs.azure.account.key.$acct.dfs.core.windows.net" -> key
         b += s"fs.azure.account.key.$acct.blob.core.windows.net" -> key
       }
-      env.get("AZURE_STORAGE_SAS_TOKEN").foreach { sas =>
+      azure("AZURE_STORAGE_SAS_TOKEN", "sas_token").foreach { sas =>
         b += s"fs.azure.account.auth.type.$acct.dfs.core.windows.net" -> "SAS"
         b += s"fs.azure.sas.fixed.token.$acct.dfs.core.windows.net" -> sas
       }
@@ -130,21 +142,25 @@ object CloudConf {
     // built-in abfs client, reference azure.rs AZURE_STORAGE_ENDPOINT
     env.get("AZURE_STORAGE_ENDPOINT")
       .foreach(b += "fs.graft.abfs.endpoint" -> _)
-    env.get("AZURE_STORAGE_CONNECTION_STRING").foreach { cs =>
-      val parts = cs.split(";").flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(k -> v)
-          case _ => None
+    // connection string (env, or the config file's [storage]
+    // connection_string) — the reference lets it OVERRIDE the account/
+    // key pair (azure.rs:153-158); the later map writes do the same
+    azure("AZURE_STORAGE_CONNECTION_STRING", "connection_string")
+      .foreach { cs =>
+        val parts = cs.split(";").flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+        for {
+          acct <- parts.get("AccountName")
+          key <- parts.get("AccountKey")
+        } {
+          b += s"fs.azure.account.key.$acct.dfs.core.windows.net" -> key
+          b += s"fs.azure.account.key.$acct.blob.core.windows.net" -> key
         }
-      }.toMap
-      for {
-        acct <- parts.get("AccountName")
-        key <- parts.get("AccountKey")
-      } {
-        b += s"fs.azure.account.key.$acct.dfs.core.windows.net" -> key
-        b += s"fs.azure.account.key.$acct.blob.core.windows.net" -> key
       }
-    }
 
     // ---- GCS (reference gcs.rs: service-account key file)
     env.get("GOOGLE_APPLICATION_CREDENTIALS").foreach { f =>

@@ -172,6 +172,33 @@ class CloudConfSpec extends AnyFunSuite {
     assert(!m2.contains("fs.s3a.access.key"))
   }
 
+  test("azure settings fall back to the azure-cli config file") {
+    // reference azure.rs:126-187: AZURE_CONFIG_FILE (default
+    // ~/.azure/config), [storage] account/key/sas_token each back
+    // their env var per key
+    val ini = "[storage]\naccount=cfacct\nkey=cfkey\n"
+    val m = CloudConf.hadoopSettings(Map("HOME" -> "/h"),
+      reader(Map("/h/.azure/config" -> ini)))
+    assert(m("fs.azure.account.key.cfacct.dfs.core.windows.net") == "cfkey")
+    // AZURE_CONFIG_FILE overrides the default path
+    val m2 = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AZURE_CONFIG_FILE" -> "/etc/az.ini"),
+      reader(Map("/etc/az.ini" -> "[storage]\naccount=x\nsas_token=tok")))
+    assert(m2("fs.azure.account.auth.type.x.dfs.core.windows.net") == "SAS")
+    assert(m2("fs.azure.sas.fixed.token.x.dfs.core.windows.net") == "tok")
+    // env vars win per key: env account + file key combine
+    val m3 = CloudConf.hadoopSettings(
+      Map("HOME" -> "/h", "AZURE_STORAGE_ACCOUNT" -> "envacct"),
+      reader(Map("/h/.azure/config" -> ini)))
+    assert(m3("fs.azure.account.key.envacct.dfs.core.windows.net") == "cfkey")
+    // a config-file connection_string parses like the env form and
+    // overrides the account/key pair's conf entries
+    val m4 = CloudConf.hadoopSettings(Map("HOME" -> "/h"),
+      reader(Map("/h/.azure/config" -> ("[storage]\naccount=csacct\n" +
+        "key=old\nconnection_string=AccountName=csacct;AccountKey=csk"))))
+    assert(m4("fs.azure.account.key.csacct.dfs.core.windows.net") == "csk")
+  }
+
   test("AWS_SHARED_CREDENTIALS_FILE overrides the credentials path") {
     val m = CloudConf.hadoopSettings(
       Map("HOME" -> "/h", "AWS_SHARED_CREDENTIALS_FILE" -> "/elsewhere/creds"),
