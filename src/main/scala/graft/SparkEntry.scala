@@ -3544,6 +3544,21 @@ object SparkEntry {
         .orderBy("regime", "query_id", "rank")
     }),
 
+    // the routing DECISION surfaced without serving: ann_route is the
+    // operator's dry-run (counts, chosen route, ladder-widened beam) —
+    // the oracle replicates the pure plan() arithmetic, so the SQL
+    // surface's numbers are value-checked against an independent
+    // computation of ceil(safety·k/selectivity) + the doubling ladder
+    "sim_ann_route" -> ((s, dir) => {
+      graft.meta.MetaTableFunctions.register(s)
+      def leg(pred: String, regime: String) = s.sql(
+        s"SELECT '$regime' AS regime, * FROM ann_route(" +
+          s"'$dir/embeddings.parquet', '$pred', 10)")
+      leg("label < 5", "mild")
+        .unionByName(leg("vec_id % 97 = 3", "selective"))
+        .orderBy("regime")
+    }),
+
     // LATE-INTERACTION (multi-vector / maxsim) retrieval: documents
     // and queries are BAGS of token vectors (doc = 4 consecutive
     // embedding rows) and relevance is sum over query tokens of the
@@ -5511,6 +5526,23 @@ object SparkEntry {
         ") UNION ALL SELECT 'selective' AS regime, * FROM (" +
         ivfPqOracle(eligibleSql = Some("vec_id % 97 = 3")) +
         ") ORDER BY regime, query_id, rank"),
+    // the routing decision itself: required = ceil(3·10·corpus/
+    // eligible) (identical left-assoc double arithmetic), ladder rungs
+    // 40/80/160 off the default base/max, IVF past the top rung
+    "sim_ann_route" ->
+      ("WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cc FROM embeddings), " +
+        "r AS (SELECT 'mild' AS regime, cc, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE label < 5) AS ec FROM c " +
+        "UNION ALL SELECT 'selective', cc, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 97 = 3) FROM c), " +
+        "q AS (SELECT regime, cc, ec, " +
+        "CAST(ceil(3.0 * 10 * cc / ec) AS BIGINT) AS req FROM r) " +
+        "SELECT regime, cc AS corpus_count, ec AS eligible_count, " +
+        "CASE WHEN req <= 160 THEN 'graph_post_filter' " +
+        "ELSE 'ivf_pre_shortlist' END AS route, " +
+        "CAST(CASE WHEN req <= 40 THEN 40 WHEN req <= 80 THEN 80 " +
+        "ELSE 160 END AS INTEGER) AS beam, " +
+        "req AS required_beam FROM q ORDER BY regime"),
     // exact maxsim: explode doc/query token bags, max per (query
     // token, doc), sum per (query, doc), top-10 on the rounded score
     "sim_multivector" -> MaxSimOracle(candCte = None),

@@ -65,7 +65,7 @@ object MetaTableFunctions {
       snapshotChangesRowsBuilder :+ snapshotHistoryBuilder :+
       branchChangesBuilder :+ vectorSearchBuilder :+ knnSearchBuilder :+
       vectorRecallBuilder :+ knnRecallBuilder :+ hybridSearchBuilder :+
-      indexGenerationsBuilder :+ annSearchBuilder
+      indexGenerationsBuilder :+ annSearchBuilder :+ annRouteBuilder
 
   /** `SELECT * FROM vector_search('<index>', '<source>', '<id_col>',
     * '<vec_col>', <queries>, k, nprobe, rerank)` — ADC top-k from a
@@ -453,6 +453,37 @@ object MetaTableFunctions {
             corpus, queries, eligible, idCol, vecCol,
             "query_id", "__qv",
             k = intLitArg("ann_search", "k", args(6)))
+          .queryExecution.analyzed
+      })
+
+  /** `SELECT * FROM ann_route('<source>', '<eligible_where>', k)` —
+    * the ROUTING DECISION [[graft.ops.AnnRouter.plan]] would make for a
+    * filtered serve, without serving: measured corpus/eligible counts,
+    * the chosen route, and the (ladder-widened) beam.  The operator's
+    * dry-run — see how close a workload sits to the graph/IVF boundary
+    * before deciding which index families to maintain. */
+  private def annRouteBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("ann_route"),
+      new ExpressionInfo("graft", null, "ann_route",
+        "_FUNC_(source, eligible_where, k) - filtered-ANN routing " +
+          "decision (counts, route, beam)", ""),
+      (args: Seq[Expression]) => {
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            "ann_route(source, eligible_where, k) takes 3 arguments, " +
+              s"got ${args.length}")
+        val spark = SparkSession.active
+        val corpus = graft.io.catalog.Procedures.readSource(spark,
+          strLitArg("ann_route", args(0)))
+        val cc = corpus.count()
+        val ec = corpus.filter(strLitArg("ann_route", args(1))).count()
+        val p = graft.ops.AnnRouter.plan(cc, ec,
+          k = intLitArg("ann_route", "k", args(2)))
+        import spark.implicits._
+        Seq((cc, ec, p.route.name, p.beam, p.requiredBeam))
+          .toDF("corpus_count", "eligible_count", "route", "beam",
+            "required_beam")
           .queryExecution.analyzed
       })
 

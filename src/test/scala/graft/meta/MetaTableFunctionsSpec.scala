@@ -323,6 +323,6 @@ class MetaTableFunctionsSpec extends AnyFunSuite {
       "parquet_snapshot_changes", "parquet_snapshot_changes_rows",
       "parquet_snapshot_history", "parquet_branch_changes",
       "vector_search", "knn_search", "vector_recall", "knn_recall",
-      "hybrid_search", "index_generations", "ann_search"))
+      "hybrid_search", "index_generations", "ann_search", "ann_route"))
   }
 }
