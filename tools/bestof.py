@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Best-of per-query bench evidence: min per-query seconds across the
+round's full-run artifacts (docs/bench_runs/BENCH_full_*.json), written
+as docs/BENCH_bestof_r{N}.json.  Usage:
+
+  python3 tools/bestof.py r15 docs/bench_runs/BENCH_full_A.json [...]
+
+Only queries present in EVERY listed run enter the best-of total (new
+queries added mid-round appear with their own best across the runs that
+have them, flagged in "partial").
+"""
+import json
+import sys
+
+
+def qmap(path):
+    d = json.load(open(path))
+    q = d.get("per_query") or d.get("queries") or {}
+    return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def main():
+    tag, paths = sys.argv[1], sys.argv[2:]
+    runs = {p: qmap(p) for p in paths}
+    every = set.intersection(*(set(m) for m in runs.values()))
+    union = set.union(*(set(m) for m in runs.values()))
+    best = {}
+    partial = sorted(union - every)
+    for q in sorted(union):
+        vals = [m[q] for m in runs.values() if q in m]
+        best[q] = round(min(vals), 3)
+    out = {
+        "round": tag,
+        "runs": paths,
+        "queries_n": len(best),
+        "best_total_sec": round(sum(best.values()), 3),
+        "partial_coverage_queries": partial,
+        "per_query": best,
+    }
+    dest = f"docs/BENCH_bestof_{tag}.json"
+    json.dump(out, open(dest, "w"), indent=1)
+    print(dest, "queries:", len(best), "total:", out["best_total_sec"],
+          "partial:", len(partial))
+
+
+if __name__ == "__main__":
+    main()
