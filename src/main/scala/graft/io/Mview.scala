@@ -267,8 +267,31 @@ object Mview {
    * as [[Snapshots.readChangesRows]].  Returns the source version now
    * reflected (no-op when already current).
    */
-  def refresh(spark: SparkSession, mvUri: String): Int = {
-    val (srcUri, groupCols, aggs, lastV, where) = definitionOf(spark, mvUri)
+  /** Manifest `txn` writer id under which refresh records the source
+    * watermark — the claim commits ATOMICALLY with the folded data, so
+    * no interleaving of concurrent refreshes can fold one delta twice
+    * (the pre-round-15 props-file watermark advanced AFTER the commit,
+    * leaving a double-fold window). */
+  private val WatermarkTxn = "__mview_watermark"
+
+  def refresh(spark: SparkSession, mvUri: String): Int =
+    // optimistic concurrency: the fold is computed against a PINNED
+    // view version and committed with expectedVersion — a racing
+    // refresh (or any other view commit) makes the merge refuse with
+    // "concurrent commit", and the retry re-reads the watermark (a
+    // fully-covered delta then no-ops).  Cross-process safe: the
+    // loser of the manifest atomic-create race takes the same retry.
+    Snapshots.retryCommit() { refreshOnce(spark, mvUri) }
+
+  private def refreshOnce(spark: SparkSession, mvUri: String): Int = {
+    val (srcUri, groupCols, aggs, propsV, where) = definitionOf(spark, mvUri)
+    val viewV = Snapshots.latestVersion(spark, mvUri)
+    // the authoritative watermark is the newest refresh claim in the
+    // view's MANIFEST chain (header-only walk; commits without a claim
+    // — compaction, z-order — are skipped over); the props value is
+    // the pre-claim fallback for views created before round 15
+    val lastV = Snapshots.txnLastEpoch(spark, mvUri, WatermarkTxn)
+      .map(_.toInt).getOrElse(propsV)
     val curV = Snapshots.latestVersion(spark, srcUri)
     if (curV == lastV) return lastV
     val changes = where.foldLeft(
@@ -312,7 +335,7 @@ object Mview {
     requireNonNullKeys(delta.select(groupCols.map(col): _*),
       groupCols, "the change delta")
 
-    val mv = Snapshots.read(spark, mvUri)
+    val mv = Snapshots.read(spark, mvUri, viewV)
     // fold delta into current accumulators: absent view group = zeros.
     // The delta side is the small one — broadcast it through the join
     // and let mergeCommit's key semi-join bound the file rewrites.
@@ -379,11 +402,15 @@ object Mview {
     try {
       Snapshots.mergeCommit(spark, mvUri,
         merged.withColumn("__mv_del", col(N) <= lit(0L)), groupCols,
-        deleteCol = Some("__mv_del"))
+        deleteCol = Some("__mv_del"),
+        txn = Some(s"$WatermarkTxn:$curV"),
+        expectedVersion = Some(viewV))
     } finally {
       delta.unpersist()
       delKeys.foreach(_.unpersist())
     }
+    // informational mirror of the committed claim (sourceVersion(),
+    // pre-round-15 readers); correctness no longer depends on it
     Snapshots.updateTableProps(spark, mvUri)(
       _ + ("mview.src_version" -> curV.toString))
     curV
@@ -413,7 +440,10 @@ object Mview {
     }: _*)
   }
 
-  /** The source version the view currently reflects. */
+  /** The source version the view currently reflects (the committed
+    * watermark claim; falls back to the props mirror for views whose
+    * last refresh predates the claim). */
   def sourceVersion(spark: SparkSession, mvUri: String): Int =
-    definitionOf(spark, mvUri)._4
+    Snapshots.txnLastEpoch(spark, mvUri, WatermarkTxn).map(_.toInt)
+      .getOrElse(definitionOf(spark, mvUri)._4)
 }

@@ -790,16 +790,35 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
       mergeOnRead: Boolean = false, statsPrune: Boolean = false,
-      keysUnique: Boolean = false): Int = {
-    if (mergeOnRead)
+      keysUnique: Boolean = false,
+      /** Watermark/claim token recorded in the committed manifest
+        * header (the Delta-style `txn` field [[txnLastEpoch]] reads) —
+        * lets a maintainer advance its watermark ATOMICALLY with the
+        * data it folded. */
+      txn: Option[String] = None,
+      /** Optimistic concurrency pin: refuse (with a retryCommit-
+        * compatible "concurrent commit" error) when the table is no
+        * longer at this version — the caller computed `updates` from a
+        * read of that version, and committing them over a different
+        * base would apply a stale fold. */
+      expectedVersion: Option[Int] = None): Int = {
+    if (mergeOnRead) {
+      require(txn.isEmpty && expectedVersion.isEmpty,
+        "txn/expectedVersion are copy-on-write merge options")
       return mergeCommitMor(spark, uri, updates, keyCols, deleteCol)
+    }
     val v = latestVersion(spark, uri)
+    expectedVersion.foreach(ev => if (v != ev)
+      throw new IllegalStateException(
+        s"concurrent commit: $uri advanced to v$v during the merge " +
+          s"(expected v$ev); recompute against the current version"))
     val entries = readManifestEntries(spark, uri, v)
     // empty table (created or fully deleted): every upsert is an
     // insert — one plain append, nothing to match against.  Same
     // contract as the non-empty path: unique keys, declared columns
     if (entries.isEmpty)
-      return appendAllAsInserts(spark, uri, v, updates, keyCols, deleteCol)
+      return appendAllAsInserts(spark, uri, v, updates, keyCols,
+        deleteCol, txn)
     // optional manifest-stats pruning of the touched-file PROBE: the
     // probe scan is restricted to files whose stats may contain one of
     // the updates' first-key values, so on a key-range-clustered table
@@ -856,7 +875,7 @@ object Snapshots extends Serializable {
     // untouched files carry their stats forward — only NEW files read
     writeManifest(spark, uri, newV,
       entries.filterNot(e => touched.contains(e.name)) ++
-        entriesFor(spark, uri, moved), kind = "merge")
+        entriesFor(spark, uri, moved), kind = "merge", txn = txn)
     cdcTmp.foreach(publishCdc(fs, uri, _, newV))
     newV
   }
@@ -955,7 +974,7 @@ object Snapshots extends Serializable {
     * required; only the table's declared columns written). */
   private def appendAllAsInserts(spark: SparkSession, uri: String,
       v: Int, updates: DataFrame, keyCols: Seq[String],
-      deleteCol: Option[String]): Int = {
+      deleteCol: Option[String], txn: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(updates.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
@@ -965,7 +984,7 @@ object Snapshots extends Serializable {
       case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
       case None => updates
     }).select(dataCols.map(col): _*)
-    appendCommit(spark, uri, inserts)
+    appendCommit(spark, uri, inserts, txn = txn)
   }
 
   /**

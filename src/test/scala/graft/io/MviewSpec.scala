@@ -357,6 +357,70 @@ class MviewSpec extends AnyFunSuite {
     assert(gotMm(mv) == expectedMm(src))
   }
 
+  test("concurrent refreshes fold one delta exactly once") {
+    val src = fresh("mv_src_conc"); val mv = fresh("mv_view_conc")
+    srcTable(src, (1L to 30L).map(i =>
+      (i, s"g${i % 3}", java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Max("x", "mx")))
+    Snapshots.appendCommit(spark, src,
+      Seq((100L, "g0", java.lang.Double.valueOf(7.0)))
+        .toDF("id", "grp", "x"))
+    // four racers over ONE delta: the watermark claim commits
+    // atomically with the fold and losers retry against the advanced
+    // view, so every interleaving folds the delta exactly once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = Mview.refresh(spark, mv)
+        }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val g0 = Mview.read(spark, mv).filter(col("grp") === "g0")
+      .select("n", "sx", "mx").head()
+    // 10 original g0 rows + exactly ONE fold of the appended row
+    assert(g0.getLong(0) == 11L, s"double-folded count: ${g0.getLong(0)}")
+    assert(g0.getDouble(1) == (3L to 30L by 3).sum + 7.0,
+      s"double-folded sum: ${g0.getDouble(1)}")
+    assert(Mview.sourceVersion(spark, mv) ==
+      Snapshots.latestVersion(spark, src))
+    // a later serial refresh continues from the committed claim
+    Snapshots.appendCommit(spark, src,
+      Seq((101L, "g1", java.lang.Double.valueOf(1.0)))
+        .toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    val ref = fresh("mv_view_concref")
+    Mview.create(spark, ref, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Max("x", "mx")))
+    assert(Mview.read(spark, mv).orderBy("grp").collect().toSeq
+        .map(_.toSeq) ==
+      Mview.read(spark, ref).orderBy("grp").collect().toSeq
+        .map(_.toSeq))
+  }
+
+  test("the watermark claim survives unrelated view commits") {
+    val src = fresh("mv_src_wm"); val mv = fresh("mv_view_wm")
+    srcTable(src, (1L to 30L).map(i =>
+      (i, s"g${i % 3}", java.lang.Double.valueOf(i.toDouble))))
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"), Mview.Avg("x", "ax")))
+    Snapshots.appendCommit(spark, src,
+      Seq((100L, "g2", java.lang.Double.valueOf(5.0)))
+        .toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    // a claimless view commit (compaction) lands ON TOP of the claim;
+    // the header walk skips it and finds the newest refresh claim
+    Snapshots.optimizeCommit(spark, mv, 128L << 20, Nil, None)
+    assert(Mview.sourceVersion(spark, mv) ==
+      Snapshots.latestVersion(spark, src))
+    Snapshots.appendCommit(spark, src,
+      Seq((101L, "g0", java.lang.Double.valueOf(2.0)))
+        .toDF("id", "grp", "x"))
+    Mview.refresh(spark, mv)
+    assert(got(mv) == expected(src))
+  }
+
   test("non-maintainable aggregates and null group keys are refused") {
     val src = fresh("mv_src_err"); val mv = fresh("mv_view_err")
     srcTable(src, Seq((1L, "a", java.lang.Double.valueOf(1.0))))
