@@ -218,7 +218,14 @@ object Mview {
           "reuse the path")
       fs.delete(p, true)
     }
-    full.write.parquet(mvUri)
+    // GROUP-CLUSTERED layout: each view file covers a narrow group-key
+    // range, so per-file min/max stats make the refresh's merge probe
+    // (statsPrune) and the delete-recompute's readWhere both prune to
+    // the touched groups' files — the churn-proportional shape at any
+    // view size.  AQE coalesces the range partitions for small views.
+    full.repartitionByRange(groupCols.map(col): _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+      .write.parquet(mvUri)
     Snapshots.init(spark, mvUri)
     Snapshots.updateTableProps(spark, mvUri)(_ ++ Map(
       "mview.src" -> enc(srcUri),
@@ -403,6 +410,10 @@ object Mview {
       Snapshots.mergeCommit(spark, mvUri,
         merged.withColumn("__mv_del", col(N) <= lit(0L)), groupCols,
         deleteCol = Some("__mv_del"),
+        // probe only view files whose stats may hold a changed group —
+        // with the group-clustered create layout that is the touched
+        // slice, not the whole view
+        statsPrune = true,
         txn = Some(s"$WatermarkTxn:$curV"),
         expectedVersion = Some(viewV))
     } finally {
