@@ -818,7 +818,7 @@ object Snapshots extends Serializable {
     // contract as the non-empty path: unique keys, declared columns
     if (entries.isEmpty)
       return appendAllAsInserts(spark, uri, v, updates, keyCols,
-        deleteCol, txn)
+        deleteCol, txn, expectedVersion)
     // optional manifest-stats pruning of the touched-file PROBE: the
     // probe scan is restricted to files whose stats may contain one of
     // the updates' first-key values, so on a key-range-clustered table
@@ -974,7 +974,8 @@ object Snapshots extends Serializable {
     * required; only the table's declared columns written). */
   private def appendAllAsInserts(spark: SparkSession, uri: String,
       v: Int, updates: DataFrame, keyCols: Seq[String],
-      deleteCol: Option[String], txn: Option[String] = None): Int = {
+      deleteCol: Option[String], txn: Option[String] = None,
+      expectedVersion: Option[Int] = None): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(updates.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
@@ -984,7 +985,8 @@ object Snapshots extends Serializable {
       case Some(d) => updates.filter(!coalesce(col(d), lit(false)))
       case None => updates
     }).select(dataCols.map(col): _*)
-    appendCommit(spark, uri, inserts, txn = txn)
+    appendCommit(spark, uri, inserts, txn = txn,
+      expectedVersion = expectedVersion)
   }
 
   /**
@@ -1500,8 +1502,15 @@ object Snapshots extends Serializable {
   /** Append as an MVCC commit: `df` lands as fresh files and the new
     * manifest gains them — no existing file is touched at all. */
   def appendCommit(spark: SparkSession, uri: String, df: DataFrame,
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None,
+      /** Optimistic pin, same contract as [[mergeCommit]]'s: refuse
+        * (retryably) when the table advanced past this version. */
+      expectedVersion: Option[Int] = None): Int = {
     val v = latestVersion(spark, uri)
+    expectedVersion.foreach(ev => if (v != ev)
+      throw new IllegalStateException(
+        s"concurrent commit: $uri advanced to v$v during the append " +
+          s"(expected v$ev); recompute against the current version"))
     val entries = readManifestEntries(spark, uri, v)
     val fs = fsOf(spark, uri)
     val tmp = commitTmp(uri)

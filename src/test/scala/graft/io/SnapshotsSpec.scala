@@ -704,6 +704,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readWhere(spark, dir, "k <= 10").count() == 10)
   }
 
+  test("expectedVersion pins refuse stale appends and merges, retryably") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("snap_expectedv")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (1L to 4L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // matching pin commits; a stale pin refuses with the retryCommit-
+    // recognized "concurrent commit" wording (a maintainer that
+    // computed its updates against v1 must not land them over v2)
+    val v2 = Snapshots.appendCommit(spark, dir,
+      Seq((5L, "v5")).toDF("k", "s"), expectedVersion = Some(1))
+    assert(v2 == 2)
+    val e1 = intercept[IllegalStateException](Snapshots.appendCommit(
+      spark, dir, Seq((6L, "v6")).toDF("k", "s"),
+      expectedVersion = Some(1)))
+    assert(e1.getMessage.contains("concurrent commit"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](Snapshots.mergeCommit(
+      spark, dir, Seq((1L, "nv")).toDF("k", "s"), Seq("k"),
+      expectedVersion = Some(1)))
+    assert(e2.getMessage.contains("concurrent commit"), e2.getMessage)
+    // the merge path with a CURRENT pin lands and records its txn claim
+    val v3 = Snapshots.mergeCommit(spark, dir,
+      Seq((1L, "nv")).toDF("k", "s"), Seq("k"),
+      txn = Some("maint:7"), expectedVersion = Some(2))
+    assert(v3 == 3)
+    assert(Snapshots.txnLastEpoch(spark, dir, "maint").contains(7L))
+    assert(Snapshots.read(spark, dir).filter(col("k") === 1L)
+      .select("s").as[String].head() == "nv")
+  }
+
   test("init refuses a managed dir; read refuses an unmanaged one") {
     val dir = freshTable("snap_guard", n = 10)
     Snapshots.init(spark, dir)
