@@ -176,5 +176,23 @@ class AnnRouterSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.toSeq).toSeq
     assert(gotLit == wantLit, "literal-vector ann_search diverged")
     assert(gotLit.nonEmpty && gotLit.forall(_.head == -1L))
+
+    // ann_route mirrors plan() exactly, and degenerate inputs keep
+    // plan()'s contract: an empty eligible set routes to the graph at
+    // the base beam (the cheap way to return nothing)
+    val routeRow = spark.sql(s"SELECT * FROM ann_route('$src', " +
+      "'vec_id % 97 = 3', 10)").head()
+    val planned = AnnRouter.plan(emb.count(),
+      emb.filter(selPred).count(), k = 10)
+    assert(routeRow.getString(2) == planned.route.name &&
+      routeRow.getInt(3) == planned.beam &&
+      routeRow.getLong(4) == planned.requiredBeam)
+    val emptyRoute = spark.sql(s"SELECT route, beam FROM ann_route(" +
+      s"'$src', 'vec_id < 0', 10)").head()
+    assert(emptyRoute.getString(0) == "graph_post_filter" &&
+      emptyRoute.getInt(1) == 40)
+    val badArity = intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_route('$src', 'vec_id < 5')").collect())
+    assert(badArity.getMessage.contains("3 arguments"), badArity.getMessage)
   }
 }
