@@ -41,6 +41,49 @@ class MviewProps extends AnyFunSuite {
   private def readAll(mv: String): Seq[Seq[Any]] =
     Mview.read(spark, mv).orderBy("grp").collect().toSeq.map(_.toSeq)
 
+  test("refreshes racing live source appends never double-fold") {
+    // one thread streams appends into the source while another calls
+    // refresh concurrently; each refresh folds WHATEVER delta range it
+    // claims, and the claim commits atomically with the fold — so
+    // after a final serial refresh the view must equal a fresh full
+    // compute no matter how the ranges interleaved
+    val src = fresh("mvp_src_race"); val mv = fresh("mvp_view_race")
+    val ref = fresh("mvp_ref_race")
+    (1L to 20L).map(i => (i, s"g${i % 4}",
+        java.lang.Double.valueOf((i % 9).toDouble)))
+      .toDF("id", "grp", "x").repartition(2).write.parquet(src)
+    Snapshots.init(spark, src)
+    Mview.create(spark, mv, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"),
+        Mview.Max("x", "mx"), Mview.DistinctK("x", "ad", k = 4)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val writer = pool.submit(new Runnable {
+        def run(): Unit = (0 until 6).foreach { i =>
+          Snapshots.appendCommit(spark, src,
+            Seq((100L + i, s"g${i % 4}",
+                java.lang.Double.valueOf((i * 3 % 9).toDouble)))
+              .toDF("id", "grp", "x"))
+        }
+      })
+      val refreshers = (0 until 2).map(_ => pool.submit(new Runnable {
+        def run(): Unit = (0 until 4).foreach { _ =>
+          Mview.refresh(spark, mv); ()
+        }
+      }))
+      writer.get(); refreshers.foreach(_.get())
+    } finally pool.shutdown()
+    Mview.refresh(spark, mv) // catch up past the last append
+    Mview.create(spark, ref, src, Seq("grp"),
+      Seq(Mview.Count("n"), Mview.Sum("x", "sx"),
+        Mview.Max("x", "mx"), Mview.DistinctK("x", "ad", k = 4)))
+    assert(Mview.read(spark, mv).orderBy("grp").collect().toSeq
+        .map(_.toSeq) ==
+      Mview.read(spark, ref).orderBy("grp").collect().toSeq
+        .map(_.toSeq),
+      "a racing refresh folded a delta range twice or dropped one")
+  }
+
   test("random append/delete/refresh interleavings equal a fresh compute") {
     val seeds = Seq(42L, 20260816L)
     seeds.foreach { seed =>
