@@ -181,10 +181,24 @@ object KnnGraph {
       .join(ring.select(col("id").as("b"), col("rid").as("nrid")), "nrid")
       .select("a", "b")
 
+    // ONE exchange per round (was three): candidates may arrive with
+    // duplicates — repartition by `a` once, then every downstream step
+    // rides that partitioning: the (a, b) dedup is an aggregate whose
+    // ClusteredDistribution(a, b) a hash(a) layout already satisfies,
+    // the vector joins either broadcast (cached corpus below the
+    // threshold — streamed side keeps its partitioning) or re-key on
+    // their own join keys at scale, and the top-k window's
+    // ClusteredDistribution(a) is satisfied wherever the hash(a)
+    // layout survives.  The `b`-then-`a` join order makes the window
+    // free even under sort-merge joins at scale (the last exchange is
+    // on `a`, exactly what the window needs — the old a-then-b order
+    // re-exchanged on `a` a second time).  Rows are identical: dedup
+    // by aggregate = distinct, and scoring is a pure per-pair function.
     def topK(cand: DataFrame): DataFrame = {
-      val scored = cand
-        .join(nodes.select(col("id").as("a"), col("__v").as("__va")), "a")
+      val deduped = cand.repartition(col("a")).dropDuplicates("a", "b")
+      val scored = deduped
         .join(nodes.select(col("id").as("b"), col("__v").as("__vb")), "b")
+        .join(nodes.select(col("id").as("a"), col("__v").as("__va")), "a")
         .withColumn("cosine", GraftFunctions.cosine(col("__va"), col("__vb")))
         .select("a", "b", "cosine")
       val w = Window.partitionBy("a").orderBy(col("cosine").desc, col("b"))
@@ -204,7 +218,10 @@ object KnnGraph {
     // 6.3→4.6s BETTER).  The init is always cut (round 0 would
     // otherwise recompute the ring-init join four times).  Content is
     // unchanged either way: materialization never alters rows.
-    var graph = materialize(topK(edges.distinct()))
+    // topK dedups internally now — the ring init and each round's
+    // candidate union go in raw (their old pre-dedup exchanges are the
+    // ones the repartition-once shape absorbs)
+    var graph = materialize(topK(edges))
     var it = 0
     while (it < iters) {
       // undirected neighborhood, then neighbors-of-neighbors proposals
@@ -217,8 +234,9 @@ object KnnGraph {
         .select("a", "b")
       // candidates = NoN proposals + the undirected edge set itself
       // (a reverse edge b→a is direct evidence that a→b may belong in
-      // a's list — the paper's reverse-neighbor trick)
-      val cand = proposals.unionAll(und).distinct()
+      // a's list — the paper's reverse-neighbor trick); dedup happens
+      // inside topK on the single hash(a) exchange
+      val cand = proposals.unionAll(und)
       graph = topK(cand)
       if (it % checkpointEvery == checkpointEvery - 1 || it == iters - 1)
         graph = materialize(graph)
@@ -342,12 +360,25 @@ object KnnGraph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var hop = 0
       while (hop < hopCount) {
-        val expanded = state.select(col("query_id"), col("cand"))
+        // ONE exchange per hop (was three: expansion distinct, the
+        // state-merge aggregate, the beam window).  Candidates = the
+        // beam's graph neighbors ∪ the beam itself, repartitioned by
+        // query_id ONCE: the (query_id, cand) dedup is an aggregate a
+        // hash(query_id) layout already satisfies, scoring joins keep
+        // the streamed side's partitioning when the corpus/query sides
+        // broadcast, and keepBeam's window needs exactly this
+        // clustering.  Beam members are RE-scored instead of carrying
+        // their stored cosine through a merge aggregate — scoring is a
+        // pure deterministic function of the two vectors, so the values
+        // (and therefore ranks and results) are bit-identical, and the
+        // re-scored volume is only queries × beam extra candidate rows.
+        val cands = state.select(col("query_id"), col("cand"))
           .join(edges, "cand")
           .select(col("query_id"), col("next").as("cand"))
-          .distinct()
-        val next = keepBeam(score(expanded).unionAll(state)
-          .groupBy("query_id", "cand").agg(max("cosine").as("cosine")))
+          .unionAll(state.select(col("query_id"), col("cand")))
+          .repartition(col("query_id"))
+          .dropDuplicates("query_id", "cand")
+        val next = keepBeam(score(cands))
         // materialize every SECOND hop (and the phase end): each hop
         // references its predecessor twice (expand + union), so the
         // uncut plan doubles per hop — one skipped cut bounds that at
@@ -748,11 +779,17 @@ object KnnGraph {
     * vectors joined from `vecs(id, __v)`, ties by neighbor id, output
     * in the graph schema.  Stored cosines are display-rounded —
     * comparisons always recompute exactly. */
+  /** Exact-rescore top-k.  `pairs` may contain duplicates: the dedup
+    * rides the single hash(a) repartition (same one-exchange shape as
+    * [[build]]'s topK — the aggregate's (a, b) clustering and the final
+    * window's (a) clustering are both satisfied by it when the vector
+    * joins broadcast), so callers no longer pre-`distinct()`. */
   private def topKExact(
       pairs: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val scored = pairs
-      .join(vecs.select(col("id").as("a"), col("__v").as("__va")), "a")
+      .repartition(col("a")).dropDuplicates("a", "b")
       .join(vecs.select(col("id").as("b"), col("__v").as("__vb")), "b")
+      .join(vecs.select(col("id").as("a"), col("__v").as("__va")), "a")
       .withColumn("__c", GraftFunctions.cosine(col("__va"), col("__vb")))
     val w = Window.partitionBy("a").orderBy(col("__c").desc, col("b"))
     scored.withColumn("__r", row_number().over(w))
@@ -1119,7 +1156,7 @@ object KnnGraph {
               .localCheckpoint()))))
         val beamPairs = produced(0).get
         val newPairs = produced(1) match {
-          case Some(batchPairs) => beamPairs.unionAll(batchPairs).distinct()
+          case Some(batchPairs) => beamPairs.unionAll(batchPairs)
           case None => beamPairs
         }
         val allVecs = levelExisting.unionAll(levelNew)
@@ -1136,7 +1173,7 @@ object KnnGraph {
           .select(col("neighbor_id").as("a"), col("id").as("b"))
           .join(newIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         val rescored =
-          topKExact(oldPairs.unionAll(revPairs).distinct(), allVecs, k)
+          topKExact(oldPairs.unionAll(revPairs), allVecs, k)
         if (crashLevels.contains(l)) throw new IllegalStateException(
           s"injected crash: level$l commit skipped (test fault hook)")
         dbg("commit")(commitLevelMerge(spark, s"$root/level$l", g, affected,
@@ -1194,7 +1231,7 @@ object KnnGraph {
         .select(col("id").as("d"), col("neighbor_id").as("b"))
       val bridge = aToD.join(dEdges, "d")
         .select(col("a"), col("b")).filter(col("a") =!= col("b"))
-      val cand = surviving.join(aff, "a").unionAll(bridge).distinct()
+      val cand = surviving.join(aff, "a").unionAll(bridge)
       val healed = topKExact(cand, vecs, k)
       // partial rewrite: the batch replaces exactly the DELETED ids'
       // lists (dropped — no new row covers them) and the affected

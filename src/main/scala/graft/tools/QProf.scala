@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query Spark-overhead profile: wall-clock vs summed task time,
+  * job/stage/task counts.  A query whose task-time is a small fraction
+  * of wall x cores is scheduler/driver-bound (many tiny sequential
+  * jobs), not compute-bound — the two need different optimizations.
+  *
+  *   runMain graft.tools.QProf <query> [query ...]
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object QProf {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QProf <query> [query ...]")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val perJob = sys.env.get("QPROF_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (perJob) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("spark.job.description", ""))
+            .getOrElse("") + " [" + j.stageInfos.map(_.name).mkString("; ")
+            .take(120) + "]"))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (perJob) {
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, desc) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms >= 20) println(f"    job ${j.jobId}%4d ${ms}%8.1f ms  $desc")
+        }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages += 1
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks += 1
+        val m = t.taskMetrics
+        if (m != null) {
+          taskNanos.addAndGet(m.executorRunTime * 1000000L)
+          gcMillis.addAndGet(m.jvmGCTime)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.range(1000000).count() // session warm-up
+
+    println(f"${"query"}%-34s ${"wall_s"}%7s ${"jobs"}%5s ${"stg"}%5s " +
+      f"${"tasks"}%6s ${"task_s"}%8s ${"gc_s"}%6s ${"shR_MB"}%7s ${"shW_MB"}%7s  eff")
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      // one untimed warm run (codegen/JIT), then the profiled run —
+      // mirrors the bench's min(cold, warm) which is what we optimize
+      try { fn(spark, dir).queryExecution.toRdd.count() }
+      catch { case e: Throwable =>
+        println(s"$name WARM FAIL: ${e.getMessage}"); return }
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      jobs = 0; stages = 0; tasks = 0
+      taskNanos.set(0); gcMillis.set(0); shuffleRead.set(0); shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async — give it a beat to drain
+      Thread.sleep(300)
+      val ts = taskNanos.get() / 1e9
+      val eff = ts / (wall * cpus.toInt)
+      println(f"$name%-34s $wall%7.2f $jobs%5d $stages%5d $tasks%6d " +
+        f"$ts%8.2f ${gcMillis.get() / 1e3}%6.2f " +
+        f"${shuffleRead.get() / 1e6}%7.1f ${shuffleWrite.get() / 1e6}%7.1f  $eff%.3f")
+    }
+    spark.stop()
+  }
+}

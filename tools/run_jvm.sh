@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run a graft main class directly (no sbt lock, same JVM flags as
+# build.sbt's javaOptions). Usage: tools/run_jvm.sh [-Xmx..] <mainClass> [args...]
+set -e
+cd "$(dirname "$0")/.."
+XMX="${SPARK_DRIVER_MEM:-8g}"
+EXTRA=()
+while [[ "$1" == -X* || "$1" == -D* || "$1" == -XX* ]]; do EXTRA+=("$1"); shift; done
+MAIN="$1"; shift
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java -Xmx$XMX $OPENS "${EXTRA[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
