@@ -130,6 +130,19 @@ object KnnGraph {
     } finally { pool.shutdown() }
   }
 
+  /** Plan-evidence hook: with SPARK_GRAFT_KNN_EXPLAIN=1, print the
+    * FORMATTED physical plan of an internal iteration/hop fragment the
+    * moment before it is materialized (the committed query-level plans
+    * cannot show these — eager materialization hides them).  Used to
+    * generate the per-iteration plan files under plans/r15/; no effect
+    * otherwise. */
+  private def dumpPlan(tag: String, df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_KNN_EXPLAIN"))
+      println(s"\n===== knn-plan $tag =====\n" + df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
+    df
+  }
+
   /** Eager materialization for iterative state, like `localCheckpoint`
     * but rebuilt as a bare RDD scan: Spark's checkpoint preserves the
     * origin plan's constraint set, which can reference PRE-checkpoint
@@ -224,20 +237,29 @@ object KnnGraph {
     var graph = materialize(topK(edges))
     var it = 0
     while (it < iters) {
-      // undirected neighborhood, then neighbors-of-neighbors proposals
+      // undirected neighborhood (dedup rides ONE hash(a) exchange — the
+      // (a, b) aggregate's clustering is satisfied by it), then
+      // neighbors-of-neighbors proposals as pairs THROUGH a common
+      // neighbor: because `und` is symmetric, {(x, y) : (mid, x) ∈ und ∧
+      // (mid, y) ∈ und} is exactly the original a→mid→b composition —
+      // and both self-join arms are now projections of the SAME hash(a)
+      // layout keyed on `a`, so the join re-keys NEITHER side (the old
+      // arms keyed one side on `b`, costing two fresh exchanges per
+      // round)
       val und = graph.select(col("a"), col("b"))
         .unionAll(graph.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
-      val proposals = und.select(col("a"), col("b").as("__mid"))
-        .join(und.select(col("a").as("__mid"), col("b")), "__mid")
-        .filter(col("a") =!= col("b"))
-        .select("a", "b")
+        .repartition(col("a")).dropDuplicates("a", "b")
+      val proposals = und.select(col("a").as("__mid"), col("b").as("__x"))
+        .join(und.select(col("a").as("__mid"), col("b").as("__y")), "__mid")
+        .filter(col("__x") =!= col("__y"))
+        .select(col("__x").as("a"), col("__y").as("b"))
       // candidates = NoN proposals + the undirected edge set itself
       // (a reverse edge b→a is direct evidence that a→b may belong in
       // a's list — the paper's reverse-neighbor trick); dedup happens
       // inside topK on the single hash(a) exchange
       val cand = proposals.unionAll(und)
       graph = topK(cand)
+      if (it == 0) graph = dumpPlan("nn-descent iteration", graph)
       if (it % checkpointEvery == checkpointEvery - 1 || it == iters - 1)
         graph = materialize(graph)
       it += 1
@@ -372,13 +394,22 @@ object KnnGraph {
         // pure deterministic function of the two vectors, so the values
         // (and therefore ranks and results) are bit-identical, and the
         // re-scored volume is only queries × beam extra candidate rows.
-        val cands = state.select(col("query_id"), col("cand"))
+        // the beam side of the expansion join is queries × beam rows —
+        // when provably small (same bound as the qs hint) broadcast it
+        // so the edge list is NEVER shuffled by the walk (the corpus-
+        // never-moves contract); above the bound Spark picks, as with
+        // the other state-scale joins
+        val stateForExpand = state.select(col("query_id"), col("cand"))
+        val cands = (if (stateSmall) broadcast(stateForExpand)
+                     else stateForExpand)
           .join(edges, "cand")
           .select(col("query_id"), col("next").as("cand"))
           .unionAll(state.select(col("query_id"), col("cand")))
           .repartition(col("query_id"))
           .dropDuplicates("query_id", "cand")
-        val next = keepBeam(score(cands))
+        val next =
+          if (hop == 0) dumpPlan("beam hop", keepBeam(score(cands)))
+          else keepBeam(score(cands))
         // materialize every SECOND hop (and the phase end): each hop
         // references its predecessor twice (expand + union), so the
         // uncut plan doubles per hop — one skipped cut bounds that at
