@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the one-line JSON summary must be parseable
+// from stdout.  StdoutOutput passes the forked run's stdout through
+// verbatim (no "[info] " prefix on every line), and showSuccess=false
+// drops sbt's "[success] Total time ..." epilogue so the bench summary
+// printed after spark.stop() is the final stdout line.  Failures still
+// print and still set a nonzero exit code.
+outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

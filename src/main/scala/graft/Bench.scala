@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // never coalesce a shuffle below the session's core count: AQE's
+      // byte-targeted coalescing (advisory 64 MB) folds the small-SF
+      // shuffles to 1-2 partitions and serializes every CPU-heavy
+      // post-shuffle stage (pair verification, window ranking).
+      // Parameterized by the same $SPARK_GRAFT_CPUS as the master —
+      // at 100 TB post-shuffle partitions vastly outnumber cores and
+      // this floor is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -138,7 +146,6 @@ object Bench {
     val artJson = artifact.map("\"" + _ + "\"").getOrElse("null")
     val summaryLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$famJson,"queries_n":${results.size},"warm_total":${fmt(warmTotal)},"cold_total":${fmt(coldTotal)},"warmed":$warmedJson,"artifact":$artJson,"sf":"$sfDir"}"""
-    println(summaryLine)
     // the r12 driver captured this line intact but still recorded
     // "parsed": null — most plausibly its parser reads the FINAL stdout
     // line and finds sbt's "[success] Total time" epilogue there
@@ -160,6 +167,16 @@ object Bench {
         System.err.println(
           f"[bench] $name%-34s best ${b}%7.2fs  warm ${w}%7.2fs  cold ${c}%7.2fs")
       }
+    // Print the contract's one-line JSON LAST, after spark.stop() with
+    // the logger at OFF: in r11/r12/r14/r15 the driver recorded
+    // "parsed": null because async teardown WARNs (and sbt's own
+    // epilogue) landed after the summary on stdout.  Stopping Spark
+    // first and silencing its teardown logging makes this println the
+    // final line the program emits.  (The measurement methodology above
+    // is unchanged.)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(summaryLine)
+    System.out.flush()
   }
 }

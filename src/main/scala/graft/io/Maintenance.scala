@@ -96,7 +96,14 @@ object Maintenance {
       spark: SparkSession, uri: String, cols: Seq[String],
       publish: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "analyze needs at least one column")
-    val df = spark.read.parquet(uri)
+    // the stats pass is a single aggregate whose N count_distinct
+    // columns Expand the input N+1-fold before the partial agg; over a
+    // one-split scan that whole Expand+partial-agg runs on ONE task —
+    // spread it across the session first (exact aggregates only:
+    // count/distinct/min/max are order-insensitive, so the repartition
+    // cannot change any result).  No-op at scale (guide §2.5).
+    val df = graft.util.Spread.toCores(
+      spark.read.parquet(uri).select(cols.map(col): _*))
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),

@@ -129,10 +129,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"),
-      GraftFunctions.minhash(
-        GraftFunctions.shingleHashes64(col(textCol), p.shingleSize),
-        p.numHashes, p.seed).as("sig"))
+    // shingling+minhash is per-row heavy over a possibly one-split scan —
+    // spread the narrow (id, text) projection first (guide §2.5; exact
+    // integer output, order-insensitive)
+    graft.util.Spread.toCores(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        GraftFunctions.minhash(
+          GraftFunctions.shingleHashes64(col("__t"), p.shingleSize),
+          p.numHashes, p.seed).as("sig"))
   }
 
   /**
@@ -211,9 +216,11 @@ object Dedup {
     // one input row per shingle; the k affine-permutation mins fold
     // inside the aggregate buffer (value-identical to the explode×k
     // SQL formulation the DuckDB oracle replicates, at 1/k the rows)
-    df.select(col(idCol).as("doc_id"),
+    graft.util.Spread.toCores(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
         explode(array_distinct(
-          TextAnalysis.shingles(col(textCol), p.shingleSize))).as("__s"))
+          TextAnalysis.shingles(col("__t"), p.shingleSize))).as("__s"))
       .select(col("doc_id"),
         conv(substring(md5(col("__s").cast("binary")), 1, 13), 16, 10)
           .cast("long").as("__h"))
@@ -317,9 +324,11 @@ object Dedup {
       shingleSize: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-piece banding guarantees recall only to hamming 3")
     GraftFunctions.register(df.sparkSession)
-    val sh = df.select(col(idCol).as("doc_id"),
+    val sh = graft.util.Spread.toCores(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
         explode(array_distinct(
-          TextAnalysis.shingles(col(textCol), shingleSize))).as("__s"))
+          TextAnalysis.shingles(col("__t"), shingleSize))).as("__s"))
       .select(col("doc_id"),
         conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("__h"))
@@ -359,9 +368,11 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     // fingerprints are the expensive stage — persist for reuse across the
     // piece explode and both join sides
-    val fps = df.select(col(idCol).as("doc_id"),
-      GraftFunctions.simhash(
-        GraftFunctions.shingleHashes64(col(textCol), shingleSize)).as("fp"))
+    val fps = graft.util.Spread.toCores(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        GraftFunctions.simhash(
+          GraftFunctions.shingleHashes64(col("__t"), shingleSize)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pieces = fps.select(col("doc_id"), col("fp"),
@@ -447,8 +458,11 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    val toks = graft.util.Spread.toCores(
+        df.select(col(blockCol).as("block"), col(idCol).as("id"),
+          col(textCol).as("__t")))
+      .select(col("block"), col("id"),
+        array_distinct(TextAnalysis.tokens(col("__t"))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = ngramCandidates(toks, threshold)
     val l = toks.select(col("block"), col("id").as("a"), col("toks").as("toks_a"))

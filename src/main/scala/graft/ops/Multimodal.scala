@@ -205,7 +205,8 @@ object Multimodal {
       : Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+    graft.util.Spread.toCores(
+      df.select(col(idCol).cast("long"), col(nCol).cast("long")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nc) =>
@@ -437,7 +438,8 @@ object Multimodal {
     import spark.implicits._
     val w = 18
     val h = 8
-    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+    graft.util.Spread.toCores(
+      df.select(col(idCol).cast("long"), col(nCol).cast("long")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nc) =>
@@ -496,7 +498,8 @@ object Multimodal {
     import spark.implicits._
     val w = 18
     val h = 8
-    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+    graft.util.Spread.toCores(
+      df.select(col(idCol).cast("long"), col(nCol).cast("long")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nc) =>

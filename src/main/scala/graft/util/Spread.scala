@@ -1,0 +1,27 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-skew guard for per-row-heavy narrow stages (optimization guide
+  * §2.5): a small single-file parquet scan arrives as ONE split (and a
+  * single row group cannot be split further), so any expensive
+  * per-row/per-group work directly above it runs serially on one task.
+  * `toCores` round-robins the rows across the session's task slots
+  * before such a stage.
+  *
+  * Scale-adaptive by construction: it is a no-op whenever the input
+  * already has at least as many partitions as the session has slots —
+  * the 100 TB case, where real tables arrive in thousands of splits —
+  * so it never ADDS an exchange at scale, it only removes the
+  * one-task serialization floor of tiny inputs.
+  *
+  * Use it ONLY above order-insensitive computation (exact integer /
+  * min-max / distinct aggregates, per-row codecs): a round-robin
+  * repartition reorders rows, which would change float-sum rounding.
+  */
+object Spread {
+  def toCores(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+}

@@ -4,18 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites. */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  // NOT a lazy val: a lazy val caches a session whose SparkContext a
+  // JVM shutdown hook (or a crashed suite) may already have stopped,
+  // after which every remaining suite dies with "SparkContext was
+  // stopped" (the r15 driver-gate failure in RoundTripProps).  Recreate
+  // on demand instead; getOrCreate() reuses the live session when one
+  // exists, so the common path is still one shared session.
+  private[this] var cached: SparkSession = null
+  def spark: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      val s = SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      cached = s
+    }
+    cached
   }
   val sfDir = "/root/testdata/sf0.001"
   def tmpDir(name: String): String =
