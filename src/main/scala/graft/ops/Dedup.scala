@@ -167,7 +167,14 @@ object Dedup {
     val bucketSizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= p.maxBucketSize && col("n") > 1)
+    // ONE exchange feeds both arms of the candidate self-join: hash-
+    // partition the pruned band rows by the join key so the two arm
+    // projections are the SAME subtree up to the exchange — Spark's
+    // ReusedExchange then computes the bucket-guard join once instead
+    // of once per arm, and the join re-keys neither side (the r15 NoN
+    // rewrite, guide §2.4).
     val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
+      .repartition(col("band"), col("bucket"))
 
     val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("b"))
@@ -248,7 +255,9 @@ object Dedup {
     val bands = portableBandKeys(sigL, rpb)
     val bsize = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= p.maxBucketSize && col("n") > 1)
+    // one exchange for both self-join arms (see minhashPairs above)
     val pruned = bands.join(bsize, Seq("band", "key"))
+      .repartition(col("band"), col("key"))
     val cand = pruned.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(pruned.select(col("band"), col("key"), col("doc_id").as("b")),
         Seq("band", "key"))
@@ -502,6 +511,10 @@ object Dedup {
       // suffix positions, so at least one lands in the prefix
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("block"), col("tok"), col("id"))
+      // one exchange for both self-join arms: without this the whole
+      // tok-df + window prefix chain is recomputed once PER ARM (the
+      // exchange-reuse argument of minhashPairs above)
+      .repartition(col("block"), col("tok"))
     prefixes.select(col("block"), col("tok"), col("id").as("a"))
       .join(prefixes.select(col("block"), col("tok"), col("id").as("b")),
         Seq("block", "tok"))

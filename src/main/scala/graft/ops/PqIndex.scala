@@ -178,7 +178,16 @@ object PqIndex {
     val spark = df.sparkSession
     import spark.implicits._
     require(m >= 1 && k >= 2, "need m >= 1 subspaces and k >= 2 centroids")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // ONE collect serves the dimension probe AND the init rows (was
+    // three driver jobs: size().head, the lowest-id collect, and a
+    // subRows filter+collect) — the k lowest-id full vectors are tiny
+    // (k × dim floats) and their subspace slices are exactly the rows
+    // the old filter pulled from the exploded frame.
+    val initRows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].orderBy(col(idCol)).limit(k).collect()
+      .sortBy(_._1)
+    require(initRows.nonEmpty, "cannot train on an empty corpus")
+    val dim = initRows.head._2.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val dsub = dim / m
 
@@ -190,14 +199,9 @@ object PqIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // init: per subspace, the subvectors of the k lowest ids
-    var codebooks: Array[Array[Array[Float]]] = subRows
-      .filter(col("__id").isin(
-        df.select(col(idCol).cast("long")).orderBy(col(idCol))
-          .limit(k).as[Long].collect().map(Long.box): _*))
-      .select(col("__m"), col("__id"), col("__sub"))
-      .as[(Int, Long, Array[Float])].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    var codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(mi =>
+        initRows.map(_._2.slice(mi * dsub, (mi + 1) * dsub)))
 
     registerFns(spark)
     var it = 0

@@ -15,8 +15,18 @@ object ExplainNew {
       else Seq("pipeline_pack_sequences", "pipeline_split_sample")
     qs.foreach { q =>
       println(s"==== $q")
-      graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
-        .explain("formatted")
+      val df = graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
+      df.explain("formatted")
+      // SPARK_GRAFT_EXPLAIN_FINAL=1: execute and print the FINAL
+      // adaptive plan too — pre-execution `explain` cannot show AQE's
+      // runtime decisions (shuffle-stage reuse, coalescing, join
+      // strategy switches), which is exactly what exchange-reuse
+      // optimizations need as evidence.
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1")) {
+        df.queryExecution.toRdd.count()
+        println(s"---- $q FINAL (post-execution adaptive plan)")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     s.stop()
   }

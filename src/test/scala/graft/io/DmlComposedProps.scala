@@ -35,7 +35,8 @@ class DmlComposedProps extends AnyFunSuite {
 
   test("layout × write-mode × evolution: random DML matches the model") {
     val rnd = new scala.util.Random(sys.env.getOrElse("DMLCOMP_SEED", "77013").toLong)
-    (1 to sys.env.getOrElse("DMLCOMP_CASES", "12").toInt).foreach { i =>
+    (1 to sys.env.getOrElse("DMLCOMP_CASES",
+        graft.TestBudget.pick("5", "12")).toInt).foreach { i =>
       val layout = Layouts(rnd.nextInt(Layouts.size))
       val mor = rnd.nextBoolean()
       val transform = layout == "bucket" || layout == "truncate"

@@ -26,7 +26,7 @@ class DmlEquivalenceProps extends AnyFunSuite {
 
   test("DML over schema evolution: rename/add interleave with rewrites") {
     val rnd = new scala.util.Random(9090)
-    (1 to 6).foreach { i =>
+    (1 to graft.TestBudget.pick(3, 6)).foreach { i =>
       val dir = TestSpark.tmpDir(s"dmlevo_$i")
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -88,7 +88,7 @@ class DmlEquivalenceProps extends AnyFunSuite {
 
   test("random DML sequences match the reference model (12 cases)") {
     val rnd = new scala.util.Random(4242)
-    (1 to 12).foreach { case i =>
+    (1 to graft.TestBudget.pick(5, 12)).foreach { case i =>
       val dir = TestSpark.tmpDir(s"dmlfuzz_$i")
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())

@@ -75,7 +75,8 @@ class DmlThreadedProps extends AnyFunSuite {
 
   test("threaded DML x maintenance x branch ops converge to the model") {
     val seed = sys.env.getOrElse("DMLTHREAD_SEED", "4242").toLong
-    val cases = sys.env.getOrElse("DMLTHREAD_CASES", "12").toInt
+    val cases = sys.env.getOrElse("DMLTHREAD_CASES",
+      graft.TestBudget.pick("4", "12")).toInt
     val rnd = new scala.util.Random(seed)
     val layouts = Seq("flat", "hive", "bucket")
 

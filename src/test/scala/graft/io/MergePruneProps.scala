@@ -23,7 +23,8 @@ class MergePruneProps extends AnyFunSuite {
 
   test("statsPrune merge == unpruned merge on random clustered tables") {
     val seed = sys.env.getOrElse("MERGEPRUNE_SEED", "99").toLong
-    val cases = sys.env.getOrElse("MERGEPRUNE_CASES", "10").toInt
+    val cases = sys.env.getOrElse("MERGEPRUNE_CASES",
+      graft.TestBudget.pick("4", "10")).toInt
     val rnd = new scala.util.Random(seed)
 
     (1 to cases).foreach { ci =>

@@ -85,7 +85,7 @@ class MviewProps extends AnyFunSuite {
   }
 
   test("random append/delete/refresh interleavings equal a fresh compute") {
-    val seeds = Seq(42L, 20260816L)
+    val seeds = graft.TestBudget.pick(Seq(42L), Seq(42L, 20260816L))
     seeds.foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val src = fresh(s"mvp_src_$seed")

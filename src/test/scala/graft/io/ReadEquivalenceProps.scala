@@ -24,7 +24,7 @@ class ReadEquivalenceProps extends AnyFunSuite {
 
   test("indexed, eager, and plain reads agree over 15 random cases") {
     val rnd = new scala.util.Random(77)
-    (1 to 15).foreach { i =>
+    (1 to graft.TestBudget.pick(6, 15)).foreach { i =>
       val dir = TestSpark.tmpDir(s"req_$i")
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -66,7 +66,7 @@ class ReadEquivalenceProps extends AnyFunSuite {
 
   test("routes agree on EVOLVED + DV'd + transform tables (12 cases)") {
     val rnd = new scala.util.Random(431)
-    (1 to 12).foreach { i =>
+    (1 to graft.TestBudget.pick(5, 12)).foreach { i =>
       val dir = TestSpark.tmpDir(s"reqx_$i")
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -133,7 +133,7 @@ class ReadEquivalenceProps extends AnyFunSuite {
 
   test("routes agree on NULL-bearing tables with null-test predicates") {
     val rnd = new scala.util.Random(907)
-    (1 to 8).foreach { i =>
+    (1 to graft.TestBudget.pick(3, 8)).foreach { i =>
       val dir = TestSpark.tmpDir(s"reqn_$i")
       val fs = new Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())

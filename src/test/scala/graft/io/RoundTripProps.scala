@@ -11,6 +11,12 @@ import graft.TestSpark
   * tests). */
 class RoundTripProps extends Properties("parquet-roundtrip") {
 
+  // each case is a full Spark write+read: budget the default count
+  // (deep mode restores ScalaCheck's 100)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(graft.TestBudget.pick(25, 100))
+
   private lazy val spark = TestSpark.spark
 
   private val schema = StructType(Seq(

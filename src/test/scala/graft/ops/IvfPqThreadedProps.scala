@@ -81,7 +81,8 @@ class IvfPqThreadedProps extends AnyFunSuite {
 
   test("threaded IVF-PQ lifecycle: exactly-once inserts x MoR deletes " +
       "x compact x searches converge to the model") {
-    val seeds = sys.env.getOrElse("IVFPQFUZZ_SEEDS", "11,23,37")
+    val seeds = sys.env.getOrElse("IVFPQFUZZ_SEEDS",
+      graft.TestBudget.pick("11", "11,23,37"))
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runCase)
   }
@@ -90,7 +91,8 @@ class IvfPqThreadedProps extends AnyFunSuite {
       "continuous searches — claims arbitrate, readers stay " +
       "k-well-formed across every swap, the quiesced serve is the " +
       "one-shot fresh-model build") {
-    val seeds = sys.env.getOrElse("IVFPQFUZZ_RETRAIN_SEEDS", "5,17,29")
+    val seeds = sys.env.getOrElse("IVFPQFUZZ_RETRAIN_SEEDS",
+      graft.TestBudget.pick("5", "5,17,29"))
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runRetrainCase)
   }

@@ -73,7 +73,8 @@ class KnnThreadedProps extends AnyFunSuite {
   test("threaded graph generation swap: racing rebuilds x vacuum x " +
       "continuous layered searches stay k-well-formed; quiesced serve " +
       "equals the from-scratch build") {
-    val seeds = sys.env.getOrElse("KNNFUZZ_SEEDS", "7,19")
+    val seeds = sys.env.getOrElse("KNNFUZZ_SEEDS",
+      graft.TestBudget.pick("7", "7,19"))
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runCase)
   }
@@ -82,7 +83,8 @@ class KnnThreadedProps extends AnyFunSuite {
       "re-check fires loudly (never a silent shadow), the insert " +
       "retries onto the new generation, and one reconcile pass " +
       "converges when the swap landed after a finished insert") {
-    val seeds = sys.env.getOrElse("KNNFUZZ_INSERT_SEEDS", "3,13")
+    val seeds = sys.env.getOrElse("KNNFUZZ_INSERT_SEEDS",
+      graft.TestBudget.pick("3", "3,13"))
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runInsertRaceCase)
   }
