@@ -1,0 +1,44 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[Spread.toCores]] — the input-skew guard for per-row-heavy stages
+  * over one-split scans. */
+class SpreadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a one-partition frame spreads to the session's slots") {
+    val df = (1L to 100L).toDF("id").coalesce(1)
+    assert(df.rdd.getNumPartitions == 1)
+    val out = Spread.toCores(df)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // row multiset unchanged
+    assert(out.select(sum("id")).head().getLong(0) == 5050L)
+    assert(out.count() == 100L)
+  }
+
+  test("already-parallel input is returned untouched (no extra exchange)") {
+    val want = spark.sparkContext.defaultParallelism
+    val df = (1L to 100L).toDF("id").repartition(want + 3)
+    val out = Spread.toCores(df)
+    assert(out.rdd.getNumPartitions == want + 3)
+    // the no-op path must not add a plan node
+    assert(out.queryExecution.analyzed eq df.queryExecution.analyzed)
+  }
+
+  test("order-insensitive aggregates are identical through a spread") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+      .coalesce(1)
+    val a = df.groupBy("g").agg(count(lit(1)).as("n"), min("id"), max("id"))
+      .orderBy("g").collect().toSeq
+    val b = Spread.toCores(df).groupBy("g")
+      .agg(count(lit(1)).as("n"), min("id"), max("id"))
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+}
