@@ -228,7 +228,18 @@ object MetaTableFunctions {
         val Seq(index, source, idCol, vecCol, qWhere) =
           (0 to 4).map(i => strLitArg("vector_recall", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
-        val queries = corpus.filter(qWhere)
+        // collect the (bounded) probe set once — the approx serve and
+        // the exact baseline then read a LocalRelation instead of each
+        // re-scanning source WHERE qWhere
+        val qProj = corpus.filter(qWhere).select(col(idCol), col(vecCol))
+        val qRows = qProj
+          .limit(graft.ops.IvfIndex.MaxQueryBatch + 1).collect()
+        require(qRows.length <= graft.ops.IvfIndex.MaxQueryBatch,
+          s"vector_recall collects the probe set to the driver; got " +
+            s"more than ${graft.ops.IvfIndex.MaxQueryBatch} probes — " +
+            "narrow queries_where")
+        val queries = spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), qProj.schema)
         val k = intLitArg("vector_recall", "k", args(5))
         val approx = graft.ops.IvfPqStore.search(spark, index, corpus,
           queries, idCol, vecCol, idCol, vecCol, k,

@@ -96,16 +96,21 @@ object IvfIndex {
       k: Int, iters: Int = 5): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    var centroids: Array[Array[Float]] = df
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .orderBy(col(idCol)).limit(k).collect().map(_._2)
+    // cache the narrow (id, vec) projection: the init collect
+    // materializes it and every Lloyd iteration re-reads it from
+    // memory instead of re-scanning (and re-filtering) the source
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Float]] = base
+      .orderBy(col("__id")).limit(k)
+      .as[(Long, Array[Float])].collect().map(_._2)
 
     graft.functions.VectorMean.register(spark)
     var it = 0
     while (it < iters) {
       val model = IvfModel(centroids)
-      val assigned = assign(df, idCol, vecCol, model)
+      val assigned = assign(base, "__id", "__vec", model)
       // one mergeable elementwise-mean aggregate per cell: exact
       // fixed-point sums keep centroids bit-identical across
       // partitionings (same hardening the previous decimal-sum groupBy
@@ -114,7 +119,7 @@ object IvfIndex {
       // (dim sums, count) buffer per cell per partition
       val means = assigned
         .groupBy("ivf_cell")
-        .agg(graft.functions.VectorMean.vectorMean(col(vecCol)).as("m"))
+        .agg(graft.functions.VectorMean.vectorMean(col("__vec")).as("m"))
         .as[(Int, Array[Double])]
         .collect()
       val byCell = means.toMap
@@ -126,6 +131,7 @@ object IvfIndex {
       }
       it += 1
     }
+    base.unpersist()
     IvfModel(centroids)
   }
 
@@ -155,15 +161,16 @@ object IvfIndex {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
       "neighbor_id", "__v", model)
 
-    // per-query probed cells, computed driver-side over the tiny model
+    // per-query probed cells, computed driver-side over the tiny model;
+    // one bounded collect = the size guard + the probe rows (was a
+    // separate count job over the same source)
     import spark.implicits._
-    val nQueries = queries.count()
-    require(nQueries <= MaxQueryBatch,
-      s"IvfIndex.search collects the query batch to the driver; got " +
-        s"$nQueries queries (max $MaxQueryBatch). Split the batch, or use " +
-        "Dedup.embeddingNearDupPairs for corpus-vs-corpus workloads.")
     val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].limit(MaxQueryBatch + 1).collect()
+    require(qRows.length <= MaxQueryBatch,
+      s"IvfIndex.search collects the query batch to the driver; got " +
+        s"more than $MaxQueryBatch queries. Split the batch, or use " +
+        "Dedup.embeddingNearDupPairs for corpus-vs-corpus workloads.")
     val probes = qRows.flatMap { case (qid, qv) =>
       val nq = math.sqrt(qv.map(x => x.toDouble * x).sum)
       model.centroids.zipWithIndex.map { case (cent, c) =>

@@ -198,9 +198,22 @@ object IvfPqStore {
       k: Int, nprobe: Int, rerank: Int, threshold: Double,
       targetRowsPerFile: Long = 1L << 20): (Double, Option[Int]) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val approx = search(spark, uri, corpus, probes,
+    // collect the (bounded, by contract small) probe set ONCE: the
+    // approx serve and the exact baseline each collect/broadcast the
+    // query side — against a LocalRelation both are driver-local, so
+    // the probe source is scanned once instead of three times
+    val probeProj = probes.select(col(qIdCol), col(qVecCol))
+    val probeRows = probeProj
+      .limit(IvfIndex.MaxQueryBatch + 1).collect()
+    require(probeRows.length <= IvfIndex.MaxQueryBatch,
+      s"retrainIfDrifted collects the probe set to the driver; got " +
+        s"more than ${IvfIndex.MaxQueryBatch} probes — use a sampled " +
+        "monitoring probe set")
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeProj.schema)
+    val approx = search(spark, uri, corpus, probesLocal,
       idCol, vecCol, qIdCol, qVecCol, k, nprobe, rerank)
-    val exact = Similarity.bruteForceTopK(corpus, probes,
+    val exact = Similarity.bruteForceTopK(corpus, probesLocal,
       idCol, vecCol, qIdCol, qVecCol, k)
     val row = Similarity.recallAtK(exact, approx, k)
       .agg(avg("recall")).head()
@@ -269,11 +282,16 @@ object IvfPqStore {
       spark: SparkSession,
       uri: String): (IvfIndex.IvfModel, PqIndex.PqModel) = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$uri/ivf_centroids")
+    // explicit schemas: the sidecar layouts are fixed by persist(), so
+    // schema inference (one footer-listing job per read) buys nothing —
+    // two jobs per loadModels call removed from every serve/maintainer
+    val cents = spark.read.schema("c INT, cent ARRAY<FLOAT>")
+      .parquet(s"$uri/ivf_centroids")
       .select(col("c"), col("cent")).as[(Int, Array[Float])]
       .collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"$uri has no persisted IVF centroids")
-    val books = spark.read.parquet(s"$uri/pq_codebooks")
+    val books = spark.read.schema("mi INT, c INT, cent ARRAY<FLOAT>")
+      .parquet(s"$uri/pq_codebooks")
       .select(col("mi"), col("c"), col("cent"))
       .as[(Int, Int, Array[Float])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)

@@ -178,25 +178,36 @@ object PqIndex {
     val spark = df.sparkSession
     import spark.implicits._
     require(m >= 1 && k >= 2, "need m >= 1 subspaces and k >= 2 centroids")
+    // Cache the NARROW (id, vec) projection once: the init collect
+    // materializes it and every Lloyd iteration re-explodes it from
+    // memory — vs (old) one parquet scan for the init collect plus a
+    // SECOND full scan materializing a persisted m×-exploded frame.
+    // The per-iteration explode is a cheap slice fan-out, and caching
+    // pre-explosion keeps the cached footprint dim-exact instead of
+    // m× duplicated.  Re-deriving the exploded rows per iteration is
+    // value-exact: the rows are a deterministic projection and the
+    // mean aggregate below is fixed-point (order-independent).
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE collect serves the dimension probe AND the init rows (was
     // three driver jobs: size().head, the lowest-id collect, and a
     // subRows filter+collect) — the k lowest-id full vectors are tiny
     // (k × dim floats) and their subspace slices are exactly the rows
     // the old filter pulled from the exploded frame.
-    val initRows = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].orderBy(col(idCol)).limit(k).collect()
+    val initRows = base.orderBy(col("__id")).limit(k)
+      .as[(Long, Array[Float])].collect()
       .sortBy(_._1)
     require(initRows.nonEmpty, "cannot train on an empty corpus")
     val dim = initRows.head._2.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val dsub = dim / m
 
-    val subRows = df.select(col(idCol).cast("long").as("__id"),
+    val subRows = base.select(col("__id"),
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), " +
-            s"i -> slice($vecCol, i * $dsub + 1, $dsub))"))
+            s"i -> slice(__vec, i * $dsub + 1, $dsub))"))
           .as(Seq("__m", "__sub")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // init: per subspace, the subvectors of the k lowest ids
     var codebooks: Array[Array[Array[Float]]] =
@@ -231,7 +242,7 @@ object PqIndex {
       }
       it += 1
     }
-    subRows.unpersist()
+    base.unpersist()
     PqModel(codebooks)
   }
 
@@ -319,15 +330,27 @@ object PqIndex {
       model: PqModel, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, "rerank shortlist must be at least k")
     val spark = encodedCorpus.sparkSession
+    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val shortlist = search(encodedCorpus, queries, idCol,
-        qIdCol, qVecCol, model, rerank)
+    // collect the (bounded) query batch ONCE: the ADC stage and the
+    // rerank broadcast both read the local rows instead of re-scanning
+    // the source per consumer
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].limit(IvfIndex.MaxQueryBatch + 1).collect()
+    require(qRows.length <= IvfIndex.MaxQueryBatch,
+      s"PqIndex.searchReranked collects the query batch to the driver; " +
+        s"got more than ${IvfIndex.MaxQueryBatch} queries")
+    val qLocal = spark.createDataFrame(qRows.toSeq)
+      .toDF("query_id", "__q")
+    val shortlist = search(encodedCorpus, qLocal, idCol,
+        "query_id", "__q", model, rerank)
       .select("query_id", "neighbor_id")
-    val withVecs = shortlist
+    // shortlist ≤ queries × rerank id pairs — broadcast it so the
+    // corpus streams through the exact-rerank join unshuffled
+    val withVecs = broadcast(shortlist)
       .join(encodedCorpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__v")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).as("__q"))), Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id"))
@@ -398,11 +421,16 @@ object PqIndex {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     registerFns(spark)
-    val nQueries = queries.count()
-    require(nQueries <= IvfIndex.MaxQueryBatch,
-      s"searchIvfPq collects the query batch to the driver; got $nQueries")
+    // ONE bounded collect serves the size guard, the driver-side
+    // probe/ADC-table computation AND the rerank join's broadcast side
+    // (was: a count job, a collect job, and a re-scan of `queries`
+    // inside the rerank broadcast exchange — three source scans for
+    // data this call holds on the driver anyway)
     val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].limit(IvfIndex.MaxQueryBatch + 1).collect()
+    require(qRows.length <= IvfIndex.MaxQueryBatch,
+      s"searchIvfPq collects the query batch to the driver; got more " +
+        s"than ${IvfIndex.MaxQueryBatch} queries")
     val mm = pqModel.m; val kk = pqModel.k; val dsub = pqModel.dsub
     // per query: nprobe nearest cells (cosine to centroids) + ADC table
     val probes = qRows.toSeq.flatMap { case (qid, qv) =>
@@ -449,12 +477,20 @@ object PqIndex {
         col("pq_code"), col("__t"), typedLit(pqModel.centroidNormSq)))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cosine").desc, col("neighbor_id"))
-    val cand = shortlist.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+    // the shortlist is provably small (≤ queries × rerank id pairs), so
+    // it is the BROADCAST side of the exact-rerank join — the corpus
+    // vector table streams through unshuffled (without the hint the
+    // planner cannot size a window's output and would sort-merge,
+    // re-shuffling the full corpus by neighbor_id).  The query vectors
+    // rejoin from the rows already collected above — a LocalRelation
+    // broadcast costs no job and no source re-scan.
+    val qLocal = spark.createDataFrame(qRows.toSeq)
+      .toDF("query_id", "__q")
+    val cand = broadcast(shortlist.withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= rerank)
+        .select(col("query_id"), col("neighbor_id")))
       .join(vecs, Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).as("__q"))), Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id"))
@@ -472,12 +508,13 @@ object PqIndex {
     val spark = encodedCorpus.sparkSession
     import spark.implicits._
     registerFns(spark)
-    val nQueries = queries.count()
-    require(nQueries <= IvfIndex.MaxQueryBatch,
-      s"PqIndex.search collects the query batch to the driver; got " +
-        s"$nQueries queries (max ${IvfIndex.MaxQueryBatch})")
+    // one bounded collect = the size guard + the table computation
+    // (was a separate count job over the same source)
     val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].limit(IvfIndex.MaxQueryBatch + 1).collect()
+    require(qRows.length <= IvfIndex.MaxQueryBatch,
+      s"PqIndex.search collects the query batch to the driver; got " +
+        s"more than ${IvfIndex.MaxQueryBatch} queries")
     val mm = model.m; val kk = model.k; val dsub = model.dsub
     val tables = qRows.toSeq.map { case (qid, qv) =>
       val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
