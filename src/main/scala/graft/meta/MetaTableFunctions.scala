@@ -274,7 +274,17 @@ object MetaTableFunctions {
         val Seq(index, source, idCol, vecCol, qWhere) =
           (0 to 4).map(i => strLitArg("knn_recall", args(i)))
         val corpus = graft.io.catalog.Procedures.readSource(spark, source)
-        val queries = corpus.filter(qWhere)
+        // one bounded collect — serve and exact baseline share the
+        // LocalRelation instead of re-scanning source WHERE qWhere
+        val qProj = corpus.filter(qWhere).select(col(idCol), col(vecCol))
+        val qRows = qProj
+          .limit(graft.ops.KnnGraph.MaxBroadcastQueries + 1).collect()
+        require(qRows.length <= graft.ops.KnnGraph.MaxBroadcastQueries,
+          s"knn_recall collects the probe set to the driver; got more " +
+            s"than ${graft.ops.KnnGraph.MaxBroadcastQueries} probes — " +
+            "narrow queries_where")
+        val queries = spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), qProj.schema)
         val k = intLitArg("knn_recall", "k", args(5))
         val approx = graft.ops.KnnGraph.searchLayered(
           graft.ops.KnnGraph.loadLayered(spark, index), corpus, queries,

@@ -349,12 +349,23 @@ object KnnGraph {
     // arbitrarily many rows), so only HINT broadcast when the state is
     // provably small; above the threshold leave the strategy to Spark
     // (AQE still broadcasts genuinely small sides on its own), which
-    // degrades to a shuffle join instead of a driver OOM
-    val qsRaw = queries.select(col(qIdCol).cast("long").as("query_id"),
+    // degrades to a shuffle join instead of a driver OOM.
+    // The smallness probe and the broadcast source are ONE bounded
+    // collect: a within-bound batch is pulled to the driver (exactly
+    // the rows every hop's broadcast exchange would collect anyway)
+    // and the hops join a LocalRelation — no per-hop broadcast-build
+    // job, no separate probe count job, no per-hop re-scan of the
+    // query source.  Above the bound nothing is collected; the batch
+    // stays distributed and persisted, as before.
+    val qsProj = queries.select(col(qIdCol).cast("long").as("query_id"),
       col(qVecCol).as("__qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stateSmall = qsRaw.limit(MaxBroadcastQueries + 1).count() <=
-      MaxBroadcastQueries
+    val probeRows = qsProj.limit(MaxBroadcastQueries + 1).collect()
+    val stateSmall = probeRows.length <= MaxBroadcastQueries
+    val qsRaw =
+      if (stateSmall) spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), qsProj.schema)
+      else qsProj
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = if (stateSmall) broadcast(qsRaw) else qsRaw
 
     def score(cands: DataFrame): DataFrame =
@@ -426,7 +437,7 @@ object KnnGraph {
       edges.unpersist()
     }
     vecs.unpersist()
-    qsRaw.unpersist()
+    if (!stateSmall) qsRaw.unpersist()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand"))
     // eligibility as an INNER join with the beam state BROADCAST: the
@@ -691,9 +702,21 @@ object KnnGraph {
       seedTarget: Int = 128,
       targetRowsPerFile: Long = 1L << 20): (Double, Option[Int]) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val approx = searchLayered(loadLayered(spark, uri), corpus, probes,
+    // collect the (bounded, by contract small) probe set ONCE — the
+    // layered serve and the exact baseline then read a LocalRelation
+    // instead of each re-scanning the probe source (the brute-force
+    // broadcast pulls the same rows to the driver regardless)
+    val probeProj = probes.select(col(qIdCol), col(qVecCol))
+    val probeRows = probeProj.limit(MaxBroadcastQueries + 1).collect()
+    require(probeRows.length <= MaxBroadcastQueries,
+      s"rebuildIfDrifted collects the probe set to the driver; got " +
+        s"more than $MaxBroadcastQueries probes — use a sampled " +
+        "monitoring probe set")
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeProj.schema)
+    val approx = searchLayered(loadLayered(spark, uri), corpus, probesLocal,
       idCol, vecCol, qIdCol, qVecCol, k, beam, hops)
-    val exact = Similarity.bruteForceTopK(corpus, probes,
+    val exact = Similarity.bruteForceTopK(corpus, probesLocal,
       idCol, vecCol, qIdCol, qVecCol, k)
     val row = Similarity.recallAtK(exact, approx, k)
       .agg(org.apache.spark.sql.functions.avg("recall")).head()
