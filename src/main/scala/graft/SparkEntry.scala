@@ -4229,9 +4229,13 @@ object SparkEntry {
     // ships, with deterministic output at any partitioning
     "pipeline_corpus_build" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the quality-filtered corpus feeds BOTH the boilerplate
+      // measurement and the anti-join's left side — cache it so the
+      // tokenize+flags pass runs once, not once per consumer
       val kept = TextAnalysis.qualityFlags(docs, "text")
         .filter(col("kept"))
         .select(col("doc_id"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val boiler = TrainPrep.dupSpanCoverage(kept, "text", "doc_id", n = 8)
         .filter(col("dup_bp") >= 5000).select("doc_id")
       val clean = kept.join(boiler, Seq("doc_id"), "left_anti")

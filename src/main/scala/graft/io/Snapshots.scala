@@ -459,7 +459,15 @@ object Snapshots extends Serializable {
       spark: SparkSession, uri: String, df: DataFrame,
       transforms: Seq[PartitionTransforms.Transform]): Int = {
     require(transforms.nonEmpty, "at least one transform required")
+    // cluster by the dir columns before the partitioned write (guide:
+    // REBALANCE before write / Iceberg hash distribution-mode): without
+    // it every task writes a sliver into every partition dir — tasks ×
+    // dirs small files and a commit that lists them all.  REBALANCE
+    // (vs a plain repartition) keeps AQE free to split an oversized
+    // dir across tasks and coalesce tiny ones, so the shape holds from
+    // test SFs to hot-partition production tables.
     PartitionTransforms.prepare(df, transforms)
+      .hint("rebalance", PartitionTransforms.dirCols(transforms): _*)
       .write.partitionBy(PartitionTransforms.dirCols(transforms): _*)
       .parquet(uri)
     val v = init(spark, uri)
