@@ -166,10 +166,35 @@ object Snapshots extends Serializable {
     // name) — merge the footers so every column survives to the
     // projection [[SchemaEvolution.evolve]] applies
     val reader = spark.read.option("basePath", uri)
-    val r =
-      if (isEvolved(spark, uri)) reader.option("mergeSchema", "true")
-      else reader
-    r.parquet(names.map(n => s"$uri/$n"): _*)
+    if (isEvolved(spark, uri))
+      reader.option("mergeSchema", "true")
+        .parquet(names.map(n => s"$uri/$n"): _*)
+    else if (names.exists(_.contains("=")))
+      // hive-partitioned layout: partition-column TYPES are inferred
+      // from the value set across ALL paths (a single file's dir value
+      // could infer narrower than the set — e.g. one numeric-looking
+      // value of a string column), so these stay on full inference
+      reader.parquet(names.map(n => s"$uri/$n"): _*)
+    else
+      // UNevolved, unpartitioned tables have footer-identical files,
+      // so schema inference (one footer-listing job per read) is pure
+      // overhead after the first read — cache the inferred schema per
+      // representative file identity (path + mtime + length: snapshot
+      // data files are immutable, and a recreated fixture at the same
+      // path gets a fresh identity).
+      reader.schema(rawSchemaFor(spark, uri, names.head))
+        .parquet(names.map(n => s"$uri/$n"): _*)
+  }
+
+  private val rawSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def rawSchemaFor(spark: SparkSession, uri: String,
+      headName: String): org.apache.spark.sql.types.StructType = {
+    val p = new Path(s"$uri/$headName")
+    val st = fsOf(spark, uri).getFileStatus(p)
+    val key = s"$p@${st.getModificationTime}:${st.getLen}"
+    rawSchemaCache.computeIfAbsent(key, _ =>
+      spark.read.option("basePath", uri).parquet(p.toString).schema)
   }
 
   /** Has this table EVER taken a schema-evolution commit?  The manifest
